@@ -1,0 +1,522 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fluent Flux-verb surface over a DataFrame (SURVEY.md §2B).
+  *
+  * A Flux stream of tables ≙ one DataFrame + a group key (the columns
+  * that partition it into tables). Each verb is pure plan construction —
+  * `parse→analyze→optimize→execute` is Catalyst's own lifecycle
+  * (SURVEY.md §3 E3): verbs compose Column expressions, Catalyst pushes
+  * filters/projections into the Parquet scan and plans the exchanges.
+  *
+  * Conventions: `timeCol` is the event-time column (TimestampType),
+  * `valueCol` the analyzed value, `groupKey` the current grouping
+  * (Flux: series key by default, rewired by `group()`).
+  *
+  * Scale notes (100 TB discipline):
+  *  - per-group verbs compile to window specs partitioned by the group
+  *    key — Spark shuffles once per distinct partitioning and reuses it
+  *    across consecutive window verbs (same WindowSpec ⇒ same Exchange).
+  *  - aggregations use partial (map-side) aggregation automatically.
+  *  - nothing here collects to the driver; `yield`/format are the only
+  *    materialization points and are caller-controlled.
+  */
+final case class FluxFrame(
+    df: DataFrame,
+    groupKey: Seq[String],
+    timeCol: String = "_time",
+    valueCol: String = "_value"
+) {
+
+  private def keyCols: Seq[Column] = groupKey.map(col)
+  private def w = {
+    val base = if (groupKey.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)
+    base.orderBy(col(timeCol))
+  }
+  private def rows(lo: Long, hi: Long) = w.rowsBetween(lo, hi)
+
+  // ---------------- projection / filter (Flux: range, filter, keep, drop,
+  // rename, duplicate, map, set) ----------------
+
+  /** Flux `range(start:, stop:)` — half-open [start, stop). First verb
+    * after `from`; with dt-partitioned storage this prunes partitions.
+    */
+  def range(start: java.sql.Timestamp, stop: java.sql.Timestamp): FluxFrame =
+    copy(df = df.filter(col(timeCol) >= lit(start) && col(timeCol) < lit(stop)))
+
+  def range(start: String, stop: String): FluxFrame =
+    copy(df = df.filter(col(timeCol) >= to_timestamp(lit(start)) && col(timeCol) < to_timestamp(lit(stop))))
+
+  /** Flux `filter(fn:)` — row predicate. */
+  def where(pred: Column): FluxFrame = copy(df = df.filter(pred))
+
+  /** Flux `keep(columns:)`. Group key is intersected like Flux does. */
+  def keep(cols: String*): FluxFrame =
+    copy(df = df.select(cols.map(col): _*), groupKey = groupKey.filter(cols.contains))
+
+  /** Flux `drop(columns:)`. */
+  def dropCols(cols: String*): FluxFrame =
+    copy(df = df.drop(cols: _*), groupKey = groupKey.filterNot(cols.contains))
+
+  /** Flux `rename(columns: {old: new})`. */
+  def rename(pairs: (String, String)*): FluxFrame = {
+    val renamed = pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    val gk = groupKey.map(k => pairs.toMap.getOrElse(k, k))
+    val tc = pairs.toMap.getOrElse(timeCol, timeCol)
+    val vc = pairs.toMap.getOrElse(valueCol, valueCol)
+    FluxFrame(renamed, gk, tc, vc)
+  }
+
+  /** Flux `duplicate(column:, as:)`. */
+  def duplicate(column: String, as: String): FluxFrame =
+    copy(df = df.withColumn(as, col(column)))
+
+  /** Flux `map(fn:)` — computed column(s); Column-expression form keeps
+    * whole-stage codegen (SURVEY.md §2B: translate, don't close over).
+    */
+  def mapValue(f: Column => Column): FluxFrame =
+    copy(df = df.withColumn(valueCol, f(col(valueCol))))
+
+  def withCol(name: String, c: Column): FluxFrame = copy(df = df.withColumn(name, c))
+
+  /** Flux `set(key:, value:)`. */
+  def set(key: String, value: String): FluxFrame = copy(df = df.withColumn(key, lit(value)))
+
+  // ---------------- grouping & aggregates ----------------
+
+  /** Flux `group(columns:, mode:"by")`. */
+  def group(cols: String*): FluxFrame = copy(groupKey = cols)
+
+  /** Flux `group(columns:, mode:"except")`. */
+  def groupExcept(cols: String*): FluxFrame =
+    copy(groupKey = df.columns.toSeq.filterNot(c => cols.contains(c) || c == timeCol || c == valueCol))
+
+  /** Generic per-group aggregate: one output row per group. */
+  def agg(exprs: Column*): DataFrame =
+    if (groupKey.isEmpty) df.agg(exprs.head, exprs.tail: _*)
+    else df.groupBy(keyCols: _*).agg(exprs.head, exprs.tail: _*)
+
+  private def agg1(e: Column, as: String): FluxFrame =
+    FluxFrame(agg(e.as(as)), groupKey, timeCol, as)
+
+  def countRows(as: String = "_value"): FluxFrame = agg1(count(col(valueCol)), as)
+  def sumV(as: String = "_value"): FluxFrame = agg1(sum(col(valueCol)), as)
+  def meanV(as: String = "_value"): FluxFrame = agg1(avg(col(valueCol)), as)
+  def minV(as: String = "_value"): FluxFrame = agg1(min(col(valueCol)), as)
+  def maxV(as: String = "_value"): FluxFrame = agg1(max(col(valueCol)), as)
+  def stddevV(as: String = "_value"): FluxFrame = agg1(stddev_samp(col(valueCol)), as)
+  def medianV(as: String = "_value"): FluxFrame = agg1(percentile(col(valueCol), lit(0.5)), as)
+  def modeV(as: String = "_value"): FluxFrame = agg1(mode(col(valueCol)), as)
+
+  /** Flux `spread()` = max - min. */
+  def spread(as: String = "_value"): FluxFrame = agg1(max(col(valueCol)) - min(col(valueCol)), as)
+
+  /** Flux `quantile(q:, method:"exact_mean"/"estimate_tdigest")`.
+    * exact → Spark `percentile` (linear interpolation, matches Flux's
+    * exact_mean for continuous data); estimate → `percentile_approx`
+    * (t-digest-class sketch, mergeable ⇒ scales as a partial agg).
+    */
+  def quantile(q: Double, exact: Boolean = true, as: String = "_value"): FluxFrame =
+    agg1(if (exact) percentile(col(valueCol), lit(q)) else percentile_approx(col(valueCol), lit(q), lit(10000)), as)
+
+  /** Flux `first()` / `last()` — selectors: earliest/latest value by time
+    * per group. min_by/max_by are single-pass partial aggregates (no
+    * window, no second shuffle).
+    */
+  def firstV(as: String = "_value"): FluxFrame = agg1(min_by(col(valueCol), col(timeCol)), as)
+  def lastV(as: String = "_value"): FluxFrame = agg1(max_by(col(valueCol), col(timeCol)), as)
+
+  /** Flux `distinct(column:)`. */
+  def distinctV(column: String = ""): DataFrame = {
+    val c = if (column.isEmpty) valueCol else column
+    df.select((groupKey :+ c).map(col): _*).distinct()
+  }
+
+  /** Flux `unique(column:)` — rows whose column value occurs exactly once
+    * within the group.
+    */
+  def unique(column: String = ""): FluxFrame = {
+    val c = if (column.isEmpty) valueCol else column
+    val cw = if (groupKey.isEmpty) Window.partitionBy(col(c)) else Window.partitionBy((keyCols :+ col(c)): _*)
+    copy(df = df.withColumn("_cnt", count(lit(1)).over(cw)).filter(col("_cnt") === 1).drop("_cnt"))
+  }
+
+  /** Flux `integral(unit:)` — trapezoidal integral of value over time.
+    * Window algebra: lag pairs → trapezoid areas → sum (SURVEY.md §2B).
+    */
+  def integral(unitSeconds: Double, as: String = "_value"): FluxFrame = {
+    val tSec = col(timeCol).cast("double")
+    val prevT = lag(tSec, 1).over(w)
+    val prevV = lag(col(valueCol), 1).over(w)
+    val area = (col(valueCol) + prevV) / 2 * (tSec - prevT) / lit(unitSeconds)
+    val staged = df.withColumn("_area", area)
+    FluxFrame(staged, groupKey, timeCol, "_area").agg1(sum(col("_area")), as)
+  }
+
+  /** Flux `covariance(columns:)` / `pearsonr()`. */
+  def covariance(x: String, y: String, as: String = "_value"): FluxFrame = agg1(covar_samp(col(x), col(y)), as)
+  def pearsonr(x: String, y: String, as: String = "_value"): FluxFrame = agg1(corr(col(x), col(y)), as)
+
+  /** Flux `histogram(bins:)` — cumulative counts per upper bound. */
+  def histogram(bins: Seq[Double], leCol: String = "le", countCol: String = "_value"): DataFrame = {
+    val binDf = df.sparkSession.createDataFrame(bins.map(Tuple1(_))).toDF(leCol)
+    val joined = df.crossJoin(broadcast(binDf)).filter(col(valueCol) <= col(leCol))
+    val g = (groupKey :+ leCol).map(col)
+    joined.groupBy(g: _*).agg(count(lit(1)).as(countCol))
+  }
+
+  /** Flux `histogramQuantile(quantile:)` — inverse linear interpolation
+    * over cumulative bin counts. Pure window algebra over the (small)
+    * histogram frame.
+    */
+  def histogramQuantile(q: Double, leCol: String = "le", countCol: String = "_value", as: String = "_value"): DataFrame = {
+    val pw = (if (groupKey.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*)).orderBy(col(leCol))
+    val total = (if (groupKey.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*))
+      .orderBy(col(leCol)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = df
+      .withColumn("_tot", max(col(countCol)).over(total))
+      .withColumn("_target", col("_tot") * q)
+      .withColumn("_prevCount", coalesce(lag(col(countCol), 1).over(pw), lit(0.0)))
+      .withColumn("_prevLe", coalesce(lag(col(leCol), 1).over(pw), lit(0.0)))
+    val hit = staged.filter(col(countCol) >= col("_target") && col("_prevCount") < col("_target"))
+    val interp = col("_prevLe") +
+      (col(leCol) - col("_prevLe")) * (col("_target") - col("_prevCount")) / (col(countCol) - col("_prevCount"))
+    hit.select((keyCols :+ interp.as(as)): _*)
+  }
+
+  // ---------------- time windowing ----------------
+
+  /** Flux `window(every:, period:, offset:)` → adds `_start`/`_stop` and
+    * extends the group key, exactly Spark's `window()` semantics.
+    */
+  def window(every: String, period: String = null, offset: String = "0 seconds"): FluxFrame = {
+    val p = if (period == null) every else period
+    val win = org.apache.spark.sql.functions.window(col(timeCol), p, every, offset)
+    copy(
+      df = df.withColumn("_w", win)
+        .withColumn("_start", col("_w.start")).withColumn("_stop", col("_w.end")).drop("_w"),
+      groupKey = groupKey :+ "_start" :+ "_stop")
+  }
+
+  /** Flux `aggregateWindow(every:, fn:, createEmpty:)` — downsample.
+    * Tumbling window + aggregate; `createEmpty=true` left-joins a
+    * generated window spine (sequence+explode — distributed, no driver
+    * loop) so empty windows emit nulls like Flux does.
+    */
+  def aggregateWindow(
+      every: String,
+      fn: Column => Column,
+      createEmpty: Boolean = false,
+      as: String = "_value"
+  ): FluxFrame = {
+    val win = org.apache.spark.sql.functions.window(col(timeCol), every)
+    val aggCols = (keyCols :+ win.as("_w"))
+    val agged = df.groupBy(aggCols: _*)
+      .agg(fn(col(valueCol)).as(as))
+      .withColumn(timeCol, col("_w.end")) // Flux: timeDst = _stop by default
+      .drop("_w")
+    val out =
+      if (!createEmpty) agged
+      else {
+        // spine: every window between global min/max per group key combo
+        val everyExpr = expr(s"INTERVAL $every")
+        val bounds = df.groupBy(keyCols: _*)
+          .agg(min(col(timeCol)).as("_lo"), max(col(timeCol)).as("_hi"))
+        val spine = bounds
+          .withColumn("_wlo", org.apache.spark.sql.functions.window(col("_lo"), every).getField("end"))
+          .withColumn("_whi", org.apache.spark.sql.functions.window(col("_hi"), every).getField("end"))
+          .withColumn(timeCol, explode(sequence(col("_wlo"), col("_whi"), everyExpr)))
+          .select((keyCols :+ col(timeCol)): _*)
+        spine.join(agged, groupKey :+ timeCol, "left")
+      }
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  // ---------------- sorting / limits / top-k ----------------
+
+  /** Flux `sort(columns:, desc:)` — global sort (Flux sorts within
+    * tables; for a keyed frame use the window verbs which order
+    * internally). Kept for final, `limit`ed output only (100 TB: a global
+    * sort is a last-stage operation).
+    */
+  def sort(cols: Column*): FluxFrame = copy(df = df.orderBy(cols: _*))
+
+  /** Flux `limit(n:, offset:)` — first n rows per group by time. */
+  def limitPerGroup(n: Int, offset: Int = 0): FluxFrame = perGroupRank(col(timeCol).asc, n, offset)
+
+  /** Flux `tail(n:)` — last n rows per group by time. */
+  def tail(n: Int): FluxFrame = perGroupRank(col(timeCol).desc, n, 0)
+
+  /** Flux `top(n:)` / `bottom(n:)` — n largest/smallest by value per group. */
+  def top(n: Int, by: String = ""): FluxFrame =
+    perGroupRank(col(if (by.isEmpty) valueCol else by).desc, n, 0)
+  def bottom(n: Int, by: String = ""): FluxFrame =
+    perGroupRank(col(if (by.isEmpty) valueCol else by).asc, n, 0)
+
+  private def perGroupRank(order: Column, n: Int, offset: Int): FluxFrame = {
+    // Tie-break on time then all key cols for determinism under shuffle.
+    val pw = (if (groupKey.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*))
+      .orderBy(order, col(timeCol))
+    copy(df = df.withColumn("_rank", row_number().over(pw))
+      .filter(col("_rank") > offset && col("_rank") <= offset + n)
+      .drop("_rank"))
+  }
+
+  /** Flux `sample(n:, pos:)` — every n-th row per group (by time order). */
+  def sample(n: Int, pos: Int = 0): FluxFrame =
+    copy(df = df.withColumn("_rn", row_number().over(w))
+      .filter(((col("_rn") - 1 - pos) % n) === 0 && col("_rn") > pos)
+      .drop("_rn"))
+
+  /** Flux `highestMax/highestAverage/highestCurrent(n:)` (+ lowest*):
+    * rank whole series by a per-series reduction, keep top n series.
+    * Two-phase: tiny per-series agg → top-n (broadcastable) → semi-join
+    * back, so the big frame is only scanned once (SURVEY.md §2B).
+    */
+  def highest(n: Int, reduce: Column => Column, lowest: Boolean = false): FluxFrame = {
+    val perSeries = df.groupBy(keyCols: _*).agg(reduce(col(valueCol)).as("_score"))
+    val ranked = perSeries
+      .withColumn("_r", row_number().over(
+        Window.partitionBy().orderBy(if (lowest) col("_score").asc else col("_score").desc, keyCols.head)))
+      .filter(col("_r") <= n)
+      .select(keyCols: _*)
+    copy(df = df.join(broadcast(ranked), groupKey, "left_semi"))
+  }
+
+  def highestMax(n: Int): FluxFrame = highest(n, max)
+  def highestAverage(n: Int): FluxFrame = highest(n, avg)
+  def lowestMin(n: Int): FluxFrame = highest(n, min, lowest = true)
+  def highestCurrent(n: Int): FluxFrame = highest(n, v => max_by(v, col(timeCol)))
+
+  // ---------------- joins / set ops / pivot ----------------
+
+  /** Flux `join(tables:, on:)` — inner equi-join; Catalyst picks
+    * broadcast vs shuffle by stats/AQE.
+    */
+  def joinOn(other: FluxFrame, on: Seq[String], how: String = "inner"): FluxFrame =
+    copy(df = df.join(other.df, on, how))
+
+  /** Flux `union(tables:)` — bag union, schema merged by name. */
+  def union(other: FluxFrame): FluxFrame =
+    copy(df = df.unionByName(other.df, allowMissingColumns = true))
+
+  /** Flux `pivot(rowKey:, columnKey:, valueColumn:)` /
+    * `schema.fieldsAsCols()` — long→wide. Callers pass the distinct
+    * column-key values when known (skips the extra distinct scan Spark
+    * otherwise runs).
+    */
+  def pivot(rowKey: Seq[String], columnKey: String, values: Seq[String] = Nil): DataFrame = {
+    val g = df.groupBy(rowKey.map(col): _*)
+    val p = if (values.nonEmpty) g.pivot(columnKey, values) else g.pivot(columnKey)
+    p.agg(first(col(valueCol), ignoreNulls = true))
+  }
+
+  // ---------------- per-series transforms (window-function shaped;
+  // all partition by group key, order by time — one shuffle, reused) ----
+
+  /** Flux `derivative(unit:, nonNegative:)` — rate of change per `unit`;
+    * first row of each series dropped (no predecessor); with
+    * `nonNegative` a negative rate yields null (counter reset).
+    */
+  def derivative(unitSeconds: Double, nonNegative: Boolean = false, as: String = "_value"): FluxFrame = {
+    val prev = lag(col(valueCol), 1).over(w)
+    val dt = col(timeCol).cast("double") - lag(col(timeCol).cast("double"), 1).over(w)
+    val d = (col(valueCol) - prev) / (dt / lit(unitSeconds))
+    val res = if (nonNegative) when(d < 0, null).otherwise(d) else d
+    val staged = df.withColumn("_prev", prev).withColumn(as, res)
+    FluxFrame(staged.filter(col("_prev").isNotNull).drop("_prev"), groupKey, timeCol, as)
+  }
+
+  /** Flux `difference(nonNegative:, keepFirst:)`. */
+  def difference(nonNegative: Boolean = false, keepFirst: Boolean = false, as: String = "_value"): FluxFrame = {
+    val prev = lag(col(valueCol), 1).over(w)
+    val d0 = col(valueCol) - prev
+    val d = if (nonNegative) when(d0 < 0, null).otherwise(d0) else d0
+    val staged = df.withColumn("_prev", prev).withColumn(as, d)
+    val out = if (keepFirst) staged.drop("_prev")
+              else staged.filter(col("_prev").isNotNull).drop("_prev")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  /** Flux `increase()` — running sum of positive deltas (counter resets
+    * forgiven), emitted per row like Flux does.
+    */
+  def increase(as: String = "_value"): FluxFrame = {
+    val d = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val pos = when(d > 0, d).otherwise(lit(0.0))
+    val run = sum(pos).over(rows(Window.unboundedPreceding, 0))
+    FluxFrame(df.withColumn(as, coalesce(run, lit(0.0))), groupKey, timeCol, as)
+  }
+
+  /** Flux `cumulativeSum()`. */
+  def cumulativeSum(as: String = "_value"): FluxFrame =
+    FluxFrame(df.withColumn(as, sum(col(valueCol)).over(rows(Window.unboundedPreceding, 0))),
+      groupKey, timeCol, as)
+
+  /** Flux `movingAverage(n:)` — emitted from the n-th row on. */
+  def movingAverage(n: Int, as: String = "_value"): FluxFrame = {
+    val ma = avg(col(valueCol)).over(rows(-(n - 1), 0))
+    val cnt = count(lit(1)).over(rows(-(n - 1), 0))
+    FluxFrame(df.withColumn(as, ma).withColumn("_n", cnt).filter(col("_n") === n).drop("_n"),
+      groupKey, timeCol, as)
+  }
+
+  /** Flux `timedMovingAverage(every:, period:)` — time-range window. */
+  def timedMovingAverage(periodSeconds: Long, as: String = "_value"): FluxFrame = {
+    val rw = (if (groupKey.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*))
+      .orderBy(col(timeCol).cast("long"))
+      .rangeBetween(-(periodSeconds - 1), 0)
+    FluxFrame(df.withColumn(as, avg(col(valueCol)).over(rw)), groupKey, timeCol, as)
+  }
+
+  /** Flux `timeShift(duration:)`. */
+  def timeShift(interval: String): FluxFrame =
+    copy(df = df.withColumn(timeCol, col(timeCol) + expr(s"INTERVAL $interval")))
+
+  /** Flux `fill(value:)` / `fill(usePrevious: true)`. */
+  def fill(value: Double): FluxFrame =
+    copy(df = df.withColumn(valueCol, coalesce(col(valueCol), lit(value))))
+
+  def fillPrevious(): FluxFrame =
+    copy(df = df.withColumn(valueCol,
+      coalesce(col(valueCol), last(col(valueCol), ignoreNulls = true).over(rows(Window.unboundedPreceding, 0)))))
+
+  /** Flux `elapsed(unit:)` — Δt to previous row, first row dropped. */
+  def elapsed(unitSeconds: Double = 1.0, as: String = "elapsed"): FluxFrame = {
+    val dt = (col(timeCol).cast("double") - lag(col(timeCol).cast("double"), 1).over(w)) / lit(unitSeconds)
+    copy(df = df.withColumn(as, dt).filter(col(as).isNotNull))
+  }
+
+  /** Flux `stateCount(fn:)` — 1-based running count while predicate
+    * holds, -1 otherwise. Reset-group trick: cumsum of !pred makes a
+    * stable id per true-run (SURVEY.md §2B; pure window algebra).
+    */
+  def stateCount(pred: Column, as: String = "stateCount"): FluxFrame = {
+    val resetId = sum(when(pred, 0).otherwise(1)).over(rows(Window.unboundedPreceding, 0))
+    val staged = df.withColumn("_rst", resetId)
+    val rw = (if (groupKey.isEmpty) Window.partitionBy(col("_rst")) else Window.partitionBy((keyCols :+ col("_rst")): _*))
+      .orderBy(col(timeCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val cnt = sum(when(pred, 1).otherwise(0)).over(rw)
+    copy(df = staged.withColumn(as, when(pred, cnt).otherwise(lit(-1))).drop("_rst"))
+  }
+
+  /** Flux `stateDuration(fn:, unit:)` — seconds in current true-run,
+    * 0 at run start, -1 when predicate false.
+    */
+  def stateDuration(pred: Column, unitSeconds: Double = 1.0, as: String = "stateDuration"): FluxFrame = {
+    val resetId = sum(when(pred, 0).otherwise(1)).over(rows(Window.unboundedPreceding, 0))
+    val staged = df.withColumn("_rst", resetId)
+    val rw = (if (groupKey.isEmpty) Window.partitionBy(col("_rst")) else Window.partitionBy((keyCols :+ col("_rst")): _*))
+      .orderBy(col(timeCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val runStart = min(when(pred, col(timeCol))).over(rw)
+    val dur = (col(timeCol).cast("double") - runStart.cast("double")) / lit(unitSeconds)
+    copy(df = staged.withColumn(as, when(pred, dur).otherwise(lit(-1.0))).drop("_rst"))
+  }
+
+  /** Flux `interpolate.linear(every:)` — regular grid per group with
+    * linear interpolation between observed neighbors. Spine generated
+    * distributed (sequence+explode), neighbors found via
+    * last/first-ignoreNulls windows — no self-join.
+    */
+  def interpolateLinear(everySeconds: Long, as: String = "_value"): FluxFrame = {
+    val bounds = df.groupBy(keyCols: _*)
+      .agg(min(col(timeCol)).as("_lo"), max(col(timeCol)).as("_hi"))
+    val spine = bounds
+      .withColumn(timeCol, explode(sequence(
+        (ceil(col("_lo").cast("double") / everySeconds) * everySeconds).cast("timestamp"),
+        col("_hi"),
+        expr(s"INTERVAL $everySeconds seconds"))))
+      .select((keyCols :+ col(timeCol)): _*)
+    val unioned = df.select((keyCols ++ Seq(col(timeCol), col(valueCol))): _*)
+      .withColumn("_obs", lit(1))
+      .unionByName(spine.withColumn(valueCol, lit(null).cast("double")).withColumn("_obs", lit(0)))
+    // de-dup grid points that coincide with observations
+    val ww = (if (groupKey.isEmpty) Window.partitionBy() else Window.partitionBy(keyCols: _*))
+      .orderBy(col(timeCol), col("_obs").desc)
+    val dedup = unioned.withColumn("_rn", row_number().over(
+        (if (groupKey.isEmpty) Window.partitionBy(col(timeCol)) else Window.partitionBy((keyCols :+ col(timeCol)): _*))
+          .orderBy(col("_obs").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val back = ww.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ww.rowsBetween(0, Window.unboundedFollowing)
+    val tSec = col(timeCol).cast("double")
+    val staged = dedup
+      .withColumn("_pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("_pt", last(when(col(valueCol).isNotNull, tSec), ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("_nt", first(when(col(valueCol).isNotNull, tSec), ignoreNulls = true).over(fwd))
+    val interp = when(col(valueCol).isNotNull, col(valueCol))
+      .when(col("_pt") === col("_nt"), col("_pv"))
+      .otherwise(col("_pv") + (col("_nv") - col("_pv")) * (tSec - col("_pt")) / (col("_nt") - col("_pt")))
+    val out = staged
+      .withColumn(as, interp)
+      .filter(col("_obs") === 0 || col(valueCol).isNotNull)
+      .select((keyCols ++ Seq(col(timeCol), col(as))): _*)
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  // ---------------- order-sensitive scans (SeriesScan-backed) ----------
+
+  /** Flux `exponentialMovingAverage(n:)` — order-sensitive; one shuffle
+    * + in-partition scan (SeriesScan), O(1) state per series.
+    */
+  def ema(n: Int, as: String = "_value"): FluxFrame = {
+    val out = SeriesScan.ema(df, groupKey, timeCol, valueCol, n, "_ema")
+      .filter(col("_ema").isNotNull)
+      .withColumn(as, col("_ema")).drop("_ema")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  /** Flux `doubleEMA(n:)` = 2·EMA_n − EMA_n(EMA_n). */
+  def doubleEma(n: Int, as: String = "_value"): FluxFrame = {
+    val e1 = SeriesScan.ema(df, groupKey, timeCol, valueCol, n, "_e1").filter(col("_e1").isNotNull)
+    val e2 = SeriesScan.ema(e1, groupKey, timeCol, "_e1", n, "_e2").filter(col("_e2").isNotNull)
+    FluxFrame(e2.withColumn(as, lit(2) * col("_e1") - col("_e2")).drop("_e1", "_e2"), groupKey, timeCol, as)
+  }
+
+  /** Flux `tripleEMA(n:)` = 3·EMA1 − 3·EMA2 + EMA3. */
+  def tripleEma(n: Int, as: String = "_value"): FluxFrame = {
+    val e1 = SeriesScan.ema(df, groupKey, timeCol, valueCol, n, "_e1").filter(col("_e1").isNotNull)
+    val e2 = SeriesScan.ema(e1, groupKey, timeCol, "_e1", n, "_e2").filter(col("_e2").isNotNull)
+    val e3 = SeriesScan.ema(e2, groupKey, timeCol, "_e2", n, "_e3").filter(col("_e3").isNotNull)
+    FluxFrame(e3.withColumn(as, lit(3) * col("_e1") - lit(3) * col("_e2") + col("_e3")).drop("_e1", "_e2", "_e3"),
+      groupKey, timeCol, as)
+  }
+
+  /** Flux `relativeStrengthIndex(n:)` (Wilder smoothing). */
+  def rsi(n: Int, as: String = "_value"): FluxFrame = {
+    val out = SeriesScan.rsi(df, groupKey, timeCol, valueCol, n, "_rsi")
+      .filter(col("_rsi").isNotNull).withColumn(as, col("_rsi")).drop("_rsi")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  /** Flux `chandeMomentumOscillator(n:)`. */
+  def chandeMomentum(n: Int, as: String = "_value"): FluxFrame = {
+    val out = SeriesScan.chandeMomentum(df, groupKey, timeCol, valueCol, n, "_cmo")
+      .filter(col("_cmo").isNotNull).withColumn(as, col("_cmo")).drop("_cmo")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  /** Flux `kaufmansAMA(n:)`. */
+  def kaufmansAma(n: Int, as: String = "_value"): FluxFrame = {
+    val out = SeriesScan.kama(df, groupKey, timeCol, valueCol, n, "_kama")
+      .filter(col("_kama").isNotNull).withColumn(as, col("_kama")).drop("_kama")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  /** Flux `yield(name:)` — naming marker; materialization is caller's. */
+  def yieldName(name: String): DataFrame = df
+
+  def toDF: DataFrame = df
+}
+
+object FluxFrame {
+  /** Adapt any time/value-shaped DataFrame (e.g. the testdata `events`
+    * table) into the verb surface.
+    */
+  def of(df: DataFrame, time: String, value: String, series: String*): FluxFrame =
+    FluxFrame(df, series, time, value)
+}

@@ -1,0 +1,160 @@
+package graft.dsl
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Order-sensitive per-series scans (EMA family, Holt-Winters, …).
+  *
+  * These transforms are inherently sequential per series (each output
+  * depends on all predecessors), which window algebra cannot express
+  * without an O(n²) closed form that overflows on long series. The
+  * scale-correct shape is: one shuffle to co-locate each series,
+  * in-partition sort, then a single streaming pass with O(1) state per
+  * series — `repartition(key).sortWithinPartitions(key, time)` +
+  * `mapPartitions`. Memory is constant regardless of series length
+  * (unlike `collect_list`-based alternatives), so this survives a 100×
+  * scale-up; SURVEY.md §7 lists it among the few justified
+  * `mapPartitions` uses.
+  */
+object SeriesScan {
+
+  /** Append `outCol` (double) computed by a stateful scan over each
+    * group in time order. `step` receives (state, value) and returns
+    * (nextState, output); a null output drops the row (e.g. EMA warm-up).
+    *
+    * @param keyCols  series identity columns (scan state resets on change)
+    * @param orderCol column to order by within a series
+    */
+  def scanDouble[S](
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      outCol: String
+  )(init: => S)(step: (S, Double) => (S, java.lang.Double)): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, DoubleType, nullable = true))
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val valIdx = inSchema.fieldIndex(valueCol)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+
+    val sorted =
+      if (keyCols.isEmpty) df.repartition(1).sortWithinPartitions(col(orderCol))
+      else df.repartition(keyCols.map(col): _*)
+        .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var state: S = null.asInstanceOf[S]
+      it.flatMap { row =>
+        val k = keyIdx.map(row.get)
+        if (curKey == null || k != curKey) { curKey = k; state = init }
+        val v = row.get(valIdx) match {
+          case null => null
+          case n: java.lang.Number => n.doubleValue()
+        }
+        if (v == null) Some(Row.fromSeq(row.toSeq :+ null))
+        else {
+          val (ns, out) = step(state, v.asInstanceOf[Double])
+          state = ns
+          Some(Row.fromSeq(row.toSeq :+ out))
+        }
+      }
+    }
+  }
+
+  /** Exponential moving average, Flux semantics: first n values average
+    * into the seed (SMA), EMA emitted from row n on with α = 2/(n+1).
+    */
+  final case class EmaState(n: Int, count: Int, sum: Double, ema: Double)
+
+  def ema(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame = {
+    val alpha = 2.0 / (n + 1)
+    scanDouble[EmaState](df, keyCols, orderCol, valueCol, outCol)(EmaState(n, 0, 0.0, 0.0)) {
+      case (s, v) =>
+        if (s.count + 1 < n) (s.copy(count = s.count + 1, sum = s.sum + v), null)
+        else if (s.count + 1 == n) {
+          val seed = (s.sum + v) / n
+          (s.copy(count = s.count + 1, ema = seed), seed)
+        } else {
+          val e = v * alpha + s.ema * (1 - alpha)
+          (s.copy(count = s.count + 1, ema = e), e)
+        }
+    }
+  }
+
+  /** Relative strength index (Wilder smoothing), Flux/InfluxQL n-period. */
+  final case class RsiState(count: Int, prev: Double, avgGain: Double, avgLoss: Double)
+
+  def rsi(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame =
+    scanDouble[RsiState](df, keyCols, orderCol, valueCol, outCol)(RsiState(-1, 0.0, 0.0, 0.0)) {
+      case (s, v) =>
+        if (s.count == -1) (RsiState(0, v, 0.0, 0.0), null)
+        else {
+          val gain = math.max(v - s.prev, 0.0)
+          val loss = math.max(s.prev - v, 0.0)
+          val c = s.count + 1
+          if (c < n) (RsiState(c, v, s.avgGain + gain, s.avgLoss + loss), null)
+          else if (c == n) {
+            val ag = (s.avgGain + gain) / n; val al = (s.avgLoss + loss) / n
+            (RsiState(c, v, ag, al), rsiVal(ag, al))
+          } else {
+            val ag = (s.avgGain * (n - 1) + gain) / n
+            val al = (s.avgLoss * (n - 1) + loss) / n
+            (RsiState(c, v, ag, al), rsiVal(ag, al))
+          }
+        }
+    }
+
+  private def rsiVal(ag: Double, al: Double): java.lang.Double =
+    if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag / al)
+
+  /** Chande momentum oscillator over n periods (sliding sums of gains
+    * and losses).
+    */
+  final case class CmoState(prev: java.lang.Double, deltas: scala.collection.mutable.Queue[Double])
+
+  def chandeMomentum(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame =
+    scanDouble[CmoState](df, keyCols, orderCol, valueCol, outCol)(CmoState(null, scala.collection.mutable.Queue.empty)) {
+      case (s, v) =>
+        if (s.prev == null) (CmoState(v, s.deltas), null)
+        else {
+          s.deltas.enqueue(v - s.prev)
+          if (s.deltas.size > n) s.deltas.dequeue()
+          val out: java.lang.Double =
+            if (s.deltas.size < n) null
+            else {
+              val up = s.deltas.iterator.filter(_ > 0).sum
+              val dn = -s.deltas.iterator.filter(_ < 0).sum
+              if (up + dn == 0.0) 0.0 else (up - dn) / (up + dn) * 100.0
+            }
+          (CmoState(v, s.deltas), out)
+        }
+    }
+
+  /** Kaufman's adaptive moving average (n-period efficiency ratio). */
+  final case class KamaState(window: scala.collection.mutable.Queue[Double], kama: java.lang.Double)
+
+  def kama(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame = {
+    val fastest = 2.0 / (2 + 1); val slowest = 2.0 / (30 + 1)
+    scanDouble[KamaState](df, keyCols, orderCol, valueCol, outCol)(KamaState(scala.collection.mutable.Queue.empty, null)) {
+      case (s, v) =>
+        s.window.enqueue(v)
+        if (s.window.size > n + 1) s.window.dequeue()
+        if (s.window.size < n + 1) (s, null)
+        else {
+          val arr = s.window.toArray
+          val change = math.abs(arr.last - arr.head)
+          val vol = arr.sliding(2).map(p => math.abs(p(1) - p(0))).sum
+          val er = if (vol == 0.0) 0.0 else change / vol
+          val sc = math.pow(er * (fastest - slowest) + slowest, 2)
+          val prev: Double = if (s.kama == null) arr(arr.length - 2) else s.kama
+          val k = prev + sc * (v - prev)
+          (KamaState(s.window, k), k)
+        }
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.dsl
+
+import graft.store.{BucketStore, Catalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine facade: `Tsdb.from(bucket)` is the Flux `from(bucket:)` scan
+  * (SURVEY.md §2B); verbs chain on the returned [[FluxFrame]]:
+  *
+  * {{{
+  * tsdb.from("telemetry")
+  *   .range("2024-01-01", "2024-02-01")
+  *   .where(col("measurement") === "cpu" && col("tags.host") === "h1")
+  *   .aggregateWindow("1 minute", avg)
+  * }}}
+  */
+final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
+  val store = new BucketStore(catalog, spark)
+
+  /** Flux `from(bucket:)`: scan with LWW dedup; time-partition pruning
+    * happens when `range()` follows (filter on `time` reaches the dt
+    * partitioning because dt = date(time) is how the store writes).
+    */
+  def from(bucket: String): FluxFrame = {
+    val df = store.read(bucket)
+    FluxFrame(df, Seq("measurement", "field"), "time", "value_f")
+  }
+
+  /** Raw scan without the dedup window (fast path once compacted). */
+  def fromRaw(bucket: String): FluxFrame =
+    FluxFrame(store.readRaw(bucket).drop("_ingest_seq", "dt"),
+      Seq("measurement", "field"), "time", "value_f")
+
+  /** Flux `to(bucket:)` — write a query result back as points. The frame
+    * must carry canonical columns; anything extra is dropped.
+    */
+  def to(bucket: String, df: DataFrame): Unit = {
+    val canon = df.select(graft.model.Point.columns.map(c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(graft.model.Point.schema(c).dataType).as(c)): _*)
+    store.write(bucket, canon)
+  }
+
+  /** Pivot the canonical long form to a wide per-measurement view
+    * (Flux `schema.fieldsAsCols()`): one column per field key.
+    */
+  def fieldsAsCols(bucket: String, measurement: String, fields: Seq[String] = Nil): DataFrame = {
+    val base = from(bucket).where(col("measurement") === measurement).df
+    val g = base.groupBy(col("time"), col("time_ns"), col("tags"))
+    val p = if (fields.nonEmpty) g.pivot("field", fields) else g.pivot("field")
+    p.agg(first(coalesce(col("value_f"), col("value_i").cast("double"))))
+  }
+
+  /** Line-protocol batch write (the /api/v2/write path). */
+  def writeLp(bucket: String, lines: Seq[String], defaultTimeNs: Long = System.currentTimeMillis() * 1000000L): Unit = {
+    val df = graft.lineprotocol.LpIngest.parseStrict(lines, defaultTimeNs, spark)
+    store.write(bucket, df)
+  }
+}
+
+object Tsdb {
+  def apply(spark: SparkSession, warehouse: String): Tsdb =
+    new Tsdb(spark, new Catalog(java.nio.file.Paths.get(warehouse)))
+}

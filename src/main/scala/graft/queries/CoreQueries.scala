@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.dsl.FluxFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core operator queries for the driver's DuckDB-differential gate
+  * (SURVEY.md §5 item 3): filters / projections / group-aggregates over
+  * the deterministic testdata. Every query is expressed through the
+  * engine's FluxFrame verbs (so the gate exercises the library, not ad
+  * hoc DataFrame code), carries a column-name-aligned DuckDB oracle, and
+  * ends in a total order for stable comparison.
+  *
+  * Float discipline: any aggregate over doubles is rounded to 4 decimals
+  * on BOTH sides — summation order differs between engines and the
+  * driver compares hashes, not tolerances.
+  */
+object QueryUtil {
+  def r4(c: Column): Column = round(c, 4)
+
+  /** events.ts is parquet timestamp[ns] (full ns precision — NOT µs
+    * aligned). Spark's TimestampType is µs, so sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and we derive both:
+    * `ts_ns` (lossless long, for exact ordering/deltas — matches
+    * DuckDB's ns view bit-for-bit) and `ts` (µs timestamp, for
+    * date/window functions; truncation is order-preserving and
+    * boundary-safe for whole-second range predicates).
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events as a Flux frame: measurement ≙ event_type, series tag ≙
+    * user_id, `_value` ≙ value, time ≙ ts.
+    */
+  def ev(s: SparkSession, dir: String): FluxFrame =
+    FluxFrame.of(events(s, dir), "ts", "value", "event_type")
+
+  /** ns-exact variant: time axis = ts_ns long. Use for order-sensitive
+    * selectors/deltas so ties and deltas match DuckDB's ns view exactly.
+    */
+  def evNs(s: SparkSession, dir: String): FluxFrame =
+    FluxFrame.of(events(s, dir), "ts_ns", "value", "event_type")
+
+  def evSeries(s: SparkSession, dir: String): FluxFrame =
+    FluxFrame.of(events(s, dir), "ts", "value", "event_type", "user_id")
+}
+
+object CoreQueries {
+  import QueryUtil._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: TPC-H Q1-shaped pricing summary (scan + group + 5 aggs).
+    "q1_agg" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r4(sum(col("l_quantity"))).as("sum_qty"),
+          r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Flux range(): half-open time slice, then per-measurement count.
+    "range_count" -> ((s, dir) =>
+      ev(s, dir)
+        .range("2024-01-08 00:00:00", "2024-01-15 00:00:00")
+        .countRows("_value")
+        .toDF.orderBy("event_type")),
+
+    // Flux filter(): value + tag predicates, multi-aggregate per group.
+    "filter_agg" -> ((s, dir) =>
+      ev(s, dir)
+        .where(col("value") > 50 && col("event_type").isin("click", "view"))
+        .group("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .orderBy("event_type", "user_id")),
+
+    // keep + rename + sort: row-level projection fidelity.
+    "keep_rename" -> ((s, dir) =>
+      ev(s, dir)
+        .keep("event_id", "value", "event_type")
+        .rename("value" -> "v")
+        .toDF.orderBy("event_id")),
+
+    // map + set + duplicate: computed column, constant column, copy.
+    "map_set_dup" -> ((s, dir) =>
+      ev(s, dir)
+        .where(col("event_id") < 500)
+        .duplicate("user_id", "uid2")
+        .set("src", "graft")
+        .withCol("v2", r4(col("value") * 2 + 1))
+        .keep("event_id", "uid2", "src", "v2")
+        .toDF.orderBy("event_id")),
+
+    // group()+basic aggregate verbs (count/sum/mean/min/max via agg()).
+    "group_stats" -> ((s, dir) =>
+      ev(s, dir)
+        .group("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          r4(sum(col("value"))).as("sum_v"),
+          r4(avg(col("value"))).as("mean_v"),
+          r4(min(col("value"))).as("min_v"),
+          r4(max(col("value"))).as("max_v"))
+        .orderBy("event_type")),
+
+    // first()/last() selectors: value at earliest/latest time per group.
+    "first_last" -> ((s, dir) => {
+      val f = evNs(s, dir).firstV("first_v").toDF
+      val l = evNs(s, dir).lastV("last_v").toDF
+      f.join(l, "event_type")
+        .select(col("event_type"), r4(col("first_v")).as("first_v"), r4(col("last_v")).as("last_v"))
+        .orderBy("event_type")
+    }),
+
+    // median + quantile (exact linear interpolation).
+    "quantiles" -> ((s, dir) => {
+      val med = ev(s, dir).medianV("med").toDF
+      val q90 = ev(s, dir).quantile(0.9, exact = true, as = "q90").toDF
+      med.join(q90, "event_type")
+        .select(col("event_type"), r4(col("med")).as("med"), r4(col("q90")).as("q90"))
+        .orderBy("event_type")
+    }),
+
+    // mode: most frequent user per measurement (deterministic tie-break).
+    "mode_user" -> ((s, dir) =>
+      ev(s, dir)
+        .group("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy(col("n").desc, col("user_id"))))
+        .filter(col("_r") === 1).drop("_r")
+        .orderBy("event_type")),
+
+    // stddev + spread.
+    "stddev_spread" -> ((s, dir) => {
+      val sd = ev(s, dir).stddevV("sd").toDF
+      val sp = ev(s, dir).spread("spread").toDF
+      sd.join(sp, "event_type")
+        .select(col("event_type"), r4(col("sd")).as("sd"), r4(col("spread")).as("spread"))
+        .orderBy("event_type")
+    }),
+
+    // distinct(column:) — distinct tag values per measurement.
+    "distinct_users" -> ((s, dir) =>
+      ev(s, dir).group("event_type").distinctV("user_id").orderBy("event_type", "user_id")),
+
+    // unique(column:) — users appearing exactly once per group within one
+    // day (rolled up to a count; day-scoped so the result is non-empty).
+    "unique_count" -> ((s, dir) =>
+      ev(s, dir)
+        .range("2024-01-08 00:00:00", "2024-01-09 00:00:00")
+        .group("event_type")
+        .unique("user_id")
+        .group("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // integral(unit:) — trapezoidal integral of value over time, per hour.
+    "integral_1h" -> ((s, dir) =>
+      ev(s, dir)
+        .group("event_type")
+        .integral(3600.0, as = "integ")
+        .toDF.select(col("event_type"), r4(col("integ")).as("integ"))
+        .orderBy("event_type")),
+
+    // covariance + pearson r of value vs hour-of-day.
+    "cov_corr" -> ((s, dir) => {
+      val staged = ev(s, dir).withCol("hod", hour(col("ts")).cast("double")).group("event_type")
+      val cv = staged.covariance("value", "hod", as = "cov").toDF
+      val cr = staged.pearsonr("value", "hod", as = "r").toDF
+      cv.join(cr, "event_type")
+        .select(col("event_type"), r4(col("cov")).as("cov"), r4(col("r")).as("r"))
+        .orderBy("event_type")
+    }),
+
+    // exact count distinct.
+    "count_distinct" -> ((s, dir) =>
+      ev(s, dir)
+        .group("event_type")
+        .agg(count_distinct(col("user_id")).as("nd"))
+        .orderBy("event_type")),
+
+    // JSON field extraction from props (Flux json/regexp package).
+    "json_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .withCol("k", get_json_object(col("props"), "$.k").cast("long"))
+        .group("event_type")
+        .agg(r4(avg(col("k"))).as("avg_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "range_count" ->
+      """SELECT event_type, count(value) AS _value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "filter_agg" ->
+      """SELECT event_type, user_id, count(*) AS n, round(sum(value), 4) AS sum_v
+        |FROM events WHERE value > 50 AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "keep_rename" ->
+      "SELECT event_id, value AS v, event_type FROM events ORDER BY event_id",
+    "map_set_dup" ->
+      """SELECT event_id, user_id AS uid2, 'graft' AS src,
+        |  round(value * 2 + 1, 4) AS v2
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
+    "group_stats" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_v,
+        |  round(avg(value), 4) AS mean_v, round(min(value), 4) AS min_v,
+        |  round(max(value), 4) AS max_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "first_last" ->
+      """SELECT event_type, round(arg_min(value, ts), 4) AS first_v,
+        |  round(arg_max(value, ts), 4) AS last_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med,
+        |  round(quantile_cont(value, 0.9), 4) AS q90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mode_user" ->
+      """SELECT event_type, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS r
+        |  FROM events GROUP BY 1, 2) WHERE r = 1 ORDER BY event_type""".stripMargin,
+    "stddev_spread" ->
+      """SELECT event_type, round(stddev_samp(value), 4) AS sd,
+        |  round(max(value) - min(value), 4) AS spread
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "distinct_users" ->
+      "SELECT DISTINCT event_type, user_id FROM events ORDER BY 1, 2",
+    "unique_count" ->
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT event_type, user_id, count(*) OVER (PARTITION BY event_type, user_id) AS c
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |) WHERE c = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "integral_1h" ->
+      """SELECT event_type, round(sum(area), 4) AS integ FROM (
+        |  SELECT event_type,
+        |    (value + lag(value) OVER w) / 2
+        |      * (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 / 3600 AS area
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cov_corr" ->
+      """SELECT event_type,
+        |  round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS cov,
+        |  round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS r
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1 ORDER BY 1",
+    "json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

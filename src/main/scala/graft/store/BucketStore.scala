@@ -1,0 +1,161 @@
+package graft.store
+
+import graft.model.Point
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bucket storage on partitioned Parquet.
+  *
+  * Layout: `<warehouse>/buckets/<bucketId>/dt=YYYY-MM-DD/part-*.parquet`
+  * — hive-style `dt` partitions make Flux `range()` prune partitions for
+  * free via Spark's PartitioningAwareFileIndex (SURVEY.md §4), and Parquet
+  * row-group min/max stats prune within a day.
+  *
+  * Scale design (100 TB discipline):
+  *  - writes are append-only; upsert semantics (same series+field+time →
+  *    last write wins, the TSM behavior of the pinned engine
+  *    [engine 2.0.9]) are resolved at read/compaction time with a
+  *    window over (series, time) ordered by ingest sequence — no
+  *    read-modify-write on the hot path.
+  *  - retention (reference: buckets carry retention; recipe.yaml:21's
+  *    default bucket) = dropping whole `dt=` directories — an O(metadata)
+  *    operation, never a data rewrite.
+  *  - deletes (the /api/v2/delete predicate API) rewrite only the
+  *    partitions that can contain matching rows.
+  *  - compaction rewrites small files per partition (replaces the
+  *    engine's TSM compaction) and physically applies LWW dedup so
+  *    steady-state reads skip the dedup window entirely.
+  */
+final class BucketStore(val catalog: Catalog, spark: SparkSession) {
+
+  private val SeqCol = "_ingest_seq"
+
+  /** Monotonic ingest sequence; per-JVM is enough because ties across
+    * writers are broken deterministically by max aggregation.
+    */
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+
+  def seriesKey: Column =
+    xxhash64(col("measurement"), to_json(map_entries(col("tags"))), col("field"))
+
+  /** Append canonical-schema points to a bucket. */
+  def write(bucket: String, points: DataFrame): Unit = {
+    val meta = catalog.bucket(bucket).getOrElse(
+      throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
+    val seq = seqGen.incrementAndGet()
+    points
+      .withColumn("dt", to_date(col("time")))
+      .withColumn(SeqCol, lit(seq))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("dt")
+      .parquet(catalog.bucketPath(meta.name).toString)
+  }
+
+  /** Scan a bucket with last-write-wins dedup on (series, time).
+    *
+    * The dedup window only runs over rows surviving pushed-down filters;
+    * compacted partitions carry at most one row per key so the window is
+    * cheap there. Callers that tolerate duplicates (raw export) use
+    * [[readRaw]].
+    */
+  def read(bucket: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
+      .orderBy(col(SeqCol).desc)
+    readRaw(bucket)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", SeqCol, "dt")
+      .select(Point.columns.map(col): _*)
+  }
+
+  def readRaw(bucket: String): DataFrame = {
+    val meta = catalog.bucket(bucket).getOrElse(
+      throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
+    spark.read.schema(rawSchema).parquet(catalog.bucketPath(meta.name).toString)
+  }
+
+  private def rawSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Point.schema.fields ++ Seq(
+      StructField(SeqCol, LongType), StructField("dt", DateType)))
+  }
+
+  /** Predicate-scoped delete (the reference engine's /api/v2/delete:
+    * start/stop + measurement/tag predicate). Rewrites only partitions
+    * intersecting [startNs, stopNs).
+    */
+  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit = {
+    val path = catalog.bucketPath(bucket)
+    val startDt = java.time.LocalDate.ofEpochDay(startNs / 86400_000_000_000L)
+    val stopDt = java.time.LocalDate.ofEpochDay(stopNs / 86400_000_000_000L)
+    partitions(bucket)
+      .filter(d => !d.isBefore(startDt) && !d.isAfter(stopDt))
+      .foreach { day =>
+        val dir = path.resolve(s"dt=$day")
+        val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)
+          .drop("dt_ignored")
+        val kept = df.filter(
+          !(col("time_ns") >= startNs && col("time_ns") < stopNs && predicate))
+        val tmp = path.resolve(s".tmp-delete-dt=$day")
+        kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        replaceDir(dir, tmp)
+      }
+  }
+
+  /** Retention enforcement: drop whole day-partitions older than the
+    * bucket's retention (reference: bucket retention is a create-time
+    * property of the engine; our catalog stores retentionNs).
+    */
+  def enforceRetention(bucket: String, nowNs: Long = System.currentTimeMillis() * 1000000L): Seq[String] = {
+    val meta = catalog.bucket(bucket).get
+    if (meta.retentionNs <= 0) return Nil
+    val cutoff = java.time.LocalDate.ofEpochDay((nowNs - meta.retentionNs) / 86400_000_000_000L)
+    partitions(bucket).filter(_.isBefore(cutoff)).map { day =>
+      val dir = catalog.bucketPath(bucket).resolve(s"dt=$day")
+      deleteRecursively(dir.toFile)
+      s"dt=$day"
+    }
+  }
+
+  /** Compaction: rewrite each partition dedup-applied and coalesced.
+    * Replaces the pinned engine's TSM compaction cycle.
+    */
+  def compact(bucket: String, targetFiles: Int = 1): Unit = {
+    val path = catalog.bucketPath(bucket)
+    partitions(bucket).foreach { day =>
+      val dir = path.resolve(s"dt=$day")
+      val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)
+        .drop("dt_ignored")
+      val w = Window
+        .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
+        .orderBy(col(SeqCol).desc)
+      val deduped = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+        .sortWithinPartitions("measurement", "field", "time_ns") // cluster for scan locality
+      val tmp = path.resolve(s".tmp-compact-dt=$day")
+      deduped.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      replaceDir(dir, tmp)
+    }
+  }
+
+  def partitions(bucket: String): Seq[java.time.LocalDate] = {
+    val dir = catalog.bucketPath(bucket).toFile
+    if (!dir.exists()) Nil
+    else dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .map(f => java.time.LocalDate.parse(f.getName.stripPrefix("dt=")))
+      .sorted
+  }
+
+  private def replaceDir(target: java.nio.file.Path, tmp: java.nio.file.Path): Unit = {
+    deleteRecursively(target.toFile)
+    java.nio.file.Files.move(tmp, target)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -1,0 +1,197 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Warehouse catalog: orgs, buckets (with retention), auth tokens.
+  *
+  * Mirrors the reference's control-plane metadata surface — `influx
+  * setup` creates org+bucket (reference: src/influxdb_utils.sh:209-213),
+  * `influx bucket list --json` resolves bucket IDs
+  * (src/influxdb_utils.sh:68-75), `influx auth create/list` manage
+  * scoped tokens (src/influxdb_utils.sh:87-92,
+  * src/influxDBTokenPublisher.py:67).
+  *
+  * Driver-side metadata only (a few KB) — persisted as a JSON file under
+  * the warehouse root, written atomically via temp-file rename so a
+  * crashed bootstrap never leaves a torn catalog (the reference gets the
+  * same idempotency from `influx auth list` probing,
+  * src/influxdb_utils.sh:190-199).
+  */
+final case class BucketMeta(
+    id: String,
+    name: String,
+    org: String,
+    retentionNs: Long // 0 = infinite, like InfluxDB "0s" retention
+)
+
+final case class TokenRecord(
+    id: String,
+    description: String,
+    token: String,
+    status: String,
+    userName: String,
+    userID: String,
+    permissions: Seq[String]
+)
+
+final class Catalog(val root: Path) {
+  private val file: Path = root.resolve("_catalog.json")
+
+  @volatile private var orgs: Set[String] = Set.empty
+  @volatile private var buckets: Map[String, BucketMeta] = Map.empty
+  @volatile private var tokens: Vector[TokenRecord] = Vector.empty
+
+  load()
+
+  def listOrgs: Set[String] = orgs
+  def listBuckets: Seq[BucketMeta] = buckets.values.toSeq.sortBy(_.name)
+  def bucket(name: String): Option[BucketMeta] = buckets.get(name)
+  def listTokens: Seq[TokenRecord] = tokens
+
+  def createOrg(name: String): Unit = synchronized {
+    orgs += name; save()
+  }
+
+  def createBucket(name: String, org: String, retentionNs: Long = 0L): BucketMeta = synchronized {
+    buckets.get(name).getOrElse {
+      val meta = BucketMeta(id = idFor(name), name = name, org = org, retentionNs = retentionNs)
+      buckets += (name -> meta)
+      orgs += org
+      save()
+      meta
+    }
+  }
+
+  def dropBucket(name: String): Unit = synchronized {
+    buckets -= name; save()
+  }
+
+  def addToken(rec: TokenRecord): Unit = synchronized {
+    tokens :+= rec; save()
+  }
+
+  def bucketPath(name: String): Path = root.resolve("buckets").resolve(idFor(name))
+
+  /** Stable bucket id — hex of the name hash, shaped like InfluxDB's
+    * 16-hex-char bucket IDs (see the permission strings in the reference
+    * fixture test/test_influxDBTokenStreamHandler.py:36-37).
+    */
+  private def idFor(name: String): String =
+    f"${name.hashCode.toLong & 0xffffffffL}%08x${name.length.toLong & 0xffffffffL}%08x"
+
+  // --- persistence: minimal hand-rolled JSON (flat schema, no deps) ---
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def save(): Unit = {
+    val sb = new StringBuilder
+    sb.append("{\"orgs\":[").append(orgs.toSeq.sorted.map(jstr).mkString(",")).append("],")
+    sb.append("\"buckets\":[")
+    sb.append(buckets.values.toSeq.sortBy(_.name).map { b =>
+      s"{${jstr("id")}:${jstr(b.id)},${jstr("name")}:${jstr(b.name)},${jstr("org")}:${jstr(b.org)},${jstr("retentionNs")}:${b.retentionNs}}"
+    }.mkString(","))
+    sb.append("],\"tokens\":[")
+    sb.append(tokens.map { t =>
+      s"{${jstr("id")}:${jstr(t.id)},${jstr("description")}:${jstr(t.description)},${jstr("token")}:${jstr(t.token)}," +
+        s"${jstr("status")}:${jstr(t.status)},${jstr("userName")}:${jstr(t.userName)},${jstr("userID")}:${jstr(t.userID)}," +
+        s"${jstr("permissions")}:[${t.permissions.map(jstr).mkString(",")}]}"
+    }.mkString(","))
+    sb.append("]}")
+    Files.createDirectories(root)
+    val tmp = root.resolve("_catalog.json.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def load(): Unit = {
+    if (!Files.exists(file)) return
+    val txt = Files.readString(file)
+    // Tiny recursive-descent JSON reader for our own flat format.
+    val p = new JsonMini(txt)
+    val obj = p.parse().asInstanceOf[Map[String, Any]]
+    orgs = obj.getOrElse("orgs", Nil).asInstanceOf[Seq[Any]].map(_.toString).toSet
+    buckets = obj.getOrElse("buckets", Nil).asInstanceOf[Seq[Any]].map { b =>
+      val m = b.asInstanceOf[Map[String, Any]]
+      val meta = BucketMeta(m("id").toString, m("name").toString, m("org").toString,
+        m("retentionNs").asInstanceOf[Double].toLong)
+      meta.name -> meta
+    }.toMap
+    tokens = obj.getOrElse("tokens", Nil).asInstanceOf[Seq[Any]].map { t =>
+      val m = t.asInstanceOf[Map[String, Any]]
+      TokenRecord(m("id").toString, m("description").toString, m("token").toString,
+        m("status").toString, m("userName").toString, m("userID").toString,
+        m("permissions").asInstanceOf[Seq[Any]].map(_.toString))
+    }.toVector
+  }
+}
+
+/** Minimal JSON parser (objects, arrays, strings, numbers, bools, null).
+  * Only used for the catalog file and control-plane wire messages — data
+  * plane JSON goes through Spark's `from_json`.
+  */
+final class JsonMini(s: String) {
+  private var i = 0
+  def parse(): Any = { val v = value(); ws(); v }
+  private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+  private def value(): Any = {
+    ws()
+    s.charAt(i) match {
+      case '{' =>
+        i += 1; ws()
+        val mb = Map.newBuilder[String, Any]
+        if (s.charAt(i) == '}') { i += 1 }
+        else {
+          var more = true
+          while (more) {
+            ws(); val k = str(); ws()
+            require(s.charAt(i) == ':', s"expected ':' at $i"); i += 1
+            mb += (k -> value()); ws()
+            if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == '}'); i += 1; more = false }
+          }
+        }
+        mb.result()
+      case '[' =>
+        i += 1; ws()
+        val ab = Seq.newBuilder[Any]
+        if (s.charAt(i) == ']') { i += 1 }
+        else {
+          var more = true
+          while (more) {
+            ab += value(); ws()
+            if (s.charAt(i) == ',') i += 1 else { require(s.charAt(i) == ']'); i += 1; more = false }
+          }
+        }
+        ab.result()
+      case '"' => str()
+      case 't' => i += 4; true
+      case 'f' => i += 5; false
+      case 'n' => i += 4; null
+      case _ =>
+        val t0 = i
+        while (i < s.length && "-+.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+        s.substring(t0, i).toDouble
+    }
+  }
+  private def str(): String = {
+    require(s.charAt(i) == '"'); i += 1
+    val sb = new StringBuilder
+    while (s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t'); case 'r' => sb.append('\r')
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+          case c => sb.append(c)
+        }
+      } else sb.append(s.charAt(i))
+      i += 1
+    }
+    i += 1
+    sb.toString
+  }
+}
