@@ -48,6 +48,16 @@ object QueryUtil {
   def evNs(s: SparkSession, dir: String): FluxFrame =
     FluxFrame.of(events(s, dir), "ts_ns", "value", "event_type")
 
+  /** µs-long axis (`ts_us` = ts_ns div 1000): order-sensitive transforms
+    * whose VALUES involve time arithmetic use this so deltas match
+    * DuckDB's `epoch_us(ts)` bit-for-bit (DuckDB sees the parquet ns
+    * timestamp µs-truncated).
+    */
+  def evUs(s: SparkSession, dir: String): FluxFrame =
+    FluxFrame.of(
+      events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+      "ts_us", "value", "event_type")
+
   def evSeries(s: SparkSession, dir: String): FluxFrame =
     FluxFrame.of(events(s, dir), "ts", "value", "event_type", "user_id")
 }

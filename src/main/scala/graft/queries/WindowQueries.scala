@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-window + per-series transform queries for the correctness gate
+  * (SURVEY.md §2B: windowing, series window-function family, top-k,
+  * order-sensitive scans).
+  *
+  * Axis discipline: order-sensitive verbs (derivative, difference, EMA,
+  * stateCount, …) run on the µs-long axis (`ts_us`) because DuckDB reads
+  * the parquet ns timestamp µs-truncated — ordering AND time arithmetic
+  * then match `epoch_us(ts)` bit-for-bit. Calendar verbs (window,
+  * aggregateWindow, interpolate) run on the µs timestamp `ts`. Oracles
+  * mirror the engine's float arithmetic expression-for-expression (same
+  * casts, same operation order) so round(4) hash-compare is stable.
+  */
+object WindowQueries {
+  import QueryUtil._
+
+  // UTC epoch-µs bounds used by the reduced-range queries.
+  private val jan08 = 1704672000L * 1000000L // 2024-01-08
+  private val jan09 = 1704758400L * 1000000L // 2024-01-09
+  private val jan11 = 1704931200L * 1000000L // 2024-01-11
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // window(): assign tumbling 6h windows, count rows per (type, window).
+    "window_count" -> ((s, dir) =>
+      ev(s, dir)
+        .window("6 hours")
+        .agg(count(lit(1)).as("n"))
+        .withColumnRenamed("_start", "wstart").drop("_stop")
+        .orderBy("event_type", "wstart")),
+
+    // aggregateWindow(every: 1h, fn: mean) — the canonical downsample.
+    "window_mean" -> ((s, dir) =>
+      ev(s, dir)
+        .aggregateWindow("1 hour", avg, as = "mean_v")
+        .toDF
+        .select(col("event_type"), col("ts").as("wend"), r4(col("mean_v")).as("mean_v"))
+        .orderBy("event_type", "wend")),
+
+    // aggregateWindow(createEmpty: true) + fill(0): sparse series emit
+    // every window; nulls become 0 like Flux fill(value:).
+    "window_empty_fill" -> ((s, dir) =>
+      ev(s, dir)
+        .where(col("event_type") === "purchase" && col("value") > 97)
+        .aggregateWindow("1 hour", avg, createEmpty = true, as = "mean_v")
+        .fill(0.0)
+        .toDF
+        .select(col("event_type"), col("ts").as("wend"), r4(col("mean_v")).as("mean_v"))
+        .orderBy("wend")),
+
+    // derivative(unit: 1s) per (event_type, user_id) series on the µs axis.
+    "derivative" -> ((s, dir) =>
+      evUs(s, dir).group("event_type", "user_id")
+        .derivative(1e6, as = "deriv") // µs axis: unit=1e6 µs = per second
+        .toDF.select(col("event_id"), r4(col("deriv")).as("deriv"))
+        .orderBy("event_id")),
+
+    // difference() per series.
+    "difference" -> ((s, dir) =>
+      evUs(s, dir).group("event_type", "user_id")
+        .difference(as = "diff")
+        .toDF.select(col("event_id"), r4(col("diff")).as("diff"))
+        .orderBy("event_id")),
+
+    // increase(): running sum of positive deltas per event_type series.
+    "increase" -> ((s, dir) =>
+      evUs(s, dir)
+        .increase(as = "inc")
+        .toDF.select(col("event_id"), r4(col("inc")).as("inc"))
+        .orderBy("event_id")),
+
+    // cumulativeSum() per (event_type, user_id) series.
+    "cumsum" -> ((s, dir) =>
+      evUs(s, dir).group("event_type", "user_id")
+        .cumulativeSum(as = "cs")
+        .toDF.select(col("event_id"), r4(col("cs")).as("cs"))
+        .orderBy("event_id")),
+
+    // movingAverage(5) per (event_type, user_id) series (emits from row 5).
+    "moving_avg" -> ((s, dir) =>
+      evUs(s, dir).group("event_type", "user_id")
+        .movingAverage(5, as = "ma")
+        .toDF.select(col("event_id"), r4(col("ma")).as("ma"))
+        .orderBy("event_id")),
+
+    // timedMovingAverage(1h) per event_type (seconds-truncated range frame).
+    "timed_mavg" -> ((s, dir) =>
+      ev(s, dir)
+        .where(col("ts_ns") >= jan08 * 1000L && col("ts_ns") < jan09 * 1000L)
+        .timedMovingAverage(3600, as = "tma")
+        .toDF.select(col("event_id"), r4(col("tma")).as("tma"))
+        .orderBy("event_id")),
+
+    // elapsed(unit: 1µs): Δt to previous row per event_type series.
+    // Unit = 1 axis tick keeps values integer-exact (a /1e6 seconds
+    // variant lands exactly on round-half boundaries, where Spark's
+    // decimal rounding and DuckDB's float rounding disagree).
+    "elapsed" -> ((s, dir) =>
+      evUs(s, dir)
+        .elapsed(1.0, as = "elapsed")
+        .toDF.select(col("event_id"), col("elapsed"))
+        .orderBy("event_id")),
+
+    // stateCount(value > 75) per event_type.
+    "state_count" -> ((s, dir) =>
+      evUs(s, dir)
+        .stateCount(col("value") > 75, as = "sc")
+        .toDF.select(col("event_id"), col("sc"))
+        .orderBy("event_id")),
+
+    // stateDuration(value > 75, unit: 1s) per event_type.
+    "state_duration" -> ((s, dir) =>
+      evUs(s, dir)
+        .stateDuration(col("value") > 75, 1e6, as = "sd")
+        .toDF.select(col("event_id"), r4(col("sd")).as("sd"))
+        .orderBy("event_id")),
+
+    // timeShift(1 day) then daily counts of the shifted time.
+    "time_shift" -> ((s, dir) =>
+      ev(s, dir)
+        .timeShift("1 day")
+        .toDF.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("d")),
+
+    // sample(n: 10): every 10th row per event_type in time order.
+    "sample_10th" -> ((s, dir) =>
+      evUs(s, dir)
+        .sample(10)
+        .toDF.select(col("event_id"))
+        .orderBy("event_id")),
+
+    // limit(n: 5, offset: 2) per event_type by time.
+    "limit_offset" -> ((s, dir) =>
+      evUs(s, dir)
+        .limitPerGroup(5, offset = 2)
+        .toDF.select(col("event_type"), col("event_id"))
+        .orderBy("event_type", "event_id")),
+
+    // tail(n: 4) per event_type.
+    "tail_4" -> ((s, dir) =>
+      evUs(s, dir)
+        .tail(4)
+        .toDF.select(col("event_type"), col("event_id"))
+        .orderBy("event_type", "event_id")),
+
+    // top(3) / bottom(3) by value per event_type (ties broken by time).
+    "top_bottom" -> ((s, dir) => {
+      val t = evUs(s, dir).top(3).toDF
+        .select(col("event_type"), col("event_id"), lit("top").as("side"))
+      val b = evUs(s, dir).bottom(3).toDF
+        .select(col("event_type"), col("event_id"), lit("bottom").as("side"))
+      t.unionByName(b).orderBy("event_type", "side", "event_id")
+    }),
+
+    // highestAverage(3): global top-3 series by mean value, rolled up.
+    "highest_avg" -> ((s, dir) =>
+      evUs(s, dir).group("event_type", "user_id")
+        .highestAverage(3)
+        .group("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_v"))
+        .orderBy("event_type", "user_id")),
+
+    // interpolate.linear(every: 1h) per event_type over one day (µs axis).
+    "interpolate" -> ((s, dir) =>
+      ev(s, dir)
+        .where(col("ts_ns") >= jan08 * 1000L && col("ts_ns") < jan09 * 1000L)
+        .group("event_type")
+        .interpolateLinear(3600, as = "v")
+        .toDF.select(col("event_type"), col("ts"), r4(col("v")).as("v"))
+        .orderBy("event_type", "ts")),
+
+    // exponentialMovingAverage(10) per event_type over 3 days (Flux
+    // semantics: SMA-of-first-10 seed, emitted from row 10; SeriesScan
+    // order-sensitive single pass).
+    "ema_10" -> ((s, dir) =>
+      evUs(s, dir)
+        .where(col("ts_us") >= jan08 && col("ts_us") < jan11)
+        .ema(10, as = "ema")
+        .toDF.select(col("event_type"), col("ts_us").as("tus"), r4(col("ema")).as("ema"))
+        .orderBy("event_type", "tus")),
+
+    // chandeMomentumOscillator(10) per event_type over one day.
+    "cmo_10" -> ((s, dir) =>
+      evUs(s, dir)
+        .where(col("ts_us") >= jan08 && col("ts_us") < jan09)
+        .chandeMomentum(10, as = "cmo")
+        .toDF.select(col("event_type"), col("ts_us").as("tus"), r4(col("cmo")).as("cmo"))
+        .orderBy("event_type", "tus")),
+
+    // relativeStrengthIndex(10) per event_type over one day (Wilder).
+    "rsi_10" -> ((s, dir) =>
+      evUs(s, dir)
+        .where(col("ts_us") >= jan08 && col("ts_us") < jan09)
+        .rsi(10, as = "rsi")
+        .toDF.select(col("event_type"), col("ts_us").as("tus"), r4(col("rsi")).as("rsi"))
+        .orderBy("event_type", "tus"))
+  )
+
+  private def w(s: String) = s.stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "window_count" -> w(
+      """SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS wstart, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "window_mean" -> w(
+      """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+        |  round(avg(value), 4) AS mean_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "window_empty_fill" -> w(
+      """WITH f AS (
+        |  SELECT * FROM events WHERE event_type = 'purchase' AND value > 97
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+        |    avg(value) AS mean_v
+        |  FROM f GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour',
+        |    time_bucket(INTERVAL '1 hour', max(ts)) + INTERVAL '1 hour',
+        |    INTERVAL '1 hour')) AS wend
+        |  FROM f
+        |)
+        |SELECT 'purchase' AS event_type, s.wend, round(coalesce(a.mean_v, 0), 4) AS mean_v
+        |FROM spine s LEFT JOIN agg a ON s.wend = a.wend ORDER BY s.wend"""),
+    "derivative" -> w(
+      """SELECT event_id, round((value - pv) / ((tus - ptus) / 1e6), 4) AS deriv FROM (
+        |  SELECT event_id, value,
+        |    lag(value) OVER w AS pv,
+        |    CAST(epoch_us(ts) AS DOUBLE) AS tus,
+        |    lag(CAST(epoch_us(ts) AS DOUBLE)) OVER w AS ptus
+        |  FROM events WINDOW w AS (PARTITION BY event_type, user_id ORDER BY epoch_us(ts))
+        |) WHERE pv IS NOT NULL ORDER BY event_id"""),
+    "difference" -> w(
+      """SELECT event_id, round(value - pv, 4) AS diff FROM (
+        |  SELECT event_id, value, lag(value) OVER (PARTITION BY event_type, user_id ORDER BY epoch_us(ts)) AS pv
+        |  FROM events
+        |) WHERE pv IS NOT NULL ORDER BY event_id"""),
+    "increase" -> w(
+      """SELECT event_id, round(coalesce(sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER
+        |    (PARTITION BY event_type ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING), 0), 4) AS inc
+        |FROM (
+        |  SELECT event_id, event_type, ts,
+        |    value - lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS d
+        |  FROM events
+        |) ORDER BY event_id"""),
+    "cumsum" -> w(
+      """SELECT event_id, round(sum(value) OVER
+        |  (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING), 4) AS cs
+        |FROM events ORDER BY event_id"""),
+    "moving_avg" -> w(
+      """SELECT event_id, round(ma, 4) AS ma FROM (
+        |  SELECT event_id,
+        |    avg(value) OVER w AS ma, count(*) OVER w AS c
+        |  FROM events WINDOW w AS
+        |    (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |) WHERE c = 5 ORDER BY event_id"""),
+    "timed_mavg" -> w(
+      """SELECT event_id, round(avg(value) OVER
+        |  (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS tma
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1704758400000000
+        |ORDER BY event_id"""),
+    "elapsed" -> w(
+      """SELECT event_id, el AS elapsed FROM (
+        |  SELECT event_id,
+        |    CAST(epoch_us(ts) AS DOUBLE) - lag(CAST(epoch_us(ts) AS DOUBLE)) OVER
+        |      (PARTITION BY event_type ORDER BY epoch_us(ts)) AS el
+        |  FROM events
+        |) WHERE el IS NOT NULL ORDER BY event_id"""),
+    "state_count" -> w(
+      """SELECT event_id, CASE WHEN p THEN cnt ELSE -1 END AS sc FROM (
+        |  SELECT event_id, p,
+        |    sum(CASE WHEN p THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY event_type, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS cnt
+        |  FROM (
+        |    SELECT event_id, event_type, epoch_us(ts) AS tus, value > 75 AS p,
+        |      sum(CASE WHEN value > 75 THEN 0 ELSE 1 END) OVER
+        |        (PARTITION BY event_type ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING) AS rst
+        |    FROM events)
+        |) ORDER BY event_id"""),
+    "state_duration" -> w(
+      """SELECT event_id, CASE WHEN p THEN round((CAST(tus AS DOUBLE) - CAST(rs AS DOUBLE)) / 1e6, 4)
+        |       ELSE -1.0 END AS sd FROM (
+        |  SELECT event_id, p, tus,
+        |    min(CASE WHEN p THEN tus END) OVER
+        |      (PARTITION BY event_type, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS rs
+        |  FROM (
+        |    SELECT event_id, event_type, epoch_us(ts) AS tus, value > 75 AS p,
+        |      sum(CASE WHEN value > 75 THEN 0 ELSE 1 END) OVER
+        |        (PARTITION BY event_type ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING) AS rst
+        |    FROM events)
+        |) ORDER BY event_id"""),
+    "time_shift" -> w(
+      """SELECT strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d') AS d, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "sample_10th" -> w(
+      """SELECT event_id FROM (
+        |  SELECT event_id, row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  FROM events) WHERE (rn - 1) % 10 = 0 ORDER BY event_id"""),
+    "limit_offset" -> w(
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  FROM events) WHERE rn > 2 AND rn <= 7 ORDER BY 1, 2"""),
+    "tail_4" -> w(
+      """SELECT event_type, event_id FROM (
+        |  SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) DESC) AS rn
+        |  FROM events) WHERE rn <= 4 ORDER BY 1, 2"""),
+    "top_bottom" -> w(
+      """WITH ranked AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, epoch_us(ts)) AS rt,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, epoch_us(ts)) AS rb
+        |  FROM events)
+        |SELECT event_type, event_id, 'top' AS side FROM ranked WHERE rt <= 3
+        |UNION ALL
+        |SELECT event_type, event_id, 'bottom' AS side FROM ranked WHERE rb <= 3
+        |ORDER BY 1, 3, 2"""),
+    "highest_avg" -> w(
+      """WITH keep AS (
+        |  SELECT event_type, user_id FROM (
+        |    SELECT event_type, user_id, avg(value) AS score
+        |    FROM events GROUP BY 1, 2)
+        |  ORDER BY score DESC, event_type LIMIT 3)
+        |SELECT e.event_type, e.user_id, count(*) AS n, round(avg(e.value), 4) AS avg_v
+        |FROM events e JOIN keep k ON e.event_type = k.event_type AND e.user_id = k.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "interpolate" -> w(
+      """WITH f AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1704758400000000
+        |), bounds AS (
+        |  SELECT event_type, min(ts) AS lo, max(ts) AS hi FROM f GROUP BY 1
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(
+        |    make_timestamp(CAST(ceil(epoch(lo) / 3600) * 3600 * 1000000 AS BIGINT)),
+        |    hi, INTERVAL '3600 seconds')) AS ts
+        |  FROM bounds
+        |), u AS (
+        |  SELECT event_type, ts, value, 1 AS obs FROM f
+        |  UNION ALL
+        |  SELECT s.event_type, s.ts, NULL, 0 FROM spine s
+        |  WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.event_type = s.event_type AND f.ts = s.ts)
+        |), staged AS (
+        |  SELECT event_type, ts, value, obs,
+        |    last_value(value IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN value IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER wb AS pt,
+        |    first_value(value IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN value IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER wf AS nt
+        |  FROM u WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, ts,
+        |  round(CASE WHEN value IS NOT NULL THEN value
+        |             WHEN pt = nt THEN pv
+        |             ELSE pv + (nv - pv) * (epoch(ts) - pt) / (nt - pt) END, 4) AS v
+        |FROM staged WHERE obs = 0 OR value IS NOT NULL ORDER BY 1, 2"""),
+    "ema_10" -> w(
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  FROM events
+        |  WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1704931200000000
+        |), e AS (
+        |  SELECT event_type, rn, tus,
+        |    (SELECT sum(b2.value) FROM base b2
+        |     WHERE b2.event_type = base.event_type AND b2.rn <= 10) / 10 AS ema
+        |  FROM base WHERE rn = 10
+        |  UNION ALL
+        |  SELECT b.event_type, b.rn, b.tus, b.value * (2.0 / 11) + e.ema * (1 - 2.0 / 11)
+        |  FROM base b JOIN e ON b.event_type = e.event_type AND b.rn = e.rn + 1
+        |)
+        |SELECT event_type, tus, round(ema, 4) AS ema FROM e ORDER BY 1, 2"""),
+    "cmo_10" -> w(
+      """SELECT event_type, tus, round((up - dn) / nullif(up + dn, 0) * 100, 4) AS cmo FROM (
+        |  SELECT event_type, tus, c,
+        |    sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS up,
+        |    sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w AS dn
+        |  FROM (
+        |    SELECT event_type, epoch_us(ts) AS tus,
+        |      value - lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS d,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) - 1 AS c
+        |    FROM events
+        |    WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1704758400000000
+        |  ) WHERE d IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |) WHERE c >= 10 ORDER BY 1, 2"""),
+    "rsi_10" -> w(
+      """WITH RECURSIVE base AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  FROM events
+        |  WHERE epoch_us(ts) >= 1704672000000000 AND epoch_us(ts) < 1704758400000000
+        |), gains AS (
+        |  SELECT event_type, rn, tus, value,
+        |    greatest(value - lag(value) OVER (PARTITION BY event_type ORDER BY rn), 0) AS g,
+        |    greatest(lag(value) OVER (PARTITION BY event_type ORDER BY rn) - value, 0) AS l
+        |  FROM base
+        |), seed AS (
+        |  SELECT event_type, 11 AS rn, sum(g) / 10 AS ag, sum(l) / 10 AS al
+        |  FROM gains WHERE rn BETWEEN 2 AND 11 GROUP BY 1
+        |), e AS (
+        |  SELECT s.event_type, s.rn, g2.tus, s.ag, s.al
+        |  FROM seed s JOIN gains g2 ON g2.event_type = s.event_type AND g2.rn = 11
+        |  UNION ALL
+        |  SELECT g.event_type, g.rn, g.tus,
+        |    (e.ag * 9 + g.g) / 10, (e.al * 9 + g.l) / 10
+        |  FROM gains g JOIN e ON g.event_type = e.event_type AND g.rn = e.rn + 1
+        |)
+        |SELECT event_type, tus,
+        |  round(CASE WHEN al = 0 THEN 100 ELSE 100 - 100 / (1 + ag / al) END, 4) AS rsi
+        |FROM e ORDER BY 1, 2""")
+  )
+}
