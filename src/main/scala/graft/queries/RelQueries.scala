@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.dsl.FluxFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operators (SURVEY.md §2B joins/set-ops/pivot + histogram)
+  * and the Flux scalar function packages (math/strings/date/conversion)
+  * exercised through SQL-mirrorable queries.
+  *
+  * Scale notes: the star join broadcasts only the fixed-size dimension
+  * (nation, 25 rows at any SF) — customer/orders scale with data volume
+  * and go through shuffle joins that AQE can re-plan; the histogram
+  * broadcasts the bin table (always tiny).
+  */
+object RelQueries {
+  import QueryUtil._
+
+  def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Star join: revenue per nation (lineitem ⋈ orders ⋈ customer ⋈
+    // broadcast(nation)); Flux join(on:) is an equi-join like this.
+    "join_revenue" -> ((s, dir) =>
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")),
+
+    // union(): schema-merged bag union (missing columns null-filled).
+    "union_merge" -> ((s, dir) => {
+      val clicks = ev(s, dir).where(col("event_type") === "click").keep("event_id", "value", "event_type")
+      val buys = ev(s, dir).where(col("event_type") === "purchase").keep("event_id", "value", "event_type", "user_id")
+      clicks.union(buys)
+        .group("event_type")
+        .agg(count(lit(1)).as("n"), count(col("user_id")).as("n_with_user"),
+          r4(sum(col("value"))).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // pivot(): long→wide, one column per event_type (deterministic: the
+    // pivot input is pre-aggregated to one row per cell).
+    "pivot_wide" -> ((s, dir) => {
+      // max: order-independent cell aggregate (an avg's float summation
+      // order differs between engines and can straddle a rounding
+      // boundary).
+      val pre = ev(s, dir)
+        .group("user_id", "event_type")
+        .agg(r4(max(col("value"))).as("avg_v"))
+      FluxFrame(pre, Seq("user_id"), "user_id", "avg_v")
+        .pivot(Seq("user_id"), "event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")
+    }),
+
+    // histogram(bins:): cumulative counts per upper bound per group.
+    "histogram" -> ((s, dir) =>
+      ev(s, dir)
+        .group("event_type")
+        .histogram(Seq(20.0, 40.0, 60.0, 80.0, 100.0), countCol = "n")
+        .orderBy("event_type", "le")),
+
+    // histogramQuantile(0.5): inverse interpolation over the cumulative
+    // histogram (chained off histogram(), like Flux pipes them).
+    "hist_quantile" -> ((s, dir) => {
+      val hist = ev(s, dir)
+        .group("event_type")
+        .histogram(Seq(20.0, 40.0, 60.0, 80.0, 100.0), countCol = "hn")
+      FluxFrame(hist, Seq("event_type"), "le", "hn")
+        .histogramQuantile(0.5, countCol = "hn", as = "q50")
+        .select(col("event_type"), r4(col("q50")).as("q50"))
+        .orderBy("event_type")
+    }),
+
+    // math package: abs/sqrt/pow/ln/floor/ceil over value.
+    "scalar_math" -> ((s, dir) =>
+      ev(s, dir)
+        .group("event_type")
+        .agg(
+          r4(sum(sqrt(abs(col("value"))))).as("sum_sqrt"),
+          r4(max(pow(col("value"), 2))).as("max_sq"),
+          r4(avg(log(col("value") + 1))).as("avg_ln"),
+          sum(floor(col("value"))).as("sum_floor"),
+          sum(ceil(col("value"))).as("sum_ceil"))
+        .orderBy("event_type")),
+
+    // strings package: concat/upper/substring/length/startswith + regexp
+    // extract (user_id is numeric in the testdata, so build a string id).
+    "scalar_string" -> ((s, dir) =>
+      ev(s, dir)
+        .withCol("uid", concat(lit("user_"), col("user_id").cast("string")))
+        .withCol("uid_num", regexp_extract(col("uid"), "([0-9]+)$", 1).cast("long"))
+        .group("event_type")
+        .agg(
+          count(when(col("uid").startsWith("user_1"), 1)).as("n_u1"),
+          max(upper(substring(col("uid"), 1, 6))).as("max_pfx"),
+          sum(length(col("props"))).as("sum_len"),
+          max(col("uid_num")).as("max_uid"),
+          count_distinct(col("uid_num") % 7).as("nd_mod"))
+        .orderBy("event_type")),
+
+    // date package: isodow/month/hour extraction buckets.
+    "scalar_date" -> ((s, dir) =>
+      ev(s, dir)
+        .withCol("dow", weekday(col("ts")) + 1) // ISO: Mon=1..Sun=7
+        .group("dow")
+        .agg(count(lit(1)).as("n"), r4(avg(col("value"))).as("avg_v"),
+          count_distinct(hour(col("ts"))).as("nd_hour"))
+        .orderBy("dow")),
+
+    // type conversion package: toInt (truncating)/toString/toBool.
+    "conv_types" -> ((s, dir) =>
+      ev(s, dir)
+        .withCol("vi", col("value").cast("long"))
+        .withCol("b", col("vi") % 10)
+        .group("b")
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sum_vi"),
+          max(col("b").cast("string")).as("bs"),
+          count(when((col("value") > 50).cast("boolean"), 1)).as("n_true"))
+        .orderBy("b"))
+  )
+
+  private def w(s: String) = s.stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "join_revenue" -> w(
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1"""),
+    "union_merge" -> w(
+      """WITH u AS (
+        |  SELECT event_id, value, event_type, NULL AS user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, value, event_type, user_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT event_type, count(*) AS n, count(user_id) AS n_with_user,
+        |  round(sum(value), 4) AS sum_v
+        |FROM u GROUP BY 1 ORDER BY 1"""),
+    "pivot_wide" -> w(
+      """SELECT user_id,
+        |  round(max(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(max(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |  round(max(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  round(max(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  round(max(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "histogram" -> w(
+      """SELECT event_type, le, count(*) AS n
+        |FROM events CROSS JOIN (VALUES (20.0), (40.0), (60.0), (80.0), (100.0)) b(le)
+        |WHERE value <= le GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "hist_quantile" -> w(
+      """WITH hist AS (
+        |  SELECT event_type, le, count(*) AS hn
+        |  FROM events CROSS JOIN (VALUES (20.0), (40.0), (60.0), (80.0), (100.0)) b(le)
+        |  WHERE value <= le GROUP BY 1, 2
+        |), staged AS (
+        |  SELECT event_type, le, hn,
+        |    max(hn) OVER (PARTITION BY event_type) AS tot,
+        |    coalesce(lag(hn) OVER w, 0) AS pc,
+        |    coalesce(lag(le) OVER w, 0) AS ple
+        |  FROM hist WINDOW w AS (PARTITION BY event_type ORDER BY le)
+        |)
+        |SELECT event_type,
+        |  round(ple + (le - ple) * (tot * 0.5 - pc) / (hn - pc), 4) AS q50
+        |FROM staged WHERE hn >= tot * 0.5 AND pc < tot * 0.5 ORDER BY 1"""),
+    "scalar_math" -> w(
+      """SELECT event_type,
+        |  round(sum(sqrt(abs(value))), 4) AS sum_sqrt,
+        |  round(max(pow(value, 2)), 4) AS max_sq,
+        |  round(avg(ln(value + 1)), 4) AS avg_ln,
+        |  CAST(sum(floor(value)) AS DOUBLE) AS sum_floor,
+        |  CAST(sum(ceil(value)) AS DOUBLE) AS sum_ceil
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "scalar_string" -> w(
+      """SELECT event_type,
+        |  count(CASE WHEN starts_with(uid, 'user_1') THEN 1 END) AS n_u1,
+        |  max(upper(substring(uid, 1, 6))) AS max_pfx,
+        |  sum(length(props)) AS sum_len,
+        |  max(CAST(regexp_extract(uid, '([0-9]+)$', 1) AS BIGINT)) AS max_uid,
+        |  count(DISTINCT CAST(regexp_extract(uid, '([0-9]+)$', 1) AS BIGINT) % 7) AS nd_mod
+        |FROM (SELECT *, 'user_' || CAST(user_id AS VARCHAR) AS uid FROM events)
+        |GROUP BY 1 ORDER BY 1"""),
+    "scalar_date" -> w(
+      """SELECT isodow(ts) AS dow, count(*) AS n, round(avg(value), 4) AS avg_v,
+        |  count(DISTINCT hour(ts)) AS nd_hour
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "conv_types" -> w(
+      """SELECT CAST(trunc(value) AS BIGINT) % 10 AS b, count(*) AS n,
+        |  sum(CAST(trunc(value) AS BIGINT)) AS sum_vi,
+        |  max(CAST(CAST(trunc(value) AS BIGINT) % 10 AS VARCHAR)) AS bs,
+        |  count(CASE WHEN value > 50 THEN 1 END) AS n_true
+        |FROM events GROUP BY 1 ORDER BY 1""")
+  )
+}
