@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.WindowQueries.queries ++
-      graft.queries.RelQueries.queries
+      graft.queries.RelQueries.queries ++
+      graft.queries.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.WindowQueries.oracle ++
-      graft.queries.RelQueries.oracle
+      graft.queries.RelQueries.oracle ++
+      graft.queries.LlmQueries.oracle
 }

@@ -1,0 +1,121 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (hash-groupBy), exact n-gram Jaccard
+  * via an inverted shingle index, and MinHash + LSH banding for
+  * sub-quadratic near-duplicate detection.
+  *
+  * Scale shape (100 TB discipline):
+  *  - exact dedup = one hash shuffle on the fingerprint;
+  *  - shingle join = inverted index: pairs are generated per shingle
+  *    (never an all-pairs cross join) — hot shingles can be capped with
+  *    a document-frequency filter;
+  *  - MinHash-LSH = fixed-size signature per doc (64 longs), band keys
+  *    shuffle, candidate pairs verified exactly; candidate count is
+  *    bounded by band collisions, not n².
+  */
+object DedupOps {
+
+  /** Duplicate groups by an arbitrary fingerprint column: one row per
+    * group with more than one member, carrying the canonical (minimum)
+    * id and the member count.
+    */
+  def dupGroups(df: DataFrame, idCol: String, fpCol: String): DataFrame =
+    df.groupBy(col(fpCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // guard: sequence(0, negative) would generate a DESCENDING range
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Exact Jaccard over distinct shingles for every pair sharing at
+    * least one shingle (inverted-index join), kept when >= threshold.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def exactJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-permutation MinHash signature per document from the shingle
+    * table: sig_i = min over shingles of xxhash64(shingle, i) — a
+    * seeded hash family (only internal determinism matters; ANSI mode
+    * forbids the classic wrap-around affine family). Output:
+    * (id, sig_0..sig_63).
+    */
+  def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"sig_$i")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (id, band, key) where key hashes `rowsPerBand`
+    * consecutive signature values. Docs sharing any (band, key) are
+    * candidates.
+    */
+  def lshBands(sig: DataFrame, numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandKeys = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from LSH band collisions (deduplicated). */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  /** MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact Jaccard verification >= threshold. The exact join is
+    * restricted to candidate pairs, so the expensive verification is
+    * band-collision-bounded.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val cands = lshCandidates(lshBands(minHashSignatures(sh)))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("za.n_sh") + col("zb.n_sh") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

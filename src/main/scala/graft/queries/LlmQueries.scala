@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.llmops.{DedupOps, SimHashOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * tables: deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+  * text analysis (language-ID, quality, token stats), and similarity
+  * search (brute-force + IVF cosine top-k).
+  *
+  * Oracle discipline: approximate operators are exact-verified — the
+  * MinHash-LSH pipeline is checked against the all-pairs exact Jaccard
+  * (LSH recall at these similarity levels is ~1, so candidates +
+  * verification reproduce the exact answer); algorithmic operators
+  * (SimHash, IVF, language-ID) are replicated step-for-step in SQL, so
+  * the gate verifies the algorithm, not a weaker row count.
+  */
+object LlmQueries {
+  import QueryUtil.{documents, embeddings, r4}
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup on the order/repetition-invariant token-set
+    // fingerprint (raw texts are all unique; shuffled near-dups
+    // collapse under the canonical form).
+    "exact_dedup" -> ((s, dir) =>
+      DedupOps.dupGroups(
+        documents(s, dir).withColumn("fp", TextOps.tokenSetFingerprint(col("text"))),
+        "doc_id", "fp")
+        .orderBy("fp")),
+
+    // Exact word-3gram Jaccard >= 0.5 via the inverted shingle index.
+    "ngram_jaccard" -> ((s, dir) =>
+      DedupOps.exactJaccardPairs(
+        DedupOps.shingles(documents(s, dir), "doc_id", "text", 3), 0.5)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("j"))
+        .orderBy("id_a", "id_b")),
+
+    // MinHash(64) + LSH(16 bands × 4) + exact verification >= 0.5 —
+    // must reproduce the exact all-pairs answer (recall ~1 here).
+    "minhash_lsh" -> ((s, dir) =>
+      DedupOps.minHashLshPairs(documents(s, dir), "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("j"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash(60-bit, md5-derived) pairs within Hamming distance 3.
+    "simhash" -> ((s, dir) =>
+      SimHashOps.simHashPairs(
+        SimHashOps.simHashChunks(documents(s, dir), "doc_id", "text"), 3)
+        .orderBy("id_a", "id_b")),
+
+    // Language-ID heuristic vs the labeled lang column (confusion
+    // counts; the synthetic text is English-vocab for every label).
+    "lang_id" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("pred", TextOps.langId(col("text")))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")),
+
+    // Quality scoring rolled up per source.
+    "quality_score" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("qs", TextOps.qualityScore(col("text")))
+        .groupBy("source")
+        .agg(r4(avg(col("qs"))).as("avg_qs"), r4(min(col("qs"))).as("min_qs"),
+          r4(max(col("qs"))).as("max_qs"), count(lit(1)).as("n"))
+        .orderBy("source")),
+
+    // Token statistics + distinct content fingerprints per source.
+    "token_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy("source")
+        .agg(
+          sum(TextOps.tokenCount(col("text"))).as("sum_tok"),
+          sum(TextOps.bpeTokenCount(col("text"))).as("sum_bpe"),
+          max(TextOps.tokenCount(col("text"))).as("max_tok"),
+          count_distinct(TextOps.fingerprint(col("text"))).as("nd_fp"))
+        .orderBy("source")),
+
+    // Brute-force cosine top-3 for query vectors 0..4.
+    "ann_brute" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.bruteForceTopK(e, e.filter(col("id") < 5), 3)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF top-3 (8 seed centroids, nprobe 2) — the bucketed scale path;
+    // oracle replicates the same assignment + probing.
+    "ann_ivf" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.ivfTopK(e, e.filter(col("id") < 8), e.filter(col("id") < 5), 3, 2)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Embedding near-dup: all pairs with cosine >= 0.45.
+    "cos_threshold" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.cosineThresholdPairs(e, 0.45)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  private def w(s: String) = s.stripMargin
+
+  // Shared SQL fragments (DuckDB): normalized tokens and 3-gram shingles.
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($norm, ' ')"
+  private val shinglesCte = w(
+    s"""toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+       |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle FROM idx),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT d1 AS id_a, d2 AS id_b,
+       |    CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS j
+       |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)""")
+
+  private val jaccardSql = w(
+    s"""WITH $shinglesCte
+       |SELECT id_a, id_b, round(j, 4) AS j FROM jac WHERE j >= 0.5 ORDER BY 1, 2""")
+
+  // Language scores (must mirror TextOps.langId / qualityScore exactly).
+  private def hits(words: Seq[String]) =
+    s"len(list_filter(arr, t -> t IN (${words.map(q => s"'$q'").mkString(", ")})))"
+  private val enS = hits(TextOps.EnStop)
+  private val deS = hits(TextOps.DeStop)
+  private val frS = hits(TextOps.FrStop)
+  private val esS = hits(TextOps.EsStop)
+  private val zhS = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+
+  private val cosExpr =
+    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+  private def cos(a: String, b: String) = cosExpr.format(a, b, a, a, b, b)
+
+  val oracle: Map[String, String] = Map(
+    "exact_dedup" -> w(
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+         |  min(doc_id) AS canonical_id, count(*) AS n_members
+         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""),
+    "ngram_jaccard" -> jaccardSql,
+    "minhash_lsh" -> jaccardSql,
+    "simhash" -> w(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CAST(floor((strpos('0123456789abcdef', substring(h, CAST(i // 4 AS INT) + 1, 1)) - 1)
+         |      / pow(2, i % 4)) AS BIGINT) % 2 AS bit
+         |  FROM (SELECT doc_id, md5(tok) AS h, unnest(range(0, 60)) AS i FROM toks)
+         |), signs AS (
+         |  SELECT doc_id, i, CASE WHEN sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+         |  FROM bits GROUP BY 1, 2
+         |), chunks AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN i // 15 = 0 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c0,
+         |    sum(CASE WHEN i // 15 = 1 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c1,
+         |    sum(CASE WHEN i // 15 = 2 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c2,
+         |    sum(CASE WHEN i // 15 = 3 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c3
+         |  FROM signs GROUP BY 1
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hd
+         |FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+         |ORDER BY 1, 2"""),
+    "lang_id" -> w(
+      s"""WITH scored AS (
+         |  SELECT lang, $enS AS en, $deS AS de, $frS AS fr, $esS AS es, $zhS AS zh
+         |  FROM (SELECT lang, text, $toksSql AS arr FROM documents)
+         |)
+         |SELECT lang,
+         |  CASE WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+         |       WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+         |       WHEN fr >= es AND fr >= zh THEN 'fr'
+         |       WHEN es >= zh THEN 'es'
+         |       ELSE 'zh' END AS pred,
+         |  count(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "quality_score" -> w(
+      s"""WITH q AS (
+         |  SELECT source,
+         |    0.4 * least(CAST(len(arr) AS DOUBLE) / 50, 1.0) +
+         |    0.3 * least(CAST($enS AS DOUBLE) / CAST(len(arr) AS DOUBLE) * 5, 1.0) +
+         |    0.3 * (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) * 10, 1.0)) AS qs
+         |  FROM (SELECT source, text, $toksSql AS arr FROM documents)
+         |)
+         |SELECT source, round(avg(qs), 4) AS avg_qs, round(min(qs), 4) AS min_qs,
+         |  round(max(qs), 4) AS max_qs, count(*) AS n
+         |FROM q GROUP BY 1 ORDER BY 1"""),
+    "token_stats" -> w(
+      s"""SELECT source,
+         |  sum(len($toksSql)) AS sum_tok,
+         |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_bpe,
+         |  max(len($toksSql)) AS max_tok,
+         |  count(DISTINCT md5($norm)) AS nd_fp
+         |FROM documents GROUP BY 1 ORDER BY 1"""),
+    "ann_brute" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE id < 5),
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nbr, ${cos("q.v", "c.v")} AS cos
+         |  FROM q JOIN e c ON c.id <> q.id),
+         |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    "ann_ivf" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+         |assign AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT c.id, c.v, cent.cid,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e c CROSS JOIN cent) WHERE r = 1),
+         |probes AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.id AS qid, q.v AS qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY ${cos("q.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e q CROSS JOIN cent WHERE q.id < 5) WHERE r <= 2),
+         |scored AS (
+         |  SELECT p.qid, a.id AS nbr, ${cos("p.qv", "a.v")} AS cos
+         |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.id <> p.qid),
+         |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    "cos_threshold" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b, round(${cos("a.v", "b.v")}, 4) AS cos
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE ${cos("a.v", "b.v")} >= 0.45 ORDER BY 1, 2""")
+  )
+}
