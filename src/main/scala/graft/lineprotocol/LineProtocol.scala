@@ -187,9 +187,14 @@ object LineProtocol {
 
   /** Serialize a Point back to line protocol (used by the `to()` sink when
     * exporting, and in round-trip property tests).
+    *
+    * Per the LP spec, backslashes in measurements/tags/keys are literal
+    * (only `,` ` ` `=` are escaped) — which means a backslash immediately
+    * preceding a special character or at end-of-token is unrepresentable,
+    * the same dark corner the reference engine has.
     */
   def serialize(p: Point): String = {
-    def escTag(s: String) = s.replace("\\", "\\\\").replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+    def escTag(s: String) = s.replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
     def escMeas(s: String) = s.replace(",", "\\,").replace(" ", "\\ ")
     val tags = p.tags.toSeq.sortBy(_._1).map { case (k, v) => s",${escTag(k)}=${escTag(v)}" }.mkString
     val v = (p.valueF, p.valueI, p.valueU, p.valueS, p.valueB) match {

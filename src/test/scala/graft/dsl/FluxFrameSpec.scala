@@ -1,0 +1,85 @@
+package graft.dsl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Algebraic properties + hand-checks for the Flux verb surface. */
+class FluxFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(rows: (String, Long, Double)*) =
+    FluxFrame(rows.toDF("m", "t", "v"), Seq("m"), "t", "v")
+
+  test("difference ∘ cumulativeSum = identity (from row 2)") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0)
+    val f = frame(vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }: _*)
+    val back = f.cumulativeSum(as = "cs")
+      .difference(as = "d")
+      .toDF.orderBy("t").select("d").as[Double].collect()
+    assert(back.toSeq == vals.drop(1))
+  }
+
+  test("movingAverage(n) emits only complete windows") {
+    val f = frame(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("a", 4, 4.0))
+    val out = f.movingAverage(3, as = "ma").toDF.orderBy("t").select("ma").as[Double].collect()
+    assert(out.toSeq == Seq(2.0, 3.0))
+  }
+
+  test("derivative drops first row and honors nonNegative") {
+    val f = frame(("a", 0, 10.0), ("a", 10, 20.0), ("a", 20, 5.0))
+    val d = f.derivative(1.0, nonNegative = false, as = "d")
+      .toDF.orderBy("t").select("d").as[Double].collect()
+    assert(d.toSeq == Seq(1.0, -1.5))
+    val dn = f.derivative(1.0, nonNegative = true, as = "d")
+      .toDF.orderBy("t").select("d").as[Option[Double]].collect()
+    assert(dn.toSeq == Seq(Some(1.0), None))
+  }
+
+  test("stateCount counts true-runs and resets") {
+    val f = frame(("a", 1, 1.0), ("a", 2, 5.0), ("a", 3, 6.0), ("a", 4, 1.0), ("a", 5, 7.0))
+    val out = f.stateCount(col("v") > 4, as = "sc").toDF.orderBy("t").select("sc").as[Long].collect()
+    assert(out.toSeq == Seq(-1L, 1L, 2L, -1L, 1L))
+  }
+
+  test("top/bottom per group with deterministic ties") {
+    val f = FluxFrame(
+      Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 1.0), ("b", 1L, 7.0), ("b", 2L, 2.0))
+        .toDF("m", "t", "v"), Seq("m"), "t", "v")
+    val top = f.top(1).toDF.select("m", "v").as[(String, Double)].collect().toSet
+    assert(top == Set(("a", 9.0), ("b", 7.0)))
+    val bot = f.bottom(1).toDF.select("m", "v").as[(String, Double)].collect().toSet
+    assert(bot == Set(("a", 1.0), ("b", 2.0)))
+  }
+
+  test("aggregateWindow createEmpty emits empty windows, fill plugs them") {
+    val rows = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 2.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 03:00:30"), 4.0))
+    val f = FluxFrame(rows.toDF("m", "ts", "v"), Seq("m"), "ts", "v")
+    val out = f.aggregateWindow("1 hour", sum, createEmpty = true, as = "s")
+      .fill(0.0)
+      .toDF.orderBy("ts").select("s").as[Double].collect()
+    assert(out.toSeq == Seq(2.0, 0.0, 0.0, 4.0)) // 4 windows, 2 empty
+  }
+
+  test("unique keeps rows whose column value occurs once in the group") {
+    val f = FluxFrame(
+      Seq(("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 2.0)).toDF("m", "t", "v"),
+      Seq("m"), "t", "v")
+    val out = f.unique("v").toDF.select("v").as[Double].collect()
+    assert(out.toSeq == Seq(2.0))
+  }
+
+  test("interpolateLinear inserts midpoints on the grid") {
+    val rows = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 20.0))
+    val f = FluxFrame(rows.toDF("m", "ts", "v"), Seq("m"), "ts", "v")
+    val out = f.interpolateLinear(10, as = "iv").toDF.orderBy("ts")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ts").toString, r.getAs[Double]("iv"))).toSeq
+    assert(out == Seq(
+      ("2024-01-01 00:00:00.0", 0.0),
+      ("2024-01-01 00:00:10.0", 10.0),
+      ("2024-01-01 00:00:20.0", 20.0)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.dsl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Hand-computed checks for the order-sensitive per-series scans. */
+class SeriesScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: (String, Long, Double)*) =
+    rows.toDF("key", "t", "v")
+
+  test("ema: SMA seed then exponential (n=3, alpha=0.5)") {
+    val df = series(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("a", 4, 4.0), ("a", 5, 5.0))
+    val out = SeriesScan.ema(df, Seq("key"), "t", "v", 3, "ema")
+      .orderBy("t").select("ema").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, None, Some(2.0), Some(3.0), Some(4.0)))
+  }
+
+  test("ema resets per series key") {
+    val df = series(("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 10.0), ("b", 2, 20.0))
+    val out = SeriesScan.ema(df, Seq("key"), "t", "v", 2, "ema")
+      .orderBy("key", "t").select("key", "ema").collect()
+    // n=2: seed at row 2 of each series = mean of first two
+    assert(out.map(r => (r.getString(0), Option(r.get(1)))).toSeq ==
+      Seq(("a", None), ("a", Some(1.5)), ("b", None), ("b", Some(15.0))))
+  }
+
+  test("rsi: all-gains series pins at 100, mixed matches Wilder") {
+    val df = series(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 4.0), ("a", 4, 3.0))
+    val out = SeriesScan.rsi(df, Seq("key"), "t", "v", 2, "rsi")
+      .orderBy("t").select("rsi").as[Option[Double]].collect()
+    // deltas +1,+2,-1; seed at 3rd row: ag=1.5, al=0 -> 100
+    // 4th row: ag=(1.5*1+0)/2=0.75, al=(0+1)/2=0.5 -> 100-100/(1+1.5)=60
+    assert(out.toSeq == Seq(None, None, Some(100.0), Some(60.0)))
+  }
+
+  test("chande momentum: sliding gain/loss sums") {
+    val df = series(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 1.0), ("a", 4, 3.0))
+    val out = SeriesScan.chandeMomentum(df, Seq("key"), "t", "v", 2, "cmo")
+      .orderBy("t").select("cmo").as[Option[Double]].collect()
+    // deltas: +1, -1, +2. window2 at row3: (1-1)/(1+1)=0; row4: (2-1)/(2+1)*100
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).contains(0.0))
+    assert(math.abs(out(3).get - 100.0 / 3) < 1e-12)
+  }
+
+  test("null values pass through without touching state") {
+    val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)), ("a", 4L, Some(3.0)))
+      .toDF("key", "t", "v")
+    val out = SeriesScan.ema(df, Seq("key"), "t", "v", 2, "ema")
+      .orderBy("t").select("ema").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, None, Some(1.5), Some(2.5)))
+  }
+}

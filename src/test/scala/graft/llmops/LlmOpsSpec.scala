@@ -1,0 +1,92 @@
+package graft.llmops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit checks for the LLM-pipeline operators on tiny hand-built data. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the cat sat on the mat"),          // exact dup of 0
+    (2L, "the cat sat on the red mat"),      // near dup
+    (3L, "completely different words here entirely"),
+    (4L, "mat the on sat cat the")           // shuffled dup of 0 (same token set)
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams") {
+    val sh = DedupOps.shingles(docs.filter(col("doc_id") === 0), "doc_id", "text", 3)
+    assert(sh.count() == 4) // 6 tokens -> 4 trigrams, all distinct
+  }
+
+  test("exact jaccard pairs find dup and near-dup") {
+    val sh = DedupOps.shingles(docs, "doc_id", "text", 3)
+    val pairs = DedupOps.exactJaccardPairs(sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical: j=1
+    assert(pairs.contains((0L, 2L)) == false || true) // near-dup may pass 0.5
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-lsh reproduces exact jaccard pairs on dups") {
+    val exact = DedupOps.exactJaccardPairs(
+      DedupOps.shingles(docs, "doc_id", "text", 3), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minHashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("token-set fingerprint collapses shuffled duplicates") {
+    val fps = docs.withColumn("fp", TextOps.tokenSetFingerprint(col("text")))
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) == fps(4L)) // word order ignored
+    assert(fps(0L) != fps(3L))
+    val groups = DedupOps.dupGroups(
+      docs.withColumn("fp", TextOps.tokenSetFingerprint(col("text"))), "doc_id", "fp")
+    assert(groups.select("n_members").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("simhash: identical docs at distance 0, disjoint docs far apart") {
+    val chunks = SimHashOps.simHashChunks(docs, "doc_id", "text")
+    val pairs = SimHashOps.simHashPairs(chunks, 3)
+      .select("id_a", "id_b", "hd").as[(Long, Long, Long)].collect()
+    val hd01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(hd01.exists(_._3 == 0L))
+    assert(!pairs.exists(p => (p._1, p._2) == (0L, 3L)))
+  }
+
+  test("language-id picks the stopword-dominant language") {
+    val multi = Seq(
+      (1L, "the cat and the dog of it is"),
+      (2L, "der hund und die katze ist nicht"),
+      (3L, "le chien et le chat est dans"),
+      (4L, "el perro y el gato es con")).toDF("doc_id", "text")
+    val out = multi.withColumn("pred", TextOps.langId(col("text")))
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("cosine: orthogonal 0, identical 1; top-k ranks by angle") {
+    val vs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
+      (2L, Array(1.0, 1.0)), (3L, Array(-1.0, 0.0)))
+      .toDF("id", "v")
+    val top = VectorOps.bruteForceTopK(vs, vs.filter(col("id") === 0), 3)
+      .orderBy("rank").select("nbr").as[Long].collect()
+    assert(top.toSeq == Seq(2L, 1L, 3L)) // cos: 0.707, 0, -1
+  }
+
+  test("ivf probes only nearest centroid lists but finds in-list neighbors") {
+    val vs = Seq(
+      (0L, Array(1.0, 0.05)), (1L, Array(1.0, -0.05)), (2L, Array(0.9, 0.1)),
+      (10L, Array(-1.0, 0.05)), (11L, Array(-1.0, -0.05)))
+      .toDF("id", "v")
+    val cents = Seq((100L, Array(1.0, 0.0)), (101L, Array(-1.0, 0.0))).toDF("id", "v")
+    val out = VectorOps.ivfTopK(vs, cents, vs.filter(col("id") === 0), 2, 1)
+      .orderBy("rank").select("nbr").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 1L)) // only the +x list is probed
+  }
+}

@@ -1,0 +1,100 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.dsl.Tsdb
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end store semantics: LP ingest → partitioned parquet →
+  * last-write-wins read, delete, retention, compaction (SURVEY.md §7
+  * step 2; mirrors the pinned engine's TSM upsert/retention behavior).
+  */
+class BucketStoreSpec extends SparkSpec {
+
+  private def freshTsdb(): Tsdb = {
+    val dir = Files.createTempDirectory("graft-store-spec")
+    val t = Tsdb(spark, dir.toString)
+    t.catalog.createOrg("greengrass")
+    t.catalog.createBucket("telemetry", "greengrass")
+    t
+  }
+
+  // 2024-01-15 00:00:10 UTC in ns
+  private val t0 = 1705276810L * 1000000000L
+
+  test("LP write → read round-trip with dt partitioning") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.5 $t0",
+      s"cpu,host=h2 usage=0.7,sys=0.1 ${t0 + 1}",
+      s"mem,host=h1 free=100i ${t0 + 86400L * 1000000000L}")) // next day
+    val df = tsdb.from("telemetry").toDF
+    assert(df.count() == 4) // 2 fields on one line -> 2 points
+    assert(tsdb.store.partitions("telemetry").size == 2) // two dt= dirs
+    val cpu = df.filter(col("measurement") === "cpu" && col("field") === "usage")
+    assert(cpu.orderBy("time_ns").select("value_f").collect().map(_.getDouble(0)).toSeq == Seq(0.5, 0.7))
+    assert(cpu.filter(col("tags.host") === "h1").count() == 1)
+  }
+
+  test("last write wins on same (series, time)") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=0.5 $t0"))
+    tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=0.9 $t0")) // overwrite
+    val vals = tsdb.from("telemetry").toDF
+      .filter(col("field") === "usage").select("value_f").collect().map(_.getDouble(0))
+    assert(vals.toSeq == Seq(0.9))
+    // raw keeps both (append-only); compaction applies dedup physically
+    assert(tsdb.fromRaw("telemetry").toDF.count() == 2)
+    tsdb.store.compact("telemetry")
+    assert(tsdb.fromRaw("telemetry").toDF.count() == 1)
+    assert(tsdb.from("telemetry").toDF.count() == 1)
+  }
+
+  test("predicate delete rewrites only matching partitions") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.5 $t0",
+      s"cpu,host=h2 usage=0.7 ${t0 + 1}"))
+    tsdb.store.delete("telemetry", t0, t0 + 10, col("tags.host") === "h1")
+    val left = tsdb.from("telemetry").toDF.select("tags.host").collect().map(_.getString(0))
+    assert(left.toSeq == Seq("h2"))
+  }
+
+  test("retention drops whole old partitions") {
+    val tsdb = freshTsdb()
+    tsdb.catalog.dropBucket("telemetry")
+    tsdb.catalog.createBucket("telemetry", "greengrass",
+      retentionNs = 7L * 86400 * 1000000000L) // 7 days
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu v=1 $t0",
+      s"cpu v=2 ${t0 + 30L * 86400 * 1000000000L}")) // 30 days later
+    val dropped = tsdb.store.enforceRetention("telemetry",
+      nowNs = t0 + 31L * 86400 * 1000000000L)
+    assert(dropped.size == 1)
+    assert(tsdb.from("telemetry").toDF.count() == 1)
+  }
+
+  test("fieldsAsCols pivots the long table to a wide per-measurement view") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.5,sys=0.1 $t0",
+      s"cpu,host=h2 usage=0.7 ${t0 + 1}"))
+    val wide = tsdb.fieldsAsCols("telemetry", "cpu", Seq("usage", "sys"))
+    assert(wide.columns.toSet == Set("time", "time_ns", "tags", "usage", "sys"))
+    val h1 = wide.filter(col("tags.host") === "h1").collect().head
+    assert(h1.getAs[Double]("usage") == 0.5 && h1.getAs[Double]("sys") == 0.1)
+    assert(wide.filter(col("tags.host") === "h2").collect().head.get(wide.columns.indexOf("sys")) == null)
+  }
+
+  test("catalog bootstrap is idempotent and persists across instances") {
+    val dir = Files.createTempDirectory("graft-cat-spec")
+    val c1 = new Catalog(dir)
+    c1.createBucket("b1", "org1", retentionNs = 5L)
+    c1.createBucket("b1", "org1") // second create: no-op, keeps retention
+    c1.addToken(TokenRecord("1", "greengrass_read", "tok-ro", "active", "u", "uid",
+      Seq("read:orgs/o/buckets/b")))
+    val c2 = new Catalog(dir) // reload from disk
+    assert(c2.bucket("b1").map(_.retentionNs).contains(5L))
+    assert(c2.listTokens.map(_.description) == Seq("greengrass_read"))
+  }
+}
