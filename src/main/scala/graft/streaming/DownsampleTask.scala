@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.dsl.Tsdb
+import graft.model.Point
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DateType, LongType, StructType}
+
+/** Continuous downsampling — the Spark-native form of an InfluxDB
+  * *task* (`option task = {every: …}` + `aggregateWindow` + `to()`):
+  * a streaming windowed aggregate over a source bucket, materialized
+  * into a target bucket.
+  *
+  * Semantics & scale:
+  *  - the source is the bucket's parquet directory as a file stream —
+  *    ingest appends become micro-batches, no second queue needed;
+  *  - watermark bounds state: windows older than `lateness` are evicted.
+  *    InfluxDB tasks simply re-run over a `range()` — unbounded
+  *    lateness — so we run in update mode and version each window
+  *    emission into the target bucket, where last-write-wins dedup
+  *    keeps the latest refinement (SURVEY.md §2B: documented
+  *    divergence — lateness beyond the watermark is bounded on the
+  *    streaming path; the batch path stays exact);
+  *  - group key = (measurement, field, tags-json): Spark cannot group
+  *    by a MapType, so tags travel as canonical JSON and are rebuilt
+  *    on write.
+  */
+final class DownsampleTask(tsdb: Tsdb) {
+
+  private def rawStreamSchema: StructType =
+    StructType(Point.schema.fields)
+      .add("_ingest_seq", LongType).add("dt", DateType)
+
+  /** Start the task: aggregate `fn(value_f)` per (series, `every`
+    * window) from `source` into `target`. Downsampled points carry
+    * `time` = window end, like Flux `aggregateWindow`.
+    */
+  def start(
+      source: String,
+      target: String,
+      every: String,
+      fn: Column => Column,
+      lateness: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val srcPath = tsdb.catalog.bucketPath(source).toString
+    val stream = tsdb.spark.readStream
+      .schema(rawStreamSchema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(srcPath)
+
+    val agged = stream
+      .withWatermark("time", lateness)
+      .groupBy(
+        window(col("time"), every).as("_w"),
+        col("measurement"), col("field"),
+        to_json(map_entries(col("tags"))).as("_tags_json"))
+      .agg(fn(col("value_f")).as("value_f"), count(lit(1)).as("_n"))
+
+    agged.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val canon = batch
+          .withColumn("time", col("_w.end"))
+          .withColumn("time_ns", unix_micros(col("time")) * 1000L)
+          .withColumn("tags",
+            map_from_entries(from_json(col("_tags_json"),
+              org.apache.spark.sql.types.DataTypes.createArrayType(
+                new StructType().add("key", "string").add("value", "string")))))
+          .withColumn("value_i", lit(null).cast("long"))
+          .withColumn("value_u", lit(null).cast("long"))
+          .withColumn("value_s", lit(null).cast("string"))
+          .withColumn("value_b", lit(null).cast("boolean"))
+          .select(Point.columns.map(col): _*)
+        tsdb.store.write(target, canon)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.dsl.Tsdb
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end streaming: LP lines → stream ingest → bucket; bucket →
+  * windowed downsample task → target bucket (SURVEY.md §5 item 5).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC ns
+
+  private def freshTsdb(): Tsdb = {
+    val dir = Files.createTempDirectory("graft-stream-spec")
+    val t = Tsdb(spark, dir.toString)
+    t.catalog.createOrg("greengrass")
+    t.catalog.createBucket("raw", "greengrass")
+    t.catalog.createBucket("downsampled", "greengrass")
+    t
+  }
+
+  test("memory-stream LP lines land in the bucket via foreachBatch") {
+    val tsdb = freshTsdb()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      s"cpu,host=h1 usage=0.5 $t0",
+      s"cpu,host=h1 usage=0.7 ${t0 + 60L * 1000000000L}",
+      "garbage line that is dropped",
+      s"cpu,host=h2 usage=0.9 ${t0 + 30L * 1000000000L}")
+    val cp = Files.createTempDirectory("cp-ingest").toString
+    val q = new StreamIngest(tsdb).start("raw", mem.toDS(), cp)
+    q.awaitTermination(60000)
+    val rows = tsdb.from("raw").toDF
+    assert(rows.count() == 3) // malformed line dropped, not fatal
+    assert(rows.filter(col("tags.host") === "h1").count() == 2)
+  }
+
+  test("downsample task materializes windowed means into the target bucket") {
+    val tsdb = freshTsdb()
+    // 4 points across two 1-minute windows for h1, one window for h2
+    tsdb.writeLp("raw", Seq(
+      s"cpu,host=h1 usage=1.0 $t0",
+      s"cpu,host=h1 usage=3.0 ${t0 + 10L * 1000000000L}",
+      s"cpu,host=h1 usage=5.0 ${t0 + 70L * 1000000000L}",
+      s"cpu,host=h2 usage=2.0 ${t0 + 5L * 1000000000L}"))
+    val cp = Files.createTempDirectory("cp-task").toString
+    val q = new DownsampleTask(tsdb).start(
+      source = "raw", target = "downsampled",
+      every = "1 minute", fn = avg, lateness = "5 minutes", checkpoint = cp)
+    q.awaitTermination(120000)
+    val out = tsdb.from("downsampled").toDF
+      .filter(col("measurement") === "cpu")
+      .orderBy(col("tags.host"), col("time_ns"))
+      .select(col("tags.host"), col("time"), col("value_f"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("h1", "2024-01-15 00:01:00.0", 2.0), // mean(1,3), window end 00:01
+      ("h1", "2024-01-15 00:02:00.0", 5.0),
+      ("h2", "2024-01-15 00:01:00.0", 2.0)))
+  }
+
+  test("late refinement: a second run upserts the window (LWW)") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("raw", Seq(s"cpu,host=h1 usage=1.0 $t0"))
+    val cp = Files.createTempDirectory("cp-lww").toString
+    val task = new DownsampleTask(tsdb)
+    val q1 = task.start("raw", "downsampled", "1 minute", avg, "5 minutes", cp)
+    q1.awaitTermination(120000)
+    // late point in the same window arrives after the first materialization
+    tsdb.writeLp("raw", Seq(s"cpu,host=h1 usage=3.0 ${t0 + 1000000000L}"))
+    val q2 = task.start("raw", "downsampled", "1 minute", avg, "5 minutes", cp)
+    q2.awaitTermination(120000)
+    val vals = tsdb.from("downsampled").toDF
+      .filter(col("measurement") === "cpu").select("value_f")
+      .as[Double].collect()
+    assert(vals.toSeq == Seq(2.0)) // refined mean replaced the first emission
+  }
+}
