@@ -1,0 +1,62 @@
+package graft
+
+import graft.dsl.Tsdb
+import graft.service._
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Engine entry point — the Run-lifecycle analogue (SURVEY §3 E1):
+  * config → SparkSession → idempotent bootstrap (org, bucket, tokens) →
+  * token-vending service → optional streaming LP ingest → await.
+  *
+  * Usage: graft.Main <warehouseDir> [lpIngestDir]
+  *
+  * Credentials come from GRAFT_SECRET_JSON (the reference fetches the
+  * same `{"influxdb_username": …, "influxdb_password": …}` document from
+  * Secrets Manager over IPC, src/retrieveInfluxDBSecrets.py).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val warehouse = args.headOption.getOrElse("/tmp/graft-warehouse")
+    val ingestDir = args.lift(1)
+
+    val config = EngineConfig(warehousePath = warehouse)
+      .validate().fold(msg => throw new IllegalArgumentException(msg), identity)
+
+    val spark = SparkSession.builder()
+      .appName("graft-engine")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+
+    val tsdb = Tsdb(spark, warehouse)
+
+    if (config.autoProvision) {
+      val secret = sys.env.getOrElse("GRAFT_SECRET_JSON",
+        """{"influxdb_username": "admin", "influxdb_password": "ChangeMe123#Secure"}""")
+      val prov = Bootstrap.provision(tsdb.catalog, config, new JsonSecretCredentials(secret))
+      println(if (prov.reused) "Reusing existing setup" else s"Provisioned bucket ${prov.bucketId}")
+      val bus = new InProcessBus
+      new TokenPublisher(tsdb.catalog, config, bus).listen()
+    }
+
+    val ready = Health.waitReady(() => tsdb.catalog.bucket(config.bucket).nonEmpty)
+    if (!ready) { System.err.println("engine failed readiness probe"); sys.exit(1) }
+
+    ingestDir match {
+      case Some(dir) =>
+        val q = new StreamIngest(tsdb).start(
+          config.bucket, spark.readStream.textFile(dir),
+          s"$warehouse/_checkpoints/ingest",
+          Trigger.ProcessingTime("10 seconds"))
+        q.awaitTermination()
+      case None =>
+        println("graft engine ready (no ingest dir; batch API only)")
+    }
+    spark.stop()
+  }
+}
