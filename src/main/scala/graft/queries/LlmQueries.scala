@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llmops.{DedupOps, SimHashOps, TextOps, VectorOps}
+import graft.llmops.{DedupOps, MultimodalOps, SimHashOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,7 +101,21 @@ object LlmQueries {
       VectorOps.cosineThresholdPairs(e, 0.45)
         .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // Multimodal plumbing (deterministic synthetic media; stub codec —
+    // no SQL oracle, rows-only check; full assertions live in
+    // MultimodalSpec).
+    "media_frames" -> ((s, _) =>
+      MultimodalOps.sampleFrames(MultimodalOps.syntheticMedia(s, 60), 250)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")),
+
+    "media_features" -> ((s, _) =>
+      MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, 60), 8)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), r4(avg(element_at(col("features"), 1))).as("avg_f0"))
+        .orderBy("kind"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -238,6 +252,13 @@ object LlmQueries {
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.id AS id_a, b.id AS id_b, round(${cos("a.v", "b.v")}, 4) AS cos
          |FROM e a JOIN e b ON a.id < b.id
-         |WHERE ${cos("a.v", "b.v")} >= 0.45 ORDER BY 1, 2""")
+         |WHERE ${cos("a.v", "b.v")} >= 0.45 ORDER BY 1, 2"""),
+    // media_frames: frame counts depend only on the synthetic generator's
+    // duration arithmetic (video = every 3rd asset, duration
+    // 1000*(1+i%5) ms, sampled every 250 ms) — independently recomputed.
+    // media_features stays rows-only: the stub codec hash is not SQL.
+    "media_frames" -> w(
+      """SELECT i AS media_id, CAST(1000 * (1 + i % 5) / 250 AS BIGINT) AS n_frames
+        |FROM range(0, 60) t(i) WHERE i % 3 = 2 ORDER BY 1""")
   )
 }
