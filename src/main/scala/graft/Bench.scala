@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: pay JVM/codegen/file-listing startup outside the timings
+    // (whichever query ran first was otherwise charged ~6 s of session
+    // warmup).
+    spark.range(1000).selectExpr("sum(id)").foreach(_ => ())
+    SparkEntry.queries.get("q1_agg").foreach(fn =>
+      try fn(spark, sfDir).foreach(_ => ()) catch { case _: Throwable => () })
     // Force full evaluation of every output column (a bare .count() would
     // let Catalyst prune computed projections and benchmark only the scan):
     // a no-op foreach over the rows materializes the complete result.

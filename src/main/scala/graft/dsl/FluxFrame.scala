@@ -42,13 +42,26 @@ final case class FluxFrame(
   // rename, duplicate, map, set) ----------------
 
   /** Flux `range(start:, stop:)` — half-open [start, stop). First verb
-    * after `from`; with dt-partitioned storage this prunes partitions.
+    * after `from`. On store-backed frames (which carry the `dt`
+    * partition column) the equivalent date bounds are added explicitly:
+    * Spark prunes `dt=` directories only on predicates over the
+    * partition column itself — it does not infer them from the `time`
+    * filter (the time filter still pushes to parquet row-group stats).
     */
   def range(start: java.sql.Timestamp, stop: java.sql.Timestamp): FluxFrame =
-    copy(df = df.filter(col(timeCol) >= lit(start) && col(timeCol) < lit(stop)))
+    rangeImpl(lit(start), lit(stop))
 
   def range(start: String, stop: String): FluxFrame =
-    copy(df = df.filter(col(timeCol) >= to_timestamp(lit(start)) && col(timeCol) < to_timestamp(lit(stop))))
+    rangeImpl(to_timestamp(lit(start)), to_timestamp(lit(stop)))
+
+  private def rangeImpl(start: Column, stop: Column): FluxFrame = {
+    val time = col(timeCol) >= start && col(timeCol) < stop
+    val pred =
+      if (df.columns.contains("dt"))
+        time && col("dt") >= to_date(start) && col("dt") <= to_date(stop)
+      else time
+    copy(df = df.filter(pred))
+  }
 
   /** Flux `filter(fn:)` — row predicate. */
   def where(pred: Column): FluxFrame = copy(df = df.filter(pred))

@@ -26,9 +26,11 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
     FluxFrame(df, Seq("measurement", "field"), "time", "value_f")
   }
 
-  /** Raw scan without the dedup window (fast path once compacted). */
+  /** Raw scan without the dedup window (fast path once compacted).
+    * `dt` is kept so range() prunes partitions.
+    */
   def fromRaw(bucket: String): FluxFrame =
-    FluxFrame(store.readRaw(bucket).drop("_ingest_seq", "dt"),
+    FluxFrame(store.readRaw(bucket).drop("_ingest_seq"),
       Seq("measurement", "field"), "time", "value_f")
 
   /** Flux `to(bucket:)` — write a query result back as points. The frame

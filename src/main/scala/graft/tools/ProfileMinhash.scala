@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.llmops.DedupOps
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: stage-by-stage timing of the MinHash-LSH pipeline. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // warm file listing
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val sh = time("shingles+cache") {
+      val s = DedupOps.shingles(docs, "doc_id", "text", 3).cache()
+      s.count(); s
+    }
+    val sig = time("signatures") {
+      val s = DedupOps.minHashSignatures(sh); s.count(); s
+    }
+    val bands = time("bands") {
+      val b = DedupOps.lshBands(sig); b.count(); b
+    }
+    val cands = time("candidates") {
+      val c = DedupOps.lshCandidates(bands).cache(); println(s"  cands=${c.count()}"); c
+    }
+    time("full pipeline") {
+      DedupOps.minHashLshPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    spark.stop()
+  }
+}
