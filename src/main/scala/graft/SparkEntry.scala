@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.WindowQueries.queries ++
       graft.queries.RelQueries.queries ++
-      graft.queries.LlmQueries.queries
+      graft.queries.LlmQueries.queries ++
+      graft.queries.EmaFamilyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.WindowQueries.oracle ++
       graft.queries.RelQueries.oracle ++
-      graft.queries.LlmQueries.oracle
+      graft.queries.LlmQueries.oracle ++
+      graft.queries.EmaFamilyQueries.oracle
 }

@@ -520,6 +520,16 @@ final case class FluxFrame(
     FluxFrame(out, groupKey, timeCol, as)
   }
 
+  /** InfluxQL `holtWinters(N, seasonal)`: additive triple exponential
+    * smoothing over a regular grid (apply after [[aggregateWindow]]),
+    * emitting fitted values + N forecast rows per series. α/β/γ are
+    * explicit parameters (the engine fits them; we stay deterministic).
+    * Output frame: (_hw_key, time, value, fitted, is_forecast).
+    */
+  def holtWinters(forecast: Int, season: Int,
+      alpha: Double = 0.5, beta: Double = 0.1, gamma: Double = 0.1): DataFrame =
+    SeriesScan.holtWinters(df, groupKey, timeCol, valueCol, forecast, season, alpha, beta, gamma)
+
   /** Flux `yield(name:)` — naming marker; materialization is caller's. */
   def yieldName(name: String): DataFrame = df
 

@@ -3,7 +3,7 @@ package graft.dsl
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** Order-sensitive per-series scans (EMA family, Holt-Winters, …).
   *
@@ -134,6 +134,104 @@ object SeriesScan {
           (CmoState(v, s.deltas), out)
         }
     }
+
+  /** Additive Holt-Winters (triple exponential smoothing) with fitted
+    * one-step-ahead values per input row and `forecast` extrapolated
+    * rows per series (the InfluxQL `holtWinters(N, seasonal)` shape;
+    * the reference engine fits α/β/γ by optimization — we take them as
+    * parameters, which keeps the scan deterministic).
+    *
+    * Requires a regular time grid (apply after `aggregateWindow`, like
+    * InfluxQL requires GROUP BY time()). Initialization: level = mean
+    * of season 1, trend = (mean of season 2 − mean of season 1)/m,
+    * seasonals = season-1 deviations; fitted values emitted from row m.
+    * Forecast timestamps continue at the series' mean step.
+    *
+    * Output: (keyCols..., orderCol, value, fitted, is_forecast).
+    */
+  def holtWinters(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      forecast: Int,
+      m: Int,
+      alpha: Double = 0.5,
+      beta: Double = 0.1,
+      gamma: Double = 0.1
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("_hw_key", StringType, nullable = false),
+      StructField(orderCol, org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("value", DoubleType, nullable = true),
+      StructField("fitted", DoubleType, nullable = true),
+      StructField("is_forecast", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val ordIdx = inSchema.fieldIndex(orderCol)
+    val valIdx = inSchema.fieldIndex(valueCol)
+
+    val sorted =
+      if (keyCols.isEmpty) df.repartition(1).sortWithinPartitions(col(orderCol))
+      else df.repartition(keyCols.map(col): _*)
+        .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+
+    sorted.mapPartitions { it =>
+      // group consecutive rows of one series, then scan each group
+      val grouped = new Iterator[(String, Vector[(Long, Double)])] {
+        val base = it.buffered
+        def hasNext = base.hasNext
+        def next(): (String, Vector[(Long, Double)]) = {
+          val key = keyIdx.map(base.head.get).mkString(" ")
+          val buf = Vector.newBuilder[(Long, Double)]
+          while (base.hasNext && keyIdx.map(base.head.get).mkString(" ") == key) {
+            val r = base.next()
+            val v = r.get(valIdx) match {
+              case null => Double.NaN
+              case x: java.lang.Number => x.doubleValue()
+            }
+            buf += ((r.get(ordIdx) match { case n: java.lang.Number => n.longValue() }, v))
+          }
+          (key, buf.result())
+        }
+      }
+      grouped.flatMap { case (key, rows0) =>
+        val rows = rows0.filterNot(_._2.isNaN)
+        if (rows.length < 2 * m) Iterator.empty
+        else {
+          val vs = rows.map(_._2)
+          val mean1 = vs.take(m).sum / m
+          val mean2 = vs.slice(m, 2 * m).sum / m
+          var level = mean1
+          var trend = (mean2 - mean1) / m
+          val season = Array.tabulate(m)(i => vs(i) - mean1)
+          val out = Vector.newBuilder[Row]
+          var i = m
+          while (i < rows.length) {
+            val (t, v) = rows(i)
+            val si = i % m
+            val fitted = level + trend + season(si)
+            out += Row(key, t, v, fitted, false)
+            val prevLevel = level
+            level = alpha * (v - season(si)) + (1 - alpha) * (level + trend)
+            trend = beta * (level - prevLevel) + (1 - beta) * trend
+            season(si) = gamma * (v - level) + (1 - gamma) * season(si)
+            i += 1
+          }
+          val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
+          var h = 1
+          while (h <= forecast) {
+            val t = rows.last._1 + step * h
+            out += Row(key, t, null, level + trend * h + season((rows.length + h - 1) % m), true)
+            h += 1
+          }
+          out.result().iterator
+        }
+      }
+    }
+  }
 
   /** Kaufman's adaptive moving average (n-period efficiency ratio). */
   final case class KamaState(window: scala.collection.mutable.Queue[Double], kama: java.lang.Double)

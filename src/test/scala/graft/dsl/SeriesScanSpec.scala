@@ -45,6 +45,35 @@ class SeriesScanSpec extends SparkSpec {
     assert(math.abs(out(3).get - 100.0 / 3) < 1e-12)
   }
 
+  test("holt-winters: constant series fits and forecasts exactly") {
+    val df = series((0 until 12).map(t => ("a", t.toLong, 7.0)): _*)
+    val out = SeriesScan.holtWinters(df, Seq("key"), "t", "v", forecast = 3, m = 4)
+      .orderBy("t").collect()
+    assert(out.length == 8 + 3) // fitted from row m=4, plus 3 forecasts
+    assert(out.forall(_.getDouble(3) == 7.0)) // fitted == constant
+    val fc = out.filter(_.getBoolean(4))
+    assert(fc.map(_.getLong(1)).toSeq == Seq(12L, 13L, 14L)) // grid continues
+    assert(fc.forall(r => r.isNullAt(2))) // forecasts carry no observed value
+  }
+
+  test("holt-winters: seasonal+trend forecast tracks the pattern") {
+    val season = Array(3.0, -1.0, -2.0, 0.0)
+    def v(t: Int) = 10.0 + 0.5 * t + season(t % 4)
+    val df = series((0 until 24).map(t => ("a", t.toLong, v(t))): _*)
+    val out = SeriesScan.holtWinters(df, Seq("key"), "t", "v",
+      forecast = 4, m = 4, alpha = 0.6, beta = 0.3, gamma = 0.4)
+      .orderBy("t").collect()
+    val fc = out.filter(_.getBoolean(4)).map(r => (r.getLong(1), r.getDouble(3)))
+    assert(fc.map(_._1).toSeq == Seq(24L, 25L, 26L, 27L))
+    // after 20 fitted steps the model should track the exact pattern closely
+    fc.foreach { case (t, f) => assert(math.abs(f - v(t.toInt)) < 0.7, s"t=$t f=$f expected=${v(t.toInt)}") }
+    // deterministic across runs
+    val again = SeriesScan.holtWinters(df, Seq("key"), "t", "v",
+      forecast = 4, m = 4, alpha = 0.6, beta = 0.3, gamma = 0.4)
+      .orderBy("t").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("null values pass through without touching state") {
     val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)), ("a", 4L, Some(3.0)))
       .toDF("key", "t", "v")
