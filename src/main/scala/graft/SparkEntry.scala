@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.WindowQueries.queries ++
       graft.queries.RelQueries.queries ++
       graft.queries.LlmQueries.queries ++
-      graft.queries.EmaFamilyQueries.queries
+      graft.queries.EmaFamilyQueries.queries ++
+      graft.queries.FluxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.WindowQueries.oracle ++
       graft.queries.RelQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
-      graft.queries.EmaFamilyQueries.oracle
+      graft.queries.EmaFamilyQueries.oracle ++
+      graft.queries.FluxQueries.oracle
 }

@@ -1,0 +1,233 @@
+package graft.flux
+
+import graft.dsl.FluxFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluator: a parsed Flux [[FluxParser.Pipeline]] onto the FluxFrame
+  * verb surface. Each verb is pure plan construction, so a Flux text
+  * query gets the same Catalyst treatment as DSL calls (pushdown,
+  * pruning, AQE).
+  *
+  * Column-name bridge: Flux exposes `_time`/`_value`/`_measurement`;
+  * the [[Source]] resolver maps those onto the frame's actual columns.
+  */
+object FluxEval {
+  import FluxParser._
+
+  /** Bucket resolver + Flux-name → actual-column mapping. The frame is
+    * normalized to Flux naming (`_time`, `_value`, `_measurement`, …)
+    * right after `from`, so every later verb — and its default output
+    * column names — lives in one consistent namespace, exactly like
+    * Flux tables do.
+    */
+  final case class Source(
+      resolve: String => FluxFrame,
+      rename: Map[String, String] = Map.empty)
+
+  final case class EvalException(msg: String) extends Exception(msg)
+
+  def run(query: String, source: Source): DataFrame = {
+    val pipe = FluxParser.parse(query)
+    pipe.calls.headOption match {
+      case Some(Call("from", args)) =>
+        val bucket = str(args, "bucket")
+        val frame0 = source.rename.foldLeft(source.resolve(bucket)) {
+          case (fr, (flux, actual)) if fr.df.columns.contains(actual) => fr.rename(actual -> flux)
+          case (fr, _) => fr
+        }
+        val out = pipe.calls.tail.foldLeft(frame0)((f, c) => apply(f, c, source))
+        out.toDF
+      case _ => throw EvalException("query must start with from(bucket: ...)")
+    }
+  }
+
+  private def apply(f: FluxFrame, call: Call, source: Source): FluxFrame = call.verb match {
+    case "range" =>
+      f.range(timeStr(call.args, "start"), timeStr(call.args, "stop"))
+    case "filter" =>
+      f.where(predicate(lambda(call.args, "fn").body, f, source))
+    case "group" =>
+      val cols = strArr(call.args, "columns")
+      call.args.get("mode") match {
+        case Some(VStr("except")) => f.groupExcept(cols: _*)
+        case _ => f.group(cols: _*)
+      }
+    case "aggregateWindow" =>
+      val fn = aggFn(call.args.getOrElse("fn", VIdent("mean")))
+      val createEmpty = call.args.get("createEmpty").contains(VBool(true))
+      f.aggregateWindow(interval(call.args("every")), fn, createEmpty)
+    case "window" =>
+      f.window(interval(call.args("every")))
+    case "keep" => f.keep(strArr(call.args, "columns"): _*)
+    case "drop" => f.dropCols(strArr(call.args, "columns"): _*)
+    case "rename" => call.args("columns") match {
+      case VRec(fields) =>
+        f.rename(fields.map { case (k, v) => k -> str0(v) }: _*)
+      case _ => throw EvalException("rename(columns: {old: \"new\"}) expected")
+    }
+    case "duplicate" =>
+      f.duplicate(str(call.args, "column"), str(call.args, "as"))
+    case "set" => f.set(str(call.args, "key"), str(call.args, "value"))
+    case "sort" =>
+      val desc = call.args.get("desc").contains(VBool(true))
+      val cols = strArr(call.args, "columns")
+        .map(c => if (desc) col(c).desc else col(c).asc)
+      f.sort(cols: _*)
+    case "limit" =>
+      f.limitPerGroup(num(call.args, "n").toInt,
+        call.args.get("offset").map(v => num0(v).toInt).getOrElse(0))
+    case "tail" => f.tail(num(call.args, "n").toInt)
+    case "top" => f.top(num(call.args, "n").toInt)
+    case "bottom" => f.bottom(num(call.args, "n").toInt)
+    case "sample" => f.sample(num(call.args, "n").toInt,
+      call.args.get("pos").map(v => num0(v).toInt).getOrElse(0))
+    case "unique" => f.unique(call.args.get("column").map(str0).getOrElse(""))
+    case "distinct" =>
+      val c = call.args.get("column").map(str0).getOrElse("")
+      FluxFrame(f.distinctV(c), f.groupKey, f.timeCol, if (c.isEmpty) f.valueCol else c)
+    // aggregate verbs (per current group key)
+    case "count" => f.countRows()
+    case "sum" => f.sumV()
+    case "mean" => f.meanV()
+    case "min" => f.minV()
+    case "max" => f.maxV()
+    case "median" => f.medianV()
+    case "mode" => f.modeV()
+    case "stddev" => f.stddevV()
+    case "spread" => f.spread()
+    case "first" => f.firstV()
+    case "last" => f.lastV()
+    case "quantile" => f.quantile(num(call.args, "q"))
+    case "integral" => f.integral(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
+    // per-series transforms
+    case "derivative" =>
+      f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),
+        call.args.get("nonNegative").contains(VBool(true)))
+    case "difference" => f.difference(
+      call.args.get("nonNegative").contains(VBool(true)),
+      call.args.get("keepFirst").contains(VBool(true)))
+    case "increase" => f.increase()
+    case "cumulativeSum" => f.cumulativeSum()
+    case "movingAverage" => f.movingAverage(num(call.args, "n").toInt)
+    case "timedMovingAverage" => f.timedMovingAverage(durSeconds(call.args("period")).toLong)
+    case "exponentialMovingAverage" => f.ema(num(call.args, "n").toInt)
+    case "doubleEMA" => f.doubleEma(num(call.args, "n").toInt)
+    case "tripleEMA" => f.tripleEma(num(call.args, "n").toInt)
+    case "relativeStrengthIndex" => f.rsi(num(call.args, "n").toInt)
+    case "chandeMomentumOscillator" => f.chandeMomentum(num(call.args, "n").toInt)
+    case "kaufmansAMA" => f.kaufmansAma(num(call.args, "n").toInt)
+    case "timeShift" => f.timeShift(interval(call.args("duration")))
+    case "elapsed" => f.elapsed(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
+    case "fill" =>
+      if (call.args.get("usePrevious").contains(VBool(true))) f.fillPrevious()
+      else f.fill(num(call.args, "value"))
+    case "stateCount" =>
+      f.stateCount(predicate(lambda(call.args, "fn").body, f, source))
+    case "stateDuration" =>
+      f.stateDuration(predicate(lambda(call.args, "fn").body, f, source))
+    case "yield" => f // naming marker
+    case other => throw EvalException(s"unsupported verb '$other'")
+  }
+
+  // --- predicate translation: Flux lambda AST → Catalyst Column
+
+  private def predicate(e: Expr, f: FluxFrame, source: Source): Column = e match {
+    case And(l, r) => predicate(l, f, source) && predicate(r, f, source)
+    case Or(l, r) => predicate(l, f, source) || predicate(r, f, source)
+    case Not(x) => !predicate(x, f, source)
+    case Cmp(op, lhs, rhs) =>
+      val l = operand(lhs, f, source)
+      (op, rhs) match {
+        case ("=~", Regex(p)) => l.rlike(p)
+        case ("!~", Regex(p)) => !l.rlike(p)
+        case _ =>
+          val r = operand(rhs, f, source)
+          op match {
+            case "==" => l === r
+            case "!=" => l =!= r
+            case ">"  => l > r
+            case "<"  => l < r
+            case ">=" => l >= r
+            case "<=" => l <= r
+            case o => throw EvalException(s"unsupported comparison '$o'")
+          }
+      }
+    case ColRef(c) => col(c) // bare boolean column
+    case other => throw EvalException(s"unsupported predicate $other")
+  }
+
+  private def operand(e: Expr, f: FluxFrame, source: Source): Column = e match {
+    case ColRef(c) => col(c)
+    case Lit(VStr(s)) => lit(s)
+    case Lit(VNum(d)) => lit(d)
+    case Lit(VBool(b)) => lit(b)
+    case Lit(VTime(t)) => to_timestamp(lit(t.replace("T", " ").stripSuffix("Z")))
+    case other => throw EvalException(s"unsupported operand $other")
+  }
+
+  // --- helpers
+
+  private def aggFn(v: Value): Column => Column = v match {
+    case VIdent("mean") => avg
+    case VIdent("sum") => sum
+    case VIdent("count") => count
+    case VIdent("min") => min
+    case VIdent("max") => max
+    case VIdent("median") => c => percentile(c, lit(0.5))
+    case VIdent("stddev") => stddev_samp
+    case other => throw EvalException(s"unsupported aggregate fn $other")
+  }
+
+  private def interval(v: Value): String = v match {
+    case VDur(n, "ns") => s"${n / 1000} microseconds"
+    case VDur(n, "us") => s"$n microseconds"
+    case VDur(n, "ms") => s"$n milliseconds"
+    case VDur(n, "s") => s"$n seconds"
+    case VDur(n, "m") => s"$n minutes"
+    case VDur(n, "h") => s"$n hours"
+    case VDur(n, "d") => s"$n days"
+    case VDur(n, "w") => s"${n * 7} days"
+    case other => throw EvalException(s"expected duration, got $other")
+  }
+
+  private def durSeconds(v: Value): Double = v match {
+    case VDur(n, "ns") => n / 1e9
+    case VDur(n, "us") => n / 1e6
+    case VDur(n, "ms") => n / 1e3
+    case VDur(n, "s") => n.toDouble
+    case VDur(n, "m") => n * 60.0
+    case VDur(n, "h") => n * 3600.0
+    case VDur(n, "d") => n * 86400.0
+    case VDur(n, "w") => n * 604800.0
+    case other => throw EvalException(s"expected duration, got $other")
+  }
+
+  private def lambda(args: Map[String, Value], k: String): VLambda = args(k) match {
+    case l: VLambda => l
+    case other => throw EvalException(s"expected lambda for '$k', got $other")
+  }
+  private def str(args: Map[String, Value], k: String): String = str0(
+    args.getOrElse(k, throw EvalException(s"missing argument '$k'")))
+  private def str0(v: Value): String = v match {
+    case VStr(s) => s
+    case other => throw EvalException(s"expected string, got $other")
+  }
+  private def strArr(args: Map[String, Value], k: String): Seq[String] =
+    args.getOrElse(k, throw EvalException(s"missing argument '$k'")) match {
+      case VArr(items) => items.map(str0)
+      case other => throw EvalException(s"expected array, got $other")
+    }
+  private def num(args: Map[String, Value], k: String): Double =
+    num0(args.getOrElse(k, throw EvalException(s"missing argument '$k'")))
+  private def num0(v: Value): Double = v match {
+    case VNum(d) => d
+    case other => throw EvalException(s"expected number, got $other")
+  }
+  private def timeStr(args: Map[String, Value], k: String): String =
+    args.getOrElse(k, throw EvalException(s"missing argument '$k'")) match {
+      case VTime(t) => t.replace("T", " ").stripSuffix("Z")
+      case VStr(s) => s
+      case other => throw EvalException(s"expected time for '$k', got $other")
+    }
+}

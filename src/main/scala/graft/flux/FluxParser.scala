@@ -1,0 +1,220 @@
+package graft.flux
+
+/** Parser for the Flux pipeline subset the reference's users actually
+  * write against the pinned engine (reference README shows Flux in use;
+  * the DSL is the execution contract — this is the text front-end):
+  *
+  * {{{
+  * from(bucket: "telemetry")
+  *   |> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+  *   |> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+  *   |> aggregateWindow(every: 1h, fn: mean)
+  *   |> keep(columns: ["_time", "_value"])
+  * }}}
+  *
+  * Produces a verb-call AST; evaluation to DataFrames lives in
+  * [[FluxEval]]. Hand-rolled recursive descent, no dependencies.
+  */
+object FluxParser {
+
+  sealed trait Value
+  final case class VStr(s: String) extends Value
+  final case class VNum(d: Double) extends Value
+  final case class VBool(b: Boolean) extends Value
+  final case class VDur(amount: Long, unit: String) extends Value // unit: s m h d w
+  final case class VTime(iso: String) extends Value
+  final case class VArr(items: Seq[Value]) extends Value
+  final case class VRec(fields: Seq[(String, Value)]) extends Value
+  final case class VIdent(name: String) extends Value // bare fn name like `mean`
+  final case class VLambda(param: String, body: Expr) extends Value
+
+  sealed trait Expr
+  final case class ColRef(name: String) extends Expr
+  final case class Lit(v: Value) extends Expr
+  final case class Cmp(op: String, lhs: Expr, rhs: Expr) extends Expr // == != > < >= <= =~ !~
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Regex(pattern: String) extends Expr
+
+  final case class Call(verb: String, args: Map[String, Value])
+  final case class Pipeline(calls: Seq[Call])
+
+  final case class ParseException(msg: String, pos: Int) extends Exception(s"$msg at offset $pos")
+
+  def parse(src: String): Pipeline = new P(src).pipeline()
+
+  private final class P(src: String) {
+    private var i = 0
+
+    def pipeline(): Pipeline = {
+      ws()
+      val calls = Seq.newBuilder[Call]
+      calls += call()
+      ws()
+      while (peekStr("|>")) { expect("|>"); ws(); calls += call(); ws() }
+      if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
+      Pipeline(calls.result())
+    }
+
+    private def call(): Call = {
+      val name = ident()
+      ws(); expect("(")
+      val args = Map.newBuilder[String, Value]
+      ws()
+      if (!peekStr(")")) {
+        args += arg()
+        ws()
+        while (peekStr(",")) { expect(","); ws(); args += arg(); ws() }
+      }
+      expect(")")
+      Call(name, args.result())
+    }
+
+    private def arg(): (String, Value) = {
+      val k = ident(); ws(); expect(":"); ws()
+      (k, value())
+    }
+
+    private def value(): Value = {
+      if (peekStr("\"")) VStr(stringLit())
+      else if (peekStr("[")) { expect("["); ws()
+        val items = Seq.newBuilder[Value]
+        if (!peekStr("]")) {
+          items += value(); ws()
+          while (peekStr(",")) { expect(","); ws(); items += value(); ws() }
+        }
+        expect("]"); VArr(items.result())
+      }
+      else if (peekStr("{")) { expect("{"); ws()
+        val fields = Seq.newBuilder[(String, Value)]
+        if (!peekStr("}")) {
+          fields += recField(); ws()
+          while (peekStr(",")) { expect(","); ws(); fields += recField(); ws() }
+        }
+        expect("}"); VRec(fields.result())
+      }
+      else if (peekStr("(")) lambda()
+      else if (peekStr("true")) { expect("true"); VBool(true) }
+      else if (peekStr("false")) { expect("false"); VBool(false) }
+      else if (i < src.length && (src(i).isDigit || src(i) == '-')) numOrDurOrTime()
+      else VIdent(ident())
+    }
+
+    private def recField(): (String, Value) = {
+      val k = ident(); ws(); expect(":"); ws(); (k, value())
+    }
+
+    private def lambda(): VLambda = {
+      expect("("); ws()
+      val param = ident(); ws()
+      expect(")"); ws(); expect("=>"); ws()
+      VLambda(param, orExpr(param))
+    }
+
+    private def orExpr(p: String): Expr = {
+      var l = andExpr(p); ws()
+      while (peekWord("or")) { expectWord("or"); ws(); l = Or(l, andExpr(p)); ws() }
+      l
+    }
+    private def andExpr(p: String): Expr = {
+      var l = cmpExpr(p); ws()
+      while (peekWord("and")) { expectWord("and"); ws(); l = And(l, cmpExpr(p)); ws() }
+      l
+    }
+    private def cmpExpr(p: String): Expr = {
+      if (peekWord("not")) { expectWord("not"); ws(); return Not(cmpExpr(p)) }
+      if (peekStr("(")) { expect("("); ws(); val e = orExpr(p); ws(); expect(")"); return e }
+      val lhs = primary(p); ws()
+      val op = Seq("==", "!=", ">=", "<=", "=~", "!~", ">", "<").find(peekStr)
+      op match {
+        case Some(o) => expect(o); ws(); Cmp(o, lhs, primary(p))
+        case None => lhs
+      }
+    }
+    private def primary(p: String): Expr = {
+      if (peekStr("\"")) Lit(VStr(stringLit()))
+      else if (peekStr("/")) { // /regex/
+        expect("/")
+        val sb = new StringBuilder
+        while (i < src.length && src(i) != '/') { sb.append(src(i)); i += 1 }
+        expect("/")
+        Regex(sb.toString)
+      }
+      else if (i < src.length && (src(i).isDigit || src(i) == '-')) Lit(numOrDurOrTime())
+      else if (peekWord("true")) { expectWord("true"); Lit(VBool(true)) }
+      else if (peekWord("false")) { expectWord("false"); Lit(VBool(false)) }
+      else {
+        val name = ident()
+        if (name == p) { expect("."); ColRef(identDots()) }
+        else fail(s"unknown identifier '$name' (expected $p.<column> or a literal)")
+      }
+    }
+
+    private def numOrDurOrTime(): Value = {
+      val start = i
+      if (peekStr("-")) i += 1
+      while (i < src.length && src(i).isDigit) i += 1
+      // RFC3339 timestamp?
+      if (i < src.length && src(i) == '-' && i - start == 4) {
+        while (i < src.length && (src(i).isLetterOrDigit || "-:.+".contains(src(i)))) i += 1
+        return VTime(src.substring(start, i))
+      }
+      if (i < src.length && src(i) == '.') {
+        i += 1
+        while (i < src.length && src(i).isDigit) i += 1
+        return VNum(src.substring(start, i).toDouble)
+      }
+      // duration suffix?
+      val unitStart = i
+      while (i < src.length && src(i).isLetter) i += 1
+      val unit = src.substring(unitStart, i)
+      if (unit.nonEmpty) {
+        if (!Seq("ns", "us", "ms", "s", "m", "h", "d", "w", "mo", "y").contains(unit))
+          fail(s"unknown duration unit '$unit'")
+        VDur(src.substring(start, unitStart).toLong, unit)
+      } else VNum(src.substring(start, i).toDouble)
+    }
+
+    private def stringLit(): String = {
+      expect("\"")
+      val sb = new StringBuilder
+      while (i < src.length && src(i) != '"') {
+        if (src(i) == '\\' && i + 1 < src.length) { sb.append(src(i + 1)); i += 2 }
+        else { sb.append(src(i)); i += 1 }
+      }
+      expect("\"")
+      sb.toString
+    }
+
+    private def ident(): String = {
+      val start = i
+      while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+      if (i == start) fail("expected identifier")
+      src.substring(start, i)
+    }
+    private def identDots(): String = {
+      val start = i
+      while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_' || src(i) == '.')) i += 1
+      if (i == start) fail("expected identifier")
+      src.substring(start, i)
+    }
+
+    private def ws(): Unit = {
+      var go = true
+      while (go) {
+        while (i < src.length && src(i).isWhitespace) i += 1
+        if (peekStr("//")) { while (i < src.length && src(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    private def peekStr(s: String): Boolean = src.regionMatches(i, s, 0, s.length)
+    private def peekWord(w: String): Boolean =
+      peekStr(w) && (i + w.length >= src.length || !(src(i + w.length).isLetterOrDigit || src(i + w.length) == '_'))
+    private def expect(s: String): Unit =
+      if (peekStr(s)) i += s.length else fail(s"expected '$s'")
+    private def expectWord(w: String): Unit =
+      if (peekWord(w)) i += w.length else fail(s"expected '$w'")
+    private def fail(msg: String): Nothing = throw ParseException(msg, i)
+  }
+}

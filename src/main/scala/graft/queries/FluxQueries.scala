@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.flux.FluxEval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate entries driven through the Flux TEXT front-end — the query
+  * enters as Flux source, is parsed and evaluated onto the DSL, and
+  * must hash-match the same SQL oracle as a hand-written pipeline
+  * (proves the text surface, parser, and evaluator end-to-end).
+  */
+object FluxQueries {
+  import QueryUtil._
+
+  private def source(s: SparkSession, dir: String) = FluxEval.Source(
+    resolve = _ => ev(s, dir),
+    rename = Map("_time" -> "ts", "_value" -> "value", "_measurement" -> "event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "flux_downsample" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> filter(fn: (r) => r._measurement == "click" or r._measurement == "view")
+          ||> aggregateWindow(every: 6h, fn: mean)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
+        .orderBy("_measurement", "wend")),
+
+    "flux_topk" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> filter(fn: (r) => r._value > 90 and r._measurement != "error")
+          ||> top(n: 5)
+          ||> keep(columns: ["_measurement", "event_id", "_value"])""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("event_id"), r4(col("_value")).as("v"))
+        .orderBy("_measurement", "event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "flux_downsample" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
+        |  round(avg(value), 4) AS mean_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_topk" ->
+      """SELECT event_type AS _measurement, event_id, round(value, 4) AS v FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, epoch_us(ts)) AS rn
+        |  FROM events WHERE value > 90 AND event_type <> 'error')
+        |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.flux
+
+import graft.SparkSpec
+import graft.dsl.FluxFrame
+import org.apache.spark.sql.functions._
+
+/** Flux text front-end: parse golden queries + evaluate end-to-end on
+  * a small frame, same results as the equivalent DSL calls.
+  */
+class FluxSpec extends SparkSpec {
+  import spark.implicits._
+  import FluxParser._
+
+  test("parses a full pipeline with lambda, durations, arrays") {
+    val p = FluxParser.parse(
+      """from(bucket: "telemetry")
+        |  // downsample cpu for one host
+        |  |> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+        |  |> filter(fn: (r) => r._measurement == "cpu" and (r.host == "h1" or r.host == "h2"))
+        |  |> aggregateWindow(every: 1h, fn: mean, createEmpty: true)
+        |  |> keep(columns: ["_time", "_value"])
+        |  |> limit(n: 10, offset: 2)
+        |  |> yield(name: "out")""".stripMargin)
+    assert(p.calls.map(_.verb) ==
+      Seq("from", "range", "filter", "aggregateWindow", "keep", "limit", "yield"))
+    assert(p.calls(1).args("start") == VTime("2024-01-08T00:00:00Z"))
+    assert(p.calls(3).args("every") == VDur(1, "h"))
+    assert(p.calls(3).args("createEmpty") == VBool(true))
+    val VLambda(param, body) = p.calls(2).args("fn"): @unchecked
+    assert(param == "r")
+    assert(body == And(
+      Cmp("==", ColRef("_measurement"), Lit(VStr("cpu"))),
+      Or(Cmp("==", ColRef("host"), Lit(VStr("h1"))),
+         Cmp("==", ColRef("host"), Lit(VStr("h2"))))))
+  }
+
+  test("parses regex match and rename records") {
+    val p = FluxParser.parse(
+      """from(bucket: "b") |> filter(fn: (r) => r.host =~ /^edge-[0-9]+$/)
+        | |> rename(columns: {old: "new"})""".stripMargin)
+    val VLambda(_, body) = p.calls(1).args("fn"): @unchecked
+    assert(body == Cmp("=~", ColRef("host"), Regex("^edge-[0-9]+$")))
+    assert(p.calls(2).args("columns") == VRec(Seq("old" -> VStr("new"))))
+  }
+
+  test("rejects malformed input with position info") {
+    assertThrows[ParseException](FluxParser.parse("from(bucket: )"))
+    assertThrows[ParseException](FluxParser.parse("""from(bucket: "b") |> |> mean()"""))
+    assertThrows[ParseException](FluxParser.parse("""from(bucket: "b") trailing"""))
+  }
+
+  private def eventsFrame = {
+    val rows = Seq(
+      ("cpu", "h1", java.sql.Timestamp.valueOf("2024-01-08 00:10:00"), 1.0),
+      ("cpu", "h1", java.sql.Timestamp.valueOf("2024-01-08 00:20:00"), 3.0),
+      ("cpu", "h2", java.sql.Timestamp.valueOf("2024-01-08 00:15:00"), 10.0),
+      ("mem", "h1", java.sql.Timestamp.valueOf("2024-01-08 00:05:00"), 99.0),
+      ("cpu", "h1", java.sql.Timestamp.valueOf("2024-01-09 00:10:00"), 5.0))
+      .toDF("measurement", "host", "ts", "value")
+    FluxFrame(rows, Seq("measurement"), "ts", "value")
+  }
+
+  private val source = FluxEval.Source(
+    resolve = _ => eventsFrame,
+    rename = Map("_time" -> "ts", "_value" -> "value", "_measurement" -> "measurement"))
+
+  test("evaluates range + filter + mean like the DSL") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-09T00:00:00Z)
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> mean()""".stripMargin, source)
+    assert(out.select("_value").as[Double].collect().toSeq == Seq(2.0))
+  }
+
+  test("evaluates aggregateWindow + keep") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-09T00:00:00Z)
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> aggregateWindow(every: 1h, fn: sum)
+        ||> keep(columns: ["_time", "_value"])""".stripMargin, source)
+    assert(out.columns.toSeq == Seq("_time", "_value"))
+    assert(out.as[(java.sql.Timestamp, Double)].collect().toMap
+      .get(java.sql.Timestamp.valueOf("2024-01-08 01:00:00")).contains(14.0))
+  }
+
+  test("evaluates regex filter and derivative") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r.host =~ /^h1$/ and r._measurement == "cpu")
+        ||> derivative(unit: 1m)""".stripMargin, source)
+    // h1 cpu: (3-1)/(10min/1min)=0.2 ; (5-3)/(1450min)=~0.0014
+    val vals = out.orderBy("ts").select("_value").as[Double].collect()
+    assert(math.abs(vals(0) - 0.2) < 1e-12)
+  }
+
+  test("unsupported verb raises a clear error") {
+    val e = intercept[FluxEval.EvalException](
+      FluxEval.run("""from(bucket: "b") |> pivot(rowKey: ["_time"])""", source))
+    assert(e.getMessage.contains("pivot"))
+  }
+}
