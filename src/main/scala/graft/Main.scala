@@ -35,14 +35,19 @@ object Main {
 
     val tsdb = Tsdb(spark, warehouse)
 
-    if (config.autoProvision) {
-      val secret = sys.env.getOrElse("GRAFT_SECRET_JSON",
-        """{"influxdb_username": "admin", "influxdb_password": "ChangeMe123#Secure"}""")
-      val prov = Bootstrap.provision(tsdb.catalog, config, new JsonSecretCredentials(secret))
-      println(if (prov.reused) "Reusing existing setup" else s"Provisioned bucket ${prov.bucketId}")
-      val bus = new InProcessBus
-      new TokenPublisher(tsdb.catalog, config, bus).listen()
-    }
+    val api: Option[HttpApi] =
+      if (!config.autoProvision) None
+      else {
+        val secret = sys.env.getOrElse("GRAFT_SECRET_JSON",
+          """{"influxdb_username": "admin", "influxdb_password": "ChangeMe123#Secure"}""")
+        val prov = Bootstrap.provision(tsdb.catalog, config, new JsonSecretCredentials(secret))
+        println(if (prov.reused) "Reusing existing setup" else s"Provisioned bucket ${prov.bucketId}")
+        val bus = new InProcessBus
+        new TokenPublisher(tsdb.catalog, config, bus).listen()
+        val a = new HttpApi(tsdb, config.port.toInt).start()
+        println(s"/api/v2 listening on ${config.interface}:${a.boundPort}")
+        Some(a)
+      }
 
     val ready = Health.waitReady(() => tsdb.catalog.bucket(config.bucket).nonEmpty)
     if (!ready) { System.err.println("engine failed readiness probe"); sys.exit(1) }
@@ -53,10 +58,17 @@ object Main {
           config.bucket, spark.readStream.textFile(dir),
           s"$warehouse/_checkpoints/ingest",
           Trigger.ProcessingTime("10 seconds"))
-        q.awaitTermination()
+        q.awaitTermination() // Spark stays up for the API while ingesting
+      case None if api.nonEmpty =>
+        // keep-alive: serve /api/v2 until killed (the reference blocks on
+        // `docker logs --follow` the same way, C6). Spark must outlive
+        // the server — queries run through it.
+        println("graft engine ready — serving /api/v2")
+        new java.util.concurrent.CountDownLatch(1).await()
       case None =>
-        println("graft engine ready (no ingest dir; batch API only)")
+        println("graft engine ready (no provisioning, batch API only)")
     }
+    api.foreach(_.stop())
     spark.stop()
   }
 }

@@ -1,0 +1,117 @@
+package graft.service
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.dsl.Tsdb
+import graft.flux.FluxEval
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The /api/v2 HTTP surface of the pinned engine, on the JDK's built-in
+  * HttpServer (no dependencies):
+  *
+  *  - `POST /api/v2/write?bucket=…`  — line-protocol body; 204 on
+  *    success, 400 on malformed LP, 401 without a write-capable token
+  *  - `POST /api/v2/query`           — Flux text body (or JSON
+  *    `{"query": …}`); annotated-CSV response; any valid token
+  *  - `GET  /health`                 — `{"status": "pass"}` (the C7
+  *    readiness probe target; reference health-checks with `influx
+  *    ping`, src/influxdb_utils.sh:31-33)
+  *  - `GET  /ping`                   — 204
+  *
+  * Auth mirrors the reference's scoped tokens: `Authorization: Token x`
+  * resolved against the catalog registry — write requires the RW or
+  * admin token, read any registered token (C8/C16 semantics).
+  */
+final class HttpApi(tsdb: Tsdb, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def tokenOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Token "))
+      .map(_.stripPrefix("Token "))
+
+  private def canRead(tok: String): Boolean =
+    tsdb.catalog.listTokens.exists(_.token == tok)
+
+  private def canWrite(tok: String): Boolean =
+    tsdb.catalog.listTokens.exists(r =>
+      r.token == tok &&
+        (r.description == "greengrass_readwrite" || r.description.contains("'s Token")))
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def query(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == name => v }
+
+  server.createContext("/health", (ex: HttpExchange) =>
+    respond(ex, 200, """{"name": "graft", "status": "pass"}"""))
+
+  server.createContext("/ping", (ex: HttpExchange) => respond(ex, 204, ""))
+
+  server.createContext("/api/v2/write", (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, """{"message": "POST only"}""")
+      else tokenOf(ex).filter(canWrite) match {
+        case None => respond(ex, 401, """{"message": "unauthorized: write token required"}""")
+        case Some(_) =>
+          val bucket = query(ex, "bucket").getOrElse("")
+          if (tsdb.catalog.bucket(bucket).isEmpty)
+            respond(ex, 404, s"""{"message": "bucket '$bucket' not found"}""")
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val lines = body.split('\n').toSeq.filter(_.trim.nonEmpty)
+            try {
+              tsdb.writeLp(bucket, lines)
+              respond(ex, 204, "")
+            } catch {
+              case e: graft.lineprotocol.LineProtocol.ParseError =>
+                respond(ex, 400, s"""{"message": "${e.getMessage.replace("\"", "'")}"}""")
+            }
+          }
+      }
+    } catch { case e: Throwable => respond(ex, 500, s"""{"message": "${e.getMessage}"}""") }
+  })
+
+  server.createContext("/api/v2/query", (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, """{"message": "POST only"}""")
+      else tokenOf(ex).filter(canRead) match {
+        case None => respond(ex, 401, """{"message": "unauthorized"}""")
+        case Some(_) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val flux =
+            if (body.trim.startsWith("{")) {
+              val node = Json.mapper.readTree(body)
+              Option(node.get("query")).map(_.asText()).getOrElse("")
+            } else body
+          val source = FluxEval.Source(
+            resolve = b => tsdb.from(b),
+            rename = Map("_time" -> "time", "_value" -> "value_f",
+              "_measurement" -> "measurement", "_field" -> "field"))
+          try {
+            val df = FluxEval.run(flux, source)
+            respond(ex, 200, AnnotatedCsv.format(df), "text/csv; charset=utf-8")
+          } catch {
+            case e @ (_: graft.flux.FluxParser.ParseException | _: FluxEval.EvalException) =>
+              respond(ex, 400, s"""{"message": "${e.getMessage.replace("\"", "'")}"}""")
+          }
+      }
+    } catch { case e: Throwable => respond(ex, 500, s"""{"message": "${e.getMessage}"}""") }
+  })
+
+  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,93 @@
+package graft.service
+
+import graft.SparkSpec
+import graft.dsl.Tsdb
+import graft.store.TokenRecord
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** Drives the /api/v2 HTTP surface end-to-end with a real client:
+  * token-authed LP write → Flux query → annotated-CSV response.
+  */
+class HttpApiSpec extends SparkSpec {
+
+  private lazy val tsdb: Tsdb = {
+    val t = Tsdb(spark, Files.createTempDirectory("graft-http-spec").toString)
+    t.catalog.createBucket("telemetry", "greengrass")
+    t.catalog.addToken(TokenRecord("1", "admin's Token", "admTok", "active", "admin", "u1", Nil))
+    t.catalog.addToken(TokenRecord("2", "greengrass_read", "roTok", "active", "admin", "u1", Nil))
+    t.catalog.addToken(TokenRecord("3", "greengrass_readwrite", "rwTok", "active", "admin", "u1", Nil))
+    t
+  }
+  private lazy val api = new HttpApi(tsdb).start()
+  private lazy val base = s"http://127.0.0.1:${api.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String, token: Option[String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Token $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private val t0 = 1705276800L * 1000000000L
+
+  test("health and ping respond like the engine") {
+    assert(get("/health").statusCode() == 200)
+    assert(get("/health").body().contains("\"pass\""))
+    assert(get("/ping").statusCode() == 204)
+  }
+
+  test("write requires a write-capable token") {
+    val lp = s"cpu,host=h1 usage=0.5 $t0"
+    assert(post("/api/v2/write?bucket=telemetry", lp, None).statusCode() == 401)
+    assert(post("/api/v2/write?bucket=telemetry", lp, Some("roTok")).statusCode() == 401)
+    assert(post("/api/v2/write?bucket=telemetry", lp, Some("rwTok")).statusCode() == 204)
+    assert(post("/api/v2/write?bucket=nope", lp, Some("rwTok")).statusCode() == 404)
+  }
+
+  test("malformed line protocol is a 400, not a 500") {
+    val r = post("/api/v2/write?bucket=telemetry", "cpu,host= broken", Some("rwTok"))
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("message"))
+  }
+
+  test("flux query round-trips to annotated CSV") {
+    post("/api/v2/write?bucket=telemetry",
+      Seq(s"cpu,host=h1 usage=0.25 $t0",
+          s"cpu,host=h1 usage=0.75 ${t0 + 60L * 1000000000L}").mkString("\n"),
+      Some("rwTok"))
+    val q =
+      """from(bucket: "telemetry")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r._field == "usage")
+        ||> mean()""".stripMargin
+    val r = post("/api/v2/query", q, Some("roTok"))
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    assert(body.startsWith("#datatype"))
+    assert(body.contains("#group"))
+    assert(body.contains("#default,_result"))
+    assert(body.contains(",result,table"))
+    assert(body.contains("0.5")) // mean of 0.25, 0.75
+  }
+
+  test("query accepts the JSON envelope form") {
+    val r = post("/api/v2/query",
+      """{"query": "from(bucket: \"telemetry\") |> count()"}""", Some("admTok"))
+    assert(r.statusCode() == 200 && r.body().startsWith("#datatype"))
+  }
+
+  test("bad flux is a 400 with the parse message") {
+    val r = post("/api/v2/query", "from(bucket: )", Some("roTok"))
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("message"))
+  }
+
+  test("query without a registered token is a 401") {
+    assert(post("/api/v2/query", "from(bucket: \"telemetry\") |> count()", Some("bogus")).statusCode() == 401)
+  }
+}
