@@ -68,14 +68,20 @@ object LlmQueries {
         .orderBy("source")),
 
     // Token statistics + distinct content fingerprints per source.
+    // Per-row expressions are projected once (a tokenize per aggregate
+    // would re-run the regex splits three times per row).
     "token_stats" -> ((s, dir) =>
       documents(s, dir)
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+          TextOps.fingerprint(col("text")).as("fp"))
         .groupBy("source")
         .agg(
-          sum(TextOps.tokenCount(col("text"))).as("sum_tok"),
-          sum(TextOps.bpeTokenCount(col("text"))).as("sum_bpe"),
-          max(TextOps.tokenCount(col("text"))).as("max_tok"),
-          count_distinct(TextOps.fingerprint(col("text"))).as("nd_fp"))
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_bpe")).as("sum_bpe"),
+          max(col("n_tok")).as("max_tok"),
+          count_distinct(col("fp")).as("nd_fp"))
         .orderBy("source")),
 
     // Brute-force cosine top-3 for query vectors 0..4.

@@ -86,6 +86,20 @@ class BucketStoreSpec extends SparkSpec {
     assert(wide.filter(col("tags.host") === "h2").collect().head.get(wide.columns.indexOf("sys")) == null)
   }
 
+  test("to() writes a query result back as points (Flux to(bucket:))") {
+    val tsdb = freshTsdb()
+    tsdb.catalog.createBucket("out", "greengrass")
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.5 $t0",
+      s"cpu,host=h2 usage=0.9 ${t0 + 1}"))
+    val result = tsdb.from("telemetry").where(col("value_f") > 0.6).toDF
+    tsdb.to("out", result)
+    val back = tsdb.from("out").toDF
+    assert(back.count() == 1)
+    assert(back.select("tags.host").collect().head.getString(0) == "h2")
+    assert(back.select("time_ns").collect().head.getLong(0) == t0 + 1)
+  }
+
   test("catalog bootstrap is idempotent and persists across instances") {
     val dir = Files.createTempDirectory("graft-cat-spec")
     val c1 = new Catalog(dir)
