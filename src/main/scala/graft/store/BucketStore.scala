@@ -51,26 +51,38 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       .mode(SaveMode.Append)
       .partitionBy("dt")
       .parquet(catalog.bucketPath(meta.name).toString)
+    // new rows may shadow existing keys → dedup needed again
+    java.nio.file.Files.deleteIfExists(cleanMarker(bucket))
   }
 
   /** Scan a bucket with last-write-wins dedup on (series, time).
     *
-    * The dedup window only runs over rows surviving pushed-down filters;
-    * compacted partitions carry at most one row per key so the window is
-    * cheap there. Callers that tolerate duplicates (raw export) use
-    * [[readRaw]].
+    * Fast path: a bucket whose last operation was [[compact]] carries a
+    * clean marker — every key already has exactly one row, so the dedup
+    * window (a full shuffle on the series key) is skipped entirely.
+    * Any [[write]] invalidates the marker. Steady-state reads of
+    * compacted data are therefore shuffle-free; only the
+    * since-last-compaction tail pays for dedup.
     */
   def read(bucket: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
-      .orderBy(col(SeqCol).desc)
+    val raw = readRaw(bucket)
+    val deduped =
+      if (isClean(bucket)) raw
+      else {
+        val w = Window
+          .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
+          .orderBy(col(SeqCol).desc)
+        raw.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      }
     // `dt` is kept: range() adds partition-pruning predicates on it
-    readRaw(bucket)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", SeqCol)
-      .select((Point.columns :+ "dt").map(col): _*)
+    deduped.drop(SeqCol).select((Point.columns :+ "dt").map(col): _*)
   }
+
+  private def cleanMarker(bucket: String): java.nio.file.Path =
+    catalog.bucketPath(bucket).resolve("_CLEAN")
+
+  def isClean(bucket: String): Boolean =
+    java.nio.file.Files.exists(cleanMarker(bucket))
 
   def readRaw(bucket: String): DataFrame = {
     val meta = catalog.bucket(bucket).getOrElse(
@@ -139,6 +151,9 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       deduped.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       replaceDir(dir, tmp)
     }
+    // every key now has exactly one row → reads can skip the dedup window
+    java.nio.file.Files.createDirectories(path)
+    java.nio.file.Files.write(cleanMarker(bucket), Array.emptyByteArray)
   }
 
   def partitions(bucket: String): Seq[java.time.LocalDate] = {

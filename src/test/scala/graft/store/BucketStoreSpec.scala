@@ -45,9 +45,19 @@ class BucketStoreSpec extends SparkSpec {
     assert(vals.toSeq == Seq(0.9))
     // raw keeps both (append-only); compaction applies dedup physically
     assert(tsdb.fromRaw("telemetry").toDF.count() == 2)
+    assert(!tsdb.store.isClean("telemetry"))
     tsdb.store.compact("telemetry")
     assert(tsdb.fromRaw("telemetry").toDF.count() == 1)
     assert(tsdb.from("telemetry").toDF.count() == 1)
+    // compacted bucket reads skip the dedup window (no shuffle)
+    assert(tsdb.store.isClean("telemetry"))
+    val plan = tsdb.from("telemetry").toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // a new write invalidates the fast path
+    tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=0.7 $t0"))
+    assert(!tsdb.store.isClean("telemetry"))
+    assert(tsdb.from("telemetry").toDF
+      .filter(col("field") === "usage").select("value_f").collect().head.getDouble(0) == 0.7)
   }
 
   test("predicate delete rewrites only matching partitions") {
