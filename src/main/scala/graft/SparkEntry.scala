@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.RelQueries.queries ++
       graft.queries.LlmQueries.queries ++
       graft.queries.EmaFamilyQueries.queries ++
-      graft.queries.FluxQueries.queries
+      graft.queries.FluxQueries.queries ++
+      graft.queries.SetOpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.RelQueries.oracle ++
       graft.queries.LlmQueries.oracle ++
       graft.queries.EmaFamilyQueries.oracle ++
-      graft.queries.FluxQueries.oracle
+      graft.queries.FluxQueries.oracle ++
+      graft.queries.SetOpQueries.oracle
 }

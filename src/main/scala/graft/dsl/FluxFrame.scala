@@ -316,6 +316,42 @@ final case class FluxFrame(
   def union(other: FluxFrame): FluxFrame =
     copy(df = df.unionByName(other.df, allowMissingColumns = true))
 
+  /** As-of join (SURVEY §2B optional extension; the time-series join
+    * Spark lacks natively): each left row picks up the LATEST right row
+    * with `right.time <= left.time` within the same `on` key.
+    *
+    * Shape: union the two sides, one window pass with
+    * last-ignore-nulls — never a per-row range join, so it scales as a
+    * single shuffle on (on-key) + in-partition sort, and skew follows
+    * the key distribution exactly like any keyed window.
+    *
+    * @param rightCols columns of `other` to carry (null until the first
+    *   right row at or before the left row's time)
+    */
+  def asofJoin(other: FluxFrame, on: Seq[String], rightCols: Seq[String]): FluxFrame = {
+    val leftSide = df
+      .withColumn("_src", lit(1))
+      .withColumn("_rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightCols.map(c => org.apache.spark.sql.types.StructField(c,
+            other.df.schema(c).dataType)))))
+    val rightSide = other.df
+      .select((on.map(col) :+ col(other.timeCol).cast(df.schema(timeCol).dataType).as(timeCol) :+
+        struct(rightCols.map(col): _*).as("_rv")): _*)
+      .withColumn("_src", lit(0))
+    val unioned = leftSide.unionByName(rightSide, allowMissingColumns = true)
+    // right rows sort before left rows at equal time → inclusive <=
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col(timeCol), col("_src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = unioned
+      .withColumn("_rvf", last(when(col("_src") === 0, col("_rv")), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1)
+    val projected = rightCols.foldLeft(filled)((d, c) => d.withColumn(c, col(s"_rvf.$c")))
+      .drop("_src", "_rv", "_rvf")
+    copy(df = projected)
+  }
+
   /** Flux `pivot(rowKey:, columnKey:, valueColumn:)` /
     * `schema.fieldsAsCols()` — long→wide. Callers pass the distinct
     * column-key values when known (skips the extra distinct scan Spark
