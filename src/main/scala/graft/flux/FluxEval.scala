@@ -126,6 +126,15 @@ object FluxEval {
       f.stateCount(predicate(lambda(call.args, "fn").body, f, source))
     case "stateDuration" =>
       f.stateDuration(predicate(lambda(call.args, "fn").body, f, source))
+    case "map" => call.args("fn") match {
+      case VMapLambda(_, fields) =>
+        // all field expressions see the ORIGINAL record, like Flux
+        // record-with (a sequential fold would feed rewritten columns
+        // into later fields)
+        f.copy(df = f.df.withColumns(
+          fields.map { case (n, e) => n -> operand(e, f, source) }.toMap))
+      case other => throw EvalException(s"map expects (r) => ({ r with ... }), got $other")
+    }
     case "yield" => f // naming marker
     case other => throw EvalException(s"unsupported verb '$other'")
   }
@@ -163,6 +172,16 @@ object FluxEval {
     case Lit(VNum(d)) => lit(d)
     case Lit(VBool(b)) => lit(b)
     case Lit(VTime(t)) => to_timestamp(lit(t.replace("T", " ").stripSuffix("Z")))
+    case Arith(op, l, r) =>
+      val (lc, rc) = (operand(l, f, source), operand(r, f, source))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "%" => lc % rc
+        case o => throw EvalException(s"unsupported arithmetic '$o'")
+      }
     case other => throw EvalException(s"unsupported operand $other")
   }
 

@@ -27,6 +27,8 @@ object FluxParser {
   final case class VRec(fields: Seq[(String, Value)]) extends Value
   final case class VIdent(name: String) extends Value // bare fn name like `mean`
   final case class VLambda(param: String, body: Expr) extends Value
+  /** map(fn: (r) => ({ r with col: expr, … })) — Flux record extension. */
+  final case class VMapLambda(param: String, fields: Seq[(String, Expr)]) extends Value
 
   sealed trait Expr
   final case class ColRef(name: String) extends Expr
@@ -36,6 +38,7 @@ object FluxParser {
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
   final case class Regex(pattern: String) extends Expr
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
 
   final case class Call(verb: String, args: Map[String, Value])
   final case class Pipeline(calls: Seq[Call])
@@ -105,11 +108,50 @@ object FluxParser {
       val k = ident(); ws(); expect(":"); ws(); (k, value())
     }
 
-    private def lambda(): VLambda = {
+    private def lambda(): Value = {
       expect("("); ws()
       val param = ident(); ws()
       expect(")"); ws(); expect("=>"); ws()
+      // record-with form: ({ r with col: expr, ... })
+      val save = i
+      if (peekStr("(")) {
+        expect("("); ws()
+        if (peekStr("{")) {
+          expect("{"); ws(); expectWord(param); ws(); expectWord("with"); ws()
+          val fields = Seq.newBuilder[(String, Expr)]
+          fields += withField(param); ws()
+          while (peekStr(",")) { expect(","); ws(); fields += withField(param); ws() }
+          expect("}"); ws(); expect(")")
+          return VMapLambda(param, fields.result())
+        }
+        i = save // plain parenthesized predicate
+      }
       VLambda(param, orExpr(param))
+    }
+
+    private def withField(p: String): (String, Expr) = {
+      val k = identDots(); ws(); expect(":"); ws()
+      (k, addSub(p))
+    }
+
+    // arithmetic for map(): + - over * / %
+    private def addSub(p: String): Expr = {
+      var l = mulDiv(p); ws()
+      while (i < src.length && (src(i) == '+' || (src(i) == '-' && !peekStr("->")))) {
+        val op = src(i).toString; i += 1; ws(); l = Arith(op, l, mulDiv(p)); ws()
+      }
+      l
+    }
+    private def mulDiv(p: String): Expr = {
+      var l = arithPrimary(p); ws()
+      while (i < src.length && (src(i) == '*' || src(i) == '/' || src(i) == '%')) {
+        val op = src(i).toString; i += 1; ws(); l = Arith(op, l, arithPrimary(p)); ws()
+      }
+      l
+    }
+    private def arithPrimary(p: String): Expr = {
+      if (peekStr("(")) { expect("("); ws(); val e = addSub(p); ws(); expect(")"); e }
+      else primary(p)
     }
 
     private def orExpr(p: String): Expr = {

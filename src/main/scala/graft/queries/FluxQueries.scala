@@ -36,7 +36,18 @@ object FluxQueries {
           ||> keep(columns: ["_measurement", "event_id", "_value"])""".stripMargin,
         source(s, dir))
         .select(col("_measurement"), col("event_id"), r4(col("_value")).as("v"))
-        .orderBy("_measurement", "event_id"))
+        .orderBy("_measurement", "event_id")),
+
+    // map(): Flux's user-extension point — record-with arithmetic.
+    "flux_map" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> map(fn: (r) => ({ r with _value: (r._value - 50.0) * 2.0 }))
+          ||> filter(fn: (r) => r._value > 0.0)
+          ||> sum()""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), r4(col("_value")).as("sum_v"))
+        .orderBy("_measurement"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -53,6 +64,10 @@ object FluxQueries {
         |  SELECT event_type, event_id, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, epoch_us(ts)) AS rn
         |  FROM events WHERE value > 90 AND event_type <> 'error')
-        |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin
+        |WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+    "flux_map" ->
+      """SELECT event_type AS _measurement, round(sum(v), 4) AS sum_v FROM (
+        |  SELECT event_type, (value - 50.0) * 2.0 AS v FROM events)
+        |WHERE v > 0 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

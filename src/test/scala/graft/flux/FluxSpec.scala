@@ -95,6 +95,19 @@ class FluxSpec extends SparkSpec {
     assert(math.abs(vals(0) - 0.2) < 1e-12)
   }
 
+  test("map(): record-with arithmetic, all fields see the original record") {
+    val mapped = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> map(fn: (r) => ({ r with _value: r._value * 2.0 + 1.0, doubled: r._value * 2.0 }))""".stripMargin,
+      source)
+    // cpu h1 values 1,3,5: _value -> 3,7,11 and doubled -> 2,6,10
+    // (doubled must use the ORIGINAL _value, not the rewritten one)
+    val rows = mapped.orderBy("_time").select("_value", "doubled")
+      .as[(Double, Double)].collect().toSeq
+    assert(rows == Seq((3.0, 2.0), (7.0, 6.0), (11.0, 10.0)))
+  }
+
   test("unsupported verb raises a clear error") {
     val e = intercept[FluxEval.EvalException](
       FluxEval.run("""from(bucket: "b") |> pivot(rowKey: ["_time"])""", source))
