@@ -107,22 +107,72 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-  /** MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    * pairs → exact Jaccard verification >= threshold. The exact join is
-    * restricted to candidate pairs, so the expensive verification is
-    * band-collision-bounded.
+  /** One compiled pass per document: MinHash signature array + distinct
+    * shingle count, with NO shingle explode and NO shuffle — the
+    * signature is a streaming min over splitmix64 mixes of one base
+    * hash per shingle. Output: (id, sigs: array<long>, n_sh).
+    */
+  def minHashDocSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+        val sigs = Array.fill(numHashes)(Long.MaxValue)
+        var nSh = 0
+        if (toks.length >= n) {
+          val seen = new java.util.HashSet[String]()
+          toks.sliding(n).foreach { w =>
+            val sh = w.mkString(" ")
+            if (seen.add(sh)) {
+              nSh += 1
+              val base = scala.util.hashing.MurmurHash3.stringHash(sh).toLong
+              var i = 0
+              while (i < numHashes) {
+                // splitmix64 of (base, i): cheap independent hash family
+                var z = base + i * 0x9E3779B97F4A7C15L
+                z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+                z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                z ^= z >>> 31
+                if (z < sigs(i)) sigs(i) = z
+                i += 1
+              }
+            }
+          }
+        }
+        (id, sigs.toSeq, nSh)
+      }
+      .toDF("id", "sigs", "n_sh")
+  }
+
+  /** MinHash-LSH near-dup pipeline: one compiled signature pass → band
+    * keys → candidate pairs → exact Jaccard verification >= threshold.
+    * Shingles are only ever materialized for documents appearing in a
+    * candidate pair (broadcast semi-join), so both the signature stage
+    * and verification avoid shuffling the full shingle inverted index —
+    * the full-corpus data motion is one scan plus the (tiny) band-key
+    * shuffle.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val cands = lshCandidates(lshBands(minHashSignatures(sh)))
-    // verification only ever touches documents that appear in a candidate
-    // pair — semi-join the (tiny, broadcastable) candidate-doc set first
-    // so the exact-Jaccard joins never shuffle the full shingle table
-    val candDocs = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
-    val shC = sh.join(broadcast(candDocs), Seq("id"), "left_semi").cache()
-    val sizes = shC.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      n: Int, threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+    val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes).cache()
+    val numBands = numHashes / rowsPerBand
+    val bandKeys = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => element_at(col("sigs"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("key"))
+    }
+    val bands = sig.filter(col("n_sh") > 0)
+      .select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cands = lshCandidates(bands)
+    val candDocs = cands.select(col("id_a").as("cid"))
+      .union(cands.select(col("id_b").as("cid"))).distinct()
+    val shC = shingles(
+      df.join(broadcast(candDocs), col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol, n).cache()
+    val sizes = sig.select(col("id"), col("n_sh"))
     val inter = cands
       .join(shC.as("sa"), col("id_a") === col("sa.id"))
       .join(shC.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))

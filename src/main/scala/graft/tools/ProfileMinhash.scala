@@ -19,20 +19,13 @@ object ProfileMinhash {
       println(f"$label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val sh = time("shingles+cache") {
-      val s = DedupOps.shingles(docs, "doc_id", "text", 3).cache()
-      s.count(); s
-    }
-    val sig = time("signatures") {
-      val s = DedupOps.minHashSignatures(sh); s.count(); s
-    }
-    val bands = time("bands") {
-      val b = DedupOps.lshBands(sig); b.count(); b
-    }
-    val cands = time("candidates") {
-      val c = DedupOps.lshCandidates(bands).cache(); println(s"  cands=${c.count()}"); c
+    time("doc signatures") {
+      DedupOps.minHashDocSignatures(docs, "doc_id", "text", 3).count()
     }
     time("full pipeline") {
+      DedupOps.minHashLshPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("full pipeline 2nd") {
       DedupOps.minHashLshPairs(docs, "doc_id", "text", 3, 0.5).count()
     }
     spark.stop()

@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // Near-dup pair sits at trigram-jaccard 9/11 ≈ 0.82 — the regime LSH
+  // (16 bands × 4 rows) detects with P(miss) ~ 1e-4. A pair at j ≈ 0.5
+  // would be a coin flip by design (the S-curve is centered there), so
+  // the corpus avoids the threshold knife-edge like real dedup configs do.
   private val docs = Seq(
-    (0L, "the cat sat on the mat"),
-    (1L, "the cat sat on the mat"),          // exact dup of 0
-    (2L, "the cat sat on the red mat"),      // near dup
-    (3L, "completely different words here entirely"),
-    (4L, "mat the on sat cat the")           // shuffled dup of 0 (same token set)
+    (0L, "the quick brown fox jumps over the lazy dog near the river"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the bridge"), // near dup (last word)
+    (3L, "completely different words here entirely unrelated content"),
+    (4L, "river the near dog lazy the over jumps fox brown quick the")   // shuffle of 0 (same token set)
   ).toDF("doc_id", "text")
 
   test("shingles: distinct word n-grams") {
     val sh = DedupOps.shingles(docs.filter(col("doc_id") === 0), "doc_id", "text", 3)
-    assert(sh.count() == 4) // 6 tokens -> 4 trigrams, all distinct
+    assert(sh.count() == 10) // 12 tokens -> 10 trigrams, all distinct
   }
 
   test("exact jaccard pairs find dup and near-dup") {
@@ -25,7 +29,7 @@ class LlmOpsSpec extends SparkSpec {
     val pairs = DedupOps.exactJaccardPairs(sh, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L))) // identical: j=1
-    assert(pairs.contains((0L, 2L)) == false || true) // near-dup may pass 0.5
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // j = 9/11
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
