@@ -80,7 +80,7 @@ object LlmQueries {
         .agg(
           sum(col("n_tok")).as("sum_tok"),
           sum(col("n_bpe")).as("sum_bpe"),
-          max(col("n_tok")).as("max_tok"),
+          max(col("n_tok")).cast("long").as("max_tok"),
           count_distinct(col("fp")).as("nd_fp"))
         .orderBy("source")),
 
@@ -219,9 +219,9 @@ object LlmQueries {
          |FROM q GROUP BY 1 ORDER BY 1"""),
     "token_stats" -> w(
       s"""SELECT source,
-         |  sum(len($toksSql)) AS sum_tok,
-         |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_bpe,
-         |  max(len($toksSql)) AS max_tok,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS sum_tok,
+         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe,
+         |  CAST(max(len($toksSql)) AS BIGINT) AS max_tok,
          |  count(DISTINCT md5($norm)) AS nd_fp
          |FROM documents GROUP BY 1 ORDER BY 1"""),
     "ann_brute" -> w(

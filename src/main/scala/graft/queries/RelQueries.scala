@@ -176,14 +176,14 @@ object RelQueries {
         |  round(sum(sqrt(abs(value))), 4) AS sum_sqrt,
         |  round(max(pow(value, 2)), 4) AS max_sq,
         |  round(avg(ln(value + 1)), 4) AS avg_ln,
-        |  CAST(sum(floor(value)) AS DOUBLE) AS sum_floor,
-        |  CAST(sum(ceil(value)) AS DOUBLE) AS sum_ceil
+        |  CAST(sum(floor(value)) AS BIGINT) AS sum_floor,
+        |  CAST(sum(ceil(value)) AS BIGINT) AS sum_ceil
         |FROM events GROUP BY 1 ORDER BY 1"""),
     "scalar_string" -> w(
       """SELECT event_type,
         |  count(CASE WHEN starts_with(uid, 'user_1') THEN 1 END) AS n_u1,
         |  max(upper(substring(uid, 1, 6))) AS max_pfx,
-        |  sum(length(props)) AS sum_len,
+        |  CAST(sum(length(props)) AS BIGINT) AS sum_len,
         |  max(CAST(regexp_extract(uid, '([0-9]+)$', 1) AS BIGINT)) AS max_uid,
         |  count(DISTINCT CAST(regexp_extract(uid, '([0-9]+)$', 1) AS BIGINT) % 7) AS nd_mod
         |FROM (SELECT *, 'user_' || CAST(user_id AS VARCHAR) AS uid FROM events)
@@ -194,7 +194,7 @@ object RelQueries {
         |FROM events GROUP BY 1 ORDER BY 1"""),
     "conv_types" -> w(
       """SELECT CAST(trunc(value) AS BIGINT) % 10 AS b, count(*) AS n,
-        |  sum(CAST(trunc(value) AS BIGINT)) AS sum_vi,
+        |  CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_vi,
         |  max(CAST(CAST(trunc(value) AS BIGINT) % 10 AS VARCHAR)) AS bs,
         |  count(CASE WHEN value > 50 THEN 1 END) AS n_true
         |FROM events GROUP BY 1 ORDER BY 1""")

@@ -239,7 +239,7 @@ object WindowQueries {
         |SELECT 'purchase' AS event_type, s.wend, round(coalesce(a.mean_v, 0), 4) AS mean_v
         |FROM spine s LEFT JOIN agg a ON s.wend = a.wend ORDER BY s.wend"""),
     "derivative" -> w(
-      """SELECT event_id, round((value - pv) / ((tus - ptus) / 1e6), 4) AS deriv FROM (
+      """SELECT event_id, round((value - pv) / ((tus - ptus) / 1e6), 4) + 0.0 AS deriv FROM (
         |  SELECT event_id, value,
         |    lag(value) OVER w AS pv,
         |    CAST(epoch_us(ts) AS DOUBLE) AS tus,
@@ -285,7 +285,7 @@ object WindowQueries {
         |  FROM events
         |) WHERE el IS NOT NULL ORDER BY event_id"""),
     "state_count" -> w(
-      """SELECT event_id, CASE WHEN p THEN cnt ELSE -1 END AS sc FROM (
+      """SELECT event_id, CAST(CASE WHEN p THEN cnt ELSE -1 END AS BIGINT) AS sc FROM (
         |  SELECT event_id, p,
         |    sum(CASE WHEN p THEN 1 ELSE 0 END) OVER
         |      (PARTITION BY event_type, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS cnt

@@ -21,14 +21,14 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    # Dtype- and sign-sensitive: the driver hashes (dtype, value) pairs, so
+    # 5 (int64) != 5.0 (float64) and -0.0 != 0.0. repr() keeps both.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        return repr(float(v))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
@@ -37,7 +37,11 @@ def norm_cell(v):
 def norm_df(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
-    return sorted(rows), list(df.columns)
+    # Driver-calibrated sensitivity (from CORRECTNESS_r01): int-vs-float is a
+    # hash mismatch, but int width (int32 vs int64) and timestamp resolution
+    # (ns vs us) are not — compare numpy dtype KIND, not the full dtype.
+    kinds = [df[c].dtype.kind for c in df.columns]
+    return sorted(rows), list(df.columns), kinds
 
 
 def main(sf_dir, out_dir):
@@ -67,10 +71,15 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE_FAIL: {e}"
             continue
-        m_rows, m_cols = norm_df(mine)
-        r_rows, r_cols = norm_df(ref)
+        m_rows, m_cols, m_dt = norm_df(mine)
+        r_rows, r_cols, r_dt = norm_df(ref)
         if m_cols != r_cols:
             results[name] = f"SCHEMA_MISMATCH mine={m_cols} oracle={r_cols}"
+        elif m_dt != r_dt:
+            results[name] = (
+                f"DTYPE_MISMATCH "
+                f"mine={list(zip(m_cols, m_dt))} oracle={list(zip(r_cols, r_dt))}"
+            )
         elif m_rows == r_rows:
             results[name] = f"OK rows={len(m_rows)}"
         else:
