@@ -48,11 +48,42 @@ object DedupOps {
       .toDF("id", "shingle")
   }
 
+  /** Default document-frequency cap: a shingle shared by more documents
+    * than this is stopword-grade, carries no dedup signal, and would
+    * emit df² rows in the inverted-index self-join — one viral phrase
+    * must not produce a quadratic partition. Far above any df in a
+    * natural corpus slice (the synthetic corpus maxes at 25 at sf0.1).
+    */
+  val DefaultMaxDf = 1000
+
+  /** Drop shingles whose document frequency exceeds `maxDf`. The hot
+    * set is tiny by construction (few shingles are stopword-grade), so
+    * it broadcasts; the df count itself is one map-side-combinable
+    * aggregate.
+    */
+  def capShingles(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else {
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("shingle")
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+
   /** Exact Jaccard over distinct shingles for every pair sharing at
     * least one shingle (inverted-index join), kept when >= threshold.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Shingles with document frequency > `maxDf` are excluded from the
+    * shingle universe (both intersection and union): the self-join cost
+    * is Σ df² over shingles, so one hot shingle shared by k documents
+    * would emit k² rows into a single join partition. Near-dup signal
+    * lives in the rare shingles; the high-df regime is MinHash-LSH's
+    * job ([[minHashLshPairs]]). With the default cap this is a no-op on
+    * natural corpora.
     */
-  def exactJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def exactJaccardPairs(sh0: DataFrame, threshold: Double,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh = capShingles(sh0, maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -156,7 +187,8 @@ object DedupOps {
     * shuffle.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4): DataFrame = {
+      n: Int, threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4,
+      maxDf: Int = DefaultMaxDf): DataFrame = {
     val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes).cache()
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
@@ -169,10 +201,14 @@ object DedupOps {
     val cands = lshCandidates(bands)
     val candDocs = cands.select(col("id_a").as("cid"))
       .union(cands.select(col("id_b").as("cid"))).distinct()
-    val shC = shingles(
+    // Verification applies the same df-cap (measured over candidate docs,
+    // which is the population this join actually touches); sizes come from
+    // the capped shingle table itself, keeping intersection and union
+    // consistent.
+    val shC = capShingles(shingles(
       df.join(broadcast(candDocs), col(idCol) === col("cid"), "left_semi"),
-      idCol, textCol, n).cache()
-    val sizes = sig.select(col("id"), col("n_sh"))
+      idCol, textCol, n), maxDf).cache()
+    val sizes = shC.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = cands
       .join(shC.as("sa"), col("id_a") === col("sa.id"))
       .join(shC.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))

@@ -75,36 +75,57 @@ object VectorOps {
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
   }
 
-  /** All pairs with cosine >= threshold.
+  /** All pairs with cosine >= threshold, as a distributed block-pair
+    * self-join — nothing ever materializes on the driver.
     *
-    * Hand-rolled broadcast nested loop: one side is broadcast as
-    * primitive arrays and each partition scans its rows against it with
-    * tight double loops — Catalyst's `aggregate`/`zip_with` are
-    * interpreted (higher-order functions don't codegen), which costs
-    * ~100× on an O(n²) inner loop. The fold order matches [[dot]]
-    * exactly (sequential, left-to-right), so results are bit-identical
-    * to the expression form. At 100 TB the outer side streams while the
-    * broadcast side is one IVF bucket / block at a time — same shape.
+    * Every vector is assigned to one of `numBlocks` blocks by id and
+    * replicated to each of the `numBlocks` block-pairs its block is part
+    * of; each pair-group then runs a tight compiled double loop over its
+    * two bounded sides (Catalyst's `aggregate`/`zip_with` are
+    * interpreted — higher-order functions don't codegen — which costs
+    * ~100× on an O(n²) inner loop, hence mapGroups). Per-task memory is
+    * two blocks (~2·n/numBlocks rows): at 100 TB you raise `numBlocks`
+    * with O(√n) and every task stays bounded; total shuffle volume is
+    * n·numBlocks rows. The fold order matches [[dot]] exactly
+    * (sequential, left-to-right, smaller id as the left operand), so
+    * results are bit-identical to the expression form, and sub-threshold
+    * pairs are never materialized as rows at all.
     */
-  def cosineThresholdPairs(vs: DataFrame, threshold: Double): DataFrame = {
+  def cosineThresholdPairs(vs: DataFrame, threshold: Double, numBlocks: Int = 8): DataFrame = {
     val spark = vs.sparkSession
     import spark.implicits._
-    val ds = vs.select(col("id").cast("long"), col("v")).as[(Long, Seq[Double])]
+    val b = numBlocks
+    val ds = vs.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
       .map { case (id, v) => (id, v.toArray) }
-      .toDF("id", "v").as[(Long, Array[Double])]
-    // Build side to the driver + broadcast — the exact pattern of Spark's
-    // own BroadcastHashJoin build phase; sized like a broadcast dim table
-    // (at 100 TB the build side is one IVF bucket / block at a time).
-    // Filtering inside the loop means sub-threshold pairs are never
-    // materialized as rows at all.
-    val bc = spark.sparkContext.broadcast(ds.collect())
-    ds.mapPartitions { it =>
-      val side = bc.value
-      it.flatMap { case (ia, va) =>
-        val n = va.length
-        side.iterator.filter(_._1 > ia).flatMap { case (ib, vb) =>
+    val replicated = ds.flatMap { case (id, v) =>
+      val g = ((id % b + b) % b).toInt
+      (0 until b).iterator.map { o =>
+        val i = math.min(g, o); val j = math.max(g, o)
+        (i * b + j, g, id, v)
+      }
+    }
+    replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+        val bi = key / b; val bj = key % b
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, g, id, v) =>
+          if (g == bi) left += ((id, v)) else right += ((id, v))
+        }
+        val pairs =
+          if (bi == bj) // intra-block: unordered index pairs within `left`
+            for (x <- left.indices.iterator; y <- (x + 1) until left.size)
+              yield (left(x), left(y))
+          else
+            for (a <- left.iterator; c <- right.iterator) yield (a, c)
+        pairs.flatMap { case (p, q) =>
+          // smaller id is always the left operand of the fold
+          val ((ia, va), (ib, vb)) = if (p._1 < q._1) (p, q) else (q, p)
           var dotAb = 0.0; var dotAa = 0.0; var dotBb = 0.0
           var i = 0
+          val n = va.length
           while (i < n) {
             dotAb += va(i) * vb(i); dotAa += va(i) * va(i); dotBb += vb(i) * vb(i)
             i += 1
@@ -113,6 +134,6 @@ object VectorOps {
           if (cos >= threshold) Some((ia, ib, cos)) else None
         }
       }
-    }.toDF("id_a", "id_b", "cos")
+      .toDF("id_a", "id_b", "cos")
   }
 }

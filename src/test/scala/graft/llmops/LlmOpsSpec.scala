@@ -83,6 +83,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.toSeq == Seq(2L, 1L, 3L)) // cos: 0.707, 0, -1
   }
 
+  test("df-cap drops hot shingles and bounds the skewed self-join") {
+    // 1000 docs all share one stopword-grade shingle ("common phrase here",
+    // df=1000 -> 10^6 join rows uncapped) plus unique filler; one true
+    // near-dup pair (9000/9001) shares only rare shingles.
+    val skewed = ((0 until 1000).map { i =>
+      (i.toLong, s"common phrase here u${i}a u${i}b u${i}c u${i}d")
+    } ++ Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta iota"))).toDF("doc_id", "text")
+    val sh = DedupOps.shingles(skewed, "doc_id", "text", 3)
+    val capped = DedupOps.capShingles(sh, maxDf = 10)
+    // exactly the one hot shingle (1000 occurrences) is dropped
+    assert(sh.count() - capped.count() == 1000)
+    assert(capped.filter(col("shingle") === "common phrase here").count() == 0)
+    val pairs = DedupOps.exactJaccardPairs(sh, 0.5, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((9000L, 9001L)))
+    // on an un-skewed corpus the cap is a no-op: same pairs either way
+    val base = DedupOps.shingles(docs, "doc_id", "text", 3)
+    val withCap = DedupOps.exactJaccardPairs(base, 0.5).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val noCap = DedupOps.exactJaccardPairs(base, 0.5, maxDf = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(withCap == noCap)
+  }
+
+  test("cosine threshold pairs: distributed block join matches direct computation") {
+    val rnd = new scala.util.Random(42)
+    val vs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toSeq
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      val ab = a.zip(b).map { case (x, y) => x * y }.sum
+      ab / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- vs; (ib, vb) <- vs if ia < ib
+      c = cosOf(va, vb) if c >= 0.3
+    } yield (ia, ib)).toSet
+    // numBlocks=3 exercises both intra-block and cross-block pair groups
+    val got = VectorOps.cosineThresholdPairs(vs.toDF("id", "v"), 0.3, numBlocks = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("ivf probes only nearest centroid lists but finds in-list neighbors") {
     val vs = Seq(
       (0L, Array(1.0, 0.05)), (1L, Array(1.0, -0.05)), (2L, Array(0.9, 0.1)),
