@@ -209,5 +209,9 @@ object LineProtocol {
   }
 
   private def serializeDouble(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) f"$d%.1f" else d.toString
+    // explicit locale: under a comma-decimal default (e.g. de_DE) the
+    // f-interpolator would emit "1,0" — malformed line protocol
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    else d.toString
 }

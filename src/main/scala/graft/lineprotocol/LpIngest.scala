@@ -45,9 +45,13 @@ object LpIngest {
     withTimeColumns(parsed.toDF())
   }
 
-  /** Derive µs `time` (TimestampType) from lossless ns `time_ns`. */
+  /** Derive µs `time` (TimestampType) from lossless ns `time_ns`.
+    * Integer division, not `/`: 2024-era epoch-ns (~1.7e18) exceeds a
+    * double's 53-bit mantissa (ulp ~256 ns), so float division could
+    * land the derived µs 1 off near boundaries relative to `time_ns`.
+    */
   def withTimeColumns(df: DataFrame): DataFrame =
-    df.withColumn("time", timestamp_micros(col("time_ns") / 1000 cast "long"))
+    df.withColumn("time", timestamp_micros(expr("time_ns div 1000")))
       .select(Point.columns.map(col): _*)
 
   /** Strict batch parse: throws on the first malformed line (used by

@@ -44,6 +44,13 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     val meta = catalog.bucket(bucket).getOrElse(
       throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
     val seq = seqGen.incrementAndGet()
+    // Invalidate the clean marker BEFORE appending: a crash (or a
+    // concurrent read) between the append and a later marker delete
+    // would see a "clean" bucket containing shadowed duplicate keys and
+    // skip LWW dedup. Dropping the marker first means every failure
+    // mode degrades to the safe slow path (dedup window), never the
+    // incorrect fast path.
+    java.nio.file.Files.deleteIfExists(cleanMarker(bucket))
     points
       .withColumn("dt", to_date(col("time")))
       .withColumn(SeqCol, lit(seq))
@@ -51,8 +58,6 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       .mode(SaveMode.Append)
       .partitionBy("dt")
       .parquet(catalog.bucketPath(meta.name).toString)
-    // new rows may shadow existing keys → dedup needed again
-    java.nio.file.Files.deleteIfExists(cleanMarker(bucket))
   }
 
   /** Scan a bucket with last-write-wins dedup on (series, time).

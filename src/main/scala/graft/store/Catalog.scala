@@ -73,12 +73,17 @@ final class Catalog(val root: Path) {
 
   def bucketPath(name: String): Path = root.resolve("buckets").resolve(idFor(name))
 
-  /** Stable bucket id — hex of the name hash, shaped like InfluxDB's
-    * 16-hex-char bucket IDs (see the permission strings in the reference
-    * fixture test/test_influxDBTokenStreamHandler.py:36-37).
+  /** Stable bucket id — first 16 hex chars of SHA-256 of the name,
+    * shaped like InfluxDB's 16-hex-char bucket IDs (see the permission
+    * strings in the reference fixture
+    * test/test_influxDBTokenStreamHandler.py:36-37). A cryptographic
+    * digest, not String.hashCode: trivially colliding names of equal
+    * length ("Aa"/"BB") must not map two buckets onto one directory.
     */
   private def idFor(name: String): String =
-    f"${name.hashCode.toLong & 0xffffffffL}%08x${name.length.toLong & 0xffffffffL}%08x"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
 
   // --- persistence: minimal hand-rolled JSON (flat schema, no deps) ---
 

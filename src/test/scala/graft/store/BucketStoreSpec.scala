@@ -60,6 +60,22 @@ class BucketStoreSpec extends SparkSpec {
       .filter(col("field") === "usage").select("value_f").collect().head.getDouble(0) == 0.7)
   }
 
+  test("hash-colliding bucket names store disjoint data") {
+    // "Aa" and "BB" have identical String.hashCode AND identical length —
+    // the classic collision that folded two buckets onto one directory
+    // before idFor switched to a SHA-256 prefix.
+    val tsdb = freshTsdb()
+    tsdb.catalog.createBucket("Aa", "greengrass")
+    tsdb.catalog.createBucket("BB", "greengrass")
+    tsdb.writeLp("Aa", Seq(s"cpu,host=h1 usage=1.0 $t0"))
+    tsdb.writeLp("BB", Seq(s"cpu,host=h2 usage=2.0 $t0"))
+    assert(tsdb.from("Aa").toDF.select("value_f").collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    assert(tsdb.from("BB").toDF.select("value_f").collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    tsdb.store.delete("Aa", 0L, Long.MaxValue)
+    assert(tsdb.from("Aa").toDF.count() == 0)
+    assert(tsdb.from("BB").toDF.count() == 1) // BB untouched by Aa's delete
+  }
+
   test("predicate delete rewrites only matching partitions") {
     val tsdb = freshTsdb()
     tsdb.writeLp("telemetry", Seq(
