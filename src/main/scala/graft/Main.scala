@@ -44,8 +44,14 @@ object Main {
         println(if (prov.reused) "Reusing existing setup" else s"Provisioned bucket ${prov.bucketId}")
         val bus = new InProcessBus
         new TokenPublisher(tsdb.catalog, config, bus).listen()
-        val a = new HttpApi(tsdb, config.port.toInt).start()
-        println(s"/api/v2 listening on ${config.interface}:${a.boundPort}")
+        // provision mode serves HTTPS-only like the reference engine
+        // (self-signed cert generated at install, recipe.yaml:62-71)
+        val tls =
+          if (config.serverProtocol == "https")
+            Some(Tls.selfSigned(java.nio.file.Paths.get(warehouse, "_tls")))
+          else None
+        val a = new HttpApi(tsdb, config.port.toInt, config.interface, tls).start()
+        println(s"/api/v2 listening on ${a.scheme}://${config.interface}:${a.boundPort}")
         Some(a)
       }
 

@@ -1,6 +1,6 @@
 package graft.service
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import graft.dsl.Tsdb
 import graft.flux.FluxEval
 import java.net.InetSocketAddress
@@ -13,6 +13,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    success, 400 on malformed LP, 401 without a write-capable token
   *  - `POST /api/v2/query`           — Flux text body (or JSON
   *    `{"query": …}`); annotated-CSV response; any valid token
+  *  - `POST /api/v2/delete?bucket=…` — JSON `{start, stop, predicate}`
+  *    (RFC3339 bounds, `key="value" AND …` predicate); 204 on success
   *  - `GET  /health`                 — `{"status": "pass"}` (the C7
   *    readiness probe target; reference health-checks with `influx
   *    ping`, src/influxdb_utils.sh:31-33)
@@ -22,11 +24,24 @@ import java.nio.charset.StandardCharsets.UTF_8
   * resolved against the catalog registry — write requires the RW or
   * admin token, read any registered token (C8/C16 semantics).
   */
-final class HttpApi(tsdb: Tsdb, port: Int = 0) {
+final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
+    tls: Option[Tls.Config] = None) {
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server: HttpServer = tls match {
+    case None => HttpServer.create(new InetSocketAddress(interface, port), 0)
+    case Some(cfg) =>
+      val s = HttpsServer.create(new InetSocketAddress(interface, port), 0)
+      s.setHttpsConfigurator(new HttpsConfigurator(Tls.sslContext(cfg)))
+      s
+  }
 
   def boundPort: Int = server.getAddress.getPort
+  def scheme: String = if (tls.isDefined) "https" else "http"
+
+  /** Error bodies go through Jackson — a bucket name or exception message
+    * containing quotes/backslashes/newlines must still be valid JSON.
+    */
+  private def err(msg: String): String = Json.obj(Seq("message" -> Option(msg).getOrElse("error")))
 
   private def tokenOf(ex: HttpExchange): Option[String] =
     Option(ex.getRequestHeaders.getFirst("Authorization"))
@@ -63,13 +78,13 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0) {
 
   server.createContext("/api/v2/write", (ex: HttpExchange) => {
     try {
-      if (ex.getRequestMethod != "POST") respond(ex, 405, """{"message": "POST only"}""")
+      if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
       else tokenOf(ex).filter(canWrite) match {
-        case None => respond(ex, 401, """{"message": "unauthorized: write token required"}""")
+        case None => respond(ex, 401, err("unauthorized: write token required"))
         case Some(_) =>
           val bucket = query(ex, "bucket").getOrElse("")
           if (tsdb.catalog.bucket(bucket).isEmpty)
-            respond(ex, 404, s"""{"message": "bucket '$bucket' not found"}""")
+            respond(ex, 404, err(s"bucket '$bucket' not found"))
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             val lines = body.split('\n').toSeq.filter(_.trim.nonEmpty)
@@ -78,18 +93,59 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0) {
               respond(ex, 204, "")
             } catch {
               case e: graft.lineprotocol.LineProtocol.ParseError =>
-                respond(ex, 400, s"""{"message": "${e.getMessage.replace("\"", "'")}"}""")
+                respond(ex, 400, err(e.getMessage))
             }
           }
       }
-    } catch { case e: Throwable => respond(ex, 500, s"""{"message": "${e.getMessage}"}""") }
+    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+  })
+
+  /** /api/v2/delete — predicate-scoped delete (the v2 API shape: RFC3339
+    * `start`/`stop` in a JSON body plus an optional `key="value" AND …`
+    * predicate). Mirrors the pinned engine's endpoint over
+    * [[graft.store.BucketStore.delete]].
+    */
+  server.createContext("/api/v2/delete", (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
+      else tokenOf(ex).filter(canWrite) match {
+        case None => respond(ex, 401, err("unauthorized: write token required"))
+        case Some(_) =>
+          val bucket = query(ex, "bucket").getOrElse("")
+          if (tsdb.catalog.bucket(bucket).isEmpty)
+            respond(ex, 404, err(s"bucket '$bucket' not found"))
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            val node = Json.mapper.readTree(if (body.trim.isEmpty) "{}" else body)
+            def ns(k: String): Option[Long] = Option(node.get(k)).map { v =>
+              val i = java.time.Instant.parse(v.asText())
+              i.getEpochSecond * 1000000000L + i.getNano
+            }
+            (ns("start"), ns("stop")) match {
+              case (Some(startNs), Some(stopNs)) =>
+                val pred = Option(node.get("predicate")).map(_.asText())
+                  .filter(_.trim.nonEmpty)
+                  .map(DeletePredicate.parse)
+                  .getOrElse(org.apache.spark.sql.functions.lit(true))
+                tsdb.store.delete(bucket, startNs, stopNs, pred)
+                respond(ex, 204, "")
+              case _ => respond(ex, 400, err("start and stop are required (RFC3339)"))
+            }
+          }
+      }
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        respond(ex, 400, err(s"invalid RFC3339 timestamp: ${e.getMessage}"))
+      case e: DeletePredicate.ParseError => respond(ex, 400, err(e.getMessage))
+      case e: Throwable => respond(ex, 500, err(e.getMessage))
+    }
   })
 
   server.createContext("/api/v2/query", (ex: HttpExchange) => {
     try {
-      if (ex.getRequestMethod != "POST") respond(ex, 405, """{"message": "POST only"}""")
+      if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
       else tokenOf(ex).filter(canRead) match {
-        case None => respond(ex, 401, """{"message": "unauthorized"}""")
+        case None => respond(ex, 401, err("unauthorized"))
         case Some(_) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val flux =
@@ -106,12 +162,18 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0) {
             respond(ex, 200, AnnotatedCsv.format(df), "text/csv; charset=utf-8")
           } catch {
             case e @ (_: graft.flux.FluxParser.ParseException | _: FluxEval.EvalException) =>
-              respond(ex, 400, s"""{"message": "${e.getMessage.replace("\"", "'")}"}""")
+              respond(ex, 400, err(e.getMessage))
           }
       }
-    } catch { case e: Throwable => respond(ex, 500, s"""{"message": "${e.getMessage}"}""") }
+    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
   })
 
-  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
-  def stop(): Unit = server.stop(0)
+  // Request pool: a slow Flux query must not block /health (the C7
+  // readiness probe) — setExecutor(null) would serve everything on the
+  // single dispatcher thread.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+
+  def start(): HttpApi = { server.setExecutor(pool); server.start(); this }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }

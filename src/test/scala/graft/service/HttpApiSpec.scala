@@ -90,4 +90,62 @@ class HttpApiSpec extends SparkSpec {
   test("query without a registered token is a 401") {
     assert(post("/api/v2/query", "from(bucket: \"telemetry\") |> count()", Some("bogus")).statusCode() == 401)
   }
+
+  test("delete removes only predicate-matched points in the time range") {
+    tsdb.catalog.createBucket("delbkt", "greengrass")
+    post("/api/v2/write?bucket=delbkt",
+      Seq(s"cpu,host=h1 usage=0.1 $t0",
+          s"cpu,host=h2 usage=0.2 $t0",
+          s"cpu,host=h1 usage=0.3 ${t0 + 3600L * 1000000000L}").mkString("\n"),
+      Some("rwTok"))
+    // delete host=h1 points in [t0, t0+1s) only
+    val body =
+      """{"start": "2024-01-15T00:00:00Z", "stop": "2024-01-15T00:00:01Z",
+        | "predicate": "_measurement=\"cpu\" AND host=\"h1\""}""".stripMargin
+    assert(post("/api/v2/delete?bucket=delbkt", body, Some("roTok")).statusCode() == 401)
+    assert(post("/api/v2/delete?bucket=delbkt", body, Some("rwTok")).statusCode() == 204)
+    val left = tsdb.from("delbkt").toDF.select("tags", "time_ns").collect()
+    assert(left.length == 2) // h2@t0 and h1@t0+1h survive
+    assert(post("/api/v2/delete?bucket=delbkt", """{"start": "2024-01-15T00:00:00Z"}""",
+      Some("rwTok")).statusCode() == 400) // stop required
+    assert(post("/api/v2/delete?bucket=nope", body, Some("rwTok")).statusCode() == 404)
+  }
+
+  test("error bodies are valid JSON even with quotes in the message") {
+    val r = post("/api/v2/query", "from(bucket: )", Some("roTok"))
+    assert(r.statusCode() == 400)
+    val node = Json.mapper.readTree(r.body()) // throws if not valid JSON
+    assert(node.get("message").asText().nonEmpty)
+  }
+
+  test("https serves /health with a self-signed cert") {
+    val dir = Files.createTempDirectory("graft-tls-spec")
+    val tlsApi = new HttpApi(tsdb, 0, "127.0.0.1", Some(Tls.selfSigned(dir))).start()
+    try {
+      // trust-all client (the reference's skipTlsVerify path)
+      val trustAll = javax.net.ssl.SSLContext.getInstance("TLS")
+      trustAll.init(null, Array[javax.net.ssl.TrustManager](new javax.net.ssl.X509TrustManager {
+        def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      }), new java.security.SecureRandom())
+      val httpsClient = HttpClient.newBuilder().sslContext(trustAll).build()
+      val r = httpsClient.send(
+        HttpRequest.newBuilder(URI.create(s"https://127.0.0.1:${tlsApi.boundPort}/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body().contains("\"pass\""))
+      assert(tlsApi.scheme == "https")
+    } finally tlsApi.stop()
+  }
+
+  test("health responds while a query is in flight (request pool)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slow = Future(post("/api/v2/query",
+      "from(bucket: \"telemetry\") |> mean()", Some("roTok")))
+    val health = Future(get("/health"))
+    assert(Await.result(health, 10.seconds).statusCode() == 200)
+    assert(Await.result(slow, 60.seconds).statusCode() == 200)
+  }
 }
