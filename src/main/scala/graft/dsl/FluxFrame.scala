@@ -569,6 +569,53 @@ final case class FluxFrame(
   /** Flux `yield(name:)` — naming marker; materialization is caller's. */
   def yieldName(name: String): DataFrame = df
 
+  /** Flux `reduce(fn:, identity:)` — the second user-extension point
+    * (after `map`): fold each table's rows in time order into an
+    * accumulator record, emitting one row per group of
+    * (groupKey…, accumulator fields…).
+    *
+    * Faithful Flux semantics are a sequential per-table fold, so the
+    * shape is the [[SeriesScan]] one — one shuffle to co-locate each
+    * group, in-partition sort, one streaming pass with O(1) state —
+    * NOT a `collect_list` (unbounded per-group memory) and not a
+    * Spark `Aggregator` (whose merge step would require the fold to be
+    * commutative, which an arbitrary user lambda is not).
+    *
+    * @param identity accumulator field names with initial values (layout
+    *   and output column order)
+    * @param step (accumulator, row) => new accumulator; arrays are
+    *   positional in `identity` order and must not be mutated in place
+    */
+  def reduce(identity: Seq[(String, Double)],
+      step: (Array[Double], org.apache.spark.sql.Row) => Array[Double]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val inSchema = df.schema
+    val keyIdx = groupKey.map(inSchema.fieldIndex)
+    val outSchema = StructType(
+      groupKey.map(inSchema(_)) ++ identity.map { case (n, _) => StructField(n, DoubleType) })
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val init = identity.map(_._2).toArray
+    val sorted =
+      if (groupKey.isEmpty) df.repartition(1).sortWithinPartitions(col(timeCol))
+      else df.repartition(keyCols: _*)
+        .sortWithinPartitions((groupKey :+ timeCol).map(col): _*)
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private val base = it.buffered
+        def hasNext: Boolean = base.hasNext
+        def next(): Row = {
+          val key = keyIdx.map(base.head.get)
+          var acc = init.clone()
+          while (base.hasNext && keyIdx.map(base.head.get) == key)
+            acc = step(acc, base.next())
+          Row.fromSeq(key ++ acc.toSeq)
+        }
+      }
+    }
+  }
+
   def toDF: DataFrame = df
 }
 

@@ -28,21 +28,49 @@ object FluxEval {
   final case class EvalException(msg: String) extends Exception(msg)
 
   def run(query: String, source: Source): DataFrame = {
-    val pipe = FluxParser.parse(query)
-    pipe.calls.headOption match {
+    val prog = FluxParser.parseProgram(query)
+    val env = prog.assigns.foldLeft(Map.empty[String, FluxFrame]) {
+      case (e, (name, pipe)) => e + (name -> evalPipeline(pipe, source, e))
+    }
+    evalPipeline(prog.main, source, env).toDF
+  }
+
+  private def evalPipeline(pipe: Pipeline, source: Source,
+      env: Map[String, FluxFrame]): FluxFrame = {
+    val frame0 = pipe.calls.headOption match {
       case Some(Call("from", args)) =>
         val bucket = str(args, "bucket")
-        val frame0 = source.rename.foldLeft(source.resolve(bucket)) {
+        source.rename.foldLeft(source.resolve(bucket)) {
           case (fr, (flux, actual)) if fr.df.columns.contains(actual) => fr.rename(actual -> flux)
           case (fr, _) => fr
         }
-        val out = pipe.calls.tail.foldLeft(frame0)((f, c) => apply(f, c, source))
-        out.toDF
-      case _ => throw EvalException("query must start with from(bucket: ...)")
+      case Some(Call("__ref", args)) =>
+        val name = str(args, "name")
+        env.getOrElse(name, throw EvalException(s"undefined table variable '$name'"))
+      // join/union are standalone heads in Flux — their inputs are table
+      // variables from earlier assignments, not the piped-in frame
+      case Some(Call("join", args)) =>
+        val (a, b) = args.get("tables") match {
+          case Some(VRec(Seq((_, VIdent(x)), (_, VIdent(y))))) =>
+            (ref(x, env), ref(y, env))
+          case other => throw EvalException(s"join(tables: {a: x, b: y}) expected, got $other")
+        }
+        val how = args.get("method").map(str0).getOrElse("inner")
+        a.joinOn(b, strArr(args, "on"), how)
+      case Some(Call("union", args)) =>
+        args.get("tables") match {
+          case Some(VArr(items)) if items.nonEmpty =>
+            items.map { case VIdent(x) => ref(x, env); case o => throw EvalException(s"union table must be a variable, got $o") }
+              .reduce(_ union _)
+          case other => throw EvalException(s"union(tables: [a, b]) expected, got $other")
+        }
+      case _ => throw EvalException("pipeline must start with from(bucket: ...) or a table variable")
     }
+    pipe.calls.tail.foldLeft(frame0)((f, c) => apply(f, c, source, env))
   }
 
-  private def apply(f: FluxFrame, call: Call, source: Source): FluxFrame = call.verb match {
+  private def apply(f: FluxFrame, call: Call, source: Source,
+      env: Map[String, FluxFrame]): FluxFrame = call.verb match {
     case "range" =>
       f.range(timeStr(call.args, "start"), timeStr(call.args, "stop"))
     case "filter" =>
@@ -135,9 +163,62 @@ object FluxEval {
           fields.map { case (n, e) => n -> operand(e, f, source) }.toMap))
       case other => throw EvalException(s"map expects (r) => ({ r with ... }), got $other")
     }
+    case "pivot" =>
+      val rowKey = strArr(call.args, "rowKey")
+      val colKeys = strArr(call.args, "columnKey")
+      if (colKeys.size != 1)
+        throw EvalException("pivot supports exactly one columnKey column")
+      val valueColumn = str(call.args, "valueColumn")
+      val wide = FluxFrame(f.df, f.groupKey, f.timeCol, valueColumn)
+        .pivot(rowKey, colKeys.head)
+      val tc = if (rowKey.contains(f.timeCol)) f.timeCol else rowKey.head
+      FluxFrame(wide, rowKey, tc, rowKey.head)
+    case "reduce" =>
+      (call.args.get("fn"), call.args.get("identity")) match {
+        case (Some(VReduceLambda(_, _, fields)), Some(VRec(idFields))) =>
+          val identity = idFields.map { case (k, v) => k -> num0(v) }
+          val accIdx = identity.map(_._1).zipWithIndex.toMap
+          def compile(e: Expr): (Array[Double], org.apache.spark.sql.Row) => Double = e match {
+            case Lit(VNum(d)) => (_, _) => d
+            case ColRef(c) => (_, r) => r.get(r.fieldIndex(c)) match {
+              case n: java.lang.Number => n.doubleValue()
+              case _ => Double.NaN
+            }
+            case AccRef(n) =>
+              val i = accIdx.getOrElse(n,
+                throw EvalException(s"unknown accumulator field '$n'"))
+              (a, _) => a(i)
+            case Arith(op, l, r) =>
+              val (lf, rf) = (compile(l), compile(r))
+              op match {
+                case "+" => (a, row) => lf(a, row) + rf(a, row)
+                case "-" => (a, row) => lf(a, row) - rf(a, row)
+                case "*" => (a, row) => lf(a, row) * rf(a, row)
+                case "/" => (a, row) => lf(a, row) / rf(a, row)
+                case "%" => (a, row) => lf(a, row) % rf(a, row)
+                case o => throw EvalException(s"unsupported arithmetic '$o'")
+              }
+            case other => throw EvalException(s"unsupported reduce expression $other")
+          }
+          val fieldFns = fields.toMap.map { case (k, e) => k -> compile(e) }
+          // accumulator layout = identity order; a field the fn doesn't
+          // rewrite keeps its previous value
+          val stepFns = identity.map { case (n, _) =>
+            fieldFns.getOrElse(n,
+              (a: Array[Double], _: org.apache.spark.sql.Row) => a(accIdx(n)))
+          }.toArray
+          val out = f.reduce(identity, (acc, row) => stepFns.map(fn => fn(acc, row)))
+          FluxFrame(out, f.groupKey,
+            f.groupKey.headOption.getOrElse(identity.head._1), identity.head._1)
+        case _ => throw EvalException(
+          "reduce expects fn: (r, accumulator) => ({...}) and identity: {...}")
+      }
     case "yield" => f // naming marker
     case other => throw EvalException(s"unsupported verb '$other'")
   }
+
+  private def ref(name: String, env: Map[String, FluxFrame]): FluxFrame =
+    env.getOrElse(name, throw EvalException(s"undefined table variable '$name'"))
 
   // --- predicate translation: Flux lambda AST → Catalyst Column
 

@@ -29,9 +29,14 @@ object FluxParser {
   final case class VLambda(param: String, body: Expr) extends Value
   /** map(fn: (r) => ({ r with col: expr, … })) — Flux record extension. */
   final case class VMapLambda(param: String, fields: Seq[(String, Expr)]) extends Value
+  /** reduce(fn: (r, accumulator) => ({ field: expr, … }), identity: {…}). */
+  final case class VReduceLambda(rowParam: String, accParam: String,
+      fields: Seq[(String, Expr)]) extends Value
 
   sealed trait Expr
   final case class ColRef(name: String) extends Expr
+  /** `accumulator.<field>` inside a reduce lambda. */
+  final case class AccRef(name: String) extends Expr
   final case class Lit(v: Value) extends Expr
   final case class Cmp(op: String, lhs: Expr, rhs: Expr) extends Expr // == != > < >= <= =~ !~
   final case class And(l: Expr, r: Expr) extends Expr
@@ -41,28 +46,72 @@ object FluxParser {
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
 
   final case class Call(verb: String, args: Map[String, Value])
+  /** A verb chain. The head is either a call (`from(...)`) or, in a
+    * multi-statement program, `Call("__ref", name)` referencing an
+    * earlier `name = from(...) |> …` assignment.
+    */
   final case class Pipeline(calls: Seq[Call])
+  /** `name = <pipeline>` statements followed by one result pipeline —
+    * the Flux program shape `join`/`union` need for their inputs.
+    */
+  final case class Program(assigns: Seq[(String, Pipeline)], main: Pipeline)
 
   final case class ParseException(msg: String, pos: Int) extends Exception(s"$msg at offset $pos")
 
-  def parse(src: String): Pipeline = new P(src).pipeline()
+  def parse(src: String): Pipeline = {
+    val prog = parseProgram(src)
+    if (prog.assigns.nonEmpty)
+      throw ParseException("single-pipeline parse of a multi-statement program", 0)
+    prog.main
+  }
+
+  def parseProgram(src: String): Program = new P(src).program()
 
   private final class P(src: String) {
     private var i = 0
 
-    def pipeline(): Pipeline = {
+    def program(): Program = {
       ws()
+      val assigns = Seq.newBuilder[(String, Pipeline)]
+      var main: Pipeline = null
+      while (main == null) {
+        val save = i
+        val name = ident(); ws()
+        if (peekStr("=") && !peekStr("==") && !peekStr("=~")) {
+          expect("="); ws()
+          assigns += name -> pipeline()
+          ws()
+        } else {
+          i = save
+          main = pipeline()
+          ws()
+        }
+      }
+      if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
+      Program(assigns.result(), main)
+    }
+
+    /** A verb chain; the head may be a bare identifier referencing an
+      * earlier assignment (emitted as a `__ref` marker call).
+      */
+    private def pipeline(): Pipeline = {
       val calls = Seq.newBuilder[Call]
-      calls += call()
+      val headName = ident(); ws()
+      if (peekStr("(")) calls += callAfterName(headName)
+      else calls += Call("__ref", Map("name" -> VStr(headName)))
       ws()
       while (peekStr("|>")) { expect("|>"); ws(); calls += call(); ws() }
-      if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
       Pipeline(calls.result())
     }
 
     private def call(): Call = {
       val name = ident()
-      ws(); expect("(")
+      ws()
+      callAfterName(name)
+    }
+
+    private def callAfterName(name: String): Call = {
+      expect("(")
       val args = Map.newBuilder[String, Value]
       ws()
       if (!peekStr(")")) {
@@ -111,6 +160,17 @@ object FluxParser {
     private def lambda(): Value = {
       expect("("); ws()
       val param = ident(); ws()
+      if (peekStr(",")) { // (r, accumulator) => ({ field: expr, … })
+        expect(","); ws()
+        val accParam = ident(); ws()
+        expect(")"); ws(); expect("=>"); ws()
+        expect("("); ws(); expect("{"); ws()
+        val fields = Seq.newBuilder[(String, Expr)]
+        fields += reduceField(param, accParam); ws()
+        while (peekStr(",")) { expect(","); ws(); fields += reduceField(param, accParam); ws() }
+        expect("}"); ws(); expect(")")
+        return VReduceLambda(param, accParam, fields.result())
+      }
       expect(")"); ws(); expect("=>"); ws()
       // record-with form: ({ r with col: expr, ... })
       val save = i
@@ -134,24 +194,29 @@ object FluxParser {
       (k, addSub(p))
     }
 
-    // arithmetic for map(): + - over * / %
-    private def addSub(p: String): Expr = {
-      var l = mulDiv(p); ws()
+    private def reduceField(p: String, acc: String): (String, Expr) = {
+      val k = identDots(); ws(); expect(":"); ws()
+      (k, addSub(p, acc))
+    }
+
+    // arithmetic for map()/reduce(): + - over * / %
+    private def addSub(p: String, acc: String = null): Expr = {
+      var l = mulDiv(p, acc); ws()
       while (i < src.length && (src(i) == '+' || (src(i) == '-' && !peekStr("->")))) {
-        val op = src(i).toString; i += 1; ws(); l = Arith(op, l, mulDiv(p)); ws()
+        val op = src(i).toString; i += 1; ws(); l = Arith(op, l, mulDiv(p, acc)); ws()
       }
       l
     }
-    private def mulDiv(p: String): Expr = {
-      var l = arithPrimary(p); ws()
+    private def mulDiv(p: String, acc: String = null): Expr = {
+      var l = arithPrimary(p, acc); ws()
       while (i < src.length && (src(i) == '*' || src(i) == '/' || src(i) == '%')) {
-        val op = src(i).toString; i += 1; ws(); l = Arith(op, l, arithPrimary(p)); ws()
+        val op = src(i).toString; i += 1; ws(); l = Arith(op, l, arithPrimary(p, acc)); ws()
       }
       l
     }
-    private def arithPrimary(p: String): Expr = {
-      if (peekStr("(")) { expect("("); ws(); val e = addSub(p); ws(); expect(")"); e }
-      else primary(p)
+    private def arithPrimary(p: String, acc: String = null): Expr = {
+      if (peekStr("(")) { expect("("); ws(); val e = addSub(p, acc); ws(); expect(")"); e }
+      else primary(p, acc)
     }
 
     private def orExpr(p: String): Expr = {
@@ -174,7 +239,7 @@ object FluxParser {
         case None => lhs
       }
     }
-    private def primary(p: String): Expr = {
+    private def primary(p: String, acc: String = null): Expr = {
       if (peekStr("\"")) Lit(VStr(stringLit()))
       else if (peekStr("/")) { // /regex/
         expect("/")
@@ -189,6 +254,7 @@ object FluxParser {
       else {
         val name = ident()
         if (name == p) { expect("."); ColRef(identDots()) }
+        else if (acc != null && name == acc) { expect("."); AccRef(identDots()) }
         else fail(s"unknown identifier '$name' (expected $p.<column> or a literal)")
       }
     }

@@ -47,7 +47,57 @@ object FluxQueries {
           ||> sum()""".stripMargin,
         source(s, dir))
         .select(col("_measurement"), r4(col("_value")).as("sum_v"))
-        .orderBy("_measurement"))
+        .orderBy("_measurement")),
+
+    // pivot(): long→wide in text form (pre-aggregated to one row per
+    // cell with max, so the pivot is deterministic).
+    "flux_pivot" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> group(columns: ["user_id", "_measurement"])
+          ||> max()
+          ||> pivot(rowKey: ["user_id"], columnKey: ["_measurement"], valueColumn: "_value")""".stripMargin,
+        source(s, dir))
+        .select(col("user_id"), r4(col("click")).as("click"), r4(col("error")).as("error"),
+          r4(col("purchase")).as("purchase"), r4(col("signup")).as("signup"),
+          r4(col("view")).as("view"))
+        .orderBy("user_id")),
+
+    // reduce(): the second user-extension point — multi-field accumulator
+    // fold. All accumulator values stay on the 1e-4 decimal grid (raw
+    // sums and a linear transform), so round-4 never sits on a half
+    // boundary where engine rounding could diverge.
+    "flux_reduce" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> reduce(fn: (r, accumulator) => ({ sum: accumulator.sum + r._value,
+          |    n: accumulator.n + 1.0,
+          |    adj: accumulator.adj + (r._value - 50.0) * 2.0 }),
+          |  identity: {sum: 0.0, n: 0.0, adj: 0.0})""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), r4(col("sum")).as("sum_v"), col("n"),
+          r4(col("adj")).as("adj"))
+        .orderBy("_measurement")),
+
+    // join(): two table variables joined on a key — the multi-statement
+    // program form (assignments + standalone join head).
+    "flux_join" -> ((s, dir) =>
+      FluxEval.run(
+        """a = from(bucket: "events")
+          |  |> filter(fn: (r) => r._measurement == "click")
+          |  |> group(columns: ["user_id"])
+          |  |> max()
+          |  |> rename(columns: {_value: "click_max"})
+          |b = from(bucket: "events")
+          |  |> filter(fn: (r) => r._measurement == "purchase")
+          |  |> group(columns: ["user_id"])
+          |  |> max()
+          |  |> rename(columns: {_value: "purchase_max"})
+          |join(tables: {c: a, p: b}, on: ["user_id"])""".stripMargin,
+        source(s, dir))
+        .select(col("user_id"), r4(col("click_max")).as("click_max"),
+          r4(col("purchase_max")).as("purchase_max"))
+        .orderBy("user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,6 +118,30 @@ object FluxQueries {
     "flux_map" ->
       """SELECT event_type AS _measurement, round(sum(v), 4) AS sum_v FROM (
         |  SELECT event_type, (value - 50.0) * 2.0 AS v FROM events)
-        |WHERE v > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+        |WHERE v > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_pivot" ->
+      """SELECT user_id,
+        |  round(max(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(max(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |  round(max(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  round(max(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  round(max(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_reduce" ->
+      """SELECT event_type AS _measurement, round(sum(value), 4) AS sum_v,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  round(sum((value - 50.0) * 2.0), 4) AS adj
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_join" ->
+      """WITH c AS (
+        |  SELECT user_id, max(value) AS click_max FROM events
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT user_id, max(value) AS purchase_max FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT user_id, round(click_max, 4) AS click_max,
+        |  round(purchase_max, 4) AS purchase_max
+        |FROM c JOIN p USING (user_id) ORDER BY 1""".stripMargin
   )
 }

@@ -110,7 +110,60 @@ class FluxSpec extends SparkSpec {
 
   test("unsupported verb raises a clear error") {
     val e = intercept[FluxEval.EvalException](
-      FluxEval.run("""from(bucket: "b") |> pivot(rowKey: ["_time"])""", source))
-    assert(e.getMessage.contains("pivot"))
+      FluxEval.run("""from(bucket: "b") |> frobnicate(n: 1)""", source))
+    assert(e.getMessage.contains("frobnicate"))
+  }
+
+  test("pivot(): long to wide in text form") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> group(columns: ["host", "_measurement"])
+        ||> max()
+        ||> pivot(rowKey: ["host"], columnKey: ["_measurement"], valueColumn: "_value")""".stripMargin,
+      source)
+    val rows = out.orderBy("host").collect().map(r =>
+      (r.getString(r.fieldIndex("host")),
+        Option(r.get(r.fieldIndex("cpu"))), Option(r.get(r.fieldIndex("mem")))))
+    assert(rows.toSeq == Seq(("h1", Some(5.0), Some(99.0)), ("h2", Some(10.0), None)))
+  }
+
+  test("join(): two table variables on a key") {
+    val out = FluxEval.run(
+      """a = from(bucket: "b")
+        |  |> filter(fn: (r) => r._measurement == "cpu")
+        |  |> group(columns: ["host"])
+        |  |> max()
+        |  |> rename(columns: {_value: "cpu_max"})
+        |b = from(bucket: "b")
+        |  |> filter(fn: (r) => r._measurement == "mem")
+        |  |> group(columns: ["host"])
+        |  |> max()
+        |  |> rename(columns: {_value: "mem_max"})
+        |join(tables: {c: a, m: b}, on: ["host"])""".stripMargin,
+      source)
+    val rows = out.select("host", "cpu_max", "mem_max").as[(String, Double, Double)].collect()
+    assert(rows.toSeq == Seq(("h1", 5.0, 99.0))) // h2 has no mem rows -> inner join drops it
+  }
+
+  test("union(): bag union of table variables, piped further") {
+    val out = FluxEval.run(
+      """a = from(bucket: "b") |> filter(fn: (r) => r._measurement == "cpu")
+        |b = from(bucket: "b") |> filter(fn: (r) => r._measurement == "mem")
+        |union(tables: [a, b]) |> group(columns: ["_measurement"]) |> count()""".stripMargin,
+      source)
+    val rows = out.select("_measurement", "_value").as[(String, Long)].collect().toMap
+    assert(rows == Map("cpu" -> 4L, "mem" -> 1L))
+  }
+
+  test("reduce(): multi-field accumulator fold per group") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> reduce(fn: (r, accumulator) => ({ sum: accumulator.sum + r._value,
+        |    n: accumulator.n + 1.0 }),
+        |  identity: {sum: 0.0, n: 0.0})""".stripMargin,
+      source)
+    val rows = out.select("_measurement", "sum", "n").as[(String, Double, Double)]
+      .collect().toSet
+    assert(rows == Set(("cpu", 19.0, 4.0), ("mem", 99.0, 1.0)))
   }
 }
