@@ -291,11 +291,11 @@ final case class FluxFrame(
     */
   def highest(n: Int, reduce: Column => Column, lowest: Boolean = false): FluxFrame = {
     val perSeries = df.groupBy(keyCols: _*).agg(reduce(col(valueCol)).as("_score"))
-    val ranked = perSeries
-      .withColumn("_r", row_number().over(
-        Window.partitionBy().orderBy(if (lowest) col("_score").asc else col("_score").desc, keyCols.head)))
-      .filter(col("_r") <= n)
-      .select(keyCols: _*)
+    // orderBy+limit compiles to TakeOrderedAndProject: each partition
+    // keeps its local top-n and the driver merges n·p rows — no global
+    // window moving every series row to a single partition.
+    val ord = (if (lowest) col("_score").asc else col("_score").desc) +: keyCols
+    val ranked = perSeries.orderBy(ord: _*).limit(n).select(keyCols: _*)
     copy(df = df.join(broadcast(ranked), groupKey, "left_semi"))
   }
 

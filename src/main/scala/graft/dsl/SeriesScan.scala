@@ -20,6 +20,22 @@ import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructTy
   */
 object SeriesScan {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Co-locate + order each series. An EMPTY key is a sequential scan of
+    * the whole frame: correct, but a single task regardless of cluster
+    * size — callers at scale should group by a real series key first.
+    * The guard logs loudly instead of silently serializing 100 TB.
+    */
+  private def sortedBySeries(df: DataFrame, keyCols: Seq[String],
+      orderCol: String): DataFrame =
+    if (keyCols.isEmpty) {
+      log.warn("SeriesScan with an empty series key: the whole frame moves " +
+        "through ONE task. Group by a series key for parallel scans.")
+      df.repartition(1).sortWithinPartitions(col(orderCol))
+    } else df.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+
   /** Append `outCol` (double) computed by a stateful scan over each
     * group in time order. `step` receives (state, value) and returns
     * (nextState, output); a null output drops the row (e.g. EMA warm-up).
@@ -41,10 +57,7 @@ object SeriesScan {
     val valIdx = inSchema.fieldIndex(valueCol)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
 
-    val sorted =
-      if (keyCols.isEmpty) df.repartition(1).sortWithinPartitions(col(orderCol))
-      else df.repartition(keyCols.map(col): _*)
-        .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+    val sorted = sortedBySeries(df, keyCols, orderCol)
 
     sorted.mapPartitions { it =>
       var curKey: Seq[Any] = null
@@ -173,10 +186,7 @@ object SeriesScan {
     val ordIdx = inSchema.fieldIndex(orderCol)
     val valIdx = inSchema.fieldIndex(valueCol)
 
-    val sorted =
-      if (keyCols.isEmpty) df.repartition(1).sortWithinPartitions(col(orderCol))
-      else df.repartition(keyCols.map(col): _*)
-        .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+    val sorted = sortedBySeries(df, keyCols, orderCol)
 
     sorted.mapPartitions { it =>
       // group consecutive rows of one series, then scan each group

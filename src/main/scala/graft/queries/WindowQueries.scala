@@ -70,9 +70,11 @@ object WindowQueries {
         .toDF.select(col("event_id"), r4(col("diff")).as("diff"))
         .orderBy("event_id")),
 
-    // increase(): running sum of positive deltas per event_type series.
+    // increase(): running sum of positive deltas per (event_type,
+    // user_id) series — the real series key (user_id-grade cardinality
+    // exercises ~750-way parallelism instead of 5).
     "increase" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .increase(as = "inc")
         .toDF.select(col("event_id"), r4(col("inc")).as("inc"))
         .orderBy("event_id")),
@@ -104,28 +106,28 @@ object WindowQueries {
         .toDF.select(col("event_id"), r4(col("tma")).as("tma"))
         .orderBy("event_id")),
 
-    // elapsed(unit: 1µs): Δt to previous row per event_type series.
-    // Unit = 1 axis tick keeps values integer-exact (a /1e6 seconds
-    // variant lands exactly on round-half boundaries, where Spark's
-    // decimal rounding and DuckDB's float rounding disagree).
+    // elapsed(unit: 1µs): Δt to previous row per (event_type, user_id)
+    // series. Unit = 1 axis tick keeps values integer-exact (a /1e6
+    // seconds variant lands exactly on round-half boundaries, where
+    // Spark's decimal rounding and DuckDB's float rounding disagree).
     "elapsed" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .elapsed(1.0, as = "elapsed")
         .toDF.select(col("event_id"), col("elapsed"))
         .orderBy("event_id")),
 
-    // stateCount(value > 75) per event_type.
+    // stateCount(value > 75) per (event_type, user_id) series.
     "state_count" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .stateCount(col("value") > 75, as = "sc")
         .toDF.select(col("event_id"), col("sc"))
         .orderBy("event_id")),
 
-    // stateDuration(value > 75, unit: 1µs) per event_type — unit = one
-    // axis tick keeps durations integer-exact (seconds-unit values land
-    // on round-half boundaries, like elapsed).
+    // stateDuration(value > 75, unit: 1µs) per (event_type, user_id) —
+    // unit = one axis tick keeps durations integer-exact (seconds-unit
+    // values land on round-half boundaries, like elapsed).
     "state_duration" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .stateDuration(col("value") > 75, 1.0, as = "sd")
         .toDF.select(col("event_id"), col("sd"))
         .orderBy("event_id")),
@@ -138,32 +140,32 @@ object WindowQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("d")),
 
-    // sample(n: 10): every 10th row per event_type in time order.
+    // sample(n: 10): every 10th row per (event_type, user_id) series.
     "sample_10th" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .sample(10)
         .toDF.select(col("event_id"))
         .orderBy("event_id")),
 
-    // limit(n: 5, offset: 2) per event_type by time.
+    // limit(n: 5, offset: 2) per (event_type, user_id) series by time.
     "limit_offset" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .limitPerGroup(5, offset = 2)
         .toDF.select(col("event_type"), col("event_id"))
         .orderBy("event_type", "event_id")),
 
-    // tail(n: 4) per event_type.
+    // tail(n: 4) per (event_type, user_id) series.
     "tail_4" -> ((s, dir) =>
-      evUs(s, dir)
+      evUs(s, dir).group("event_type", "user_id")
         .tail(4)
         .toDF.select(col("event_type"), col("event_id"))
         .orderBy("event_type", "event_id")),
 
-    // top(3) / bottom(3) by value per event_type (ties broken by time).
+    // top(3) / bottom(3) by value per (event_type, user_id) series.
     "top_bottom" -> ((s, dir) => {
-      val t = evUs(s, dir).top(3).toDF
+      val t = evUs(s, dir).group("event_type", "user_id").top(3).toDF
         .select(col("event_type"), col("event_id"), lit("top").as("side"))
-      val b = evUs(s, dir).bottom(3).toDF
+      val b = evUs(s, dir).group("event_type", "user_id").bottom(3).toDF
         .select(col("event_type"), col("event_id"), lit("bottom").as("side"))
       t.unionByName(b).orderBy("event_type", "side", "event_id")
     }),
@@ -253,10 +255,10 @@ object WindowQueries {
         |) WHERE pv IS NOT NULL ORDER BY event_id"""),
     "increase" -> w(
       """SELECT event_id, round(coalesce(sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER
-        |    (PARTITION BY event_type ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING), 0), 4) AS inc
+        |    (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING), 0), 4) AS inc
         |FROM (
-        |  SELECT event_id, event_type, ts,
-        |    value - lag(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS d
+        |  SELECT event_id, event_type, user_id, ts,
+        |    value - lag(value) OVER (PARTITION BY event_type, user_id ORDER BY epoch_us(ts)) AS d
         |  FROM events
         |) ORDER BY event_id"""),
     "cumsum" -> w(
@@ -281,18 +283,18 @@ object WindowQueries {
       """SELECT event_id, el AS elapsed FROM (
         |  SELECT event_id,
         |    CAST(epoch_us(ts) AS DOUBLE) - lag(CAST(epoch_us(ts) AS DOUBLE)) OVER
-        |      (PARTITION BY event_type ORDER BY epoch_us(ts)) AS el
+        |      (PARTITION BY event_type, user_id ORDER BY epoch_us(ts)) AS el
         |  FROM events
         |) WHERE el IS NOT NULL ORDER BY event_id"""),
     "state_count" -> w(
       """SELECT event_id, CAST(CASE WHEN p THEN cnt ELSE -1 END AS BIGINT) AS sc FROM (
         |  SELECT event_id, p,
         |    sum(CASE WHEN p THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY event_type, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS cnt
+        |      (PARTITION BY event_type, user_id, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS cnt
         |  FROM (
-        |    SELECT event_id, event_type, epoch_us(ts) AS tus, value > 75 AS p,
+        |    SELECT event_id, event_type, user_id, epoch_us(ts) AS tus, value > 75 AS p,
         |      sum(CASE WHEN value > 75 THEN 0 ELSE 1 END) OVER
-        |        (PARTITION BY event_type ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING) AS rst
+        |        (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING) AS rst
         |    FROM events)
         |) ORDER BY event_id"""),
     "state_duration" -> w(
@@ -300,11 +302,11 @@ object WindowQueries {
         |       ELSE -1.0 END AS sd FROM (
         |  SELECT event_id, p, tus,
         |    min(CASE WHEN p THEN tus END) OVER
-        |      (PARTITION BY event_type, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS rs
+        |      (PARTITION BY event_type, user_id, rst ORDER BY tus ROWS UNBOUNDED PRECEDING) AS rs
         |  FROM (
-        |    SELECT event_id, event_type, epoch_us(ts) AS tus, value > 75 AS p,
+        |    SELECT event_id, event_type, user_id, epoch_us(ts) AS tus, value > 75 AS p,
         |      sum(CASE WHEN value > 75 THEN 0 ELSE 1 END) OVER
-        |        (PARTITION BY event_type ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING) AS rst
+        |        (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) ROWS UNBOUNDED PRECEDING) AS rst
         |    FROM events)
         |) ORDER BY event_id"""),
     "time_shift" -> w(
@@ -312,21 +314,21 @@ object WindowQueries {
         |FROM events GROUP BY 1 ORDER BY 1"""),
     "sample_10th" -> w(
       """SELECT event_id FROM (
-        |  SELECT event_id, row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  SELECT event_id, row_number() OVER (PARTITION BY event_type, user_id ORDER BY epoch_us(ts)) AS rn
         |  FROM events) WHERE (rn - 1) % 10 = 0 ORDER BY event_id"""),
     "limit_offset" -> w(
       """SELECT event_type, event_id FROM (
-        |  SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type, user_id ORDER BY epoch_us(ts)) AS rn
         |  FROM events) WHERE rn > 2 AND rn <= 7 ORDER BY 1, 2"""),
     "tail_4" -> w(
       """SELECT event_type, event_id FROM (
-        |  SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts) DESC) AS rn
+        |  SELECT event_type, event_id, row_number() OVER (PARTITION BY event_type, user_id ORDER BY epoch_us(ts) DESC) AS rn
         |  FROM events) WHERE rn <= 4 ORDER BY 1, 2"""),
     "top_bottom" -> w(
       """WITH ranked AS (
         |  SELECT event_type, event_id,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, epoch_us(ts)) AS rt,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, epoch_us(ts)) AS rb
+        |    row_number() OVER (PARTITION BY event_type, user_id ORDER BY value DESC, epoch_us(ts)) AS rt,
+        |    row_number() OVER (PARTITION BY event_type, user_id ORDER BY value ASC, epoch_us(ts)) AS rb
         |  FROM events)
         |SELECT event_type, event_id, 'top' AS side FROM ranked WHERE rt <= 3
         |UNION ALL

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: flag gate queries whose plan contains a GLOBAL window
+  * (windowspecdefinition with no partition columns). A global window
+  * moves every row to one partition — the parallelism ceiling the
+  * 100 TB design must not hit on gated paths.
+  */
+object WindowAudit {
+  private val Spec = "windowspecdefinition\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)".r
+
+  /** Number of empty-partition window specs in the optimized plan. */
+  def globalWindows(plan: String): Int =
+    Spec.findAllMatchIn(plan).map(_.group(1)).count { args =>
+      // args = part1, part2, ..., orderCol ASC/DESC ..., frame
+      val first = args.split(",")(0)
+      first.contains(" ASC") || first.contains(" DESC")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = globalWindows(fn(spark, sfDir).queryExecution.optimizedPlan.toString)
+        if (n > 0) { flagged += 1; println(s"GLOBAL-WINDOW $name: $n spec(s)") }
+      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(100)}") }
+    }
+    println(s"$flagged queries with global windows")
+    spark.stop()
+  }
+}
