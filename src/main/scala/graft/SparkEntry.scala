@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.LlmQueries.queries ++
       graft.queries.EmaFamilyQueries.queries ++
       graft.queries.FluxQueries.queries ++
+      graft.queries.InfluxQlQueries.queries ++
       graft.queries.SetOpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.LlmQueries.oracle ++
       graft.queries.EmaFamilyQueries.oracle ++
       graft.queries.FluxQueries.oracle ++
+      graft.queries.InfluxQlQueries.oracle ++
       graft.queries.SetOpQueries.oracle
 }

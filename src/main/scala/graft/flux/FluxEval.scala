@@ -163,6 +163,16 @@ object FluxEval {
           fields.map { case (n, e) => n -> operand(e, f, source) }.toMap))
       case other => throw EvalException(s"map expects (r) => ({ r with ... }), got $other")
     }
+    case "histogram" =>
+      val bins = call.args.get("bins") match {
+        case Some(VArr(items)) => items.map(num0)
+        case other => throw EvalException(s"histogram(bins: [..]) expected, got $other")
+      }
+      FluxFrame(f.histogram(bins), f.groupKey, "le", "_value")
+    case "histogramQuantile" =>
+      val q = num(call.args, "quantile")
+      FluxFrame(f.histogramQuantile(q), f.groupKey,
+        f.groupKey.headOption.getOrElse("_value"), "_value")
     case "pivot" =>
       val rowKey = strArr(call.args, "rowKey")
       val colKeys = strArr(call.args, "columnKey")

@@ -1,0 +1,270 @@
+package graft.influxql
+
+/** Parser for the InfluxQL subset the pinned engine serves over its v1
+  * compatibility API (`/query?db=…&q=…`) — the query language Grafana's
+  * InfluxQL data source speaks against the reference deployment
+  * (reference README's Grafana integration section; the 2.0.9 container
+  * exposes v1 compat with DBRP mappings).
+  *
+  * Covered grammar:
+  * {{{
+  * SELECT <agg>(field)[, …] | field[, …] FROM measurement
+  *   [WHERE time >= '…' AND time < now() - 7d AND tag = 'v' …]
+  *   [GROUP BY time(1h)[, tag, …]] [FILL(none|null|0|…)]
+  *   [ORDER BY time DESC] [LIMIT n] [OFFSET n]
+  * SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
+  * }}}
+  *
+  * Hand-rolled recursive descent like [[graft.flux.FluxParser]]; no
+  * dependencies. Evaluation lives in [[InfluxQLEval]].
+  */
+object InfluxQL {
+
+  final case class Dur(amount: Long, unit: String) {
+    def seconds: Double = unit match {
+      case "ns" => amount / 1e9
+      case "u" | "µ" => amount / 1e6
+      case "ms" => amount / 1e3
+      case "s" => amount.toDouble
+      case "m" => amount * 60.0
+      case "h" => amount * 3600.0
+      case "d" => amount * 86400.0
+      case "w" => amount * 604800.0
+    }
+    def interval: String = s"${seconds.toLong} seconds"
+  }
+
+  sealed trait Proj
+  final case class AggProj(fn: String, field: String, param: Option[Double],
+      alias: Option[String]) extends Proj
+  final case class FieldProj(field: String, alias: Option[String]) extends Proj
+
+  sealed trait Fill
+  case object FillNone extends Fill
+  case object FillNull extends Fill
+  final case class FillValue(v: Double) extends Fill
+  case object FillPrevious extends Fill
+
+  sealed trait Lit
+  final case class LStr(s: String) extends Lit
+  final case class LNum(d: Double) extends Lit
+  /** now() ± duration (sign 0 = bare now()). */
+  final case class LNow(sign: Int, d: Option[Dur]) extends Lit
+
+  sealed trait Cond
+  final case class CAnd(l: Cond, r: Cond) extends Cond
+  final case class COr(l: Cond, r: Cond) extends Cond
+  final case class CCmp(op: String, key: String, value: Lit) extends Cond
+
+  sealed trait Stmt
+  final case class Select(
+      projs: Seq[Proj],
+      from: String,
+      where: Option[Cond],
+      groupTime: Option[Dur],
+      groupTags: Seq[String],
+      fill: Fill,
+      orderDesc: Boolean,
+      limit: Option[Int],
+      offset: Option[Int]) extends Stmt
+  case object ShowMeasurements extends Stmt
+  final case class ShowTagKeys(from: Option[String]) extends Stmt
+  final case class ShowFieldKeys(from: Option[String]) extends Stmt
+
+  final case class ParseException(msg: String, pos: Int)
+    extends Exception(s"$msg at offset $pos")
+
+  val Aggregates: Set[String] = Set("count", "sum", "mean", "min", "max",
+    "median", "mode", "stddev", "spread", "first", "last", "percentile",
+    "distinct")
+
+  def parse(src: String): Stmt = new P(src).statement()
+
+  private final class P(src: String) {
+    private var i = 0
+
+    def statement(): Stmt = {
+      ws()
+      val s =
+        if (peekKw("SELECT")) select()
+        else if (peekKw("SHOW")) show()
+        else fail("expected SELECT or SHOW")
+      ws()
+      if (peekStr(";")) { expect(";"); ws() }
+      if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
+      s
+    }
+
+    private def show(): Stmt = {
+      kw("SHOW")
+      if (peekKw("MEASUREMENTS")) { kw("MEASUREMENTS"); ShowMeasurements }
+      else if (peekKw("TAG")) { kw("TAG"); kw("KEYS"); ShowTagKeys(optFrom()) }
+      else if (peekKw("FIELD")) { kw("FIELD"); kw("KEYS"); ShowFieldKeys(optFrom()) }
+      else fail("expected MEASUREMENTS, TAG KEYS or FIELD KEYS")
+    }
+
+    private def optFrom(): Option[String] =
+      if (peekKw("FROM")) { kw("FROM"); Some(ident()) } else None
+
+    private def select(): Select = {
+      kw("SELECT")
+      val projs = Seq.newBuilder[Proj]
+      projs += proj()
+      ws()
+      while (peekStr(",")) { expect(","); ws(); projs += proj(); ws() }
+      kw("FROM")
+      val from = ident(); ws()
+      val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
+      var groupTime: Option[Dur] = None
+      var groupTags = Seq.empty[String]
+      if (peekKw("GROUP")) {
+        kw("GROUP"); kw("BY")
+        var more = true
+        while (more) {
+          ws()
+          if (peekKw("time")) {
+            kw("time"); expect("("); ws(); groupTime = Some(duration()); ws(); expect(")")
+          } else groupTags :+= ident()
+          ws()
+          if (peekStr(",")) expect(",") else more = false
+        }
+      }
+      ws()
+      val fill: Fill =
+        if (peekKw("FILL")) {
+          kw("FILL"); expect("("); ws()
+          val f =
+            if (peekKw("none")) { kw("none"); FillNone }
+            else if (peekKw("null")) { kw("null"); FillNull }
+            else if (peekKw("previous")) { kw("previous"); FillPrevious }
+            else FillValue(number())
+          ws(); expect(")")
+          f
+        } else FillNone
+      ws()
+      var desc = false
+      if (peekKw("ORDER")) {
+        kw("ORDER"); kw("BY"); kw("time"); ws()
+        if (peekKw("DESC")) { kw("DESC"); desc = true }
+        else if (peekKw("ASC")) kw("ASC")
+      }
+      ws()
+      val limit = if (peekKw("LIMIT")) { kw("LIMIT"); ws(); Some(number().toInt) } else None
+      ws()
+      val offset = if (peekKw("OFFSET")) { kw("OFFSET"); ws(); Some(number().toInt) } else None
+      Select(projs.result(), from, where, groupTime, groupTags, fill, desc, limit, offset)
+    }
+
+    private def proj(): Proj = {
+      ws()
+      val name = ident(); ws()
+      val p: Proj =
+        if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
+          expect("("); ws()
+          val field = ident(); ws()
+          val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
+          ws(); expect(")")
+          AggProj(name.toLowerCase, field, param, None)
+        } else FieldProj(name, None)
+      ws()
+      if (peekKw("AS")) {
+        kw("AS")
+        val a = ident()
+        p match {
+          case ap: AggProj => ap.copy(alias = Some(a))
+          case fp: FieldProj => fp.copy(alias = Some(a))
+        }
+      } else p
+    }
+
+    private def orCond(): Cond = {
+      var l = andCond(); ws()
+      while (peekKw("OR")) { kw("OR"); l = COr(l, andCond()); ws() }
+      l
+    }
+    private def andCond(): Cond = {
+      var l = cmp(); ws()
+      while (peekKw("AND")) { kw("AND"); l = CAnd(l, cmp()); ws() }
+      l
+    }
+    private def cmp(): Cond = {
+      ws()
+      if (peekStr("(")) { expect("("); val c = orCond(); ws(); expect(")"); return c }
+      val key = ident(); ws()
+      val op = Seq("=~", "!~", "!=", "<>", "<=", ">=", "=", "<", ">").find(peekStr)
+        .getOrElse(fail("expected comparison operator"))
+      expect(op); ws()
+      val v: Lit =
+        if (peekStr("'")) LStr(stringLit())
+        else if (peekKw("now")) {
+          kw("now"); expect("("); ws(); expect(")"); ws()
+          if (peekStr("-")) { expect("-"); ws(); LNow(-1, Some(duration())) }
+          else if (peekStr("+")) { expect("+"); ws(); LNow(1, Some(duration())) }
+          else LNow(0, None)
+        }
+        else LNum(number())
+      CCmp(if (op == "<>") "!=" else op, key, v)
+    }
+
+    private def duration(): Dur = {
+      val start = i
+      while (i < src.length && src(i).isDigit) i += 1
+      if (i == start) fail("expected duration")
+      val n = src.substring(start, i).toLong
+      val us = i
+      while (i < src.length && (src(i).isLetter || src(i) == 'µ')) i += 1
+      val unit = src.substring(us, i)
+      if (!Seq("ns", "u", "µ", "ms", "s", "m", "h", "d", "w").contains(unit))
+        fail(s"unknown duration unit '$unit'")
+      Dur(n, unit)
+    }
+
+    private def number(): Double = {
+      val start = i
+      if (peekStr("-")) i += 1
+      while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
+      if (i == start) fail("expected number")
+      src.substring(start, i).toDouble
+    }
+
+    private def stringLit(): String = {
+      expect("'")
+      val sb = new StringBuilder
+      while (i < src.length && src(i) != '\'') {
+        if (src(i) == '\\' && i + 1 < src.length) { sb.append(src(i + 1)); i += 2 }
+        else { sb.append(src(i)); i += 1 }
+      }
+      expect("'")
+      sb.toString
+    }
+
+    /** Bare or double-quoted identifier. */
+    private def ident(): String = {
+      ws()
+      if (peekStr("\"")) {
+        expect("\"")
+        val sb = new StringBuilder
+        while (i < src.length && src(i) != '"') { sb.append(src(i)); i += 1 }
+        expect("\"")
+        sb.toString
+      } else {
+        val start = i
+        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        if (i == start) fail("expected identifier")
+        src.substring(start, i)
+      }
+    }
+
+    private def ws(): Unit = while (i < src.length && src(i).isWhitespace) i += 1
+    private def peekStr(s: String): Boolean = src.regionMatches(i, s, 0, s.length)
+    private def peekKw(w: String): Boolean =
+      src.regionMatches(true, i, w, 0, w.length) &&
+        (i + w.length >= src.length ||
+          !(src(i + w.length).isLetterOrDigit || src(i + w.length) == '_'))
+    private def kw(w: String): Unit =
+      if (peekKw(w)) { i += w.length; ws() } else fail(s"expected $w")
+    private def expect(s: String): Unit =
+      if (peekStr(s)) i += s.length else fail(s"expected '$s'")
+    private def fail(msg: String): Nothing = throw ParseException(msg, i)
+  }
+}

@@ -1,0 +1,234 @@
+package graft.influxql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluator: InfluxQL AST → DataFrame plans (the v1 compat surface of
+  * the pinned engine). Pure plan construction like [[graft.flux.FluxEval]]
+  * — Catalyst gets the same pushdown/pruning/AQE opportunities whether a
+  * query arrives as InfluxQL text, Flux text, or DSL calls.
+  */
+object InfluxQLEval {
+  import InfluxQL._
+
+  /** Measurement resolver + schema surface for SHOW queries.
+    *
+    * `resolve` returns a frame with `timeCol` (TimestampType) plus field
+    * and tag columns; a store-backed frame may carry tags as a `tags`
+    * map column — [[ref]] falls through to it.
+    */
+  final case class Source(
+      resolve: String => DataFrame,
+      timeCol: String = "time",
+      measurements: () => DataFrame = null,
+      tagKeys: Option[String] => DataFrame = null,
+      fieldKeys: Option[String] => DataFrame = null,
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
+
+  final case class EvalException(msg: String) extends Exception(msg)
+
+  def run(q: String, source: Source): DataFrame = InfluxQL.parse(q) match {
+    case s: Select => select(s, source)
+    case ShowMeasurements =>
+      require(source.measurements != null, "SHOW MEASUREMENTS unsupported by this source")
+      source.measurements()
+    case ShowTagKeys(m) =>
+      require(source.tagKeys != null, "SHOW TAG KEYS unsupported by this source")
+      source.tagKeys(m)
+    case ShowFieldKeys(m) =>
+      require(source.fieldKeys != null, "SHOW FIELD KEYS unsupported by this source")
+      source.fieldKeys(m)
+  }
+
+  /** Store-backed source: a v1 "database" maps onto a bucket, a
+    * measurement onto its wide [[graft.dsl.Tsdb.fieldsAsCols]] view
+    * (fields as columns, tags as the `tags` map), and the SHOW
+    * queries onto catalog scans.
+    */
+  def tsdbSource(tsdb: graft.dsl.Tsdb, bucket: String): Source = Source(
+    resolve = m => tsdb.fieldsAsCols(bucket, m),
+    timeCol = "time",
+    measurements = () => tsdb.from(bucket).toDF
+      .select(col("measurement").as("name")).distinct().orderBy("name"),
+    tagKeys = m => {
+      val base = tsdb.from(bucket).toDF
+      val f = m.map(x => base.filter(col("measurement") === x)).getOrElse(base)
+      f.select(explode(map_keys(col("tags"))).as("tagKey")).distinct().orderBy("tagKey")
+    },
+    fieldKeys = m => {
+      val base = tsdb.from(bucket).toDF
+      val f = m.map(x => base.filter(col("measurement") === x)).getOrElse(base)
+      f.select(col("field").as("fieldKey")).distinct().orderBy("fieldKey")
+    })
+
+  /** Column for a WHERE/GROUP BY key: a real column if the frame has
+    * one, else a lookup into the `tags` map (store-backed frames).
+    */
+  private def ref(df: DataFrame, key: String): Column =
+    if (df.columns.contains(key)) col(key)
+    else if (df.columns.contains("tags")) col("tags").getItem(key)
+    else col(key)
+
+  private def timeLit(v: Lit, source: Source): Column = v match {
+    case LStr(s) => to_timestamp(lit(s.replace("T", " ").stripSuffix("Z")))
+    case LNum(ns) => timestamp_micros(lit((ns / 1000).toLong)) // epoch-ns literal
+    case LNow(sign, d) =>
+      val ns = source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)
+      timestamp_micros(lit(ns / 1000))
+  }
+
+  private def cond(c: Cond, df: DataFrame, source: Source): Column = c match {
+    case CAnd(l, r) => cond(l, df, source) && cond(r, df, source)
+    case COr(l, r) => cond(l, df, source) || cond(r, df, source)
+    case CCmp(op, "time", v) =>
+      val t = col(source.timeCol)
+      val lt = timeLit(v, source)
+      op match {
+        case "=" => t === lt
+        case "!=" => t =!= lt
+        case ">" => t > lt
+        case "<" => t < lt
+        case ">=" => t >= lt
+        case "<=" => t <= lt
+        case o => throw EvalException(s"unsupported time comparison '$o'")
+      }
+    case CCmp(op, key, v) =>
+      val k = ref(df, key)
+      val lt: Column = v match {
+        case LStr(s) => lit(s)
+        case LNum(d) => lit(d)
+        case _: LNow => throw EvalException("now() only compares against time")
+      }
+      op match {
+        case "=" => k === lt
+        case "!=" => k =!= lt
+        case ">" => k > lt
+        case "<" => k < lt
+        case ">=" => k >= lt
+        case "<=" => k <= lt
+        case "=~" => k.rlike(v.asInstanceOf[LStr].s)
+        case "!~" => !k.rlike(v.asInstanceOf[LStr].s)
+        case o => throw EvalException(s"unsupported comparison '$o'")
+      }
+  }
+
+  private def aggExpr(p: AggProj, timeCol: String): Column = {
+    val c = col(p.field)
+    val e = p.fn match {
+      case "count" => count(c)
+      case "sum" => sum(c)
+      case "mean" => avg(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "median" => percentile(c, lit(0.5))
+      case "mode" => mode(c)
+      case "stddev" => stddev_samp(c)
+      case "spread" => max(c) - min(c)
+      case "first" => min_by(c, col(timeCol))
+      case "last" => max_by(c, col(timeCol))
+      case "percentile" =>
+        val pct = p.param.getOrElse(throw EvalException("percentile(field, N) needs N"))
+        percentile(c, lit(pct / 100.0))
+      case other => throw EvalException(s"unsupported aggregate '$other'")
+    }
+    e.as(p.alias.getOrElse(p.fn))
+  }
+
+  private def select(s: Select, source: Source): DataFrame = {
+    val base = source.resolve(s.from)
+    val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
+    val aggs = s.projs.collect { case a: AggProj => a }
+    val fields = s.projs.collect { case f: FieldProj => f }
+    if (aggs.nonEmpty && fields.nonEmpty)
+      throw EvalException("mixing aggregate and raw field projections is unsupported")
+
+    val out: DataFrame =
+      if (aggs.isEmpty) {
+        // raw select: time + fields
+        val cols = col(source.timeCol).as("time") +:
+          fields.map(f => ref(filtered, f.field).as(f.alias.getOrElse(f.field)))
+        filtered.select(cols: _*)
+      } else {
+        val tagCols = s.groupTags.map(t => ref(filtered, t).as(t))
+        val aggCols = aggs.map(aggExpr(_, source.timeCol))
+        s.groupTime match {
+          case None =>
+            if (s.groupTags.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+            else filtered.groupBy(tagCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          case Some(d) =>
+            // InfluxQL labels each bucket with its epoch-aligned START
+            val win = window(col(source.timeCol), d.interval, d.interval)
+            val keyed = filtered.withColumn("time", win.getField("start"))
+            val grouped = keyed.groupBy((col("time") +: tagCols): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+            applyFill(grouped, s, d, aggs.map(a => a.alias.getOrElse(a.fn)), source)
+        }
+      }
+
+    val ordered =
+      if (out.columns.contains("time")) {
+        val t = if (s.orderDesc) col("time").desc else col("time").asc
+        out.orderBy(t +: s.groupTags.map(col): _*)
+      } else if (s.groupTags.nonEmpty) out.orderBy(s.groupTags.map(col): _*)
+      else out
+    val offset = s.offset.map(ordered.offset).getOrElse(ordered)
+    s.limit.map(offset.limit).getOrElse(offset)
+  }
+
+  /** FILL(…) over a GROUP BY time() result: generate the full window
+    * spine between the WHERE clause's absolute time bounds (required —
+    * InfluxQL likewise only fills inside an explicit range) crossed with
+    * the observed tag combinations, then left-join the aggregates.
+    */
+  private def applyFill(grouped: DataFrame, s: Select, d: Dur,
+      aggNames: Seq[String], source: Source): DataFrame = s.fill match {
+    case FillNone => grouped
+    case fill =>
+      val (lo, hi) = timeBounds(s.where, source).getOrElse(
+        throw EvalException("FILL requires absolute time bounds in WHERE"))
+      val stepUs = (d.seconds * 1e6).toLong
+      val loAligned = lo / stepUs * stepUs
+      val spine = grouped.sparkSession.range(loAligned, hi, stepUs)
+        .select(timestamp_micros(col("id")).as("time"))
+      val spineKeys =
+        if (s.groupTags.isEmpty) spine
+        else spine.crossJoin(grouped.select(s.groupTags.map(col): _*).distinct())
+      val joined = spineKeys.join(grouped, "time" +: s.groupTags, "left")
+      fill match {
+        case FillValue(v) =>
+          aggNames.foldLeft(joined)((df, n) => df.withColumn(n, coalesce(col(n), lit(v))))
+        case FillPrevious =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(s.groupTags.map(col): _*).orderBy(col("time"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          aggNames.foldLeft(joined)((df, n) =>
+            df.withColumn(n, last(col(n), ignoreNulls = true).over(w)))
+        case _ => joined // FillNull: spine rows keep their nulls
+      }
+  }
+
+  /** Extract absolute [lo, hi) µs bounds from AND-ed time comparisons. */
+  private def timeBounds(where: Option[Cond], source: Source): Option[(Long, Long)] = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def us(v: Lit): Long = v match {
+      case LStr(str) =>
+        java.time.Instant.parse(
+          if (str.contains("T")) (if (str.endsWith("Z")) str else str + "Z")
+          else str.replace(" ", "T") + "Z").toEpochMilli * 1000L
+      case LNum(ns) => (ns / 1000).toLong
+      case LNow(sign, d) =>
+        (source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)) / 1000L
+    }
+    def walk(c: Cond): Unit = c match {
+      case CAnd(l, r) => walk(l); walk(r)
+      case CCmp(">=", "time", v) => lo = Some(us(v))
+      case CCmp(">", "time", v) => lo = Some(us(v) + 1)
+      case CCmp("<", "time", v) => hi = Some(us(v))
+      case CCmp("<=", "time", v) => hi = Some(us(v) + 1)
+      case _ => ()
+    }
+    where.foreach(walk)
+    for (l <- lo; h <- hi) yield (l, h)
+  }
+}

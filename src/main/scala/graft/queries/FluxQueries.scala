@@ -79,6 +79,16 @@ object FluxQueries {
           r4(col("adj")).as("adj"))
         .orderBy("_measurement")),
 
+    // histogram |> histogramQuantile chained in text form.
+    "flux_histogram" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> histogram(bins: [20.0, 40.0, 60.0, 80.0, 100.0])
+          ||> histogramQuantile(quantile: 0.5)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), r4(col("_value")).as("q50"))
+        .orderBy("_measurement")),
+
     // join(): two table variables joined on a key — the multi-statement
     // program form (assignments + standalone join head).
     "flux_join" -> ((s, dir) =>
@@ -132,6 +142,21 @@ object FluxQueries {
         |  CAST(count(*) AS DOUBLE) AS n,
         |  round(sum((value - 50.0) * 2.0), 4) AS adj
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_histogram" ->
+      """WITH hist AS (
+        |  SELECT event_type, le, count(*) AS hn
+        |  FROM events CROSS JOIN (VALUES (20.0), (40.0), (60.0), (80.0), (100.0)) b(le)
+        |  WHERE value <= le GROUP BY 1, 2
+        |), staged AS (
+        |  SELECT event_type, le, hn,
+        |    max(hn) OVER (PARTITION BY event_type) AS tot,
+        |    coalesce(lag(hn) OVER w, 0) AS pc,
+        |    coalesce(lag(le) OVER w, 0) AS ple
+        |  FROM hist WINDOW w AS (PARTITION BY event_type ORDER BY le)
+        |)
+        |SELECT event_type AS _measurement,
+        |  round(ple + (le - ple) * (tot * 0.5 - pc) / (hn - pc), 4) AS q50
+        |FROM staged WHERE hn >= tot * 0.5 AND pc < tot * 0.5 ORDER BY 1""".stripMargin,
     "flux_join" ->
       """WITH c AS (
         |  SELECT user_id, max(value) AS click_max FROM events

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.influxql.InfluxQLEval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate entries driven through the InfluxQL v1 front-end — the query
+  * enters as InfluxQL text (the language Grafana speaks to the pinned
+  * engine's /query compat API), is parsed and planned onto DataFrames,
+  * and must hash-match the DuckDB oracle.
+  */
+object InfluxQlQueries {
+  import QueryUtil._
+
+  private def source(s: SparkSession, dir: String) = InfluxQLEval.Source(
+    resolve = _ => events(s, dir).withColumnRenamed("ts", "time"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GROUP BY time(1h), tag — the canonical Grafana panel query.
+    // InfluxQL labels buckets with their epoch-aligned START.
+    "iql_gb_time" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sum(value) AS sum_v FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("sum_v")).as("sum_v"))
+        .orderBy("event_type", "wstart")),
+
+    // Ungrouped-by-time aggregates per tag: count/max/median/percentile.
+    "iql_agg" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT count(value) AS n, max(value) AS max_v, median(value) AS med, " +
+          "percentile(value, 90) AS p90 FROM events GROUP BY event_type",
+        source(s, dir))
+        .select(col("event_type"), col("n"), r4(col("max_v")).as("max_v"),
+          r4(col("med")).as("med"), r4(col("p90")).as("p90"))
+        .orderBy("event_type")),
+
+    // FILL(0): empty windows inside the queried range emit zeros.
+    "iql_fill" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sum(value) AS sum_v FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "AND event_type = 'purchase' AND value > 97 " +
+          "GROUP BY time(1h) FILL(0)",
+        source(s, dir))
+        .select(col("time").as("wstart"), r4(col("sum_v")).as("sum_v"))
+        .orderBy("wstart"))
+  )
+
+  private def w(s: String) = s.stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "iql_gb_time" -> w(
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |  round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 2, 1"""),
+    "iql_agg" -> w(
+      """SELECT event_type, count(value) AS n, round(max(value), 4) AS max_v,
+        |  round(quantile_cont(value, 0.5), 4) AS med,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "iql_fill" -> w(
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |    AND event_type = 'purchase' AND value > 97
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, sum(value) AS sum_v
+        |  FROM f GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-08 00:00:00',
+        |    TIMESTAMP '2024-01-08 23:00:00', INTERVAL '1 hour')) AS wstart
+        |)
+        |SELECT s.wstart, round(coalesce(a.sum_v, 0), 4) AS sum_v
+        |FROM spine s LEFT JOIN agg a ON s.wstart = a.wstart ORDER BY 1""")
+  )
+}

@@ -65,11 +65,16 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     ex.close()
   }
 
-  private def query(ex: HttpExchange, name: String): Option[String] =
-    Option(ex.getRequestURI.getQuery).toSeq
+  private def params(raw: String): Map[String, String] =
+    Option(raw).toSeq
       .flatMap(_.split('&').toSeq)
       .map(_.split("=", 2))
-      .collectFirst { case Array(k, v) if k == name => v }
+      .collect { case Array(k, v) =>
+        k -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  private def query(ex: HttpExchange, name: String): Option[String] =
+    params(ex.getRequestURI.getRawQuery).get(name)
 
   server.createContext("/health", (ex: HttpExchange) =>
     respond(ex, 200, """{"name": "graft", "status": "pass"}"""))
@@ -163,6 +168,37 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
           } catch {
             case e @ (_: graft.flux.FluxParser.ParseException | _: FluxEval.EvalException) =>
               respond(ex, 400, err(e.getMessage))
+          }
+      }
+    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+  })
+
+  /** /query — the v1 InfluxQL compatibility API of the pinned engine
+    * (db=…&q=… via GET params or a POST form body); returns the
+    * `{"results": [{"series": …}]}` JSON Grafana's InfluxQL source
+    * consumes. `db` maps onto a bucket.
+    */
+  server.createContext("/query", (ex: HttpExchange) => {
+    try {
+      tokenOf(ex).filter(canRead) match {
+        case None => respond(ex, 401, err("unauthorized"))
+        case Some(_) =>
+          val form =
+            if (ex.getRequestMethod == "POST")
+              params(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+            else Map.empty[String, String]
+          def p(name: String) = query(ex, name).orElse(form.get(name))
+          (p("db"), p("q")) match {
+            case (Some(db), Some(q)) if tsdb.catalog.bucket(db).nonEmpty =>
+              try respond(ex, 200, V1Query.run(tsdb, db, q))
+              catch {
+                case e @ (_: graft.influxql.InfluxQL.ParseException |
+                          _: graft.influxql.InfluxQLEval.EvalException) =>
+                  respond(ex, 400, err(e.getMessage))
+              }
+            case (Some(db), _) if tsdb.catalog.bucket(db).isEmpty =>
+              respond(ex, 404, err(s"database '$db' not found"))
+            case _ => respond(ex, 400, err("db and q parameters required"))
           }
       }
     } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }

@@ -155,6 +155,24 @@ class FluxSpec extends SparkSpec {
     assert(rows == Map("cpu" -> 4L, "mem" -> 1L))
   }
 
+  test("histogram + histogramQuantile in text form") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> histogram(bins: [2.0, 4.0, 20.0])""".stripMargin,
+      source)
+    val rows = out.select("le", "_value").as[(Double, Long)].collect().toMap
+    assert(rows == Map(2.0 -> 1L, 4.0 -> 2L, 20.0 -> 4L)) // cumulative
+    val q = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> histogram(bins: [2.0, 4.0, 20.0])
+        ||> histogramQuantile(quantile: 0.5)""".stripMargin,
+      source)
+    val v = q.select("_value").as[Double].collect()
+    assert(v.length == 1 && v(0) > 2.0 && v(0) <= 4.0)
+  }
+
   test("reduce(): multi-field accumulator fold per group") {
     val out = FluxEval.run(
       """from(bucket: "b")
