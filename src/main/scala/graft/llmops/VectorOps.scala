@@ -75,6 +75,61 @@ object VectorOps {
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
   }
 
+  /** Deterministic random-hyperplane signs for LSH: sign(j, i) derived
+    * from md5("hp_j_i") so the DuckDB oracle can replicate the exact
+    * hyperplane family (same trick as SimHash's md5-derived bits).
+    */
+  def lshSigns(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (j, i) =>
+      val h = md.digest(s"hp_${j}_$i".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((h(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+    }
+  }
+
+  /** ANN via random-hyperplane LSH buckets + Hamming-1 multiprobe — the
+    * second bucketed scale path next to IVF. Every vector hashes to a
+    * `nBits` signature (sign of the dot with each hyperplane); a query
+    * scans only its own bucket and the nBits buckets one bit-flip away
+    * (~ (nBits+1)/2^nBits of the corpus). Signatures are one compiled
+    * pass; the bucket join is a plain equi-join Catalyst can broadcast
+    * or shuffle by stats.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val signs = lshSigns(nBits, dim)
+    def bucketOf(v: Array[Double]): Int = {
+      var b = 0; var j = 0
+      while (j < nBits) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * signs(j)(i); i += 1 }
+        if (s > 0) b |= 1 << j
+        j += 1
+      }
+      b
+    }
+    def withBucket(df: DataFrame): DataFrame =
+      df.select(col("id").cast("long"), col("v").cast("array<double>"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v, bucketOf(v.toArray)) }
+        .toDF("id", "v", "bucket")
+    val cb = withBucket(corpus)
+    val qb = withBucket(queries)
+      .withColumn("probe", explode(array(
+        (col("bucket") +: (0 until nBits).map(j =>
+          col("bucket").bitwiseXOR(lit(1 << j)))): _*)))
+      .select(col("id").as("qid"), col("v").as("qv"), col("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    qb.join(cb, col("probe") === col("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nbr"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All pairs with cosine >= threshold, as a distributed block-pair
     * self-join — nothing ever materializes on the driver.
     *

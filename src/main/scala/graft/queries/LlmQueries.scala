@@ -101,6 +101,15 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // LSH-bucketed ANN (4 random hyperplanes, Hamming-1 multiprobe) —
+    // oracle replicates the md5-derived hyperplane family bit-for-bit.
+    "ann_lsh" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.lshTopK(e, e.filter(col("id") < 5), 3, 4, 64)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // Embedding near-dup: all pairs with cosine >= 0.45.
     "cos_threshold" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -252,6 +261,31 @@ object LlmQueries {
          |  SELECT p.qid, a.id AS nbr, ${cos("p.qv", "a.v")} AS cos
          |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.id <> p.qid),
          |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    "ann_lsh" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |signs AS (
+         |  SELECT j, list_transform(range(0, 64), i ->
+         |    CASE WHEN (strpos('0123456789abcdef',
+         |        substring(md5('hp_' || j || '_' || i), 1, 1)) - 1) % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM (SELECT unnest(range(0, 4)) AS j)
+         |), sigs AS (
+         |  SELECT e.id, e.v,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, s.s) > 0
+         |      THEN CAST(pow(2, s.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN signs s GROUP BY e.id, e.v
+         |), probes AS (
+         |  SELECT id AS qid, v AS qv,
+         |    CASE WHEN p = 0 THEN bucket
+         |         ELSE xor(bucket, CAST(pow(2, p - 1) AS BIGINT)) END AS probe
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 5)) AS p)
+         |  WHERE id < 5
+         |), scored AS (
+         |  SELECT p.qid, c.id AS nbr, ${cos("p.qv", "c.v")} AS cos
+         |  FROM probes p JOIN sigs c ON p.probe = c.bucket AND c.id <> p.qid
+         |), r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
     "cos_threshold" -> w(

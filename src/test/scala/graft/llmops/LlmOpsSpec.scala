@@ -127,6 +127,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("lsh ann with full multiprobe coverage equals brute force") {
+    val rnd = new scala.util.Random(7)
+    val vs = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
+    // nBits=1 with Hamming-1 multiprobe covers both buckets -> exact
+    val lsh = VectorOps.lshTopK(vs, vs.filter(col("id") < 3), 2, 1, 4)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(vs, vs.filter(col("id") < 3), 2)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    assert(lsh == brute && lsh.size == 6)
+  }
+
   test("ivf probes only nearest centroid lists but finds in-list neighbors") {
     val vs = Seq(
       (0L, Array(1.0, 0.05)), (1L, Array(1.0, -0.05)), (2L, Array(0.9, 0.1)),
