@@ -126,10 +126,16 @@ object LlmQueries {
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")),
 
+    // sum/max, not avg: the stub features live on a 1e-3 grid, so an
+    // avg over 20 assets lands exactly on r4's .00005 half-boundary for
+    // half the possible sums — sum (1e-3 grid) and max (single value)
+    // never touch a boundary.
     "media_features" -> ((s, _) =>
       MultimodalOps.extractFeatures(MultimodalOps.syntheticMedia(s, 60), 8)
         .groupBy("kind")
-        .agg(count(lit(1)).as("n"), r4(avg(element_at(col("features"), 1))).as("avg_f0"))
+        .agg(count(lit(1)).as("n"),
+          r4(sum(element_at(col("features"), 1))).as("sum_f0"),
+          r4(max(element_at(col("features"), 1))).as("max_f0"))
         .orderBy("kind"))
   )
 
@@ -296,9 +302,38 @@ object LlmQueries {
     // media_frames: frame counts depend only on the synthetic generator's
     // duration arithmetic (video = every 3rd asset, duration
     // 1000*(1+i%5) ms, sampled every 250 ms) — independently recomputed.
-    // media_features stays rows-only: the stub codec hash is not SQL.
     "media_frames" -> w(
       """SELECT i AS media_id, CAST(1000 * (1 + i % 5) / 250 AS BIGINT) AS n_frames
-        |FROM range(0, 60) t(i) WHERE i % 3 = 2 ORDER BY 1""")
+        |FROM range(0, 60) t(i) WHERE i % 3 = 2 ORDER BY 1"""),
+    // media_features: the stub codec IS SQL-expressible — the FNV-style
+    // byte fold and LCG step run in HUGEINT with explicit mod-2^64
+    // (two's-complement Long wraparound ≡ mod 2^64), and >>> 33 is an
+    // unsigned integer division by 2^33. This closes the last rows-only
+    // gate entry.
+    "media_features" -> w(
+      """WITH base AS (
+        |  SELECT i,
+        |    CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    list_transform(range(0, 64 + CAST(i % 64 AS BIGINT)), j ->
+        |      CAST(CASE WHEN (i * 31 + j * 7) % 251 > 127
+        |                THEN (i * 31 + j * 7) % 251 - 256
+        |                ELSE (i * 31 + j * 7) % 251 END AS HUGEINT)) AS bytes
+        |  FROM (SELECT unnest(range(0, 60)) AS i)
+        |), folded AS (
+        |  SELECT i, kind,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
+        |      (acc, b) -> (((acc * 31 + b) % 18446744073709551616)
+        |                   + 18446744073709551616) % 18446744073709551616) AS h
+        |  FROM base
+        |), feat AS (
+        |  SELECT kind,
+        |    CAST(CAST((((h * 6364136223846793005 + 1442695040888963407)
+        |      % 18446744073709551616) // 8589934592) % 1000 AS INTEGER) AS REAL)
+        |      / CAST(1000 AS REAL) AS f0
+        |  FROM folded
+        |)
+        |SELECT kind, count(*) AS n, round(sum(f0), 4) AS sum_f0,
+        |  round(max(f0), 4) AS max_f0
+        |FROM feat GROUP BY 1 ORDER BY 1""")
   )
 }
