@@ -38,6 +38,12 @@ object InfluxQL {
   final case class AggProj(fn: String, field: String, param: Option[Double],
       alias: Option[String]) extends Proj
   final case class FieldProj(field: String, alias: Option[String]) extends Proj
+  /** Transformation over an inner projection: `derivative(mean(v), 1s)`,
+    * `moving_average(mean(v), 5)`, `difference(…)`, `cumulative_sum(…)`,
+    * `non_negative_derivative(…)`.
+    */
+  final case class TransProj(fn: String, inner: Proj, dur: Option[Dur],
+      n: Option[Int], alias: Option[String]) extends Proj
 
   sealed trait Fill
   case object FillNone extends Fill
@@ -77,6 +83,9 @@ object InfluxQL {
   val Aggregates: Set[String] = Set("count", "sum", "mean", "min", "max",
     "median", "mode", "stddev", "spread", "first", "last", "percentile",
     "distinct")
+
+  val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
+    "difference", "cumulative_sum", "moving_average")
 
   def parse(src: String): Stmt = new P(src).statement()
 
@@ -159,7 +168,19 @@ object InfluxQL {
       ws()
       val name = ident(); ws()
       val p: Proj =
-        if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
+        if (peekStr("(") && Transforms.contains(name.toLowerCase)) {
+          expect("("); ws()
+          val inner = proj(); ws()
+          var dur: Option[Dur] = None
+          var n: Option[Int] = None
+          if (peekStr(",")) {
+            expect(","); ws()
+            if (name.toLowerCase == "moving_average") n = Some(number().toInt)
+            else dur = Some(duration())
+          }
+          ws(); expect(")")
+          TransProj(name.toLowerCase, inner, dur, n, None)
+        } else if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
           expect("("); ws()
           val field = ident(); ws()
           val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
@@ -173,6 +194,7 @@ object InfluxQL {
         p match {
           case ap: AggProj => ap.copy(alias = Some(a))
           case fp: FieldProj => fp.copy(alias = Some(a))
+          case tp: TransProj => tp.copy(alias = Some(a))
         }
       } else p
     }

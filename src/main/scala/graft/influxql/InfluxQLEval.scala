@@ -135,6 +135,12 @@ object InfluxQLEval {
   }
 
   private def select(s: Select, source: Source): DataFrame = {
+    s.projs match {
+      case Seq(t: TransProj) => return transform(t, s, source)
+      case _ if s.projs.exists(_.isInstanceOf[TransProj]) =>
+        throw EvalException("a transformation must be the only projection")
+      case _ => ()
+    }
     val base = source.resolve(s.from)
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
     val aggs = s.projs.collect { case a: AggProj => a }
@@ -173,6 +179,50 @@ object InfluxQLEval {
       else out
     val offset = s.offset.map(ordered.offset).getOrElse(ordered)
     s.limit.map(offset.limit).getOrElse(offset)
+  }
+
+  /** A transformation projection: evaluate the inner projection (the
+    * aggregated series when GROUP BY time() is present, else raw
+    * points), then apply the window transform per GROUP BY tag series
+    * in time order.
+    */
+  private def transform(t: TransProj, s: Select, source: Source): DataFrame = {
+    val inner = t.inner match {
+      case a: AggProj => a.copy(alias = Some("_v"))
+      case f: FieldProj => f.copy(alias = Some("_v"))
+      case _: TransProj => throw EvalException("nested transformations are unsupported")
+    }
+    val core = select(
+      s.copy(projs = Seq(inner), orderDesc = false, limit = None, offset = None),
+      source)
+    import org.apache.spark.sql.expressions.Window
+    val w = (if (s.groupTags.isEmpty) Window.partitionBy()
+      else Window.partitionBy(s.groupTags.map(col): _*)).orderBy(col("time"))
+    val name = t.alias.getOrElse(t.fn)
+    val v = col("_v")
+    val prev = lag(v, 1).over(w)
+    val staged: DataFrame = t.fn match {
+      case "derivative" | "non_negative_derivative" =>
+        val unitSec = t.dur.map(_.seconds).getOrElse(1.0)
+        val dtSec = col("time").cast("double") - lag(col("time"), 1).over(w).cast("double")
+        val d = (v - prev) / (dtSec / lit(unitSec))
+        val res = if (t.fn == "non_negative_derivative") when(d < 0, null).otherwise(d) else d
+        core.withColumn("_pv", prev).withColumn(name, res)
+          .filter(col("_pv").isNotNull).drop("_pv")
+      case "difference" =>
+        core.withColumn("_pv", prev).withColumn(name, v - col("_pv"))
+          .filter(col("_pv").isNotNull).drop("_pv")
+      case "cumulative_sum" =>
+        core.withColumn(name, sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      case "moving_average" =>
+        val n = t.n.getOrElse(throw EvalException("moving_average(x, N) needs N"))
+        val frame = w.rowsBetween(-(n - 1), 0)
+        core.withColumn("_c", count(v).over(frame))
+          .withColumn(name, avg(v).over(frame))
+          .filter(col("_c") === n).drop("_c")
+      case other => throw EvalException(s"unsupported transformation '$other'")
+    }
+    staged.select((col("time") +: s.groupTags.map(col) :+ col(name)): _*)
   }
 
   /** FILL(…) over a GROUP BY time() result: generate the full window

@@ -38,6 +38,17 @@ object InfluxQlQueries {
           r4(col("med")).as("med"), r4(col("p90")).as("p90"))
         .orderBy("event_type")),
 
+    // derivative(sum(...), 1h) over hourly buckets per tag — the
+    // canonical Grafana rate panel.
+    "iql_derivative" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT derivative(sum(value), 1h) AS rate FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("rate")).as("rate"))
+        .orderBy("event_type", "wstart")),
+
     // FILL(0): empty windows inside the queried range emit zeros.
     "iql_fill" -> ((s, dir) =>
       InfluxQLEval.run(
@@ -64,6 +75,21 @@ object InfluxQlQueries {
         |  round(quantile_cont(value, 0.5), 4) AS med,
         |  round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY 1 ORDER BY 1"""),
+    "iql_derivative" -> w(
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT wstart, event_type, round(rate, 4) AS rate FROM (
+        |  SELECT wstart, event_type,
+        |    (v - lag(v) OVER w) /
+        |      ((epoch(wstart) - lag(epoch(wstart)) OVER w) / 3600.0) AS rate,
+        |    lag(v) OVER w AS pv
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY wstart)
+        |) WHERE pv IS NOT NULL ORDER BY 2, 1"""),
     "iql_fill" -> w(
       """WITH f AS (
         |  SELECT * FROM events

@@ -85,6 +85,24 @@ class InfluxQLSpec extends SparkSpec {
     assert(out.select("usage").as[Double].collect().toSeq == Seq(5.0, 3.0))
   }
 
+  test("derivative over GROUP BY time aggregates (the Grafana rate panel)") {
+    val out = InfluxQLEval.run(
+      "SELECT derivative(mean(usage), 1h) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-08T02:00:00Z' GROUP BY time(1h), host", source)
+    val rows = out.select(col("host"), col("derivative"))
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("h1", 3.0))) // mean 2.0 -> 5.0 over one hour
+  }
+
+  test("moving_average and cumulative_sum over raw points") {
+    val ma = InfluxQLEval.run(
+      "SELECT moving_average(usage, 2) FROM cpu WHERE host = 'h1'", source)
+    assert(ma.select("moving_average").as[Double].collect().toSeq == Seq(2.0, 4.0))
+    val cs = InfluxQLEval.run(
+      "SELECT cumulative_sum(usage) FROM cpu WHERE host = 'h1'", source)
+    assert(cs.select("cumulative_sum").as[Double].collect().toSeq == Seq(1.0, 4.0, 9.0))
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
