@@ -163,6 +163,22 @@ object FluxEval {
           fields.map { case (n, e) => n -> operand(e, f, source) }.toMap))
       case other => throw EvalException(s"map expects (r) => ({ r with ... }), got $other")
     }
+    case "highestMax" => f.highestMax(num(call.args, "n").toInt)
+    case "highestAverage" => f.highestAverage(num(call.args, "n").toInt)
+    case "highestCurrent" => f.highestCurrent(num(call.args, "n").toInt)
+    case "lowestMin" => f.lowestMin(num(call.args, "n").toInt)
+    case "covariance" =>
+      val cols = strArr(call.args, "columns")
+      if (cols.size != 2) throw EvalException("covariance(columns: [x, y]) expects two columns")
+      if (call.args.get("pearsonr").contains(VBool(true))) f.pearsonr(cols(0), cols(1))
+      else f.covariance(cols(0), cols(1))
+    case "interpolate" | "interpolateLinear" =>
+      f.interpolateLinear(durSeconds(call.args("every")).toLong)
+    case "holtWinters" =>
+      val fc = num(call.args, "n").toInt
+      val season = num(call.args, "seasonality").toInt
+      val out = f.holtWinters(fc, season)
+      FluxFrame(out, Seq("_hw_key"), f.timeCol, "fitted")
     case "histogram" =>
       val bins = call.args.get("bins") match {
         case Some(VArr(items)) => items.map(num0)

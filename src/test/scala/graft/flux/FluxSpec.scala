@@ -173,6 +173,34 @@ class FluxSpec extends SparkSpec {
     assert(v.length == 1 && v(0) > 2.0 && v(0) <= 4.0)
   }
 
+  test("highestAverage / lowestMin / covariance / interpolate text verbs") {
+    val top = FluxEval.run(
+      """from(bucket: "b") |> group(columns: ["_measurement", "host"]) |> highestAverage(n: 1)""",
+      source)
+    // mem/h1 has the highest per-series mean (99.0)
+    assert(top.select("_measurement").as[String].collect().toSet == Set("mem"))
+    val low = FluxEval.run(
+      """from(bucket: "b") |> group(columns: ["_measurement", "host"]) |> lowestMin(n: 1)""",
+      source)
+    assert(low.select("_measurement", "host").as[(String, String)].collect().toSet
+      == Set(("cpu", "h1"))) // series with the smallest value (1.0)
+    val cov = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> covariance(columns: ["_value", "_value"], pearsonr: true)""".stripMargin,
+      source)
+    // corr(x, x) = 1 (single-row groups would be null, hence the filter)
+    assert(cov.select("_value").as[Double].collect().forall(v => math.abs(v - 1.0) < 1e-12))
+    val interp = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-09T00:00:00Z)
+        ||> interpolate(every: 5m)""".stripMargin, source)
+    // 00:10 -> 00:20 at 1.0 -> 3.0: the 00:15 grid point interpolates to 2.0
+    val vals = interp.orderBy("_time").select("_value").as[Double].collect().toSeq
+    assert(vals == Seq(1.0, 2.0, 3.0))
+  }
+
   test("reduce(): multi-field accumulator fold per group") {
     val out = FluxEval.run(
       """from(bucket: "b")
