@@ -194,9 +194,9 @@ object SeriesScan {
         val base = it.buffered
         def hasNext = base.hasNext
         def next(): (String, Vector[(Long, Double)]) = {
-          val key = keyIdx.map(base.head.get).mkString(" ")
+          val key = keyIdx.map(base.head.get).mkString("\u0000")
           val buf = Vector.newBuilder[(Long, Double)]
-          while (base.hasNext && keyIdx.map(base.head.get).mkString(" ") == key) {
+          while (base.hasNext && keyIdx.map(base.head.get).mkString("\u0000") == key) {
             val r = base.next()
             val v = r.get(valIdx) match {
               case null => Double.NaN
