@@ -25,6 +25,7 @@ object Main {
       .validate().fold(msg => throw new IllegalArgumentException(msg), identity)
 
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-engine")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",

@@ -14,12 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns
+    * (interpreted HOF form — kept as the reference semantics the native
+    * expression must match bit-for-bit).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
+  /** HOF cosine: three sequential folds. Interpreted by Catalyst —
+    * see [[cosine]] for the codegen'd path used everywhere.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine similarity via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]], registered through
+    * SparkSessionExtensions): one fused whole-stage-codegen loop instead
+    * of three interpreted higher-order folds. Accumulator fold order
+    * matches [[cosineHof]] exactly, so results are bit-identical.
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Normalize an embeddings table to (id, v: array<double>). */
   def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =

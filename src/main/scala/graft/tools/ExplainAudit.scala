@@ -13,7 +13,8 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "range_count", "join_revenue", "window_mean", "filter_agg")
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions").master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

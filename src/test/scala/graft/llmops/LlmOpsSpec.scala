@@ -73,6 +73,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
   }
 
+  test("native graft_cosine expression is bit-identical to the HOF folds and codegens") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian()))).toDF("id", "v")
+    val paired = vs.as("a").crossJoin(vs.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(500)
+    val both = paired.select(
+      VectorOps.cosine(col("a.v"), col("b.v")).as("native"),
+      VectorOps.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    // bit-identical: same fold order per accumulator
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // the expression must run inside whole-stage codegen, not fall back —
+    // checked on a native-only projection (the HOF column above is
+    // CodegenFallback and would disable codegen for any shared stage)
+    // (a literal local table would be constant-folded away, so derive
+    // the arrays from a runtime range source)
+    val ranged = spark.range(100).select(
+      array((0 until 8).map(i => (col("id") * (i + 1)).cast("double") / 7.0): _*).as("v"))
+    val nativeOnly = ranged.select(VectorOps.cosine(col("v"), col("v")).as("c"))
+      .filter(col("c") > 0.5)
+    nativeOnly.foreach(_ => ())
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    // "*(n) Project [graft_cosine(...)" = the expression inside
+    // whole-stage-codegen stage n (a CodegenFallback would render a
+    // bare Project with no stage marker)
+    assert(plan.linesIterator.exists(l => l.contains("graft_cosine") && l.trim.startsWith("*(")), plan)
+  }
+
   test("cosine: orthogonal 0, identical 1; top-k ranks by angle") {
     val vs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),
