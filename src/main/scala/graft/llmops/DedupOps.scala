@@ -189,7 +189,9 @@ object DedupOps {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes).cache()
+    // no cache: since sizes moved to the capped verification shingles,
+    // the signature frame feeds exactly one downstream (the band keys)
+    val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes)
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => element_at(col("sigs"), b * rowsPerBand + r + 1))
