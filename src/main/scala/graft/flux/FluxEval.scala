@@ -57,6 +57,15 @@ object FluxEval {
         }
         val how = args.get("method").map(str0).getOrElse("inner")
         a.joinOn(b, strArr(args, "on"), how)
+      // as-of join (survey extension): left rows pick up the latest
+      // right row at or before their time within the `on` key
+      case Some(Call("asofJoin", args)) =>
+        val (a, b) = args.get("tables") match {
+          case Some(VRec(Seq((_, VIdent(x)), (_, VIdent(y))))) =>
+            (ref(x, env), ref(y, env))
+          case other => throw EvalException(s"asofJoin(tables: {l: x, r: y}) expected, got $other")
+        }
+        a.asofJoin(b, strArr(args, "on"), strArr(args, "columns"))
       case Some(Call("union", args)) =>
         args.get("tables") match {
           case Some(VArr(items)) if items.nonEmpty =>

@@ -72,7 +72,9 @@ object InfluxQL {
       fill: Fill,
       orderDesc: Boolean,
       limit: Option[Int],
-      offset: Option[Int]) extends Stmt
+      offset: Option[Int],
+      slimit: Option[Int] = None,
+      soffset: Option[Int] = None) extends Stmt
   case object ShowMeasurements extends Stmt
   final case class ShowTagKeys(from: Option[String]) extends Stmt
   final case class ShowFieldKeys(from: Option[String]) extends Stmt
@@ -161,7 +163,12 @@ object InfluxQL {
       val limit = if (peekKw("LIMIT")) { kw("LIMIT"); ws(); Some(number().toInt) } else None
       ws()
       val offset = if (peekKw("OFFSET")) { kw("OFFSET"); ws(); Some(number().toInt) } else None
-      Select(projs.result(), from, where, groupTime, groupTags, fill, desc, limit, offset)
+      ws()
+      val slimit = if (peekKw("SLIMIT")) { kw("SLIMIT"); ws(); Some(number().toInt) } else None
+      ws()
+      val soffset = if (peekKw("SOFFSET")) { kw("SOFFSET"); ws(); Some(number().toInt) } else None
+      Select(projs.result(), from, where, groupTime, groupTags, fill, desc, limit, offset,
+        slimit, soffset)
     }
 
     private def proj(): Proj = {

@@ -171,12 +171,27 @@ object InfluxQLEval {
         }
       }
 
+    // SLIMIT/SOFFSET: slice the SERIES (distinct GROUP BY tag sets in
+    // tag order) before the point-level LIMIT — the per-series list is
+    // tiny, so orderBy+offset+limit plans as a take, then a semi-join
+    // restricts the big frame.
+    val seriesLimited =
+      if (s.slimit.isEmpty && s.soffset.isEmpty) out
+      else {
+        if (s.groupTags.isEmpty)
+          throw EvalException("SLIMIT/SOFFSET require GROUP BY tags")
+        var combos = out.select(s.groupTags.map(col): _*).distinct()
+          .orderBy(s.groupTags.map(col): _*)
+        combos = s.soffset.map(combos.offset).getOrElse(combos)
+        combos = s.slimit.map(combos.limit).getOrElse(combos)
+        out.join(broadcast(combos), s.groupTags, "left_semi")
+      }
     val ordered =
-      if (out.columns.contains("time")) {
+      if (seriesLimited.columns.contains("time")) {
         val t = if (s.orderDesc) col("time").desc else col("time").asc
-        out.orderBy(t +: s.groupTags.map(col): _*)
-      } else if (s.groupTags.nonEmpty) out.orderBy(s.groupTags.map(col): _*)
-      else out
+        seriesLimited.orderBy(t +: s.groupTags.map(col): _*)
+      } else if (s.groupTags.nonEmpty) seriesLimited.orderBy(s.groupTags.map(col): _*)
+      else seriesLimited
     val offset = s.offset.map(ordered.offset).getOrElse(ordered)
     s.limit.map(offset.limit).getOrElse(offset)
   }

@@ -145,6 +145,18 @@ class FluxSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("h1", 5.0, 99.0))) // h2 has no mem rows -> inner join drops it
   }
 
+  test("asofJoin(): latest right row at or before each left time") {
+    val out = FluxEval.run(
+      """a = from(bucket: "b") |> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        |b = from(bucket: "b") |> filter(fn: (r) => r._measurement == "mem")
+        |  |> duplicate(column: "_value", as: "mem_v")
+        |asofJoin(tables: {l: a, r: b}, on: ["host"], columns: ["mem_v"])""".stripMargin,
+      source)
+    // mem/h1 reading (99.0 @00:05) precedes every cpu/h1 row -> all carry it
+    val vals = out.orderBy("_time").select("_value", "mem_v").as[(Double, Double)].collect()
+    assert(vals.toSeq == Seq((1.0, 99.0), (3.0, 99.0), (5.0, 99.0)))
+  }
+
   test("union(): bag union of table variables, piped further") {
     val out = FluxEval.run(
       """a = from(bucket: "b") |> filter(fn: (r) => r._measurement == "cpu")

@@ -103,6 +103,18 @@ class InfluxQLSpec extends SparkSpec {
     assert(cs.select("cumulative_sum").as[Double].collect().toSeq == Seq(1.0, 4.0, 9.0))
   }
 
+  test("SLIMIT/SOFFSET slice series, LIMIT slices points") {
+    val out = InfluxQLEval.run(
+      "SELECT mean(usage) FROM cpu GROUP BY host SLIMIT 1", source)
+    assert(out.select("host").as[String].collect().toSeq == Seq("h1"))
+    val out2 = InfluxQLEval.run(
+      "SELECT mean(usage) FROM cpu GROUP BY host SLIMIT 1 SOFFSET 1", source)
+    assert(out2.select("host").as[String].collect().toSeq == Seq("h2"))
+    val e = intercept[InfluxQLEval.EvalException](
+      InfluxQLEval.run("SELECT mean(usage) FROM cpu SLIMIT 1", source))
+    assert(e.getMessage.contains("SLIMIT"))
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
