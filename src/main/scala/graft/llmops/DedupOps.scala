@@ -84,10 +84,23 @@ object DedupOps {
   def exactJaccardPairs(sh0: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxDf): DataFrame = {
     val sh = capShingles(sh0, maxDf)
+    val spark = sh.sparkSession
+    import spark.implicits._
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Posting-list pair emission instead of a self-join: one shuffle of
+    // the shingle table (groupBy shingle) instead of two (join build +
+    // stream), then a compiled flatMap over each bounded posting list
+    // (≤ maxDf ids after the cap) emits the same Σ df·(df−1)/2 pairs.
+    val inter = sh.groupBy("shingle").agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for (i <- a.indices.iterator; j <- (i + 1) until a.length)
+          yield (a(i), a(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
