@@ -142,14 +142,28 @@ object DedupOps {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs from LSH band collisions (deduplicated). */
-  def lshCandidates(bands: DataFrame): DataFrame =
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  /** Candidate pairs from LSH band collisions (deduplicated).
+    *
+    * Posting-list emission (one shuffle on the band key) rather than a
+    * self-join (two). Bucket sizes follow real near-dup cluster sizes;
+    * a corpus with huge identical-document clusters should collapse
+    * exact dups first ([[dupGroups]]) — true for the join formulation
+    * too, which emitted the same k² pairs into one partition.
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    bands.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for (i <- a.indices.iterator; j <- (i + 1) until a.length)
+          yield (a(i), a(j))
+      }
+      .toDF("id_a", "id_b")
       .distinct()
+  }
 
   /** One compiled pass per document: MinHash signature array + distinct
     * shingle count, with NO shingle explode and NO shuffle — the
