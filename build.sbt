@@ -14,7 +14,6 @@ run / fork := true
 // Print forked-run output raw (no "[info] " logger prefix): the bench/verify
 // drivers parse a bare JSON line from stdout, and sbt's default LoggedOutput
 // strategy prefixes every line, making it unparseable.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

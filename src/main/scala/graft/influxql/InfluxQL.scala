@@ -54,6 +54,10 @@ object InfluxQL {
   sealed trait Lit
   final case class LStr(s: String) extends Lit
   final case class LNum(d: Double) extends Lit
+  /** Bare integer literal, kept as Long: epoch-ns time literals exceed
+    * 2^53 and would lose precision round-tripping through Double.
+    */
+  final case class LInt(v: Long) extends Lit
   /** now() ± duration (sign 0 = bare now()). */
   final case class LNow(sign: Int, d: Option[Dur]) extends Lit
 
@@ -151,7 +155,8 @@ object InfluxQL {
             else FillValue(number())
           ws(); expect(")")
           f
-        } else FillNone
+        } else if (groupTime.isDefined) FillNull // InfluxQL's GROUP BY time() default
+        else FillNone
       ws()
       var desc = false
       if (peekKw("ORDER")) {
@@ -231,7 +236,7 @@ object InfluxQL {
           else if (peekStr("+")) { expect("+"); ws(); LNow(1, Some(duration())) }
           else LNow(0, None)
         }
-        else LNum(number())
+        else numberLit()
       CCmp(if (op == "<>") "!=" else op, key, v)
     }
 
@@ -246,6 +251,18 @@ object InfluxQL {
       if (!Seq("ns", "u", "µ", "ms", "s", "m", "h", "d", "w").contains(unit))
         fail(s"unknown duration unit '$unit'")
       Dur(n, unit)
+    }
+
+    /** Numeric literal in a comparison: integral text stays Long
+      * ([[LInt]]) so epoch-ns time bounds keep full precision.
+      */
+    private def numberLit(): Lit = {
+      val start = i
+      if (peekStr("-")) i += 1
+      while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
+      if (i == start) fail("expected number")
+      val txt = src.substring(start, i)
+      if (txt.contains('.')) LNum(txt.toDouble) else LInt(txt.toLong)
     }
 
     private def number(): Double = {

@@ -71,7 +71,8 @@ object InfluxQLEval {
 
   private def timeLit(v: Lit, source: Source): Column = v match {
     case LStr(s) => to_timestamp(lit(s.replace("T", " ").stripSuffix("Z")))
-    case LNum(ns) => timestamp_micros(lit((ns / 1000).toLong)) // epoch-ns literal
+    case LInt(ns) => timestamp_micros(lit(ns / 1000)) // epoch-ns literal, Long-exact
+    case LNum(ns) => timestamp_micros(lit((ns / 1000).toLong)) // fractional epoch-ns literal
     case LNow(sign, d) =>
       val ns = source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)
       timestamp_micros(lit(ns / 1000))
@@ -97,6 +98,7 @@ object InfluxQLEval {
       val lt: Column = v match {
         case LStr(s) => lit(s)
         case LNum(d) => lit(d)
+        case LInt(n) => lit(n)
         case _: LNow => throw EvalException("now() only compares against time")
       }
       op match {
@@ -207,9 +209,16 @@ object InfluxQLEval {
       case f: FieldProj => f.copy(alias = Some("_v"))
       case _: TransProj => throw EvalException("nested transformations are unsupported")
     }
-    val core = select(
-      s.copy(projs = Seq(inner), orderDesc = false, limit = None, offset = None),
+    // Transformations operate on non-null points (InfluxQL skips nulls:
+    // an empty fill(null) bucket contributes nothing, while fill(0) /
+    // fill(previous) values are real points and participate) — so a
+    // fill(null) spine would be built only to be dropped; plan none.
+    val innerFill = if (s.fill == FillNull) FillNone else s.fill
+    val filled = select(
+      s.copy(projs = Seq(inner), fill = innerFill,
+        orderDesc = false, limit = None, offset = None),
       source)
+    val core = filled.filter(col("_v").isNotNull)
     import org.apache.spark.sql.expressions.Window
     val w = (if (s.groupTags.isEmpty) Window.partitionBy()
       else Window.partitionBy(s.groupTags.map(col): _*)).orderBy(col("time"))
@@ -218,7 +227,12 @@ object InfluxQLEval {
     val prev = lag(v, 1).over(w)
     val staged: DataFrame = t.fn match {
       case "derivative" | "non_negative_derivative" =>
-        val unitSec = t.dur.map(_.seconds).getOrElse(1.0)
+        // Default unit: the GROUP BY time() interval when transforming an
+        // aggregated series (the canonical Grafana
+        // `derivative(mean(v)) … GROUP BY time(1h)` reads per-interval
+        // rate), else 1s — matching the v1 engine.
+        val unitSec = t.dur.map(_.seconds)
+          .orElse(s.groupTime.map(_.seconds)).getOrElse(1.0)
         val dtSec = col("time").cast("double") - lag(col("time"), 1).over(w).cast("double")
         val d = (v - prev) / (dtSec / lit(unitSec))
         val res = if (t.fn == "non_negative_derivative") when(d < 0, null).otherwise(d) else d
@@ -249,7 +263,13 @@ object InfluxQLEval {
       aggNames: Seq[String], source: Source): DataFrame = s.fill match {
     case FillNone => grouped
     case fill =>
-      val (lo, hi) = timeBounds(s.where, source).getOrElse(
+      val bounds = timeBounds(s.where, source)
+      if (bounds.isEmpty && fill == FillNull)
+        // fill(null) is the GROUP BY time() *default*; without absolute
+        // bounds there is no spine to fill — degrade to none rather than
+        // reject every unbounded GROUP BY time() query.
+        return grouped
+      val (lo, hi) = bounds.getOrElse(
         throw EvalException("FILL requires absolute time bounds in WHERE"))
       val stepUs = (d.seconds * 1e6).toLong
       val loAligned = lo / stepUs * stepUs
@@ -278,9 +298,13 @@ object InfluxQLEval {
     var hi: Option[Long] = None
     def us(v: Lit): Long = v match {
       case LStr(str) =>
-        java.time.Instant.parse(
+        val inst = java.time.Instant.parse(
           if (str.contains("T")) (if (str.endsWith("Z")) str else str + "Z")
-          else str.replace(" ", "T") + "Z").toEpochMilli * 1000L
+          else str.replace(" ", "T") + "Z")
+        // full µs precision (toEpochMilli would truncate sub-ms bounds
+        // that the WHERE filter itself keeps)
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case LInt(ns) => ns / 1000
       case LNum(ns) => (ns / 1000).toLong
       case LNow(sign, d) =>
         (source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)) / 1000L

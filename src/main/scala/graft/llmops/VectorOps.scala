@@ -31,10 +31,17 @@ object VectorOps {
     * ([[graft.functions.CosineSimilarity]], registered through
     * SparkSessionExtensions): one fused whole-stage-codegen loop instead
     * of three interpreted higher-order folds. Accumulator fold order
-    * matches [[cosineHof]] exactly, so results are bit-identical.
+    * matches [[cosineHof]] exactly, so results are bit-identical — which
+    * also makes the fallback safe: a session built WITHOUT
+    * `spark.sql.extensions=graft.functions.GraftExtensions` (library
+    * embedding, notebook) silently gets the HOF form instead of an
+    * unresolved-function analysis error.
     */
   def cosine(a: Column, b: Column): Column =
-    call_function("graft_cosine", a, b)
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_cosine")))
+      call_function("graft_cosine", a, b)
+    else cosineHof(a, b)
 
   /** Normalize an embeddings table to (id, v: array<double>). */
   def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -18,7 +18,9 @@ object InfluxQlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GROUP BY time(1h), tag — the canonical Grafana panel query.
-    // InfluxQL labels buckets with their epoch-aligned START.
+    // InfluxQL labels buckets with their epoch-aligned START, and with no
+    // FILL clause defaults to fill(null): empty buckets inside the
+    // explicit range ARE emitted, value null.
     "iql_gb_time" -> ((s, dir) =>
       InfluxQLEval.run(
         "SELECT sum(value) AS sum_v FROM events " +
@@ -49,6 +51,19 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), col("event_type"), r4(col("rate")).as("rate"))
         .orderBy("event_type", "wstart")),
 
+    // Default-unit derivative (no explicit duration): the unit falls back
+    // to the GROUP BY time() interval, so hourly buckets read as
+    // per-hour rate — and the WHERE bounds arrive as bare epoch-ns
+    // integer literals (Long-exact, beyond 2^53).
+    "iql_derivative_default" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT derivative(sum(value)) AS rate FROM events " +
+          "WHERE time >= 1704672000000000000 AND time < 1704931200000000000 " +
+          "GROUP BY time(1h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("rate")).as("rate"))
+        .orderBy("event_type", "wstart")),
+
     // FILL(0): empty windows inside the queried range emit zeros.
     "iql_fill" -> ((s, dir) =>
       InfluxQLEval.run(
@@ -65,17 +80,43 @@ object InfluxQlQueries {
 
   val oracle: Map[String, String] = Map(
     "iql_gb_time" -> w(
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
-        |  round(sum(value), 4) AS sum_v
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
-        |GROUP BY 1, 2 ORDER BY 2, 1"""),
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    sum(value) AS sum_v
+        |  FROM f GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-08 00:00:00',
+        |    TIMESTAMP '2024-01-10 23:00:00', INTERVAL '1 hour')) AS wstart
+        |), combos AS (SELECT DISTINCT event_type FROM f)
+        |SELECT s.wstart, c.event_type, round(a.sum_v, 4) AS sum_v
+        |FROM spine s CROSS JOIN combos c
+        |LEFT JOIN agg a ON s.wstart = a.wstart AND c.event_type = a.event_type
+        |ORDER BY 2, 1"""),
     "iql_agg" -> w(
       """SELECT event_type, count(value) AS n, round(max(value), 4) AS max_v,
         |  round(quantile_cont(value, 0.5), 4) AS med,
         |  round(quantile_cont(value, 0.9), 4) AS p90
         |FROM events GROUP BY 1 ORDER BY 1"""),
     "iql_derivative" -> w(
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT wstart, event_type, round(rate, 4) AS rate FROM (
+        |  SELECT wstart, event_type,
+        |    (v - lag(v) OVER w) /
+        |      ((epoch(wstart) - lag(epoch(wstart)) OVER w) / 3600.0) AS rate,
+        |    lag(v) OVER w AS pv
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY wstart)
+        |) WHERE pv IS NOT NULL ORDER BY 2, 1"""),
+    "iql_derivative_default" -> w(
       """WITH hourly AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |    sum(value) AS v

@@ -71,7 +71,14 @@ final class Catalog(val root: Path) {
     tokens :+= rec; save()
   }
 
-  def bucketPath(name: String): Path = root.resolve("buckets").resolve(idFor(name))
+  /** Data directory for a bucket. Resolves through the PERSISTED id —
+    * never recomputed from the name — so a warehouse written under an
+    * older id scheme keeps resolving after the scheme changes (the
+    * catalog JSON is the source of truth; [[idFor]] only mints ids for
+    * new buckets).
+    */
+  def bucketPath(name: String): Path =
+    root.resolve("buckets").resolve(buckets.get(name).map(_.id).getOrElse(idFor(name)))
 
   /** Stable bucket id — first 16 hex chars of SHA-256 of the name,
     * shaped like InfluxDB's 16-hex-char bucket IDs (see the permission

@@ -49,16 +49,42 @@ class InfluxQLSpec extends SparkSpec {
 
   private val source = InfluxQLEval.Source(resolve = _ => cpuFrame)
 
-  test("group by time + tag computes per-window aggregates labeled by window start") {
+  test("group by time + tag computes per-window aggregates labeled by window start," +
+      " empty windows null-filled by default") {
     val out = InfluxQLEval.run(
       "SELECT mean(usage) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
         "AND time < '2024-01-08T02:00:00Z' GROUP BY time(1h), host", source)
     val rows = out.select(col("time").cast("string"), col("host"), col("mean"))
-      .as[(String, String, Double)].collect().toSet
+      .as[(String, String, Option[Double])].collect().toSet
+    // default is fill(null): h2's empty 01:00 bucket IS emitted, value null
     assert(rows == Set(
-      ("2024-01-08 00:00:00", "h1", 2.0),
-      ("2024-01-08 01:00:00", "h1", 5.0),
-      ("2024-01-08 00:00:00", "h2", 10.0)))
+      ("2024-01-08 00:00:00", "h1", Some(2.0)),
+      ("2024-01-08 01:00:00", "h1", Some(5.0)),
+      ("2024-01-08 00:00:00", "h2", Some(10.0)),
+      ("2024-01-08 01:00:00", "h2", None)))
+  }
+
+  test("explicit fill(none) suppresses empty windows; unbounded GROUP BY time degrades quietly") {
+    val out = InfluxQLEval.run(
+      "SELECT mean(usage) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-08T02:00:00Z' GROUP BY time(1h), host FILL(none)", source)
+    assert(out.count() == 3)
+    // no absolute bounds -> no spine to fill; the default fill(null)
+    // must not reject the query
+    val unbounded = InfluxQLEval.run(
+      "SELECT mean(usage) FROM cpu GROUP BY time(1h), host", source)
+    assert(unbounded.count() == 3)
+  }
+
+  test("derivative default unit is the GROUP BY time interval; ns integer bounds are Long-exact") {
+    // 2024-01-08T00:00:00Z = 1704672000 s -> ns literal beyond 2^53
+    val out = InfluxQLEval.run(
+      "SELECT derivative(mean(usage)) FROM cpu WHERE time >= 1704672000000000000 " +
+        "AND time < 1704679200000000000 GROUP BY time(1h), host", source)
+    val rows = out.select(col("host"), col("derivative"))
+      .as[(String, Double)].collect().toSeq
+    // mean 2.0 -> 5.0 across one 1h bucket = +3.0 per interval (not per second)
+    assert(rows == Seq(("h1", 3.0)))
   }
 
   test("fill(0) emits empty windows inside the queried range") {

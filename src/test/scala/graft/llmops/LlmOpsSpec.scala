@@ -100,6 +100,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("graft_cosine") && l.trim.startsWith("*(")), plan)
   }
 
+  test("cosine falls back to the HOF form when graft_cosine is unregistered") {
+    import org.apache.spark.sql.SparkSession
+    // With no active session (a library caller that never installed
+    // GraftExtensions), building the column must not bake in an
+    // unresolvable call_function("graft_cosine").
+    SparkSession.clearActiveSession()
+    val fallback =
+      try VectorOps.cosine(col("a"), col("b"))
+      finally SparkSession.setActiveSession(spark)
+    assert(!fallback.toString.contains("graft_cosine"))
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val viaFallback = df.select(fallback.as("c")).as[Double].head()
+    val viaNative = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(viaFallback == viaNative) // bit-identical fold order
+  }
+
   test("cosine: orthogonal 0, identical 1; top-k ranks by angle") {
     val vs = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)),

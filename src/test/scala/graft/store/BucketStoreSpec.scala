@@ -76,6 +76,27 @@ class BucketStoreSpec extends SparkSpec {
     assert(tsdb.from("BB").toDF.count() == 1) // BB untouched by Aa's delete
   }
 
+  test("bucketPath honors the persisted id: legacy-id warehouses stay readable") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=1.5 $t0"))
+    val root = tsdb.catalog.root
+    val meta = tsdb.catalog.bucket("telemetry").get
+    // Simulate a warehouse written under an older id scheme: rename the
+    // data dir to a legacy-looking id and rewrite the catalog JSON to
+    // match. A reloaded catalog must resolve reads through the persisted
+    // id, not re-derive it from the name.
+    val legacyId = "00000000cafe0008"
+    Files.move(root.resolve("buckets").resolve(meta.id),
+      root.resolve("buckets").resolve(legacyId))
+    val catFile = root.resolve("_catalog.json")
+    Files.writeString(catFile,
+      Files.readString(catFile).replace(meta.id, legacyId))
+    val reloaded = Tsdb(spark, root.toString)
+    assert(reloaded.catalog.bucket("telemetry").get.id == legacyId)
+    assert(reloaded.from("telemetry").toDF
+      .select("value_f").collect().map(_.getDouble(0)).toSeq == Seq(1.5))
+  }
+
   test("predicate delete rewrites only matching partitions") {
     val tsdb = freshTsdb()
     tsdb.writeLp("telemetry", Seq(
