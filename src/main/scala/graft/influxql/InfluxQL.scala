@@ -8,11 +8,13 @@ package graft.influxql
   *
   * Covered grammar:
   * {{{
-  * SELECT <agg>(field)[, …] | field[, …] FROM measurement
-  *   [WHERE time >= '…' AND time < now() - 7d AND tag = 'v' …]
+  * SELECT <agg>(field)[, …] | field[, …]
+  *   FROM measurement[, …] | /regex/ | ( SELECT … )
+  *   [WHERE time >= '…' AND time < now() - 7d AND tag = 'v' AND tag =~ /re/ …]
   *   [GROUP BY time(1h)[, tag, …]] [FILL(none|null|0|…)]
-  *   [ORDER BY time DESC] [LIMIT n] [OFFSET n]
+  *   [ORDER BY time DESC] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
   * SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
+  * SHOW TAG VALUES [FROM m] WITH KEY = "k" [WHERE …]
   * }}}
   *
   * Hand-rolled recursive descent like [[graft.flux.FluxParser]]; no
@@ -66,10 +68,19 @@ object InfluxQL {
   final case class COr(l: Cond, r: Cond) extends Cond
   final case class CCmp(op: String, key: String, value: Lit) extends Cond
 
+  /** FROM clause: one-or-more measurement names, a measurement regex
+    * (`FROM /cpu.../`), or a subquery (`FROM ( SELECT ... )` — the v1
+    * idiom for e.g. max-of-hourly-mean).
+    */
+  sealed trait From
+  final case class FromMeasurements(names: Seq[String]) extends From
+  final case class FromRegex(pattern: String) extends From
+  final case class FromSelect(inner: Select) extends From
+
   sealed trait Stmt
   final case class Select(
       projs: Seq[Proj],
-      from: String,
+      from: From,
       where: Option[Cond],
       groupTime: Option[Dur],
       groupTags: Seq[String],
@@ -82,6 +93,18 @@ object InfluxQL {
   case object ShowMeasurements extends Stmt
   final case class ShowTagKeys(from: Option[String]) extends Stmt
   final case class ShowFieldKeys(from: Option[String]) extends Stmt
+  /** `SHOW TAG VALUES [FROM m] WITH KEY = "k" [WHERE …]` — what Grafana
+    * issues to populate template-variable dropdowns.
+    */
+  final case class ShowTagValues(from: Option[String], key: String,
+      where: Option[Cond]) extends Stmt
+
+  /** Display name for a FROM clause (v1 JSON `series.name`). */
+  def fromName(f: From): String = f match {
+    case FromMeasurements(ns) => ns.mkString(",")
+    case FromRegex(p) => s"/$p/"
+    case FromSelect(inner) => fromName(inner.from)
+  }
 
   final case class ParseException(msg: String, pos: Int)
     extends Exception(s"$msg at offset $pos")
@@ -113,9 +136,19 @@ object InfluxQL {
     private def show(): Stmt = {
       kw("SHOW")
       if (peekKw("MEASUREMENTS")) { kw("MEASUREMENTS"); ShowMeasurements }
-      else if (peekKw("TAG")) { kw("TAG"); kw("KEYS"); ShowTagKeys(optFrom()) }
+      else if (peekKw("TAG")) {
+        kw("TAG")
+        if (peekKw("VALUES")) {
+          kw("VALUES")
+          val m = optFrom(); ws()
+          kw("WITH"); kw("KEY"); ws(); expect("="); ws()
+          val k = ident(); ws()
+          val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
+          ShowTagValues(m, k, where)
+        } else { kw("KEYS"); ShowTagKeys(optFrom()) }
+      }
       else if (peekKw("FIELD")) { kw("FIELD"); kw("KEYS"); ShowFieldKeys(optFrom()) }
-      else fail("expected MEASUREMENTS, TAG KEYS or FIELD KEYS")
+      else fail("expected MEASUREMENTS, TAG KEYS/VALUES or FIELD KEYS")
     }
 
     private def optFrom(): Option[String] =
@@ -128,7 +161,7 @@ object InfluxQL {
       ws()
       while (peekStr(",")) { expect(","); ws(); projs += proj(); ws() }
       kw("FROM")
-      val from = ident(); ws()
+      val from = fromClause(); ws()
       val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
       var groupTime: Option[Dur] = None
       var groupTags = Seq.empty[String]
@@ -174,6 +207,21 @@ object InfluxQL {
       val soffset = if (peekKw("SOFFSET")) { kw("SOFFSET"); ws(); Some(number().toInt) } else None
       Select(projs.result(), from, where, groupTime, groupTags, fill, desc, limit, offset,
         slimit, soffset)
+    }
+
+    private def fromClause(): From = {
+      ws()
+      if (peekStr("(")) {
+        expect("("); ws()
+        val inner = select(); ws()
+        expect(")")
+        FromSelect(inner)
+      } else if (peekStr("/")) FromRegex(regexLit())
+      else {
+        var names = Seq(ident()); ws()
+        while (peekStr(",")) { expect(","); ws(); names :+= ident(); ws() }
+        FromMeasurements(names)
+      }
     }
 
     private def proj(): Proj = {
@@ -230,6 +278,7 @@ object InfluxQL {
       expect(op); ws()
       val v: Lit =
         if (peekStr("'")) LStr(stringLit())
+        else if (peekStr("/")) LStr(regexLit()) // tag =~ /re/ (v1 regex match)
         else if (peekKw("now")) {
           kw("now"); expect("("); ws(); expect(")"); ws()
           if (peekStr("-")) { expect("-"); ws(); LNow(-1, Some(duration())) }
@@ -253,24 +302,56 @@ object InfluxQL {
       Dur(n, unit)
     }
 
-    /** Numeric literal in a comparison: integral text stays Long
-      * ([[LInt]]) so epoch-ns time bounds keep full precision.
+    /** Scan + validate a numeric literal: `-?\d+(\.\d+)?([eE][+-]?\d+)?`.
+      * Greedy over digit/dot characters then validated, so malformed
+      * input like `1.2.3` is a [[ParseException]] here rather than a
+      * NumberFormatException from deep inside evaluation; exponent forms
+      * (`1e9`, `2.5E-3`) are accepted. An `e` NOT followed by a digit is
+      * left unconsumed (it starts the next token).
       */
-    private def numberLit(): Lit = {
+    private def numericText(): String = {
       val start = i
       if (peekStr("-")) i += 1
       while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
+      if (i < src.length && (src(i) == 'e' || src(i) == 'E')) {
+        val mark = i
+        i += 1
+        if (i < src.length && (src(i) == '+' || src(i) == '-')) i += 1
+        if (i < src.length && src(i).isDigit) {
+          while (i < src.length && src(i).isDigit) i += 1
+        } else i = mark
+      }
       if (i == start) fail("expected number")
       val txt = src.substring(start, i)
-      if (txt.contains('.')) LNum(txt.toDouble) else LInt(txt.toLong)
+      if (!txt.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))
+        fail(s"malformed number '$txt'")
+      txt
     }
 
-    private def number(): Double = {
-      val start = i
-      if (peekStr("-")) i += 1
-      while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
-      if (i == start) fail("expected number")
-      src.substring(start, i).toDouble
+    /** Numeric literal in a comparison: integral text stays Long
+      * ([[LInt]]) so epoch-ns time bounds keep full precision; text too
+      * wide for Long degrades to Double rather than erroring.
+      */
+    private def numberLit(): Lit = {
+      val txt = numericText()
+      if (txt.exists(c => c == '.' || c == 'e' || c == 'E')) LNum(txt.toDouble)
+      else try LInt(txt.toLong)
+      catch { case _: NumberFormatException => LNum(txt.toDouble) }
+    }
+
+    private def number(): Double = numericText().toDouble
+
+    /** `/…/` regex literal; `\/` escapes the delimiter. */
+    private def regexLit(): String = {
+      expect("/")
+      val sb = new StringBuilder
+      while (i < src.length && src(i) != '/') {
+        if (src(i) == '\\' && i + 1 < src.length && src(i + 1) == '/') {
+          sb.append('/'); i += 2
+        } else { sb.append(src(i)); i += 1 }
+      }
+      expect("/")
+      sb.toString
     }
 
     private def stringLit(): String = {

@@ -23,9 +23,23 @@ object InfluxQLEval {
       measurements: () => DataFrame = null,
       tagKeys: Option[String] => DataFrame = null,
       fieldKeys: Option[String] => DataFrame = null,
+      /** Measurement-name listing for `FROM /regex/` and un-FROM-ed
+        * SHOW TAG VALUES. Catalog-scale metadata (the list IS part of
+        * the query plan, like Spark's own pivot-value inference) — not
+        * a data-path materialization.
+        */
+      measurementNames: () => Seq[String] = null,
       nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
 
   final case class EvalException(msg: String) extends Exception(msg)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Count of "ungrouped transform serializes through one task" warnings
+    * (visible to specs; the log line is the user-facing signal).
+    */
+  private[graft] val ungroupedTransformWarnings =
+    new java.util.concurrent.atomic.AtomicLong
 
   def run(q: String, source: Source): DataFrame = InfluxQL.parse(q) match {
     case s: Select => select(s, source)
@@ -38,6 +52,30 @@ object InfluxQLEval {
     case ShowFieldKeys(m) =>
       require(source.fieldKeys != null, "SHOW FIELD KEYS unsupported by this source")
       source.fieldKeys(m)
+    case ShowTagValues(m, key, where) => showTagValues(m, key, where, source)
+  }
+
+  /** `SHOW TAG VALUES`: distinct (key, value) rows, the shape Grafana's
+    * template-variable queries consume. WHERE (time bounds, tag
+    * predicates) filters the points whose tag values are listed, as in
+    * the v1 engine.
+    */
+  private def showTagValues(m: Option[String], key: String,
+      where: Option[Cond], source: Source): DataFrame = {
+    val frames: Seq[DataFrame] = m match {
+      case Some(name) => Seq(source.resolve(name))
+      case None =>
+        require(source.measurementNames != null,
+          "SHOW TAG VALUES without FROM needs a measurement listing")
+        source.measurementNames().map(source.resolve)
+    }
+    frames.map { df =>
+      val f = where.map(w => df.filter(cond(w, df, source))).getOrElse(df)
+      f.select(lit(key).as("key"), ref(f, key).cast("string").as("value"))
+    }.reduce(_ union _)
+      .filter(col("value").isNotNull)
+      .distinct()
+      .orderBy("key", "value")
   }
 
   /** Store-backed source: a v1 "database" maps onto a bucket, a
@@ -50,6 +88,9 @@ object InfluxQLEval {
     timeCol = "time",
     measurements = () => tsdb.from(bucket).toDF
       .select(col("measurement").as("name")).distinct().orderBy("name"),
+    measurementNames = () => tsdb.from(bucket).toDF
+      .select(col("measurement")).distinct().orderBy("measurement")
+      .collect().map(_.getString(0)).toSeq,
     tagKeys = m => {
       val base = tsdb.from(bucket).toDF
       val f = m.map(x => base.filter(col("measurement") === x)).getOrElse(base)
@@ -136,14 +177,54 @@ object InfluxQLEval {
     e.as(p.alias.getOrElse(p.fn))
   }
 
+  /** Resolve the FROM clause to (measurement label, frame) pairs. A
+    * subquery resolves to ONE source: the inner select's result (its
+    * aliased columns become the outer query's fields).
+    */
+  private def resolveFrom(s: Select, source: Source): Seq[(String, DataFrame)] =
+    s.from match {
+      case FromSelect(inner) => Seq(fromName(inner.from) -> select(inner, source))
+      case FromMeasurements(ns) => ns.map(n => n -> source.resolve(n))
+      case FromRegex(p) =>
+        require(source.measurementNames != null,
+          "FROM /regex/ requires a source with a measurement listing")
+        val re = p.r
+        val ns = source.measurementNames()
+          .filter(n => re.findFirstIn(n).isDefined).sorted
+        if (ns.isEmpty) throw EvalException(s"no measurement matches /$p/")
+        ns.map(n => n -> source.resolve(n))
+    }
+
+  /** InfluxQL evaluates a multi-measurement statement per measurement
+    * and concatenates the per-measurement series — so each resolved
+    * frame runs the whole select independently (LIMIT/FILL/transforms
+    * apply within a measurement, matching the v1 engine), labeled by a
+    * `measurement` column when there is more than one.
+    */
   private def select(s: Select, source: Source): DataFrame = {
+    val srcs = resolveFrom(s, source)
+    if (srcs.lengthCompare(1) == 0) selectOn(s, srcs.head._2, source)
+    else {
+      val parts = srcs.map { case (n, base) =>
+        selectOn(s, base, source).withColumn("measurement", lit(n))
+      }
+      val u = parts.reduce(_ unionByName _)
+      val ordered = "measurement" +: u.columns.filterNot(_ == "measurement").toSeq
+      val sortKeys = col("measurement") +:
+        (if (u.columns.contains("time"))
+          (if (s.orderDesc) col("time").desc else col("time").asc) +: s.groupTags.map(col)
+        else s.groupTags.map(col))
+      u.select(ordered.map(col): _*).orderBy(sortKeys: _*)
+    }
+  }
+
+  private def selectOn(s: Select, base: DataFrame, source: Source): DataFrame = {
     s.projs match {
-      case Seq(t: TransProj) => return transform(t, s, source)
+      case Seq(t: TransProj) => return transform(t, s, base, source)
       case _ if s.projs.exists(_.isInstanceOf[TransProj]) =>
         throw EvalException("a transformation must be the only projection")
       case _ => ()
     }
-    val base = source.resolve(s.from)
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
     val aggs = s.projs.collect { case a: AggProj => a }
     val fields = s.projs.collect { case f: FieldProj => f }
@@ -203,7 +284,8 @@ object InfluxQLEval {
     * points), then apply the window transform per GROUP BY tag series
     * in time order.
     */
-  private def transform(t: TransProj, s: Select, source: Source): DataFrame = {
+  private def transform(t: TransProj, s: Select, base: DataFrame,
+      source: Source): DataFrame = {
     val inner = t.inner match {
       case a: AggProj => a.copy(alias = Some("_v"))
       case f: FieldProj => f.copy(alias = Some("_v"))
@@ -214,12 +296,20 @@ object InfluxQLEval {
     // fill(previous) values are real points and participate) — so a
     // fill(null) spine would be built only to be dropped; plan none.
     val innerFill = if (s.fill == FillNull) FillNone else s.fill
-    val filled = select(
+    val filled = selectOn(
       s.copy(projs = Seq(inner), fill = innerFill,
         orderDesc = false, limit = None, offset = None),
-      source)
+      base, source)
     val core = filled.filter(col("_v").isNotNull)
     import org.apache.spark.sql.expressions.Window
+    if (s.groupTags.isEmpty) {
+      // Correct (one ungrouped statement IS one series) but the whole
+      // series then orders through a single window task regardless of
+      // cluster size — same loud guard as SeriesScan's empty-key scan.
+      ungroupedTransformWarnings.incrementAndGet()
+      log.warn("InfluxQL transform without GROUP BY tags: the series " +
+        "moves through ONE window task. GROUP BY a tag to distribute.")
+    }
     val w = (if (s.groupTags.isEmpty) Window.partitionBy()
       else Window.partitionBy(s.groupTags.map(col): _*)).orderBy(col("time"))
     val name = t.alias.getOrElse(t.fn)

@@ -15,6 +15,15 @@ object InfluxQlQueries {
   private def source(s: SparkSession, dir: String) = InfluxQLEval.Source(
     resolve = _ => events(s, dir).withColumnRenamed("ts", "time"))
 
+  /** Measurement-per-event_type view: the v1 "database" presents each
+    * event type as a measurement (static catalog), so FROM lists and
+    * FROM /regex/ resolve to per-type slices of the events table.
+    */
+  private def measSource(s: SparkSession, dir: String) = InfluxQLEval.Source(
+    resolve = m => events(s, dir).withColumnRenamed("ts", "time")
+      .filter(col("event_type") === m),
+    measurementNames = () => Seq("click", "error", "purchase", "signup", "view"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GROUP BY time(1h), tag — the canonical Grafana panel query.
@@ -63,6 +72,38 @@ object InfluxQlQueries {
         source(s, dir))
         .select(col("time").as("wstart"), col("event_type"), r4(col("rate")).as("rate"))
         .orderBy("event_type", "wstart")),
+
+    // SHOW TAG VALUES — the query Grafana template variables issue
+    // before any panel renders; WHERE filters the contributing points.
+    "iql_show_tag_values" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SHOW TAG VALUES FROM events WITH KEY = \"event_type\" " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "AND value > 90",
+        source(s, dir))),
+
+    // Subquery FROM: max-of-hourly-sum, the v1 idiom for "peak of a
+    // downsampled series" (inner GROUP BY time feeds the outer agg).
+    "iql_subquery" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT max(v) AS max_v FROM (SELECT sum(value) AS v FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h), event_type) GROUP BY event_type",
+        source(s, dir))
+        .select(col("event_type"), r4(col("max_v")).as("max_v"))
+        .orderBy("event_type")),
+
+    // FROM /regex/: per-measurement evaluation unioned with a
+    // measurement label (two measurements match).
+    "iql_from_regex" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT count(value) AS n, sum(value) AS sum_v FROM /^(click|view)$/ " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "GROUP BY time(6h) FILL(none)",
+        measSource(s, dir))
+        .select(col("measurement"), col("time").as("wstart"), col("n"),
+          r4(col("sum_v")).as("sum_v"))
+        .orderBy("measurement", "wstart")),
 
     // FILL(0): empty windows inside the queried range emit zeros.
     "iql_fill" -> ((s, dir) =>
@@ -131,6 +172,27 @@ object InfluxQlQueries {
         |    lag(v) OVER w AS pv
         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY wstart)
         |) WHERE pv IS NOT NULL ORDER BY 2, 1"""),
+    "iql_show_tag_values" -> w(
+      """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |  AND value > 90
+        |ORDER BY 2"""),
+    "iql_subquery" -> w(
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, round(max(v), 4) AS max_v FROM hourly GROUP BY 1 ORDER BY 1"""),
+    "iql_from_regex" -> w(
+      """SELECT event_type AS measurement, time_bucket(INTERVAL '6 hours', ts) AS wstart,
+        |  count(value) AS n, round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |  AND regexp_matches(event_type, '^(click|view)$')
+        |GROUP BY 1, 2 ORDER BY 1, 2"""),
     "iql_fill" -> w(
       """WITH f AS (
         |  SELECT * FROM events

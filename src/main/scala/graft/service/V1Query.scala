@@ -16,10 +16,11 @@ object V1Query {
     val stmt = InfluxQL.parse(q)
     val df = InfluxQLEval.run(q, InfluxQLEval.tsdbSource(tsdb, db))
     val (name, tagCols) = stmt match {
-      case s: InfluxQL.Select => (s.from, s.groupTags)
+      case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
       case InfluxQL.ShowMeasurements => ("measurements", Nil)
       case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
       case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
+      case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
     }
     val cols = df.columns.toSeq
     val valueCols = cols.filterNot(tagCols.contains)

@@ -18,7 +18,7 @@ class InfluxQLSpec extends SparkSpec {
       .replace('\n', ' ')).asInstanceOf[Select]
     assert(s.projs == Seq(AggProj("mean", "usage", None, Some("m")),
       AggProj("max", "usage", None, None)))
-    assert(s.from == "cpu")
+    assert(s.from == FromMeasurements(Seq("cpu")))
     assert(s.groupTime.contains(Dur(10, "m")) && s.groupTags == Seq("host"))
     assert(s.fill == FillValue(0.0) && s.orderDesc)
     assert(s.limit.contains(10) && s.offset.contains(2))
@@ -32,12 +32,68 @@ class InfluxQLSpec extends SparkSpec {
     assert(InfluxQL.parse("SHOW FIELD KEYS") == ShowFieldKeys(None))
     val s = InfluxQL.parse("""SELECT mean("usage user") FROM "my cpu"""")
       .asInstanceOf[Select]
-    assert(s.projs == Seq(AggProj("mean", "usage user", None, None)) && s.from == "my cpu")
+    assert(s.projs == Seq(AggProj("mean", "usage user", None, None)) &&
+      s.from == FromMeasurements(Seq("my cpu")))
   }
 
   test("rejects malformed input with position info") {
     assertThrows[ParseException](InfluxQL.parse("SELECT FROM cpu"))
     assertThrows[ParseException](InfluxQL.parse("SELECT mean(v) FROM cpu trailing"))
+  }
+
+  test("parses SHOW TAG VALUES, FROM lists, regexes and subqueries") {
+    assert(InfluxQL.parse("""SHOW TAG VALUES FROM cpu WITH KEY = "host"""") ==
+      ShowTagValues(Some("cpu"), "host", None))
+    val stv = InfluxQL.parse(
+      """SHOW TAG VALUES WITH KEY = "host" WHERE region = 'us'""")
+      .asInstanceOf[ShowTagValues]
+    assert(stv.from.isEmpty && stv.key == "host" && stv.where.isDefined)
+    assert(InfluxQL.parse("SELECT mean(v) FROM a, b").asInstanceOf[Select].from ==
+      FromMeasurements(Seq("a", "b")))
+    assert(InfluxQL.parse("SELECT mean(v) FROM /cpu.*/").asInstanceOf[Select].from ==
+      FromRegex("cpu.*"))
+    val sub = InfluxQL.parse(
+      "SELECT max(v) FROM (SELECT mean(value) AS v FROM cpu GROUP BY time(1h))")
+      .asInstanceOf[Select]
+    val inner = sub.from.asInstanceOf[FromSelect].inner
+    assert(inner.groupTime.contains(Dur(1, "h")) &&
+      inner.from == FromMeasurements(Seq("cpu")))
+    // WHERE tag =~ /regex/ (slash-delimited, the v1 syntax)
+    val re = InfluxQL.parse("SELECT v FROM cpu WHERE host =~ /h[12]/")
+      .asInstanceOf[Select]
+    assert(re.where.contains(CCmp("=~", "host", LStr("h[12]"))))
+  }
+
+  test("numeric literals: exponents accepted, malformed rejected as parse errors") {
+    val s = InfluxQL.parse(
+      "SELECT v FROM m WHERE x > 1e9 AND y < 2.5E-3 AND z = -4.25")
+      .asInstanceOf[Select]
+    val cs = { def flat(c: Cond): Seq[Cond] = c match {
+      case CAnd(l, r) => flat(l) ++ flat(r); case o => Seq(o) }
+      flat(s.where.get) }
+    assert(cs == Seq(CCmp(">", "x", LNum(1e9)), CCmp("<", "y", LNum(2.5e-3)),
+      CCmp("=", "z", LNum(-4.25))))
+    assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m WHERE x > 1.2.3"))
+    assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m WHERE x > 1..2"))
+    assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m LIMIT 1.2.3"))
+  }
+
+  test("numeric literal scanner round-trips arbitrary Long/Double text (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    var seed = Seed(7L)
+    def next[A](g: Gen[A]): A = { val v = g.pureApply(params, seed); seed = seed.next; v }
+    (1 to 200).foreach { _ =>
+      val l = next(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+      val s = InfluxQL.parse(s"SELECT v FROM m WHERE x = $l").asInstanceOf[Select]
+      assert(s.where.contains(CCmp("=", "x", LInt(l)))) // Long-exact, no Double round-trip
+    }
+    (1 to 200).foreach { _ =>
+      val d = next(Gen.chooseNum(-1e12, 1e12))
+      val s = InfluxQL.parse(s"SELECT v FROM m WHERE x = $d").asInstanceOf[Select]
+      assert(s.where.contains(CCmp("=", "x", LNum(d)))) // toString → toDouble is exact
+    }
   }
 
   private def cpuFrame = Seq(
@@ -139,6 +195,65 @@ class InfluxQLSpec extends SparkSpec {
     val e = intercept[InfluxQLEval.EvalException](
       InfluxQLEval.run("SELECT mean(usage) FROM cpu SLIMIT 1", source))
     assert(e.getMessage.contains("SLIMIT"))
+  }
+
+  test("SHOW TAG VALUES lists distinct (key, value) rows, WHERE-filtered") {
+    val out = InfluxQLEval.run(
+      """SHOW TAG VALUES FROM cpu WITH KEY = "host" WHERE usage > 2""", source)
+    assert(out.as[(String, String)].collect().toSeq ==
+      Seq(("host", "h1"), ("host", "h2")))
+    val narrow = InfluxQLEval.run(
+      """SHOW TAG VALUES FROM cpu WITH KEY = "host" WHERE usage > 6""", source)
+    assert(narrow.as[(String, String)].collect().toSeq == Seq(("host", "h2")))
+  }
+
+  // measurement-per-host view: FROM lists/regexes union per-measurement runs
+  private val multiSource = InfluxQLEval.Source(
+    resolve = m => cpuFrame.filter(col("host") === m),
+    measurementNames = () => Seq("h1", "h2"))
+
+  test("multi-measurement FROM evaluates per measurement and labels the union") {
+    val out = InfluxQLEval.run("SELECT sum(usage) AS s FROM h1, h2", multiSource)
+    assert(out.columns.head == "measurement")
+    assert(out.select("measurement", "s").as[(String, Double)].collect().toSeq ==
+      Seq(("h1", 9.0), ("h2", 10.0)))
+  }
+
+  test("FROM /regex/ selects matching measurements; no match is an error") {
+    val out = InfluxQLEval.run("SELECT sum(usage) AS s FROM /^h[0-9]$/", multiSource)
+    assert(out.select("measurement", "s").as[(String, Double)].collect().toSeq ==
+      Seq(("h1", 9.0), ("h2", 10.0)))
+    // a regex matching ONE measurement keeps the single-source shape
+    val one = InfluxQLEval.run("SELECT sum(usage) AS s FROM /h2/", multiSource)
+    assert(!one.columns.contains("measurement") &&
+      one.select("s").as[Double].collect().toSeq == Seq(10.0))
+    val e = intercept[InfluxQLEval.EvalException](
+      InfluxQLEval.run("SELECT sum(usage) AS s FROM /nope/", multiSource))
+    assert(e.getMessage.contains("no measurement"))
+  }
+
+  test("subquery FROM: max of hourly sums (the v1 max-of-downsample idiom)") {
+    val out = InfluxQLEval.run(
+      "SELECT max(v) AS max_v FROM (SELECT sum(usage) AS v FROM cpu " +
+        "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-08T02:00:00Z' " +
+        "GROUP BY time(1h))", source)
+    assert(out.select("max_v").as[Double].collect().toSeq == Seq(14.0))
+    // outer GROUP BY over a column the inner result carries
+    val grouped = InfluxQLEval.run(
+      "SELECT max(v) AS max_v FROM (SELECT sum(usage) AS v FROM cpu " +
+        "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-08T02:00:00Z' " +
+        "GROUP BY time(1h), host) GROUP BY host", source)
+    assert(grouped.select("host", "max_v").as[(String, Double)].collect().toSet ==
+      Set(("h1", 5.0), ("h2", 10.0))) // h1 hourly sums 4.0, 5.0 → max 5.0
+  }
+
+  test("ungrouped transform warns: the series runs through one window task") {
+    val before = InfluxQLEval.ungroupedTransformWarnings.get()
+    InfluxQLEval.run("SELECT cumulative_sum(usage) FROM cpu WHERE host = 'h1'", source)
+    assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
+    InfluxQLEval.run(
+      "SELECT derivative(mean(usage)) FROM cpu GROUP BY time(1h), host", source)
+    assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1) // grouped: no warn
   }
 
   test("store-backed: v1 /query JSON over a real bucket") {
