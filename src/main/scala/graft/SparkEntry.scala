@@ -24,7 +24,16 @@ object SparkEntry {
       graft.queries.EmaFamilyQueries.queries ++
       graft.queries.FluxQueries.queries ++
       graft.queries.InfluxQlQueries.queries ++
-      graft.queries.SetOpQueries.queries
+      graft.queries.SetOpQueries.queries ++
+      graft.queries.StreamingQueries.queries
+
+  /** Entries that exercise the streaming machinery end-to-end: part of
+    * the correctness gate, but excluded from [[Bench]] — they measure
+    * micro-batch orchestration (checkpoints, temp warehouses), not
+    * query-plan throughput, and their setup noise would swamp the
+    * per-query timings the bench exists to compare.
+    */
+  def streamingOnly: Set[String] = graft.queries.StreamingQueries.queries.keySet
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +45,6 @@ object SparkEntry {
       graft.queries.EmaFamilyQueries.oracle ++
       graft.queries.FluxQueries.oracle ++
       graft.queries.InfluxQlQueries.oracle ++
-      graft.queries.SetOpQueries.oracle
+      graft.queries.SetOpQueries.oracle ++
+      graft.queries.StreamingQueries.oracle
 }
