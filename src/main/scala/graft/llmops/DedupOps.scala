@@ -153,13 +153,41 @@ object DedupOps {
   def lshCandidates(bands: DataFrame): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
-    bands.groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-      .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        val a = ids.toArray
-        java.util.Arrays.sort(a)
-        for (i <- a.indices.iterator; j <- (i + 1) until a.length)
-          yield (a(i), a(j))
+    // One hash shuffle on the bucket key, then streaming run-detection
+    // over each sorted partition: almost every (band, key) bucket is a
+    // singleton, so a groupBy+collect_list would allocate a list per
+    // bucket (numDocs × numBands of them) just to discover there is
+    // nothing to pair. Sorting within partitions and walking runs of
+    // equal keys emits the same Σ|bucket|·(|bucket|−1)/2 pairs with
+    // O(largest bucket) state and zero per-singleton allocation.
+    bands.select(col("band"), col("key"), col("id"))
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "id")
+      .as[(Int, Long, Long)]
+      .mapPartitions { (it: Iterator[(Int, Long, Long)]) =>
+        // walk runs of equal (band, key); emit each run's pairs lazily
+        // (O(run) state, pairs materialize one at a time)
+        val in = it.buffered
+        new Iterator[(Long, Long)] {
+          private var pairs: Iterator[(Long, Long)] = Iterator.empty
+          private def nextRun(): Unit = {
+            while (!pairs.hasNext && in.hasNext) {
+              val (b, k, _) = in.head
+              val run = scala.collection.mutable.ArrayBuffer.empty[Long]
+              while (in.hasNext && in.head._1 == b && in.head._2 == k)
+                run += in.next()._3
+              if (run.size > 1) {
+                val a = run.toArray // id-sorted by the partition sort
+                pairs = for {
+                  x <- a.indices.iterator
+                  y <- ((x + 1) until a.length).iterator
+                } yield (a(x), a(y))
+              }
+            }
+          }
+          def hasNext: Boolean = { nextRun(); pairs.hasNext }
+          def next(): (Long, Long) = { nextRun(); pairs.next() }
+        }
       }
       .toDF("id_a", "id_b")
       .distinct()
@@ -168,10 +196,21 @@ object DedupOps {
   /** One compiled pass per document: MinHash signature array + distinct
     * shingle count, with NO shingle explode and NO shuffle — the
     * signature is a streaming min over splitmix64 mixes of one base
-    * hash per shingle. Output: (id, sigs: array<long>, n_sh).
+    * hash per shingle. Output: (id, sigs: array<long>, n_sh,
+    * sh_hashes: array<long>).
+    *
+    * `withShingleHashes = true` additionally emits each document's
+    * distinct shingle set as 64-bit FNV-1a hashes (a SEPARATE family
+    * from the signature's 32-bit murmur base, so signatures — and thus
+    * LSH candidates — are byte-identical either way): downstream exact
+    * verification can then intersect hash sets instead of re-shingling
+    * the text. When false the column is an empty array (the work and
+    * bytes are skipped — Catalyst cannot prune computation inside a
+    * typed map).
     */
   def minHashDocSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int = 64): DataFrame = {
+      n: Int, numHashes: Int = 64,
+      withShingleHashes: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
@@ -179,6 +218,9 @@ object DedupOps {
       .map { case (id, text) =>
         val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
         val sigs = Array.fill(numHashes)(Long.MaxValue)
+        val hashes =
+          if (withShingleHashes) scala.collection.mutable.ArrayBuilder.make[Long]
+          else null
         var nSh = 0
         if (toks.length >= n) {
           val seen = new java.util.HashSet[String]()
@@ -186,6 +228,14 @@ object DedupOps {
             val sh = w.mkString(" ")
             if (seen.add(sh)) {
               nSh += 1
+              if (hashes != null) {
+                // FNV-1a 64 over chars: collision-free in practice at
+                // corpus scale (2^-64 per pair), unlike the 32-bit base
+                var h = 0xcbf29ce484222325L
+                var k = 0
+                while (k < sh.length) { h ^= sh.charAt(k); h *= 0x100000001b3L; k += 1 }
+                hashes += h
+              }
               val base = scala.util.hashing.MurmurHash3.stringHash(sh).toLong
               var i = 0
               while (i < numHashes) {
@@ -200,25 +250,32 @@ object DedupOps {
             }
           }
         }
-        (id, sigs.toSeq, nSh)
+        // distinct strings can (astronomically rarely) collide in fnv64;
+        // dedup so set semantics survive downstream intersection counts
+        val shSeq: Seq[Long] =
+          if (hashes == null) Seq.empty
+          else hashes.result().distinct.toSeq
+        (id, sigs.toSeq, nSh, shSeq)
       }
-      .toDF("id", "sigs", "n_sh")
+      .toDF("id", "sigs", "n_sh", "sh_hashes")
   }
 
-  /** MinHash-LSH near-dup pipeline: one compiled signature pass → band
+  /** MinHash-LSH near-dup pipeline: ONE compiled shingling pass → band
     * keys → candidate pairs → exact Jaccard verification >= threshold.
-    * Shingles are only ever materialized for documents appearing in a
-    * candidate pair (broadcast semi-join), so both the signature stage
-    * and verification avoid shuffling the full shingle inverted index —
-    * the full-corpus data motion is one scan plus the (tiny) band-key
-    * shuffle.
+    *
+    * The corpus is shingled exactly once: the signature pass also emits
+    * each document's distinct shingle-hash set (64-bit, separate family
+    * — candidates are unchanged), and verification intersects those
+    * hash sets for candidate documents instead of re-tokenizing their
+    * text. The signature frame is cached because it now feeds both the
+    * band keys and the verification arrays — one tokenize+hash pass
+    * plus (spillable) storage, versus two full text passes before.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    // no cache: since sizes moved to the capped verification shingles,
-    // the signature frame feeds exactly one downstream (the band keys)
-    val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes)
+    val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes,
+      withShingleHashes = true).cache()
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => element_at(col("sigs"), b * rowsPerBand + r + 1))
@@ -230,24 +287,37 @@ object DedupOps {
     val cands = lshCandidates(bands)
     val candDocs = cands.select(col("id_a").as("cid"))
       .union(cands.select(col("id_b").as("cid"))).distinct()
-    // Verification applies the same df-cap (measured over candidate docs,
-    // which is the population this join actually touches); sizes come from
-    // the capped shingle table itself, keeping intersection and union
-    // consistent.
-    val shC = capShingles(shingles(
-      df.join(broadcast(candDocs), col(idCol) === col("cid"), "left_semi"),
-      idCol, textCol, n), maxDf).cache()
-    val sizes = shC.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(shC.as("sa"), col("id_a") === col("sa.id"))
-      .join(shC.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("id_a") === col("za.id"))
-      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("inter")).cast("double"))
+    // Exact verification over the cached hash ARRAYS: join each pair to
+    // its two documents' distinct shingle-hash sets and compute
+    // |A∩B| / |A∪B| with array_intersect/array_except — two joins and
+    // one tiny aggregate instead of the exploded inverted-index chain
+    // (explode → df-cap anti-join → Σdf² self-join → three aggregations),
+    // which at 32 partitions was pure stage overhead for KB of data.
+    // Per-task memory is two documents' hash arrays, not a posting list.
+    val candArrays = sig
+      .join(broadcast(candDocs), col("id") === col("cid"), "left_semi")
+      .select(col("id"), col("sh_hashes"))
+    // Same df-cap semantics as capShingles, over the same population
+    // (candidate docs): shingles shared by > maxDf of them are stopword-
+    // grade and leave BOTH intersection and union. The hot set is tiny
+    // by construction — one (possibly empty) collected array row.
+    val hot = candArrays.select(explode(col("sh_hashes")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(collect_list(col("sh")).as("hot"))
+    cands
+      .join(candArrays.as("za"), col("id_a") === col("za.id"))
+      .join(candArrays.as("zb"), col("id_b") === col("zb.id"))
+      .crossJoin(broadcast(hot))
+      .withColumn("_a", array_except(col("za.sh_hashes"), col("hot")))
+      .withColumn("_b", array_except(col("zb.sh_hashes"), col("hot")))
+      .withColumn("_i", size(array_intersect(col("_a"), col("_b"))).cast("long"))
+      .withColumn("_u", (size(col("_a")) + size(col("_b"))).cast("long") - col("_i"))
+      // _u = 0 ⇔ every shingle of both docs was capped: the old
+      // formulation dropped such pairs (no shC rows); keep that, and
+      // keep the division well-defined
+      .filter(col("_u") > 0)
+      .withColumn("jaccard", col("_i").cast("double") / col("_u").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
