@@ -8,14 +8,22 @@ package graft.influxql
   *
   * Covered grammar:
   * {{{
-  * SELECT <agg>(field)[, …] | field[, …]
+  * SELECT <agg>(field)[, …] | field[, …] | * | <arith over aggs/fields>
   *   FROM measurement[, …] | /regex/ | ( SELECT … )
   *   [WHERE time >= '…' AND time < now() - 7d AND tag = 'v' AND tag =~ /re/ …]
-  *   [GROUP BY time(1h)[, tag, …]] [FILL(none|null|0|…)]
+  *   [GROUP BY time(1h[, offset])[, tag, …]] [FILL(none|null|0|…)]
   *   [ORDER BY time DESC] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
+  *   [tz('America/Chicago')]
   * SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
   * SHOW TAG VALUES [FROM m] WITH KEY = "k" [WHERE …]
+  * SHOW DATABASES | SHOW RETENTION POLICIES [ON db]
+  * SHOW SERIES [FROM m] [WHERE …]
   * }}}
+  *
+  * Arithmetic projections (`SELECT mean(a) + mean(b)`,
+  * `(sum(errors) / sum(total)) * 100 AS pct`) follow v1 precedence
+  * (mul/div over add/sub, parentheses); a projection mixes either
+  * aggregate leaves or raw-field leaves, never both.
   *
   * Hand-rolled recursive descent like [[graft.flux.FluxParser]]; no
   * dependencies. Evaluation lives in [[InfluxQLEval]].
@@ -46,6 +54,33 @@ object InfluxQL {
     */
   final case class TransProj(fn: String, inner: Proj, dur: Option[Dur],
       n: Option[Int], alias: Option[String]) extends Proj
+
+  /** Arithmetic over projections: `mean(a) + mean(b)`,
+    * `(sum(e)/sum(t))*100`. Leaves are aggregates, raw fields, or
+    * numeric literals; one expression uses aggregate XOR raw-field
+    * leaves (enforced at eval).
+    */
+  final case class ExprProj(expr: PExpr, alias: Option[String]) extends Proj
+  sealed trait PExpr
+  final case class PNum(v: Double) extends PExpr
+  final case class PAgg(agg: AggProj) extends PExpr
+  final case class PField(name: String) extends PExpr
+  final case class PBin(op: Char, l: PExpr, r: PExpr) extends PExpr
+
+  /** Default output name for an arithmetic projection without AS: the
+    * leaf function/field names joined by `_` (v1 composes names the
+    * same way — `mean(a)+mean(b)` → `mean_mean`).
+    */
+  def exprName(e: PExpr): String = {
+    def leaves(x: PExpr): Seq[String] = x match {
+      case PBin(_, l, r) => leaves(l) ++ leaves(r)
+      case PAgg(a) => Seq(a.fn)
+      case PField(n) => Seq(n)
+      case PNum(_) => Nil
+    }
+    val ns = leaves(e)
+    if (ns.isEmpty) "expr" else ns.mkString("_")
+  }
 
   sealed trait Fill
   case object FillNone extends Fill
@@ -89,7 +124,15 @@ object InfluxQL {
       limit: Option[Int],
       offset: Option[Int],
       slimit: Option[Int] = None,
-      soffset: Option[Int] = None) extends Stmt
+      soffset: Option[Int] = None,
+      /** `GROUP BY time(1h, 30m)` second argument: shifts bucket
+        * alignment off the epoch grid (negative allowed).
+        */
+      groupOffset: Option[Dur] = None,
+      /** `tz('America/Chicago')`: buckets align to local wall-clock
+        * time in this IANA zone instead of UTC.
+        */
+      tz: Option[String] = None) extends Stmt
   case object ShowMeasurements extends Stmt
   final case class ShowTagKeys(from: Option[String]) extends Stmt
   final case class ShowFieldKeys(from: Option[String]) extends Stmt
@@ -97,6 +140,13 @@ object InfluxQL {
     * issues to populate template-variable dropdowns.
     */
   final case class ShowTagValues(from: Option[String], key: String,
+      where: Option[Cond]) extends Stmt
+  case object ShowDatabases extends Stmt
+  final case class ShowRetentionPolicies(db: Option[String]) extends Stmt
+  /** `SHOW SERIES [FROM m] [WHERE …]`: one row per series key
+    * (`measurement,tag=v,…`).
+    */
+  final case class ShowSeries(from: Option[String],
       where: Option[Cond]) extends Stmt
 
   /** Display name for a FROM clause (v1 JSON `series.name`). */
@@ -114,7 +164,7 @@ object InfluxQL {
     "distinct")
 
   val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
-    "difference", "cumulative_sum", "moving_average")
+    "difference", "cumulative_sum", "moving_average", "elapsed")
 
   def parse(src: String): Stmt = new P(src).statement()
 
@@ -148,7 +198,20 @@ object InfluxQL {
         } else { kw("KEYS"); ShowTagKeys(optFrom()) }
       }
       else if (peekKw("FIELD")) { kw("FIELD"); kw("KEYS"); ShowFieldKeys(optFrom()) }
-      else fail("expected MEASUREMENTS, TAG KEYS/VALUES or FIELD KEYS")
+      else if (peekKw("DATABASES")) { kw("DATABASES"); ShowDatabases }
+      else if (peekKw("RETENTION")) {
+        kw("RETENTION"); kw("POLICIES")
+        ShowRetentionPolicies(
+          if (peekKw("ON")) { kw("ON"); Some(ident()) } else None)
+      }
+      else if (peekKw("SERIES")) {
+        kw("SERIES")
+        val m = optFrom(); ws()
+        val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
+        ShowSeries(m, where)
+      }
+      else fail("expected MEASUREMENTS, TAG KEYS/VALUES, FIELD KEYS, " +
+        "DATABASES, RETENTION POLICIES or SERIES")
     }
 
     private def optFrom(): Option[String] =
@@ -164,6 +227,7 @@ object InfluxQL {
       val from = fromClause(); ws()
       val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
       var groupTime: Option[Dur] = None
+      var groupOffset: Option[Dur] = None
       var groupTags = Seq.empty[String]
       if (peekKw("GROUP")) {
         kw("GROUP"); kw("BY")
@@ -171,7 +235,16 @@ object InfluxQL {
         while (more) {
           ws()
           if (peekKw("time")) {
-            kw("time"); expect("("); ws(); groupTime = Some(duration()); ws(); expect(")")
+            kw("time"); expect("("); ws(); groupTime = Some(duration()); ws()
+            if (peekStr(",")) { // time(1h, 30m): bucket-alignment offset
+              expect(","); ws()
+              val neg = peekStr("-")
+              if (neg) { expect("-"); ws() }
+              val d = duration()
+              groupOffset = Some(if (neg) d.copy(amount = -d.amount) else d)
+              ws()
+            }
+            expect(")")
           } else groupTags :+= ident()
           ws()
           if (peekStr(",")) expect(",") else more = false
@@ -205,8 +278,15 @@ object InfluxQL {
       val slimit = if (peekKw("SLIMIT")) { kw("SLIMIT"); ws(); Some(number().toInt) } else None
       ws()
       val soffset = if (peekKw("SOFFSET")) { kw("SOFFSET"); ws(); Some(number().toInt) } else None
+      ws()
+      val tz =
+        if (peekKw("tz")) {
+          kw("tz"); expect("("); ws()
+          val z = stringLit(); ws(); expect(")")
+          Some(z)
+        } else None
       Select(projs.result(), from, where, groupTime, groupTags, fill, desc, limit, offset,
-        slimit, soffset)
+        slimit, soffset, groupOffset, tz)
     }
 
     private def fromClause(): From = {
@@ -226,27 +306,35 @@ object InfluxQL {
 
     private def proj(): Proj = {
       ws()
-      val name = ident(); ws()
+      if (peekStr("*")) { expect("*"); ws(); return FieldProj("*", None) }
+      // transforms are top-level-only (no arithmetic around them, as in
+      // v1): peek the head identifier, fall back to expression parsing
+      def exprToProj(): Proj = addExpr() match {
+        case PAgg(a) => a
+        case PField(nm) => FieldProj(nm, None)
+        case e => ExprProj(e, None)
+      }
+      val startsIdent =
+        peekStr("\"") || (i < src.length && (src(i).isLetter || src(i) == '_'))
       val p: Proj =
-        if (peekStr("(") && Transforms.contains(name.toLowerCase)) {
-          expect("("); ws()
-          val inner = proj(); ws()
-          var dur: Option[Dur] = None
-          var n: Option[Int] = None
-          if (peekStr(",")) {
-            expect(","); ws()
-            if (name.toLowerCase == "moving_average") n = Some(number().toInt)
-            else dur = Some(duration())
-          }
-          ws(); expect(")")
-          TransProj(name.toLowerCase, inner, dur, n, None)
-        } else if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
-          expect("("); ws()
-          val field = ident(); ws()
-          val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
-          ws(); expect(")")
-          AggProj(name.toLowerCase, field, param, None)
-        } else FieldProj(name, None)
+        if (!startsIdent) exprToProj() // '(' or numeric-literal head
+        else {
+          val save = i
+          val head = ident(); ws()
+          if (peekStr("(") && Transforms.contains(head.toLowerCase)) {
+            expect("("); ws()
+            val inner = proj(); ws()
+            var dur: Option[Dur] = None
+            var n: Option[Int] = None
+            if (peekStr(",")) {
+              expect(","); ws()
+              if (head.toLowerCase == "moving_average") n = Some(number().toInt)
+              else dur = Some(duration())
+            }
+            ws(); expect(")")
+            TransProj(head.toLowerCase, inner, dur, n, None)
+          } else { i = save; exprToProj() }
+        }
       ws()
       if (peekKw("AS")) {
         kw("AS")
@@ -255,8 +343,42 @@ object InfluxQL {
           case ap: AggProj => ap.copy(alias = Some(a))
           case fp: FieldProj => fp.copy(alias = Some(a))
           case tp: TransProj => tp.copy(alias = Some(a))
+          case ep: ExprProj => ep.copy(alias = Some(a))
         }
       } else p
+    }
+
+    /** `+`/`-` over [[mulExpr]] — lowest precedence. */
+    private def addExpr(): PExpr = {
+      var l = mulExpr(); ws()
+      while (peekStr("+") || peekStr("-")) {
+        val op = src(i); i += 1; ws()
+        l = PBin(op, l, mulExpr()); ws()
+      }
+      l
+    }
+    private def mulExpr(): PExpr = {
+      var l = factor(); ws()
+      while (peekStr("*") || peekStr("/")) {
+        val op = src(i); i += 1; ws()
+        l = PBin(op, l, factor()); ws()
+      }
+      l
+    }
+    private def factor(): PExpr = {
+      ws()
+      if (peekStr("(")) { expect("("); val e = addExpr(); ws(); expect(")"); e }
+      else if (peekStr("-") || (i < src.length && src(i).isDigit)) PNum(number())
+      else {
+        val name = ident(); ws()
+        if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
+          expect("("); ws()
+          val field = ident(); ws()
+          val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
+          ws(); expect(")")
+          PAgg(AggProj(name.toLowerCase, field, param, None))
+        } else PField(name)
+      }
     }
 
     private def orCond(): Cond = {

@@ -29,6 +29,9 @@ object InfluxQLEval {
         * a data-path materialization.
         */
       measurementNames: () => Seq[String] = null,
+      /** Catalog listings for the admin SHOWs (store-backed sources). */
+      databases: () => DataFrame = null,
+      retentionPolicies: Option[String] => DataFrame = null,
       nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
 
   final case class EvalException(msg: String) extends Exception(msg)
@@ -53,6 +56,43 @@ object InfluxQLEval {
       require(source.fieldKeys != null, "SHOW FIELD KEYS unsupported by this source")
       source.fieldKeys(m)
     case ShowTagValues(m, key, where) => showTagValues(m, key, where, source)
+    case ShowDatabases =>
+      require(source.databases != null, "SHOW DATABASES unsupported by this source")
+      source.databases()
+    case ShowRetentionPolicies(db) =>
+      require(source.retentionPolicies != null,
+        "SHOW RETENTION POLICIES unsupported by this source")
+      source.retentionPolicies(db)
+    case ShowSeries(m, where) => showSeries(m, where, source)
+  }
+
+  /** `SHOW SERIES`: one `key` row per distinct series —
+    * `measurement[,tag=v…]` with tags sorted by key, the v1 format.
+    * Tags come from the frame's `tags` map column (store-backed view);
+    * a frame without one is a single tagless series per measurement.
+    */
+  private def showSeries(m: Option[String], where: Option[Cond],
+      source: Source): DataFrame = {
+    val names = m.map(Seq(_)).getOrElse {
+      require(source.measurementNames != null,
+        "SHOW SERIES without FROM needs a measurement listing")
+      source.measurementNames()
+    }
+    names.map { n =>
+      val df = source.resolve(n)
+      val f = where.map(w => df.filter(cond(w, df, source))).getOrElse(df)
+      val keyCol =
+        if (f.columns.contains("tags")) {
+          val tagPart = array_join(
+            org.apache.spark.sql.functions.transform(
+              array_sort(map_entries(col("tags"))),
+              e => concat(e.getField("key"), lit("="), e.getField("value"))),
+            ",")
+          when(size(map_entries(col("tags"))) === 0, lit(n))
+            .otherwise(concat(lit(n), lit(","), tagPart))
+        } else lit(n)
+      f.select(keyCol.as("key")).distinct()
+    }.reduce(_ union _).distinct().orderBy("key")
   }
 
   /** `SHOW TAG VALUES`: distinct (key, value) rows, the shape Grafana's
@@ -100,6 +140,21 @@ object InfluxQLEval {
       val base = tsdb.from(bucket).toDF
       val f = m.map(x => base.filter(col("measurement") === x)).getOrElse(base)
       f.select(col("field").as("fieldKey")).distinct().orderBy("fieldKey")
+    },
+    databases = () => {
+      import tsdb.spark.implicits._
+      tsdb.catalog.listBuckets.map(_.name).sorted.toDF("name")
+    },
+    // v1 presents one policy per database; a v2 bucket's retention maps
+    // onto the default "autogen" policy (0 retention = infinite = "0s")
+    retentionPolicies = db => {
+      import tsdb.spark.implicits._
+      val name = db.getOrElse(bucket)
+      val meta = tsdb.catalog.bucket(name)
+        .getOrElse(throw EvalException(s"unknown database '$name'"))
+      Seq(("autogen", s"${meta.retentionNs / 1000000000L}s",
+        s"${meta.retentionNs / 1000000000L}s", 1, true))
+        .toDF("name", "duration", "shardGroupDuration", "replicaN", "default")
     })
 
   /** Column for a WHERE/GROUP BY key: a real column if the frame has
@@ -153,6 +208,37 @@ object InfluxQLEval {
         case "!~" => !k.rlike(v.asInstanceOf[LStr].s)
         case o => throw EvalException(s"unsupported comparison '$o'")
       }
+  }
+
+  /** Column for an arithmetic projection. In aggregate mode the leaves
+    * are aggregate calls (raw fields are rejected — a grouped query has
+    * no row context); in raw mode the leaves are row-wise field refs.
+    */
+  private def exprCol(e: PExpr, df: DataFrame, timeCol: String,
+      aggMode: Boolean): Column = e match {
+    case PNum(v) => lit(v)
+    case PAgg(a) if aggMode => aggExpr(a.copy(alias = Some("_")), timeCol)
+    case PAgg(a) => throw EvalException(
+      s"aggregate ${a.fn}() in a raw-field expression")
+    case PField(n) if !aggMode => ref(df, n)
+    case PField(n) => throw EvalException(
+      s"raw field '$n' mixed into an aggregate expression")
+    case PBin(op, l, r) =>
+      val lc = exprCol(l, df, timeCol, aggMode)
+      val rc = exprCol(r, df, timeCol, aggMode)
+      op match {
+        case '+' => lc + rc
+        case '-' => lc - rc
+        case '*' => lc * rc
+        case '/' => lc / rc
+        case o => throw EvalException(s"unsupported operator '$o'")
+      }
+  }
+
+  /** GROUP BY time(d, off) bucket offset, normalized into [0, step). */
+  private def bucketOffsetUs(s: Select, stepUs: Long): Long = {
+    val raw = s.groupOffset.map(o => (o.seconds * 1e6).toLong).getOrElse(0L)
+    ((raw % stepUs) + stepUs) % stepUs
   }
 
   private def aggExpr(p: AggProj, timeCol: String): Column = {
@@ -228,29 +314,63 @@ object InfluxQLEval {
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
     val aggs = s.projs.collect { case a: AggProj => a }
     val fields = s.projs.collect { case f: FieldProj => f }
-    if (aggs.nonEmpty && fields.nonEmpty)
+    val exprs = s.projs.collect { case e: ExprProj => e }
+    def hasAgg(e: PExpr): Boolean = e match {
+      case _: PAgg => true
+      case PBin(_, l, r) => hasAgg(l) || hasAgg(r)
+      case _ => false
+    }
+    val (aggExprs, rawExprs) = exprs.partition(e => hasAgg(e.expr))
+    if ((aggs.nonEmpty || aggExprs.nonEmpty) && (fields.nonEmpty || rawExprs.nonEmpty))
       throw EvalException("mixing aggregate and raw field projections is unsupported")
 
     val out: DataFrame =
-      if (aggs.isEmpty) {
-        // raw select: time + fields
+      if (aggs.isEmpty && aggExprs.isEmpty) {
+        // raw select: time + fields; `*` expands to every non-time data
+        // column (the `tags` map and partition columns stay internal)
+        val expanded: Seq[FieldProj] =
+          if (fields.exists(_.field == "*"))
+            filtered.columns
+              .filterNot(c => c == source.timeCol || c == "tags" || c == "dt")
+              .sorted.toSeq.map(FieldProj(_, None))
+          else fields
         val cols = col(source.timeCol).as("time") +:
-          fields.map(f => ref(filtered, f.field).as(f.alias.getOrElse(f.field)))
+          (expanded.map(f => ref(filtered, f.field).as(f.alias.getOrElse(f.field))) ++
+            rawExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = false)
+              .as(e.alias.getOrElse(exprName(e.expr)))))
         filtered.select(cols: _*)
       } else {
         val tagCols = s.groupTags.map(t => ref(filtered, t).as(t))
-        val aggCols = aggs.map(aggExpr(_, source.timeCol))
+        val aggCols = aggs.map(aggExpr(_, source.timeCol)) ++
+          aggExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = true)
+            .as(e.alias.getOrElse(exprName(e.expr))))
+        val aggNames = aggs.map(a => a.alias.getOrElse(a.fn)) ++
+          aggExprs.map(e => e.alias.getOrElse(exprName(e.expr)))
         s.groupTime match {
           case None =>
             if (s.groupTags.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
             else filtered.groupBy(tagCols: _*).agg(aggCols.head, aggCols.tail: _*)
           case Some(d) =>
-            // InfluxQL labels each bucket with its epoch-aligned START
-            val win = window(col(source.timeCol), d.interval, d.interval)
-            val keyed = filtered.withColumn("time", win.getField("start"))
+            // InfluxQL labels each bucket with its aligned START: epoch-
+            // aligned, shifted by the GROUP BY time() offset, and — under
+            // tz() — aligned to the zone's wall clock (bucket in local
+            // time, convert the start back to UTC).
+            val stepUs = (d.seconds * 1e6).toLong
+            val offUs = bucketOffsetUs(s, stepUs)
+            val bucketIn = s.tz match {
+              case Some(z) => from_utc_timestamp(col(source.timeCol), z)
+              case None => col(source.timeCol)
+            }
+            val win = window(bucketIn, d.interval, d.interval,
+              s"${offUs} microseconds")
+            val start = s.tz match {
+              case Some(z) => to_utc_timestamp(win.getField("start"), z)
+              case None => win.getField("start")
+            }
+            val keyed = filtered.withColumn("time", start)
             val grouped = keyed.groupBy((col("time") +: tagCols): _*)
               .agg(aggCols.head, aggCols.tail: _*)
-            applyFill(grouped, s, d, aggs.map(a => a.alias.getOrElse(a.fn)), source)
+            applyFill(grouped, s, d, aggNames, source)
         }
       }
 
@@ -289,6 +409,7 @@ object InfluxQLEval {
     val inner = t.inner match {
       case a: AggProj => a.copy(alias = Some("_v"))
       case f: FieldProj => f.copy(alias = Some("_v"))
+      case e: ExprProj => e.copy(alias = Some("_v"))
       case _: TransProj => throw EvalException("nested transformations are unsupported")
     }
     // Transformations operate on non-null points (InfluxQL skips nulls:
@@ -339,6 +460,16 @@ object InfluxQLEval {
         core.withColumn("_c", count(v).over(frame))
           .withColumn(name, avg(v).over(frame))
           .filter(col("_c") === n).drop("_c")
+      case "elapsed" =>
+        // v1 elapsed(field[, unit]): whole units between consecutive
+        // points, integer-truncated; default unit 1ns. Integer `div`
+        // keeps ns math exact where double division could round.
+        val unitNs = t.dur.map(x => (x.seconds * 1e9).toLong).getOrElse(1L)
+        core.withColumn("_pt", lag(col("time"), 1).over(w))
+          .withColumn("_dns",
+            (unix_micros(col("time")) - unix_micros(col("_pt"))) * lit(1000L))
+          .withColumn(name, expr(s"_dns div ${unitNs}L"))
+          .filter(col("_pt").isNotNull).drop("_pt", "_dns")
       case other => throw EvalException(s"unsupported transformation '$other'")
     }
     staged.select((col("time") +: s.groupTags.map(col) :+ col(name)): _*)
@@ -362,9 +493,23 @@ object InfluxQLEval {
       val (lo, hi) = bounds.getOrElse(
         throw EvalException("FILL requires absolute time bounds in WHERE"))
       val stepUs = (d.seconds * 1e6).toLong
-      val loAligned = lo / stepUs * stepUs
-      val spine = grouped.sparkSession.range(loAligned, hi, stepUs)
+      val offUs = bucketOffsetUs(s, stepUs)
+      // tz(): the spine steps in LOCAL wall-clock µs (matching the
+      // bucket alignment), each start converted back to UTC below
+      def toLocal(us: Long): Long = s.tz match {
+        case Some(z) =>
+          val inst = java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+          us + java.time.ZoneId.of(z).getRules.getOffset(inst).getTotalSeconds * 1000000L
+        case None => us
+      }
+      val (loL, hiL) = (toLocal(lo), toLocal(hi))
+      val loAligned = Math.floorDiv(loL - offUs, stepUs) * stepUs + offUs
+      val spineLocal = grouped.sparkSession.range(loAligned, hiL, stepUs)
         .select(timestamp_micros(col("id")).as("time"))
+      val spine = s.tz match {
+        case Some(z) => spineLocal.select(to_utc_timestamp(col("time"), z).as("time"))
+        case None => spineLocal
+      }
       val spineKeys =
         if (s.groupTags.isEmpty) spine
         else spine.crossJoin(grouped.select(s.groupTags.map(col): _*).distinct())

@@ -38,10 +38,17 @@ object VectorOps {
     * unresolved-function analysis error.
     */
   def cosine(a: Column, b: Column): Column =
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.catalog.functionExists("graft_cosine")))
+    if (org.apache.spark.sql.SparkSession.getActiveSession.exists(hasNative))
       call_function("graft_cosine", a, b)
     else cosineHof(a, b)
+
+  // registration is decided when the session is built, so the catalog
+  // probe is cached per session (weak keys: don't pin stopped sessions)
+  private val nativeBySession =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean])
+  private def hasNative(s: org.apache.spark.sql.SparkSession): Boolean =
+    nativeBySession.computeIfAbsent(s, _.catalog.functionExists("graft_cosine"))
 
   /** Normalize an embeddings table to (id, v: array<double>). */
   def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =

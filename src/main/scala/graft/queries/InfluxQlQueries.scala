@@ -105,6 +105,52 @@ object InfluxQlQueries {
           r4(col("sum_v")).as("sum_v"))
         .orderBy("measurement", "wstart")),
 
+    // Arithmetic projection — the Grafana ratio idiom ((sum/count)*100,
+    // i.e. a percentage built from two aggregates of the same series).
+    "iql_arith" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT (sum(value) / count(value)) * 100 AS pct FROM events " +
+          "GROUP BY event_type",
+        source(s, dir))
+        .select(col("event_type"), r4(col("pct")).as("pct"))
+        .orderBy("event_type")),
+
+    // GROUP BY time(1h, 30m): buckets aligned to the half-hour grid —
+    // the first bucket (23:30) reaches back BEFORE the WHERE lower
+    // bound, as in v1.
+    "iql_gb_offset" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sum(value) AS sum_v, count(value) AS n FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "GROUP BY time(1h, 30m), event_type FILL(none)",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"),
+          r4(col("sum_v")).as("sum_v"), col("n"))
+        .orderBy("event_type", "wstart")),
+
+    // tz(): daily buckets aligned to UTC-5 wall-clock days (what a
+    // dashboard in that zone renders); bucket starts convert back to
+    // UTC instants.
+    "iql_tz" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sum(value) AS sum_v, count(value) AS n FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1d), event_type FILL(none) tz('Etc/GMT+5')",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"),
+          r4(col("sum_v")).as("sum_v"), col("n"))
+        .orderBy("event_type", "wstart")),
+
+    // SELECT *: expands to every data column in name order.
+    "iql_star" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT * FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-08T06:00:00Z' " +
+          "AND value > 99",
+        InfluxQLEval.Source(resolve = _ => events(s, dir)
+          .select(col("ts").as("time"), col("event_type"), col("user_id"), col("value"))))
+        .orderBy("time", "event_type", "user_id", "value")),
+
     // FILL(0): empty windows inside the queried range emit zeros.
     "iql_fill" -> ((s, dir) =>
       InfluxQLEval.run(
@@ -193,6 +239,26 @@ object InfluxQlQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
         |  AND regexp_matches(event_type, '^(click|view)$')
         |GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "iql_arith" -> w(
+      """SELECT event_type, round(sum(value) / count(value) * 100, 4) AS pct
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "iql_gb_offset" -> w(
+      """SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '2024-01-08 00:30:00') AS wstart,
+        |  event_type, round(sum(value), 4) AS sum_v, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 2, 1"""),
+    "iql_tz" -> w(
+      """SELECT time_bucket(INTERVAL '1 day', ts - INTERVAL 5 HOUR) + INTERVAL 5 HOUR AS wstart,
+        |  event_type, round(sum(value), 4) AS sum_v, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 2, 1"""),
+    "iql_star" -> w(
+      """SELECT ts AS time, event_type, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-08 06:00:00'
+        |  AND value > 99
+        |ORDER BY 1, 2, 3, 4"""),
     "iql_fill" -> w(
       """WITH f AS (
         |  SELECT * FROM events

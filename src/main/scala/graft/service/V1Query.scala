@@ -21,6 +21,9 @@ object V1Query {
       case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
       case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
       case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
+      case InfluxQL.ShowDatabases => ("databases", Nil)
+      case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
+      case _: InfluxQL.ShowSeries => ("series", Nil)
     }
     val cols = df.columns.toSeq
     val valueCols = cols.filterNot(tagCols.contains)

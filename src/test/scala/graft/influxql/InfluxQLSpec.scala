@@ -256,6 +256,84 @@ class InfluxQLSpec extends SparkSpec {
     assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1) // grouped: no warn
   }
 
+  test("parses arithmetic projections, time() offset, tz, star, admin SHOWs") {
+    val s = InfluxQL.parse(
+      "SELECT (sum(errors) / sum(total)) * 100 AS pct FROM m " +
+        "GROUP BY time(1h, -15m) tz('America/Chicago')").asInstanceOf[Select]
+    assert(s.projs == Seq(ExprProj(
+      PBin('*',
+        PBin('/', PAgg(AggProj("sum", "errors", None, None)),
+          PAgg(AggProj("sum", "total", None, None))),
+        PNum(100.0)),
+      Some("pct"))))
+    assert(s.groupOffset.contains(Dur(-15, "m")) && s.tz.contains("America/Chicago"))
+    assert(exprName(s.projs.head.asInstanceOf[ExprProj].expr) == "sum_sum")
+    val star = InfluxQL.parse("SELECT * FROM m").asInstanceOf[Select]
+    assert(star.projs == Seq(FieldProj("*", None)))
+    assert(InfluxQL.parse("SHOW DATABASES") == ShowDatabases)
+    assert(InfluxQL.parse("SHOW RETENTION POLICIES ON mydb") ==
+      ShowRetentionPolicies(Some("mydb")))
+    assert(InfluxQL.parse("SHOW SERIES FROM cpu WHERE usage > 1") ==
+      ShowSeries(Some("cpu"), Some(CCmp(">", "usage", LInt(1)))))
+  }
+
+  test("arithmetic projections evaluate in aggregate and raw contexts") {
+    // aggregate arithmetic, default composed name
+    val agg = InfluxQLEval.run(
+      "SELECT mean(usage) + max(usage) FROM cpu WHERE host = 'h1'", source)
+    assert(agg.columns.toSeq == Seq("mean_max"))
+    assert(agg.as[Double].collect().toSeq == Seq(8.0)) // mean 3 + max 5
+    // the Grafana ratio idiom
+    val pct = InfluxQLEval.run(
+      "SELECT (sum(usage) / count(usage)) * 100 AS pct FROM cpu GROUP BY host", source)
+    assert(pct.select("host", "pct").as[(String, Double)].collect().toSet ==
+      Set(("h1", 300.0), ("h2", 1000.0)))
+    // row-wise arithmetic over raw fields
+    val raw = InfluxQLEval.run(
+      "SELECT usage * 2 AS dbl FROM cpu WHERE host = 'h1'", source)
+    assert(raw.select("dbl").as[Double].collect().toSeq == Seq(2.0, 6.0, 10.0))
+    // aggregate and raw leaves cannot mix in one statement
+    val e = intercept[InfluxQLEval.EvalException](InfluxQLEval.run(
+      "SELECT mean(usage) + usage FROM cpu", source).collect())
+    assert(e.getMessage.contains("raw field"))
+  }
+
+  test("GROUP BY time(1h, 30m) shifts bucket alignment; fill spine follows") {
+    val out = InfluxQLEval.run(
+      "SELECT sum(usage) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-08T02:00:00Z' GROUP BY time(1h, 30m) FILL(none)", source)
+    assert(out.select(col("time").cast("string"), col("sum"))
+      .as[(String, Double)].collect().toSet ==
+      Set(("2024-01-07 23:30:00", 14.0), ("2024-01-08 00:30:00", 5.0)))
+    val filled = InfluxQLEval.run(
+      "SELECT sum(usage) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-08T02:00:00Z' GROUP BY time(1h, 30m) FILL(0)", source)
+    assert(filled.select(col("time").cast("string"), col("sum"))
+      .as[(String, Double)].collect().toSet ==
+      Set(("2024-01-07 23:30:00", 14.0), ("2024-01-08 00:30:00", 5.0),
+        ("2024-01-08 01:30:00", 0.0)))
+  }
+
+  test("tz() aligns buckets to local wall-clock time") {
+    // Etc/GMT+5 = UTC-5: all points (00:05–01:05 UTC Jan 8) fall in the
+    // LOCAL day Jan 7, whose bucket start is 05:00 UTC
+    val out = InfluxQLEval.run(
+      "SELECT sum(usage) FROM cpu WHERE time >= '2024-01-07T00:00:00Z' " +
+        "AND time < '2024-01-09T00:00:00Z' GROUP BY time(1d) FILL(none) " +
+        "tz('Etc/GMT+5')", source)
+    assert(out.select(col("time").cast("string"), col("sum"))
+      .as[(String, Double)].collect().toSet ==
+      Set(("2024-01-07 05:00:00", 19.0)))
+  }
+
+  test("SELECT * expands to all non-time columns; elapsed() counts whole units") {
+    val star = InfluxQLEval.run("SELECT * FROM cpu WHERE host = 'h2'", source)
+    assert(star.columns.toSeq == Seq("time", "host", "usage"))
+    assert(star.count() == 1)
+    val el = InfluxQLEval.run("SELECT elapsed(usage, 1m) FROM cpu WHERE host = 'h1'", source)
+    assert(el.select("elapsed").as[Long].collect().toSeq == Seq(20L, 40L))
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
@@ -280,5 +358,18 @@ class InfluxQLSpec extends SparkSpec {
       graft.service.V1Query.run(tsdb, "v1db", "SHOW MEASUREMENTS"))
     assert(meas.get("results").get(0).get("series").get(0)
       .get("values").get(0).get(0).asText() == "cpu")
+    // admin SHOWs over the same catalog
+    val src = InfluxQLEval.tsdbSource(tsdb, "v1db")
+    assert(InfluxQLEval.run("SHOW DATABASES", src)
+      .as[String].collect().toSeq.contains("v1db"))
+    val rp = InfluxQLEval.run("SHOW RETENTION POLICIES", src)
+    assert(rp.columns.toSeq ==
+      Seq("name", "duration", "shardGroupDuration", "replicaN", "default"))
+    assert(rp.select("name", "duration").as[(String, String)].collect().toSeq ==
+      Seq(("autogen", "0s"))) // 0 retention = infinite, v1's "0s"
+    assert(InfluxQLEval.run("SHOW SERIES FROM cpu", src)
+      .as[String].collect().toSeq == Seq("cpu,host=h1", "cpu,host=h2"))
+    assert(InfluxQLEval.run("SHOW SERIES", src)
+      .as[String].collect().toSeq == Seq("cpu,host=h1", "cpu,host=h2"))
   }
 }
