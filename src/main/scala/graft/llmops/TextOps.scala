@@ -86,4 +86,107 @@ object TextOps {
     */
   def tokenSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Winnowing document fingerprints (Schleimer/Wilkes/Aiken, SIGMOD
+    * 2003 — the MOSS scheme): Rabin-Karp rolling hashes of the
+    * normalized text's `k`-grams, then the MINIMUM hash of every window
+    * of `w` consecutive k-gram hashes. Any shared substring of length
+    * ≥ k + w − 1 between two documents is guaranteed to contribute at
+    * least one common fingerprint, so the selected set is a position-
+    * free content signature at ~1/w the k-gram density.
+    *
+    * Selection is by VALUE (ties pick the same value no matter which
+    * position wins), so the distinct set is deterministic and exactly
+    * replicable as a mod-2^64 Horner hash in plain SQL. The hash walks
+    * Unicode code points; Long wraparound IS arithmetic mod 2^64.
+    *
+    * One compiled pass per document (O(len) rolling update, O(1)
+    * amortized monotonic-deque window minimum), no shuffle — the scan
+    * projection shape, like the MinHash signature pass.
+    *
+    * Output: (id, fps: array<long>), fps distinct ascending.
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, "winnow k and w must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim
+        val cps = t.codePoints().toArray
+        val m = cps.length - k + 1
+        val out =
+          if (m < 1) Seq.empty[Long]
+          else {
+            val hs = new Array[Long](m)
+            var pow = 1L // 257^(k-1) mod 2^64
+            var j = 1
+            while (j < k) { pow *= 257L; j += 1 }
+            var h = 0L
+            var i = 0
+            while (i < k) { h = h * 257L + cps(i); i += 1 }
+            hs(0) = h
+            i = 1
+            while (i < m) {
+              h = (h - cps(i - 1) * pow) * 257L + cps(i + k - 1)
+              hs(i) = h
+              i += 1
+            }
+            // window minima via monotonic deque: O(m) total
+            val sel = new java.util.HashSet[Long]()
+            val deque = new java.util.ArrayDeque[Int]()
+            val win = math.min(w, m) // short doc: one window over all
+            i = 0
+            while (i < m) {
+              while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i))
+                deque.pollLast()
+              deque.addLast(i)
+              if (deque.peekFirst() <= i - win) deque.pollFirst()
+              if (i >= win - 1) sel.add(hs(deque.peekFirst()))
+              i += 1
+            }
+            val arr = new Array[Long](sel.size)
+            val it = sel.iterator(); var n = 0
+            while (it.hasNext) { arr(n) = it.next(); n += 1 }
+            java.util.Arrays.sort(arr)
+            arr.toSeq
+          }
+        (id, out)
+      }
+      .toDF("id", "fps")
+  }
+
+  /** Near-duplicate pairs by shared winnow fingerprints: documents
+    * sharing at least `minShared` fingerprints, AFTER dropping
+    * fingerprints whose document frequency exceeds `maxDf` (template
+    * boilerplate carries no dedup signal and would emit df² rows per
+    * hot fingerprint — the same cap discipline as
+    * [[DedupOps.capShingles]]). Inverted-index shape: one shuffle on
+    * the fingerprint, posting-list pair emission bounded by
+    * Σ df·(df−1)/2, pair counts aggregated map-side. Output:
+    * (id_a, id_b, shared) with id_a < id_b.
+    */
+  def winnowSharedPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, w: Int = 4, minShared: Int = 15,
+      maxDf: Int = DedupOps.DefaultMaxDf): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ex = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), explode(col("fps")).as("shingle"))
+    DedupOps.capShingles(ex, maxDf)
+      .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for (i <- a.indices.iterator; j <- (i + 1) until a.length)
+          yield (a(i), a(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

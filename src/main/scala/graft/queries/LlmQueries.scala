@@ -84,6 +84,22 @@ object LlmQueries {
           count_distinct(col("fp")).as("nd_fp"))
         .orderBy("source")),
 
+    // Winnowing (rolling-hash) document fingerprints — per-doc
+    // signature stats; the XOR checksum pins the exact selected set.
+    "winnow_fp" -> ((s, dir) =>
+      TextOps.winnowFingerprints(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          aggregate(col("fps"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+        .orderBy("doc_id")),
+
+    // Near-dup pairs sharing >= 15 df-capped winnow fingerprints.
+    "winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowSharedPairs(documents(s, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 15, maxDf = 25)
+        .orderBy("id_a", "id_b")),
+
     // Brute-force cosine top-3 for query vectors 0..4.
     "ann_brute" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -141,6 +157,36 @@ object LlmQueries {
 
   private def w(s: String) = s.stripMargin
 
+  /** Winnowing CTE chain replicating [[TextOps.winnowFingerprints]]
+    * (k=8, w=4) exactly: Horner k-gram hash mod 2^64 (HUGEINT, mapped
+    * into signed BIGINT = Long wraparound), window minima by signed
+    * value, distinct. Ends with the `fp(doc_id, fps)` CTE.
+    */
+  private val winnowBase = w(
+    """WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents
+      |), kg AS (
+      |  SELECT doc_id, length(t) - 8 + 1 AS m, t FROM norm
+      |), hs AS (
+      |  SELECT doc_id, m, list_transform(range(1, m + 1), i ->
+      |    list_reduce(
+      |      list_transform(range(0, 8),
+      |        j -> CAST(ord(substr(t, CAST(i + j AS INTEGER), 1)) AS HUGEINT)),
+      |      (a, b) -> (a * 257 + b) % 18446744073709551616)) AS hl
+      |  FROM kg WHERE m >= 1
+      |), fp AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(m - 4 + 1, 1) + 1), i ->
+      |      list_min(list_transform(
+      |        list_slice(hl, CAST(i AS INTEGER), CAST(least(i + 3, m) AS INTEGER)),
+      |        v -> CASE WHEN v >= 9223372036854775808
+      |                  THEN CAST(v - 18446744073709551616 AS BIGINT)
+      |                  ELSE CAST(v AS BIGINT) END)))) AS fps
+      |  FROM hs
+      |)
+      |""")
+
   // Shared SQL fragments (DuckDB): normalized tokens and 3-gram shingles.
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($norm, ' ')"
@@ -181,6 +227,18 @@ object LlmQueries {
          |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""),
     "ngram_jaccard" -> jaccardSql,
     "minhash_lsh" -> jaccardSql,
+    "winnow_fp" -> (winnowBase + w(
+      """SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
+        |  list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor
+        |FROM fp ORDER BY doc_id""")),
+    "winnow_pairs" -> (winnowBase + w(
+      """, ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        |capped AS (
+        |  SELECT * FROM ex
+        |  WHERE f IN (SELECT f FROM ex GROUP BY f HAVING count(*) <= 25))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2""")),
     "simhash" -> w(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents

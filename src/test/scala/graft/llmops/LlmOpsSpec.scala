@@ -126,6 +126,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.toSeq == Seq(2L, 1L, 3L)) // cos: 0.707, 0, -1
   }
 
+  test("winnowing: shared substring >= k+w-1 guarantees a common fingerprint") {
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    // exact dups select identical sets; the winnowing guarantee: any
+    // shared substring of length >= k+w-1 (11 chars) yields an overlap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L).toSet.intersect(fp(2L).toSet).nonEmpty) // long shared prefix
+    assert(fp(0L).toSet.intersect(fp(3L).toSet).isEmpty ||
+      fp(0L).toSet.intersect(fp(3L).toSet).size < fp(0L).size / 2)
+    // density: ~1/w of the k-gram positions get selected (far fewer
+    // fingerprints than k-grams), sets are sorted ascending
+    val m = "the quick brown fox jumps over the lazy dog near the river".length - 8 + 1
+    assert(fp(0L).size < m && fp(0L) == fp(0L).sorted)
+    // a doc shorter than k has no fingerprints (no crash)
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(TextOps.winnowFingerprints(short, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().head._2.isEmpty)
+  }
+
+  test("winnow shared pairs: dups pair up, unrelated docs do not") {
+    val pairs = TextOps.winnowSharedPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 5, maxDf = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("df-cap drops hot shingles and bounds the skewed self-join") {
     // 1000 docs all share one stopword-grade shingle ("common phrase here",
     // df=1000 -> 10^6 join rows uncapped) plus unique filler; one true
