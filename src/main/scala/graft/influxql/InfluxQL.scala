@@ -161,7 +161,7 @@ object InfluxQL {
 
   val Aggregates: Set[String] = Set("count", "sum", "mean", "min", "max",
     "median", "mode", "stddev", "spread", "first", "last", "percentile",
-    "distinct")
+    "distinct", "top", "bottom")
 
   val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "cumulative_sum", "moving_average", "elapsed")
@@ -373,10 +373,23 @@ object InfluxQL {
         val name = ident(); ws()
         if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
           expect("("); ws()
+          // count(distinct(field)) — the v1 cardinality idiom — folds to
+          // the synthetic aggregate name "count_distinct"
+          val save2 = i
           val field = ident(); ws()
-          val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
-          ws(); expect(")")
-          PAgg(AggProj(name.toLowerCase, field, param, None))
+          if (name.toLowerCase == "count" && field.toLowerCase == "distinct"
+              && peekStr("(")) {
+            expect("("); ws()
+            val innerField = ident(); ws()
+            expect(")"); ws(); expect(")")
+            PAgg(AggProj("count_distinct", innerField, None, None))
+          } else {
+            i = save2
+            val f = ident(); ws()
+            val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
+            ws(); expect(")")
+            PAgg(AggProj(name.toLowerCase, f, param, None))
+          }
         } else PField(name)
       }
     }

@@ -258,9 +258,11 @@ object InfluxQLEval {
       case "percentile" =>
         val pct = p.param.getOrElse(throw EvalException("percentile(field, N) needs N"))
         percentile(c, lit(pct / 100.0))
+      case "count_distinct" => count_distinct(c) // count(distinct(f))
       case other => throw EvalException(s"unsupported aggregate '$other'")
     }
-    e.as(p.alias.getOrElse(p.fn))
+    // v1 names count(distinct(f)) plain "count"
+    e.as(p.alias.getOrElse(if (p.fn == "count_distinct") "count" else p.fn))
   }
 
   /** Resolve the FROM clause to (measurement label, frame) pairs. A
@@ -309,6 +311,10 @@ object InfluxQLEval {
       case Seq(t: TransProj) => return transform(t, s, base, source)
       case _ if s.projs.exists(_.isInstanceOf[TransProj]) =>
         throw EvalException("a transformation must be the only projection")
+      case Seq(a: AggProj) if a.fn == "top" || a.fn == "bottom" =>
+        return topBottom(a, s, base, source)
+      case Seq(a: AggProj) if a.fn == "distinct" =>
+        return distinctValues(a, s, base, source)
       case _ => ()
     }
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
@@ -344,7 +350,8 @@ object InfluxQLEval {
         val aggCols = aggs.map(aggExpr(_, source.timeCol)) ++
           aggExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = true)
             .as(e.alias.getOrElse(exprName(e.expr))))
-        val aggNames = aggs.map(a => a.alias.getOrElse(a.fn)) ++
+        val aggNames = aggs.map(a => a.alias.getOrElse(
+          if (a.fn == "count_distinct") "count" else a.fn)) ++
           aggExprs.map(e => e.alias.getOrElse(exprName(e.expr)))
         s.groupTime match {
           case None =>
@@ -397,6 +404,55 @@ object InfluxQLEval {
       else seriesLimited
     val offset = s.offset.map(ordered.offset).getOrElse(ordered)
     s.limit.map(offset.limit).getOrElse(offset)
+  }
+
+  /** `top(field, N)` / `bottom(field, N)`: the N extreme POINTS
+    * (time + value) per GROUP BY tag series — multi-row selectors, not
+    * scalar aggregates. Ties on value resolve to the earlier timestamp,
+    * as in v1. Ungrouped form plans as orderBy+limit
+    * (TakeOrderedAndProject — per-partition top-n, no global sort);
+    * grouped form is a per-series row_number window.
+    */
+  private def topBottom(a: AggProj, s: Select, base: DataFrame,
+      source: Source): DataFrame = {
+    if (s.groupTime.isDefined)
+      throw EvalException(s"${a.fn}() with GROUP BY time() is unsupported")
+    val n = a.param.map(_.toInt)
+      .getOrElse(throw EvalException(s"${a.fn}(field, N) needs N"))
+    val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
+    val name = a.alias.getOrElse(a.fn)
+    val v = ref(filtered, a.field)
+    val valueOrd = if (a.fn == "top") v.desc else v.asc
+    if (s.groupTags.isEmpty)
+      filtered
+        .select(col(source.timeCol).as("time"), v.as(name))
+        .orderBy(if (a.fn == "top") col(name).desc else col(name).asc, col("time").asc)
+        .limit(n)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(s.groupTags.map(t => ref(filtered, t)): _*)
+        .orderBy(valueOrd, col(source.timeCol).asc)
+      filtered.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= n)
+        .select((col(source.timeCol).as("time") +:
+          s.groupTags.map(t => ref(filtered, t).as(t)) :+ v.as(name)): _*)
+        .orderBy(s.groupTags.map(col) :+ col("time"): _*)
+    }
+  }
+
+  /** `distinct(field)`: the distinct values per GROUP BY tag series —
+    * a multi-row selector (v1 drops the time column).
+    */
+  private def distinctValues(a: AggProj, s: Select, base: DataFrame,
+      source: Source): DataFrame = {
+    if (s.groupTime.isDefined)
+      throw EvalException("distinct() with GROUP BY time() is unsupported")
+    val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
+    val name = a.alias.getOrElse("distinct")
+    val cols = s.groupTags.map(t => ref(filtered, t).as(t)) :+
+      ref(filtered, a.field).as(name)
+    filtered.select(cols: _*).distinct()
+      .orderBy(cols.indices.map(i => col(if (i < s.groupTags.size) s.groupTags(i) else name)): _*)
   }
 
   /** A transformation projection: evaluate the inner projection (the

@@ -151,6 +151,32 @@ object InfluxQlQueries {
           .select(col("ts").as("time"), col("event_type"), col("user_id"), col("value"))))
         .orderBy("time", "event_type", "user_id", "value")),
 
+    // top(field, N): the N extreme POINTS (time + value) per tag series
+    // — a multi-row selector, planned as a per-series row_number window
+    // (ungrouped form is TakeOrderedAndProject).
+    "iql_top" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT top(value, 3) FROM events GROUP BY event_type",
+        source(s, dir))
+        .select(col("time"), col("event_type"), col("top"))
+        .orderBy("event_type", "time", "top")),
+
+    // count(distinct(field)) — the v1 cardinality idiom.
+    "iql_count_distinct" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT count(distinct(user_id)) AS nd FROM events GROUP BY event_type",
+        source(s, dir))
+        .select(col("event_type"), col("nd"))
+        .orderBy("event_type")),
+
+    // distinct(field): distinct values per tag series (multi-row).
+    "iql_distinct" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT distinct(value) AS v FROM events WHERE value > 99.5 " +
+          "GROUP BY event_type",
+        source(s, dir))
+        .orderBy("event_type", "v")),
+
     // FILL(0): empty windows inside the queried range emit zeros.
     "iql_fill" -> ((s, dir) =>
       InfluxQLEval.run(
@@ -259,6 +285,18 @@ object InfluxQlQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-08 06:00:00'
         |  AND value > 99
         |ORDER BY 1, 2, 3, 4"""),
+    "iql_top" -> w(
+      """SELECT ts AS time, event_type, value AS top FROM (
+        |  SELECT ts, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, ts ASC) AS rn
+        |  FROM events
+        |) WHERE rn <= 3 ORDER BY 2, 1, 3"""),
+    "iql_count_distinct" -> w(
+      """SELECT event_type, count(DISTINCT user_id) AS nd
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    "iql_distinct" -> w(
+      """SELECT DISTINCT event_type, value AS v FROM events
+        |WHERE value > 99.5 ORDER BY 1, 2"""),
     "iql_fill" -> w(
       """WITH f AS (
         |  SELECT * FROM events

@@ -326,6 +326,23 @@ class InfluxQLSpec extends SparkSpec {
       Set(("2024-01-07 05:00:00", 19.0)))
   }
 
+  test("top/bottom select extreme points per series; distinct lists values; count(distinct())") {
+    val top = InfluxQLEval.run("SELECT top(usage, 2) FROM cpu GROUP BY host", source)
+    assert(top.columns.toSeq == Seq("time", "host", "top"))
+    // rows come back in (series, time) order like v1: h1's two top
+    // points are 3.0@00:25 then 5.0@01:05
+    assert(top.select("host", "top").as[(String, Double)].collect().toSeq ==
+      Seq(("h1", 3.0), ("h1", 5.0), ("h2", 10.0)))
+    val bot = InfluxQLEval.run("SELECT bottom(usage, 1) FROM cpu", source)
+    assert(bot.select("bottom").as[Double].collect().toSeq == Seq(1.0))
+    val dv = InfluxQLEval.run("SELECT distinct(usage) AS v FROM cpu GROUP BY host", source)
+    assert(dv.as[(String, Double)].collect().toSeq ==
+      Seq(("h1", 1.0), ("h1", 3.0), ("h1", 5.0), ("h2", 10.0)))
+    val cd = InfluxQLEval.run("SELECT count(distinct(usage)) FROM cpu", source)
+    assert(cd.columns.toSeq == Seq("count")) // v1 names it plain "count"
+    assert(cd.as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("SELECT * expands to all non-time columns; elapsed() counts whole units") {
     val star = InfluxQLEval.run("SELECT * FROM cpu WHERE host = 'h2'", source)
     assert(star.columns.toSeq == Seq("time", "host", "usage"))
