@@ -168,19 +168,39 @@ object InfluxQL {
 
   def parse(src: String): Stmt = new P(src).statement()
 
+  /** Semicolon-separated statement batch — Grafana's /query requests
+    * carry one statement per dashboard panel.
+    */
+  def parseAll(src: String): Seq[Stmt] = new P(src).statements()
+
   private final class P(src: String) {
     private var i = 0
 
     def statement(): Stmt = {
-      ws()
-      val s =
-        if (peekKw("SELECT")) select()
-        else if (peekKw("SHOW")) show()
-        else fail("expected SELECT or SHOW")
+      val s = one()
       ws()
       if (peekStr(";")) { expect(";"); ws() }
       if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
       s
+    }
+
+    def statements(): Seq[Stmt] = {
+      val out = Seq.newBuilder[Stmt]
+      out += one()
+      ws()
+      while (peekStr(";")) {
+        expect(";"); ws()
+        if (i < src.length) { out += one(); ws() }
+      }
+      if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
+      out.result()
+    }
+
+    private def one(): Stmt = {
+      ws()
+      if (peekKw("SELECT")) select()
+      else if (peekKw("SHOW")) show()
+      else fail("expected SELECT or SHOW")
     }
 
     private def show(): Stmt = {
@@ -245,7 +265,8 @@ object InfluxQL {
               ws()
             }
             expect(")")
-          } else groupTags :+= ident()
+          } else if (peekStr("*")) { expect("*"); groupTags :+= "*" }
+          else groupTags :+= ident()
           ws()
           if (peekStr(",")) expect(",") else more = false
         }

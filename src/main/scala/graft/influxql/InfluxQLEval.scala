@@ -44,7 +44,13 @@ object InfluxQLEval {
   private[graft] val ungroupedTransformWarnings =
     new java.util.concurrent.atomic.AtomicLong
 
-  def run(q: String, source: Source): DataFrame = InfluxQL.parse(q) match {
+  def run(q: String, source: Source): DataFrame =
+    evalStmt(InfluxQL.parse(q), source)
+
+  /** Evaluate one already-parsed statement (multi-statement /query
+    * batches parse once via [[InfluxQL.parseAll]] and eval per entry).
+    */
+  def evalStmt(stmt: Stmt, source: Source): DataFrame = stmt match {
     case s: Select => select(s, source)
     case ShowMeasurements =>
       require(source.measurements != null, "SHOW MEASUREMENTS unsupported by this source")
@@ -289,7 +295,25 @@ object InfluxQLEval {
     * apply within a measurement, matching the v1 engine), labeled by a
     * `measurement` column when there is more than one.
     */
-  private def select(s: Select, source: Source): DataFrame = {
+  private def select(s0: Select, source: Source): DataFrame = {
+    // GROUP BY *: every tag key becomes a group tag (the per-series
+    // split Grafana's repeat-by-series panels rely on). The key LIST is
+    // catalog-scale metadata resolved at plan time, like pivot-value
+    // inference — not a data-path materialization.
+    val s =
+      if (!s0.groupTags.contains("*")) s0
+      else {
+        require(source.tagKeys != null,
+          "GROUP BY * requires a source with a tag-key listing")
+        val m = s0.from match {
+          case FromMeasurements(Seq(n)) => Some(n)
+          case _ => None
+        }
+        val keys = source.tagKeys(m).collect().map(_.getString(0)).toSeq.sorted
+        s0.copy(groupTags =
+          s0.groupTags.filterNot(_ == "*") ++
+            keys.filterNot(s0.groupTags.contains))
+      }
     val srcs = resolveFrom(s, source)
     if (srcs.lengthCompare(1) == 0) selectOn(s, srcs.head._2, source)
     else {

@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
 object InfluxQlQueries {
   import QueryUtil._
 
-  private def source(s: SparkSession, dir: String) = InfluxQLEval.Source(
-    resolve = _ => events(s, dir).withColumnRenamed("ts", "time"))
+  private def source(s: SparkSession, dir: String) = {
+    import s.implicits._
+    InfluxQLEval.Source(
+      resolve = _ => events(s, dir).withColumnRenamed("ts", "time"),
+      // the events view's series tags (GROUP BY * expands to these)
+      tagKeys = _ => Seq("event_type", "user_id").toDF("tagKey"))
+  }
 
   /** Measurement-per-event_type view: the v1 "database" presents each
     * event type as a measurement (static catalog), so FROM lists and
@@ -151,6 +156,19 @@ object InfluxQlQueries {
           .select(col("ts").as("time"), col("event_type"), col("user_id"), col("value"))))
         .orderBy("time", "event_type", "user_id", "value")),
 
+    // GROUP BY time(6h), *: star expands to every declared tag key
+    // (event_type, user_id) — the per-series split Grafana's
+    // repeat-by-series panels issue.
+    "iql_gb_star" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sum(value) AS sum_v, count(value) AS n FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "GROUP BY time(6h), * FILL(none)",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), col("user_id"),
+          r4(col("sum_v")).as("sum_v"), col("n"))
+        .orderBy("event_type", "user_id", "wstart")),
+
     // top(field, N): the N extreme POINTS (time + value) per tag series
     // — a multi-row selector, planned as a per-series row_number window
     // (ungrouped form is TakeOrderedAndProject).
@@ -285,6 +303,12 @@ object InfluxQlQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-08 06:00:00'
         |  AND value > 99
         |ORDER BY 1, 2, 3, 4"""),
+    "iql_gb_star" -> w(
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type, user_id,
+        |  round(sum(value), 4) AS sum_v, count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 2, 3, 1"""),
     "iql_top" -> w(
       """SELECT ts AS time, event_type, value AS top FROM (
         |  SELECT ts, event_type, value,

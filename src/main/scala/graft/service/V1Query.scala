@@ -6,65 +6,70 @@ import graft.influxql.{InfluxQL, InfluxQLEval}
 /** The v1 compatibility query response: InfluxQL result → the
   * `{"results":[{"series":[{name, tags, columns, values}]}]}` JSON shape
   * the pinned engine serves on `/query` (what Grafana's InfluxQL data
-  * source consumes). Rows stream through `toLocalIterator` like the
-  * annotated-CSV writer — the serializer is a response formatter, not a
-  * computation site.
+  * source consumes). A request may batch several semicolon-separated
+  * statements (one per dashboard panel); each becomes one `results`
+  * entry keyed by `statement_id`. Rows stream through `toLocalIterator`
+  * like the annotated-CSV writer — the serializer is a response
+  * formatter, not a computation site.
   */
 object V1Query {
 
   def run(tsdb: Tsdb, db: String, q: String): String = {
-    val stmt = InfluxQL.parse(q)
-    val df = InfluxQLEval.run(q, InfluxQLEval.tsdbSource(tsdb, db))
-    val (name, tagCols) = stmt match {
-      case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
-      case InfluxQL.ShowMeasurements => ("measurements", Nil)
-      case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
-      case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
-      case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
-      case InfluxQL.ShowDatabases => ("databases", Nil)
-      case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
-      case _: InfluxQL.ShowSeries => ("series", Nil)
-    }
-    val cols = df.columns.toSeq
-    val valueCols = cols.filterNot(tagCols.contains)
-    val tagIdx = tagCols.map(cols.indexOf)
-    val valIdx = valueCols.map(cols.indexOf)
+    val stmts = InfluxQL.parseAll(q)
+    val source = InfluxQLEval.tsdbSource(tsdb, db)
 
     val mapper = Json.mapper
     val root = mapper.createObjectNode()
     val results = root.putArray("results")
-    val res0 = results.addObject()
-    res0.put("statement_id", 0)
-    val seriesArr = res0.putArray("series")
+    stmts.zipWithIndex.foreach { case (stmt, idx) =>
+      val res = results.addObject()
+      res.put("statement_id", idx)
+      val df = InfluxQLEval.evalStmt(stmt, source)
+      val (name, tagCols) = stmt match {
+        case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
+        case InfluxQL.ShowMeasurements => ("measurements", Nil)
+        case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
+        case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
+        case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
+        case InfluxQL.ShowDatabases => ("databases", Nil)
+        case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
+        case _: InfluxQL.ShowSeries => ("series", Nil)
+      }
+      val cols = df.columns.toSeq
+      val valueCols = cols.filterNot(tagCols.contains)
+      val tagIdx = tagCols.map(cols.indexOf)
+      val valIdx = valueCols.map(cols.indexOf)
+      val seriesArr = res.putArray("series")
 
-    // one series per tag combination (InfluxQL splits series by GROUP BY
-    // tags); insertion order = first appearance in the ordered result
-    val series = new java.util.LinkedHashMap[Seq[String], com.fasterxml.jackson.databind.node.ArrayNode]()
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
-      val key = tagIdx.map(i => String.valueOf(row.get(i)))
-      val values = series.computeIfAbsent(key, { k =>
-        val s = seriesArr.addObject()
-        s.put("name", name)
-        if (tagCols.nonEmpty) {
-          val tags = s.putObject("tags")
-          tagCols.zip(k).foreach { case (tc, tv) => tags.put(tc, tv) }
-        }
-        val columns = s.putArray("columns")
-        valueCols.foreach(columns.add)
-        s.putArray("values")
-      })
-      val arr = values.addArray()
-      valIdx.foreach { i =>
-        row.get(i) match {
-          case null => arr.addNull()
-          case t: java.sql.Timestamp => arr.add(t.toInstant.toString)
-          case d: java.lang.Double => arr.add(d.doubleValue())
-          case l: java.lang.Long => arr.add(l.longValue())
-          case n: java.lang.Integer => arr.add(n.intValue())
-          case b: java.lang.Boolean => arr.add(b.booleanValue())
-          case other => arr.add(String.valueOf(other))
+      // one series per tag combination (InfluxQL splits series by GROUP
+      // BY tags); insertion order = first appearance in the ordered result
+      val series = new java.util.LinkedHashMap[Seq[String], com.fasterxml.jackson.databind.node.ArrayNode]()
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = tagIdx.map(i => String.valueOf(row.get(i)))
+        val values = series.computeIfAbsent(key, { k =>
+          val s = seriesArr.addObject()
+          s.put("name", name)
+          if (tagCols.nonEmpty) {
+            val tags = s.putObject("tags")
+            tagCols.zip(k).foreach { case (tc, tv) => tags.put(tc, tv) }
+          }
+          val columns = s.putArray("columns")
+          valueCols.foreach(columns.add)
+          s.putArray("values")
+        })
+        val arr = values.addArray()
+        valIdx.foreach { i =>
+          row.get(i) match {
+            case null => arr.addNull()
+            case t: java.sql.Timestamp => arr.add(t.toInstant.toString)
+            case d: java.lang.Double => arr.add(d.doubleValue())
+            case l: java.lang.Long => arr.add(l.longValue())
+            case n: java.lang.Integer => arr.add(n.intValue())
+            case b: java.lang.Boolean => arr.add(b.booleanValue())
+            case other => arr.add(String.valueOf(other))
+          }
         }
       }
     }

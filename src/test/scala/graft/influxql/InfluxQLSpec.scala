@@ -351,6 +351,26 @@ class InfluxQLSpec extends SparkSpec {
     assert(el.select("elapsed").as[Long].collect().toSeq == Seq(20L, 40L))
   }
 
+  test("GROUP BY * expands to every tag key from the source listing") {
+    val withKeys = InfluxQLEval.Source(
+      resolve = _ => cpuFrame,
+      tagKeys = _ => Seq("host").toDF("tagKey"))
+    val out = InfluxQLEval.run("SELECT mean(usage) FROM cpu GROUP BY *", withKeys)
+    assert(out.columns.toSeq == Seq("host", "mean"))
+    assert(out.as[(String, Double)].collect().toSet == Set(("h1", 3.0), ("h2", 10.0)))
+    val e = intercept[IllegalArgumentException](
+      InfluxQLEval.run("SELECT mean(usage) FROM cpu GROUP BY *", source))
+    assert(e.getMessage.contains("tag-key listing"))
+  }
+
+  test("parseAll: semicolon-separated statement batches") {
+    val stmts = InfluxQL.parseAll(
+      "SELECT mean(usage) FROM cpu; SHOW MEASUREMENTS ; SELECT count(usage) FROM cpu;")
+    assert(stmts.size == 3 && stmts(1) == ShowMeasurements)
+    // a bare single statement still parses through parseAll
+    assert(InfluxQL.parseAll("SHOW DATABASES") == Seq(ShowDatabases))
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
@@ -388,5 +408,14 @@ class InfluxQLSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("cpu,host=h1", "cpu,host=h2"))
     assert(InfluxQLEval.run("SHOW SERIES", src)
       .as[String].collect().toSeq == Seq("cpu,host=h1", "cpu,host=h2"))
+    // multi-statement batch: one results entry per statement, id-keyed
+    val batch = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "v1db",
+        "SELECT mean(usage) FROM cpu GROUP BY host; SHOW MEASUREMENTS"))
+    val rs = batch.get("results")
+    assert(rs.size() == 2)
+    assert(rs.get(0).get("statement_id").asInt() == 0 &&
+      rs.get(1).get("statement_id").asInt() == 1)
+    assert(rs.get(1).get("series").get(0).get("values").get(0).get(0).asText() == "cpu")
   }
 }
