@@ -132,7 +132,11 @@ object InfluxQL {
       /** `tz('America/Chicago')`: buckets align to local wall-clock
         * time in this IANA zone instead of UTC.
         */
-      tz: Option[String] = None) extends Stmt
+      tz: Option[String] = None,
+      /** `SELECT … INTO m2 …`: write the result as measurement m2 —
+        * only meaningful inside CREATE CONTINUOUS QUERY.
+        */
+      into: Option[String] = None) extends Stmt
   case object ShowMeasurements extends Stmt
   final case class ShowTagKeys(from: Option[String]) extends Stmt
   final case class ShowFieldKeys(from: Option[String]) extends Stmt
@@ -148,6 +152,16 @@ object InfluxQL {
     */
   final case class ShowSeries(from: Option[String],
       where: Option[Cond]) extends Stmt
+  /** `DELETE FROM m [WHERE time bounds AND tag = 'v' …]`. */
+  final case class DeleteStmt(measurement: String,
+      where: Option[Cond]) extends Stmt
+  final case class DropMeasurement(name: String) extends Stmt
+  /** `CREATE CONTINUOUS QUERY name ON db BEGIN SELECT agg(f) INTO m2
+    * FROM m1 GROUP BY time(1h) END` — the v1 downsampling DDL.
+    */
+  final case class CreateCq(name: String, db: String, sel: Select) extends Stmt
+  case object ShowContinuousQueries extends Stmt
+  final case class DropCq(name: String, db: String) extends Stmt
 
   /** Display name for a FROM clause (v1 JSON `series.name`). */
   def fromName(f: From): String = f match {
@@ -200,7 +214,33 @@ object InfluxQL {
       ws()
       if (peekKw("SELECT")) select()
       else if (peekKw("SHOW")) show()
-      else fail("expected SELECT or SHOW")
+      else if (peekKw("DELETE")) {
+        kw("DELETE"); kw("FROM")
+        val m = ident(); ws()
+        val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
+        DeleteStmt(m, where)
+      }
+      else if (peekKw("DROP")) {
+        kw("DROP")
+        if (peekKw("MEASUREMENT")) { kw("MEASUREMENT"); DropMeasurement(ident()) }
+        else if (peekKw("CONTINUOUS")) {
+          kw("CONTINUOUS"); kw("QUERY")
+          val name = ident(); ws(); kw("ON")
+          DropCq(name, ident())
+        }
+        else fail("expected MEASUREMENT or CONTINUOUS QUERY")
+      }
+      else if (peekKw("CREATE")) {
+        kw("CREATE"); kw("CONTINUOUS"); kw("QUERY")
+        val name = ident(); ws(); kw("ON")
+        val db = ident(); ws(); kw("BEGIN")
+        val sel = select(); ws()
+        kw("END")
+        if (sel.into.isEmpty) fail("continuous query SELECT needs INTO")
+        if (sel.groupTime.isEmpty) fail("continuous query needs GROUP BY time()")
+        CreateCq(name, db, sel)
+      }
+      else fail("expected SELECT, SHOW, DELETE, DROP or CREATE")
     }
 
     private def show(): Stmt = {
@@ -230,6 +270,9 @@ object InfluxQL {
         val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
         ShowSeries(m, where)
       }
+      else if (peekKw("CONTINUOUS")) {
+        kw("CONTINUOUS"); kw("QUERIES"); ShowContinuousQueries
+      }
       else fail("expected MEASUREMENTS, TAG KEYS/VALUES, FIELD KEYS, " +
         "DATABASES, RETENTION POLICIES or SERIES")
     }
@@ -243,6 +286,7 @@ object InfluxQL {
       projs += proj()
       ws()
       while (peekStr(",")) { expect(","); ws(); projs += proj(); ws() }
+      val into = if (peekKw("INTO")) { kw("INTO"); val t = ident(); ws(); Some(t) } else None
       kw("FROM")
       val from = fromClause(); ws()
       val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
@@ -307,7 +351,7 @@ object InfluxQL {
           Some(z)
         } else None
       Select(projs.result(), from, where, groupTime, groupTags, fill, desc, limit, offset,
-        slimit, soffset, groupOffset, tz)
+        slimit, soffset, groupOffset, tz, into)
     }
 
     private def fromClause(): From = {

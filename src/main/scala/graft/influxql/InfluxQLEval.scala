@@ -70,6 +70,49 @@ object InfluxQLEval {
         "SHOW RETENTION POLICIES unsupported by this source")
       source.retentionPolicies(db)
     case ShowSeries(m, where) => showSeries(m, where, source)
+    case _: DeleteStmt | _: DropMeasurement | _: CreateCq | _: DropCq |
+        ShowContinuousQueries =>
+      throw EvalException(
+        "write/DDL statements run through the store-backed /query API (V1Query)")
+  }
+
+  /** Split a DELETE WHERE into [startNs, stopNs) bounds plus a raw-store
+    * predicate over the `tags` map — the reference's /api/v2/delete
+    * shape (time bounds + tag equality; richer predicates are not part
+    * of the v1 delete contract).
+    */
+  private[graft] def deleteParts(where: Option[Cond],
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L): (Long, Long, Column) = {
+    var lo = 0L
+    var hi = Long.MaxValue
+    var pred: Column = lit(true)
+    def ns(v: Lit): Long = v match {
+      case LInt(n) => n
+      case LNum(d) => d.toLong
+      case LStr(str) =>
+        val inst = java.time.Instant.parse(
+          if (str.contains("T")) (if (str.endsWith("Z")) str else str + "Z")
+          else str.replace(" ", "T") + "Z")
+        inst.getEpochSecond * 1000000000L + inst.getNano
+      case LNow(sign, d) =>
+        nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)
+    }
+    def walk(c: Cond): Unit = c match {
+      case CAnd(l, r) => walk(l); walk(r)
+      case CCmp(op, "time", v) => op match {
+        case ">=" => lo = ns(v)
+        case ">" => lo = ns(v) + 1
+        case "<" => hi = ns(v)
+        case "<=" => hi = ns(v) + 1
+        case o => throw EvalException(s"unsupported time comparison '$o' in DELETE")
+      }
+      case CCmp("=", key, LStr(s)) =>
+        pred = pred && (col("tags").getItem(key) === s)
+      case _ =>
+        throw EvalException("DELETE supports AND-ed time bounds and tag = 'v' predicates")
+    }
+    where.foreach(walk)
+    (lo, hi, pred)
   }
 
   /** `SHOW SERIES`: one `key` row per distinct series —

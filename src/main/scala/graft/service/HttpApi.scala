@@ -27,6 +27,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     tls: Option[Tls.Config] = None) {
 
+  /** v1 CONTINUOUS QUERY registry (CREATE/SHOW/DROP over /query);
+    * checkpoints live beside the catalog like bucket data.
+    */
+  private val cqs = new graft.streaming.ContinuousQueries(
+    tsdb, tsdb.catalog.root.resolve(".cq-checkpoints").toString)
+
   private val server: HttpServer = tls match {
     case None => HttpServer.create(new InetSocketAddress(interface, port), 0)
     case Some(cfg) =>
@@ -190,7 +196,7 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
           def p(name: String) = query(ex, name).orElse(form.get(name))
           (p("db"), p("q")) match {
             case (Some(db), Some(q)) if tsdb.catalog.bucket(db).nonEmpty =>
-              try respond(ex, 200, V1Query.run(tsdb, db, q))
+              try respond(ex, 200, V1Query.run(tsdb, db, q, Some(cqs)))
               catch {
                 case e @ (_: graft.influxql.InfluxQL.ParseException |
                           _: graft.influxql.InfluxQLEval.EvalException) =>

@@ -2,21 +2,28 @@ package graft.service
 
 import graft.dsl.Tsdb
 import graft.influxql.{InfluxQL, InfluxQLEval}
+import org.apache.spark.sql.functions.col
 
 /** The v1 compatibility query response: InfluxQL result → the
   * `{"results":[{"series":[{name, tags, columns, values}]}]}` JSON shape
   * the pinned engine serves on `/query` (what Grafana's InfluxQL data
   * source consumes). A request may batch several semicolon-separated
   * statements (one per dashboard panel); each becomes one `results`
-  * entry keyed by `statement_id`. Rows stream through `toLocalIterator`
-  * like the annotated-CSV writer — the serializer is a response
-  * formatter, not a computation site.
+  * entry keyed by `statement_id`. Write/DDL statements (DELETE, DROP
+  * MEASUREMENT, CREATE/DROP CONTINUOUS QUERY) execute against the
+  * store and answer with a bare statement_id entry, the v1 shape for
+  * writes. Rows stream through `toLocalIterator` like the
+  * annotated-CSV writer — the serializer is a response formatter, not
+  * a computation site.
   */
 object V1Query {
 
-  def run(tsdb: Tsdb, db: String, q: String): String = {
+  def run(tsdb: Tsdb, db: String, q: String,
+      cqs: Option[graft.streaming.ContinuousQueries] = None): String = {
     val stmts = InfluxQL.parseAll(q)
     val source = InfluxQLEval.tsdbSource(tsdb, db)
+    def registry = cqs.getOrElse(throw new IllegalArgumentException(
+      "continuous queries are not enabled on this endpoint"))
 
     val mapper = Json.mapper
     val root = mapper.createObjectNode()
@@ -24,56 +31,83 @@ object V1Query {
     stmts.zipWithIndex.foreach { case (stmt, idx) =>
       val res = results.addObject()
       res.put("statement_id", idx)
-      val df = InfluxQLEval.evalStmt(stmt, source)
-      val (name, tagCols) = stmt match {
-        case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
-        case InfluxQL.ShowMeasurements => ("measurements", Nil)
-        case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
-        case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
-        case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
-        case InfluxQL.ShowDatabases => ("databases", Nil)
-        case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
-        case _: InfluxQL.ShowSeries => ("series", Nil)
-      }
-      val cols = df.columns.toSeq
-      val valueCols = cols.filterNot(tagCols.contains)
-      val tagIdx = tagCols.map(cols.indexOf)
-      val valIdx = valueCols.map(cols.indexOf)
-      val seriesArr = res.putArray("series")
-
-      // one series per tag combination (InfluxQL splits series by GROUP
-      // BY tags); insertion order = first appearance in the ordered result
-      val series = new java.util.LinkedHashMap[Seq[String], com.fasterxml.jackson.databind.node.ArrayNode]()
-      val it = df.toLocalIterator()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = tagIdx.map(i => String.valueOf(row.get(i)))
-        val values = series.computeIfAbsent(key, { k =>
-          val s = seriesArr.addObject()
-          s.put("name", name)
-          if (tagCols.nonEmpty) {
-            val tags = s.putObject("tags")
-            tagCols.zip(k).foreach { case (tc, tv) => tags.put(tc, tv) }
+      stmt match {
+        case d: InfluxQL.DeleteStmt =>
+          val (lo, hi, pred) = InfluxQLEval.deleteParts(d.where)
+          tsdb.store.delete(db, lo, hi,
+            col("measurement") === d.measurement && pred)
+        case InfluxQL.DropMeasurement(m) =>
+          tsdb.store.delete(db, 0L, Long.MaxValue, col("measurement") === m)
+        case c: InfluxQL.CreateCq =>
+          registry.create(c.name, c.db, c.sel, q)
+        case InfluxQL.DropCq(name, cdb) =>
+          registry.drop(name, cdb)
+        case readStmt =>
+          val df = readStmt match {
+            case InfluxQL.ShowContinuousQueries =>
+              import tsdb.spark.implicits._
+              registry.list.filter(_._1 == db).map(t => (t._2, t._3))
+                .toDF("name", "query")
+            case other => InfluxQLEval.evalStmt(other, source)
           }
-          val columns = s.putArray("columns")
-          valueCols.foreach(columns.add)
-          s.putArray("values")
-        })
-        val arr = values.addArray()
-        valIdx.foreach { i =>
-          row.get(i) match {
-            case null => arr.addNull()
-            case t: java.sql.Timestamp => arr.add(t.toInstant.toString)
-            case d: java.lang.Double => arr.add(d.doubleValue())
-            case l: java.lang.Long => arr.add(l.longValue())
-            case n: java.lang.Integer => arr.add(n.intValue())
-            case b: java.lang.Boolean => arr.add(b.booleanValue())
-            case other => arr.add(String.valueOf(other))
+          val (name, tagCols) = readStmt match {
+            case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
+            case InfluxQL.ShowMeasurements => ("measurements", Nil)
+            case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
+            case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
+            case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
+            case InfluxQL.ShowDatabases => ("databases", Nil)
+            case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
+            case _: InfluxQL.ShowSeries => ("series", Nil)
+            case InfluxQL.ShowContinuousQueries => (db, Nil)
+            case other => throw new IllegalStateException(s"unserializable $other")
           }
-        }
+          serialize(df, name, tagCols, res)
       }
     }
     // an empty result still answers with one empty statement result
     mapper.writeValueAsString(root)
+  }
+
+  private def serialize(df: org.apache.spark.sql.DataFrame, name: String,
+      tagCols: Seq[String],
+      res: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    val cols = df.columns.toSeq
+    val valueCols = cols.filterNot(tagCols.contains)
+    val tagIdx = tagCols.map(cols.indexOf)
+    val valIdx = valueCols.map(cols.indexOf)
+    val seriesArr = res.putArray("series")
+
+    // one series per tag combination (InfluxQL splits series by GROUP BY
+    // tags); insertion order = first appearance in the ordered result
+    val series = new java.util.LinkedHashMap[Seq[String], com.fasterxml.jackson.databind.node.ArrayNode]()
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val key = tagIdx.map(i => String.valueOf(row.get(i)))
+      val values = series.computeIfAbsent(key, { k =>
+        val s = seriesArr.addObject()
+        s.put("name", name)
+        if (tagCols.nonEmpty) {
+          val tags = s.putObject("tags")
+          tagCols.zip(k).foreach { case (tc, tv) => tags.put(tc, tv) }
+        }
+        val columns = s.putArray("columns")
+        valueCols.foreach(columns.add)
+        s.putArray("values")
+      })
+      val arr = values.addArray()
+      valIdx.foreach { i =>
+        row.get(i) match {
+          case null => arr.addNull()
+          case t: java.sql.Timestamp => arr.add(t.toInstant.toString)
+          case d: java.lang.Double => arr.add(d.doubleValue())
+          case l: java.lang.Long => arr.add(l.longValue())
+          case n: java.lang.Integer => arr.add(n.intValue())
+          case b: java.lang.Boolean => arr.add(b.booleanValue())
+          case other => arr.add(String.valueOf(other))
+        }
+      }
+    }
   }
 }

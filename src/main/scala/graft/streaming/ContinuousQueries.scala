@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.dsl.Tsdb
+import graft.influxql.InfluxQL._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The v1 CONTINUOUS QUERY registry: `CREATE CONTINUOUS QUERY name ON
+  * db BEGIN SELECT agg(f) INTO m2 FROM m1 GROUP BY time(1h) END` maps
+  * onto a [[DownsampleTask]] scoped to (m1, f) and relabeled (m2, agg)
+  * — the same streaming windowed aggregate the task gate verifies,
+  * registered under (db, name) so SHOW / DROP manage its lifecycle.
+  *
+  * v1 CQ semantics notes (reference engine, v1 compat):
+  *  - the CQ writes into its own database; LWW read resolution keeps
+  *    the latest refinement of a re-emitted window;
+  *  - all tags are preserved on the output series (the common
+  *    `GROUP BY time(…), *` form); explicit tag subsets in GROUP BY
+  *    are accepted and likewise preserved (a superset grouping);
+  *  - output field name = the aggregate function name, v1's naming.
+  */
+final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
+
+  private final case class Entry(text: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery)
+  private val registry =
+    new scala.collection.concurrent.TrieMap[(String, String), Entry]
+
+  private def aggFn(fn: String): Column => Column = fn match {
+    case "mean" => avg
+    case "sum" => sum
+    case "count" => count
+    case "min" => min
+    case "max" => max
+    case other =>
+      throw new IllegalArgumentException(s"unsupported CQ aggregate '$other'")
+  }
+
+  /** Register + start the task. `text` is the original DDL (SHOW
+    * CONTINUOUS QUERIES echoes it, as in v1).
+    */
+  def create(name: String, db: String, sel: Select, text: String,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    require(!registry.contains((db, name)), s"continuous query '$name' exists on '$db'")
+    val (agg, srcMeasurement) = (sel.projs, sel.from) match {
+      case (Seq(a: AggProj), FromMeasurements(Seq(m))) => (a, m)
+      case _ => throw new IllegalArgumentException(
+        "CQ SELECT must be a single aggregate over a single measurement")
+    }
+    val target = sel.into.getOrElse(
+      throw new IllegalArgumentException("CQ SELECT needs INTO"))
+    val every = sel.groupTime.getOrElse(
+      throw new IllegalArgumentException("CQ needs GROUP BY time()")).interval
+    val q = new DownsampleTask(tsdb).start(
+      source = db, target = db, every = every,
+      fn = aggFn(agg.fn), lateness = "0 seconds",
+      checkpoint = s"$checkpointRoot/$db/$name",
+      trigger = trigger,
+      measurement = Some(srcMeasurement), fieldName = Some(agg.field),
+      intoMeasurement = Some(target),
+      intoField = Some(agg.alias.getOrElse(agg.fn)))
+    registry.put((db, name), Entry(text, q))
+  }
+
+  /** (db, name, query-text) rows, name-ordered — SHOW CONTINUOUS
+    * QUERIES.
+    */
+  def list: Seq[(String, String, String)] =
+    registry.toSeq.map { case ((db, n), e) => (db, n, e.text) }.sortBy(t => (t._1, t._2))
+
+  /** Stop + deregister; false if absent. */
+  def drop(name: String, db: String): Boolean =
+    registry.remove((db, name)).exists { e => e.query.stop(); true }
+
+  /** Block until every registered task drains (AvailableNow runs). */
+  def awaitAll(): Unit = registry.values.foreach(_.query.awaitTermination())
+}

@@ -35,6 +35,15 @@ final class DownsampleTask(tsdb: Tsdb) {
   /** Start the task: aggregate `fn(value_f)` per (series, `every`
     * window) from `source` into `target`. Downsampled points carry
     * `time` = window end, like Flux `aggregateWindow`.
+    *
+    * The optional scoping parameters carry the v1 CONTINUOUS QUERY
+    * form (`SELECT mean(f) INTO m2 FROM m1 GROUP BY time(1h)`):
+    * `measurement`/`fieldName` filter the source stream to one series
+    * family, `intoMeasurement`/`intoField` relabel the output. When
+    * source == target (v1 CQs write into the same database), the
+    * measurement filter also keeps the task's own output out of its
+    * input — downsampled points re-enter the file stream but are
+    * dropped at the first filter, so there is no feedback loop.
     */
   def start(
       source: String,
@@ -43,7 +52,11 @@ final class DownsampleTask(tsdb: Tsdb) {
       fn: Column => Column,
       lateness: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      measurement: Option[String] = None,
+      fieldName: Option[String] = None,
+      intoMeasurement: Option[String] = None,
+      intoField: Option[String] = None
   ): StreamingQuery = {
     val srcPath = tsdb.catalog.bucketPath(source).toString
     val stream = tsdb.spark.readStream
@@ -51,7 +64,12 @@ final class DownsampleTask(tsdb: Tsdb) {
       .option("maxFilesPerTrigger", "64")
       .parquet(srcPath)
 
-    val agged = stream
+    val scoped0 = measurement
+      .map(m => stream.filter(col("measurement") === m)).getOrElse(stream)
+    val scoped = fieldName
+      .map(f => scoped0.filter(col("field") === f)).getOrElse(scoped0)
+
+    val agged = scoped
       .withWatermark("time", lateness)
       .groupBy(
         window(col("time"), every).as("_w"),
@@ -75,6 +93,9 @@ final class DownsampleTask(tsdb: Tsdb) {
           .withColumn("value_u", lit(null).cast("long"))
           .withColumn("value_s", lit(null).cast("string"))
           .withColumn("value_b", lit(null).cast("boolean"))
+          .withColumn("measurement",
+            intoMeasurement.map(lit).getOrElse(col("measurement")))
+          .withColumn("field", intoField.map(lit).getOrElse(col("field")))
           .select(Point.columns.map(col): _*)
         tsdb.store.write(target, canon)
       }

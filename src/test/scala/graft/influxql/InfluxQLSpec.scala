@@ -418,4 +418,46 @@ class InfluxQLSpec extends SparkSpec {
       rs.get(1).get("statement_id").asInt() == 1)
     assert(rs.get(1).get("series").get(0).get("values").get(0).get(0).asText() == "cpu")
   }
+
+  test("store-backed: continuous query DDL downsample + DELETE/DROP MEASUREMENT") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-influxql-cq")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("cqdb", "greengrass")
+    val t0 = 1704672000L * 1000000000L // 2024-01-08T00:00:00Z
+    val m = 60L * 1000000000L
+    tsdb.writeLp("cqdb", Seq(
+      s"cpu,host=h1 usage=1.0 $t0",
+      s"cpu,host=h1 usage=3.0 ${t0 + 10 * m}",
+      s"cpu,host=h1 usage=5.0 ${t0 + 70 * m}",
+      s"mem,host=h1 used=7.0 $t0")) // other measurement: must not leak in
+    val cqs = new graft.streaming.ContinuousQueries(
+      tsdb, dir.resolve("cq-ckpt").toString)
+    // CREATE via the /query surface, then drain the AvailableNow run
+    graft.service.V1Query.run(tsdb, "cqdb",
+      "CREATE CONTINUOUS QUERY cq_avg ON cqdb BEGIN " +
+        "SELECT mean(usage) INTO cpu_1h FROM cpu GROUP BY time(1h) END",
+      Some(cqs))
+    cqs.awaitAll()
+    val down = tsdb.fieldsAsCols("cqdb", "cpu_1h")
+    val rows = down.select(col("time").cast("string"), col("mean"))
+      .as[(String, Double)].collect().toSet
+    assert(rows == Set( // window END labels, like aggregateWindow
+      ("2024-01-08 01:00:00", 2.0), ("2024-01-08 02:00:00", 5.0)))
+    // SHOW lists it; DROP stops + removes it
+    val shown = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "cqdb", "SHOW CONTINUOUS QUERIES", Some(cqs)))
+    assert(shown.get("results").get(0).get("series").get(0)
+      .get("values").get(0).get(0).asText() == "cq_avg")
+    graft.service.V1Query.run(tsdb, "cqdb",
+      "DROP CONTINUOUS QUERY cq_avg ON cqdb", Some(cqs))
+    assert(cqs.list.isEmpty)
+    // DELETE with time bound + tag predicate, then DROP MEASUREMENT
+    graft.service.V1Query.run(tsdb, "cqdb",
+      s"DELETE FROM cpu WHERE time < ${t0 + 30 * m} AND host = 'h1'", Some(cqs))
+    assert(tsdb.from("cqdb").toDF
+      .filter(col("measurement") === "cpu").count() == 1) // only the 70-min point
+    graft.service.V1Query.run(tsdb, "cqdb", "DROP MEASUREMENT mem", Some(cqs))
+    assert(tsdb.from("cqdb").toDF
+      .filter(col("measurement") === "mem").count() == 0)
+  }
 }
