@@ -66,6 +66,8 @@ object InfluxQL {
   final case class PAgg(agg: AggProj) extends PExpr
   final case class PField(name: String) extends PExpr
   final case class PBin(op: Char, l: PExpr, r: PExpr) extends PExpr
+  /** Scalar math call: `abs(v)`, `round(mean(v))`, `pow(v, 2)`. */
+  final case class PFun(fn: String, args: Seq[PExpr]) extends PExpr
 
   /** Default output name for an arithmetic projection without AS: the
     * leaf function/field names joined by `_` (v1 composes names the
@@ -76,6 +78,7 @@ object InfluxQL {
       case PBin(_, l, r) => leaves(l) ++ leaves(r)
       case PAgg(a) => Seq(a.fn)
       case PField(n) => Seq(n)
+      case PFun(fn, _) => Seq(fn) // v1 names abs(v) plain "abs"
       case PNum(_) => Nil
     }
     val ns = leaves(e)
@@ -179,6 +182,11 @@ object InfluxQL {
 
   val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "cumulative_sum", "moving_average", "elapsed")
+
+  /** v1 scalar math functions usable inside SELECT expressions. */
+  val MathFns: Set[String] = Set("abs", "ceil", "floor", "round", "exp",
+    "ln", "log2", "log10", "sqrt", "pow", "sin", "cos", "tan",
+    "asin", "acos", "atan", "atan2")
 
   def parse(src: String): Stmt = new P(src).statement()
 
@@ -436,7 +444,14 @@ object InfluxQL {
       else if (peekStr("-") || (i < src.length && src(i).isDigit)) PNum(number())
       else {
         val name = ident(); ws()
-        if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
+        if (peekStr("(") && MathFns.contains(name.toLowerCase)) {
+          expect("("); ws()
+          val args = Seq.newBuilder[PExpr]
+          args += addExpr(); ws()
+          while (peekStr(",")) { expect(","); ws(); args += addExpr(); ws() }
+          expect(")")
+          PFun(name.toLowerCase, args.result())
+        } else if (peekStr("(") && Aggregates.contains(name.toLowerCase)) {
           expect("("); ws()
           // count(distinct(field)) — the v1 cardinality idiom — folds to
           // the synthetic aggregate name "count_distinct"

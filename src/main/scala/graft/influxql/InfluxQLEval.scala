@@ -282,6 +282,33 @@ object InfluxQLEval {
         case '/' => lc / rc
         case o => throw EvalException(s"unsupported operator '$o'")
       }
+    case PFun(fn, args) =>
+      def a(i: Int): Column = {
+        if (args.size <= i)
+          throw EvalException(s"$fn() expects ${i + 1} argument(s)")
+        exprCol(args(i), df, timeCol, aggMode)
+      }
+      fn match {
+        case "abs" => abs(a(0))
+        // ceil/floor: Spark returns LONG, v1 returns a float — cast
+        case "ceil" => ceil(a(0)).cast("double")
+        case "floor" => floor(a(0)).cast("double")
+        case "round" => round(a(0))
+        case "exp" => exp(a(0))
+        case "ln" => org.apache.spark.sql.functions.log(a(0))
+        case "log2" => log2(a(0))
+        case "log10" => log10(a(0))
+        case "sqrt" => sqrt(a(0))
+        case "pow" => pow(a(0), a(1))
+        case "sin" => sin(a(0))
+        case "cos" => cos(a(0))
+        case "tan" => tan(a(0))
+        case "asin" => asin(a(0))
+        case "acos" => acos(a(0))
+        case "atan" => atan(a(0))
+        case "atan2" => atan2(a(0), a(1))
+        case other => throw EvalException(s"unsupported function '$other'")
+      }
   }
 
   /** GROUP BY time(d, off) bucket offset, normalized into [0, step). */
@@ -391,6 +418,7 @@ object InfluxQLEval {
     def hasAgg(e: PExpr): Boolean = e match {
       case _: PAgg => true
       case PBin(_, l, r) => hasAgg(l) || hasAgg(r)
+      case PFun(_, args) => args.exists(hasAgg)
       case _ => false
     }
     val (aggExprs, rawExprs) = exprs.partition(e => hasAgg(e.expr))

@@ -83,7 +83,11 @@ object DedupOps {
     */
   def exactJaccardPairs(sh0: DataFrame, threshold: Double,
       maxDf: Int = DefaultMaxDf): DataFrame = {
-    val sh = capShingles(sh0, maxDf)
+    // the shuffle key: hash the shingle STRING to 64 bits first — the
+    // inverted-index shuffle moves fixed 8-byte keys instead of ~25-byte
+    // text, and the groupBy compares longs. Set cardinalities (sizes,
+    // intersections) are unchanged barring 2^-64 collisions.
+    val sh = capShingles(sh0.withColumn("shingle", xxhash64(col("shingle"))), maxDf)
     val spark = sh.sparkSession
     import spark.implicits._
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))

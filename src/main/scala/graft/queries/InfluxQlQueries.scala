@@ -156,6 +156,17 @@ object InfluxQlQueries {
           .select(col("ts").as("time"), col("event_type"), col("user_id"), col("value"))))
         .orderBy("time", "event_type", "user_id", "value")),
 
+    // Scalar math over aggregates and fields (exactly-rounded IEEE ops
+    // only — sqrt/abs/floor/ceil are bit-identical across engines;
+    // exp/ln could differ in the last ulp between libm and the JVM).
+    "iql_math" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sqrt(sum(value)) AS r, floor(max(value)) AS f, " +
+          "abs(min(value) - 50) AS a FROM events GROUP BY event_type",
+        source(s, dir))
+        .select(col("event_type"), r4(col("r")).as("r"), col("f"), r4(col("a")).as("a"))
+        .orderBy("event_type")),
+
     // GROUP BY time(6h), *: star expands to every declared tag key
     // (event_type, user_id) — the per-series split Grafana's
     // repeat-by-series panels issue.
@@ -303,6 +314,10 @@ object InfluxQlQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-08 06:00:00'
         |  AND value > 99
         |ORDER BY 1, 2, 3, 4"""),
+    "iql_math" -> w(
+      """SELECT event_type, round(sqrt(sum(value)), 4) AS r,
+        |  floor(max(value)) AS f, round(abs(min(value) - 50), 4) AS a
+        |FROM events GROUP BY 1 ORDER BY 1"""),
     "iql_gb_star" -> w(
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type, user_id,
         |  round(sum(value), 4) AS sum_v, count(value) AS n

@@ -351,6 +351,19 @@ class InfluxQLSpec extends SparkSpec {
     assert(el.select("elapsed").as[Long].collect().toSeq == Seq(20L, 40L))
   }
 
+  test("scalar math functions work over raw fields and aggregates") {
+    val raw = InfluxQLEval.run(
+      "SELECT abs(usage - 4) AS d FROM cpu WHERE host = 'h1'", source)
+    assert(raw.select("d").as[Double].collect().toSeq == Seq(3.0, 1.0, 1.0))
+    val agg = InfluxQLEval.run(
+      "SELECT sqrt(sum(usage)) AS r, pow(max(usage), 2) AS p FROM cpu GROUP BY host", source)
+    assert(agg.select("host", "r", "p").as[(String, Double, Double)].collect().toSet ==
+      Set(("h1", 3.0, 25.0), ("h2", math.sqrt(10.0), 100.0)))
+    // default composed name: v1 names abs(value) plain "abs"
+    val named = InfluxQLEval.run("SELECT abs(usage) FROM cpu LIMIT 1", source)
+    assert(named.columns.toSeq == Seq("time", "abs"))
+  }
+
   test("GROUP BY * expands to every tag key from the source listing") {
     val withKeys = InfluxQLEval.Source(
       resolve = _ => cpuFrame,
