@@ -165,6 +165,11 @@ object InfluxQL {
   final case class CreateCq(name: String, db: String, sel: Select) extends Stmt
   case object ShowContinuousQueries extends Stmt
   final case class DropCq(name: String, db: String) extends Stmt
+  /** `SHOW SERIES CARDINALITY` / `SHOW MEASUREMENT CARDINALITY` —
+    * the v1 ops-dashboard cardinality probes.
+    */
+  case object ShowSeriesCardinality extends Stmt
+  case object ShowMeasurementCardinality extends Stmt
 
   /** Display name for a FROM clause (v1 JSON `series.name`). */
   def fromName(f: From): String = f match {
@@ -274,9 +279,15 @@ object InfluxQL {
       }
       else if (peekKw("SERIES")) {
         kw("SERIES")
-        val m = optFrom(); ws()
-        val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
-        ShowSeries(m, where)
+        if (peekKw("CARDINALITY")) { kw("CARDINALITY"); ShowSeriesCardinality }
+        else {
+          val m = optFrom(); ws()
+          val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
+          ShowSeries(m, where)
+        }
+      }
+      else if (peekKw("MEASUREMENT")) {
+        kw("MEASUREMENT"); kw("CARDINALITY"); ShowMeasurementCardinality
       }
       else if (peekKw("CONTINUOUS")) {
         kw("CONTINUOUS"); kw("QUERIES"); ShowContinuousQueries

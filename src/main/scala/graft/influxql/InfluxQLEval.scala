@@ -70,6 +70,12 @@ object InfluxQLEval {
         "SHOW RETENTION POLICIES unsupported by this source")
       source.retentionPolicies(db)
     case ShowSeries(m, where) => showSeries(m, where, source)
+    case ShowSeriesCardinality =>
+      showSeries(None, None, source).agg(count(lit(1)).as("count"))
+    case ShowMeasurementCardinality =>
+      require(source.measurements != null,
+        "SHOW MEASUREMENT CARDINALITY unsupported by this source")
+      source.measurements().agg(count(lit(1)).as("count"))
     case _: DeleteStmt | _: DropMeasurement | _: CreateCq | _: DropCq |
         ShowContinuousQueries =>
       throw EvalException(

@@ -42,6 +42,17 @@ object V1Query {
           registry.create(c.name, c.db, c.sel, q)
         case InfluxQL.DropCq(name, cdb) =>
           registry.drop(name, cdb)
+        case s: InfluxQL.Select if s.into.isDefined =>
+          // ad-hoc SELECT INTO — the v1 backfill idiom: evaluate, write
+          // the result as points of the target measurement, answer with
+          // the v1 "result" series carrying the written count
+          val written = selectInto(tsdb, db, s, source)
+          val sObj = res.putArray("series").addObject()
+          sObj.put("name", "result")
+          val colsArr = sObj.putArray("columns")
+          colsArr.add("time"); colsArr.add("written")
+          val vals = sObj.putArray("values").addArray()
+          vals.add("1970-01-01T00:00:00Z"); vals.add(written)
         case readStmt =>
           val df = readStmt match {
             case InfluxQL.ShowContinuousQueries =>
@@ -59,6 +70,8 @@ object V1Query {
             case InfluxQL.ShowDatabases => ("databases", Nil)
             case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
             case _: InfluxQL.ShowSeries => ("series", Nil)
+            case InfluxQL.ShowSeriesCardinality => ("series cardinality", Nil)
+            case InfluxQL.ShowMeasurementCardinality => ("measurement cardinality", Nil)
             case InfluxQL.ShowContinuousQueries => (db, Nil)
             case other => throw new IllegalStateException(s"unserializable $other")
           }
@@ -67,6 +80,45 @@ object V1Query {
     }
     // an empty result still answers with one empty statement result
     mapper.writeValueAsString(root)
+  }
+
+  /** Evaluate the SELECT (sans INTO), convert its result rows to
+    * canonical points of the target measurement (one point per value
+    * column; GROUP BY tags become the tag set; null aggregates are not
+    * written, as in v1), write through the store, return the count.
+    * An ungrouped aggregate row carries epoch-0 time like the v1
+    * engine's INTO output.
+    */
+  private def selectInto(tsdb: Tsdb, db: String, s: InfluxQL.Select,
+      source: InfluxQLEval.Source): Long = {
+    import org.apache.spark.sql.functions._
+    val df0 = InfluxQLEval.evalStmt(s.copy(into = None), source)
+    val df =
+      if (df0.columns.contains("time")) df0
+      else df0.withColumn("time", timestamp_micros(lit(0L)))
+    val tagCols = s.groupTags
+    val valueCols = df.columns.filterNot(c => c == "time" || tagCols.contains(c))
+    val tagsCol =
+      if (tagCols.isEmpty) typedLit(Map.empty[String, String])
+      else map_from_arrays(
+        array(tagCols.map(lit): _*),
+        array(tagCols.map(t => col(t).cast("string")): _*))
+    val parts = valueCols.map { c =>
+      df.select(
+        col("time"),
+        (unix_micros(col("time")) * 1000L).as("time_ns"),
+        lit(s.into.get).as("measurement"),
+        lit(c).as("field"),
+        col(c).cast("double").as("value_f"),
+        tagsCol.as("tags"))
+        .filter(col("value_f").isNotNull)
+    }
+    val long = parts.reduce(_ unionByName _).cache()
+    try {
+      val n = long.count()
+      tsdb.to(db, long)
+      n
+    } finally { long.unpersist(); () }
   }
 
   private def serialize(df: org.apache.spark.sql.DataFrame, name: String,

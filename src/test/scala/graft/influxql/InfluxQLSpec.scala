@@ -464,6 +464,31 @@ class InfluxQLSpec extends SparkSpec {
     graft.service.V1Query.run(tsdb, "cqdb",
       "DROP CONTINUOUS QUERY cq_avg ON cqdb", Some(cqs))
     assert(cqs.list.isEmpty)
+    // ad-hoc SELECT INTO backfill: hourly means written as cpu_bf
+    val intoResp = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "cqdb",
+        "SELECT mean(usage) INTO cpu_bf FROM cpu " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-08T02:00:00Z' " +
+          "GROUP BY time(1h), host FILL(none)", Some(cqs)))
+    val writtenRow = intoResp.get("results").get(0).get("series").get(0)
+    assert(writtenRow.get("name").asText() == "result")
+    assert(writtenRow.get("values").get(0).get(1).asLong() == 2L) // h1's two hourly windows
+    val bf = tsdb.from("cqdb").toDF
+      .filter(col("measurement") === "cpu_bf")
+    assert(bf.count() == 2 && bf.select("field").distinct()
+      .as[String].collect().toSeq == Seq("mean"))
+    assert(bf.filter(col("tags.host") === "h1").count() == 2)
+    // cardinality probes
+    val card = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "cqdb",
+        "SHOW SERIES CARDINALITY; SHOW MEASUREMENT CARDINALITY", Some(cqs)))
+    // series: cpu×h1, mem×h1, cpu_1h×h1, cpu_bf×h1, cpu_bf... (h2 absent
+    // from LP writes) — just assert both probes answer a positive count
+    assert(card.get("results").get(0).get("series").get(0)
+      .get("values").get(0).get(0).asLong() >= 4L)
+    assert(card.get("results").get(1).get("series").get(0)
+      .get("values").get(0).get(0).asLong() >= 3L)
+
     // DELETE with time bound + tag predicate, then DROP MEASUREMENT
     graft.service.V1Query.run(tsdb, "cqdb",
       s"DELETE FROM cpu WHERE time < ${t0 + 30 * m} AND host = 'h1'", Some(cqs))
