@@ -302,7 +302,10 @@ final case class FluxFrame(
   def highestMax(n: Int): FluxFrame = highest(n, max)
   def highestAverage(n: Int): FluxFrame = highest(n, avg)
   def lowestMin(n: Int): FluxFrame = highest(n, min, lowest = true)
+  def lowestAverage(n: Int): FluxFrame = highest(n, avg, lowest = true)
   def highestCurrent(n: Int): FluxFrame = highest(n, v => max_by(v, col(timeCol)))
+  def lowestCurrent(n: Int): FluxFrame =
+    highest(n, v => max_by(v, col(timeCol)), lowest = true)
 
   // ---------------- joins / set ops / pivot ----------------
 

@@ -176,6 +176,8 @@ object FluxEval {
     case "highestAverage" => f.highestAverage(num(call.args, "n").toInt)
     case "highestCurrent" => f.highestCurrent(num(call.args, "n").toInt)
     case "lowestMin" => f.lowestMin(num(call.args, "n").toInt)
+    case "lowestAverage" => f.lowestAverage(num(call.args, "n").toInt)
+    case "lowestCurrent" => f.lowestCurrent(num(call.args, "n").toInt)
     case "covariance" =>
       val cols = strArr(call.args, "columns")
       if (cols.size != 2) throw EvalException("covariance(columns: [x, y]) expects two columns")

@@ -196,6 +196,15 @@ class FluxSpec extends SparkSpec {
       source)
     assert(low.select("_measurement", "host").as[(String, String)].collect().toSet
       == Set(("cpu", "h1"))) // series with the smallest value (1.0)
+    val lowAvg = FluxEval.run(
+      """from(bucket: "b") |> group(columns: ["_measurement", "host"]) |> lowestAverage(n: 1)""",
+      source)
+    assert(lowAvg.select("_measurement", "host").as[(String, String)].collect().toSet
+      == Set(("cpu", "h1"))) // smallest per-series mean
+    val lowCur = FluxEval.run(
+      """from(bucket: "b") |> group(columns: ["_measurement", "host"]) |> lowestCurrent(n: 1)""",
+      source)
+    assert(lowCur.count() >= 1) // latest-value ranking, lowest side
     val cov = FluxEval.run(
       """from(bucket: "b")
         ||> filter(fn: (r) => r._measurement == "cpu")

@@ -96,6 +96,59 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("arithmetic precedence round-trips random expression trees (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    var seed = Seed(11L)
+    def next[A](g: Gen[A]): A = { val v = g.pureApply(params, seed); seed = seed.next; v }
+    val ops = Seq('+', '-', '*', '/')
+    def prec(op: Char) = if (op == '*' || op == '/') 2 else 1
+    def gen(depth: Int): PExpr =
+      if (depth == 0 || next(Gen.chooseNum(0, 2)) == 0)
+        PNum(next(Gen.chooseNum(1, 9)).toDouble)
+      else PBin(ops(next(Gen.chooseNum(0, 3))), gen(depth - 1), gen(depth - 1))
+    // minimal-parens renderer: parenthesize a child only when its
+    // precedence is lower, or equal on the RIGHT of -, /, same-level *
+    // (left-associativity) — exactly the cases the parser must resolve
+    def render(e: PExpr, parentPrec: Int, rightChild: Boolean): String = e match {
+      case PNum(v) => v.toLong.toString
+      case PBin(op, l, r) =>
+        val s = render(l, prec(op), rightChild = false) +
+          s" $op " + render(r, prec(op), rightChild = true)
+        if (prec(op) < parentPrec || (prec(op) == parentPrec && rightChild)) s"($s)" else s
+      case other => sys.error(s"unexpected $other")
+    }
+    def eval(e: PExpr): Double = e match {
+      case PNum(v) => v
+      case PBin('+', l, r) => eval(l) + eval(r)
+      case PBin('-', l, r) => eval(l) - eval(r)
+      case PBin('*', l, r) => eval(l) * eval(r)
+      case PBin('/', l, r) => eval(l) / eval(r)
+      case other => sys.error(s"unexpected $other")
+    }
+    (1 to 300).foreach { _ =>
+      val ast = gen(4)
+      val txt = render(ast, 0, rightChild = false)
+      InfluxQL.parse(s"SELECT $txt AS x FROM m").asInstanceOf[Select].projs.head match {
+        case ExprProj(parsed, _) =>
+          assert(eval(parsed) == eval(ast), s"precedence mismatch on: $txt")
+        case FieldProj(_, _) | _ if !ast.isInstanceOf[PBin] => () // single literal
+        case other => fail(s"unexpected projection $other for: $txt")
+      }
+    }
+    // garbage never escapes as anything but ParseException
+    val alphabet = Gen.oneOf("SELECT FROM WHERE GROUP BY time() 1.2.3 e9 */+-,'\"();=~ abc".toSeq)
+    (1 to 300).foreach { _ =>
+      val junk = List.fill(next(Gen.chooseNum(1, 40)))(next(alphabet)).mkString
+      try { InfluxQL.parse(junk); () }
+      catch {
+        case _: ParseException => ()
+        case e: Throwable => fail(s"non-parse error ${e.getClass} on: $junk")
+      }
+    }
+  }
+
   private def cpuFrame = Seq(
     ("h1", java.sql.Timestamp.valueOf("2024-01-08 00:05:00"), 1.0),
     ("h1", java.sql.Timestamp.valueOf("2024-01-08 00:25:00"), 3.0),
