@@ -325,4 +325,73 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Connected components over a near-duplicate pair list via the
+    * alternating large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14): each
+    * round is a groupBy-min plus a join — plain shuffles, no driver-side
+    * graph state — and the edge set contracts to per-component stars
+    * around the minimum id in O(log² n) rounds regardless of component
+    * diameter, so a chain of pairwise near-dups collapses as fast as a
+    * clique. Lineage is truncated with an eager localCheckpoint per
+    * round (iterative plans otherwise grow exponentially).
+    *
+    * Returns (id, cluster_id) for every node appearing in `pairs`,
+    * cluster_id being the minimum id of the node's component (centers
+    * map to themselves). Singletons never enter the pair list and are
+    * trivially their own cluster.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    // canonical directed form: u > v, deduplicated
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: each node links its strictly LARGER neighbours to the
+      // minimum of its closed neighbourhood
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: each node links its smaller neighbours (and itself)
+      // to the smallest of them
+      val smin = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(smin, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // both sides are distinct sets: equal count + empty difference ⇔ equal
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")).distinct())
+  }
+
+  /** Documents surviving near-duplicate collapse: everything except
+    * non-canonical cluster members (each cluster keeps its minimum id).
+    * One anti-join against the (small) doomed set — the pair list is
+    * sparse relative to the corpus, so the corpus is never reshuffled.
+    */
+  def dedupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_doomed_id"))
+    df.join(doomed, df(idCol) === col("_doomed_id"), "left_anti")
+  }
 }

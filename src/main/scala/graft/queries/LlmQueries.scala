@@ -100,6 +100,23 @@ object LlmQueries {
         k = 8, w = 4, minShared = 15, maxDf = 25)
         .orderBy("id_a", "id_b")),
 
+    // Cluster assignment over the winnowing near-dup pairs: alternating
+    // large-star/small-star connected components (min-id representative).
+    "dedup_clusters" -> ((s, dir) =>
+      DedupOps.connectedComponents(
+        TextOps.winnowSharedPairs(documents(s, dir), "doc_id", "text",
+          k = 8, w = 4, minShared = 15, maxDf = 25))
+        .orderBy("id")),
+
+    // Corpus after near-dup collapse (cluster minimum survives), rolled
+    // up per source — the end-to-end "dedup the training set" answer.
+    "dedup_keep" -> ((s, dir) =>
+      DedupOps.dedupSurvivors(documents(s, dir), "doc_id",
+        TextOps.winnowSharedPairs(documents(s, dir), "doc_id", "text",
+          k = 8, w = 4, minShared = 15, maxDf = 25))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     // Brute-force cosine top-3 for query vectors 0..4.
     "ann_brute" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -216,6 +233,35 @@ object LlmQueries {
   private val esS = hits(TextOps.EsStop)
   private val zhS = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
 
+  /** Recursive-CTE transitive closure over the winnowing near-dup pairs:
+    * min reachable id per node = the component representative (DuckDB's
+    * UNION-dedup recursion terminates on the finite reach set). Ends
+    * with the `comp(id, cid)` CTE; prefixed to the winnow chain, which
+    * must become WITH RECURSIVE and have its list-lambda CTEs
+    * materialized (DuckDB cannot inline them into a recursive plan).
+    */
+  private val ccBase = "WITH RECURSIVE " +
+    winnowBase.stripPrefix("WITH ").stripSuffix("\n") + w(
+    """, ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+      |capped AS (
+      |  SELECT * FROM ex
+      |  WHERE f IN (SELECT f FROM ex GROUP BY f HAVING count(*) <= 25)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 15),
+      |nodes AS MATERIALIZED (
+      |  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+      |edges AS MATERIALIZED (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.u, re.r FROM edges e JOIN reach re ON re.id = e.v),
+      |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY 1)
+      |""")
+
   private val cosExpr =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
   private def cos(a: String, b: String) = cosExpr.format(a, b, a, a, b, b)
@@ -239,6 +285,12 @@ object LlmQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2""")),
+    "dedup_clusters" -> (ccBase + w(
+      """SELECT id, cid AS cluster_id FROM comp ORDER BY id""")),
+    "dedup_keep" -> (ccBase + w(
+      """SELECT source, count(*) AS n_kept FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid)
+        |GROUP BY 1 ORDER BY 1""")),
     "simhash" -> w(
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS tok FROM documents

@@ -218,4 +218,44 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("rank").select("nbr").as[Long].collect()
     assert(out.toSeq == Seq(2L, 1L)) // only the +x list is probed
   }
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupOps.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components: chain, clique, and separate pair") {
+    // chain 1-2-3-4 forces multi-round star contraction; 10-11-12 is a
+    // clique; (20,21) an isolated pair; singletons never appear
+    val cc = ccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components match brute-force closure on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val n = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      // brute force: repeated min-label relaxation to fixpoint
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      var lab = nodes.map(x => x -> x).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        pairs.foreach { case (a, b) =>
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m || lab(b) != m) { lab += a -> m; lab += b -> m; changed = true }
+        }
+      }
+      assert(ccOf(pairs) == lab)
+    }
+  }
+
+  test("dedupSurvivors keeps cluster minima and all singletons") {
+    val out = DedupOps.dedupSurvivors(docs, "doc_id", Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 3L, 4L)) // 1,2 collapse into 0; 3,4 untouched
+  }
 }
