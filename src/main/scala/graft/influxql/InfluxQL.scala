@@ -15,7 +15,8 @@ package graft.influxql
   *   [ORDER BY time DESC] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
   *   [tz('America/Chicago')]
   * SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
-  * SHOW TAG VALUES [FROM m] WITH KEY = "k" [WHERE …]
+  * SHOW TAG VALUES [FROM m] WITH KEY = "k" | IN ("k", …) | =~ /re/ | !~ /re/
+ *   [WHERE …] [LIMIT n] [OFFSET n]
   * SHOW DATABASES | SHOW RETENTION POLICIES [ON db]
   * SHOW SERIES [FROM m] [WHERE …]
   * }}}
@@ -143,11 +144,21 @@ object InfluxQL {
   case object ShowMeasurements extends Stmt
   final case class ShowTagKeys(from: Option[String]) extends Stmt
   final case class ShowFieldKeys(from: Option[String]) extends Stmt
-  /** `SHOW TAG VALUES [FROM m] WITH KEY = "k" [WHERE …]` — what Grafana
-    * issues to populate template-variable dropdowns.
+  /** Key selector of `SHOW TAG VALUES WITH KEY …`: `= "k"`,
+    * `IN ("k1", "k2")`, or `=~ /re/` / `!~ /re/` over the tag-key set.
     */
-  final case class ShowTagValues(from: Option[String], key: String,
-      where: Option[Cond]) extends Stmt
+  sealed trait KeySel
+  final case class KeyEq(key: String) extends KeySel
+  final case class KeyIn(keys: Seq[String]) extends KeySel
+  final case class KeyRegex(pattern: String, negated: Boolean) extends KeySel
+
+  /** `SHOW TAG VALUES [FROM m] WITH KEY <sel> [WHERE …] [LIMIT n]
+    * [OFFSET n]` — what Grafana issues to populate template-variable
+    * dropdowns (the IN / regex forms drive multi-key variables).
+    */
+  final case class ShowTagValues(from: Option[String], key: KeySel,
+      where: Option[Cond], limit: Option[Int] = None,
+      offset: Option[Int] = None) extends Stmt
   case object ShowDatabases extends Stmt
   final case class ShowRetentionPolicies(db: Option[String]) extends Stmt
   /** `SHOW SERIES [FROM m] [WHERE …]`: one row per series key
@@ -264,10 +275,26 @@ object InfluxQL {
         if (peekKw("VALUES")) {
           kw("VALUES")
           val m = optFrom(); ws()
-          kw("WITH"); kw("KEY"); ws(); expect("="); ws()
-          val k = ident(); ws()
+          kw("WITH"); kw("KEY"); ws()
+          val sel: KeySel =
+            if (peekKw("IN")) {
+              kw("IN"); ws(); expect("("); ws()
+              val ks = scala.collection.mutable.ArrayBuffer(ident())
+              ws()
+              while (peekStr(",")) { expect(","); ws(); ks += ident(); ws() }
+              expect(")")
+              KeyIn(ks.toSeq)
+            }
+            else if (peekStr("=~")) { expect("=~"); ws(); KeyRegex(regexLit(), negated = false) }
+            else if (peekStr("!~")) { expect("!~"); ws(); KeyRegex(regexLit(), negated = true) }
+            else { expect("="); ws(); KeyEq(ident()) }
+          ws()
           val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
-          ShowTagValues(m, k, where)
+          ws()
+          val limit = if (peekKw("LIMIT")) { kw("LIMIT"); ws(); Some(number().toInt) } else None
+          ws()
+          val offset = if (peekKw("OFFSET")) { kw("OFFSET"); ws(); Some(number().toInt) } else None
+          ShowTagValues(m, sel, where, limit, offset)
         } else { kw("KEYS"); ShowTagKeys(optFrom()) }
       }
       else if (peekKw("FIELD")) { kw("FIELD"); kw("KEYS"); ShowFieldKeys(optFrom()) }

@@ -61,7 +61,8 @@ object InfluxQLEval {
     case ShowFieldKeys(m) =>
       require(source.fieldKeys != null, "SHOW FIELD KEYS unsupported by this source")
       source.fieldKeys(m)
-    case ShowTagValues(m, key, where) => showTagValues(m, key, where, source)
+    case ShowTagValues(m, key, where, limit, offset) =>
+      showTagValues(m, key, where, limit, offset, source)
     case ShowDatabases =>
       require(source.databases != null, "SHOW DATABASES unsupported by this source")
       source.databases()
@@ -155,8 +156,23 @@ object InfluxQLEval {
     * predicates) filters the points whose tag values are listed, as in
     * the v1 engine.
     */
-  private def showTagValues(m: Option[String], key: String,
-      where: Option[Cond], source: Source): DataFrame = {
+  private def showTagValues(m: Option[String], sel: InfluxQL.KeySel,
+      where: Option[Cond], limit: Option[Int], offset: Option[Int],
+      source: Source): DataFrame = {
+    // Resolve the selector to concrete key names. IN/= name them
+    // directly; the regex forms match against the tag-key listing —
+    // catalog-scale metadata collected at plan time, like the
+    // measurement listing for FROM /regex/.
+    val keys: Seq[String] = sel match {
+      case InfluxQL.KeyEq(k) => Seq(k)
+      case InfluxQL.KeyIn(ks) => ks.distinct
+      case InfluxQL.KeyRegex(pat, neg) =>
+        require(source.tagKeys != null,
+          "SHOW TAG VALUES WITH KEY =~ needs a tag-key listing")
+        val re = java.util.regex.Pattern.compile(pat)
+        source.tagKeys(m).collect().map(_.getString(0)).toSeq
+          .filter(k => re.matcher(k).find() != neg)
+    }
     val frames: Seq[DataFrame] = m match {
       case Some(name) => Seq(source.resolve(name))
       case None =>
@@ -164,13 +180,22 @@ object InfluxQLEval {
           "SHOW TAG VALUES without FROM needs a measurement listing")
         source.measurementNames().map(source.resolve)
     }
-    frames.map { df =>
+    if (keys.isEmpty) {
+      val spark = frames.head.sparkSession
+      import spark.implicits._
+      return Seq.empty[(String, String)].toDF("key", "value")
+    }
+    val rows = frames.flatMap { df =>
       val f = where.map(w => df.filter(cond(w, df, source))).getOrElse(df)
-      f.select(lit(key).as("key"), ref(f, key).cast("string").as("value"))
+      keys.map(k =>
+        f.select(lit(k).as("key"), ref(f, k).cast("string").as("value")))
     }.reduce(_ union _)
       .filter(col("value").isNotNull)
       .distinct()
       .orderBy("key", "value")
+    // v1 LIMIT/OFFSET trim the sorted value listing
+    val off = offset.map(rows.offset).getOrElse(rows)
+    limit.map(off.limit).getOrElse(off)
   }
 
   /** Store-backed source: a v1 "database" maps onto a bucket, a

@@ -87,6 +87,15 @@ object InfluxQlQueries {
           "AND value > 90",
         source(s, dir))),
 
+    // SHOW TAG VALUES WITH KEY IN — the multi-key template-variable
+    // form, with the v1 LIMIT/OFFSET trim of the sorted listing.
+    "iql_tag_values_in" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SHOW TAG VALUES FROM events WITH KEY IN (\"event_type\", \"user_id\") " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "AND value > 50 LIMIT 25 OFFSET 2",
+        source(s, dir))),
+
     // Subquery FROM: max-of-hourly-sum, the v1 idiom for "peak of a
     // downsampled series" (inner GROUP BY time feeds the outer agg).
     "iql_subquery" -> ((s, dir) =>
@@ -278,6 +287,17 @@ object InfluxQlQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
         |  AND value > 90
         |ORDER BY 2"""),
+    "iql_tag_values_in" -> w(
+      """WITH tv AS (
+        |  SELECT 'event_type' AS key, event_type AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |    AND value > 50
+        |  UNION
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |    AND value > 50
+        |)
+        |SELECT key, value FROM tv ORDER BY 1, 2 LIMIT 25 OFFSET 2"""),
     "iql_subquery" -> w(
       """WITH hourly AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,

@@ -43,11 +43,18 @@ class InfluxQLSpec extends SparkSpec {
 
   test("parses SHOW TAG VALUES, FROM lists, regexes and subqueries") {
     assert(InfluxQL.parse("""SHOW TAG VALUES FROM cpu WITH KEY = "host"""") ==
-      ShowTagValues(Some("cpu"), "host", None))
+      ShowTagValues(Some("cpu"), KeyEq("host"), None))
     val stv = InfluxQL.parse(
       """SHOW TAG VALUES WITH KEY = "host" WHERE region = 'us'""")
       .asInstanceOf[ShowTagValues]
-    assert(stv.from.isEmpty && stv.key == "host" && stv.where.isDefined)
+    assert(stv.from.isEmpty && stv.key == KeyEq("host") && stv.where.isDefined)
+    assert(InfluxQL.parse(
+      """SHOW TAG VALUES FROM cpu WITH KEY IN ("host", "region") LIMIT 5 OFFSET 2""") ==
+      ShowTagValues(Some("cpu"), KeyIn(Seq("host", "region")), None, Some(5), Some(2)))
+    assert(InfluxQL.parse("SHOW TAG VALUES WITH KEY =~ /^h/") ==
+      ShowTagValues(None, KeyRegex("^h", negated = false), None))
+    assert(InfluxQL.parse("SHOW TAG VALUES WITH KEY !~ /id$/ LIMIT 3") ==
+      ShowTagValues(None, KeyRegex("id$", negated = true), None, Some(3)))
     assert(InfluxQL.parse("SELECT mean(v) FROM a, b").asInstanceOf[Select].from ==
       FromMeasurements(Seq("a", "b")))
     assert(InfluxQL.parse("SELECT mean(v) FROM /cpu.*/").asInstanceOf[Select].from ==
@@ -258,6 +265,28 @@ class InfluxQLSpec extends SparkSpec {
     val narrow = InfluxQLEval.run(
       """SHOW TAG VALUES FROM cpu WITH KEY = "host" WHERE usage > 6""", source)
     assert(narrow.as[(String, String)].collect().toSeq == Seq(("host", "h2")))
+  }
+
+  test("SHOW TAG VALUES: IN and regex key selectors, LIMIT/OFFSET") {
+    // two-tag frame so IN/regex select across keys
+    val f = cpuFrame.withColumn("region",
+      when(col("host") === "h1", "us").otherwise("eu"))
+    val src = InfluxQLEval.Source(resolve = _ => f,
+      tagKeys = _ => Seq("host", "region").toDF("tagKey"))
+    val in = InfluxQLEval.run(
+      """SHOW TAG VALUES FROM cpu WITH KEY IN ("host", "region")""", src)
+    assert(in.as[(String, String)].collect().toSeq == Seq(
+      ("host", "h1"), ("host", "h2"), ("region", "eu"), ("region", "us")))
+    val re = InfluxQLEval.run(
+      "SHOW TAG VALUES FROM cpu WITH KEY =~ /^reg/", src)
+    assert(re.as[(String, String)].collect().toSeq ==
+      Seq(("region", "eu"), ("region", "us")))
+    val neg = InfluxQLEval.run(
+      "SHOW TAG VALUES FROM cpu WITH KEY !~ /^reg/ LIMIT 1 OFFSET 1", src)
+    assert(neg.as[(String, String)].collect().toSeq == Seq(("host", "h2")))
+    val none = InfluxQLEval.run(
+      "SHOW TAG VALUES FROM cpu WITH KEY =~ /nope/", src)
+    assert(none.columns.toSeq == Seq("key", "value") && none.isEmpty)
   }
 
   // measurement-per-host view: FROM lists/regexes union per-measurement runs
