@@ -170,10 +170,15 @@ object InfluxQL {
   final case class DeleteStmt(measurement: String,
       where: Option[Cond]) extends Stmt
   final case class DropMeasurement(name: String) extends Stmt
-  /** `CREATE CONTINUOUS QUERY name ON db BEGIN SELECT agg(f) INTO m2
-    * FROM m1 GROUP BY time(1h) END` — the v1 downsampling DDL.
+  /** `CREATE CONTINUOUS QUERY name ON db [RESAMPLE [EVERY 30m]
+    * [FOR 2h]] BEGIN SELECT agg(f) INTO m2 FROM m1 GROUP BY time(1h)
+    * END` — the v1 downsampling DDL. RESAMPLE EVERY overrides the run
+    * cadence (default: the GROUP BY interval); FOR widens the window
+    * of past buckets each run recomputes (late-data refinement).
     */
-  final case class CreateCq(name: String, db: String, sel: Select) extends Stmt
+  final case class CreateCq(name: String, db: String, sel: Select,
+      resampleEvery: Option[Dur] = None,
+      resampleFor: Option[Dur] = None) extends Stmt
   case object ShowContinuousQueries extends Stmt
   final case class DropCq(name: String, db: String) extends Stmt
   /** `SHOW SERIES CARDINALITY` / `SHOW MEASUREMENT CARDINALITY` —
@@ -257,12 +262,21 @@ object InfluxQL {
       else if (peekKw("CREATE")) {
         kw("CREATE"); kw("CONTINUOUS"); kw("QUERY")
         val name = ident(); ws(); kw("ON")
-        val db = ident(); ws(); kw("BEGIN")
+        val db = ident(); ws()
+        var rEvery: Option[Dur] = None
+        var rFor: Option[Dur] = None
+        if (peekKw("RESAMPLE")) {
+          kw("RESAMPLE"); ws()
+          if (peekKw("EVERY")) { kw("EVERY"); ws(); rEvery = Some(duration()); ws() }
+          if (peekKw("FOR")) { kw("FOR"); ws(); rFor = Some(duration()); ws() }
+          if (rEvery.isEmpty && rFor.isEmpty) fail("RESAMPLE needs EVERY or FOR")
+        }
+        kw("BEGIN")
         val sel = select(); ws()
         kw("END")
         if (sel.into.isEmpty) fail("continuous query SELECT needs INTO")
         if (sel.groupTime.isEmpty) fail("continuous query needs GROUP BY time()")
-        CreateCq(name, db, sel)
+        CreateCq(name, db, sel, rEvery, rFor)
       }
       else fail("expected SELECT, SHOW, DELETE, DROP or CREATE")
     }

@@ -39,7 +39,8 @@ object V1Query {
         case InfluxQL.DropMeasurement(m) =>
           tsdb.store.delete(db, 0L, Long.MaxValue, col("measurement") === m)
         case c: InfluxQL.CreateCq =>
-          registry.create(c.name, c.db, c.sel, q)
+          registry.create(c.name, c.db, c.sel, q,
+            resampleEvery = c.resampleEvery, resampleFor = c.resampleFor)
         case InfluxQL.DropCq(name, cdb) =>
           registry.drop(name, cdb)
         case s: InfluxQL.Select if s.into.isDefined =>

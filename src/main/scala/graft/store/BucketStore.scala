@@ -39,8 +39,25 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def seriesKey: Column =
     xxhash64(col("measurement"), to_json(map_entries(col("tags"))), col("field"))
 
+  /** Per-bucket write locks: Spark's file committer stages every job
+    * under the SAME `_temporary/0` of the output directory, so two
+    * concurrent appends to one bucket (e.g. two continuous queries on
+    * one db, or ingest racing a CQ emission) can delete each other's
+    * staging files mid-commit. Appends to one bucket serialize on its
+    * monitor; different buckets (different directories) stay parallel.
+    * This store instance owns its warehouse directory, so a JVM-level
+    * monitor is the correct scope.
+    */
+  private val writeLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]
+
   /** Append canonical-schema points to a bucket. */
-  def write(bucket: String, points: DataFrame): Unit = {
+  def write(bucket: String, points: DataFrame): Unit =
+    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+      writeLocked(bucket, points)
+    }
+
+  private def writeLocked(bucket: String, points: DataFrame): Unit = {
     val meta = catalog.bucket(bucket).getOrElse(
       throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
     val seq = seqGen.incrementAndGet()

@@ -39,9 +39,19 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
 
   /** Register + start the task. `text` is the original DDL (SHOW
     * CONTINUOUS QUERIES echoes it, as in v1).
+    *
+    * RESAMPLE mapping onto the streaming task: EVERY becomes the
+    * micro-batch trigger cadence (the v1 run schedule) via
+    * [[ContinuousQueries.resolveTrigger]]; FOR becomes the watermark
+    * lateness — v1 recomputes every bucket overlapping [now − FOR,
+    * now] each run, so a point arriving up to FOR late still refines
+    * its bucket; update-mode emission + LWW read resolution keep the
+    * latest refinement, exactly as the batch path would.
     */
   def create(name: String, db: String, sel: Select, text: String,
-      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      resampleEvery: Option[graft.influxql.InfluxQL.Dur] = None,
+      resampleFor: Option[graft.influxql.InfluxQL.Dur] = None): Unit = {
     require(!registry.contains((db, name)), s"continuous query '$name' exists on '$db'")
     val (agg, srcMeasurement) = (sel.projs, sel.from) match {
       case (Seq(a: AggProj), FromMeasurements(Seq(m))) => (a, m)
@@ -54,9 +64,10 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
       throw new IllegalArgumentException("CQ needs GROUP BY time()")).interval
     val q = new DownsampleTask(tsdb).start(
       source = db, target = db, every = every,
-      fn = aggFn(agg.fn), lateness = "0 seconds",
+      fn = aggFn(agg.fn),
+      lateness = resampleFor.map(_.interval).getOrElse("0 seconds"),
       checkpoint = s"$checkpointRoot/$db/$name",
-      trigger = trigger,
+      trigger = ContinuousQueries.resolveTrigger(trigger, resampleEvery),
       measurement = Some(srcMeasurement), fieldName = Some(agg.field),
       intoMeasurement = Some(target),
       intoField = Some(agg.alias.getOrElse(agg.fn)))
@@ -75,4 +86,16 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
 
   /** Block until every registered task drains (AvailableNow runs). */
   def awaitAll(): Unit = registry.values.foreach(_.query.awaitTermination())
+}
+
+object ContinuousQueries {
+  /** RESAMPLE EVERY overrides the caller's trigger with the periodic
+    * cadence it names; without it the caller's trigger (the GROUP BY
+    * interval's schedule in a live service, AvailableNow in drains)
+    * stands.
+    */
+  def resolveTrigger(default: Trigger,
+      every: Option[graft.influxql.InfluxQL.Dur]): Trigger =
+    every.map(d => Trigger.ProcessingTime((d.seconds * 1000).toLong))
+      .getOrElse(default)
 }

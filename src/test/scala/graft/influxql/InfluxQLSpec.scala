@@ -580,4 +580,65 @@ class InfluxQLSpec extends SparkSpec {
     assert(tsdb.from("cqdb").toDF
       .filter(col("measurement") === "mem").count() == 0)
   }
+
+  test("CQ RESAMPLE EVERY/FOR: parse + trigger cadence resolution") {
+    val c = InfluxQL.parse(
+      "CREATE CONTINUOUS QUERY r ON db RESAMPLE EVERY 30m FOR 2h BEGIN " +
+        "SELECT mean(usage) INTO cpu_1h FROM cpu GROUP BY time(1h) END")
+      .asInstanceOf[CreateCq]
+    assert(c.resampleEvery.contains(Dur(30, "m")) &&
+      c.resampleFor.contains(Dur(2, "h")))
+    val forOnly = InfluxQL.parse(
+      "CREATE CONTINUOUS QUERY r ON db RESAMPLE FOR 90m BEGIN " +
+        "SELECT mean(usage) INTO cpu_1h FROM cpu GROUP BY time(1h) END")
+      .asInstanceOf[CreateCq]
+    assert(forOnly.resampleEvery.isEmpty && forOnly.resampleFor.contains(Dur(90, "m")))
+    assertThrows[ParseException](InfluxQL.parse(
+      "CREATE CONTINUOUS QUERY r ON db RESAMPLE BEGIN " +
+        "SELECT mean(u) INTO a FROM b GROUP BY time(1h) END"))
+    import org.apache.spark.sql.streaming.Trigger
+    assert(graft.streaming.ContinuousQueries.resolveTrigger(
+      Trigger.AvailableNow(), Some(Dur(30, "m"))) == Trigger.ProcessingTime(1800000L))
+    assert(graft.streaming.ContinuousQueries.resolveTrigger(
+      Trigger.AvailableNow(), None) == Trigger.AvailableNow())
+  }
+
+  test("CQ RESAMPLE FOR admits late data an un-RESAMPLEd CQ drops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-influxql-cq-for")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("rdb", "greengrass")
+    val t0 = 1704672000L * 1000000000L // 2024-01-08T00:00:00Z
+    val m = 60L * 1000000000L
+    val cqs = new graft.streaming.ContinuousQueries(
+      tsdb, dir.resolve("ckpt").toString)
+    // on-time points in hour 0 plus a point at 03:30 that advances the
+    // watermark past hour 0's window end
+    tsdb.writeLp("rdb", Seq(
+      s"cpu,host=h1 usage=1.0 ${t0 + 5 * m}",
+      s"cpu,host=h1 usage=3.0 ${t0 + 25 * m}",
+      s"cpu,host=h1 usage=9.0 ${t0 + 210 * m}"))
+    val withFor = "CREATE CONTINUOUS QUERY cq_for ON rdb RESAMPLE FOR 4h BEGIN " +
+      "SELECT mean(usage) INTO cpu_for FROM cpu GROUP BY time(1h) END"
+    val noFor = "CREATE CONTINUOUS QUERY cq_strict ON rdb BEGIN " +
+      "SELECT mean(usage) INTO cpu_strict FROM cpu GROUP BY time(1h) END"
+    graft.service.V1Query.run(tsdb, "rdb", withFor, Some(cqs))
+    graft.service.V1Query.run(tsdb, "rdb", noFor, Some(cqs))
+    cqs.awaitAll()
+    def hour0(meas: String): Set[Double] = tsdb.fieldsAsCols("rdb", meas)
+      .filter(col("time").cast("string") === "2024-01-08 01:00:00")
+      .select("mean").as[Double].collect().toSet
+    assert(hour0("cpu_for") == Set(2.0) && hour0("cpu_strict") == Set(2.0))
+    // a 3.5-hour-late point lands in hour 0; the next scheduled run
+    // (drop + recreate resumes the same checkpoint, as EVERY would)
+    // refines the FOR CQ's bucket and is beyond the strict watermark
+    tsdb.writeLp("rdb", Seq(s"cpu,host=h1 usage=5.0 ${t0 + 10 * m}"))
+    graft.service.V1Query.run(tsdb, "rdb",
+      "DROP CONTINUOUS QUERY cq_for ON rdb; DROP CONTINUOUS QUERY cq_strict ON rdb",
+      Some(cqs))
+    graft.service.V1Query.run(tsdb, "rdb", withFor, Some(cqs))
+    graft.service.V1Query.run(tsdb, "rdb", noFor, Some(cqs))
+    cqs.awaitAll()
+    assert(hour0("cpu_for") == Set(3.0))    // (1+3+5)/3 — refined
+    assert(hour0("cpu_strict") == Set(2.0)) // late row dropped at watermark
+  }
 }
