@@ -214,34 +214,50 @@ final case class FluxFrame(
       groupKey = groupKey :+ "_start" :+ "_stop")
   }
 
-  /** Flux `aggregateWindow(every:, fn:, createEmpty:)` — downsample.
-    * Tumbling window + aggregate; `createEmpty=true` left-joins a
-    * generated window spine (sequence+explode — distributed, no driver
-    * loop) so empty windows emit nulls like Flux does.
+  /** Flux `aggregateWindow(every:, fn:, createEmpty:, offset:,
+    * location:)` — downsample. Tumbling window + aggregate;
+    * `createEmpty=true` left-joins a generated window spine
+    * (sequence+explode — distributed, no driver loop) so empty windows
+    * emit nulls like Flux does. `offset` shifts the window grid;
+    * `location` buckets on that timezone's wall clock (Flux
+    * `timezone.location(name:)`): times convert into the zone, window,
+    * and the bucket labels convert back to UTC instants — the same
+    * from/to_utc_timestamp pair as the InfluxQL `tz()` path.
     */
   def aggregateWindow(
       every: String,
       fn: Column => Column,
       createEmpty: Boolean = false,
-      as: String = "_value"
+      as: String = "_value",
+      offset: String = "0 seconds",
+      location: String = null
   ): FluxFrame = {
-    val win = org.apache.spark.sql.functions.window(col(timeCol), every)
+    def toLocal(c: Column) =
+      if (location == null) c else from_utc_timestamp(c, location)
+    def toUtc(c: Column) =
+      if (location == null) c else to_utc_timestamp(c, location)
+    val win = org.apache.spark.sql.functions.window(
+      toLocal(col(timeCol)), every, every, offset)
     val aggCols = (keyCols :+ win.as("_w"))
     val agged = df.groupBy(aggCols: _*)
       .agg(fn(col(valueCol)).as(as))
-      .withColumn(timeCol, col("_w.end")) // Flux: timeDst = _stop by default
+      .withColumn(timeCol, toUtc(col("_w.end"))) // Flux: timeDst = _stop
       .drop("_w")
     val out =
       if (!createEmpty) agged
       else {
-        // spine: every window between global min/max per group key combo
+        // spine: every window between global min/max per group key
+        // combo, stepped on the (possibly local-wall-clock) grid and
+        // converted back to UTC instants to join the aggregate
         val everyExpr = expr(s"INTERVAL $every")
+        def wEnd(c: Column) = org.apache.spark.sql.functions
+          .window(toLocal(c), every, every, offset).getField("end")
         val bounds = df.groupBy(keyCols: _*)
           .agg(min(col(timeCol)).as("_lo"), max(col(timeCol)).as("_hi"))
         val spine = bounds
-          .withColumn("_wlo", org.apache.spark.sql.functions.window(col("_lo"), every).getField("end"))
-          .withColumn("_whi", org.apache.spark.sql.functions.window(col("_hi"), every).getField("end"))
-          .withColumn(timeCol, explode(sequence(col("_wlo"), col("_whi"), everyExpr)))
+          .withColumn("_wlo", wEnd(col("_lo")))
+          .withColumn("_whi", wEnd(col("_hi")))
+          .withColumn(timeCol, toUtc(explode(sequence(col("_wlo"), col("_whi"), everyExpr))))
           .select((keyCols :+ col(timeCol)): _*)
         spine.join(agged, groupKey :+ timeCol, "left")
       }

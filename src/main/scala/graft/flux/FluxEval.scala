@@ -93,9 +93,13 @@ object FluxEval {
     case "aggregateWindow" =>
       val fn = aggFn(call.args.getOrElse("fn", VIdent("mean")))
       val createEmpty = call.args.get("createEmpty").contains(VBool(true))
-      f.aggregateWindow(interval(call.args("every")), fn, createEmpty)
+      f.aggregateWindow(interval(call.args("every")), fn, createEmpty,
+        offset = call.args.get("offset").map(interval).getOrElse("0 seconds"),
+        location = call.args.get("location").map(str0).orNull)
     case "window" =>
-      f.window(interval(call.args("every")))
+      f.window(interval(call.args("every")),
+        period = call.args.get("period").map(interval).orNull,
+        offset = call.args.get("offset").map(interval).getOrElse("0 seconds"))
     case "keep" => f.keep(strArr(call.args, "columns"): _*)
     case "drop" => f.dropCols(strArr(call.args, "columns"): _*)
     case "rename" => call.args("columns") match {

@@ -150,7 +150,20 @@ object FluxParser {
       else if (peekStr("true")) { expect("true"); VBool(true) }
       else if (peekStr("false")) { expect("false"); VBool(false) }
       else if (i < src.length && (src(i).isDigit || src(i) == '-')) numOrDurOrTime()
-      else VIdent(ident())
+      else {
+        val id = ident()
+        // `timezone.location(name: "America/Chicago")` — the stdlib
+        // call Flux passes as `location:`; reduced to its zone string
+        if (id == "timezone" && peekStr(".")) {
+          expect("."); ws()
+          if (ident() != "location") fail("expected timezone.location(…)")
+          ws(); expect("("); ws()
+          if (ident() != "name") fail("expected timezone.location(name: …)")
+          ws(); expect(":"); ws()
+          val zone = stringLit(); ws(); expect(")")
+          VStr(zone)
+        } else VIdent(id)
+      }
     }
 
     private def recField(): (String, Value) = {

@@ -28,6 +28,19 @@ object FluxQueries {
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
         .orderBy("_measurement", "wend")),
 
+    // offset + timezone downsample: 1d buckets on the Etc/GMT+5 wall
+    // clock shifted to 06:00 local starts, labels back as UTC instants —
+    // the dashboard-day form (`timezone.location` in text).
+    "flux_tz_offset" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-11T00:00:00Z)
+          ||> filter(fn: (r) => r._measurement == "click" or r._measurement == "view")
+          ||> aggregateWindow(every: 1d, offset: 6h, fn: sum, location: timezone.location(name: "Etc/GMT+5"))""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("sum_v"))
+        .orderBy("_measurement", "wend")),
+
     "flux_topk" -> ((s, dir) =>
       FluxEval.run(
         """from(bucket: "events")
@@ -117,6 +130,15 @@ object FluxQueries {
         |  round(avg(value), 4) AS mean_v
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_tz_offset" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '1 day', ts - INTERVAL 5 HOUR, TIMESTAMP '2024-01-01 06:00:00')
+        |    + INTERVAL '1 day' + INTERVAL 5 HOUR AS wend,
+        |  round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
         |  AND event_type IN ('click', 'view')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "flux_topk" ->

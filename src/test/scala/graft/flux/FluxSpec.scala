@@ -222,6 +222,38 @@ class FluxSpec extends SparkSpec {
     assert(vals == Seq(1.0, 2.0, 3.0))
   }
 
+  test("aggregateWindow offset/location and window period/offset in text") {
+    // Etc/GMT+2 wall clock: 00:10Z-00:20Z points are 22:10-22:20 LOCAL
+    // of the PREVIOUS day, so the 1d bucket ends at local midnight =
+    // 02:00Z — a label UTC bucketing could never produce
+    val tz = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> aggregateWindow(every: 1d, fn: sum, location: timezone.location(name: "Etc/GMT+2"))""".stripMargin,
+      source)
+    val rows = tz.select(col("_time").cast("string"), col("_value"))
+      .as[(String, Double)].collect().toSet
+    assert(rows == Set(("2024-01-08 02:00:00", 4.0), ("2024-01-09 02:00:00", 5.0)))
+    // offset 30m shifts the grid: 00:10 and 00:20 share the
+    // [23:30, 00:30) bucket ending 00:30
+    val off = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> aggregateWindow(every: 1h, offset: 30m, fn: sum)""".stripMargin,
+      source)
+      .select(col("_time").cast("string"), col("_value"))
+      .as[(String, Double)].collect().toSet
+    assert(off.contains(("2024-01-08 00:30:00", 4.0)))
+    // window(): explicit period/offset reach the _start/_stop columns
+    val w = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> window(every: 1h, offset: 30m)""".stripMargin,
+      source)
+    assert(w.select(col("_start").cast("string")).distinct()
+      .as[String].collect().toSet == Set("2024-01-07 23:30:00", "2024-01-08 23:30:00"))
+  }
+
   test("reduce(): multi-field accumulator fold per group") {
     val out = FluxEval.run(
       """from(bucket: "b")
