@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llmops.{DedupOps, MultimodalOps, SimHashOps, TextOps, VectorOps}
+import graft.llmops.{DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,22 @@ object LlmQueries {
           k = 8, w = 4, minShared = 15, maxDf = 25))
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
+
+    // Deterministic train/val/test assignment by content-key hash —
+    // membership counts per (source, split) pin every row's label.
+    "split_assign" -> ((s, dir) =>
+      SampleOps.assignSplit(documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")),
+
+    // Deterministic stratified downsampling (domain mixing): exact
+    // sampled membership is the gate (doc_id listing, not counts).
+    "stratified_sample" -> ((s, dir) =>
+      SampleOps.stratifiedSample(documents(s, dir), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), default = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
 
     // Brute-force cosine top-3 for query vectors 0..4.
     "ann_brute" -> ((s, dir) => {
@@ -262,6 +278,22 @@ object LlmQueries {
       |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY 1)
       |""")
 
+  /** [[graft.llmops.SampleOps.hashU]] replicated digit-for-digit: the
+    * first 8 hex chars of md5(key) Horner-folded to a 32-bit int,
+    * scaled to [0,1). Ends with the `hu(doc_id, source, u)` CTE.
+    */
+  private val hashUCte = w(
+    """WITH hu AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      CAST(strpos('0123456789abcdef',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+      |        AS BIGINT)),
+      |      (a, b) -> a * 16 + b) / 4294967296.0 AS u
+      |  FROM documents
+      |)
+      |""")
+
   private val cosExpr =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
   private def cos(a: String, b: String) = cosExpr.format(a, b, a, a, b, b)
@@ -285,6 +317,17 @@ object LlmQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2""")),
+    "split_assign" -> (hashUCte + w(
+      """SELECT source,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM hu GROUP BY 1, 2 ORDER BY 1, 2""")),
+    "stratified_sample" -> (hashUCte + w(
+      """SELECT doc_id, source FROM hu
+        |WHERE u < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |                      WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""")),
     "dedup_clusters" -> (ccBase + w(
       """SELECT id, cid AS cluster_id FROM comp ORDER BY id""")),
     "dedup_keep" -> (ccBase + w(

@@ -253,6 +253,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash split: exhaustive, weight-proportional, re-run-stable") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val split = SampleOps.assignSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)             // every row labeled
+    assert(counts("train") > 1500 && counts("val") > 130 && counts("test") > 130)
+    // determinism: a second independent evaluation assigns identically
+    val again = SampleOps.assignSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("id", "split").as[(Long, String)].collect().toSet ==
+      again.select("id", "split").as[(Long, String)].collect().toSet)
+  }
+
+  test("stratified sample: per-stratum fraction, deterministic membership") {
+    val rows = spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val sampled = SampleOps.stratifiedSample(rows, "id", "s",
+      Map("0" -> 0.5, "1" -> 0.1), default = 0.0)
+    val by = sampled.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(!by.contains("2"))                       // default 0 drops stratum
+    assert(by("0") > 380 && by("0") < 620)          // ~500 of 1000
+    assert(by("1") > 60 && by("1") < 140)           // ~100 of 1000
+    // membership is a subset of the split's u-ordering: sampling at a
+    // higher fraction strictly contains the lower-fraction sample
+    val wider = SampleOps.stratifiedSample(rows, "id", "s",
+      Map("0" -> 0.8, "1" -> 0.3), default = 0.0)
+    val narrowSet = sampled.select("id").as[Long].collect().toSet
+    val widerSet = wider.select("id").as[Long].collect().toSet
+    assert(narrowSet.subsetOf(widerSet))
+  }
+
   test("dedupSurvivors keeps cluster minima and all singletons") {
     val out = DedupOps.dedupSurvivors(docs, "doc_id", Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"))
       .select("doc_id").as[Long].collect().toSet
