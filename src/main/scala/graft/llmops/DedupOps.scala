@@ -383,6 +383,31 @@ object DedupOps {
       .union(edges.select(col("v").as("id"), col("v").as("cluster_id")).distinct())
   }
 
+  /** Eval-set contamination probe: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with a document of the
+    * (small) eval set — the decontamination check an LLM training
+    * pipeline runs against its benchmark suites before training.
+    *
+    * Scale shape: the eval side is benchmark-sized by nature, so its
+    * shingle table BROADCASTS and the corpus side is one scan +
+    * map-side hash join + one bounded aggregation — the 100 TB corpus
+    * is never shuffled. Shingles are xxhash64'd before the join
+    * (8-byte keys in the broadcast table and the probe).
+    *
+    * Returns (corp_id, eval_id, shared).
+    */
+  def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int, minShared: Int): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val es = shingles(evalSet, idCol, textCol, n)
+      .select(col("id").as("eval_id"), xxhash64(col("shingle")).as("sh"))
+    cs.join(broadcast(es), "sh")
+      .groupBy("id", "eval_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id").as("corp_id"), col("eval_id"), col("shared"))
+  }
+
   /** Documents surviving near-duplicate collapse: everything except
     * non-canonical cluster members (each cluster keeps its minimum id).
     * One anti-join against the (small) doomed set — the pair list is

@@ -75,6 +75,26 @@ object TextOps {
       lit(0.3) * (lit(1.0) - least(digitRatio * 10.0, lit(1.0)))
   }
 
+  /** Total word-trigram occurrences (with repetition) of a document. */
+  def trigramTotal(text: Column): Column =
+    greatest(tokenCount(text) - 2, lit(0)).cast("long")
+
+  /** Distinct word-trigram count. Together with [[trigramTotal]] this
+    * gives the duplicate-n-gram fraction `1 − distinct/total` — the
+    * Gopher-style repetition quality rule (Rae et al. 2021 §A1.1:
+    * documents dominated by repeated n-grams are boilerplate/spam and
+    * get filtered). Pure expressions: runs in the scan projection.
+    */
+  def trigramDistinct(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n >= 3,
+      size(array_distinct(transform(sequence(lit(1), greatest(n - 2, lit(1))), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))))
+      .otherwise(lit(0)).cast("long")
+  }
+
   /** Content fingerprint: md5 of the normalized text (byte-identical
     * duplicates collapse).
     */

@@ -117,6 +117,31 @@ object LlmQueries {
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // Gopher-style repetition rule: per-source duplicate-trigram mass
+    // (integer sums — hash-exact) + count of documents whose duplicate
+    // fraction exceeds 0.2.
+    "repetition_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("source"),
+          TextOps.trigramTotal(col("text")).as("tt"),
+          TextOps.trigramDistinct(col("text")).as("td"))
+        .groupBy("source")
+        .agg(sum(col("tt")).as("total_tg"), sum(col("td")).as("distinct_tg"),
+          count(when(col("tt") > 0 &&
+            (lit(1.0) - col("td") / col("tt")) > 0.2, 1)).as("n_repetitive"))
+        .orderBy("source")),
+
+    // Benchmark decontamination: corpus docs (id >= 25) sharing >= 15
+    // distinct trigrams with an eval doc (id < 25); eval shingles
+    // broadcast, corpus never shuffles.
+    "contamination" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      DedupOps.contaminationPairs(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", 3, 15)
+        .orderBy("corp_id", "eval_id")
+    }),
+
     // Deterministic train/val/test assignment by content-key hash —
     // membership counts per (source, split) pin every row's label.
     "split_assign" -> ((s, dir) =>
@@ -317,6 +342,28 @@ object LlmQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2""")),
+    "repetition_stats" -> w(
+      s"""WITH tg AS (
+         |  SELECT source, greatest(len(arr) - 2, 0) AS tt,
+         |    CASE WHEN len(arr) >= 3 THEN len(list_distinct(
+         |      list_transform(range(1, len(arr) - 1),
+         |        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])))
+         |    ELSE 0 END AS td
+         |  FROM (SELECT source, $toksSql AS arr FROM documents)
+         |)
+         |SELECT source, CAST(sum(tt) AS BIGINT) AS total_tg,
+         |  CAST(sum(td) AS BIGINT) AS distinct_tg,
+         |  count(CASE WHEN tt > 0 AND 1.0 - td / CAST(tt AS DOUBLE) > 0.2
+         |             THEN 1 END) AS n_repetitive
+         |FROM tg GROUP BY 1 ORDER BY 1"""),
+    "contamination" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle FROM idx)
+         |SELECT c.doc_id AS corp_id, e.doc_id AS eval_id, count(*) AS shared
+         |FROM sh c JOIN sh e ON c.shingle = e.shingle
+         |WHERE c.doc_id >= 25 AND e.doc_id < 25
+         |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2"""),
     "split_assign" -> (hashUCte + w(
       """SELECT source,
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'

@@ -253,6 +253,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("trigram repetition stats flag boilerplate") {
+    val rows = Seq(
+      (0L, "a b c a b c a b c a b c"),
+      (1L, "one two three four five six"),
+      (2L, "just two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.trigramTotal(col("text")).as("tt"),
+        TextOps.trigramDistinct(col("text")).as("td"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(0L) == ((10L, 3L))) // abc/bca/cab only
+    assert(rows(1L) == ((4L, 4L)))
+    assert(rows(2L) == ((0L, 0L))) // < 3 tokens: no trigrams
+  }
+
+  test("contamination pairs find eval overlap via broadcast join") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally unrelated corpus document text here now")).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over a sleeping dog")).toDF("doc_id", "text")
+    val hits = DedupOps.contaminationPairs(corpus, eval, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hits == Seq((100L, 1L, 4L))) // 4 shared leading trigrams
+  }
+
   test("hash split: exhaustive, weight-proportional, re-run-stable") {
     val ids = spark.range(0, 2000).toDF("id")
     val split = SampleOps.assignSplit(ids, "id",
