@@ -100,6 +100,12 @@ object FluxEval {
       f.window(interval(call.args("every")),
         period = call.args.get("period").map(interval).orNull,
         offset = call.args.get("offset").map(interval).getOrElse("0 seconds"))
+    // type-conversion verbs: cast _value (Flux toFloat/toInt/toString)
+    case "toFloat" => f.mapValue(_.cast("double"))
+    case "toInt" => f.mapValue(_.cast("long"))
+    case "toString" => f.mapValue(_.cast("string"))
+    case "truncateTimeColumn" =>
+      f.withCol(f.timeCol, date_trunc(truncUnit(call.args("unit")), col(f.timeCol)))
     case "keep" => f.keep(strArr(call.args, "columns"): _*)
     case "drop" => f.dropCols(strArr(call.args, "columns"): _*)
     case "rename" => call.args("columns") match {
@@ -318,6 +324,19 @@ object FluxEval {
     case VIdent("median") => c => percentile(c, lit(0.5))
     case VIdent("stddev") => stddev_samp
     case other => throw EvalException(s"unsupported aggregate fn $other")
+  }
+
+  /** Flux truncateTimeColumn(unit: 1h) durations → date_trunc fields
+    * (truncation only makes sense on whole calendar units).
+    */
+  private def truncUnit(v: Value): String = v match {
+    case VDur(1, "s") => "second"
+    case VDur(1, "m") => "minute"
+    case VDur(1, "h") => "hour"
+    case VDur(1, "d") => "day"
+    case VDur(1, "w") => "week"
+    case other => throw EvalException(
+      s"truncateTimeColumn expects a unit duration (1s/1m/1h/1d/1w), got $other")
   }
 
   private def interval(v: Value): String = v match {

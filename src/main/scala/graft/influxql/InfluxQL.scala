@@ -19,6 +19,7 @@ package graft.influxql
  *   [WHERE …] [LIMIT n] [OFFSET n]
   * SHOW DATABASES | SHOW RETENTION POLICIES [ON db]
   * SHOW SERIES [FROM m] [WHERE …]
+  * SHOW SERIES|MEASUREMENT|TAG KEY|FIELD KEY CARDINALITY [ON db]
   * }}}
   *
   * Arithmetic projections (`SELECT mean(a) + mean(b)`,
@@ -184,8 +185,10 @@ object InfluxQL {
   /** `SHOW SERIES CARDINALITY` / `SHOW MEASUREMENT CARDINALITY` —
     * the v1 ops-dashboard cardinality probes.
     */
-  case object ShowSeriesCardinality extends Stmt
-  case object ShowMeasurementCardinality extends Stmt
+  final case class ShowSeriesCardinality(on: Option[String] = None) extends Stmt
+  final case class ShowMeasurementCardinality(on: Option[String] = None) extends Stmt
+  final case class ShowTagKeyCardinality(on: Option[String] = None) extends Stmt
+  final case class ShowFieldKeyCardinality(on: Option[String] = None) extends Stmt
 
   /** Display name for a FROM clause (v1 JSON `series.name`). */
   def fromName(f: From): String = f match {
@@ -309,9 +312,14 @@ object InfluxQL {
           ws()
           val offset = if (peekKw("OFFSET")) { kw("OFFSET"); ws(); Some(number().toInt) } else None
           ShowTagValues(m, sel, where, limit, offset)
-        } else { kw("KEYS"); ShowTagKeys(optFrom()) }
+        } else if (peekKw("KEYS")) { kw("KEYS"); ShowTagKeys(optFrom()) }
+        else { kw("KEY"); kw("CARDINALITY"); ShowTagKeyCardinality(optOn()) }
       }
-      else if (peekKw("FIELD")) { kw("FIELD"); kw("KEYS"); ShowFieldKeys(optFrom()) }
+      else if (peekKw("FIELD")) {
+        kw("FIELD")
+        if (peekKw("KEYS")) { kw("KEYS"); ShowFieldKeys(optFrom()) }
+        else { kw("KEY"); kw("CARDINALITY"); ShowFieldKeyCardinality(optOn()) }
+      }
       else if (peekKw("DATABASES")) { kw("DATABASES"); ShowDatabases }
       else if (peekKw("RETENTION")) {
         kw("RETENTION"); kw("POLICIES")
@@ -320,7 +328,7 @@ object InfluxQL {
       }
       else if (peekKw("SERIES")) {
         kw("SERIES")
-        if (peekKw("CARDINALITY")) { kw("CARDINALITY"); ShowSeriesCardinality }
+        if (peekKw("CARDINALITY")) { kw("CARDINALITY"); ShowSeriesCardinality(optOn()) }
         else {
           val m = optFrom(); ws()
           val where = if (peekKw("WHERE")) { kw("WHERE"); Some(orCond()) } else None
@@ -328,7 +336,7 @@ object InfluxQL {
         }
       }
       else if (peekKw("MEASUREMENT")) {
-        kw("MEASUREMENT"); kw("CARDINALITY"); ShowMeasurementCardinality
+        kw("MEASUREMENT"); kw("CARDINALITY"); ShowMeasurementCardinality(optOn())
       }
       else if (peekKw("CONTINUOUS")) {
         kw("CONTINUOUS"); kw("QUERIES"); ShowContinuousQueries
@@ -339,6 +347,9 @@ object InfluxQL {
 
     private def optFrom(): Option[String] =
       if (peekKw("FROM")) { kw("FROM"); Some(ident()) } else None
+
+    private def optOn(): Option[String] =
+      if (peekKw("ON")) { kw("ON"); Some(ident()) } else None
 
     private def select(): Select = {
       kw("SELECT")

@@ -71,12 +71,20 @@ object InfluxQLEval {
         "SHOW RETENTION POLICIES unsupported by this source")
       source.retentionPolicies(db)
     case ShowSeries(m, where) => showSeries(m, where, source)
-    case ShowSeriesCardinality =>
+    case ShowSeriesCardinality(_) =>
       showSeries(None, None, source).agg(count(lit(1)).as("count"))
-    case ShowMeasurementCardinality =>
+    case ShowMeasurementCardinality(_) =>
       require(source.measurements != null,
         "SHOW MEASUREMENT CARDINALITY unsupported by this source")
       source.measurements().agg(count(lit(1)).as("count"))
+    case ShowTagKeyCardinality(_) =>
+      require(source.tagKeys != null,
+        "SHOW TAG KEY CARDINALITY unsupported by this source")
+      source.tagKeys(None).agg(count(lit(1)).as("count"))
+    case ShowFieldKeyCardinality(_) =>
+      require(source.fieldKeys != null,
+        "SHOW FIELD KEY CARDINALITY unsupported by this source")
+      source.fieldKeys(None).agg(count(lit(1)).as("count"))
     case _: DeleteStmt | _: DropMeasurement | _: CreateCq | _: DropCq |
         ShowContinuousQueries =>
       throw EvalException(

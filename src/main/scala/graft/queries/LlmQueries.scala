@@ -192,6 +192,16 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Embedding-space near-dup clusters: connected components over the
+    // cosine-threshold pair list — the same star-contraction operator
+    // the text path uses, composed with the block-pair cosine join.
+    "embedding_clusters" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      DedupOps.connectedComponents(
+        VectorOps.cosineThresholdPairs(e, 0.45))
+        .orderBy("id")
+    }),
+
     // Multimodal plumbing (deterministic synthetic media; stub codec —
     // no SQL oracle, rows-only check; full assertions live in
     // MultimodalSpec).
@@ -499,6 +509,22 @@ object LlmQueries {
          |SELECT a.id AS id_a, b.id AS id_b, round(${cos("a.v", "b.v")}, 4) AS cos
          |FROM e a JOIN e b ON a.id < b.id
          |WHERE ${cos("a.v", "b.v")} >= 0.45 ORDER BY 1, 2"""),
+    "embedding_clusters" -> w(
+      s"""WITH RECURSIVE e AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.id AS id_a, b.id AS id_b FROM e a JOIN e b ON a.id < b.id
+         |  WHERE ${cos("a.v", "b.v")} >= 0.45),
+         |nodes AS MATERIALIZED (
+         |  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.u, re.r FROM edges ed JOIN reach re ON re.id = ed.v)
+         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1 ORDER BY 1"""),
     // media_frames: frame counts depend only on the synthetic generator's
     // duration arithmetic (video = every 3rd asset, duration
     // 1000*(1+i%5) ms, sampled every 250 ms) — independently recomputed.

@@ -60,7 +60,11 @@ object V1Query {
               import tsdb.spark.implicits._
               registry.list.filter(_._1 == db).map(t => (t._2, t._3))
                 .toDF("name", "query")
-            case other => InfluxQLEval.evalStmt(other, source)
+            case other =>
+              // `… CARDINALITY ON db` targets another database: re-source
+              val src = cardinalityOn(other).filter(_ != db)
+                .map(InfluxQLEval.tsdbSource(tsdb, _)).getOrElse(source)
+              InfluxQLEval.evalStmt(other, src)
           }
           val (name, tagCols) = readStmt match {
             case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
@@ -71,8 +75,10 @@ object V1Query {
             case InfluxQL.ShowDatabases => ("databases", Nil)
             case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
             case _: InfluxQL.ShowSeries => ("series", Nil)
-            case InfluxQL.ShowSeriesCardinality => ("series cardinality", Nil)
-            case InfluxQL.ShowMeasurementCardinality => ("measurement cardinality", Nil)
+            case _: InfluxQL.ShowSeriesCardinality => ("series cardinality", Nil)
+            case _: InfluxQL.ShowMeasurementCardinality => ("measurement cardinality", Nil)
+            case _: InfluxQL.ShowTagKeyCardinality => ("tag key cardinality", Nil)
+            case _: InfluxQL.ShowFieldKeyCardinality => ("field key cardinality", Nil)
             case InfluxQL.ShowContinuousQueries => (db, Nil)
             case other => throw new IllegalStateException(s"unserializable $other")
           }
@@ -81,6 +87,14 @@ object V1Query {
     }
     // an empty result still answers with one empty statement result
     mapper.writeValueAsString(root)
+  }
+
+  private def cardinalityOn(s: InfluxQL.Stmt): Option[String] = s match {
+    case InfluxQL.ShowSeriesCardinality(on) => on
+    case InfluxQL.ShowMeasurementCardinality(on) => on
+    case InfluxQL.ShowTagKeyCardinality(on) => on
+    case InfluxQL.ShowFieldKeyCardinality(on) => on
+    case _ => None
   }
 
   /** Evaluate the SELECT (sans INTO), convert its result rows to

@@ -55,6 +55,11 @@ class InfluxQLSpec extends SparkSpec {
       ShowTagValues(None, KeyRegex("^h", negated = false), None))
     assert(InfluxQL.parse("SHOW TAG VALUES WITH KEY !~ /id$/ LIMIT 3") ==
       ShowTagValues(None, KeyRegex("id$", negated = true), None, Some(3)))
+    assert(InfluxQL.parse("SHOW TAG KEY CARDINALITY") == ShowTagKeyCardinality(None))
+    assert(InfluxQL.parse("SHOW FIELD KEY CARDINALITY ON db2") ==
+      ShowFieldKeyCardinality(Some("db2")))
+    assert(InfluxQL.parse("SHOW SERIES CARDINALITY ON db2") ==
+      ShowSeriesCardinality(Some("db2")))
     assert(InfluxQL.parse("SELECT mean(v) FROM a, b").asInstanceOf[Select].from ==
       FromMeasurements(Seq("a", "b")))
     assert(InfluxQL.parse("SELECT mean(v) FROM /cpu.*/").asInstanceOf[Select].from ==
@@ -570,6 +575,14 @@ class InfluxQLSpec extends SparkSpec {
       .get("values").get(0).get(0).asLong() >= 4L)
     assert(card.get("results").get(1).get("series").get(0)
       .get("values").get(0).get(0).asLong() >= 3L)
+    // tag/field key cardinality (with the ON db form targeting this db)
+    val kcard = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "cqdb",
+        "SHOW TAG KEY CARDINALITY; SHOW FIELD KEY CARDINALITY ON cqdb", Some(cqs)))
+    assert(kcard.get("results").get(0).get("series").get(0)
+      .get("values").get(0).get(0).asLong() == 1L) // host
+    assert(kcard.get("results").get(1).get("series").get(0)
+      .get("values").get(0).get(0).asLong() >= 3L) // usage, used, mean, …
 
     // DELETE with time bound + tag predicate, then DROP MEASUREMENT
     graft.service.V1Query.run(tsdb, "cqdb",
