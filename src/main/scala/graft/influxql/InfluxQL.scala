@@ -14,7 +14,8 @@ package graft.influxql
   *   [GROUP BY time(1h[, offset])[, tag, …]] [FILL(none|null|0|…)]
   *   [ORDER BY time DESC] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
   *   [tz('America/Chicago')]
-  * SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
+  * SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = m] [LIMIT n] [OFFSET n]
+  * SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
   * SHOW TAG VALUES [FROM m] WITH KEY = "k" | IN ("k", …) | =~ /re/ | !~ /re/
  *   [WHERE …] [LIMIT n] [OFFSET n]
   * SHOW DATABASES | SHOW RETENTION POLICIES [ON db]
@@ -142,7 +143,12 @@ object InfluxQL {
         * only meaningful inside CREATE CONTINUOUS QUERY.
         */
       into: Option[String] = None) extends Stmt
-  case object ShowMeasurements extends Stmt
+  /** `SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = name] [LIMIT n]
+    * [OFFSET n]` — regex selection is what Grafana's measurement
+    * template variables issue. The `=` form is an anchored literal.
+    */
+  final case class ShowMeasurements(regex: Option[String] = None,
+      limit: Option[Int] = None, offset: Option[Int] = None) extends Stmt
   final case class ShowTagKeys(from: Option[String]) extends Stmt
   final case class ShowFieldKeys(from: Option[String]) extends Stmt
   /** Key selector of `SHOW TAG VALUES WITH KEY …`: `= "k"`,
@@ -286,7 +292,21 @@ object InfluxQL {
 
     private def show(): Stmt = {
       kw("SHOW")
-      if (peekKw("MEASUREMENTS")) { kw("MEASUREMENTS"); ShowMeasurements }
+      if (peekKw("MEASUREMENTS")) {
+        kw("MEASUREMENTS"); ws()
+        val re =
+          if (peekKw("WITH")) {
+            kw("WITH"); kw("MEASUREMENT"); ws()
+            if (peekStr("=~")) { expect("=~"); ws(); Some(regexLit()) }
+            else { expect("="); ws()
+              Some("^" + java.util.regex.Pattern.quote(ident()) + "$") }
+          } else None
+        ws()
+        val lim = if (peekKw("LIMIT")) { kw("LIMIT"); ws(); Some(number().toInt) } else None
+        ws()
+        val off = if (peekKw("OFFSET")) { kw("OFFSET"); ws(); Some(number().toInt) } else None
+        ShowMeasurements(re, lim, off)
+      }
       else if (peekKw("TAG")) {
         kw("TAG")
         if (peekKw("VALUES")) {

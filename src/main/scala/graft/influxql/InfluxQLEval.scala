@@ -52,9 +52,13 @@ object InfluxQLEval {
     */
   def evalStmt(stmt: Stmt, source: Source): DataFrame = stmt match {
     case s: Select => select(s, source)
-    case ShowMeasurements =>
+    case ShowMeasurements(re, lim, off) =>
       require(source.measurements != null, "SHOW MEASUREMENTS unsupported by this source")
-      source.measurements()
+      val base = source.measurements()
+      val nameCol = col(base.columns.head)
+      val filtered = re.map(r => base.filter(nameCol.rlike(r))).getOrElse(base)
+      val shifted = off.map(filtered.offset).getOrElse(filtered)
+      lim.map(shifted.limit).getOrElse(shifted)
     case ShowTagKeys(m) =>
       require(source.tagKeys != null, "SHOW TAG KEYS unsupported by this source")
       source.tagKeys(m)

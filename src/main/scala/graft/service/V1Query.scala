@@ -68,7 +68,7 @@ object V1Query {
           }
           val (name, tagCols) = readStmt match {
             case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
-            case InfluxQL.ShowMeasurements => ("measurements", Nil)
+            case _: InfluxQL.ShowMeasurements => ("measurements", Nil)
             case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
             case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
             case _: InfluxQL.ShowTagValues => ("tagValues", Nil)

@@ -27,7 +27,11 @@ class InfluxQLSpec extends SparkSpec {
   }
 
   test("parses SHOW statements and quoted identifiers") {
-    assert(InfluxQL.parse("SHOW MEASUREMENTS") == ShowMeasurements)
+    assert(InfluxQL.parse("SHOW MEASUREMENTS") == ShowMeasurements())
+    assert(InfluxQL.parse("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^cpu/ LIMIT 5 OFFSET 1") ==
+      ShowMeasurements(Some("^cpu"), Some(5), Some(1)))
+    assert(InfluxQL.parse("SHOW MEASUREMENTS WITH MEASUREMENT = cpu") ==
+      ShowMeasurements(Some("^\\Qcpu\\E$"), None, None))
     assert(InfluxQL.parse("SHOW TAG KEYS FROM cpu") == ShowTagKeys(Some("cpu")))
     assert(InfluxQL.parse("SHOW FIELD KEYS") == ShowFieldKeys(None))
     val s = InfluxQL.parse("""SELECT mean("usage user") FROM "my cpu"""")
@@ -466,7 +470,7 @@ class InfluxQLSpec extends SparkSpec {
   test("parseAll: semicolon-separated statement batches") {
     val stmts = InfluxQL.parseAll(
       "SELECT mean(usage) FROM cpu; SHOW MEASUREMENTS ; SELECT count(usage) FROM cpu;")
-    assert(stmts.size == 3 && stmts(1) == ShowMeasurements)
+    assert(stmts.size == 3 && stmts(1) == ShowMeasurements())
     // a bare single statement still parses through parseAll
     assert(InfluxQL.parseAll("SHOW DATABASES") == Seq(ShowDatabases))
   }
@@ -497,6 +501,12 @@ class InfluxQLSpec extends SparkSpec {
       .get("values").get(0).get(0).asText() == "cpu")
     // admin SHOWs over the same catalog
     val src = InfluxQLEval.tsdbSource(tsdb, "v1db")
+    assert(InfluxQLEval.run("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^c/", src)
+      .as[String].collect().toSeq == Seq("cpu"))
+    assert(InfluxQLEval.run("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^z/", src)
+      .as[String].collect().isEmpty)
+    assert(InfluxQLEval.run("SHOW MEASUREMENTS WITH MEASUREMENT = cpu LIMIT 1", src)
+      .as[String].collect().toSeq == Seq("cpu"))
     assert(InfluxQLEval.run("SHOW DATABASES", src)
       .as[String].collect().toSeq.contains("v1db"))
     val rp = InfluxQLEval.run("SHOW RETENTION POLICIES", src)

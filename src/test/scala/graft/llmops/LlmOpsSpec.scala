@@ -232,6 +232,17 @@ class LlmOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components contract a long chain in O(log² n) rounds") {
+    // a 300-node path graph has diameter 299: min-label propagation
+    // would need ~300 rounds; star contraction must finish in ≤ 12 —
+    // the property that makes chained near-dups tractable at 100 TB
+    // (maxIter throws if exceeded, so convergence speed IS asserted)
+    val chain = (0L until 299L).map(i => (i, i + 1))
+    val cc = DedupOps.connectedComponents(chain.toDF("id_a", "id_b"), maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 300 && cc.forall(_._2 == 0L))
+  }
+
   test("connected components match brute-force closure on random graphs") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 3) {
