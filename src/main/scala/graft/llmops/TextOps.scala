@@ -209,4 +209,32 @@ object TextOps {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Incremental near-dup probe: match a NEW ingest batch against an
+    * EXISTING corpus fingerprint index without touching corpus text.
+    * `corpusFps` is the persisted `(id, fps)` output of
+    * [[winnowFingerprints]] — at production scale it lives as a parquet
+    * index appended per batch, so daily dedup fingerprints only the new
+    * documents. The batch side is small by nature, so its exploded
+    * fingerprints BROADCAST; the corpus index is scanned once, never
+    * shuffled (the same shape as the contamination probe). The df-cap
+    * drops stopword-grade fingerprints, measured over the corpus index
+    * (where the index build would apply it).
+    *
+    * Returns (new_id, corpus_id, shared).
+    */
+  def incrementalDedupPairs(newDocs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      corpusFps: org.apache.spark.sql.DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 15,
+      maxDf: Int = DedupOps.DefaultMaxDf): org.apache.spark.sql.DataFrame = {
+    val corpEx = DedupOps.capShingles(
+      corpusFps.select(col("id"), explode(col("fps")).as("shingle")), maxDf)
+      .select(col("id").as("corpus_id"), col("shingle"))
+    val newEx = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
+    corpEx.join(broadcast(newEx), "shingle")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -100,6 +100,19 @@ object LlmQueries {
         k = 8, w = 4, minShared = 15, maxDf = 25)
         .orderBy("id_a", "id_b")),
 
+    // Incremental dedup: the "new batch" (doc_id % 10 >= 8) probes the
+    // persisted corpus fingerprint index (doc_id % 10 < 8) — corpus
+    // text is never re-read, the batch fingerprints broadcast.
+    "incremental_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val corpusIdx = TextOps.winnowFingerprints(
+        docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
+      TextOps.incrementalDedupPairs(
+        docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text",
+        corpusIdx, minShared = 15, maxDf = 25)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // Cluster assignment over the winnowing near-dup pairs: alternating
     // large-star/small-star connected components (min-id representative).
     "dedup_clusters" -> ((s, dir) =>
@@ -374,6 +387,15 @@ object LlmQueries {
          |FROM sh c JOIN sh e ON c.shingle = e.shingle
          |WHERE c.doc_id >= 25 AND e.doc_id < 25
          |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2"""),
+    "incremental_dedup" -> (winnowBase.stripSuffix("\n") + w(
+      """, cex AS (SELECT doc_id, unnest(fps) AS f FROM fp WHERE doc_id % 10 < 8),
+        |ccap AS (
+        |  SELECT * FROM cex
+        |  WHERE f IN (SELECT f FROM cex GROUP BY f HAVING count(*) <= 25)),
+        |nex AS (SELECT doc_id, unnest(fps) AS f FROM fp WHERE doc_id % 10 >= 8)
+        |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS shared
+        |FROM ccap c JOIN nex n ON c.f = n.f
+        |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2""")),
     "split_assign" -> (hashUCte + w(
       """SELECT source,
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'

@@ -290,6 +290,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits == Seq((100L, 1L, 4L))) // 4 shared leading trigrams
   }
 
+  test("incremental dedup probes the corpus index without corpus text") {
+    val corpus = docs.filter(col("doc_id").isin(0L, 2L, 3L))
+    val idx = TextOps.winnowFingerprints(corpus, "doc_id", "text")
+    val hits = TextOps.incrementalDedupPairs(
+      docs.filter(col("doc_id") === 1L), "doc_id", "text", idx, minShared = 3)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((1L, 0L)))  // exact dup of doc 0 found
+    assert(!hits.exists(_._2 == 3L)) // unrelated corpus doc not matched
+  }
+
   test("hash split: exhaustive, weight-proportional, re-run-stable") {
     val ids = spark.range(0, 2000).toDF("id")
     val split = SampleOps.assignSplit(ids, "id",
