@@ -23,7 +23,14 @@ object Bench {
     // a no-op foreach over the rows materializes the complete result.
     // streaming gate entries measure micro-batch orchestration (temp
     // warehouses, checkpoints), not query throughput — correctness-only
-    val benchQueries = SparkEntry.queries -- SparkEntry.streamingOnly
+    val benchAll = SparkEntry.queries -- SparkEntry.streamingOnly
+    // Optional comma-separated filter for single-query A/B runs.
+    val benchQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) =>
+        val keep = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        benchAll.filter { case (k, _) => keep(k) }
+      case None => benchAll
+    }
 
     // Per-query medians over INTERLEAVED passes: each pass runs every
     // query once, so a machine-load spike lands on different queries in
@@ -32,15 +39,24 @@ object Bench {
     // single-shot timings swung 6× on unchanged code; the median-of-3
     // spread is what makes a real 2× regression distinguishable.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val names = benchQueries.keys.toVector
+    val allNames = benchQueries.keys.toVector
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    for (_ <- 1 to reps; name <- names) {
+    // A failed query must NOT bench as ~0 s (it would read as a speedup):
+    // record the first exception per query and exclude it from the totals.
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to reps; name <- allNames; if !errors.contains(name)) {
       val t0 = System.nanoTime()
-      try { benchQueries(name)(spark, sfDir).foreach(_ => ()) }
-      catch { case _: Throwable => () }
-      times(name) = times.getOrElse(name, Vector.empty) :+
-        (System.nanoTime() - t0) / 1e9
+      try {
+        benchQueries(name)(spark, sfDir).foreach(_ => ())
+        times(name) = times.getOrElse(name, Vector.empty) :+
+          (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+      }
     }
+    val names = allNames.filterNot(errors.contains)
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -55,7 +71,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("?")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sf"}""")
+    val errJson = errors.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -134,10 +134,7 @@ object LlmQueries {
     // (integer sums — hash-exact) + count of documents whose duplicate
     // fraction exceeds 0.2.
     "repetition_stats" -> ((s, dir) =>
-      documents(s, dir)
-        .select(col("source"),
-          TextOps.trigramTotal(col("text")).as("tt"),
-          TextOps.trigramDistinct(col("text")).as("td"))
+      TextOps.trigramStats(documents(s, dir), "source", "text")
         .groupBy("source")
         .agg(sum(col("tt")).as("total_tg"), sum(col("td")).as("distinct_tg"),
           count(when(col("tt") > 0 &&

@@ -279,6 +279,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(2L) == ((0L, 0L))) // < 3 tokens: no trigrams
   }
 
+  test("compiled trigramStats matches the Column forms bit-for-bit") {
+    val sample = Seq(
+      (0L, "a b c a b c a b c a b c"),
+      (1L, "one two three four five six"),
+      (2L, "just two"),
+      (3L, ""),
+      (4L, "  Mixed   CASE\ttabs\nand  newlines repeated repeated repeated "),
+      (5L, "x y x y x y x y z"))
+      .toDF("doc_id", "text")
+    val viaColumns = sample
+      .select(col("doc_id"), TextOps.trigramTotal(col("text")).as("tt"),
+        TextOps.trigramDistinct(col("text")).as("td"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaCompiled = TextOps.trigramStats(sample, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1.toLong -> ((r._2, r._3))).toMap
+    assert(viaCompiled == viaColumns)
+  }
+
   test("contamination pairs find eval overlap via broadcast join") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
