@@ -11,7 +11,7 @@ package graft.influxql
   * SELECT <agg>(field)[, …] | field[, …] | * | <arith over aggs/fields>
   *   FROM measurement[, …] | /regex/ | ( SELECT … )
   *   [WHERE time >= '…' AND time < now() - 7d AND tag = 'v' AND tag =~ /re/ …]
-  *   [GROUP BY time(1h[, offset])[, tag, …]] [FILL(none|null|0|…)]
+  *   [GROUP BY time(1h[, offset])[, tag, …]] [FILL(none|null|previous|linear|0|…)]
   *   [ORDER BY time DESC] [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
   *   [tz('America/Chicago')]
   * SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = m] [LIMIT n] [OFFSET n]
@@ -93,6 +93,7 @@ object InfluxQL {
   case object FillNull extends Fill
   final case class FillValue(v: Double) extends Fill
   case object FillPrevious extends Fill
+  case object FillLinear extends Fill
 
   sealed trait Lit
   final case class LStr(s: String) extends Lit
@@ -414,6 +415,7 @@ object InfluxQL {
             if (peekKw("none")) { kw("none"); FillNone }
             else if (peekKw("null")) { kw("null"); FillNull }
             else if (peekKw("previous")) { kw("previous"); FillPrevious }
+            else if (peekKw("linear")) { kw("linear"); FillLinear }
             else FillValue(number())
           ws(); expect(")")
           f

@@ -717,6 +717,25 @@ object InfluxQLEval {
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
           aggNames.foldLeft(joined)((df, n) =>
             df.withColumn(n, last(col(n), ignoreNulls = true).over(w)))
+        case FillLinear =>
+          // v1 fill(linear): interpolate empty buckets between the
+          // nearest non-null neighbors on each side; leading/trailing
+          // gaps (no neighbor) stay null. Same neighbor-window algebra
+          // as FluxFrame.interpolateLinear, per series partition — the
+          // window is bounded by (range ÷ interval) spine rows.
+          val W = org.apache.spark.sql.expressions.Window
+          val base = W.partitionBy(s.groupTags.map(col): _*).orderBy(col("time"))
+          val back = base.rowsBetween(W.unboundedPreceding, -1)
+          val fwd = base.rowsBetween(1, W.unboundedFollowing)
+          val tSec = col("time").cast("double")
+          aggNames.foldLeft(joined) { (df, n) =>
+            val pv = last(col(n), ignoreNulls = true).over(back)
+            val pt = last(when(col(n).isNotNull, tSec), ignoreNulls = true).over(back)
+            val nv = first(col(n), ignoreNulls = true).over(fwd)
+            val nt = first(when(col(n).isNotNull, tSec), ignoreNulls = true).over(fwd)
+            df.withColumn(n, when(col(n).isNotNull, col(n))
+              .otherwise(pv + (nv - pv) * (tSec - pt) / (nt - pt)))
+          }
         case _ => joined // FillNull: spine rows keep their nulls
       }
   }

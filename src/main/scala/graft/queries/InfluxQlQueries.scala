@@ -224,7 +224,20 @@ object InfluxQlQueries {
           "GROUP BY time(1h) FILL(0)",
         source(s, dir))
         .select(col("time").as("wstart"), r4(col("sum_v")).as("sum_v"))
-        .orderBy("wstart"))
+        .orderBy("wstart")),
+
+    // FILL(linear): empty windows interpolate between the nearest
+    // non-empty neighbors per series; leading/trailing gaps stay null
+    // (v1 semantics — Grafana's "linear" panel fill).
+    "iql_fill_linear" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sum(value) AS sum_v FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "AND value > 97 " +
+          "GROUP BY time(1h), event_type FILL(linear)",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("sum_v")).as("sum_v"))
+        .orderBy("event_type", "wstart"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -370,6 +383,43 @@ object InfluxQlQueries {
         |    TIMESTAMP '2024-01-08 23:00:00', INTERVAL '1 hour')) AS wstart
         |)
         |SELECT s.wstart, round(coalesce(a.sum_v, 0), 4) AS sum_v
-        |FROM spine s LEFT JOIN agg a ON s.wstart = a.wstart ORDER BY 1""")
+        |FROM spine s LEFT JOIN agg a ON s.wstart = a.wstart ORDER BY 1"""),
+    "iql_fill_linear" -> w(
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |    AND value > 97
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    sum(value) AS sum_v
+        |  FROM f GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT s.wstart, t.event_type FROM
+        |    (SELECT unnest(generate_series(
+        |      TIMESTAMP '2024-01-08 00:00:00',
+        |      TIMESTAMP '2024-01-08 23:00:00', INTERVAL '1 hour')) AS wstart) s
+        |    CROSS JOIN (SELECT DISTINCT event_type FROM agg) t
+        |), j AS (
+        |  SELECT s.wstart, s.event_type, a.sum_v
+        |  FROM spine s LEFT JOIN agg a
+        |    ON s.wstart = a.wstart AND s.event_type = a.event_type
+        |), st AS (
+        |  SELECT wstart, event_type, sum_v,
+        |    last_value(sum_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wstart
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN sum_v IS NOT NULL THEN epoch(wstart) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY wstart
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |    first_value(sum_v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wstart
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN sum_v IS NOT NULL THEN epoch(wstart) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY wstart
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j
+        |)
+        |SELECT wstart, event_type,
+        |  round(CASE WHEN sum_v IS NOT NULL THEN sum_v
+        |    ELSE pv + (nv - pv) * (epoch(wstart) - pt) / (nt - pt) END, 4) AS sum_v
+        |FROM st ORDER BY 2, 1""")
   )
 }

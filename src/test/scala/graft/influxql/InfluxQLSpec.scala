@@ -223,6 +223,27 @@ class InfluxQLSpec extends SparkSpec {
     assert(rows.contains(("2024-01-08 01:00:00", "h2", 0.0)))
   }
 
+  test("fill(linear) interpolates interior gaps, leaves leading/trailing gaps null") {
+    // one series: values at 01:00 (10) and 04:00 (40); queried 00:00-06:00
+    val gappy = Seq(
+      ("2024-01-08 01:00:00", "h1", 10.0),
+      ("2024-01-08 04:00:00", "h1", 40.0))
+      .toDF("t", "host", "usage")
+      .select(col("t").cast("timestamp").as("time"), col("host"), col("usage"))
+    val out = InfluxQLEval.run(
+      "SELECT sum(usage) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-08T06:00:00Z' GROUP BY time(1h), host FILL(linear)",
+      InfluxQLEval.Source(resolve = _ => gappy))
+    val rows = out.select(col("time").cast("string"), col("sum"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(rows("2024-01-08 00:00:00").isEmpty)       // leading gap: null
+    assert(rows("2024-01-08 01:00:00").contains(10.0))
+    assert(rows("2024-01-08 02:00:00").contains(20.0)) // interpolated
+    assert(rows("2024-01-08 03:00:00").contains(30.0)) // interpolated
+    assert(rows("2024-01-08 04:00:00").contains(40.0))
+    assert(rows("2024-01-08 05:00:00").isEmpty)       // trailing gap: null
+  }
+
   test("ungrouped aggregate, tag filter, first/last selectors") {
     val out = InfluxQLEval.run(
       "SELECT first(usage), last(usage), spread(usage) FROM cpu WHERE host = 'h1'", source)
