@@ -53,9 +53,17 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
     p.agg(first(coalesce(col("value_f"), col("value_i").cast("double"))))
   }
 
-  /** Line-protocol batch write (the /api/v2/write path). */
-  def writeLp(bucket: String, lines: Seq[String], defaultTimeNs: Long = System.currentTimeMillis() * 1000000L): Unit = {
-    val df = graft.lineprotocol.LpIngest.parseStrict(lines, defaultTimeNs, spark)
+  /** Line-protocol batch write (the /api/v2/write path). `precision`
+    * scales supplied raw timestamps (s/ms/us/ns — the v2 write API's
+    * `precision=` query param; Telegraf writes s by default).
+    */
+  def writeLp(bucket: String, lines: Seq[String],
+      defaultTimeNs: Long = System.currentTimeMillis() * 1000000L,
+      precision: String = "ns"): Unit = {
+    val scale = graft.lineprotocol.LineProtocol.precisionScale(precision)
+      .getOrElse(throw graft.lineprotocol.LineProtocol.ParseError(
+        precision, "invalid precision (want s|ms|us|ns)"))
+    val df = graft.lineprotocol.LpIngest.parseStrict(lines, defaultTimeNs, spark, scale)
     store.write(bucket, df)
   }
 }

@@ -30,7 +30,8 @@ object LineProtocol {
     * comment lines. Throws ParseError on malformed input (callers on the
     * ingest path use [[parseLenient]]).
     */
-  def parseLine(line: String, defaultTimeNs: => Long = System.currentTimeMillis() * 1000000L): Seq[Point] = {
+  def parseLine(line: String, defaultTimeNs: => Long = System.currentTimeMillis() * 1000000L,
+      tsScaleNs: Long = 1L): Seq[Point] = {
     val s = line
     if (s == null) return Nil
     val trimmed = s.trim
@@ -96,7 +97,9 @@ object LineProtocol {
         hasTs = true
       }
     }
-    val timeNs = if (hasTs) ts else defaultTimeNs
+    // precision= scaling applies to SUPPLIED timestamps only; lines
+    // without one get the server-assigned default, which is already ns.
+    val timeNs = if (hasTs) ts * tsScaleNs else defaultTimeNs
     val tagMap = tags.result()
 
     fields.reverse.map { case (fk, fv) =>
@@ -115,8 +118,18 @@ object LineProtocol {
     * path routes them to a rejected-lines metric instead of failing the
     * batch).
     */
-  def parseLenient(line: String, defaultTimeNs: => Long): Seq[Point] =
-    try parseLine(line, defaultTimeNs)
+  /** ns multiplier for a v2 `precision=` query param value. */
+  def precisionScale(p: String): Option[Long] = p match {
+    case "ns" => Some(1L)
+    case "us" => Some(1000L)
+    case "ms" => Some(1000000L)
+    case "s"  => Some(1000000000L)
+    case _    => None
+  }
+
+  def parseLenient(line: String, defaultTimeNs: => Long,
+      tsScaleNs: Long = 1L): Seq[Point] =
+    try parseLine(line, defaultTimeNs, tsScaleNs)
     catch { case _: ParseError => Nil }
 
   sealed trait FieldValue

@@ -34,11 +34,12 @@ object LpIngest {
     * @param defaultTimeNs timestamp assigned to lines without one (the
     *   engine's server-assigned time); fixed per batch for determinism.
     */
-  def parse(lines: Dataset[String], defaultTimeNs: Long = System.currentTimeMillis() * 1000000L): DataFrame = {
+  def parse(lines: Dataset[String], defaultTimeNs: Long = System.currentTimeMillis() * 1000000L,
+      tsScaleNs: Long = 1L): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
     val parsed: Dataset[Parsed] = lines.flatMap { line =>
-      LineProtocol.parseLenient(line, defaultTimeNs).map { p =>
+      LineProtocol.parseLenient(line, defaultTimeNs, tsScaleNs).map { p =>
         Parsed(p.measurement, p.tags, p.field, p.valueF, p.valueI, p.valueU, p.valueS, p.valueB, p.timeNs)
       }
     }
@@ -57,9 +58,10 @@ object LpIngest {
   /** Strict batch parse: throws on the first malformed line (used by
     * tests and the non-lenient write API).
     */
-  def parseStrict(lines: Seq[String], defaultTimeNs: Long, spark: SparkSession): DataFrame = {
+  def parseStrict(lines: Seq[String], defaultTimeNs: Long, spark: SparkSession,
+      tsScaleNs: Long = 1L): DataFrame = {
     import spark.implicits._
-    val pts = lines.flatMap(l => LineProtocol.parseLine(l, defaultTimeNs)).map { p =>
+    val pts = lines.flatMap(l => LineProtocol.parseLine(l, defaultTimeNs, tsScaleNs)).map { p =>
       Parsed(p.measurement, p.tags, p.field, p.valueF, p.valueI, p.valueU, p.valueS, p.valueB, p.timeNs)
     }
     withTimeColumns(spark.createDataset(pts).toDF())

@@ -94,13 +94,16 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
         case None => respond(ex, 401, err("unauthorized: write token required"))
         case Some(_) =>
           val bucket = query(ex, "bucket").getOrElse("")
+          val precision = query(ex, "precision").getOrElse("ns")
           if (tsdb.catalog.bucket(bucket).isEmpty)
             respond(ex, 404, err(s"bucket '$bucket' not found"))
+          else if (graft.lineprotocol.LineProtocol.precisionScale(precision).isEmpty)
+            respond(ex, 400, err(s"invalid precision '$precision' (want s|ms|us|ns)"))
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
             val lines = body.split('\n').toSeq.filter(_.trim.nonEmpty)
             try {
-              tsdb.writeLp(bucket, lines)
+              tsdb.writeLp(bucket, lines, precision = precision)
               respond(ex, 204, "")
             } catch {
               case e: graft.lineprotocol.LineProtocol.ParseError =>

@@ -130,4 +130,21 @@ class LineProtocolSpec extends AnyFunSuite {
       assert(parsed == Seq(p), s"round-trip failed for: $line")
     }
   }
+
+  test("precision= scales supplied timestamps; absent timestamps get server ns") {
+    val rawTs = 1705276800L // 2024-01-15T00:00:00Z in SECONDS
+    val wantNs = rawTs * 1000000000L
+    val serverNs = 42L
+    val cases = Seq( // precision -> raw timestamp written at that unit
+      ("ns", wantNs), ("us", rawTs * 1000000L), ("ms", rawTs * 1000L), ("s", rawTs))
+    for ((p, raw) <- cases) {
+      val scale = LineProtocol.precisionScale(p).get
+      val withTs = LineProtocol.parseLine(s"cpu,host=h1 usage=0.5 $raw", serverNs, scale)
+      assert(withTs.head.timeNs == wantNs, s"precision=$p")
+      // no timestamp on the line: server default is already ns — unscaled
+      val noTs = LineProtocol.parseLine("cpu,host=h1 usage=0.5", serverNs, scale)
+      assert(noTs.head.timeNs == serverNs, s"precision=$p default")
+    }
+    assert(LineProtocol.precisionScale("m").isEmpty)
+  }
 }

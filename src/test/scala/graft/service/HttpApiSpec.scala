@@ -50,6 +50,26 @@ class HttpApiSpec extends SparkSpec {
     assert(post("/api/v2/write?bucket=nope", lp, Some("rwTok")).statusCode() == 404)
   }
 
+  test("write precision= param scales timestamps to the same stored ns") {
+    import org.apache.spark.sql.functions.col
+    tsdb.catalog.createBucket("precb", "greengrass")
+    val sec = 1706313600L // 2024-01-27T00:00:00Z
+    // the same instant written at four precisions must store one time_ns
+    assert(post(s"/api/v2/write?bucket=precb&precision=s",
+      s"p,u=s v=1 $sec", Some("rwTok")).statusCode() == 204)
+    assert(post(s"/api/v2/write?bucket=precb&precision=ms",
+      s"p,u=ms v=1 ${sec * 1000L}", Some("rwTok")).statusCode() == 204)
+    assert(post(s"/api/v2/write?bucket=precb&precision=us",
+      s"p,u=us v=1 ${sec * 1000000L}", Some("rwTok")).statusCode() == 204)
+    assert(post(s"/api/v2/write?bucket=precb",
+      s"p,u=ns v=1 ${sec * 1000000000L}", Some("rwTok")).statusCode() == 204)
+    val stored = tsdb.from("precb").df
+      .select(col("time_ns")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(stored == Seq(sec * 1000000000L))
+    assert(post("/api/v2/write?bucket=precb&precision=m", "p v=1", Some("rwTok"))
+      .statusCode() == 400)
+  }
+
   test("malformed line protocol is a 400, not a 500") {
     val r = post("/api/v2/write?bucket=telemetry", "cpu,host= broken", Some("rwTok"))
     assert(r.statusCode() == 400)
