@@ -39,6 +39,7 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
   def to(bucket: String, df: DataFrame): Unit = {
     val canon = df.select(graft.model.Point.columns.map(c =>
       if (df.columns.contains(c)) col(c)
+      else if (c == "tags") map().cast(graft.model.Point.schema(c).dataType).as(c)
       else lit(null).cast(graft.model.Point.schema(c).dataType).as(c)): _*)
     store.write(bucket, canon)
   }

@@ -23,7 +23,8 @@ object FluxEval {
     */
   final case class Source(
       resolve: String => FluxFrame,
-      rename: Map[String, String] = Map.empty)
+      rename: Map[String, String] = Map.empty,
+      write: Option[(String, DataFrame) => Unit] = None)
 
   final case class EvalException(msg: String) extends Exception(msg)
 
@@ -260,6 +261,25 @@ object FluxEval {
         case _ => throw EvalException(
           "reduce expects fn: (r, accumulator) => ({...}) and identity: {...}")
       }
+    // to(bucket:) — materialize the piped table into a bucket and pass
+    // it through unchanged (the canonical InfluxDB task body:
+    // `from |> aggregateWindow |> to`). The frame's Flux-namespace
+    // columns reverse-map to storage names; `time_ns` is derived from
+    // the µs time axis when the pipeline aggregated it away.
+    case "to" =>
+      val bucket = str(call.args, "bucket")
+      val sink = source.write.getOrElse(throw EvalException(
+        "to(bucket:) is not available on this query surface (no write sink)"))
+      val back = source.rename.foldLeft(f.toDF) {
+        case (d, (flux, actual)) if d.columns.contains(flux) && !d.columns.contains(actual) =>
+          d.withColumnRenamed(flux, actual)
+        case (d, _) => d
+      }
+      val withNs =
+        if (back.columns.contains("time_ns") || !back.columns.contains("time")) back
+        else back.withColumn("time_ns", unix_micros(col("time")) * 1000L)
+      sink(bucket, withNs)
+      f
     case "yield" => f // naming marker
     case other => throw EvalException(s"unsupported verb '$other'")
   }

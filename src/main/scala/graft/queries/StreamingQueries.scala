@@ -59,6 +59,45 @@ object StreamingQueries {
           col("tags.user_id").cast("long").as("user_id"),
           r4(col("value_f")).as("sum_v"))
         .orderBy("event_type", "user_id", "wend")
+    }),
+
+    // Flux TEXT task body `from |> range |> aggregateWindow |> to` —
+    // the canonical InfluxDB scheduled-task pipeline, driven entirely
+    // through the text front-end: the downsample materializes into a
+    // second bucket via the to() verb, then a second text query reads
+    // the written bucket back. Hash-matched to the same 6h aggregate
+    // computed by DuckDB over the raw events.
+    "flux_to" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-fluxto-gate")
+      val tsdb = Tsdb(s, wh.toString)
+      tsdb.catalog.createOrg("greengrass")
+      tsdb.catalog.createBucket("raw", "greengrass")
+      tsdb.catalog.createBucket("agg", "greengrass")
+      tsdb.store.write("raw", events(s, dir).select(
+        lit("events").as("measurement"),
+        map(lit("event_type"), col("event_type"),
+          lit("user_id"), col("user_id").cast("string")).as("tags"),
+        lit("value").as("field"),
+        col("value").cast("double").as("value_f"),
+        lit(null).cast("long").as("value_i"),
+        lit(null).cast("long").as("value_u"),
+        lit(null).cast("string").as("value_s"),
+        lit(null).cast("boolean").as("value_b"),
+        col("ts").as("time"),
+        col("ts_ns").as("time_ns")))
+      val src = graft.flux.FluxEval.Source(
+        resolve = b => tsdb.from(b),
+        rename = Map("_time" -> "time", "_value" -> "value_f",
+          "_measurement" -> "measurement", "_field" -> "field"),
+        write = Some((b, d) => tsdb.to(b, d)))
+      graft.flux.FluxEval.run(
+        """from(bucket: "raw")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> aggregateWindow(every: 6h, fn: sum)
+          ||> to(bucket: "agg")""".stripMargin, src).count()
+      graft.flux.FluxEval.run("""from(bucket: "agg")""", src)
+        .select(col("_time").as("wend"), r4(col("_value")).as("sum_v"))
+        .orderBy("wend")
     })
   )
 
@@ -71,6 +110,12 @@ object StreamingQueries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
         |  event_type, user_id, round(sum(value), 4) AS sum_v
         |FROM events
-        |GROUP BY 1, 2, 3 ORDER BY 2, 3, 1""")
+        |GROUP BY 1, 2, 3 ORDER BY 2, 3, 1"""),
+    "flux_to" -> w(
+      """SELECT time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
+        |  round(sum(value), 4) AS sum_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1 ORDER BY 1""")
   )
 }

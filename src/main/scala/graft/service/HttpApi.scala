@@ -160,17 +160,26 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
       else tokenOf(ex).filter(canRead) match {
         case None => respond(ex, 401, err("unauthorized"))
-        case Some(_) =>
+        case tok @ Some(_) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val flux =
             if (body.trim.startsWith("{")) {
               val node = Json.mapper.readTree(body)
               Option(node.get("query")).map(_.asText()).getOrElse("")
             } else body
+          // to(bucket:) in a query body needs write scope on the token
+          val sink: (String, org.apache.spark.sql.DataFrame) => Unit =
+            if (tok.exists(canWrite)) (b, d) => {
+              if (tsdb.catalog.bucket(b).isEmpty)
+                throw FluxEval.EvalException(s"to(): bucket '$b' not found")
+              tsdb.to(b, d)
+            } else (_, _) => throw FluxEval.EvalException(
+              "to(bucket:) requires a write-capable token")
           val source = FluxEval.Source(
             resolve = b => tsdb.from(b),
             rename = Map("_time" -> "time", "_value" -> "value_f",
-              "_measurement" -> "measurement", "_field" -> "field"))
+              "_measurement" -> "measurement", "_field" -> "field"),
+            write = Some(sink))
           try {
             val df = FluxEval.run(flux, source)
             respond(ex, 200, AnnotatedCsv.format(df), "text/csv; charset=utf-8")

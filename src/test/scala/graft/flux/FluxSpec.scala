@@ -265,4 +265,36 @@ class FluxSpec extends SparkSpec {
       .collect().toSet
     assert(rows == Set(("cpu", 19.0, 4.0), ("mem", 99.0, 1.0)))
   }
+
+  test("to(bucket:) text verb materializes a downsample a follow-up from() reads back") {
+    val tsdb = graft.dsl.Tsdb(spark,
+      java.nio.file.Files.createTempDirectory("graft-fluxto-spec").toString)
+    tsdb.catalog.createBucket("telemetry", "o")
+    tsdb.catalog.createBucket("downsampled", "o")
+    val t0 = 1704672000L // 2024-01-08T00:00:00Z
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=2 ${t0 * 1000000000L}",
+      s"cpu,host=h1 usage=4 ${(t0 + 1800) * 1000000000L}",
+      s"cpu,host=h1 usage=6 ${(t0 + 3600) * 1000000000L}"))
+    val src = FluxEval.Source(
+      resolve = b => tsdb.from(b),
+      rename = Map("_time" -> "time", "_value" -> "value_f",
+        "_measurement" -> "measurement", "_field" -> "field"),
+      write = Some((b, d) => tsdb.to(b, d)))
+    // the canonical task body: downsample telemetry into a second bucket
+    val through = FluxEval.run(
+      """from(bucket: "telemetry")
+        ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-08T02:00:00Z)
+        ||> aggregateWindow(every: 1h, fn: sum)
+        ||> to(bucket: "downsampled")""".stripMargin, src)
+    assert(through.count() == 2) // to() passes the table through
+    val back = FluxEval.run("""from(bucket: "downsampled")""", src)
+      .select(col("_time").cast("string"), col("_value"))
+      .as[(String, Double)].collect().toSet
+    assert(back == Set(("2024-01-08 01:00:00", 6.0), ("2024-01-08 02:00:00", 6.0)))
+    // no write sink -> to() is a clean EvalException, not a crash
+    assertThrows[FluxEval.EvalException](FluxEval.run(
+      """from(bucket: "telemetry") |> to(bucket: "downsampled")""",
+      src.copy(write = None)))
+  }
 }

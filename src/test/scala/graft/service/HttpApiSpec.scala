@@ -70,6 +70,17 @@ class HttpApiSpec extends SparkSpec {
       .statusCode() == 400)
   }
 
+  test("to() in a query body needs a write-capable token") {
+    val q = """from(bucket: "telemetry") |> to(bucket: "telemetry")"""
+    val r = post("/api/v2/query", q, Some("roTok"))
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("write-capable"))
+    val missing = post("/api/v2/query",
+      """from(bucket: "telemetry") |> to(bucket: "nope")""", Some("rwTok"))
+    assert(missing.statusCode() == 400)
+    assert(missing.body().contains("not found"))
+  }
+
   test("malformed line protocol is a 400, not a 500") {
     val r = post("/api/v2/write?bucket=telemetry", "cpu,host= broken", Some("rwTok"))
     assert(r.statusCode() == 400)
