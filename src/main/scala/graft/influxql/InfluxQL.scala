@@ -186,7 +186,11 @@ object InfluxQL {
     */
   final case class CreateCq(name: String, db: String, sel: Select,
       resampleEvery: Option[Dur] = None,
-      resampleFor: Option[Dur] = None) extends Stmt
+      resampleFor: Option[Dur] = None,
+      /** This statement's own source text (SHOW CONTINUOUS QUERIES
+        * echoes it; a multi-statement batch must not leak its siblings).
+        */
+      text: String = "") extends Stmt
   case object ShowContinuousQueries extends Stmt
   final case class DropCq(name: String, db: String) extends Stmt
   /** `SHOW SERIES CARDINALITY` / `SHOW MEASUREMENT CARDINALITY` —
@@ -251,6 +255,15 @@ object InfluxQL {
 
     private def one(): Stmt = {
       ws()
+      val startPos = i
+      val stmt = oneDispatch()
+      stmt match {
+        case c: CreateCq => c.copy(text = src.substring(startPos, i).trim)
+        case other => other
+      }
+    }
+
+    private def oneDispatch(): Stmt = {
       if (peekKw("SELECT")) select()
       else if (peekKw("SHOW")) show()
       else if (peekKw("DELETE")) {

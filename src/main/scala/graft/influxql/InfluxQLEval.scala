@@ -102,7 +102,10 @@ object InfluxQLEval {
     */
   private[graft] def deleteParts(where: Option[Cond],
       nowNs: () => Long = () => System.currentTimeMillis() * 1000000L): (Long, Long, Column) = {
-    var lo = 0L
+    // v1's minimum timestamp is 1677-09-21 (negative epoch-ns), so an
+    // unbounded DELETE must cover pre-1970 points: default lo is
+    // Long.MinValue, not 0.
+    var lo = Long.MinValue
     var hi = Long.MaxValue
     var pred: Column = lit(true)
     def ns(v: Lit): Long = v match {

@@ -309,7 +309,7 @@ object DedupOps {
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .agg(collect_list(col("sh")).as("hot"))
-    cands
+    val verified = cands
       .join(candArrays.as("za"), col("id_a") === col("za.id"))
       .join(candArrays.as("zb"), col("id_b") === col("zb.id"))
       .crossJoin(broadcast(hot))
@@ -324,6 +324,13 @@ object DedupOps {
       .withColumn("jaccard", col("_i").cast("double") / col("_u").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Materialize the (small) pair result eagerly so the cached
+    // signature frame can be released here — otherwise every pipeline
+    // invocation would leak a cached per-doc shingle-hash frame for the
+    // rest of the session.
+    val out = verified.localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   /** Connected components over a near-duplicate pair list via the

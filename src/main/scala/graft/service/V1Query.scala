@@ -37,9 +37,13 @@ object V1Query {
           tsdb.store.delete(db, lo, hi,
             col("measurement") === d.measurement && pred)
         case InfluxQL.DropMeasurement(m) =>
-          tsdb.store.delete(db, 0L, Long.MaxValue, col("measurement") === m)
+          // full-range drop incl. pre-1970 (negative epoch-ns) points
+          tsdb.store.delete(db, Long.MinValue, Long.MaxValue, col("measurement") === m)
         case c: InfluxQL.CreateCq =>
-          registry.create(c.name, c.db, c.sel, q,
+          // echo only this statement's own text in SHOW CONTINUOUS
+          // QUERIES, not the whole multi-statement batch
+          registry.create(c.name, c.db, c.sel,
+            if (c.text.nonEmpty) c.text else q,
             resampleEvery = c.resampleEvery, resampleFor = c.resampleFor)
         case InfluxQL.DropCq(name, cdb) =>
           registry.drop(name, cdb)

@@ -122,10 +122,32 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * start/stop + measurement/tag predicate). Rewrites only partitions
     * intersecting [startNs, stopNs).
     */
-  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit = {
+  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit =
+    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+      deleteLocked(bucket, startNs, stopNs, predicate)
+    }
+
+  /** The delete body shares the per-bucket write lock: its
+    * read-rewrite-replaceDir of a day partition must not race a
+    * concurrent append staging under the same `_temporary/0`, and an
+    * append committed mid-rewrite would be silently dropped by
+    * replaceDir.
+    *
+    * Day-partition math uses floorDiv: pre-1970 timestamps are valid
+    * data (the v1 engine's minimum is 1677-09-21, i.e. negative
+    * epoch-ns), and truncating division would map them to the wrong
+    * day. Long.MinValue/MaxValue bounds saturate instead of
+    * overflowing ofEpochDay's range.
+    */
+  private def deleteLocked(bucket: String, startNs: Long, stopNs: Long, predicate: Column): Unit = {
     val path = catalog.bucketPath(bucket)
-    val startDt = java.time.LocalDate.ofEpochDay(startNs / 86400_000_000_000L)
-    val stopDt = java.time.LocalDate.ofEpochDay(stopNs / 86400_000_000_000L)
+    def dayOf(ns: Long): java.time.LocalDate = {
+      val day = Math.floorDiv(ns, 86400_000_000_000L)
+      java.time.LocalDate.ofEpochDay(
+        Math.max(-365243219162L, Math.min(365241780471L, day)))
+    }
+    val startDt = dayOf(startNs)
+    val stopDt = dayOf(stopNs)
     partitions(bucket)
       .filter(d => !d.isBefore(startDt) && !d.isAfter(stopDt))
       .foreach { day =>
@@ -144,21 +166,30 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * bucket's retention (reference: bucket retention is a create-time
     * property of the engine; our catalog stores retentionNs).
     */
-  def enforceRetention(bucket: String, nowNs: Long = System.currentTimeMillis() * 1000000L): Seq[String] = {
-    val meta = catalog.bucket(bucket).get
-    if (meta.retentionNs <= 0) return Nil
-    val cutoff = java.time.LocalDate.ofEpochDay((nowNs - meta.retentionNs) / 86400_000_000_000L)
-    partitions(bucket).filter(_.isBefore(cutoff)).map { day =>
-      val dir = catalog.bucketPath(bucket).resolve(s"dt=$day")
-      deleteRecursively(dir.toFile)
-      s"dt=$day"
+  def enforceRetention(bucket: String, nowNs: Long = System.currentTimeMillis() * 1000000L): Seq[String] =
+    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+      val meta = catalog.bucket(bucket).get
+      if (meta.retentionNs <= 0) Nil
+      else {
+        val cutoff = java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(nowNs - meta.retentionNs, 86400_000_000_000L))
+        partitions(bucket).filter(_.isBefore(cutoff)).map { day =>
+          val dir = catalog.bucketPath(bucket).resolve(s"dt=$day")
+          deleteRecursively(dir.toFile)
+          s"dt=$day"
+        }
+      }
     }
-  }
 
   /** Compaction: rewrite each partition dedup-applied and coalesced.
     * Replaces the pinned engine's TSM compaction cycle.
     */
-  def compact(bucket: String, targetFiles: Int = 1): Unit = {
+  def compact(bucket: String, targetFiles: Int = 1): Unit =
+    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+      compactLocked(bucket, targetFiles)
+    }
+
+  private def compactLocked(bucket: String, targetFiles: Int): Unit = {
     val path = catalog.bucketPath(bucket)
     partitions(bucket).foreach { day =>
       val dir = path.resolve(s"dt=$day")

@@ -20,7 +20,15 @@ import org.apache.spark.sql.streaming.Trigger
   *    are accepted and likewise preserved (a superset grouping);
   *  - output field name = the aggregate function name, v1's naming.
   */
-final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
+final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String,
+    /** Trigger for CQs created without RESAMPLE EVERY or an explicit
+      * per-create trigger. None = live service: the v1 default run
+      * schedule, i.e. ProcessingTime of the GROUP BY time() interval —
+      * a CQ must keep downsampling points written after CREATE. Drain
+      * callers (specs, batch backfills) pass
+      * Some(Trigger.AvailableNow()).
+      */
+    defaultTrigger: Option[Trigger] = None) {
 
   private final case class Entry(text: String,
       query: org.apache.spark.sql.streaming.StreamingQuery)
@@ -49,7 +57,7 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
     * latest refinement, exactly as the batch path would.
     */
   def create(name: String, db: String, sel: Select, text: String,
-      trigger: Trigger = Trigger.AvailableNow(),
+      trigger: Option[Trigger] = None,
       resampleEvery: Option[graft.influxql.InfluxQL.Dur] = None,
       resampleFor: Option[graft.influxql.InfluxQL.Dur] = None): Unit = {
     require(!registry.contains((db, name)), s"continuous query '$name' exists on '$db'")
@@ -58,17 +66,31 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String) {
       case _ => throw new IllegalArgumentException(
         "CQ SELECT must be a single aggregate over a single measurement")
     }
+    // Clauses the streaming task can't honor must be rejected at CREATE
+    // time, not silently dropped — a CQ that ignores its WHERE would
+    // downsample the wrong data forever.
+    require(sel.fill == FillNull || sel.fill == FillNone,
+      "CQ SELECT FILL(...) is not supported (the task emits only observed windows)")
+    require(sel.limit.isEmpty && sel.offset.isEmpty &&
+      sel.slimit.isEmpty && sel.soffset.isEmpty,
+      "CQ SELECT LIMIT/OFFSET is not supported")
+    // WHERE: AND-ed tag equality pushes into the stream's scoped filter
+    // (the common per-host CQ); anything else — time bounds, OR, field
+    // comparisons — is rejected.
+    val whereFilter = sel.where.map(ContinuousQueries.tagPredicate)
     val target = sel.into.getOrElse(
       throw new IllegalArgumentException("CQ SELECT needs INTO"))
-    val every = sel.groupTime.getOrElse(
-      throw new IllegalArgumentException("CQ needs GROUP BY time()")).interval
+    val groupBy = sel.groupTime.getOrElse(
+      throw new IllegalArgumentException("CQ needs GROUP BY time()"))
     val q = new DownsampleTask(tsdb).start(
-      source = db, target = db, every = every,
+      source = db, target = db, every = groupBy.interval,
       fn = aggFn(agg.fn),
       lateness = resampleFor.map(_.interval).getOrElse("0 seconds"),
       checkpoint = s"$checkpointRoot/$db/$name",
-      trigger = ContinuousQueries.resolveTrigger(trigger, resampleEvery),
+      trigger = ContinuousQueries.effectiveTrigger(
+        trigger.orElse(defaultTrigger), resampleEvery, groupBy),
       measurement = Some(srcMeasurement), fieldName = Some(agg.field),
+      extraFilter = whereFilter,
       intoMeasurement = Some(target),
       intoField = Some(agg.alias.getOrElse(agg.fn)))
     registry.put((db, name), Entry(text, q))
@@ -98,4 +120,29 @@ object ContinuousQueries {
       every: Option[graft.influxql.InfluxQL.Dur]): Trigger =
     every.map(d => Trigger.ProcessingTime((d.seconds * 1000).toLong))
       .getOrElse(default)
+
+  /** Effective trigger for [[ContinuousQueries.create]]: RESAMPLE EVERY
+    * cadence wins; else the explicit/constructor trigger (drain
+    * callers); else the v1 default run schedule — ProcessingTime of
+    * the GROUP BY time() interval, so a live CQ keeps running.
+    */
+  def effectiveTrigger(explicit: Option[Trigger],
+      every: Option[graft.influxql.InfluxQL.Dur],
+      groupBy: graft.influxql.InfluxQL.Dur): Trigger =
+    resolveTrigger(
+      explicit.getOrElse(Trigger.ProcessingTime((groupBy.seconds * 1000).toLong)),
+      every)
+
+  /** AND-ed `tag = 'v'` / `tag != 'v'` WHERE → a `tags`-map predicate
+    * for the raw stream; any other shape is unsupported in a CQ.
+    */
+  def tagPredicate(c: graft.influxql.InfluxQL.Cond): Column = c match {
+    case CAnd(l, r) => tagPredicate(l) && tagPredicate(r)
+    case CCmp("=", key, LStr(v)) if key != "time" =>
+      col("tags").getItem(key) === v
+    case CCmp("!=", key, LStr(v)) if key != "time" =>
+      !(col("tags").getItem(key) <=> v)
+    case other => throw new IllegalArgumentException(
+      s"unsupported CQ WHERE clause (AND-ed tag = 'v' only): $other")
+  }
 }

@@ -55,6 +55,11 @@ final class DownsampleTask(tsdb: Tsdb) {
       trigger: Trigger = Trigger.AvailableNow(),
       measurement: Option[String] = None,
       fieldName: Option[String] = None,
+      /** Extra pushdown over the raw stream (e.g. a CQ WHERE's tag
+        * predicate) — applied with the measurement/field scope before
+        * the windowed aggregate.
+        */
+      extraFilter: Option[Column] = None,
       intoMeasurement: Option[String] = None,
       intoField: Option[String] = None
   ): StreamingQuery = {
@@ -66,8 +71,9 @@ final class DownsampleTask(tsdb: Tsdb) {
 
     val scoped0 = measurement
       .map(m => stream.filter(col("measurement") === m)).getOrElse(stream)
-    val scoped = fieldName
+    val scoped1 = fieldName
       .map(f => scoped0.filter(col("field") === f)).getOrElse(scoped0)
+    val scoped = extraFilter.map(scoped1.filter).getOrElse(scoped1)
 
     val agged = scoped
       .withWatermark("time", lateness)

@@ -562,7 +562,8 @@ class InfluxQLSpec extends SparkSpec {
       s"cpu,host=h1 usage=5.0 ${t0 + 70 * m}",
       s"mem,host=h1 used=7.0 $t0")) // other measurement: must not leak in
     val cqs = new graft.streaming.ContinuousQueries(
-      tsdb, dir.resolve("cq-ckpt").toString)
+      tsdb, dir.resolve("cq-ckpt").toString,
+      defaultTrigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     // CREATE via the /query surface, then drain the AvailableNow run
     graft.service.V1Query.run(tsdb, "cqdb",
       "CREATE CONTINUOUS QUERY cq_avg ON cqdb BEGIN " +
@@ -645,6 +646,70 @@ class InfluxQLSpec extends SparkSpec {
       Trigger.AvailableNow(), Some(Dur(30, "m"))) == Trigger.ProcessingTime(1800000L))
     assert(graft.streaming.ContinuousQueries.resolveTrigger(
       Trigger.AvailableNow(), None) == Trigger.AvailableNow())
+    // live-service default (no RESAMPLE EVERY, no explicit trigger):
+    // the v1 run schedule = the GROUP BY time() interval — NOT a
+    // drain-and-terminate AvailableNow
+    assert(graft.streaming.ContinuousQueries.effectiveTrigger(
+      None, None, Dur(1, "h")) == Trigger.ProcessingTime(3600000L))
+    assert(graft.streaming.ContinuousQueries.effectiveTrigger(
+      Some(Trigger.AvailableNow()), None, Dur(1, "h")) == Trigger.AvailableNow())
+    assert(graft.streaming.ContinuousQueries.effectiveTrigger(
+      Some(Trigger.AvailableNow()), Some(Dur(30, "m")), Dur(1, "h")) ==
+      Trigger.ProcessingTime(1800000L))
+  }
+
+  test("CQ WHERE pushes tag predicates; unsupported clauses rejected at CREATE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-influxql-cq-where")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("wdb", "greengrass")
+    val t0 = 1704672000L * 1000000000L
+    val m = 60L * 1000000000L
+    tsdb.writeLp("wdb", Seq(
+      s"cpu,host=h1 usage=2.0 $t0",
+      s"cpu,host=h1 usage=4.0 ${t0 + 10 * m}",
+      s"cpu,host=h2 usage=100.0 ${t0 + 20 * m}")) // must NOT be aggregated
+    val cqs = new graft.streaming.ContinuousQueries(
+      tsdb, dir.resolve("ckpt").toString,
+      defaultTrigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    graft.service.V1Query.run(tsdb, "wdb",
+      "CREATE CONTINUOUS QUERY cq_h1 ON wdb BEGIN " +
+        "SELECT mean(usage) INTO cpu_h1 FROM cpu WHERE host = 'h1' " +
+        "GROUP BY time(1h) END", Some(cqs))
+    cqs.awaitAll()
+    val rows = tsdb.fieldsAsCols("wdb", "cpu_h1")
+      .select(col("time").cast("string"), col("mean"))
+      .as[(String, Double)].collect().toSet
+    assert(rows == Set(("2024-01-08 01:00:00", 3.0))) // h2's 100.0 excluded
+    // a WHERE the task can't honor must fail CREATE, not silently drop
+    assertThrows[IllegalArgumentException](cqs.create("bad1", "wdb",
+      InfluxQL.parse("SELECT mean(usage) INTO x FROM cpu " +
+        "WHERE time > '2024-01-01T00:00:00Z' GROUP BY time(1h)")
+        .asInstanceOf[Select], "t"))
+    assertThrows[IllegalArgumentException](cqs.create("bad2", "wdb",
+      InfluxQL.parse("SELECT mean(usage) INTO x FROM cpu " +
+        "GROUP BY time(1h) FILL(0)").asInstanceOf[Select], "t"))
+    assertThrows[IllegalArgumentException](cqs.create("bad3", "wdb",
+      InfluxQL.parse("SELECT mean(usage) INTO x FROM cpu " +
+        "GROUP BY time(1h) LIMIT 5").asInstanceOf[Select], "t"))
+  }
+
+  test("SHOW CONTINUOUS QUERIES echoes only the CREATE statement's own text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-influxql-cq-echo")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("edb", "greengrass")
+    tsdb.writeLp("edb", Seq(s"cpu,host=h1 usage=1.0 ${1704672000L * 1000000000L}"))
+    val cqs = new graft.streaming.ContinuousQueries(
+      tsdb, dir.resolve("ckpt").toString,
+      defaultTrigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    // multi-statement batch: the sibling SHOW must not leak into the echo
+    graft.service.V1Query.run(tsdb, "edb",
+      "CREATE CONTINUOUS QUERY only_me ON edb BEGIN " +
+        "SELECT mean(usage) INTO cpu_1h FROM cpu GROUP BY time(1h) END; " +
+        "SHOW CONTINUOUS QUERIES", Some(cqs))
+    cqs.awaitAll()
+    val echoed = cqs.list.head._3
+    assert(echoed.startsWith("CREATE CONTINUOUS QUERY only_me"))
+    assert(!echoed.contains("SHOW CONTINUOUS QUERIES"))
   }
 
   test("CQ RESAMPLE FOR admits late data an un-RESAMPLEd CQ drops") {
@@ -654,7 +719,8 @@ class InfluxQLSpec extends SparkSpec {
     val t0 = 1704672000L * 1000000000L // 2024-01-08T00:00:00Z
     val m = 60L * 1000000000L
     val cqs = new graft.streaming.ContinuousQueries(
-      tsdb, dir.resolve("ckpt").toString)
+      tsdb, dir.resolve("ckpt").toString,
+      defaultTrigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     // on-time points in hour 0 plus a point at 03:30 that advances the
     // watermark past hour 0's window end
     tsdb.writeLp("rdb", Seq(
