@@ -426,4 +426,33 @@ object DedupOps {
       .select(col("id").as("_doomed_id"))
     df.join(doomed, df(idCol) === col("_doomed_id"), "left_anti")
   }
+
+  /** The end-to-end near-dup dedup pipeline's shared state: every stage
+    * derives from ONE materialized fingerprint index and ONE
+    * materialized pair list — at production scale the index is the
+    * persisted parquet the incremental probe appends to, and clusters /
+    * survivors are two consumers of the same pairs, not two
+    * re-fingerprintings of the corpus.
+    */
+  final case class DedupPipeline(index: DataFrame, pairs: DataFrame,
+      clusters: DataFrame, survivors: DataFrame)
+
+  /** Fingerprint once → pairs → clusters → survivors. `index` and
+    * `pairs` are eagerly materialized (localCheckpoint) so the df-cap's
+    * two consumers, the CC rounds, and the survivor anti-join all read
+    * materialized data instead of re-running the fingerprint scan.
+    */
+  def winnowDedupPipeline(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 15,
+      maxDf: Int = DefaultMaxDf): DedupPipeline = {
+    val idx = TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint()
+    val pairs = TextOps.sharedPairsFromIndex(idx, minShared, maxDf)
+      .localCheckpoint()
+    val clusters = connectedComponents(pairs)
+    val doomed = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_doomed_id"))
+    val survivors = df.join(doomed, df(idCol) === col("_doomed_id"), "left_anti")
+    DedupPipeline(idx, pairs, clusters, survivors)
+  }
 }

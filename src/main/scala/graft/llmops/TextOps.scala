@@ -239,11 +239,25 @@ object TextOps {
     */
   def winnowSharedPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 8, w: Int = 4, minShared: Int = 15,
+      maxDf: Int = DedupOps.DefaultMaxDf): org.apache.spark.sql.DataFrame =
+    // Fingerprint ONCE: the df-cap consumes the exploded index twice
+    // (df counts + the anti-join input), which would otherwise run the
+    // compiled fingerprint pass over every document two times.
+    sharedPairsFromIndex(
+      winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint(),
+      minShared, maxDf)
+
+  /** Pair derivation over an existing `(id, fps)` fingerprint index —
+    * the [[winnowSharedPairs]] body split out so pipelines that persist
+    * or checkpoint the index (daily dedup, cluster+survivor stages)
+    * don't re-fingerprint per consumer.
+    */
+  def sharedPairsFromIndex(fps: org.apache.spark.sql.DataFrame,
+      minShared: Int = 15,
       maxDf: Int = DedupOps.DefaultMaxDf): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
+    val spark = fps.sparkSession
     import spark.implicits._
-    val ex = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col("id"), explode(col("fps")).as("shingle"))
+    val ex = fps.select(col("id"), explode(col("fps")).as("shingle"))
     DedupOps.capShingles(ex, maxDf)
       .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
       .select(col("ids")).as[Seq[Long]]

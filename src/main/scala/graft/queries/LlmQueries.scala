@@ -115,18 +115,19 @@ object LlmQueries {
 
     // Cluster assignment over the winnowing near-dup pairs: alternating
     // large-star/small-star connected components (min-id representative).
+    // Runs through the shared-index pipeline entry (fingerprint once).
     "dedup_clusters" -> ((s, dir) =>
-      DedupOps.connectedComponents(
-        TextOps.winnowSharedPairs(documents(s, dir), "doc_id", "text",
-          k = 8, w = 4, minShared = 15, maxDf = 25))
+      DedupOps.winnowDedupPipeline(documents(s, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 15, maxDf = 25)
+        .clusters
         .orderBy("id")),
 
     // Corpus after near-dup collapse (cluster minimum survives), rolled
     // up per source — the end-to-end "dedup the training set" answer.
     "dedup_keep" -> ((s, dir) =>
-      DedupOps.dedupSurvivors(documents(s, dir), "doc_id",
-        TextOps.winnowSharedPairs(documents(s, dir), "doc_id", "text",
-          k = 8, w = 4, minShared = 15, maxDf = 25))
+      DedupOps.winnowDedupPipeline(documents(s, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 15, maxDf = 25)
+        .survivors
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 

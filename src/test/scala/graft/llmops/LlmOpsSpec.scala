@@ -356,4 +356,20 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(0L, 3L, 4L)) // 1,2 collapse into 0; 3,4 untouched
   }
+
+  test("winnowDedupPipeline shares one index; outputs match the independent paths") {
+    val p = DedupOps.winnowDedupPipeline(docs, "doc_id", "text", minShared = 3)
+    val pairsAlone = TextOps.winnowSharedPairs(docs, "doc_id", "text", minShared = 3)
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)].collect().toSet
+    assert(p.pairs.select("id_a", "id_b", "shared")
+      .as[(Long, Long, Long)].collect().toSet == pairsAlone)
+    val clustersAlone = DedupOps.connectedComponents(
+      TextOps.winnowSharedPairs(docs, "doc_id", "text", minShared = 3))
+      .as[(Long, Long)].collect().toSet
+    assert(p.clusters.as[(Long, Long)].collect().toSet == clustersAlone)
+    val survAlone = DedupOps.dedupSurvivors(docs, "doc_id",
+      TextOps.winnowSharedPairs(docs, "doc_id", "text", minShared = 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(p.survivors.select("doc_id").as[Long].collect().toSet == survAlone)
+  }
 }
