@@ -143,6 +143,97 @@ object TextOps {
       .toDF(groupCol, "tt", "td")
   }
 
+  /** Consecutive non-overlapping `c`-word chunks of the normalized
+    * text — the passage-level dedup unit (CCNet dedups paragraphs;
+    * for unstructured corpora a fixed word window is the analogue).
+    * One compiled flatMap pass per document (the [[trigramStats]]
+    * discipline — HOF slice/transform lambdas would run interpreted).
+    * Output: (id, chunk string); hashing happens downstream so shuffle
+    * keys stay 8-byte.
+    */
+  def wordChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, c: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(c >= 1, "chunk size must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim
+        val toks = t.split(" ", -1)
+        val m = toks.length / c
+        (0 until m).iterator.map { i =>
+          val sb = new java.lang.StringBuilder(c * 8)
+          var j = i * c
+          while (j < (i + 1) * c) {
+            if (j > i * c) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          (id, sb.toString)
+        }
+      }
+      .toDF("id", "chunk")
+  }
+
+  /** Passage-duplication stats per document: of a document's `c`-word
+    * chunks, how many occur more than once in the ENTIRE corpus
+    * (including within the document itself) — the CCNet-style shared-
+    * passage fraction used to strip boilerplate before training.
+    *
+    * Scale shape: chunks hash to 8-byte keys (xxhash64, codegen'd); one
+    * shuffle builds the chunk-frequency table, the frequency join is
+    * co-partitioned on the same key (exchange reuse — no extra
+    * shuffle), and the per-document rollup is the only other exchange.
+    * Nothing is collected; documents with fewer than `c` tokens emit
+    * zero chunks and report 0/0.
+    *
+    * Output: (id, n_chunks, dup_chunks, dup_frac).
+    */
+  def chunkDupStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, c: Int = 8): org.apache.spark.sql.DataFrame = {
+    val ch = wordChunks(docs, idCol, textCol, c)
+      .select(col("id"), xxhash64(col("chunk")).as("ch"))
+    val freq = ch.groupBy("ch").agg(count(lit(1)).as("df"))
+    val per = ch.join(freq, "ch")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("df") > 1, 1)).as("dup_chunks"))
+    docs.select(col(idCol).cast("long").as("id")).distinct()
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+      .withColumn("dup_frac",
+        when(col("n_chunks") > 0,
+          col("dup_chunks").cast("double") / col("n_chunks"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Corpus-wide top-k most frequent word bigrams (vocabulary
+    * statistics / boilerplate discovery). One compiled flatMap pass
+    * emits bigrams; counts aggregate with map-side partials; the top-k
+    * plans as TakeOrderedAndProject (per-partition top-n, no global
+    * sort). Ties break lexicographically so the cut is deterministic.
+    */
+  def topBigrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .flatMap { text =>
+        val t = text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim
+        val toks = t.split(" ", -1)
+        (0 until toks.length - 1).iterator.map(i => toks(i) + " " + toks(i + 1))
+      }
+      .toDF("ngram")
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Content fingerprint: md5 of the normalized text (byte-identical
     * duplicates collapse).
     */

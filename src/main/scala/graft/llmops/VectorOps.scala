@@ -104,6 +104,51 @@ object VectorOps {
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means over a (pre-filtered, deterministic) training
+    * sample, producing the IVF centroid table — closes the "centroids
+    * come from where?" gap in the 100 TB ANN story. Fully
+    * oracle-replicable: seed = the k smallest-id sample vectors (cid =
+    * rank in id order), assignment = max-cosine (ties → smaller cid),
+    * update = elementwise mean, empty clusters keep their previous
+    * centroid, and the iteration count is fixed.
+    *
+    * Scale shape: the per-iteration assignment is a broadcast
+    * crossJoin over the sample (centroids are k×dim — metadata-sized),
+    * and the update aggregates elementwise sums distributed
+    * (posexplode → groupBy(cid, pos)) before collecting only the k×dim
+    * aggregated cells to the driver — the standard Lloyd's-on-Spark
+    * pattern; the sample is never collected.
+    */
+  def trainIvfCentroids(sample: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val s = sample.select(col("id").cast("long"), col("v").cast("array<double>"))
+    var cent: Array[(Long, Array[Double])] =
+      s.orderBy("id").limit(k).as[(Long, Seq[Double])].collect()
+        .zipWithIndex.map { case ((_, v), i) => (i.toLong, v.toArray) }
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(
+        cent.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cv"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cos").desc, col("cid"))
+      val assign = s.crossJoin(cdf)
+        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("cos"))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      val cells = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .as[(Long, Int, Double, Long)].collect()
+      val byCid = cells.groupBy(_._1)
+      cent = cent.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) => (cid, rows.sortBy(_._2).map(r => r._3 / r._4))
+          case None       => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cent.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("id", "v")
+  }
+
   /** Deterministic random-hyperplane signs for LSH: sign(j, i) derived
     * from md5("hp_j_i") so the DuckDB oracle can replicate the exact
     * hyperplane family (same trick as SimHash's md5-derived bits).

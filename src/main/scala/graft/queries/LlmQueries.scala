@@ -169,6 +169,21 @@ object LlmQueries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // CCNet-style passage dedup: per-document fraction of 8-word
+    // chunks that occur more than once corpus-wide.
+    "chunk_dedup" -> ((s, dir) =>
+      TextOps.chunkDupStats(documents(s, dir), "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
+          r4(col("dup_frac")).as("dup_frac"))
+        .orderBy("doc_id")),
+
+    // Corpus vocabulary statistics: top-20 word bigrams by frequency
+    // (ties broken lexicographically — the cut is deterministic).
+    "ngram_topk" -> ((s, dir) =>
+      TextOps.topBigrams(documents(s, dir), "text", 20)
+        .select(col("ngram"), col("n"))
+        .orderBy(col("n").desc, col("ngram"))),
+
     // Brute-force cosine top-3 for query vectors 0..4.
     "ann_brute" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -182,6 +197,18 @@ object LlmQueries {
     "ann_ivf" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
       VectorOps.ivfTopK(e, e.filter(col("id") < 8), e.filter(col("id") < 5), 3, 2)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF with k-means-TRAINED centroids (deterministic sample
+    // id % 5 = 0, k = 8, 2 Lloyd iterations) — the full 100 TB ANN
+    // path: train on a sample → bucket the corpus → probe. The oracle
+    // unrolls the same two Lloyd iterations in SQL.
+    "ann_ivf_trained" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val cent = VectorOps.trainIvfCentroids(e.filter(col("id") % 5 === 0), 8, 2)
+      VectorOps.ivfTopK(e, cent, e.filter(col("id") < 5), 3, 2)
         .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
         .orderBy("qid", "rank")
     }),
@@ -340,6 +367,27 @@ object LlmQueries {
       |)
       |""")
 
+  /** One unrolled Lloyd iteration for the ann_ivf_trained oracle:
+    * assign (max-cosine, ties → smaller cid) then elementwise-mean
+    * update with empty clusters keeping their previous centroid —
+    * mirrors [[graft.llmops.VectorOps.trainIvfCentroids]] exactly
+    * (v[i] is 1-based in DuckDB ≙ posexplode pos + 1).
+    */
+  private def kmeansIterSql(n: Int): String = {
+    val prev = s"c${n - 1}"
+    w(s"""a$n AS (SELECT id, v, cid FROM (
+         |  SELECT s.id, s.v, c.cid,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${cos("s.v", "c.cv")} DESC, c.cid) AS r
+         |  FROM samp s CROSS JOIN $prev c) WHERE r = 1),
+         |m$n AS (SELECT cid, list(sx / cnt ORDER BY i) AS cv FROM (
+         |  SELECT a.cid, t.i, sum(a.v[t.i]) AS sx, count(*) AS cnt
+         |  FROM a$n a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+         |  GROUP BY a.cid, t.i) GROUP BY cid),
+         |c$n AS (SELECT p.cid, COALESCE(m$n.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$n ON p.cid = m$n.cid),""")
+  }
+
   private val cosExpr =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
   private def cos(a: String, b: String) = cosExpr.format(a, b, a, a, b, b)
@@ -469,6 +517,24 @@ object LlmQueries {
          |  CAST(max(len($toksSql)) AS BIGINT) AS max_tok,
          |  count(DISTINCT md5($norm)) AS nd_fp
          |FROM documents GROUP BY 1 ORDER BY 1"""),
+    "chunk_dedup" -> w(
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ch AS (SELECT doc_id, array_to_string(toks[i*8+1:(i+1)*8], ' ') AS chunk
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks)//8)) AS i FROM d)),
+         |freq AS (SELECT chunk, count(*) AS df FROM ch GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_chunks,
+         |    count(*) FILTER (WHERE f.df > 1) AS dup_chunks
+         |  FROM ch JOIN freq f USING (chunk) GROUP BY 1)
+         |SELECT doc.doc_id, COALESCE(per.n_chunks, 0) AS n_chunks,
+         |  COALESCE(per.dup_chunks, 0) AS dup_chunks,
+         |  round(CASE WHEN COALESCE(per.n_chunks, 0) > 0
+         |    THEN per.dup_chunks * 1.0 / per.n_chunks ELSE 0.0 END, 4) AS dup_frac
+         |FROM documents doc LEFT JOIN per USING (doc_id) ORDER BY doc_id"""),
+    "ngram_topk" -> w(
+      s"""WITH toks AS (SELECT $toksSql AS arr FROM documents),
+         |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
+         |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
+         |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
     "ann_brute" -> w(
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE id < 5),
@@ -493,6 +559,31 @@ object LlmQueries {
          |      row_number() OVER (PARTITION BY q.id
          |        ORDER BY ${cos("q.v", "cent.cv")} DESC, cent.cid) AS r
          |    FROM e q CROSS JOIN cent WHERE q.id < 5) WHERE r <= 2),
+         |scored AS (
+         |  SELECT p.qid, a.id AS nbr, ${cos("p.qv", "a.v")} AS cos
+         |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.id <> p.qid),
+         |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    "ann_ivf_trained" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 5 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 8)),
+         |${kmeansIterSql(1)}
+         |${kmeansIterSql(2)}
+         |assign AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT c.id, c.v, cent.cid,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e c CROSS JOIN c2 cent) WHERE r = 1),
+         |probes AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.id AS qid, q.v AS qv, cent.cid,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY ${cos("q.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e q CROSS JOIN c2 cent WHERE q.id < 5) WHERE r <= 2),
          |scored AS (
          |  SELECT p.qid, a.id AS nbr, ${cos("p.qv", "a.v")} AS cos
          |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.id <> p.qid),
