@@ -50,8 +50,12 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
   def fieldsAsCols(bucket: String, measurement: String, fields: Seq[String] = Nil): DataFrame = {
     val base = from(bucket).where(col("measurement") === measurement).df
     val g = base.groupBy(col("time"), col("time_ns"), col("tags"))
-    val p = if (fields.nonEmpty) g.pivot("field", fields) else g.pivot("field")
-    p.agg(first(coalesce(col("value_f"), col("value_i").cast("double"))))
+    // explicit pivot values from the store's versioned field-key cache:
+    // Spark's value-inference would otherwise run a distinct-scan job on
+    // EVERY plan construction
+    val fs = if (fields.nonEmpty) fields else store.fieldKeys(bucket, Some(measurement))
+    g.pivot("field", fs)
+      .agg(first(coalesce(col("value_f"), col("value_i").cast("double"))))
   }
 
   /** Line-protocol batch write (the /api/v2/write path). `precision`

@@ -49,7 +49,7 @@ object InfluxQL {
 
   sealed trait Proj
   final case class AggProj(fn: String, field: String, param: Option[Double],
-      alias: Option[String]) extends Proj
+      alias: Option[String], dur: Option[Dur] = None) extends Proj
   final case class FieldProj(field: String, alias: Option[String]) extends Proj
   /** Transformation over an inner projection: `derivative(mean(v), 1s)`,
     * `moving_average(mean(v), 5)`, `difference(…)`, `cumulative_sum(…)`,
@@ -213,10 +213,11 @@ object InfluxQL {
 
   val Aggregates: Set[String] = Set("count", "sum", "mean", "min", "max",
     "median", "mode", "stddev", "spread", "first", "last", "percentile",
-    "distinct", "top", "bottom")
+    "distinct", "top", "bottom", "integral")
 
   val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
-    "difference", "cumulative_sum", "moving_average", "elapsed")
+    "difference", "non_negative_difference", "cumulative_sum",
+    "moving_average", "elapsed")
 
   /** v1 scalar math functions usable inside SELECT expressions. */
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "round", "exp",
@@ -564,9 +565,20 @@ object InfluxQL {
           } else {
             i = save2
             val f = ident(); ws()
-            val param = if (peekStr(",")) { expect(","); ws(); Some(number()) } else None
+            // after the comma: a bare number is a parameter
+            // (percentile/top/bottom); a number followed by a unit
+            // letter is a duration (integral's unit)
+            var param: Option[Double] = None
+            var dur: Option[Dur] = None
+            if (peekStr(",")) {
+              expect(","); ws()
+              val save3 = i
+              val num = number()
+              if (i < src.length && src(i).isLetter) { i = save3; dur = Some(duration()) }
+              else param = Some(num)
+            }
             ws(); expect(")")
-            PAgg(AggProj(name.toLowerCase, f, param, None))
+            PAgg(AggProj(name.toLowerCase, f, param, None, dur))
           }
         } else PField(name)
       }

@@ -29,6 +29,13 @@ object InfluxQLEval {
         * a data-path materialization.
         */
       measurementNames: () => Seq[String] = null,
+      /** Driver-side tag-key listing for plan-time expansion
+        * (`GROUP BY *`, `SHOW TAG VALUES WITH KEY =~`). Store-backed
+        * sources serve this from the catalog's mutation-versioned cache
+        * so repeated queries don't re-run a distinct scan; when null,
+        * the evaluator falls back to collecting [[tagKeys]].
+        */
+      tagKeyList: Option[String] => Seq[String] = null,
       /** Catalog listings for the admin SHOWs (store-backed sources). */
       databases: () => DataFrame = null,
       retentionPolicies: Option[String] => DataFrame = null,
@@ -182,10 +189,8 @@ object InfluxQLEval {
       case InfluxQL.KeyEq(k) => Seq(k)
       case InfluxQL.KeyIn(ks) => ks.distinct
       case InfluxQL.KeyRegex(pat, neg) =>
-        require(source.tagKeys != null,
-          "SHOW TAG VALUES WITH KEY =~ needs a tag-key listing")
         val re = java.util.regex.Pattern.compile(pat)
-        source.tagKeys(m).collect().map(_.getString(0)).toSeq
+        resolvedTagKeys(source, m, "SHOW TAG VALUES WITH KEY =~")
           .filter(k => re.matcher(k).find() != neg)
     }
     val frames: Seq[DataFrame] = m match {
@@ -226,15 +231,16 @@ object InfluxQLEval {
     measurementNames = () => tsdb.from(bucket).toDF
       .select(col("measurement")).distinct().orderBy("measurement")
       .collect().map(_.getString(0)).toSeq,
+    // served from the store's mutation-versioned cache: SHOW TAG KEYS
+    // and plan-time expansion run zero Spark jobs once warm
     tagKeys = m => {
-      val base = tsdb.from(bucket).toDF
-      val f = m.map(x => base.filter(col("measurement") === x)).getOrElse(base)
-      f.select(explode(map_keys(col("tags"))).as("tagKey")).distinct().orderBy("tagKey")
+      import tsdb.spark.implicits._
+      tsdb.store.tagKeys(bucket, m).toDF("tagKey")
     },
+    tagKeyList = m => tsdb.store.tagKeys(bucket, m),
     fieldKeys = m => {
-      val base = tsdb.from(bucket).toDF
-      val f = m.map(x => base.filter(col("measurement") === x)).getOrElse(base)
-      f.select(col("field").as("fieldKey")).distinct().orderBy("fieldKey")
+      import tsdb.spark.implicits._
+      tsdb.store.fieldKeys(bucket, m).toDF("fieldKey")
     },
     databases = () => {
       import tsdb.spark.implicits._
@@ -251,6 +257,16 @@ object InfluxQLEval {
         s"${meta.retentionNs / 1000000000L}s", 1, true))
         .toDF("name", "duration", "shardGroupDuration", "replicaN", "default")
     })
+
+  /** Plan-time tag-key listing: the cached driver-side list when the
+    * source provides one, else a one-off collect of the tagKeys frame.
+    */
+  private def resolvedTagKeys(source: Source, m: Option[String], what: String): Seq[String] =
+    if (source.tagKeyList != null) source.tagKeyList(m)
+    else {
+      require(source.tagKeys != null, s"$what needs a tag-key listing")
+      source.tagKeys(m).collect().map(_.getString(0)).toSeq
+    }
 
   /** Column for a WHERE/GROUP BY key: a real column if the frame has
     * one, else a lookup into the `tags` map (store-backed frames).
@@ -419,13 +435,11 @@ object InfluxQLEval {
     val s =
       if (!s0.groupTags.contains("*")) s0
       else {
-        require(source.tagKeys != null,
-          "GROUP BY * requires a source with a tag-key listing")
         val m = s0.from match {
           case FromMeasurements(Seq(n)) => Some(n)
           case _ => None
         }
-        val keys = source.tagKeys(m).collect().map(_.getString(0)).toSeq.sorted
+        val keys = resolvedTagKeys(source, m, "GROUP BY *").sorted
         s0.copy(groupTags =
           s0.groupTags.filterNot(_ == "*") ++
             keys.filterNot(s0.groupTags.contains))
@@ -487,8 +501,35 @@ object InfluxQLEval {
               .as(e.alias.getOrElse(exprName(e.expr)))))
         filtered.select(cols: _*)
       } else {
+        // integral(field[, unit]) sums consecutive-pair trapezoids
+        // ordered by time WITHIN each (tags[, bucket]) partition —
+        // staged as a per-row contribution column before the groupBy,
+        // then aggregated as a plain sum (pairs crossing a bucket
+        // boundary contribute to neither bucket).
+        val integralIdx = aggs.zipWithIndex.collect {
+          case (a, i) if a.fn == "integral" => i
+        }
+        def stageIntegrals(df: DataFrame, bucket: Option[Column]): DataFrame =
+          integralIdx.foldLeft(df) { (d, i) =>
+            val a = aggs(i)
+            val unitSec = a.dur.map(_.seconds).getOrElse(1.0)
+            val W = org.apache.spark.sql.expressions.Window
+            val parts = s.groupTags.map(t => ref(d, t)) ++ bucket.toSeq
+            val w = (if (parts.isEmpty) W.partitionBy()
+              else W.partitionBy(parts: _*)).orderBy(col(source.timeCol))
+            val v = ref(d, a.field).cast("double")
+            val pv = lag(v, 1).over(w)
+            val dtSec = col(source.timeCol).cast("double") -
+              lag(col(source.timeCol), 1).over(w).cast("double")
+            d.withColumn(s"_itg_$i",
+              coalesce((v + pv) / 2.0 * dtSec / lit(unitSec), lit(0.0)))
+          }
         val tagCols = s.groupTags.map(t => ref(filtered, t).as(t))
-        val aggCols = aggs.map(aggExpr(_, source.timeCol)) ++
+        val aggCols = aggs.zipWithIndex.map {
+          case (a, i) if a.fn == "integral" =>
+            sum(col(s"_itg_$i")).as(a.alias.getOrElse("integral"))
+          case (a, _) => aggExpr(a, source.timeCol)
+        } ++
           aggExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = true)
             .as(e.alias.getOrElse(exprName(e.expr))))
         val aggNames = aggs.map(a => a.alias.getOrElse(
@@ -496,8 +537,9 @@ object InfluxQLEval {
           aggExprs.map(e => e.alias.getOrElse(exprName(e.expr)))
         s.groupTime match {
           case None =>
-            if (s.groupTags.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-            else filtered.groupBy(tagCols: _*).agg(aggCols.head, aggCols.tail: _*)
+            val work = stageIntegrals(filtered, None)
+            if (s.groupTags.isEmpty) work.agg(aggCols.head, aggCols.tail: _*)
+            else work.groupBy(tagCols: _*).agg(aggCols.head, aggCols.tail: _*)
           case Some(d) =>
             // InfluxQL labels each bucket with its aligned START: epoch-
             // aligned, shifted by the GROUP BY time() offset, and — under
@@ -515,7 +557,7 @@ object InfluxQLEval {
               case Some(z) => to_utc_timestamp(win.getField("start"), z)
               case None => win.getField("start")
             }
-            val keyed = filtered.withColumn("time", start)
+            val keyed = stageIntegrals(filtered, Some(start)).withColumn("time", start)
             val grouped = keyed.groupBy((col("time") +: tagCols): _*)
               .agg(aggCols.head, aggCols.tail: _*)
             applyFill(grouped, s, d, aggNames, source)
@@ -643,12 +685,17 @@ object InfluxQLEval {
           .orElse(s.groupTime.map(_.seconds)).getOrElse(1.0)
         val dtSec = col("time").cast("double") - lag(col("time"), 1).over(w).cast("double")
         val d = (v - prev) / (dtSec / lit(unitSec))
-        val res = if (t.fn == "non_negative_derivative") when(d < 0, null).otherwise(d) else d
-        core.withColumn("_pv", prev).withColumn(name, res)
+        // v1 omits negative rows entirely (docs: "returns only
+        // non-negative rates of change"), it does not null them
+        val staged0 = core.withColumn("_pv", prev).withColumn(name, d)
           .filter(col("_pv").isNotNull).drop("_pv")
-      case "difference" =>
-        core.withColumn("_pv", prev).withColumn(name, v - col("_pv"))
+        if (t.fn == "non_negative_derivative") staged0.filter(col(name) >= 0)
+        else staged0
+      case "difference" | "non_negative_difference" =>
+        val staged0 = core.withColumn("_pv", prev).withColumn(name, v - col("_pv"))
           .filter(col("_pv").isNotNull).drop("_pv")
+        if (t.fn == "non_negative_difference") staged0.filter(col(name) >= 0)
+        else staged0
       case "cumulative_sum" =>
         core.withColumn(name, sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       case "moving_average" =>

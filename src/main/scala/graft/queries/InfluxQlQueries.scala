@@ -78,6 +78,28 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), col("event_type"), r4(col("rate")).as("rate"))
         .orderBy("event_type", "wstart")),
 
+    // integral(value, 1h): trapezoid area under the raw series per
+    // 6h bucket and tag — v1's INTEGRAL aggregate (unit-scaled).
+    "iql_integral" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT integral(value, 1h) AS itg FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(6h), event_type FILL(none)",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("itg")).as("itg"))
+        .orderBy("event_type", "wstart")),
+
+    // non_negative_difference over hourly sums: v1 omits negative
+    // deltas entirely (not null — the row is dropped).
+    "iql_nn_difference" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT non_negative_difference(sum(value)) AS d FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("d")).as("d"))
+        .orderBy("event_type", "wstart")),
+
     // SHOW TAG VALUES — the query Grafana template variables issue
     // before any panel renders; WHERE filters the contributing points.
     "iql_show_tag_values" -> ((s, dir) =>
@@ -295,6 +317,38 @@ object InfluxQlQueries {
         |    lag(v) OVER w AS pv
         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY wstart)
         |) WHERE pv IS NOT NULL ORDER BY 2, 1"""),
+    // integral: tsec mirrors Spark's µs-truncated timestamp-to-double
+    // cast exactly; first-row-in-partition terms are null (excluded
+    // from sum) where Spark coalesces them to 0 — same result, and
+    // single-point buckets coalesce to 0.0 on both sides.
+    "iql_integral" -> w(
+      """WITH f AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '6 hours', ts) AS wstart,
+        |    (epoch_ns(ts) // 1000) / 1000000.0 AS tsec,
+        |    value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |), st AS (
+        |  SELECT event_type, wstart, value, tsec,
+        |    lag(value) OVER w AS pv, lag(tsec) OVER w AS pt
+        |  FROM f WINDOW w AS (PARTITION BY event_type, wstart ORDER BY tsec)
+        |)
+        |SELECT wstart, event_type,
+        |  round(COALESCE(sum((value + pv) / 2.0 * (tsec - pt) / 3600.0), 0.0), 4) AS itg
+        |FROM st GROUP BY 1, 2 ORDER BY 2, 1"""),
+    "iql_nn_difference" -> w(
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT wstart, event_type, round(d, 4) AS d FROM (
+        |  SELECT wstart, event_type, v - lag(v) OVER w AS d, lag(v) OVER w AS pv
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY wstart)
+        |) WHERE pv IS NOT NULL AND d >= 0 ORDER BY 2, 1"""),
     "iql_show_tag_values" -> w(
       """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'

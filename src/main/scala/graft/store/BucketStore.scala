@@ -51,6 +51,56 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private val writeLocks =
     new scala.collection.concurrent.TrieMap[String, Object]
 
+  /** Per-bucket mutation counter: bumped by every write/delete/
+    * retention/compact so driver-side metadata caches (tag keys) can be
+    * validated without a Spark job.
+    */
+  private val mutations =
+    new scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicLong]
+  def version(bucket: String): Long = mutations.get(bucket).map(_.get).getOrElse(0L)
+  private def bumpVersion(bucket: String): Unit =
+    mutations.getOrElseUpdate(bucket, new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+
+  /** Distinct tag keys of a bucket/measurement, memoized per mutation
+    * version. `SELECT *` / `GROUP BY *` / SHOW expansion resolve tag
+    * keys at plan time; without this cache every such query paid a
+    * blocking driver round-trip (a full distinct scan). The version is
+    * read BEFORE the scan, so a concurrent write at worst stores an
+    * entry that the next lookup sees as stale and recomputes.
+    */
+  private val tagKeyCache =
+    new scala.collection.concurrent.TrieMap[(String, Option[String]), (Long, Seq[String])]
+  private val fieldKeyCache =
+    new scala.collection.concurrent.TrieMap[(String, Option[String]), (Long, Seq[String])]
+
+  private def cachedMeta(
+      cache: scala.collection.concurrent.TrieMap[(String, Option[String]), (Long, Seq[String])],
+      bucket: String, measurement: Option[String])(keyExpr: => Column): Seq[String] = {
+    val v = version(bucket)
+    cache.get((bucket, measurement)) match {
+      case Some((cv, keys)) if cv == v => keys
+      case _ =>
+        // raw scan: LWW-shadowed rows carry the same series key, so
+        // dedup cannot change the distinct key set — skip its shuffle
+        val base = readRaw(bucket)
+        val f = measurement.map(m => base.filter(col("measurement") === m)).getOrElse(base)
+        val keys = f.select(keyExpr.as("k"))
+          .distinct().orderBy("k").collect().map(_.getString(0)).toSeq
+        cache.put((bucket, measurement), (v, keys))
+        keys
+    }
+  }
+
+  def tagKeys(bucket: String, measurement: Option[String]): Seq[String] =
+    cachedMeta(tagKeyCache, bucket, measurement)(explode(map_keys(col("tags"))))
+
+  /** Distinct field keys, memoized like [[tagKeys]] — lets
+    * `fieldsAsCols` pass explicit pivot values instead of paying
+    * Spark's pivot-value-inference job on every plan.
+    */
+  def fieldKeys(bucket: String, measurement: Option[String]): Seq[String] =
+    cachedMeta(fieldKeyCache, bucket, measurement)(col("field"))
+
   /** Append canonical-schema points to a bucket. */
   def write(bucket: String, points: DataFrame): Unit =
     writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
@@ -68,6 +118,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     // mode degrades to the safe slow path (dedup window), never the
     // incorrect fast path.
     java.nio.file.Files.deleteIfExists(cleanMarker(bucket))
+    bumpVersion(bucket)
     points
       .withColumn("dt", to_date(col("time")))
       .withColumn(SeqCol, lit(seq))
@@ -140,6 +191,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * overflowing ofEpochDay's range.
     */
   private def deleteLocked(bucket: String, startNs: Long, stopNs: Long, predicate: Column): Unit = {
+    bumpVersion(bucket)
     val path = catalog.bucketPath(bucket)
     def dayOf(ns: Long): java.time.LocalDate = {
       val day = Math.floorDiv(ns, 86400_000_000_000L)
@@ -171,6 +223,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       val meta = catalog.bucket(bucket).get
       if (meta.retentionNs <= 0) Nil
       else {
+        bumpVersion(bucket)
         val cutoff = java.time.LocalDate.ofEpochDay(
           Math.floorDiv(nowNs - meta.retentionNs, 86400_000_000_000L))
         partitions(bucket).filter(_.isBefore(cutoff)).map { day =>

@@ -712,6 +712,43 @@ class InfluxQLSpec extends SparkSpec {
     assert(!echoed.contains("SHOW CONTINUOUS QUERIES"))
   }
 
+  test("tag-key cache: repeated GROUP BY * plans with no key-discovery job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-influxql-tkcache")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("tkdb", "greengrass")
+    val t0 = 1704672000L * 1000000000L
+    tsdb.writeLp("tkdb", Seq(
+      s"cpu,host=h1,region=eu usage=0.5 $t0",
+      s"cpu,host=h2,region=us usage=0.9 ${t0 + 1000000000L}"))
+    val src = InfluxQLEval.tsdbSource(tsdb, "tkdb")
+    // warm: the first plan pays the tag-key and field-key discovery scans
+    val k1 = tsdb.store.tagKeys("tkdb", Some("cpu"))
+    assert(k1 == Seq("host", "region"))
+    // memoized: the very same instance comes back (no recompute)
+    assert(tsdb.store.tagKeys("tkdb", Some("cpu")) eq k1)
+    InfluxQLEval.run("SELECT mean(usage) FROM cpu GROUP BY *", src)
+    InfluxQLEval.run("SHOW TAG VALUES FROM cpu WITH KEY =~ /host/", src)
+    // a second GROUP BY * / SHOW TAG KEYS plans with zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      InfluxQLEval.run("SELECT mean(usage) FROM cpu GROUP BY *", src) // plan only
+      InfluxQLEval.run("SHOW TAG VALUES FROM cpu WITH KEY =~ /host/", src)
+      Thread.sleep(500) // listener bus is async; jobs would land well within this
+      assert(jobs.get() == 0, s"expected job-free plan construction, saw ${jobs.get()} jobs")
+    } finally sc.removeSparkListener(listener)
+    // results stay correct through the cache
+    val grouped = InfluxQLEval.run("SELECT mean(usage) FROM cpu GROUP BY *", src)
+    assert(grouped.columns.contains("host") && grouped.columns.contains("region"))
+    // mutation invalidates: a write adding a new tag key is visible
+    tsdb.writeLp("tkdb", Seq(s"cpu,host=h3,zone=z1 usage=0.1 ${t0 + 2000000000L}"))
+    assert(tsdb.store.tagKeys("tkdb", Some("cpu")) == Seq("host", "region", "zone"))
+  }
+
   test("CQ RESAMPLE FOR admits late data an un-RESAMPLEd CQ drops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-cq-for")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
