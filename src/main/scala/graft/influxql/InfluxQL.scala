@@ -217,7 +217,18 @@ object InfluxQL {
 
   val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "cumulative_sum",
-    "moving_average", "elapsed")
+    "moving_average", "elapsed",
+    "exponential_moving_average", "double_exponential_moving_average",
+    "triple_exponential_moving_average", "relative_strength_index",
+    "chande_momentum_oscillator", "kaufmans_adaptive_moving_average")
+
+  /** Transforms whose second argument is a row count N (the technical-
+    * analysis family), not a duration.
+    */
+  val NArgTransforms: Set[String] = Set("moving_average",
+    "exponential_moving_average", "double_exponential_moving_average",
+    "triple_exponential_moving_average", "relative_strength_index",
+    "chande_momentum_oscillator", "kaufmans_adaptive_moving_average")
 
   /** v1 scalar math functions usable inside SELECT expressions. */
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "round", "exp",
@@ -500,7 +511,7 @@ object InfluxQL {
             var n: Option[Int] = None
             if (peekStr(",")) {
               expect(","); ws()
-              if (head.toLowerCase == "moving_average") n = Some(number().toInt)
+              if (NArgTransforms.contains(head.toLowerCase)) n = Some(number().toInt)
               else dur = Some(duration())
             }
             ws(); expect(")")

@@ -495,8 +495,15 @@ object InfluxQLEval {
               .filterNot(c => c == source.timeCol || c == "tags" || c == "dt")
               .sorted.toSeq.map(FieldProj(_, None))
           else fields
+        // GROUP BY tags on a raw select keep the series keys in the
+        // output (v1 emits per-series blocks; here tags are columns) —
+        // transforms over raw fields partition on them
+        val tagKeep = s.groupTags
+          .filterNot(t => expanded.exists(p => p.alias.getOrElse(p.field) == t))
+          .map(t => ref(filtered, t).as(t))
         val cols = col(source.timeCol).as("time") +:
-          (expanded.map(f => ref(filtered, f.field).as(f.alias.getOrElse(f.field))) ++
+          (tagKeep ++
+            expanded.map(f => ref(filtered, f.field).as(f.alias.getOrElse(f.field))) ++
             rawExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = false)
               .as(e.alias.getOrElse(exprName(e.expr)))))
         filtered.select(cols: _*)
@@ -704,6 +711,23 @@ object InfluxQLEval {
         core.withColumn("_c", count(v).over(frame))
           .withColumn(name, avg(v).over(frame))
           .filter(col("_c") === n).drop("_c")
+      case fn @ ("exponential_moving_average" | "double_exponential_moving_average" |
+          "triple_exponential_moving_average" | "relative_strength_index" |
+          "chande_momentum_oscillator" | "kaufmans_adaptive_moving_average") =>
+        // v1's technical-analysis family — same kernels as the Flux
+        // verbs (SeriesScan per-series folds, hash-gated by the
+        // ema/dema/tema/rsi/cmo/kama gates); the staged series
+        // (time, tags, _v) IS a FluxFrame
+        val n = t.n.getOrElse(throw EvalException(s"$fn(field, N) needs N"))
+        val ff = graft.dsl.FluxFrame(core, s.groupTags, "time", "_v")
+        (fn match {
+          case "exponential_moving_average" => ff.ema(n, name)
+          case "double_exponential_moving_average" => ff.doubleEma(n, name)
+          case "triple_exponential_moving_average" => ff.tripleEma(n, name)
+          case "relative_strength_index" => ff.rsi(n, name)
+          case "chande_momentum_oscillator" => ff.chandeMomentum(n, name)
+          case "kaufmans_adaptive_moving_average" => ff.kaufmansAma(n, name)
+        }).df
       case "elapsed" =>
         // v1 elapsed(field[, unit]): whole units between consecutive
         // points, integer-truncated; default unit 1ns. Integer `div`

@@ -100,6 +100,18 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), col("event_type"), r4(col("d")).as("d"))
         .orderBy("event_type", "wstart")),
 
+    // v1 technical-analysis family over hourly means: the same
+    // SeriesScan kernel the Flux ema gate proves, reached through the
+    // InfluxQL text surface.
+    "iql_ema" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT exponential_moving_average(mean(value), 10) AS ema FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("ema")).as("ema"))
+        .orderBy("event_type", "wstart")),
+
     // SHOW TAG VALUES — the query Grafana template variables issue
     // before any panel renders; WHERE filters the contributing points.
     "iql_show_tag_values" -> ((s, dir) =>
@@ -349,6 +361,22 @@ object InfluxQlQueries {
         |  SELECT wstart, event_type, v - lag(v) OVER w AS d, lag(v) OVER w AS pv
         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY wstart)
         |) WHERE pv IS NOT NULL AND d >= 0 ORDER BY 2, 1"""),
+    // hourly means feed the same seeded-SMA + recursion CTE the Flux
+    // ema gates use; EMA is a contraction, so engine-order float noise
+    // in the hourly means stays at ulp scale and round-4 absorbs it
+    "iql_ema" -> w(
+      s"""WITH RECURSIVE hourly AS MATERIALIZED (
+         |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS wt, avg(value) AS v
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+         |  GROUP BY 1, 2
+         |), src AS MATERIALIZED (
+         |  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY wt) AS rn,
+         |    epoch_us(wt) AS tus, v FROM hourly
+         |),
+         |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
+         |SELECT event_type, make_timestamp(tus) AS wstart, round(ema, 4) AS ema
+         |FROM e ORDER BY 1, 2"""),
     "iql_show_tag_values" -> w(
       """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'

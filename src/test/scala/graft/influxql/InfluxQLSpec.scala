@@ -275,6 +275,51 @@ class InfluxQLSpec extends SparkSpec {
     assert(cs.select("cumulative_sum").as[Double].collect().toSeq == Seq(1.0, 4.0, 9.0))
   }
 
+  test("integral computes unit-scaled trapezoid area; per tag and per bucket") {
+    // h1: (00:05, 1.0) (00:25, 3.0) (01:05, 5.0) — trapezoids
+    // (1+3)/2 * 20min + (3+5)/2 * 40min = 40 + 160 = 200 value-minutes
+    val out = InfluxQLEval.run(
+      "SELECT integral(usage, 1m) FROM cpu GROUP BY host", source)
+    val rows = out.select("host", "integral").as[(String, Double)].collect().toMap
+    assert(rows("h1") == 200.0 && rows("h2") == 0.0) // single point: 0
+    // default unit is 1s
+    val secs = InfluxQLEval.run(
+      "SELECT integral(usage) FROM cpu GROUP BY host", source)
+    assert(secs.select("host", "integral").as[(String, Double)].collect()
+      .toMap.apply("h1") == 200.0 * 60)
+    // bucketed: pairs crossing the boundary contribute to neither bucket
+    val bucketed = InfluxQLEval.run(
+      "SELECT integral(usage, 1m) FROM cpu WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-08T02:00:00Z' GROUP BY time(1h), host FILL(none)",
+      source)
+    val byKey = bucketed.select(col("time").cast("string"), col("host"), col("integral"))
+      .as[(String, String, Double)].collect()
+      .map { case (t, h, v) => (t, h) -> v }.toMap
+    assert(byKey(("2024-01-08 00:00:00", "h1")) == 40.0) // only the in-bucket pair
+    assert(byKey(("2024-01-08 01:00:00", "h1")) == 0.0)
+  }
+
+  test("non_negative_difference and the technical-analysis transforms") {
+    // h1 values 1, 3, 5: differences +2, +2 — all kept; reversed sign
+    // case via derivative of a falling pair is covered by nn_derivative
+    val nnd = InfluxQLEval.run(
+      "SELECT non_negative_difference(usage) FROM cpu WHERE host = 'h1'", source)
+    assert(nnd.select("non_negative_difference").as[Double].collect().toSeq == Seq(2.0, 2.0))
+    // ema(2) over 1, 3, 5: seed SMA(1,3) = 2, then 5*(2/3) + 2*(1/3) = 4
+    val ema = InfluxQLEval.run(
+      "SELECT exponential_moving_average(usage, 2) FROM cpu WHERE host = 'h1' GROUP BY host",
+      source)
+    assert(ema.select("exponential_moving_average").as[Double].collect().toSeq == Seq(2.0, 4.0))
+    // the rest of the family parses and evaluates through the same path
+    Seq("double_exponential_moving_average", "triple_exponential_moving_average",
+      "relative_strength_index", "chande_momentum_oscillator",
+      "kaufmans_adaptive_moving_average").foreach { fn =>
+      val p = InfluxQL.parse(s"SELECT $fn(usage, 2) FROM cpu").asInstanceOf[Select]
+      assert(p.projs == Seq(TransProj(fn, FieldProj("usage", None), None, Some(2), None)))
+      InfluxQLEval.run(s"SELECT $fn(usage, 2) FROM cpu GROUP BY host", source).collect()
+    }
+  }
+
   test("SLIMIT/SOFFSET slice series, LIMIT slices points") {
     val out = InfluxQLEval.run(
       "SELECT mean(usage) FROM cpu GROUP BY host SLIMIT 1", source)
