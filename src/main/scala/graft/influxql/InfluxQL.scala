@@ -56,7 +56,8 @@ object InfluxQL {
     * `non_negative_derivative(…)`.
     */
   final case class TransProj(fn: String, inner: Proj, dur: Option[Dur],
-      n: Option[Int], alias: Option[String]) extends Proj
+      n: Option[Int], alias: Option[String],
+      n2: Option[Int] = None) extends Proj
 
   /** Arithmetic over projections: `mean(a) + mean(b)`,
     * `(sum(e)/sum(t))*100`. Leaves are aggregates, raw fields, or
@@ -220,15 +221,18 @@ object InfluxQL {
     "moving_average", "elapsed",
     "exponential_moving_average", "double_exponential_moving_average",
     "triple_exponential_moving_average", "relative_strength_index",
-    "chande_momentum_oscillator", "kaufmans_adaptive_moving_average")
+    "chande_momentum_oscillator", "kaufmans_adaptive_moving_average",
+    "holt_winters", "holt_winters_with_fit")
 
   /** Transforms whose second argument is a row count N (the technical-
-    * analysis family), not a duration.
+    * analysis family), not a duration. holt_winters additionally takes
+    * a third argument: the seasonal pattern length S.
     */
   val NArgTransforms: Set[String] = Set("moving_average",
     "exponential_moving_average", "double_exponential_moving_average",
     "triple_exponential_moving_average", "relative_strength_index",
-    "chande_momentum_oscillator", "kaufmans_adaptive_moving_average")
+    "chande_momentum_oscillator", "kaufmans_adaptive_moving_average",
+    "holt_winters", "holt_winters_with_fit")
 
   /** v1 scalar math functions usable inside SELECT expressions. */
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "round", "exp",
@@ -509,13 +513,16 @@ object InfluxQL {
             val inner = proj(); ws()
             var dur: Option[Dur] = None
             var n: Option[Int] = None
+            var n2: Option[Int] = None
             if (peekStr(",")) {
               expect(","); ws()
-              if (NArgTransforms.contains(head.toLowerCase)) n = Some(number().toInt)
-              else dur = Some(duration())
+              if (NArgTransforms.contains(head.toLowerCase)) {
+                n = Some(number().toInt); ws()
+                if (peekStr(",")) { expect(","); ws(); n2 = Some(number().toInt) }
+              } else dur = Some(duration())
             }
             ws(); expect(")")
-            TransProj(head.toLowerCase, inner, dur, n, None)
+            TransProj(head.toLowerCase, inner, dur, n, None, n2)
           } else { i = save; exprToProj() }
         }
       ws()

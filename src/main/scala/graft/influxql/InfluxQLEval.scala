@@ -728,6 +728,29 @@ object InfluxQLEval {
           case "chande_momentum_oscillator" => ff.chandeMomentum(n, name)
           case "kaufmans_adaptive_moving_average" => ff.kaufmansAma(n, name)
         }).df
+      case fn @ ("holt_winters" | "holt_winters_with_fit") =>
+        // v1 HOLT_WINTERS(agg(field), N, S): additive triple-exponential
+        // fit over the GROUP BY time() grid, N forecast steps, seasonal
+        // length S — the hash-gated SeriesScan kernel. Plain
+        // holt_winters returns only the N forecast rows; _with_fit also
+        // returns the fitted historical curve.
+        val nFc = t.n.getOrElse(throw EvalException(s"$fn(agg(field), N, S) needs N"))
+        val m = t.n2.getOrElse(
+          throw EvalException(s"$fn(agg(field), N, S) needs the seasonal length S"))
+        if (m < 1) throw EvalException("holt_winters seasonal length must be >= 1")
+        if (s.groupTime.isEmpty)
+          throw EvalException(s"$fn requires GROUP BY time() (a regular grid)")
+        val withUs = core.withColumn("_tus", unix_micros(col("time")))
+        val hw = graft.dsl.SeriesScan.holtWinters(
+          withUs, s.groupTags, "_tus", "_v", nFc, m)
+        // _hw_key carries the NUL-joined tag tuple; restore the columns
+        val parts = split(col("_hw_key"), "\u0000", -1)
+        val restored = s.groupTags.zipWithIndex.foldLeft(hw) {
+          case (d, (tg, i)) => d.withColumn(tg, element_at(parts, i + 1))
+        }.withColumn("time", timestamp_micros(col("_tus")))
+        val kept = if (fn == "holt_winters") restored.filter(col("is_forecast"))
+          else restored
+        kept.withColumn(name, col("fitted"))
       case "elapsed" =>
         // v1 elapsed(field[, unit]): whole units between consecutive
         // points, integer-truncated; default unit 1ns. Integer `div`

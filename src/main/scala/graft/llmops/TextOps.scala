@@ -193,8 +193,12 @@ object TextOps {
     */
   def chunkDupStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, c: Int = 8): org.apache.spark.sql.DataFrame = {
+    // checkpoint: the chunk index feeds BOTH the frequency table and
+    // the join side — without it the compiled chunking pass re-scans
+    // the corpus twice (the winnowSharedPairs lesson)
     val ch = wordChunks(docs, idCol, textCol, c)
       .select(col("id"), xxhash64(col("chunk")).as("ch"))
+      .localCheckpoint()
     val freq = ch.groupBy("ch").agg(count(lit(1)).as("df"))
     val per = ch.join(freq, "ch")
       .groupBy("id")

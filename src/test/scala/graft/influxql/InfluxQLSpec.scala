@@ -320,6 +320,27 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("holt_winters forecasts N steps beyond the GROUP BY time grid") {
+    val q = "SELECT holt_winters(mean(usage), 2, 1) FROM cpu " +
+      "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-08T02:00:00Z' " +
+      "GROUP BY time(20m), host FILL(none)"
+    val out = InfluxQLEval.run(q, source)
+    val rows = out.select(col("host"), col("time").cast("string"), col("holt_winters"))
+      .as[(String, String, Double)].collect()
+    // h1's grid is 00:00/00:20/01:00 buckets (means 1, 3, 5); two
+    // forecast steps continue at the 20m cadence past the last bucket
+    val h1 = rows.filter(_._1 == "h1").map(_._2).sorted
+    assert(h1.length == 2)
+    assert(h1.forall(_ > "2024-01-08 01:00:00"))
+    // _with_fit returns the fitted history too
+    val fit = InfluxQLEval.run(q.replace("holt_winters(", "holt_winters_with_fit("), source)
+    assert(fit.count() > rows.length)
+    // S is mandatory, as in v1
+    val e = intercept[InfluxQLEval.EvalException](InfluxQLEval.run(
+      "SELECT holt_winters(mean(usage), 2) FROM cpu GROUP BY time(20m), host", source))
+    assert(e.getMessage.contains("seasonal"))
+  }
+
   test("SLIMIT/SOFFSET slice series, LIMIT slices points") {
     val out = InfluxQLEval.run(
       "SELECT mean(usage) FROM cpu GROUP BY host SLIMIT 1", source)
