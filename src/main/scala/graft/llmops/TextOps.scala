@@ -238,6 +238,34 @@ object TextOps {
       .limit(k)
   }
 
+  /** Top-k TF-IDF terms per corpus slice (keyword extraction /
+    * domain-signature terms): tf = term occurrences within the slice,
+    * df = documents containing the term corpus-wide,
+    * tfidf = tf · ln(N/df).
+    *
+    * One exploded (doc, term) count feeds BOTH the tf and df rollups
+    * (checkpointed — the tokenize+explode pass runs once); N arrives as
+    * a broadcast 1-row aggregate, so the plan stays fully lazy and
+    * nothing but the k·slices result leaves the executors.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      sliceCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val dt = docs.select(col(idCol).as("id"), col(sliceCol).as("slice"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "slice", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tf = dt.groupBy("slice", "term").agg(sum("cnt").as("tf"))
+    val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("slice"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n").cast("double") / col("df"))).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("slice").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Content fingerprint: md5 of the normalized text (byte-identical
     * duplicates collapse).
     */

@@ -78,15 +78,33 @@ object VectorOps {
     * touch nprobe/nlist of the corpus.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    ivfProbe(ivfAssign(corpus, centroids), centroids, queries, k, nprobe)
+
+  /** Build the inverted file: every corpus vector assigned to its
+    * max-cosine centroid (ties → smaller cid). At production scale this
+    * is the persisted index — write it as parquet partitioned by `cid`
+    * once, and every later query batch probes it via [[ivfProbe]]
+    * without rescanning or re-bucketing the corpus (the same
+    * build-once/probe-many shape as the winnow fingerprint index).
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cos").desc, col("cid"))
-    val assign = corpus.as("c")
+    corpus.as("c")
       .crossJoin(broadcast(centroids.select(col("id").as("cid"), col("v").as("cv"))))
       .select(col("c.id").as("id"), col("c.v").as("v"), col("cid"),
         cosine(col("c.v"), col("cv")).as("cos"))
       .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
       .select(col("id"), col("v"), col("cid"))
+  }
+
+  /** Probe an inverted-file index (`(id, v, cid)` — fresh from
+    * [[ivfAssign]] or read back from its parquet form): each query
+    * scans only its `nprobe` closest centroids' lists.
+    */
+  def ivfProbe(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
     val probes = queries.as("q")
@@ -98,7 +116,7 @@ object VectorOps {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     probes
-      .join(assign, "cid")
+      .join(index, "cid")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nbr"), cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)

@@ -184,6 +184,13 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // Keyword extraction: top-5 TF-IDF terms per source slice.
+    "tfidf_terms" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(documents(s, dir), "doc_id", "source", "text", 5)
+        .select(col("slice").as("source"), col("rank"), col("term"),
+          r4(col("tfidf")).as("tfidf"))
+        .orderBy("source", "rank")),
+
     // Brute-force cosine top-3 for query vectors 0..4.
     "ann_brute" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -535,6 +542,21 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    "tfidf_terms" -> w(
+      s"""WITH dt AS (SELECT doc_id, source, term, count(*) AS cnt
+         |  FROM (SELECT doc_id, source, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |tf AS (SELECT source, term, sum(cnt) AS tf FROM dt GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.source, tf.term, tf.tf * ln(n.n * 1.0 / dfq.df) AS tfidf
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT source, term, tfidf,
+         |  row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT source, rank, term, round(tfidf, 4) AS tfidf
+         |FROM r WHERE rank <= 5 ORDER BY source, rank"""),
     "ann_brute" -> w(
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE id < 5),

@@ -219,6 +219,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 1L)) // only the +x list is probed
   }
 
+  test("ivf index persists to parquet and probes identically") {
+    val rnd = new scala.util.Random(11)
+    val vs = (0L until 30L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
+    val cents = VectorOps.trainIvfCentroids(vs.filter(col("id") % 3 === 0), 4, 2)
+    val qs = vs.filter(col("id") < 3)
+    val direct = VectorOps.ivfTopK(vs, cents, qs, 2, 2)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    // build once, write the inverted file, read it back, probe
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+    VectorOps.ivfAssign(vs, cents).write
+      .partitionBy("cid").parquet(dir.resolve("ivf").toString)
+    val index = spark.read.parquet(dir.resolve("ivf").toString)
+    val probed = VectorOps.ivfProbe(index, cents, qs, 2, 2)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    assert(probed == direct && direct.size == 6)
+  }
+
+  test("tfidf top terms rank slice-signature words first") {
+    val docs = Seq(
+      (1L, "a", "alpha alpha alpha shared shared"),
+      (2L, "a", "alpha shared common common"),
+      (3L, "b", "beta beta shared common"),
+      (4L, "b", "beta shared shared common")).toDF("doc_id", "src", "text")
+    val top = TextOps.tfidfTopTerms(docs, "doc_id", "src", "text", 1)
+      .select("slice", "term").as[(String, String)].collect().toMap
+    // "shared"/"common" appear in (nearly) all docs -> low idf; the
+    // slice-exclusive terms win
+    assert(top == Map("a" -> "alpha", "b" -> "beta"))
+  }
+
   private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
     DedupOps.connectedComponents(pairs.toDF("id_a", "id_b"))
       .as[(Long, Long)].collect().toMap
