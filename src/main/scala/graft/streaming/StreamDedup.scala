@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.llmops.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact-dedup stage for a document ingest pipeline: the
+  * Structured Streaming analogue of the batch `exact_dedup` +
+  * `incremental_dedup` operators.
+  *
+  * Two filters compose on the stream:
+  *  1. stream-internal duplicates — `dropDuplicatesWithinWatermark` on
+  *     the content fingerprint, so re-sent or doubly-crawled documents
+  *     inside the watermark horizon collapse to their first arrival
+  *     (state is bounded by the watermark: at 100 TB/day the state
+  *     store holds one fingerprint per unique doc per horizon, not the
+  *     corpus);
+  *  2. corpus duplicates — a stream-static LEFT ANTI join against the
+  *     persisted fingerprint index (the `(fp)` parquet a batch job
+  *     appends per day). The static side is re-read per micro-batch, so
+  *     a nightly index append is picked up without restarting the
+  *     stream; Catalyst broadcasts it when small and shuffles the
+  *     micro-batch (bounded) against it when not.
+  *
+  * Output is the deduplicated stream of novel documents — feed it to
+  * `foreachBatch` to append both the documents and their fingerprints
+  * to the corpus.
+  */
+object StreamDedup {
+
+  /** @param docs streaming frame carrying `tsCol` (event-time) + `textCol`
+    * @param corpusFps static frame with an `fp` column (md5 of the
+    *   normalized text, [[TextOps.fingerprint]])
+    * @param watermark event-time horizon for the in-stream dedup state
+    */
+  def exactDedupStream(docs: DataFrame, corpusFps: DataFrame,
+      textCol: String, tsCol: String, watermark: String): DataFrame = {
+    require(docs.isStreaming, "exactDedupStream expects a streaming frame")
+    docs
+      .withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+  }
+}

@@ -40,6 +40,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("tags.host") === "h1").count() == 2)
   }
 
+  test("streaming exact dedup: in-stream duplicates collapse, corpus members drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(1705276800000L + s * 1000)
+    mem.addData(
+      (ts(0), "fresh document one"),
+      (ts(1), "Fresh   DOCUMENT one"),  // normalizes to the same fp
+      (ts(2), "already in the corpus"),
+      (ts(3), "fresh document two"))
+    val docs = mem.toDF().toDF("event_ts", "text")
+    val corpus = Seq("already in the corpus").toDF("t")
+      .select(graft.llmops.TextOps.fingerprint(col("t")).as("fp"))
+    val out = StreamDedup.exactDedupStream(docs, corpus, "text", "event_ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cp-dedup").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("dedup_out").select("text").as[String].collect().toSet
+    assert(kept == Set("fresh document one", "fresh document two"))
+  }
+
   test("downsample task materializes windowed means into the target bucket") {
     val tsdb = freshTsdb()
     // 4 points across two 1-minute windows for h1, one window for h2
