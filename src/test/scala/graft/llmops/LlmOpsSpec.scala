@@ -236,6 +236,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(probed == direct && direct.size == 6)
   }
 
+  test("chunkDupStats matches brute-force on random corpora (property)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (0L until 40L).map { i =>
+      val len = rnd.nextInt(20)
+      (i, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val c = 3
+    // brute force: chunk each doc, count corpus-wide frequencies
+    val chunksOf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).grouped(c).filter(_.length == c).map(_.mkString(" ")).toVector
+    }.toMap
+    val freq = chunksOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expect = docs.map { case (id, _) =>
+      val ch = chunksOf(id)
+      (id, ch.size.toLong, ch.count(freq(_) > 1).toLong)
+    }.toSet
+    val got = TextOps.chunkDupStats(docs.toDF("doc_id", "text"), "doc_id", "text", c)
+      .select("id", "n_chunks", "dup_chunks").as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("trainIvfCentroids is invariant to corpus partitioning") {
+    val rnd = new scala.util.Random(3)
+    val vs = (0L until 60L).map(i => (i, Array.fill(6)(rnd.nextGaussian())))
+    def train(parts: Int) = VectorOps.trainIvfCentroids(
+      vs.toDF("id", "v").repartition(parts), 5, 2)
+      .select("id", "v").as[(Long, Seq[Double])].collect().toMap
+    val a = train(2)
+    val b = train(11)
+    assert(a.keySet == b.keySet)
+    // elementwise-mean sums are partition-order sensitive in the last
+    // ulp; assignment and near-exact equality must still hold
+    a.foreach { case (cid, v) =>
+      v.zip(b(cid)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+    }
+  }
+
   test("tfidf top terms rank slice-signature words first") {
     val docs = Seq(
       (1L, "a", "alpha alpha alpha shared shared"),
