@@ -49,7 +49,9 @@ object InfluxQL {
 
   sealed trait Proj
   final case class AggProj(fn: String, field: String, param: Option[Double],
-      alias: Option[String], dur: Option[Dur] = None) extends Proj
+      alias: Option[String], dur: Option[Dur] = None,
+      /** v1 three-arg top/bottom: `top(field, tagKey, N)`. */
+      tagKey: Option[String] = None) extends Proj
   final case class FieldProj(field: String, alias: Option[String]) extends Proj
   /** Transformation over an inner projection: `derivative(mean(v), 1s)`,
     * `moving_average(mean(v), 5)`, `difference(…)`, `cumulative_sum(…)`,
@@ -214,7 +216,7 @@ object InfluxQL {
 
   val Aggregates: Set[String] = Set("count", "sum", "mean", "min", "max",
     "median", "mode", "stddev", "spread", "first", "last", "percentile",
-    "distinct", "top", "bottom", "integral")
+    "distinct", "top", "bottom", "integral", "sample")
 
   val Transforms: Set[String] = Set("derivative", "non_negative_derivative",
     "difference", "non_negative_difference", "cumulative_sum",
@@ -583,20 +585,28 @@ object InfluxQL {
           } else {
             i = save2
             val f = ident(); ws()
-            // after the comma: a bare number is a parameter
-            // (percentile/top/bottom); a number followed by a unit
-            // letter is a duration (integral's unit)
+            // after the comma: an identifier is a tag key (three-arg
+            // top/bottom); a bare number is a parameter
+            // (percentile/top/bottom/sample); a number followed by a
+            // unit letter is a duration (integral's unit)
             var param: Option[Double] = None
             var dur: Option[Dur] = None
+            var tagKey: Option[String] = None
             if (peekStr(",")) {
               expect(","); ws()
-              val save3 = i
-              val num = number()
-              if (i < src.length && src(i).isLetter) { i = save3; dur = Some(duration()) }
-              else param = Some(num)
+              if (peekStr("\"") || (i < src.length && (src(i).isLetter || src(i) == '_'))) {
+                tagKey = Some(ident()); ws()
+                expect(","); ws()
+                param = Some(number())
+              } else {
+                val save3 = i
+                val num = number()
+                if (i < src.length && src(i).isLetter) { i = save3; dur = Some(duration()) }
+                else param = Some(num)
+              }
             }
             ws(); expect(")")
-            PAgg(AggProj(name.toLowerCase, f, param, None, dur))
+            PAgg(AggProj(name.toLowerCase, f, param, None, dur, tagKey))
           }
         } else PField(name)
       }

@@ -469,6 +469,8 @@ object InfluxQLEval {
         return topBottom(a, s, base, source)
       case Seq(a: AggProj) if a.fn == "distinct" =>
         return distinctValues(a, s, base, source)
+      case Seq(a: AggProj) if a.fn == "sample" =>
+        return sampleValues(a, s, base, source)
       case _ => ()
     }
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
@@ -613,6 +615,22 @@ object InfluxQLEval {
     val name = a.alias.getOrElse(a.fn)
     val v = ref(filtered, a.field)
     val valueOrd = if (a.fn == "top") v.desc else v.asc
+    a.tagKey.foreach { tag =>
+      // v1 three-arg form: the extreme point of each distinct tag
+      // value, then the N most extreme among those — output keeps the
+      // tag column
+      if (s.groupTags.nonEmpty)
+        throw EvalException(s"${a.fn}(field, tag, N) with GROUP BY tags is unsupported")
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(ref(filtered, tag))
+        .orderBy(valueOrd, col(source.timeCol).asc)
+      val best = filtered.withColumn("_r1", row_number().over(w1))
+        .filter(col("_r1") === 1)
+      return best
+        .orderBy(if (a.fn == "top") v.desc else v.asc, col(source.timeCol).asc)
+        .limit(n)
+        .select(col(source.timeCol).as("time"), ref(filtered, tag).as(tag), v.as(name))
+    }
     if (s.groupTags.isEmpty)
       filtered
         .select(col(source.timeCol).as("time"), v.as(name))
@@ -622,6 +640,40 @@ object InfluxQLEval {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(s.groupTags.map(t => ref(filtered, t)): _*)
         .orderBy(valueOrd, col(source.timeCol).asc)
+      filtered.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= n)
+        .select((col(source.timeCol).as("time") +:
+          s.groupTags.map(t => ref(filtered, t).as(t)) :+ v.as(name)): _*)
+        .orderBy(s.groupTags.map(col) :+ col("time"): _*)
+    }
+  }
+
+  /** `sample(field, N)`: N points per GROUP BY tag series. v1 samples
+    * with an RNG; this engine derives the selection from a
+    * deterministic hash of the point time (tie-broken by value), so
+    * re-runs, retries of failed tasks, and the DuckDB oracle all pick
+    * the same rows — the same determinism-over-RNG stance as
+    * `SampleOps.assignSplit`.
+    */
+  private def sampleValues(a: AggProj, s: Select, base: DataFrame,
+      source: Source): DataFrame = {
+    if (s.groupTime.isDefined)
+      throw EvalException("sample() with GROUP BY time() is unsupported")
+    val n = a.param.map(_.toInt)
+      .getOrElse(throw EvalException("sample(field, N) needs N"))
+    val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
+    val name = a.alias.getOrElse("sample")
+    val v = ref(filtered, a.field)
+    val h = md5(unix_micros(col(source.timeCol)).cast("string"))
+    if (s.groupTags.isEmpty)
+      filtered.withColumn("_h", h)
+        .orderBy(col("_h").asc, v.asc)
+        .limit(n)
+        .select(col(source.timeCol).as("time"), v.as(name))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(s.groupTags.map(t => ref(filtered, t)): _*)
+        .orderBy(h.asc, v.asc)
       filtered.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= n)
         .select((col(source.timeCol).as("time") +:

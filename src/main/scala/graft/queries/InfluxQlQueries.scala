@@ -233,6 +233,27 @@ object InfluxQlQueries {
         .select(col("time"), col("event_type"), col("top"))
         .orderBy("event_type", "time", "top")),
 
+    // top(field, tag, N): the extreme point per distinct tag value,
+    // then the 3 most extreme among those — the v1 three-arg form.
+    "iql_top_tag" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT top(value, event_type, 3) AS t FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z'",
+        source(s, dir))
+        .select(col("time"), col("event_type"), r4(col("t")).as("t"))
+        .orderBy("event_type", "time")),
+
+    // sample(field, N): deterministic hash-of-time selection (v1 uses
+    // an RNG; determinism is the distributed-retry-safe choice).
+    "iql_sample" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sample(value, 4) AS sv FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "GROUP BY event_type",
+        source(s, dir))
+        .select(col("time"), col("event_type"), r4(col("sv")).as("sv"))
+        .orderBy("event_type", "time")),
+
     // count(distinct(field)) — the v1 cardinality idiom.
     "iql_count_distinct" -> ((s, dir) =>
       InfluxQLEval.run(
@@ -445,6 +466,32 @@ object InfluxQlQueries {
         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, ts ASC) AS rn
         |  FROM events
         |) WHERE rn <= 3 ORDER BY 2, 1, 3"""),
+    "iql_top_tag" -> w(
+      """WITH f AS (
+        |  SELECT ts, event_type, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |), best AS (
+        |  SELECT ts, event_type, value FROM (
+        |    SELECT ts, event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value DESC, ts ASC) AS r
+        |    FROM f) WHERE r = 1
+        |), sel AS (
+        |  SELECT ts, event_type, value FROM (
+        |    SELECT *, row_number() OVER (ORDER BY value DESC, ts ASC) AS r2 FROM best)
+        |  WHERE r2 <= 3)
+        |SELECT ts AS time, event_type, round(value, 4) AS t FROM sel ORDER BY 2, 1"""),
+    "iql_sample" -> w(
+      """WITH f AS (
+        |  SELECT ts, event_type, value,
+        |    md5(CAST((epoch_ns(ts) // 1000) AS VARCHAR)) AS hh
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |), sel AS (
+        |  SELECT ts, event_type, value FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY event_type ORDER BY hh ASC, value ASC) AS r FROM f)
+        |  WHERE r <= 4)
+        |SELECT ts AS time, event_type, round(value, 4) AS sv FROM sel ORDER BY 2, 1"""),
     "iql_count_distinct" -> w(
       """SELECT event_type, count(DISTINCT user_id) AS nd
         |FROM events GROUP BY 1 ORDER BY 1"""),
