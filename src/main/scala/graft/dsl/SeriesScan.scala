@@ -36,6 +36,75 @@ object SeriesScan {
     } else df.repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
 
+  /** Distributed lag-1 over ONE unkeyed series — the fix for the
+    * "ungrouped transform serializes through one task" caveat, for the
+    * transform class that only needs a bounded lookback (derivative /
+    * difference / elapsed), where the full sequential scan above is
+    * unnecessary.
+    *
+    * Shape: range-partition by `orderCol` (contiguous, balanced,
+    * sampling-based spans), checkpoint so both passes see the SAME
+    * partitioning, then (1) collect each partition's LAST row — one
+    * row per partition, O(partitions) driver traffic, never O(rows) —
+    * and (2) stream each partition with its nearest non-empty
+    * predecessor's last row as the boundary carry. Every partition
+    * computes independently; a 1000-executor cluster runs 1000-way
+    * parallel where the window form ran one task.
+    *
+    * Appends `_prev_<c>` (lag-1 value, null for the global first row)
+    * for each requested column. Ties on `orderCol` are
+    * partition-order-dependent, exactly like the window form.
+    */
+  def ungroupedLag(df: DataFrame, orderCol: String, lagCols: Seq[String],
+      numParts: Int): DataFrame = {
+    import org.apache.spark.TaskContext
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val lagIdx = lagCols.map(inSchema.fieldIndex)
+    val outSchema = StructType(inSchema.fields ++ lagCols.map(c =>
+      StructField(s"_prev_$c", inSchema(c).dataType, nullable = true)))
+    val pidSchema = StructType(
+      StructField("_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
+        +: inSchema.fields)
+    val parts = df.repartitionByRange(math.max(numParts, 1), col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .localCheckpoint() // pin the sampled range bounds for both passes
+    val lastRows = {
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(pidSchema)
+      parts.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var last: Row = null
+          while (it.hasNext) last = it.next()
+          Iterator.single(Row.fromSeq(TaskContext.getPartitionId() +: last.toSeq))
+        }
+      }.collect()
+    }
+    // carry for partition p = last row of the nearest non-empty
+    // predecessor (range partitions can be empty)
+    val byPid = lastRows.map(r => r.getInt(0) -> r).toMap
+    val maxPid = (byPid.keys ++ Seq(0)).max
+    val carries: Map[Int, Seq[Any]] = {
+      var running: Row = null
+      (0 to maxPid + 1).map { p =>
+        val c = p -> (if (running == null) null else running.toSeq.drop(1))
+        byPid.get(p).foreach(running = _)
+        c
+      }.filter(_._2 != null).toMap
+    }
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    parts.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var prev: Seq[Any] = carries.get(pid).orNull
+      it.map { row =>
+        val extra = lagIdx.map(i => if (prev == null) null else prev(i))
+        val out = Row.fromSeq(row.toSeq ++ extra)
+        prev = row.toSeq
+        out
+      }
+    }
+  }
+
   /** Append `outCol` (double) computed by a stateful scan over each
     * group in time order. `step` receives (state, value) and returns
     * (nextState, output); a null output drops the row (e.g. EMA warm-up).

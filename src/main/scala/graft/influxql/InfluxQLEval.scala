@@ -721,10 +721,13 @@ object InfluxQLEval {
       base, source)
     val core = filled.filter(col("_v").isNotNull)
     import org.apache.spark.sql.expressions.Window
-    if (s.groupTags.isEmpty) {
-      // Correct (one ungrouped statement IS one series) but the whole
-      // series then orders through a single window task regardless of
-      // cluster size — same loud guard as SeriesScan's empty-key scan.
+    // The lag-1 class (derivative/difference/elapsed) distributes even
+    // WITHOUT tags via SeriesScan.ungroupedLag (range partitions +
+    // boundary carries); only transforms needing the full sequential
+    // prefix still serialize an untagged series through one task.
+    val lagClass = Set("derivative", "non_negative_derivative",
+      "difference", "non_negative_difference", "elapsed")
+    if (s.groupTags.isEmpty && !lagClass.contains(t.fn)) {
       ungroupedTransformWarnings.incrementAndGet()
       log.warn("InfluxQL transform without GROUP BY tags: the series " +
         "moves through ONE window task. GROUP BY a tag to distribute.")
@@ -733,7 +736,18 @@ object InfluxQLEval {
       else Window.partitionBy(s.groupTags.map(col): _*)).orderBy(col("time"))
     val name = t.alias.getOrElse(t.fn)
     val v = col("_v")
-    val prev = lag(v, 1).over(w)
+    /** core + `_pv`/`_pt` (lag-1 of value and time): a per-series
+      * window when tags partition the series, the distributed
+      * range-partition carry scan when untagged.
+      */
+    def withPrev(): DataFrame =
+      if (s.groupTags.isEmpty)
+        graft.dsl.SeriesScan.ungroupedLag(core, "time", Seq("_v", "time"),
+          core.sparkSession.sparkContext.defaultParallelism)
+          .withColumnRenamed("_prev__v", "_pv")
+          .withColumnRenamed("_prev_time", "_pt")
+      else core.withColumn("_pv", lag(v, 1).over(w))
+        .withColumn("_pt", lag(col("time"), 1).over(w))
     val staged: DataFrame = t.fn match {
       case "derivative" | "non_negative_derivative" =>
         // Default unit: the GROUP BY time() interval when transforming an
@@ -742,17 +756,17 @@ object InfluxQLEval {
         // rate), else 1s — matching the v1 engine.
         val unitSec = t.dur.map(_.seconds)
           .orElse(s.groupTime.map(_.seconds)).getOrElse(1.0)
-        val dtSec = col("time").cast("double") - lag(col("time"), 1).over(w).cast("double")
-        val d = (v - prev) / (dtSec / lit(unitSec))
+        val dtSec = col("time").cast("double") - col("_pt").cast("double")
+        val d = (v - col("_pv")) / (dtSec / lit(unitSec))
         // v1 omits negative rows entirely (docs: "returns only
         // non-negative rates of change"), it does not null them
-        val staged0 = core.withColumn("_pv", prev).withColumn(name, d)
-          .filter(col("_pv").isNotNull).drop("_pv")
+        val staged0 = withPrev().withColumn(name, d)
+          .filter(col("_pv").isNotNull).drop("_pv", "_pt")
         if (t.fn == "non_negative_derivative") staged0.filter(col(name) >= 0)
         else staged0
       case "difference" | "non_negative_difference" =>
-        val staged0 = core.withColumn("_pv", prev).withColumn(name, v - col("_pv"))
-          .filter(col("_pv").isNotNull).drop("_pv")
+        val staged0 = withPrev().withColumn(name, v - col("_pv"))
+          .filter(col("_pv").isNotNull).drop("_pv", "_pt")
         if (t.fn == "non_negative_difference") staged0.filter(col(name) >= 0)
         else staged0
       case "cumulative_sum" =>
@@ -808,11 +822,11 @@ object InfluxQLEval {
         // points, integer-truncated; default unit 1ns. Integer `div`
         // keeps ns math exact where double division could round.
         val unitNs = t.dur.map(x => (x.seconds * 1e9).toLong).getOrElse(1L)
-        core.withColumn("_pt", lag(col("time"), 1).over(w))
+        withPrev()
           .withColumn("_dns",
             (unix_micros(col("time")) - unix_micros(col("_pt"))) * lit(1000L))
           .withColumn(name, expr(s"_dns div ${unitNs}L"))
-          .filter(col("_pt").isNotNull).drop("_pt", "_dns")
+          .filter(col("_pt").isNotNull).drop("_pv", "_pt", "_dns")
       case other => throw EvalException(s"unsupported transformation '$other'")
     }
     staged.select((col("time") +: s.groupTags.map(col) :+ col(name)): _*)

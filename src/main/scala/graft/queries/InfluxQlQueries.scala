@@ -112,6 +112,18 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), col("event_type"), r4(col("ema")).as("ema"))
         .orderBy("event_type", "wstart")),
 
+    // Ungrouped derivative — no tags, ONE series: runs through the
+    // distributed range-partition + boundary-carry lag scan
+    // (SeriesScan.ungroupedLag), not a single global window task.
+    "iql_derivative_nogroup" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT derivative(sum(value), 1h) AS rate FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h)",
+        source(s, dir))
+        .select(col("time").as("wstart"), r4(col("rate")).as("rate"))
+        .orderBy("wstart")),
+
     // SHOW TAG VALUES — the query Grafana template variables issue
     // before any panel renders; WHERE filters the contributing points.
     "iql_show_tag_values" -> ((s, dir) =>
@@ -398,6 +410,20 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT event_type, make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1, 2"""),
+    "iql_derivative_nogroup" -> w(
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT wstart, round(rate, 4) AS rate FROM (
+        |  SELECT wstart,
+        |    (v - lag(v) OVER w) /
+        |      ((epoch(wstart) - lag(epoch(wstart)) OVER w) / 3600.0) AS rate,
+        |    lag(v) OVER w AS pv
+        |  FROM hourly WINDOW w AS (ORDER BY wstart)
+        |) WHERE pv IS NOT NULL ORDER BY 1"""),
     "iql_show_tag_values" -> w(
       """SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'

@@ -2,6 +2,7 @@ package graft.dsl
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lag}
 
 /** Hand-computed checks for the order-sensitive per-series scans. */
 class SeriesScanSpec extends SparkSpec {
@@ -72,6 +73,25 @@ class SeriesScanSpec extends SparkSpec {
       forecast = 4, m = 4, alpha = 0.6, beta = 0.3, gamma = 0.4)
       .orderBy("t").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("ungroupedLag matches the global window across many partitions (property)") {
+    val rnd = new scala.util.Random(9)
+    // deliberately many more partitions than natural splits, with
+    // clumped keys so some range partitions come out empty
+    val rows = (0 until 500).map(i => (i.toLong * 10 + rnd.nextInt(3), rnd.nextGaussian()))
+      .toDF("t", "v").repartition(13)
+    val got = SeriesScan.ungroupedLag(rows, "t", Seq("v", "t"), 17)
+      .select("t", "v", "_prev_v", "_prev_t")
+      .as[(Long, Double, Option[Double], Option[Long])].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+    val expect = rows
+      .withColumn("_prev_v", lag(col("v"), 1).over(w))
+      .withColumn("_prev_t", lag(col("t"), 1).over(w))
+      .select("t", "v", "_prev_v", "_prev_t")
+      .as[(Long, Double, Option[Double], Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    assert(got.head._3.isEmpty) // global first row has no predecessor
   }
 
   test("null values pass through without touching state") {

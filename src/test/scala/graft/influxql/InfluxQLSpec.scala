@@ -432,6 +432,11 @@ class InfluxQLSpec extends SparkSpec {
     InfluxQLEval.run(
       "SELECT derivative(mean(usage)) FROM cpu GROUP BY time(1h), host", source)
     assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1) // grouped: no warn
+    // the lag-1 class distributes ungrouped (range partitions +
+    // boundary carries) — no serialization, no warning
+    val d = InfluxQLEval.run("SELECT difference(usage) FROM cpu WHERE host = 'h1'", source)
+    assert(d.select("difference").as[Double].collect().toSeq == Seq(2.0, 2.0))
+    assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
   }
 
   test("parses arithmetic projections, time() offset, tz, star, admin SHOWs") {
