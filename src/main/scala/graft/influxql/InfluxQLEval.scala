@@ -726,7 +726,7 @@ object InfluxQLEval {
     // boundary carries); only transforms needing the full sequential
     // prefix still serialize an untagged series through one task.
     val lagClass = Set("derivative", "non_negative_derivative",
-      "difference", "non_negative_difference", "elapsed")
+      "difference", "non_negative_difference", "elapsed", "cumulative_sum")
     if (s.groupTags.isEmpty && !lagClass.contains(t.fn)) {
       ungroupedTransformWarnings.incrementAndGet()
       log.warn("InfluxQL transform without GROUP BY tags: the series " +
@@ -770,7 +770,13 @@ object InfluxQLEval {
         if (t.fn == "non_negative_difference") staged0.filter(col(name) >= 0)
         else staged0
       case "cumulative_sum" =>
-        core.withColumn(name, sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        if (s.groupTags.isEmpty)
+          // distributed two-pass prefix sum (per-partition totals →
+          // offsets) instead of one global running-window task
+          graft.dsl.SeriesScan.ungroupedPrefixSum(core, "time", "_v", name,
+            core.sparkSession.sparkContext.defaultParallelism)
+        else
+          core.withColumn(name, sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       case "moving_average" =>
         val n = t.n.getOrElse(throw EvalException("moving_average(x, N) needs N"))
         val frame = w.rowsBetween(-(n - 1), 0)

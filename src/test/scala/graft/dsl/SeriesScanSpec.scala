@@ -94,6 +94,21 @@ class SeriesScanSpec extends SparkSpec {
     assert(got.head._3.isEmpty) // global first row has no predecessor
   }
 
+  test("ungroupedPrefixSum matches the running window across partitions (property)") {
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 400).map(i => (i.toLong, rnd.nextInt(100).toDouble))
+      .toDF("t", "v").repartition(9)
+    val got = SeriesScan.ungroupedPrefixSum(rows, "t", "v", "cs", 7)
+      .select("t", "cs").as[(Long, Double)].collect().sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expect = rows.withColumn("cs", org.apache.spark.sql.functions.sum(col("v")).over(w))
+      .select("t", "cs").as[(Long, Double)].collect().sortBy(_._1)
+    // integer-valued doubles: exact equality holds despite the
+    // boundary-regrouped additions
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("null values pass through without touching state") {
     val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)), ("a", 4L, Some(3.0)))
       .toDF("key", "t", "v")

@@ -427,7 +427,8 @@ class InfluxQLSpec extends SparkSpec {
 
   test("ungrouped transform warns: the series runs through one window task") {
     val before = InfluxQLEval.ungroupedTransformWarnings.get()
-    InfluxQLEval.run("SELECT cumulative_sum(usage) FROM cpu WHERE host = 'h1'", source)
+    // moving_average needs an N-row frame — still serializes ungrouped
+    InfluxQLEval.run("SELECT moving_average(usage, 2) FROM cpu WHERE host = 'h1'", source)
     assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
     InfluxQLEval.run(
       "SELECT derivative(mean(usage)) FROM cpu GROUP BY time(1h), host", source)
