@@ -1,7 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1/5/15-min load averages, so a machine-load-contaminated run is
+    * self-identifying in the artifact (an r5 run recorded 50–150×
+    * per-query max/median spreads purely from external load).
+    */
+  private def loadAvg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -74,7 +86,17 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"sf":"$sf"}""")
+    val loadEnd = loadAvg()
+    // spread sanity: a query whose worst pass ran ≥5× its median AND
+    // lost ≥5 s to it did not change plan between passes — that is
+    // external machine load, and the totals above are suspect
+    val suspect = names.filter { n =>
+      val v = times(n); val m = median(v)
+      v.max >= 5 * m && v.max - m >= 5.0
+    }.sorted
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"load_suspect_queries":$suspectJson,"load_contaminated":${suspect.nonEmpty},"sf":"$sf"}""")
     spark.stop()
   }
 }

@@ -425,12 +425,19 @@ final case class FluxFrame(
       groupKey, timeCol, as)
 
   /** Flux `movingAverage(n:)` — emitted from the n-th row on. */
-  def movingAverage(n: Int, as: String = "_value"): FluxFrame = {
-    val ma = avg(col(valueCol)).over(rows(-(n - 1), 0))
-    val cnt = count(lit(1)).over(rows(-(n - 1), 0))
-    FluxFrame(df.withColumn(as, ma).withColumn("_n", cnt).filter(col("_n") === n).drop("_n"),
-      groupKey, timeCol, as)
-  }
+  def movingAverage(n: Int, as: String = "_value"): FluxFrame =
+    if (groupKey.isEmpty) {
+      // an unkeyed series needs only n−1 boundary rows per partition —
+      // distribute instead of one global window task
+      val out = SeriesScan.ungroupedMovingAvg(df, timeCol, valueCol, n, "_ma_out",
+        requireAllNonNull = false, df.sparkSession.sparkContext.defaultParallelism)
+      FluxFrame(out.withColumn(as, col("_ma_out")).drop("_ma_out"), groupKey, timeCol, as)
+    } else {
+      val ma = avg(col(valueCol)).over(rows(-(n - 1), 0))
+      val cnt = count(lit(1)).over(rows(-(n - 1), 0))
+      FluxFrame(df.withColumn(as, ma).withColumn("_n", cnt).filter(col("_n") === n).drop("_n"),
+        groupKey, timeCol, as)
+    }
 
   /** Flux `timedMovingAverage(every:, period:)` — time-range window. */
   def timedMovingAverage(periodSeconds: Long, as: String = "_value"): FluxFrame = {

@@ -58,17 +58,19 @@ object SeriesScan {
   def ungroupedLag(df: DataFrame, orderCol: String, lagCols: Seq[String],
       numParts: Int): DataFrame = {
     import org.apache.spark.TaskContext
-    val spark = df.sparkSession
     val inSchema = df.schema
     val lagIdx = lagCols.map(inSchema.fieldIndex)
     val outSchema = StructType(inSchema.fields ++ lagCols.map(c =>
       StructField(s"_prev_$c", inSchema(c).dataType, nullable = true)))
     val pidSchema = StructType(
       StructField("_pid", org.apache.spark.sql.types.IntegerType, nullable = false)
-        +: inSchema.fields)
+        +: lagCols.map(c => inSchema(inSchema.fieldIndex(c)).copy(nullable = true)))
     val parts = df.repartitionByRange(math.max(numParts, 1), col(orderCol))
       .sortWithinPartitions(col(orderCol))
       .localCheckpoint() // pin the sampled range bounds for both passes
+    // each partition's last row, projected down to the lagged columns:
+    // the carries map rides inside every task closure, so its size must
+    // be O(partitions × lagCols), never O(partitions × row width)
     val lastRows = {
       implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(pidSchema)
       parts.mapPartitions { it =>
@@ -76,7 +78,7 @@ object SeriesScan {
         else {
           var last: Row = null
           while (it.hasNext) last = it.next()
-          Iterator.single(Row.fromSeq(TaskContext.getPartitionId() +: last.toSeq))
+          Iterator.single(Row.fromSeq(TaskContext.getPartitionId() +: lagIdx.map(last.get)))
         }
       }.collect()
     }
@@ -95,11 +97,12 @@ object SeriesScan {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
     parts.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      // prev is always the lagCols projection of the previous row
       var prev: Seq[Any] = carries.get(pid).orNull
       it.map { row =>
-        val extra = lagIdx.map(i => if (prev == null) null else prev(i))
+        val extra = if (prev == null) lagIdx.map(_ => null) else prev
         val out = Row.fromSeq(row.toSeq ++ extra)
-        prev = row.toSeq
+        prev = lagIdx.map(row.get)
         out
       }
     }
@@ -157,6 +160,199 @@ object SeriesScan {
     }
   }
 
+  /** Distributed n-row moving average over ONE unkeyed series. A row
+    * window of n needs only the previous n−1 ROWS at each partition
+    * boundary, so the carry per partition is the concatenation of its
+    * predecessors' tails truncated to n−1 values — O(partitions × n)
+    * driver traffic, never O(rows).
+    *
+    * Emits only rows whose row-window is full (the first n−1 rows drop,
+    * matching both the Flux `movingAverage` and v1 `moving_average`
+    * contracts). `requireAllNonNull = true` additionally drops rows
+    * whose window contains a null (v1's `count(v) === n` filter);
+    * `false` averages the non-null subset (Flux's `count(1) === n`).
+    * The average sums the window in row order, the same accumulation
+    * order as the sequential window form.
+    */
+  def ungroupedMovingAvg(df: DataFrame, orderCol: String, valueCol: String,
+      n: Int, outCol: String, requireAllNonNull: Boolean,
+      numParts: Int): DataFrame = {
+    import org.apache.spark.TaskContext
+    require(n >= 1, s"moving average needs n >= 1, got $n")
+    val inSchema = df.schema
+    val valIdx = inSchema.fieldIndex(valueCol)
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, DoubleType, nullable = true))
+    val parts = df.repartitionByRange(math.max(numParts, 1), col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .localCheckpoint() // pin the sampled range bounds for both passes
+    def valOf(row: Row): java.lang.Double = row.get(valIdx) match {
+      case null => null
+      case x: java.lang.Number => x.doubleValue()
+    }
+    // pass 1: each partition's last min(n−1, rows) values, in order
+    val tails: Map[Int, Vector[java.lang.Double]] = {
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(StructType(Seq(
+        StructField("_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("_tail", org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = true), nullable = false))))
+      parts.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayDeque[java.lang.Double]
+        while (it.hasNext) {
+          buf.append(valOf(it.next()))
+          if (buf.size > n - 1) buf.removeHead()
+        }
+        Iterator.single(Row(TaskContext.getPartitionId(), buf.toSeq))
+      }.collect().map(r => r.getInt(0) -> r.getSeq[java.lang.Double](1).toVector).toMap
+    }
+    val maxPid = (tails.keys ++ Seq(0)).max
+    val carries: Map[Int, Vector[java.lang.Double]] = {
+      // running = last n−1 values of everything before partition p;
+      // a short predecessor contributes all its rows, so concat+truncate
+      // is exact
+      var running = Vector.empty[java.lang.Double]
+      (0 to maxPid).map { p =>
+        val c = p -> running
+        running = (running ++ tails.getOrElse(p, Vector.empty)).takeRight(math.max(n - 1, 0))
+        c
+      }.toMap
+    }
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    parts.mapPartitions { it =>
+      val q = scala.collection.mutable.ArrayDeque[java.lang.Double](
+        carries.getOrElse(TaskContext.getPartitionId(), Vector.empty): _*)
+      it.flatMap { row =>
+        q.append(valOf(row))
+        if (q.size > n) q.removeHead()
+        if (q.size < n) None
+        else {
+          var s = 0.0; var nn = 0
+          q.foreach { x => if (x != null) { s += x; nn += 1 } }
+          if (requireAllNonNull && nn < n) None
+          else {
+            val out: java.lang.Double = if (nn == 0) null else s / nn
+            Some(Row.fromSeq(row.toSeq :+ out))
+          }
+        }
+      }
+    }
+  }
+
+  /** Distributed EMA over ONE unkeyed series (Flux semantics: SMA seed
+    * over the first n values, α = 2/(n+1) after). EMA is a LINEAR
+    * recurrence — e' = (1−α)·e + α·v — so a partition's effect on
+    * incoming state is an affine map (a, b) and P partitions compose
+    * on the driver in O(P): the same two-pass parallel-prefix shape as
+    * [[ungroupedPrefixSum]]. The SMA warm-up is handled exactly: pass 1
+    * also ships each partition's first ≤ n non-null values (and the
+    * affine maps of its ≤ n+1 candidate suffixes), so the driver
+    * replays the seed bit-for-bit and enters every partition with the
+    * exact sequential state. The only divergence from the single-task
+    * scan is the re-association of the affine fold across boundaries
+    * (≲ a few ulps, like the prefix-sum's documented boundary
+    * grouping).
+    *
+    * Emits `outCol` for every row: null for null inputs and warm-up
+    * rows, the EMA otherwise — identical to the [[scanDouble]] EMA.
+    */
+  def ungroupedEma(df: DataFrame, orderCol: String, valueCol: String,
+      n: Int, outCol: String, numParts: Int): DataFrame = {
+    import org.apache.spark.TaskContext
+    require(n >= 1, s"ema needs n >= 1, got $n")
+    val alpha = 2.0 / (n + 1)
+    val inSchema = df.schema
+    val valIdx = inSchema.fieldIndex(valueCol)
+    val outSchema = StructType(inSchema.fields :+ StructField(outCol, DoubleType, nullable = true))
+    val parts = df.repartitionByRange(math.max(numParts, 1), col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .localCheckpoint() // pin the sampled range bounds for both passes
+    def valOf(row: Row): java.lang.Double = row.get(valIdx) match {
+      case null => null
+      case x: java.lang.Number => x.doubleValue()
+    }
+    // pass 1 per partition: non-null count, first min(n, count) values,
+    // and affine maps (a_j, b_j) of the suffix starting at non-null
+    // index j for every j ≤ min(n, count) — the driver does not know
+    // where the global warm-up ends until it has all counts, so each
+    // partition ships every candidate entry point (≤ n+1 of them)
+    final case class PartStat(pid: Int, cnt: Long, first: Vector[Double],
+        sa: Vector[Double], sb: Vector[Double])
+    val stats: Seq[PartStat] = {
+      val arrT = org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(StructType(Seq(
+        StructField("_pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("_cnt", org.apache.spark.sql.types.LongType, nullable = false),
+        StructField("_first", arrT, nullable = false),
+        StructField("_sa", arrT, nullable = false),
+        StructField("_sb", arrT, nullable = false))))
+      parts.mapPartitions { it =>
+        var cnt = 0L
+        val first = Vector.newBuilder[Double]
+        var aTop = 1.0; var bTop = 0.0 // forward affine over values at index ≥ n
+        while (it.hasNext) {
+          val v = valOf(it.next())
+          if (v != null) {
+            if (cnt < n) first += v.doubleValue()
+            else { aTop *= (1 - alpha); bTop = (1 - alpha) * bTop + alpha * v }
+            cnt += 1
+          }
+        }
+        val f = first.result()
+        val top = math.min(n.toLong, cnt).toInt
+        val sa = new Array[Double](top + 1); val sb = new Array[Double](top + 1)
+        sa(top) = aTop; sb(top) = bTop
+        var j = top - 1
+        while (j >= 0) { // M_j = M_{j+1} ∘ step(v_j)
+          sa(j) = sa(j + 1) * (1 - alpha)
+          sb(j) = sa(j + 1) * alpha * f(j) + sb(j + 1)
+          j -= 1
+        }
+        Iterator.single(Row(TaskContext.getPartitionId(), cnt, f, sa.toSeq, sb.toSeq))
+      }.collect().map(r => PartStat(r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toVector, r.getSeq[Double](3).toVector,
+        r.getSeq[Double](4).toVector)).sortBy(_.pid).toSeq
+    }
+    // driver walk: replay the sequential state machine across
+    // partitions, using each partition's shipped prefix for the warm-up
+    // region and its affine map for the rest — O(partitions × n)
+    val entries: Map[Int, (Long, Double, Double)] = {
+      var count = 0L; var sum = 0.0; var ema = 0.0
+      stats.map { p =>
+        val entry = p.pid -> ((count, sum, ema))
+        if (count >= n) { // fully past warm-up: one affine application
+          ema = p.sa(0) * ema + p.sb(0)
+          count += p.cnt
+        } else {
+          var i = 0
+          while (i < p.first.length && count < n) {
+            val v = p.first(i)
+            count += 1
+            if (count < n) sum += v
+            else ema = (sum + v) / n // the SMA seed, bit-exact
+            i += 1
+          }
+          if (count >= n) { ema = p.sa(i) * ema + p.sb(i); count += p.cnt - i }
+        }
+        entry
+      }.toMap
+    }
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    parts.mapPartitions { it =>
+      val (c0, s0, e0) = entries.getOrElse(TaskContext.getPartitionId(), (0L, 0.0, 0.0))
+      var count = c0; var sum = s0; var ema = e0
+      it.map { row =>
+        val v = valOf(row)
+        val out: java.lang.Double =
+          if (v == null) null
+          else {
+            count += 1
+            if (count < n) { sum += v; null }
+            else if (count == n) { ema = (sum + v) / n; ema }
+            else { ema = v * alpha + ema * (1 - alpha); ema }
+          }
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+  }
+
   /** Append `outCol` (double) computed by a stateful scan over each
     * group in time order. `step` receives (state, value) and returns
     * (nextState, output); a null output drops the row (e.g. EMA warm-up).
@@ -171,7 +367,6 @@ object SeriesScan {
       valueCol: String,
       outCol: String
   )(init: => S)(step: (S, Double) => (S, java.lang.Double)): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+ StructField(outCol, DoubleType, nullable = true))
     val keyIdx = keyCols.map(inSchema.fieldIndex)
@@ -205,7 +400,20 @@ object SeriesScan {
     */
   final case class EmaState(n: Int, count: Int, sum: Double, ema: Double)
 
-  def ema(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame = {
+  def ema(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame =
+    if (keyCols.isEmpty)
+      // EMA is linear, so the unkeyed series distributes via affine-map
+      // composition instead of serializing through one task — this also
+      // distributes doubleEMA/tripleEMA, which chain this call
+      ungroupedEma(df, orderCol, valueCol, n, outCol,
+        df.sparkSession.sparkContext.defaultParallelism)
+    else emaSingleSeries(df, keyCols, orderCol, valueCol, n, outCol)
+
+  /** The per-series sequential EMA scan ([[scanDouble]]). Package-
+    * visible so specs can assert distributed ≡ single-task on the
+    * unkeyed path.
+    */
+  private[graft] def emaSingleSeries(df: DataFrame, keyCols: Seq[String], orderCol: String, valueCol: String, n: Int, outCol: String): DataFrame = {
     val alpha = 2.0 / (n + 1)
     scanDouble[EmaState](df, keyCols, orderCol, valueCol, outCol)(EmaState(n, 0, 0.0, 0.0)) {
       case (s, v) =>
@@ -294,7 +502,6 @@ object SeriesScan {
       beta: Double = 0.1,
       gamma: Double = 0.1
   ): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(Seq(
       StructField("_hw_key", StringType, nullable = false),

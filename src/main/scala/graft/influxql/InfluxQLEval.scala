@@ -461,6 +461,16 @@ object InfluxQLEval {
   }
 
   private def selectOn(s: Select, base: DataFrame, source: Source): DataFrame = {
+    // the three-arg tag form exists only for top()/bottom(); the parser
+    // accepts it syntactically for any call, so reject it here rather
+    // than silently evaluating e.g. sample(value, tag, N) as the
+    // two-arg form
+    s.projs.foreach {
+      case a: AggProj if a.tagKey.isDefined && a.fn != "top" && a.fn != "bottom" =>
+        throw EvalException(s"${a.fn}(field, tag, N) is unsupported; " +
+          "the tag argument applies to top()/bottom() only")
+      case _ => ()
+    }
     s.projs match {
       case Seq(t: TransProj) => return transform(t, s, base, source)
       case _ if s.projs.exists(_.isInstanceOf[TransProj]) =>
@@ -721,12 +731,18 @@ object InfluxQLEval {
       base, source)
     val core = filled.filter(col("_v").isNotNull)
     import org.apache.spark.sql.expressions.Window
-    // The lag-1 class (derivative/difference/elapsed) distributes even
-    // WITHOUT tags via SeriesScan.ungroupedLag (range partitions +
-    // boundary carries); only transforms needing the full sequential
-    // prefix still serialize an untagged series through one task.
+    // Everything with bounded lookback or a LINEAR recurrence
+    // distributes even WITHOUT tags: lag-1 via SeriesScan.ungroupedLag,
+    // cumulative_sum via the two-pass prefix sum, moving_average via
+    // n−1 boundary-row carries, and the EMA family via affine-map
+    // composition (SeriesScan.ungroupedEma — doubleEMA/tripleEMA chain
+    // it). Only the genuinely nonlinear transforms (RSI/CMO/KAMA/
+    // Holt-Winters) still serialize an untagged series through one
+    // task.
     val lagClass = Set("derivative", "non_negative_derivative",
-      "difference", "non_negative_difference", "elapsed", "cumulative_sum")
+      "difference", "non_negative_difference", "elapsed", "cumulative_sum",
+      "moving_average", "exponential_moving_average",
+      "double_exponential_moving_average", "triple_exponential_moving_average")
     if (s.groupTags.isEmpty && !lagClass.contains(t.fn)) {
       ungroupedTransformWarnings.incrementAndGet()
       log.warn("InfluxQL transform without GROUP BY tags: the series " +
@@ -759,9 +775,14 @@ object InfluxQLEval {
         val dtSec = col("time").cast("double") - col("_pt").cast("double")
         val d = (v - col("_pv")) / (dtSec / lit(unitSec))
         // v1 omits negative rows entirely (docs: "returns only
-        // non-negative rates of change"), it does not null them
+        // non-negative rates of change"), it does not null them.
+        // Zero-interval pairs (duplicate timestamps across series in an
+        // untagged scan) are skipped as v1 does — without this, dt=0
+        // yields ±Infinity/NaN, and NaN >= 0 is TRUE under Spark's NaN
+        // ordering so NaN rows would leak through the filter below.
         val staged0 = withPrev().withColumn(name, d)
-          .filter(col("_pv").isNotNull).drop("_pv", "_pt")
+          .filter(col("_pv").isNotNull && col("_pt") =!= col("time"))
+          .drop("_pv", "_pt")
         if (t.fn == "non_negative_derivative") staged0.filter(col(name) >= 0)
         else staged0
       case "difference" | "non_negative_difference" =>
@@ -779,10 +800,19 @@ object InfluxQLEval {
           core.withColumn(name, sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       case "moving_average" =>
         val n = t.n.getOrElse(throw EvalException("moving_average(x, N) needs N"))
-        val frame = w.rowsBetween(-(n - 1), 0)
-        core.withColumn("_c", count(v).over(frame))
-          .withColumn(name, avg(v).over(frame))
-          .filter(col("_c") === n).drop("_c")
+        if (s.groupTags.isEmpty)
+          // distributed n−1 boundary-row carry scan instead of one
+          // global window task (core is non-null-filtered, so the
+          // all-non-null mode mirrors the count(v) === n filter below)
+          graft.dsl.SeriesScan.ungroupedMovingAvg(core, "time", "_v", n, name,
+            requireAllNonNull = true,
+            core.sparkSession.sparkContext.defaultParallelism)
+        else {
+          val frame = w.rowsBetween(-(n - 1), 0)
+          core.withColumn("_c", count(v).over(frame))
+            .withColumn(name, avg(v).over(frame))
+            .filter(col("_c") === n).drop("_c")
+        }
       case fn @ ("exponential_moving_average" | "double_exponential_moving_average" |
           "triple_exponential_moving_average" | "relative_strength_index" |
           "chande_momentum_oscillator" | "kaufmans_adaptive_moving_average") =>

@@ -112,6 +112,29 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), col("event_type"), r4(col("ema")).as("ema"))
         .orderBy("event_type", "wstart")),
 
+    // Ungrouped EMA — no tags, ONE series: EMA is a linear recurrence,
+    // so this runs through the distributed affine-composition two-pass
+    // (SeriesScan.ungroupedEma), not a single global scan task.
+    "iql_ema_nogroup" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT exponential_moving_average(mean(value), 10) AS ema FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h)",
+        source(s, dir))
+        .select(col("time").as("wstart"), r4(col("ema")).as("ema"))
+        .orderBy("wstart")),
+
+    // Ungrouped moving_average — the n−1 boundary-row carry scan
+    // (SeriesScan.ungroupedMovingAvg), not a single global window task.
+    "iql_mavg_nogroup" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT moving_average(sum(value), 6) AS mavg FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h)",
+        source(s, dir))
+        .select(col("time").as("wstart"), r4(col("mavg")).as("mavg"))
+        .orderBy("wstart")),
+
     // Ungrouped derivative — no tags, ONE series: runs through the
     // distributed range-partition + boundary-carry lag scan
     // (SeriesScan.ungroupedLag), not a single global window task.
@@ -410,6 +433,31 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT event_type, make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1, 2"""),
+    // constant-key wrapper reuses the per-group seeded-SMA recursion CTE
+    "iql_ema_nogroup" -> w(
+      s"""WITH RECURSIVE hourly AS MATERIALIZED (
+         |  SELECT 'all' AS event_type, time_bucket(INTERVAL '1 hour', ts) AS wt, avg(value) AS v
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+         |  GROUP BY 2
+         |), src AS MATERIALIZED (
+         |  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY wt) AS rn,
+         |    epoch_us(wt) AS tus, v FROM hourly
+         |),
+         |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
+         |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
+         |FROM e ORDER BY 1"""),
+    "iql_mavg_nogroup" -> w(
+      """WITH hourly AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT wstart, round(mavg, 4) AS mavg FROM (
+        |  SELECT wstart, avg(v) OVER w AS mavg, count(v) OVER w AS c
+        |  FROM hourly WINDOW w AS (ORDER BY wstart ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |) WHERE c = 6 ORDER BY 1"""),
     "iql_derivative_nogroup" -> w(
       """WITH hourly AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, sum(value) AS v

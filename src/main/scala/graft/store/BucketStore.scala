@@ -53,7 +53,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 
   /** Per-bucket mutation counter: bumped by every write/delete/
     * retention/compact so driver-side metadata caches (tag keys) can be
-    * validated without a Spark job.
+    * validated without a Spark job. Mutations bump TWICE — before the
+    * data change starts and after it commits — so a reader that samples
+    * the version mid-mutation (and would otherwise cache pre-mutation
+    * keys under the post-mutation version) is invalidated by the
+    * post-commit bump.
     */
   private val mutations =
     new scala.collection.concurrent.TrieMap[String, java.util.concurrent.atomic.AtomicLong]
@@ -126,6 +130,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       .mode(SaveMode.Append)
       .partitionBy("dt")
       .parquet(catalog.bucketPath(meta.name).toString)
+    // post-commit bump: invalidates any cache entry a reader stored
+    // while the append was in flight (it scanned pre-mutation data but
+    // would otherwise have keyed it to the already-bumped version)
+    bumpVersion(bucket)
   }
 
   /** Scan a bucket with last-write-wins dedup on (series, time).
@@ -212,6 +220,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
         kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         replaceDir(dir, tmp)
       }
+    bumpVersion(bucket) // post-commit bump, see writeLocked
   }
 
   /** Retention enforcement: drop whole day-partitions older than the
@@ -226,11 +235,13 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
         bumpVersion(bucket)
         val cutoff = java.time.LocalDate.ofEpochDay(
           Math.floorDiv(nowNs - meta.retentionNs, 86400_000_000_000L))
-        partitions(bucket).filter(_.isBefore(cutoff)).map { day =>
+        val dropped = partitions(bucket).filter(_.isBefore(cutoff)).map { day =>
           val dir = catalog.bucketPath(bucket).resolve(s"dt=$day")
           deleteRecursively(dir.toFile)
           s"dt=$day"
         }
+        bumpVersion(bucket) // post-commit bump, see writeLocked
+        dropped
       }
     }
 
@@ -260,6 +271,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     // every key now has exactly one row → reads can skip the dedup window
     java.nio.file.Files.createDirectories(path)
     java.nio.file.Files.write(cleanMarker(bucket), Array.emptyByteArray)
+    // LWW compaction cannot change the distinct key set, but bump
+    // defensively so the cache invariant ("every mutation bumps") holds
+    // without a carve-out.
+    bumpVersion(bucket)
   }
 
   def partitions(bucket: String): Seq[java.time.LocalDate] = {

@@ -109,6 +109,63 @@ class SeriesScanSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("ungroupedEma matches the single-task scan across partitions (property)") {
+    val rnd = new scala.util.Random(33)
+    // nulls interleaved; n=25 makes the SMA warm-up span several of the
+    // 17 range partitions, exercising the driver's cross-partition seed
+    // replay; affine re-association may differ by ulps, so compare at 1e-9
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (rnd.nextInt(10) == 0) None else Some(rnd.nextGaussian() * 50)))
+      .toDF("t", "v").repartition(13)
+    for (n <- Seq(1, 3, 25)) {
+      val got = SeriesScan.ungroupedEma(rows, "t", "v", n, "ema", 17)
+        .select("t", "ema").as[(Long, Option[Double])].collect().sortBy(_._1)
+      val expect = SeriesScan.emaSingleSeries(rows, Nil, "t", "v", n, "ema")
+        .select("t", "ema").as[(Long, Option[Double])].collect().sortBy(_._1)
+      assert(got.length == expect.length, s"n=$n")
+      got.zip(expect).foreach { case ((t1, g), (t2, e)) =>
+        assert(t1 == t2, s"n=$n")
+        (g, e) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"n=$n t=$t1: $a vs $b")
+          case (a, b) => assert(a == b, s"n=$n t=$t1")
+        }
+      }
+    }
+  }
+
+  test("ungroupedEma: series shorter than n emits only nulls") {
+    val rows = (0 until 5).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val got = SeriesScan.ungroupedEma(rows, "t", "v", 9, "ema", 4)
+      .select("ema").as[Option[Double]].collect()
+    assert(got.forall(_.isEmpty) && got.length == 5)
+  }
+
+  test("ungroupedMovingAvg matches the global window across partitions (property)") {
+    val rnd = new scala.util.Random(44)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(100).toDouble)))
+      .toDF("t", "v").repartition(11)
+    for ((n, strict) <- Seq((1, true), (4, true), (4, false), (30, false))) {
+      val got = SeriesScan.ungroupedMovingAvg(rows, "t", "v", n, "ma",
+        requireAllNonNull = strict, 17)
+        .select("t", "ma").as[(Long, Option[Double])].collect().sortBy(_._1)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("t").rowsBetween(-(n - 1), 0)
+      val base = rows
+        .withColumn("ma", org.apache.spark.sql.functions.avg(col("v")).over(w))
+        .withColumn("_rows", org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(w))
+        .withColumn("_nn", org.apache.spark.sql.functions.count(col("v")).over(w))
+      val filtered = if (strict) base.filter(col("_nn") === n) else base.filter(col("_rows") === n)
+      val expect = filtered.select("t", "ma")
+        .as[(Long, Option[Double])].collect().sortBy(_._1)
+      assert(got.length == expect.length, s"n=$n strict=$strict")
+      got.zip(expect).foreach { case ((t1, g), (t2, e)) =>
+        assert(t1 == t2 && ((g.isEmpty && e.isEmpty) ||
+          math.abs(g.get - e.get) < 1e-9), s"n=$n strict=$strict t=$t1: $g vs $e")
+      }
+    }
+  }
+
   test("null values pass through without touching state") {
     val df = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(2.0)), ("a", 4L, Some(3.0)))
       .toDF("key", "t", "v")

@@ -425,10 +425,10 @@ class InfluxQLSpec extends SparkSpec {
       Set(("h1", 5.0), ("h2", 10.0))) // h1 hourly sums 4.0, 5.0 → max 5.0
   }
 
-  test("ungrouped transform warns: the series runs through one window task") {
+  test("ungrouped transform warns only for the nonlinear family") {
     val before = InfluxQLEval.ungroupedTransformWarnings.get()
-    // moving_average needs an N-row frame — still serializes ungrouped
-    InfluxQLEval.run("SELECT moving_average(usage, 2) FROM cpu WHERE host = 'h1'", source)
+    // RSI needs the full sequential prefix — still serializes ungrouped
+    InfluxQLEval.run("SELECT relative_strength_index(usage, 2) FROM cpu WHERE host = 'h1'", source)
     assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
     InfluxQLEval.run(
       "SELECT derivative(mean(usage)) FROM cpu GROUP BY time(1h), host", source)
@@ -438,6 +438,45 @@ class InfluxQLSpec extends SparkSpec {
     val d = InfluxQLEval.run("SELECT difference(usage) FROM cpu WHERE host = 'h1'", source)
     assert(d.select("difference").as[Double].collect().toSeq == Seq(2.0, 2.0))
     assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
+    // moving_average distributes ungrouped via boundary-row carries
+    val ma = InfluxQLEval.run("SELECT moving_average(usage, 2) FROM cpu WHERE host = 'h1'", source)
+    assert(ma.select("moving_average").as[Double].collect().toSeq == Seq(2.0, 4.0))
+    assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
+    // EMA distributes ungrouped via affine-map composition
+    val ema = InfluxQLEval.run(
+      "SELECT exponential_moving_average(usage, 2) FROM cpu WHERE host = 'h1'", source)
+    assert(ema.select("exponential_moving_average").as[Double].collect().toSeq == Seq(2.0, 4.0))
+    assert(InfluxQLEval.ungroupedTransformWarnings.get() == before + 1)
+  }
+
+  test("non_negative_derivative skips zero-interval pairs instead of leaking NaN") {
+    // duplicate timestamp in an untagged scan: dt=0 would yield ±Inf/NaN,
+    // and NaN >= 0 is true under Spark's NaN ordering — v1 skips the pair
+    val dup = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-08 00:01:00"), 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-08 00:01:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-08 00:02:00"), 4.0))
+      .toDF("time", "usage")
+    val src = InfluxQLEval.Source(resolve = _ => dup)
+    val out = InfluxQLEval.run(
+      "SELECT non_negative_derivative(usage, 1m) FROM cpu", src)
+      .select("non_negative_derivative").as[Double].collect().toSeq
+    assert(out.forall(v => !v.isNaN && !v.isInfinite))
+    assert(out.head == 4.0) // (5-1)/1min; the 2→4 pair's sign depends on dup ordering
+    val plain = InfluxQLEval.run(
+      "SELECT derivative(usage, 1m) FROM cpu", src)
+      .select("derivative").as[Double].collect().toSeq
+    assert(plain.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("the three-arg tag form is rejected for aggregates other than top/bottom") {
+    val e = intercept[InfluxQLEval.EvalException](
+      InfluxQLEval.run("SELECT sample(usage, host, 2) FROM cpu", source))
+    assert(e.getMessage.contains("top()/bottom()"))
+    val e2 = intercept[InfluxQLEval.EvalException](
+      InfluxQLEval.run("SELECT mean(usage, host, 2) FROM cpu", source))
+    assert(e2.getMessage.contains("top()/bottom()"))
   }
 
   test("parses arithmetic projections, time() offset, tz, star, admin SHOWs") {
