@@ -59,6 +59,12 @@ object Main {
     val ready = Health.waitReady(() => tsdb.catalog.bucket(config.bucket).nonEmpty)
     if (!ready) { System.err.println("engine failed readiness probe"); sys.exit(1) }
 
+    // background retention/compaction, like the pinned engine's own
+    // expiry + TSM cycles (no operator action); 0 disables
+    val maintSecs = sys.env.getOrElse("GRAFT_MAINTENANCE_SECONDS", "1800").toLong
+    val maintenance =
+      if (maintSecs > 0) Some(new Maintenance(tsdb.store, maintSecs).start()) else None
+
     ingestDir match {
       case Some(dir) =>
         val q = new StreamIngest(tsdb).start(
@@ -75,6 +81,7 @@ object Main {
       case None =>
         println("graft engine ready (no provisioning, batch API only)")
     }
+    maintenance.foreach(_.stop())
     api.foreach(_.stop())
     spark.stop()
   }

@@ -1,0 +1,67 @@
+package graft.service
+
+import graft.store.BucketStore
+
+/** Background retention + compaction scheduler.
+  *
+  * The pinned engine enforces bucket retention continuously with no
+  * operator action (the reference configures the bucket's retention at
+  * provision time, recipe.yaml:21, and InfluxDB 2.0.9 expires points on
+  * its own; TSM compaction likewise runs as a background cycle). This
+  * is the serve-loop analogue: a single daemon timer sweeps every
+  * catalog bucket —
+  *
+  *  - [[BucketStore.enforceRetention]] drops whole expired `dt=`
+  *    day-partitions: O(metadata), never a data rewrite, so the sweep
+  *    cost is independent of bucket size;
+  *  - [[BucketStore.compact]] runs only when the bucket is dirty (has
+  *    been written since its last compaction): it rewrites partitions
+  *    dedup-applied and coalesced, then re-arms the clean marker so
+  *    steady-state reads skip the LWW shuffle. A bucket under
+  *    continuous ingest therefore pays at most one compaction per
+  *    sweep period — tune the period to the ingest rate at scale.
+  *
+  * Both operations take the per-bucket write lock, so sweeps serialize
+  * with appends/deletes and can never race a commit; readers are
+  * lock-free (they scan a parquet snapshot and dedup via the LWW
+  * window when the clean marker is absent), so queries keep running
+  * during a sweep.
+  */
+final class Maintenance(store: BucketStore, periodSeconds: Long) {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-maintenance")
+      t.setDaemon(true)
+      t
+    })
+
+  def start(): Maintenance = {
+    require(periodSeconds > 0, s"maintenance period must be positive, got $periodSeconds")
+    exec.scheduleWithFixedDelay(() => sweepAll(),
+      periodSeconds, periodSeconds, java.util.concurrent.TimeUnit.SECONDS)
+    this
+  }
+
+  /** One pass over every bucket. A failing bucket is logged and skipped
+    * so one bad directory cannot starve the rest of the sweep.
+    */
+  def sweepAll(): Unit =
+    store.catalog.listBuckets.foreach { b =>
+      try sweep(b.name)
+      catch {
+        case e: Throwable =>
+          log.warn(s"maintenance sweep failed for bucket '${b.name}': ${e.getMessage}")
+      }
+    }
+
+  def sweep(bucket: String): Unit = {
+    val dropped = store.enforceRetention(bucket)
+    if (dropped.nonEmpty)
+      log.info(s"retention: bucket '$bucket' dropped ${dropped.mkString(", ")}")
+    if (!store.isClean(bucket)) store.compact(bucket)
+  }
+
+  def stop(): Unit = exec.shutdownNow()
+}
