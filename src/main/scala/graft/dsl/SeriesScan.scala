@@ -36,6 +36,33 @@ object SeriesScan {
     } else df.repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
 
+  /** Group a sorted partition's rows into consecutive runs of one
+    * series, materializing each run as (key, Vector[(order, value)]).
+    * Callers that need the WHOLE series in memory (Holt-Winters seed +
+    * seasonal state, parameter fitting) use this; O(1)-state scans use
+    * [[scanDouble]] instead. Null values surface as NaN so callers can
+    * choose their own null policy.
+    */
+  private def seriesGroups(it: Iterator[Row], keyIdx: Seq[Int], ordIdx: Int,
+      valIdx: Int): Iterator[(String, Vector[(Long, Double)])] =
+    new Iterator[(String, Vector[(Long, Double)])] {
+      val base = it.buffered
+      def hasNext = base.hasNext
+      def next(): (String, Vector[(Long, Double)]) = {
+        val key = keyIdx.map(base.head.get).mkString("\u0000")
+        val buf = Vector.newBuilder[(Long, Double)]
+        while (base.hasNext && keyIdx.map(base.head.get).mkString("\u0000") == key) {
+          val r = base.next()
+          val v = r.get(valIdx) match {
+            case null => Double.NaN
+            case x: java.lang.Number => x.doubleValue()
+          }
+          buf += ((r.get(ordIdx) match { case n: java.lang.Number => n.longValue() }, v))
+        }
+        (key, buf.result())
+      }
+    }
+
   /** Distributed lag-1 over ONE unkeyed series — the fix for the
     * "ungrouped transform serializes through one task" caveat, for the
     * transform class that only needs a bounded lookback (derivative /
@@ -517,25 +544,7 @@ object SeriesScan {
     val sorted = sortedBySeries(df, keyCols, orderCol)
 
     sorted.mapPartitions { it =>
-      // group consecutive rows of one series, then scan each group
-      val grouped = new Iterator[(String, Vector[(Long, Double)])] {
-        val base = it.buffered
-        def hasNext = base.hasNext
-        def next(): (String, Vector[(Long, Double)]) = {
-          val key = keyIdx.map(base.head.get).mkString("\u0000")
-          val buf = Vector.newBuilder[(Long, Double)]
-          while (base.hasNext && keyIdx.map(base.head.get).mkString("\u0000") == key) {
-            val r = base.next()
-            val v = r.get(valIdx) match {
-              case null => Double.NaN
-              case x: java.lang.Number => x.doubleValue()
-            }
-            buf += ((r.get(ordIdx) match { case n: java.lang.Number => n.longValue() }, v))
-          }
-          (key, buf.result())
-        }
-      }
-      grouped.flatMap { case (key, rows0) =>
+      seriesGroups(it, keyIdx, ordIdx, valIdx).flatMap { case (key, rows0) =>
         val rows = rows0.filterNot(_._2.isNaN)
         if (rows.length < 2 * m) Iterator.empty
         else {
