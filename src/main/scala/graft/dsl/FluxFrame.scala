@@ -592,6 +592,15 @@ final case class FluxFrame(
       alpha: Double = 0.5, beta: Double = 0.1, gamma: Double = 0.1): DataFrame =
     SeriesScan.holtWinters(df, groupKey, timeCol, valueCol, forecast, season, alpha, beta, gamma)
 
+  /** `holtWinters` with α/β/γ FITTED per series by deterministic grid
+    * refinement on one-step-ahead SSE (the v1 engine's fit-by-
+    * optimization semantics; see [[SeriesScan.holtWintersFit]]).
+    * Output: (_hw_key, time, fitted, alpha, beta, gamma, sse) —
+    * `forecast` rows per series.
+    */
+  def holtWintersFit(forecast: Int, season: Int): DataFrame =
+    SeriesScan.holtWintersFit(df, groupKey, timeCol, valueCol, forecast, season)
+
   /** Flux `yield(name:)` — naming marker; materialization is caller's. */
   def yieldName(name: String): DataFrame = df
 

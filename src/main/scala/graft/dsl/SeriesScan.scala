@@ -580,6 +580,122 @@ object SeriesScan {
     }
   }
 
+  /** One additive-HW pass over a series: returns (sse over the fitted
+    * window, final level, final trend, final seasonals). Arithmetic is
+    * term-for-term identical to [[holtWinters]] (and to the recursive-
+    * CTE oracle), with SSE accumulated in scan order BEFORE the state
+    * update so both engines fold bit-identically.
+    */
+  private def hwRun(vs: Vector[Double], m: Int, alpha: Double, beta: Double,
+      gamma: Double): (Double, Double, Double, Array[Double]) = {
+    val mean1 = vs.take(m).sum / m
+    val mean2 = vs.slice(m, 2 * m).sum / m
+    var level = mean1
+    var trend = (mean2 - mean1) / m
+    val season = Array.tabulate(m)(i => vs(i) - mean1)
+    var sse = 0.0
+    var i = m
+    while (i < vs.length) {
+      val v = vs(i)
+      val si = i % m
+      val fitted = level + trend + season(si)
+      sse += (v - fitted) * (v - fitted)
+      val prevLevel = level
+      level = alpha * (v - season(si)) + (1 - alpha) * (level + trend)
+      trend = beta * (level - prevLevel) + (1 - beta) * trend
+      season(si) = gamma * (v - level) + (1 - gamma) * season(si)
+      i += 1
+    }
+    (sse, level, trend, season)
+  }
+
+  /** Candidate schedule for [[holtWintersFit]], in integer HUNDREDTHS so
+    * Spark and the SQL oracle derive every α/β/γ double from the same
+    * `i / 100.0` division (float subtraction like `best − 0.1` would
+    * land off-lattice). Three fixed refinement stages: a coarse
+    * {0.2, 0.5, 0.8}³ sweep, then ±0.10, then ±0.05 around the argmin —
+    * 81 SSE evaluations total.
+    */
+  private[graft] val HwFitStage1 = Seq(20, 50, 80)
+  private[graft] val HwFitOffsets = Seq(Seq(-10, 0, 10), Seq(-5, 0, 5))
+
+  /** Additive Holt-Winters with FITTED α/β/γ — closes the last v1
+    * semantic divergence (the reference's pinned engine optimizes the
+    * smoothing parameters; [[holtWinters]] takes them as constants).
+    *
+    * The optimizer is a deterministic fixed-schedule grid refinement
+    * (see [[HwFitStage1]]) minimizing one-step-ahead SSE over the
+    * fitted window, ties broken by ascending (α, β, γ). v1 uses
+    * Nelder-Mead; a simplex's vertices are data-dependent reals that a
+    * SQL oracle cannot enumerate, while a fixed evaluation schedule is
+    * replayable query-for-query in DuckDB — same derivative-free
+    * family, same fitted-SSE objective, exactly replicable. 81
+    * evaluations × O(series) each, all inside one task per series.
+    *
+    * Output: `forecast` rows per series —
+    * (_hw_key, orderCol, fitted, alpha, beta, gamma, sse).
+    */
+  def holtWintersFit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      forecast: Int,
+      m: Int
+  ): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("_hw_key", StringType, nullable = false),
+      StructField(orderCol, org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("fitted", DoubleType, nullable = true),
+      StructField("alpha", DoubleType, nullable = false),
+      StructField("beta", DoubleType, nullable = false),
+      StructField("gamma", DoubleType, nullable = false),
+      StructField("sse", DoubleType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val ordIdx = inSchema.fieldIndex(orderCol)
+    val valIdx = inSchema.fieldIndex(valueCol)
+
+    val sorted = sortedBySeries(df, keyCols, orderCol)
+
+    sorted.mapPartitions { it =>
+      seriesGroups(it, keyIdx, ordIdx, valIdx).flatMap { case (key, rows0) =>
+        val rows = rows0.filterNot(_._2.isNaN)
+        if (rows.length < 2 * m) Iterator.empty
+        else {
+          val vs = rows.map(_._2)
+          // strict-< walk in ascending (α,β,γ) order ≡ the oracle's
+          // ORDER BY sse, ca, cb, cg LIMIT 1 — identical doubles on
+          // both sides make the comparison identical too
+          def argmin(cands: Seq[(Int, Int, Int)]): ((Int, Int, Int), Double) = {
+            var best: (Int, Int, Int) = null
+            var bestSse = Double.PositiveInfinity
+            cands.foreach { c =>
+              val s = hwRun(vs, m, c._1 / 100.0, c._2 / 100.0, c._3 / 100.0)._1
+              if (s < bestSse) { bestSse = s; best = c }
+            }
+            (best, bestSse)
+          }
+          val stage1 = for (a <- HwFitStage1; b <- HwFitStage1; g <- HwFitStage1) yield (a, b, g)
+          val refined = HwFitOffsets.foldLeft(argmin(stage1)) { case ((b0, _), offs) =>
+            argmin(for (da <- offs; db <- offs; dg <- offs)
+              yield (b0._1 + da, b0._2 + db, b0._3 + dg))
+          }
+          val ((ca, cb, cg), sse) = refined
+          val (_, level, trend, season) =
+            hwRun(vs, m, ca / 100.0, cb / 100.0, cg / 100.0)
+          val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
+          (1 to forecast).iterator.map { h =>
+            Row(key, rows.last._1 + step * h,
+              level + trend * h + season((rows.length + h - 1) % m),
+              ca / 100.0, cb / 100.0, cg / 100.0, sse)
+          }
+        }
+      }
+    }
+  }
+
   /** Kaufman's adaptive moving average (n-period efficiency ratio). */
   final case class KamaState(window: scala.collection.mutable.Queue[Double], kama: java.lang.Double)
 

@@ -75,6 +75,48 @@ class SeriesScanSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("holt-winters fit: recovers a strongly seasonal series and beats the defaults") {
+    // high-α/γ-favoring series: strong season, mild noise-free trend
+    val season = Array(5.0, -3.0, -4.0, 2.0)
+    def v(t: Int) = 20.0 + 0.25 * t + season(t % 4)
+    val df = series((0 until 40).map(t => ("a", t.toLong, v(t))): _*)
+    val fit = SeriesScan.holtWintersFit(df, Seq("key"), "t", "v", forecast = 4, m = 4)
+      .orderBy("t").collect()
+    assert(fit.length == 4)
+    assert(fit.map(_.getLong(1)).toSeq == Seq(40L, 41L, 42L, 43L))
+    val (a, b, g) = (fit.head.getDouble(3), fit.head.getDouble(4), fit.head.getDouble(5))
+    // fitted params sit on the 0.05 lattice within (0, 1)
+    Seq(a, b, g).foreach { p =>
+      assert(p > 0 && p < 1 && math.abs(p * 100 - math.round(p * 100)) < 1e-9)
+      assert(math.round(p * 100) % 5 == 0)
+    }
+    // the forecast should track the exact generator closely
+    fit.foreach { r =>
+      assert(math.abs(r.getDouble(2) - v(r.getLong(1).toInt)) < 0.5,
+        s"t=${r.getLong(1)} fc=${r.getDouble(2)} expected=${v(r.getLong(1).toInt)}")
+    }
+    // fitted SSE must not exceed the fixed-default (0.5, 0.1, 0.1) SSE:
+    // the default triple is reachable by the schedule (stage1 50 / ±...),
+    // and argmin only ever improves on evaluated candidates — recompute
+    // the default SSE via the public scan for an independent bound
+    val sse = fit.head.getDouble(6)
+    val fittedDefault = SeriesScan.holtWinters(df, Seq("key"), "t", "v",
+      forecast = 0, m = 4).collect()
+    val sseDefault = fittedDefault.map { r =>
+      val d = r.getDouble(2) - r.getDouble(3); d * d
+    }.sum
+    assert(sse <= sseDefault + 1e-9, s"fit sse=$sse default=$sseDefault")
+    // deterministic across runs
+    val again = SeriesScan.holtWintersFit(df, Seq("key"), "t", "v", forecast = 4, m = 4)
+      .orderBy("t").collect()
+    assert(fit.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("holt-winters fit: series shorter than two seasons emits nothing") {
+    val df = series((0 until 7).map(t => ("a", t.toLong, t.toDouble)): _*)
+    assert(SeriesScan.holtWintersFit(df, Seq("key"), "t", "v", 3, 4).count() == 0)
+  }
+
   test("ungroupedLag matches the global window across many partitions (property)") {
     val rnd = new scala.util.Random(9)
     // deliberately many more partitions than natural splits, with
