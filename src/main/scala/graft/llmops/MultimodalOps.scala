@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * fixed-size batches per partition, so a real decoder amortizes model
   * / codec setup per batch, not per row).
   *
-  * The byte-level decode itself is STUBBED with a deterministic fake —
-  * this container has no image/audio codecs — but everything Spark-side
-  * is real and tested: the schema, the binary payload flow, the batch
+  * IMAGES decode for real: [[ImageCodec]] rides the JRE-builtin
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — zero external dependencies), so
+  * the width/height/per-channel-mean path is a genuine byte-level
+  * decode. AUDIO/VIDEO remain STUBBED with a deterministic fake (this
+  * container ships no audio/video codecs), but everything Spark-side is
+  * real and tested: the schema, the binary payload flow, the batch
   * iterator shape, the partitioning, and the frame-explosion plumbing.
   * Swapping `StubCodec` for a JNI/ONNX decoder changes no plan shape.
   */
@@ -60,6 +63,101 @@ object MultimodalOps {
       while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
       out
     }
+  }
+
+  /** Per-image decode summary: dimensions + per-channel pixel means. */
+  final case class ImageStats(width: Int, height: Int,
+      rMean: Double, gMean: Double, bMean: Double)
+
+  /** REAL image codec on the JRE's built-in `javax.imageio` — no
+    * external dependency. Decode is per BATCH caller-side (see
+    * [[decodeImageStats]]) like the stub path.
+    */
+  object ImageCodec {
+    /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF) and
+      * reduce to dimensions + exact per-channel means (integer pixel
+      * sums, one double division at the end).
+      */
+    def decodeStats(bytes: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageStats(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+
+    /** Encode an RGB pixel function to real PNG bytes (lossless, so
+      * decodeStats(encodePng(f)) recovers f's statistics exactly —
+      * which is what makes the decode gate oracle-replicable from the
+      * pixel formula alone).
+      */
+    def encodePng(width: Int, height: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Batched REAL image decode: appends (width, height, r_mean, g_mean,
+    * b_mean) to each `kind = image` row by decoding the binary payload
+    * with [[ImageCodec]]. Same mapInPandas-shaped batching as
+    * [[extractFeatures]]; non-image rows are filtered out (audio/video
+    * decode stays stubbed).
+    */
+  def decodeImageStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("r_mean", DoubleType).add("g_mean", DoubleType).add("b_mean", DoubleType)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    df.filter(col("kind") === "image").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val s = ImageCodec.decodeStats(row.getAs[Array[Byte]](bytesIdx))
+          Row.fromSeq(row.toSeq ++ Seq[Any](s.width, s.height, s.rMean, s.gMean, s.bMean))
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-PNG media table: image payloads are genuine PNG
+    * encodings of a closed-form pixel formula, so a SQL oracle can
+    * recompute every decode statistic from the formula while Spark
+    * recovers it from the BYTES via the real codec. Dimensions and
+    * channels vary per id to exercise non-square, non-constant images.
+    */
+  def syntheticImages(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val w = 16 + (i % 5) * 8
+      val h = 12 + (i % 3) * 10
+      val bytes = ImageCodec.encodePng(w, h) { (x, y) =>
+        val r = (x * 7 + y * 13 + i * 31) % 256
+        val g = (x * 3 + y * 5 + i * 17) % 256
+        val b = (x * 11 + y * 2 + i * 23) % 256
+        (r << 16) | (g << 8) | b
+      }
+      Row(i.toLong, "image", bytes, Row("image/png", w, h, null, null))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }
 
   /** Batched feature extraction — mapInPandas-shaped: each partition's

@@ -265,7 +265,21 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"),
           r4(sum(element_at(col("features"), 1))).as("sum_f0"),
           r4(max(element_at(col("features"), 1))).as("max_f0"))
-        .orderBy("kind"))
+        .orderBy("kind")),
+
+    // REAL image decode: payloads are genuine PNG bytes (encoded from a
+    // closed-form pixel formula), decoded executor-side with the JRE's
+    // javax.imageio; the oracle recomputes the same stats from the
+    // formula — PNG losslessness makes them equal exactly.
+    "media_decode" -> ((s, _) =>
+      MultimodalOps.decodeImageStats(MultimodalOps.syntheticImages(s, 24))
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(col("r_mean")).as("r_mean"),
+          r4(col("g_mean")).as("g_mean"),
+          r4(col("b_mean")).as("b_mean"))
+        .orderBy("media_id"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -693,6 +707,30 @@ object LlmQueries {
         |)
         |SELECT kind, count(*) AS n, round(sum(f0), 4) AS sum_f0,
         |  round(max(f0), 4) AS max_f0
-        |FROM feat GROUP BY 1 ORDER BY 1""")
+        |FROM feat GROUP BY 1 ORDER BY 1"""),
+    // media_decode: Spark decodes REAL PNG bytes; the oracle never sees
+    // an image — it recomputes width/height/channel means straight from
+    // the generator's pixel formula (PNG is lossless, so the decoded
+    // pixels ARE the formula's values). Integer pixel sums, one double
+    // division, round 4 — mirroring ImageCodec.decodeStats exactly.
+    "media_decode" -> w(
+      """WITH dims AS (
+        |  SELECT i, 16 + (i % 5) * 8 AS w, 12 + (i % 3) * 10 AS h
+        |  FROM (SELECT unnest(range(0, 24)) AS i)
+        |), px AS (
+        |  SELECT d.i, d.w, d.h, xs.x, ys.y
+        |  FROM dims d,
+        |    (SELECT unnest(range(0, 48)) AS x) xs,
+        |    (SELECT unnest(range(0, 32)) AS y) ys
+        |  WHERE xs.x < d.w AND ys.y < d.h
+        |)
+        |SELECT i AS media_id, any_value(w) AS width, any_value(h) AS height,
+        |  round(CAST(sum((x * 7 + y * 13 + i * 31) % 256) AS DOUBLE)
+        |    / (any_value(w) * any_value(h)), 4) AS r_mean,
+        |  round(CAST(sum((x * 3 + y * 5 + i * 17) % 256) AS DOUBLE)
+        |    / (any_value(w) * any_value(h)), 4) AS g_mean,
+        |  round(CAST(sum((x * 11 + y * 2 + i * 23) % 256) AS DOUBLE)
+        |    / (any_value(w) * any_value(h)), 4) AS b_mean
+        |FROM px GROUP BY 1 ORDER BY 1""")
   )
 }

@@ -46,6 +46,46 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.distinct().as[Int].collect().toSeq == Seq(16000))
   }
 
+  test("ImageCodec: PNG round-trip recovers exact pixel statistics") {
+    // 3x2 image with hand-picked channel values
+    val px = Map(
+      (0, 0) -> (10, 20, 30), (1, 0) -> (40, 50, 60), (2, 0) -> (70, 80, 90),
+      (0, 1) -> (255, 0, 128), (1, 1) -> (0, 255, 1), (2, 1) -> (5, 6, 7))
+    val bytes = MultimodalOps.ImageCodec.encodePng(3, 2) { (x, y) =>
+      val (r, g, b) = px((x, y)); (r << 16) | (g << 8) | b
+    }
+    // a real PNG came out (magic header), not a stub payload
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    val s = MultimodalOps.ImageCodec.decodeStats(bytes)
+    assert(s.width == 3 && s.height == 2)
+    assert(s.rMean == px.values.map(_._1).sum / 6.0)
+    assert(s.gMean == px.values.map(_._2).sum / 6.0)
+    assert(s.bMean == px.values.map(_._3).sum / 6.0)
+  }
+
+  test("decodeImageStats decodes real PNG payloads distributed, matching the formula") {
+    val imgs = MultimodalOps.syntheticImages(spark, 12)
+    val got = MultimodalOps.decodeImageStats(imgs, batchSize = 5)
+      .orderBy("media_id")
+      .select("media_id", "width", "height", "r_mean").collect()
+    assert(got.length == 12)
+    got.foreach { r =>
+      val i = r.getLong(0).toInt
+      val (w, h) = (16 + (i % 5) * 8, 12 + (i % 3) * 10)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"id=$i")
+      val rSum = (for (x <- 0 until w; y <- 0 until h)
+        yield (x * 7 + y * 13 + i * 31) % 256).map(_.toLong).sum
+      assert(r.getDouble(3) == rSum.toDouble / (w.toLong * h), s"id=$i")
+    }
+  }
+
+  test("decodeImageStats rejects undecodable payloads loudly") {
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeImageStats(media.filter(col("kind") === "image")).collect()
+    }
+  }
+
   test("frame sampling explodes one row per interval within duration") {
     val frames = MultimodalOps.sampleFrames(media, everyMs = 250)
     val perAsset = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
