@@ -146,7 +146,14 @@ object InfluxQL {
       /** `SELECT … INTO m2 …`: write the result as measurement m2 —
         * only meaningful inside CREATE CONTINUOUS QUERY.
         */
-      into: Option[String] = None) extends Stmt
+      into: Option[String] = None,
+      /** Set by the /query JSON surface only (never the parser): emit
+        * the v1 `time` column on GROUP-BY-time-less aggregate rows —
+        * the selected point's timestamp for a lone selector, epoch 0
+        * otherwise. Subqueries keep false (v1 adds it at the response
+        * boundary, not between query levels).
+        */
+      v1Time: Boolean = false) extends Stmt
   /** `SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = name] [LIMIT n]
     * [OFFSET n]` — regex selection is what Grafana's measurement
     * template variables issue. The `=` form is an anchored literal.
@@ -638,7 +645,31 @@ object InfluxQL {
           else if (peekStr("+")) { expect("+"); ws(); LNow(1, Some(duration())) }
           else LNow(0, None)
         }
-        else numberLit()
+        else {
+          val lit0 = numberLit()
+          lit0 match {
+            // Grafana sends absolute panel bounds as unit-suffixed
+            // integers (`time >= 1705276800000ms and time <=
+            // 1705277040000ms`): an integral literal directly followed
+            // by a duration unit is epoch time in that unit → ns
+            case LInt(n) if i < src.length && (src(i).isLetter || src(i) == 'µ') =>
+              val us = i
+              while (i < src.length && (src(i).isLetter || src(i) == 'µ')) i += 1
+              val unitNs = src.substring(us, i) match {
+                case "ns" => 1L
+                case "u" | "µ" => 1000L
+                case "ms" => 1000000L
+                case "s" => 1000000000L
+                case "m" => 60L * 1000000000L
+                case "h" => 3600L * 1000000000L
+                case "d" => 86400L * 1000000000L
+                case "w" => 7L * 86400L * 1000000000L
+                case other => fail(s"unknown duration unit '$other'")
+              }
+              LInt(n * unitNs)
+            case l => l
+          }
+        }
       CCmp(if (op == "<>") "!=" else op, key, v)
     }
 

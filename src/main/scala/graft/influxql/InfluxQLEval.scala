@@ -56,9 +56,16 @@ object InfluxQLEval {
 
   /** Evaluate one already-parsed statement (multi-statement /query
     * batches parse once via [[InfluxQL.parseAll]] and eval per entry).
+    *
+    * `v1Time = true` (the /query JSON surface) adds the v1 engine's
+    * `time` column to aggregate results that have no GROUP BY time():
+    * the selected POINT's timestamp for a lone selector
+    * (first/last/min/max), epoch 0 otherwise — what Grafana's
+    * singlestat `SELECT last(…)` panels read. Library/gate callers
+    * keep the bare aggregate row (default false).
     */
-  def evalStmt(stmt: Stmt, source: Source): DataFrame = stmt match {
-    case s: Select => select(s, source)
+  def evalStmt(stmt: Stmt, source: Source, v1Time: Boolean = false): DataFrame = stmt match {
+    case s: Select => select(if (v1Time) s.copy(v1Time = true) else s, source)
     case ShowMeasurements(re, lim, off) =>
       require(source.measurements != null, "SHOW MEASUREMENTS unsupported by this source")
       val base = source.measurements()
@@ -239,8 +246,11 @@ object InfluxQLEval {
     },
     tagKeyList = m => tsdb.store.tagKeys(bucket, m),
     fieldKeys = m => {
+      // v1 pairs each key with its type; the canonical store keeps every
+      // field as double — v1's "float"
       import tsdb.spark.implicits._
       tsdb.store.fieldKeys(bucket, m).toDF("fieldKey")
+        .withColumn("fieldType", lit("float"))
     },
     databases = () => {
       import tsdb.spark.implicits._
@@ -557,8 +567,25 @@ object InfluxQLEval {
         s.groupTime match {
           case None =>
             val work = stageIntegrals(filtered, None)
-            if (s.groupTags.isEmpty) work.agg(aggCols.head, aggCols.tail: _*)
-            else work.groupBy(tagCols: _*).agg(aggCols.head, aggCols.tail: _*)
+            // v1Time (the /query response boundary): a lone selector row
+            // carries its point's timestamp (earliest on value ties),
+            // anything else epoch 0 — only on the outermost select
+            val v1TimeCol: Seq[Column] =
+              if (!s.v1Time) Nil
+              else if (aggExprs.isEmpty && aggs.length == 1) {
+                val t = col(source.timeCol)
+                val c = col(aggs.head.field)
+                aggs.head.fn match {
+                  case "first" => Seq(min(t).as("time"))
+                  case "last" => Seq(max(t).as("time"))
+                  case "min" => Seq(min_by(t, struct(c, unix_micros(t))).as("time"))
+                  case "max" => Seq(min_by(t, struct(negate(c), unix_micros(t))).as("time"))
+                  case _ => Seq(timestamp_micros(lit(0L)).as("time"))
+                }
+              } else Seq(timestamp_micros(lit(0L)).as("time"))
+            val allAggs = v1TimeCol ++ aggCols
+            if (s.groupTags.isEmpty) work.agg(allAggs.head, allAggs.tail: _*)
+            else work.groupBy(tagCols: _*).agg(allAggs.head, allAggs.tail: _*)
           case Some(d) =>
             // InfluxQL labels each bucket with its aligned START: epoch-
             // aligned, shifted by the GROUP BY time() offset, and — under
@@ -601,7 +628,12 @@ object InfluxQLEval {
     val ordered =
       if (seriesLimited.columns.contains("time")) {
         val t = if (s.orderDesc) col("time").desc else col("time").asc
-        seriesLimited.orderBy(t +: s.groupTags.map(col): _*)
+        // the v1Time boundary column is per-series metadata, not a time
+        // axis: series stay in tag order (as v1 emits them), so tags
+        // sort first there
+        if (s.v1Time && s.groupTime.isEmpty)
+          seriesLimited.orderBy(s.groupTags.map(col) :+ t: _*)
+        else seriesLimited.orderBy(t +: s.groupTags.map(col): _*)
       } else if (s.groupTags.nonEmpty) seriesLimited.orderBy(s.groupTags.map(col): _*)
       else seriesLimited
     val offset = s.offset.map(ordered.offset).getOrElse(ordered)

@@ -208,7 +208,7 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
           def p(name: String) = query(ex, name).orElse(form.get(name))
           (p("db"), p("q")) match {
             case (Some(db), Some(q)) if tsdb.catalog.bucket(db).nonEmpty =>
-              try respond(ex, 200, V1Query.run(tsdb, db, q, Some(cqs)))
+              try respond(ex, 200, V1Query.run(tsdb, db, q, Some(cqs), p("epoch")))
               catch {
                 case e @ (_: graft.influxql.InfluxQL.ParseException |
                           _: graft.influxql.InfluxQLEval.EvalException) =>

@@ -18,8 +18,19 @@ import org.apache.spark.sql.functions.col
   */
 object V1Query {
 
+  /** ns-per-unit divisors for the `epoch` request param (Grafana always
+    * sends `epoch=ms`); absent/unknown → RFC3339 strings, the v1
+    * default.
+    */
+  private val epochDivisors = Map(
+    "ns" -> 1L, "u" -> 1000L, "µ" -> 1000L, "ms" -> 1000000L,
+    "s" -> 1000000000L, "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L)
+
   def run(tsdb: Tsdb, db: String, q: String,
-      cqs: Option[graft.streaming.ContinuousQueries] = None): String = {
+      cqs: Option[graft.streaming.ContinuousQueries] = None,
+      epoch: Option[String] = None): String = {
+    // v1 truncates toward zero when scaling UnixNano to the unit
+    val epochDiv = epoch.flatMap(epochDivisors.get)
     val stmts = InfluxQL.parseAll(q)
     val source = InfluxQLEval.tsdbSource(tsdb, db)
     def registry = cqs.getOrElse(throw new IllegalArgumentException(
@@ -57,7 +68,11 @@ object V1Query {
           val colsArr = sObj.putArray("columns")
           colsArr.add("time"); colsArr.add("written")
           val vals = sObj.putArray("values").addArray()
-          vals.add("1970-01-01T00:00:00Z"); vals.add(written)
+          epochDiv match {
+            case Some(_) => vals.add(0L)
+            case None => vals.add("1970-01-01T00:00:00Z")
+          }
+          vals.add(written)
         case readStmt =>
           val df = readStmt match {
             case InfluxQL.ShowContinuousQueries =>
@@ -68,14 +83,19 @@ object V1Query {
               // `… CARDINALITY ON db` targets another database: re-source
               val src = cardinalityOn(other).filter(_ != db)
                 .map(InfluxQLEval.tsdbSource(tsdb, _)).getOrElse(source)
-              InfluxQLEval.evalStmt(other, src)
+              InfluxQLEval.evalStmt(other, src, v1Time = true)
           }
           val (name, tagCols) = readStmt match {
             case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
             case _: InfluxQL.ShowMeasurements => ("measurements", Nil)
-            case _: InfluxQL.ShowTagKeys => ("tagKeys", Nil)
-            case _: InfluxQL.ShowFieldKeys => ("fieldKeys", Nil)
-            case _: InfluxQL.ShowTagValues => ("tagValues", Nil)
+            // v1 names the metadata series after the measurement when
+            // FROM narrows to one (the shape Grafana's template-variable
+            // editor shows); the FROM-less flat listing keeps a generic
+            // name (v1 splits it per measurement — divergence documented
+            // in COVERAGE.md)
+            case s: InfluxQL.ShowTagKeys => (s.from.getOrElse("tagKeys"), Nil)
+            case s: InfluxQL.ShowFieldKeys => (s.from.getOrElse("fieldKeys"), Nil)
+            case s: InfluxQL.ShowTagValues => (s.from.getOrElse("tagValues"), Nil)
             case InfluxQL.ShowDatabases => ("databases", Nil)
             case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
             case _: InfluxQL.ShowSeries => ("series", Nil)
@@ -86,7 +106,7 @@ object V1Query {
             case InfluxQL.ShowContinuousQueries => (db, Nil)
             case other => throw new IllegalStateException(s"unserializable $other")
           }
-          serialize(df, name, tagCols, res)
+          serialize(df, name, tagCols, res, epochDiv)
       }
     }
     // an empty result still answers with one empty statement result
@@ -142,7 +162,8 @@ object V1Query {
 
   private def serialize(df: org.apache.spark.sql.DataFrame, name: String,
       tagCols: Seq[String],
-      res: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      res: com.fasterxml.jackson.databind.node.ObjectNode,
+      epochDiv: Option[Long] = None): Unit = {
     val cols = df.columns.toSeq
     val valueCols = cols.filterNot(tagCols.contains)
     val tagIdx = tagCols.map(cols.indexOf)
@@ -171,7 +192,12 @@ object V1Query {
       valIdx.foreach { i =>
         row.get(i) match {
           case null => arr.addNull()
-          case t: java.sql.Timestamp => arr.add(t.toInstant.toString)
+          case t: java.sql.Timestamp => epochDiv match {
+            case Some(div) =>
+              val inst = t.toInstant
+              arr.add((inst.getEpochSecond * 1000000000L + inst.getNano) / div)
+            case None => arr.add(t.toInstant.toString)
+          }
           case d: java.lang.Double => arr.add(d.doubleValue())
           case l: java.lang.Long => arr.add(l.longValue())
           case n: java.lang.Integer => arr.add(n.intValue())

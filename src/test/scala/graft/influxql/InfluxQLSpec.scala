@@ -621,9 +621,12 @@ class InfluxQLSpec extends SparkSpec {
     val node = graft.service.Json.mapper.readTree(json)
     val series = node.get("results").get(0).get("series")
     assert(series.size() == 2) // one series per host
+    // v1 shape: columns [time, mean], aggregate rows carry epoch-0 time
+    assert(series.get(0).get("columns").get(0).asText() == "time")
+    assert(series.get(0).get("values").get(0).get(0).asText() == "1970-01-01T00:00:00Z")
     val byHost = (0 until series.size()).map { i =>
       series.get(i).get("tags").get("host").asText() ->
-        series.get(i).get("values").get(0).get(0).asDouble()
+        series.get(i).get("values").get(0).get(1).asDouble()
     }.toMap
     assert(math.abs(byHost("h1") - 0.6) < 1e-9 && byHost("h2") == 0.9)
     // SHOW queries
