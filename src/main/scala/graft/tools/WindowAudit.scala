@@ -9,15 +9,19 @@ import org.apache.spark.sql.SparkSession
   * 100 TB design must not hit on gated paths.
   */
 object WindowAudit {
-  private val Spec = "windowspecdefinition\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)".r
 
-  /** Number of empty-partition window specs in the optimized plan. */
-  def globalWindows(plan: String): Int =
-    Spec.findAllMatchIn(plan).map(_.group(1)).count { args =>
-      // args = part1, part2, ..., orderCol ASC/DESC ..., frame
-      val first = args.split(",")(0)
-      first.contains(" ASC") || first.contains(" DESC")
-    }
+  /** Number of empty-partition Window operators in the optimized plan.
+    * Tree inspection, not text matching: the plan's printed
+    * `windowspecdefinition(…)` nests `unboundedpreceding$()`-style
+    * frame bounds two parens deep, which defeats any fixed-depth regex
+    * (the original regex here silently matched NOTHING — caught by
+    * PlanGateSpec's deliberately-bad-plan test).
+    */
+  def globalWindows(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -31,7 +35,7 @@ object WindowAudit {
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val n = globalWindows(fn(spark, sfDir).queryExecution.optimizedPlan.toString)
+        val n = globalWindows(fn(spark, sfDir).queryExecution.optimizedPlan)
         if (n > 0) { flagged += 1; println(s"GLOBAL-WINDOW $name: $n spec(s)") }
       } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(100)}") }
     }

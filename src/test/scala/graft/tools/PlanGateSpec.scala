@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The CI plan-regression gate (VERDICT r5 item 8): every gate query's
+  * plan stays free of global windows and non-broadcast cartesian
+  * products, and driver-side collects stay inside the audited
+  * allowlist — plus negative tests proving each detector actually
+  * fires on a deliberately bad plan.
+  */
+class PlanGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---- negative tests: each detector trips on a bad plan ----
+
+  test("detector: a global window is flagged") {
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("t", "v")
+      .withColumn("cs", sum("v").over(Window.orderBy("t")))
+    assert(PlanGate.globalWindows(df.queryExecution.optimizedPlan) == 1)
+    assert(PlanGate.planViolations("bad", df).exists(_.contains("global window")))
+  }
+
+  test("detector: a partitioned window is NOT flagged") {
+    val df = Seq(("a", 1L, 2.0)).toDF("k", "t", "v")
+      .withColumn("cs", sum("v").over(Window.partitionBy("k").orderBy("t")))
+    assert(PlanGate.planViolations("ok", df).isEmpty)
+  }
+
+  test("detector: a non-broadcast cross join is flagged, a broadcast one is not") {
+    val l = spark.range(1000).toDF("a")
+    val r = spark.range(1000).toDF("b")
+    val bad = l.hint("shuffle_replicate_nl").crossJoin(r)
+    assert(PlanGate.cartesianProducts(bad.queryExecution.executedPlan.toString) >= 1)
+    assert(PlanGate.planViolations("bad", bad).exists(_.contains("CartesianProduct")))
+    val good = l.crossJoin(broadcast(r))
+    assert(PlanGate.planViolations("ok", good).isEmpty)
+  }
+
+  test("detector: an unlisted .collect() site is flagged, comments are not") {
+    val dir = java.nio.file.Files.createTempDirectory("plangate-spec")
+    java.nio.file.Files.createDirectories(dir.resolve("x"))
+    java.nio.file.Files.write(dir.resolve("x/Bad.scala"),
+      "object Bad { def f = df.collect() }\n// df.collect() in a comment is fine\n".getBytes)
+    val v = PlanGate.collectViolations(dir)
+    assert(v.exists(_.startsWith("x/Bad.scala: 1 .collect()")))
+    java.nio.file.Files.write(dir.resolve("x/Bad.scala"),
+      "// only a comment: df.collect()\n/* and scaladoc:\n * df.collect()\n */\n".getBytes)
+    assert(PlanGate.collectViolations(dir).isEmpty)
+  }
+
+  test("detector: toLocalIterator outside the HTTP boundary is flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("plangate-spec2")
+    java.nio.file.Files.write(dir.resolve("Loop.scala"),
+      "object Loop { def f = df.toLocalIterator() }\n".getBytes)
+    assert(PlanGate.collectViolations(dir).exists(_.contains("toLocalIterator")))
+  }
+
+  // ---- the gate itself ----
+
+  test("no driver-side collect outside the audited allowlist") {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root), s"spec must run from the repo root")
+    val v = PlanGate.collectViolations(root)
+    assert(v.isEmpty, v.mkString("\n"))
+  }
+
+  test("every gate query plans without global windows or cartesian products") {
+    // construction alone runs the two-pass transforms' first passes and
+    // k-means training; sf0.001 keeps that cheap. Plan inspection only —
+    // the final frame never executes.
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try PlanGate.planViolations(name, fn(spark, sfDir))
+      catch { case e: Throwable => Seq(s"$name: failed to plan: ${e.getMessage.take(120)}") }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+}
