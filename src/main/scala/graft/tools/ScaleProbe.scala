@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generate an sf1-scale probe corpus (default 10× sf0.1) for the
+  * dedup/ANN scaling measurement (VERDICT r5 item 7) — PROBE DATA ONLY:
+  * correctness gates always run on the driver-generated testdata.
+  *
+  * Scaling must not distort the workload's shape:
+  *  - documents: replica k applies a WORD CIPHER (`w` → `w~k`), which
+  *    is similarity-ISOMORPHIC within the replica — every exact/near
+  *    duplicate cluster the generator planted is reproduced, shingle
+  *    for shingle, in each replica — while cross-replica shingle sets
+  *    are disjoint. A 10× corpus therefore carries 10× the documents
+  *    AND 10× the duplicate pairs, exactly like a larger crawl, instead
+  *    of 10 copies of every document (which would explode candidate
+  *    pairs quadratically and overstate scaling) or 10× independent
+  *    shuffles (which would drop the dup rate 10× and understate it).
+  *  - embeddings: replicas jitter each coordinate by ±1% (deterministic
+  *    hash), preserving the cluster geometry IVF training keys on while
+  *    keeping replicas distinct.
+  *
+  * Remaining tables are symlinked from the source dir unchanged.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+
+    val spark = SparkSession.builder()
+      .appName("graft-scale-probe").master("local[16]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = broadcast(spark.range(factor).toDF("k"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("k") * nDocs)
+      .withColumn("text", when(col("k") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1~"), col("k")))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val vecs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVecs = vecs.agg(max("vec_id")).head().getLong(0) + 1
+    vecs.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("k") * nVecs)
+      .withColumn("embedding", when(col("k") === 0, col("embedding"))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          (x + (pmod(hash(col("vec_id"), i), lit(1000)).cast("double") / 1000.0 - 0.5)
+            * 0.02).cast("float"))))
+      .drop("k")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // the untouched tables ride along so any query can run against outDir
+    val out = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.list(java.nio.file.Paths.get(srcDir)).forEach { p =>
+      val tgt = out.resolve(p.getFileName)
+      if (!java.nio.file.Files.exists(tgt))
+        java.nio.file.Files.createSymbolicLink(tgt, p)
+    }
+    println(s"scale probe data at $outDir (${factor}x $srcDir)")
+    spark.stop()
+  }
+}
