@@ -516,6 +516,10 @@ object SeriesScan {
     * seasonals = season-1 deviations; fitted values emitted from row m.
     * Forecast timestamps continue at the series' mean step.
     *
+    * `m = 0` is v1's NO-SEASONALITY form — Holt's linear-trend double
+    * exponential: level = v₀, trend = v₁ − v₀, fitted from row 1,
+    * forecast = level + trend·h (γ unused).
+    *
     * Output: (keyCols..., orderCol, value, fitted, is_forecast).
     */
   def holtWinters(
@@ -546,7 +550,31 @@ object SeriesScan {
     sorted.mapPartitions { it =>
       seriesGroups(it, keyIdx, ordIdx, valIdx).flatMap { case (key, rows0) =>
         val rows = rows0.filterNot(_._2.isNaN)
-        if (rows.length < 2 * m) Iterator.empty
+        if (m == 0) {
+          if (rows.length < 2) Iterator.empty
+          else {
+            val vs = rows.map(_._2)
+            var level = vs(0)
+            var trend = vs(1) - vs(0)
+            val out = Vector.newBuilder[Row]
+            var i = 1
+            while (i < rows.length) {
+              val (t, v) = rows(i)
+              out += Row(key, t, v, level + trend, false)
+              val prevLevel = level
+              level = alpha * v + (1 - alpha) * (level + trend)
+              trend = beta * (level - prevLevel) + (1 - beta) * trend
+              i += 1
+            }
+            val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
+            var h = 1
+            while (h <= forecast) {
+              out += Row(key, rows.last._1 + step * h, null, level + trend * h, true)
+              h += 1
+            }
+            out.result().iterator
+          }
+        } else if (rows.length < 2 * m) Iterator.empty
         else {
           val vs = rows.map(_._2)
           val mean1 = vs.take(m).sum / m

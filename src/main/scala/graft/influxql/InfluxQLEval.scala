@@ -871,7 +871,8 @@ object InfluxQLEval {
         val nFc = t.n.getOrElse(throw EvalException(s"$fn(agg(field), N, S) needs N"))
         val m = t.n2.getOrElse(
           throw EvalException(s"$fn(agg(field), N, S) needs the seasonal length S"))
-        if (m < 1) throw EvalException("holt_winters seasonal length must be >= 1")
+        // S = 0 is v1's no-seasonality form (Holt's linear trend)
+        if (m < 0) throw EvalException("holt_winters seasonal length must be >= 0")
         if (s.groupTime.isEmpty)
           throw EvalException(s"$fn requires GROUP BY time() (a regular grid)")
         val withUs = core.withColumn("_tus", unix_micros(col("time")))

@@ -124,6 +124,18 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), r4(col("ema")).as("ema"))
         .orderBy("wstart")),
 
+    // HOLT_WINTERS_WITH_FIT(agg, N, 0): v1's NO-seasonality form —
+    // Holt's linear-trend double exponential (level = v0,
+    // trend = v1 − v0, fitted from row 2, forecast = level + trend·h).
+    "iql_holt" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT holt_winters_with_fit(sum(value), 6, 0) AS hw FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(1h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("hw")).as("hw"))
+        .orderBy("event_type", "wstart")),
+
     // Ungrouped moving_average — the n−1 boundary-row carry scan
     // (SeriesScan.ungroupedMovingAvg), not a single global window task.
     "iql_mavg_nogroup" -> ((s, dir) =>
@@ -447,6 +459,46 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // Holt (no season): seed carries (level=v₁, trend=v₂−v₁) per
+    // series, recursion mirrors SeriesScan.holtWinters' m=0 branch
+    // term-for-term (α=0.5, β=0.1); forecasts extrapolate the final
+    // state at the series' mean step. Unrounded hourly sums are safe:
+    // the recursion is a contraction, ulp noise dies under round-4.
+    "iql_holt" -> w(
+      """WITH RECURSIVE hourly AS MATERIALIZED (
+        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS wt, sum(value) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY 1, 2
+        |), src AS MATERIALIZED (
+        |  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY wt) AS rn,
+        |    epoch_us(wt) AS tus, v FROM hourly
+        |), stats AS MATERIALIZED (
+        |  SELECT event_type, max(rn) AS len, min(tus) AS t0, max(tus) AS t1
+        |  FROM src GROUP BY 1
+        |), rec AS (
+        |  SELECT s1.event_type, 1 AS rn, CAST(NULL AS DOUBLE) AS fitted,
+        |    s1.v AS level, s2.v - s1.v AS trend
+        |  FROM src s1 JOIN src s2 ON s1.event_type = s2.event_type
+        |    AND s1.rn = 1 AND s2.rn = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn, e.level + e.trend AS fitted,
+        |    0.5 * h.v + (1 - 0.5) * (e.level + e.trend) AS level,
+        |    0.1 * ((0.5 * h.v + (1 - 0.5) * (e.level + e.trend)) - e.level)
+        |      + (1 - 0.1) * e.trend AS trend
+        |  FROM src h JOIN rec e ON h.event_type = e.event_type AND h.rn = e.rn + 1
+        |)
+        |SELECT r.event_type, make_timestamp(s.tus) AS wstart, round(r.fitted, 4) AS hw
+        |FROM rec r JOIN src s ON r.event_type = s.event_type AND r.rn = s.rn
+        |WHERE r.rn > 1
+        |UNION ALL
+        |SELECT e.event_type,
+        |  make_timestamp(s.t1 + ((s.t1 - s.t0) // (s.len - 1)) * f.h) AS wstart,
+        |  round(e.level + e.trend * f.h, 4) AS hw
+        |FROM rec e
+        |JOIN stats s ON e.event_type = s.event_type AND e.rn = s.len
+        |CROSS JOIN (SELECT unnest(range(1, 7)) AS h) f
+        |ORDER BY 1, 2"""),
     "iql_mavg_nogroup" -> w(
       """WITH hourly AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, sum(value) AS v

@@ -112,6 +112,20 @@ class SeriesScanSpec extends SparkSpec {
     assert(fit.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("holt-winters m=0 (Holt linear trend): exact on a linear series") {
+    // v(t) = 3 + 2t: level/trend lock on immediately and never drift
+    val df = series((0 until 10).map(t => ("a", t.toLong, 3.0 + 2.0 * t)): _*)
+    val out = SeriesScan.holtWinters(df, Seq("key"), "t", "v", forecast = 3, m = 0)
+      .orderBy("t").collect()
+    assert(out.length == 9 + 3) // fitted from row 1, plus 3 forecasts
+    out.filterNot(_.getBoolean(4)).foreach { r =>
+      assert(r.getDouble(3) == 3.0 + 2.0 * r.getLong(1)) // fitted == truth
+    }
+    val fc = out.filter(_.getBoolean(4))
+    assert(fc.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    fc.foreach(r => assert(math.abs(r.getDouble(3) - (3.0 + 2.0 * r.getLong(1))) < 1e-9))
+  }
+
   test("holt-winters fit: series shorter than two seasons emits nothing") {
     val df = series((0 until 7).map(t => ("a", t.toLong, t.toDouble)): _*)
     assert(SeriesScan.holtWintersFit(df, Seq("key"), "t", "v", 3, 4).count() == 0)
