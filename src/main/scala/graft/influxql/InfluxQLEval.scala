@@ -75,10 +75,36 @@ object InfluxQLEval {
       lim.map(shifted.limit).getOrElse(shifted)
     case ShowTagKeys(m) =>
       require(source.tagKeys != null, "SHOW TAG KEYS unsupported by this source")
-      source.tagKeys(m)
+      m match {
+        // v1 splits the FROM-less listing into one series per
+        // measurement; the per-measurement key sets come from the same
+        // mutation-versioned cache the scoped form uses (plan-time,
+        // job-free once warm)
+        case None if source.measurementNames != null =>
+          val per = source.measurementNames().map(n =>
+            source.tagKeys(Some(n)).withColumn("measurement", lit(n)))
+          per.reduceOption(_ unionByName _)
+            .map(_.select(col("measurement"), col("tagKey"))
+              .orderBy("measurement", "tagKey"))
+            .getOrElse(source.tagKeys(None).withColumn("measurement", lit("")).limit(0)
+              .select(col("measurement"), col("tagKey")))
+        case _ => source.tagKeys(m)
+      }
     case ShowFieldKeys(m) =>
       require(source.fieldKeys != null, "SHOW FIELD KEYS unsupported by this source")
-      source.fieldKeys(m)
+      m match {
+        // same per-measurement split as SHOW TAG KEYS
+        case None if source.measurementNames != null =>
+          val per = source.measurementNames().map(n =>
+            source.fieldKeys(Some(n)).withColumn("measurement", lit(n)))
+          per.reduceOption(_ unionByName _)
+            .map(_.select(col("measurement"), col("fieldKey"), col("fieldType"))
+              .orderBy("measurement", "fieldKey"))
+            .getOrElse(source.fieldKeys(None)
+              .withColumn("measurement", lit("")).limit(0)
+              .select(col("measurement"), col("fieldKey"), col("fieldType")))
+        case _ => source.fieldKeys(m)
+      }
     case ShowTagValues(m, key, where, limit, offset) =>
       showTagValues(m, key, where, limit, offset, source)
     case ShowDatabases =>
@@ -200,28 +226,35 @@ object InfluxQLEval {
         resolvedTagKeys(source, m, "SHOW TAG VALUES WITH KEY =~")
           .filter(k => re.matcher(k).find() != neg)
     }
-    val frames: Seq[DataFrame] = m match {
-      case Some(name) => Seq(source.resolve(name))
+    // FROM-less form: v1 lists per MEASUREMENT (one response series
+    // each), so rows carry a leading measurement column there
+    val frames: Seq[(Option[String], DataFrame)] = m match {
+      case Some(name) => Seq(None -> source.resolve(name))
       case None =>
         require(source.measurementNames != null,
           "SHOW TAG VALUES without FROM needs a measurement listing")
-        source.measurementNames().map(source.resolve)
+        source.measurementNames().map(n => Some(n) -> source.resolve(n))
     }
     if (keys.isEmpty) {
-      val spark = frames.head.sparkSession
+      val spark = frames.head._2.sparkSession
       import spark.implicits._
       return Seq.empty[(String, String)].toDF("key", "value")
     }
-    val rows = frames.flatMap { df =>
+    val rows = frames.flatMap { case (mName, df) =>
       val f = where.map(w => df.filter(cond(w, df, source))).getOrElse(df)
-      keys.map(k =>
-        f.select(lit(k).as("key"), ref(f, k).cast("string").as("value")))
+      keys.map { k =>
+        val kv = f.select(lit(k).as("key"), ref(f, k).cast("string").as("value"))
+        mName.map(n => kv.select(lit(n).as("measurement"), col("key"), col("value")))
+          .getOrElse(kv)
+      }
     }.reduce(_ union _)
       .filter(col("value").isNotNull)
       .distinct()
-      .orderBy("key", "value")
+    val sorted =
+      if (m.isEmpty) rows.orderBy("measurement", "key", "value")
+      else rows.orderBy("key", "value")
     // v1 LIMIT/OFFSET trim the sorted value listing
-    val off = offset.map(rows.offset).getOrElse(rows)
+    val off = offset.map(sorted.offset).getOrElse(sorted)
     limit.map(off.limit).getOrElse(off)
   }
 

@@ -88,11 +88,10 @@ object V1Query {
           val (name, tagCols) = readStmt match {
             case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
             case _: InfluxQL.ShowMeasurements => ("measurements", Nil)
-            // v1 names the metadata series after the measurement when
-            // FROM narrows to one (the shape Grafana's template-variable
-            // editor shows); the FROM-less flat listing keeps a generic
-            // name (v1 splits it per measurement — divergence documented
-            // in COVERAGE.md)
+            // v1 names the metadata series after the measurement: FROM
+            // narrows to one; the FROM-less forms split one series per
+            // measurement via the leading measurement column (nameCol
+            // below), so the fallback label never shows on this source
             case s: InfluxQL.ShowTagKeys => (s.from.getOrElse("tagKeys"), Nil)
             case s: InfluxQL.ShowFieldKeys => (s.from.getOrElse("fieldKeys"), Nil)
             case s: InfluxQL.ShowTagValues => (s.from.getOrElse("tagValues"), Nil)
@@ -106,7 +105,17 @@ object V1Query {
             case InfluxQL.ShowContinuousQueries => (db, Nil)
             case other => throw new IllegalStateException(s"unserializable $other")
           }
-          serialize(df, name, tagCols, res, epochDiv)
+          // FROM-less metadata listings split one series per
+          // measurement, named by a leading measurement column (v1's
+          // shape); the column itself stays out of the values
+          val nameCol = readStmt match {
+            case s: InfluxQL.ShowTagKeys if s.from.isEmpty => Some("measurement")
+            case s: InfluxQL.ShowTagValues if s.from.isEmpty => Some("measurement")
+            case s: InfluxQL.ShowFieldKeys if s.from.isEmpty => Some("measurement")
+            case _ => None
+          }
+          serialize(df, name, tagCols, res, epochDiv,
+            nameCol.filter(df.columns.contains))
       }
     }
     // an empty result still answers with one empty statement result
@@ -163,26 +172,30 @@ object V1Query {
   private def serialize(df: org.apache.spark.sql.DataFrame, name: String,
       tagCols: Seq[String],
       res: com.fasterxml.jackson.databind.node.ObjectNode,
-      epochDiv: Option[Long] = None): Unit = {
+      epochDiv: Option[Long] = None,
+      nameCol: Option[String] = None): Unit = {
     val cols = df.columns.toSeq
-    val valueCols = cols.filterNot(tagCols.contains)
+    val valueCols = cols.filterNot(c => tagCols.contains(c) || nameCol.contains(c))
     val tagIdx = tagCols.map(cols.indexOf)
+    val nameIdx = nameCol.map(cols.indexOf)
     val valIdx = valueCols.map(cols.indexOf)
     val seriesArr = res.putArray("series")
 
     // one series per tag combination (InfluxQL splits series by GROUP BY
-    // tags); insertion order = first appearance in the ordered result
+    // tags) — or per `nameCol` value for FROM-less metadata listings;
+    // insertion order = first appearance in the ordered result
     val series = new java.util.LinkedHashMap[Seq[String], com.fasterxml.jackson.databind.node.ArrayNode]()
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
-      val key = tagIdx.map(i => String.valueOf(row.get(i)))
+      val key = (nameIdx.toSeq ++ tagIdx).map(i => String.valueOf(row.get(i)))
       val values = series.computeIfAbsent(key, { k =>
         val s = seriesArr.addObject()
-        s.put("name", name)
+        s.put("name", if (nameIdx.isDefined) k.head else name)
+        val tagVals = if (nameIdx.isDefined) k.tail else k
         if (tagCols.nonEmpty) {
           val tags = s.putObject("tags")
-          tagCols.zip(k).foreach { case (tc, tv) => tags.put(tc, tv) }
+          tagCols.zip(tagVals).foreach { case (tc, tv) => tags.put(tc, tv) }
         }
         val columns = s.putArray("columns")
         valueCols.foreach(columns.add)

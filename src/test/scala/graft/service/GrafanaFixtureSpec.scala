@@ -94,6 +94,21 @@ class GrafanaFixtureSpec extends SparkSpec {
       """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["fieldKey","fieldType"],"values":[["usage","float"]]}]}]}""")
   }
 
+  test("template variable: FROM-less SHOW TAG VALUES splits one series per measurement") {
+    assertFixture(
+      "SHOW TAG VALUES WITH KEY = \"host\"",
+      """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["key","value"],"values":[["host","h1"],["host","h2"]]},{"name":"mem","columns":["key","value"],"values":[["host","h1"]]}]}]}""")
+  }
+
+  test("query editor: FROM-less SHOW TAG KEYS / FIELD KEYS split per measurement") {
+    assertFixture(
+      "SHOW TAG KEYS",
+      """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["tagKey"],"values":[["host"]]},{"name":"mem","columns":["tagKey"],"values":[["host"]]}]}]}""")
+    assertFixture(
+      "SHOW FIELD KEYS",
+      """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["fieldKey","fieldType"],"values":[["usage","float"]]},{"name":"mem","columns":["fieldKey","fieldType"],"values":[["used_percent","float"]]}]}]}""")
+  }
+
   test("graph panel: mean over time(1m), ms-suffixed absolute bounds, epoch=ms") {
     // Grafana's literal shape: lowercase `and`, `…ms` bounds, inclusive
     // upper bound → the trailing empty bucket arrives as fill(null)
