@@ -437,8 +437,12 @@ object InfluxQLEval {
       case "first" => min_by(c, col(timeCol))
       case "last" => max_by(c, col(timeCol))
       case "percentile" =>
-        val pct = p.param.getOrElse(throw EvalException("percentile(field, N) needs N"))
-        percentile(c, lit(pct / 100.0))
+        // only reachable INSIDE arithmetic expressions (the plain
+        // projection path stages v1's nearest-rank selection); an
+        // interpolated quantile inside arithmetic would silently
+        // diverge from v1, so reject rather than approximate
+        throw EvalException(
+          "percentile() inside an arithmetic expression is unsupported")
       case "count_distinct" => count_distinct(c) // count(distinct(f))
       case other => throw EvalException(s"unsupported aggregate '$other'")
     }
@@ -571,6 +575,32 @@ object InfluxQLEval {
         val integralIdx = aggs.zipWithIndex.collect {
           case (a, i) if a.fn == "integral" => i
         }
+        // percentile(field, N) is a v1 SELECTOR: the nearest-rank point
+        // value — sorted[floor(n·N/100 + 0.5)] 1-based, nil when the
+        // rank is 0 — NOT an interpolated quantile. Staged like
+        // integral: per-row rank + non-null count within each
+        // (tags[, bucket]) partition, then the aggregate picks the row
+        // whose rank equals the target (max-of-one-match; ties at the
+        // boundary share the value, so tie order cannot matter).
+        val percentileIdx = aggs.zipWithIndex.collect {
+          case (a, i) if a.fn == "percentile" => i
+        }
+        def pctTarget(i: Int): Column = {
+          val pct = aggs(i).param.getOrElse(
+            throw EvalException("percentile(field, N) needs N"))
+          floor(col(s"_pct_n_$i") * pct / 100.0 + 0.5).cast("int")
+        }
+        def stagePercentiles(df: DataFrame, bucket: Option[Column]): DataFrame =
+          percentileIdx.foldLeft(df) { (d, i) =>
+            val W = org.apache.spark.sql.expressions.Window
+            val parts = s.groupTags.map(t => ref(d, t)) ++ bucket.toSeq
+            val base = if (parts.isEmpty) W.partitionBy() else W.partitionBy(parts: _*)
+            val v = ref(d, aggs(i).field)
+            // non-null values rank first (isNull false < true), so
+            // ranks 1.._pct_n cover exactly the non-null points
+            d.withColumn(s"_pct_rk_$i", row_number().over(base.orderBy(v.isNull, v)))
+              .withColumn(s"_pct_n_$i", count(v).over(base))
+          }
         def stageIntegrals(df: DataFrame, bucket: Option[Column]): DataFrame =
           integralIdx.foldLeft(df) { (d, i) =>
             val a = aggs(i)
@@ -590,6 +620,9 @@ object InfluxQLEval {
         val aggCols = aggs.zipWithIndex.map {
           case (a, i) if a.fn == "integral" =>
             sum(col(s"_itg_$i")).as(a.alias.getOrElse("integral"))
+          case (a, i) if a.fn == "percentile" =>
+            max(when(col(s"_pct_rk_$i") === pctTarget(i), ref(filtered, a.field)))
+              .as(a.alias.getOrElse("percentile"))
           case (a, _) => aggExpr(a, source.timeCol)
         } ++
           aggExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = true)
@@ -599,7 +632,7 @@ object InfluxQLEval {
           aggExprs.map(e => e.alias.getOrElse(exprName(e.expr)))
         s.groupTime match {
           case None =>
-            val work = stageIntegrals(filtered, None)
+            val work = stagePercentiles(stageIntegrals(filtered, None), None)
             // v1Time (the /query response boundary): a lone selector row
             // carries its point's timestamp (earliest on value ties),
             // anything else epoch 0 — only on the outermost select
@@ -613,6 +646,9 @@ object InfluxQLEval {
                   case "last" => Seq(max(t).as("time"))
                   case "min" => Seq(min_by(t, struct(c, unix_micros(t))).as("time"))
                   case "max" => Seq(min_by(t, struct(negate(c), unix_micros(t))).as("time"))
+                  case "percentile" if aggs.head.param.isDefined =>
+                    // percentile is a selector too: its point's time
+                    Seq(min(when(col("_pct_rk_0") === pctTarget(0), t)).as("time"))
                   case _ => Seq(timestamp_micros(lit(0L)).as("time"))
                 }
               } else Seq(timestamp_micros(lit(0L)).as("time"))
@@ -636,7 +672,8 @@ object InfluxQLEval {
               case Some(z) => to_utc_timestamp(win.getField("start"), z)
               case None => win.getField("start")
             }
-            val keyed = stageIntegrals(filtered, Some(start)).withColumn("time", start)
+            val keyed = stagePercentiles(stageIntegrals(filtered, Some(start)), Some(start))
+              .withColumn("time", start)
             val grouped = keyed.groupBy((col("time") +: tagCols): _*)
               .agg(aggCols.head, aggCols.tail: _*)
             applyFill(grouped, s, d, aggNames, source)

@@ -124,6 +124,18 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), r4(col("ema")).as("ema"))
         .orderBy("wstart")),
 
+    // percentile(field, N) under GROUP BY time(): v1's nearest-rank
+    // point selection per (bucket, tag) — staged rank/count columns,
+    // no interpolation, no collect.
+    "iql_percentile" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT percentile(value, 90) AS p90 FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(6h), event_type",
+        source(s, dir))
+        .select(col("time").as("wstart"), col("event_type"), r4(col("p90")).as("p90"))
+        .orderBy("event_type", "wstart")),
+
     // HOLT_WINTERS_WITH_FIT(agg, N, 0): v1's NO-seasonality form —
     // Holt's linear-trend double exponential (level = v0,
     // trend = v1 − v0, fitted from row 2, forecast = level + trend·h).
@@ -362,10 +374,15 @@ object InfluxQlQueries {
         |FROM spine s CROSS JOIN combos c
         |LEFT JOIN agg a ON s.wstart = a.wstart AND c.event_type = a.event_type
         |ORDER BY 2, 1"""),
+    // med: v1 MEDIAN averages the two middle values on even counts —
+    // quantile_cont(0.5) exactly. p90: v1 PERCENTILE is the
+    // NEAREST-RANK point value sorted[floor(n·p/100 + 0.5)], a selector,
+    // not an interpolated quantile.
     "iql_agg" -> w(
       """SELECT event_type, count(value) AS n, round(max(value), 4) AS max_v,
         |  round(quantile_cont(value, 0.5), 4) AS med,
-        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |  round(list_extract(list(value ORDER BY value),
+        |    CAST(floor((count(value) * 90) / 100.0 + 0.5) AS INT)), 4) AS p90
         |FROM events GROUP BY 1 ORDER BY 1"""),
     "iql_derivative" -> w(
       """WITH hourly AS (
@@ -459,6 +476,26 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // nearest-rank percentile per (6h bucket, tag) + the fill(null)
+    // spine (v1's GROUP BY time() default)
+    "iql_percentile" -> w(
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart, event_type,
+        |    list_extract(list(value ORDER BY value),
+        |      CAST(floor((count(value) * 90) / 100.0 + 0.5) AS INT)) AS p90
+        |  FROM f GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-08 00:00:00',
+        |    TIMESTAMP '2024-01-10 18:00:00', INTERVAL '6 hours')) AS wstart
+        |), combos AS (SELECT DISTINCT event_type FROM f)
+        |SELECT s.wstart, c.event_type, round(a.p90, 4) AS p90
+        |FROM spine s CROSS JOIN combos c
+        |LEFT JOIN agg a ON s.wstart = a.wstart AND c.event_type = a.event_type
+        |ORDER BY 2, 1"""),
     // Holt (no season): seed carries (level=v₁, trend=v₂−v₁) per
     // series, recursion mirrors SeriesScan.holtWinters' m=0 branch
     // term-for-term (α=0.5, β=0.1); forecasts extrapolate the final

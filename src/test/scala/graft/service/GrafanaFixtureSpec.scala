@@ -143,6 +143,14 @@ class GrafanaFixtureSpec extends SparkSpec {
       epoch = None)
   }
 
+  test("singlestat panel: percentile is a nearest-rank selector with its point's time") {
+    // 8 values sorted: 0,0,0,60,120,180,240,360; rank = floor(8*.5+.5) = 4
+    // → value 60, the h1 point at t0+60s
+    assertFixture(
+      "SELECT percentile(\"usage\", 50) FROM \"cpu\"",
+      s"""{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","percentile"],"values":[[${ms(60)},60.0]]}]}]}""")
+  }
+
   test("non-selector aggregate carries v1's epoch-0 time on the JSON surface") {
     assertFixture(
       "SELECT mean(\"usage\") FROM \"cpu\"",
