@@ -549,62 +549,71 @@ object SeriesScan {
 
     sorted.mapPartitions { it =>
       seriesGroups(it, keyIdx, ordIdx, valIdx).flatMap { case (key, rows0) =>
-        val rows = rows0.filterNot(_._2.isNaN)
-        if (m == 0) {
-          if (rows.length < 2) Iterator.empty
-          else {
-            val vs = rows.map(_._2)
-            var level = vs(0)
-            var trend = vs(1) - vs(0)
-            val out = Vector.newBuilder[Row]
-            var i = 1
-            while (i < rows.length) {
-              val (t, v) = rows(i)
-              out += Row(key, t, v, level + trend, false)
-              val prevLevel = level
-              level = alpha * v + (1 - alpha) * (level + trend)
-              trend = beta * (level - prevLevel) + (1 - beta) * trend
-              i += 1
-            }
-            val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
-            var h = 1
-            while (h <= forecast) {
-              out += Row(key, rows.last._1 + step * h, null, level + trend * h, true)
-              h += 1
-            }
-            out.result().iterator
-          }
-        } else if (rows.length < 2 * m) Iterator.empty
-        else {
-          val vs = rows.map(_._2)
-          val mean1 = vs.take(m).sum / m
-          val mean2 = vs.slice(m, 2 * m).sum / m
-          var level = mean1
-          var trend = (mean2 - mean1) / m
-          val season = Array.tabulate(m)(i => vs(i) - mean1)
-          val out = Vector.newBuilder[Row]
-          var i = m
-          while (i < rows.length) {
-            val (t, v) = rows(i)
-            val si = i % m
-            val fitted = level + trend + season(si)
-            out += Row(key, t, v, fitted, false)
-            val prevLevel = level
-            level = alpha * (v - season(si)) + (1 - alpha) * (level + trend)
-            trend = beta * (level - prevLevel) + (1 - beta) * trend
-            season(si) = gamma * (v - level) + (1 - gamma) * season(si)
-            i += 1
-          }
-          val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
-          var h = 1
-          while (h <= forecast) {
-            val t = rows.last._1 + step * h
-            out += Row(key, t, null, level + trend * h + season((rows.length + h - 1) % m), true)
-            h += 1
-          }
-          out.result().iterator
-        }
+        emitHw(key, rows0.filterNot(_._2.isNaN), m, alpha, beta, gamma, forecast)
       }
+    }
+  }
+
+  /** Replay the Holt-Winters recurrence over one series, emitting
+    * (key, t, value, fitted, is_forecast) rows — shared by the fixed-
+    * parameter [[holtWinters]] and the fitted [[holtWintersFitSeries]].
+    * Short series (< 2 rows for m = 0, < 2m otherwise) emit nothing.
+    */
+  private def emitHw(key: String, rows: Vector[(Long, Double)], m: Int,
+      alpha: Double, beta: Double, gamma: Double, forecast: Int): Iterator[Row] = {
+    if (m == 0) {
+      if (rows.length < 2) Iterator.empty
+      else {
+        val vs = rows.map(_._2)
+        var level = vs(0)
+        var trend = vs(1) - vs(0)
+        val out = Vector.newBuilder[Row]
+        var i = 1
+        while (i < rows.length) {
+          val (t, v) = rows(i)
+          out += Row(key, t, v, level + trend, false)
+          val prevLevel = level
+          level = alpha * v + (1 - alpha) * (level + trend)
+          trend = beta * (level - prevLevel) + (1 - beta) * trend
+          i += 1
+        }
+        val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
+        var h = 1
+        while (h <= forecast) {
+          out += Row(key, rows.last._1 + step * h, null, level + trend * h, true)
+          h += 1
+        }
+        out.result().iterator
+      }
+    } else if (rows.length < 2 * m) Iterator.empty
+    else {
+      val vs = rows.map(_._2)
+      val mean1 = vs.take(m).sum / m
+      val mean2 = vs.slice(m, 2 * m).sum / m
+      var level = mean1
+      var trend = (mean2 - mean1) / m
+      val season = Array.tabulate(m)(i => vs(i) - mean1)
+      val out = Vector.newBuilder[Row]
+      var i = m
+      while (i < rows.length) {
+        val (t, v) = rows(i)
+        val si = i % m
+        val fitted = level + trend + season(si)
+        out += Row(key, t, v, fitted, false)
+        val prevLevel = level
+        level = alpha * (v - season(si)) + (1 - alpha) * (level + trend)
+        trend = beta * (level - prevLevel) + (1 - beta) * trend
+        season(si) = gamma * (v - level) + (1 - gamma) * season(si)
+        i += 1
+      }
+      val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)
+      var h = 1
+      while (h <= forecast) {
+        val t = rows.last._1 + step * h
+        out += Row(key, t, null, level + trend * h + season((rows.length + h - 1) % m), true)
+        h += 1
+      }
+      out.result().iterator
     }
   }
 
@@ -615,7 +624,23 @@ object SeriesScan {
     * update so both engines fold bit-identically.
     */
   private def hwRun(vs: Vector[Double], m: Int, alpha: Double, beta: Double,
-      gamma: Double): (Double, Double, Double, Array[Double]) = {
+      gamma: Double): (Double, Double, Double, Array[Double]) = if (m == 0) {
+    // Holt (no season): level = v₀, trend = v₁ − v₀, γ unused
+    var level = vs(0)
+    var trend = vs(1) - vs(0)
+    var sse = 0.0
+    var i = 1
+    while (i < vs.length) {
+      val v = vs(i)
+      val fitted = level + trend
+      sse += (v - fitted) * (v - fitted)
+      val prevLevel = level
+      level = alpha * v + (1 - alpha) * (level + trend)
+      trend = beta * (level - prevLevel) + (1 - beta) * trend
+      i += 1
+    }
+    (sse, level, trend, Array.empty[Double])
+  } else {
     val mean1 = vs.take(m).sum / m
     val mean2 = vs.slice(m, 2 * m).sum / m
     var level = mean1
@@ -646,6 +671,76 @@ object SeriesScan {
     */
   private[graft] val HwFitStage1 = Seq(20, 50, 80)
   private[graft] val HwFitOffsets = Seq(Seq(-10, 0, 10), Seq(-5, 0, 5))
+
+  /** The fixed-schedule grid refinement on one series: integer-
+    * hundredths (α, β, γ) minimizing [[hwRun]]'s SSE, strict-< walk in
+    * ascending candidate order ≡ the oracle's ORDER BY (sse, ca, cb,
+    * cg) — identical doubles on both sides make the comparison
+    * identical too. For m = 0 (Holt, no season) γ is inert, so it pins
+    * to the first lattice point and only (α, β) sweep — 27 evaluations
+    * instead of 81.
+    */
+  private[graft] def hwFitParams(vs: Vector[Double], m: Int): ((Int, Int, Int), Double) = {
+    def argmin(cands: Seq[(Int, Int, Int)]): ((Int, Int, Int), Double) = {
+      var best: (Int, Int, Int) = null
+      var bestSse = Double.PositiveInfinity
+      cands.foreach { c =>
+        val s = hwRun(vs, m, c._1 / 100.0, c._2 / 100.0, c._3 / 100.0)._1
+        if (s < bestSse) { bestSse = s; best = c }
+      }
+      (best, bestSse)
+    }
+    if (m == 0) {
+      val g0 = HwFitStage1.head
+      val stage1 = for (a <- HwFitStage1; b <- HwFitStage1) yield (a, b, g0)
+      HwFitOffsets.foldLeft(argmin(stage1)) { case ((b0, _), offs) =>
+        argmin(for (da <- offs; db <- offs) yield (b0._1 + da, b0._2 + db, g0))
+      }
+    } else {
+      val stage1 = for (a <- HwFitStage1; b <- HwFitStage1; g <- HwFitStage1) yield (a, b, g)
+      HwFitOffsets.foldLeft(argmin(stage1)) { case ((b0, _), offs) =>
+        argmin(for (da <- offs; db <- offs; dg <- offs)
+          yield (b0._1 + da, b0._2 + db, b0._3 + dg))
+      }
+    }
+  }
+
+  /** [[holtWinters]]'s output shape with FITTED parameters — what the
+    * v1 text surface serves: the pinned engine's HOLT_WINTERS[_WITH_FIT]
+    * optimizes α/β/γ per series before fitting/forecasting. Fit by
+    * [[hwFitParams]]'s deterministic schedule, then one replay pass.
+    */
+  def holtWintersFitSeries(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      forecast: Int,
+      m: Int
+  ): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("_hw_key", StringType, nullable = false),
+      StructField(orderCol, org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("value", DoubleType, nullable = true),
+      StructField("fitted", DoubleType, nullable = true),
+      StructField("is_forecast", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val keyIdx = keyCols.map(inSchema.fieldIndex)
+    val ordIdx = inSchema.fieldIndex(orderCol)
+    val valIdx = inSchema.fieldIndex(valueCol)
+    val sorted = sortedBySeries(df, keyCols, orderCol)
+    sorted.mapPartitions { it =>
+      seriesGroups(it, keyIdx, ordIdx, valIdx).flatMap { case (key, rows0) =>
+        val rows = rows0.filterNot(_._2.isNaN)
+        if (rows.length < math.max(2 * m, 2)) Iterator.empty
+        else {
+          val ((ca, cb, cg), _) = hwFitParams(rows.map(_._2), m)
+          emitHw(key, rows, m, ca / 100.0, cb / 100.0, cg / 100.0, forecast)
+        }
+      }
+    }
+  }
 
   /** Additive Holt-Winters with FITTED α/β/γ — closes the last v1
     * semantic divergence (the reference's pinned engine optimizes the
@@ -687,30 +782,14 @@ object SeriesScan {
 
     val sorted = sortedBySeries(df, keyCols, orderCol)
 
+    require(m >= 1, "holtWintersFit needs a seasonal length >= 1")
     sorted.mapPartitions { it =>
       seriesGroups(it, keyIdx, ordIdx, valIdx).flatMap { case (key, rows0) =>
         val rows = rows0.filterNot(_._2.isNaN)
         if (rows.length < 2 * m) Iterator.empty
         else {
           val vs = rows.map(_._2)
-          // strict-< walk in ascending (α,β,γ) order ≡ the oracle's
-          // ORDER BY sse, ca, cb, cg LIMIT 1 — identical doubles on
-          // both sides make the comparison identical too
-          def argmin(cands: Seq[(Int, Int, Int)]): ((Int, Int, Int), Double) = {
-            var best: (Int, Int, Int) = null
-            var bestSse = Double.PositiveInfinity
-            cands.foreach { c =>
-              val s = hwRun(vs, m, c._1 / 100.0, c._2 / 100.0, c._3 / 100.0)._1
-              if (s < bestSse) { bestSse = s; best = c }
-            }
-            (best, bestSse)
-          }
-          val stage1 = for (a <- HwFitStage1; b <- HwFitStage1; g <- HwFitStage1) yield (a, b, g)
-          val refined = HwFitOffsets.foldLeft(argmin(stage1)) { case ((b0, _), offs) =>
-            argmin(for (da <- offs; db <- offs; dg <- offs)
-              yield (b0._1 + da, b0._2 + db, b0._3 + dg))
-          }
-          val ((ca, cb, cg), sse) = refined
+          val ((ca, cb, cg), sse) = hwFitParams(vs, m)
           val (_, level, trend, season) =
             hwRun(vs, m, ca / 100.0, cb / 100.0, cg / 100.0)
           val step = (rows.last._1 - rows.head._1) / (rows.length - 1).max(1)

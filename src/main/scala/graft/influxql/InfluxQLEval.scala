@@ -934,10 +934,12 @@ object InfluxQLEval {
         }).df
       case fn @ ("holt_winters" | "holt_winters_with_fit") =>
         // v1 HOLT_WINTERS(agg(field), N, S): additive triple-exponential
-        // fit over the GROUP BY time() grid, N forecast steps, seasonal
-        // length S — the hash-gated SeriesScan kernel. Plain
-        // holt_winters returns only the N forecast rows; _with_fit also
-        // returns the fitted historical curve.
+        // smoothing over the GROUP BY time() grid with α/β/γ FITTED per
+        // series (the pinned engine optimizes them; our optimizer is
+        // SeriesScan.hwFitParams' deterministic grid schedule, SQL-
+        // replicable where Nelder-Mead is not), N forecast steps,
+        // seasonal length S. Plain holt_winters returns only the N
+        // forecast rows; _with_fit also returns the fitted curve.
         val nFc = t.n.getOrElse(throw EvalException(s"$fn(agg(field), N, S) needs N"))
         val m = t.n2.getOrElse(
           throw EvalException(s"$fn(agg(field), N, S) needs the seasonal length S"))
@@ -946,7 +948,7 @@ object InfluxQLEval {
         if (s.groupTime.isEmpty)
           throw EvalException(s"$fn requires GROUP BY time() (a regular grid)")
         val withUs = core.withColumn("_tus", unix_micros(col("time")))
-        val hw = graft.dsl.SeriesScan.holtWinters(
+        val hw = graft.dsl.SeriesScan.holtWintersFitSeries(
           withUs, s.groupTags, "_tus", "_v", nFc, m)
         // _hw_key carries the NUL-joined tag tuple; restore the columns
         val parts = split(col("_hw_key"), "\u0000", -1)

@@ -356,6 +356,53 @@ object InfluxQlQueries {
 
   private def w(s: String) = s.stripMargin
 
+  /** One fitted-Holt (m = 0) SSE-evaluation stage for the iql_holt
+    * oracle: a recursive CTE advancing every (α, β) candidate one grid
+    * step per iteration, carrying (sse, fitted, level, trend) —
+    * SeriesScan.emitHw's m=0 arithmetic with the smoothing constants
+    * replaced by the candidate's columns.
+    */
+  private def holtRec(cand: String, rec: String): String = {
+    val newLevel = "e.a * h.v + (1 - e.a) * (e.level + e.trend)"
+    w(s"""$rec AS (
+      |  SELECT c.event_type, 1 AS rn, c.ca, c.cb, c.a, c.b,
+      |    CAST(0 AS DOUBLE) AS sse, CAST(NULL AS DOUBLE) AS fitted,
+      |    sd.level0 AS level, sd.trend0 AS trend
+      |  FROM seed0 sd JOIN $cand c ON sd.event_type = c.event_type
+      |  UNION ALL
+      |  SELECT e.event_type, h.rn, e.ca, e.cb, e.a, e.b,
+      |    e.sse + (h.v - (e.level + e.trend)) * (h.v - (e.level + e.trend)) AS sse,
+      |    e.level + e.trend AS fitted,
+      |    $newLevel AS level,
+      |    e.b * (($newLevel) - e.level) + (1 - e.b) * e.trend AS trend
+      |  FROM src h JOIN $rec e ON h.event_type = e.event_type AND h.rn = e.rn + 1
+      |)""")
+  }
+
+  /** Per-series argmin over a stage's final rows; (sse, ca, cb)
+    * ordering ≡ SeriesScan.hwFitParams' strict-< walk.
+    */
+  private def holtBest(rec: String, best: String): String =
+    w(s"""$best AS MATERIALIZED (
+      |  SELECT r.event_type, r.ca, r.cb
+      |  FROM $rec r JOIN stats s ON r.event_type = s.event_type AND r.rn = s.len
+      |  QUALIFY row_number() OVER
+      |    (PARTITION BY r.event_type ORDER BY r.sse, r.ca, r.cb) = 1
+      |)""")
+
+  /** Offset-refinement (α, β) grid around the previous stage's best. */
+  private def holtCand(best: String, offsets: Seq[Int], cand: String): String = {
+    val offs = offsets.mkString("[", ", ", "]")
+    w(s"""$cand AS MATERIALIZED (
+      |  SELECT p.event_type, p.ca + da.o AS ca, p.cb + db.o AS cb,
+      |    CAST(p.ca + da.o AS DOUBLE) / 100.0 AS a,
+      |    CAST(p.cb + db.o AS DOUBLE) / 100.0 AS b
+      |  FROM $best p,
+      |    (SELECT unnest($offs) AS o) da,
+      |    (SELECT unnest($offs) AS o) db
+      |)""")
+  }
+
   val oracle: Map[String, String] = Map(
     "iql_gb_time" -> w(
       """WITH f AS (
@@ -496,46 +543,60 @@ object InfluxQlQueries {
         |FROM spine s CROSS JOIN combos c
         |LEFT JOIN agg a ON s.wstart = a.wstart AND c.event_type = a.event_type
         |ORDER BY 2, 1"""),
-    // Holt (no season): seed carries (level=v₁, trend=v₂−v₁) per
-    // series, recursion mirrors SeriesScan.holtWinters' m=0 branch
-    // term-for-term (α=0.5, β=0.1); forecasts extrapolate the final
-    // state at the series' mean step. Unrounded hourly sums are safe:
-    // the recursion is a contraction, ulp noise dies under round-4.
+    // Holt (no season) with FITTED (α, β) — replays
+    // SeriesScan.hwFitParams' m=0 schedule: {0.2,0.5,0.8}² sweep, then
+    // ±0.10 and ±0.05 around the running argmin (γ inert, pinned).
+    // Each stage is one recursive SSE evaluation over every candidate
+    // (state: level, trend, sse, fitted) seeded at (level=v₁,
+    // trend=v₂−v₁); argmin orders by (sse, ca, cb). Fitted rows and
+    // forecasts come from the winning candidate's chain. Unrounded
+    // hourly sums are safe: the recursion is a contraction, ulp noise
+    // dies under round-4.
     "iql_holt" -> w(
-      """WITH RECURSIVE hourly AS MATERIALIZED (
-        |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS wt, sum(value) AS v
-        |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
-        |  GROUP BY 1, 2
-        |), src AS MATERIALIZED (
-        |  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY wt) AS rn,
-        |    epoch_us(wt) AS tus, v FROM hourly
-        |), stats AS MATERIALIZED (
-        |  SELECT event_type, max(rn) AS len, min(tus) AS t0, max(tus) AS t1
-        |  FROM src GROUP BY 1
-        |), rec AS (
-        |  SELECT s1.event_type, 1 AS rn, CAST(NULL AS DOUBLE) AS fitted,
-        |    s1.v AS level, s2.v - s1.v AS trend
-        |  FROM src s1 JOIN src s2 ON s1.event_type = s2.event_type
-        |    AND s1.rn = 1 AND s2.rn = 2
-        |  UNION ALL
-        |  SELECT h.event_type, h.rn, e.level + e.trend AS fitted,
-        |    0.5 * h.v + (1 - 0.5) * (e.level + e.trend) AS level,
-        |    0.1 * ((0.5 * h.v + (1 - 0.5) * (e.level + e.trend)) - e.level)
-        |      + (1 - 0.1) * e.trend AS trend
-        |  FROM src h JOIN rec e ON h.event_type = e.event_type AND h.rn = e.rn + 1
-        |)
-        |SELECT r.event_type, make_timestamp(s.tus) AS wstart, round(r.fitted, 4) AS hw
-        |FROM rec r JOIN src s ON r.event_type = s.event_type AND r.rn = s.rn
-        |WHERE r.rn > 1
-        |UNION ALL
-        |SELECT e.event_type,
-        |  make_timestamp(s.t1 + ((s.t1 - s.t0) // (s.len - 1)) * f.h) AS wstart,
-        |  round(e.level + e.trend * f.h, 4) AS hw
-        |FROM rec e
-        |JOIN stats s ON e.event_type = s.event_type AND e.rn = s.len
-        |CROSS JOIN (SELECT unnest(range(1, 7)) AS h) f
-        |ORDER BY 1, 2"""),
+      s"""WITH RECURSIVE hourly AS MATERIALIZED (
+         |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS wt, sum(value) AS v
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+         |  GROUP BY 1, 2
+         |), src AS MATERIALIZED (
+         |  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY wt) AS rn,
+         |    epoch_us(wt) AS tus, v FROM hourly
+         |), stats AS MATERIALIZED (
+         |  SELECT event_type, max(rn) AS len, min(tus) AS t0, max(tus) AS t1
+         |  FROM src GROUP BY 1
+         |), seed0 AS MATERIALIZED (
+         |  SELECT s1.event_type, s1.v AS level0, s2.v - s1.v AS trend0
+         |  FROM src s1 JOIN src s2 ON s1.event_type = s2.event_type
+         |    AND s1.rn = 1 AND s2.rn = 2
+         |), cand1 AS MATERIALIZED (
+         |  SELECT sd.event_type, ga.c AS ca, gb.c AS cb,
+         |    CAST(ga.c AS DOUBLE) / 100.0 AS a, CAST(gb.c AS DOUBLE) / 100.0 AS b
+         |  FROM seed0 sd,
+         |    (SELECT unnest([20, 50, 80]) AS c) ga,
+         |    (SELECT unnest([20, 50, 80]) AS c) gb
+         |),
+         |${holtRec("cand1", "rec1")},
+         |${holtBest("rec1", "best1")},
+         |${holtCand("best1", Seq(-10, 0, 10), "cand2")},
+         |${holtRec("cand2", "rec2")},
+         |${holtBest("rec2", "best2")},
+         |${holtCand("best2", Seq(-5, 0, 5), "cand3")},
+         |${holtRec("cand3", "rec3")},
+         |${holtBest("rec3", "best3")}
+         |SELECT r.event_type, make_timestamp(s.tus) AS wstart, round(r.fitted, 4) AS hw
+         |FROM rec3 r
+         |JOIN best3 bb ON r.event_type = bb.event_type AND r.ca = bb.ca AND r.cb = bb.cb
+         |JOIN src s ON r.event_type = s.event_type AND r.rn = s.rn
+         |WHERE r.rn > 1
+         |UNION ALL
+         |SELECT e.event_type,
+         |  make_timestamp(st.t1 + ((st.t1 - st.t0) // (st.len - 1)) * f.h) AS wstart,
+         |  round(e.level + e.trend * f.h, 4) AS hw
+         |FROM rec3 e
+         |JOIN best3 bb ON e.event_type = bb.event_type AND e.ca = bb.ca AND e.cb = bb.cb
+         |JOIN stats st ON e.event_type = st.event_type AND e.rn = st.len
+         |CROSS JOIN (SELECT unnest(range(1, 7)) AS h) f
+         |ORDER BY 1, 2"""),
     "iql_mavg_nogroup" -> w(
       """WITH hourly AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, sum(value) AS v
