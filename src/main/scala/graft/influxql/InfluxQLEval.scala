@@ -719,14 +719,39 @@ object InfluxQLEval {
     */
   private def topBottom(a: AggProj, s: Select, base: DataFrame,
       source: Source): DataFrame = {
-    if (s.groupTime.isDefined)
-      throw EvalException(s"${a.fn}() with GROUP BY time() is unsupported")
     val n = a.param.map(_.toInt)
       .getOrElse(throw EvalException(s"${a.fn}(field, N) needs N"))
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
     val name = a.alias.getOrElse(a.fn)
     val v = ref(filtered, a.field)
     val valueOrd = if (a.fn == "top") v.desc else v.asc
+    s.groupTime.foreach { d =>
+      // v1 GROUP BY time() form: the N extreme POINTS per (tags,
+      // bucket), output rows keep the points' actual timestamps (not
+      // the bucket label). One row_number window, no shuffle beyond it.
+      if (a.tagKey.isDefined)
+        throw EvalException(s"${a.fn}(field, tag, N) with GROUP BY time() is unsupported")
+      import org.apache.spark.sql.expressions.Window
+      val stepUs = (d.seconds * 1e6).toLong
+      val offUs = bucketOffsetUs(s, stepUs)
+      val bucketIn = s.tz match {
+        case Some(z) => from_utc_timestamp(col(source.timeCol), z)
+        case None => col(source.timeCol)
+      }
+      val bucket = window(bucketIn, d.interval, d.interval,
+        s"${offUs} microseconds").getField("start")
+      val w = Window
+        .partitionBy(s.groupTags.map(t => ref(filtered, t)) :+ bucket: _*)
+        .orderBy(valueOrd, col(source.timeCol).asc)
+      // nulls pre-filtered: under asc ordering (bottom) they would
+      // otherwise rank first and consume the N slots
+      val nn = filtered.filter(v.isNotNull)
+      return nn.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= n)
+        .select((col(source.timeCol).as("time") +:
+          s.groupTags.map(t => ref(nn, t).as(t)) :+ ref(nn, a.field).as(name)): _*)
+        .orderBy(s.groupTags.map(col) :+ col("time"): _*)
+    }
     a.tagKey.foreach { tag =>
       // v1 three-arg form: the extreme point of each distinct tag
       // value, then the N most extreme among those — output keeps the

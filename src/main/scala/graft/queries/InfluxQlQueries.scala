@@ -124,6 +124,18 @@ object InfluxQlQueries {
         .select(col("time").as("wstart"), r4(col("ema")).as("ema"))
         .orderBy("wstart")),
 
+    // top(field, N) under GROUP BY time(): the N extreme POINTS per
+    // (bucket, tag), rows keeping their actual timestamps — one
+    // row_number window, ties to the earlier point as v1 does.
+    "iql_top_time" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT top(value, 2) AS topv FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(6h), event_type",
+        source(s, dir))
+        .select(col("time").as("t"), col("event_type"), r4(col("topv")).as("topv"))
+        .orderBy("event_type", "t")),
+
     // percentile(field, N) under GROUP BY time(): v1's nearest-rank
     // point selection per (bucket, tag) — staged rank/count columns,
     // no interpolation, no collect.
@@ -523,6 +535,23 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // N extreme points per (6h bucket, tag); µs-truncated time in the
+    // tie-break mirrors Spark's µs axis
+    "iql_top_time" -> w(
+      """WITH f AS (
+        |  SELECT event_type, ts, value,
+        |    time_bucket(INTERVAL '6 hours', ts) AS wstart
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |), rk AS (
+        |  SELECT event_type, ts, value,
+        |    row_number() OVER (PARTITION BY event_type, wstart
+        |      ORDER BY value DESC, epoch_us(ts) ASC) AS rn
+        |  FROM f
+        |)
+        |SELECT make_timestamp(epoch_us(ts)) AS t, event_type, round(value, 4) AS topv
+        |FROM rk WHERE rn <= 2 ORDER BY 2, 1"""),
+
     // nearest-rank percentile per (6h bucket, tag) + the fill(null)
     // spine (v1's GROUP BY time() default)
     "iql_percentile" -> w(
