@@ -794,14 +794,34 @@ object InfluxQLEval {
     */
   private def sampleValues(a: AggProj, s: Select, base: DataFrame,
       source: Source): DataFrame = {
-    if (s.groupTime.isDefined)
-      throw EvalException("sample() with GROUP BY time() is unsupported")
     val n = a.param.map(_.toInt)
       .getOrElse(throw EvalException("sample(field, N) needs N"))
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
     val name = a.alias.getOrElse("sample")
     val v = ref(filtered, a.field)
     val h = md5(unix_micros(col(source.timeCol)).cast("string"))
+    s.groupTime.foreach { d =>
+      // v1 GROUP BY time() form: N sampled points per (tags, bucket),
+      // rows keeping their actual timestamps. Same deterministic
+      // time-hash stand-in for v1's RNG as the flat form (documented).
+      import org.apache.spark.sql.expressions.Window
+      val stepUs = (d.seconds * 1e6).toLong
+      val offUs = bucketOffsetUs(s, stepUs)
+      val bucketIn = s.tz match {
+        case Some(z) => from_utc_timestamp(col(source.timeCol), z)
+        case None => col(source.timeCol)
+      }
+      val bucket = window(bucketIn, d.interval, d.interval,
+        s"${offUs} microseconds").getField("start")
+      val w = Window
+        .partitionBy(s.groupTags.map(t => ref(filtered, t)) :+ bucket: _*)
+        .orderBy(h.asc, v.asc)
+      return filtered.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= n)
+        .select((col(source.timeCol).as("time") +:
+          s.groupTags.map(t => ref(filtered, t).as(t)) :+ v.as(name)): _*)
+        .orderBy(s.groupTags.map(col) :+ col("time"): _*)
+    }
     if (s.groupTags.isEmpty)
       filtered.withColumn("_h", h)
         .orderBy(col("_h").asc, v.asc)

@@ -136,6 +136,18 @@ object InfluxQlQueries {
         .select(col("time").as("t"), col("event_type"), r4(col("topv")).as("topv"))
         .orderBy("event_type", "t")),
 
+    // sample(field, N) under GROUP BY time(): N sampled points per
+    // (bucket, tag) via the deterministic time-hash (v1 uses an RNG —
+    // divergence documented at iql_sample).
+    "iql_sample_time" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT sample(value, 2) AS sv FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(12h), event_type",
+        source(s, dir))
+        .select(col("time").as("t"), col("event_type"), r4(col("sv")).as("sv"))
+        .orderBy("event_type", "t")),
+
     // percentile(field, N) under GROUP BY time(): v1's nearest-rank
     // point selection per (bucket, tag) — staged rank/count columns,
     // no interpolation, no collect.
@@ -535,6 +547,22 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // N hash-sampled points per (12h bucket, tag); the md5-of-µs-time
+    // order replicates Spark's deterministic sampler exactly
+    "iql_sample_time" -> w(
+      """WITH f AS (
+        |  SELECT ts, event_type, value,
+        |    time_bucket(INTERVAL '12 hours', ts) AS wstart,
+        |    md5(CAST((epoch_ns(ts) // 1000) AS VARCHAR)) AS hh
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |)
+        |SELECT make_timestamp(epoch_us(ts)) AS t, event_type, round(value, 4) AS sv
+        |FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY event_type, wstart ORDER BY hh ASC, value ASC) AS r FROM f)
+        |WHERE r <= 2 ORDER BY 2, 1"""),
+
     // N extreme points per (6h bucket, tag); µs-truncated time in the
     // tie-break mirrors Spark's µs axis
     "iql_top_time" -> w(
