@@ -844,10 +844,27 @@ object InfluxQLEval {
     */
   private def distinctValues(a: AggProj, s: Select, base: DataFrame,
       source: Source): DataFrame = {
-    if (s.groupTime.isDefined)
-      throw EvalException("distinct() with GROUP BY time() is unsupported")
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
     val name = a.alias.getOrElse("distinct")
+    s.groupTime.foreach { d =>
+      // v1 GROUP BY time() form: distinct values per (tags, bucket),
+      // rows labeled with the bucket start
+      val stepUs = (d.seconds * 1e6).toLong
+      val offUs = bucketOffsetUs(s, stepUs)
+      val bucketIn = s.tz match {
+        case Some(z) => from_utc_timestamp(col(source.timeCol), z)
+        case None => col(source.timeCol)
+      }
+      val win = window(bucketIn, d.interval, d.interval, s"${offUs} microseconds")
+      val start = s.tz match {
+        case Some(z) => to_utc_timestamp(win.getField("start"), z)
+        case None => win.getField("start")
+      }
+      val cols = start.as("time") +: (s.groupTags.map(t => ref(filtered, t).as(t)) :+
+        ref(filtered, a.field).as(name))
+      return filtered.select(cols: _*).distinct()
+        .orderBy(col("time") +: (s.groupTags.map(col) :+ col(name)): _*)
+    }
     val cols = s.groupTags.map(t => ref(filtered, t).as(t)) :+
       ref(filtered, a.field).as(name)
     filtered.select(cols: _*).distinct()

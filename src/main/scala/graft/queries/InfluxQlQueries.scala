@@ -136,6 +136,17 @@ object InfluxQlQueries {
         .select(col("time").as("t"), col("event_type"), r4(col("topv")).as("topv"))
         .orderBy("event_type", "t")),
 
+    // distinct(field) under GROUP BY time(): distinct values per
+    // (bucket, tag), rows labeled with the bucket start.
+    "iql_distinct_time" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT distinct(user_id) AS u FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "GROUP BY time(6h), event_type",
+        source(s, dir))
+        .select(col("time").as("t"), col("event_type"), col("u"))
+        .orderBy("event_type", "t", "u")),
+
     // sample(field, N) under GROUP BY time(): N sampled points per
     // (bucket, tag) via the deterministic time-hash (v1 uses an RNG —
     // divergence documented at iql_sample).
@@ -547,6 +558,14 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // distinct values per (6h bucket, tag)
+    "iql_distinct_time" -> w(
+      """SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) AS t,
+        |  event_type, user_id AS u
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00'
+        |ORDER BY 2, 1, 3"""),
+
     // N hash-sampled points per (12h bucket, tag); the md5-of-µs-time
     // order replicates Spark's deterministic sampler exactly
     "iql_sample_time" -> w(
