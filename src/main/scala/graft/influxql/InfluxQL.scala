@@ -582,7 +582,7 @@ object InfluxQL {
           // count(distinct(field)) — the v1 cardinality idiom — folds to
           // the synthetic aggregate name "count_distinct"
           val save2 = i
-          val field = ident(); ws()
+          val field = if (peekStr("*")) "*" else { val x = ident(); ws(); x }
           if (name.toLowerCase == "count" && field.toLowerCase == "distinct"
               && peekStr("(")) {
             expect("("); ws()
@@ -591,7 +591,8 @@ object InfluxQL {
             PAgg(AggProj("count_distinct", innerField, None, None))
           } else {
             i = save2
-            val f = ident(); ws()
+            // agg-star: `mean(*)` applies the call to every data field
+            val f = if (peekStr("*")) { expect("*"); ws(); "*" } else { val x = ident(); ws(); x }
             // after the comma: an identifier is a tag key (three-arg
             // top/bottom); a bare number is a parameter
             // (percentile/top/bottom/sample); a number followed by a

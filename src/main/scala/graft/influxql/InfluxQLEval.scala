@@ -531,7 +531,24 @@ object InfluxQLEval {
       case _ => ()
     }
     val filtered = s.where.map(w => base.filter(cond(w, base, source))).getOrElse(base)
-    val aggs = s.projs.collect { case a: AggProj => a }
+    // v1 aggregate-star: `mean(*)` applies the call to EVERY data
+    // field (sorted, like SELECT * expansion), each output named
+    // <fn>_<field> — schema-scale expansion at plan time
+    val starFields = filtered.columns
+      .filterNot(c => c == source.timeCol || c == "tags" || c == "dt" ||
+        c == "measurement" || s.groupTags.contains(c))
+      .sorted.toSeq
+    val numericStarFields = starFields.filter(c => filtered.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val aggs = s.projs.collect { case a: AggProj => a }.flatMap {
+      case a if a.field == "*" =>
+        // count(*) counts every field; numeric functions apply to the
+        // numeric fields only, as v1 does
+        val fs = if (a.fn == "count") starFields else numericStarFields
+        fs.map(f => a.copy(field = f, alias = Some(
+          a.alias.getOrElse(if (a.fn == "count_distinct") "count" else a.fn) + "_" + f)))
+      case a => Seq(a)
+    }
     val fields = s.projs.collect { case f: FieldProj => f }
     val exprs = s.projs.collect { case e: ExprProj => e }
     def hasAgg(e: PExpr): Boolean = e match {

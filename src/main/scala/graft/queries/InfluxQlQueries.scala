@@ -136,6 +136,26 @@ object InfluxQlQueries {
         .select(col("time").as("t"), col("event_type"), r4(col("topv")).as("topv"))
         .orderBy("event_type", "t")),
 
+    // aggregate-star: mean(*)/count(*) expand per data field with
+    // <fn>_<field> names — numeric fields for mean, every field for
+    // count, as v1 does. The ns shadow column is dropped so every
+    // expanded aggregate is oracle-replicable.
+    "iql_agg_star" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT mean(*), count(*) FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY time(6h), event_type",
+        InfluxQLEval.Source(
+          resolve = _ => events(s, dir).withColumnRenamed("ts", "time").drop("ts_ns"),
+          tagKeys = { _ =>
+            import s.implicits._
+            Seq("event_type", "user_id").toDF("tagKey")
+          }))
+        .select(col("time").as("t"), col("event_type"),
+          r4(col("mean_value")).as("mean_value"),
+          col("count_user_id"), col("count_value"))
+        .orderBy("event_type", "t")),
+
     // distinct(field) under GROUP BY time(): distinct values per
     // (bucket, tag), rows labeled with the bucket start.
     "iql_distinct_time" -> ((s, dir) =>
@@ -558,6 +578,27 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // star-expanded aggregates per (6h bucket, tag) + fill spine
+    "iql_agg_star" -> w(
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS t, event_type,
+        |    avg(value) AS mean_value,
+        |    count(user_id) AS count_user_id, count(value) AS count_value
+        |  FROM f GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-08 00:00:00',
+        |    TIMESTAMP '2024-01-10 18:00:00', INTERVAL '6 hours')) AS t
+        |), combos AS (SELECT DISTINCT event_type FROM f)
+        |SELECT s.t, c.event_type, round(a.mean_value, 4) AS mean_value,
+        |  a.count_user_id, a.count_value
+        |FROM spine s CROSS JOIN combos c
+        |LEFT JOIN agg a ON s.t = a.t AND c.event_type = a.event_type
+        |ORDER BY 2, 1"""),
+
     // distinct values per (6h bucket, tag)
     "iql_distinct_time" -> w(
       """SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) AS t,
