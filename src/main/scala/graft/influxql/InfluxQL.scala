@@ -503,6 +503,9 @@ object InfluxQL {
     private def proj(): Proj = {
       ws()
       if (peekStr("*")) { expect("*"); ws(); return FieldProj("*", None) }
+      // `SELECT /re/`: regex field selection — stored slash-delimited
+      // (field names cannot start with '/' in line protocol)
+      if (peekStr("/")) { val re = regexLit(); ws(); return FieldProj(s"/$re/", None) }
       // transforms are top-level-only (no arithmetic around them, as in
       // v1): peek the head identifier, fall back to expression parsing
       def exprToProj(): Proj = addExpr() match {
@@ -582,7 +585,9 @@ object InfluxQL {
           // count(distinct(field)) — the v1 cardinality idiom — folds to
           // the synthetic aggregate name "count_distinct"
           val save2 = i
-          val field = if (peekStr("*")) "*" else { val x = ident(); ws(); x }
+          val field =
+            if (peekStr("*") || peekStr("/")) "*" // probe only; reparsed below
+            else { val x = ident(); ws(); x }
           if (name.toLowerCase == "count" && field.toLowerCase == "distinct"
               && peekStr("(")) {
             expect("("); ws()
@@ -591,8 +596,12 @@ object InfluxQL {
             PAgg(AggProj("count_distinct", innerField, None, None))
           } else {
             i = save2
-            // agg-star: `mean(*)` applies the call to every data field
-            val f = if (peekStr("*")) { expect("*"); ws(); "*" } else { val x = ident(); ws(); x }
+            // agg-star / agg-regex: `mean(*)` and `mean(/re/)` apply
+            // the call to every (matching) data field
+            val f =
+              if (peekStr("*")) { expect("*"); ws(); "*" }
+              else if (peekStr("/")) { val re = regexLit(); ws(); s"/$re/" }
+              else { val x = ident(); ws(); x }
             // after the comma: an identifier is a tag key (three-arg
             // top/bottom); a bare number is a parameter
             // (percentile/top/bottom/sample); a number followed by a

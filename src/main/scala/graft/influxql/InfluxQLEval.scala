@@ -540,11 +540,19 @@ object InfluxQLEval {
       .sorted.toSeq
     val numericStarFields = starFields.filter(c => filtered.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def fieldRegex(f: String): Option[scala.util.matching.Regex] =
+      if (f.length > 1 && f.startsWith("/") && f.endsWith("/"))
+        Some(f.substring(1, f.length - 1).r)
+      else None
     val aggs = s.projs.collect { case a: AggProj => a }.flatMap {
-      case a if a.field == "*" =>
-        // count(*) counts every field; numeric functions apply to the
-        // numeric fields only, as v1 does
-        val fs = if (a.fn == "count") starFields else numericStarFields
+      case a if a.field == "*" || fieldRegex(a.field).isDefined =>
+        // star / regex expansion: count() covers every (matching)
+        // field; numeric functions the numeric ones only, as v1 does
+        val base = if (a.fn == "count") starFields else numericStarFields
+        val fs = fieldRegex(a.field) match {
+          case Some(re) => base.filter(c => re.findFirstIn(c).isDefined)
+          case None => base
+        }
         fs.map(f => a.copy(field = f, alias = Some(
           a.alias.getOrElse(if (a.fn == "count_distinct") "count" else a.fn) + "_" + f)))
       case a => Seq(a)
@@ -564,13 +572,19 @@ object InfluxQLEval {
     val out: DataFrame =
       if (aggs.isEmpty && aggExprs.isEmpty) {
         // raw select: time + fields; `*` expands to every non-time data
-        // column (the `tags` map and partition columns stay internal)
-        val expanded: Seq[FieldProj] =
-          if (fields.exists(_.field == "*"))
-            filtered.columns
-              .filterNot(c => c == source.timeCol || c == "tags" || c == "dt")
-              .sorted.toSeq.map(FieldProj(_, None))
-          else fields
+        // column (the `tags` map and partition columns stay internal),
+        // `/re/` to the matching ones
+        val allRaw = filtered.columns
+          .filterNot(c => c == source.timeCol || c == "tags" || c == "dt")
+          .sorted.toSeq
+        val expanded: Seq[FieldProj] = fields.flatMap {
+          case FieldProj("*", _) => allRaw.map(FieldProj(_, None))
+          case f => fieldRegex(f.field) match {
+            case Some(re) =>
+              allRaw.filter(c => re.findFirstIn(c).isDefined).map(FieldProj(_, None))
+            case None => Seq(f)
+          }
+        }.distinct
         // GROUP BY tags on a raw select keep the series keys in the
         // output (v1 emits per-series blocks; here tags are columns) —
         // transforms over raw fields partition on them

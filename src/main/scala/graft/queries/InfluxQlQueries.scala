@@ -136,6 +136,27 @@ object InfluxQlQueries {
         .select(col("time").as("t"), col("event_type"), r4(col("topv")).as("topv"))
         .orderBy("event_type", "t")),
 
+    // regex field projection: SELECT /re/ picks the matching fields
+    // (raw), mean(/re/) the matching numeric ones (aggregate).
+    "iql_field_regex" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT /^(user|val)/ FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-08T06:00:00Z' " +
+          "AND value > 99",
+        InfluxQLEval.Source(resolve = _ => events(s, dir)
+          .select(col("ts").as("time"), col("event_type"), col("user_id"), col("value"))))
+        .orderBy("time", "user_id", "value")),
+
+    "iql_agg_regex" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT mean(/^val/) FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-11T00:00:00Z' " +
+          "GROUP BY event_type",
+        InfluxQLEval.Source(resolve = _ => events(s, dir)
+          .select(col("ts").as("time"), col("event_type"), col("user_id"), col("value"))))
+        .select(col("event_type"), r4(col("mean_value")).as("mean_value"))
+        .orderBy("event_type")),
+
     // aggregate-star: mean(*)/count(*) expand per data field with
     // <fn>_<field> names — numeric fields for mean, every field for
     // count, as v1 does. The ns shadow column is dropped so every
@@ -578,6 +599,18 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // matching fields only (event_type doesn't match /^(user|val)/)
+    "iql_field_regex" -> w(
+      """SELECT ts AS time, user_id, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-08 06:00:00'
+        |  AND value > 99
+        |ORDER BY 1, 2, 3"""),
+    "iql_agg_regex" -> w(
+      """SELECT event_type, round(avg(value), 4) AS mean_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |GROUP BY 1 ORDER BY 1"""),
+
     // star-expanded aggregates per (6h bucket, tag) + fill spine
     "iql_agg_star" -> w(
       """WITH f AS (
