@@ -100,7 +100,14 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
           else if (graft.lineprotocol.LineProtocol.precisionScale(precision).isEmpty)
             respond(ex, 400, err(s"invalid precision '$precision' (want s|ms|us|ns)"))
           else {
-            val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+            // Telegraf gzips LP bodies by default (Content-Encoding:
+            // gzip), exactly like the pinned engine accepts
+            val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+              .exists(_.equalsIgnoreCase("gzip"))
+            val raw =
+              if (gz) new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes()
+              else ex.getRequestBody.readAllBytes()
+            val body = new String(raw, UTF_8)
             val lines = body.split('\n').toSeq.filter(_.trim.nonEmpty)
             try {
               tsdb.writeLp(bucket, lines, precision = precision)

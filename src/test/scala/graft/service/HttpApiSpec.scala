@@ -50,6 +50,23 @@ class HttpApiSpec extends SparkSpec {
     assert(post("/api/v2/write?bucket=nope", lp, Some("rwTok")).statusCode() == 404)
   }
 
+  test("write accepts gzip-encoded bodies (the Telegraf default)") {
+    import org.apache.spark.sql.functions.col
+    tsdb.catalog.createBucket("gzb", "greengrass")
+    val lp = s"gz,host=h9 v=42 ${1706400000L * 1000000000L}"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.GZIPOutputStream(bos)
+    z.write(lp.getBytes("UTF-8")); z.close()
+    val req = HttpRequest.newBuilder(URI.create(s"$base/api/v2/write?bucket=gzb"))
+      .header("Authorization", "Token rwTok")
+      .header("Content-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build()
+    assert(client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+    val got = tsdb.from("gzb").toDF
+      .filter(col("measurement") === "gz").select("value_f")
+    assert(got.collect().map(_.getDouble(0)).toSeq == Seq(42.0))
+  }
+
   test("write precision= param scales timestamps to the same stored ns") {
     import org.apache.spark.sql.functions.col
     tsdb.catalog.createBucket("precb", "greengrass")
