@@ -121,6 +121,42 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
   })
 
+  /** /write — the v1 compatibility WRITE endpoint the pinned engine
+    * serves alongside /query (db[/rp] maps onto a bucket; precision
+    * defaults to ns; gzip accepted). What Telegraf's v1 output and 1.x
+    * client libraries POST to.
+    */
+  server.createContext("/write", (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
+      else tokenOf(ex).filter(canWrite) match {
+        case None => respond(ex, 401, err("unauthorized: write token required"))
+        case Some(_) =>
+          val bucket = query(ex, "db").getOrElse("")
+          val precision = query(ex, "precision").getOrElse("ns")
+          if (tsdb.catalog.bucket(bucket).isEmpty)
+            respond(ex, 404, err(s"database '$bucket' not found"))
+          else if (graft.lineprotocol.LineProtocol.precisionScale(precision).isEmpty)
+            respond(ex, 400, err(s"invalid precision '$precision' (want s|ms|us|ns)"))
+          else {
+            val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+              .exists(_.equalsIgnoreCase("gzip"))
+            val raw =
+              if (gz) new java.util.zip.GZIPInputStream(ex.getRequestBody).readAllBytes()
+              else ex.getRequestBody.readAllBytes()
+            val lines = new String(raw, UTF_8).split('\n').toSeq.filter(_.trim.nonEmpty)
+            try {
+              tsdb.writeLp(bucket, lines, precision = precision)
+              respond(ex, 204, "")
+            } catch {
+              case e: graft.lineprotocol.LineProtocol.ParseError =>
+                respond(ex, 400, err(e.getMessage))
+            }
+          }
+      }
+    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+  })
+
   /** /api/v2/delete — predicate-scoped delete (the v2 API shape: RFC3339
     * `start`/`stop` in a JSON body plus an optional `key="value" AND …`
     * predicate). Mirrors the pinned engine's endpoint over

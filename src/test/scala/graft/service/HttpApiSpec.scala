@@ -67,6 +67,24 @@ class HttpApiSpec extends SparkSpec {
     assert(got.collect().map(_.getDouble(0)).toSeq == Seq(42.0))
   }
 
+  test("/write v1-compat endpoint: db param maps onto the bucket, then /query reads it") {
+    tsdb.catalog.createBucket("v1wb", "greengrass")
+    val sec = 1706486400L // 2024-01-29T00:00:00Z
+    assert(post(s"/write?db=v1wb&precision=s",
+      s"temp,room=a c=21.5 $sec", Some("rwTok")).statusCode() == 204)
+    assert(post(s"/write?db=nope", "x y=1", Some("rwTok")).statusCode() == 404)
+    assert(post(s"/write?db=v1wb", "x y=1", Some("roTok")).statusCode() == 401)
+    val r = get(s"/query?db=v1wb&epoch=s&q=${java.net.URLEncoder.encode(
+      "SELECT last(\"c\") FROM \"temp\"", "UTF-8")}&auth=ignored")
+    assert(r.statusCode() == 401) // no token on the bare GET helper
+    val req = HttpRequest.newBuilder(URI.create(s"$base/query?db=v1wb&epoch=s&q=" +
+      java.net.URLEncoder.encode("SELECT last(\"c\") FROM \"temp\"", "UTF-8")))
+      .header("Authorization", "Token roTok").GET().build()
+    val body = client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+    assert(body ==
+      s"""{"results":[{"statement_id":0,"series":[{"name":"temp","columns":["time","last"],"values":[[$sec,21.5]]}]}]}""")
+  }
+
   test("write precision= param scales timestamps to the same stored ns") {
     import org.apache.spark.sql.functions.col
     tsdb.catalog.createBucket("precb", "greengrass")
