@@ -66,6 +66,20 @@ final case class FluxFrame(
   /** Flux `filter(fn:)` — row predicate. */
   def where(pred: Column): FluxFrame = copy(df = df.filter(pred))
 
+  /** Flux `hourSelection(start:, stop:)`: keep rows whose UTC hour of
+    * day lies in [start, stop] inclusive; `start > stop` wraps past
+    * midnight (22→2 keeps 22,23,0,1,2). Pure row predicate — pushes to
+    * the scan like any filter.
+    */
+  def hourSelection(start: Int, stop: Int): FluxFrame = {
+    require(start >= 0 && start <= 23 && stop >= 0 && stop <= 23,
+      s"hourSelection hours must be in [0, 23], got ($start, $stop)")
+    val h = hour(col(timeCol))
+    copy(df = df.filter(
+      if (start <= stop) h >= start && h <= stop
+      else h >= start || h <= stop))
+  }
+
   /** Flux `keep(columns:)`. Group key is intersected like Flux does. */
   def keep(cols: String*): FluxFrame =
     copy(df = df.select(cols.map(col): _*), groupKey = groupKey.filter(cols.contains))

@@ -194,6 +194,8 @@ object FluxEval {
       if (cols.size != 2) throw EvalException("covariance(columns: [x, y]) expects two columns")
       if (call.args.get("pearsonr").contains(VBool(true))) f.pearsonr(cols(0), cols(1))
       else f.covariance(cols(0), cols(1))
+    case "hourSelection" =>
+      f.hourSelection(num(call.args, "start").toInt, num(call.args, "stop").toInt)
     case "interpolate" | "interpolateLinear" =>
       f.interpolateLinear(durSeconds(call.args("every")).toLong)
     case "holtWinters" =>

@@ -41,6 +41,18 @@ object FluxQueries {
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("sum_v"))
         .orderBy("_measurement", "wend")),
 
+    // hourSelection(): hour-of-day row filter, the wrap-around form
+    // (22→2 keeps 22,23,0,1,2 UTC) — a pure scan predicate.
+    "flux_hour" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> hourSelection(start: 22, stop: 2)
+          ||> aggregateWindow(every: 1d, fn: count)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), col("_value").as("n"))
+        .orderBy("_measurement", "wend")),
+
     "flux_topk" -> ((s, dir) =>
       FluxEval.run(
         """from(bucket: "events")
@@ -140,6 +152,14 @@ object FluxQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
         |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_hour" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS wend,
+        |  count(value) AS n
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (hour(ts) >= 22 OR hour(ts) <= 2)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "flux_topk" ->
       """SELECT event_type AS _measurement, event_id, round(value, 4) AS v FROM (
