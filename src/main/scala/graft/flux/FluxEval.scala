@@ -38,13 +38,47 @@ object FluxEval {
 
   private def evalPipeline(pipe: Pipeline, source: Source,
       env: Map[String, FluxFrame]): FluxFrame = {
+    def fromBucket(bucket: String): FluxFrame =
+      source.rename.foldLeft(source.resolve(bucket)) {
+        case (fr, (flux, actual)) if fr.df.columns.contains(actual) => fr.rename(actual -> flux)
+        case (fr, _) => fr
+      }
+    // influxdata/influxdb/schema package — what Grafana's Flux-mode
+    // template variables issue. Output: single `_value` string column,
+    // distinct + sorted, like the stdlib functions return.
+    def schemaValues(df: DataFrame, c: Column): FluxFrame =
+      FluxFrame(df.select(c.cast("string").as("_value"))
+        .filter(col("_value").isNotNull).distinct().orderBy("_value"),
+        Nil, "_value", "_value")
     val frame0 = pipe.calls.headOption match {
       case Some(Call("from", args)) =>
-        val bucket = str(args, "bucket")
-        source.rename.foldLeft(source.resolve(bucket)) {
-          case (fr, (flux, actual)) if fr.df.columns.contains(actual) => fr.rename(actual -> flux)
-          case (fr, _) => fr
+        fromBucket(str(args, "bucket"))
+      case Some(Call("schema.measurements", args)) =>
+        schemaValues(fromBucket(str(args, "bucket")).df, col("_measurement"))
+      case Some(Call("schema.tagValues", args)) =>
+        val fr = fromBucket(str(args, "bucket"))
+        val tag = str(args, "tag")
+        val c =
+          if (fr.df.columns.contains(tag)) col(tag)
+          else if (fr.df.columns.contains("tags")) col("tags").getItem(tag)
+          else throw EvalException(s"schema.tagValues: unknown tag '$tag'")
+        schemaValues(fr.df, c)
+      case Some(Call("schema.tagKeys", args)) =>
+        val fr = fromBucket(str(args, "bucket"))
+        if (fr.df.columns.contains("tags"))
+          schemaValues(fr.df.select(explode(map_keys(col("tags"))).as("_k")), col("_k"))
+        else {
+          // flat frame: the tag keys are schema, not data
+          val spark = fr.df.sparkSession
+          import spark.implicits._
+          val keys = fr.df.columns.filterNot(c =>
+            c.startsWith("_") || c == "dt" || c == "time").sorted.toSeq
+          FluxFrame(keys.toDF("_value"), Nil, "_value", "_value")
         }
+      case Some(Call("schema.fieldKeys", args)) =>
+        val fr = fromBucket(str(args, "bucket"))
+        if (fr.df.columns.contains("_field")) schemaValues(fr.df, col("_field"))
+        else throw EvalException("schema.fieldKeys needs a source with a _field column")
       case Some(Call("__ref", args)) =>
         val name = str(args, "name")
         env.getOrElse(name, throw EvalException(s"undefined table variable '$name'"))

@@ -72,6 +72,12 @@ object FluxParser {
 
     def program(): Program = {
       ws()
+      // `import "influxdata/influxdb/schema"` headers (Grafana's Flux
+      // template queries start with one): recorded nowhere — the
+      // schema.* verbs resolve by their dotted name
+      while (peekStr("import ") || peekStr("import\"")) {
+        expect("import"); ws(); stringLit(); ws()
+      }
       val assigns = Seq.newBuilder[(String, Pipeline)]
       var main: Pipeline = null
       while (main == null) {
@@ -96,7 +102,9 @@ object FluxParser {
       */
     private def pipeline(): Pipeline = {
       val calls = Seq.newBuilder[Call]
-      val headName = ident(); ws()
+      // dotted package heads: `schema.tagValues(...)`
+      var headName = ident(); ws()
+      if (peekStr(".")) { expect("."); headName = s"$headName.${ident()}"; ws() }
       if (peekStr("(")) calls += callAfterName(headName)
       else calls += Call("__ref", Map("name" -> VStr(headName)))
       ws()

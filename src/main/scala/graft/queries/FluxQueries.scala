@@ -41,6 +41,22 @@ object FluxQueries {
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("sum_v"))
         .orderBy("_measurement", "wend")),
 
+    // schema package: Grafana's Flux-mode template-variable queries
+    // (import header + dotted call heads).
+    "flux_schema_measurements" -> ((s, dir) =>
+      FluxEval.run(
+        """import "influxdata/influxdb/schema"
+          |schema.measurements(bucket: "events")""".stripMargin,
+        source(s, dir))
+        .orderBy("_value")),
+
+    "flux_schema_tag_values" -> ((s, dir) =>
+      FluxEval.run(
+        """import "influxdata/influxdb/schema"
+          |schema.tagValues(bucket: "events", tag: "user_id")""".stripMargin,
+        source(s, dir))
+        .orderBy("_value")),
+
     // hourSelection(): hour-of-day row filter, the wrap-around form
     // (22→2 keeps 22,23,0,1,2 UTC) — a pure scan predicate.
     "flux_hour" -> ((s, dir) =>
@@ -153,6 +169,10 @@ object FluxQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-11 00:00:00'
         |  AND event_type IN ('click', 'view')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_schema_measurements" ->
+      """SELECT DISTINCT event_type AS _value FROM events ORDER BY 1""".stripMargin,
+    "flux_schema_tag_values" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS _value FROM events ORDER BY 1""".stripMargin,
     "flux_hour" ->
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS wend,

@@ -141,6 +141,33 @@ class HttpApiSpec extends SparkSpec {
     assert(body.contains("0.5")) // mean of 0.25, 0.75
   }
 
+  test("schema package resolves over the canonical store (tags map path)") {
+    post("/api/v2/write?bucket=telemetry",
+      Seq(s"cpu,host=h1 usage=0.25 $t0",
+          s"cpu,host=h2 usage=0.75 ${t0 + 60L * 1000000000L}",
+          s"mem,host=h1 used=0.5 $t0").mkString("\n"),
+      Some("rwTok"))
+    def values(q: String): Seq[String] = {
+      val r = post("/api/v2/query", q, Some("roTok"))
+      assert(r.statusCode() == 200, r.body())
+      // annotated CSV: data rows are ,_result,<table>,<value>
+      r.body().linesIterator.filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .drop(1).map(_.split(",").last).toSeq
+    }
+    assert(values(
+      """import "influxdata/influxdb/schema"
+        |schema.measurements(bucket: "telemetry")""".stripMargin) == Seq("cpu", "mem"))
+    assert(values(
+      """import "influxdata/influxdb/schema"
+        |schema.tagValues(bucket: "telemetry", tag: "host")""".stripMargin) == Seq("h1", "h2"))
+    assert(values(
+      """import "influxdata/influxdb/schema"
+        |schema.tagKeys(bucket: "telemetry")""".stripMargin) == Seq("host"))
+    assert(values(
+      """import "influxdata/influxdb/schema"
+        |schema.fieldKeys(bucket: "telemetry")""".stripMargin) == Seq("usage", "used"))
+  }
+
   test("query accepts the JSON envelope form") {
     val r = post("/api/v2/query",
       """{"query": "from(bucket: \"telemetry\") |> count()"}""", Some("admTok"))
