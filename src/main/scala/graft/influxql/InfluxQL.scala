@@ -154,6 +154,12 @@ object InfluxQL {
         * boundary, not between query levels).
         */
       v1Time: Boolean = false) extends Stmt
+  /** `EXPLAIN [ANALYZE] SELECT …` — v1's plan inspection statement.
+    * Output is engine-specific by nature (v1 prints its iterator tree;
+    * we print the Catalyst plan — formatted physical for EXPLAIN,
+    * executed-with-metrics for ANALYZE).
+    */
+  final case class Explain(sel: Select, analyze: Boolean) extends Stmt
   /** `SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = name] [LIMIT n]
     * [OFFSET n]` — regex selection is what Grafana's measurement
     * template variables issue. The `=` form is an anchored literal.
@@ -289,7 +295,13 @@ object InfluxQL {
     }
 
     private def oneDispatch(): Stmt = {
-      if (peekKw("SELECT")) select()
+      if (peekKw("EXPLAIN")) {
+        kw("EXPLAIN")
+        val analyze = peekKw("ANALYZE")
+        if (analyze) kw("ANALYZE")
+        Explain(select(), analyze)
+      }
+      else if (peekKw("SELECT")) select()
       else if (peekKw("SHOW")) show()
       else if (peekKw("DELETE")) {
         kw("DELETE"); kw("FROM")

@@ -66,6 +66,23 @@ object InfluxQLEval {
     */
   def evalStmt(stmt: Stmt, source: Source, v1Time: Boolean = false): DataFrame = stmt match {
     case s: Select => select(if (v1Time) s.copy(v1Time = true) else s, source)
+    case Explain(sel, analyze) =>
+      // engine-specific by nature (v1 prints its iterator tree, we the
+      // Catalyst plan); ANALYZE executes first and leads with the
+      // observed row count + wall time
+      val df = select(sel, source)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      if (analyze) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        lines += f"EXECUTED: $n rows in ${(System.nanoTime() - t0) / 1e6}%.1f ms"
+      }
+      lines ++= df.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.filter(_.nonEmpty)
+      lines.toSeq.toDF("QUERY PLAN")
     case ShowMeasurements(re, lim, off) =>
       require(source.measurements != null, "SHOW MEASUREMENTS unsupported by this source")
       val base = source.measurements()

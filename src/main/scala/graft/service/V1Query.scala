@@ -87,6 +87,7 @@ object V1Query {
           }
           val (name, tagCols) = readStmt match {
             case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
+            case e: InfluxQL.Explain => (InfluxQL.fromName(e.sel.from), Nil)
             case _: InfluxQL.ShowMeasurements => ("measurements", Nil)
             // v1 names the metadata series after the measurement: FROM
             // narrows to one; the FROM-less forms split one series per

@@ -607,6 +607,23 @@ class InfluxQLSpec extends SparkSpec {
     assert(InfluxQL.parseAll("SHOW DATABASES") == Seq(ShowDatabases))
   }
 
+  test("EXPLAIN [ANALYZE] returns the plan as QUERY PLAN rows") {
+    assert(InfluxQL.parse("EXPLAIN SELECT mean(value) FROM events GROUP BY event_type")
+      .isInstanceOf[Explain])
+    val src = InfluxQLEval.Source(resolve =
+      _ => Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("time", "event_type", "value"))
+    val plan = InfluxQLEval.run(
+      "EXPLAIN SELECT mean(value) FROM events GROUP BY event_type", src)
+    assert(plan.columns.toSeq == Seq("QUERY PLAN"))
+    val text = plan.as[String].collect().mkString("\n")
+    assert(text.contains("Physical Plan"))
+    assert(text.contains("HashAggregate"))
+    val analyzed = InfluxQLEval.run(
+      "EXPLAIN ANALYZE SELECT mean(value) FROM events GROUP BY event_type", src)
+      .as[String].collect()
+    assert(analyzed.head.startsWith("EXECUTED: 1 rows"))
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
