@@ -251,8 +251,23 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
           def p(name: String) = query(ex, name).orElse(form.get(name))
           (p("db"), p("q")) match {
             case (Some(db), Some(q)) if tsdb.catalog.bucket(db).nonEmpty =>
-              try respond(ex, 200, V1Query.run(tsdb, db, q, Some(cqs), p("epoch")))
-              catch {
+              try {
+                if (p("chunked").contains("true")) {
+                  // v1 streaming: one JSON document per chunk,
+                  // newline-separated over a chunked transfer
+                  val size = p("chunk_size").flatMap(_.toIntOption)
+                    .filter(_ > 0).getOrElse(10000)
+                  // parse BEFORE the headers go out so a malformed
+                  // query still gets its 400
+                  graft.influxql.InfluxQL.parseAll(q)
+                  ex.getResponseHeaders.set("Content-Type", "application/json")
+                  ex.sendResponseHeaders(200, 0) // 0 = chunked transfer
+                  val out = ex.getResponseBody
+                  try V1Query.runChunked(tsdb, db, q, Some(cqs), p("epoch"), size) {
+                    doc => out.write((doc + "\n").getBytes(UTF_8)); out.flush()
+                  } finally out.close()
+                } else respond(ex, 200, V1Query.run(tsdb, db, q, Some(cqs), p("epoch")))
+              } catch {
                 case e @ (_: graft.influxql.InfluxQL.ParseException |
                           _: graft.influxql.InfluxQLEval.EvalException) =>
                   respond(ex, 400, err(e.getMessage))

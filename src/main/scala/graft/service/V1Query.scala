@@ -74,53 +74,196 @@ object V1Query {
           }
           vals.add(written)
         case readStmt =>
-          val df = readStmt match {
-            case InfluxQL.ShowContinuousQueries =>
-              import tsdb.spark.implicits._
-              registry.list.filter(_._1 == db).map(t => (t._2, t._3))
-                .toDF("name", "query")
-            case other =>
-              // `… CARDINALITY ON db` targets another database: re-source
-              val src = cardinalityOn(other).filter(_ != db)
-                .map(InfluxQLEval.tsdbSource(tsdb, _)).getOrElse(source)
-              InfluxQLEval.evalStmt(other, src, v1Time = true)
-          }
-          val (name, tagCols) = readStmt match {
-            case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
-            case e: InfluxQL.Explain => (InfluxQL.fromName(e.sel.from), Nil)
-            case _: InfluxQL.ShowMeasurements => ("measurements", Nil)
-            // v1 names the metadata series after the measurement: FROM
-            // narrows to one; the FROM-less forms split one series per
-            // measurement via the leading measurement column (nameCol
-            // below), so the fallback label never shows on this source
-            case s: InfluxQL.ShowTagKeys => (s.from.getOrElse("tagKeys"), Nil)
-            case s: InfluxQL.ShowFieldKeys => (s.from.getOrElse("fieldKeys"), Nil)
-            case s: InfluxQL.ShowTagValues => (s.from.getOrElse("tagValues"), Nil)
-            case InfluxQL.ShowDatabases => ("databases", Nil)
-            case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
-            case _: InfluxQL.ShowSeries => ("series", Nil)
-            case _: InfluxQL.ShowSeriesCardinality => ("series cardinality", Nil)
-            case _: InfluxQL.ShowMeasurementCardinality => ("measurement cardinality", Nil)
-            case _: InfluxQL.ShowTagKeyCardinality => ("tag key cardinality", Nil)
-            case _: InfluxQL.ShowFieldKeyCardinality => ("field key cardinality", Nil)
-            case InfluxQL.ShowContinuousQueries => (db, Nil)
-            case other => throw new IllegalStateException(s"unserializable $other")
-          }
-          // FROM-less metadata listings split one series per
-          // measurement, named by a leading measurement column (v1's
-          // shape); the column itself stays out of the values
-          val nameCol = readStmt match {
-            case s: InfluxQL.ShowTagKeys if s.from.isEmpty => Some("measurement")
-            case s: InfluxQL.ShowTagValues if s.from.isEmpty => Some("measurement")
-            case s: InfluxQL.ShowFieldKeys if s.from.isEmpty => Some("measurement")
-            case _ => None
-          }
-          serialize(df, name, tagCols, res, epochDiv,
-            nameCol.filter(df.columns.contains))
+          val rr = evalRead(readStmt, tsdb, db, source, registry _)
+          serialize(rr.df, rr.name, rr.tagCols, res, epochDiv, rr.nameCol)
       }
     }
     // an empty result still answers with one empty statement result
     mapper.writeValueAsString(root)
+  }
+
+  private final case class ReadResult(df: org.apache.spark.sql.DataFrame,
+      name: String, tagCols: Seq[String], nameCol: Option[String])
+
+  private def evalRead(readStmt: InfluxQL.Stmt, tsdb: Tsdb, db: String,
+      source: InfluxQLEval.Source,
+      registry: () => graft.streaming.ContinuousQueries): ReadResult = {
+    val df = readStmt match {
+      case InfluxQL.ShowContinuousQueries =>
+        import tsdb.spark.implicits._
+        registry().list.filter(_._1 == db).map(t => (t._2, t._3))
+          .toDF("name", "query")
+      case other =>
+        // `… CARDINALITY ON db` targets another database: re-source
+        val src = cardinalityOn(other).filter(_ != db)
+          .map(InfluxQLEval.tsdbSource(tsdb, _)).getOrElse(source)
+        InfluxQLEval.evalStmt(other, src, v1Time = true)
+    }
+    val (name, tagCols) = readStmt match {
+      case s: InfluxQL.Select => (InfluxQL.fromName(s.from), s.groupTags)
+      case e: InfluxQL.Explain => (InfluxQL.fromName(e.sel.from), Nil)
+      case _: InfluxQL.ShowMeasurements => ("measurements", Nil)
+      // v1 names the metadata series after the measurement: FROM
+      // narrows to one; the FROM-less forms split one series per
+      // measurement via the leading measurement column (nameCol
+      // below), so the fallback label never shows on this source
+      case s: InfluxQL.ShowTagKeys => (s.from.getOrElse("tagKeys"), Nil)
+      case s: InfluxQL.ShowFieldKeys => (s.from.getOrElse("fieldKeys"), Nil)
+      case s: InfluxQL.ShowTagValues => (s.from.getOrElse("tagValues"), Nil)
+      case InfluxQL.ShowDatabases => ("databases", Nil)
+      case _: InfluxQL.ShowRetentionPolicies => ("retentionPolicies", Nil)
+      case _: InfluxQL.ShowSeries => ("series", Nil)
+      case _: InfluxQL.ShowSeriesCardinality => ("series cardinality", Nil)
+      case _: InfluxQL.ShowMeasurementCardinality => ("measurement cardinality", Nil)
+      case _: InfluxQL.ShowTagKeyCardinality => ("tag key cardinality", Nil)
+      case _: InfluxQL.ShowFieldKeyCardinality => ("field key cardinality", Nil)
+      case InfluxQL.ShowContinuousQueries => (db, Nil)
+      case other => throw new IllegalStateException(s"unserializable $other")
+    }
+    // FROM-less metadata listings split one series per measurement,
+    // named by a leading measurement column (v1's shape); the column
+    // itself stays out of the values
+    val nameCol = (readStmt match {
+      case s: InfluxQL.ShowTagKeys if s.from.isEmpty => Some("measurement")
+      case s: InfluxQL.ShowTagValues if s.from.isEmpty => Some("measurement")
+      case s: InfluxQL.ShowFieldKeys if s.from.isEmpty => Some("measurement")
+      case _ => None
+    }).filter(df.columns.contains)
+    ReadResult(df, name, tagCols, nameCol)
+  }
+
+  /** Chunked mode (`chunked=true[&chunk_size=N]`): each chunk is one
+    * complete `{"results":[…]}` JSON document passed to `emit`,
+    * covering at most `chunkSize` rows of ONE series — v1's streaming
+    * contract for large results (series-major: rows re-sort to
+    * (series, time) so a series streams contiguously; v1 emits
+    * series-major too). A series continuing into the next chunk
+    * carries `"partial": true` on both the series and results objects.
+    * Write/DDL statements answer with their usual single document.
+    */
+  def runChunked(tsdb: Tsdb, db: String, q: String,
+      cqs: Option[graft.streaming.ContinuousQueries],
+      epoch: Option[String], chunkSize: Int)(emit: String => Unit): Unit = {
+    val epochDiv = epoch.flatMap(epochDivisors.get)
+    val stmts = InfluxQL.parseAll(q)
+    val source = InfluxQLEval.tsdbSource(tsdb, db)
+    def registry = cqs.getOrElse(throw new IllegalArgumentException(
+      "continuous queries are not enabled on this endpoint"))
+    val mapper = Json.mapper
+    def emitBare(idx: Int): Unit = {
+      val root = mapper.createObjectNode()
+      root.putArray("results").addObject().put("statement_id", idx)
+      emit(mapper.writeValueAsString(root))
+    }
+    stmts.zipWithIndex.foreach { case (stmt, idx) =>
+      stmt match {
+        case d: InfluxQL.DeleteStmt =>
+          val (lo, hi, pred) = InfluxQLEval.deleteParts(d.where)
+          tsdb.store.delete(db, lo, hi,
+            col("measurement") === d.measurement && pred)
+          emitBare(idx)
+        case InfluxQL.DropMeasurement(m) =>
+          tsdb.store.delete(db, Long.MinValue, Long.MaxValue,
+            col("measurement") === m)
+          emitBare(idx)
+        case c: InfluxQL.CreateCq =>
+          registry.create(c.name, c.db, c.sel,
+            if (c.text.nonEmpty) c.text else q,
+            resampleEvery = c.resampleEvery, resampleFor = c.resampleFor)
+          emitBare(idx)
+        case InfluxQL.DropCq(name, cdb) =>
+          registry.drop(name, cdb)
+          emitBare(idx)
+        case s: InfluxQL.Select if s.into.isDefined =>
+          val written = selectInto(tsdb, db, s, source)
+          val root = mapper.createObjectNode()
+          val res = root.putArray("results").addObject()
+          res.put("statement_id", idx)
+          val sObj = res.putArray("series").addObject()
+          sObj.put("name", "result")
+          val colsArr = sObj.putArray("columns")
+          colsArr.add("time"); colsArr.add("written")
+          val vals = sObj.putArray("values").addArray()
+          if (epochDiv.isDefined) vals.add(0L) else vals.add("1970-01-01T00:00:00Z")
+          vals.add(written)
+          emit(mapper.writeValueAsString(root))
+        case readStmt =>
+          val rr = evalRead(readStmt, tsdb, db, source, registry _)
+          val cols = rr.df.columns.toSeq
+          // series-major streaming order: series key first, then the
+          // original time direction
+          val orderKeys = (rr.nameCol.toSeq ++ rr.tagCols).map(col) ++
+            (if (cols.contains("time")) readStmt match {
+              case s: InfluxQL.Select if s.orderDesc => Seq(col("time").desc)
+              case _ => Seq(col("time").asc)
+            } else Nil)
+          val ordered = if (orderKeys.nonEmpty) rr.df.orderBy(orderKeys: _*) else rr.df
+          val valueCols = cols.filterNot(c =>
+            rr.tagCols.contains(c) || rr.nameCol.contains(c))
+          val keyIdx = (rr.nameCol.toSeq ++ rr.tagCols).map(cols.indexOf)
+          val valIdx = valueCols.map(cols.indexOf)
+          val it = ordered.toLocalIterator()
+          val buf = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          var curKey: Seq[String] = null
+          var emitted = false
+          def flush(morePartial: Boolean): Unit = {
+            if (curKey == null) return
+            val root = mapper.createObjectNode()
+            val res = root.putArray("results").addObject()
+            res.put("statement_id", idx)
+            val sObj = res.putArray("series").addObject()
+            sObj.put("name",
+              if (rr.nameCol.isDefined) curKey.head else rr.name)
+            val tagVals = if (rr.nameCol.isDefined) curKey.tail else curKey
+            if (rr.tagCols.nonEmpty) {
+              val tags = sObj.putObject("tags")
+              rr.tagCols.zip(tagVals).foreach { case (tc, tv) => tags.put(tc, tv) }
+            }
+            val columns = sObj.putArray("columns")
+            valueCols.foreach(columns.add)
+            val values = sObj.putArray("values")
+            buf.forEach { row =>
+              val arr = values.addArray()
+              valIdx.foreach(i => addCell(arr, row.get(i), epochDiv))
+            }
+            if (morePartial) { sObj.put("partial", true); res.put("partial", true) }
+            emit(mapper.writeValueAsString(root))
+            buf.clear()
+            emitted = true
+          }
+          while (it.hasNext) {
+            val row = it.next()
+            val key = keyIdx.map(i => String.valueOf(row.get(i)))
+            if (curKey != null && (key != curKey || buf.size() >= chunkSize))
+              flush(morePartial = key == curKey)
+            curKey = key
+            buf.add(row)
+          }
+          flush(morePartial = false)
+          if (!emitted) { // empty result still answers one bare document
+            val root = mapper.createObjectNode()
+            root.putArray("results").addObject().put("statement_id", idx)
+            emit(mapper.writeValueAsString(root))
+          }
+      }
+    }
+  }
+
+
+  private def addCell(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      v: Any, epochDiv: Option[Long]): Unit = v match {
+    case null => arr.addNull(); ()
+    case t: java.sql.Timestamp => epochDiv match {
+      case Some(div) =>
+        val inst = t.toInstant
+        arr.add((inst.getEpochSecond * 1000000000L + inst.getNano) / div); ()
+      case None => arr.add(t.toInstant.toString); ()
+    }
+    case d: java.lang.Double => arr.add(d.doubleValue()); ()
+    case l: java.lang.Long => arr.add(l.longValue()); ()
+    case n: java.lang.Integer => arr.add(n.intValue()); ()
+    case b: java.lang.Boolean => arr.add(b.booleanValue()); ()
+    case other => arr.add(String.valueOf(other)); ()
   }
 
   private def cardinalityOn(s: InfluxQL.Stmt): Option[String] = s match {
@@ -203,22 +346,7 @@ object V1Query {
         s.putArray("values")
       })
       val arr = values.addArray()
-      valIdx.foreach { i =>
-        row.get(i) match {
-          case null => arr.addNull()
-          case t: java.sql.Timestamp => epochDiv match {
-            case Some(div) =>
-              val inst = t.toInstant
-              arr.add((inst.getEpochSecond * 1000000000L + inst.getNano) / div)
-            case None => arr.add(t.toInstant.toString)
-          }
-          case d: java.lang.Double => arr.add(d.doubleValue())
-          case l: java.lang.Long => arr.add(l.longValue())
-          case n: java.lang.Integer => arr.add(n.intValue())
-          case b: java.lang.Boolean => arr.add(b.booleanValue())
-          case other => arr.add(String.valueOf(other))
-        }
-      }
+      valIdx.foreach(i => addCell(arr, row.get(i), epochDiv))
     }
   }
 }

@@ -157,6 +157,49 @@ class GrafanaFixtureSpec extends SparkSpec {
       """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","mean"],"values":[[0,120.0]]}]}]}""")
   }
 
+  test("chunked=true streams one JSON document per chunk with partial flags") {
+    // 4 cpu points per host, chunk_size=3 → h1 splits into a partial
+    // 3-row chunk + a 1-row tail; h2 likewise; 4 documents total
+    val r = grafanaGet(
+      s"SELECT \"usage\" FROM \"cpu\" WHERE time >= ${ms(0)}ms and time <= ${ms(240)}ms GROUP BY \"host\"")
+    assert(r.statusCode() == 200)
+    val chunked = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/query?db=gfdb&epoch=ms&chunked=true&chunk_size=3&q=" +
+        URLEncoder.encode("SELECT \"usage\" FROM \"cpu\" WHERE time >= " + ms(0) +
+          "ms and time <= " + ms(240) + "ms GROUP BY \"host\"", UTF_8)))
+        .header("Authorization", "Token roTok").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(chunked.statusCode() == 200)
+    val docs = chunked.body().linesIterator.filter(_.nonEmpty).toSeq
+    assert(docs.length == 4, docs.mkString("\n"))
+    val parsed = docs.map(Json.mapper.readTree)
+    // chunks 0/2 are the partial 3-row heads, 1/3 the 1-row tails
+    assert(parsed(0).at("/results/0/partial").asBoolean(false))
+    assert(parsed(0).at("/results/0/series/0/partial").asBoolean(false))
+    assert(parsed(0).at("/results/0/series/0/values").size() == 3)
+    assert(!parsed(1).at("/results/0/partial").asBoolean(false))
+    assert(parsed(1).at("/results/0/series/0/values").size() == 1)
+    assert(parsed(0).at("/results/0/series/0/tags/host").asText() == "h1")
+    assert(parsed(2).at("/results/0/series/0/tags/host").asText() == "h2")
+    // every chunk is a complete stand-alone document with the same
+    // statement_id and columns
+    parsed.foreach { d =>
+      assert(d.at("/results/0/statement_id").asInt() == 0)
+      assert(d.at("/results/0/series/0/columns/0").asText() == "time")
+    }
+    // reassembled values equal the non-chunked response's values
+    val flat = Json.mapper.readTree(r.body())
+    val flatVals = (0 until flat.at("/results/0/series").size()).flatMap { i =>
+      val v = flat.at(s"/results/0/series/$i/values")
+      (0 until v.size()).map(j => v.get(j).toString)
+    }
+    val chunkVals = parsed.flatMap { d =>
+      val v = d.at("/results/0/series/0/values")
+      (0 until v.size()).map(j => v.get(j).toString)
+    }
+    assert(chunkVals.sorted == flatVals.sorted)
+  }
+
   test("grouped selector: per-series point timestamps, series in tag order") {
     assertFixture(
       "SELECT max(\"usage\") FROM \"cpu\" GROUP BY \"host\"",
