@@ -266,7 +266,16 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
                   try V1Query.runChunked(tsdb, db, q, Some(cqs), p("epoch"), size) {
                     doc => out.write((doc + "\n").getBytes(UTF_8)); out.flush()
                   } finally out.close()
-                } else respond(ex, 200, V1Query.run(tsdb, db, q, Some(cqs), p("epoch")))
+                } else {
+                  val body = V1Query.run(tsdb, db, q, Some(cqs), p("epoch"))
+                  // v1's pretty=true: indented JSON (debug affordance)
+                  val rendered =
+                    if (p("pretty").contains("true"))
+                      Json.mapper.writerWithDefaultPrettyPrinter()
+                        .writeValueAsString(Json.mapper.readTree(body))
+                    else body
+                  respond(ex, 200, rendered)
+                }
               } catch {
                 case e @ (_: graft.influxql.InfluxQL.ParseException |
                           _: graft.influxql.InfluxQLEval.EvalException) =>

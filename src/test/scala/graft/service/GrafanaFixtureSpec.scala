@@ -157,6 +157,18 @@ class GrafanaFixtureSpec extends SparkSpec {
       """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","mean"],"values":[[0,120.0]]}]}]}""")
   }
 
+  test("pretty=true indents the JSON body") {
+    assert(seeded)
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/query?db=gfdb&pretty=true&q=" +
+        URLEncoder.encode("SHOW MEASUREMENTS", UTF_8)))
+        .header("Authorization", "Token roTok").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\n  ")) // indented
+    assert(Json.mapper.readTree(r.body()).at("/results/0/series/0/name").asText() == "measurements")
+  }
+
   test("chunked=true streams one JSON document per chunk with partial flags") {
     // 4 cpu points per host, chunk_size=3 → h1 splits into a partial
     // 3-row chunk + a 1-row tail; h2 likewise; 4 documents total
