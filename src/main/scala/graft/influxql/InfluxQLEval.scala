@@ -743,19 +743,38 @@ object InfluxQLEval {
         combos = s.slimit.map(combos.limit).getOrElse(combos)
         out.join(broadcast(combos), s.groupTags, "left_semi")
       }
-    val ordered =
-      if (seriesLimited.columns.contains("time")) {
+    def ordering(df: DataFrame): DataFrame =
+      if (df.columns.contains("time")) {
         val t = if (s.orderDesc) col("time").desc else col("time").asc
         // the v1Time boundary column is per-series metadata, not a time
         // axis: series stay in tag order (as v1 emits them), so tags
         // sort first there
         if (s.v1Time && s.groupTime.isEmpty)
-          seriesLimited.orderBy(s.groupTags.map(col) :+ t: _*)
-        else seriesLimited.orderBy(t +: s.groupTags.map(col): _*)
-      } else if (s.groupTags.nonEmpty) seriesLimited.orderBy(s.groupTags.map(col): _*)
-      else seriesLimited
-    val offset = s.offset.map(ordered.offset).getOrElse(ordered)
-    s.limit.map(offset.limit).getOrElse(offset)
+          df.orderBy(s.groupTags.map(col) :+ t: _*)
+        else df.orderBy(t +: s.groupTags.map(col): _*)
+      } else if (s.groupTags.nonEmpty) df.orderBy(s.groupTags.map(col): _*)
+      else df
+    // v1 LIMIT/OFFSET paginate POINTS PER SERIES when the query groups
+    // by tags ("returns the first N points from each series"); only an
+    // ungrouped query trims globally (sorted first). The per-series
+    // form is one row_number window in the statement's time direction,
+    // applied BEFORE the output sort (the window's shuffle would
+    // destroy it).
+    if (s.limit.isEmpty && s.offset.isEmpty) ordering(seriesLimited)
+    else if (s.groupTags.nonEmpty && seriesLimited.columns.contains("time")) {
+      val W = org.apache.spark.sql.expressions.Window
+      val t = if (s.orderDesc) col("time").desc else col("time").asc
+      val w = W.partitionBy(s.groupTags.map(col): _*).orderBy(t)
+      val lo = s.offset.getOrElse(0)
+      val hi = s.limit.map(n => lo.toLong + n).getOrElse(Long.MaxValue)
+      ordering(seriesLimited.withColumn("_lim_rn", row_number().over(w))
+        .filter(col("_lim_rn") > lo && col("_lim_rn") <= hi)
+        .drop("_lim_rn"))
+    } else {
+      val ord = ordering(seriesLimited)
+      val off = s.offset.map(ord.offset).getOrElse(ord)
+      s.limit.map(off.limit).getOrElse(off)
+    }
   }
 
   /** `top(field, N)` / `bottom(field, N)`: the N extreme POINTS

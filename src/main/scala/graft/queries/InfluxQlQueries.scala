@@ -136,6 +136,17 @@ object InfluxQlQueries {
         .select(col("time").as("t"), col("event_type"), r4(col("topv")).as("topv"))
         .orderBy("event_type", "t")),
 
+    // LIMIT/OFFSET paginate per SERIES under GROUP BY tags (v1: "the
+    // first N points from each series"), not globally.
+    "iql_limit_series" -> ((s, dir) =>
+      InfluxQLEval.run(
+        "SELECT value FROM events " +
+          "WHERE time >= '2024-01-08T00:00:00Z' AND time < '2024-01-09T00:00:00Z' " +
+          "GROUP BY event_type LIMIT 3 OFFSET 1",
+        source(s, dir))
+        .select(col("time").as("t"), col("event_type"), r4(col("value")).as("value"))
+        .orderBy("event_type", "t")),
+
     // regex field projection: SELECT /re/ picks the matching fields
     // (raw), mean(/re/) the matching numeric ones (aggregate).
     "iql_field_regex" -> ((s, dir) =>
@@ -599,6 +610,16 @@ object InfluxQlQueries {
          |${EmaFamilyQueries.emaCte("src", "v", 10, "e")}
          |SELECT make_timestamp(tus) AS wstart, round(ema, 4) AS ema
          |FROM e ORDER BY 1"""),
+    // points 2..4 of each series in time order
+    "iql_limit_series" -> w(
+      """SELECT make_timestamp(epoch_us(ts)) AS t, event_type, round(value, 4) AS value
+        |FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY epoch_us(ts)) AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-09 00:00:00')
+        |WHERE rn > 1 AND rn <= 4 ORDER BY 2, 1"""),
+
     // matching fields only (event_type doesn't match /^(user|val)/)
     "iql_field_regex" -> w(
       """SELECT ts AS time, user_id, value FROM events
