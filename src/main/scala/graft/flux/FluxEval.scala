@@ -24,7 +24,11 @@ object FluxEval {
   final case class Source(
       resolve: String => FluxFrame,
       rename: Map[String, String] = Map.empty,
-      write: Option[(String, DataFrame) => Unit] = None)
+      write: Option[(String, DataFrame) => Unit] = None,
+      /** Clock for now-relative ranges (`range(start: -1h)`) —
+        * injectable so specs pin it.
+        */
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
 
   final case class EvalException(msg: String) extends Exception(msg)
 
@@ -116,7 +120,12 @@ object FluxEval {
   private def apply(f: FluxFrame, call: Call, source: Source,
       env: Map[String, FluxFrame]): FluxFrame = call.verb match {
     case "range" =>
-      f.range(timeStr(call.args, "start"), timeStr(call.args, "stop"))
+      // start/stop accept RFC3339 instants OR now-relative durations
+      // (`range(start: -1h)`, the Flux default idiom); stop defaults
+      // to now()
+      f.range(timeOrRelative(call.args("start"), source),
+        call.args.get("stop").map(timeOrRelative(_, source))
+          .getOrElse(nsToTimeStr(source.nowNs())))
     case "filter" =>
       f.where(predicate(lambda(call.args, "fn").body, f, source))
     case "group" =>
@@ -446,4 +455,25 @@ object FluxEval {
       case VStr(s) => s
       case other => throw EvalException(s"expected time for '$k', got $other")
     }
+
+  private val relUnitNs = Map("ns" -> 1L, "us" -> 1000L, "ms" -> 1000000L,
+    "s" -> 1000000000L, "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L,
+    "d" -> 86400L * 1000000000L, "w" -> 7L * 86400L * 1000000000L)
+
+  private def nsToTimeStr(ns: Long): String = {
+    val inst = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(ns, 1000000000L), Math.floorMod(ns, 1000000000L))
+    inst.toString.replace("T", " ").stripSuffix("Z")
+  }
+
+  private def timeOrRelative(v: Value, source: Source): String = v match {
+    case VTime(t) => t.replace("T", " ").stripSuffix("Z")
+    case VStr(s) => s
+    case VDur(amount, unit) =>
+      val ns = relUnitNs.getOrElse(unit, throw EvalException(
+        s"calendar duration '$unit' is not valid in a relative range " +
+          "(month/year arithmetic is calendar-dependent; use an absolute time)"))
+      nsToTimeStr(source.nowNs() + amount * ns)
+    case other => throw EvalException(s"expected time or duration, got $other")
+  }
 }

@@ -73,6 +73,24 @@ class FluxSpec extends SparkSpec {
     assert(out.select("_value").as[Double].collect().toSeq == Seq(2.0))
   }
 
+  test("now-relative range: range(start: -1h) against a pinned clock") {
+    // pin now() to 2024-01-08T01:00:00Z: -1h covers exactly the first
+    // hour; stop defaults to now
+    val pinned = source.copy(nowNs =
+      () => java.time.Instant.parse("2024-01-08T01:00:00Z").getEpochSecond * 1000000000L)
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> range(start: -1h)
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> count()""".stripMargin, pinned)
+    assert(out.select("_value").as[Long].collect().toSeq == Seq(3L))
+    // calendar units are rejected loudly, not approximated
+    val e = intercept[FluxEval.EvalException] {
+      FluxEval.run("""from(bucket: "b") |> range(start: -1mo) |> count()""", pinned)
+    }
+    assert(e.getMessage.contains("calendar"))
+  }
+
   test("evaluates aggregateWindow + keep") {
     val out = FluxEval.run(
       """from(bucket: "b")
