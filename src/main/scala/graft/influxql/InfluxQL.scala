@@ -774,18 +774,33 @@ object InfluxQL {
     /** Bare or double-quoted identifier. */
     private def ident(): String = {
       ws()
-      if (peekStr("\"")) {
-        expect("\"")
-        val sb = new StringBuilder
-        while (i < src.length && src(i) != '"') { sb.append(src(i)); i += 1 }
-        expect("\"")
-        sb.toString
-      } else {
+      val name =
+        if (peekStr("\"")) {
+          expect("\"")
+          val sb = new StringBuilder
+          while (i < src.length && src(i) != '"') { sb.append(src(i)); i += 1 }
+          expect("\"")
+          sb.toString
+        } else {
+          val start = i
+          while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+          if (i == start) fail("expected identifier")
+          src.substring(start, i)
+        }
+      // v1 type qualifiers (`"usage"::field`, `"host"::tag`,
+      // `value::float`) — Grafana's editor emits them for
+      // disambiguation; our canonical schema already knows each
+      // column's kind, so they validate and drop
+      if (peekStr("::")) {
+        expect("::")
         val start = i
-        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
-        if (i == start) fail("expected identifier")
-        src.substring(start, i)
+        while (i < src.length && src(i).isLetter) i += 1
+        val t = src.substring(start, i)
+        if (!Seq("field", "tag", "float", "integer", "unsigned", "string", "boolean")
+          .contains(t.toLowerCase))
+          fail(s"unknown type qualifier '::$t'")
       }
+      name
     }
 
     private def ws(): Unit = while (i < src.length && src(i).isWhitespace) i += 1

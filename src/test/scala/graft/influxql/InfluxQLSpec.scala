@@ -607,6 +607,20 @@ class InfluxQLSpec extends SparkSpec {
     assert(InfluxQL.parseAll("SHOW DATABASES") == Seq(ShowDatabases))
   }
 
+  test("type qualifiers ::field/::tag/::float parse and drop") {
+    val s = InfluxQL.parse(
+      """SELECT mean("value"::field) AS m FROM cpu
+        |WHERE "host"::tag = 'h1' GROUP BY time(1h), "host"::tag""".stripMargin
+        .replace("\n", " ")).asInstanceOf[Select]
+    assert(s.projs == Seq(AggProj("mean", "value", None, Some("m"))))
+    assert(s.groupTags == Seq("host"))
+    assert(InfluxQL.parse("SELECT value::float FROM cpu").asInstanceOf[Select]
+      .projs == Seq(FieldProj("value", None)))
+    intercept[InfluxQL.ParseException] {
+      InfluxQL.parse("SELECT value::nope FROM cpu")
+    }
+  }
+
   test("EXPLAIN [ANALYZE] returns the plan as QUERY PLAN rows") {
     assert(InfluxQL.parse("EXPLAIN SELECT mean(value) FROM events GROUP BY event_type")
       .isInstanceOf[Explain])
