@@ -212,6 +212,37 @@ class GrafanaFixtureSpec extends SparkSpec {
     assert(chunkVals.sorted == flatVals.sorted)
   }
 
+  test("chunked reassembly equals the flat response for every chunk size (property)") {
+    assert(seeded)
+    val q = s"SELECT \"usage\" FROM \"cpu\" WHERE time >= ${ms(0)}ms and time <= ${ms(240)}ms GROUP BY \"host\""
+    val flat = Json.mapper.readTree(V1Query.run(tsdb, "gfdb", q, None, Some("ms")))
+    val flatVals = (0 until flat.at("/results/0/series").size()).flatMap { i =>
+      val v = flat.at(s"/results/0/series/$i/values")
+      (0 until v.size()).map(j =>
+        flat.at(s"/results/0/series/$i/tags/host").asText() + "|" + v.get(j).toString)
+    }.sorted
+    for (size <- Seq(1, 2, 3, 5, 1000)) {
+      val docs = Seq.newBuilder[String]
+      V1Query.runChunked(tsdb, "gfdb", q, None, Some("ms"), size)(docs += _)
+      val parsed = docs.result().map(Json.mapper.readTree)
+      // every chunk obeys the size bound and carries exactly one series
+      parsed.foreach { d =>
+        assert(d.at("/results/0/series").size() == 1)
+        assert(d.at("/results/0/series/0/values").size() <= size)
+      }
+      val vals = parsed.flatMap { d =>
+        val v = d.at("/results/0/series/0/values")
+        (0 until v.size()).map(j =>
+          d.at("/results/0/series/0/tags/host").asText() + "|" + v.get(j).toString)
+      }.sorted
+      assert(vals == flatVals, s"chunk_size=$size")
+      // the last chunk of each series is non-partial
+      val lastBySeries = parsed.groupBy(_.at("/results/0/series/0/tags/host").asText())
+        .values.map(_.last)
+      lastBySeries.foreach(d => assert(!d.at("/results/0/partial").asBoolean(false)))
+    }
+  }
+
   test("grouped selector: per-series point timestamps, series in tag order") {
     assertFixture(
       "SELECT max(\"usage\") FROM \"cpu\" GROUP BY \"host\"",
