@@ -237,6 +237,15 @@ object FluxEval {
       if (cols.size != 2) throw EvalException("covariance(columns: [x, y]) expects two columns")
       if (call.args.get("pearsonr").contains(VBool(true))) f.pearsonr(cols(0), cols(1))
       else f.covariance(cols(0), cols(1))
+    case "keys" =>
+      // group-key column names as a _value listing (Flux's keys())
+      val spark = f.df.sparkSession
+      import spark.implicits._
+      FluxFrame(f.groupKey.sorted.toDF("_value"), Nil, "_value", "_value")
+    case "columns" =>
+      val spark = f.df.sparkSession
+      import spark.implicits._
+      FluxFrame(f.df.columns.sorted.toSeq.toDF("_value"), Nil, "_value", "_value")
     case "hourSelection" =>
       f.hourSelection(num(call.args, "start").toInt, num(call.args, "stop").toInt)
     case "interpolate" | "interpolateLinear" =>

@@ -73,6 +73,14 @@ class FluxSpec extends SparkSpec {
     assert(out.select("_value").as[Double].collect().toSeq == Seq(2.0))
   }
 
+  test("keys() and columns() list group-key / table columns") {
+    val ks = FluxEval.run("""from(bucket: "b") |> keys()""", source)
+    assert(ks.as[String].collect().toSeq == Seq("_measurement"))
+    val cs = FluxEval.run("""from(bucket: "b") |> columns()""", source)
+    assert(cs.as[String].collect().toSeq.contains("_value"))
+    assert(cs.as[String].collect().toSeq.contains("host"))
+  }
+
   test("now-relative range: range(start: -1h) against a pinned clock") {
     // pin now() to 2024-01-08T01:00:00Z: -1h covers exactly the first
     // hour; stop defaults to now
