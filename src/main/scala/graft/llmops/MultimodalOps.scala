@@ -115,6 +115,23 @@ object MultimodalOps {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** REAL resize: decode, area-average scale (deterministic, mean-
+      * preserving — the downsample filter training pipelines want),
+      * re-encode PNG.
+      */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(src != null, "payload is not a decodable image")
+      val scaled = src.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(scaled, 0, 0, null) finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** Batched REAL image decode: appends (width, height, r_mean, g_mean,
@@ -180,7 +197,22 @@ object MultimodalOps {
     }
   }
 
-  /** Batched resize for image rows: new payload + updated meta. */
+  /** True when the payload starts with a magic number `javax.imageio`
+    * can decode (PNG/JPEG/GIF/BMP) — real payloads take the real
+    * codec, opaque test payloads fall back to the stub.
+    */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 3 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N') || // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||        // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||         // GIF
+      (b(0) == 'B' && b(1) == 'M'))                          // BMP
+
+  /** Batched resize for image rows: new payload + updated meta. Real
+    * image payloads (by magic number) go through [[ImageCodec]]'s
+    * area-averaging resize and come back as PNG; opaque payloads keep
+    * the deterministic stub.
+    */
   def resizeImages(df: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(df.schema)
     val bytesIdx = df.schema.fieldIndex("bytes")
@@ -191,7 +223,10 @@ object MultimodalOps {
         batch.map { row =>
           if (row.getString(kindIdx) != "image") row
           else {
-            val nb = StubCodec.resize(row.getAs[Array[Byte]](bytesIdx), w, h)
+            val bytes = row.getAs[Array[Byte]](bytesIdx)
+            val nb =
+              if (looksLikeImage(bytes)) ImageCodec.resizePng(bytes, w, h)
+              else StubCodec.resize(bytes, w, h)
             val m = row.getStruct(metaIdx)
             val nm = Row(m.get(0), w, h, m.get(3), m.get(4))
             Row.fromSeq(row.toSeq.updated(bytesIdx, nb).updated(metaIdx, nm))

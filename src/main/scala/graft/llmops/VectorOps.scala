@@ -237,6 +237,15 @@ object VectorOps {
     * (sequential, left-to-right, smaller id as the left operand), so
     * results are bit-identical to the expression form, and sub-threshold
     * pairs are never materialized as rows at all.
+    *
+    * SCALE CONTRACT: all-pairs-above-threshold is quadratic in the
+    * PROBLEM STATEMENT — blocking bounds memory and parallelizes, it
+    * cannot remove the n² comparisons (measured: 10× corpus → ~6×
+    * wall-clock at small n, trending to 100×). Use this for bounded
+    * slices (a partition, a cluster, a candidate set); at corpus scale
+    * route through the prefiltered family ([[lshTopK]] buckets /
+    * [[ivfTopK]]) whose probe cost scales flat, then verify the
+    * surviving candidates here.
     */
   def cosineThresholdPairs(vs: DataFrame, threshold: Double, numBlocks: Int = 8): DataFrame = {
     val spark = vs.sparkSession

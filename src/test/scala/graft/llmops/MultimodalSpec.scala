@@ -80,6 +80,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG payloads resize through the real codec, dims + means preserved") {
+    // constant-color image: area-averaging must preserve the exact means
+    val imgs = MultimodalOps.syntheticImages(spark, 1)
+    val constPng = MultimodalOps.ImageCodec.encodePng(40, 30)((_, _) => (100 << 16) | (150 << 8) | 200)
+    val row = imgs.collect().head
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, "image", constPng, row.getStruct(3)))),
+      MultimodalOps.mediaSchema)
+    val out = MultimodalOps.resizeImages(df, 16, 12).collect().head
+    val stats = MultimodalOps.ImageCodec.decodeStats(out.getAs[Array[Byte]](2))
+    assert(stats.width == 16 && stats.height == 12)
+    assert(stats.rMean == 100.0 && stats.gMean == 150.0 && stats.bMean == 200.0)
+    assert(out.getStruct(3).getInt(1) == 16 && out.getStruct(3).getInt(2) == 12)
+    // opaque payloads still take the stub (no decode attempt)
+    val stubbed = MultimodalOps.resizeImages(media, 32, 32)
+    assert(stubbed.filter(col("kind") === "image").count() > 0)
+  }
+
   test("decodeImageStats rejects undecodable payloads loudly") {
     intercept[org.apache.spark.SparkException] {
       MultimodalOps.decodeImageStats(media.filter(col("kind") === "image")).collect()
