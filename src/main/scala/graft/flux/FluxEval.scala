@@ -28,7 +28,11 @@ object FluxEval {
       /** Clock for now-relative ranges (`range(start: -1h)`) —
         * injectable so specs pin it.
         */
-      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+      /** Catalog listing for the `buckets()` head (Grafana's Flux
+        * health check); null → unsupported on this source.
+        */
+      buckets: () => DataFrame = null)
 
   final case class EvalException(msg: String) extends Exception(msg)
 
@@ -57,6 +61,12 @@ object FluxEval {
     val frame0 = pipe.calls.headOption match {
       case Some(Call("from", args)) =>
         fromBucket(str(args, "bucket"))
+      case Some(Call("buckets", _)) =>
+        // standalone head: the catalog listing (what Grafana's Flux
+        // datasource health check runs)
+        if (source.buckets == null)
+          throw EvalException("buckets() is unsupported on this source")
+        FluxFrame(source.buckets(), Nil, "name", "name")
       case Some(Call("schema.measurements", args)) =>
         schemaValues(fromBucket(str(args, "bucket")).df, col("_measurement"))
       case Some(Call("schema.tagValues", args)) =>

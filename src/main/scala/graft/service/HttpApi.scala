@@ -222,7 +222,14 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             resolve = b => tsdb.from(b),
             rename = Map("_time" -> "time", "_value" -> "value_f",
               "_measurement" -> "measurement", "_field" -> "field"),
-            write = Some(sink))
+            write = Some(sink),
+            buckets = { () =>
+              import tsdb.spark.implicits._
+              tsdb.catalog.listBuckets.map(b =>
+                (b.name, b.org, s"${b.retentionNs / 1000000000L}s"))
+                .sortBy(_._1)
+                .toDF("name", "organizationID", "retentionPeriod")
+            })
           try {
             val df = FluxEval.run(flux, source)
             respond(ex, 200, AnnotatedCsv.format(df), "text/csv; charset=utf-8")

@@ -168,6 +168,14 @@ class HttpApiSpec extends SparkSpec {
         |schema.fieldKeys(bucket: "telemetry")""".stripMargin) == Seq("usage", "used"))
   }
 
+  test("buckets() lists the catalog (Grafana Flux health check)") {
+    val r = post("/api/v2/query", "buckets()", Some("roTok"))
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().startsWith("#datatype"))
+    assert(r.body().contains("telemetry"))
+    assert(r.body().contains("retentionPeriod"))
+  }
+
   test("query accepts the JSON envelope form") {
     val r = post("/api/v2/query",
       """{"query": "from(bucket: \"telemetry\") |> count()"}""", Some("admTok"))
