@@ -9,16 +9,28 @@ import org.apache.spark.sql.types._
   * annotation rows, a `result` column (defaulted via `#default`), and a
   * per-group-key `table` index, like the pinned engine does.
   *
-  * Formatting a response is inherently a driver-side materialization of
-  * the (already limited/aggregated) result — the heavy lifting stayed
-  * distributed in the query itself.
+  * The encoder STREAMS: rows flow `toLocalIterator → Appendable`, so
+  * driver memory stays O(partition fetch) no matter how large the
+  * (already limited/aggregated) result is — the HTTP path hands it the
+  * chunked response stream directly; [[format]] is the buffered
+  * convenience for tests and small results.
   */
 object AnnotatedCsv {
 
   def format(df: DataFrame, groupKey: Seq[String] = Nil, resultName: String = "_result"): String = {
+    val sb = new java.lang.StringBuilder
+    write(df, sb, groupKey, resultName)
+    sb.toString
+  }
+
+  /** Stream the annotated-CSV encoding of `df` into `out` (an
+    * `Appendable` — a Writer over the HTTP chunked stream, or a
+    * StringBuilder in [[format]]).
+    */
+  def write(df: DataFrame, out: Appendable, groupKey: Seq[String] = Nil,
+      resultName: String = "_result"): Unit = {
     val schema = df.schema
     val cols = schema.fields.toSeq
-    val sb = new StringBuilder
 
     def dt(t: DataType): String = t match {
       case StringType => "string"
@@ -30,21 +42,21 @@ object AnnotatedCsv {
       case _ => "string"
     }
 
-    sb.append("#datatype,string,long")
-    cols.foreach(f => sb.append(',').append(dt(f.dataType)))
-    sb.append("\r\n")
+    out.append("#datatype,string,long")
+    cols.foreach(f => out.append(',').append(dt(f.dataType)))
+    out.append("\r\n")
 
-    sb.append("#group,false,false")
-    cols.foreach(f => sb.append(',').append(groupKey.contains(f.name).toString))
-    sb.append("\r\n")
+    out.append("#group,false,false")
+    cols.foreach(f => out.append(',').append(groupKey.contains(f.name).toString))
+    out.append("\r\n")
 
-    sb.append("#default,").append(resultName).append(",")
-    cols.foreach(_ => sb.append(','))
-    sb.append("\r\n")
+    out.append("#default,").append(resultName).append(",")
+    cols.foreach(_ => out.append(','))
+    out.append("\r\n")
 
-    sb.append(",result,table")
-    cols.foreach(f => sb.append(',').append(escape(f.name)))
-    sb.append("\r\n")
+    out.append(",result,table")
+    cols.foreach(f => out.append(',').append(escape(f.name)))
+    out.append("\r\n")
 
     val keyIdx = groupKey.flatMap(k => cols.indexWhere(_.name == k) match {
       case -1 => None
@@ -57,25 +69,25 @@ object AnnotatedCsv {
     df.toLocalIterator().forEachRemaining { row =>
       val key = keyIdx.map(row.get)
       if (lastKey == null || key != lastKey) { table += 1; lastKey = key }
-      sb.append(",,").append(table)
+      out.append(",,").append(table.toString)
       var i = 0
       while (i < cols.length) {
-        sb.append(',')
+        out.append(',')
         val v = row.get(i)
         if (v != null) cols(i).dataType match {
           case TimestampType =>
-            sb.append(fmt.format(row.getTimestamp(i).toInstant))
+            out.append(fmt.format(row.getTimestamp(i).toInstant))
           case DateType =>
-            sb.append(v.toString).append("T00:00:00Z")
-          case StringType => sb.append(escape(v.toString))
-          case _ => sb.append(v.toString)
+            out.append(v.toString).append("T00:00:00Z")
+          case StringType => out.append(escape(v.toString))
+          case _ => out.append(v.toString)
         }
         i += 1
       }
-      sb.append("\r\n")
+      out.append("\r\n")
     }
-    sb.append("\r\n") // table terminator
-    sb.toString
+    out.append("\r\n") // table terminator
+    ()
   }
 
   private def escape(s: String): String =

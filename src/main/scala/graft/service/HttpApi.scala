@@ -231,8 +231,15 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
                 .toDF("name", "organizationID", "retentionPeriod")
             })
           try {
+            // plan construction (parse + eval) happens BEFORE the
+            // headers so those errors still 400; rows then STREAM
+            // through the chunked response — driver memory stays
+            // O(partition fetch), never O(result)
             val df = FluxEval.run(flux, source)
-            respond(ex, 200, AnnotatedCsv.format(df), "text/csv; charset=utf-8")
+            ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
+            ex.sendResponseHeaders(200, 0)
+            val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
+            try { AnnotatedCsv.write(df, w); w.flush() } finally w.close()
           } catch {
             case e @ (_: graft.flux.FluxParser.ParseException | _: FluxEval.EvalException) =>
               respond(ex, 400, err(e.getMessage))
