@@ -621,6 +621,25 @@ class InfluxQLSpec extends SparkSpec {
     }
   }
 
+  test("percentile is nearest-rank and composes under transforms") {
+    val src = InfluxQLEval.Source(resolve = _ =>
+      (1 to 10).map(i => (i.toLong * 1000000L, "a", i.toDouble))
+        .toDF("t", "event_type", "value")
+        .select(org.apache.spark.sql.functions.timestamp_micros(col("t")).as("time"),
+          col("event_type"), col("value")))
+    // 10 values 1..10: rank = floor(10*0.9 + 0.5) = 9 → value 9 (v1
+    // nearest-rank; interpolation would give 9.1)
+    val p = InfluxQLEval.run(
+      "SELECT percentile(value, 90) AS p FROM m GROUP BY event_type", src)
+    assert(p.select("p").as[Double].collect().toSeq == Seq(9.0))
+    // composes as a transform inner: staged rank windows ride through
+    val d = InfluxQLEval.run(
+      "SELECT derivative(percentile(value, 50), 1s) AS r FROM m " +
+        "WHERE time >= '1970-01-01T00:00:00Z' AND time < '1970-01-01T01:00:00Z' " +
+        "GROUP BY time(2s), event_type", src)
+    assert(d.columns.contains("r") && d.count() > 0)
+  }
+
   test("EXPLAIN [ANALYZE] returns the plan as QUERY PLAN rows") {
     assert(InfluxQL.parse("EXPLAIN SELECT mean(value) FROM events GROUP BY event_type")
       .isInstanceOf[Explain])
