@@ -49,13 +49,29 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
     */
   def fieldsAsCols(bucket: String, measurement: String, fields: Seq[String] = Nil): DataFrame = {
     val base = from(bucket).where(col("measurement") === measurement).df
-    val g = base.groupBy(col("time"), col("time_ns"), col("tags"))
-    // explicit pivot values from the store's versioned field-key cache:
-    // Spark's value-inference would otherwise run a distinct-scan job on
-    // EVERY plan construction
+    // explicit field list + per-field TYPES from the store's versioned
+    // caches: Spark's pivot-value inference would otherwise run a
+    // distinct-scan job on EVERY plan construction, and a single pivot
+    // aggregate could not give each field its own typed value column
+    // (string/bool fields would read back null)
     val fs = if (fields.nonEmpty) fields else store.fieldKeys(bucket, Some(measurement))
-    g.pivot("field", fs)
-      .agg(first(coalesce(col("value_f"), col("value_i").cast("double"))))
+    if (fs.isEmpty)
+      return base.select(col("time"), col("time_ns"), col("tags")).distinct()
+    val types = store.fieldTypes(bucket, Some(measurement))
+    val aggs = fs.map { f =>
+      val src = types.getOrElse(f, "float") match {
+        case "integer" => col("value_i")
+        case "unsigned" => col("value_u")
+        case "string" => col("value_s")
+        case "boolean" => col("value_b")
+        // float (and mixed-kind history): the numeric coalesce the
+        // pivot always used
+        case _ => coalesce(col("value_f"), col("value_i").cast("double"))
+      }
+      first(when(col("field") === f, src), ignoreNulls = true).as(f)
+    }
+    base.groupBy(col("time"), col("time_ns"), col("tags"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Line-protocol batch write (the /api/v2/write path). `precision`

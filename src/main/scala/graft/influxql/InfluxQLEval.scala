@@ -296,11 +296,13 @@ object InfluxQLEval {
     },
     tagKeyList = m => tsdb.store.tagKeys(bucket, m),
     fieldKeys = m => {
-      // v1 pairs each key with its type; the canonical store keeps every
-      // field as double — v1's "float"
+      // v1 pairs each key with its REAL type, from the store's
+      // mutation-versioned per-field type cache
       import tsdb.spark.implicits._
-      tsdb.store.fieldKeys(bucket, m).toDF("fieldKey")
-        .withColumn("fieldType", lit("float"))
+      val types = tsdb.store.fieldTypes(bucket, m)
+      tsdb.store.fieldKeys(bucket, m)
+        .map(k => (k, types.getOrElse(k, "float")))
+        .toDF("fieldKey", "fieldType")
     },
     databases = () => {
       import tsdb.spark.implicits._

@@ -98,6 +98,44 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def tagKeys(bucket: String, measurement: Option[String]): Seq[String] =
     cachedMeta(tagKeyCache, bucket, measurement)(explode(map_keys(col("tags"))))
 
+  private val fieldTypeCache =
+    new scala.collection.concurrent.TrieMap[(String, Option[String]), (Long, Map[String, String])]
+
+  /** Per-field v1 type names (`float`/`integer`/`unsigned`/`string`/
+    * `boolean`), memoized per mutation version like [[fieldKeys]] —
+    * lets [[graft.dsl.Tsdb.fieldsAsCols]] read each field back from
+    * its TYPED value column (string/bool fields were previously
+    * write-only) and SHOW FIELD KEYS report real types. One row per
+    * field key reaches the driver (field-count-scale metadata, same
+    * class as the key caches). Mixed kinds across writes resolve
+    * float > integer > unsigned > string > boolean.
+    */
+  def fieldTypes(bucket: String, measurement: Option[String]): Map[String, String] = {
+    val v = version(bucket)
+    fieldTypeCache.get((bucket, measurement)) match {
+      case Some((cv, m)) if cv == v => m
+      case _ =>
+        val base = readRaw(bucket)
+        val f = measurement.map(m => base.filter(col("measurement") === m)).getOrElse(base)
+        val rows = f.groupBy("field").agg(
+          max(col("value_f").isNotNull).as("f"),
+          max(col("value_i").isNotNull).as("i"),
+          max(col("value_u").isNotNull).as("u"),
+          max(col("value_s").isNotNull).as("s")).collect()
+        val m = rows.map { r =>
+          val t =
+            if (r.getBoolean(1)) "float"
+            else if (r.getBoolean(2)) "integer"
+            else if (r.getBoolean(3)) "unsigned"
+            else if (r.getBoolean(4)) "string"
+            else "boolean"
+          r.getString(0) -> t
+        }.toMap
+        fieldTypeCache.put((bucket, measurement), (v, m))
+        m
+    }
+  }
+
   /** Distinct field keys, memoized like [[tagKeys]] — lets
     * `fieldsAsCols` pass explicit pivot values instead of paying
     * Spark's pivot-value-inference job on every plan.

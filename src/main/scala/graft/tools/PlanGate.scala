@@ -46,7 +46,7 @@ object PlanGate {
     "dsl/SeriesScan.scala" -> 4, // boundary carries: lag, prefix-sum, moving-avg, EMA
     "influxql/InfluxQLEval.scala" -> 2, // mutation-versioned plan-time metadata caches
     "llmops/VectorOps.scala" -> 2, // k-means: k×dim aggregated cells per pass
-    "store/BucketStore.scala" -> 1 // mutation-versioned tag/field key cache
+    "store/BucketStore.scala" -> 2 // mutation-versioned key + field-type caches (field-count-scale)
   )
 
   /** `toLocalIterator` is legitimate ONLY at the HTTP response

@@ -657,6 +657,42 @@ class InfluxQLSpec extends SparkSpec {
     assert(analyzed.head.startsWith("EXECUTED: 1 rows"))
   }
 
+  test("store-backed: non-float fields read back TYPED through /query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed-fields")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("tdb", "greengrass")
+    val t0 = 1704672000L * 1000000000L
+    tsdb.writeLp("tdb", Seq(
+      s"""svc,host=h1 usage=0.5,conns=42i,status="ok",up=true $t0""",
+      s"""svc,host=h1 usage=0.7,conns=40i,status="degraded",up=false ${t0 + 1000000000L}"""))
+    val json = graft.service.V1Query.run(tsdb, "tdb",
+      "SELECT usage, conns, status, up FROM svc")
+    val node = graft.service.Json.mapper.readTree(json)
+    val s0 = node.at("/results/0/series/0")
+    assert(s0.at("/columns").toString ==
+      """["time","usage","conns","status","up"]""")
+    val v0 = s0.at("/values/0")
+    assert(v0.get(1).asDouble() == 0.5)
+    assert(v0.get(2).isIntegralNumber && v0.get(2).asLong() == 42L)
+    assert(v0.get(3).isTextual && v0.get(3).asText() == "ok")
+    assert(v0.get(4).isBoolean && v0.get(4).asBoolean())
+    // SHOW FIELD KEYS reports the real v1 type names
+    val fk = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "tdb", "SHOW FIELD KEYS FROM svc"))
+    val pairs = {
+      val vs = fk.at("/results/0/series/0/values")
+      (0 until vs.size()).map(i => vs.get(i).get(0).asText() -> vs.get(i).get(1).asText()).toMap
+    }
+    assert(pairs == Map("usage" -> "float", "conns" -> "integer",
+      "status" -> "string", "up" -> "boolean"))
+    // string predicates work against the typed column
+    val deg = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "tdb",
+        "SELECT usage FROM svc WHERE status = 'degraded'"))
+    assert(deg.at("/results/0/series/0/values").size() == 1)
+    assert(deg.at("/results/0/series/0/values/0/1").asDouble() == 0.7)
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
