@@ -101,6 +101,7 @@ object InfluxQL {
   sealed trait Lit
   final case class LStr(s: String) extends Lit
   final case class LNum(d: Double) extends Lit
+  final case class LBool(b: Boolean) extends Lit
   /** Bare integer literal, kept as Long: epoch-ns time literals exceed
     * 2^53 and would lose precision round-tripping through Double.
     */
@@ -661,6 +662,8 @@ object InfluxQL {
       val v: Lit =
         if (peekStr("'")) LStr(stringLit())
         else if (peekStr("/")) LStr(regexLit()) // tag =~ /re/ (v1 regex match)
+        else if (peekKw("TRUE")) { kw("TRUE"); LBool(true) }
+        else if (peekKw("FALSE")) { kw("FALSE"); LBool(false) }
         else if (peekKw("now")) {
           kw("now"); expect("("); ws(); expect(")"); ws()
           if (peekStr("-")) { expect("-"); ws(); LNow(-1, Some(duration())) }

@@ -368,6 +368,7 @@ object InfluxQLEval {
         case LStr(s) => lit(s)
         case LNum(d) => lit(d)
         case LInt(n) => lit(n)
+        case LBool(b) => lit(b)
         case _: LNow => throw EvalException("now() only compares against time")
       }
       op match {

@@ -685,12 +685,17 @@ class InfluxQLSpec extends SparkSpec {
     }
     assert(pairs == Map("usage" -> "float", "conns" -> "integer",
       "status" -> "string", "up" -> "boolean"))
-    // string predicates work against the typed column
+    // string and boolean predicates work against the typed columns
     val deg = graft.service.Json.mapper.readTree(
       graft.service.V1Query.run(tsdb, "tdb",
         "SELECT usage FROM svc WHERE status = 'degraded'"))
     assert(deg.at("/results/0/series/0/values").size() == 1)
     assert(deg.at("/results/0/series/0/values/0/1").asDouble() == 0.7)
+    val down = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "tdb",
+        "SELECT usage FROM svc WHERE up = false"))
+    assert(down.at("/results/0/series/0/values").size() == 1)
+    assert(down.at("/results/0/series/0/values/0/1").asDouble() == 0.7)
   }
 
   test("store-backed: v1 /query JSON over a real bucket") {
