@@ -40,6 +40,14 @@ object ScaleProbe {
 
     val reps = broadcast(spark.range(factor).toDF("k"))
 
+    // a previous run may have symlinked a table we now generate —
+    // writing THROUGH the link would touch the read-only source dir
+    def unlink(name: String): Unit = {
+      val p = java.nio.file.Paths.get(outDir, name)
+      if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
+    }
+    Seq("documents.parquet", "embeddings.parquet", "events.parquet").foreach(unlink)
+
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
     docs.crossJoin(reps)
@@ -63,6 +71,20 @@ object ScaleProbe {
       .drop("k")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events: replica k time-shifts by k × 35 days — within-replica
+    // series structure (hourly densities, state runs, window contents)
+    // is IDENTICAL, replicas never share a window, so full-range
+    // window/aggregation queries see a genuine 10× month-count
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val nEv = events.agg(max("event_id")).head().getLong(0) + 1
+    val shiftNs = 35L * 86400L * 1000000000L
+    events.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("k") * nEv)
+      .withColumn("ts", col("ts") + col("k") * shiftNs) // ts is ns long here
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     // the untouched tables ride along so any query can run against outDir
     val out = java.nio.file.Paths.get(outDir)
