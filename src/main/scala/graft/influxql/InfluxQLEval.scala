@@ -175,6 +175,7 @@ object InfluxQLEval {
         inst.getEpochSecond * 1000000000L + inst.getNano
       case LNow(sign, d) =>
         nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)
+      case LBool(_) => throw EvalException("boolean literal in a time comparison")
     }
     def walk(c: Cond): Unit = c match {
       case CAnd(l, r) => walk(l); walk(r)
@@ -345,6 +346,7 @@ object InfluxQLEval {
     case LNow(sign, d) =>
       val ns = source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)
       timestamp_micros(lit(ns / 1000))
+    case LBool(_) => throw EvalException("boolean literal in a time comparison")
   }
 
   private def cond(c: Cond, df: DataFrame, source: Source): Column = c match {
@@ -1192,6 +1194,7 @@ object InfluxQLEval {
       case LNum(ns) => (ns / 1000).toLong
       case LNow(sign, d) =>
         (source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)) / 1000L
+      case LBool(_) => throw EvalException("boolean literal in a time comparison")
     }
     def walk(c: Cond): Unit = c match {
       case CAnd(l, r) => walk(l); walk(r)
