@@ -56,10 +56,24 @@ final case class FluxFrame(
 
   private def rangeImpl(start: Column, stop: Column): FluxFrame = {
     val time = col(timeCol) >= start && col(timeCol) < stop
-    val pred =
+    var pred =
       if (df.columns.contains("dt"))
         time && col("dt") >= to_date(start) && col("dt") <= to_date(stop)
       else time
+    // equivalent ns bounds on time_ns: dt and time_ns sit in the LWW
+    // window's partitionBy, so THESE predicates push through the dedup
+    // window to the scan (row-group stats + partition pruning) even on
+    // an uncompacted bucket — the µs `time` filter alone stops at the
+    // Window operator. Negative-epoch bounds skip the push (µs
+    // truncation direction differs pre-1970); the guard constant-folds
+    // away for normal queries, keeping the pushdown.
+    if (df.columns.contains("time_ns")) {
+      val startUs = unix_micros(start)
+      val stopUs = unix_micros(stop)
+      pred = pred &&
+        (startUs < 0 || col("time_ns") >= startUs * 1000L) &&
+        (stopUs < 0 || col("time_ns") < stopUs * 1000L)
+    }
     copy(df = df.filter(pred))
   }
 

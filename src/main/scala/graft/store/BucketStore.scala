@@ -188,8 +188,17 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     val deduped =
       if (isClean(bucket)) raw
       else {
+        // dt and time_ns ride in the partitionBy: dt is functionally
+        // determined by time_ns (derived at write), so they don't
+        // change the dedup key — but predicates on window PARTITION
+        // columns are the only ones Catalyst pushes through a Window,
+        // and range() filters exactly (time_ns, dt). Without them an
+        // uncompacted bucket's range scan read EVERY partition
+        // (PushedFilters/PartitionFilters empty — caught by
+        // PlanGateSpec's pushdown test).
         val w = Window
-          .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
+          .partitionBy(col("dt"), col("measurement"),
+            to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
           .orderBy(col(SeqCol).desc)
         raw.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       }

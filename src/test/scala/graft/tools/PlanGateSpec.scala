@@ -68,6 +68,26 @@ class PlanGateSpec extends SparkSpec {
     assert(v.isEmpty, v.mkString("\n"))
   }
 
+  test("store range scans push time filters AND prune dt partitions") {
+    val tsdb = graft.dsl.Tsdb(spark,
+      java.nio.file.Files.createTempDirectory("plangate-store").toString)
+    tsdb.catalog.createBucket("pg", "greengrass")
+    tsdb.writeLp("pg", Seq(
+      s"m,h=a v=1 ${1704672000L * 1000000000L}",  // 2024-01-08
+      s"m,h=a v=2 ${1704931200L * 1000000000L}")) // 2024-01-11
+    val plan = tsdb.from("pg")
+      .range("2024-01-08 00:00:00", "2024-01-09 00:00:00")
+      .df.queryExecution.executedPlan.toString
+    // the ns time bounds must reach the parquet scan THROUGH the LWW
+    // dedup window (time_ns and dt ride in its partitionBy for exactly
+    // this; an uncompacted bucket previously scanned everything)...
+    assert(plan.contains("GreaterThanOrEqual(time_ns"), plan.take(2500))
+    assert(plan.contains("LessThan(time_ns"), plan.take(2500))
+    // ...and the dt partition filter must prune day directories
+    assert(plan.contains("PartitionFilters: [isnotnull(dt") ||
+      plan.contains("PartitionFilters: [(dt"), plan.take(2500))
+  }
+
   test("every gate query plans without global windows or cartesian products") {
     // construction alone runs the two-pass transforms' first passes and
     // k-means training; sf0.001 keeps that cheap. Plan inspection only —
