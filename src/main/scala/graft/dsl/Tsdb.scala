@@ -70,7 +70,12 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
       }
       first(when(col("field") === f, src), ignoreNulls = true).as(f)
     }
-    base.groupBy(col("time"), col("time_ns"), col("tags"))
+    // dt rides in the groupBy (functionally determined by time_ns, so
+    // groups are unchanged): WHERE-time conjuncts on dt then push
+    // through the Aggregate AND the LWW window down to partition
+    // pruning — v1 range queries on uncompacted buckets would
+    // otherwise list every day directory
+    base.groupBy(col("time"), col("time_ns"), col("dt"), col("tags"))
       .agg(aggs.head, aggs.tail: _*)
   }
 

@@ -349,13 +349,30 @@ object InfluxQLEval {
     case LBool(_) => throw EvalException("boolean literal in a time comparison")
   }
 
+  /** Plan-time µs value of a time literal (for the pushable
+    * time_ns/dt conjuncts) — same conversions as [[timeBounds]]' local
+    * helper.
+    */
+  private def usLit(v: Lit, source: Source): Option[Long] = v match {
+    case LStr(str) =>
+      val inst = java.time.Instant.parse(
+        if (str.contains("T")) (if (str.endsWith("Z")) str else str + "Z")
+        else str.replace(" ", "T") + "Z")
+      Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    case LInt(ns) => Some(ns / 1000)
+    case LNum(ns) => Some((ns / 1000).toLong)
+    case LNow(sign, d) =>
+      Some((source.nowNs() + sign * d.map(x => (x.seconds * 1e9).toLong).getOrElse(0L)) / 1000L)
+    case LBool(_) => None
+  }
+
   private def cond(c: Cond, df: DataFrame, source: Source): Column = c match {
     case CAnd(l, r) => cond(l, df, source) && cond(r, df, source)
     case COr(l, r) => cond(l, df, source) || cond(r, df, source)
     case CCmp(op, "time", v) =>
       val t = col(source.timeCol)
       val lt = timeLit(v, source)
-      op match {
+      val base = op match {
         case "=" => t === lt
         case "!=" => t =!= lt
         case ">" => t > lt
@@ -364,6 +381,39 @@ object InfluxQLEval {
         case "<=" => t <= lt
         case o => throw EvalException(s"unsupported time comparison '$o'")
       }
+      // store-backed frames: conjoin equivalent time_ns/dt bounds —
+      // only predicates on the LWW dedup window's partition columns
+      // push through it to the scan, so without these an uncompacted
+      // bucket's v1 range query scans every partition (same fix as
+      // FluxFrame.rangeImpl). µs-literal comparisons translate
+      // exactly; pre-1970 literals skip the push (truncation
+      // direction) — usLit is plan-time, so nothing is added at all
+      // for them.
+      usLit(v, source).filter(_ >= 1).map { usV =>
+        val extras = Seq.newBuilder[Column]
+        if (df.columns.contains("time_ns")) {
+          val ns = col("time_ns")
+          op match {
+            case "=" => extras += (ns >= usV * 1000L && ns < (usV + 1) * 1000L)
+            case ">=" => extras += (ns >= usV * 1000L)
+            case ">" => extras += (ns >= (usV + 1) * 1000L)
+            case "<" => extras += (ns < usV * 1000L)
+            case "<=" => extras += (ns < (usV + 1) * 1000L)
+            case _ => ()
+          }
+        }
+        if (df.columns.contains("dt")) {
+          val d = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+            Math.floorDiv(usV, 86400L * 1000000L)))
+          op match {
+            case "=" => extras += (col("dt") === lit(d))
+            case ">=" | ">" => extras += (col("dt") >= lit(d))
+            case "<" | "<=" => extras += (col("dt") <= lit(d))
+            case _ => ()
+          }
+        }
+        extras.result().foldLeft(base)(_ && _)
+      }.getOrElse(base)
     case CCmp(op, key, v) =>
       val k = ref(df, key)
       val lt: Column = v match {

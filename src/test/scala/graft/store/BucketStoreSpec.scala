@@ -127,7 +127,9 @@ class BucketStoreSpec extends SparkSpec {
       s"cpu,host=h1 usage=0.5,sys=0.1 $t0",
       s"cpu,host=h2 usage=0.7 ${t0 + 1}"))
     val wide = tsdb.fieldsAsCols("telemetry", "cpu", Seq("usage", "sys"))
-    assert(wide.columns.toSet == Set("time", "time_ns", "tags", "usage", "sys"))
+    // dt rides along for partition-pruning pushdown (WHERE-time dt
+    // conjuncts pass through the groupBy only as a grouping column)
+    assert(wide.columns.toSet == Set("time", "time_ns", "dt", "tags", "usage", "sys"))
     val h1 = wide.filter(col("tags.host") === "h1").collect().head
     assert(h1.getAs[Double]("usage") == 0.5 && h1.getAs[Double]("sys") == 0.1)
     assert(wide.filter(col("tags.host") === "h2").collect().head.get(wide.columns.indexOf("sys")) == null)

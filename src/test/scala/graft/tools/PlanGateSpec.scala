@@ -88,6 +88,23 @@ class PlanGateSpec extends SparkSpec {
       plan.contains("PartitionFilters: [(dt"), plan.take(2500))
   }
 
+  test("v1 WHERE time bounds push through the dedup window too") {
+    val tsdb = graft.dsl.Tsdb(spark,
+      java.nio.file.Files.createTempDirectory("plangate-v1").toString)
+    tsdb.catalog.createBucket("pgv", "greengrass")
+    tsdb.writeLp("pgv", Seq(
+      s"m,h=a v=1 ${1704672000L * 1000000000L}",
+      s"m,h=a v=2 ${1704931200L * 1000000000L}"))
+    val df = graft.influxql.InfluxQLEval.run(
+      "SELECT mean(v) FROM m WHERE time >= '2024-01-08T00:00:00Z' " +
+        "AND time < '2024-01-09T00:00:00Z' GROUP BY h",
+      graft.influxql.InfluxQLEval.tsdbSource(tsdb, "pgv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(time_ns"), plan.take(2500))
+    assert(plan.contains("PartitionFilters: [isnotnull(dt") ||
+      plan.contains("PartitionFilters: [(dt"), plan.take(2500))
+  }
+
   test("every gate query plans without global windows or cartesian products") {
     // construction alone runs the two-pass transforms' first passes and
     // k-means training; sf0.001 keeps that cheap. Plan inspection only —
