@@ -382,7 +382,11 @@ object SeriesScan {
 
   /** Append `outCol` (double) computed by a stateful scan over each
     * group in time order. `step` receives (state, value) and returns
-    * (nextState, output); a null output drops the row (e.g. EMA warm-up).
+    * (nextState, output); a null output KEEPS the row with a null
+    * `outCol` (e.g. EMA warm-up rows carry null) — callers that want
+    * warm-up rows gone filter afterwards. ungroupedEma's documented
+    * parity with the scanDouble EMA depends on this keep-with-null
+    * behavior; do not change it to row-dropping.
     *
     * @param keyCols  series identity columns (scan state resets on change)
     * @param orderCol column to order by within a series

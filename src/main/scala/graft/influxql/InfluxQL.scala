@@ -676,8 +676,13 @@ object InfluxQL {
             // Grafana sends absolute panel bounds as unit-suffixed
             // integers (`time >= 1705276800000ms and time <=
             // 1705277040000ms`): an integral literal directly followed
-            // by a duration unit is epoch time in that unit → ns
+            // by a duration unit is epoch time in that unit → ns.
+            // Only the `time` key takes duration literals — v1 rejects
+            // them in field comparisons (`value > 10m` is an error,
+            // not 600e9).
             case LInt(n) if i < src.length && (src(i).isLetter || src(i) == 'µ') =>
+              if (!key.equalsIgnoreCase("time"))
+                fail(s"duration literal in comparison on '$key' (durations apply to time only)")
               val us = i
               while (i < src.length && (src(i).isLetter || src(i) == 'µ')) i += 1
               val unitNs = src.substring(us, i) match {

@@ -608,7 +608,7 @@ object InfluxQLEval {
     // <fn>_<field> — schema-scale expansion at plan time
     val starFields = filtered.columns
       .filterNot(c => c == source.timeCol || c == "tags" || c == "dt" ||
-        c == "measurement" || s.groupTags.contains(c))
+        c == "time_ns" || c == "measurement" || s.groupTags.contains(c))
       .sorted.toSeq
     val numericStarFields = starFields.filter(c => filtered.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
@@ -647,7 +647,8 @@ object InfluxQLEval {
         // column (the `tags` map and partition columns stay internal),
         // `/re/` to the matching ones
         val allRaw = filtered.columns
-          .filterNot(c => c == source.timeCol || c == "tags" || c == "dt")
+          .filterNot(c => c == source.timeCol || c == "tags" || c == "dt" ||
+            c == "time_ns")
           .sorted.toSeq
         val expanded: Seq[FieldProj] = fields.flatMap {
           case FieldProj("*", _) => allRaw.map(FieldProj(_, None))

@@ -199,6 +199,11 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
   })
 
   server.createContext("/api/v2/query", (ex: HttpExchange) => {
+    // once the 200 + chunked headers are out, respond() would call
+    // sendResponseHeaders a second time and throw — after this point
+    // the only honest failure signal is a truncated stream (CSV) or a
+    // trailing error document (v1 chunked)
+    var headersSent = false
     try {
       if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
       else tokenOf(ex).filter(canRead) match {
@@ -238,14 +243,19 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             val df = FluxEval.run(flux, source)
             ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
             ex.sendResponseHeaders(200, 0)
+            headersSent = true
             val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
             try { AnnotatedCsv.write(df, w); w.flush() } finally w.close()
           } catch {
-            case e @ (_: graft.flux.FluxParser.ParseException | _: FluxEval.EvalException) =>
+            case e @ (_: graft.flux.FluxParser.ParseException | _: FluxEval.EvalException)
+                if !headersSent =>
               respond(ex, 400, err(e.getMessage))
           }
       }
-    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+    } catch {
+      case _: Throwable if headersSent => ex.close()
+      case e: Throwable => respond(ex, 500, err(e.getMessage))
+    }
   })
 
   /** /query — the v1 InfluxQL compatibility API of the pinned engine
@@ -254,6 +264,7 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     * consumes. `db` maps onto a bucket.
     */
   server.createContext("/query", (ex: HttpExchange) => {
+    var headersSent = false
     try {
       tokenOf(ex).filter(canRead) match {
         case None => respond(ex, 401, err("unauthorized"))
@@ -276,9 +287,20 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
                   graft.influxql.InfluxQL.parseAll(q)
                   ex.getResponseHeaders.set("Content-Type", "application/json")
                   ex.sendResponseHeaders(200, 0) // 0 = chunked transfer
+                  headersSent = true
                   val out = ex.getResponseBody
+                  // eval runs lazily per statement, so EvalExceptions
+                  // (and Spark job failures) can surface mid-stream —
+                  // emit a v1-style trailing {"error": …} line; the
+                  // 400/500 ship has sailed with the headers
                   try V1Query.runChunked(tsdb, db, q, Some(cqs), p("epoch"), size) {
                     doc => out.write((doc + "\n").getBytes(UTF_8)); out.flush()
+                  } catch {
+                    case e: Throwable => scala.util.Try {
+                      out.write((Json.obj(Seq("error" ->
+                        Option(e.getMessage).getOrElse("internal error"))) + "\n")
+                        .getBytes(UTF_8))
+                    }
                   } finally out.close()
                 } else {
                   val body = V1Query.run(tsdb, db, q, Some(cqs), p("epoch"))
@@ -300,7 +322,10 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             case _ => respond(ex, 400, err("db and q parameters required"))
           }
       }
-    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+    } catch {
+      case _: Throwable if headersSent => ex.close()
+      case e: Throwable => respond(ex, 500, err(e.getMessage))
+    }
   })
 
   // Request pool: a slow Flux query must not block /health (the C7

@@ -206,7 +206,11 @@ object V1Query {
           val buf = new java.util.ArrayList[org.apache.spark.sql.Row]()
           var curKey: Seq[String] = null
           var emitted = false
-          def flush(morePartial: Boolean): Unit = {
+          // v1's two partial flags diverge: series-level "partial"
+          // marks the SAME series continuing into the next chunk;
+          // results-level "partial" marks ANY further chunk for this
+          // statement (including a different series under GROUP BY)
+          def flush(seriesPartial: Boolean, resultPartial: Boolean): Unit = {
             if (curKey == null) return
             val root = mapper.createObjectNode()
             val res = root.putArray("results").addObject()
@@ -226,7 +230,8 @@ object V1Query {
               val arr = values.addArray()
               valIdx.foreach(i => addCell(arr, row.get(i), epochDiv))
             }
-            if (morePartial) { sObj.put("partial", true); res.put("partial", true) }
+            if (seriesPartial) sObj.put("partial", true)
+            if (resultPartial) res.put("partial", true)
             emit(mapper.writeValueAsString(root))
             buf.clear()
             emitted = true
@@ -235,11 +240,14 @@ object V1Query {
             val row = it.next()
             val key = keyIdx.map(i => String.valueOf(row.get(i)))
             if (curKey != null && (key != curKey || buf.size() >= chunkSize))
-              flush(morePartial = key == curKey)
+              // mid-stream flush: the row in hand always follows in a
+              // later chunk, so the result is partial regardless of
+              // whether the series continues
+              flush(seriesPartial = key == curKey, resultPartial = true)
             curKey = key
             buf.add(row)
           }
-          flush(morePartial = false)
+          flush(seriesPartial = false, resultPartial = false)
           if (!emitted) { // empty result still answers one bare document
             val root = mapper.createObjectNode()
             root.putArray("results").addObject().put("statement_id", idx)

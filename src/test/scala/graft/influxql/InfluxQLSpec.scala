@@ -92,6 +92,12 @@ class InfluxQLSpec extends SparkSpec {
     assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m WHERE x > 1.2.3"))
     assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m WHERE x > 1..2"))
     assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m LIMIT 1.2.3"))
+    // duration literals bind to time only; v1 rejects `value > 10m`
+    // rather than silently reading it as 600e9 ns
+    assertThrows[ParseException](InfluxQL.parse("SELECT v FROM m WHERE value > 10m"))
+    assert(InfluxQL.parse(s"SELECT v FROM m WHERE time >= 1705276800000ms")
+      .asInstanceOf[Select].where.get ==
+      CCmp(">=", "time", LInt(1705276800000L * 1000000L)))
   }
 
   test("numeric literal scanner round-trips arbitrary Long/Double text (property)") {

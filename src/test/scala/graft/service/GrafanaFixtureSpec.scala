@@ -189,8 +189,14 @@ class GrafanaFixtureSpec extends SparkSpec {
     assert(parsed(0).at("/results/0/partial").asBoolean(false))
     assert(parsed(0).at("/results/0/series/0/partial").asBoolean(false))
     assert(parsed(0).at("/results/0/series/0/values").size() == 3)
-    assert(!parsed(1).at("/results/0/partial").asBoolean(false))
+    // h1's tail chunk: the series ends (series flag clears) but h2's
+    // chunks still follow, so the RESULT stays partial (v1 contract)
+    assert(parsed(1).at("/results/0/partial").asBoolean(false))
+    assert(!parsed(1).at("/results/0/series/0/partial").asBoolean(false))
     assert(parsed(1).at("/results/0/series/0/values").size() == 1)
+    // the statement's final chunk clears both flags
+    assert(!parsed(3).at("/results/0/partial").asBoolean(false))
+    assert(!parsed(3).at("/results/0/series/0/partial").asBoolean(false))
     assert(parsed(0).at("/results/0/series/0/tags/host").asText() == "h1")
     assert(parsed(2).at("/results/0/series/0/tags/host").asText() == "h2")
     // every chunk is a complete stand-alone document with the same
@@ -236,11 +242,33 @@ class GrafanaFixtureSpec extends SparkSpec {
           d.at("/results/0/series/0/tags/host").asText() + "|" + v.get(j).toString)
       }.sorted
       assert(vals == flatVals, s"chunk_size=$size")
-      // the last chunk of each series is non-partial
+      // each series' last chunk clears the SERIES flag; the RESULT
+      // flag stays set on every chunk but the statement's final one
       val lastBySeries = parsed.groupBy(_.at("/results/0/series/0/tags/host").asText())
         .values.map(_.last)
-      lastBySeries.foreach(d => assert(!d.at("/results/0/partial").asBoolean(false)))
+      lastBySeries.foreach(d =>
+        assert(!d.at("/results/0/series/0/partial").asBoolean(false)))
+      assert(!parsed.last.at("/results/0/partial").asBoolean(false))
+      parsed.init.foreach(d =>
+        assert(d.at("/results/0/partial").asBoolean(false), s"chunk_size=$size"))
     }
+  }
+
+  test("star expansion on a real bucket covers data fields only (no time_ns shadow)") {
+    // fieldsAsCols carries the internal ns twin column (time_ns) for
+    // scan pushdown; v1's */mean(*)/count(*) expansion must not leak it
+    assertFixture(
+      "SELECT mean(*) FROM \"cpu\"",
+      """{"results":[{"statement_id":0,"series":[{"name":"cpu","columns":["time","mean_usage"],"values":[[0,120.0]]}]}]}""")
+    assertFixture(
+      "SELECT count(*) FROM \"mem\"",
+      """{"results":[{"statement_id":0,"series":[{"name":"mem","columns":["time","count_used_percent"],"values":[[0,1]]}]}]}""")
+    val raw = grafanaGet("SELECT * FROM \"mem\"")
+    assert(raw.statusCode() == 200, raw.body())
+    val cols = Json.mapper.readTree(raw.body()).at("/results/0/series/0/columns")
+    val names = (0 until cols.size()).map(cols.get(_).asText())
+    assert(!names.contains("time_ns"), names.mkString(","))
+    assert(names.contains("used_percent"))
   }
 
   test("grouped selector: per-series point timestamps, series in tag order") {
