@@ -25,7 +25,7 @@ object Bootstrap {
 
     catalog.createOrg(config.org)
     val bucket = catalog.createBucket(config.bucket, config.org)
-    val orgId = bucket.id.reverse // distinct stable id for the org scope
+    val orgId = catalog.orgId(config.org) // same id /api/v2/orgs reports
 
     def mint(): String = java.util.UUID.randomUUID().toString.replace("-", "")
 

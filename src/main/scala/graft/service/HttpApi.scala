@@ -19,6 +19,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    readiness probe target; reference health-checks with `influx
   *    ping`, src/influxdb_utils.sh:31-33)
   *  - `GET  /ping`                   — 204
+  *  - `/api/v2/setup`, `/api/v2/buckets`, `/api/v2/orgs`,
+  *    `/api/v2/authorizations` — the admin surface the reference's
+  *    provisioning script drives through the stock influx CLI (see
+  *    [[V2Admin]]); setup is unauthenticated, other GETs take any
+  *    registered token, POSTs the operator token
   *
   * Auth mirrors the reference's scoped tokens: `Authorization: Token x`
   * resolved against the catalog registry — write requires the RW or
@@ -62,6 +67,14 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       r.token == tok &&
         (r.description == "greengrass_readwrite" || r.description.contains("'s Token")))
 
+  /** Operator token — the only one allowed to mint authorizations or
+    * mutate orgs/buckets over the admin API (its permission set carries
+    * `write:authorizations`, reference fixture record 0).
+    */
+  private def isAdmin(tok: String): Boolean =
+    tsdb.catalog.listTokens.exists(r =>
+      r.token == tok && r.permissions.contains("write:authorizations"))
+
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -86,6 +99,59 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     respond(ex, 200, """{"name": "graft", "status": "pass"}"""))
 
   server.createContext("/ping", (ex: HttpExchange) => respond(ex, 204, ""))
+
+  // --- v2 admin API (see V2Admin) — the endpoints the reference's
+  // provisioning script drives via the stock influx CLI ---
+
+  private def adminRespond(ex: HttpExchange, r: (Int, String)): Unit =
+    respond(ex, r._1, r._2)
+
+  /** Shared GET/POST dispatch for the admin contexts: GET needs any
+    * registered token, POST the operator token. `/api/v2/setup` is the
+    * exception (handled separately): it must answer unauthenticated,
+    * since it runs before any token exists.
+    */
+  private def adminContext(path: String,
+      onGet: HttpExchange => (Int, String),
+      onPost: String => (Int, String)): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        ex.getRequestMethod match {
+          case "GET" =>
+            if (tokenOf(ex).exists(canRead)) adminRespond(ex, onGet(ex))
+            else respond(ex, 401, err("unauthorized"))
+          case "POST" =>
+            if (tokenOf(ex).exists(isAdmin))
+              adminRespond(ex, onPost(
+                new String(ex.getRequestBody.readAllBytes(), UTF_8)))
+            else respond(ex, 401, err("unauthorized: operator token required"))
+          case _ => respond(ex, 405, err("GET or POST only"))
+        }
+      } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+    })
+
+  server.createContext("/api/v2/setup", (ex: HttpExchange) => {
+    try {
+      ex.getRequestMethod match {
+        case "GET" => adminRespond(ex, V2Admin.setupAllowed(tsdb.catalog))
+        case "POST" => adminRespond(ex, V2Admin.setup(tsdb.catalog,
+          new String(ex.getRequestBody.readAllBytes(), UTF_8)))
+        case _ => respond(ex, 405, err("GET or POST only"))
+      }
+    } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
+  })
+
+  adminContext("/api/v2/buckets",
+    ex => V2Admin.listBuckets(tsdb.catalog, query(ex, "name")),
+    body => V2Admin.createBucket(tsdb.catalog, body))
+
+  adminContext("/api/v2/orgs",
+    ex => V2Admin.listOrgs(tsdb.catalog, query(ex, "org")),
+    body => V2Admin.createOrg(tsdb.catalog, body))
+
+  adminContext("/api/v2/authorizations",
+    _ => V2Admin.listAuthorizations(tsdb.catalog),
+    body => V2Admin.createAuthorization(tsdb.catalog, body))
 
   server.createContext("/api/v2/write", (ex: HttpExchange) => {
     try {

@@ -80,6 +80,15 @@ final class Catalog(val root: Path) {
   def bucketPath(name: String): Path =
     root.resolve("buckets").resolve(buckets.get(name).map(_.id).getOrElse(idFor(name)))
 
+  /** Stable 16-hex org id, derived like bucket ids but in a disjoint
+    * namespace ("org/…") so an org and a bucket of the same name never
+    * collide. Orgs are name-keyed in the catalog; the id exists for the
+    * v2 admin API surface (`/api/v2/orgs`, permission strings like
+    * `read:orgs/<orgID>/buckets/<bucketID>` — reference fixture
+    * test/test_influxDBTokenStreamHandler.py:36-37).
+    */
+  def orgId(name: String): String = idFor("org/" + name)
+
   /** Stable bucket id — first 16 hex chars of SHA-256 of the name,
     * shaped like InfluxDB's 16-hex-char bucket IDs (see the permission
     * strings in the reference fixture
