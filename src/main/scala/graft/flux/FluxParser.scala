@@ -54,7 +54,12 @@ object FluxParser {
   /** `name = <pipeline>` statements followed by one result pipeline —
     * the Flux program shape `join`/`union` need for their inputs.
     */
-  final case class Program(assigns: Seq[(String, Pipeline)], main: Pipeline)
+  final case class Program(assigns: Seq[(String, Pipeline)], main: Pipeline,
+      /** `option <name> = <value>` headers, in order — `option task =
+        * {name: "…", every: 1h}` is how a scheduled task carries its
+        * run cadence inside the script body; evaluation ignores them.
+        */
+      options: Seq[(String, Value)] = Nil)
 
   final case class ParseException(msg: String, pos: Int) extends Exception(s"$msg at offset $pos")
 
@@ -74,9 +79,20 @@ object FluxParser {
       ws()
       // `import "influxdata/influxdb/schema"` headers (Grafana's Flux
       // template queries start with one): recorded nowhere — the
-      // schema.* verbs resolve by their dotted name
-      while (peekStr("import ") || peekStr("import\"")) {
-        expect("import"); ws(); stringLit(); ws()
+      // schema.* verbs resolve by their dotted name. `option` headers
+      // (task scripts lead with `option task = {…}`) are captured for
+      // the scheduler; both may interleave.
+      val options = Seq.newBuilder[(String, Value)]
+      var header = true
+      while (header) {
+        if (peekStr("import ") || peekStr("import\"")) {
+          expect("import"); ws(); stringLit(); ws()
+        } else if (peekStr("option ")) {
+          expect("option"); ws()
+          val name = ident(); ws()
+          expect("="); ws()
+          options += name -> value(); ws()
+        } else header = false
       }
       val assigns = Seq.newBuilder[(String, Pipeline)]
       var main: Pipeline = null
@@ -94,7 +110,7 @@ object FluxParser {
         }
       }
       if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
-      Program(assigns.result(), main)
+      Program(assigns.result(), main, options.result())
     }
 
     /** A verb chain; the head may be a bare identifier referencing an

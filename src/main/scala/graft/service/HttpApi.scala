@@ -153,6 +153,97 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     _ => V2Admin.listAuthorizations(tsdb.catalog),
     body => V2Admin.createAuthorization(tsdb.catalog, body))
 
+  // --- /api/v2/tasks: scheduled-Flux task CRUD (see FluxTasks) ---
+
+  /** Tasks run as the system (the engine's task owner), so their
+    * source always carries the write sink — creation already required
+    * a write-capable token.
+    */
+  private def taskSource(): FluxEval.Source = FluxEval.Source(
+    resolve = b => tsdb.from(b),
+    rename = Map("_time" -> "time", "_value" -> "value_f",
+      "_measurement" -> "measurement", "_field" -> "field"),
+    write = Some((b, d) => {
+      if (tsdb.catalog.bucket(b).isEmpty)
+        throw FluxEval.EvalException(s"to(): bucket '$b' not found")
+      tsdb.to(b, d)
+    }))
+
+  private val fluxTasks = new graft.streaming.FluxTasks(() => taskSource())
+
+  private def taskNode(t: graft.streaming.FluxTasks#TaskRec):
+      com.fasterxml.jackson.databind.node.ObjectNode = {
+    val n = Json.mapper.createObjectNode()
+    n.put("id", t.id)
+    n.put("name", t.name)
+    n.put("orgID", tsdb.catalog.orgId(t.org))
+    n.put("org", t.org)
+    n.put("status", t.status)
+    n.put("flux", t.flux)
+    n.put("every", fluxTasks.nsToFlux(t.everyNs))
+    if (t.offsetNs > 0) n.put("offset", fluxTasks.nsToFlux(t.offsetNs))
+    fluxTasks.lastError(t.id).foreach(n.put("lastRunError", _))
+    n
+  }
+
+  server.createContext("/api/v2/tasks", (ex: HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v2/tasks")
+        .stripPrefix("/").split("/").toSeq.filter(_.nonEmpty)
+      (ex.getRequestMethod, path) match {
+        case ("GET", Seq()) =>
+          if (!tokenOf(ex).exists(canRead)) respond(ex, 401, err("unauthorized"))
+          else {
+            val out = Json.mapper.createObjectNode()
+            val arr = out.putArray("tasks")
+            fluxTasks.list.foreach(t => arr.add(taskNode(t)))
+            respond(ex, 200, Json.mapper.writeValueAsString(out))
+          }
+        case ("GET", Seq(id)) =>
+          if (!tokenOf(ex).exists(canRead)) respond(ex, 401, err("unauthorized"))
+          else fluxTasks.get(id) match {
+            case Some(t) => respond(ex, 200, Json.mapper.writeValueAsString(taskNode(t)))
+            case None => respond(ex, 404, err("task not found"))
+          }
+        case ("POST", Seq()) =>
+          if (!tokenOf(ex).exists(canWrite))
+            respond(ex, 401, err("unauthorized: write token required"))
+          else {
+            val node = Json.mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8))
+            val flux = Option(node.get("flux")).map(_.asText()).filter(_.nonEmpty)
+            val org = Option(node.get("org")).map(_.asText())
+              .orElse(Option(node.get("orgID")).map(_.asText())
+                .flatMap(id => tsdb.catalog.listOrgs.find(o => tsdb.catalog.orgId(o) == id)))
+              .orElse(tsdb.catalog.listOrgs.toSeq.sorted.headOption)
+            (flux, org) match {
+              case (Some(f), Some(o)) =>
+                val t = fluxTasks.create(f, o)
+                respond(ex, 201, Json.mapper.writeValueAsString(taskNode(t)))
+              case _ => respond(ex, 400, err("flux script body is required"))
+            }
+          }
+        case ("POST", Seq(id, "runs")) =>
+          // manual trigger: run the script once, synchronously
+          if (!tokenOf(ex).exists(canWrite))
+            respond(ex, 401, err("unauthorized: write token required"))
+          else if (fluxTasks.runNow(id)) respond(ex, 201, """{"status":"success"}""")
+          else respond(ex, 404, err("task not found"))
+        case ("DELETE", Seq(id)) =>
+          if (!tokenOf(ex).exists(canWrite))
+            respond(ex, 401, err("unauthorized: write token required"))
+          else if (fluxTasks.delete(id)) respond(ex, 204, "")
+          else respond(ex, 404, err("task not found"))
+        case _ => respond(ex, 405, err("unsupported method or path"))
+      }
+    } catch {
+      case e @ (_: IllegalArgumentException |
+                _: graft.flux.FluxParser.ParseException) =>
+        respond(ex, 400, err(e.getMessage))
+      case e: Throwable => respond(ex, 500, err(e.getMessage))
+    }
+  })
+
   server.createContext("/api/v2/write", (ex: HttpExchange) => {
     try {
       if (ex.getRequestMethod != "POST") respond(ex, 405, err("POST only"))
@@ -401,5 +492,5 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
 
   def start(): HttpApi = { server.setExecutor(pool); server.start(); this }
-  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  def stop(): Unit = { fluxTasks.stopAll(); server.stop(0); pool.shutdownNow() }
 }

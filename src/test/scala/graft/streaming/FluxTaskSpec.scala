@@ -1,0 +1,160 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.dsl.Tsdb
+import graft.service.{HttpApi, Json}
+import graft.store.TokenRecord
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+/** /api/v2/tasks lifecycle: POST a Flux script led by `option task =
+  * {…}`, it downsamples into the target bucket when it runs, GET
+  * lists it (with `every` echoed from the option header), DELETE
+  * stops it — the v2-native scheduled-downsampling path
+  * (DownsampleTask covers the v1 CQ form of the same pipeline).
+  */
+class FluxTaskSpec extends SparkSpec {
+
+  private lazy val tsdb: Tsdb = {
+    val t = Tsdb(spark, Files.createTempDirectory("graft-task-spec").toString)
+    t.catalog.createOrg("greengrass")
+    t.catalog.createBucket("raw", "greengrass")
+    t.catalog.createBucket("agg", "greengrass")
+    t.catalog.addToken(TokenRecord("1", "greengrass_readwrite", "rwTok",
+      "active", "admin", "u1", Nil))
+    t
+  }
+  private lazy val api = new HttpApi(tsdb).start()
+  private lazy val base = s"http://127.0.0.1:${api.boundPort}"
+  private val client = HttpClient.newHttpClient()
+  private val mapper = Json.mapper
+
+  private def req(method: String, path: String, body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Authorization", "Token rwTok")
+    val built = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body))
+    }
+    client.send(built.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private val t0 = 1705276800L // 2024-01-15T00:00:00Z
+  private def lp(sec: Long, host: String, v: Double) =
+    s"cpu,host=$host usage=$v ${(t0 + sec) * 1000000000L}"
+
+  private lazy val seeded: Boolean = {
+    val body = (0 until 120).map(i => lp(i * 30L, if (i % 2 == 0) "h1" else "h2",
+      (i % 10).toDouble)).mkString("\n")
+    val r = req("POST", "/api/v2/write?bucket=raw", body)
+    assert(r.statusCode() == 204, r.body())
+    true
+  }
+
+  private val taskFlux =
+    """option task = {name: "downsample-cpu", every: 1h, offset: 5m}
+      |from(bucket: "raw")
+      ||> range(start: 2024-01-15T00:00:00Z, stop: 2024-01-16T00:00:00Z)
+      ||> filter(fn: (r) => r._measurement == "cpu")
+      ||> aggregateWindow(every: 10m, fn: mean)
+      ||> to(bucket: "agg")""".stripMargin
+
+  private var taskId: String = _
+
+  test("POST /api/v2/tasks parses the option header and registers the task") {
+    assert(seeded)
+    // a script without the option header is rejected
+    val bad = req("POST", "/api/v2/tasks", mapper.writeValueAsString {
+      val n = mapper.createObjectNode()
+      n.put("org", "greengrass")
+      n.put("flux", "from(bucket: \"raw\") |> range(start: 2024-01-15T00:00:00Z) |> to(bucket: \"agg\")")
+      n
+    })
+    assert(bad.statusCode() == 400, bad.body())
+
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass")
+    n.put("flux", taskFlux)
+    val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(r.statusCode() == 201, r.body())
+    val node = mapper.readTree(r.body())
+    assert(node.get("name").asText() == "downsample-cpu")
+    assert(node.get("every").asText() == "1h")
+    assert(node.get("offset").asText() == "5m")
+    assert(node.get("status").asText() == "active")
+    assert(node.get("org").asText() == "greengrass")
+    assert(node.get("flux").asText() == taskFlux)
+    taskId = node.get("id").asText()
+    assert(taskId.nonEmpty)
+  }
+
+  test("the task materializes downsampled rows into the target bucket on trigger") {
+    // manual trigger (the /runs surface) instead of sleeping through
+    // the 1h cadence
+    val run = req("POST", s"/api/v2/tasks/$taskId/runs")
+    assert(run.statusCode() == 201, run.body())
+    val out = tsdb.from("agg").df
+    val rows = out.count()
+    // 120 points over 1h at 30s spacing → 10m windows × 2 hosts
+    assert(rows > 0, "task run wrote nothing")
+    import org.apache.spark.sql.functions._
+    val windows = out.select(col("time")).distinct().count()
+    assert(windows >= 6, s"expected >=6 distinct 10m windows, got $windows")
+    // re-running refines, not duplicates: LWW dedup keeps one point
+    // per (series, window)
+    req("POST", s"/api/v2/tasks/$taskId/runs")
+    assert(tsdb.from("agg").df.count() == rows)
+  }
+
+  test("GET lists the task; GET by id fetches it") {
+    val list = req("GET", "/api/v2/tasks")
+    assert(list.statusCode() == 200)
+    val tasks = mapper.readTree(list.body()).get("tasks")
+    assert(tasks.size() == 1)
+    assert(tasks.get(0).get("name").asText() == "downsample-cpu")
+    val one = req("GET", s"/api/v2/tasks/$taskId")
+    assert(one.statusCode() == 200)
+    assert(mapper.readTree(one.body()).get("id").asText() == taskId)
+    // duplicate names are rejected while the task exists
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass")
+    n.put("flux", taskFlux)
+    assert(req("POST", "/api/v2/tasks", mapper.writeValueAsString(n)).statusCode() == 400)
+  }
+
+  test("DELETE stops and removes the task") {
+    assert(req("DELETE", s"/api/v2/tasks/$taskId").statusCode() == 204)
+    assert(req("GET", s"/api/v2/tasks/$taskId").statusCode() == 404)
+    assert(req("DELETE", s"/api/v2/tasks/$taskId").statusCode() == 404)
+    assert(mapper.readTree(req("GET", "/api/v2/tasks").body()).get("tasks").size() == 0)
+    // manual runs on a deleted task 404 too
+    assert(req("POST", s"/api/v2/tasks/$taskId/runs").statusCode() == 404)
+  }
+
+  test("a failing script surfaces lastRunError without cancelling the schedule") {
+    val flux =
+      """option task = {name: "bad-task", every: 1s}
+        |from(bucket: "raw") |> range(start: 2024-01-15T00:00:00Z) |> to(bucket: "missing-sink")""".stripMargin
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass")
+    n.put("flux", flux)
+    val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(r.statusCode() == 201, r.body())
+    val id = mapper.readTree(r.body()).get("id").asText()
+    // wait for at least one scheduled run to fail
+    val deadline = System.nanoTime() + 15000000000L
+    var errSeen = false
+    while (!errSeen && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      val one = req("GET", s"/api/v2/tasks/$id")
+      errSeen = mapper.readTree(one.body()).has("lastRunError")
+    }
+    assert(errSeen, "scheduled run never recorded an error")
+    // still listed (the schedule survives failures), then clean up
+    assert(req("GET", s"/api/v2/tasks/$id").statusCode() == 200)
+    assert(req("DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
+  }
+}
