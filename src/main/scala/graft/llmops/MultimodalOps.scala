@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: [[ImageCodec]] rides the JRE-builtin
   * `javax.imageio` (PNG/JPEG/BMP/GIF — zero external dependencies), so
   * the width/height/per-channel-mean path is a genuine byte-level
-  * decode. AUDIO/VIDEO remain STUBBED with a deterministic fake (this
-  * container ships no audio/video codecs), but everything Spark-side is
-  * real and tested: the schema, the binary payload flow, the batch
-  * iterator shape, the partitioning, and the frame-explosion plumbing.
-  * Swapping `StubCodec` for a JNI/ONNX decoder changes no plan shape.
+  * decode. AUDIO decodes for real too: [[AudioCodec]] rides the
+  * JRE-builtin `javax.sound.sampled` (WAV/PCM). VIDEO remains STUBBED
+  * with a deterministic fake (this container ships no video codecs),
+  * but everything Spark-side is real and tested: the schema, the
+  * binary payload flow, the batch iterator shape, the partitioning,
+  * and the frame-explosion plumbing. Swapping `StubCodec` for a
+  * JNI/ONNX decoder changes no plan shape.
   */
 object MultimodalOps {
 
@@ -132,6 +134,116 @@ object MultimodalOps {
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
     }
+  }
+
+  /** Per-audio decode summary: format + exact waveform statistics. */
+  final case class AudioStats(sampleRate: Int, channels: Int, frames: Long,
+      durationMs: Long, rms: Double, peak: Int)
+
+  /** REAL audio codec on the JRE's built-in `javax.sound.sampled` —
+    * WAV/PCM decode with no external dependency (the same
+    * zero-dependency upgrade the image path got). Video remains the
+    * one stubbed modality.
+    */
+  object AudioCodec {
+    /** Decode a WAV payload (16-bit signed PCM) and reduce to format
+      * + RMS/peak. Integer sample reads and an integer square sum —
+      * one double division + sqrt at the end — so a SQL oracle
+      * recomputes the identical value from the waveform formula (WAV
+      * PCM is lossless).
+      */
+    def decodeStats(bytes: Array[Byte]): AudioStats = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+        val data = in.readAllBytes()
+        val channels = fmt.getChannels
+        val bytesPerFrame = 2 * channels
+        val frames = data.length / bytesPerFrame
+        var sumSq = 0L
+        var peak = 0
+        var k = 0
+        val little = !fmt.isBigEndian
+        while (k < frames * channels) {
+          val lo = data(2 * k) & 0xFF
+          val hi = data(2 * k + 1) & 0xFF
+          val s = (if (little) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          k += 1
+        }
+        val rate = fmt.getSampleRate.toInt
+        AudioStats(rate, channels, frames,
+          frames.toLong * 1000L / rate,
+          math.sqrt(sumSq.toDouble / (frames.toLong * channels)), peak)
+      } finally in.close()
+    }
+
+    /** Encode mono 16-bit PCM samples to real WAV bytes (lossless:
+      * decodeStats(encodeWav(f)) recovers f's statistics exactly, the
+      * property the audio decode gate rides).
+      */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Batched REAL audio decode: appends (sample_rate, channels, frames,
+    * duration_ms, rms, peak) to each `kind = audio` row by decoding the
+    * WAV payload with [[AudioCodec]]. Same batching as the image path.
+    */
+  def decodeAudioStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add("sample_rate", IntegerType).add("channels", IntegerType)
+      .add("frames", LongType).add("duration_ms", LongType)
+      .add("rms", DoubleType).add("peak", IntegerType)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    df.filter(col("kind") === "audio").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val s = AudioCodec.decodeStats(row.getAs[Array[Byte]](bytesIdx))
+          Row.fromSeq(row.toSeq ++ Seq[Any](
+            s.sampleRate, s.channels, s.frames, s.durationMs, s.rms, s.peak))
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-WAV media table: audio payloads are genuine
+    * 16-bit PCM WAV encodings of a closed-form integer waveform, so a
+    * SQL oracle recomputes every decode statistic from the formula
+    * while Spark recovers it from the BYTES via the real codec.
+    * Sample rates and lengths vary per id.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val rate = 8000 + (i % 3) * 4000
+      val frames = 2000 + (i % 5) * 500
+      val samples = Array.tabulate[Short](frames) { j =>
+        (((j.toLong * (i + 3) * 2731L) % 20001L) - 10000L).toShort
+      }
+      val bytes = AudioCodec.encodeWav(rate, samples)
+      Row(i.toLong, "audio", bytes,
+        Row("audio/wav", null, null, rate, frames.toLong * 1000L / rate))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }
 
   /** Batched REAL image decode: appends (width, height, r_mean, g_mean,

@@ -279,6 +279,19 @@ object LlmQueries {
           r4(col("r_mean")).as("r_mean"),
           r4(col("g_mean")).as("g_mean"),
           r4(col("b_mean")).as("b_mean"))
+        .orderBy("media_id")),
+    // audio twin of media_decode: REAL WAV bytes (16-bit PCM encodings
+    // of a closed-form integer waveform), decoded executor-side with
+    // the JRE's javax.sound.sampled; the oracle recomputes the stats
+    // from the waveform formula — PCM losslessness makes them equal.
+    "media_audio" -> ((s, _) =>
+      MultimodalOps.decodeAudioStats(MultimodalOps.syntheticAudio(s, 18))
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("frames").as("frames"),
+          col("duration_ms").as("duration_ms"),
+          r4(col("rms")).as("rms"),
+          col("peak").cast("long").as("peak"))
         .orderBy("media_id"))
   )
 
@@ -731,6 +744,27 @@ object LlmQueries {
         |    / (any_value(w) * any_value(h)), 4) AS g_mean,
         |  round(CAST(sum((x * 11 + y * 2 + i * 23) % 256) AS DOUBLE)
         |    / (any_value(w) * any_value(h)), 4) AS b_mean
-        |FROM px GROUP BY 1 ORDER BY 1""")
+        |FROM px GROUP BY 1 ORDER BY 1"""),
+    // media_audio: Spark decodes REAL WAV bytes; the oracle never sees
+    // a WAV file — it recomputes sample-exact RMS/peak straight from
+    // the generator's integer waveform (16-bit PCM is lossless).
+    // Integer square sum, one double division + sqrt, round 4 —
+    // mirroring AudioCodec.decodeStats exactly.
+    "media_audio" -> w(
+      """WITH meta AS (
+        |  SELECT i, 8000 + (i % 3) * 4000 AS rate, 2000 + (i % 5) * 500 AS frames
+        |  FROM (SELECT unnest(range(0, 18)) AS i)
+        |), smp AS (
+        |  SELECT m.i, m.rate, m.frames,
+        |    ((js.j * (m.i + 3) * 2731) % 20001) - 10000 AS s
+        |  FROM meta m, (SELECT unnest(range(0, 4000)) AS j) js
+        |  WHERE js.j < m.frames
+        |)
+        |SELECT i AS media_id, any_value(rate) AS sample_rate,
+        |  any_value(frames) AS frames,
+        |  any_value(frames) * 1000 // any_value(rate) AS duration_ms,
+        |  round(sqrt(CAST(sum(s * s) AS DOUBLE) / any_value(frames)), 4) AS rms,
+        |  max(abs(s)) AS peak
+        |FROM smp GROUP BY 1 ORDER BY 1""")
   )
 }

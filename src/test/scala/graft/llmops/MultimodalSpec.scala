@@ -105,6 +105,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AudioCodec: WAV round-trip recovers exact waveform statistics") {
+    val rate = 16000
+    val samples = Array.tabulate[Short](3000)(j => ((j * 17) % 20001 - 10000).toShort)
+    val wav = MultimodalOps.AudioCodec.encodeWav(rate, samples)
+    // genuine RIFF/WAVE container
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val s = MultimodalOps.AudioCodec.decodeStats(wav)
+    assert(s.sampleRate == rate && s.channels == 1 && s.frames == 3000L)
+    assert(s.durationMs == 3000L * 1000L / rate)
+    val sumSq = samples.map(v => v.toLong * v).sum
+    assert(s.rms == math.sqrt(sumSq.toDouble / 3000))
+    assert(s.peak == samples.map(v => math.abs(v.toInt)).max)
+  }
+
+  test("decodeAudioStats decodes real WAV payloads distributed, matching the formula") {
+    val stats = MultimodalOps.decodeAudioStats(MultimodalOps.syntheticAudio(spark, 9))
+      .select("media_id", "sample_rate", "frames", "duration_ms", "rms", "peak")
+      .orderBy("media_id").collect()
+    assert(stats.length == 9)
+    stats.zipWithIndex.foreach { case (r, i) =>
+      val rate = 8000 + (i % 3) * 4000
+      val frames = 2000 + (i % 5) * 500
+      assert(r.getInt(1) == rate && r.getLong(2) == frames)
+      val sumSq = (0 until frames).map { j =>
+        val s = ((j.toLong * (i + 3) * 2731L) % 20001L) - 10000L; s * s
+      }.sum
+      assert(r.getDouble(4) == math.sqrt(sumSq.toDouble / frames), s"rms mismatch at $i")
+    }
+  }
+
+  test("decodeAudioStats rejects undecodable payloads loudly") {
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeAudioStats(media.filter(col("kind") === "audio")).collect()
+    }
+  }
+
   test("frame sampling explodes one row per interval within duration") {
     val frames = MultimodalOps.sampleFrames(media, everyMs = 250)
     val perAsset = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
