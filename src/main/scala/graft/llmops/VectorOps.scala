@@ -246,10 +246,33 @@ object VectorOps {
     * route through the prefiltered family ([[lshTopK]] buckets /
     * [[ivfTopK]]) whose probe cost scales flat, then verify the
     * surviving candidates here.
+    *
+    * The contract is ENFORCED at call time: the corpus row count
+    * (exact leaf-stats metadata when the optimizer has it, else one
+    * cheap count over the id column — never a full-width scan) must not
+    * exceed `maxCorpusRows` (default: the session conf
+    * `spark.graft.cosPairs.maxCorpusRows`, 1,000,000 rows ≈ 5·10¹¹
+    * comparisons). Above the bound the call fails fast with a pointer
+    * to the ANN family instead of silently launching a cluster-killing
+    * n² job.
     */
-  def cosineThresholdPairs(vs: DataFrame, threshold: Double, numBlocks: Int = 8): DataFrame = {
+  def cosineThresholdPairs(vs: DataFrame, threshold: Double, numBlocks: Int = 8,
+      maxCorpusRows: Long = -1L): DataFrame = {
     val spark = vs.sparkSession
     import spark.implicits._
+    val bound =
+      if (maxCorpusRows >= 0L) maxCorpusRows
+      else spark.conf.get("spark.graft.cosPairs.maxCorpusRows", "1000000").toLong
+    val corpusRows: Long = vs.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong)
+      .getOrElse(vs.select(vs.columns.head).count())
+    require(corpusRows <= bound,
+      s"cosineThresholdPairs: corpus has $corpusRows rows, above the configured " +
+      s"bound of $bound (spark.graft.cosPairs.maxCorpusRows or the maxCorpusRows " +
+      "argument). All-pairs-above-threshold is quadratic in corpus size; at this " +
+      "scale route through the prefiltered ANN family — VectorOps.lshTopK " +
+      "(hyperplane buckets + multiprobe) or VectorOps.ivfTopK (inverted file) — " +
+      "then verify the surviving candidate set here.")
     val b = numBlocks
     val ds = vs.select(col("id").cast("long"), col("v").cast("array<double>"))
       .as[(Long, Seq[Double])]

@@ -197,6 +197,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("cosine threshold pairs refuses an over-bound corpus, pointing at the ANN family") {
+    val rnd = new scala.util.Random(17)
+    val vs = (0L until 40L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
+    // explicit bound below the corpus size -> fail fast, no job for the pair join
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.cosineThresholdPairs(vs, 0.3, numBlocks = 2, maxCorpusRows = 10L)
+    }
+    assert(ex.getMessage.contains("lshTopK") && ex.getMessage.contains("ivfTopK"))
+    assert(ex.getMessage.contains("40 rows"))
+    // same call below the bound still runs
+    assert(VectorOps.cosineThresholdPairs(vs, 0.3, numBlocks = 2, maxCorpusRows = 40L)
+      .count() > 0)
+    // session-conf form of the bound guards the default-argument path
+    spark.conf.set("spark.graft.cosPairs.maxCorpusRows", "10")
+    try {
+      val ex2 = intercept[IllegalArgumentException] {
+        VectorOps.cosineThresholdPairs(vs, 0.3)
+      }
+      assert(ex2.getMessage.contains("bound of 10"))
+    } finally spark.conf.unset("spark.graft.cosPairs.maxCorpusRows")
+  }
+
   test("lsh ann with full multiprobe coverage equals brute force") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
