@@ -62,10 +62,29 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
   private def canRead(tok: String): Boolean =
     tsdb.catalog.listTokens.exists(_.token == tok)
 
+  /** Write capability comes from the token's recorded permissions (any
+    * `write:` grant — bucket-scoped `write:orgs/<org>/buckets/<id>` or
+    * broader), matching the engine's permission-based model, with the
+    * legacy description forms kept only as a fallback for catalogs
+    * written before RO/RW records carried permission strings.
+    */
   private def canWrite(tok: String): Boolean =
     tsdb.catalog.listTokens.exists(r =>
       r.token == tok &&
-        (r.description == "greengrass_readwrite" || r.description.contains("'s Token")))
+        (r.permissions.exists(_.startsWith("write:")) ||
+          r.description == "greengrass_readwrite" || r.description.contains("'s Token")))
+
+  /** Listing authorizations returns every token's secret, so it needs
+    * an authorizations-scope grant (the operator's
+    * `read:authorizations`) — NOT just any registered token, or a
+    * bucket-scoped read-only token could harvest the operator token
+    * (full privilege escalation). Mirrors the engine's
+    * `read:authorizations` requirement on auth list.
+    */
+  private def canReadAuths(tok: String): Boolean =
+    tsdb.catalog.listTokens.exists(r =>
+      r.token == tok && r.permissions.exists(p =>
+        p == "read:authorizations" || p == "write:authorizations"))
 
   /** Operator token — the only one allowed to mint authorizations or
     * mutate orgs/buckets over the admin API (its permission set carries
@@ -113,12 +132,13 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     */
   private def adminContext(path: String,
       onGet: HttpExchange => (Int, String),
-      onPost: String => (Int, String)): Unit =
+      onPost: String => (Int, String),
+      getAuth: String => Boolean = canRead): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       try {
         ex.getRequestMethod match {
           case "GET" =>
-            if (tokenOf(ex).exists(canRead)) adminRespond(ex, onGet(ex))
+            if (tokenOf(ex).exists(getAuth)) adminRespond(ex, onGet(ex))
             else respond(ex, 401, err("unauthorized"))
           case "POST" =>
             if (tokenOf(ex).exists(isAdmin))
@@ -151,7 +171,8 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
 
   adminContext("/api/v2/authorizations",
     _ => V2Admin.listAuthorizations(tsdb.catalog),
-    body => V2Admin.createAuthorization(tsdb.catalog, body))
+    body => V2Admin.createAuthorization(tsdb.catalog, body),
+    getAuth = canReadAuths)
 
   // --- /api/v2/tasks: scheduled-Flux task CRUD (see FluxTasks) ---
 
@@ -212,15 +233,28 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             val node = Json.mapper.readTree(
               new String(ex.getRequestBody.readAllBytes(), UTF_8))
             val flux = Option(node.get("flux")).map(_.asText()).filter(_.nonEmpty)
-            val org = Option(node.get("org")).map(_.asText())
-              .orElse(Option(node.get("orgID")).map(_.asText())
-                .flatMap(id => tsdb.catalog.listOrgs.find(o => tsdb.catalog.orgId(o) == id)))
-              .orElse(tsdb.catalog.listOrgs.toSeq.sorted.headOption)
-            (flux, org) match {
-              case (Some(f), Some(o)) =>
-                val t = fluxTasks.create(f, o)
-                respond(ex, 201, Json.mapper.writeValueAsString(taskNode(t)))
-              case _ => respond(ex, 400, err("flux script body is required"))
+            val orgName = Option(node.get("org")).map(_.asText()).filter(_.nonEmpty)
+            val orgId = Option(node.get("orgID")).map(_.asText()).filter(_.nonEmpty)
+            // no silent default org: a task attributed to the wrong org
+            // would echo a wrong orgID back — fail loudly instead
+            flux match {
+              case None => respond(ex, 400, err("flux script body is required"))
+              case Some(f) => (orgName, orgId) match {
+                case (Some(o), _) if tsdb.catalog.listOrgs.contains(o) =>
+                  val t = fluxTasks.create(f, o)
+                  respond(ex, 201, Json.mapper.writeValueAsString(taskNode(t)))
+                case (Some(o), _) =>
+                  respond(ex, 404, err(s"organization '$o' not found"))
+                case (None, Some(id)) =>
+                  tsdb.catalog.listOrgs.find(o => tsdb.catalog.orgId(o) == id) match {
+                    case Some(o) =>
+                      val t = fluxTasks.create(f, o)
+                      respond(ex, 201, Json.mapper.writeValueAsString(taskNode(t)))
+                    case None =>
+                      respond(ex, 404, err(s"organization with id '$id' not found"))
+                  }
+                case (None, None) => respond(ex, 400, err("org or orgID is required"))
+              }
             }
           }
         case ("POST", Seq(id, "runs")) =>

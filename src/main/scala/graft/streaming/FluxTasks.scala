@@ -38,7 +38,9 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
 
   private final case class Entry(rec: TaskRec, handle: ScheduledFuture[_])
   private val registry = new TrieMap[String, Entry]
-  @volatile private var lastErrors = Map.empty[String, String]
+  // most-recent-run outcome only: cleared on any successful run
+  // (scheduled or manual) so lastRunError never shows a stale failure
+  private val lastErrors = new TrieMap[String, String]
 
   private val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
     val t = new Thread(r, "graft-flux-tasks"); t.setDaemon(true); t
@@ -53,6 +55,9 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
     case VDur(n, "h") => n * 3600L * 1000000000L
     case VDur(n, "d") => n * 86400L * 1000000000L
     case VDur(n, "w") => n * 7L * 86400L * 1000000000L
+    case VDur(n, u @ ("mo" | "y")) => throw new IllegalArgumentException(
+      s"unsupported task cadence unit '$u' in '$n$u': calendar-length units " +
+        "have no fixed nanosecond width; use w/d/h/m/s (e.g. 4w ≈ 1mo)")
     case other => throw new IllegalArgumentException(s"expected a duration, got $other")
   }
 
@@ -95,10 +100,10 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
     // so running the script IS the side effect — nothing is collected
     // to the driver
     val runnable: Runnable = () =>
-      try { FluxEval.run(flux, sourceFactory()); () }
+      try { FluxEval.run(flux, sourceFactory()); lastErrors.remove(id); () }
       catch {
         case e: Throwable =>
-          lastErrors += id -> Option(e.getMessage).getOrElse(e.toString)
+          lastErrors.put(id, Option(e.getMessage).getOrElse(e.toString))
       }
     val handle = scheduler.scheduleAtFixedRate(
       runnable, everyMs + offsetMs, everyMs, TimeUnit.MILLISECONDS)
@@ -123,7 +128,15 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
     * use instead of sleeping through a cadence).
     */
   def runNow(id: String): Boolean = registry.get(id) match {
-    case Some(e) => FluxEval.run(e.rec.flux, sourceFactory()); true
+    case Some(e) =>
+      // same bookkeeping as a scheduled run, but the failure also
+      // propagates so the manual-trigger HTTP call reports it
+      try { FluxEval.run(e.rec.flux, sourceFactory()); lastErrors.remove(id); true }
+      catch {
+        case ex: Throwable =>
+          lastErrors.put(id, Option(ex.getMessage).getOrElse(ex.toString))
+          throw ex
+      }
     case None => false
   }
 

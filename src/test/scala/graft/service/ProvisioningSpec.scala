@@ -194,6 +194,36 @@ class ProvisioningSpec extends SparkSpec {
     assert(q.body().contains("_value"), q.body())
   }
 
+  test("auth list requires an authorizations-scope token — no secret harvest by RO/RW") {
+    // a bucket-scoped token must not be able to list (and thus harvest)
+    // the operator token's plaintext secret: privilege escalation
+    assert(get("/api/v2/authorizations", Some(roToken)).statusCode() == 401)
+    assert(get("/api/v2/authorizations", Some(rwToken)).statusCode() == 401)
+    // non-secret admin metadata stays readable by any registered token
+    assert(get("/api/v2/buckets", Some(roToken)).statusCode() == 200)
+  }
+
+  test("write capability follows the token's permissions, not its description") {
+    // a write-scoped token under a custom description must write
+    val r = post("/api/v2/authorizations",
+      s"""{"orgID":"$orgId","description":"custom-writer","permissions":[
+         |{"action":"write","resource":{"type":"buckets","id":"$bucketId","orgID":"$orgId"}}]}""".stripMargin,
+      Some(adminToken))
+    assert(r.statusCode() == 201, r.body())
+    val writerTok = mapper.readTree(r.body()).get("token").asText()
+    assert(post("/api/v2/write?bucket=greengrass-telemetry",
+      "cpu,host=h9 usage=1 1705276802000000000", Some(writerTok)).statusCode() == 204)
+    // and a read-only scoped token cannot, whatever its description says
+    val r2 = post("/api/v2/authorizations",
+      s"""{"orgID":"$orgId","description":"definitely-not-admin","permissions":[
+         |{"action":"read","resource":{"type":"buckets","id":"$bucketId","orgID":"$orgId"}}]}""".stripMargin,
+      Some(adminToken))
+    assert(r2.statusCode() == 201, r2.body())
+    val roTok2 = mapper.readTree(r2.body()).get("token").asText()
+    assert(post("/api/v2/write?bucket=greengrass-telemetry",
+      "cpu,host=h9 usage=2 1705276803000000000", Some(roTok2)).statusCode() == 401)
+  }
+
   test("orgs endpoint lists and creates organizations") {
     val r = get("/api/v2/orgs", Some(adminToken))
     assert(r.statusCode() == 200)

@@ -157,4 +157,60 @@ class FluxTaskSpec extends SparkSpec {
     assert(req("GET", s"/api/v2/tasks/$id").statusCode() == 200)
     assert(req("DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
   }
+
+  test("POST without an org 400s; an unknown org or orgID 404s") {
+    val flux = taskFlux.replace("downsample-cpu", "org-checks")
+    val none = mapper.createObjectNode()
+    none.put("flux", flux)
+    assert(req("POST", "/api/v2/tasks", mapper.writeValueAsString(none)).statusCode() == 400)
+    val badName = mapper.createObjectNode()
+    badName.put("flux", flux); badName.put("org", "no-such-org")
+    assert(req("POST", "/api/v2/tasks", mapper.writeValueAsString(badName)).statusCode() == 404)
+    val badId = mapper.createObjectNode()
+    badId.put("flux", flux); badId.put("orgID", "ffffffffffffffff")
+    assert(req("POST", "/api/v2/tasks", mapper.writeValueAsString(badId)).statusCode() == 404)
+    // an orgID that resolves works (no silent fallback to a default org)
+    val goodId = mapper.createObjectNode()
+    goodId.put("flux", flux)
+    goodId.put("orgID", tsdb.catalog.orgId("greengrass"))
+    val ok = req("POST", "/api/v2/tasks", mapper.writeValueAsString(goodId))
+    assert(ok.statusCode() == 201, ok.body())
+    val node = mapper.readTree(ok.body())
+    assert(node.get("org").asText() == "greengrass")
+    req("DELETE", s"/api/v2/tasks/${node.get("id").asText()}")
+  }
+
+  test("calendar cadence units are rejected with an explicit message") {
+    val flux =
+      """option task = {name: "monthly", every: 1mo}
+        |from(bucket: "raw") |> range(start: 2024-01-15T00:00:00Z) |> to(bucket: "agg")""".stripMargin
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass"); n.put("flux", flux)
+    val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(r.statusCode() == 400, r.body())
+    assert(r.body().contains("unsupported task cadence unit"), r.body())
+  }
+
+  test("lastRunError records on a failed manual run and clears once a run succeeds") {
+    val flux =
+      """option task = {name: "late-sink", every: 1h}
+        |from(bucket: "raw")
+        ||> range(start: 2024-01-15T00:00:00Z, stop: 2024-01-15T01:00:00Z)
+        ||> aggregateWindow(every: 10m, fn: mean)
+        ||> to(bucket: "late-bucket")""".stripMargin
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass"); n.put("flux", flux)
+    val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(r.statusCode() == 201, r.body())
+    val id = mapper.readTree(r.body()).get("id").asText()
+    // manual run against a missing sink bucket: fails AND records
+    val fail = req("POST", s"/api/v2/tasks/$id/runs")
+    assert(fail.statusCode() >= 400, fail.body())
+    assert(mapper.readTree(req("GET", s"/api/v2/tasks/$id").body()).has("lastRunError"))
+    // create the sink; the next run succeeds and clears the stale error
+    tsdb.catalog.createBucket("late-bucket", "greengrass")
+    assert(req("POST", s"/api/v2/tasks/$id/runs").statusCode() == 201)
+    assert(!mapper.readTree(req("GET", s"/api/v2/tasks/$id").body()).has("lastRunError"))
+    req("DELETE", s"/api/v2/tasks/$id")
+  }
 }
