@@ -93,6 +93,23 @@ object FluxEval {
         val fr = fromBucket(str(args, "bucket"))
         if (fr.df.columns.contains("_field")) schemaValues(fr.df, col("_field"))
         else throw EvalException("schema.fieldKeys needs a source with a _field column")
+      // csv.from — the stdlib annotated-CSV source (`import "csv"`):
+      // the round-trip for the engine's own /api/v2/query output.
+      // Inline `csv:` string or a `file:` path; decoded driver-side
+      // (script-embedded payloads are KBs, never corpus data).
+      case Some(Call("csv.from", args)) =>
+        val text = args.get("csv").map(str0)
+          .orElse(args.get("file").map(f =>
+            java.nio.file.Files.readString(java.nio.file.Paths.get(str0(f)))))
+          .getOrElse(throw EvalException(
+            "csv.from(csv: \"…\") or csv.from(file: \"…\") expected"))
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df =
+          try graft.service.AnnotatedCsv.parse(text, spark)
+          catch { case e: IllegalArgumentException => throw EvalException(e.getMessage) }
+        val timeCol = if (df.columns.contains("_time")) "_time" else df.columns.head
+        val valueCol = if (df.columns.contains("_value")) "_value" else df.columns.last
+        FluxFrame(df, Nil, timeCol, valueCol)
       case Some(Call("__ref", args)) =>
         val name = str(args, "name")
         env.getOrElse(name, throw EvalException(s"undefined table variable '$name'"))

@@ -148,10 +148,42 @@ object FluxQueries {
         source(s, dir))
         .select(col("user_id"), r4(col("click_max")).as("click_max"),
           r4(col("purchase_max")).as("purchase_max"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // csv.from: the engine's own annotated-CSV output fed back in as a
+    // Flux source — query → AnnotatedCsv → csv.from must hash-equal the
+    // direct query (the stdlib round-trip a 2.0.9 user expects; csv
+    // decode is exact for doubles/timestamps, so no re-rounding drift).
+    "flux_csv_from" -> ((s, dir) => {
+      val direct = FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> filter(fn: (r) => r._measurement == "click" or r._measurement == "view")
+          ||> aggregateWindow(every: 6h, fn: mean)""".stripMargin,
+        source(s, dir))
+      val csv = graft.service.AnnotatedCsv.format(direct.toDF())
+      val embedded = "\"" + csv.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      FluxEval.run(
+        s"""import "csv"
+           |csv.from(csv: $embedded)
+           ||> sort(columns: ["_time"])""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
+        .orderBy("_measurement", "wend")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // csv.from round-trips the direct query exactly, so its oracle IS
+    // the direct query's SQL
+    "flux_csv_from" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
+        |  round(avg(value), 4) AS mean_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "flux_downsample" ->
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,

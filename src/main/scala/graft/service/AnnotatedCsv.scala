@@ -94,4 +94,106 @@ object AnnotatedCsv {
     if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
+
+  // ---------------- decoder: the Flux stdlib `csv.from` source ----------------
+
+  /** Decode the annotated-CSV dialect [[write]] emits back into a
+    * DataFrame — the `csv.from` round-trip a Flux user expects
+    * (query → annotated CSV → `csv.from` ≡ query). Schema comes from
+    * the `#datatype` row; the transport bookkeeping (`result`/`table`
+    * columns, `#group`/`#default` rows) is consumed, not returned —
+    * the pipeline operates on the data columns and the frame
+    * re-synthesizes bookkeeping on output.
+    *
+    * Decodes on the driver BY DESIGN: `csv.from(csv:)` payloads are
+    * script-embedded strings (KBs — a script body), never corpus data;
+    * file-scale CSV belongs to `spark.read.csv` with an explicit
+    * schema.
+    */
+  def parse(text: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val recs = records(text).filterNot(r => r.length == 1 && r.head.isEmpty)
+    if (recs.isEmpty)
+      throw new IllegalArgumentException("csv.from: empty annotated CSV")
+    val datatype = recs.find(_.head == "#datatype").getOrElse(
+      throw new IllegalArgumentException("csv.from: missing #datatype annotation"))
+    val header = recs.find(r => !r.head.startsWith("#")).getOrElse(
+      throw new IllegalArgumentException("csv.from: missing header row"))
+    // bookkeeping prefix: "",result,table — tolerate its absence so a
+    // hand-written annotated CSV without the transport columns loads too
+    val dataStart = header.indexOf("table") match {
+      case -1 => 0
+      case i => i + 1
+    }
+    val names = header.drop(dataStart)
+    val types = datatype.drop(dataStart).map {
+      case "long" | "unsignedLong" => LongType
+      case "double" => DoubleType
+      case "boolean" => BooleanType
+      case t if t.startsWith("dateTime") => TimestampType
+      case _ => StringType
+    }
+    if (names.length != types.length)
+      throw new IllegalArgumentException(
+        s"csv.from: #datatype has ${types.length} entries for ${names.length} columns")
+    def cell(raw: String, t: DataType): Any =
+      if (raw.isEmpty) null
+      else t match {
+        case LongType => raw.toLong
+        case DoubleType => raw.toDouble
+        case BooleanType => raw.toBoolean
+        case TimestampType =>
+          java.sql.Timestamp.from(java.time.Instant.parse(raw))
+        case _ => raw
+      }
+    val headerIdx = recs.indexOf(header)
+    val rows = recs.drop(headerIdx + 1)
+      .filterNot(_.head.startsWith("#")) // later annotation sections
+      .map { r =>
+        org.apache.spark.sql.Row.fromSeq(names.indices.map { j =>
+          cell(if (dataStart + j < r.length) r(dataStart + j) else "", types(j))
+        })
+      }
+    val schema = StructType(names.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Char-level CSV record reader: quoted fields may contain commas,
+    * doubled quotes, and raw CR/LF — exactly what [[escape]] produces.
+    */
+  private def records(s: String): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    val field = new StringBuilder
+    var fields = Seq.newBuilder[String]
+    var nFields = 0
+    var inQ = false
+    var quoted = false // current field was quoted (keeps "" as empty-but-present)
+    var i = 0
+    def endField(): Unit = {
+      fields += field.toString; nFields += 1; field.setLength(0); quoted = false
+    }
+    def endRec(): Unit = {
+      endField(); out += fields.result(); fields = Seq.newBuilder[String]; nFields = 0
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { field.append('"'); i += 1 }
+          else inQ = false
+        } else field.append(c)
+      } else c match {
+        case '"' => inQ = true; quoted = true
+        case ',' => endField()
+        case '\r' => // CRLF: the \n closes the record
+        case '\n' => endRec()
+        case other => field.append(other)
+      }
+      i += 1
+    }
+    if (field.nonEmpty || nFields > 0 || quoted) endRec() // no trailing newline
+    out.result()
+  }
 }

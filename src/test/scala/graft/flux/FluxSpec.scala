@@ -323,4 +323,42 @@ class FluxSpec extends SparkSpec {
       """from(bucket: "telemetry") |> to(bucket: "downsampled")""",
       src.copy(write = None)))
   }
+
+  test("annotated CSV round-trips through parse: types, nulls, quoting") {
+    val df = Seq(
+      (1L, Option(2.5), "plain", Option(true)),
+      (2L, None, "with,comma and \"quotes\"", Option(false)),
+      (3L, Option(-0.0001), "line\nbreak", None))
+      .toDF("n", "v", "s", "b")
+      .withColumn("t", to_timestamp(lit("2024-01-15 12:34:56.789")))
+    val csv = graft.service.AnnotatedCsv.format(df)
+    val back = graft.service.AnnotatedCsv.parse(csv, spark)
+    assert(back.schema == df.schema.copy(fields =
+      df.schema.fields.map(_.copy(nullable = true))))
+    assert(back.orderBy("n").collect().toSeq == df.orderBy("n").collect().toSeq)
+  }
+
+  test("csv.from evaluates an embedded annotated-CSV source and pipes on") {
+    val df = Seq(("click", 10.0), ("view", 20.0), ("click", 30.0))
+      .toDF("_measurement", "_value")
+      .withColumn("_time", to_timestamp(lit("2024-01-15 00:00:00")))
+    val csv = graft.service.AnnotatedCsv.format(df)
+    val embedded = "\"" + csv.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val out = FluxEval.run(
+      s"""import "csv"
+         |csv.from(csv: $embedded)
+         ||> filter(fn: (r) => r._measurement == "click")
+         ||> sum()""".stripMargin,
+      FluxEval.Source(resolve = _ => fail("csv.from must not resolve a bucket")))
+    val got = out.select("_value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(40.0))
+    // bookkeeping columns are consumed, not returned
+    assert(!out.columns.contains("result") && !out.columns.contains("table"))
+  }
+
+  test("csv.from rejects CSV without a #datatype annotation") {
+    assertThrows[FluxEval.EvalException](FluxEval.run(
+      "csv.from(csv: \"a,b\r\n1,2\r\n\")",
+      FluxEval.Source(resolve = _ => fail("unused"))))
+  }
 }
