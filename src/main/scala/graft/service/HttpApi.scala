@@ -190,9 +190,12 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       tsdb.to(b, d)
     }))
 
-  private val fluxTasks = new graft.streaming.FluxTasks(() => taskSource())
+  // tasks persist in the catalog: a new HttpApi over the same
+  // warehouse reschedules them (FluxTasks reload path)
+  private val fluxTasks =
+    new graft.streaming.FluxTasks(() => taskSource(), Some(tsdb.catalog))
 
-  private def taskNode(t: graft.streaming.FluxTasks#TaskRec):
+  private def taskNode(t: graft.store.TaskMeta):
       com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = Json.mapper.createObjectNode()
     n.put("id", t.id)

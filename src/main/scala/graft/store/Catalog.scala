@@ -35,12 +35,28 @@ final case class TokenRecord(
     permissions: Seq[String]
 )
 
+/** A scheduled-Flux task record (`/api/v2/tasks`): the pinned engine
+  * persists tasks in its KV store so they survive restarts — here they
+  * live in the catalog next to buckets/tokens and
+  * [[graft.streaming.FluxTasks]] reschedules them on start.
+  */
+final case class TaskMeta(
+    id: String,
+    name: String,
+    org: String,
+    flux: String,
+    everyNs: Long,
+    offsetNs: Long,
+    status: String
+)
+
 final class Catalog(val root: Path) {
   private val file: Path = root.resolve("_catalog.json")
 
   @volatile private var orgs: Set[String] = Set.empty
   @volatile private var buckets: Map[String, BucketMeta] = Map.empty
   @volatile private var tokens: Vector[TokenRecord] = Vector.empty
+  @volatile private var tasks: Vector[TaskMeta] = Vector.empty
 
   load()
 
@@ -48,6 +64,15 @@ final class Catalog(val root: Path) {
   def listBuckets: Seq[BucketMeta] = buckets.values.toSeq.sortBy(_.name)
   def bucket(name: String): Option[BucketMeta] = buckets.get(name)
   def listTokens: Seq[TokenRecord] = tokens
+  def listTasks: Seq[TaskMeta] = tasks
+
+  def addTask(t: TaskMeta): Unit = synchronized {
+    tasks = tasks.filterNot(_.id == t.id) :+ t; save()
+  }
+
+  def removeTask(id: String): Unit = synchronized {
+    tasks = tasks.filterNot(_.id == id); save()
+  }
 
   def createOrg(name: String): Unit = synchronized {
     orgs += name; save()
@@ -122,6 +147,14 @@ final class Catalog(val root: Path) {
         s"${jstr("status")}:${jstr(t.status)},${jstr("userName")}:${jstr(t.userName)},${jstr("userID")}:${jstr(t.userID)}," +
         s"${jstr("permissions")}:[${t.permissions.map(jstr).mkString(",")}]}"
     }.mkString(","))
+    sb.append("],\"tasks\":[")
+    // everyNs/offsetNs fit a double's 2^53 integer range (a week is
+    // 6e14 ns), so the JsonMini number path round-trips them exactly
+    sb.append(tasks.map { t =>
+      s"{${jstr("id")}:${jstr(t.id)},${jstr("name")}:${jstr(t.name)},${jstr("org")}:${jstr(t.org)}," +
+        s"${jstr("flux")}:${jstr(t.flux)},${jstr("everyNs")}:${t.everyNs},${jstr("offsetNs")}:${t.offsetNs}," +
+        s"${jstr("status")}:${jstr(t.status)}}"
+    }.mkString(","))
     sb.append("]}")
     Files.createDirectories(root)
     val tmp = root.resolve("_catalog.json.tmp")
@@ -147,6 +180,13 @@ final class Catalog(val root: Path) {
       TokenRecord(m("id").toString, m("description").toString, m("token").toString,
         m("status").toString, m("userName").toString, m("userID").toString,
         m("permissions").asInstanceOf[Seq[Any]].map(_.toString))
+    }.toVector
+    // absent in catalogs written before tasks were persisted
+    tasks = obj.getOrElse("tasks", Nil).asInstanceOf[Seq[Any]].map { t =>
+      val m = t.asInstanceOf[Map[String, Any]]
+      TaskMeta(m("id").toString, m("name").toString, m("org").toString,
+        m("flux").toString, m("everyNs").asInstanceOf[Double].toLong,
+        m("offsetNs").asInstanceOf[Double].toLong, m("status").toString)
     }.toVector
   }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.flux.{FluxEval, FluxParser}
 import graft.flux.FluxParser.{VDur, VRec, VStr, Value}
+import graft.store.{Catalog, TaskMeta}
 import java.util.concurrent.{Executors, ScheduledFuture, TimeUnit}
 import scala.collection.concurrent.TrieMap
 
@@ -22,21 +23,20 @@ import scala.collection.concurrent.TrieMap
   * of one run are recorded and do not cancel the schedule (matching
   * the engine's task-run error log).
   *
-  * Registry is in-process like [[ContinuousQueries]]'s; the catalog
-  * does not persist tasks across restarts (documented divergence).
+  * Persistence: task records live in the [[Catalog]] next to buckets
+  * and tokens (the pinned engine keeps them in its KV store), so a
+  * registry built over the same warehouse reschedules every persisted
+  * task on construction. Missed-run behavior across a restart: runs
+  * that would have fired while the process was down are SKIPPED — the
+  * schedule restarts at one full cadence after construction — and the
+  * next run backfills whatever its script's `range()` covers, which
+  * for the usual re-downsample shape makes skipped runs harmless
+  * (LWW dedup keeps re-runs idempotent).
   */
-final class FluxTasks(sourceFactory: () => FluxEval.Source) {
+final class FluxTasks(sourceFactory: () => FluxEval.Source,
+    catalog: Option[Catalog] = None) {
 
-  final case class TaskRec(
-      id: String,
-      name: String,
-      org: String,
-      flux: String,
-      everyNs: Long,
-      offsetNs: Long,
-      status: String)
-
-  private final case class Entry(rec: TaskRec, handle: ScheduledFuture[_])
+  private final case class Entry(rec: TaskMeta, handle: ScheduledFuture[_])
   private val registry = new TrieMap[String, Entry]
   // most-recent-run outcome only: cleared on any successful run
   // (scheduled or manual) so lastRunError never shows a stale failure
@@ -45,6 +45,9 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
   private val scheduler = Executors.newSingleThreadScheduledExecutor { r =>
     val t = new Thread(r, "graft-flux-tasks"); t.setDaemon(true); t
   }
+
+  // reload + reschedule everything the warehouse already knows about
+  catalog.foreach(_.listTasks.foreach(schedule))
 
   private def durNs(v: Value): Long = v match {
     case VDur(n, "ns") => n
@@ -73,11 +76,30 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
       .getOrElse("0s")
   }
 
-  /** Validate + register + schedule. The first run fires one `every`
-    * after creation (the engine schedules at the next cadence
-    * boundary); each run re-executes the full script.
+  /** Register the schedule for an (already validated) record — shared
+    * by [[create]] and the catalog reload path. First run fires one
+    * `every` (+ offset) after registration; each run re-executes the
+    * full script.
     */
-  def create(flux: String, org: String): TaskRec = synchronized {
+  private def schedule(rec: TaskMeta): Unit = {
+    val everyMs = math.max(1L, rec.everyNs / 1000000L)
+    val offsetMs = rec.offsetNs / 1000000L
+    // to() materializes eagerly during eval (FluxEval.scala `to` verb),
+    // so running the script IS the side effect — nothing is collected
+    // to the driver
+    val runnable: Runnable = () =>
+      try { FluxEval.run(rec.flux, sourceFactory()); lastErrors.remove(rec.id); () }
+      catch {
+        case e: Throwable =>
+          lastErrors.put(rec.id, Option(e.getMessage).getOrElse(e.toString))
+      }
+    val handle = scheduler.scheduleAtFixedRate(
+      runnable, everyMs + offsetMs, everyMs, TimeUnit.MILLISECONDS)
+    registry.put(rec.id, Entry(rec, handle))
+  }
+
+  /** Validate + register + schedule + persist. */
+  def create(flux: String, org: String): TaskMeta = synchronized {
     val prog = FluxParser.parseProgram(flux)
     val taskRec = prog.options.collectFirst { case ("task", r: VRec) => r }
       .getOrElse(throw new IllegalArgumentException(
@@ -94,31 +116,22 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
     require(!registry.values.exists(_.rec.name == name), s"task '$name' exists")
 
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    val everyMs = math.max(1L, everyNs / 1000000L)
-    val offsetMs = offsetNs / 1000000L
-    // to() materializes eagerly during eval (FluxEval.scala `to` verb),
-    // so running the script IS the side effect — nothing is collected
-    // to the driver
-    val runnable: Runnable = () =>
-      try { FluxEval.run(flux, sourceFactory()); lastErrors.remove(id); () }
-      catch {
-        case e: Throwable =>
-          lastErrors.put(id, Option(e.getMessage).getOrElse(e.toString))
-      }
-    val handle = scheduler.scheduleAtFixedRate(
-      runnable, everyMs + offsetMs, everyMs, TimeUnit.MILLISECONDS)
-    val rec = TaskRec(id, name, org, flux, everyNs, offsetNs, "active")
-    registry.put(id, Entry(rec, handle))
+    val rec = TaskMeta(id, name, org, flux, everyNs, offsetNs, "active")
+    schedule(rec)
+    catalog.foreach(_.addTask(rec))
     rec
   }
 
-  def list: Seq[TaskRec] = registry.values.map(_.rec).toSeq.sortBy(_.name)
-  def get(id: String): Option[TaskRec] = registry.get(id).map(_.rec)
+  def list: Seq[TaskMeta] = registry.values.map(_.rec).toSeq.sortBy(_.name)
+  def get(id: String): Option[TaskMeta] = registry.get(id).map(_.rec)
   def lastError(id: String): Option[String] = lastErrors.get(id)
 
   def delete(id: String): Boolean = synchronized {
     registry.remove(id) match {
-      case Some(e) => e.handle.cancel(false); true
+      case Some(e) =>
+        e.handle.cancel(false)
+        catalog.foreach(_.removeTask(id))
+        true
       case None => false
     }
   }
@@ -140,8 +153,13 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source) {
     case None => false
   }
 
+  /** Shutdown: cancel every schedule WITHOUT touching the persisted
+    * records — tasks must survive the restart (delete is the only
+    * unpersisting path).
+    */
   def stopAll(): Unit = synchronized {
-    registry.keys.foreach(delete)
+    registry.values.foreach(_.handle.cancel(false))
+    registry.clear()
     scheduler.shutdownNow()
   }
 }

@@ -213,4 +213,65 @@ class FluxTaskSpec extends SparkSpec {
     assert(!mapper.readTree(req("GET", s"/api/v2/tasks/$id").body()).has("lastRunError"))
     req("DELETE", s"/api/v2/tasks/$id")
   }
+
+  test("tasks persist in the catalog and reschedule after an engine restart") {
+    val root = Files.createTempDirectory("graft-task-restart").toString
+    def boot(): (Tsdb, HttpApi, String) = {
+      val t = Tsdb(spark, root)
+      val a = new HttpApi(t).start()
+      (t, a, s"http://127.0.0.1:${a.boundPort}")
+    }
+    def reqAt(b: String, method: String, path: String, body: String = "") = {
+      val rb = java.net.http.HttpRequest.newBuilder(URI.create(s"$b$path"))
+        .header("Authorization", "Token rwTok2")
+      val built = method match {
+        case "GET" => rb.GET()
+        case "POST" => rb.POST(HttpRequest.BodyPublishers.ofString(body))
+        case "DELETE" => rb.DELETE()
+      }
+      client.send(built.build(), HttpResponse.BodyHandlers.ofString())
+    }
+
+    // boot 1: provision + seed + create the task
+    val (t1, api1, base1) = boot()
+    t1.catalog.createOrg("greengrass")
+    t1.catalog.createBucket("raw2", "greengrass")
+    t1.catalog.createBucket("agg2", "greengrass")
+    t1.catalog.addToken(TokenRecord("2", "greengrass_readwrite", "rwTok2",
+      "active", "admin", "u1", Nil))
+    val seed = (0 until 60).map(i =>
+      s"cpu,host=h1 usage=${(i % 7).toDouble} ${(t0 + i * 60L) * 1000000000L}").mkString("\n")
+    assert(reqAt(base1, "POST", "/api/v2/write?bucket=raw2", seed).statusCode() == 204)
+    val flux =
+      """option task = {name: "restart-survivor", every: 1h}
+        |from(bucket: "raw2")
+        ||> range(start: 2024-01-15T00:00:00Z, stop: 2024-01-16T00:00:00Z)
+        ||> aggregateWindow(every: 10m, fn: mean)
+        ||> to(bucket: "agg2")""".stripMargin
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass"); n.put("flux", flux)
+    val created = reqAt(base1, "POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(created.statusCode() == 201, created.body())
+    val id = mapper.readTree(created.body()).get("id").asText()
+    api1.stop()
+
+    // boot 2: same warehouse, fresh Tsdb + HttpApi — the task must be
+    // listed (reloaded from the catalog) and fire on manual trigger
+    val (t2, api2, base2) = boot()
+    try {
+      val list = mapper.readTree(reqAt(base2, "GET", "/api/v2/tasks").body()).get("tasks")
+      assert(list.size() == 1, list.toString)
+      assert(list.get(0).get("id").asText() == id)
+      assert(list.get(0).get("name").asText() == "restart-survivor")
+      assert(list.get(0).get("every").asText() == "1h")
+      assert(reqAt(base2, "POST", s"/api/v2/tasks/$id/runs").statusCode() == 201)
+      assert(t2.from("agg2").df.count() > 0, "rescheduled task run wrote nothing")
+      // delete is the only unpersisting path: a third boot sees nothing
+      assert(reqAt(base2, "DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
+    } finally api2.stop()
+    val (_, api3, base3) = boot()
+    try assert(mapper.readTree(
+      reqAt(base3, "GET", "/api/v2/tasks").body()).get("tasks").size() == 0)
+    finally api3.stop()
+  }
 }
