@@ -184,6 +184,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * since-last-compaction tail pays for dedup.
     */
   def read(bucket: String): DataFrame = {
+    // a crashed compact/delete may have left a retired partition not
+    // yet re-promoted — finish that transition before planning the scan
+    // (no-op without orphans: one driver-side directory listing)
+    recover(bucket)
     val raw = readRaw(bucket)
     val deduped =
       if (isClean(bucket)) raw
@@ -246,6 +250,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * overflowing ofEpochDay's range.
     */
   private def deleteLocked(bucket: String, startNs: Long, stopNs: Long, predicate: Column): Unit = {
+    recoverLocked(bucket)
     bumpVersion(bucket)
     val path = catalog.bucketPath(bucket)
     def dayOf(ns: Long): java.time.LocalDate = {
@@ -302,6 +307,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 
   private def compactLocked(bucket: String, targetFiles: Int): Unit = {
     val path = catalog.bucketPath(bucket)
+    // a previous sweep may have crashed mid-replace: restore/promote
+    // first so partitions() sees every day, then rewrite them all —
+    // "the next sweep completes compaction"
+    recoverLocked(bucket)
     partitions(bucket).foreach { day =>
       val dir = path.resolve(s"dt=$day")
       val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)
@@ -333,9 +342,99 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       .sorted
   }
 
+  /** Test-only crash injection: invoked between the retire and promote
+    * renames of [[replaceDir]] — the one window where the live
+    * partition directory is absent. A hook that throws simulates a
+    * process kill at the worst possible instant.
+    */
+  @volatile private[store] var replaceCrashHook: java.nio.file.Path => Unit = _ => ()
+
+  /** Crash-safe publish of a rewritten partition. Two renames instead
+    * of delete-then-move, so every crash point leaves a recoverable
+    * state ([[recover]] completes or rolls back the transition):
+    *
+    *   1. before retire: target intact, tmp hidden from readers
+    *   2. between retire and promote: `.old-<dir>` holds the previous
+    *      data, tmp holds the rewrite (with its `_SUCCESS` marker) —
+    *      recovery promotes tmp (or restores `.old` if tmp is torn)
+    *   3. after promote, before cleanup: both target and `.old` exist —
+    *      recovery just drops `.old`
+    *
+    * Without this, a kill between the delete and the move silently lost
+    * the whole day partition.
+    */
   private def replaceDir(target: java.nio.file.Path, tmp: java.nio.file.Path): Unit = {
-    deleteRecursively(target.toFile)
+    val old = target.resolveSibling(".old-" + target.getFileName.toString)
+    deleteRecursively(old.toFile) // stale leftover from a completed cycle
+    if (java.nio.file.Files.exists(target))
+      java.nio.file.Files.move(target, old)
+    replaceCrashHook(target)
     java.nio.file.Files.move(tmp, target)
+    deleteRecursively(old.toFile)
+  }
+
+  /** Complete any [[replaceDir]] transition a crash interrupted. Cheap
+    * no-op when the bucket directory has no `.old-`/`.tmp-` orphans
+    * (one driver-side listing); only locks and mutates when there is
+    * something to fix, so steady-state reads never contend with a live
+    * compaction.
+    */
+  def recover(bucket: String): Unit = {
+    val dir = catalog.bucketPath(bucket).toFile
+    val names = Option(dir.listFiles()).map(_.toSeq.map(_.getName)).getOrElse(Nil)
+    // Actionable = a retired dir, or a completed rewrite whose target is
+    // missing. A tmp still being written by a LIVE compaction (target
+    // present) is NOT actionable — reads must not block behind the
+    // bucket lock for a whole compaction sweep just to clean it up.
+    def tmpPart(n: String): String =
+      n.stripPrefix(".tmp-compact-").stripPrefix(".tmp-delete-")
+    val actionable = names.exists(_.startsWith(".old-")) ||
+      names.exists(n => n.startsWith(".tmp-") && !names.contains(tmpPart(n)))
+    if (actionable)
+      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+        recoverLocked(bucket)
+      }
+  }
+
+  private def recoverLocked(bucket: String): Unit = {
+    val path = catalog.bucketPath(bucket)
+    val entries = Option(path.toFile.listFiles()).map(_.toSeq).getOrElse(Nil)
+    val names = entries.map(_.getName)
+    def complete(tmpName: String): Boolean =
+      java.nio.file.Files.exists(path.resolve(tmpName).resolve("_SUCCESS"))
+    // partition names touched by an interrupted transition
+    val touched = names.collect {
+      case n if n.startsWith(".old-") => n.stripPrefix(".old-")
+      case n if n.startsWith(".tmp-compact-") => n.stripPrefix(".tmp-compact-")
+      case n if n.startsWith(".tmp-delete-") => n.stripPrefix(".tmp-delete-")
+    }.distinct
+    var changed = false
+    touched.foreach { part =>
+      val target = path.resolve(part)
+      val old = path.resolve(s".old-$part")
+      val tmps = Seq(s".tmp-compact-$part", s".tmp-delete-$part").filter(names.contains)
+      if (java.nio.file.Files.exists(target)) {
+        // promote already happened (or rewrite never retired): the
+        // target is canonical — drop the leftovers
+        if (java.nio.file.Files.exists(old)) { deleteRecursively(old.toFile); changed = true }
+        tmps.foreach { t => deleteRecursively(path.resolve(t).toFile); changed = true }
+      } else {
+        tmps.find(complete) match {
+          case Some(t) => // finish the promote; the rewrite is whole
+            java.nio.file.Files.move(path.resolve(t), target)
+            if (java.nio.file.Files.exists(old)) deleteRecursively(old.toFile)
+            tmps.filterNot(_ == t).foreach(x => deleteRecursively(path.resolve(x).toFile))
+            changed = true
+          case None if java.nio.file.Files.exists(old) => // torn rewrite: roll back
+            java.nio.file.Files.move(old, target)
+            tmps.foreach(x => deleteRecursively(path.resolve(x).toFile))
+            changed = true
+          case None => // torn rewrite, nothing retired: drop the debris
+            tmps.foreach { t => deleteRecursively(path.resolve(t).toFile); changed = true }
+        }
+      }
+    }
+    if (changed) bumpVersion(bucket)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

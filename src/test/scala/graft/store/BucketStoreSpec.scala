@@ -60,6 +60,64 @@ class BucketStoreSpec extends SparkSpec {
       .filter(col("field") === "usage").select("value_f").collect().head.getDouble(0) == 0.7)
   }
 
+  test("compaction crash between retire and promote: reads stay correct, next sweep completes") {
+    val tsdb = freshTsdb()
+    // duplicate keys on BOTH days so dedup has real work everywhere
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.5 $t0",
+      s"cpu,host=h2 usage=0.6 ${t0 + 1}",
+      s"mem,host=h1 free=1i ${t0 + 86400L * 1000000000L}"))
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.9 $t0",
+      s"mem,host=h1 free=2i ${t0 + 86400L * 1000000000L}"))
+    def snapshot() = tsdb.from("telemetry").toDF
+      .orderBy("measurement", "field", "time_ns")
+      .select("measurement", "field", "time_ns", "value_f", "value_i")
+      .collect().toSeq
+    val expected = snapshot()
+    // kill the process between the retire and promote renames — the one
+    // window where the live partition directory is absent
+    tsdb.store.replaceCrashHook =
+      p => throw new RuntimeException(s"injected kill at $p")
+    try intercept[RuntimeException](tsdb.store.compact("telemetry"))
+    finally tsdb.store.replaceCrashHook = _ => ()
+    // no clean marker: the interrupted sweep must NOT enable the fast path
+    assert(!tsdb.store.isClean("telemetry"))
+    // reads recover the retired partition and stay correct on the LWW slow path
+    assert(snapshot() == expected)
+    // the next sweep completes compaction: marker set, dedup physical
+    tsdb.store.compact("telemetry")
+    assert(tsdb.store.isClean("telemetry"))
+    assert(tsdb.fromRaw("telemetry").toDF.count() == 3)
+    assert(snapshot() == expected)
+    // and no transition debris is left behind
+    val entries = tsdb.catalog.bucketPath("telemetry").toFile.listFiles().map(_.getName)
+    assert(!entries.exists(n => n.startsWith(".old-") || n.startsWith(".tmp-")), entries.mkString(","))
+  }
+
+  test("a torn compaction rewrite (no _SUCCESS) rolls back to the retired data") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("telemetry", Seq(
+      s"cpu,host=h1 usage=0.5 $t0",
+      s"cpu,host=h1 usage=0.9 $t0"))
+    def snapshot() = tsdb.from("telemetry").toDF
+      .select("measurement", "field", "time_ns", "value_f").collect().toSeq
+    val expected = snapshot()
+    // stage the crash-mid-rewrite state by hand: partition retired, tmp
+    // directory exists but the job never committed (no _SUCCESS)
+    val path = tsdb.catalog.bucketPath("telemetry")
+    val part = "dt=2024-01-15"
+    Files.move(path.resolve(part), path.resolve(s".old-$part"))
+    Files.createDirectories(path.resolve(s".tmp-compact-$part"))
+    Files.write(path.resolve(s".tmp-compact-$part").resolve("part-torn.parquet"),
+      Array[Byte](0, 1, 2))
+    // the read rolls the retired data back in place and stays correct
+    assert(snapshot() == expected)
+    assert(tsdb.store.partitions("telemetry") == Seq(java.time.LocalDate.parse("2024-01-15")))
+    val entries = path.toFile.listFiles().map(_.getName)
+    assert(!entries.exists(n => n.startsWith(".old-") || n.startsWith(".tmp-")), entries.mkString(","))
+  }
+
   test("hash-colliding bucket names store disjoint data") {
     // "Aa" and "BB" have identical String.hashCode AND identical length —
     // the classic collision that folded two buckets onto one directory
