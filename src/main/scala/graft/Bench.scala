@@ -96,7 +96,15 @@ object Bench {
     }.sorted
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"load_suspect_queries":$suspectJson,"load_contaminated":${suspect.nonEmpty},"sf":"$sf"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"reps":$reps,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"load_suspect_queries":$suspectJson,"load_contaminated":${suspect.nonEmpty},"sf":"$sf"}"""
+    println(line)
+    // The driver's BENCH_r*.json capture keeps only the tail of a long
+    // stdout line ("parsed": null), losing most per-query numbers from
+    // the artifact of record. Persist the whole JSON to a file too, so
+    // PERF.md can quote every query from the shipped artifact.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }
