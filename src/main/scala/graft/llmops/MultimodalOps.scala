@@ -15,12 +15,15 @@ import org.apache.spark.sql.types._
   * `javax.imageio` (PNG/JPEG/BMP/GIF — zero external dependencies), so
   * the width/height/per-channel-mean path is a genuine byte-level
   * decode. AUDIO decodes for real too: [[AudioCodec]] rides the
-  * JRE-builtin `javax.sound.sampled` (WAV/PCM). VIDEO remains STUBBED
-  * with a deterministic fake (this container ships no video codecs),
-  * but everything Spark-side is real and tested: the schema, the
-  * binary payload flow, the batch iterator shape, the partitioning,
-  * and the frame-explosion plumbing. Swapping `StubCodec` for a
-  * JNI/ONNX decoder changes no plan shape.
+  * JRE-builtin `javax.sound.sampled` (WAV/PCM). VIDEO container
+  * HEADERS parse for real ([[VideoContainer]]: MP4 `moov`/`mvhd`/
+  * `tkhd` atoms and AVI RIFF `avih` — duration, track count,
+  * resolution from genuine container bytes); only frame DECODE remains
+  * STUBBED with a deterministic fake (this container ships no video
+  * codecs), with everything Spark-side real and tested: the schema,
+  * the binary payload flow, the batch iterator shape, the
+  * partitioning, and the frame-explosion plumbing. Swapping
+  * `StubCodec` for a JNI/ONNX decoder changes no plan shape.
   */
 object MultimodalOps {
 
@@ -202,6 +205,237 @@ object MultimodalOps {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+  }
+
+  /** Per-video container summary — header parse only. Frame DECODE
+    * stays stubbed (no JRE-builtin video codec exists); the container
+    * metadata walk is real byte-level parsing.
+    */
+  final case class VideoInfo(container: String, durationMs: Long, tracks: Int,
+      width: Int, height: Int)
+
+  /** REAL video container header parser (MP4/ISO-BMFF `moov` atoms and
+    * AVI RIFF `avih`), zero dependencies — the honest bounded step
+    * toward the last stubbed modality: duration, track count and
+    * resolution come from genuine container bytes; frame decode remains
+    * [[StubCodec]].
+    */
+  object VideoContainer {
+
+    def parse(bytes: Array[Byte]): VideoInfo =
+      if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+          bytes(6) == 'y' && bytes(7) == 'p') parseMp4(bytes)
+      else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
+          bytes(9) == 'V' && bytes(10) == 'I') parseAvi(bytes)
+      else throw new IllegalArgumentException(
+        "payload is neither an MP4 (ftyp) nor an AVI (RIFF/AVI ) container")
+
+    // --- MP4: big-endian [size, 4cc] box tree; moov/mvhd carries
+    // timescale+duration, each trak/tkhd a track with 16.16 fixed-point
+    // width/height ---
+    private def parseMp4(bytes: Array[Byte]): VideoInfo = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // locate the top-level moov box
+      var off = 0
+      var moov = -1; var moovEnd = -1
+      while (off + 8 <= bytes.length && moov < 0) {
+        val size = bb.getInt(off)
+        require(size >= 8, s"bad mp4 box size $size at $off")
+        if (fourcc(off) == "moov") { moov = off + 8; moovEnd = off + size }
+        off += size
+      }
+      require(moov >= 0, "mp4: no moov box")
+      var durationMs = 0L; var tracks = 0; var width = 0; var height = 0
+      var o = moov
+      while (o + 8 <= moovEnd) {
+        val size = bb.getInt(o)
+        require(size >= 8, s"bad moov child size $size at $o")
+        fourcc(o) match {
+          case "mvhd" =>
+            // v0: version+flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+            val timescale = bb.getInt(o + 20)
+            val duration = bb.getInt(o + 24).toLong & 0xFFFFFFFFL
+            durationMs = duration * 1000L / timescale
+          case "trak" =>
+            tracks += 1
+            // first child is tkhd: width/height at payload offsets 76/80
+            // (v0), 16.16 fixed point; first track with a real extent
+            // is the video track
+            val tkhd = o + 8
+            if (fourcc(tkhd) == "tkhd" && width == 0) {
+              val w = bb.getInt(tkhd + 8 + 76) >>> 16
+              val h = bb.getInt(tkhd + 8 + 80) >>> 16
+              if (w > 0) { width = w; height = h }
+            }
+          case _ => ()
+        }
+        o += size
+      }
+      VideoInfo("mp4", durationMs, tracks, width, height)
+    }
+
+    // --- AVI: little-endian RIFF; LIST hdrl's avih chunk carries
+    // usPerFrame, totalFrames, stream count and resolution ---
+    private def parseAvi(bytes: Array[Byte]): VideoInfo = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      var off = 12 // past RIFF size 'AVI '
+      while (off + 8 <= bytes.length) {
+        val id = fourcc(off)
+        val size = bb.getInt(off + 4)
+        if (id == "LIST" && off + 12 <= bytes.length && fourcc(off + 8) == "hdrl") {
+          // first hdrl chunk is avih
+          val avih = off + 12
+          require(fourcc(avih) == "avih", "avi: hdrl does not start with avih")
+          val p = avih + 8
+          val usPerFrame = bb.getInt(p)
+          val totalFrames = bb.getInt(p + 16)
+          val streams = bb.getInt(p + 24)
+          val width = bb.getInt(p + 32)
+          val height = bb.getInt(p + 36)
+          return VideoInfo("avi",
+            totalFrames.toLong * usPerFrame / 1000L, streams, width, height)
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      throw new IllegalArgumentException("avi: no hdrl/avih header")
+    }
+
+    /** Synthesize a minimal VALID MP4 header (ftyp + moov[mvhd +
+      * tracks×trak/tkhd]) — lossless for the fields [[parse]] reads,
+      * so the gate oracle recomputes them from the closed-form formula.
+      * Only the first track carries the visual extent, like real files.
+      */
+    def encodeMp4Header(timescale: Int, duration: Long, tracks: Int,
+        width: Int, height: Int): Array[Byte] = {
+      def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(8 + payload.length)
+        bb.put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        bb.put(payload)
+        bb.array()
+      }
+      val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+        .put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .putInt(0).array())
+      val mvhd = {
+        val p = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.BIG_ENDIAN)
+        p.putInt(0)                 // version 0 + flags
+        p.putInt(0).putInt(0)       // ctime, mtime
+        p.putInt(timescale)
+        p.putInt(duration.toInt)
+        p.putInt(0x00010000)        // rate 1.0
+        p.putShort(0x0100.toShort)  // volume 1.0
+        p.position(p.position() + 10) // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) // unity matrix
+          .foreach(p.putInt)
+        p.position(p.position() + 24) // pre_defined
+        p.putInt(tracks + 1)          // next track id
+        box("mvhd", p.array())
+      }
+      def trak(id: Int, w: Int, h: Int): Array[Byte] = {
+        val p = java.nio.ByteBuffer.allocate(84).order(java.nio.ByteOrder.BIG_ENDIAN)
+        p.putInt(3)            // version 0, flags: enabled | in movie
+        p.putInt(0).putInt(0)  // ctime, mtime
+        p.putInt(id)
+        p.putInt(0)            // reserved
+        p.putInt(duration.toInt)
+        p.position(p.position() + 8)  // reserved
+        p.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/volume/reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(p.putInt)
+        p.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+        box("trak", box("tkhd", p.array()))
+      }
+      val traks = (1 to tracks).map(i =>
+        if (i == 1) trak(i, width, height) else trak(i, 0, 0))
+      ftyp ++ box("moov", mvhd ++ traks.flatten)
+    }
+
+    /** Synthesize a minimal VALID AVI header (RIFF/AVI LIST hdrl avih),
+      * little-endian per the RIFF spec — the AVI twin of
+      * [[encodeMp4Header]].
+      */
+    def encodeAviHeader(usPerFrame: Int, totalFrames: Int, streams: Int,
+        width: Int, height: Int): Array[Byte] = {
+      val avih = java.nio.ByteBuffer.allocate(8 + 56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      avih.put("avih".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      avih.putInt(56)
+      avih.putInt(usPerFrame)
+      avih.putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, flags
+      avih.putInt(totalFrames)
+      avih.putInt(0)                     // initialFrames
+      avih.putInt(streams)
+      avih.putInt(0)                     // suggestedBufferSize
+      avih.putInt(width).putInt(height)
+      avih.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+      val hdrl = "hdrl".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ avih.array()
+      val list = java.nio.ByteBuffer.allocate(8 + hdrl.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      list.put("LIST".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      list.putInt(hdrl.length)
+      list.put(hdrl)
+      val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ list.array()
+      val riff = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      riff.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      riff.putInt(body.length)
+      riff.put(body)
+      riff.array()
+    }
+  }
+
+  /** Batched REAL container-header decode for video rows: appends
+    * (container, duration_ms, tracks, width, height) parsed from the
+    * payload bytes — same mapInPandas-shaped batching as the image and
+    * audio paths. Frame decode stays stubbed; this is the metadata
+    * walk a curation pipeline runs first anyway (drop sub-resolution /
+    * over-length assets before paying for any frame decode).
+    */
+  def decodeVideoStats(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add("container", StringType).add("duration_ms", LongType)
+      .add("tracks", IntegerType).add("width", IntegerType).add("height", IntegerType)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    df.filter(col("kind") === "video").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val v = VideoContainer.parse(row.getAs[Array[Byte]](bytesIdx))
+          Row.fromSeq(row.toSeq ++ Seq[Any](
+            v.container, v.durationMs, v.tracks, v.width, v.height))
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-container media table: video payloads are
+    * genuine MP4/AVI header bytes built from a closed-form formula per
+    * id, so a SQL oracle recomputes every parsed field while Spark
+    * recovers it from the BYTES via the container walk.
+    */
+  def syntheticVideo(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val width = 320 + (i % 4) * 160
+      val height = 240 + (i % 3) * 120
+      val tracks = 1 + i % 3
+      val durationMs = if (i % 2 == 0) 2000L + i * 500L else (100L + i * 25L) * 40L
+      val bytes =
+        if (i % 2 == 0) // mp4: timescale 1000 → ticks are ms
+          VideoContainer.encodeMp4Header(1000, durationMs, tracks, width, height)
+        else            // avi: 25 fps → 40 ms/frame
+          VideoContainer.encodeAviHeader(40000, (100 + i * 25), tracks, width, height)
+      Row(i.toLong, "video", bytes,
+        Row(if (i % 2 == 0) "video/mp4" else "video/x-msvideo",
+          width, height, null, durationMs))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }
 
   /** Batched REAL audio decode: appends (sample_rate, channels, frames,

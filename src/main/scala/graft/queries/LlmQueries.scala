@@ -292,6 +292,21 @@ object LlmQueries {
           col("duration_ms").as("duration_ms"),
           r4(col("rms")).as("rms"),
           col("peak").cast("long").as("peak"))
+        .orderBy("media_id")),
+
+    // video container-header parse: payloads are genuine MP4 moov /
+    // AVI avih header bytes built from a closed-form formula; Spark
+    // walks the real container structure executor-side, the oracle
+    // recomputes the fields from the formula (the header encode is
+    // lossless for every parsed field). Frame decode stays stubbed —
+    // this is the metadata pass a curation pipeline runs first.
+    "media_video" -> ((s, _) =>
+      MultimodalOps.decodeVideoStats(MultimodalOps.syntheticVideo(s, 20))
+        .select(col("media_id"), col("container"),
+          col("duration_ms"),
+          col("tracks").cast("long").as("tracks"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
         .orderBy("media_id"))
   )
 
@@ -765,6 +780,20 @@ object LlmQueries {
         |  any_value(frames) * 1000 // any_value(rate) AS duration_ms,
         |  round(sqrt(CAST(sum(s * s) AS DOUBLE) / any_value(frames)), 4) AS rms,
         |  max(abs(s)) AS peak
-        |FROM smp GROUP BY 1 ORDER BY 1""")
+        |FROM smp GROUP BY 1 ORDER BY 1"""),
+
+    // media_video: Spark walks REAL MP4/AVI header bytes; the oracle
+    // recomputes every parsed field from the generator's closed-form
+    // formula (mp4 timescale 1000 → ticks are ms; avi 40000 µs/frame →
+    // 40 ms per frame).
+    "media_video" -> w(
+      """SELECT i AS media_id,
+        |  CASE WHEN i % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |  CASE WHEN i % 2 = 0 THEN 2000 + i * 500
+        |       ELSE (100 + i * 25) * 40 END AS duration_ms,
+        |  1 + i % 3 AS tracks,
+        |  320 + (i % 4) * 160 AS width,
+        |  240 + (i % 3) * 120 AS height
+        |FROM (SELECT unnest(range(0, 20)) AS i) ORDER BY 1""")
   )
 }

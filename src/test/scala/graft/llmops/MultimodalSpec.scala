@@ -142,6 +142,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("VideoContainer: MP4 and AVI header round-trips recover exact fields") {
+    import MultimodalOps.VideoContainer
+    val mp4 = VideoContainer.parse(
+      VideoContainer.encodeMp4Header(timescale = 600, duration = 4500L,
+        tracks = 2, width = 1920, height = 1080))
+    assert(mp4 == MultimodalOps.VideoInfo("mp4", 7500L, 2, 1920, 1080))
+    val avi = VideoContainer.parse(
+      VideoContainer.encodeAviHeader(usPerFrame = 40000, totalFrames = 250,
+        streams = 3, width = 640, height = 480))
+    assert(avi == MultimodalOps.VideoInfo("avi", 10000L, 3, 640, 480))
+    // neither magic: loud failure, not a garbage parse
+    intercept[IllegalArgumentException](
+      VideoContainer.parse(Array.tabulate[Byte](32)(_.toByte)))
+  }
+
+  test("decodeVideoStats walks real container bytes distributed, matching the formula") {
+    val stats = MultimodalOps.decodeVideoStats(MultimodalOps.syntheticVideo(spark, 12))
+      .select("media_id", "container", "duration_ms", "tracks", "width", "height")
+      .orderBy("media_id").collect()
+    assert(stats.length == 12)
+    stats.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(1) == (if (i % 2 == 0) "mp4" else "avi"))
+      val expectMs = if (i % 2 == 0) 2000L + i * 500L else (100L + i * 25L) * 40L
+      assert(r.getLong(2) == expectMs, s"duration mismatch at $i")
+      assert(r.getInt(3) == 1 + i % 3)
+      assert(r.getInt(4) == 320 + (i % 4) * 160)
+      assert(r.getInt(5) == 240 + (i % 3) * 120)
+    }
+  }
+
   test("frame sampling explodes one row per interval within duration") {
     val frames = MultimodalOps.sampleFrames(media, everyMs = 250)
     val perAsset = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
