@@ -59,8 +59,11 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       .filter(_.startsWith("Token "))
       .map(_.stripPrefix("Token "))
 
+  // every capability requires an ACTIVE token: PATCH
+  // /api/v2/authorizations/<id> {"status":"inactive"} revokes access
+  // without deleting the record, like the engine
   private def canRead(tok: String): Boolean =
-    tsdb.catalog.listTokens.exists(_.token == tok)
+    tsdb.catalog.listTokens.exists(r => r.token == tok && r.status == "active")
 
   /** Write capability comes from the token's recorded permissions (any
     * `write:` grant — bucket-scoped `write:orgs/<org>/buckets/<id>` or
@@ -70,7 +73,7 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     */
   private def canWrite(tok: String): Boolean =
     tsdb.catalog.listTokens.exists(r =>
-      r.token == tok &&
+      r.token == tok && r.status == "active" &&
         (r.permissions.exists(_.startsWith("write:")) ||
           r.description == "greengrass_readwrite" || r.description.contains("'s Token")))
 
@@ -83,7 +86,7 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     */
   private def canReadAuths(tok: String): Boolean =
     tsdb.catalog.listTokens.exists(r =>
-      r.token == tok && r.permissions.exists(p =>
+      r.token == tok && r.status == "active" && r.permissions.exists(p =>
         p == "read:authorizations" || p == "write:authorizations"))
 
   /** Operator token — the only one allowed to mint authorizations or
@@ -92,7 +95,8 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     */
   private def isAdmin(tok: String): Boolean =
     tsdb.catalog.listTokens.exists(r =>
-      r.token == tok && r.permissions.contains("write:authorizations"))
+      r.token == tok && r.status == "active" &&
+        r.permissions.contains("write:authorizations"))
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json"): Unit = {
@@ -125,27 +129,38 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
   private def adminRespond(ex: HttpExchange, r: (Int, String)): Unit =
     respond(ex, r._1, r._2)
 
-  /** Shared GET/POST dispatch for the admin contexts: GET needs any
-    * registered token, POST the operator token. `/api/v2/setup` is the
-    * exception (handled separately): it must answer unauthenticated,
-    * since it runs before any token exists.
+  /** Shared dispatch for the admin contexts: GET needs any registered
+    * token, mutations (POST, and DELETE/PATCH on `<path>/<id>`) the
+    * operator token. `/api/v2/setup` is the exception (handled
+    * separately): it must answer unauthenticated, since it runs before
+    * any token exists.
     */
   private def adminContext(path: String,
       onGet: HttpExchange => (Int, String),
       onPost: String => (Int, String),
-      getAuth: String => Boolean = canRead): Unit =
+      getAuth: String => Boolean = canRead,
+      onDelete: String => (Int, String) = _ => (405, """{"message": "DELETE unsupported"}"""),
+      onPatch: (String, String) => (Int, String) =
+        (_, _) => (405, """{"message": "PATCH unsupported"}""")): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       try {
-        ex.getRequestMethod match {
-          case "GET" =>
+        val sub = ex.getRequestURI.getPath.stripPrefix(path)
+          .split("/").toSeq.filter(_.nonEmpty)
+        def body(): String = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        (ex.getRequestMethod, sub) match {
+          case ("GET", Seq()) =>
             if (tokenOf(ex).exists(getAuth)) adminRespond(ex, onGet(ex))
             else respond(ex, 401, err("unauthorized"))
-          case "POST" =>
-            if (tokenOf(ex).exists(isAdmin))
-              adminRespond(ex, onPost(
-                new String(ex.getRequestBody.readAllBytes(), UTF_8)))
+          case ("POST", Seq()) =>
+            if (tokenOf(ex).exists(isAdmin)) adminRespond(ex, onPost(body()))
             else respond(ex, 401, err("unauthorized: operator token required"))
-          case _ => respond(ex, 405, err("GET or POST only"))
+          case ("DELETE", Seq(id)) =>
+            if (tokenOf(ex).exists(isAdmin)) adminRespond(ex, onDelete(id))
+            else respond(ex, 401, err("unauthorized: operator token required"))
+          case ("PATCH", Seq(id)) =>
+            if (tokenOf(ex).exists(isAdmin)) adminRespond(ex, onPatch(id, body()))
+            else respond(ex, 401, err("unauthorized: operator token required"))
+          case _ => respond(ex, 405, err("unsupported method or path"))
         }
       } catch { case e: Throwable => respond(ex, 500, err(e.getMessage)) }
     })
@@ -163,16 +178,21 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
 
   adminContext("/api/v2/buckets",
     ex => V2Admin.listBuckets(tsdb.catalog, query(ex, "name")),
-    body => V2Admin.createBucket(tsdb.catalog, body))
+    body => V2Admin.createBucket(tsdb.catalog, body),
+    onDelete = id => V2Admin.deleteBucket(tsdb.catalog, id),
+    onPatch = (id, body) => V2Admin.patchBucket(tsdb.catalog, id, body))
 
   adminContext("/api/v2/orgs",
     ex => V2Admin.listOrgs(tsdb.catalog, query(ex, "org")),
-    body => V2Admin.createOrg(tsdb.catalog, body))
+    body => V2Admin.createOrg(tsdb.catalog, body),
+    onDelete = id => V2Admin.deleteOrg(tsdb.catalog, id))
 
   adminContext("/api/v2/authorizations",
     _ => V2Admin.listAuthorizations(tsdb.catalog),
     body => V2Admin.createAuthorization(tsdb.catalog, body),
-    getAuth = canReadAuths)
+    getAuth = canReadAuths,
+    onDelete = id => V2Admin.deleteAuthorization(tsdb.catalog, id),
+    onPatch = (id, body) => V2Admin.patchAuthorization(tsdb.catalog, id, body))
 
   // --- /api/v2/tasks: scheduled-Flux task CRUD (see FluxTasks) ---
 
@@ -271,6 +291,21 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             respond(ex, 401, err("unauthorized: write token required"))
           else if (fluxTasks.delete(id)) respond(ex, 204, "")
           else respond(ex, 404, err("task not found"))
+        case ("PATCH", Seq(id)) =>
+          // the engine's PATCH mutates status (active|inactive)
+          if (!tokenOf(ex).exists(canWrite))
+            respond(ex, 401, err("unauthorized: write token required"))
+          else {
+            val node = Json.mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8))
+            Option(node.get("status")).map(_.asText()) match {
+              case None => respond(ex, 400, err("status is required"))
+              case Some(s) => fluxTasks.setStatus(id, s) match {
+                case Some(t) => respond(ex, 200, Json.mapper.writeValueAsString(taskNode(t)))
+                case None => respond(ex, 404, err("task not found"))
+              }
+            }
+          }
         case _ => respond(ex, 405, err("unsupported method or path"))
       }
     } catch {

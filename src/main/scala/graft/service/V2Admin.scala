@@ -172,6 +172,50 @@ object V2Admin {
     }
   }
 
+  /** DELETE /api/v2/buckets/<id> — removes the bucket AND its data
+    * directory, like the engine does. The path resolves through the
+    * catalog's persisted id, so the right directory goes even after a
+    * rename.
+    */
+  def deleteBucket(c: Catalog, id: String): (Int, String) = c.synchronized {
+    c.listBuckets.find(_.id == id) match {
+      case None => (404, errBody("not found", "bucket not found"))
+      case Some(b) =>
+        val dir = c.bucketPath(b.name).toFile
+        c.dropBucket(b.name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(dir)
+        (204, "")
+    }
+  }
+
+  /** PATCH /api/v2/buckets/<id> — name and/or retentionRules, the two
+    * mutable fields the engine's PATCH accepts.
+    */
+  def patchBucket(c: Catalog, id: String, body: String): (Int, String) = c.synchronized {
+    c.listBuckets.find(_.id == id) match {
+      case None => (404, errBody("not found", "bucket not found"))
+      case Some(b) =>
+        val node = mapper.readTree(body)
+        val newName = Option(node.get("name")).map(_.asText()).filter(_.nonEmpty)
+        newName match {
+          case Some(n) if n != b.name && c.bucket(n).isDefined =>
+            return (422, errBody("conflict", s"bucket with name $n already exists"))
+          case Some(n) if n != b.name => c.renameBucket(b.name, n)
+          case _ => ()
+        }
+        val name = newName.getOrElse(b.name)
+        Option(node.get("retentionRules"))
+          .collect { case a: ArrayNode if a.size() > 0 => a.get(0) }
+          .flatMap(r => Option(r.get("everySeconds")).map(_.asLong()))
+          .foreach(s => c.setBucketRetention(name, s * 1000000000L))
+        (200, mapper.writeValueAsString(bucketNode(c, c.bucket(name).get)))
+    }
+  }
+
   // --- /api/v2/orgs ---
 
   def listOrgs(c: Catalog, name: Option[String]): (Int, String) = {
@@ -190,6 +234,19 @@ object V2Admin {
       case Some(n) =>
         c.createOrg(n)
         (201, mapper.writeValueAsString(orgNode(c, n)))
+    }
+  }
+
+  /** DELETE /api/v2/orgs/<id> — refused while the org still owns
+    * buckets (no silent cascade over data).
+    */
+  def deleteOrg(c: Catalog, id: String): (Int, String) = c.synchronized {
+    c.listOrgs.find(o => c.orgId(o) == id) match {
+      case None => (404, errBody("not found", "organization not found"))
+      case Some(o) if c.listBuckets.exists(_.org == o) =>
+        (422, errBody("conflict",
+          s"organization $o still owns buckets; delete them first"))
+      case Some(o) => c.dropOrg(o); (204, "")
     }
   }
 
@@ -248,5 +305,28 @@ object V2Admin {
       c.addToken(rec)
       (201, mapper.writeValueAsString(authNode(rec)))
     } catch { case BadRequest(msg) => (400, errBody("invalid", msg)) }
+  }
+
+  /** DELETE /api/v2/authorizations/<id> — revoke a token. */
+  def deleteAuthorization(c: Catalog, id: String): (Int, String) =
+    if (c.removeToken(id)) (204, "")
+    else (404, errBody("not found", "authorization not found"))
+
+  /** PATCH /api/v2/authorizations/<id> — the engine's PATCH mutates
+    * `status` (active|inactive); an inactive token fails every auth
+    * check until re-activated.
+    */
+  def patchAuthorization(c: Catalog, id: String, body: String): (Int, String) = {
+    val status = Option(mapper.readTree(body).get("status")).map(_.asText())
+    status match {
+      case Some(s @ ("active" | "inactive")) =>
+        if (c.setTokenStatus(id, s))
+          (200, mapper.writeValueAsString(
+            authNode(c.listTokens.find(_.id == id).get)))
+        else (404, errBody("not found", "authorization not found"))
+      case Some(other) =>
+        (400, errBody("invalid", s"status must be active or inactive, got '$other'"))
+      case None => (400, errBody("invalid", "status is required"))
+    }
   }
 }

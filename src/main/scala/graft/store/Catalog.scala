@@ -92,8 +92,46 @@ final class Catalog(val root: Path) {
     buckets -= name; save()
   }
 
+  /** Rename keeps the persisted id (and therefore the data directory —
+    * [[bucketPath]] resolves through the id, so a renamed bucket keeps
+    * reading its existing partitions).
+    */
+  def renameBucket(oldName: String, newName: String): Boolean = synchronized {
+    buckets.get(oldName) match {
+      case Some(meta) if !buckets.contains(newName) =>
+        buckets = buckets - oldName + (newName -> meta.copy(name = newName))
+        save(); true
+      case _ => false
+    }
+  }
+
+  def setBucketRetention(name: String, retentionNs: Long): Boolean = synchronized {
+    buckets.get(name) match {
+      case Some(meta) =>
+        buckets += (name -> meta.copy(retentionNs = retentionNs)); save(); true
+      case None => false
+    }
+  }
+
+  def dropOrg(name: String): Unit = synchronized {
+    orgs -= name; save()
+  }
+
   def addToken(rec: TokenRecord): Unit = synchronized {
     tokens :+= rec; save()
+  }
+
+  def removeToken(id: String): Boolean = synchronized {
+    val before = tokens.size
+    tokens = tokens.filterNot(_.id == id)
+    if (tokens.size != before) { save(); true } else false
+  }
+
+  def setTokenStatus(id: String, status: String): Boolean = synchronized {
+    tokens.indexWhere(_.id == id) match {
+      case -1 => false
+      case i => tokens = tokens.updated(i, tokens(i).copy(status = status)); save(); true
+    }
   }
 
   /** Data directory for a bucket. Resolves through the PERSISTED id —

@@ -36,7 +36,7 @@ import scala.collection.concurrent.TrieMap
 final class FluxTasks(sourceFactory: () => FluxEval.Source,
     catalog: Option[Catalog] = None) {
 
-  private final case class Entry(rec: TaskMeta, handle: ScheduledFuture[_])
+  private final case class Entry(rec: TaskMeta, handle: Option[ScheduledFuture[_]])
   private val registry = new TrieMap[String, Entry]
   // most-recent-run outcome only: cleared on any successful run
   // (scheduled or manual) so lastRunError never shows a stale failure
@@ -82,6 +82,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     * full script.
     */
   private def schedule(rec: TaskMeta): Unit = {
+    if (rec.status != "active") { registry.put(rec.id, Entry(rec, None)); return }
     val everyMs = math.max(1L, rec.everyNs / 1000000L)
     val offsetMs = rec.offsetNs / 1000000L
     // to() materializes eagerly during eval (FluxEval.scala `to` verb),
@@ -95,7 +96,29 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
       }
     val handle = scheduler.scheduleAtFixedRate(
       runnable, everyMs + offsetMs, everyMs, TimeUnit.MILLISECONDS)
-    registry.put(rec.id, Entry(rec, handle))
+    registry.put(rec.id, Entry(rec, Some(handle)))
+  }
+
+  /** Flip a task between `active` and `inactive` — the engine's PATCH
+    * surface. Inactive tasks stay listed and persisted, keep their
+    * `lastRunError`, and still honor manual `runNow` triggers, but
+    * their schedule is disarmed (including across restarts: the reload
+    * path skips arming non-active records).
+    */
+  def setStatus(id: String, status: String): Option[TaskMeta] = synchronized {
+    require(status == "active" || status == "inactive",
+      s"status must be active or inactive, got '$status'")
+    registry.get(id).map { e =>
+      if (e.rec.status == status) e.rec
+      else {
+        val rec = e.rec.copy(status = status)
+        e.handle.foreach(_.cancel(false))
+        registry.remove(id)
+        schedule(rec) // arms only when active; always re-registers
+        catalog.foreach(_.addTask(rec)) // addTask upserts by id
+        rec
+      }
+    }
   }
 
   /** Validate + register + schedule + persist. */
@@ -129,7 +152,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
   def delete(id: String): Boolean = synchronized {
     registry.remove(id) match {
       case Some(e) =>
-        e.handle.cancel(false)
+        e.handle.foreach(_.cancel(false))
         catalog.foreach(_.removeTask(id))
         true
       case None => false
@@ -158,7 +181,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     * unpersisting path).
     */
   def stopAll(): Unit = synchronized {
-    registry.values.foreach(_.handle.cancel(false))
+    registry.values.foreach(_.handle.foreach(_.cancel(false)))
     registry.clear()
     scheduler.shutdownNow()
   }

@@ -47,6 +47,14 @@ class ProvisioningSpec extends SparkSpec {
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  private def send(method: String, path: String, body: String,
+      token: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .method(method, HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", s"Token $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
   // provisioning state threaded through the ordered steps
   private var adminToken: String = _
   private var bucketId: String = _
@@ -251,6 +259,69 @@ class ProvisioningSpec extends SparkSpec {
     assert(post("/api/v2/buckets", s"""{"orgID":"$orgId","name":"telemetry-2"}""",
       Some(adminToken)).statusCode() == 422)
     assert(post("/api/v2/buckets", """{"orgID":"ffffffffffffffff","name":"x"}""",
+      Some(adminToken)).statusCode() == 404)
+  }
+
+  test("v2 CRUD breadth: PATCH/DELETE on buckets and orgs") {
+    val b = get("/api/v2/buckets?name=telemetry-2", Some(adminToken))
+    val bid = mapper.readTree(b.body()).get("buckets").get(0).get("id").asText()
+    // PATCH: rename + retention; the persisted id (and data dir) survive
+    val patched = send("PATCH", s"/api/v2/buckets/$bid",
+      """{"name":"telemetry-3","retentionRules":[{"type":"expire","everySeconds":120}]}""",
+      Some(adminToken))
+    assert(patched.statusCode() == 200, patched.body())
+    assert(mapper.readTree(patched.body()).get("name").asText() == "telemetry-3")
+    assert(tsdb.catalog.bucket("telemetry-2").isEmpty)
+    assert(tsdb.catalog.bucket("telemetry-3").exists(m =>
+      m.id == bid && m.retentionNs == 120L * 1000000000L))
+    // non-admin mutations are refused
+    assert(send("DELETE", s"/api/v2/buckets/$bid", "", Some(roToken)).statusCode() == 401)
+    // org with buckets refuses deletion; empty org deletes
+    val gid = tsdb.catalog.orgId("greengrass")
+    assert(send("DELETE", s"/api/v2/orgs/$gid", "", Some(adminToken)).statusCode() == 422)
+    val sid = tsdb.catalog.orgId("second")
+    assert(send("DELETE", s"/api/v2/orgs/$sid", "", Some(adminToken)).statusCode() == 204)
+    assert(!tsdb.catalog.listOrgs.contains("second"))
+    // bucket DELETE removes the record AND the data directory
+    val dir = tsdb.catalog.bucketPath("telemetry-3")
+    assert(send("DELETE", s"/api/v2/buckets/$bid", "", Some(adminToken)).statusCode() == 204)
+    assert(tsdb.catalog.bucket("telemetry-3").isEmpty)
+    assert(!dir.toFile.exists())
+    assert(send("DELETE", s"/api/v2/buckets/$bid", "", Some(adminToken)).statusCode() == 404)
+  }
+
+  test("authorization status gates access: inactive token loses every capability") {
+    val r = post("/api/v2/authorizations",
+      s"""{"orgID":"$orgId","description":"status-test","permissions":[
+         |{"action":"write","resource":{"type":"buckets","id":"$bucketId","orgID":"$orgId"}}]}""".stripMargin,
+      Some(adminToken))
+    assert(r.statusCode() == 201, r.body())
+    val node = mapper.readTree(r.body())
+    val tok = node.get("token").asText()
+    val aid = node.get("id").asText()
+    def write() = post("/api/v2/write?bucket=greengrass-telemetry",
+      "cpu,host=h9 usage=3 1705276804000000000", Some(tok)).statusCode()
+    assert(write() == 204)
+    // PATCH inactive: both write and read capabilities vanish
+    val off = send("PATCH", s"/api/v2/authorizations/$aid",
+      """{"status":"inactive"}""", Some(adminToken))
+    assert(off.statusCode() == 200, off.body())
+    assert(mapper.readTree(off.body()).get("status").asText() == "inactive")
+    assert(write() == 401)
+    assert(post("/api/v2/query",
+      """from(bucket:"greengrass-telemetry") |> range(start: 2020-01-01T00:00:00Z) |> count()""",
+      Some(tok)).statusCode() == 401)
+    // re-activate: capability returns
+    assert(send("PATCH", s"/api/v2/authorizations/$aid",
+      """{"status":"active"}""", Some(adminToken)).statusCode() == 200)
+    assert(write() == 204)
+    // bad status is a 400; DELETE revokes for good
+    assert(send("PATCH", s"/api/v2/authorizations/$aid",
+      """{"status":"paused"}""", Some(adminToken)).statusCode() == 400)
+    assert(send("DELETE", s"/api/v2/authorizations/$aid", "",
+      Some(adminToken)).statusCode() == 204)
+    assert(write() == 401)
+    assert(send("DELETE", s"/api/v2/authorizations/$aid", "",
       Some(adminToken)).statusCode() == 404)
   }
 }

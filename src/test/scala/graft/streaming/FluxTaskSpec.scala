@@ -214,6 +214,33 @@ class FluxTaskSpec extends SparkSpec {
     req("DELETE", s"/api/v2/tasks/$id")
   }
 
+  test("PATCH toggles task status; inactive persists to the catalog unarmed") {
+    val flux = taskFlux.replace("downsample-cpu", "pausable")
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass"); n.put("flux", flux)
+    val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(r.statusCode() == 201, r.body())
+    val id = mapper.readTree(r.body()).get("id").asText()
+    def patch(status: String) = {
+      val b = mapper.createObjectNode(); b.put("status", status)
+      val rb = java.net.http.HttpRequest.newBuilder(URI.create(s"$base/api/v2/tasks/$id"))
+        .header("Authorization", "Token rwTok")
+        .method("PATCH", HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(b)))
+      client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+    }
+    val off = patch("inactive")
+    assert(off.statusCode() == 200, off.body())
+    assert(mapper.readTree(off.body()).get("status").asText() == "inactive")
+    // persisted inactive: a reload would skip arming it
+    assert(tsdb.catalog.listTasks.find(_.id == id).exists(_.status == "inactive"))
+    // manual trigger still honored while paused
+    assert(req("POST", s"/api/v2/tasks/$id/runs").statusCode() == 201)
+    assert(patch("active").statusCode() == 200)
+    assert(tsdb.catalog.listTasks.find(_.id == id).exists(_.status == "active"))
+    assert(patch("bogus").statusCode() == 400)
+    assert(req("DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
+  }
+
   test("tasks persist in the catalog and reschedule after an engine restart") {
     val root = Files.createTempDirectory("graft-task-restart").toString
     def boot(): (Tsdb, HttpApi, String) = {
