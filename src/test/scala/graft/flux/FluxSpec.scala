@@ -354,6 +354,9 @@ class FluxSpec extends SparkSpec {
     assert(got == Seq(40.0))
     // bookkeeping columns are consumed, not returned
     assert(!out.columns.contains("result") && !out.columns.contains("table"))
+    // plan pin: an embedded csv source is a local relation — no file
+    // scan, no bucket resolution sneaks into the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("FileScan"))
   }
 
   test("csv.from rejects CSV without a #datatype annotation") {

@@ -170,6 +170,10 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(4) == 320 + (i % 4) * 160)
       assert(r.getInt(5) == 240 + (i % 3) * 120)
     }
+    // plan pin: the container walk is per-partition work — no shuffle
+    val plan = MultimodalOps.decodeVideoStats(MultimodalOps.syntheticVideo(spark, 6))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
   test("frame sampling explodes one row per interval within duration") {
