@@ -167,6 +167,91 @@ object VectorOps {
     cent.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("id", "v")
   }
 
+  /** Product-quantization codebooks: the vector is split into `m`
+    * contiguous subspaces of `dim/m` coordinates and each subspace gets
+    * its own k-centroid codebook, trained with the SAME deterministic
+    * Lloyd's schedule as [[trainIvfCentroids]] (seed = k smallest-id
+    * sample subvectors, max-cosine assignment with ties → smaller cid,
+    * fixed iteration count) — which keeps the whole PQ family
+    * oracle-replicable. Output: `(sub, cid, cv)`, m·k rows of dim/m
+    * doubles — codebooks are metadata-sized (KBs) at any corpus scale.
+    *
+    * This is the 100 TB MEMORY path: vectors compress to m code bytes
+    * (64 doubles → 4 bytes here, 128× smaller), so a trillion-vector
+    * index fits where raw floats never could; scoring never touches
+    * the original vectors ([[pqTopK]]).
+    */
+  def pqTrain(sample: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val d = dim / m
+    (0 until m).map { s =>
+      trainIvfCentroids(
+        sample.select(col("id"), slice(col("v"), s * d + 1, d).as("v")), k, iters)
+        .select(lit(s).as("sub"), col("id").as("cid"), col("v").as("cv"))
+    }.reduce(_ union _)
+  }
+
+  /** PQ-encode a corpus: every vector becomes m `(sub, cid)` codes —
+    * nearest (max-cosine, ties → smaller cid) codebook entry per
+    * subspace. One corpus scan + a broadcast of the metadata-sized
+    * codebooks; the per-(id,sub) top-1 window shuffles n·m·k rows of
+    * (id, sub, cid, cos) — code-sized, not vector-sized.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    val expl = corpus
+      .select(col("id"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("sv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "sub").orderBy(col("cos").desc, col("cid"))
+    expl.join(broadcast(codebooks), "sub")
+      .select(col("id"), col("sub"), col("cid"), cosine(col("sv"), col("cv")).as("cos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("id"), col("sub"), col("cid"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds a
+    * lookup table of `dot(query_subvector, centroid)` (and the
+    * centroid/query self-dots) — |Q|·m·k rows, metadata-sized — and the
+    * corpus is scored WITHOUT touching any original vector: each of the
+    * n·m code rows joins the broadcast LUT on (sub, cid) and the m
+    * partial dots assemble into an approximate cosine.
+    *
+    * Determinism: the m partials pivot into FIXED columns (one value
+    * each — `max` of a single-element group) and sum left-to-right, so
+    * Spark and the SQL oracle run the identical IEEE addition order —
+    * no shuffle-order-dependent double summation.
+    */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    val qsub = queries
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("qid"), col("sub"),
+        slice(col("qv"), col("sub") * lit(d) + lit(1), lit(d)).as("qs"))
+    val lut = qsub.join(broadcast(codebooks), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        dot(col("qs"), col("cv")).as("pd"),
+        dot(col("cv"), col("cv")).as("pc"),
+        dot(col("qs"), col("qs")).as("pq"))
+    val joined = codes.join(broadcast(lut), Seq("sub", "cid"))
+    def part(c: String) = (0 until m).map(s =>
+      max(when(col("sub") === s, col(c))).as(s"${c}$s"))
+    val aggs = part("pd") ++ part("pc") ++ part("pq")
+    def total(c: String) =
+      (0 until m).map(s => col(s"${c}$s")).reduceLeft(_ + _) // fixed association
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    joined.groupBy(col("qid"), col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nbr"),
+        (total("pd") / (sqrt(total("pq")) * sqrt(total("pc")))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane signs for LSH: sign(j, i) derived
     * from md5("hp_j_i") so the DuckDB oracle can replicate the exact
     * hyperplane family (same trick as SimHash's md5-derived bits).

@@ -220,6 +220,21 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantization ANN (4 subspaces × 8 codes, cosine-ADC):
+    // vectors compress to 4 code bytes and queries score the corpus
+    // through a broadcast lookup table without touching any original
+    // vector — the 100 TB MEMORY path (128× compression here). The
+    // oracle replays the per-subspace Lloyd schedule and the fixed-
+    // association ADC sum bit-for-bit.
+    "ann_pq" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val cb = VectorOps.pqTrain(e.filter(col("id") % 5 === 0), 4, 64, 8, 2)
+      val codes = VectorOps.pqEncode(e, cb, 4, 64)
+      VectorOps.pqTopK(codes, cb, e.filter(col("id") < 5), 3, 4, 64)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (4 random hyperplanes, Hamming-1 multiprobe) —
     // oracle replicates the md5-derived hyperplane family bit-for-bit.
     "ann_lsh" -> ((s, dir) => {
@@ -441,6 +456,26 @@ object LlmQueries {
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
   private def cos(a: String, b: String) = cosExpr.format(a, b, a, a, b, b)
 
+  /** Per-subspace Lloyd iteration for the ann_pq oracle — the dim-16
+    * twin of [[kmeansIterSql]] over `samp<s>` (subvector slices),
+    * mirroring [[graft.llmops.VectorOps.pqTrain]]'s reuse of the same
+    * deterministic schedule.
+    */
+  private def pqKmeansIterSql(s: Int, n: Int): String = {
+    val prev = s"c${s}_${n - 1}"
+    w(s"""a${s}_$n AS (SELECT id, v, cid FROM (
+         |  SELECT t.id, t.v, c.cid,
+         |    row_number() OVER (PARTITION BY t.id
+         |      ORDER BY ${cos("t.v", "c.cv")} DESC, c.cid) AS r
+         |  FROM samp$s t CROSS JOIN $prev c) WHERE r = 1),
+         |m${s}_$n AS (SELECT cid, list(sx / cnt ORDER BY i) AS cv FROM (
+         |  SELECT a.cid, t.i, sum(a.v[t.i]) AS sx, count(*) AS cnt
+         |  FROM a${s}_$n a CROSS JOIN (SELECT unnest(range(1, 17)) AS i) t
+         |  GROUP BY a.cid, t.i) GROUP BY cid),
+         |c${s}_$n AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m${s}_$n m ON p.cid = m.cid),""")
+  }
+
   val oracle: Map[String, String] = Map(
     "exact_dedup" -> w(
       s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
@@ -653,6 +688,80 @@ object LlmQueries {
          |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.id <> p.qid),
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // ann_pq: per-subspace k-means (the kmeansIterSql schedule at dim
+    // 16), code assignment, then the ADC score — partial dots pivot
+    // into FIXED columns and sum left-to-right in both engines, so the
+    // approximate cosine is bit-identical before round-4.
+    "ann_pq" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 5 = 0),
+         |samp0 AS (SELECT id, v[1:16] AS v FROM samp),
+         |samp1 AS (SELECT id, v[17:32] AS v FROM samp),
+         |samp2 AS (SELECT id, v[33:48] AS v FROM samp),
+         |samp3 AS (SELECT id, v[49:64] AS v FROM samp),
+         |c0_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp0 ORDER BY id LIMIT 8)),
+         |c1_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp1 ORDER BY id LIMIT 8)),
+         |c2_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp2 ORDER BY id LIMIT 8)),
+         |c3_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp3 ORDER BY id LIMIT 8)),
+         |${pqKmeansIterSql(0, 1)}
+         |${pqKmeansIterSql(0, 2)}
+         |${pqKmeansIterSql(1, 1)}
+         |${pqKmeansIterSql(1, 2)}
+         |${pqKmeansIterSql(2, 1)}
+         |${pqKmeansIterSql(2, 2)}
+         |${pqKmeansIterSql(3, 1)}
+         |${pqKmeansIterSql(3, 2)}
+         |cb AS (
+         |  SELECT 0 AS sub, cid, cv FROM c0_2 UNION ALL
+         |  SELECT 1, cid, cv FROM c1_2 UNION ALL
+         |  SELECT 2, cid, cv FROM c2_2 UNION ALL
+         |  SELECT 3, cid, cv FROM c3_2),
+         |esub AS (
+         |  SELECT id, s.sub,
+         |    CASE s.sub WHEN 0 THEN v[1:16] WHEN 1 THEN v[17:32]
+         |               WHEN 2 THEN v[33:48] ELSE v[49:64] END AS sv
+         |  FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) s(sub)),
+         |codes AS (SELECT id, sub, cid FROM (
+         |  SELECT es.id, es.sub, cb.cid,
+         |    row_number() OVER (PARTITION BY es.id, es.sub
+         |      ORDER BY ${cos("es.sv", "cb.cv")} DESC, cb.cid) AS r
+         |  FROM esub es JOIN cb ON es.sub = cb.sub) WHERE r = 1),
+         |lut AS (
+         |  SELECT q.id AS qid, q.sub, cb.cid,
+         |    list_dot_product(q.sv, cb.cv) AS pd,
+         |    list_dot_product(cb.cv, cb.cv) AS pc,
+         |    list_dot_product(q.sv, q.sv) AS pq
+         |  FROM esub q JOIN cb ON q.sub = cb.sub WHERE q.id < 5),
+         |scored AS (
+         |  SELECT l.qid, c.id AS nbr,
+         |    max(CASE WHEN c.sub = 0 THEN l.pd END) AS pd0,
+         |    max(CASE WHEN c.sub = 1 THEN l.pd END) AS pd1,
+         |    max(CASE WHEN c.sub = 2 THEN l.pd END) AS pd2,
+         |    max(CASE WHEN c.sub = 3 THEN l.pd END) AS pd3,
+         |    max(CASE WHEN c.sub = 0 THEN l.pc END) AS pc0,
+         |    max(CASE WHEN c.sub = 1 THEN l.pc END) AS pc1,
+         |    max(CASE WHEN c.sub = 2 THEN l.pc END) AS pc2,
+         |    max(CASE WHEN c.sub = 3 THEN l.pc END) AS pc3,
+         |    max(CASE WHEN c.sub = 0 THEN l.pq END) AS pq0,
+         |    max(CASE WHEN c.sub = 1 THEN l.pq END) AS pq1,
+         |    max(CASE WHEN c.sub = 2 THEN l.pq END) AS pq2,
+         |    max(CASE WHEN c.sub = 3 THEN l.pq END) AS pq3
+         |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid
+         |  WHERE c.id <> l.qid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nbr,
+         |  (pd0 + pd1 + pd2 + pd3)
+         |    / (sqrt(pq0 + pq1 + pq2 + pq3) * sqrt(pc0 + pc1 + pc2 + pc3)) AS cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY
+         |    (pd0 + pd1 + pd2 + pd3)
+         |      / (sqrt(pq0 + pq1 + pq2 + pq3) * sqrt(pc0 + pc1 + pc2 + pc3)) DESC,
+         |    nbr) AS rank
+         |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
     "ann_lsh" -> w(
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -219,6 +219,25 @@ class LlmOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cosPairs.maxCorpusRows")
   }
 
+  test("product quantization: codebooks per subspace, codes compress, ADC ranks cluster-mates first") {
+    val vs = Seq(
+      (0L, Array(1.0, 0.1, 0.9, 0.1)), (1L, Array(0.95, 0.12, 1.0, 0.08)),
+      (2L, Array(1.05, 0.09, 0.92, 0.11)),
+      (10L, Array(0.1, 1.0, 0.12, 0.95)), (11L, Array(0.12, 0.9, 0.1, 1.0)),
+      (12L, Array(0.09, 1.05, 0.11, 0.9)))
+      .toDF("id", "v")
+    val cb = VectorOps.pqTrain(vs, m = 2, dim = 4, k = 2, iters = 2)
+    assert(cb.count() == 4) // 2 subspaces × 2 codes — metadata-sized
+    val codes = VectorOps.pqEncode(vs, cb, 2, 4)
+    assert(codes.count() == 12) // every vector → one code per subspace
+    assert(codes.select("cid").distinct().count() <= 2)
+    // ADC from codes alone: query 0's neighbors are its cluster-mates,
+    // tie-broken by id (cluster members share codes → equal ADC score)
+    val top = VectorOps.pqTopK(codes, cb, vs.filter(col("id") === 0), 2, 2, 4)
+      .orderBy("rank").select("nbr").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L), top.toString)
+  }
+
   test("lsh ann with full multiprobe coverage equals brute force") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
