@@ -374,6 +374,7 @@ object FluxEval {
     case And(l, r) => predicate(l, f, source) && predicate(r, f, source)
     case Or(l, r) => predicate(l, f, source) || predicate(r, f, source)
     case Not(x) => !predicate(x, f, source)
+    case Exists(x) => operand(x, f, source).isNotNull
     case Cmp(op, lhs, rhs) =>
       val l = operand(lhs, f, source)
       (op, rhs) match {

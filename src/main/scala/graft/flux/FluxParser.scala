@@ -42,6 +42,10 @@ object FluxParser {
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
+  /** `exists r.col` — true when the column is non-null (Flux's member
+    * existence test; Grafana panels use it to drop empty pivot cells).
+    */
+  final case class Exists(e: Expr) extends Expr
   final case class Regex(pattern: String) extends Expr
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
 
@@ -268,6 +272,7 @@ object FluxParser {
     }
     private def cmpExpr(p: String): Expr = {
       if (peekWord("not")) { expectWord("not"); ws(); return Not(cmpExpr(p)) }
+      if (peekWord("exists")) { expectWord("exists"); ws(); return Exists(primary(p)) }
       if (peekStr("(")) { expect("("); ws(); val e = orExpr(p); ws(); expect(")"); return e }
       val lhs = primary(p); ws()
       val op = Seq("==", "!=", ">=", "<=", "=~", "!~", ">", "<").find(peekStr)

@@ -150,6 +150,23 @@ object FluxQueries {
           r4(col("purchase_max")).as("purchase_max"))
         .orderBy("user_id")),
 
+    // exists: Flux's member-existence test over pivot output — rows
+    // whose `error` cell stayed empty (users with no error event above
+    // the value cut) are dropped, the Grafana drop-empty-cells idiom.
+    "flux_exists" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> filter(fn: (r) => r._value > 95.0)
+          ||> group(columns: ["user_id", "_measurement"])
+          ||> max()
+          ||> pivot(rowKey: ["user_id"], columnKey: ["_measurement"], valueColumn: "_value")
+          ||> filter(fn: (r) => exists r.error)""".stripMargin,
+        source(s, dir))
+        .select(col("user_id"), r4(col("click")).as("click"), r4(col("error")).as("error"),
+          r4(col("purchase")).as("purchase"), r4(col("signup")).as("signup"),
+          r4(col("view")).as("view"))
+        .orderBy("user_id")),
+
     // csv.from: the engine's own annotated-CSV output fed back in as a
     // Flux source — query → AnnotatedCsv → csv.from must hash-equal the
     // direct query (the stdlib round-trip a 2.0.9 user expects; csv
@@ -174,6 +191,17 @@ object FluxQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "flux_exists" ->
+      """SELECT user_id,
+        |  round(max(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |  round(max(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |  round(max(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |  round(max(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |  round(max(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events WHERE value > 95
+        |GROUP BY 1
+        |HAVING max(CASE WHEN event_type = 'error' THEN value END) IS NOT NULL
+        |ORDER BY 1""".stripMargin,
     // csv.from round-trips the direct query exactly, so its oracle IS
     // the direct query's SQL
     "flux_csv_from" ->

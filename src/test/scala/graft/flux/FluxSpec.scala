@@ -324,6 +324,19 @@ class FluxSpec extends SparkSpec {
       src.copy(write = None)))
   }
 
+  test("exists parses and filters nulls; not exists inverts it") {
+    val p = FluxParser.parse(
+      """from(bucket: "b") |> filter(fn: (r) => exists r.error and not exists r.skip)""")
+    val VLambda(_, body) = p.calls(1).args("fn"): @unchecked
+    assert(body == And(Exists(ColRef("error")), Not(Exists(ColRef("skip")))))
+    val df = Seq((1L, Option(2.0)), (2L, None), (3L, Option(5.0)))
+      .toDF("id", "error")
+    val out = FluxEval.run(
+      """from(bucket: "t") |> filter(fn: (r) => exists r.error)""",
+      FluxEval.Source(resolve = _ => FluxFrame(df, Nil, "id", "error")))
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("annotated CSV round-trips through parse: types, nulls, quoting") {
     val df = Seq(
       (1L, Option(2.5), "plain", Option(true)),
