@@ -252,6 +252,61 @@ object VectorOps {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVFADC — the composed production shape for trillion-vector
+    * search: the coarse inverted file ([[ivfAssign]]) prunes the
+    * corpus to `nprobe` centroid lists, then the survivors are scored
+    * from their PQ codes alone ([[pqTopK]]'s ADC). After index build,
+    * a query touches: the broadcast coarse centroids (k×dim), the
+    * broadcast LUT (|Q|·m·k), the pruned lists' id+code rows — and
+    * NEVER an original vector. That is the 100 TB story: the float
+    * corpus can live in cold storage; the serving index is
+    * codes + two metadata-sized broadcasts.
+    *
+    * `coarseIndex` is `(id, cid)` from [[ivfAssign]] (the `v` column
+    * dropped — deliberately: scoring must not depend on it), `codes`
+    * is [[pqEncode]] output.
+    */
+  def ivfPqTopK(coarseIndex: DataFrame, centroids: DataFrame,
+      codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("ccid"))
+    val probes = queries.as("q")
+      .crossJoin(broadcast(centroids.select(col("id").as("ccid"), col("v").as("cv"))))
+      .select(col("q.id").as("qid"), col("ccid"),
+        cosine(col("q.v"), col("cv")).as("cos"))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
+      .select(col("qid"), col("ccid"))
+    val cands = probes
+      .join(coarseIndex.withColumnRenamed("cid", "ccid"), "ccid")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    val qsub = queries
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("qid"), col("sub"),
+        slice(col("qv"), col("sub") * lit(d) + lit(1), lit(d)).as("qs"))
+    val lut = qsub.join(broadcast(codebooks), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        dot(col("qs"), col("cv")).as("pd"),
+        dot(col("cv"), col("cv")).as("pc"),
+        dot(col("qs"), col("qs")).as("pq"))
+    val joined = cands.join(codes, "id").join(broadcast(lut), Seq("qid", "sub", "cid"))
+    def part(c: String) = (0 until m).map(s =>
+      max(when(col("sub") === s, col(c))).as(s"${c}$s"))
+    val aggs = part("pd") ++ part("pc") ++ part("pq")
+    def total(c: String) =
+      (0 until m).map(s => col(s"${c}$s")).reduceLeft(_ + _) // fixed association
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    joined.groupBy(col("qid"), col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("qid"), col("id").as("nbr"),
+        (total("pd") / (sqrt(total("pq")) * sqrt(total("pc")))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic random-hyperplane signs for LSH: sign(j, i) derived
     * from md5("hp_j_i") so the DuckDB oracle can replicate the exact
     * hyperplane family (same trick as SimHash's md5-derived bits).

@@ -235,6 +235,22 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVFADC: coarse IVF pruning composed with PQ/ADC rescoring — the
+    // trillion-vector production shape. Queries touch only the pruned
+    // lists' codes + two metadata-sized broadcasts; original vectors
+    // never enter the scoring path.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val sample = e.filter(col("id") % 5 === 0)
+      val coarse = VectorOps.trainIvfCentroids(sample, 8, 2)
+      val index = VectorOps.ivfAssign(e, coarse).select("id", "cid")
+      val cb = VectorOps.pqTrain(sample, 4, 64, 8, 2)
+      val codes = VectorOps.pqEncode(e, cb, 4, 64)
+      VectorOps.ivfPqTopK(index, coarse, codes, cb, e.filter(col("id") < 5), 3, 2, 4, 64)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (4 random hyperplanes, Hamming-1 multiprobe) —
     // oracle replicates the md5-derived hyperplane family bit-for-bit.
     "ann_lsh" -> ((s, dir) => {
@@ -688,6 +704,98 @@ object LlmQueries {
          |  FROM probes p JOIN assign a ON p.cid = a.cid AND a.id <> p.qid),
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // ann_ivf_pq: the ann_ivf_trained coarse chain (full-dim k-means,
+    // assignment, nprobe=2 probes) pruning candidates, then the ann_pq
+    // fine chain (per-subspace k-means, codes, LUT) rescoring them —
+    // same bit-exact pieces, composed.
+    "ann_ivf_pq" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 5 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 8)),
+         |${kmeansIterSql(1)}
+         |${kmeansIterSql(2)}
+         |cassign AS (SELECT id, cid FROM (
+         |  SELECT c.id, cent.cid,
+         |    row_number() OVER (PARTITION BY c.id
+         |      ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |  FROM e c CROSS JOIN c2 cent) WHERE r = 1),
+         |cprobes AS (SELECT qid, cid FROM (
+         |  SELECT q.id AS qid, cent.cid,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${cos("q.v", "cent.cv")} DESC, cent.cid) AS r
+         |  FROM e q CROSS JOIN c2 cent WHERE q.id < 5) WHERE r <= 2),
+         |cands AS (
+         |  SELECT p.qid, a.id FROM cprobes p
+         |  JOIN cassign a ON p.cid = a.cid AND a.id <> p.qid),
+         |samp0 AS (SELECT id, v[1:16] AS v FROM samp),
+         |samp1 AS (SELECT id, v[17:32] AS v FROM samp),
+         |samp2 AS (SELECT id, v[33:48] AS v FROM samp),
+         |samp3 AS (SELECT id, v[49:64] AS v FROM samp),
+         |c0_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp0 ORDER BY id LIMIT 8)),
+         |c1_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp1 ORDER BY id LIMIT 8)),
+         |c2_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp2 ORDER BY id LIMIT 8)),
+         |c3_0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp3 ORDER BY id LIMIT 8)),
+         |${pqKmeansIterSql(0, 1)}
+         |${pqKmeansIterSql(0, 2)}
+         |${pqKmeansIterSql(1, 1)}
+         |${pqKmeansIterSql(1, 2)}
+         |${pqKmeansIterSql(2, 1)}
+         |${pqKmeansIterSql(2, 2)}
+         |${pqKmeansIterSql(3, 1)}
+         |${pqKmeansIterSql(3, 2)}
+         |cb AS (
+         |  SELECT 0 AS sub, cid, cv FROM c0_2 UNION ALL
+         |  SELECT 1, cid, cv FROM c1_2 UNION ALL
+         |  SELECT 2, cid, cv FROM c2_2 UNION ALL
+         |  SELECT 3, cid, cv FROM c3_2),
+         |esub AS (
+         |  SELECT id, s.sub,
+         |    CASE s.sub WHEN 0 THEN v[1:16] WHEN 1 THEN v[17:32]
+         |               WHEN 2 THEN v[33:48] ELSE v[49:64] END AS sv
+         |  FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) s(sub)),
+         |codes AS (SELECT id, sub, cid FROM (
+         |  SELECT es.id, es.sub, cb.cid,
+         |    row_number() OVER (PARTITION BY es.id, es.sub
+         |      ORDER BY ${cos("es.sv", "cb.cv")} DESC, cb.cid) AS r
+         |  FROM esub es JOIN cb ON es.sub = cb.sub) WHERE r = 1),
+         |lut AS (
+         |  SELECT q.id AS qid, q.sub, cb.cid,
+         |    list_dot_product(q.sv, cb.cv) AS pd,
+         |    list_dot_product(cb.cv, cb.cv) AS pc,
+         |    list_dot_product(q.sv, q.sv) AS pq
+         |  FROM esub q JOIN cb ON q.sub = cb.sub WHERE q.id < 5),
+         |scored AS (
+         |  SELECT x.qid, x.id AS nbr,
+         |    max(CASE WHEN c.sub = 0 THEN l.pd END) AS pd0,
+         |    max(CASE WHEN c.sub = 1 THEN l.pd END) AS pd1,
+         |    max(CASE WHEN c.sub = 2 THEN l.pd END) AS pd2,
+         |    max(CASE WHEN c.sub = 3 THEN l.pd END) AS pd3,
+         |    max(CASE WHEN c.sub = 0 THEN l.pc END) AS pc0,
+         |    max(CASE WHEN c.sub = 1 THEN l.pc END) AS pc1,
+         |    max(CASE WHEN c.sub = 2 THEN l.pc END) AS pc2,
+         |    max(CASE WHEN c.sub = 3 THEN l.pc END) AS pc3,
+         |    max(CASE WHEN c.sub = 0 THEN l.pq END) AS pq0,
+         |    max(CASE WHEN c.sub = 1 THEN l.pq END) AS pq1,
+         |    max(CASE WHEN c.sub = 2 THEN l.pq END) AS pq2,
+         |    max(CASE WHEN c.sub = 3 THEN l.pq END) AS pq3
+         |  FROM cands x
+         |  JOIN codes c ON c.id = x.id
+         |  JOIN lut l ON l.qid = x.qid AND l.sub = c.sub AND l.cid = c.cid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nbr,
+         |  (pd0 + pd1 + pd2 + pd3)
+         |    / (sqrt(pq0 + pq1 + pq2 + pq3) * sqrt(pc0 + pc1 + pc2 + pc3)) AS cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY
+         |    (pd0 + pd1 + pd2 + pd3)
+         |      / (sqrt(pq0 + pq1 + pq2 + pq3) * sqrt(pc0 + pc1 + pc2 + pc3)) DESC,
+         |    nbr) AS rank
+         |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
     // ann_pq: per-subspace k-means (the kmeansIterSql schedule at dim
     // 16), code assignment, then the ADC score — partial dots pivot

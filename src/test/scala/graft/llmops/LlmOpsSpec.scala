@@ -238,6 +238,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(top == Seq(1L, 2L), top.toString)
   }
 
+  test("ivf+pq composition scores pruned candidates from codes alone") {
+    val vs = Seq(
+      (0L, Array(1.0, 0.1, 0.9, 0.1)), (1L, Array(0.95, 0.12, 1.0, 0.08)),
+      (2L, Array(1.05, 0.09, 0.92, 0.11)),
+      (10L, Array(0.1, 1.0, 0.12, 0.95)), (11L, Array(0.12, 0.9, 0.1, 1.0)),
+      (12L, Array(0.09, 1.05, 0.11, 0.9)))
+      .toDF("id", "v")
+    val coarse = VectorOps.trainIvfCentroids(vs, 2, 2)
+    val index = VectorOps.ivfAssign(vs, coarse).select("id", "cid")
+    val cb = VectorOps.pqTrain(vs, 2, 4, 2, 2)
+    val codes = VectorOps.pqEncode(vs, cb, 2, 4)
+    // nprobe=1: only query 0's own coarse list is scanned; its
+    // cluster-mates surface from codes alone, tie-broken by id
+    val top = VectorOps.ivfPqTopK(index, coarse, codes, cb,
+      vs.filter(col("id") === 0), 2, 1, 2, 4)
+      .orderBy("rank").select("nbr").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L), top.toString)
+  }
+
   test("lsh ann with full multiprobe coverage equals brute force") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
