@@ -184,11 +184,46 @@ object VectorOps {
   def pqTrain(sample: DataFrame, m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val d = dim / m
-    (0 until m).map { s =>
-      trainIvfCentroids(
-        sample.select(col("id"), slice(col("v"), s * d + 1, d).as("v")), k, iters)
-        .select(lit(s).as("sub"), col("id").as("cid"), col("v").as("cv"))
-    }.reduce(_ union _)
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val s = sample.select(col("id").cast("long"), col("v").cast("array<double>"))
+    // all m subspaces train in the SAME jobs: one exploded (id, sub, sv)
+    // view, one assignment pass and one cell aggregation per iteration —
+    // 2 jobs/iter instead of 2·m (the math per (sub, cid) is identical
+    // to running trainIvfCentroids on each slice, which is what the
+    // gate oracle replays)
+    val ssub = s
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("sv"))
+    // seeds: the k smallest-id sample vectors, sliced per subspace
+    var cent: Array[(Int, Long, Array[Double])] =
+      s.orderBy("id").limit(k).as[(Long, Seq[Double])].collect()
+        .zipWithIndex.flatMap { case ((_, v), i) =>
+          (0 until m).map(sub => (sub, i.toLong, v.slice(sub * d, sub * d + d).toArray))
+        }
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(cent.toSeq
+        .map { case (sub, cid, cv) => (sub, cid, cv.toSeq) }.toDF("sub", "cid", "cv"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("id", "sub").orderBy(col("cos").desc, col("cid"))
+      val assign = ssub.join(cdf, "sub")
+        .select(col("id"), col("sub"), col("sv"), col("cid"),
+          cosine(col("sv"), col("cv")).as("cos"))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      val cells = assign
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .as[(Int, Long, Int, Double, Long)].collect()
+      val byKey = cells.groupBy(c => (c._1, c._2))
+      cent = cent.map { case (sub, cid, old) =>
+        byKey.get((sub, cid)) match {
+          case Some(rows) => (sub, cid, rows.sortBy(_._3).map(r => r._4 / r._5))
+          case None       => (sub, cid, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cent.toSeq.map { case (sub, cid, cv) => (sub, cid, cv.toSeq) }.toDF("sub", "cid", "cv")
   }
 
   /** PQ-encode a corpus: every vector becomes m `(sub, cid)` codes —
