@@ -94,6 +94,12 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
         case e: Throwable =>
           lastErrors.put(rec.id, Option(e.getMessage).getOrElse(e.toString))
       }
+    // scheduleAtFixedRate: a run that overshoots `every` makes the
+    // next run fire immediately after it (the single-thread executor
+    // serializes them, never overlaps). Safe by construction: each run
+    // re-reads its full range() and LWW dedup makes re-materialization
+    // idempotent, so a burst of catch-up runs converges to the same
+    // bucket state the on-time schedule would have produced.
     val handle = scheduler.scheduleAtFixedRate(
       runnable, everyMs + offsetMs, everyMs, TimeUnit.MILLISECONDS)
     registry.put(rec.id, Entry(rec, Some(handle)))
