@@ -257,6 +257,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(top == Seq(1L, 2L), top.toString)
   }
 
+  test("pq index (codes + codebooks) persists to parquet and scores identically") {
+    val rnd = new scala.util.Random(23)
+    val vs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    val cb = VectorOps.pqTrain(vs, m = 2, dim = 8, k = 4, iters = 2)
+    val codes = VectorOps.pqEncode(vs, cb, 2, 8)
+    val qs = vs.filter(col("id") < 3)
+    val direct = VectorOps.pqTopK(codes, cb, qs, 3, 2, 8)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    // build once, persist both halves, reload, probe — the serving shape
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index")
+    codes.write.parquet(s"$dir/codes")
+    cb.write.parquet(s"$dir/codebooks")
+    val reloaded = VectorOps.pqTopK(
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebooks"), qs, 3, 2, 8)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    assert(reloaded == direct && direct.size == 9)
+  }
+
   test("lsh ann with full multiprobe coverage equals brute force") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")
