@@ -412,6 +412,9 @@ object FluxEval {
         case "%" => lc % rc
         case o => throw EvalException(s"unsupported arithmetic '$o'")
       }
+    case Cond(c, a, b) =>
+      when(predicate(c, f, source), operand(a, f, source))
+        .otherwise(operand(b, f, source))
     case other => throw EvalException(s"unsupported operand $other")
   }
 

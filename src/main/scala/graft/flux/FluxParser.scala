@@ -46,6 +46,10 @@ object FluxParser {
     * existence test; Grafana panels use it to drop empty pivot cells).
     */
   final case class Exists(e: Expr) extends Expr
+  /** `if <pred> then <a> else <b>` — Flux's conditional expression
+    * (map() bodies use it for piecewise rewrites). Row-predicate only.
+    */
+  final case class Cond(pred: Expr, a: Expr, b: Expr) extends Expr
   final case class Regex(pattern: String) extends Expr
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
 
@@ -256,7 +260,18 @@ object FluxParser {
       l
     }
     private def arithPrimary(p: String, acc: String = null): Expr = {
-      if (peekStr("(")) { expect("("); ws(); val e = addSub(p, acc); ws(); expect(")"); e }
+      if (peekWord("if")) {
+        expectWord("if"); ws()
+        val c = orExpr(p); ws()
+        expectWord("then"); ws()
+        val a = addSub(p, acc); ws()
+        expectWord("else"); ws()
+        // addSub parses another arithPrimary first, so `else if …`
+        // chains nest naturally
+        val b = addSub(p, acc); ws()
+        Cond(c, a, b)
+      }
+      else if (peekStr("(")) { expect("("); ws(); val e = addSub(p, acc); ws(); expect(")"); e }
       else primary(p, acc)
     }
 

@@ -90,6 +90,17 @@ object FluxQueries {
         .select(col("_measurement"), r4(col("_value")).as("sum_v"))
         .orderBy("_measurement")),
 
+    // conditional expression in map(): Flux's `if/then/else` piecewise
+    // rewrite, the other record-extension idiom next to arithmetic.
+    "flux_map_cond" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> map(fn: (r) => ({ r with _value: if r._value > 50.0 then r._value * 2.0 else r._value / 2.0 }))
+          ||> sum()""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), r4(col("_value")).as("sum_v"))
+        .orderBy("_measurement")),
+
     // pivot(): long→wide in text form (pre-aggregated to one row per
     // cell with max, so the pivot is deterministic).
     "flux_pivot" -> ((s, dir) =>
@@ -251,6 +262,10 @@ object FluxQueries {
       """SELECT event_type AS _measurement, round(sum(v), 4) AS sum_v FROM (
         |  SELECT event_type, (value - 50.0) * 2.0 AS v FROM events)
         |WHERE v > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_map_cond" ->
+      """SELECT event_type AS _measurement,
+        |  round(sum(CASE WHEN value > 50.0 THEN value * 2.0 ELSE value / 2.0 END), 4) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "flux_pivot" ->
       """SELECT user_id,
         |  round(max(CASE WHEN event_type = 'click' THEN value END), 4) AS click,

@@ -337,6 +337,21 @@ class FluxSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("if/then/else parses in map bodies and compiles to a conditional rewrite") {
+    val p = FluxParser.parse(
+      """from(bucket: "b") |> map(fn: (r) => ({ r with _value: if r._value > 2.0 then r._value * 10.0 else 0.0 - r._value }))""")
+    val VMapLambda(_, fields) = p.calls(1).args("fn"): @unchecked
+    assert(fields.head._2 == Cond(
+      Cmp(">", ColRef("_value"), Lit(VNum(2.0))),
+      Arith("*", ColRef("_value"), Lit(VNum(10.0))),
+      Arith("-", Lit(VNum(0.0)), ColRef("_value"))))
+    val df = Seq((1L, 1.0), (2L, 3.0)).toDF("id", "_value")
+    val out = FluxEval.run(
+      """from(bucket: "t") |> map(fn: (r) => ({ r with _value: if r._value > 2.0 then r._value * 10.0 else 0.0 - r._value }))""",
+      FluxEval.Source(resolve = _ => FluxFrame(df, Nil, "id", "_value")))
+    assert(out.orderBy("id").select("_value").as[Double].collect().toSeq == Seq(-1.0, 30.0))
+  }
+
   test("annotated CSV round-trips through parse: types, nulls, quoting") {
     val df = Seq(
       (1L, Option(2.5), "plain", Option(true)),
