@@ -45,7 +45,10 @@ object PlanGate {
   val collectAllowlist: Map[String, Int] = Map(
     "dsl/SeriesScan.scala" -> 4, // boundary carries: lag, prefix-sum, moving-avg, EMA
     "influxql/InfluxQLEval.scala" -> 2, // mutation-versioned plan-time metadata caches
-    "llmops/VectorOps.scala" -> 2, // k-means: k×dim aggregated cells per pass
+    // k-means (IVF: seeds + k×dim cells) and the fused PQ trainer
+    // (seeds + m×k×(dim/m) cells) — all four collect only aggregated
+    // codebook-sized metadata, never corpus rows
+    "llmops/VectorOps.scala" -> 4,
     "store/BucketStore.scala" -> 2 // mutation-versioned key + field-type caches (field-count-scale)
   )
 
