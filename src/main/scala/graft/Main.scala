@@ -51,7 +51,12 @@ object Main {
           if (config.serverProtocol == "https")
             Some(Tls.selfSigned(java.nio.file.Paths.get(warehouse, "_tls")))
           else None
-        val a = new HttpApi(tsdb, config.port.toInt, config.interface, tls).start()
+        // -Dgraft.auth.legacyDescriptions=true: description-based auth
+        // fallback for catalogs written before tokens carried
+        // permission strings (see HttpApi's scaladoc); default off
+        val a = new HttpApi(tsdb, config.port.toInt, config.interface, tls,
+          legacyDescriptionAuth =
+            sys.props.get("graft.auth.legacyDescriptions").exists(_.toBoolean)).start()
         println(s"/api/v2 listening on ${a.scheme}://${config.interface}:${a.boundPort}")
         Some(a)
       }

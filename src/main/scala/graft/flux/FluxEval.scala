@@ -32,7 +32,17 @@ object FluxEval {
       /** Catalog listing for the `buckets()` head (Grafana's Flux
         * health check); null → unsupported on this source.
         */
-      buckets: () => DataFrame = null)
+      buckets: () => DataFrame = null,
+      /** Directory `csv.from(file:)` may read from, or None to reject
+        * the `file:` parameter entirely. None is the SERVER default:
+        * `/api/v2/query` runs for any read token, so an unrestricted
+        * driver-side file read would let any token holder probe and
+        * exfiltrate arbitrary server paths (the engine disallows
+        * `file:` in the server query context for the same reason —
+        * it's a REPL/CLI affordance). Paths resolve strictly INSIDE
+        * this directory: absolute paths and `..` segments are refused.
+        */
+      csvDir: Option[java.nio.file.Path] = None)
 
   final case class EvalException(msg: String) extends Exception(msg)
 
@@ -99,8 +109,20 @@ object FluxEval {
       // (script-embedded payloads are KBs, never corpus data).
       case Some(Call("csv.from", args)) =>
         val text = args.get("csv").map(str0)
-          .orElse(args.get("file").map(f =>
-            java.nio.file.Files.readString(java.nio.file.Paths.get(str0(f)))))
+          .orElse(args.get("file").map { f =>
+            val name = str0(f)
+            val dir = source.csvDir.getOrElse(throw EvalException(
+              "csv.from(file:) is not available on this query surface; " +
+                "inline the payload with csv.from(csv: \"…\")"))
+            val p = java.nio.file.Paths.get(name)
+            // normalize-then-containment check: symlink-free traversal
+            // like "a/../../etc" cannot escape the configured directory
+            val resolved = dir.resolve(p).normalize()
+            if (p.isAbsolute || !resolved.startsWith(dir.normalize()))
+              throw EvalException(
+                s"csv.from(file: \"$name\"): path escapes the configured csv directory")
+            java.nio.file.Files.readString(resolved)
+          })
           .getOrElse(throw EvalException(
             "csv.from(csv: \"…\") or csv.from(file: \"…\") expected"))
         val spark = org.apache.spark.sql.SparkSession.active
@@ -327,7 +349,32 @@ object FluxEval {
                 case "%" => (a, row) => lf(a, row) % rf(a, row)
                 case o => throw EvalException(s"unsupported arithmetic '$o'")
               }
+            // `if accumulator.count > 0 then … else …` — Flux allows
+            // conditionals over the accumulator inside reduce bodies
+            case Cond(c, x, y) =>
+              val (cf, xf, yf) = (compileB(c), compile(x), compile(y))
+              (a, row) => if (cf(a, row)) xf(a, row) else yf(a, row)
             case other => throw EvalException(s"unsupported reduce expression $other")
+          }
+          def compileB(e: Expr): (Array[Double], org.apache.spark.sql.Row) => Boolean = e match {
+            case Cmp(op, l, r) =>
+              val (lf, rf) = (compile(l), compile(r))
+              op match {
+                case "==" => (a, row) => lf(a, row) == rf(a, row)
+                case "!=" => (a, row) => lf(a, row) != rf(a, row)
+                case ">"  => (a, row) => lf(a, row) > rf(a, row)
+                case "<"  => (a, row) => lf(a, row) < rf(a, row)
+                case ">=" => (a, row) => lf(a, row) >= rf(a, row)
+                case "<=" => (a, row) => lf(a, row) <= rf(a, row)
+                case o => throw EvalException(s"unsupported reduce comparison '$o'")
+              }
+            case And(l, r) =>
+              val (lf, rf) = (compileB(l), compileB(r)); (a, row) => lf(a, row) && rf(a, row)
+            case Or(l, r) =>
+              val (lf, rf) = (compileB(l), compileB(r)); (a, row) => lf(a, row) || rf(a, row)
+            case Not(x) =>
+              val xf = compileB(x); (a, row) => !xf(a, row)
+            case other => throw EvalException(s"unsupported reduce predicate $other")
           }
           val fieldFns = fields.toMap.map { case (k, e) => k -> compile(e) }
           // accumulator layout = identity order; a field the fn doesn't
@@ -374,7 +421,14 @@ object FluxEval {
     case And(l, r) => predicate(l, f, source) && predicate(r, f, source)
     case Or(l, r) => predicate(l, f, source) || predicate(r, f, source)
     case Not(x) => !predicate(x, f, source)
-    case Exists(x) => operand(x, f, source).isNotNull
+    case Exists(x) => x match {
+      // Flux `exists r.col` is false for a MISSING member, not a plan
+      // error — a pivot over a range with no rows of some measurement
+      // simply never emits that column, and `exists` must then drop
+      // the rows, not fail the query with an AnalysisException
+      case ColRef(c) if !f.df.columns.contains(c.split('.').head) => lit(false)
+      case _ => operand(x, f, source).isNotNull
+    }
     case Cmp(op, lhs, rhs) =>
       val l = operand(lhs, f, source)
       (op, rhs) match {

@@ -37,6 +37,12 @@ object FluxParser {
   final case class ColRef(name: String) extends Expr
   /** `accumulator.<field>` inside a reduce lambda. */
   final case class AccRef(name: String) extends Expr
+  /** A named-function parameter inside its body (`f = (x) => x * 2.0`).
+    * Exists only DURING parsing: call sites inline the body with every
+    * ParamRef substituted by its argument expression, so a fully parsed
+    * program contains none — the evaluator never sees one.
+    */
+  final case class ParamRef(name: String) extends Expr
   final case class Lit(v: Value) extends Expr
   final case class Cmp(op: String, lhs: Expr, rhs: Expr) extends Expr // == != > < >= <= =~ !~
   final case class And(l: Expr, r: Expr) extends Expr
@@ -80,8 +86,61 @@ object FluxParser {
 
   def parseProgram(src: String): Program = new P(src).program()
 
+  /** Exact ns width of the fixed-size duration units (calendar units
+    * `mo`/`y` deliberately absent — they have no fixed width).
+    */
+  private val fixedNs: Map[String, Long] = Map(
+    "ns" -> 1L, "us" -> 1000L, "ms" -> 1000000L, "s" -> 1000000000L,
+    "m" -> 60L * 1000000000L, "h" -> 3600L * 1000000000L,
+    "d" -> 86400L * 1000000000L, "w" -> 7L * 86400L * 1000000000L)
+
   private final class P(src: String) {
     private var i = 0
+
+    /** Named functions defined so far (`f = (x) => expr`) — consulted
+      * by [[primary]] to inline calls; definitions parse before the
+      * pipelines that use them, so plain sequential collection works.
+      */
+    private var funcs = Map.empty[String, (Seq[String], Expr)]
+    /** Parameter names in scope while parsing a function BODY (empty
+      * elsewhere) — body identifiers resolve against this set.
+      */
+    private var funcParams = Set.empty[String]
+
+    /** `(x, y) => <expr>` after the `=` of a named definition. The body
+      * is one expression over the parameters (conditionals included —
+      * [[arithPrimary]] handles `if/then/else`).
+      */
+    private def funcDef(): (Seq[String], Expr) = {
+      expect("("); ws()
+      val params = Seq.newBuilder[String]
+      if (!peekStr(")")) {
+        params += ident(); ws()
+        while (peekStr(",")) { expect(","); ws(); params += ident(); ws() }
+      }
+      expect(")"); ws(); expect("=>"); ws()
+      val ps = params.result()
+      val saved = funcParams
+      funcParams = ps.toSet
+      val body = addSub(null)
+      funcParams = saved
+      (ps, body)
+    }
+
+    /** Inline a function body at a call site: every [[ParamRef]] is
+      * replaced by its (already parsed) argument expression.
+      */
+    private def subst(e: Expr, bind: Map[String, Expr]): Expr = e match {
+      case ParamRef(n) => bind.getOrElse(n, fail(s"unbound function parameter '$n'"))
+      case Arith(op, l, r) => Arith(op, subst(l, bind), subst(r, bind))
+      case Cmp(op, l, r) => Cmp(op, subst(l, bind), subst(r, bind))
+      case And(l, r) => And(subst(l, bind), subst(r, bind))
+      case Or(l, r) => Or(subst(l, bind), subst(r, bind))
+      case Not(x) => Not(subst(x, bind))
+      case Exists(x) => Exists(subst(x, bind))
+      case Cond(c, a, b) => Cond(subst(c, bind), subst(a, bind), subst(b, bind))
+      case other => other // ColRef / AccRef / Lit / Regex: no params inside
+    }
 
     def program(): Program = {
       ws()
@@ -109,8 +168,11 @@ object FluxParser {
         val name = ident(); ws()
         if (peekStr("=") && !peekStr("==") && !peekStr("=~")) {
           expect("="); ws()
-          assigns += name -> pipeline()
-          ws()
+          // `f = (x) => <expr>` is a named function definition — the
+          // stdlib's user-extension idiom; a pipeline assignment's RHS
+          // always starts with an identifier, so "(" disambiguates
+          if (peekStr("(")) { funcs += name -> funcDef(); ws() }
+          else { assigns += name -> pipeline(); ws() }
         } else {
           i = save
           main = pipeline()
@@ -262,7 +324,7 @@ object FluxParser {
     private def arithPrimary(p: String, acc: String = null): Expr = {
       if (peekWord("if")) {
         expectWord("if"); ws()
-        val c = orExpr(p); ws()
+        val c = orExpr(p, acc); ws()
         expectWord("then"); ws()
         val a = addSub(p, acc); ws()
         expectWord("else"); ws()
@@ -275,24 +337,27 @@ object FluxParser {
       else primary(p, acc)
     }
 
-    private def orExpr(p: String): Expr = {
-      var l = andExpr(p); ws()
-      while (peekWord("or")) { expectWord("or"); ws(); l = Or(l, andExpr(p)); ws() }
+    // `acc` threads through the whole predicate chain so a conditional
+    // inside a reduce() body can reference the accumulator record
+    // (`if accumulator.count > 0 then …`)
+    private def orExpr(p: String, acc: String = null): Expr = {
+      var l = andExpr(p, acc); ws()
+      while (peekWord("or")) { expectWord("or"); ws(); l = Or(l, andExpr(p, acc)); ws() }
       l
     }
-    private def andExpr(p: String): Expr = {
-      var l = cmpExpr(p); ws()
-      while (peekWord("and")) { expectWord("and"); ws(); l = And(l, cmpExpr(p)); ws() }
+    private def andExpr(p: String, acc: String = null): Expr = {
+      var l = cmpExpr(p, acc); ws()
+      while (peekWord("and")) { expectWord("and"); ws(); l = And(l, cmpExpr(p, acc)); ws() }
       l
     }
-    private def cmpExpr(p: String): Expr = {
-      if (peekWord("not")) { expectWord("not"); ws(); return Not(cmpExpr(p)) }
-      if (peekWord("exists")) { expectWord("exists"); ws(); return Exists(primary(p)) }
-      if (peekStr("(")) { expect("("); ws(); val e = orExpr(p); ws(); expect(")"); return e }
-      val lhs = primary(p); ws()
+    private def cmpExpr(p: String, acc: String = null): Expr = {
+      if (peekWord("not")) { expectWord("not"); ws(); return Not(cmpExpr(p, acc)) }
+      if (peekWord("exists")) { expectWord("exists"); ws(); return Exists(primary(p, acc)) }
+      if (peekStr("(")) { expect("("); ws(); val e = orExpr(p, acc); ws(); expect(")"); return e }
+      val lhs = primary(p, acc); ws()
       val op = Seq("==", "!=", ">=", "<=", "=~", "!~", ">", "<").find(peekStr)
       op match {
-        case Some(o) => expect(o); ws(); Cmp(o, lhs, primary(p))
+        case Some(o) => expect(o); ws(); Cmp(o, lhs, primary(p, acc))
         case None => lhs
       }
     }
@@ -312,6 +377,25 @@ object FluxParser {
         val name = ident()
         if (name == p) { expect("."); ColRef(identDots()) }
         else if (acc != null && name == acc) { expect("."); AccRef(identDots()) }
+        else if (funcParams.contains(name)) ParamRef(name)
+        else if (funcs.contains(name) && { ws(); peekStr("(") }) {
+          // named-function call `f(x: r._value)`: parse the named
+          // arguments (full expressions in the CALLER's scope) and
+          // inline the body with parameters substituted
+          val (params, body) = funcs(name)
+          expect("("); ws()
+          val binds = Map.newBuilder[String, Expr]
+          def one(): Unit = {
+            val k = ident(); ws(); expect(":"); ws(); binds += k -> addSub(p, acc); ws()
+          }
+          if (!peekStr(")")) { one(); while (peekStr(",")) { expect(","); ws(); one() } }
+          expect(")")
+          val bound = binds.result()
+          val missing = params.filterNot(bound.contains)
+          if (missing.nonEmpty)
+            fail(s"call to '$name' is missing argument(s): ${missing.mkString(", ")}")
+          subst(body, bound)
+        }
         else fail(s"unknown identifier '$name' (expected $p.<column> or a literal)")
       }
     }
@@ -337,7 +421,31 @@ object FluxParser {
       if (unit.nonEmpty) {
         if (!Seq("ns", "us", "ms", "s", "m", "h", "d", "w", "mo", "y").contains(unit))
           fail(s"unknown duration unit '$unit'")
-        VDur(src.substring(start, unitStart).toLong, unit)
+        val amount = src.substring(start, unitStart).toLong
+        // compound fixed-width durations (`1h30m`, `1m30s`): more
+        // digit+unit components follow directly; the sum normalizes to
+        // a VDur in ns (exact — every fixed unit is a whole ns count).
+        // The literal's sign applies to the WHOLE duration (-1h30m =
+        // -(1h30m)), like Flux. Calendar units (mo/y) have no fixed
+        // width and cannot appear in a compound.
+        if (i < src.length && src(i).isDigit) {
+          if (!fixedNs.contains(unit))
+            fail(s"calendar unit '$unit' cannot start a compound duration")
+          val neg = amount < 0
+          var totalNs = amount * fixedNs(unit)
+          while (i < src.length && src(i).isDigit) {
+            val ds = i
+            while (i < src.length && src(i).isDigit) i += 1
+            val us = i
+            while (i < src.length && src(i).isLetter) i += 1
+            val u2 = src.substring(us, i)
+            val n2 = src.substring(ds, us).toLong
+            if (!fixedNs.contains(u2))
+              fail(s"unknown or calendar unit '$u2' in compound duration")
+            totalNs += (if (neg) -n2 else n2) * fixedNs(u2)
+          }
+          VDur(totalNs, "ns")
+        } else VDur(amount, unit)
       } else VNum(src.substring(start, i).toDouble)
     }
 

@@ -111,6 +111,18 @@ object AnnotatedCsv {
     * schema.
     */
   def parse(text: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    // Driver-side decode needs a byte bound (mirrors the cosPairs
+    // guard pattern): the payload is parsed single-threaded on the
+    // driver inside the query path, so a pathological multi-MB body
+    // must fail fast instead of stalling the server. The limit is
+    // generous for script-embedded payloads; file-scale CSV belongs
+    // in spark.read.csv with an explicit schema.
+    val maxBytes = spark.conf.get("spark.graft.csvFrom.maxBytes", (4 * 1024 * 1024).toString).toLong
+    if (text.length > maxBytes)
+      throw new IllegalArgumentException(
+        s"csv.from: payload is ${text.length} bytes, over the " +
+          s"spark.graft.csvFrom.maxBytes limit of $maxBytes — " +
+          "load file-scale CSV with spark.read.csv and an explicit schema instead")
     val recs = records(text).filterNot(r => r.length == 1 && r.head.isEmpty)
     if (recs.isEmpty)
       throw new IllegalArgumentException("csv.from: empty annotated CSV")
@@ -135,7 +147,13 @@ object AnnotatedCsv {
     if (names.length != types.length)
       throw new IllegalArgumentException(
         s"csv.from: #datatype has ${types.length} entries for ${names.length} columns")
-    def cell(raw: String, t: DataType): Any =
+    // #default row: the dialect's per-column fill for EMPTY cells —
+    // an empty cell takes the default (itself parsed by the column
+    // type); only an empty default yields null
+    val defaults: Seq[String] = recs.find(_.head == "#default")
+      .map(_.drop(dataStart)).getOrElse(Nil)
+    def cell(raw0: String, t: DataType, j: Int): Any = {
+      val raw = if (raw0.nonEmpty) raw0 else defaults.lift(j).getOrElse("")
       if (raw.isEmpty) null
       else t match {
         case LongType => raw.toLong
@@ -145,12 +163,22 @@ object AnnotatedCsv {
           java.sql.Timestamp.from(java.time.Instant.parse(raw))
         case _ => raw
       }
+    }
     val headerIdx = recs.indexOf(header)
-    val rows = recs.drop(headerIdx + 1)
-      .filterNot(_.head.startsWith("#")) // later annotation sections
+    val body = recs.drop(headerIdx + 1)
+    // a SECOND annotation section signals a multi-table response whose
+    // later tables have their own schema — silently coercing their
+    // rows through the first table's schema surfaces as a baffling
+    // NumberFormatException, so reject explicitly instead
+    if (body.exists(_.head.startsWith("#")))
+      throw new IllegalArgumentException(
+        "csv.from: payload contains a second annotated table (multi-table " +
+          "responses are not supported here) — split the payload and load " +
+          "each table separately")
+    val rows = body
       .map { r =>
         org.apache.spark.sql.Row.fromSeq(names.indices.map { j =>
-          cell(if (dataStart + j < r.length) r(dataStart + j) else "", types(j))
+          cell(if (dataStart + j < r.length) r(dataStart + j) else "", types(j), j)
         })
       }
     val schema = StructType(names.zip(types).map {

@@ -173,24 +173,25 @@ object V2Admin {
   }
 
   /** DELETE /api/v2/buckets/<id> — removes the bucket AND its data
-    * directory, like the engine does. The path resolves through the
-    * catalog's persisted id, so the right directory goes even after a
-    * rename.
+    * directory, like the engine does. The removal routes through
+    * [[graft.store.BucketStore.drop]] (bucket write lock + mutation
+    * version bump + metadata-cache eviction) so it cannot race an
+    * in-flight compact/delete, and a bucket later recreated under the
+    * same name (same derived id → same path and cache keys) never sees
+    * the deleted bucket's stale metadata. The directory resolves
+    * through the catalog's persisted id BEFORE the entry is dropped,
+    * so the right directory goes even after a rename.
     */
-  def deleteBucket(c: Catalog, id: String): (Int, String) = c.synchronized {
-    c.listBuckets.find(_.id == id) match {
-      case None => (404, errBody("not found", "bucket not found"))
-      case Some(b) =>
-        val dir = c.bucketPath(b.name).toFile
-        c.dropBucket(b.name)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(dir)
-        (204, "")
+  def deleteBucket(c: Catalog, store: graft.store.BucketStore, id: String): (Int, String) =
+    c.synchronized {
+      c.listBuckets.find(_.id == id) match {
+        case None => (404, errBody("not found", "bucket not found"))
+        case Some(b) =>
+          store.drop(b.name)
+          c.dropBucket(b.name)
+          (204, "")
+      }
     }
-  }
 
   /** PATCH /api/v2/buckets/<id> — name and/or retentionRules, the two
     * mutable fields the engine's PATCH accepts.

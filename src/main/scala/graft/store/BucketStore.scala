@@ -441,4 +441,25 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
+
+  /** Remove a bucket's data directory and every driver-side trace of it
+    * — the storage half of bucket deletion (`DELETE /api/v2/buckets`).
+    * Runs under the bucket's write lock so an in-flight
+    * compact/retention/delete pass cannot race the removal and
+    * resurrect partial `.tmp-`/partition directories, and bumps the
+    * mutation version around the removal + evicts the tagKey/fieldKey
+    * caches: bucket ids are name-derived, so a bucket recreated under
+    * the SAME name reuses the same path and cache keys — without the
+    * eviction it would be served the deleted bucket's metadata. Call
+    * BEFORE dropping the catalog entry ([[Catalog.bucketPath]] resolves
+    * the directory through the persisted id).
+    */
+  def drop(bucket: String): Unit =
+    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+      bumpVersion(bucket)
+      deleteRecursively(catalog.bucketPath(bucket).toFile)
+      tagKeyCache.filterInPlace { case ((b, _), _) => b != bucket }
+      fieldKeyCache.filterInPlace { case ((b, _), _) => b != bucket }
+      bumpVersion(bucket)
+    }
 }

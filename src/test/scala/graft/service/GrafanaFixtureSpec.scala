@@ -21,8 +21,8 @@ class GrafanaFixtureSpec extends SparkSpec {
   private lazy val tsdb: Tsdb = {
     val t = Tsdb(spark, Files.createTempDirectory("graft-grafana-spec").toString)
     t.catalog.createBucket("gfdb", "greengrass")
-    t.catalog.addToken(TokenRecord("1", "greengrass_read", "roTok", "active", "admin", "u1", Nil))
-    t.catalog.addToken(TokenRecord("2", "greengrass_readwrite", "rwTok", "active", "admin", "u1", Nil))
+    t.catalog.addToken(TokenRecord("1", "greengrass_read", "roTok", "active", "admin", "u1", Seq("read:buckets")))
+    t.catalog.addToken(TokenRecord("2", "greengrass_readwrite", "rwTok", "active", "admin", "u1", Seq("read:buckets", "write:buckets")))
     t
   }
   private lazy val api = new HttpApi(tsdb).start()

@@ -15,9 +15,15 @@ class HttpApiSpec extends SparkSpec {
   private lazy val tsdb: Tsdb = {
     val t = Tsdb(spark, Files.createTempDirectory("graft-http-spec").toString)
     t.catalog.createBucket("telemetry", "greengrass")
-    t.catalog.addToken(TokenRecord("1", "admin's Token", "admTok", "active", "admin", "u1", Nil))
-    t.catalog.addToken(TokenRecord("2", "greengrass_read", "roTok", "active", "admin", "u1", Nil))
-    t.catalog.addToken(TokenRecord("3", "greengrass_readwrite", "rwTok", "active", "admin", "u1", Nil))
+    // modern catalog: capability comes from recorded permission strings
+    // (the unscoped all-access form here — per-bucket scoping has its
+    // own dedicated test below)
+    t.catalog.addToken(TokenRecord("1", "admin's Token", "admTok", "active", "admin", "u1",
+      Seq("read:authorizations", "write:authorizations")))
+    t.catalog.addToken(TokenRecord("2", "greengrass_read", "roTok", "active", "admin", "u1",
+      Seq("read:buckets")))
+    t.catalog.addToken(TokenRecord("3", "greengrass_readwrite", "rwTok", "active", "admin", "u1",
+      Seq("read:buckets", "write:buckets")))
     t
   }
   private lazy val api = new HttpApi(tsdb).start()
@@ -45,7 +51,9 @@ class HttpApiSpec extends SparkSpec {
   test("write requires a write-capable token") {
     val lp = s"cpu,host=h1 usage=0.5 $t0"
     assert(post("/api/v2/write?bucket=telemetry", lp, None).statusCode() == 401)
-    assert(post("/api/v2/write?bucket=telemetry", lp, Some("roTok")).statusCode() == 401)
+    // active token without a write grant: 403 (insufficient SCOPE,
+    // distinct from 401 = no/invalid token)
+    assert(post("/api/v2/write?bucket=telemetry", lp, Some("roTok")).statusCode() == 403)
     assert(post("/api/v2/write?bucket=telemetry", lp, Some("rwTok")).statusCode() == 204)
     assert(post("/api/v2/write?bucket=nope", lp, Some("rwTok")).statusCode() == 404)
   }
@@ -73,7 +81,7 @@ class HttpApiSpec extends SparkSpec {
     assert(post(s"/write?db=v1wb&precision=s",
       s"temp,room=a c=21.5 $sec", Some("rwTok")).statusCode() == 204)
     assert(post(s"/write?db=nope", "x y=1", Some("rwTok")).statusCode() == 404)
-    assert(post(s"/write?db=v1wb", "x y=1", Some("roTok")).statusCode() == 401)
+    assert(post(s"/write?db=v1wb", "x y=1", Some("roTok")).statusCode() == 403)
     val r = get(s"/query?db=v1wb&epoch=s&q=${java.net.URLEncoder.encode(
       "SELECT last(\"c\") FROM \"temp\"", "UTF-8")}&auth=ignored")
     assert(r.statusCode() == 401) // no token on the bare GET helper
@@ -108,8 +116,8 @@ class HttpApiSpec extends SparkSpec {
   test("to() in a query body needs a write-capable token") {
     val q = """from(bucket: "telemetry") |> to(bucket: "telemetry")"""
     val r = post("/api/v2/query", q, Some("roTok"))
-    assert(r.statusCode() == 400)
-    assert(r.body().contains("write-capable"))
+    assert(r.statusCode() == 403)
+    assert(r.body().contains("no write grant"))
     val missing = post("/api/v2/query",
       """from(bucket: "telemetry") |> to(bucket: "nope")""", Some("rwTok"))
     assert(missing.statusCode() == 400)
@@ -203,7 +211,7 @@ class HttpApiSpec extends SparkSpec {
     val body =
       """{"start": "2024-01-15T00:00:00Z", "stop": "2024-01-15T00:00:01Z",
         | "predicate": "_measurement=\"cpu\" AND host=\"h1\""}""".stripMargin
-    assert(post("/api/v2/delete?bucket=delbkt", body, Some("roTok")).statusCode() == 401)
+    assert(post("/api/v2/delete?bucket=delbkt", body, Some("roTok")).statusCode() == 403)
     assert(post("/api/v2/delete?bucket=delbkt", body, Some("rwTok")).statusCode() == 204)
     val left = tsdb.from("delbkt").toDF.select("tags", "time_ns").collect()
     assert(left.length == 2) // h2@t0 and h1@t0+1h survive
@@ -237,6 +245,68 @@ class HttpApiSpec extends SparkSpec {
       assert(r.statusCode() == 200 && r.body().contains("\"pass\""))
       assert(tlsApi.scheme == "https")
     } finally tlsApi.stop()
+  }
+
+  test("token scope is enforced PER BUCKET (the reference's scoped-token model)") {
+    tsdb.catalog.createBucket("scopeA", "greengrass")
+    tsdb.catalog.createBucket("scopeB", "greengrass")
+    val oid = tsdb.catalog.orgId("greengrass")
+    val aId = tsdb.catalog.bucket("scopeA").get.id
+    // tokens minted exactly like the reference's create_token
+    // (src/influxdb_utils.sh:80-84): RW and RO scoped to bucket A only
+    tsdb.catalog.addToken(TokenRecord("sA", "scoped_rw", "aRwTok", "active", "admin", "u1",
+      Seq(s"read:orgs/$oid/buckets/$aId", s"write:orgs/$oid/buckets/$aId")))
+    tsdb.catalog.addToken(TokenRecord("sB", "scoped_ro", "aRoTok", "active", "admin", "u1",
+      Seq(s"read:orgs/$oid/buckets/$aId")))
+    val lp = s"m v=1 $t0"
+    // bucket-A RW token: full access to A …
+    assert(post("/api/v2/write?bucket=scopeA", lp, Some("aRwTok")).statusCode() == 204)
+    assert(post("/api/v2/query", """from(bucket: "scopeA") |> count()""",
+      Some("aRwTok")).statusCode() == 200)
+    // … and NO access to B: 403 on write, Flux query, v1 query, delete
+    assert(post("/api/v2/write?bucket=scopeB", lp, Some("aRwTok")).statusCode() == 403)
+    val q = post("/api/v2/query", """from(bucket: "scopeB") |> count()""", Some("aRwTok"))
+    assert(q.statusCode() == 403, q.body())
+    assert(q.body().contains("no read grant"))
+    val v1 = client.send(HttpRequest.newBuilder(URI.create(
+      s"$base/query?db=scopeB&q=${java.net.URLEncoder.encode("SELECT * FROM m", "UTF-8")}"))
+      .header("Authorization", "Token aRwTok").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(v1.statusCode() == 403)
+    assert(post("/api/v2/delete?bucket=scopeB",
+      """{"start": "2024-01-15T00:00:00Z", "stop": "2024-01-16T00:00:00Z"}""",
+      Some("aRwTok")).statusCode() == 403)
+    // RO token cannot write EVEN its own bucket (write ⊄ read)
+    assert(post("/api/v2/write?bucket=scopeA", lp, Some("aRoTok")).statusCode() == 403)
+    assert(post("/api/v2/query", """from(bucket: "scopeA") |> count()""",
+      Some("aRoTok")).statusCode() == 200)
+    // v1 mutating statements need the write grant, not just read
+    val drop = client.send(HttpRequest.newBuilder(URI.create(
+      s"$base/query?db=scopeA&q=${java.net.URLEncoder.encode("DROP MEASUREMENT m", "UTF-8")}"))
+      .header("Authorization", "Token aRoTok").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(drop.statusCode() == 403)
+    // operator token keeps global access
+    assert(post("/api/v2/write?bucket=scopeB", lp, Some("admTok")).statusCode() == 204)
+  }
+
+  test("permission-less records get data access only via the legacy opt-in flag") {
+    tsdb.catalog.addToken(TokenRecord("lg", "greengrass_readwrite", "legacyTok",
+      "active", "admin", "u1", Nil))
+    // default HttpApi: a record with no permission strings has no grant
+    assert(post("/api/v2/write?bucket=telemetry", s"m v=1 $t0",
+      Some("legacyTok")).statusCode() == 403)
+    // opt-in instance: description-based fallback for pre-permission catalogs
+    val legacyApi = new HttpApi(tsdb, legacyDescriptionAuth = true).start()
+    try {
+      val legacyBase = s"http://127.0.0.1:${legacyApi.boundPort}"
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"$legacyBase/api/v2/write?bucket=telemetry"))
+        .header("Authorization", "Token legacyTok")
+        .POST(HttpRequest.BodyPublishers.ofString(s"m v=1 $t0")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 204)
+    } finally legacyApi.stop()
   }
 
   test("health responds while a query is in flight (request pool)") {

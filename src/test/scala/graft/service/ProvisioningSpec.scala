@@ -194,7 +194,7 @@ class ProvisioningSpec extends SparkSpec {
     assert(w.statusCode() == 204, w.body())
     // RO token cannot write
     assert(post("/api/v2/write?bucket=greengrass-telemetry",
-      "cpu,host=h1 usage=43 1705276801000000000", Some(roToken)).statusCode() == 401)
+      "cpu,host=h1 usage=43 1705276801000000000", Some(roToken)).statusCode() == 403)
     val q = post("/api/v2/query",
       """from(bucket:"greengrass-telemetry") |> range(start: 2020-01-01T00:00:00Z) |> count()""",
       Some(roToken))
@@ -229,7 +229,7 @@ class ProvisioningSpec extends SparkSpec {
     assert(r2.statusCode() == 201, r2.body())
     val roTok2 = mapper.readTree(r2.body()).get("token").asText()
     assert(post("/api/v2/write?bucket=greengrass-telemetry",
-      "cpu,host=h9 usage=2 1705276803000000000", Some(roTok2)).statusCode() == 401)
+      "cpu,host=h9 usage=2 1705276803000000000", Some(roTok2)).statusCode() == 403)
   }
 
   test("orgs endpoint lists and creates organizations") {

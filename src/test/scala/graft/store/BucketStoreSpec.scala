@@ -207,6 +207,26 @@ class BucketStoreSpec extends SparkSpec {
     assert(back.select("time_ns").collect().head.getLong(0) == t0 + 1)
   }
 
+  test("store.drop removes data and evicts metadata so a recreated same-name bucket starts clean") {
+    val tsdb = freshTsdb()
+    tsdb.catalog.createBucket("reborn", "greengrass")
+    tsdb.writeLp("reborn", Seq(s"cpu,host=h1,dc=us usage=0.5 $t0"))
+    // prime the driver-side metadata caches
+    assert(tsdb.store.tagKeys("reborn", None).sorted == Seq("dc", "host"))
+    assert(tsdb.store.fieldKeys("reborn", None) == Seq("usage"))
+    val dir = tsdb.catalog.bucketPath("reborn")
+    tsdb.store.drop("reborn")
+    tsdb.catalog.dropBucket("reborn")
+    assert(!Files.exists(dir))
+    // same name → same derived id → same path and cache keys: without
+    // the eviction the new bucket would be served the DELETED bucket's
+    // tag/field keys (the r8 advice finding)
+    tsdb.catalog.createBucket("reborn", "greengrass")
+    tsdb.writeLp("reborn", Seq(s"mem,zone=z1 free=1.0 $t0"))
+    assert(tsdb.store.tagKeys("reborn", None) == Seq("zone"))
+    assert(tsdb.store.fieldKeys("reborn", None) == Seq("free"))
+  }
+
   test("catalog bootstrap is idempotent and persists across instances") {
     val dir = Files.createTempDirectory("graft-cat-spec")
     val c1 = new Catalog(dir)

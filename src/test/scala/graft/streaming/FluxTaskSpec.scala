@@ -23,7 +23,7 @@ class FluxTaskSpec extends SparkSpec {
     t.catalog.createBucket("raw", "greengrass")
     t.catalog.createBucket("agg", "greengrass")
     t.catalog.addToken(TokenRecord("1", "greengrass_readwrite", "rwTok",
-      "active", "admin", "u1", Nil))
+      "active", "admin", "u1", Seq("read:buckets", "write:buckets")))
     t
   }
   private lazy val api = new HttpApi(tsdb).start()
@@ -265,7 +265,7 @@ class FluxTaskSpec extends SparkSpec {
     t1.catalog.createBucket("raw2", "greengrass")
     t1.catalog.createBucket("agg2", "greengrass")
     t1.catalog.addToken(TokenRecord("2", "greengrass_readwrite", "rwTok2",
-      "active", "admin", "u1", Nil))
+      "active", "admin", "u1", Seq("read:buckets", "write:buckets")))
     val seed = (0 until 60).map(i =>
       s"cpu,host=h1 usage=${(i % 7).toDouble} ${(t0 + i * 60L) * 1000000000L}").mkString("\n")
     assert(reqAt(base1, "POST", "/api/v2/write?bucket=raw2", seed).statusCode() == 204)
