@@ -101,6 +101,34 @@ object FluxQueries {
         .select(col("_measurement"), r4(col("_value")).as("sum_v"))
         .orderBy("_measurement")),
 
+    // named user functions: the stdlib's user-extension idiom — define
+    // once at program level, apply via named args inside a map body
+    // (calls inline at parse time, so the evaluated plan is identical
+    // to writing the expression by hand: zero runtime dispatch cost).
+    "flux_udf" -> ((s, dir) =>
+      FluxEval.run(
+        """adj = (x) => (x - 50.0) * 2.0
+          |pick = (v) => if v > 0.0 then v else 0.0 - v
+          |from(bucket: "events")
+          ||> map(fn: (r) => ({ r with _value: pick(v: adj(x: r._value)) }))
+          ||> sum()""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), r4(col("_value")).as("sum_v"))
+        .orderBy("_measurement")),
+
+    // compound duration literal (1h30m) driving a window — 90 min
+    // divides the day evenly, so epoch alignment matches DuckDB's
+    // default time_bucket origin without an explicit origin argument.
+    "flux_compound_every" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> filter(fn: (r) => r._measurement == "click" or r._measurement == "view")
+          ||> aggregateWindow(every: 1h30m, fn: mean)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
+        .orderBy("_measurement", "wend")),
+
     // pivot(): long→wide in text form (pre-aggregated to one row per
     // cell with max, so the pivot is deterministic).
     "flux_pivot" -> ((s, dir) =>
@@ -266,6 +294,20 @@ object FluxQueries {
       """SELECT event_type AS _measurement,
         |  round(sum(CASE WHEN value > 50.0 THEN value * 2.0 ELSE value / 2.0 END), 4) AS sum_v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_udf" ->
+      """SELECT event_type AS _measurement,
+        |  round(sum(CASE WHEN (value - 50.0) * 2.0 > 0.0
+        |    THEN (value - 50.0) * 2.0
+        |    ELSE 0.0 - (value - 50.0) * 2.0 END), 4) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_compound_every" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '90 minutes', ts) + INTERVAL '90 minutes' AS wend,
+        |  round(avg(value), 4) AS mean_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "flux_pivot" ->
       """SELECT user_id,
         |  round(max(CASE WHEN event_type = 'click' THEN value END), 4) AS click,

@@ -392,4 +392,138 @@ class FluxSpec extends SparkSpec {
       "csv.from(csv: \"a,b\r\n1,2\r\n\")",
       FluxEval.Source(resolve = _ => fail("unused"))))
   }
+
+  test("csv.from(file:) is refused without a configured directory and jailed inside it") {
+    // server surfaces leave csvDir unset: file: must not read ANY path
+    val e = intercept[FluxEval.EvalException](FluxEval.run(
+      """csv.from(file: "/etc/hostname")""",
+      FluxEval.Source(resolve = _ => fail("unused"))))
+    assert(e.getMessage.contains("not available"))
+    // configured directory: plain names resolve inside it, escapes fail
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvdir")
+    val df = Seq(("click", 4.0)).toDF("_measurement", "_value")
+    java.nio.file.Files.writeString(dir.resolve("t.csv"),
+      graft.service.AnnotatedCsv.format(df))
+    val src = FluxEval.Source(resolve = _ => fail("unused"), csvDir = Some(dir))
+    val out = FluxEval.run("""csv.from(file: "t.csv")""", src)
+    assert(out.select("_value").as[Double].collect().toSeq == Seq(4.0))
+    for (bad <- Seq("/etc/hostname", "../escape.csv", "a/../../etc/hostname")) {
+      val esc = intercept[FluxEval.EvalException](
+        FluxEval.run(s"""csv.from(file: "$bad")""", src))
+      assert(esc.getMessage.contains("escapes") || esc.getMessage.contains("not available"))
+    }
+  }
+
+  test("csv.from payload over the byte bound fails fast with a spark.read.csv pointer") {
+    val small = spark.conf.getOption("spark.graft.csvFrom.maxBytes")
+    spark.conf.set("spark.graft.csvFrom.maxBytes", "256")
+    try {
+      val df = Seq.tabulate(100)(i => ("m" + i, i.toDouble)).toDF("_measurement", "_value")
+      val csv = graft.service.AnnotatedCsv.format(df)
+      assert(csv.length > 256)
+      val e = intercept[IllegalArgumentException](
+        graft.service.AnnotatedCsv.parse(csv, spark))
+      assert(e.getMessage.contains("spark.read.csv"))
+      assert(e.getMessage.contains("spark.graft.csvFrom.maxBytes"))
+    } finally small match {
+      case Some(v) => spark.conf.set("spark.graft.csvFrom.maxBytes", v)
+      case None => spark.conf.unset("spark.graft.csvFrom.maxBytes")
+    }
+  }
+
+  test("csv.from applies #default values to empty cells") {
+    val csv =
+      "#datatype,string,long,string,double\r\n" +
+        "#group,false,false,false,false\r\n" +
+        "#default,_result,,fallback,9.5\r\n" +
+        ",result,table,_measurement,_value\r\n" +
+        ",,0,click,1.5\r\n" +
+        ",,0,,\r\n"
+    val out = graft.service.AnnotatedCsv.parse(csv, spark)
+    val rows = out.orderBy("_value").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("click", "fallback"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 9.5))
+  }
+
+  test("csv.from rejects a second annotated table explicitly") {
+    val one = graft.service.AnnotatedCsv.format(Seq(("a", 1.0)).toDF("_measurement", "_value"))
+    val e = intercept[IllegalArgumentException](
+      graft.service.AnnotatedCsv.parse(one + one, spark))
+    assert(e.getMessage.contains("second annotated table"))
+  }
+
+  test("exists on a column the frame never produced is false, not a plan error") {
+    // no pivot column appears for a measurement absent from the range —
+    // Flux's `exists` must then drop rows, not throw AnalysisException
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => exists r.no_such_column)
+        ||> count()""".stripMargin, source)
+    // every row drops → the grouped count yields an EMPTY result (not
+    // an error): the data-dependent Flux behavior the advice pinned
+    assert(out.collect().isEmpty)
+  }
+
+  test("named user functions inline into map and filter bodies") {
+    // the stdlib user-extension idiom: define once, apply via named args
+    val out = FluxEval.run(
+      """double = (x) => x * 2.0
+        |shift = (v, by) => v + by
+        |from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> map(fn: (r) => ({ r with _value: shift(v: double(x: r._value), by: 1.0) }))
+        ||> sum()""".stripMargin, source)
+    // cpu values 1,3,10,5 → 2x+1 each → 3+7+21+11 = 42
+    assert(out.select("_value").as[Double].collect().toSeq == Seq(42.0))
+  }
+
+  test("named functions support conditionals and nested calls") {
+    val out = FluxEval.run(
+      """clamp = (x) => if x > 5.0 then 5.0 else x
+        |boost = (x) => clamp(x: x) * 10.0
+        |from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> map(fn: (r) => ({ r with _value: boost(x: r._value) }))
+        ||> sum()""".stripMargin, source)
+    // 1,3,10,5 → clamp → 1,3,5,5 → ×10 → 140
+    assert(out.select("_value").as[Double].collect().toSeq == Seq(140.0))
+  }
+
+  test("a call missing a required argument fails at parse time") {
+    val e = intercept[ParseException](FluxParser.parseProgram(
+      """f = (x, y) => x + y
+        |from(bucket: "b") |> map(fn: (r) => ({ r with _value: f(x: r._value) }))""".stripMargin))
+    assert(e.getMessage.contains("missing argument"))
+  }
+
+  test("compound durations parse to exact ns and drive windows") {
+    val p = FluxParser.parse("""from(bucket: "b") |> aggregateWindow(every: 1m30s, fn: sum)""")
+    assert(p.calls(1).args("every") == VDur(90L * 1000000000L, "ns"))
+    val neg = FluxParser.parse("""from(bucket: "b") |> timeShift(duration: -1h30m)""")
+    assert(neg.calls(1).args("duration") == VDur(-5400L * 1000000000L, "ns"))
+    // calendar units cannot compound
+    assertThrows[ParseException](
+      FluxParser.parse("""from(bucket: "b") |> range(start: -1mo10d)"""))
+    // end-to-end: 90-minute windows over the first day of cpu data
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-09T00:00:00Z)
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> aggregateWindow(every: 1h30m, fn: sum)""".stripMargin, source)
+    // all three day-1 cpu points land in the single 00:00–01:30 window
+    assert(out.select("_value").as[Double].collect().toSeq == Seq(14.0))
+  }
+
+  test("reduce conditionals can reference the accumulator") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> reduce(fn: (r, accumulator) => ({
+        |      n: accumulator.n + 1.0,
+        |      first: if accumulator.n == 0.0 then r._value else accumulator.first }),
+        |    identity: {n: 0.0, first: 0.0})""".stripMargin, source)
+    val row = out.select("n", "first").collect().head
+    assert(row.getDouble(0) == 4.0)
+    assert(row.getDouble(1) == 1.0) // the first cpu row's value
+  }
 }
