@@ -357,6 +357,189 @@ object MultimodalOps {
       ftyp ++ box("moov", mvhd ++ traks.flatten)
     }
 
+    /** Per-frame decode summary: exact per-channel pixel means over the
+      * frame's real pixels (padding bytes excluded) — integer channel
+      * sums, one double division, so a SQL oracle replays them from the
+      * generator's pixel formula exactly.
+      */
+    final case class FrameStats(frameIdx: Int, width: Int, height: Int,
+        rMean: Double, gMean: Double, bMean: Double)
+
+    /** REAL uncompressed-AVI frame decode: walks the RIFF tree to the
+      * `movi` LIST and decodes each `00db` chunk as a bottom-up BGR
+      * BI_RGB DIB (rows padded to 4 bytes), validating the stream
+      * format against the `strl`/`strf` BITMAPINFOHEADER (BI_RGB,
+      * 24 bpp) rather than assuming it. Compressed streams (`00dc`
+      * chunks or a non-zero biCompression) are rejected with a pointer
+      * at [[StubCodec]] — the honest boundary: raw DIB frames decode
+      * for real, codec'd frames still need a real codec.
+      */
+    def decodeAviFrames(bytes: Array[Byte]): Seq[FrameStats] = {
+      require(bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'A' &&
+        bytes(9) == 'V' && bytes(10) == 'I', "payload is not an AVI (RIFF/AVI ) container")
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      var width = 0; var height = 0; var bitCount = 0; var compression = -1
+      var moviOff = -1; var moviEnd = -1
+      var off = 12
+      while (off + 8 <= bytes.length) {
+        val id = fourcc(off)
+        val size = bb.getInt(off + 4)
+        if (id == "LIST" && off + 12 <= bytes.length) fourcc(off + 8) match {
+          case "hdrl" =>
+            // walk hdrl children for avih (extent) and strl/strf (format)
+            var o = off + 12
+            val end = off + 8 + size
+            while (o + 8 <= end) {
+              val cid = fourcc(o)
+              val csz = bb.getInt(o + 4)
+              if (cid == "avih") {
+                width = bb.getInt(o + 8 + 32)
+                height = bb.getInt(o + 8 + 36)
+              } else if (cid == "LIST" && fourcc(o + 8) == "strl") {
+                var so = o + 12
+                val send = o + 8 + csz
+                while (so + 8 <= send) {
+                  if (fourcc(so) == "strf") {
+                    // BITMAPINFOHEADER: biBitCount @+14, biCompression @+16
+                    bitCount = bb.getShort(so + 8 + 14) & 0xFFFF
+                    compression = bb.getInt(so + 8 + 16)
+                  }
+                  val ssz = bb.getInt(so + 4)
+                  so += 8 + ssz + (ssz & 1)
+                }
+              }
+              o += 8 + csz + (csz & 1)
+            }
+          case "movi" => moviOff = off + 12; moviEnd = off + 8 + size
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
+      }
+      require(moviOff >= 0, "avi: no movi LIST (header-only payload has no frames)")
+      require(width > 0 && height > 0, "avi: no avih extent")
+      require(compression == 0 && bitCount == 24,
+        s"avi: only uncompressed BI_RGB 24bpp frames decode natively " +
+        s"(strf biCompression=$compression biBitCount=$bitCount); " +
+        "compressed codecs stay on the StubCodec path")
+      val rowBytes = ((width * 3 + 3) / 4) * 4 // DIB rows pad to 4 bytes
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+      var o = moviOff
+      var frame = 0
+      while (o + 8 <= moviEnd) {
+        val cid = fourcc(o)
+        val csz = bb.getInt(o + 4)
+        if (cid == "00dc") throw new IllegalArgumentException(
+          "avi: compressed frame chunk 00dc — StubCodec path only")
+        if (cid == "00db") {
+          require(csz == rowBytes * height, s"avi: frame $frame size $csz != ${rowBytes * height}")
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < height) {
+            // bottom-up: image row y lives at DIB row (height-1-y); the
+            // sums are row-order-invariant but the offset math is the
+            // real layout, exercised by the roundtrip spec
+            val base = o + 8 + (height - 1 - y) * rowBytes
+            var x = 0
+            while (x < width) {
+              b += bytes(base + x * 3) & 0xFF     // BGR byte order
+              g += bytes(base + x * 3 + 1) & 0xFF
+              r += bytes(base + x * 3 + 2) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = width.toLong * height
+          out += FrameStats(frame, width, height,
+            r.toDouble / n, g.toDouble / n, b.toDouble / n)
+          frame += 1
+        }
+        o += 8 + csz + (csz & 1)
+      }
+      out.toSeq
+    }
+
+    /** Synthesize a COMPLETE valid uncompressed AVI: RIFF('AVI '
+      * LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' 00db…))
+      * with BI_RGB 24bpp bottom-up DIB frames rendered from the pixel
+      * function — the frame-bearing extension of [[encodeAviHeader]].
+      * Lossless for every pixel, so a SQL oracle replays frame stats
+      * from the formula alone.
+      */
+    def encodeAvi(usPerFrame: Int, width: Int, height: Int, frames: Int)
+        (pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(id.getBytes(ascii)).putInt(payload.length).put(payload)
+        bb.array() // trailing pad byte (if any) stays zero — RIFF word alignment
+      }
+      def list(tpe: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", tpe.getBytes(ascii) ++ body)
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      val frameBytes = rowBytes * height
+      val avih = {
+        val p = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        p.putInt(usPerFrame)
+        p.putInt(frameBytes * 1000000 / usPerFrame) // maxBytesPerSec
+        p.putInt(0).putInt(0)                       // padding, flags
+        p.putInt(frames)
+        p.putInt(0)                                 // initialFrames
+        p.putInt(1)                                 // streams
+        p.putInt(frameBytes)                        // suggestedBufferSize
+        p.putInt(width).putInt(height)
+        p.putInt(0).putInt(0).putInt(0).putInt(0)   // reserved
+        chunk("avih", p.array())
+      }
+      val strh = {
+        val p = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        p.put("vids".getBytes(ascii)).put("DIB ".getBytes(ascii))
+        p.putInt(0).putInt(0).putInt(0)       // flags, prio+lang, initialFrames
+        p.putInt(usPerFrame).putInt(1000000)  // scale/rate = fps
+        p.putInt(0).putInt(frames)            // start, length
+        p.putInt(frameBytes).putInt(-1).putInt(0) // bufSize, quality, sampleSize
+        p.putShort(0).putShort(0)
+          .putShort(width.toShort).putShort(height.toShort) // rcFrame
+        chunk("strh", p.array())
+      }
+      val strf = {
+        val p = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        p.putInt(40)                          // biSize
+        p.putInt(width).putInt(height)        // positive biHeight = bottom-up
+        p.putShort(1).putShort(24)            // planes, BI_RGB 24bpp
+        p.putInt(0)                           // biCompression = BI_RGB
+        p.putInt(frameBytes)
+        p.putInt(0).putInt(0).putInt(0).putInt(0) // ppm, clrUsed, clrImportant
+        chunk("strf", p.array())
+      }
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi", (0 until frames).toArray.flatMap { f =>
+        val dib = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < height) {
+          val base = (height - 1 - y) * rowBytes
+          var x = 0
+          while (x < width) {
+            val rgb = pixel(x, y, f)
+            dib(base + x * 3) = (rgb & 0xFF).toByte          // B
+            dib(base + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+            dib(base + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        chunk("00db", dib)
+      })
+      val body = "AVI ".getBytes(ascii) ++ hdrl ++ movi
+      val riff = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      riff.put("RIFF".getBytes(ascii)).putInt(body.length).put(body)
+      riff.array()
+    }
+
     /** Synthesize a minimal VALID AVI header (RIFF/AVI LIST hdrl avih),
       * little-endian per the RIFF spec — the AVI twin of
       * [[encodeMp4Header]].
@@ -413,6 +596,61 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** Batched REAL frame decode for uncompressed-AVI video rows: one
+    * output row per decoded `00db` DIB frame with exact per-channel
+    * means — the last stubbed modality's pixels now come from genuine
+    * container bytes (compressed codecs still require [[StubCodec]]).
+    * Same mapInPandas-shaped batching as every other decode path; the
+    * per-asset frame explosion happens executor-side inside the
+    * partition iterator, so no payload ever crosses the driver.
+    */
+  def decodeVideoFrames(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_mean", DoubleType, nullable = false),
+      StructField("g_mean", DoubleType, nullable = false),
+      StructField("b_mean", DoubleType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.filter(col("kind") === "video").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val id = row.getLong(idIdx)
+          VideoContainer.decodeAviFrames(row.getAs[Array[Byte]](bytesIdx)).map { f =>
+            Row(id, f.frameIdx, f.width, f.height, f.rMean, f.gMean, f.bMean)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-AVI media table with FRAMES: payloads are
+    * complete uncompressed AVI files whose DIB pixels come from a
+    * closed-form formula per (id, frame, x, y) — the oracle recomputes
+    * every frame statistic from the formula while Spark recovers it
+    * from the BYTES via the real RIFF/DIB walk (BI_RGB is lossless).
+    */
+  def syntheticVideoFrames(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val width = 16 + (i % 3) * 8
+      val height = 8 + (i % 2) * 4
+      val frames = 2 + i % 3
+      val bytes = VideoContainer.encodeAvi(40000, width, height, frames) { (x, y, f) =>
+        val r = (x * 7 + y * 13 + f * 11 + i * 31) % 256
+        val g = (x * 3 + y * 5 + f * 7 + i * 17) % 256
+        val b = (x * 11 + y * 2 + f * 3 + i * 23) % 256
+        (r << 16) | (g << 8) | b
+      }
+      Row(i.toLong, "video", bytes,
+        Row("video/x-msvideo", width, height, null, frames * 40L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }
 
   /** Deterministic REAL-container media table: video payloads are

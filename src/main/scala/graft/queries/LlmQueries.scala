@@ -338,7 +338,24 @@ object LlmQueries {
           col("tracks").cast("long").as("tracks"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // REAL video frame decode: payloads are complete uncompressed AVI
+    // files (RIFF hdrl/strl/strf + movi 00db DIB frames) rendered from
+    // a closed-form pixel formula; Spark walks the real container and
+    // decodes real BGR bottom-up pixel rows executor-side, the oracle
+    // recomputes the per-frame channel means from the formula (BI_RGB
+    // is lossless). Compressed codecs remain on the documented stub.
+    "media_video_frames" -> ((s, _) =>
+      MultimodalOps.decodeVideoFrames(MultimodalOps.syntheticVideoFrames(s, 12))
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(col("r_mean")).as("r_mean"),
+          r4(col("g_mean")).as("g_mean"),
+          r4(col("b_mean")).as("b_mean"))
+        .orderBy("media_id", "frame_idx"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -1011,6 +1028,35 @@ object LlmQueries {
         |  1 + i % 3 AS tracks,
         |  320 + (i % 4) * 160 AS width,
         |  240 + (i % 3) * 120 AS height
-        |FROM (SELECT unnest(range(0, 20)) AS i) ORDER BY 1""")
+        |FROM (SELECT unnest(range(0, 20)) AS i) ORDER BY 1"""),
+
+    // media_video_frames: Spark decodes REAL uncompressed-AVI DIB
+    // frames; the oracle never sees a container — it recomputes every
+    // per-frame channel mean straight from the generator's pixel
+    // formula (BI_RGB frames are lossless, so the decoded bytes ARE the
+    // formula's values). Integer pixel sums, one double division,
+    // round 4 — mirroring VideoContainer.decodeAviFrames exactly.
+    "media_video_frames" -> w(
+      """WITH dims AS (
+        |  SELECT i, 16 + (i % 3) * 8 AS w, 8 + (i % 2) * 4 AS h,
+        |    2 + i % 3 AS nf
+        |  FROM (SELECT unnest(range(0, 12)) AS i)
+        |), px AS (
+        |  SELECT d.i, d.w, d.h, fs.f, xs.x, ys.y
+        |  FROM dims d,
+        |    (SELECT unnest(range(0, 4)) AS f) fs,
+        |    (SELECT unnest(range(0, 32)) AS x) xs,
+        |    (SELECT unnest(range(0, 12)) AS y) ys
+        |  WHERE fs.f < d.nf AND xs.x < d.w AND ys.y < d.h
+        |)
+        |SELECT i AS media_id, f AS frame_idx,
+        |  any_value(w) AS width, any_value(h) AS height,
+        |  round(CAST(sum((x * 7 + y * 13 + f * 11 + i * 31) % 256) AS DOUBLE)
+        |    / (any_value(w) * any_value(h)), 4) AS r_mean,
+        |  round(CAST(sum((x * 3 + y * 5 + f * 7 + i * 17) % 256) AS DOUBLE)
+        |    / (any_value(w) * any_value(h)), 4) AS g_mean,
+        |  round(CAST(sum((x * 11 + y * 2 + f * 3 + i * 23) % 256) AS DOUBLE)
+        |    / (any_value(w) * any_value(h)), 4) AS b_mean
+        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }

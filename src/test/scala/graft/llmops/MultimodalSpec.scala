@@ -176,6 +176,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("AVI frame encode/decode round-trip recovers exact pixel means") {
+    import MultimodalOps.VideoContainer
+    // non-multiple-of-4 width exercises the DIB row padding math
+    val bytes = VideoContainer.encodeAvi(40000, width = 10, height = 6, frames = 3) {
+      (x, y, f) => (((x * 2 + f) % 256) << 16) | (((y * 3) % 256) << 8) | ((x + y + f) % 256)
+    }
+    // the header walk still reads the full file (frames don't break it)
+    assert(VideoContainer.parse(bytes) ==
+      MultimodalOps.VideoInfo("avi", 120L, 1, 10, 6))
+    val frames = VideoContainer.decodeAviFrames(bytes)
+    assert(frames.map(_.frameIdx) == Seq(0, 1, 2))
+    frames.foreach { fr =>
+      val n = 10 * 6
+      val rSum = (for (x <- 0 until 10; y <- 0 until 6) yield (x * 2 + fr.frameIdx) % 256).sum
+      val gSum = (for (x <- 0 until 10; y <- 0 until 6) yield (y * 3) % 256).sum
+      val bSum = (for (x <- 0 until 10; y <- 0 until 6) yield (x + y + fr.frameIdx) % 256).sum
+      assert(fr.width == 10 && fr.height == 6)
+      assert(fr.rMean == rSum.toDouble / n)
+      assert(fr.gMean == gSum.toDouble / n)
+      assert(fr.bMean == bSum.toDouble / n)
+    }
+    // header-only payload (no movi): loud, specific failure
+    val headerOnly = VideoContainer.encodeAviHeader(40000, 10, 1, 64, 48)
+    val e1 = intercept[IllegalArgumentException](
+      VideoContainer.decodeAviFrames(headerOnly))
+    assert(e1.getMessage.contains("movi"))
+  }
+
+  test("decodeVideoFrames decodes real DIB frames distributed, matching the formula") {
+    val out = MultimodalOps.decodeVideoFrames(MultimodalOps.syntheticVideoFrames(spark, 12))
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.length == (0 until 12).map(i => 2 + i % 3).sum)
+    out.foreach { r =>
+      val i = r.getLong(0).toInt; val f = r.getInt(1)
+      val w = 16 + (i % 3) * 8; val h = 8 + (i % 2) * 4
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      val rSum = (for (x <- 0 until w; y <- 0 until h)
+        yield (x * 7 + y * 13 + f * 11 + i * 31) % 256).sum
+      assert(r.getDouble(4) == rSum.toDouble / (w * h), s"r_mean mismatch id=$i f=$f")
+    }
+    // plan pin: frame decode + explosion is per-partition — no shuffle
+    val plan = MultimodalOps.decodeVideoFrames(MultimodalOps.syntheticVideoFrames(spark, 3))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("frame sampling explodes one row per interval within duration") {
     val frames = MultimodalOps.sampleFrames(media, everyMs = 250)
     val perAsset = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
