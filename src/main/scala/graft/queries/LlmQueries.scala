@@ -260,6 +260,47 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Approximation-quality measurement for every approximate ANN path
+    // against the exact brute scan: strict recall@3 (top-3 set overlap)
+    // AND shortlist recall (true top-3 found in the 30-length ADC/
+    // bucket shortlist — the serving metric: PQ shortlists, exact
+    // rescoring recovers order). A 32-code PQ variant pins the
+    // codebook-size knob a real deployment turns. The oracle replays
+    // each approximate chain bit-exactly (the same SQL the per-method
+    // gates pin), so the recall numbers are hash-gated measurements:
+    // the 100 TB serving paths don't just "work", they are exactly
+    // this good on the gate corpus.
+    "ann_recall" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val q = e.filter(col("id") < 5)
+      val sample = e.filter(col("id") % 5 === 0)
+      val brute = VectorOps.bruteForceTopK(e, q, 3).select("qid", "nbr")
+        .localCheckpoint() // 15 rows; consumed by all 10 aggregations
+      val coarse = VectorOps.trainIvfCentroids(sample, 8, 2)
+      val cb = VectorOps.pqTrain(sample, 4, 64, 8, 2)
+      val codes = VectorOps.pqEncode(e, cb, 4, 64)
+      val cb32 = VectorOps.pqTrain(sample, 4, 64, 32, 2)
+      val codes32 = VectorOps.pqEncode(e, cb32, 4, 64)
+      val index = VectorOps.ivfAssign(e, coarse).select("id", "cid")
+      // one top-30 per method (ranking is deterministic, so top-3 is
+      // its prefix); checkpointed — ≤150 rows — so the two k-consumers
+      // don't re-run the training chains
+      val methods = Seq(
+        "ivf" -> VectorOps.ivfTopK(e, e.filter(col("id") < 8), q, 30, 2),
+        "ivf_pq" -> VectorOps.ivfPqTopK(index, coarse, codes, cb, q, 30, 2, 4, 64),
+        "lsh" -> VectorOps.lshTopK(e, q, 30, 4, 64),
+        "pq" -> VectorOps.pqTopK(codes, cb, q, 30, 4, 64),
+        "pq32" -> VectorOps.pqTopK(codes32, cb32, q, 30, 4, 64))
+        .map { case (n, df) => n -> df.select("qid", "nbr", "rank").localCheckpoint() }
+      (for ((name, df) <- methods; k <- Seq(3, 30)) yield {
+        df.filter(col("rank") <= k).select("qid", "nbr")
+          .join(brute, Seq("qid", "nbr"))
+          .agg(count(lit(1)).as("hits")) // global agg: 0-hit still yields a row
+          .select(lit(name).as("method"), lit(k.toLong).as("k"), col("hits"),
+            lit(15L).as("total"), r4(col("hits") / 15.0).as("recall"))
+      }).reduce(_ unionAll _).orderBy("method", "k")
+    }),
+
     // Embedding near-dup: all pairs with cosine >= 0.45.
     "cos_threshold" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -509,7 +550,7 @@ object LlmQueries {
          |  FROM $prev p LEFT JOIN m${s}_$n m ON p.cid = m.cid),""")
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleCore: Map[String, String] = Map(
     "exact_dedup" -> w(
       s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
          |  min(doc_id) AS canonical_id, count(*) AS n_members
@@ -1059,4 +1100,50 @@ object LlmQueries {
         |    / (any_value(w) * any_value(h)), 4) AS b_mean
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""")
   )
+
+  /** ann_recall oracle: every approximate chain is already replicated
+    * bit-exactly by its own oracle SQL, so the recall oracle NESTS those
+    * verbatim as subqueries (standard SQL allows WITH inside a derived
+    * table) and counts (qid, nbr) overlaps with the brute chain — the
+    * recall measurement inherits each method's bit-exactness instead of
+    * restating ~300 lines of k-means SQL. Two mechanical rewrites on
+    * the nested text, anchor-checked so a future edit to the source
+    * chains fails loudly here instead of silently skewing the metric:
+    * the final top-k cap widens 3→30 (ranking is (cos DESC, nbr) both
+    * sides, so top-3 is the prefix), and the pq32 variant grows the
+    * four subspace seed sets 8→32 codes.
+    */
+  private val annRecallSql: String = {
+    val cap = "WHERE rank <= 3 ORDER BY qid, rank"
+    def widen(name: String): String = {
+      val sql = oracleCore(name)
+      require(sql.trim.endsWith(cap), s"$name oracle no longer ends with '$cap'")
+      s"(SELECT qid, nbr, rank FROM (${sql.replace(cap, "WHERE rank <= 30 ORDER BY qid, rank")}))"
+    }
+    val pq32 = {
+      val sql = oracleCore("ann_pq")
+      require(sql.sliding("LIMIT 8".length).count(_ == "LIMIT 8") == 4,
+        "ann_pq oracle seed CTEs changed — pq32 rewrite would mis-seed")
+      sql.replace("LIMIT 8", "LIMIT 32")
+    }
+    def widePq32 = s"(SELECT qid, nbr, rank FROM (${pq32.replace(cap, "WHERE rank <= 30 ORDER BY qid, rank")}))"
+    w(s"""WITH brute AS (SELECT qid, nbr FROM (${oracleCore("ann_brute")})),
+         |sel AS (
+         |  SELECT 'ivf' AS method, qid, nbr, rank FROM ${widen("ann_ivf")} UNION ALL
+         |  SELECT 'ivf_pq', qid, nbr, rank FROM ${widen("ann_ivf_pq")} UNION ALL
+         |  SELECT 'lsh', qid, nbr, rank FROM ${widen("ann_lsh")} UNION ALL
+         |  SELECT 'pq', qid, nbr, rank FROM ${widen("ann_pq")} UNION ALL
+         |  SELECT 'pq32', qid, nbr, rank FROM $widePq32)
+         |SELECT m.method, CAST(ks.k AS BIGINT) AS k,
+         |  CAST(count(b.qid) AS BIGINT) AS hits,
+         |  CAST(15 AS BIGINT) AS total,
+         |  round(count(b.qid) / 15.0, 4) AS recall
+         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32')) m(method)
+         |CROSS JOIN (VALUES (3), (30)) ks(k)
+         |LEFT JOIN sel s ON s.method = m.method AND s.rank <= ks.k
+         |LEFT JOIN brute b ON b.qid = s.qid AND b.nbr = s.nbr
+         |GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  val oracle: Map[String, String] = oracleCore + ("ann_recall" -> annRecallSql)
 }
