@@ -18,18 +18,27 @@ import org.apache.spark.sql.functions._
 object QueryUtil {
   def r4(c: Column): Column = round(c, 4)
 
-  /** events.ts is parquet timestamp[ns] (full ns precision — NOT µs
-    * aligned). Spark's TimestampType is µs, so sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and we derive both:
-    * `ts_ns` (lossless long, for exact ordering/deltas — matches
-    * DuckDB's ns view bit-for-bit) and `ts` (µs timestamp, for
-    * date/window functions; truncation is order-preserving and
-    * boundary-safe for whole-second range predicates).
+  /** events.ts has shipped as two physical parquet types across driver
+    * testdata generations: timestamp[ns] (read as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and timestamp[us]
+    * (read as TIMESTAMP_NTZ). Normalize both to the same two columns:
+    * `ts_ns` (lossless epoch-ns long, for exact ordering/deltas —
+    * matches DuckDB's `epoch_ns(ts)` bit-for-bit) and `ts` (µs
+    * TimestampType for date/window functions; with the session pinned
+    * to UTC the NTZ→LTZ cast is wall-clock-identity, mirroring how
+    * DuckDB treats the naive parquet timestamp).
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // ns-as-long generation
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ => // timestamp[us] generation (NTZ or LTZ)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
   def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
   def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")

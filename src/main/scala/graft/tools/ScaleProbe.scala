@@ -81,7 +81,12 @@ object ScaleProbe {
     val shiftNs = 35L * 86400L * 1000000000L
     events.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("k") * nEv)
-      .withColumn("ts", col("ts") + col("k") * shiftNs) // ts is ns long here
+      .withColumn("ts", events.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns-as-long generation
+          col("ts") + col("k") * shiftNs
+        case _ => // timestamp generation: shift by whole days, ns-equivalent
+          col("ts") + expr("make_interval(0, 0, 0, k * 35, 0, 0, 0)")
+      })
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
