@@ -307,7 +307,7 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
     n.put("org", t.org)
     n.put("status", t.status)
     n.put("flux", t.flux)
-    n.put("every", fluxTasks.nsToFlux(t.everyNs))
+    n.put("every", fluxTasks.everyToFlux(t))
     if (t.offsetNs > 0) n.put("offset", fluxTasks.nsToFlux(t.offsetNs))
     fluxTasks.lastError(t.id).foreach(n.put("lastRunError", _))
     n

@@ -47,7 +47,11 @@ final case class TaskMeta(
     flux: String,
     everyNs: Long,
     offsetNs: Long,
-    status: String
+    status: String,
+    // calendar cadence: `every: 1mo`/`1y` has no fixed ns width, so it
+    // persists as a month count (y = 12) and everyNs stays 0; exactly
+    // one of everyNs/everyMonths is non-zero
+    everyMonths: Int = 0
 )
 
 final class Catalog(val root: Path) {
@@ -191,7 +195,7 @@ final class Catalog(val root: Path) {
     sb.append(tasks.map { t =>
       s"{${jstr("id")}:${jstr(t.id)},${jstr("name")}:${jstr(t.name)},${jstr("org")}:${jstr(t.org)}," +
         s"${jstr("flux")}:${jstr(t.flux)},${jstr("everyNs")}:${t.everyNs},${jstr("offsetNs")}:${t.offsetNs}," +
-        s"${jstr("status")}:${jstr(t.status)}}"
+        s"${jstr("status")}:${jstr(t.status)},${jstr("everyMonths")}:${t.everyMonths}}"
     }.mkString(","))
     sb.append("]}")
     Files.createDirectories(root)
@@ -224,7 +228,9 @@ final class Catalog(val root: Path) {
       val m = t.asInstanceOf[Map[String, Any]]
       TaskMeta(m("id").toString, m("name").toString, m("org").toString,
         m("flux").toString, m("everyNs").asInstanceOf[Double].toLong,
-        m("offsetNs").asInstanceOf[Double].toLong, m("status").toString)
+        m("offsetNs").asInstanceOf[Double].toLong, m("status").toString,
+        // absent in catalogs written before calendar cadences existed
+        m.get("everyMonths").map(_.asInstanceOf[Double].toInt).getOrElse(0))
     }.toVector
   }
 }

@@ -59,9 +59,19 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     case VDur(n, "d") => n * 86400L * 1000000000L
     case VDur(n, "w") => n * 7L * 86400L * 1000000000L
     case VDur(n, u @ ("mo" | "y")) => throw new IllegalArgumentException(
-      s"unsupported task cadence unit '$u' in '$n$u': calendar-length units " +
-        "have no fixed nanosecond width; use w/d/h/m/s (e.g. 4w ≈ 1mo)")
+      s"calendar unit '$u' in '$n$u' is only valid as a task `every` cadence " +
+        "(month-boundary scheduling); offsets need a fixed width (w/d/h/m/s)")
     case other => throw new IllegalArgumentException(s"expected a duration, got $other")
+  }
+
+  /** Split an `every` value into (fixed ns, calendar months) — exactly
+    * one is non-zero. `mo`/`y` have no fixed ns width; they schedule on
+    * UTC calendar boundaries instead (`y` ≡ 12 months).
+    */
+  private def cadenceOf(v: Value): (Long, Int) = v match {
+    case VDur(n, "mo") => (0L, n.toInt)
+    case VDur(n, "y") => (0L, n.toInt * 12)
+    case other => (durNs(other), 0)
   }
 
   /** Render ns back to the shortest exact Flux duration literal (the
@@ -76,6 +86,41 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
       .getOrElse("0s")
   }
 
+  /** Echo a record's `every` in Flux literal form — calendar cadences
+    * render as `mo`/`y`, fixed ones via [[nsToFlux]].
+    */
+  def everyToFlux(rec: TaskMeta): String =
+    if (rec.everyMonths > 0) {
+      if (rec.everyMonths % 12 == 0) s"${rec.everyMonths / 12}y" else s"${rec.everyMonths}mo"
+    } else nsToFlux(rec.everyNs)
+
+  /** Next fire instant (epoch ns) for a calendar cadence: the first
+    * epoch-aligned month boundary (months-since-1970 divisible by
+    * `months`, at 00:00 UTC on the 1st) whose boundary+offset is
+    * strictly after `nowNs`. Epoch alignment matches Flux's window
+    * alignment: `3mo` fires Jan/Apr/Jul/Oct, `1y` every Jan 1. Pure —
+    * spec-testable without sleeping through a month.
+    */
+  def nextCalendarFireNs(nowNs: Long, months: Int, offsetNs: Long): Long = {
+    require(months > 0, "calendar cadence needs months > 0")
+    def boundaryNs(epochMonths: Int): Long = {
+      val y = 1970 + Math.floorDiv(epochMonths, 12)
+      val m = Math.floorMod(epochMonths, 12) + 1
+      java.time.ZonedDateTime.of(y, m, 1, 0, 0, 0, 0, java.time.ZoneOffset.UTC)
+        .toEpochSecond * 1000000000L
+    }
+    val nowUtc = java.time.ZonedDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(nowNs, 1000000000L), Math.floorMod(nowNs, 1000000000L)),
+      java.time.ZoneOffset.UTC)
+    val monthsSince = (nowUtc.getYear - 1970) * 12 + nowUtc.getMonthValue - 1
+    // start at the current aligned boundary: with an offset the fire
+    // time inside the CURRENT period may still be ahead of now
+    var k = Math.floorDiv(monthsSince, months) * months
+    while (boundaryNs(k) + offsetNs <= nowNs) k += months
+    boundaryNs(k) + offsetNs
+  }
+
   /** Register the schedule for an (already validated) record — shared
     * by [[create]] and the catalog reload path. First run fires one
     * `every` (+ offset) after registration; each run re-executes the
@@ -83,6 +128,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     */
   private def schedule(rec: TaskMeta): Unit = {
     if (rec.status != "active") { registry.put(rec.id, Entry(rec, None)); return }
+    if (rec.everyMonths > 0) { scheduleCalendar(rec); return }
     val everyMs = math.max(1L, rec.everyNs / 1000000L)
     val offsetMs = rec.offsetNs / 1000000L
     // to() materializes eagerly during eval (FluxEval.scala `to` verb),
@@ -102,6 +148,30 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     // bucket state the on-time schedule would have produced.
     val handle = scheduler.scheduleAtFixedRate(
       runnable, everyMs + offsetMs, everyMs, TimeUnit.MILLISECONDS)
+    registry.put(rec.id, Entry(rec, Some(handle)))
+  }
+
+  /** Calendar cadence: months vary in length, so instead of a fixed
+    * rate each run is a one-shot at the next epoch-aligned month
+    * boundary (+offset) that re-arms itself afterwards. Pausing or
+    * deleting the task between runs breaks the chain — the re-arm only
+    * happens if the registry still holds this id as active.
+    */
+  private def scheduleCalendar(rec: TaskMeta): Unit = {
+    val nowNs = System.currentTimeMillis() * 1000000L
+    val fireNs = nextCalendarFireNs(nowNs, rec.everyMonths, rec.offsetNs)
+    val delayMs = math.max(1L, (fireNs - nowNs) / 1000000L)
+    val runnable: Runnable = () => {
+      try { FluxEval.run(rec.flux, sourceFactory()); lastErrors.remove(rec.id); () }
+      catch {
+        case e: Throwable =>
+          lastErrors.put(rec.id, Option(e.getMessage).getOrElse(e.toString))
+      }
+      FluxTasks.this.synchronized {
+        if (registry.get(rec.id).exists(_.rec.status == "active")) scheduleCalendar(rec)
+      }
+    }
+    val handle = scheduler.schedule(runnable, delayMs, TimeUnit.MILLISECONDS)
     registry.put(rec.id, Entry(rec, Some(handle)))
   }
 
@@ -138,14 +208,15 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
       case Some(VStr(s)) if s.nonEmpty => s
       case _ => throw new IllegalArgumentException("task option needs a name")
     }
-    val everyNs = durNs(fields.getOrElse("every",
+    val (everyNs, everyMonths) = cadenceOf(fields.getOrElse("every",
       throw new IllegalArgumentException("task option needs an `every` duration")))
-    require(everyNs > 0, "task `every` must be positive")
+    require(everyNs > 0 || everyMonths > 0, "task `every` must be positive")
     val offsetNs = fields.get("offset").map(durNs).getOrElse(0L)
+    require(offsetNs >= 0, "task `offset` must be non-negative")
     require(!registry.values.exists(_.rec.name == name), s"task '$name' exists")
 
     val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-    val rec = TaskMeta(id, name, org, flux, everyNs, offsetNs, "active")
+    val rec = TaskMeta(id, name, org, flux, everyNs, offsetNs, "active", everyMonths)
     schedule(rec)
     catalog.foreach(_.addTask(rec))
     rec

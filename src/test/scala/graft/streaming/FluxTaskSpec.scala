@@ -180,15 +180,69 @@ class FluxTaskSpec extends SparkSpec {
     req("DELETE", s"/api/v2/tasks/${node.get("id").asText()}")
   }
 
-  test("calendar cadence units are rejected with an explicit message") {
+  test("calendar cadences (1mo/1y) register, echo, persist, and honor manual runs") {
     val flux =
       """option task = {name: "monthly", every: 1mo}
-        |from(bucket: "raw") |> range(start: 2024-01-15T00:00:00Z) |> to(bucket: "agg")""".stripMargin
+        |from(bucket: "raw")
+        ||> range(start: 2024-01-15T00:00:00Z, stop: 2024-01-16T00:00:00Z)
+        ||> aggregateWindow(every: 1h, fn: mean)
+        ||> to(bucket: "agg")""".stripMargin
     val n = mapper.createObjectNode()
     n.put("org", "greengrass"); n.put("flux", flux)
     val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
-    assert(r.statusCode() == 400, r.body())
-    assert(r.body().contains("unsupported task cadence unit"), r.body())
+    assert(r.statusCode() == 201, r.body())
+    val node = mapper.readTree(r.body())
+    val id = node.get("id").asText()
+    assert(node.get("every").asText() == "1mo", node.toString)
+    // persisted as months, not a fake ns width
+    val rec = tsdb.catalog.listTasks.find(_.id == id).get
+    assert(rec.everyMonths == 1 && rec.everyNs == 0L)
+    // manual trigger works like any task
+    assert(req("POST", s"/api/v2/tasks/$id/runs").statusCode() == 201)
+    assert(req("DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
+
+    // 2y echoes in years; calendar units stay invalid as offsets
+    val yearly = flux.replace("monthly", "yearly").replace("every: 1mo", "every: 2y")
+    val ny = mapper.createObjectNode()
+    ny.put("org", "greengrass"); ny.put("flux", yearly)
+    val ry = req("POST", "/api/v2/tasks", mapper.writeValueAsString(ny))
+    assert(ry.statusCode() == 201, ry.body())
+    val yNode = mapper.readTree(ry.body())
+    assert(yNode.get("every").asText() == "2y", yNode.toString)
+    req("DELETE", s"/api/v2/tasks/${yNode.get("id").asText()}")
+    val badOffset = flux.replace("monthly", "bad-offset")
+      .replace("every: 1mo", "every: 1mo, offset: 1mo")
+    val nb = mapper.createObjectNode()
+    nb.put("org", "greengrass"); nb.put("flux", badOffset)
+    val rb = req("POST", "/api/v2/tasks", mapper.writeValueAsString(nb))
+    assert(rb.statusCode() == 400, rb.body())
+    assert(rb.body().contains("calendar unit"), rb.body())
+  }
+
+  test("nextCalendarFireNs lands on epoch-aligned UTC month boundaries") {
+    val tasks = new FluxTasks(() => graft.flux.FluxEval.Source(
+      resolve = b => sys.error(s"no bucket $b")))
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000000L
+    // mid-January → next month boundary
+    assert(tasks.nextCalendarFireNs(ns("2024-01-15T12:00:00Z"), 1, 0L)
+      == ns("2024-02-01T00:00:00Z"))
+    // quarters are epoch-aligned: Jan/Apr/Jul/Oct
+    assert(tasks.nextCalendarFireNs(ns("2024-02-10T00:00:00Z"), 3, 0L)
+      == ns("2024-04-01T00:00:00Z"))
+    // a year fires Jan 1
+    assert(tasks.nextCalendarFireNs(ns("2024-05-01T00:00:00Z"), 12, 0L)
+      == ns("2025-01-01T00:00:00Z"))
+    // an offset inside the CURRENT period still fires this period
+    assert(tasks.nextCalendarFireNs(ns("2024-01-01T00:30:00Z"), 1, 3600L * 1000000000L)
+      == ns("2024-01-01T01:00:00Z"))
+    // exactly on the fire instant → strictly after: next period
+    assert(tasks.nextCalendarFireNs(ns("2024-02-01T00:00:00Z"), 1, 0L)
+      == ns("2024-03-01T00:00:00Z"))
+    // leap-year February has its true length (Feb→Mar 2024 is 29 days)
+    assert(tasks.nextCalendarFireNs(ns("2024-02-15T00:00:00Z"), 1, 0L)
+      == ns("2024-03-01T00:00:00Z"))
+    tasks.stopAll()
   }
 
   test("lastRunError records on a failed manual run and clears once a run succeeds") {
