@@ -395,6 +395,82 @@ object TextOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** PII patterns — deliberately in the regex subset Java and RE2
+    * share (character classes + bounded quantifiers + ASCII \b; no
+    * lookaround, no backrefs), so the DuckDB oracle can run the SAME
+    * pattern strings. A production pass swaps richer patterns in; the
+    * pipeline shape (scan-stage regexp projection, zero shuffles) is
+    * what this pins.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{10,15}"
+
+  /** Occurrences of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(call_function("regexp_extract_all", text, lit(pattern), lit(0)))
+
+  /** Redact emails → `<EMAIL>`, then IPv4 → `<IP>`, then international
+    * phone numbers → `<PHONE>` — fixed order (emails first: their local
+    * parts may embed digit runs, and replacement text must never create
+    * new matches for later patterns). Pure Column expression: the whole
+    * redaction runs inside the scan projection at 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** BM25 keyword retrieval (Robertson–Spärck Jones, Lucene's
+    * non-negative idf form): for query terms Q,
+    * `score(d) = Σ_{t∈Q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *             · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    * The curation use: keyword-targeted corpus slicing (pull the top-k
+    * documents about X for an eval set or a domain mixture) without an
+    * embedding model in the loop.
+    *
+    * Scale shape: one tokenize scan → per-(doc, term) counts with the
+    * query-term filter pushed BELOW the groupBy (only matching tokens
+    * ever enter the aggregation, so the shuffle carries ≤ |Q| rows per
+    * doc); df and (N, avgdl) are |Q|-row / 1-row aggregates that
+    * broadcast back; nothing corpus-sized is ever collected or
+    * re-shuffled. Per-doc summation folds in term order over a sorted
+    * array — bitwise-deterministic across partitionings (and engines:
+    * the DuckDB oracle folds the same order).
+    *
+    * Returns (doc_id, score) — the top-k by (score DESC, doc_id), via
+    * orderBy+limit (TakeOrdered: per-partition local top-k, driver
+    * merges k·p rows — no global-window single-partition shuffle).
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("double").as("dl"),
+      tokens(col(textCol)).as("toks"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(query))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val per = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    // fold in term order (array_sort on (term, s) structs): FP addition
+    // is non-associative, so an unordered SQL SUM could differ in the
+    // last ulp between engines/partitionings and flip a near-tie rank
+    val scored = per.groupBy("doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Incremental near-dup probe: match a NEW ingest batch against an
     * EXISTING corpus fingerprint index without touching corpus text.
     * `corpusFps` is the persisted `(id, fps)` output of

@@ -70,6 +70,40 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 scalar quantization: `scale =
+    * max(|v_i|)/127`, `code_i = round(v_i / scale)` — every code fits a
+    * TINYINT, so the stored index is 8× smaller than the double vectors
+    * (the standard first memory cut before PQ's 128×, and unlike PQ it
+    * needs no training pass). The zero-vector guard floors the max at
+    * 1e-30 so an all-zero embedding quantizes to all-zero codes instead
+    * of dividing by zero. Output: `(id, codes array<tinyint>, scale)`;
+    * `scale` rides along for consumers that need dequantized magnitudes
+    * (cosine does not — it is per-vector-scale-invariant, so [[int8TopK]]
+    * scores the codes directly).
+    */
+  def int8Quantize(vecsDf: DataFrame): DataFrame = {
+    val scale = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)) / lit(127.0)
+    vecsDf.select(col("id"),
+      transform(col("v"), x => round(x / scale).cast("tinyint")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** (id, codes) → (id, v) with codes widened to doubles: int8 dot
+    * products stay EXACT in double (|dot| ≤ dim·127² ≈ 10⁶ ≪ 2⁵³), so
+    * scoring quantized vectors reuses the same fold the oracle mirrors.
+    */
+  def int8AsVecs(quantized: DataFrame): DataFrame =
+    quantized.select(col("id"), col("codes").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-k over int8-quantized vectors: quantize
+    * corpus and queries, score the codes (cosine is invariant to each
+    * vector's own scale, so no dequantization happens anywhere). The
+    * approximation error vs [[bruteForceTopK]] comes only from the
+    * rounding — measured by the `ann_recall` gate's `int8` rows.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopK(int8AsVecs(int8Quantize(corpus)), int8AsVecs(int8Quantize(queries)), k)
+
   /** IVF top-k: assign every vector to its max-cosine centroid (the
     * inverted file), then for each query scan only the `nprobe`
     * closest centroids' lists. Centroids are caller-supplied (here:

@@ -184,6 +184,32 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // PII scrub: detect + redact synthesized emails/IPs/phones (the
+    // corpus itself is PII-free, so both sides append deterministic
+    // PII derived from doc_id and the gate checks detection counts and
+    // the md5 of the redacted text).
+    "pii_redact" -> ((s, dir) => {
+      def aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.1.2."), (col("doc_id") % 256).cast("string"),
+        lit(" or +14155550"), lpad((col("doc_id") % 100).cast("string"), 3, "0"))
+      documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          TextOps.piiCount(aug, TextOps.EmailRe).cast("long").as("n_email"),
+          TextOps.piiCount(aug, TextOps.Ipv4Re).cast("long").as("n_ip"),
+          TextOps.piiCount(aug, TextOps.PhoneRe).cast("long").as("n_phone"),
+          md5(TextOps.redactPii(aug)).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 keyword retrieval: top-10 documents for a fixed query —
+    // keyword-targeted corpus slicing without an embedding model.
+    "bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "query"), 10)
+        .select(col("doc_id"), r4(col("score")).as("score"))
+        .orderBy(col("doc_id"))),
+
     // Keyword extraction: top-5 TF-IDF terms per source slice.
     "tfidf_terms" -> ((s, dir) =>
       TextOps.tfidfTopTerms(documents(s, dir), "doc_id", "source", "text", 5)
@@ -260,6 +286,17 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Int8 scalar quantization ANN: the 8×-memory-cut serving path
+    // (codes replace doubles; cosine is per-vector-scale-invariant so
+    // scoring runs on raw codes). Oracle replays the same
+    // quantize-then-score arithmetic.
+    "ann_int8" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.int8TopK(e, e.filter(col("id") < 5), 3)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // Approximation-quality measurement for every approximate ANN path
     // against the exact brute scan: strict recall@3 (top-3 set overlap)
     // AND shortlist recall (true top-3 found in the 30-length ADC/
@@ -290,7 +327,8 @@ object LlmQueries {
         "ivf_pq" -> VectorOps.ivfPqTopK(index, coarse, codes, cb, q, 30, 2, 4, 64),
         "lsh" -> VectorOps.lshTopK(e, q, 30, 4, 64),
         "pq" -> VectorOps.pqTopK(codes, cb, q, 30, 4, 64),
-        "pq32" -> VectorOps.pqTopK(codes32, cb32, q, 30, 4, 64))
+        "pq32" -> VectorOps.pqTopK(codes32, cb32, q, 30, 4, 64),
+        "int8" -> VectorOps.int8TopK(e, q, 30))
         .map { case (n, df) => n -> df.select("qid", "nbr", "rank").localCheckpoint() }
       (for ((name, df) <- methods; k <- Seq(3, 30)) yield {
         df.filter(col("rank") <= k).select("qid", "nbr")
@@ -693,6 +731,47 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // pii_redact: same augmented text, same shared-subset regexes (the
+    // patterns avoid Java/RE2 divergences), same replace order; 'g'
+    // matches Spark's replace-all default.
+    "pii_redact" -> w(
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com via 10.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || ' or +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS t
+         |  FROM documents WHERE doc_id < 20)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id"""),
+
+    // bm25_topk: mirrors TextOps.bm25TopK op-for-op — same idf/tf
+    // formula tree (k1 = 1.2, b = 0.75 as the same literals), and the
+    // per-doc sum folds in term order with a 0.0 init so FP addition
+    // order matches the Spark aggregate() exactly.
+    "bm25_topk" -> w(
+      s"""WITH docs AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl,
+         |    $toksSql AS toks FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+         |  WHERE term IN ('spark', 'vector', 'query') GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |per AS (SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+         |      * (tf.tf * (1.2 + 1.0))
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+         |  FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s),
+         |sc AS (SELECT doc_id, list_reduce(
+         |    list_prepend(0.0, list(sc ORDER BY term)), (a, b) -> a + b) AS score
+         |  FROM per GROUP BY 1),
+         |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT doc_id, round(score, 4) AS score FROM top ORDER BY doc_id"""),
     "tfidf_terms" -> w(
       s"""WITH dt AS (SELECT doc_id, source, term, count(*) AS cnt
          |  FROM (SELECT doc_id, source, unnest($toksSql) AS term FROM documents)
@@ -714,6 +793,21 @@ object LlmQueries {
          |scored AS (
          |  SELECT q.id AS qid, c.id AS nbr, ${cos("q.v", "c.v")} AS cos
          |  FROM q JOIN e c ON c.id <> q.id),
+         |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // ann_int8: the quantization expression mirrors VectorOps.int8Quantize
+    // op-for-op (round(x / (greatest(max|v|, 1e-30) / 127.0)) — same IEEE
+    // rounding points), then the standard cosine/rank tail over the codes.
+    "ann_int8" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e8 AS (SELECT id, list_transform(v, x ->
+         |    round(x / (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0))) AS c
+         |  FROM e),
+         |q AS (SELECT id, c FROM e8 WHERE id < 5),
+         |scored AS (
+         |  SELECT q.id AS qid, c8.id AS nbr, ${cos("q.c", "c8.c")} AS cos
+         |  FROM q JOIN e8 c8 ON c8.id <> q.id),
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
@@ -1133,12 +1227,13 @@ object LlmQueries {
          |  SELECT 'ivf_pq', qid, nbr, rank FROM ${widen("ann_ivf_pq")} UNION ALL
          |  SELECT 'lsh', qid, nbr, rank FROM ${widen("ann_lsh")} UNION ALL
          |  SELECT 'pq', qid, nbr, rank FROM ${widen("ann_pq")} UNION ALL
-         |  SELECT 'pq32', qid, nbr, rank FROM $widePq32)
+         |  SELECT 'pq32', qid, nbr, rank FROM $widePq32 UNION ALL
+         |  SELECT 'int8', qid, nbr, rank FROM ${widen("ann_int8")})
          |SELECT m.method, CAST(ks.k AS BIGINT) AS k,
          |  CAST(count(b.qid) AS BIGINT) AS hits,
          |  CAST(15 AS BIGINT) AS total,
          |  round(count(b.qid) / 15.0, 4) AS recall
-         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32')) m(method)
+         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32'), ('int8')) m(method)
          |CROSS JOIN (VALUES (3), (30)) ks(k)
          |LEFT JOIN sel s ON s.method = m.method AND s.rank <= ks.k
          |LEFT JOIN brute b ON b.qid = s.qid AND b.nbr = s.nbr

@@ -126,6 +126,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(top.toSeq == Seq(2L, 1L, 3L)) // cos: 0.707, 0, -1
   }
 
+  test("int8 quantization: codes bounded, tinyint-typed, cosine-faithful") {
+    val vs = Seq(
+      (0L, Array(0.5, -0.25, 1.0)), (1L, Array(0.5, -0.25, 1.0)),
+      (2L, Array(-2.0, 4.0, 0.0)), (3L, Array(0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+    val q = VectorOps.int8Quantize(vs)
+    // stored codes are bytes — the 8× memory cut is real, not cosmetic
+    assert(q.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    val codes = q.orderBy("id").select("codes").as[Seq[Byte]].collect()
+    // max-|coordinate| maps to ±127 exactly; others scale linearly
+    assert(codes(0) == Seq[Byte](64, -32, 127)) // round(63.5)=64 half-up
+    assert(codes(2) == Seq[Byte](-64, 127, 0))
+    assert(codes(3) == Seq[Byte](0, 0, 0)) // zero vector: no div-by-zero
+    assert(codes.flatten.forall(c => c >= -127 && c <= 127))
+    // cosine over codes preserves exact-duplicate detection (scale
+    // cancels): ids 0/1 are identical → their code cosine is exactly 1
+    val top = VectorOps.int8TopK(vs.filter(col("id") < 3), vs.filter(col("id") === 0), 2)
+    val best = top.filter(col("rank") === 1).select("nbr", "cos")
+      .as[(Long, Double)].head()
+    // d/(√d·√d) rounds within one ulp of 1, not to exactly 1
+    assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
+  }
+
+  test("pii: emails, IPs, and phones are counted and redacted in order") {
+    val df = Seq(
+      "reach a.b+c@ex.co or x@y.org, host 10.0.0.1, call +123456789012",
+      "no pii here at all").toDF("text")
+    val out = df.select(
+      TextOps.piiCount(col("text"), TextOps.EmailRe).as("e"),
+      TextOps.piiCount(col("text"), TextOps.Ipv4Re).as("i"),
+      TextOps.piiCount(col("text"), TextOps.PhoneRe).as("p"),
+      TextOps.redactPii(col("text")).as("r"))
+      .as[(Int, Int, Int, String)].collect()
+    assert(out(0) == ((2, 1, 1,
+      "reach <EMAIL> or <EMAIL>, host <IP>, call <PHONE>")))
+    assert(out(1) == ((0, 0, 0, "no pii here at all")))
+  }
+
+  test("bm25: term-frequency ranks, absent-term docs drop, ties break by id") {
+    val corpus = Seq(
+      (0L, "spark spark spark"), (1L, "spark data"),
+      (2L, "data data"), (3L, "spark data")).toDF("doc_id", "text")
+    val top = TextOps.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    // doc 2 has no query term → not retrieved
+    assert(top.map(_._1).toSeq == Seq(0L, 1L, 3L))
+    // higher tf wins; identical docs 1/3 score identically (tie broken by id)
+    assert(top(0)._2 > top(1)._2 && top(1)._2 == top(2)._2)
+    assert(top.forall(_._2 > 0.0)) // Lucene idf form stays non-negative
+  }
+
   test("winnowing: shared substring >= k+w-1 guarantees a common fingerprint") {
     val fp = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
       .as[(Long, Seq[Long])].collect().toMap
