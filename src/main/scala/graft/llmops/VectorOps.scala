@@ -104,6 +104,55 @@ object VectorOps {
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     bruteForceTopK(int8AsVecs(int8Quantize(corpus)), int8AsVecs(int8Quantize(queries)), k)
 
+  /** Sign-bit binary signature, packed into ONE BIGINT (dim ≤ 64:
+    * bit i set iff v_i > 0) — the 64× compression extreme below int8's
+    * 8× and PQ's 128×-with-codebooks. The packed form matters: Hamming
+    * distance between signatures is `bit_count(a ^ b)` — two codegen'd
+    * integer ops per PAIR instead of a dim-length float loop, so the
+    * candidate scan reads 8 bytes/vector and runs entirely inside
+    * whole-stage codegen. Wider dims would chunk into an array of
+    * words; the gate corpus is 64-dim so the single-word form keeps the
+    * hot path HOF-free.
+    */
+  def signSignatures(vs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"signSignatures packs one 64-bit word, got dim=$dim")
+    vs.select(col("id"), col("v"), expr(
+      s"aggregate(sequence(0, $dim - 1), 0L, " +
+        "(acc, i) -> acc + IF(element_at(v, i + 1) > 0D, shiftleft(1L, i), 0L))").as("sig"))
+  }
+
+  /** Binary-hash ANN: Hamming candidate generation over packed sign
+    * signatures, exact cosine rescore of the per-query `shortlist`. The
+    * serving shape: the signature index (8 bytes/vector) is the only
+    * thing the full corpus scan touches; original vectors are fetched
+    * by id-join for shortlist rows only (shortlist·|Q| rows, not the
+    * corpus). Ties: shortlist by (hamming ASC, nbr), final by
+    * (cos DESC, nbr) — both deterministic and integer-exact, so the
+    * DuckDB oracle replays them bit-for-bit.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, dim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cs = signSignatures(corpus, dim).select(col("id"), col("sig"))
+    val qs = signSignatures(queries, dim)
+      .select(col("id").as("qid"), col("sig").as("qsig"))
+    val wHam = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ham"), col("nbr"))
+    val cand = cs.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nbr"),
+        expr("bit_count(sig ^ qsig)").as("ham"))
+      .withColumn("hr", row_number().over(wHam)).filter(col("hr") <= shortlist)
+      .select("qid", "nbr")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    cand
+      .join(corpus.select(col("id").as("nbr"), col("v").as("cv")), "nbr")
+      .join(broadcast(queries.select(col("id").as("qid"), col("v").as("qv"))), "qid")
+      .select(col("qid"), col("nbr"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
+  }
+
   /** IVF top-k: assign every vector to its max-cosine centroid (the
     * inverted file), then for each query scan only the `nprobe`
     * closest centroids' lists. Centroids are caller-supplied (here:

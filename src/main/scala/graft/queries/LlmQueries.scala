@@ -297,6 +297,16 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Binary-hash ANN: packed sign-bit signatures, Hamming shortlist of
+    // 30, exact cosine rescore — the 64× compression extreme. Oracle
+    // replays the (integer-exact) sign/Hamming chain unpacked.
+    "ann_binary" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.binaryTopK(e, e.filter(col("id") < 5), 3, 30, 64)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // Approximation-quality measurement for every approximate ANN path
     // against the exact brute scan: strict recall@3 (top-3 set overlap)
     // AND shortlist recall (true top-3 found in the 30-length ADC/
@@ -328,7 +338,8 @@ object LlmQueries {
         "lsh" -> VectorOps.lshTopK(e, q, 30, 4, 64),
         "pq" -> VectorOps.pqTopK(codes, cb, q, 30, 4, 64),
         "pq32" -> VectorOps.pqTopK(codes32, cb32, q, 30, 4, 64),
-        "int8" -> VectorOps.int8TopK(e, q, 30))
+        "int8" -> VectorOps.int8TopK(e, q, 30),
+        "binary" -> VectorOps.binaryTopK(e, q, 30, 30, 64))
         .map { case (n, df) => n -> df.select("qid", "nbr", "rank").localCheckpoint() }
       (for ((name, df) <- methods; k <- Seq(3, 30)) yield {
         df.filter(col("rank") <= k).select("qid", "nbr")
@@ -796,6 +807,25 @@ object LlmQueries {
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // ann_binary: sign/Hamming arithmetic is integer-exact, so the
+    // oracle needs no packed words — mismatched-sign counts ARE the
+    // Hamming distances; rescore reuses the standard cosine tail.
+    "ann_binary" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE id < 5),
+         |ham AS (
+         |  SELECT q.id AS qid, c.id AS nbr,
+         |    len(list_filter(range(1, 65), i -> (q.v[i] > 0) != (c.v[i] > 0))) AS ham
+         |  FROM q JOIN e c ON c.id <> q.id),
+         |short AS (SELECT qid, nbr FROM (
+         |    SELECT qid, nbr, row_number() OVER (PARTITION BY qid ORDER BY ham, nbr) AS hr
+         |    FROM ham) WHERE hr <= 30),
+         |scored AS (
+         |  SELECT s.qid, s.nbr, ${cos("q.v", "c.v")} AS cos
+         |  FROM short s JOIN q ON q.id = s.qid JOIN e c ON c.id = s.nbr),
+         |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
     // ann_int8: the quantization expression mirrors VectorOps.int8Quantize
     // op-for-op (round(x / (greatest(max|v|, 1e-30) / 127.0)) — same IEEE
     // rounding points), then the standard cosine/rank tail over the codes.
@@ -1228,12 +1258,13 @@ object LlmQueries {
          |  SELECT 'lsh', qid, nbr, rank FROM ${widen("ann_lsh")} UNION ALL
          |  SELECT 'pq', qid, nbr, rank FROM ${widen("ann_pq")} UNION ALL
          |  SELECT 'pq32', qid, nbr, rank FROM $widePq32 UNION ALL
-         |  SELECT 'int8', qid, nbr, rank FROM ${widen("ann_int8")})
+         |  SELECT 'int8', qid, nbr, rank FROM ${widen("ann_int8")} UNION ALL
+         |  SELECT 'binary', qid, nbr, rank FROM ${widen("ann_binary")})
          |SELECT m.method, CAST(ks.k AS BIGINT) AS k,
          |  CAST(count(b.qid) AS BIGINT) AS hits,
          |  CAST(15 AS BIGINT) AS total,
          |  round(count(b.qid) / 15.0, 4) AS recall
-         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32'), ('int8')) m(method)
+         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32'), ('int8'), ('binary')) m(method)
          |CROSS JOIN (VALUES (3), (30)) ks(k)
          |LEFT JOIN sel s ON s.method = m.method AND s.rank <= ks.k
          |LEFT JOIN brute b ON b.qid = s.qid AND b.nbr = s.nbr

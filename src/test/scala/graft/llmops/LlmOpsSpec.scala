@@ -165,6 +165,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1) == ((0, 0, 0, "no pii here at all")))
   }
 
+  test("binary signatures pack sign bits; Hamming shortlist + rescore finds dups") {
+    val vs = Seq(
+      (0L, Array(1.0, -1.0, 0.5, -0.2)), (1L, Array(1.0, -1.0, 0.5, -0.2)),
+      (2L, Array(-1.0, 1.0, -0.5, 0.2)), (3L, Array(1.0, 1.0, 0.0, 0.0)))
+      .toDF("id", "v")
+    val sigs = VectorOps.signSignatures(vs, 4).orderBy("id")
+      .select("sig").as[Long].collect()
+    assert(sigs(0) == 5L && sigs(1) == 5L) // bits 0 and 2 (positives)
+    assert(sigs(2) == 10L) // exact complement: bits 1 and 3
+    assert(sigs(3) == 3L)  // 0.0 is NOT positive: bits 0 and 1 only
+    val top = VectorOps.binaryTopK(vs, vs.filter(col("id") === 0), 3, 4, 4)
+      .orderBy("rank").select("nbr", "cos").as[(Long, Double)].collect()
+    // identical vector first (cos ~1), complement last (cos -1)
+    assert(top.head._1 == 1L && math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.last._1 == 2L && math.abs(top.last._2 + 1.0) < 1e-12)
+  }
+
   test("bm25: term-frequency ranks, absent-term docs drop, ties break by id") {
     val corpus = Seq(
       (0L, "spark spark spark"), (1L, "spark data"),
