@@ -105,6 +105,21 @@ class PlanGateSpec extends SparkSpec {
       plan.contains("PartitionFilters: [(dt"), plan.take(2500))
   }
 
+  test("bm25/pii scans prune to (doc_id, text) — curation passes never read full rows") {
+    // at 100 TB the documents table carries many wide columns; these
+    // ops must reach the parquet scan with a 2-column ReadSchema
+    for (name <- Seq("bm25_topk", "pii_redact")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(reads.nonEmpty, s"$name: no file scan found\n${plan.take(1500)}")
+      assert(reads.forall(r => r.split(",").map(_.takeWhile(_ != ':')).toSet
+        .subsetOf(Set("doc_id", "text"))),
+        s"$name reads more than (doc_id, text): $reads")
+    }
+  }
+
   test("every gate query plans without global windows or cartesian products") {
     // construction alone runs the two-pass transforms' first passes and
     // k-means training; sf0.001 keeps that cheap. Plan inspection only —
