@@ -471,6 +471,37 @@ object TextOps {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Pretraining sequence packing, concat-then-split form: documents
+    * are concatenated in `orderCol` order into one token stream that is
+    * cut every `seqLen` tokens (the standard packing used to build
+    * fixed-length pretraining batches — documents may straddle cuts).
+    * For each document this yields its token interval in the stream and
+    * the sequence ids it lands in:
+    * `(id, n_tok, tok_start, seq_first, seq_last, straddles)`.
+    *
+    * Scale shape: the corpus-wide running token count is
+    * [[graft.dsl.SeriesScan.ungroupedPrefixSum]] — the audited two-pass
+    * parallel prefix (range-partition by id, collect one total per
+    * PARTITION, stream seeded) — never a global window. Token counts
+    * are integers, so the double accumulator is exact below 2⁵³ total
+    * tokens (~9·10¹⁵ — comfortably above a 100 TB corpus) and the
+    * DuckDB oracle's integer window sum reproduces it bit-for-bit.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seqLen: Long,
+      numParts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      tokenCount(col(textCol)).cast("double").as("tok_d"))
+    graft.dsl.SeriesScan.ungroupedPrefixSum(toks, "id", "tok_d", "cum", numParts)
+      .withColumn("n_tok", col("tok_d").cast("long"))
+      .withColumn("tok_start", col("cum").cast("long") - col("n_tok"))
+      .withColumn("seq_first", floor(col("tok_start") / seqLen))
+      .withColumn("seq_last",
+        floor((col("tok_start") + greatest(col("n_tok"), lit(1L)) - 1) / seqLen))
+      .withColumn("straddles", col("seq_first") =!= col("seq_last"))
+      .select("id", "n_tok", "tok_start", "seq_first", "seq_last", "straddles")
+  }
+
   /** Incremental near-dup probe: match a NEW ingest batch against an
     * EXISTING corpus fingerprint index without touching corpus text.
     * `corpusFps` is the persisted `(id, fps)` output of

@@ -184,6 +184,14 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // Sequence packing (concat-then-split, 512-token sequences): each
+    // doc's interval in the packed token stream — the pretraining batch
+    // prep op; the corpus-wide running sum is the audited two-pass
+    // prefix scan, not a global window.
+    "seq_pack" -> ((s, dir) =>
+      TextOps.packSequences(documents(s, dir), "doc_id", "text", 512)
+        .orderBy("id")),
+
     // PII scrub: detect + redact synthesized emails/IPs/phones (the
     // corpus itself is PII-free, so both sides append deterministic
     // PII derived from doc_id and the gate checks detection counts and
@@ -742,6 +750,20 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // seq_pack: integer window cumsum reproduces the two-pass prefix
+    // scan exactly; sum(BIGINT) is HUGEINT in DuckDB, hence the cast.
+    "seq_pack" -> w(
+      s"""WITH t AS (SELECT doc_id AS id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      - n_tok AS tok_start FROM t)
+         |SELECT id, n_tok, tok_start,
+         |  tok_start // 512 AS seq_first,
+         |  (tok_start + greatest(n_tok, 1) - 1) // 512 AS seq_last,
+         |  (tok_start // 512) != ((tok_start + greatest(n_tok, 1) - 1) // 512) AS straddles
+         |FROM c ORDER BY id"""),
+
     // pii_redact: same augmented text, same shared-subset regexes (the
     // patterns avoid Java/RE2 divergences), same replace order; 'g'
     // matches Spark's replace-all default.

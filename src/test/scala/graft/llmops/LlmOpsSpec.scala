@@ -150,6 +150,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("sequence packing: contiguous intervals, straddle detection, exact cuts") {
+    // 4 docs of 3/4/2/5 tokens, seqLen 4: stream cuts at 4, 8, 12
+    val corpus = Seq(
+      (0L, "a b c"), (1L, "a b c d"), (2L, "a b"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequences(corpus, "doc_id", "text", 4, numParts = 2)
+      .orderBy("id")
+      .select("id", "n_tok", "tok_start", "seq_first", "seq_last", "straddles")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(out(0) == ((0L, 3L, 0L, 0L, 0L, false)))  // [0,3) in seq 0
+    assert(out(1) == ((1L, 4L, 3L, 0L, 1L, true)))   // [3,7) straddles 0/1
+    assert(out(2) == ((2L, 2L, 7L, 1L, 2L, true)))   // [7,9) straddles 1/2
+    assert(out(3) == ((3L, 5L, 9L, 2L, 3L, true)))   // [9,14) straddles 2/3
+    // intervals tile the stream: each start = previous start + length
+    assert(out.sliding(2).forall { case Array(a, b) => b._3 == a._3 + a._2 })
+  }
+
   test("pii: emails, IPs, and phones are counted and redacted in order") {
     val df = Seq(
       "reach a.b+c@ex.co or x@y.org, host 10.0.0.1, call +123456789012",
