@@ -264,6 +264,45 @@ final case class FluxFrame(
       if (location == null) c else from_utc_timestamp(c, location)
     def toUtc(c: Column) =
       if (location == null) c else to_utc_timestamp(c, location)
+    // Calendar windows (`every: 1mo`/`1y`, surfaced as "N months"):
+    // months have no fixed width, so Spark's time window() rejects
+    // them. Bucket by epoch-aligned month arithmetic instead — the
+    // same alignment as the task scheduler's calendar cadences (3mo ⇒
+    // Jan/Apr/Jul/Oct): monthsSince1970 floor-div n picks the bucket,
+    // make_date rebuilds its boundary, and the label stays Flux's
+    // `_stop` (window end). Pure Column arithmetic — the groupBy
+    // shuffles exactly like the fixed-width path.
+    every match {
+      case FluxFrame.MonthsEvery(nStr) =>
+        val n = nStr.toInt
+        require(offset == "0 seconds",
+          "offset is not supported with calendar windows (mo/y)")
+        require(!createEmpty,
+          "createEmpty is not supported with calendar windows (mo/y)")
+        val t = toLocal(col(timeCol))
+        val ms = year(t) * lit(12) + month(t) - lit(1) - lit(1970 * 12)
+        val k = floor(ms.cast("double") / n).cast("int") * n
+        def lbl(km: Column) = to_timestamp(make_date(
+          lit(1970) + floor(km.cast("double") / 12).cast("int"),
+          pmod(km, lit(12)) + 1, lit(1)))
+        val agged = df.groupBy((keyCols :+ lbl(k + n).as("_wend")): _*)
+          .agg(fn(col(valueCol)).as(as))
+          .withColumn(timeCol, toUtc(col("_wend")))
+          .drop("_wend")
+        FluxFrame(agged, groupKey, timeCol, as)
+      case _ => aggregateWindowFixed(every, fn, createEmpty, as, offset, toLocal, toUtc)
+    }
+  }
+
+  private def aggregateWindowFixed(
+      every: String,
+      fn: Column => Column,
+      createEmpty: Boolean,
+      as: String,
+      offset: String,
+      toLocal: Column => Column,
+      toUtc: Column => Column
+  ): FluxFrame = {
     val win = org.apache.spark.sql.functions.window(
       toLocal(col(timeCol)), every, every, offset)
     val aggCols = (keyCols :+ win.as("_w"))
@@ -688,4 +727,9 @@ object FluxFrame {
     */
   def of(df: DataFrame, time: String, value: String, series: String*): FluxFrame =
     FluxFrame(df, series, time, value)
+
+  /** Calendar `every` spelling ("3 months") from the Flux front-end's
+    * `1mo`/`1y` durations — fixed-width intervals never match.
+    */
+  private[dsl] val MonthsEvery = """^\s*(\d+)\s+months?\s*$""".r
 }

@@ -507,6 +507,11 @@ object FluxEval {
     case VDur(n, "h") => s"$n hours"
     case VDur(n, "d") => s"$n days"
     case VDur(n, "w") => s"${n * 7} days"
+    // calendar units: only aggregateWindow(every:) understands these
+    // (epoch-aligned month buckets); fixed-width consumers reject the
+    // "months" spelling with their own errors
+    case VDur(n, "mo") => s"$n months"
+    case VDur(n, "y") => s"${n * 12} months"
     case other => throw EvalException(s"expected duration, got $other")
   }
 

@@ -28,6 +28,23 @@ object FluxQueries {
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
         .orderBy("_measurement", "wend")),
 
+    // calendar-month downsample: `every: 1mo` buckets on epoch-aligned
+    // month boundaries (no fixed ns width — Spark's window() can't
+    // express it). Source widens the 30-day corpus with a 35-day
+    // shifted copy so the bucketing spans Jan/Feb/Mar non-trivially.
+    "flux_month_window" -> ((s, dir) => {
+      val base = events(s, dir).select("event_type", "ts", "value")
+      val both = base.unionByName(base.withColumn("ts", col("ts") + expr("INTERVAL 35 DAYS")))
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> aggregateWindow(every: 1mo, fn: sum)""".stripMargin,
+        FluxEval.Source(
+          resolve = _ => graft.dsl.FluxFrame.of(both, "ts", "value", "event_type"),
+          rename = Map("_time" -> "ts", "_value" -> "value", "_measurement" -> "event_type")))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("sum_v"))
+        .orderBy("_measurement", "wend")
+    }),
+
     // offset + timezone downsample: 1d buckets on the Etc/GMT+5 wall
     // clock shifted to 06:00 local starts, labels back as UTC instants —
     // the dashboard-day form (`timezone.location` in text).
@@ -259,6 +276,15 @@ object FluxQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND event_type IN ('click', 'view')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_month_window" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, value FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 35 DAY, value FROM events)
+        |SELECT event_type AS _measurement,
+        |  date_trunc('month', ts) + INTERVAL 1 MONTH AS wend,
+        |  round(sum(value), 4) AS sum_v
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "flux_tz_offset" ->
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '1 day', ts - INTERVAL 5 HOUR, TIMESTAMP '2024-01-01 06:00:00')

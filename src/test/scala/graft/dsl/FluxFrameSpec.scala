@@ -70,6 +70,29 @@ class FluxFrameSpec extends SparkSpec {
     assert(out.toSeq == Seq(2.0))
   }
 
+  test("calendar windows bucket on epoch-aligned month boundaries") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("a", ts("2024-01-15 12:00:00"), 1.0), ("a", ts("2024-02-02 00:00:00"), 2.0),
+      ("a", ts("2024-03-31 23:59:59"), 4.0), ("a", ts("2024-04-01 00:00:00"), 8.0))
+    val f = FluxFrame(rows.toDF("m", "ts", "v"), Seq("m"), "ts", "v")
+    // 1mo: one bucket per calendar month, label = month end (_stop)
+    val monthly = f.aggregateWindow("1 months", sum, as = "s").toDF.orderBy("ts")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ts").toString, r.getAs[Double]("s")))
+    assert(monthly.toSeq == Seq(
+      ("2024-02-01 00:00:00.0", 1.0), ("2024-03-01 00:00:00.0", 2.0),
+      ("2024-04-01 00:00:00.0", 4.0), ("2024-05-01 00:00:00.0", 8.0)))
+    // 3mo: epoch-aligned quarters (Jan-Mar / Apr-Jun), not relative to
+    // the data's first point
+    val quarterly = f.aggregateWindow("3 months", sum, as = "s").toDF.orderBy("ts")
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("ts").toString, r.getAs[Double]("s")))
+    assert(quarterly.toSeq == Seq(
+      ("2024-04-01 00:00:00.0", 7.0), ("2024-07-01 00:00:00.0", 8.0)))
+    // unsupported combinations fail loudly, not silently
+    intercept[IllegalArgumentException](f.aggregateWindow("1 months", sum, offset = "6 hours"))
+    intercept[IllegalArgumentException](f.aggregateWindow("1 months", sum, createEmpty = true))
+  }
+
   test("interpolateLinear inserts midpoints on the grid") {
     val rows = Seq(
       ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0),
