@@ -423,6 +423,30 @@ object TextOps {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** URL pattern in the same Java∩RE2 subset as the PII family:
+    * scheme, host (with optional port), then path / query / fragment
+    * runs bounded by whitespace-and-delimiter classes.
+    */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s?#]*)?(?:\\?[^\\s#]*)?(?:#[^\\s]*)?"
+
+  /** All URLs occurring in the text, in order. */
+  def extractUrls(text: Column): Column =
+    call_function("regexp_extract_all", text, lit(UrlRe), lit(0))
+
+  /** Lower-cased host of a URL. */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Canonical form for URL-level dedup — the first dedup stage of a
+    * web-crawl pipeline (far cheaper than any content pass: two
+    * fetches of one URL are duplicates before you ever hash a byte):
+    * query string and fragment drop, scheme+host lowercase, path kept
+    * case-sensitive (RFC 3986: host is case-insensitive, path is not).
+    */
+  def canonicalizeUrl(url: Column): Column = concat(
+    lower(regexp_extract(url, "^(https?://[A-Za-z0-9.-]+(?::[0-9]+)?)", 1)),
+    regexp_extract(url, "^https?://[A-Za-z0-9.-]+(?::[0-9]+)?([^#?]*)", 1))
+
   /** BM25 keyword retrieval (Robertson–Spärck Jones, Lucene's
     * non-negative idf form): for query terms Q,
     * `score(d) = Σ_{t∈Q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))

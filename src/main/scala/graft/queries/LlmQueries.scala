@@ -184,6 +184,30 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // URL-level dedup: extract → canonicalize (drop query/fragment,
+    // lowercase scheme+host) → group by canonical URL with a min-id
+    // survivor — the first (cheapest) dedup stage of a crawl pipeline.
+    // URLs are synthesized from doc_id on both sides, mixed-case and
+    // query-string-decorated to exercise the canonicalization.
+    "url_dedup" -> ((s, dir) => {
+      def aug = concat(col("text"),
+        lit(" see https://Src"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM/page/"), (col("doc_id") % 50).cast("string"),
+        lit("?utm=x#frag"),
+        when(col("doc_id") % 3 === 0,
+          lit(" and https://mirror.example.net/x")).otherwise(lit("")))
+      val urls = TextOps.extractUrls(aug)
+      val first = get(urls, lit(0))
+      documents(s, dir)
+        .select(col("doc_id"), size(urls).cast("long").as("n_urls"),
+          TextOps.urlDomain(first).as("domain"),
+          TextOps.canonicalizeUrl(first).as("canon"))
+        .groupBy("domain", "canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"),
+          sum("n_urls").as("n_urls"))
+        .orderBy("canon")
+    }),
+
     // Sequence packing (concat-then-split, 512-token sequences): each
     // doc's interval in the packed token stream — the pretraining batch
     // prep op; the corpus-wide running sum is the audited two-pass
@@ -750,6 +774,28 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // url_dedup: same synthesized URLs, same extract/canonicalize
+    // regex trees; sums cast out of DuckDB's HUGEINT.
+    "url_dedup" -> w(
+      s"""WITH aug AS (SELECT doc_id,
+         |    text || ' see https://Src' || CAST(doc_id % 7 AS VARCHAR)
+         |      || '.Example.COM/page/' || CAST(doc_id % 50 AS VARCHAR)
+         |      || '?utm=x#frag'
+         |      || CASE WHEN doc_id % 3 = 0
+         |           THEN ' and https://mirror.example.net/x' ELSE '' END AS t
+         |  FROM documents),
+         |u AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '${TextOps.UrlRe}')) AS BIGINT) AS n_urls,
+         |    regexp_extract_all(t, '${TextOps.UrlRe}')[1] AS f
+         |  FROM aug)
+         |SELECT
+         |  lower(regexp_extract(f, '^https?://([A-Za-z0-9.-]+)', 1)) AS domain,
+         |  lower(regexp_extract(f, '^(https?://[A-Za-z0-9.-]+(?::[0-9]+)?)', 1))
+         |    || regexp_extract(f, '^https?://[A-Za-z0-9.-]+(?::[0-9]+)?([^#?]*)', 1) AS canon,
+         |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id,
+         |  CAST(sum(n_urls) AS BIGINT) AS n_urls
+         |FROM u GROUP BY 1, 2 ORDER BY canon"""),
+
     // seq_pack: integer window cumsum reproduces the two-pass prefix
     // scan exactly; sum(BIGINT) is HUGEINT in DuckDB, hence the cast.
     "seq_pack" -> w(

@@ -150,6 +150,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("urls: extraction order, host lowercasing, query/fragment drop") {
+    val df = Seq(
+      "read HTTPS nope, see https://Ex.COM:8080/A/b?q=1#f then http://ex.com/A/b and https://ex.com/a/B",
+      "no links").toDF("text")
+    val out = df.select(
+      TextOps.extractUrls(col("text")).as("u"),
+      TextOps.canonicalizeUrl(get(TextOps.extractUrls(col("text")), lit(0))).as("c"),
+      TextOps.urlDomain(get(TextOps.extractUrls(col("text")), lit(0))).as("d"))
+      .as[(Seq[String], String, String)].collect()
+    assert(out(0)._1.size == 3)
+    // host+scheme lowercase, port kept, path case preserved, ?/# gone
+    assert(out(0)._2 == "https://ex.com:8080/A/b")
+    assert(out(0)._3 == "ex.com") // domain = host, port not included
+    assert(out(1)._1.isEmpty && out(1)._2 == null && out(1)._3 == null)
+    // canonicalization distinguishes path case but not host case
+    val c2 = df.limit(1).select(
+      TextOps.canonicalizeUrl(get(TextOps.extractUrls(col("text")), lit(2))).as("c"))
+      .as[String].head()
+    assert(c2 == "https://ex.com/a/B")
+  }
+
   test("sequence packing: contiguous intervals, straddle detection, exact cuts") {
     // 4 docs of 3/4/2/5 tokens, seqLen 4: stream cuts at 4, 8, 12
     val corpus = Seq(
