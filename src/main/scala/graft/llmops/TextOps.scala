@@ -495,6 +495,38 @@ object TextOps {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Unigram-LM per-document negative log-likelihood — the
+    * perplexity-style quality filter (CCNet/Gopher filter on LM
+    * perplexity; the unigram form keeps the pipeline shape — train a
+    * corpus LM, score every document, filter the tail — with exact
+    * cross-engine arithmetic instead of an external KenLM binary):
+    * `nll(d) = Σ_t cnt_t·(−ln(ctf_t / T)) / |d|` where ctf is the
+    * corpus term frequency and T the corpus token total. Low = fluent
+    * under the corpus distribution; high = rare-token-heavy outliers.
+    *
+    * Scale shape: one tokenize scan → per-(doc, term) counts; corpus
+    * term frequencies are ONE more aggregation over those counts
+    * (vocabulary-sized, broadcast back); the 1-row total rides a
+    * broadcast crossJoin. The per-doc sum folds over term-sorted
+    * entries — same cross-engine FP-determinism trick as [[bm25TopK]].
+    * Returns (id, n_tok, nll).
+    */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("cnt"))
+    val ctf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
+    val total = ctf.agg(sum("ctf").as("t"))
+    val per = tf.join(broadcast(ctf), "term").crossJoin(broadcast(total))
+      .withColumn("s", col("cnt") * -log(col("ctf") / col("t")))
+    per.groupBy("id")
+      .agg(
+        sum(col("cnt")).cast("long").as("n_tok"),
+        (aggregate(
+          array_sort(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
+  }
+
   /** Pretraining sequence packing, concat-then-split form: documents
     * are concatenated in `orderCol` order into one token stream that is
     * cut every `seqLen` tokens (the standard packing used to build

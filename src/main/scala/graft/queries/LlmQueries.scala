@@ -184,6 +184,14 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // Perplexity-style quality scoring: unigram-LM negative
+    // log-likelihood per document (train on the corpus, score every
+    // doc — the CCNet/Gopher filter shape with exact arithmetic).
+    "unigram_nll" -> ((s, dir) =>
+      TextOps.unigramNll(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"), r4(col("nll")).as("nll"))
+        .orderBy("doc_id")),
+
     // URL-level dedup: extract → canonicalize (drop query/fragment,
     // lowercase scheme+host) → group by canonical URL with a min-id
     // survivor — the first (cheapest) dedup stage of a crawl pipeline.
@@ -774,6 +782,22 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // unigram_nll: same op tree (cnt · −ln(ctf/T)), per-doc sum folded
+    // in term order with a 0.0 init — bm25's determinism pattern.
+    "unigram_nll" -> w(
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2),
+         |ctf AS (SELECT term, sum(cnt) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(ctf) AS t FROM ctf),
+         |per AS (SELECT tf.doc_id, tf.term, tf.cnt,
+         |    tf.cnt * -ln(c.ctf / tot.t) AS s
+         |  FROM tf JOIN ctf c USING (term) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b)
+         |      / sum(cnt) AS nll
+         |  FROM per GROUP BY 1)
+         |SELECT doc_id, n_tok, round(nll, 4) AS nll FROM agg ORDER BY doc_id"""),
+
     // url_dedup: same synthesized URLs, same extract/canonicalize
     // regex trees; sums cast out of DuckDB's HUGEINT.
     "url_dedup" -> w(

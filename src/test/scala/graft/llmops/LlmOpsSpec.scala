@@ -150,6 +150,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("unigram NLL: common-token docs score lower than rare-token docs") {
+    val corpus = Seq(
+      (0L, "a a a a"), (1L, "a a a b"), (2L, "b c d e")).toDF("doc_id", "text")
+    val out = TextOps.unigramNll(corpus, "doc_id", "text")
+      .orderBy("id").select("id", "n_tok", "nll")
+      .as[(Long, Long, Double)].collect()
+    // corpus: a×7, b×2, c/d/e×1 of 12 → doc 0 (all 'a') most likely
+    assert(out.map(_._2).toSeq == Seq(4L, 4L, 4L))
+    assert(out(0)._3 < out(1)._3 && out(1)._3 < out(2)._3)
+    // doc 0 exactly: −ln(7/12)
+    assert(math.abs(out(0)._3 - -math.log(7.0 / 12.0)) < 1e-12)
+  }
+
   test("urls: extraction order, host lowercasing, query/fragment drop") {
     val df = Seq(
       "read HTTPS nope, see https://Ex.COM:8080/A/b?q=1#f then http://ex.com/A/b and https://ex.com/a/B",
