@@ -131,14 +131,25 @@ object VectorOps {
     * DuckDB oracle replays them bit-for-bit.
     */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      shortlist: Int, dim: Int): DataFrame = {
+      shortlist: Int, dim: Int): DataFrame =
+    binaryProbe(signSignatures(corpus, dim).select(col("id"), col("sig")),
+      corpus, queries, k, shortlist, dim)
+
+  /** Probe a persisted signature index (`(id, sig)` — fresh from
+    * [[signSignatures]] or read back from parquet, 8 bytes a vector):
+    * Hamming shortlist over the index, exact-cosine rescore against the
+    * separate vector store — the production split (signature index and
+    * vector table are different artifacts; only shortlist rows ever
+    * touch a vector).
+    */
+  def binaryProbe(index: DataFrame, vectors: DataFrame, queries: DataFrame,
+      k: Int, shortlist: Int, dim: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
-    val cs = signSignatures(corpus, dim).select(col("id"), col("sig"))
     val qs = signSignatures(queries, dim)
       .select(col("id").as("qid"), col("sig").as("qsig"))
     val wHam = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("ham"), col("nbr"))
-    val cand = cs.crossJoin(broadcast(qs))
+    val cand = index.crossJoin(broadcast(qs))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nbr"),
         expr("bit_count(sig ^ qsig)").as("ham"))
@@ -147,7 +158,7 @@ object VectorOps {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
     cand
-      .join(corpus.select(col("id").as("nbr"), col("v").as("cv")), "nbr")
+      .join(vectors.select(col("id").as("nbr"), col("v").as("cv")), "nbr")
       .join(broadcast(queries.select(col("id").as("qid"), col("v").as("qv"))), "qid")
       .select(col("qid"), col("nbr"), cosine(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)

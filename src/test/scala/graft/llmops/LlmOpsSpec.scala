@@ -396,6 +396,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(reloaded == direct && direct.size == 9)
   }
 
+  test("int8 and binary signature indexes persist to parquet and score identically") {
+    val rnd = new scala.util.Random(29)
+    val vs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    val qs = vs.filter(col("id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-index")
+    // int8: persist codes (the 8×-smaller index), reload, score —
+    // identical top-k to quantize-on-the-fly
+    val direct8 = VectorOps.int8TopK(vs, qs, 3)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    VectorOps.int8Quantize(vs).write.parquet(s"$dir/int8")
+    val re8 = VectorOps.bruteForceTopK(
+      VectorOps.int8AsVecs(spark.read.parquet(s"$dir/int8")),
+      VectorOps.int8AsVecs(VectorOps.int8Quantize(qs)), 3)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    assert(re8 == direct8 && direct8.size == 9)
+    // binary: persist (id, sig) — 8 bytes a vector — and probe the
+    // reloaded index against the separate vector store, exactly like
+    // production (signature index + vector table are different
+    // artifacts)
+    val directB = VectorOps.binaryTopK(vs, qs, 3, 10, 8)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    VectorOps.signSignatures(vs, 8).select("id", "sig").write.parquet(s"$dir/sigs")
+    val reB = VectorOps.binaryProbe(
+      spark.read.parquet(s"$dir/sigs"), vs, qs, 3, 10, 8)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    assert(reB == directB && directB.size == 9)
+  }
+
   test("lsh ann with full multiprobe coverage equals brute force") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 12L).map(i => (i, Array.fill(4)(rnd.nextGaussian()))).toDF("id", "v")

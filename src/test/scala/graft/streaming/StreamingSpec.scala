@@ -63,6 +63,38 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set("fresh document one", "fresh document two"))
   }
 
+  test("curation ops run unchanged under structured streaming (stateless projections)") {
+    // redactPii / qualityScore / langId / urlDomain are pure scan-stage
+    // Column expressions — the same columns drive a readStream with no
+    // state, no watermark, and per-batch results identical to batch.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.TextOps
+    val mem = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (0L, "the cat and the dog mail me at a@b.co or https://Ex.COM/x?q=1"),
+      (1L, "der hund und die katze ist nicht hier"))
+    mem.addData(rows: _*)
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TextOps.redactPii(col("text")).as("clean"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.urlDomain(get(TextOps.extractUrls(col("text")), lit(0))).as("domain"))
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_out").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cp-curate").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("curate_out").orderBy("doc_id")
+      .as[(Long, String, String, String)].collect().toSeq
+    val batch = curate(rows.toDF("doc_id", "text")).orderBy("doc_id")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(streamed == batch) // stream ≡ batch for stateless curation
+    assert(streamed(0)._2.contains("<EMAIL>") && streamed(0)._3 == "en"
+      && streamed(0)._4 == "ex.com")
+    assert(streamed(1)._3 == "de" && streamed(1)._4 == null)
+  }
+
   test("downsample task materializes windowed means into the target bucket") {
     val tsdb = freshTsdb()
     // 4 points across two 1-minute windows for h1, one window for h2
