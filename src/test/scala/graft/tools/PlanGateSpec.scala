@@ -105,10 +105,13 @@ class PlanGateSpec extends SparkSpec {
       plan.contains("PartitionFilters: [(dt"), plan.take(2500))
   }
 
-  test("bm25/pii scans prune to (doc_id, text) — curation passes never read full rows") {
+  test("curation scans prune to (doc_id, text) — passes never read full rows") {
     // at 100 TB the documents table carries many wide columns; these
     // ops must reach the parquet scan with a 2-column ReadSchema
-    for (name <- Seq("bm25_topk", "pii_redact")) {
+    // (seq_pack is not listed: its prefix-scan localCheckpoint truncates
+    // the visible plan before the file scan; its input projection is the
+    // 2-column select in packSequences itself)
+    for (name <- Seq("bm25_topk", "pii_redact", "url_dedup", "unigram_nll")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val reads = "ReadSchema: struct<([^>]*)>".r
