@@ -44,6 +44,51 @@ object SampleOps {
     df.withColumn(as, split)
   }
 
+  /** Per-slice sampling fractions that reshape the corpus to a TARGET
+    * mixture (DoReMi/Pile-style domain weighting) by pure
+    * downsampling: `r_s = target_s / share_s` measures how
+    * over-represented the target says slice s should be, and
+    * normalizing by `max r_s` yields fractions ≤ 1 — the
+    * best-achievable match without upsampling (the slice most
+    * under-represented relative to its target keeps everything; every
+    * other slice downsamples proportionally). Slices absent from
+    * `target` get fraction 0 — the drop-this-domain case.
+    *
+    * Scale shape: one slice-level count aggregate; the two scalar
+    * reductions (corpus total, max ratio) ride broadcast crossJoins of
+    * 1-row frames. Nothing wider than the slice list ever aggregates.
+    * Returns `(strataCol, n_docs, fraction)`.
+    */
+  def mixtureFractions(df: DataFrame, strataCol: String,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0),
+      "target mixture weights must be positive")
+    val targetCol = target.foldLeft(lit(0.0)) { case (e, (k, w)) =>
+      when(col(strataCol) === k, w).otherwise(e)
+    }
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("n"))
+    val tot = counts.agg(sum("n").as("nn"))
+    val r = counts.crossJoin(broadcast(tot))
+      .withColumn("rr", targetCol / (col("n") / col("nn")))
+    val mx = r.agg(max("rr").as("mx"))
+    r.crossJoin(broadcast(mx))
+      .select(col(strataCol), col("n").cast("long").as("n_docs"),
+        (col("rr") / col("mx")).as("fraction"))
+  }
+
+  /** Apply [[mixtureFractions]]: deterministic hash-membership
+    * downsampling to the target mixture. The fraction table is
+    * slice-count-sized, so it broadcasts; the filter is the same pure
+    * scan predicate as [[stratifiedSample]].
+    */
+  def resampleToMixture(df: DataFrame, keyCol: String, strataCol: String,
+      target: Map[String, Double]): DataFrame =
+    df.join(
+      broadcast(mixtureFractions(df, strataCol, target)
+        .select(col(strataCol), col("fraction"))),
+      strataCol)
+      .filter(hashU(col(keyCol)) < col("fraction"))
+
   /** Keep a deterministic per-stratum fraction of rows (domain mixing /
     * downsampling an over-represented source): a row survives iff its
     * hash-u falls below its stratum's fraction. Unlike

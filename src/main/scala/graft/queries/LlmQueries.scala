@@ -169,6 +169,21 @@ object LlmQueries {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // Domain-mixture reweighting: fractions that reshape the 20
+    // uniform sources to a skewed 4-source target by downsampling
+    // (unlisted sources drop), plus the realized sample counts.
+    "mix_sample" -> ((s, dir) => {
+      val target = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+      val fr = SampleOps.mixtureFractions(documents(s, dir), "source", target)
+      val sampled = SampleOps
+        .resampleToMixture(documents(s, dir), "doc_id", "source", target)
+        .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      fr.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), r4(col("fraction")).as("fraction"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("source")
+    }),
+
     // CCNet-style passage dedup: per-document fraction of 8-word
     // chunks that occur more than once corpus-wide.
     "chunk_dedup" -> ((s, dir) =>
@@ -700,6 +715,23 @@ object LlmQueries {
         |WHERE u < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
         |                      WHEN 'src2' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""")),
+    // mix_sample: same ratio/normalize tree (target literals identical),
+    // membership via the digit-replicated hashU.
+    "mix_sample" -> (hashUCte + w(
+      """, c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM c),
+        |r AS (SELECT source, n,
+        |    (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+        |                 WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1 ELSE 0.0 END)
+        |      / (n / tot.nn) AS rr
+        |  FROM c CROSS JOIN tot),
+        |m AS (SELECT max(rr) AS mx FROM r),
+        |f AS (SELECT source, n, rr / m.mx AS frac FROM r CROSS JOIN m),
+        |smp AS (SELECT hu.source, count(*) AS ns
+        |  FROM hu JOIN f USING (source) WHERE hu.u < f.frac GROUP BY 1)
+        |SELECT f.source, CAST(f.n AS BIGINT) AS n_docs, round(f.frac, 4) AS fraction,
+        |  COALESCE(smp.ns, 0) AS n_sampled
+        |FROM f LEFT JOIN smp USING (source) ORDER BY f.source""")),
     "dedup_clusters" -> (ccBase + w(
       """SELECT id, cid AS cluster_id FROM comp ORDER BY id""")),
     "dedup_keep" -> (ccBase + w(

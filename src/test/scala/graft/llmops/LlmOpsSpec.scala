@@ -150,6 +150,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("mixture fractions: most-under-represented slice keeps all, others scale, unlisted drop") {
+    // corpus shares: a 50%, b 25%, c 25%; target: a 25%, b 75%
+    // r: a 0.5, b 3.0 (max), c 0 → fractions a 1/6, b 1, c 0
+    val rows = (0 until 8).map(i => (i.toLong, if (i < 4) "a" else if (i < 6) "b" else "c"))
+      .toDF("id", "src")
+    val fr = SampleOps.mixtureFractions(rows, "src", Map("a" -> 0.25, "b" -> 0.75))
+      .orderBy("src").select("src", "n_docs", "fraction")
+      .as[(String, Long, Double)].collect()
+    assert(fr.map(t => (t._1, t._2)).toSeq == Seq(("a", 4L), ("b", 2L), ("c", 2L)))
+    assert(math.abs(fr(0)._3 - 1.0 / 6.0) < 1e-12)
+    assert(fr(1)._3 == 1.0 && fr(2)._3 == 0.0)
+    // resample membership is the stratified hash predicate: b all kept,
+    // c all dropped
+    val kept = SampleOps.resampleToMixture(rows, "id", "src", Map("a" -> 0.25, "b" -> 0.75))
+      .select("src").as[String].collect()
+    assert(kept.count(_ == "b") == 2 && !kept.contains("c"))
+  }
+
   test("unigram NLL: common-token docs score lower than rare-token docs") {
     val corpus = Seq(
       (0L, "a a a a"), (1L, "a a a b"), (2L, "b c d e")).toDF("doc_id", "text")
