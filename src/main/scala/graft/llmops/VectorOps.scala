@@ -164,6 +164,32 @@ object VectorOps {
       .withColumn("rank", row_number().over(wTop)).filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * `1/(k0 + rank)` per id and the fused score is the sum, so an id
+    * near the top of ANY ranking surfaces without score calibration
+    * between heterogeneous retrievers (BM25 scores and cosines are
+    * not comparable; ranks are). Inputs are `(id, rank)` frames —
+    * e.g. [[graft.llmops.TextOps.bm25TopK]] output ranked, and an
+    * `ann*TopK` ranking. The union is |inputs|·k rows — list-scale —
+    * and the fold over per-id contributions is ordered by source
+    * index, so the FP sum is deterministic across engines and
+    * partitionings. Returns the top `k` ids by (score DESC, id).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("id"), col("rank").cast("long").as("rank"),
+        lit(i).as("src"))
+    }.reduce(_ unionByName _)
+    val contrib = tagged.withColumn("c", lit(1.0) / (lit(k0) + col("rank")))
+    contrib.groupBy("id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("src"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+  }
+
   /** IVF top-k: assign every vector to its max-cosine centroid (the
     * inverted file), then for each query scan only the `nprobe`
     * closest centroids' lists. Centroids are caller-supplied (here:

@@ -362,6 +362,28 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    // ranking and a cosine ANN ranking — rank-space combination needs
+    // no score calibration between the two retrievers. The bm25 rank
+    // derives from a broadcast better-than self-join (20 rows), not a
+    // global window.
+    "hybrid_rrf" -> ((s, dir) => {
+      val bm = TextOps.bm25TopK(documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "query"), 20)
+      val a = bm.select(col("doc_id").as("id"), col("score"))
+      val b = a.select(col("id").as("id2"), col("score").as("score2"))
+      val bmRank = a.join(broadcast(b),
+          col("score2") > col("score") ||
+            (col("score2") === col("score") && col("id2") < col("id")), "left")
+        .groupBy("id").agg((count(col("id2")) + 1).as("rank"))
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val ann = VectorOps.bruteForceTopK(e, e.filter(col("id") === 0), 20)
+        .select(col("nbr").as("id"), col("rank"))
+      VectorOps.rrfFuse(Seq(bmRank, ann), 10)
+        .select(col("id"), r4(col("score")).as("score"))
+        .orderBy("id")
+    }),
+
     // Approximation-quality measurement for every approximate ANN path
     // against the exact brute scan: strict recall@3 (top-3 set overlap)
     // AND shortlist recall (true top-3 found in the 30-length ADC/
@@ -1395,5 +1417,46 @@ object LlmQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""")
   }
 
-  val oracle: Map[String, String] = oracleCore + ("ann_recall" -> annRecallSql)
+  /** hybrid_rrf oracle: the bm25 and brute-cosine chains restated with
+    * FULL-precision scores (the per-method gate SQL rounds its output,
+    * which would corrupt rank derivation), ranked, fused by
+    * 1/(60+rank) with a src-ordered fold — the same arithmetic
+    * [[graft.llmops.VectorOps.rrfFuse]] runs.
+    */
+  private val hybridRrfSql: String = w(
+    s"""WITH docs AS (SELECT doc_id, CAST(len($toksSql) AS DOUBLE) AS dl,
+       |    $toksSql AS toks FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN ('spark', 'vector', 'query') GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |per AS (SELECT tf.doc_id, tf.term,
+       |    ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+       |      * (tf.tf * (1.2 + 1.0))
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS sc
+       |  FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s),
+       |bsc AS (SELECT doc_id, list_reduce(
+       |    list_prepend(0.0, list(sc ORDER BY term)), (a, b) -> a + b) AS score
+       |  FROM per GROUP BY 1),
+       |bm AS (SELECT doc_id AS id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |    FROM bsc) WHERE rank <= 20),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE id = 0),
+       |scored AS (SELECT c.id AS nbr, ${cos("q.v", "c.v")} AS cos
+       |  FROM q JOIN e c ON c.id <> q.id),
+       |ann AS (SELECT nbr AS id, rank FROM (
+       |    SELECT nbr, row_number() OVER (ORDER BY cos DESC, nbr) AS rank FROM scored)
+       |  WHERE rank <= 20),
+       |u AS (SELECT id, CAST(rank AS BIGINT) AS rank, 0 AS src FROM bm
+       |  UNION ALL SELECT id, CAST(rank AS BIGINT), 1 FROM ann),
+       |fus AS (SELECT id, list_reduce(
+       |    list_prepend(0.0, list(1.0 / (60 + rank) ORDER BY src)), (a, b) -> a + b) AS score
+       |  FROM u GROUP BY 1),
+       |top AS (SELECT * FROM fus ORDER BY score DESC, id LIMIT 10)
+       |SELECT id, round(score, 4) AS score FROM top ORDER BY id""")
+
+  val oracle: Map[String, String] =
+    oracleCore + ("ann_recall" -> annRecallSql, "hybrid_rrf" -> hybridRrfSql)
 }

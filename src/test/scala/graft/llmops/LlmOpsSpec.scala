@@ -150,6 +150,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("rrf fusion: consensus ids beat single-ranking tops") {
+    val r1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val r2 = Seq((40L, 1L), (20L, 2L), (10L, 3L)).toDF("id", "rank")
+    val out = VectorOps.rrfFuse(Seq(r1, r2), 4)
+      .select("id", "score").as[(Long, Double)].collect()
+    // 10: 1/61+1/63; 20: 1/62+1/62; 40: 1/61; 30: 1/63 — consensus first
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 40L, 30L))
+    assert(math.abs(out(0)._2 - (1.0 / 61 + 1.0 / 63)) < 1e-15)
+    // ids in both rankings outrank any single-ranking id
+    assert(out(1)._2 > out(2)._2)
+  }
+
   test("mixture fractions: most-under-represented slice keeps all, others scale, unlisted drop") {
     // corpus shares: a 50%, b 25%, c 25%; target: a 25%, b 75%
     // r: a 0.5, b 3.0 (max), c 0 → fractions a 1/6, b 1, c 0
