@@ -527,6 +527,59 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
   }
 
+  /** Per-slice KL divergence from the corpus unigram distribution —
+    * the domain-shift diagnostic (how far each source's token
+    * distribution sits from the mixture it feeds):
+    * `KL(slice ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t))`, summed over
+    * the slice's own support (p_s(t) > 0 ⇒ p(t) > 0 since the corpus
+    * contains the slice — no smoothing needed). High-KL slices are the
+    * ones a mixture reweighting or a contamination check should look
+    * at first.
+    *
+    * Scale shape: one tokenize scan → (slice, term) counts; corpus
+    * term totals are one more aggregation over those (vocabulary-
+    * sized, broadcast back); slice and corpus token totals are
+    * slice-count-sized. The per-slice sum folds term-ordered — the
+    * cross-engine FP determinism pattern. Returns (slice, n_tok, kl).
+    */
+  def sliceKlDivergence(df: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(sliceCol).as("slice"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("slice", "term").agg(count(lit(1)).cast("double").as("cnt"))
+    val sliceTot = tf.groupBy("slice").agg(sum("cnt").as("stot"))
+    val corpTf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
+    val corpTot = corpTf.agg(sum("ctf").as("t"))
+    val per = tf.join(broadcast(sliceTot), "slice")
+      .join(broadcast(corpTf), "term")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("s",
+        (col("cnt") / col("stot")) *
+          log((col("cnt") / col("stot")) / (col("ctf") / col("t"))))
+    per.groupBy("slice")
+      .agg(
+        sum(col("cnt")).cast("long").as("n_tok"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("kl"))
+  }
+
+  /** Per-slice vocabulary statistics: token count, type (distinct
+    * token) count, hapax legomena (types occurring once IN THE SLICE),
+    * and type/token ratio — the corpus-health numbers (a slice whose
+    * TTR collapses is boilerplate; one whose hapax rate explodes is
+    * noise/OCR garbage). Pure two-level aggregation, integer-exact.
+    */
+  def vocabStats(df: org.apache.spark.sql.DataFrame, sliceCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(sliceCol).as("slice"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("slice", "term").agg(count(lit(1)).as("cnt"))
+    tf.groupBy("slice").agg(
+      sum("cnt").as("n_tok"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+      round(count(lit(1)) / sum("cnt"), 4).as("ttr"))
+  }
+
   /** Pretraining sequence packing, concat-then-split form: documents
     * are concatenated in `orderCol` order into one token stream that is
     * cut every `seqLen` tokens (the standard packing used to build

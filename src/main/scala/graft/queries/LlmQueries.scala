@@ -199,6 +199,22 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // Domain-shift diagnostic: per-source KL divergence from the
+    // corpus unigram distribution (no smoothing needed — the corpus
+    // contains every slice's support).
+    "slice_kl" -> ((s, dir) =>
+      TextOps.sliceKlDivergence(documents(s, dir), "source", "text")
+        .select(col("slice").as("source"), col("n_tok"), r4(col("kl")).as("kl"))
+        .orderBy("source")),
+
+    // Corpus-health vocabulary stats per source: tokens, types, hapax
+    // legomena, type/token ratio.
+    "vocab_stats" -> ((s, dir) =>
+      TextOps.vocabStats(documents(s, dir), "source", "text")
+        .select(col("slice").as("source"), col("n_tok"), col("n_types"),
+          col("hapax"), col("ttr"))
+        .orderBy("source")),
+
     // Perplexity-style quality scoring: unigram-LM negative
     // log-likelihood per document (train on the corpus, score every
     // doc — the CCNet/Gopher filter shape with exact arithmetic).
@@ -836,6 +852,31 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // slice_kl: same ratio/log tree, slice sums folded term-ordered.
+    "slice_kl" -> w(
+      s"""WITH tf AS (SELECT source AS slice, term, CAST(count(*) AS DOUBLE) AS cnt FROM (
+         |    SELECT source, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2),
+         |st AS (SELECT slice, sum(cnt) AS stot FROM tf GROUP BY 1),
+         |ct AS (SELECT term, sum(cnt) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(ctf) AS t FROM ct),
+         |per AS (SELECT tf.slice, tf.term, tf.cnt,
+         |    (tf.cnt / st.stot) * ln((tf.cnt / st.stot) / (ct.ctf / tot.t)) AS s
+         |  FROM tf JOIN st USING (slice) JOIN ct USING (term) CROSS JOIN tot),
+         |agg AS (SELECT slice, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b) AS kl
+         |  FROM per GROUP BY 1)
+         |SELECT slice AS source, n_tok, round(kl, 4) AS kl FROM agg ORDER BY source"""),
+
+    // vocab_stats: two-level integer aggregation; HUGEINT sums cast out.
+    "vocab_stats" -> w(
+      s"""WITH tf AS (SELECT source, term, count(*) AS cnt FROM (
+         |    SELECT source, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  round(count(*) / sum(cnt), 4) AS ttr
+         |FROM tf GROUP BY 1 ORDER BY 1"""),
+
     // unigram_nll: same op tree (cnt · −ln(ctf/T)), per-doc sum folded
     // in term order with a 0.0 init — bm25's determinism pattern.
     "unigram_nll" -> w(

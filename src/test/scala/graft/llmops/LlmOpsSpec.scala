@@ -150,6 +150,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("slice KL and vocab stats: closed-form on a two-slice corpus") {
+    val corpus = Seq((0L, "x x y", "a"), (1L, "x z", "b")).toDF("doc_id", "text", "src")
+    // corpus dist: x 3/5, y 1/5, z 1/5
+    val kl = TextOps.sliceKlDivergence(corpus, "src", "text")
+      .orderBy("slice").select("slice", "n_tok", "kl")
+      .as[(String, Long, Double)].collect()
+    val klA = 2.0 / 3 * math.log((2.0 / 3) / (3.0 / 5)) +
+      1.0 / 3 * math.log((1.0 / 3) / (1.0 / 5))
+    assert(kl(0)._1 == "a" && kl(0)._2 == 3L && math.abs(kl(0)._3 - klA) < 1e-12)
+    assert(kl(1)._2 == 2L && kl(1)._3 > 0)
+    val vs = TextOps.vocabStats(corpus, "src", "text")
+      .orderBy("slice").select("slice", "n_tok", "n_types", "hapax", "ttr")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(vs(0) == (("a", 3L, 2L, 1L, 0.6667))) // y is the hapax
+    assert(vs(1) == (("b", 2L, 2L, 2L, 1.0)))
+  }
+
   test("rrf fusion: consensus ids beat single-ranking tops") {
     val r1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
     val r2 = Seq((40L, 1L), (20L, 2L), (10L, 3L)).toDF("id", "rank")
