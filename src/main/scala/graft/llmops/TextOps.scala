@@ -527,6 +527,35 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1, the canonical
+    * pretraining filter set), the document-shape subset: token count
+    * in [minTok, maxTok], mean word length in [3, 10], ≥ 80% of words
+    * containing an alphabetic character, and ≥ 2 distinct-position
+    * stopword hits. (The repetition rules live in [[trigramStats]].)
+    * Emits the per-rule measurements plus the fused `keep` — pipelines
+    * filter on `keep` but log the measurements, which is why they stay
+    * columns instead of vanishing into one boolean. Pure Column
+    * arithmetic: the whole rule set runs inside the scan projection.
+    */
+  def gopherFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minTok: Long = 50, maxTok: Long = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val meanWlen = aggregate(transform(toks, t => length(t)),
+      lit(0), (acc, x) => acc + x).cast("double") / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n
+    val stopHits = wordHits(col(textCol), EnStop)
+    df.select(col(idCol).as("id"),
+      n.cast("long").as("n_tok"),
+      meanWlen.as("mean_wlen"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (n.cast("long") >= minTok && n.cast("long") <= maxTok &&
+        meanWlen >= 3.0 && meanWlen <= 10.0 &&
+        alphaFrac > 0.8 && stopHits >= 2).as("keep"))
+  }
+
   /** Per-slice KL divergence from the corpus unigram distribution —
     * the domain-shift diagnostic (how far each source's token
     * distribution sits from the mixture it feeds):

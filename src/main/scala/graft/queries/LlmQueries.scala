@@ -199,6 +199,15 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // Gopher document-shape rules: per-rule measurements + fused keep.
+    "gopher_filter" -> ((s, dir) =>
+      TextOps.gopherFilter(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tok"),
+          r4(col("mean_wlen")).as("mean_wlen"),
+          r4(col("alpha_frac")).as("alpha_frac"),
+          col("stop_hits"), col("keep"))
+        .orderBy("doc_id")),
+
     // Domain-shift diagnostic: per-source KL divergence from the
     // corpus unigram distribution (no smoothing needed — the corpus
     // contains every slice's support).
@@ -852,6 +861,27 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // gopher_filter: same per-rule expressions; list folds mirror the
+    // Column HOFs, thresholds on full-precision values.
+    "gopher_filter" -> w(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+         |      (a, b) -> a + b) / CAST(len(toks) AS DOUBLE) AS mean_wlen,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+         |      / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+         |    CAST(len(list_filter(toks, x -> x IN
+         |      ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS BIGINT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+         |  round(mean_wlen, 4) AS mean_wlen, round(alpha_frac, 4) AS alpha_frac,
+         |  stop_hits,
+         |  (CAST(n AS BIGINT) >= 50 AND CAST(n AS BIGINT) <= 100000
+         |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+         |    AND alpha_frac > 0.8 AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id"""),
+
     // slice_kl: same ratio/log tree, slice sums folded term-ordered.
     "slice_kl" -> w(
       s"""WITH tf AS (SELECT source AS slice, term, CAST(count(*) AS DOUBLE) AS cnt FROM (

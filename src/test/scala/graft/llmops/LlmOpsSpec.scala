@@ -150,6 +150,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("gopher rules: measurements and keep thresholds") {
+    val short = "the quick brown fox jumps over the lazy dog today" // 10 toks, mean wlen 4.0
+    val longDoc = (short + " ") * 5 + short // 60 toks: passes length
+    val numeric = Array.fill(60)("12345").mkString(" ") // no alpha, no stops
+    val corpus = Seq((0L, longDoc), (1L, short), (2L, numeric)).toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(corpus, "doc_id", "text")
+      .orderBy("id").select("id", "n_tok", "mean_wlen", "alpha_frac", "stop_hits", "keep")
+      .as[(Long, Long, Double, Double, Long, Boolean)].collect()
+    assert(out(0)._2 == 60L && out(0)._4 == 1.0 && out(0)._5 >= 2 && out(0)._6)
+    assert(out(1)._2 == 10L && !out(1)._6) // too short
+    assert(out(2)._4 == 0.0 && out(2)._5 == 0L && !out(2)._6) // no alpha/stops
+    // mean word length closed-form for the numeric doc: all tokens len 5
+    assert(out(2)._3 == 5.0)
+  }
+
   test("slice KL and vocab stats: closed-form on a two-slice corpus") {
     val corpus = Seq((0L, "x x y", "a"), (1L, "x z", "b")).toDF("doc_id", "text", "src")
     // corpus dist: x 3/5, y 1/5, z 1/5
