@@ -527,6 +527,44 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
   }
 
+  /** Duplicate-passage REMOVAL (the C4/CCNet cleanup step itself, not
+    * just [[chunkDupStats]]'s measurement): the text splits into
+    * non-overlapping k-token chunks (tail partial chunk included —
+    * reconstruction must not lose text), every occurrence of a chunk
+    * whose corpus document-frequency exceeds `maxDf` is dropped, and
+    * the surviving chunks reassemble in order. Boilerplate (cookie
+    * banners, navigation, licenses) disappears from every document
+    * at once. Returns `(id, n_kept, clean_text)`; a fully-boilerplate
+    * document comes back with n_kept = 0 and empty text, which a
+    * pipeline then drops.
+    *
+    * Scale shape: chunk explode → one frequency aggregation keyed by
+    * chunk text (map-side combined) → co-partitioned join back →
+    * per-doc ordered reassembly (array_sort over the doc's own
+    * chunks — bounded by document size, not corpus size).
+    */
+  def removeDuplicateChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 8, maxDf: Long = 1)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val nCh = ceil(size(toks).cast("double") / k).cast("int")
+    val chunkArr = transform(sequence(lit(0), greatest(nCh - 1, lit(0))), i =>
+      concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+    val ch = df.select(col(idCol).as("id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+      .filter(col("chunk") =!= "") // n=0 guard: the empty placeholder chunk
+    val freq = ch.groupBy("chunk").agg(count(lit(1)).as("df"))
+    val kept = ch.join(freq, "chunk").filter(col("df") <= maxDf)
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("idx"), col("chunk")))),
+        x => x.getField("chunk"))).as("clean_text"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021 §A1.1, the canonical
     * pretraining filter set), the document-shape subset: token count
     * in [minTok, maxTok], mean word length in [3, 10], ≥ 80% of words

@@ -199,6 +199,16 @@ object LlmQueries {
         .select(col("ngram"), col("n"))
         .orderBy(col("n").desc, col("ngram"))),
 
+    // C4/CCNet cleanup applied (not just measured): duplicated 8-token
+    // chunks removed everywhere, text reassembled; md5 pins the
+    // reconstruction byte-for-byte.
+    "chunk_clean" -> ((s, dir) =>
+      TextOps.removeDuplicateChunks(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_kept"),
+          length(col("clean_text")).cast("long").as("len_clean"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // Gopher document-shape rules: per-rule measurements + fused keep.
     "gopher_filter" -> ((s, dir) =>
       TextOps.gopherFilter(documents(s, dir), "doc_id", "text")
@@ -861,6 +871,22 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    // chunk_clean: same chunking (tail partial included), df-filter,
+    // and ordered reassembly.
+    "chunk_clean" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+         |    array_to_string(arr[i*8+1:(i+1)*8], ' ') AS chunk
+         |  FROM (SELECT doc_id, arr, unnest(range(0, (len(arr)+7)//8)) AS i FROM toks)),
+         |freq AS (SELECT chunk, count(*) AS df FROM ch GROUP BY 1),
+         |kept AS (SELECT doc_id, idx, chunk FROM ch JOIN freq USING (chunk) WHERE df <= 1),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY idx) AS clean FROM kept GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(reb.n_kept, 0) AS n_kept,
+         |  CAST(length(COALESCE(reb.clean, '')) AS BIGINT) AS len_clean,
+         |  md5(COALESCE(reb.clean, '')) AS clean_md5
+         |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id"""),
+
     // gopher_filter: same per-rule expressions; list folds mirror the
     // Column HOFs, thresholds on full-precision values.
     "gopher_filter" -> w(

@@ -150,6 +150,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(best._1 == 1L && math.abs(best._2 - 1.0) < 1e-12)
   }
 
+  test("duplicate-chunk removal: boilerplate vanishes everywhere, tails survive") {
+    // k=2 chunks; "cookie banner" is shared boilerplate in docs 0/1
+    val corpus = Seq(
+      (0L, "cookie banner real content one extra"),  // chunks: [cookie banner][real content][one extra]
+      (1L, "cookie banner other text"),              // [cookie banner][other text]
+      (2L, "totally unique words")).toDF("doc_id", "text") // [totally unique][words]
+    val out = TextOps.removeDuplicateChunks(corpus, "doc_id", "text", k = 2)
+      .orderBy("id").select("id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((0L, 2L, "real content one extra")))
+    assert(out(1) == ((1L, 1L, "other text")))
+    // odd token count: the 1-token tail chunk survives reconstruction
+    assert(out(2) == ((2L, 2L, "totally unique words")))
+    // a fully-boilerplate doc returns empty, not a dropped row
+    val all = Seq((0L, "dup text"), (1L, "dup text")).toDF("doc_id", "text")
+    val cleaned = TextOps.removeDuplicateChunks(all, "doc_id", "text", k = 2)
+      .orderBy("id").select("n_kept", "clean_text").as[(Long, String)].collect()
+    assert(cleaned.toSeq == Seq((0L, ""), (0L, "")))
+  }
+
   test("gopher rules: measurements and keep thresholds") {
     val short = "the quick brown fox jumps over the lazy dog today" // 10 toks, mean wlen 4.0
     val longDoc = (short + " ") * 5 + short // 60 toks: passes length
