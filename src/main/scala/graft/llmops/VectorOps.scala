@@ -610,4 +610,52 @@ object VectorOps {
       }
       .toDF("id_a", "id_b", "cos")
   }
+
+  /** Within-cluster cosine pairs over an assigned index (`(id, v, cid)`
+    * from [[ivfAssign]]) — the pair-search half of SemDeDup (Abbas et
+    * al. 2023): the all-pairs comparison runs INSIDE each k-means
+    * cluster only, so the corpus-quadratic blowup
+    * [[cosineThresholdPairs]] has to fence against becomes
+    * k × (n/k)² = n²/k — the clustering IS the scale story, and the
+    * cluster count is the knob that keeps per-cluster work bounded as
+    * the corpus grows.
+    *
+    * Scale shape: one hash shuffle of the index on `cid` feeds a
+    * co-partitioned self-join; nothing global, nothing on the driver.
+    * Returns (cid, id_a, id_b, cos) with id_a < id_b.
+    */
+  def semDedupPairs(index: DataFrame, threshold: Double): DataFrame = {
+    val a = index.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+    val b = index.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cid"), col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup end to end: assign every vector to its max-cosine
+    * centroid, find within-cluster pairs above `threshold`, connect
+    * them into components (min-id representative — deterministic, where
+    * the paper keeps the member closest to the centroid), and emit the
+    * per-vector decision table. Returns (id, cid, rep, keep): `rep` is
+    * the component representative (the vector itself when it has no
+    * semantic duplicate) and `keep` marks the survivors.
+    *
+    * Scale shape: the index materializes once (at production scale:
+    * the persisted parquet partitioned by cid); pairs are
+    * cluster-bounded; CC runs O(log² n) rounds over the SPARSE pair
+    * list; the final join touches the pair-participating ids only
+    * (component table ≪ corpus).
+    */
+  def semDedup(vs: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val index = ivfAssign(vs, centroids).localCheckpoint()
+    val comp = DedupOps.connectedComponents(semDedupPairs(index, threshold))
+    index.select("id", "cid")
+      .join(comp.select(col("id"), col("cluster_id").as("rep0")), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("rep0"), col("id")).as("rep"),
+        (coalesce(col("rep0"), col("id")) === col("id")).as("keep"))
+  }
 }

@@ -419,6 +419,17 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // SemDeDup (cluster-then-dedup): semantic near-dup removal with the
+    // pair search bounded to WITHIN k-means clusters — n²/k instead of
+    // n², the published semantic-dedup scale shape. Same trained
+    // centroids as ann_ivf_trained (the oracle replays the two Lloyd
+    // iterations), pairs ≥ 0.4 connect into components, min-id survives.
+    "semantic_dedup" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val cent = VectorOps.trainIvfCentroids(e.filter(col("id") % 5 === 0), 8, 2)
+      VectorOps.semDedup(e, cent, 0.4).orderBy("id")
+    }),
+
     // Approximation-quality measurement for every approximate ANN path
     // against the exact brute scan: strict recall@3 (top-3 set overlap)
     // AND shortlist recall (true top-3 found in the 30-length ADC/
@@ -1130,6 +1141,40 @@ object LlmQueries {
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // semantic_dedup: the ann_ivf_trained k-means chain (two unrolled
+    // Lloyd iterations) assigns every vector, pairs form WITHIN
+    // clusters only, and the recursive closure reproduces the
+    // min-id-representative components exactly.
+    "semantic_dedup" -> w(
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 5 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 8)),
+         |${kmeansIterSql(1)}
+         |${kmeansIterSql(2)}
+         |assign AS MATERIALIZED (
+         |  SELECT id, v, cid FROM (
+         |    SELECT c.id, c.v, cent.cid,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e c CROSS JOIN c2 cent) WHERE r = 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+         |  WHERE ${cos("a.v", "b.v")} >= 0.4),
+         |nodes AS MATERIALIZED (
+         |  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS s, id_b AS t FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.s, re.r FROM edges ed JOIN reach re ON re.id = ed.t),
+         |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY 1)
+         |SELECT a.id, a.cid, COALESCE(c.rep, a.id) AS rep,
+         |  COALESCE(c.rep, a.id) = a.id AS keep
+         |FROM assign a LEFT JOIN comp c ON a.id = c.id ORDER BY a.id"""),
     // ann_ivf_pq: the ann_ivf_trained coarse chain (full-dim k-means,
     // assignment, nprobe=2 probes) pruning candidates, then the ann_pq
     // fine chain (per-subspace k-means, codes, LUT) rescoring them —

@@ -749,4 +749,37 @@ class LlmOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(p.survivors.select("doc_id").as[Long].collect().toSet == survAlone)
   }
+
+  test("semDedup: within-cluster near-dups collapse to min id, distinct vectors survive") {
+    // Two well-separated axis clusters with a planted near-dup pair in
+    // each; the pair search never crosses a cluster boundary (the n²/k
+    // approximation SemDeDup trades for its scale bound — asserted via
+    // the pair list's cid column).
+    def unit(dim: Int, axis: Int, eps: Double, seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(dim)(i => (if (i == axis) 1.0 else 0.0) + eps * r.nextGaussian())
+    }
+    val vs = Seq(
+      (10L, unit(8, 0, 0.01, 1)), (11L, unit(8, 0, 0.01, 2)),
+      (12L, unit(8, 0, 0.45, 3)),
+      (20L, unit(8, 4, 0.01, 4)), (21L, unit(8, 4, 0.01, 5)),
+      (22L, unit(8, 4, 0.45, 6))
+    ).toDF("id", "v")
+    val cent = Seq((0L, Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)),
+      (1L, Array.tabulate(8)(i => if (i == 4) 1.0 else 0.0))).toDF("id", "v")
+    val decided = VectorOps.semDedup(vs, cent, 0.95)
+    val byId = decided.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // near-dup pairs collapse to min id within each cluster...
+    assert(byId(10L)._3 && !byId(11L)._3 && byId(11L)._2 == 10L)
+    assert(byId(20L)._3 && !byId(21L)._3 && byId(21L)._2 == 20L)
+    // ...the noisy singletons survive, and the decision table is total
+    assert(byId(12L)._3 && byId(22L)._3 && byId.size == 6)
+    // every candidate pair carries the cluster it was found in
+    val pairs = VectorOps.semDedupPairs(
+      VectorOps.ivfAssign(vs, cent), 0.95)
+      .select("cid", "id_a", "id_b").as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (cid, a, b) =>
+      a < b && byId(a)._1 == cid && byId(b)._1 == cid })
+  }
 }
