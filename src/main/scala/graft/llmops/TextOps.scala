@@ -705,4 +705,75 @@ object TextOps {
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Multinomial Naive Bayes text classifier — the curation-classifier
+    * shape (CCNet's LM filter, the GPT-3/fastText quality classifier):
+    * train token-count class models on labeled documents, score every
+    * candidate document, keep/route by the predicted class. Add-one
+    * smoothing over the training vocabulary; out-of-vocabulary terms
+    * carry no evidence (the standard multinomial-NB convention).
+    *
+    * Exact arithmetic end to end: log p(c|d) ∝ ln(N_c/N) +
+    * Σ_t cnt_d(t)·ln((cnt_c(t)+1)/(tot_c+V)), with the per-document
+    * evidence sum folded over TERM-SORTED entries — the same
+    * cross-engine FP-determinism trick as [[unigramNll]] — and argmax
+    * ties broken by label order.
+    *
+    * Scale shape: the class models are (class × vocabulary)-sized
+    * aggregates (metadata next to a 100 TB corpus — they broadcast);
+    * scoring explodes each document's distinct terms × C classes (C is
+    * a small constant) and folds per (doc, class) — one scan, two
+    * bounded shuffles, nothing global. Documents with zero in-vocab
+    * terms fall back to the prior-only argmax via a broadcast 1-row
+    * crossJoin (no collect, no global window).
+    *
+    * Returns (id, label_true, pred, logp).
+    */
+  def nbClassify(train: org.apache.spark.sql.DataFrame,
+      score: org.apache.spark.sql.DataFrame, idCol: String,
+      labelCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val ttf = train
+      .select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).cast("double").as("ct"))
+    val ctot = ttf.groupBy("label").agg(sum("ct").as("tot"))
+    val vocab = ttf.select("term").distinct()
+    val vocabN = vocab.agg(count(lit(1)).cast("double").as("vn"))
+    val ndocs = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).cast("double").as("nd"))
+    val ntot = ndocs.agg(sum("nd").as("nn"))
+    val classes = ndocs.join(ctot, "label")
+      .crossJoin(broadcast(ntot)).crossJoin(broadcast(vocabN))
+      .select(col("label"), log(col("nd") / col("nn")).as("prior"),
+        col("tot"), col("vn"))
+    val stf = score
+      .select(col(idCol).as("id"), col(labelCol).as("label_true"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "label_true", "term")
+      .agg(count(lit(1)).cast("double").as("cd"))
+      .join(vocab, Seq("term")) // OOV terms carry no evidence
+    val per = stf
+      .crossJoin(broadcast(classes.select("label", "tot", "vn")))
+      .join(ttf, Seq("label", "term"), "left")
+      .withColumn("s", col("cd") *
+        log((coalesce(col("ct"), lit(0.0)) + 1.0) / (col("tot") + col("vn"))))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("logp").desc, col("label"))
+    val best = per.groupBy("id", "label_true", "label")
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("ev"))
+      .join(broadcast(classes.select("label", "prior")), "label")
+      .withColumn("logp", col("prior") + col("ev"))
+      .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("id"), col("label").as("pred"), col("logp"))
+    // prior-only fallback for zero-in-vocab documents (TakeOrdered 1 row)
+    val priorOnly = classes.select("label", "prior")
+      .orderBy(col("prior").desc, col("label")).limit(1)
+      .select(col("label").as("pred0"), col("prior").as("logp0"))
+    score.select(col(idCol).as("id"), col(labelCol).as("label_true"))
+      .join(best, Seq("id"), "left")
+      .crossJoin(broadcast(priorOnly))
+      .select(col("id"), col("label_true"),
+        coalesce(col("pred"), col("pred0")).as("pred"),
+        coalesce(col("logp"), col("logp0")).as("logp"))
+  }
 }

@@ -419,6 +419,21 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Multinomial Naive Bayes curation classifier: train class token
+    // models on the hash-split train docs, score the val docs — exact
+    // smoothed-log-likelihood arithmetic with term-ordered folds, so
+    // the oracle reproduces every posterior to the bit.
+    "nb_classify" -> ((s, dir) => {
+      val sp = SampleOps.assignSplit(documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.2))
+      TextOps.nbClassify(
+        sp.filter(col("split") === "train"), sp.filter(col("split") === "val"),
+        "doc_id", "source", "text")
+        .select(col("id").as("doc_id"), col("label_true").as("source"),
+          col("pred"), r4(col("logp")).as("logp"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (cluster-then-dedup): semantic near-dup removal with the
     // pair search bounded to WITHIN k-means clusters — n²/k instead of
     // n², the published semantic-dedup scale shape. Same trained
@@ -1141,6 +1156,49 @@ object LlmQueries {
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // nb_classify: the full NB train/score chain restated — hash split
+    // via the digit-replicated hashU, class models as (label, term)
+    // counts, smoothed log-likelihoods with the SAME op tree, per-doc
+    // evidence folded in term order, argmax ties by label.
+    "nb_classify" -> (hashUCte + w(
+      s""", tr AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN hu ON d.doc_id = hu.doc_id WHERE hu.u < 0.8),
+         |va AS (SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN hu ON d.doc_id = hu.doc_id WHERE hu.u >= 0.8),
+         |ttf AS (SELECT label, term, CAST(count(*) AS DOUBLE) AS ct FROM (
+         |    SELECT source AS label, unnest($toksSql) AS term FROM tr) GROUP BY 1, 2),
+         |ctot AS (SELECT label, sum(ct) AS tot FROM ttf GROUP BY 1),
+         |voc AS (SELECT DISTINCT term FROM ttf),
+         |vn AS (SELECT CAST(count(*) AS DOUBLE) AS vn FROM voc),
+         |nd AS (SELECT source AS label, CAST(count(*) AS DOUBLE) AS nd
+         |  FROM tr GROUP BY 1),
+         |nn AS (SELECT sum(nd) AS nn FROM nd),
+         |cls AS (SELECT label, ln(nd / nn.nn) AS prior, tot, vn.vn
+         |  FROM nd JOIN ctot USING (label) CROSS JOIN nn CROSS JOIN vn),
+         |stf AS (SELECT doc_id, label_true, term, CAST(count(*) AS DOUBLE) AS cd
+         |  FROM (SELECT doc_id, source AS label_true, unnest($toksSql) AS term
+         |        FROM va) GROUP BY 1, 2, 3),
+         |stv AS (SELECT * FROM stf WHERE term IN (SELECT term FROM voc)),
+         |per AS (SELECT s.doc_id, s.label_true, c.label, s.term,
+         |    s.cd * ln((COALESCE(t.ct, 0.0) + 1.0) / (c.tot + c.vn)) AS sc
+         |  FROM stv s CROSS JOIN cls c
+         |  LEFT JOIN ttf t ON t.label = c.label AND t.term = s.term),
+         |ev AS (SELECT doc_id, label_true, label,
+         |    list_reduce(list_prepend(0.0, list(sc ORDER BY term)), (a, b) -> a + b) AS ev
+         |  FROM per GROUP BY 1, 2, 3),
+         |post AS (SELECT ev.doc_id, ev.label_true, ev.label,
+         |    cls.prior + ev.ev AS logp FROM ev JOIN cls USING (label)),
+         |best AS (SELECT doc_id, label AS pred, logp FROM (
+         |    SELECT doc_id, label, logp,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY logp DESC, label) AS rk
+         |    FROM post) WHERE rk = 1),
+         |po AS (SELECT label AS pred0, prior AS logp0 FROM cls
+         |  ORDER BY prior DESC, label LIMIT 1)
+         |SELECT v.doc_id, v.source, COALESCE(b.pred, po.pred0) AS pred,
+         |  round(COALESCE(b.logp, po.logp0), 4) AS logp
+         |FROM va v LEFT JOIN best b ON v.doc_id = b.doc_id
+         |CROSS JOIN po ORDER BY v.doc_id""")),
     // semantic_dedup: the ann_ivf_trained k-means chain (two unrolled
     // Lloyd iterations) assigns every vector, pairs form WITHIN
     // clusters only, and the recursive closure reproduces the

@@ -750,6 +750,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(p.survivors.select("doc_id").as[Long].collect().toSet == survAlone)
   }
 
+  test("nbClassify: closed-form posteriors, OOV docs fall back to the prior argmax") {
+    val train = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x y"),
+      (3L, "b", "z z"), (4L, "b", "z y")
+    ).toDF("doc_id", "label", "text")
+    val score = Seq(
+      (10L, "a", "x x"),   // class-a evidence
+      (11L, "b", "z"),     // class-b evidence
+      (12L, "a", "q q")    // fully out-of-vocabulary → prior-only
+    ).toDF("doc_id", "label", "text")
+    val got = TextOps.nbClassify(train, score, "doc_id", "label", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3)))).toMap
+    // vocab {x,y,z} V=3; class a: x:3 y:2 tot 5; class b: z:3 y:1 tot 4;
+    // priors ln(1/2) each. "x x": logp_a = ln(.5) + 2·ln(4/8) = 3·ln(.5)
+    assert(got(10L)._2 == "a")
+    assert(math.abs(got(10L)._3 - 3 * math.log(0.5)) < 1e-12)
+    assert(got(11L)._2 == "b")
+    // equal priors → tie broken by label order → "a", score = the prior
+    assert(got(12L)._2 == "a")
+    assert(math.abs(got(12L)._3 - math.log(0.5)) < 1e-12)
+    assert(got(10L)._1 == "a" && got(12L)._1 == "a") // label_true carried
+  }
+
   test("semDedup: within-cluster near-dups collapse to min id, distinct vectors survive") {
     // Two well-separated axis clusters with a planted near-dup pair in
     // each; the pair search never crosses a cluster boundary (the n²/k
