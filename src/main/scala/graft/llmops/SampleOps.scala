@@ -89,6 +89,45 @@ object SampleOps {
       strataCol)
       .filter(hashU(col(keyCol)) < col("fraction"))
 
+  /** Temperature-scaled (α-sampling) mixture fractions — the
+    * multilingual/domain rebalancing rule (XLM-R, mT5): the target
+    * mixture is the observed share raised to α < 1 and renormalized,
+    * which flattens the distribution toward uniform without inverting
+    * it (α = 1 keeps the corpus as is, α = 0 targets uniform). Realized
+    * by pure downsampling like [[mixtureFractions]]: the keep-ratio
+    * r_s = target_s/share_s ∝ share_s^(α−1) — the softmax normalizer
+    * cancels under the divide-by-max — so the rarest slice keeps
+    * everything and over-represented slices downsample smoothly.
+    *
+    * Scale shape: identical to [[mixtureFractions]] — one slice-level
+    * count aggregate, two broadcast scalar reductions, nothing wider
+    * than the slice list. Returns `(strataCol, n_docs, fraction)`.
+    */
+  def temperatureFractions(df: DataFrame, strataCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("n"))
+    val tot = counts.agg(sum("n").as("nn"))
+    val r = counts.crossJoin(broadcast(tot))
+      .withColumn("rr", pow(col("n") / col("nn"), lit(alpha - 1.0)))
+    val mx = r.agg(max("rr").as("mx"))
+    r.crossJoin(broadcast(mx))
+      .select(col(strataCol), col("n").cast("long").as("n_docs"),
+        (col("rr") / col("mx")).as("fraction"))
+  }
+
+  /** Apply [[temperatureFractions]]: deterministic hash-membership
+    * downsampling toward the α-flattened mixture (broadcast fraction
+    * table, pure scan predicate — the [[resampleToMixture]] shape).
+    */
+  def resampleToTemperature(df: DataFrame, keyCol: String, strataCol: String,
+      alpha: Double): DataFrame =
+    df.join(
+      broadcast(temperatureFractions(df, strataCol, alpha)
+        .select(col(strataCol), col("fraction"))),
+      strataCol)
+      .filter(hashU(col(keyCol)) < col("fraction"))
+
   /** Keep a deterministic per-stratum fraction of rows (domain mixing /
     * downsampling an over-represented source): a row survives iff its
     * hash-u falls below its stratum's fraction. Unlike

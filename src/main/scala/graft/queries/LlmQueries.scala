@@ -184,6 +184,21 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Temperature (α = 0.5) mixture flattening over the naturally
+    // skewed lang column: the rarest language keeps everything,
+    // over-represented ones downsample by share^(α−1) — plus the
+    // realized hash-membership counts.
+    "temp_mix" -> ((s, dir) => {
+      val fr = SampleOps.temperatureFractions(documents(s, dir), "lang", 0.5)
+      val sampled = SampleOps
+        .resampleToTemperature(documents(s, dir), "doc_id", "lang", 0.5)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      fr.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), r4(col("fraction")).as("fraction"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
     // CCNet-style passage dedup: per-document fraction of 8-word
     // chunks that occur more than once corpus-wide.
     "chunk_dedup" -> ((s, dir) =>
@@ -815,6 +830,21 @@ object LlmQueries {
         |SELECT f.source, CAST(f.n AS BIGINT) AS n_docs, round(f.frac, 4) AS fraction,
         |  COALESCE(smp.ns, 0) AS n_sampled
         |FROM f LEFT JOIN smp USING (source) ORDER BY f.source""")),
+    // temp_mix: share^(α−1) ratio tree with the same normalize-by-max,
+    // membership via the digit-replicated hashU joined back to lang.
+    "temp_mix" -> (hashUCte + w(
+      """, dl AS (SELECT d.doc_id, d.lang, hu.u
+        |  FROM documents d JOIN hu ON d.doc_id = hu.doc_id),
+        |c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM c),
+        |r AS (SELECT lang, n, pow(n / tot.nn, -0.5) AS rr FROM c CROSS JOIN tot),
+        |m AS (SELECT max(rr) AS mx FROM r),
+        |f AS (SELECT lang, n, rr / m.mx AS frac FROM r CROSS JOIN m),
+        |smp AS (SELECT dl.lang, count(*) AS ns
+        |  FROM dl JOIN f USING (lang) WHERE dl.u < f.frac GROUP BY 1)
+        |SELECT f.lang, CAST(f.n AS BIGINT) AS n_docs, round(f.frac, 4) AS fraction,
+        |  COALESCE(smp.ns, 0) AS n_sampled
+        |FROM f LEFT JOIN smp USING (lang) ORDER BY f.lang""")),
     "dedup_clusters" -> (ccBase + w(
       """SELECT id, cid AS cluster_id FROM comp ORDER BY id""")),
     "dedup_keep" -> (ccBase + w(

@@ -750,6 +750,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(p.survivors.select("doc_id").as[Long].collect().toSet == survAlone)
   }
 
+  test("temperature fractions: closed-form α-flattening, α=1 keeps everything") {
+    // shares .8/.2 at α=.5: r ∝ share^-.5 → fractions (√(.2/.8), 1) = (.5, 1)
+    val df = ((1L to 8L).map(i => (i, "big")) ++ Seq((9L, "small"), (10L, "small")))
+      .toDF("id", "src")
+    val fr = SampleOps.temperatureFractions(df, "src", 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(fr("big")._1 == 8L && fr("small")._1 == 2L)
+    assert(math.abs(fr("big")._2 - 0.5) < 1e-12 && fr("small")._2 == 1.0)
+    // α=1: the corpus mixture is already the target — every slice keeps all
+    val keepAll = SampleOps.temperatureFractions(df, "src", 1.0)
+      .collect().map(_.getDouble(2))
+    assert(keepAll.forall(f => math.abs(f - 1.0) < 1e-12))
+    // realized sample is a subset honoring the per-slice predicate
+    val got = SampleOps.resampleToTemperature(df, "id", "src", 0.5)
+      .select("id").as[Long].collect().toSet
+    val u = SampleOps.hashU(col("id"))
+    val expect = df.withColumn("u", u)
+      .filter((col("src") === "big" && col("u") < fr("big")._2) ||
+        (col("src") === "small" && col("u") < fr("small")._2))
+      .select("id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
   test("nbClassify: closed-form posteriors, OOV docs fall back to the prior argmax") {
     val train = Seq(
       (1L, "a", "x x y"), (2L, "a", "x y"),
