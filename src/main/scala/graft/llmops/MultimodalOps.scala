@@ -137,6 +137,48 @@ object MultimodalOps {
       javax.imageio.ImageIO.write(out, "png", bos)
       bos.toByteArray
     }
+
+    /** 64-bit average-hash (aHash) perceptual fingerprint: the image
+      * splits into an 8×8 block grid, each block's INTEGER luma sum
+      * (milli-scaled ITU weights 299r+587g+114b — no floats anywhere)
+      * compares against the global mean by the exact cross-multiplied
+      * test `64·blockSum > totalSum`, and the 64 outcomes pack into one
+      * long (bit j = row-major block j). Constant brightness shifts
+      * cancel on both sides of the comparison, so re-encoded /
+      * brightness-adjusted copies of an image hash IDENTICALLY — the
+      * property a perceptual near-dup stage exists for. Dimensions must
+      * be divisible by 8 (route through [[resizePng]] first otherwise).
+      */
+    def aHash64(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      require(w % 8 == 0 && h % 8 == 0,
+        s"aHash64 needs dimensions divisible by 8 (got ${w}x$h); resize first")
+      val bw = w / 8; val bh = h / 8
+      val sums = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val l = 299L * ((p >> 16) & 0xFF) + 587L * ((p >> 8) & 0xFF) +
+            114L * (p & 0xFF)
+          sums((y / bh) * 8 + (x / bw)) += l
+          total += l
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var j = 0
+      while (j < 64) {
+        if (64L * sums(j) > total) hash |= (1L << j)
+        j += 1
+      }
+      hash
+    }
   }
 
   /** Per-audio decode summary: format + exact waveform statistics. */
@@ -757,6 +799,76 @@ object MultimodalOps {
         (r << 16) | (g << 8) | b
       }
       Row(i.toLong, "image", bytes, Row("image/png", w, h, null, null))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
+  }
+
+  /** Batched perceptual-hash pass: append the 64-bit aHash to every
+    * image row (real decode via [[ImageCodec.aHash64]], same
+    * mapInPandas batch shape as [[decodeImageStats]]). One scan, no
+    * shuffle — the hash then feeds [[aHashPairs]] or joins against a
+    * persisted signature index.
+    */
+  def imageAHash(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add("phash", LongType)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    df.filter(col("kind") === "image").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+ ImageCodec.aHash64(row.getAs[Array[Byte]](bytesIdx)))
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup pairs over aHash signatures (`(id, phash)`):
+    * Hamming distance ≤ `maxHd` via the pigeonhole candidate join —
+    * the 64-bit hash splits into four 16-bit chunks, and any pair
+    * within distance 3 must agree on at least one chunk, so candidate
+    * generation is a chunk equi-join (the [[SimHashOps]] scale shape:
+    * no all-pairs comparison, candidates bounded by bucket sizes).
+    * Returns (id_a, id_b, hd).
+    */
+  def aHashPairs(hashes: DataFrame, maxHd: Int = 3): DataFrame = {
+    require(maxHd < 4, "pigeonhole over four 16-bit chunks requires maxHd < 4")
+    val sig = hashes.select(col("id").cast("long").as("id"), col("phash"))
+    val long = sig.select(col("id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          shiftrightunsigned(col("phash"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("kv"))
+      .select(col("id"), col("kv.k").as("k"), col("kv.v").as("v"))
+    val cands = long.as("a")
+      .join(long.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sig.select(col("id").as("id_a"), col("phash").as("pa")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("phash").as("pb")), "id_b")
+      .withColumn("hd", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .filter(col("hd") <= maxHd)
+      .select(col("id_a"), col("id_b"), col("hd"))
+  }
+
+  /** Synthetic image table with planted perceptual duplicates: image i
+    * renders base pattern i % 12 plus a constant brightness lift for
+    * i ≥ 12 — so (i, i+12) are DIFFERENT byte payloads (distinct PNGs,
+    * distinct channel means) that aHash to the SAME fingerprint.
+    * 32×24 (divisible by 8), channel values ≤ 199+7 — no clipping, and
+    * the oracle recomputes every block sum from this closed form.
+    */
+  def syntheticImageDups(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val base = i % 12; val lift = (i / 12) * 7
+      val bytes = ImageCodec.encodePng(32, 24) { (x, y) =>
+        val r = (x * 7 + y * 13 + base * 31) % 200 + lift
+        val g = (x * 3 + y * 5 + base * 17) % 200 + lift
+        val b = (x * 11 + y * 2 + base * 23) % 200 + lift
+        (r << 16) | (g << 8) | b
+      }
+      Row(i.toLong, "image", bytes, Row("image/png", 32, 24, null, null))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }

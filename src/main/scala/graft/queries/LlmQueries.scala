@@ -598,7 +598,27 @@ object LlmQueries {
           r4(col("r_mean")).as("r_mean"),
           r4(col("g_mean")).as("g_mean"),
           r4(col("b_mean")).as("b_mean"))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
+    // Perceptual image fingerprints: REAL PNG decode → integer 8×8
+    // block-luma aHash (no floats anywhere), pinned bit-for-bit — the
+    // oracle recomputes every block sum from the generator's pixel
+    // formula and packs the same 64 bits.
+    "image_phash" -> ((s, _) =>
+      MultimodalOps.imageAHash(MultimodalOps.syntheticImageDups(s, 24))
+        .select(col("media_id"), col("phash"))
+        .orderBy("media_id")),
+
+    // Perceptual near-dup pairs: brightness-shifted re-renders hash
+    // identically (hd 0) and surface through the pigeonhole chunk join;
+    // the oracle brute-forces Hamming over the formula bits — equal by
+    // the pigeonhole exactness argument (hd ≤ 3 ⇒ some 16-bit chunk
+    // agrees), the minhash_lsh-style oracle discipline.
+    "image_phash_pairs" -> ((s, _) =>
+      MultimodalOps.aHashPairs(
+        MultimodalOps.imageAHash(MultimodalOps.syntheticImageDups(s, 24))
+          .select(col("media_id").as("id"), col("phash")), 3)
+        .orderBy("id_a", "id_b"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -751,6 +771,30 @@ object LlmQueries {
          |c${s}_$n AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN m${s}_$n m ON p.cid = m.cid),""")
   }
+
+  /** Per-(image, block) aHash bits recomputed from the
+    * [[graft.llmops.MultimodalOps.syntheticImageDups]] pixel formula:
+    * 32×24 grid, block (j = y÷3·8 + x÷4) milli-luma sums, bit =
+    * 64·blockSum > totalSum — integer arithmetic end to end, mirroring
+    * `ImageCodec.aHash64`. Ends with the `bits(i, j, bit)` CTE.
+    */
+  private val phashBitsCte = w(
+    """WITH px AS (
+      |  SELECT ii.i, xs.x, ys.y,
+      |    299 * ((xs.x * 7 + ys.y * 13 + (ii.i % 12) * 31) % 200 + (ii.i // 12) * 7)
+      |  + 587 * ((xs.x * 3 + ys.y * 5 + (ii.i % 12) * 17) % 200 + (ii.i // 12) * 7)
+      |  + 114 * ((xs.x * 11 + ys.y * 2 + (ii.i % 12) * 23) % 200 + (ii.i // 12) * 7) AS l
+      |  FROM (SELECT unnest(range(0, 24)) AS i) ii,
+      |    (SELECT unnest(range(0, 32)) AS x) xs,
+      |    (SELECT unnest(range(0, 24)) AS y) ys
+      |), blk AS (
+      |  SELECT i, (y // 3) * 8 + (x // 4) AS j, sum(l) AS bs
+      |  FROM px GROUP BY 1, 2
+      |), tot AS (SELECT i, sum(bs) AS ts FROM blk GROUP BY 1),
+      |bits AS (
+      |  SELECT b.i, b.j, CASE WHEN 64 * b.bs > t.ts THEN 1 ELSE 0 END AS bit
+      |  FROM blk b JOIN tot t USING (i))
+      |""")
 
   private val oracleCore: Map[String, String] = Map(
     "exact_dedup" -> w(
@@ -1598,7 +1642,34 @@ object LlmQueries {
         |    / (any_value(w) * any_value(h)), 4) AS g_mean,
         |  round(CAST(sum((x * 11 + y * 2 + f * 3 + i * 23) % 256) AS DOUBLE)
         |    / (any_value(w) * any_value(h)), 4) AS b_mean
-        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""")
+        |FROM px GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // image_phash: the oracle never decodes a PNG — it recomputes the
+    // integer milli-luma of every pixel from the generator formula,
+    // sums the 8×8 block grid, applies the identical cross-multiplied
+    // comparison, and Horner-packs the 64 bits (HUGEINT → signed
+    // BIGINT wraparound, the winnow trick).
+    "image_phash" -> (phashBitsCte + w(
+      """, ph AS (
+        |  SELECT i, list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list(CAST(bit AS HUGEINT) ORDER BY j DESC)),
+        |    (a, b) -> a * 2 + b) AS hu
+        |  FROM bits GROUP BY 1)
+        |SELECT i AS media_id,
+        |  CASE WHEN hu >= 9223372036854775808
+        |       THEN CAST(hu - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(hu AS BIGINT) END AS phash
+        |FROM ph ORDER BY media_id""")),
+    // image_phash_pairs: brute-force Hamming over the formula bits —
+    // equal to the engine's pigeonhole join by construction (hd ≤ 3
+    // implies a shared 16-bit chunk), so the exact answer gates the
+    // bucketed path, minhash_lsh-style.
+    "image_phash_pairs" -> (phashBitsCte + w(
+      """SELECT a.i AS id_a, b.i AS id_b,
+        |  count(*) FILTER (WHERE a.bit != b.bit) AS hd
+        |FROM bits a JOIN bits b ON a.j = b.j AND a.i < b.i
+        |GROUP BY 1, 2 HAVING count(*) FILTER (WHERE a.bit != b.bit) <= 3
+        |ORDER BY 1, 2"""))
   )
 
   /** ann_recall oracle: every approximate chain is already replicated

@@ -230,4 +230,50 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
     assert(frames.select(length(col("frame_bytes"))).distinct().as[Int].collect().toSeq == Seq(16))
   }
+
+  test("aHash64: brightness-invariant, locally recomputable, rejects off-grid dims") {
+    // local reference recomputation from the same pixel formula
+    def refHash(base: Int, lift: Int): Long = {
+      val sums = new Array[Long](64); var total = 0L
+      for (y <- 0 until 24; x <- 0 until 32) {
+        val l = 299L * ((x * 7 + y * 13 + base * 31) % 200 + lift) +
+          587L * ((x * 3 + y * 5 + base * 17) % 200 + lift) +
+          114L * ((x * 11 + y * 2 + base * 23) % 200 + lift)
+        sums((y / 3) * 8 + (x / 4)) += l; total += l
+      }
+      (0 until 64).foldLeft(0L)((h, j) =>
+        if (64L * sums(j) > total) h | (1L << j) else h)
+    }
+    def png(base: Int, lift: Int) = MultimodalOps.ImageCodec.encodePng(32, 24) { (x, y) =>
+      (((x * 7 + y * 13 + base * 31) % 200 + lift) << 16) |
+        (((x * 3 + y * 5 + base * 17) % 200 + lift) << 8) |
+        ((x * 11 + y * 2 + base * 23) % 200 + lift)
+    }
+    val h0 = MultimodalOps.ImageCodec.aHash64(png(5, 0))
+    assert(h0 == refHash(5, 0))
+    // constant brightness lift cancels in the block-vs-global compare
+    assert(MultimodalOps.ImageCodec.aHash64(png(5, 7)) == h0)
+    // a different base pattern hashes differently
+    assert(MultimodalOps.ImageCodec.aHash64(png(6, 0)) != h0)
+    val off = MultimodalOps.ImageCodec.encodePng(30, 24)((_, _) => 0x808080)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.ImageCodec.aHash64(off)
+    }
+  }
+
+  test("aHashPairs: pigeonhole chunk join equals brute-force Hamming") {
+    val imgs = MultimodalOps.syntheticImageDups(spark, 24)
+    val hashes = MultimodalOps.imageAHash(imgs)
+      .select(col("media_id").as("id"), col("phash"))
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    // planted duplicates: i and i+12 hash identically
+    for (i <- 0L until 12L) assert(hs(i) == hs(i + 12))
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 3
+    } yield (a, b, hd)).toSet
+    val got = MultimodalOps.aHashPairs(hashes, 3)
+      .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b, h) }.toSet
+    assert(got == brute && got.size >= 12)
+  }
 }
