@@ -42,4 +42,29 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("fp")
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
   }
+
+  /** NEAR-dup filter for one micro-batch — the `foreachBatch` stage
+    * that completes the streaming dedup pipeline (exact collapse above,
+    * near-dup here): batch documents sharing at least `minShared`
+    * df-capped winnow fingerprints with the persisted corpus index are
+    * dropped; survivors are what `foreachBatch` appends to the corpus
+    * (documents + fingerprints) before the next batch probes it.
+    *
+    * Near-dedup needs a per-document aggregation over the candidate
+    * join, which Structured Streaming cannot express as an unbounded
+    * stateful stage without holding corpus-scale shingle state — so the
+    * production shape is exactly this: micro-batch = bounded batch,
+    * probe the (static, nightly-compacted) index via the
+    * [[graft.llmops.TextOps.incrementalDedupPairs]] broadcast probe,
+    * where the batch side broadcasts and the corpus index is never
+    * reshuffled.
+    */
+  def nearDedupBatch(batch: DataFrame, corpusFps: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 15,
+      maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf): DataFrame = {
+    val doomed = TextOps.incrementalDedupPairs(batch, idCol, textCol,
+        corpusFps, minShared = minShared, maxDf = maxDf)
+      .select(col("new_id").as("_nd_id")).distinct()
+    batch.join(doomed, batch(idCol) === col("_nd_id"), "left_anti")
+  }
 }

@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set("fresh document one", "fresh document two"))
   }
 
+  test("streaming near-dedup: foreachBatch probe drops corpus near-dups, keeps novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.TextOps
+    // corpus doc and its near-dup share a long verbatim run (>= 15
+    // winnow fingerprints); the novel doc shares nothing
+    val run = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpusText = s"$run corpus tail words here"
+    val nearDup = s"$run different tail entirely now"
+    val novel = (101 to 140).map(i => s"new$i").mkString(" ")
+    val corpusIdx = TextOps.winnowFingerprints(
+      Seq((1000L, corpusText)).toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def ts(s: Long) = new java.sql.Timestamp(1705276800000L + s * 1000)
+    mem.addData((ts(0), 1L, nearDup), (ts(1), 2L, novel))
+    val docs = mem.toDF().toDF("event_ts", "doc_id", "text")
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = docs.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cp-neardup").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= StreamDedup.nearDedupBatch(batch, corpusIdx, "doc_id", "text",
+          minShared = 15)
+          .select("doc_id").as[Long].collect()
+        () // Unit — foreachBatch sinks, the pipeline would append here
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(kept.toSet == Set(2L)) // near-dup dropped, novel doc kept
+  }
+
   test("curation ops run unchanged under structured streaming (stateless projections)") {
     // redactPii / qualityScore / langId / urlDomain are pure scan-stage
     // Column expressions — the same columns drive a readStream with no
