@@ -706,6 +706,46 @@ object TextOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, unigram form): score every document
+    * by its length-normalized log-likelihood RATIO between a target
+    * domain's unigram LM and the corpus LM —
+    * w_d = (1/n_d)·Σ_t cnt_d(t)·[ln p_target(t) − ln p_corpus(t)] —
+    * the select-data-that-looks-like-the-target knob (positive = more
+    * target-like than average). The target model is add-one smoothed
+    * over the corpus vocabulary (never −∞); the corpus model is raw
+    * MLE (every doc term exists in the corpus by construction).
+    *
+    * Exact arithmetic: per-doc sums fold over term-sorted entries
+    * ([[unigramNll]]'s cross-engine FP-determinism trick). Scale
+    * shape: both LMs are vocabulary-sized aggregates of ONE (doc,
+    * term) count table and broadcast back; the scalar totals ride
+    * broadcast crossJoins — one tokenize scan, bounded shuffles.
+    * `targetPred` marks the target slice (rows where it is true).
+    * Returns (id, n_tok, w).
+    */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "is_t", "term").agg(count(lit(1)).cast("double").as("cnt"))
+    val ctf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
+    val cstats = ctf.agg(sum("ctf").as("ct"),
+      count(lit(1)).cast("double").as("vn"))
+    val ttf = tf.filter(col("is_t")).groupBy("term").agg(sum("cnt").as("ttf"))
+    val ttot = ttf.agg(sum("ttf").as("tt"))
+    val per = tf.join(broadcast(ctf), "term")
+      .join(broadcast(ttf), Seq("term"), "left")
+      .crossJoin(broadcast(cstats)).crossJoin(broadcast(ttot))
+      .withColumn("s", col("cnt") *
+        (log((coalesce(col("ttf"), lit(0.0)) + 1.0) / (col("tt") + col("vn"))) -
+          log(col("ctf") / col("ct"))))
+    per.groupBy("id").agg(
+      sum("cnt").cast("long").as("n_tok"),
+      (aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")) / sum("cnt")).as("w"))
+  }
+
   /** Multinomial Naive Bayes text classifier — the curation-classifier
     * shape (CCNet's LM filter, the GPT-3/fastText quality classifier):
     * train token-count class models on labeled documents, score every

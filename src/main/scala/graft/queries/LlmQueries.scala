@@ -434,6 +434,15 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // DSIR importance weights: per-doc target-vs-corpus unigram
+    // log-likelihood ratio (target = the en slice), length-normalized —
+    // the select-like-the-target curation knob, exact arithmetic.
+    "dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(documents(s, dir), "doc_id", "text",
+        col("lang") === "en")
+        .select(col("id").as("doc_id"), col("n_tok"), r4(col("w")).as("w"))
+        .orderBy("doc_id")),
+
     // Multinomial Naive Bayes curation classifier: train class token
     // models on the hash-split train docs, score the val docs — exact
     // smoothed-log-likelihood arithmetic with term-ordered folds, so
@@ -1230,6 +1239,30 @@ object LlmQueries {
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // dsir_weights: same two unigram LMs (target add-one over the
+    // corpus vocabulary, corpus raw MLE), same log-ratio op tree,
+    // per-doc sum folded in term order.
+    "dsir_weights" -> w(
+      s"""WITH tf AS (SELECT doc_id, lang = 'en' AS is_t, term,
+         |    CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |ctf AS (SELECT term, sum(cnt) AS ctf FROM tf GROUP BY 1),
+         |cs AS (SELECT sum(ctf) AS ct, CAST(count(*) AS DOUBLE) AS vn FROM ctf),
+         |ttf AS (SELECT term, sum(cnt) AS ttf FROM tf WHERE is_t GROUP BY 1),
+         |tt AS (SELECT sum(ttf) AS tt FROM ttf),
+         |per AS (SELECT tf.doc_id, tf.term, tf.cnt,
+         |    tf.cnt * (ln((COALESCE(ttf.ttf, 0.0) + 1.0) / (tt.tt + cs.vn))
+         |      - ln(ctf.ctf / cs.ct)) AS s
+         |  FROM tf JOIN ctf USING (term) LEFT JOIN ttf USING (term)
+         |  CROSS JOIN cs CROSS JOIN tt)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok,
+         |  round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+         |    (a, b) -> a + b) / sum(cnt), 4) + 0.0 AS w
+         |FROM per GROUP BY 1 ORDER BY doc_id"""),
+         // ^ + 0.0 folds DuckDB's signed -0.0 into +0.0 — Spark's
+         // BigDecimal round can never emit -0.0, so a doc whose ratio
+         // rounds to zero would otherwise hash-mismatch on the sign bit.
     // nb_classify: the full NB train/score chain restated — hash split
     // via the digit-replicated hashU, class models as (label, term)
     // counts, smoothed log-likelihoods with the SAME op tree, per-doc

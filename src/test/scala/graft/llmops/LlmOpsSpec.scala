@@ -773,6 +773,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("dsirWeights: closed-form log-ratio, target-like docs score higher") {
+    val df = Seq((1L, true, "a a b"), (2L, false, "b c")).toDF("id", "t", "text")
+    val got = TextOps.dsirWeights(df, "id", "text", col("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: a:2 b:2 c:1 (ct=5, V=3); target: a:2 b:1 (tt=3)
+    // p_t: a=3/6 b=2/6 c=1/6; p_c: a=2/5 b=2/5 c=1/5
+    def lr(pt: Double, pc: Double) = math.log(pt) - math.log(pc)
+    val w1 = (2 * lr(0.5, 0.4) + lr(2.0 / 6, 0.4)) / 3
+    val w2 = (lr(2.0 / 6, 0.4) + lr(1.0 / 6, 0.2)) / 2
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - w1) < 1e-12)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - w2) < 1e-12)
+    assert(got(1L)._2 > got(2L)._2) // the target doc is more target-like
+  }
+
   test("nbClassify: closed-form posteriors, OOV docs fall back to the prior argmax") {
     val train = Seq(
       (1L, "a", "x x y"), (2L, "a", "x y"),
