@@ -634,6 +634,35 @@ object VectorOps {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-cluster embedding EXTREMES — the pruning companion to
+    * [[semDedup]] (SemDeDup removes near-dups; SSL-prototype pruning
+    * removes the too-prototypical, outlier screens remove the noise):
+    * for each k-means cluster, rank members by cosine to their
+    * centroid and surface the `m` farthest (`r_out` ≤ m — candidate
+    * noise/contamination) and the `m` closest (`r_proto` ≤ m —
+    * candidate redundant prototypes). Rank-based on purpose: no
+    * FP-order-dependent mean/stddev aggregates, so the answer is
+    * deterministic under any partitioning and SQL-replicable exactly.
+    *
+    * Scale shape: centroid join is a broadcast (k×dim metadata); the
+    * two rankings are ONE window partitioning (by cid — never global);
+    * output is 2m·k rows. Returns (cid, id, ccos, r_out, r_proto)
+    * filtered to the extremes.
+    */
+  def clusterExtremes(index: DataFrame, centroids: DataFrame,
+      m: Int): DataFrame = {
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("ccos").asc, col("id"))
+    val wProto = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("ccos").desc, col("id"))
+    index
+      .join(broadcast(centroids.select(col("id").as("cid"), col("v").as("cv"))), "cid")
+      .select(col("cid"), col("id"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("r_out", row_number().over(wOut))
+      .withColumn("r_proto", row_number().over(wProto))
+      .filter(col("r_out") <= m || col("r_proto") <= m)
+  }
+
   /** SemDeDup end to end: assign every vector to its max-cosine
     * centroid, find within-cluster pairs above `threshold`, connect
     * them into components (min-id representative — deterministic, where

@@ -469,6 +469,19 @@ object LlmQueries {
       VectorOps.semDedup(e, cent, 0.4).orderBy("id")
     }),
 
+    // Embedding-space pruning extremes: per trained cluster, the 3
+    // farthest-from-centroid members (outlier/noise screen) and the 3
+    // closest (SSL-prototype redundancy screen) — rank-based, so
+    // integer-deterministic and SQL-exact.
+    "embed_extremes" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val cent = VectorOps.trainIvfCentroids(e.filter(col("id") % 5 === 0), 8, 2)
+      VectorOps.clusterExtremes(VectorOps.ivfAssign(e, cent), cent, 3)
+        .select(col("cid"), col("id"), r4(col("ccos")).as("ccos"),
+          col("r_out"), col("r_proto"))
+        .orderBy("cid", "id")
+    }),
+
     // Approximation-quality measurement for every approximate ANN path
     // against the exact brute scan: strict recall@3 (top-3 set overlap)
     // AND shortlist recall (true top-3 found in the 30-length ADC/
@@ -1306,6 +1319,31 @@ object LlmQueries {
          |  round(COALESCE(b.logp, po.logp0), 4) AS logp
          |FROM va v LEFT JOIN best b ON v.doc_id = b.doc_id
          |CROSS JOIN po ORDER BY v.doc_id""")),
+    // embed_extremes: the trained-assignment chain scored against the
+    // final centroids, double-ranked per cluster (+0.0 folds DuckDB's
+    // possible signed zero on a ccos that rounds to 0).
+    "embed_extremes" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 5 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 8)),
+         |${kmeansIterSql(1)}
+         |${kmeansIterSql(2)}
+         |assign AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT c.id, c.v, cent.cid,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e c CROSS JOIN c2 cent) WHERE r = 1),
+         |scored AS (
+         |  SELECT a.cid, a.id, ${cos("a.v", "cc.cv")} AS ccos
+         |  FROM assign a JOIN c2 cc ON a.cid = cc.cid),
+         |rk AS (SELECT cid, id, ccos,
+         |    row_number() OVER (PARTITION BY cid ORDER BY ccos ASC, id) AS r_out,
+         |    row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, id) AS r_proto
+         |  FROM scored)
+         |SELECT cid, id, round(ccos, 4) + 0.0 AS ccos, r_out, r_proto
+         |FROM rk WHERE r_out <= 3 OR r_proto <= 3 ORDER BY cid, id"""),
     // semantic_dedup: the ann_ivf_trained k-means chain (two unrolled
     // Lloyd iterations) assigns every vector, pairs form WITHIN
     // clusters only, and the recursive closure reproduces the

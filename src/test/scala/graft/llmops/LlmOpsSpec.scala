@@ -773,6 +773,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("clusterExtremes ranks farthest and closest members per cluster, never globally") {
+    // one dominant axis per cluster; member angle controlled by a
+    // second component — cos to centroid is monotone in it
+    def v(axis: Int, off: Double) =
+      Array.tabulate(4)(i => if (i == axis) 1.0 else if (i == 3) off else 0.0)
+    val vs = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.2)), (3L, v(0, 0.5)), (4L, v(0, 1.0)),
+      (5L, v(1, 0.0)), (6L, v(1, 0.8))
+    ).toDF("id", "v")
+    val cent = Seq((0L, v(0, 0.0)), (1L, v(1, 0.0))).toDF("id", "v")
+    val got = VectorOps.clusterExtremes(VectorOps.ivfAssign(vs, cent), cent, 1)
+      .select("cid", "id", "r_out", "r_proto")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // cluster 0: id 4 farthest (largest off), id 1 closest (cos = 1)
+    assert(got.contains((0L, 4L, 1, 4)) && got.contains((0L, 1L, 4, 1)))
+    // cluster 1: both members are extremes of their OWN cluster — the
+    // ranking never mixes clusters
+    assert(got.contains((1L, 6L, 1, 2)) && got.contains((1L, 5L, 2, 1)))
+    assert(got.size == 4)
+  }
+
   test("dsirWeights: closed-form log-ratio, target-like docs score higher") {
     val df = Seq((1L, true, "a a b"), (2L, false, "b c")).toDF("id", "t", "text")
     val got = TextOps.dsirWeights(df, "id", "text", col("t"))

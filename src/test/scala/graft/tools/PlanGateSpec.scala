@@ -111,15 +111,24 @@ class PlanGateSpec extends SparkSpec {
     // (seq_pack is not listed: its prefix-scan localCheckpoint truncates
     // the visible plan before the file scan; its input projection is the
     // 2-column select in packSequences itself)
-    for (name <- Seq("bm25_topk", "pii_redact", "url_dedup", "unigram_nll")) {
+    val pruneSpec = Map(
+      "bm25_topk" -> Set("doc_id", "text"),
+      "pii_redact" -> Set("doc_id", "text"),
+      "url_dedup" -> Set("doc_id", "text"),
+      "unigram_nll" -> Set("doc_id", "text"),
+      // label/slice-driven r10 ops may read their one extra column
+      "dsir_weights" -> Set("doc_id", "lang", "text"),
+      "nb_classify" -> Set("doc_id", "source", "text"),
+      "temp_mix" -> Set("doc_id", "lang"))
+    for ((name, allowed) <- pruneSpec) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val reads = "ReadSchema: struct<([^>]*)>".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq
       assert(reads.nonEmpty, s"$name: no file scan found\n${plan.take(1500)}")
       assert(reads.forall(r => r.split(",").map(_.takeWhile(_ != ':')).toSet
-        .subsetOf(Set("doc_id", "text"))),
-        s"$name reads more than (doc_id, text): $reads")
+        .subsetOf(allowed)),
+        s"$name reads more than $allowed: $reads")
     }
   }
 
