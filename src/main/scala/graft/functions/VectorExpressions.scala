@@ -100,5 +100,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(a, ArrayType(DoubleType)))
         CosineSimilarity(cast.head, cast(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_kll_quantiles(value, quantiles, k) takes three arguments")
+        // cast the value so int/float/decimal columns resolve to double;
+        // the analyzer wraps the returned AggregateFunction itself.
+        KllQuantiles(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head, DoubleType),
+          args(1), args(2))
+      }))
   }
 }

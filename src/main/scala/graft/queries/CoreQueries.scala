@@ -29,7 +29,14 @@ object QueryUtil {
     * DuckDB treats the naive parquet timestamp).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val read = s.read.parquet(s"$dir/events.parquet")
+    // Name drift guard: the round-9 regeneration silently changed the
+    // physical type and zeroed 105 gates in the driver artifact; tolerate
+    // a `ts_ns`-named time column too so a future rename can't repeat it.
+    val raw =
+      if (read.columns.contains("ts")) read
+      else if (read.columns.contains("ts_ns")) read.withColumnRenamed("ts_ns", "ts")
+      else sys.error(s"events.parquet has no ts/ts_ns column: ${read.columns.mkString(",")}")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // ns-as-long generation
         raw.withColumnRenamed("ts", "ts_ns")
@@ -215,7 +222,27 @@ object CoreQueries {
         .withCol("k", get_json_object(col("props"), "$.k").cast("long"))
         .group("event_type")
         .agg(r4(avg(col("k"))).as("avg_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Mergeable KLL quantile sketch (native TypedImperativeAggregate,
+    // functions/KllSketch.scala): one pass, map-side partials, only
+    // KB-sized sketches cross the shuffle — the quantile shape that
+    // survives 100 TB groups. Gate pins EXACT mode (k=32768 > any
+    // per-group count at sf0.01/0.1, so no compaction fires and the
+    // answer is the literal ceil(q·n)-th smallest — row_number
+    // arithmetic the oracle replays). Quantile fractions are chosen
+    // dyadic (exact in binary) so ceil(q·n) is the same integer in any
+    // IEEE implementation. Approximation error is spec-bounded in
+    // KllSketchSpec, not here (a hash gate can't pin an approximation).
+    "kll_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array, call_function, posexplode}
+      ev(s, dir)
+        .group("event_type")
+        .agg(call_function("graft_kll_quantiles", col("value"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.875)), lit(32768)).as("qv"))
+        .select(col("event_type"), posexplode(col("qv")).as(Seq("qi", "qv")))
+        .orderBy("event_type", "qi")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,6 +316,20 @@ object CoreQueries {
       """SELECT event_type,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact-mode KLL: the sketch holds every value (k > n per group),
+    // so each answer is literally the ceil(q·n)-th smallest — replayed
+    // here with row_number. Dyadic fractions make ceil(q·n) the same
+    // integer under decimal or IEEE-double arithmetic.
+    "kll_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.875)) AS t(qi, q))
+        |SELECT event_type, qi, v AS qv
+        |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY event_type, qi""".stripMargin
   )
 }
