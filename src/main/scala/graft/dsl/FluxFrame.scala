@@ -558,6 +558,24 @@ final case class FluxFrame(
     copy(df = staged.withColumn(as, when(pred, dur).otherwise(lit(-1.0))).drop("_rst"))
   }
 
+  /** Gap-based sessionization (engine extension; the activity-session
+    * op every training-data / analytics pipeline needs). A new session
+    * starts when Δt to the previous row of the series EXCEEDS maxGap
+    * (Δt == maxGap stays in-session); emits a 1-based per-series
+    * session index. Pure window algebra: one shuffle on the series key,
+    * and a downstream per-(series, session) aggregate reuses that
+    * partitioning — grouping on a superset of the window's partition
+    * key is already co-located, so Catalyst plans no second exchange.
+    * maxGap is in the time column's own unit (seconds for timestamps,
+    * ns/µs for long axes — same convention as the delta verbs).
+    */
+  def sessionize(maxGap: Double, as: String = "session"): FluxFrame = {
+    val dt = col(timeCol).cast("double") - lag(col(timeCol).cast("double"), 1).over(w)
+    val isNew = when(dt.isNull || dt > lit(maxGap), 1).otherwise(0)
+    copy(df = df.withColumn(as,
+      sum(isNew).over(rows(Window.unboundedPreceding, 0))))
+  }
+
   /** Flux `interpolate.linear(every:)` — regular grid per group with
     * linear interpolation between observed neighbors. Spine generated
     * distributed (sequence+explode), neighbors found via

@@ -98,6 +98,49 @@ object StreamingQueries {
       graft.flux.FluxEval.run("""from(bucket: "agg")""", src)
         .select(col("_time").as("wend"), r4(col("_value")).as("sum_v"))
         .orderBy("wend")
+    }),
+
+    // STREAMING sessionization: the same gap-split sessions the batch
+    // `sessionize` gate pins, computed by Structured Streaming's
+    // session_window state machine over a file stream — proving the
+    // 100 TB streaming path (watermarked keyed session state, append
+    // emission on watermark passage) agrees with the batch oracle.
+    // session_window merges events whose ts gap is STRICTLY below the
+    // 6h gap duration; the oracle splits on gap >= 6h to match (the
+    // corpus has no exact-boundary gap, but the SQL states the true
+    // semantics). Append mode only emits a session once the watermark
+    // passes its close, so after draining the corpus two far-future
+    // sentinel rows are fed in separate micro-batches: the first
+    // advances the watermark past every real session, the second forces
+    // the batch in which that watermark evicts and emits them. The
+    // sentinel user (-1) is filtered from the result; its own session
+    // stays unemitted state, which is fine.
+    "stream_sessionize" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sess-src").toString
+      val ev0 = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      val qn = "graft_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(ev0.schema).parquet(srcDir)
+        .withWatermark("ts", "6 hours")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), r4(sum(col("value"))).as("sum_v"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("n"), col("sum_v"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sess-cp").toString)
+        .start()
+      q.processAllAvailable()
+      import s.implicits._
+      for (year <- Seq("2030", "2031")) { // separate batches on purpose
+        Seq((-1L, java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00"), 0.0))
+          .toDF("user_id", "ts", "value")
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(qn).filter(col("user_id") >= 0).orderBy("user_id", "s_start")
     })
   )
 
@@ -116,6 +159,23 @@ object StreamingQueries {
         |  round(sum(value), 4) AS sum_v
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
-        |GROUP BY 1 ORDER BY 1""")
+        |GROUP BY 1 ORDER BY 1"""),
+    // batch replay of session_window semantics: split on gap >= 6h,
+    // session start = first event ts
+    "stream_sessionize" -> w(
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM g)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n,
+        |  round(sum(value), 4) AS sum_v
+        |FROM s GROUP BY user_id, session ORDER BY user_id, s_start""")
   )
 }

@@ -211,7 +211,26 @@ object WindowQueries {
         .where(col("ts_us") >= jan08 && col("ts_us") < jan09)
         .rsi(10, as = "rsi")
         .toDF.select(col("event_type"), col("ts_us").as("tus"), r4(col("rsi")).as("rsi"))
-        .orderBy("event_type", "tus"))
+        .orderBy("event_type", "tus")),
+
+    // Gap-based sessionization: 6h inactivity splits a user's stream
+    // into sessions; per-session count / µs duration / value sum. The
+    // µs-long axis keeps gap comparison and duration arithmetic integer
+    // -exact on both sides. One shuffle (user_id): the session-index
+    // window and the per-(user, session) aggregate share it — grouping
+    // on a superset of the window's partition key is already co-located.
+    "sessionize" -> ((s, dir) => {
+      import graft.dsl.FluxFrame
+      val f = FluxFrame.of(
+        events(s, dir).withColumn("ts_us", expr("ts_ns div 1000")),
+        "ts_us", "value", "user_id")
+      f.sessionize(21600e6, as = "session").toDF
+        .groupBy("user_id", "session")
+        .agg(count(lit(1)).as("n"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
+          r4(sum(col("value"))).as("sum_v"))
+        .orderBy("user_id", "session")
+    })
   )
 
   private def w(s: String) = s.stripMargin
@@ -428,6 +447,23 @@ object WindowQueries {
         |)
         |SELECT event_type, tus,
         |  round(CASE WHEN al = 0 THEN 100 ELSE 100 - 100 / (1 + ag / al) END, 4) AS rsi
-        |FROM e ORDER BY 1, 2""")
+        |FROM e ORDER BY 1, 2"""),
+    // sessions split where the µs gap exceeds 6h; session = running
+    // count of splits, 1-based like the engine verb
+    "sessionize" -> w(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT user_id, tus, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+        |  FROM g)
+        |SELECT user_id, session, count(*) AS n,
+        |  max(tus) - min(tus) AS dur_us, round(sum(value), 4) AS sum_v
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }

@@ -105,4 +105,31 @@ class FluxFrameSpec extends SparkSpec {
       ("2024-01-01 00:00:10.0", 10.0),
       ("2024-01-01 00:00:20.0", 20.0)))
   }
+
+  test("sessionize splits on gap > maxGap, keeps gap == maxGap, per series") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("u1", t("2024-01-01 00:00:00"), 1.0),
+      ("u1", t("2024-01-01 01:00:00"), 2.0), // gap == 3600s: SAME session
+      ("u1", t("2024-01-01 02:00:01"), 3.0), // gap 3601s: NEW session
+      ("u2", t("2024-01-01 00:30:00"), 4.0)) // other series: own index
+    val f = FluxFrame(rows.toDF("u", "ts", "v"), Seq("u"), "ts", "v")
+    val out = f.sessionize(3600, as = "sess").toDF
+      .orderBy("u", "ts")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("sess"))).toSeq
+    assert(out == Seq(("u1", 1L), ("u1", 1L), ("u1", 2L), ("u2", 1L)))
+  }
+
+  test("sessionize + per-session aggregate plans exactly one exchange") {
+    val df = (1 to 100).map(i => (s"u${i % 5}",
+      java.sql.Timestamp.valueOf(s"2024-01-01 00:${i % 60}:00"), i.toDouble))
+      .toDF("u", "ts", "v")
+    val agg = FluxFrame(df, Seq("u"), "ts", "v").sessionize(600).toDF
+      .groupBy("u", "session").agg(count(lit(1)).as("n"))
+    // grouping on a superset of the window's partition key must reuse
+    // the window's hash partitioning — one shuffle total
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(agg.queryExecution.executedPlan.toString).size
+    assert(exchanges == 1, agg.queryExecution.executedPlan.toString)
+  }
 }
