@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llmops.{DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, VectorOps}
+import graft.llmops.{BpeOps, DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -248,6 +248,19 @@ object LlmQueries {
         .select(col("slice").as("source"), col("n_tok"), col("n_types"),
           col("hapax"), col("ttr"))
         .orderBy("source")),
+
+    // BPE tokenizer training, iteration 0: char-level merge-candidate
+    // pair counts weighted by word frequency (one corpus pass, then
+    // vocab-sized work — llmops/BpeOps.scala).
+    "bpe_pairs" -> ((s, dir) =>
+      BpeOps.initialPairCounts(documents(s, dir), "text")
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(50)),
+
+    // Greedy BPE training, three merges: the gate pins the full
+    // iterate-count-argmax-remerge loop (each step's chosen pair AND
+    // its selection-time frequency) against an unrolled SQL replay.
+    "bpe_merges" -> ((s, dir) =>
+      BpeOps.train(documents(s, dir), "text", 3).orderBy("step")),
 
     // Perplexity-style quality scoring: unigram-LM negative
     // log-likelihood per document (train on the corpus, score every
@@ -1054,6 +1067,51 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
          |  round(count(*) / sum(cnt), 4) AS ttr
          |FROM tf GROUP BY 1 ORDER BY 1"""),
+
+    // bpe_pairs: char-split each vocab word (codepoint regex — the
+    // corpus is ASCII; both engines agree), adjacent pairs weighted by
+    // word count.
+    "bpe_pairs" -> w(
+      s"""WITH words AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+         |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c FROM wc),
+         |a0 AS (SELECT string_split(s, ' ') AS a, c FROM v0),
+         |x0 AS (SELECT a, c, unnest(range(1, len(a))) AS i FROM a0),
+         |p0 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM x0 GROUP BY 1, 2)
+         |SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 50"""),
+
+    // bpe_merges: the 3-step greedy loop unrolled — pair-count CTE,
+    // single-row argmax (count desc, pair asc), literal space-padded
+    // replace (left-to-right non-overlapping = greedy BPE), repeat.
+    "bpe_merges" -> w(
+      s"""WITH words AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+         |v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, c FROM wc),
+         |a1 AS (SELECT string_split(s, ' ') AS a, c FROM v0),
+         |x1 AS (SELECT a, c, unnest(range(1, len(a))) AS i FROM a1),
+         |p1 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM x1 GROUP BY 1, 2),
+         |b1 AS (SELECT 1 AS step, l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         |v1 AS (SELECT trim(replace(' ' || s || ' ',
+         |    ' ' || (SELECT l FROM b1) || ' ' || (SELECT r FROM b1) || ' ',
+         |    ' ' || (SELECT l || r FROM b1) || ' ')) AS s, c FROM v0),
+         |a2 AS (SELECT string_split(s, ' ') AS a, c FROM v1),
+         |x2 AS (SELECT a, c, unnest(range(1, len(a))) AS i FROM a2),
+         |p2 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM x2 GROUP BY 1, 2),
+         |b2 AS (SELECT 2 AS step, l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |v2 AS (SELECT trim(replace(' ' || s || ' ',
+         |    ' ' || (SELECT l FROM b2) || ' ' || (SELECT r FROM b2) || ' ',
+         |    ' ' || (SELECT l || r FROM b2) || ' ')) AS s, c FROM v1),
+         |a3 AS (SELECT string_split(s, ' ') AS a, c FROM v2),
+         |x3 AS (SELECT a, c, unnest(range(1, len(a))) AS i FROM a3),
+         |p3 AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM x3 GROUP BY 1, 2),
+         |b3 AS (SELECT 3 AS step, l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+         |SELECT step, l, r, cnt FROM b1
+         |UNION ALL SELECT step, l, r, cnt FROM b2
+         |UNION ALL SELECT step, l, r, cnt FROM b3 ORDER BY step"""),
 
     // unigram_nll: same op tree (cnt · −ln(ctf/T)), per-doc sum folded
     // in term order with a 0.0 init — bm25's determinism pattern.

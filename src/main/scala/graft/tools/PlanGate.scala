@@ -49,6 +49,10 @@ object PlanGate {
     // (seeds + m×k×(dim/m) cells) — all four collect only aggregated
     // codebook-sized metadata, never corpus rows
     "llmops/VectorOps.scala" -> 4,
+    // BPE trainer argmax: limit(1).collect() — exactly one row (the
+    // chosen merge pair) per iteration; iterations loop over the same
+    // audited site. Never corpus- or vocab-scale.
+    "llmops/BpeOps.scala" -> 1,
     "store/BucketStore.scala" -> 2 // mutation-versioned key + field-type caches (field-count-scale)
   )
 
