@@ -141,4 +141,25 @@ object SampleOps {
     }
     df.filter(hashU(col(keyCol)) < frac)
   }
+
+  /** Length-bucketed batching stats: assign each document to a
+    * fixed-width token-length bucket (bucket floor = `(n div width) ·
+    * width` — integer arithmetic, so both engines agree exactly) and
+    * report per-bucket document count, token mass, extremes, and the
+    * padding waste of batching the bucket to its longest member
+    * (`n_docs·max − sum`). This is the pre-training batcher's
+    * efficiency view: pure column expressions plus one small aggregate,
+    * no extra shuffle beyond the groupBy.
+    */
+  def lengthBuckets(df: DataFrame, textCol: String, width: Int): DataFrame = {
+    val n = TextOps.tokenCount(col(textCol)).cast("long")
+    df.select((n - (n % width)).as("bucket_lo"), n.as("n_tok"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .withColumn("pad_waste",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
 }

@@ -161,6 +161,13 @@ object LlmQueries {
         .groupBy("source", "split").agg(count(lit(1)).as("n"))
         .orderBy("source", "split")),
 
+    // Length-bucketed batching stats: 16-token fixed-width buckets,
+    // per-bucket doc count / token mass / extremes / padding waste —
+    // the pre-training batcher's efficiency view.
+    "length_buckets" -> ((s, dir) =>
+      SampleOps.lengthBuckets(documents(s, dir), "text", 16)
+        .orderBy("bucket_lo")),
+
     // Deterministic stratified downsampling (domain mixing): exact
     // sampled membership is the gate (doc_id listing, not counts).
     "stratified_sample" -> ((s, dir) =>
@@ -892,6 +899,15 @@ object LlmQueries {
         |WHERE u < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
         |                      WHEN 'src2' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""")),
+    // length_buckets: integer bucket floor (n − n mod 16); pad_waste =
+    // n_docs·max − sum, all integer arithmetic.
+    "length_buckets" -> w(
+      s"""WITH n AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents)
+         |SELECT n_tok - (n_tok % 16) AS bucket_lo,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+         |  count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT) AS pad_waste
+         |FROM n GROUP BY 1 ORDER BY 1"""),
     // mix_sample: same ratio/normalize tree (target literals identical),
     // membership via the digit-replicated hashU.
     "mix_sample" -> (hashUCte + w(
