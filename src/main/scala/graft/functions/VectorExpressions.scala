@@ -112,5 +112,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(args.head, DoubleType),
           args(1), args(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_topk(item, k, capacity) takes three arguments")
+        TopKSketch(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1), args(2))
+      }))
   }
 }

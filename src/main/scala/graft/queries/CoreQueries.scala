@@ -242,6 +242,24 @@ object CoreQueries {
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.875)), lit(32768)).as("qv"))
         .select(col("event_type"), posexplode(col("qv")).as(Seq("qi", "qv")))
         .orderBy("event_type", "qi")
+    }),
+
+    // Mergeable SpaceSaving heavy-hitters sketch (native aggregate,
+    // functions/SpaceSaving.scala): top-k with O(capacity) state per
+    // group — the shape a huge-cardinality GROUP BY key can't take.
+    // Gate pins EXACT mode (capacity 1024 >> 150 distinct users: no
+    // eviction, zero error, literal exact top-10 with count-desc /
+    // item-asc ties — replayed by row_number in the oracle).
+    // Approximation bounds are spec-covered (SpaceSavingSpec).
+    "topk_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{call_function, posexplode}
+      ev(s, dir)
+        .group("event_type")
+        .agg(call_function("graft_topk", col("user_id"), lit(10), lit(1024)).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("event_type"), col("pos"),
+          col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy("event_type", "pos")
     })
   )
 
@@ -330,6 +348,17 @@ object CoreQueries {
         |qs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.875)) AS t(qi, q))
         |SELECT event_type, qi, v AS qv
         |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
-        |ORDER BY event_type, qi""".stripMargin
+        |ORDER BY event_type, qi""".stripMargin,
+    // Exact-mode SpaceSaving: capacity exceeds the key cardinality, so
+    // the sketch IS the exact count table; top-10 with the same
+    // (count desc, item-string asc) tie order.
+    "topk_sketch" ->
+      """SELECT event_type, CAST(r - 1 AS INTEGER) AS pos,
+        |  CAST(user_id AS VARCHAR) AS item, n AS cnt FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS r
+        |  FROM events GROUP BY 1, 2)
+        |WHERE r <= 10 ORDER BY event_type, pos""".stripMargin
   )
 }
