@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
 /** Mergeable rank/quantile sketch in the KLL family (Karnin, Lang,
   * Liberty, "Optimal Quantile Approximation in Streams", FOCS 2016 —
@@ -257,4 +257,138 @@ case class KllQuantiles(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KllQuantiles =
     copy(child = newChildren(0), quantilesExpr = newChildren(1), kExpr = newChildren(2))
+}
+
+/** Shared wire format for persisted sketches (the [[KllQuantiles]]
+  * serde, byte-for-byte): build per-shard sketches with
+  * [[KllSketchBytes]], store the binary column anywhere (parquet, a
+  * stream sink, a metrics table), and answer quantiles over any slice
+  * later with [[KllMergeQuantiles]] — no re-scan of the raw data. This
+  * is the 100 TB monitoring loop: profile each ingest shard once,
+  * merge profiles forever.
+  */
+private object KllWire {
+  def write(st: KllState): Array[Byte] =
+    KllQuantiles(Literal0, Literal0, Literal0).serialize(st)
+  def read(bytes: Array[Byte]): KllState =
+    KllQuantiles(Literal0, Literal0, Literal0).deserialize(bytes)
+  // serde never touches the children; any literal works as placeholder
+  private val Literal0 =
+    org.apache.spark.sql.catalyst.expressions.Literal(0)
+}
+
+/** `graft_kll_sketch(value, k)` → binary: the serialized sketch. */
+case class KllSketchBytes(
+    child: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllState] {
+
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == DoubleType && kExpr.foldable
+
+  private lazy val k: Int = {
+    val v = kExpr.eval().asInstanceOf[Number].intValue()
+    require(v >= 8, s"graft_kll_sketch: k must be >= 8, got $v")
+    v
+  }
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_kll_sketch"
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+  override def update(buffer: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+  override def merge(buffer: KllState, input: KllState): KllState = {
+    buffer.merge(input)
+    buffer
+  }
+  override def eval(buffer: KllState): Any = KllWire.write(buffer)
+  override def serialize(buffer: KllState): Array[Byte] = KllWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): KllState = KllWire.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchBytes =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}
+
+/** Mutable holder: the merge buffer adopts the k of the first sketch it
+  * sees (persisted sketches carry their own k).
+  */
+final class KllMergeBuffer(var st: KllState)
+
+/** `graft_kll_merge(sketch_binary, quantiles)` → array<double>:
+  * merge persisted sketches, then answer the quantiles.
+  */
+case class KllMergeQuantiles(
+    child: Expression,
+    quantilesExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllMergeBuffer] {
+
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == BinaryType &&
+      quantilesExpr.foldable &&
+      (quantilesExpr.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+
+  private lazy val qs: Array[Double] = {
+    val arr = quantilesExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+    require(arr.nonEmpty && arr.forall(q => q >= 0.0 && q <= 1.0),
+      "graft_kll_merge: quantiles must be within [0, 1]")
+    arr
+  }
+
+  override def children: Seq[Expression] = Seq(child, quantilesExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_kll_merge"
+
+  override def createAggregationBuffer(): KllMergeBuffer = new KllMergeBuffer(null)
+
+  private def absorb(buffer: KllMergeBuffer, st: KllState): KllMergeBuffer = {
+    if (st != null) {
+      if (buffer.st == null) buffer.st = st else buffer.st.merge(st)
+    }
+    buffer
+  }
+
+  override def update(buffer: KllMergeBuffer, input: InternalRow): KllMergeBuffer = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else absorb(buffer, KllWire.read(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(buffer: KllMergeBuffer, input: KllMergeBuffer): KllMergeBuffer =
+    absorb(buffer, input.st)
+
+  override def eval(buffer: KllMergeBuffer): Any =
+    new GenericArrayData(
+      if (buffer.st == null) qs.map(_ => Double.NaN) else buffer.st.quantiles(qs))
+
+  override def serialize(buffer: KllMergeBuffer): Array[Byte] =
+    if (buffer.st == null) Array.emptyByteArray else KllWire.write(buffer.st)
+  override def deserialize(bytes: Array[Byte]): KllMergeBuffer =
+    new KllMergeBuffer(if (bytes.isEmpty) null else KllWire.read(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeQuantiles =
+    copy(child = newChildren(0), quantilesExpr = newChildren(1))
 }

@@ -113,6 +113,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(1), args(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchBytes].getName, "graft_kll_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_kll_sketch(value, k) takes two arguments")
+        KllSketchBytes(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head, DoubleType),
+          args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeQuantiles].getName, "graft_kll_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_kll_merge(sketch, quantiles) takes two arguments")
+        KllMergeQuantiles(args.head, args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

@@ -244,6 +244,28 @@ object CoreQueries {
         .orderBy("event_type", "qi")
     }),
 
+    // Persisted-sketch monitoring loop: per-(event_type, ingest shard)
+    // KLL sketches are written to parquet as a binary column, read
+    // back, and MERGED per event_type to answer quantiles — no rescan
+    // of the raw rows. Exact mode (k > per-shard counts) makes the
+    // round-trip + merge hash-identical to computing quantiles over
+    // the whole table directly, which is exactly what the oracle does.
+    "kll_merge_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array, call_function, posexplode, pmod}
+      val shardDir = java.nio.file.Files
+        .createTempDirectory("graft-kll-shards").toString
+      events(s, dir)
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(4)).as("shard"))
+        .agg(call_function("graft_kll_sketch", col("value"), lit(32768)).as("sk"))
+        .write.mode("overwrite").parquet(shardDir)
+      s.read.parquet(shardDir)
+        .groupBy("event_type")
+        .agg(call_function("graft_kll_merge", col("sk"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.875))).as("qv"))
+        .select(col("event_type"), posexplode(col("qv")).as(Seq("qi", "qv")))
+        .orderBy("event_type", "qi")
+    }),
+
     // Mergeable SpaceSaving heavy-hitters sketch (native aggregate,
     // functions/SpaceSaving.scala): top-k with O(capacity) state per
     // group — the shape a huge-cardinality GROUP BY key can't take.
@@ -340,6 +362,18 @@ object CoreQueries {
     // here with row_number. Dyadic fractions make ceil(q·n) the same
     // integer under decimal or IEEE-double arithmetic.
     "kll_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.875)) AS t(qi, q))
+        |SELECT event_type, qi, v AS qv
+        |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY event_type, qi""".stripMargin,
+    // Persisted shards merge back to the whole-table exact quantiles —
+    // the oracle is the direct computation the merge must equal.
+    "kll_merge_shards" ->
       """WITH ranked AS (
         |  SELECT event_type, value AS v,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,

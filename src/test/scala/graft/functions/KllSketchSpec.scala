@@ -76,6 +76,37 @@ class KllSketchSpec extends SparkSpec {
       st.quantiles(Array(0.1, 0.5, 0.9)).toSeq)
   }
 
+  test("persisted sketches merge to the direct answer (exact mode)") {
+    val df = lcg(4000).zipWithIndex.map { case (v, i) => (i % 3, v) }
+      .toSeq.toDF("shard", "v")
+    val dir = java.nio.file.Files.createTempDirectory("kll-wire").toString
+    df.groupBy("shard")
+      .agg(call_function("graft_kll_sketch", col("v"), lit(8192)).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(call_function("graft_kll_merge", col("sk"), array(lit(0.5), lit(0.875))))
+      .head.getSeq[Double](0)
+    val direct = df
+      .agg(call_function("graft_kll_quantiles", col("v"), array(lit(0.5), lit(0.875)), lit(8192)))
+      .head.getSeq[Double](0)
+    assert(merged == direct)
+  }
+
+  test("merging compacted sketches stays within the rank-error bound") {
+    val n = 60000
+    val vals = lcg(n)
+    val sorted = vals.sorted
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 8, v) }.toSeq.toDF("shard", "v")
+    val merged = df.groupBy("shard")
+      .agg(call_function("graft_kll_sketch", col("v"), lit(256)).as("sk"))
+      .agg(call_function("graft_kll_merge", col("sk"), array(lit(0.25), lit(0.5), lit(0.9))))
+      .head.getSeq[Double](0)
+    Seq(0.25, 0.5, 0.9).zip(merged).foreach { case (q, est) =>
+      val err = math.abs(sorted.count(_ <= est).toDouble / n - q)
+      assert(err <= 0.03, s"q=$q err=$err")
+    }
+  }
+
   test("nulls are skipped, empty input yields NaN") {
     val df = Seq(Some(1.0), None, Some(3.0), None, Some(2.0)).toDF("v")
     val got = df.agg(call_function("graft_kll_quantiles", col("v"),
