@@ -161,6 +161,20 @@ object LlmQueries {
         .groupBy("source", "split").agg(count(lit(1)).as("n"))
         .orderBy("source", "split")),
 
+    // Z-order (Morton) layout key: rank-normalize (value → 16-bit
+    // grid) and interleave with user_id — the write-path clustering
+    // key that lets parquet row-group stats prune on EITHER dimension
+    // at 100 TB (llmops/LayoutOps.scala). The gate pins the bit
+    // network; locality of the laid-out files is spec-asserted.
+    "zorder_values" -> ((s, dir) => {
+      import graft.llmops.LayoutOps
+      QueryUtil.events(s, dir).select(col("event_id"),
+        LayoutOps.zvalue16(
+          LayoutOps.quantizeMinMax(col("value"), 0.0, 100.0),
+          col("user_id")).as("z"))
+        .orderBy("event_id")
+    }),
+
     // Length-bucketed batching stats: 16-token fixed-width buckets,
     // per-bucket doc count / token mass / extremes / padding waste —
     // the pre-training batcher's efficiency view.
@@ -899,6 +913,32 @@ object LlmQueries {
         |WHERE u < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
         |                      WHEN 'src2' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""")),
+    // zorder_values: the same mask-shift doubling network unrolled —
+    // quantize to 16 bits, spread each dimension to even bits, OR the
+    // odd-shifted second dimension.
+    "zorder_values" -> w(
+      """WITH q AS (SELECT event_id,
+        |    CAST(least(greatest(floor((value / 100.0) * 65536.0), 0.0), 65535.0) AS BIGINT) AS x,
+        |    user_id AS y
+        |  FROM events),
+        |sx AS (SELECT event_id, y,
+        |    ((x | (x << 8)) & 16711935) AS x1 FROM q),
+        |sx2 AS (SELECT event_id, y,
+        |    ((x1 | (x1 << 4)) & 252645135) AS x2 FROM sx),
+        |sx3 AS (SELECT event_id, y,
+        |    ((x2 | (x2 << 2)) & 858993459) AS x3 FROM sx2),
+        |sx4 AS (SELECT event_id, y,
+        |    ((x3 | (x3 << 1)) & 1431655765) AS xs FROM sx3),
+        |sy AS (SELECT event_id, xs,
+        |    ((y | (y << 8)) & 16711935) AS y1 FROM sx4),
+        |sy2 AS (SELECT event_id, xs,
+        |    ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sy),
+        |sy3 AS (SELECT event_id, xs,
+        |    ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sy2),
+        |sy4 AS (SELECT event_id, xs,
+        |    ((y3 | (y3 << 1)) & 1431655765) AS ys FROM sy3)
+        |SELECT event_id, (xs | (ys << 1)) AS z FROM sy4 ORDER BY event_id"""),
+
     // length_buckets: integer bucket floor (n − n mod 16); pad_waste =
     // n_docs·max − sum, all integer arithmetic.
     "length_buckets" -> w(
