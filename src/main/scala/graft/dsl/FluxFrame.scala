@@ -157,11 +157,17 @@ final case class FluxFrame(
 
   /** Flux `quantile(q:, method:"exact_mean"/"estimate_tdigest")`.
     * exact → Spark `percentile` (linear interpolation, matches Flux's
-    * exact_mean for continuous data); estimate → `percentile_approx`
-    * (t-digest-class sketch, mergeable ⇒ scales as a partial agg).
+    * exact_mean for continuous data); estimate → the engine's own
+    * mergeable KLL sketch (functions/KllSketch.scala, InfluxDB's
+    * t-digest analogue): O(k·log n) state per group, sketch-only
+    * shuffle traffic — the quantile path that survives 100 TB groups.
     */
   def quantile(q: Double, exact: Boolean = true, as: String = "_value"): FluxFrame =
-    agg1(if (exact) percentile(col(valueCol), lit(q)) else percentile_approx(col(valueCol), lit(q), lit(10000)), as)
+    agg1(
+      if (exact) percentile(col(valueCol), lit(q))
+      else element_at(call_function("graft_kll_quantiles",
+        col(valueCol), array(lit(q)), lit(1024)), 1),
+      as)
 
   /** Flux `first()` / `last()` — selectors: earliest/latest value by time
     * per group. min_by/max_by are single-pass partial aggregates (no

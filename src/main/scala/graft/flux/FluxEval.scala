@@ -238,7 +238,15 @@ object FluxEval {
     case "spread" => f.spread()
     case "first" => f.firstV()
     case "last" => f.lastV()
-    case "quantile" => f.quantile(num(call.args, "q"))
+    case "quantile" =>
+      // method: "exact_mean" (default here — interpolated percentile)
+      // or "estimate_tdigest" → the mergeable sketch path
+      // (graft_kll_quantiles; InfluxDB's t-digest analogue).
+      val exact = call.args.get("method") match {
+        case Some(VStr("estimate_tdigest")) => false
+        case _ => true
+      }
+      f.quantile(num(call.args, "q"), exact = exact)
     case "integral" => f.integral(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
     // per-series transforms
     case "derivative" =>

@@ -526,4 +526,21 @@ class FluxSpec extends SparkSpec {
     assert(row.getDouble(0) == 4.0)
     assert(row.getDouble(1) == 1.0) // the first cpu row's value
   }
+
+  test("quantile method: estimate_tdigest routes to the KLL sketch") {
+    // small group + k=1024 ⇒ sketch is in exact mode: the estimate is
+    // the ceil(q·n)-th smallest (disc), unlike exact_mean's interpolation
+    val est = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> quantile(q: 0.5, method: "estimate_tdigest")""".stripMargin, source)
+      .select("_value").collect().head.getDouble(0)
+    assert(est == 3.0) // cpu values {1,3,5,10}: rank ceil(0.5*4)=2 → 3.0
+    val exact = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> quantile(q: 0.5)""".stripMargin, source)
+      .select("_value").collect().head.getDouble(0)
+    assert(exact == 4.0) // interpolated median of {1,3,5,10}
+  }
 }
