@@ -141,6 +141,45 @@ object StreamingQueries {
       }
       q.stop()
       s.table(qn).filter(col("user_id") >= 0).orderBy("user_id", "s_start")
+    }),
+
+    // STREAMING quantile monitoring: the native KLL sketch aggregate
+    // (functions/KllSketch.scala) running INSIDE Structured Streaming
+    // state — per (event_type, day) windowed quantiles, append-emitted
+    // on watermark passage, hash-matched to the exact batch ranks.
+    // Same sentinel-flush pattern as stream_sessionize; k exceeds any
+    // window's row count, so the sketch is in exact mode and the
+    // oracle is plain row_number arithmetic.
+    "stream_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array, call_function, posexplode, window}
+      val srcDir = Files.createTempDirectory("graft-squant-src").toString
+      val ev0 = events(s, dir).select(col("event_type"), col("ts"), col("value"))
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      val qn = "graft_squant_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(ev0.schema).parquet(srcDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(col("event_type"), window(col("ts"), "1 day"))
+        .agg(call_function("graft_kll_quantiles", col("value"),
+          array(lit(0.5), lit(0.75)), lit(32768)).as("qv"))
+        .select(col("event_type"), col("window.start").as("wstart"), col("qv"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-squant-cp").toString)
+        .start()
+      q.processAllAvailable()
+      import s.implicits._
+      for (year <- Seq("2030", "2031")) { // advance watermark, then flush
+        Seq(("__sentinel__", java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00"), 0.0))
+          .toDF("event_type", "ts", "value")
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(qn).filter(col("event_type") =!= "__sentinel__")
+        .select(col("event_type"), col("wstart"),
+          posexplode(col("qv")).as(Seq("qi", "qv")))
+        .orderBy("event_type", "wstart", "qi")
     })
   )
 
@@ -176,6 +215,20 @@ object StreamingQueries {
         |  FROM g)
         |SELECT user_id, min(ts) AS s_start, count(*) AS n,
         |  round(sum(value), 4) AS sum_v
-        |FROM s GROUP BY user_id, session ORDER BY user_id, s_start""")
+        |FROM s GROUP BY user_id, session ORDER BY user_id, s_start"""),
+    // exact-mode sketch in streaming state == batch rank quantiles per
+    // (event_type, UTC day window)
+    "stream_quantiles" -> w(
+      """WITH ranked AS (
+        |  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS wstart,
+        |    value AS v,
+        |    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+        |      ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)) AS n
+        |  FROM events),
+        |qs AS (SELECT * FROM (VALUES (0, 0.5), (1, 0.75)) AS t(qi, q))
+        |SELECT event_type, wstart, qi, v AS qv
+        |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY event_type, wstart, qi""")
   )
 }
