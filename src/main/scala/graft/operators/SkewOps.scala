@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed shuffle joins — the manual fallback when a
+  * hot key concentrates a join's work on one task and AQE's skew-join
+  * split can't help (AQE only splits SORT-MERGE partitions; a hot key
+  * inside an aggregation-fed join, or a deployment with AQE off, still
+  * needs salting).
+  *
+  * Shape: the probe (big, skewed) side appends a salt drawn
+  * deterministically from a row hash, `salts` values; the build side is
+  * replicated `salts` times with every salt value. The join key becomes
+  * (key, salt), so the hot key's rows spread over `salts` tasks while
+  * each still finds its full build-side match set. Build-side cost:
+  * `salts×` replication — use for moderate fan-out (8–64) on a side
+  * that is much smaller than the probe side but too big to broadcast.
+  *
+  * Row-hash salting keeps results EXACTLY equal to the plain join for
+  * equi-join semantics (inner/left) because every probe row still meets
+  * every matching build row exactly once — pinned by the gate, which
+  * hash-compares a salted star join to the plain-SQL oracle.
+  */
+object SkewOps {
+
+  /** Inner/left equi-join with a salted key. `probe` is the big skewed
+    * side; `build` is replicated `salts` times.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: Column,
+                 buildKey: Column, salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    // deterministic per-row salt: spread by a hash of the whole probe
+    // row (NOT the join key — the hot key must fan out, so its salt has
+    // to vary across its rows)
+    val salted = probe.withColumn("_salt",
+      pmod(hash(probe.columns.map(col): _*), lit(salts)))
+    val replicated = build
+      .withColumn("_salt", explode(lit((0 until salts).toArray)))
+    salted.join(replicated,
+        probeKey === buildKey && salted("_salt") === replicated("_salt"),
+        joinType)
+      .drop(salted("_salt")).drop(replicated("_salt"))
+  }
+}

@@ -32,6 +32,19 @@ object RelQueries {
           count(lit(1)).as("n_items"))
         .orderBy("n_name")),
 
+    // Salted skew join: the same lineitem ⋈ orders revenue rollup,
+    // routed through SkewOps.saltedJoin (8-way fan-out) — results must
+    // be EXACTLY the plain join's, which is what the plain-SQL oracle
+    // pins. The salting mechanics (hot-key spread) are spec-asserted.
+    "salted_join" -> ((s, dir) =>
+      graft.operators.SkewOps.saltedJoin(
+        lineitem(s, dir), orders(s, dir),
+        col("l_orderkey"), col("o_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
+
     // union(): schema-merged bag union (missing columns null-filled).
     "union_merge" -> ((s, dir) => {
       val clicks = ev(s, dir).where(col("event_type") === "click").keep("event_id", "value", "event_type")
@@ -127,6 +140,13 @@ object RelQueries {
   private def w(s: String) = s.stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the salted join must be indistinguishable from the plain join
+    "salted_join" -> w(
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1"""),
     "join_revenue" -> w(
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
