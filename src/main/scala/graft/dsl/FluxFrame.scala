@@ -538,6 +538,21 @@ final case class FluxFrame(
     copy(df = df.withColumn(as, dt).filter(col(as).isNotNull))
   }
 
+  /** `events.duration(unit:, stopColumn/stop:)` (InfluxDB contrib
+    * events package): Δt to the NEXT row per series — how long the
+    * state that this row began stayed current. The final row of each
+    * series, having no successor, closes at `stop` (the query range
+    * end; the contrib default of now() is caller-supplied here for
+    * determinism). Same one-shuffle window algebra as elapsed, lead
+    * instead of lag.
+    */
+  def eventDuration(stop: Column, unitSeconds: Double = 1.0,
+                    as: String = "duration"): FluxFrame = {
+    val nxt = lead(col(timeCol).cast("double"), 1).over(w)
+    val dur = (coalesce(nxt, stop.cast("double")) - col(timeCol).cast("double")) / lit(unitSeconds)
+    copy(df = df.withColumn(as, dur))
+  }
+
   /** Flux `stateCount(fn:)` — 1-based running count while predicate
     * holds, -1 otherwise. Reset-group trick: cumsum of !pred makes a
     * stable id per true-run (SURVEY.md §2B; pure window algebra).

@@ -131,6 +131,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllMergeQuantiles(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "graft_bitmap_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_bitmap_distinct(key) takes one argument")
+        BitmapDistinct(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.LongType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

@@ -244,6 +244,18 @@ object CoreQueries {
         .orderBy("event_type", "qi")
     }),
 
+    // Exact mergeable distinct via paged bitmap (native aggregate,
+    // functions/BitmapDistinct.scala): bits ship across the shuffle,
+    // not keys — and exactness means the count(DISTINCT) oracle pins
+    // it directly.
+    "bitmap_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.call_function
+      ev(s, dir)
+        .group("event_type")
+        .agg(call_function("graft_bitmap_distinct", col("user_id")).as("nd"))
+        .orderBy("event_type")
+    }),
+
     // Persisted-sketch monitoring loop: per-(event_type, ingest shard)
     // KLL sketches are written to parquet as a binary column, read
     // back, and MERGED per event_type to answer quantiles — no rescan
@@ -371,6 +383,8 @@ object CoreQueries {
         |SELECT event_type, qi, v AS qv
         |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
         |ORDER BY event_type, qi""".stripMargin,
+    "bitmap_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1 ORDER BY 1",
     // Persisted shards merge back to the whole-table exact quantiles —
     // the oracle is the direct computation the merge must equal.
     "kll_merge_shards" ->

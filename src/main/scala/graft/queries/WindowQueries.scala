@@ -213,6 +213,15 @@ object WindowQueries {
         .toDF.select(col("event_type"), col("ts_us").as("tus"), r4(col("rsi")).as("rsi"))
         .orderBy("event_type", "tus")),
 
+    // events.duration(): forward Δt per series, final row closed at
+    // the range stop (2024-02-01) — µs-long axis keeps it integer-exact.
+    "events_duration" -> ((s, dir) =>
+      evUs(s, dir)
+        .eventDuration(lit(1706745600L * 1000000L), as = "dur")
+        .toDF.select(col("event_type"), col("ts_us").as("tus"),
+          col("dur").cast("long").as("dur_us"))
+        .orderBy("event_type", "tus")),
+
     // Gap-based sessionization: 6h inactivity splits a user's stream
     // into sessions; per-session count / µs duration / value sum. The
     // µs-long axis keeps gap comparison and duration arithmetic integer
@@ -448,6 +457,13 @@ object WindowQueries {
         |SELECT event_type, tus,
         |  round(CASE WHEN al = 0 THEN 100 ELSE 100 - 100 / (1 + ag / al) END, 4) AS rsi
         |FROM e ORDER BY 1, 2"""),
+    // forward delta via lead; the series' last row closes at the stop
+    "events_duration" -> w(
+      """SELECT event_type, epoch_us(ts) AS tus,
+        |  CAST(coalesce(lead(epoch_us(ts)) OVER w, 1706745600000000)
+        |    - epoch_us(ts) AS BIGINT) AS dur_us
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts))
+        |ORDER BY event_type, tus"""),
     // sessions split where the µs gap exceeds 6h; session = running
     // count of splits, 1-based like the engine verb
     "sessionize" -> w(
