@@ -203,6 +203,22 @@ final case class FluxFrame(
     FluxFrame(staged, groupKey, timeCol, "_area").agg1(sum(col("_area")), as)
   }
 
+  /** Flux `timeWeightedAvg(unit:)` — the trapezoid integral divided by
+    * the group's elapsed time, both in `unit`: the average that
+    * irregular sampling can't bias. Same single-window + single-agg
+    * shape as integral (the unit cancels; kept for expression parity
+    * with the Flux signature).
+    */
+  def timeWeightedAvg(unitSeconds: Double, as: String = "_value"): FluxFrame = {
+    val tSec = col(timeCol).cast("double")
+    val prevT = lag(tSec, 1).over(w)
+    val prevV = lag(col(valueCol), 1).over(w)
+    val area = (col(valueCol) + prevV) / 2 * (tSec - prevT) / lit(unitSeconds)
+    val staged = df.withColumn("_area", area).withColumn("_tsec", tSec)
+    FluxFrame(staged, groupKey, timeCol, "_area").agg1(
+      sum(col("_area")) / ((max(col("_tsec")) - min(col("_tsec"))) / lit(unitSeconds)), as)
+  }
+
   /** Flux `covariance(columns:)` / `pearsonr()`. */
   def covariance(x: String, y: String, as: String = "_value"): FluxFrame = agg1(covar_samp(col(x), col(y)), as)
   def pearsonr(x: String, y: String, as: String = "_value"): FluxFrame = agg1(corr(col(x), col(y)), as)

@@ -248,6 +248,8 @@ object FluxEval {
       }
       f.quantile(num(call.args, "q"), exact = exact)
     case "integral" => f.integral(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
+    case "timeWeightedAvg" =>
+      f.timeWeightedAvg(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

@@ -244,6 +244,14 @@ object CoreQueries {
         .orderBy("event_type", "qi")
     }),
 
+    // timeWeightedAvg(unit: 1h): trapezoid integral over elapsed time —
+    // the irregular-sampling-proof average (same op order as the SQL
+    // replay so round(4) is stable).
+    "time_weighted_avg" -> ((s, dir) =>
+      ev(s, dir).timeWeightedAvg(3600, as = "twa").toDF
+        .select(col("event_type"), r4(col("twa")).as("twa"))
+        .orderBy("event_type")),
+
     // Exact mergeable distinct via paged bitmap (native aggregate,
     // functions/BitmapDistinct.scala): bits ship across the shuffle,
     // not keys — and exactness means the count(DISTINCT) oracle pins
@@ -385,6 +393,15 @@ object CoreQueries {
         |ORDER BY event_type, qi""".stripMargin,
     "bitmap_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1 ORDER BY 1",
+    // mirrors the engine's op order exactly: tsec = µs/1e6 first, then
+    // deltas — keeps ulp drift inside round(4)
+    "time_weighted_avg" ->
+      """WITH t AS (SELECT event_type, value, epoch_us(ts)/1000000.0 AS tsec FROM events),
+        |a AS (SELECT event_type, tsec,
+        |    (value + lag(value) OVER w)/2 * (tsec - lag(tsec) OVER w)/3600 AS area
+        |  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY tsec))
+        |SELECT event_type, round(sum(area) / ((max(tsec)-min(tsec))/3600), 4) AS twa
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     // Persisted shards merge back to the whole-table exact quantiles —
     // the oracle is the direct computation the merge must equal.
     "kll_merge_shards" ->

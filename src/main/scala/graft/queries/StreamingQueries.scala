@@ -180,6 +180,42 @@ object StreamingQueries {
         .select(col("event_type"), col("wstart"),
           posexplode(col("qv")).as(Seq("qi", "qv")))
         .orderBy("event_type", "wstart", "qi")
+    }),
+
+    // STREAMING heavy hitters: the SpaceSaving sketch in streaming
+    // state — top-5 users per UTC day, exact mode (capacity over
+    // cardinality), sentinel-flushed, hash-matched to batch ranks.
+    "stream_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{call_function, posexplode, window}
+      val srcDir = Files.createTempDirectory("graft-stopk-src").toString
+      val ev0 = events(s, dir).select(col("user_id"), col("ts"))
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      val qn = "graft_stopk_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(ev0.schema).parquet(srcDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(call_function("graft_topk", col("user_id"), lit(5), lit(1024)).as("tk"))
+        .select(col("window.start").as("wstart"), col("tk"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-stopk-cp").toString)
+        .start()
+      q.processAllAvailable()
+      import s.implicits._
+      for (year <- Seq("2030", "2031")) {
+        Seq((-1L, java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")))
+          .toDF("user_id", "ts")
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(qn)
+        .filter(col("wstart") < java.sql.Timestamp.valueOf("2029-01-01 00:00:00"))
+        .select(col("wstart"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("wstart"), col("pos"),
+          col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy("wstart", "pos")
     })
   )
 
@@ -229,6 +265,16 @@ object StreamingQueries {
         |qs AS (SELECT * FROM (VALUES (0, 0.5), (1, 0.75)) AS t(qi, q))
         |SELECT event_type, wstart, qi, v AS qv
         |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
-        |ORDER BY event_type, wstart, qi""")
+        |ORDER BY event_type, wstart, qi"""),
+    // exact-mode SpaceSaving in streaming state == batch per-day top-5
+    "stream_topk" -> w(
+      """WITH c AS (SELECT time_bucket(INTERVAL '1 day', ts) AS wstart,
+        |    user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT wstart, user_id, n,
+        |    row_number() OVER (PARTITION BY wstart
+        |      ORDER BY n DESC, CAST(user_id AS VARCHAR)) AS rn FROM c)
+        |SELECT wstart, CAST(rn - 1 AS INTEGER) AS pos,
+        |  CAST(user_id AS VARCHAR) AS item, n AS cnt
+        |FROM r WHERE rn <= 5 ORDER BY wstart, pos""")
   )
 }

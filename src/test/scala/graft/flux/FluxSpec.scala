@@ -527,6 +527,18 @@ class FluxSpec extends SparkSpec {
     assert(row.getDouble(1) == 1.0) // the first cpu row's value
   }
 
+  test("timeWeightedAvg text form equals the DSL verb") {
+    val viaText = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        ||> timeWeightedAvg(unit: 1m)""".stripMargin, source)
+      .select("_value").collect().head.getDouble(0)
+    val viaDsl = eventsFrame.where(col("measurement") === "cpu")
+      .timeWeightedAvg(60, as = "twa").toDF
+      .select("twa").collect().head.getDouble(0)
+    assert(viaText == viaDsl)
+  }
+
   test("quantile method: estimate_tdigest routes to the KLL sketch") {
     // small group + k=1024 ⇒ sketch is in exact mode: the estimate is
     // the ceil(q·n)-th smallest (disc), unlike exact_mean's interpolation

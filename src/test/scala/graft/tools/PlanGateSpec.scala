@@ -61,6 +61,31 @@ class PlanGateSpec extends SparkSpec {
 
   // ---- the gate itself ----
 
+  test("sketch aggregates plan two-phase (map-side partial + final merge)") {
+    // the entire point of the mergeable sketches is that partials
+    // combine BEFORE the shuffle: the physical plan must carry two
+    // ObjectHashAggregate nodes (partial, final) — a single complete-
+    // mode aggregate would ship raw rows and regress to a global sort
+    // at scale
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 10000, 1, 8)
+      .select((col("id") % 7).as("g"), col("id").cast("double").as("v"))
+    for ((name, agg) <- Seq(
+      "graft_kll_quantiles" ->
+        call_function("graft_kll_quantiles", col("v"), array(lit(0.5)), lit(256)),
+      "graft_topk" -> call_function("graft_topk", col("v"), lit(3), lit(64)),
+      "graft_bitmap_distinct" ->
+        call_function("graft_bitmap_distinct", col("id")))) {
+      val base = if (name == "graft_bitmap_distinct")
+        spark.range(0, 10000, 1, 8).select((col("id") % 7).as("g"), col("id"))
+      else df
+      val plan = base.groupBy("g").agg(agg.as("a"))
+        .queryExecution.executedPlan.toString
+      val n = "ObjectHashAggregate".r.findAllIn(plan).size
+      assert(n >= 2, s"$name planned $n ObjectHashAggregate nodes:\n$plan")
+    }
+  }
+
   test("no driver-side collect outside the audited allowlist") {
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     assert(java.nio.file.Files.isDirectory(root), s"spec must run from the repo root")
