@@ -52,6 +52,33 @@ final class BitmapState {
   }
 }
 
+private[functions] object BitmapWire {
+  def write(st: BitmapState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + st.pages.size * (8 + 8192))
+    bb.putInt(st.pages.size)
+    st.pages.foreach { case (idx, words) =>
+      bb.putLong(idx)
+      words.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+  def read(bytes: Array[Byte]): BitmapState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val st = new BitmapState
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val idx = bb.getLong
+      val words = new Array[Long](1024)
+      var j = 0
+      while (j < 1024) { words(j) = bb.getLong; j += 1 }
+      st.pages.update(idx, words)
+      i += 1
+    }
+    st
+  }
+}
+
 /** `graft_bitmap_distinct(key)` — see [[BitmapState]]. */
 case class BitmapDistinct(
     child: Expression,
@@ -82,31 +109,8 @@ case class BitmapDistinct(
 
   override def eval(buffer: BitmapState): Any = buffer.cardinality
 
-  override def serialize(buffer: BitmapState): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buffer.pages.size * (8 + 8192))
-    bb.putInt(buffer.pages.size)
-    buffer.pages.foreach { case (idx, words) =>
-      bb.putLong(idx)
-      words.foreach(bb.putLong)
-    }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): BitmapState = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val st = new BitmapState
-    val n = bb.getInt
-    var i = 0
-    while (i < n) {
-      val idx = bb.getLong
-      val words = new Array[Long](1024)
-      var j = 0
-      while (j < 1024) { words(j) = bb.getLong; j += 1 }
-      st.pages.update(idx, words)
-      i += 1
-    }
-    st
-  }
+  override def serialize(buffer: BitmapState): Array[Byte] = BitmapWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): BitmapState = BitmapWire.read(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(mutableAggBufferOffset = newOffset)
@@ -115,4 +119,82 @@ case class BitmapDistinct(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BitmapDistinct =
     copy(child = newChildren(0))
+}
+
+/** `graft_bitmap_bytes(key)` → binary: the serialized bitmap, for
+  * persistence and set algebra across slices (see [[BitmapAndCount]]).
+  */
+case class BitmapBytes(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapState] {
+
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == LongType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_bitmap_bytes"
+
+  override def createAggregationBuffer(): BitmapState = new BitmapState
+  override def update(buffer: BitmapState, input: InternalRow): BitmapState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+  override def merge(buffer: BitmapState, input: BitmapState): BitmapState = {
+    buffer.merge(input)
+    buffer
+  }
+  override def eval(buffer: BitmapState): Any = BitmapWire.write(buffer)
+  override def serialize(buffer: BitmapState): Array[Byte] = BitmapWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): BitmapState = BitmapWire.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapBytes =
+    copy(child = newChildren(0))
+}
+
+/** `graft_bitmap_and_count(a, b)` → bigint: cardinality of the
+  * intersection of two serialized bitmaps — audience overlap ("users
+  * who did BOTH") as pure page-wise AND over KB-sized binaries, no
+  * re-touch of the raw rows. Scalar expression over tiny inputs;
+  * interpreted eval is fine off the hot path (CodegenFallback).
+  */
+case class BitmapAndCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override lazy val resolved: Boolean = childrenResolved &&
+    left.dataType == org.apache.spark.sql.types.BinaryType &&
+    right.dataType == org.apache.spark.sql.types.BinaryType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_and_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = BitmapWire.read(a.asInstanceOf[Array[Byte]])
+    val y = BitmapWire.read(b.asInstanceOf[Array[Byte]])
+    var n = 0L
+    x.pages.foreach { case (idx, words) =>
+      y.pages.get(idx).foreach { other =>
+        var i = 0
+        while (i < 1024) {
+          n += java.lang.Long.bitCount(words(i) & other(i)); i += 1
+        }
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCount =
+    copy(left = newLeft, right = newRight)
 }

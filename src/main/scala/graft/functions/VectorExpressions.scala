@@ -141,6 +141,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             args.head, org.apache.spark.sql.types.LongType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_bytes"),
+      new ExpressionInfo(classOf[BitmapBytes].getName, "graft_bitmap_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_bitmap_bytes(key) takes one argument")
+        BitmapBytes(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.LongType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "graft_bitmap_and_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_bitmap_and_count(a, b) takes two arguments")
+        BitmapAndCount(args.head, args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

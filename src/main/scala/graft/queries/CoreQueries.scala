@@ -264,6 +264,23 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // Bitmap set algebra: audience overlap between event types as
+    // page-wise AND of per-type bitmaps — the distinct sets are built
+    // ONCE, every pairwise overlap is then KB-sized bit math (the
+    // oracle has to re-join the raw rows per pair).
+    "bitmap_intersect" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, call_function}
+      val sk = ev(s, dir)
+        .group("event_type")
+        .agg(call_function("graft_bitmap_bytes", col("user_id")).as("bm"))
+      val a = sk.select(col("event_type").as("et_a"), col("bm").as("bm_a"))
+      val b = sk.select(col("event_type").as("et_b"), col("bm").as("bm_b"))
+      a.join(broadcast(b), col("et_a") < col("et_b"))
+        .select(col("et_a"), col("et_b"),
+          call_function("graft_bitmap_and_count", col("bm_a"), col("bm_b")).as("both"))
+        .orderBy("et_a", "et_b")
+    }),
+
     // Persisted-sketch monitoring loop: per-(event_type, ingest shard)
     // KLL sketches are written to parquet as a binary column, read
     // back, and MERGED per event_type to answer quantiles — no rescan
@@ -393,6 +410,12 @@ object CoreQueries {
         |ORDER BY event_type, qi""".stripMargin,
     "bitmap_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1 ORDER BY 1",
+    // pairwise overlap replayed on raw rows
+    "bitmap_intersect" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS et_a, b.event_type AS et_b, count(*) AS both
+        |FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // mirrors the engine's op order exactly: tsec = µs/1e6 first, then
     // deltas — keeps ulp drift inside round(4)
     "time_weighted_avg" ->

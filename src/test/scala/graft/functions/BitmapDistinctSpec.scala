@@ -42,6 +42,20 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(back.cardinality == 4)
   }
 
+  test("bitmap bytes round-trip and AND-count equals set intersection") {
+    val a = (1 to 300).map(i => (i * 7 % 211).toLong)
+    val b = (1 to 300).map(i => (i * 13 % 307).toLong)
+    val expect = (a.toSet & b.toSet).size.toLong
+    val abm = a.toDF("id").agg(call_function("graft_bitmap_bytes", col("id")))
+      .head.getAs[Array[Byte]](0)
+    val bbm = b.toDF("id").agg(call_function("graft_bitmap_bytes", col("id")))
+      .head.getAs[Array[Byte]](0)
+    val got = Seq((abm, bbm)).toDF("x", "y")
+      .select(call_function("graft_bitmap_and_count", col("x"), col("y")))
+      .head.getLong(0)
+    assert(got == expect)
+  }
+
   test("negative keys raise the domain contract error") {
     val e = intercept[Exception] {
       Seq(-1L).toDF("id")
