@@ -90,6 +90,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in count(DISTINCT id) → bitmap rewrite; no-op unless
+    // spark.graft.rewrite.bitmapDistinct=true (see RewriteRules.scala)
+    ext.injectOptimizerRule(session => BitmapDistinctRewrite(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
