@@ -162,6 +162,47 @@ case class BitmapBytes(
     copy(child = newChildren(0))
 }
 
+/** `graft_bitmap_merge_count(bitmap)` → bigint: OR-merge serialized
+  * bitmaps and count — rolling / sliced distinct (DAU→WAU→MAU) from
+  * persisted per-slice bitmaps without rescanning raw rows.
+  */
+case class BitmapMergeCount(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BitmapState] {
+
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == org.apache.spark.sql.types.BinaryType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_merge_count"
+
+  override def createAggregationBuffer(): BitmapState = new BitmapState
+  override def update(buffer: BitmapState, input: InternalRow): BitmapState = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(BitmapWire.read(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+  override def merge(buffer: BitmapState, input: BitmapState): BitmapState = {
+    buffer.merge(input)
+    buffer
+  }
+  override def eval(buffer: BitmapState): Any = buffer.cardinality
+  override def serialize(buffer: BitmapState): Array[Byte] = BitmapWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): BitmapState = BitmapWire.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMergeCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapMergeCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapMergeCount =
+    copy(child = newChildren(0))
+}
+
 /** `graft_bitmap_and_count(a, b)` → bigint: cardinality of the
   * intersection of two serialized bitmaps — audience overlap ("users
   * who did BOTH") as pure page-wise AND over KB-sized binaries, no

@@ -153,6 +153,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             args.head, org.apache.spark.sql.types.LongType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bitmap_merge_count"),
+      new ExpressionInfo(classOf[BitmapMergeCount].getName, "graft_bitmap_merge_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_bitmap_merge_count(bitmap) takes one argument")
+        BitmapMergeCount(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bitmap_and_count"),
       new ExpressionInfo(classOf[BitmapAndCount].getName, "graft_bitmap_and_count"),
       (args: Seq[Expression]) => {

@@ -281,6 +281,26 @@ object CoreQueries {
         .orderBy("et_a", "et_b")
     }),
 
+    // Rolling distinct from bitmap snapshots: build ONE bitmap per day
+    // (a single pass over events), then DAU = popcount and WAU =
+    // 7-day OR-merge of the daily snapshots — the engagement metrics
+    // a 100 TB event log answers from KB-sized daily bitmaps instead
+    // of rescanning a week of raw rows per day.
+    "rolling_wau" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, call_function, date_trunc}
+      val daily = events(s, dir)
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(call_function("graft_bitmap_bytes", col("user_id")).as("bm"))
+      val dau = daily.select(col("day"),
+        call_function("graft_bitmap_and_count", col("bm"), col("bm")).as("dau"))
+      val wau = daily.select(col("day").as("wday"), col("bm"))
+        .join(broadcast(daily.select(col("day"))),
+          col("wday").between(col("day") - expr("INTERVAL '6' DAY"), col("day")))
+        .groupBy("day")
+        .agg(call_function("graft_bitmap_merge_count", col("bm")).as("wau"))
+      dau.join(wau, "day").orderBy("day")
+    }),
+
     // Persisted-sketch monitoring loop: per-(event_type, ingest shard)
     // KLL sketches are written to parquet as a binary column, read
     // back, and MERGED per event_type to answer quantiles — no rescan
@@ -410,6 +430,19 @@ object CoreQueries {
         |ORDER BY event_type, qi""".stripMargin,
     "bitmap_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1 ORDER BY 1",
+    // DAU/WAU replayed on raw rows (the work the snapshots avoid)
+    "rolling_wau" ->
+      """WITH days AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day FROM events),
+        |dau AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+        |    count(DISTINCT user_id) AS dau FROM events GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT e.user_id) AS wau
+        |  FROM days d JOIN events e
+        |    ON time_bucket(INTERVAL '1 day', e.ts)
+        |       BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |  GROUP BY 1)
+        |SELECT d.day, dau.dau, wau.wau
+        |FROM days d JOIN dau ON d.day = dau.day JOIN wau ON d.day = wau.day
+        |ORDER BY d.day""".stripMargin,
     // pairwise overlap replayed on raw rows
     "bitmap_intersect" ->
       """WITH s AS (SELECT DISTINCT event_type, user_id FROM events)
