@@ -250,6 +250,9 @@ object FluxEval {
     case "integral" => f.integral(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
     case "timeWeightedAvg" =>
       f.timeWeightedAvg(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
+    // engine extension (not InfluxDB core): gap-based session index
+    case "sessionize" =>
+      f.sessionize(durSeconds(call.args.getOrElse("maxGap", VDur(30, "m"))))
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

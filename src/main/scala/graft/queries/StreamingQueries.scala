@@ -182,6 +182,42 @@ object StreamingQueries {
         .orderBy("event_type", "wstart", "qi")
     }),
 
+    // STREAMING sketch store: foreachBatch appends one KLL sketch row
+    // per (event_type, micro-batch) to a parquet metrics store — the
+    // continuously-maintained profile a 100 TB ingest keeps — and the
+    // final quantile query MERGES the store instead of rescanning
+    // events. maxFilesPerTrigger=1 forces multiple batches, so the
+    // store genuinely accumulates increments; exact mode makes the
+    // merged answer equal the direct whole-table ranks.
+    "stream_kll_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array, call_function, posexplode}
+      val srcDir = Files.createTempDirectory("graft-kstore-src").toString
+      val storeDir = Files.createTempDirectory("graft-kstore-out").toString
+      val ev0 = events(s, dir).select(col("event_type"), col("value"))
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      val q = s.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy("event_type")
+            .agg(call_function("graft_kll_sketch", col("value"), lit(32768)).as("sk"))
+            .write.mode("append").parquet(storeDir)
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-kstore-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+
+      s.read.parquet(storeDir)
+        .groupBy("event_type")
+        .agg(call_function("graft_kll_merge", col("sk"),
+          array(lit(0.5), lit(0.875))).as("qv"))
+        .select(col("event_type"), posexplode(col("qv")).as(Seq("qi", "qv")))
+        .orderBy("event_type", "qi")
+    }),
+
     // STREAMING heavy hitters: the SpaceSaving sketch in streaming
     // state — top-5 users per UTC day, exact mode (capacity over
     // cardinality), sentinel-flushed, hash-matched to batch ranks.
@@ -266,6 +302,17 @@ object StreamingQueries {
         |SELECT event_type, wstart, qi, v AS qv
         |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
         |ORDER BY event_type, wstart, qi"""),
+    // merged per-batch sketches == direct whole-table ranks
+    "stream_kll_store" -> w(
+      """WITH ranked AS (
+        |  SELECT event_type, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT * FROM (VALUES (0, 0.5), (1, 0.875)) AS t(qi, q))
+        |SELECT event_type, qi, v AS qv
+        |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |ORDER BY event_type, qi"""),
     // exact-mode SpaceSaving in streaming state == batch per-day top-5
     "stream_topk" -> w(
       """WITH c AS (SELECT time_bucket(INTERVAL '1 day', ts) AS wstart,

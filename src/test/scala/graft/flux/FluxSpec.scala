@@ -527,6 +527,16 @@ class FluxSpec extends SparkSpec {
     assert(row.getDouble(1) == 1.0) // the first cpu row's value
   }
 
+  test("sessionize text form assigns per-series gap sessions") {
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "cpu" and r.host == "h1")
+        ||> sessionize(maxGap: 1h)""".stripMargin, source)
+    // h1 cpu at 00:10, 00:20 (same session), next day (new session)
+    val sess = out.orderBy("_time").select("session").collect().map(_.getLong(0)).toSeq
+    assert(sess == Seq(1L, 1L, 2L))
+  }
+
   test("timeWeightedAvg text form equals the DSL verb") {
     val viaText = FluxEval.run(
       """from(bucket: "b")
