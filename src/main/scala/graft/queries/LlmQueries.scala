@@ -364,6 +364,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Filtered vector search: metadata predicate (label = 1) prunes the
+    // corpus BEFORE similarity ranking — the filter-then-rank serving
+    // shape (attribute filters push to the scan; only survivors are
+    // scored). Composes existing pieces: relational filter + broadcast
+    // query × candidate cosine top-k.
+    "ann_filtered" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val lbl = embeddings(s, dir).select(col("vec_id").as("id"), col("label"))
+      val corpus = e.join(lbl, "id").filter(col("label") === 1).select("id", "v")
+      VectorOps.bruteForceTopK(corpus, e.filter(col("id") < 5), 3)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // IVF top-3 (8 seed centroids, nprobe 2) — the bucketed scale path;
     // oracle replicates the same assignment + probing.
     "ann_ivf" -> ((s, dir) => {
@@ -1283,6 +1297,17 @@ object LlmQueries {
          |scored AS (
          |  SELECT q.id AS qid, c.id AS nbr, ${cos("q.v", "c.v")} AS cos
          |  FROM q JOIN e c ON c.id <> q.id),
+         |r AS (SELECT qid, nbr, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // ann_filtered: the label predicate applies to candidates only
+    // (queries are unfiltered by construction)
+    "ann_filtered" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |q AS (SELECT * FROM e WHERE id < 5),
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nbr, ${cos("q.v", "c.v")} AS cos
+         |  FROM q JOIN e c ON c.id <> q.id AND c.label = 1),
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
