@@ -93,6 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in count(DISTINCT id) → bitmap rewrite; no-op unless
     // spark.graft.rewrite.bitmapDistinct=true (see RewriteRules.scala)
     ext.injectOptimizerRule(session => BitmapDistinctRewrite(session))
+    // custom per-group top-k physical operator (plans/TopKPerGroup.scala)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

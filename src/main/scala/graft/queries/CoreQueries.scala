@@ -281,6 +281,18 @@ object CoreQueries {
         .orderBy("et_a", "et_b")
     }),
 
+    // Custom physical top-k operator (plans/TopKPerGroup.scala):
+    // bounded per-group heaps instead of WindowExec's full partition
+    // sort — O(n log k) and O(groups·k) memory after the same single
+    // shuffle. Gate pins exact equality (incl. tie order) with the
+    // rank oracle.
+    "topk_native" -> ((s, dir) =>
+      graft.plans.TopKPerGroup(
+        events(s, dir).select("event_type", "event_id", "value"),
+        Seq("event_type"), "value", "event_id", 3)
+        .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+        .orderBy("event_type", "rank")),
+
     // Rolling distinct from bitmap snapshots: build ONE bitmap per day
     // (a single pass over events), then DAU = popcount and WAU =
     // 7-day OR-merge of the daily snapshots — the engagement metrics
@@ -430,6 +442,12 @@ object CoreQueries {
         |ORDER BY event_type, qi""".stripMargin,
     "bitmap_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS nd FROM events GROUP BY 1 ORDER BY 1",
+    "topk_native" ->
+      """SELECT event_type, CAST(r AS INTEGER) AS rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS r
+        |  FROM events) WHERE r <= 3 ORDER BY event_type, rank""".stripMargin,
     // DAU/WAU replayed on raw rows (the work the snapshots avoid)
     "rolling_wau" ->
       """WITH days AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day FROM events),

@@ -50,6 +50,29 @@ object QuantBench {
       try big.groupBy("g").agg(count_distinct(col("id"))).foreach(_ => ())
       finally spark.conf.unset("spark.graft.rewrite.bitmapDistinct")
     }
+
+    // top-3 per group: WindowExec full sort vs the custom bounded-heap
+    // operator, in two regimes — many tiny groups (sort is cheap-ish,
+    // overhead-bound) and few huge groups (sort dominates, the
+    // operator's target case)
+    for ((label, groups) <- Seq("1M groups" -> 1000000L, "1k groups" -> 1000L)) {
+      val tk = spark.range(0, 40000000L, 1, 32)
+        .select((col("id") % groups).as("g"),
+          ((col("id") * 2654435761L) % 1000003L).cast("double").as("v"),
+          col("id"))
+        .cache()
+      tk.count()
+      time(s"top-3 window [$label]") {
+        import org.apache.spark.sql.expressions.Window
+        tk.withColumn("rank", row_number().over(
+            Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)))
+          .filter(col("rank") <= 3).foreach(_ => ())
+      }
+      time(s"top-3 native [$label]") {
+        graft.plans.TopKPerGroup(tk, Seq("g"), "v", "id", 3).foreach(_ => ())
+      }
+      tk.unpersist()
+    }
     spark.stop()
   }
 }
