@@ -368,11 +368,28 @@ final case class FluxFrame(
   /** Flux `tail(n:)` — last n rows per group by time. */
   def tail(n: Int): FluxFrame = perGroupRank(col(timeCol).desc, n, 0)
 
-  /** Flux `top(n:)` / `bottom(n:)` — n largest/smallest by value per group. */
+  /** Flux `top(n:)` / `bottom(n:)` — n largest/smallest by value per
+    * group. Runs on the engine's own [[graft.plans.TopKPerGroup]]
+    * physical operator (bounded per-group heaps — no partition sort,
+    * no spill surface), with the µs time as the tie-break so results
+    * are bit-identical to the historical row_number formulation.
+    */
   def top(n: Int, by: String = ""): FluxFrame =
-    perGroupRank(col(if (by.isEmpty) valueCol else by).desc, n, 0)
+    topKNative(if (by.isEmpty) valueCol else by, n, desc = true)
   def bottom(n: Int, by: String = ""): FluxFrame =
-    perGroupRank(col(if (by.isEmpty) valueCol else by).asc, n, 0)
+    topKNative(if (by.isEmpty) valueCol else by, n, desc = false)
+
+  private def topKNative(orderCol: String, n: Int, desc: Boolean): FluxFrame = {
+    val tie = df.schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(timeCol)
+      case _ => unix_micros(col(timeCol).cast("timestamp"))
+    }
+    val out = graft.plans.TopKPerGroup(
+        df.withColumn("_tie", tie), groupKey, orderCol, "_tie", n,
+        desc = desc, rankName = "_graft_rank")
+      .drop("_tie", "_graft_rank")
+    copy(df = out)
+  }
 
   private def perGroupRank(order: Column, n: Int, offset: Int): FluxFrame = {
     // Tie-break on time then all key cols for determinism under shuffle.
