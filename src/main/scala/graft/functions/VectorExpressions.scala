@@ -171,6 +171,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapAndCount(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hll_count"),
+      new ExpressionInfo(classOf[HllCount].getName, "graft_hll_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hll_count(key, p) takes two arguments")
+        HllCount(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_bytes"),
+      new ExpressionInfo(classOf[HllBytes].getName, "graft_hll_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hll_bytes(key, p) takes two arguments")
+        HllBytes(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_merge_count"),
+      new ExpressionInfo(classOf[HllMergeCount].getName, "graft_hll_merge_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_hll_merge_count(sketch) takes one argument")
+        HllMergeCount(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

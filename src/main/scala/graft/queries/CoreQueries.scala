@@ -351,6 +351,39 @@ object CoreQueries {
         .select(col("event_type"), col("pos"),
           col("e.item").as("item"), col("e.cnt").as("cnt"))
         .orderBy("event_type", "pos")
+    }),
+
+    // HyperLogLog approximate distinct (native aggregate,
+    // functions/HllSketch.scala): fixed 4 KiB of registers per group
+    // vs the bitmap family's integer-key requirement — the sketch for
+    // high-cardinality STRING keys at 100 TB. The md5-derived hash
+    // makes every register value — and the estimator's float
+    // arithmetic — exactly replayable in the oracle; exact
+    // count(DISTINCT) rides along to document the observed error.
+    "hll_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{call_function, countDistinct}
+      ev(s, dir)
+        .group("event_type")
+        .agg(
+          r4(call_function("graft_hll_count", col("user_id"), lit(12))).as("hll"),
+          countDistinct(col("user_id")).as("nd"))
+        .orderBy("event_type")
+    }),
+
+    // Snapshot roll-up path: persist one HLL per (event_type, day),
+    // then answer the all-time distinct by max-merging the daily
+    // sketches — registers of the merge are IDENTICAL to a direct
+    // build over the union, so the oracle is the same direct-estimate
+    // SQL as hll_distinct. This is the zero-rescan roll-up the
+    // 100 TB event log wants (daily KBs → weekly/monthly answers).
+    "hll_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{call_function, date_trunc}
+      events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(call_function("graft_hll_bytes", col("user_id"), lit(12)).as("sk"))
+        .groupBy("event_type")
+        .agg(r4(call_function("graft_hll_merge_count", col("sk"))).as("hll"))
+        .orderBy("event_type")
     })
   )
 
@@ -498,6 +531,87 @@ object CoreQueries {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS r
         |  FROM events GROUP BY 1, 2)
-        |WHERE r <= 10 ORDER BY event_type, pos""".stripMargin
+        |WHERE r <= 10 ORDER BY event_type, pos""".stripMargin,
+    // HLL replayed register-for-register: u32 = first-8-hex md5 Horner
+    // fold; bucket = top 12 bits (// 2^20), rank = 20 − floor(log2) of
+    // the remainder + 1 via binary-digit LENGTH (integer-exact; the
+    // format('{:b}') trick avoids float log2 entirely); registers
+    // max-aggregated with empties materialized by the 0..4095 spine;
+    // estimator = alpha·m²/Σ2^−reg in bucket order (list_reduce left
+    // fold ≡ the engine's 0.0-seeded loop since 0.0+x = x exactly)
+    // with the canonical linear-counting and large-range branches.
+    "hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, u // 1048576 AS bucket,
+        |    max(CASE WHEN u % 1048576 = 0 THEN 21
+        |        ELSE 20 - (length(format('{:b}', u % 1048576)) - 1) END) AS mx
+        |  FROM h GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT et.event_type, g.j, COALESCE(r.mx, 0) AS reg
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS j) g
+        |  LEFT JOIN r ON r.event_type = et.event_type AND r.bucket = g.j),
+        |s AS (
+        |  SELECT event_type,
+        |    list_reduce(list(power(2.0, -reg) ORDER BY j), (a, b) -> a + b) AS ssum,
+        |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, zeros,
+        |    (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / ssum AS raw
+        |  FROM s)
+        |SELECT e.event_type,
+        |  round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+        |             THEN 4096 * ln(4096.0 / zeros)
+        |             WHEN raw <= 4294967296.0 / 30.0 THEN raw
+        |             ELSE -4294967296.0 * ln(1 - raw / 4294967296.0) END, 4) AS hll,
+        |  nd.nd
+        |FROM est e JOIN (SELECT event_type, count(DISTINCT user_id) AS nd
+        |                 FROM events GROUP BY 1) nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    // merge path ≡ direct path: same estimator SQL, no day modeling —
+    // the gate's PROOF is that daily-snapshot max-merge reproduces it
+    "hll_merge" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, u // 1048576 AS bucket,
+        |    max(CASE WHEN u % 1048576 = 0 THEN 21
+        |        ELSE 20 - (length(format('{:b}', u % 1048576)) - 1) END) AS mx
+        |  FROM h GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT et.event_type, g.j, COALESCE(r.mx, 0) AS reg
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS j) g
+        |  LEFT JOIN r ON r.event_type = et.event_type AND r.bucket = g.j),
+        |s AS (
+        |  SELECT event_type,
+        |    list_reduce(list(power(2.0, -reg) ORDER BY j), (a, b) -> a + b) AS ssum,
+        |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, zeros,
+        |    (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / ssum AS raw
+        |  FROM s)
+        |SELECT event_type,
+        |  round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+        |             THEN 4096 * ln(4096.0 / zeros)
+        |             WHEN raw <= 4294967296.0 / 30.0 THEN raw
+        |             ELSE -4294967296.0 * ln(1 - raw / 4294967296.0) END, 4) AS hll
+        |FROM est ORDER BY event_type""".stripMargin
   )
 }
