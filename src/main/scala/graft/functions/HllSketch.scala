@@ -37,6 +37,22 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType
   * `graft_hll_bytes(key, p)` → binary (registers, for persistence);
   * `graft_hll_merge_count(sketch)` → double (max-merge + estimate).
   */
+/** Shared deterministic sketch hash: u32 = first 8 hex digits of
+  * md5(key's string rendering) — matches Spark's
+  * `conv(substring(md5(k), 1, 8), 16, 10)` and DuckDB's hex Horner
+  * fold over `substring(md5(k), i, 1)`, so sketch contents replay
+  * exactly in oracle SQL on both engines.
+  */
+private[functions] object SketchHash {
+  def u32(md: MessageDigest, key: String): Long = {
+    md.reset()
+    val digest = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 4 digest bytes == first 8 hex chars, big-endian
+    ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
+      ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
+  }
+}
+
 final class HllState(val p: Int) {
   require(p >= 4 && p <= 18, s"graft_hll: precision p must be in [4,18], got $p")
   val m: Int = 1 << p
@@ -44,20 +60,8 @@ final class HllState(val p: Int) {
 
   private val md = MessageDigest.getInstance("MD5")
 
-  /** u32 = first 8 hex digits of md5(key) — matches Spark's
-    * `conv(substring(md5(k), 1, 8), 16, 10)` and DuckDB's hex Horner
-    * fold over `substring(md5(k), i, 1)`.
-    */
-  private def hash32(key: String): Long = {
-    md.reset()
-    val digest = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 4 digest bytes == first 8 hex chars, big-endian
-    ((digest(0) & 0xFFL) << 24) | ((digest(1) & 0xFFL) << 16) |
-      ((digest(2) & 0xFFL) << 8) | (digest(3) & 0xFFL)
-  }
-
   def add(key: String): Unit = {
-    val u = hash32(key)
+    val u = SketchHash.u32(md, key)
     val tail = 32 - p
     val bucket = (u >>> tail).toInt
     val rem = u & ((1L << tail) - 1)

@@ -199,6 +199,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HllMergeCount(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_count"),
+      new ExpressionInfo(classOf[KmvCount].getName, "graft_kmv_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_count(key, k) takes two arguments")
+        KmvCount(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_bytes"),
+      new ExpressionInfo(classOf[KmvBytes].getName, "graft_kmv_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_bytes(key, k) takes two arguments")
+        KmvBytes(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_merge_count"),
+      new ExpressionInfo(classOf[KmvMergeCount].getName, "graft_kmv_merge_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_kmv_merge_count(sketch) takes one argument")
+        KmvMergeCount(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_jaccard"),
+      new ExpressionInfo(classOf[KmvJaccard].getName, "graft_kmv_jaccard"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_kmv_jaccard(a, b) takes two arguments")
+        KmvJaccard(args.head, args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

@@ -370,6 +370,39 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // KMV bottom-k distinct sketch (functions/KmvSketch.scala): the
+    // k smallest md5-hashes are a uniform sample of the key's hash
+    // space, so the same KB of state answers BOTH distinct counts and
+    // (unlike HLL) cross-set overlap. k=64 < the ~200-user domain, so
+    // the gate exercises the true estimation path, not the exact one.
+    "kmv_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{call_function, countDistinct}
+      ev(s, dir)
+        .group("event_type")
+        .agg(
+          r4(call_function("graft_kmv_count", col("user_id"), lit(64))).as("kmv"),
+          countDistinct(col("user_id")).as("nd"))
+        .orderBy("event_type")
+    }),
+
+    // Cross-set overlap from sketches alone: per-type bottom-k
+    // sketches built once, every pairwise Jaccard then runs on two KB
+    // binaries — the sketch analogue of bitmap_intersect for key
+    // domains where exact bitmaps are too wide. The oracle replays
+    // the coincidence estimator over ranked distinct hashes.
+    "kmv_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, call_function}
+      val sk = ev(s, dir)
+        .group("event_type")
+        .agg(call_function("graft_kmv_bytes", col("user_id"), lit(64)).as("sk"))
+      val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"))
+      a.join(broadcast(b), col("et_a") < col("et_b"))
+        .select(col("et_a"), col("et_b"),
+          r4(call_function("graft_kmv_jaccard", col("sk_a"), col("sk_b"))).as("jac"))
+        .orderBy("et_a", "et_b")
+    }),
+
     // Snapshot roll-up path: persist one HLL per (event_type, day),
     // then answer the all-time distinct by max-merging the daily
     // sketches — registers of the merge are IDENTICAL to a direct
@@ -577,6 +610,68 @@ object CoreQueries {
         |FROM est e JOIN (SELECT event_type, count(DISTINCT user_id) AS nd
         |                 FROM events GROUP BY 1) nd USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // KMV distinct: distinct md5-u32 hashes ranked ascending; fewer
+    // than k ⇒ exact count, else (k−1)·2³²/h_(k) with h_(k) read at
+    // rank 64. Hash collisions (two users, one u32) are part of the
+    // contract: both engines see the identical collapsed set.
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, u,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+        |  FROM h),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    max(CASE WHEN r <= 64 THEN u END) AS kth
+        |  FROM rk GROUP BY 1)
+        |SELECT a.event_type,
+        |  round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |             ELSE (64 - 1) * 4294967296.0 / kth END, 4) AS kmv,
+        |  nd.nd
+        |FROM agg a JOIN (SELECT event_type, count(DISTINCT user_id) AS nd
+        |                 FROM events GROUP BY 1) nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    // coincidence estimator replayed: per-type bottom-64 hash lists,
+    // per-pair union ranked, |U_k ∩ A ∩ B| / |U_k|
+    "kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM events),
+        |sk AS (
+        |  SELECT event_type, u FROM (
+        |    SELECT event_type, u,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY u) AS r
+        |    FROM h) WHERE r <= 64),
+        |pairs AS (
+        |  SELECT DISTINCT a.event_type AS et_a, b.event_type AS et_b
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |uni AS (
+        |  SELECT p.et_a, p.et_b, s.u,
+        |    max(CASE WHEN s.event_type = p.et_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.event_type = p.et_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.et_a, p.et_b)
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT et_a, et_b, in_a, in_b,
+        |    row_number() OVER (PARTITION BY et_a, et_b ORDER BY u) AS r,
+        |    count(*) OVER (PARTITION BY et_a, et_b) AS nu
+        |  FROM uni)
+        |SELECT et_a, et_b,
+        |  round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / min(least(nu, 64)), 4) AS jac
+        |FROM ranked WHERE r <= 64 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // merge path ≡ direct path: same estimator SQL, no day modeling —
     // the gate's PROOF is that daily-snapshot max-merge reproduces it
     "hll_merge" ->
