@@ -235,6 +235,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvJaccard(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_bytes"),
+      new ExpressionInfo(classOf[BloomBytes].getName, "graft_bloom_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_bloom_bytes(key, mBits, kHashes) takes three arguments")
+        BloomBytes(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1), args(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_bloom_contains(bloom, key) takes two arguments")
+        BloomContains(args.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

@@ -415,6 +415,38 @@ object DedupOps {
       .select(col("id").as("corp_id"), col("eval_id"), col("shared"))
   }
 
+  /** Bloom-filter decontamination — the scale path of
+    * [[contaminationPairs]]. When the protected eval/benchmark n-gram
+    * set grows past what an exact broadcast can hold (billions of
+    * shingles across benchmark suites), compress it into an m-bit
+    * Bloom filter ([[graft.functions.BloomBytes]]): the corpus-side
+    * plan stays one scan + executor-side membership probes against a
+    * broadcast blob — the corpus text is never shuffled, and the
+    * filter itself OR-merges map-side while being built.
+    *
+    * The md5-derived double-hash positions make every probe — false
+    * positives included — deterministic and replayable in oracle SQL,
+    * so the trade (exact pairs → per-doc hit counts at a chosen FP
+    * rate) is itself hash-gateable.
+    *
+    * Returns (corp_id, hits): corpus docs whose count of
+    * bloom-positive distinct shingles reaches `minHits`.
+    */
+  def bloomContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      mBits: Int, kHashes: Int, minHits: Int): DataFrame = {
+    val bloomRow = shingles(evalSet, idCol, textCol, n)
+      .agg(call_function("graft_bloom_bytes",
+        col("shingle"), lit(mBits), lit(kHashes)).as("bloom"))
+    shingles(corpus, idCol, textCol, n)
+      .crossJoin(broadcast(bloomRow))
+      .filter(call_function("graft_bloom_contains", col("bloom"), col("shingle")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("id").as("corp_id"), col("hits"))
+  }
+
   /** Documents surviving near-duplicate collapse: everything except
     * non-canonical cluster members (each cluster keeps its minimum id).
     * One anti-join against the (small) doomed set — the pair list is

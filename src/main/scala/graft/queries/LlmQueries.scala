@@ -153,6 +153,19 @@ object LlmQueries {
         .orderBy("corp_id", "eval_id")
     }),
 
+    // Bloom-filter decontamination (scale path of `contamination`):
+    // the eval shingle set compressed to a 64 Kbit broadcast blob,
+    // corpus probed executor-side — false positives are part of the
+    // deterministic contract and replay in the oracle's position-set
+    // joins, making even the FP noise hash-gated.
+    "bloom_contamination" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      DedupOps.bloomContamination(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        "doc_id", "text", 3, 65536, 4, 15)
+        .orderBy("corp_id")
+    }),
+
     // Deterministic train/val/test assignment by content-key hash —
     // membership counts per (source, split) pin every row's label.
     "split_assign" -> ((s, dir) =>
@@ -907,6 +920,45 @@ object LlmQueries {
          |FROM sh c JOIN sh e ON c.shingle = e.shingle
          |WHERE c.doc_id >= 25 AND e.doc_id < 25
          |GROUP BY 1, 2 HAVING count(*) >= 15 ORDER BY 1, 2"""),
+    // Bloom probe replayed positionally: (h1, h2) = md5 hex folds
+    // 1..8 and 9..16 of each distinct shingle; positions (h1 + i·h2)
+    // mod 65536 for i in 0..3. Eval docs (< 25) define the set-bit
+    // positions; a corpus shingle is bloom-positive iff NONE of its 4
+    // positions is missing from that set (anti-join emptiness) — the
+    // exact bit-array semantics without materializing a bit array.
+    "bloom_contamination" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle FROM idx),
+         |hh AS (
+         |  SELECT doc_id, shingle,
+         |    list_reduce(list_transform(range(1, 9), i ->
+         |      CAST(strpos('0123456789abcdef',
+         |        substring(md5(shingle), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) AS h1,
+         |    list_reduce(list_transform(range(9, 17), i ->
+         |      CAST(strpos('0123456789abcdef',
+         |        substring(md5(shingle), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)),
+         |      (a, b) -> a * 16 + b) AS h2
+         |  FROM sh),
+         |ep AS (
+         |  SELECT DISTINCT (h1 + t.i * h2) % 65536 AS pos
+         |  FROM hh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+         |  WHERE doc_id < 25),
+         |cp AS (
+         |  SELECT doc_id, shingle, (h1 + t.i * h2) % 65536 AS pos
+         |  FROM hh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+         |  WHERE doc_id >= 25),
+         |miss AS (
+         |  SELECT DISTINCT doc_id, shingle FROM cp
+         |  WHERE pos NOT IN (SELECT pos FROM ep)),
+         |hit AS (
+         |  SELECT c.doc_id, count(*) AS hits FROM (
+         |    SELECT DISTINCT doc_id, shingle FROM cp) c
+         |  ANTI JOIN miss m ON c.doc_id = m.doc_id AND c.shingle = m.shingle
+         |  GROUP BY 1)
+         |SELECT doc_id AS corp_id, hits FROM hit
+         |WHERE hits >= 15 ORDER BY corp_id"""),
     "incremental_dedup" -> (winnowBase.stripSuffix("\n") + w(
       """, cex AS (SELECT doc_id, unnest(fps) AS f FROM fp WHERE doc_id % 10 < 8),
         |ccap AS (
