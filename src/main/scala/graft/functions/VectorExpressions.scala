@@ -256,6 +256,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             args(1), org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms_bytes"),
+      new ExpressionInfo(classOf[CmsBytes].getName, "graft_cms_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_cms_bytes(item, d, w) takes three arguments")
+        CmsBytes(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.StringType),
+          args(1), args(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_merge_bytes"),
+      new ExpressionInfo(classOf[CmsMergeBytes].getName, "graft_cms_merge_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_cms_merge_bytes(cms) takes one argument")
+        CmsMergeBytes(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_cms_estimate(cms, item) takes two arguments")
+        CmsEstimate(args.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
       (args: Seq[Expression]) => {

@@ -353,6 +353,31 @@ object CoreQueries {
         .orderBy("event_type", "pos")
     }),
 
+    // Count-Min frequency sketch (functions/CountMin.scala): d·w
+    // counters per group answer a frequency upper bound for ANY item
+    // — the gap between the exact count table (unbounded keys) and
+    // SpaceSaving (heavy hitters only). The gate builds one grid per
+    // (event_type, DAY), add-merges the daily grids per type (the
+    // persisted roll-up path — addition is collision-exact), then
+    // point-queries every live user; the oracle rebuilds counters
+    // positionally, so estimates — collision overcounts included —
+    // hash-match. Exact counts ride along to document observed error.
+    "cms_freq" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, call_function, date_trunc}
+      val e = events(s, dir)
+      val sk = e
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(call_function("graft_cms_bytes", col("user_id"), lit(4), lit(512)).as("cms"))
+        .groupBy("event_type")
+        .agg(call_function("graft_cms_merge_bytes", col("cms")).as("cms"))
+      val exact = e.groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      exact.join(broadcast(sk), "event_type")
+        .select(col("event_type"), col("user_id"),
+          call_function("graft_cms_estimate", col("cms"), col("user_id")).as("est"),
+          col("n"))
+        .orderBy("event_type", "user_id")
+    }),
+
     // HyperLogLog approximate distinct (native aggregate,
     // functions/HllSketch.scala): fixed 4 KiB of registers per group
     // vs the bitmap family's integer-key requirement — the sketch for
@@ -565,6 +590,37 @@ object CoreQueries {
         |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS r
         |  FROM events GROUP BY 1, 2)
         |WHERE r <= 10 ORDER BY event_type, pos""".stripMargin,
+    // CMS counters rebuilt positionally: (h1, h2) = md5 hex folds
+    // 1..8 / 9..16 of the user key; row-i position = (h1 + i·h2) mod
+    // 512; counter = Σ counts of keys landing there; estimate = min
+    // over the item's d cells. Daily-grid merging needs no modeling —
+    // addition makes the merged grid identical to the direct one.
+    "cms_freq" ->
+      """WITH cnt AS (
+        |  SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |hh AS (
+        |  SELECT event_type, user_id, n,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h1,
+        |    list_reduce(list_transform(range(9, 17), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS h2
+        |  FROM cnt),
+        |pos AS (
+        |  SELECT event_type, user_id, n, t.i, (h1 + t.i * h2) % 512 AS p
+        |  FROM hh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t),
+        |ctr AS (
+        |  SELECT event_type, i, p, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM pos GROUP BY 1, 2, 3)
+        |SELECT p.event_type, p.user_id, min(c.tot) AS est, min(p.n) AS n
+        |FROM pos p JOIN ctr c
+        |  ON p.event_type = c.event_type AND p.i = c.i AND p.p = c.p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // HLL replayed register-for-register: u32 = first-8-hex md5 Horner
     // fold; bucket = top 12 bits (// 2^20), rank = 20 − floor(log2) of
     // the remainder + 1 via binary-digit LENGTH (integer-exact; the
