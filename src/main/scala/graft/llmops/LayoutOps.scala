@@ -64,4 +64,49 @@ object LayoutOps {
     withZ.repartitionByRange(numFiles, col(as))
       .sortWithinPartitions(col(as))
   }
+
+  /** Bucketed co-located layout: hash-cluster a table into N buckets
+    * on its join key AT WRITE TIME (`bucketBy` + `sortBy`), so every
+    * subsequent equi-join or aggregation on that key runs WITHOUT a
+    * shuffle — Spark's scan reports `HashPartitioning(key, N)` and
+    * the planner drops the Exchange (and, with sorted buckets, the
+    * Sort) under SortMergeJoin.
+    *
+    * The 100 TB arithmetic: a fact-fact join (lineitem ⋈ orders here)
+    * otherwise re-shuffles BOTH tables on every query — at 100 TB
+    * that is the dominant cost of the whole plan, paid per run.
+    * Bucketing moves that shuffle into the one-time write; N equal
+    * buckets also pre-bound task memory (each task sees 1/N of the
+    * key space). Both sides must agree on bucket count and key;
+    * registration goes through the session catalog because bucket
+    * metadata lives there, not in the parquet footers. Dropping the
+    * runtime SORT too (not just the Exchange) additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` — safe
+    * here because the pre-partitioning guarantees single-file
+    * buckets (multi-file buckets would interleave, which is why
+    * SPARK-28583 made order reuse opt-in).
+    *
+    * BucketedJoinSpec pins the plan (zero Exchange above the scans);
+    * gate `bucketed_join` pins that the layout round-trip loses no
+    * rows against the plain-join oracle.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // Pre-partition on the bucket key so each bucket lands in exactly
+    // ONE file: Spark only reports the write-time sortBy order from a
+    // single-file bucket (multi-file buckets would interleave), and
+    // only a reported order lets the planner drop the runtime Sort
+    // under SortMergeJoin. Same hash function as the bucket spec, so
+    // this shuffle IS the bucketing shuffle, not an extra one.
+    df.repartition(numBuckets, col(bucketCol))
+      .write
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }

@@ -45,6 +45,32 @@ object RelQueries {
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")),
 
+    // Bucketed co-located fact-fact join (LayoutOps.writeBucketed):
+    // both sides hash-clustered on the order key at write time, so
+    // the join itself needs NO Exchange — the shuffle is paid once at
+    // write, not per query (the dominant saving for repeated
+    // fact-fact joins at 100 TB). BucketedJoinSpec pins the
+    // Exchange-free SortMergeJoin plan (broadcast disabled); this
+    // gate pins that the bucketed round-trip loses no rows — at gate
+    // SF the small side may legally auto-broadcast, which changes the
+    // plan, never the result.
+    "bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-buckets").toString
+      graft.llmops.LayoutOps.writeBucketed(
+        lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_bkt_lineitem", s"$base/lineitem", "l_orderkey", 8)
+      graft.llmops.LayoutOps.writeBucketed(
+        orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", s"$base/orders", "o_orderkey", 8)
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // union(): schema-merged bag union (missing columns null-filled).
     "union_merge" -> ((s, dir) => {
       val clicks = ev(s, dir).where(col("event_type") === "click").keep("event_id", "value", "event_type")
@@ -142,6 +168,13 @@ object RelQueries {
   val oracle: Map[String, String] = Map(
     // the salted join must be indistinguishable from the plain join
     "salted_join" -> w(
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1"""),
+    // plain join: the bucketed layout must be invisible to results
+    "bucketed_join" -> w(
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
