@@ -151,6 +151,30 @@ object SampleOps {
     * efficiency view: pure column expressions plus one small aggregate,
     * no extra shuffle beyond the groupBy.
     */
+  /** Deterministic EXACTLY-k per-group sample: rank rows by a content
+    * hash of `keyCol` and keep the k smallest per group. Where
+    * [[stratifiedSample]] keeps a hash FRACTION (count varies with
+    * group size), bottom-k guarantees the count — the shape for
+    * "10 examples from every slice" eval tables and debugging panels.
+    *
+    * Runs on the native [[graft.plans.TopKPerGroup]] operator:
+    * bounded per-group heaps after one co-location shuffle —
+    * O(n log k), never a full per-partition sort, so "k of each" over
+    * a 100 TB table costs one scan plus groups·k rows of state. The
+    * hash ranking makes the sample stable under re-runs,
+    * repartitioning, AND row additions (a new row only displaces the
+    * current k-th if its hash is smaller — reservoir semantics
+    * without an RNG).
+    */
+  def bottomKSample(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    val withH = df.withColumn("_hkey",
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"))
+    graft.plans.TopKPerGroup(withH, groupCols, "_hkey", keyCol, k,
+        desc = false, rankName = "_rank")
+      .drop("_hkey", "_rank")
+  }
+
   def lengthBuckets(df: DataFrame, textCol: String, width: Int): DataFrame = {
     val n = TextOps.tokenCount(col(textCol)).cast("long")
     df.select((n - (n % width)).as("bucket_lo"), n.as("n_tok"))

@@ -42,4 +42,33 @@ object SkewOps {
         joinType)
       .drop(salted("_salt")).drop(replicated("_salt"))
   }
+
+  /** Bloom-prefiltered inner equi-join — the manual runtime filter for
+    * the selective fact-fact join: when only a small fraction of the
+    * probe side has a partner (a filtered dimension, a sparse fact),
+    * the plain join still SHUFFLES every probe row just to drop most
+    * of them at the merge. Build an m-bit Bloom filter over the build
+    * side's keys (one small aggregation, OR-merged map-side), probe it
+    * executor-side BEFORE the exchange, and only the ~matching slice
+    * pays the shuffle. False positives let a few extra rows through
+    * the filter — the join then drops them, so results are EXACTLY the
+    * plain join's (what the gate pins); false negatives cannot happen.
+    *
+    * This is Spark's own runtime-filter idea surfaced as an explicit,
+    * size-controllable operator: AQE's bloom runtime filters only fire
+    * under cost heuristics and creation thresholds; at a known 100 TB
+    * shape you want the filter unconditionally and sized by hand.
+    */
+  def bloomFilteredJoin(probe: DataFrame, build: DataFrame,
+      probeKey: Column, buildKey: Column,
+      mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {
+    val bloomRow = build
+      .agg(call_function("graft_bloom_bytes",
+        buildKey, lit(mBits), lit(kHashes)).as("_bloom"))
+    val filtered = probe
+      .crossJoin(broadcast(bloomRow))
+      .filter(call_function("graft_bloom_contains", col("_bloom"), probeKey))
+      .drop("_bloom")
+    filtered.join(build, probeKey === buildKey)
+  }
 }

@@ -353,6 +353,17 @@ object CoreQueries {
         .orderBy("event_type", "pos")
     }),
 
+    // Deterministic exactly-k per-group sample
+    // (SampleOps.bottomKSample on the native TopKPerGroup operator):
+    // rank by content hash, keep the 10 smallest per type — stable
+    // under re-runs, repartitioning, and appends (RNG-free reservoir
+    // semantics), with bounded heaps instead of a partition sort.
+    "hash_sample" -> ((s, dir) =>
+      graft.llmops.SampleOps.bottomKSample(
+        events(s, dir).select("event_type", "event_id", "value"),
+        Seq("event_type"), "event_id", 10)
+        .orderBy("event_type", "event_id")),
+
     // Count-Min frequency sketch (functions/CountMin.scala): d·w
     // counters per group answer a frequency upper bound for ANY item
     // — the gap between the exact count table (unbounded keys) and
@@ -590,6 +601,17 @@ object CoreQueries {
         |      ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS r
         |  FROM events GROUP BY 1, 2)
         |WHERE r <= 10 ORDER BY event_type, pos""".stripMargin,
+    // bottom-k-by-hash replayed with row_number over the same fold
+    "hash_sample" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      list_reduce(list_transform(range(1, 9), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(event_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |          AS BIGINT)),
+        |        (a, b) -> a * 16 + b), event_id) AS r
+        |  FROM events) WHERE r <= 10 ORDER BY event_type, event_id""".stripMargin,
     // CMS counters rebuilt positionally: (h1, h2) = md5 hex folds
     // 1..8 / 9..16 of the user key; row-i position = (h1 + i·h2) mod
     // 512; counter = Σ counts of keys landing there; estimate = min

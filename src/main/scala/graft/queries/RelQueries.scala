@@ -71,6 +71,22 @@ object RelQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bloom-prefiltered selective join (SkewOps.bloomFilteredJoin):
+    // urgent orders are ~20% of the build side, so 4/5 of lineitem
+    // rows would shuffle only to be dropped — the build-side key
+    // bloom (broadcast KBs) drops them BEFORE the exchange. False
+    // positives just ride the shuffle and lose at the merge: results
+    // are exactly the plain join's, which is what this gate pins.
+    "bloom_join" -> ((s, dir) =>
+      graft.operators.SkewOps.bloomFilteredJoin(
+        lineitem(s, dir),
+        orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey"), col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
+
     // union(): schema-merged bag union (missing columns null-filled).
     "union_merge" -> ((s, dir) => {
       val clicks = ev(s, dir).where(col("event_type") === "click").keep("event_id", "value", "event_type")
@@ -172,6 +188,14 @@ object RelQueries {
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1"""),
+    // plain filtered join: the bloom prefilter must be invisible
+    "bloom_join" -> w(
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1"""),
     // plain join: the bucketed layout must be invisible to results
     "bucketed_join" -> w(

@@ -728,6 +728,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(narrowSet.subsetOf(widerSet))
   }
 
+  test("bottomKSample: exactly k per group, partition-stable, reservoir under appends") {
+    val rows = spark.range(0, 3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val sample = SampleOps.bottomKSample(rows, Seq("s"), "id", 10)
+    val by = sample.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(by.values.forall(_ == 10L), by.toString)
+    val ids = sample.select("id").as[Long].collect().toSet
+    // same membership regardless of physical partitioning
+    val re = SampleOps.bottomKSample(rows.repartition(13), Seq("s"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(re == ids)
+    // appending rows only ever DISPLACES members (reservoir
+    // semantics): the new sample is not a re-deal
+    val grown = spark.range(0, 6000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+    val grownIds = SampleOps.bottomKSample(grown, Seq("s"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(grownIds.intersect(ids).size >= 15,
+      s"append re-dealt the sample: kept ${grownIds.intersect(ids).size}/30")
+  }
+
   test("dedupSurvivors keeps cluster minima and all singletons") {
     val out = DedupOps.dedupSurvivors(docs, "doc_id", Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"))
       .select("doc_id").as[Long].collect().toSet

@@ -34,6 +34,26 @@ class SkewOpsSpec extends SparkSpec {
     assert(out.count() == withMiss.join(build, col("k") === col("bk"), "left").count())
   }
 
+  test("bloom-prefiltered join equals the plain join; prefilter prunes") {
+    val bigProbe = (1 to 5000).map(i => (i.toLong, s"p$i")).toDF("k", "pv")
+    val sparse = (1 to 5000 by 25).map(i => (i.toLong, s"b$i")).toDF("bk", "bv")
+    val plain = bigProbe.join(sparse, col("k") === col("bk"))
+      .select("k", "pv", "bv")
+    val bloomed = SkewOps.bloomFilteredJoin(
+      bigProbe, sparse, col("k"), col("bk"), mBits = 65536, kHashes = 4)
+      .select("k", "pv", "bv")
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    // the prefilter alone keeps the 200 true partners + rare FPs —
+    // a small fraction of the 5000 probe rows ever reaches the join
+    val bloomRow = sparse.agg(call_function("graft_bloom_bytes",
+      col("bk"), lit(65536), lit(4)).as("_bloom"))
+    val survivors = bigProbe.crossJoin(broadcast(bloomRow))
+      .filter(call_function("graft_bloom_contains", col("_bloom"), col("k")))
+      .count()
+    assert(survivors >= 200 && survivors < 500,
+      s"prefilter kept $survivors of 5000")
+  }
+
   test("the hot key fans out across salt values") {
     val salted = probe.withColumn("_salt",
       pmod(hash(probe.columns.map(col): _*), lit(8)))
