@@ -435,12 +435,17 @@ object DedupOps {
   def bloomContamination(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int,
       mBits: Int, kHashes: Int, minHits: Int): DataFrame = {
-    val bloomRow = shingles(evalSet, idCol, textCol, n)
+    // filter-sized blob to the driver, re-emitted as a Literal so the
+    // probe's memo hits by array identity (a broadcast COLUMN would
+    // defensive-copy per row and force byte-compares — see
+    // SkewOps.bloomFilteredJoin); payload is mBits/8 bytes, never
+    // corpus-scale
+    val bloomBytes = shingles(evalSet, idCol, textCol, n)
       .agg(call_function("graft_bloom_bytes",
         col("shingle"), lit(mBits), lit(kHashes)).as("bloom"))
+      .head.getAs[Array[Byte]](0)
     shingles(corpus, idCol, textCol, n)
-      .crossJoin(broadcast(bloomRow))
-      .filter(call_function("graft_bloom_contains", col("bloom"), col("shingle")))
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("shingle")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)

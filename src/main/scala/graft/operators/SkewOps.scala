@@ -62,13 +62,19 @@ object SkewOps {
   def bloomFilteredJoin(probe: DataFrame, build: DataFrame,
       probeKey: Column, buildKey: Column,
       mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {
-    val bloomRow = build
+    // one aggregated blob (mBits/8 bytes) to the driver, re-emitted as
+    // a LITERAL: every probe row then sees the same array INSTANCE, so
+    // BloomContains' identity memo parses the filter once per task. A
+    // broadcast column would hand each row a fresh defensive copy
+    // (UnsafeRow getters copy) and force a per-row byte-compare —
+    // measured 17 s vs 0.5 s on the sf0.1 gate. Driver payload is
+    // filter-sized, never row-scale (same class as the IVF codebooks).
+    val bloomBytes = build
       .agg(call_function("graft_bloom_bytes",
         buildKey, lit(mBits), lit(kHashes)).as("_bloom"))
-    val filtered = probe
-      .crossJoin(broadcast(bloomRow))
-      .filter(call_function("graft_bloom_contains", col("_bloom"), probeKey))
-      .drop("_bloom")
-    filtered.join(build, probeKey === buildKey)
+      .head.getAs[Array[Byte]](0)
+    probe
+      .filter(call_function("graft_bloom_contains", lit(bloomBytes), probeKey))
+      .join(build, probeKey === buildKey)
   }
 }
