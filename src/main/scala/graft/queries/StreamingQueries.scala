@@ -221,6 +221,39 @@ object StreamingQueries {
     // STREAMING heavy hitters: the SpaceSaving sketch in streaming
     // state — top-5 users per UTC day, exact mode (capacity over
     // cardinality), sentinel-flushed, hash-matched to batch ranks.
+    // Streaming distinct-user monitoring: one HLL per (event_type,
+    // micro-batch) appended to a parquet metrics store; the read-side
+    // max-merge is register-identical to a direct build over every
+    // row seen (the HLL merge property), so the oracle is the same
+    // direct-estimator SQL as the batch hll gates — batch/stream
+    // equivalence for approximate distinct, KBs of state per batch.
+    "stream_hll_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.call_function
+      val srcDir = Files.createTempDirectory("graft-hstore-src").toString
+      val storeDir = Files.createTempDirectory("graft-hstore-out").toString
+      val ev0 = events(s, dir).select(col("event_type"), col("user_id"))
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      val q = s.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy("event_type")
+            .agg(call_function("graft_hll_bytes", col("user_id"), lit(12)).as("sk"))
+            .write.mode("append").parquet(storeDir)
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-hstore-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+
+      s.read.parquet(storeDir)
+        .groupBy("event_type")
+        .agg(r4(call_function("graft_hll_merge_count", col("sk"))).as("hll"))
+        .orderBy("event_type")
+    }),
+
     "stream_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{call_function, posexplode, window}
       val srcDir = Files.createTempDirectory("graft-stopk-src").toString
@@ -313,6 +346,42 @@ object StreamingQueries {
         |SELECT event_type, qi, v AS qv
         |FROM ranked JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))
         |ORDER BY event_type, qi"""),
+    // micro-batch max-merge ≡ direct build: same estimator replica as
+    // the batch hll gates
+    "stream_hll_store" -> w(
+      """WITH h AS (
+        |  SELECT event_type,
+        |    list_reduce(list_transform(range(1, 9), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |        AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS u
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, u // 1048576 AS bucket,
+        |    max(CASE WHEN u % 1048576 = 0 THEN 21
+        |        ELSE 20 - (length(format('{:b}', u % 1048576)) - 1) END) AS mx
+        |  FROM h GROUP BY 1, 2),
+        |regs AS (
+        |  SELECT et.event_type, g.j, COALESCE(r.mx, 0) AS reg
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(range(0, 4096)) AS j) g
+        |  LEFT JOIN r ON r.event_type = et.event_type AND r.bucket = g.j),
+        |s AS (
+        |  SELECT event_type,
+        |    list_reduce(list(power(2.0, -reg) ORDER BY j), (a, b) -> a + b) AS ssum,
+        |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, zeros,
+        |    (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / ssum AS raw
+        |  FROM s)
+        |SELECT event_type,
+        |  round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+        |             THEN 4096 * ln(4096.0 / zeros)
+        |             WHEN raw <= 4294967296.0 / 30.0 THEN raw
+        |             ELSE -4294967296.0 * ln(1 - raw / 4294967296.0) END, 4) AS hll
+        |FROM est ORDER BY event_type"""),
     // exact-mode SpaceSaving in streaming state == batch per-day top-5
     "stream_topk" -> w(
       """WITH c AS (SELECT time_bucket(INTERVAL '1 day', ts) AS wstart,
