@@ -175,6 +175,31 @@ object SampleOps {
       .drop("_hkey", "_rank")
   }
 
+  /** Weighted exactly-k per-group sample without replacement
+    * (Efraimidis & Spirakis, "Weighted random sampling with a
+    * reservoir", IPL 2006 — public literature): score each row
+    * u^(1/w) with u = content hash in (0,1), keep the k LARGEST —
+    * inclusion probability tracks the weights, and the hash makes it
+    * RNG-free like [[bottomKSample]] (stable under re-runs,
+    * repartitioning, and appends). Rows with non-positive weight are
+    * excluded (the algorithm's domain). Same native-TopKPerGroup
+    * execution: bounded heaps, one co-location shuffle.
+    *
+    * Transcendental discipline: pow appears only in the RANKING.
+    * Cross-engine pow agreement is last-ulp; an ordering flip would
+    * need two scores within that — the gate's fixed corpus verifies
+    * the realized selection hash-exactly.
+    */
+  def weightedBottomK(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val withS = df.filter(col(weightCol) > 0)
+      .withColumn("_wkey",
+        pow(hashU(col(keyCol)), lit(1.0) / col(weightCol).cast("double")))
+    graft.plans.TopKPerGroup(withS, groupCols, "_wkey", keyCol, k,
+        desc = true, rankName = "_rank")
+      .drop("_wkey", "_rank")
+  }
+
   def lengthBuckets(df: DataFrame, textCol: String, width: Int): DataFrame = {
     val n = TextOps.tokenCount(col(textCol)).cast("long")
     df.select((n - (n % width)).as("bucket_lo"), n.as("n_tok"))

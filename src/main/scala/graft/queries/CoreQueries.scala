@@ -364,6 +364,15 @@ object CoreQueries {
         Seq("event_type"), "event_id", 10)
         .orderBy("event_type", "event_id")),
 
+    // Weighted exactly-k sample (Efraimidis-Spirakis on TopKPerGroup):
+    // u^(1/w) ranking, so high-value events are proportionally more
+    // likely in the 10 kept — RNG-free and replayed verbatim in SQL.
+    "weighted_sample" -> ((s, dir) =>
+      graft.llmops.SampleOps.weightedBottomK(
+        events(s, dir).select("event_type", "event_id", "value"),
+        Seq("event_type"), "event_id", "value", 10)
+        .orderBy("event_type", "event_id")),
+
     // Count-Min frequency sketch (functions/CountMin.scala): d·w
     // counters per group answer a frequency upper bound for ANY item
     // — the gap between the exact count table (unbounded keys) and
@@ -612,6 +621,19 @@ object CoreQueries {
         |          AS BIGINT)),
         |        (a, b) -> a * 16 + b), event_id) AS r
         |  FROM events) WHERE r <= 10 ORDER BY event_type, event_id""".stripMargin,
+    // same u^(1/w) ranking: u = md5 fold / 2^32, power() mirrored
+    "weighted_sample" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY
+        |      power(list_reduce(list_transform(range(1, 9), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(event_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |          AS BIGINT)),
+        |        (a, b) -> a * 16 + b) / 4294967296.0, 1.0 / value) DESC,
+        |      event_id) AS r
+        |  FROM events WHERE value > 0) WHERE r <= 10
+        |ORDER BY event_type, event_id""".stripMargin,
     // CMS counters rebuilt positionally: (h1, h2) = md5 hex folds
     // 1..8 / 9..16 of the user key; row-i position = (h1 + i·h2) mod
     // 512; counter = Σ counts of keys landing there; estimate = min

@@ -749,6 +749,26 @@ class LlmOpsSpec extends SparkSpec {
       s"append re-dealt the sample: kept ${grownIds.intersect(ids).size}/30")
   }
 
+  test("weightedBottomK: exactly k, weight-proportional, excludes w <= 0") {
+    // two strata of weights: ids 0..99 weight 100, ids 100..999 weight 1
+    val rows = spark.range(0, 1000)
+      .select(col("id"), lit("g").as("s"),
+        when(col("id") < 100, 100.0).otherwise(1.0).as("w"))
+    val picked = SampleOps.weightedBottomK(rows, Seq("s"), "id", "w", 50)
+      .select("id").as[Long].collect()
+    assert(picked.length == 50)
+    // heavy ids are 10% of rows but ~92% of total weight; expect a
+    // clear majority of the sample (loose bound, deterministic data)
+    val heavy = picked.count(_ < 100)
+    assert(heavy > 25, s"only $heavy/50 heavy-weight rows sampled")
+    // zero/negative weights never appear
+    val withBad = rows.union(
+      spark.range(5000, 5100).select(col("id"), lit("g").as("s"), lit(-1.0).as("w")))
+    val noBad = SampleOps.weightedBottomK(withBad, Seq("s"), "id", "w", 50)
+      .select("id").as[Long].collect()
+    assert(noBad.forall(_ < 5000))
+  }
+
   test("dedupSurvivors keeps cluster minima and all singletons") {
     val out = DedupOps.dedupSurvivors(docs, "doc_id", Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b"))
       .select("doc_id").as[Long].collect().toSet

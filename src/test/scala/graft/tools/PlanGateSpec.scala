@@ -74,6 +74,11 @@ class PlanGateSpec extends SparkSpec {
       "graft_kll_quantiles" ->
         call_function("graft_kll_quantiles", col("v"), array(lit(0.5)), lit(256)),
       "graft_topk" -> call_function("graft_topk", col("v"), lit(3), lit(64)),
+      "graft_hll_count" -> call_function("graft_hll_count", col("v"), lit(10)),
+      "graft_kmv_count" -> call_function("graft_kmv_count", col("v"), lit(64)),
+      "graft_cms_bytes" -> call_function("graft_cms_bytes", col("v"), lit(4), lit(64)),
+      "graft_bloom_bytes" ->
+        call_function("graft_bloom_bytes", col("v"), lit(4096), lit(4)),
       "graft_bitmap_distinct" ->
         call_function("graft_bitmap_distinct", col("id")))) {
       val base = if (name == "graft_bitmap_distinct")
