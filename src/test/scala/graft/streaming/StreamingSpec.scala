@@ -167,4 +167,40 @@ class StreamingSpec extends SparkSpec {
       .as[Double].collect()
     assert(vals.toSeq == Seq(2.0)) // refined mean replaced the first emission
   }
+
+  test("stream-stream attribution join: bounded-delay matches only") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1705276800000L + s * 1000)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val convs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    imps.addData((1L, ts(0), "adA"), (2L, ts(10), "adB"), (3L, ts(20), "adC"))
+    convs.addData(
+      (1L, ts(30), 9.99),   // 30 s after imp 1 → inside 1 minute
+      (2L, ts(100), 5.00),  // 90 s after imp 2 → outside
+      (3L, ts(15), 1.00))   // BEFORE imp 3 → outside (no pre-click credit)
+    val out = StreamJoin.attributionJoin(
+      imps.toDF().toDF("user", "imp_ts", "ad"),
+      convs.toDF().toDF("user", "conv_ts", "amount"),
+      key = "user", impTimeCol = "imp_ts", convTimeCol = "conv_ts",
+      maxDelay = "1 minute", lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cp-attr").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val matched = spark.table("attr_out")
+      .select("user", "ad", "amount").as[(Long, String, Double)].collect().toSet
+    assert(matched == Set((1L, "adA", 9.99)))
+  }
+
+  test("attribution join refuses colliding non-key columns") {
+    val a = Seq((1L, ts0, "x")).toDF("user", "t1", "dup")
+    val b = Seq((1L, ts0, "y")).toDF("user", "t2", "dup")
+    val e = intercept[IllegalArgumentException] {
+      StreamJoin.attributionJoin(a, b, "user", "t1", "t2", "1 minute", "1 minute")
+    }
+    assert(e.getMessage.contains("dup"))
+  }
+  private def ts0 = new java.sql.Timestamp(1705276800000L)
 }
