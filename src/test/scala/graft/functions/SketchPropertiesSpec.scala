@@ -88,4 +88,77 @@ class SketchPropertiesSpec extends AnyFunSuite {
       assert(merged.cardinality == ids.distinct.length.toLong, s"seed=$seed")
     }
   }
+
+  test("HLL: sharded merge == direct registers; error within envelope") {
+    for (seed <- 1 to 20) {
+      val n = 2000 + (seed * 131) % 8000
+      val keys = lcg(seed, n, 1L << 30).map(_.toString)
+      val shards = 1 + seed % 5
+      val states = Array.fill(shards)(new HllState(12))
+      keys.zipWithIndex.foreach { case (k, i) => states(i % shards).add(k) }
+      val merged = states.reduceLeft { (a, b) => a.merge(b); a }
+      val direct = new HllState(12)
+      keys.foreach(direct.add)
+      assert(java.util.Arrays.equals(merged.registers, direct.registers), s"seed=$seed")
+      val distinct = keys.distinct.length
+      val err = math.abs(merged.estimate - distinct) / distinct
+      assert(err < 0.08, s"seed=$seed n=$distinct est=${merged.estimate}")
+    }
+  }
+
+  test("KMV: merge == direct set; exact below k; estimate sane above") {
+    for (seed <- 1 to 20) {
+      val n = 500 + (seed * 97) % 5000
+      val keys = lcg(seed, n, 1L << 30).map(_.toString)
+      val k = 16 + (seed * 7) % 240
+      val shards = 1 + seed % 5
+      val states = Array.fill(shards)(new KmvState(k))
+      keys.zipWithIndex.foreach { case (key, i) => states(i % shards).addKey(key) }
+      val merged = states.reduceLeft { (a, b) => a.merge(b); a }
+      val direct = new KmvState(k)
+      keys.foreach(direct.addKey)
+      assert(merged.hashes == direct.hashes, s"seed=$seed")
+      val distinct = keys.distinct.length
+      if (distinct < k) assert(merged.estimate == distinct.toDouble, s"seed=$seed")
+      else {
+        val err = math.abs(merged.estimate - distinct) / distinct
+        // relative SE ~ 1/sqrt(k-2); allow 4 sigma
+        assert(err < 4.0 / math.sqrt(k - 2.0), s"seed=$seed k=$k err=$err")
+      }
+    }
+  }
+
+  test("Bloom: never a false negative under any sharding; FP bounded") {
+    for (seed <- 1 to 15) {
+      val n = 500 + (seed * 61) % 2000
+      val members = lcg(seed, n, 1L << 40).map(v => s"m$v")
+      val shards = 1 + seed % 4
+      val states = Array.fill(shards)(new BloomState(65536, 4))
+      members.zipWithIndex.foreach { case (m, i) => states(i % shards).add(m) }
+      val merged = states.reduceLeft { (a, b) => a.merge(b); a }
+      assert(members.forall(merged.contains), s"seed=$seed")
+      val strangers = lcg(seed + 1000, 4000, 1L << 40).map(v => s"s$v")
+        .filterNot(members.toSet)
+      val fp = strangers.count(merged.contains).toDouble / strangers.length
+      // design FP at n<=2500/65536/k=4 is < 2.6%; allow slack
+      assert(fp < 0.06, s"seed=$seed fp=$fp")
+    }
+  }
+
+  test("CMS: sharded add-merge == direct grid; never underestimates") {
+    for (seed <- 1 to 20) {
+      val items = lcg(seed, 8000, 300).map(v => s"i$v")
+      val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.length }
+      val shards = 1 + seed % 5
+      val states = Array.fill(shards)(new CmsState(4, 256))
+      items.zipWithIndex.foreach { case (it, i) => states(i % shards).add(it) }
+      val merged = states.reduceLeft { (a, b) => a.merge(b); a }
+      val direct = new CmsState(4, 256)
+      items.foreach(direct.add)
+      assert(merged.counts.sameElements(direct.counts), s"seed=$seed")
+      trueCounts.foreach { case (it, c) =>
+        assert(merged.estimate(it) >= c, s"seed=$seed item=$it")
+      }
+    }
+  }
 }
