@@ -304,14 +304,35 @@ object V1Query {
         array(tagCols.map(lit): _*),
         array(tagCols.map(t => col(t).cast("string")): _*))
     val parts = valueCols.map { c =>
+      // dispatch each result column to its typed store column, the way
+      // the v1 engine's INTO preserves field types (string/bool were
+      // previously skipped as a documented boundary — now written;
+      // unsigned can't be told apart from long in a DataFrame, so
+      // uint history re-lands as integer, the lossless superset)
+      import org.apache.spark.sql.types._
+      val nullD = lit(null).cast("double")
+      val nullL = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      val nullB = lit(null).cast("boolean")
+      val (vf, vi, vs, vb) = df.schema(c).dataType match {
+        case BooleanType => (nullD, nullL, nullS, col(c))
+        case StringType => (nullD, nullL, col(c), nullB)
+        case ByteType | ShortType | IntegerType | LongType =>
+          (nullD, col(c).cast("long"), nullS, nullB)
+        case _ => (col(c).cast("double"), nullL, nullS, nullB)
+      }
       df.select(
         col("time"),
         (unix_micros(col("time")) * 1000L).as("time_ns"),
         lit(s.into.get).as("measurement"),
         lit(c).as("field"),
-        col(c).cast("double").as("value_f"),
+        vf.as("value_f"),
+        vi.as("value_i"),
+        vs.as("value_s"),
+        vb.as("value_b"),
         tagsCol.as("tags"))
-        .filter(col("value_f").isNotNull)
+        .filter(col("value_f").isNotNull || col("value_i").isNotNull ||
+          col("value_s").isNotNull || col("value_b").isNotNull)
     }
     val long = parts.reduce(_ unionByName _).cache()
     try {

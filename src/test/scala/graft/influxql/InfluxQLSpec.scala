@@ -704,6 +704,40 @@ class InfluxQLSpec extends SparkSpec {
     assert(down.at("/results/0/series/0/values/0/1").asDouble() == 0.7)
   }
 
+  test("SELECT INTO preserves string and bool fields typed (all-type copy)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-into-typed")
+    val tsdb = graft.dsl.Tsdb(spark, dir.toString)
+    tsdb.catalog.createBucket("idb", "greengrass")
+    val t0 = 1704672000L * 1000000000L
+    tsdb.writeLp("idb", Seq(
+      s"""svc,host=h1 usage=0.5,conns=42i,status="ok",up=true $t0""",
+      s"""svc,host=h1 usage=0.7,conns=40i,status="degraded",up=false ${t0 + 1000000000L}"""))
+    // raw all-field copy into a new measurement (v1's backfill shape)
+    graft.service.V1Query.run(tsdb, "idb",
+      "SELECT usage, conns, status, up INTO svc_copy FROM svc GROUP BY host")
+    // the copy reads back with every field at its original TYPE
+    val json = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "idb",
+        "SELECT usage, conns, status, up FROM svc_copy"))
+    val vs = json.at("/results/0/series/0/values")
+    assert(vs.size() == 2)
+    assert(vs.get(0).get(1).asDouble() == 0.5)
+    assert(vs.get(0).get(2).isIntegralNumber && vs.get(0).get(2).asLong() == 42L)
+    assert(vs.get(0).get(3).asText() == "ok")
+    assert(vs.get(0).get(4).isBoolean && vs.get(0).get(4).asBoolean())
+    assert(vs.get(1).get(3).asText() == "degraded")
+    assert(vs.get(1).get(4).isBoolean && !vs.get(1).get(4).asBoolean())
+    // GROUP BY tag rode along as a tag on the copy
+    val fk = graft.service.Json.mapper.readTree(
+      graft.service.V1Query.run(tsdb, "idb", "SHOW FIELD KEYS FROM svc_copy"))
+    val pairs = {
+      val v = fk.at("/results/0/series/0/values")
+      (0 until v.size()).map(i => v.get(i).get(0).asText() -> v.get(i).get(1).asText()).toMap
+    }
+    assert(pairs == Map("usage" -> "float", "conns" -> "integer",
+      "status" -> "string", "up" -> "boolean"))
+  }
+
   test("store-backed: v1 /query JSON over a real bucket") {
     val dir = java.nio.file.Files.createTempDirectory("graft-influxql-spec")
     val tsdb = graft.dsl.Tsdb(spark, dir.toString)
