@@ -198,6 +198,43 @@ case class HllBytes(
     copy(child = newChildren(0), precision = newChildren(1))
 }
 
+/** Shared merge machinery for the sketch-roll-up aggregates: the
+  * buffer adopts the first sketch's precision (the k=4 seed is only
+  * ever replaced while still empty).
+  */
+private[functions] trait HllMergeBase extends TypedImperativeAggregate[HllState] {
+  def child: Expression
+
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == BinaryType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): HllState = new HllState(4)
+
+  protected def mergeInto(buffer: HllState, in: HllState): HllState =
+    if (buffer.p == in.p) { buffer.merge(in); buffer }
+    else {
+      // empty seed buffer adopting the sketches' true precision
+      require(buffer.registers.forall(_ == 0),
+        s"$prettyName: mixed precisions p=${buffer.p} and p=${in.p}")
+      in
+    }
+
+  override def update(buffer: HllState, input: InternalRow): HllState = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else mergeInto(buffer, HllWire.read(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(buffer: HllState, input: HllState): HllState =
+    mergeInto(buffer, input)
+
+  override def serialize(buffer: HllState): Array[Byte] = HllWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): HllState = HllWire.read(bytes)
+}
+
 /** `graft_hll_merge_count(sketch)` → double: max-merge persisted
   * sketches and estimate — the roll-up read path. Register-wise max is
   * exactly the registers of a sketch built over the union, so merged
@@ -207,43 +244,11 @@ case class HllMergeCount(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HllState] {
+  extends HllMergeBase {
 
-  override lazy val resolved: Boolean =
-    childrenResolved && child.dataType == BinaryType
-
-  override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_hll_merge_count"
-
-  // buffer precision is discovered from the first sketch merged in
-  override def createAggregationBuffer(): HllState = new HllState(4)
-
-  override def update(buffer: HllState, input: InternalRow): HllState = {
-    val v = child.eval(input)
-    if (v == null) buffer
-    else {
-      val in = HllWire.read(v.asInstanceOf[Array[Byte]])
-      mergeInto(buffer, in)
-    }
-  }
-
-  private def mergeInto(buffer: HllState, in: HllState): HllState =
-    if (buffer.p == in.p) { buffer.merge(in); buffer }
-    else {
-      // empty seed buffer adopting the sketches' true precision
-      require(buffer.registers.forall(_ == 0),
-        s"graft_hll_merge_count: mixed precisions p=${buffer.p} and p=${in.p}")
-      in
-    }
-
-  override def merge(buffer: HllState, input: HllState): HllState =
-    mergeInto(buffer, input)
-
   override def eval(buffer: HllState): Any = buffer.estimate
-  override def serialize(buffer: HllState): Array[Byte] = HllWire.write(buffer)
-  override def deserialize(bytes: Array[Byte]): HllState = HllWire.read(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeCount =
     copy(mutableAggBufferOffset = newOffset)
@@ -251,5 +256,28 @@ case class HllMergeCount(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HllMergeCount =
+    copy(child = newChildren(0))
+}
+
+/** `graft_hll_merge_bytes(sketch)` → binary: max-merge and RE-PERSIST
+  * — the compaction path (daily sketches → one monthly sketch on
+  * disk, estimates still available later via merge_count).
+  */
+case class HllMergeBytes(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends HllMergeBase {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_hll_merge_bytes"
+  override def eval(buffer: HllState): Any = HllWire.write(buffer)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeBytes =
     copy(child = newChildren(0))
 }

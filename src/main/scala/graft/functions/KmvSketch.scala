@@ -213,6 +213,57 @@ case class KmvMergeCount(
     copy(child = newChildren(0))
 }
 
+/** `graft_kmv_merge_bytes(sketch)` → binary: union-merge and
+  * RE-PERSIST — the compaction path; the merged sketch keeps the full
+  * KMV algebra (counts AND jaccard) downstream because truncation is
+  * union-exact.
+  */
+case class KmvMergeBytes(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvState] {
+
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == BinaryType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_kmv_merge_bytes"
+
+  override def createAggregationBuffer(): KmvState = new KmvState(2)
+
+  private def mergeInto(buffer: KmvState, in: KmvState): KmvState =
+    if (buffer.k == in.k) { buffer.merge(in); buffer }
+    else {
+      require(buffer.hashes.isEmpty,
+        s"graft_kmv_merge_bytes: mixed capacities k=${buffer.k} and k=${in.k}")
+      in
+    }
+
+  override def update(buffer: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else mergeInto(buffer, KmvWire.read(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(buffer: KmvState, input: KmvState): KmvState =
+    mergeInto(buffer, input)
+
+  override def eval(buffer: KmvState): Any = KmvWire.write(buffer)
+  override def serialize(buffer: KmvState): Array[Byte] = KmvWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): KmvState = KmvWire.read(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvMergeBytes =
+    copy(child = newChildren(0))
+}
+
 /** `graft_kmv_jaccard(a, b)` → double: the KMV coincidence estimator.
   * U_k = k smallest of the union of the two sketch sets; the estimate
   * is the fraction of U_k present in BOTH sketches. Scalar over two

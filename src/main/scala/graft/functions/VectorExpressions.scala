@@ -227,6 +227,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvMergeCount(args.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hll_merge_bytes"),
+      new ExpressionInfo(classOf[HllMergeBytes].getName, "graft_hll_merge_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_hll_merge_bytes(sketch) takes one argument")
+        HllMergeBytes(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_merge_bytes"),
+      new ExpressionInfo(classOf[KmvMergeBytes].getName, "graft_kmv_merge_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "graft_kmv_merge_bytes(sketch) takes one argument")
+        KmvMergeBytes(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv_jaccard"),
       new ExpressionInfo(classOf[KmvJaccard].getName, "graft_kmv_jaccard"),
       (args: Seq[Expression]) => {

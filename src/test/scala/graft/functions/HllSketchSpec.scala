@@ -46,6 +46,19 @@ class HllSketchSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("merge_bytes compaction: re-persisted merge keeps the exact registers") {
+    val df = (1 to 6000).map(i => (i % 6, (i % 1500).toString)).toDF("d", "k")
+    val direct = df.agg(call_function("graft_hll_count", col("k"), lit(12)))
+      .head.getDouble(0)
+    // daily sketches → compacted (merge_bytes) per 3-day window → final count
+    val compacted = df
+      .groupBy("d").agg(call_function("graft_hll_bytes", col("k"), lit(12)).as("sk"))
+      .groupBy(col("d") % 2).agg(call_function("graft_hll_merge_bytes", col("sk")).as("sk"))
+      .agg(call_function("graft_hll_merge_count", col("sk")))
+      .head.getDouble(0)
+    assert(compacted == direct)
+  }
+
   test("small-m alpha constants and linear-counting branch") {
     // tiny precision: m=16 uses alpha=0.673; few keys → linear counting
     val st = new HllState(4)

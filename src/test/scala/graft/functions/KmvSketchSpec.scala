@@ -50,6 +50,18 @@ class KmvSketchSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("merge_bytes compaction keeps the full KMV algebra downstream") {
+    val df = (1 to 6000).map(i => (i % 7, (i % 2000).toString)).toDF("g", "k")
+    val direct = df.agg(call_function("graft_kmv_count", col("k"), lit(64)))
+      .head.getDouble(0)
+    val compacted = df
+      .groupBy("g").agg(call_function("graft_kmv_bytes", col("k"), lit(64)).as("sk"))
+      .groupBy(col("g") % 2).agg(call_function("graft_kmv_merge_bytes", col("sk")).as("sk"))
+      .agg(call_function("graft_kmv_merge_count", col("sk")))
+      .head.getDouble(0)
+    assert(compacted == direct)
+  }
+
   test("jaccard estimate tracks true overlap") {
     def sketch(ids: Range): Array[Byte] =
       ids.map(_.toString).toDF("k")
