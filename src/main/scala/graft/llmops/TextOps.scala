@@ -543,6 +543,115 @@ object TextOps {
     * per-doc ordered reassembly (array_sort over the doc's own
     * chunks — bounded by document size, not corpus size).
     */
+  /** Sliding-window duplicate-SPAN removal — the offset-invariant
+    * substring-dedup modality (the approach popularized by Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — public literature; realized here with fixed-L sliding
+    * windows instead of a suffix array, the standard distributed
+    * approximation). [[removeDuplicateChunks]] tiles the doc into
+    * NON-overlapping chunks, so a duplicated passage straddling a
+    * chunk boundary — or starting at a different offset in each copy —
+    * escapes it; a sliding L-token window catches a duplicated run at
+    * ANY alignment: every window occurring ≥ 2 times corpus-wide
+    * (cross-doc or repeated within one doc) marks its L positions
+    * covered, and covered tokens are dropped from the rebuilt text.
+    *
+    * Scale shape: windows are (len−L+1) rows per doc with an 8-byte
+    * xxhash64 shuffle key — one frequency aggregation + one
+    * co-partitioned join back, same plan family as the chunk pass;
+    * interval merging happens per-doc in bounded Column HOFs (O(len ·
+    * dup-starts) worst case, i.e. O(len²) for a fully-duplicated doc —
+    * per-doc bounded, never cross-doc). Fully-duplicated docs return
+    * empty text, not dropped rows.
+    *
+    * Returns (id, n_kept, clean_text).
+    */
+  def removeDuplicateSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // same normalization as tokens()/the oracle's toksSql, compiled
+    val docs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim.split(" ").toSeq)
+      }
+      .toDF("id", "toks")
+    // window keys via token-level Rabin-Karp over per-token Horner
+    // hashes: O(len) per doc instead of O(len·spanLen) string builds —
+    // a first version that concat_ws'd every window measured 5.9 s vs
+    // 1.8 s for the chunk pass at sf0.1; equality semantics match the
+    // oracle's window-string compare (mod-2^64 collisions aside, which
+    // the hash-gate would surface)
+    val win = docs.as[(Long, Seq[String])].flatMap { case (id, tk) =>
+      val n = tk.length
+      val m = n - spanLen + 1
+      if (m < 1) Iterator.empty
+      else {
+        val th = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var h = 0L
+          val s = tk(i)
+          var j = 0
+          while (j < s.length) { h = h * 257L + s.charAt(j); j += 1 }
+          th(i) = h * 257L + 32L // trailing separator disambiguates ("ab","c") vs ("a","bc")
+          i += 1
+        }
+        val B = 1099511628211L // odd ⇒ invertible mod 2^64, error never cancels
+        var pow = 1L
+        var j = 1
+        while (j < spanLen) { pow *= B; j += 1 }
+        var h = 0L
+        i = 0
+        while (i < spanLen) { h = h * B + th(i); i += 1 }
+        val out = new Array[(Long, Int, Long)](m)
+        out(0) = (id, 1, h)
+        i = 1
+        while (i < m) {
+          h = (h - th(i - 1) * pow) * B + th(i + spanLen - 1)
+          out(i) = (id, i + 1, h)
+          i += 1
+        }
+        out.iterator
+      }
+    }.toDF("id", "start", "h")
+    val freq = win.groupBy("h").agg(count(lit(1)).as("df"))
+    val dupStarts = win.join(freq, "h").filter(col("df") >= 2)
+      .groupBy("id").agg(collect_list(col("start")).as("starts"))
+    // compiled rebuild: boolean cover array, single append pass
+    docs.join(dupStarts, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .as[(Long, Seq[String], Seq[Int])]
+      .map { case (id, tk, starts) =>
+        val n = tk.length
+        val covered = new Array[Boolean](n)
+        starts.foreach { s0 =>
+          var j = s0 - 1
+          val end = math.min(n, s0 - 1 + spanLen)
+          while (j < end) { covered(j) = true; j += 1 }
+        }
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var i = 0
+        while (i < n) {
+          if (!covered(i)) {
+            if (kept > 0) sb.append(' ')
+            sb.append(tk(i))
+            kept += 1
+          }
+          i += 1
+        }
+        (id, kept, sb.toString)
+      }
+      .toDF("id", "n_kept", "clean_text")
+  }
+
   def removeDuplicateChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 8, maxDf: Long = 1)
       : org.apache.spark.sql.DataFrame = {

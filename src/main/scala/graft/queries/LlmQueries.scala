@@ -258,6 +258,16 @@ object LlmQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // Sliding-window duplicate-SPAN removal (the Lee et al. substring
+    // modality): a duplicated 20-token run is caught at ANY alignment,
+    // not just on chunk boundaries; covered tokens drop, md5 pins the
+    // rebuilt text byte-for-byte.
+    "span_clean" -> ((s, dir) =>
+      TextOps.removeDuplicateSpans(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // Gopher document-shape rules: per-rule measurements + fused keep.
     "gopher_filter" -> ((s, dir) =>
       TextOps.gopherFilter(documents(s, dir), "doc_id", "text")
@@ -1130,6 +1140,28 @@ object LlmQueries {
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
     // chunk_clean: same chunking (tail partial included), df-filter,
     // and ordered reassembly.
+    // windows compared as strings (engine's xxhash64 is an 8-byte
+    // stand-in for the same equality); covered positions = union of
+    // [start, start+20) over duplicated windows, anti-joined away
+    "span_clean" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |win AS (
+         |  SELECT doc_id, i AS start,
+         |    array_to_string(arr[i:i+19], ' ') AS wtext
+         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 18)) AS i FROM toks)),
+         |freq AS (SELECT wtext FROM win GROUP BY 1 HAVING count(*) >= 2),
+         |dup AS (SELECT DISTINCT w.doc_id, w.start FROM win w JOIN freq f USING (wtext)),
+         |cov AS (SELECT DISTINCT d.doc_id, d.start + t.o AS pos
+         |  FROM dup d CROSS JOIN (SELECT unnest(range(0, 20)) AS o) t),
+         |pos AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS p FROM toks),
+         |kept AS (SELECT pos.doc_id, pos.p, arr[pos.p] AS tok
+         |  FROM pos ANTI JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.pos),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY p) AS clean FROM kept GROUP BY 1)
+         |SELECT t.doc_id, COALESCE(reb.n_kept, 0) AS n_kept,
+         |  md5(COALESCE(reb.clean, '')) AS clean_md5
+         |FROM toks t LEFT JOIN reb USING (doc_id)
+         |ORDER BY t.doc_id"""),
     "chunk_clean" -> w(
       s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
          |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,

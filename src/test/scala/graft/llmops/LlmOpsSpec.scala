@@ -170,6 +170,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(cleaned.toSeq == Seq((0L, ""), (0L, "")))
   }
 
+  test("duplicate-span removal catches runs at ANY alignment") {
+    // a 6-token run duplicated at DIFFERENT offsets (1 vs 3) — the
+    // non-overlapping chunk pass can miss this; sliding windows can't
+    val run = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (0L, s"$run tail0 tail1"),             // run at offset 1
+      (1L, s"lead0 lead1 $run other stuff"), // run at offset 3
+      (2L, "fully unique document body here")).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicateSpans(corpus, "doc_id", "text", spanLen = 6)
+      .orderBy("id").select("id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(out(0) == ((0L, 2L, "tail0 tail1")))
+    assert(out(1) == ((1L, 4L, "lead0 lead1 other stuff")))
+    assert(out(2) == ((2L, 5L, "fully unique document body here")))
+    // within-doc repetition counts as duplication too
+    val selfDup = Seq((0L, s"$run and then $run again")).toDF("doc_id", "text")
+    val sd = TextOps.removeDuplicateSpans(selfDup, "doc_id", "text", spanLen = 6)
+      .select("clean_text").as[String].head()
+    assert(sd == "and then again")
+    // docs shorter than the span are untouched; identical docs empty out
+    val shortAndDup = Seq(
+      (0L, "tiny doc"), (1L, run), (2L, run)).toDF("doc_id", "text")
+    val res = TextOps.removeDuplicateSpans(shortAndDup, "doc_id", "text", spanLen = 6)
+      .orderBy("id").select("clean_text").as[String].collect()
+    assert(res.toSeq == Seq("tiny doc", "", ""))
+  }
+
   test("gopher rules: measurements and keep thresholds") {
     val short = "the quick brown fox jumps over the lazy dog today" // 10 toks, mean wlen 4.0
     val longDoc = (short + " ") * 5 + short // 60 toks: passes length
