@@ -87,6 +87,33 @@ object RelQueries {
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")),
 
+    // Binned range join (RangeJoin.binnedRangeJoin): lineitems shipped
+    // within 3 days of ANY urgent order's placement — a pure interval
+    // predicate with NO equi-key, which the planner alone could only
+    // run as a cartesian (CI-banned). Day-wide bins turn it into one
+    // hash equi-join + exact post-filter; the oracle runs DuckDB's
+    // native range join over the same predicate.
+    "range_join" -> ((s, dir) => {
+      val dayUs = 86400L * 1000000L
+      val li = lineitem(s, dir)
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"))
+      val ord = orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderdate"))
+      graft.operators.RangeJoin.binnedRangeJoin(
+        li, ord,
+        unix_micros(col("l_shipdate").cast("timestamp")),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        unix_micros(col("o_orderdate").cast("timestamp")) + lit(3L * dayUs),
+        dayUs)
+        .groupBy(col("l_returnflag"))
+        // quantity, not extendedprice: at this join's fan-out a 3.8e9
+        // price sum accumulates order-dependent noise past the 4th
+        // decimal; quantity sums stay ~1e6 where round(,4) is stable
+        .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // union(): schema-merged bag union (missing columns null-filled).
     "union_merge" -> ((s, dir) => {
       val clicks = ev(s, dir).where(col("event_type") === "click").keep("event_id", "value", "event_type")
@@ -188,6 +215,15 @@ object RelQueries {
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1"""),
+    // DuckDB's native range join over the identical interval predicate
+    "range_join" -> w(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS qty
+        |FROM lineitem JOIN orders
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 3 DAY
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1"""),
     // plain filtered join: the bloom prefilter must be invisible
     "bloom_join" -> w(
