@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.dsl.SeriesScan
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Telemetry anomaly detection over the series model the Flux surface
+  * exposes (per-series robust outliers + sequential drift alarms) —
+  * the monitoring verbs a timeseries engine's users reach for right
+  * after downsampling (reference scope: the engine's query surface is
+  * the alerting substrate, `aws-greengrass-labs-database-influxdb
+  * /README.md` positions the component as the telemetry store that
+  * Grafana/alerting reads).
+  *
+  * Scale shape: both detectors are per-series and single-pass beyond
+  * their parameter aggregates. [[madFlags]] is two grouped exact
+  * percentiles plus joins that all hash on the SAME series key — the
+  * aggregates' output partitioning is reused, no extra exchange
+  * family. [[cusum]] is one grouped moment aggregate plus ONE
+  * co-located sequential scan ([[SeriesScan.scanDouble]]: repartition
+  * by series, in-partition sort, O(1) state) — the recurrence
+  * S_t = max(0, S_{t-1} + (x_t − μ − kσ)) cannot be expressed in
+  * window algebra without an O(n²) closed form, so it rides the same
+  * justified mapPartitions path as the EMA family.
+  */
+object AnomalyOps {
+
+  /** Median-absolute-deviation outlier flags: per series key, flag
+    * rows where |x − median| > k · MAD (MAD = median of |x − median|).
+    * Robust to the outliers it hunts (unlike z-scores, whose μ/σ the
+    * outliers themselves drag). Adds `med`, `abs_dev`, `mad`,
+    * `is_anom` to the frame. Exact interpolated percentiles — the
+    * same `percentile` the quantile verb uses, so the arithmetic is
+    * engine-replicable bit-for-bit.
+    */
+  def madFlags(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(keyCols.nonEmpty, "madFlags needs a series key")
+    val keys = keyCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = df.join(med, keyCols)
+      .withColumn("abs_dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(percentile(col("abs_dev"), lit(0.5)).as("mad"))
+    dev.join(mad, keyCols)
+      .withColumn("is_anom", col("abs_dev") > lit(k) * col("mad"))
+  }
+
+  /** One-sided CUSUM drift alarms (Page 1954): per series,
+    * S_t = max(0, S_{t-1} + (x_t − μ − slack·σ)), alarm while
+    * S_t > thresh·σ — the classic sequential detector for a sustained
+    * upward mean shift, which threshold-per-point alerting misses.
+    * μ/σ are the series' own moments ROUNDED to 4 decimals before the
+    * recurrence: the rounding pins the sequential arithmetic to
+    * inputs any engine reproduces exactly, so a ulp of distributed-
+    * sum jitter in μ cannot cascade through ten thousand max(0,·)
+    * steps. Adds `mu`, `sg`, `cusum`, `alarm`.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, slackSigmas: Double = 0.5,
+      threshSigmas: Double = 4.0): DataFrame = {
+    require(keyCols.nonEmpty, "cusum needs a series key")
+    val keys = keyCols.map(col)
+    val stats = df.groupBy(keys: _*).agg(
+      round(avg(col(valueCol)), 4).as("mu"),
+      round(stddev_pop(col(valueCol)), 4).as("sg"))
+    val j = df.join(stats, keyCols)
+      .withColumn("xdev",
+        col(valueCol) - col("mu") - lit(slackSigmas) * col("sg"))
+    val scanned = SeriesScan.scanDouble(j, keyCols, orderCol, "xdev",
+      "cusum")(0.0) { (s, x) =>
+      val n = math.max(0.0, s + x); (n, n)
+    }
+    scanned
+      .withColumn("alarm", col("cusum") > lit(threshSigmas) * col("sg"))
+      .drop("xdev")
+  }
+}

@@ -203,7 +203,29 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), sum(col("vi")).as("sum_vi"),
           max(col("b").cast("string")).as("bs"),
           count(when((col("value") > 50).cast("boolean"), 1)).as("n_true"))
-        .orderBy("b"))
+        .orderBy("b")),
+
+    // Multi-granularity ROLLUP: (source, lang), (source), () levels in
+    // ONE aggregation pass — grouping-set expansion happens map-side,
+    // so the corpus scans once where three separate GROUP BYs would
+    // scan (and shuffle) three times. The dashboard drill-down shape.
+    "rollup_stats" -> ((s, dir) =>
+      documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source", "lang")),
+
+    // CUBE over (event_type, value-decile bucket): all four grouping
+    // sets from one scan; long-typed measures keep the gate integer-
+    // exact at every level including the grand total.
+    "cube_stats" -> ((s, dir) =>
+      ev(s, dir)
+        .withCol("vb", (col("value").cast("long") / 10L).cast("long"))
+        .toDF
+        .cube(col("event_type"), col("vb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_vi"))
+        .orderBy("event_type", "vb"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -310,6 +332,18 @@ object RelQueries {
         |  CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_vi,
         |  max(CAST(CAST(trunc(value) AS BIGINT) % 10 AS VARCHAR)) AS bs,
         |  count(CASE WHEN value > 50 THEN 1 END) AS n_true
-        |FROM events GROUP BY 1 ORDER BY 1""")
+        |FROM events GROUP BY 1 ORDER BY 1"""),
+    // grouping-set levels must agree row-for-row, NULL markers included
+    "rollup_stats" -> w(
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP (source, lang) ORDER BY 1, 2"""),
+    // value buckets via trunc (Spark's long cast truncates, DuckDB's
+    // rounds); // is floor division, == trunc for the positive values
+    "cube_stats" -> w(
+      """SELECT event_type, CAST(trunc(value) AS BIGINT) // 10 AS vb,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_vi
+        |FROM events GROUP BY CUBE (event_type, vb) ORDER BY 1, 2""")
   )
 }

@@ -239,7 +239,38 @@ object WindowQueries {
           (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"),
           r4(sum(col("value"))).as("sum_v"))
         .orderBy("user_id", "session")
-    })
+    }),
+
+    // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
+    // outlier rule (the median pair the outliers can't drag, unlike
+    // z-scores). Two exact grouped percentiles + joins all hashed on
+    // the same series key; rolled up to per-type counts.
+    "anomaly_mad" -> ((s, dir) =>
+      graft.operators.AnomalyOps
+        .madFlags(events(s, dir).select("event_type", "value"),
+          Seq("event_type"), "value", 3.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"),
+          r4(min(col("med"))).as("med"), r4(min(col("mad"))).as("mad"))
+        .orderBy("event_type")),
+
+    // CUSUM drift alarms: S_t = max(0, S_{t−1} + (x − μ − 0.5σ)),
+    // alarm while S > 4σ — the sequential mean-shift detector. μ/σ
+    // round to 4dp before the recurrence so the sequential chain is
+    // engine-exact; the scan is the EMA family's one-shuffle
+    // co-located pass, the oracle replays it as a recursive CTE.
+    "cusum_drift" -> ((s, dir) =>
+      graft.operators.AnomalyOps
+        .cusum(events(s, dir)
+            .withColumn("ts_us", expr("ts_ns div 1000"))
+            .select("event_type", "ts_us", "value"),
+          Seq("event_type"), "ts_us", "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          r4(max(col("cusum"))).as("max_s"))
+        .orderBy("event_type"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -480,6 +511,49 @@ object WindowQueries {
         |  FROM g)
         |SELECT user_id, session, count(*) AS n,
         |  max(tus) - min(tus) AS dur_us, round(sum(value), 4) AS sum_v
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""")
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // anomaly_mad: the same interpolated percentiles as `quantiles`,
+    // the same |x − med| expression tree, strict > on the 3·MAD bound
+    "anomaly_mad" -> w(
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, abs(e.value - med.med) AS ad, med.med
+        |  FROM events e JOIN med USING (event_type)),
+        |m AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anom,
+        |  round(min(d.med), 4) AS med, round(min(m.mad), 4) AS mad
+        |FROM d JOIN m USING (event_type) GROUP BY 1 ORDER BY 1"""),
+    // cusum_drift: the recurrence replayed as a recursive CTE in the
+    // same µs row order; μ/σ round to 4dp on both sides, each step's
+    // increment parenthesized to mirror the engine's precomputed xdev
+    "cusum_drift" -> w(
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+        |      AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, round(avg(value), 4) AS mu,
+        |    round(stddev_pop(value), 4) AS sg
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.rn,
+        |    greatest(0.0, e.value - st.mu - 0.5 * st.sg) AS s
+        |  FROM ev e JOIN st USING (event_type) WHERE e.rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn,
+        |    greatest(0.0, c.s + (e.value - st.mu - 0.5 * st.sg))
+        |  FROM c JOIN ev e ON e.event_type = c.event_type AND e.rn = c.rn + 1
+        |  JOIN st ON st.event_type = e.event_type)
+        |SELECT c.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN c.s > 4.0 * st.sg THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  round(max(c.s), 4) AS max_s
+        |FROM c JOIN st ON st.event_type = c.event_type
+        |GROUP BY 1 ORDER BY 1""")
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Anomaly detectors (operators/AnomalyOps.scala): MAD flags exactly
+  * the planted outliers (and is robust to them — the medians don't
+  * move), CUSUM alarms on a sustained small shift that per-point
+  * thresholds miss, and neither fires on the clean series.
+  */
+class AnomalyOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100 points oscillating tightly around 10, plus two gross outliers
+  private def spiky = ((1 to 100).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) ++
+    Seq(("a", 101L, 500.0), ("a", 102L, -500.0))).toDF("k", "t", "v")
+
+  test("madFlags catches exactly the planted outliers") {
+    val out = AnomalyOps.madFlags(spiky, Seq("k"), "v", 3.0)
+    val flagged = out.filter(col("is_anom")).select("v").as[Double].collect().sorted
+    assert(flagged.toSeq == Seq(-500.0, 500.0))
+    // robustness: the outliers must not drag the center estimate
+    val med = out.select("med").head.getDouble(0)
+    assert(med >= 10.0 && med <= 10.5)
+  }
+
+  test("madFlags flags nothing on a clean series") {
+    val clean = (1 to 50).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)).toDF("k", "t", "v")
+    assert(AnomalyOps.madFlags(clean, Seq("k"), "v", 3.0)
+      .filter(col("is_anom")).count() == 0)
+  }
+
+  test("cusum alarms on a sustained small shift, not on the stable prefix") {
+    // 200 points at 10±0.2, then 100 points shifted up by ~1.5σ — each
+    // shifted point alone is inside any per-point band, but the drift
+    // accumulates
+    val rows = (1 to 200).map(i => ("a", i.toLong, 10.0 + (i % 5 - 2) * 0.1)) ++
+      (201 to 300).map(i => ("a", i.toLong, 10.6 + (i % 5 - 2) * 0.1))
+    val out = AnomalyOps.cusum(rows.toDF("k", "t", "v"), Seq("k"), "t", "v")
+    val alarms = out.filter(col("alarm")).select("t").as[Long].collect()
+    assert(alarms.nonEmpty, "sustained shift must raise an alarm")
+    assert(alarms.min > 200, s"no alarm may fire before the shift, got ${alarms.min}")
+  }
+
+  test("cusum stays quiet on a stationary series") {
+    val rows = (1 to 300).map(i => ("a", i.toLong, 10.0 + (i % 7 - 3) * 0.1))
+    assert(AnomalyOps.cusum(rows.toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .filter(col("alarm")).count() == 0)
+  }
+
+  test("both detectors keep series independent") {
+    val rows = (1 to 100).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) ++
+      (1 to 100).map(i => ("b", i.toLong, 1000.0 + (i % 5) * 10.0))
+    val mad = AnomalyOps.madFlags(rows.toDF("k", "t", "v"), Seq("k"), "v", 3.0)
+    // b's scale is 100× a's: neither series may flag the other's rows
+    assert(mad.filter(col("is_anom")).count() == 0)
+    val meds = mad.groupBy("k").agg(min("med")).as[(String, Double)].collect().toMap
+    assert(meds("a") < 11 && meds("b") > 999)
+  }
+}
