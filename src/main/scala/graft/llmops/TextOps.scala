@@ -527,6 +527,61 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
   }
 
+  /** Interpolated bigram-LM per-document negative log-likelihood — the
+    * next step from [[unigramNll]] toward the 5-gram KenLM filter CCNet
+    * actually runs: P(w|p) = λ·c(p,w)/c(p,·) + (1−λ)·c(w)/T, scored
+    * over every transition, `nll(d) = Σ −ln P / transitions`. The
+    * interpolation backstops unseen-in-context words with the unigram
+    * model, so every observed transition has positive probability
+    * (both models train on the corpus being scored, the standard
+    * self-perplexity filter setup).
+    *
+    * Scale shape decides the join strategy: the UNIGRAM model is
+    * vocabulary-sized → broadcast (like unigramNll), but the BIGRAM
+    * model grows toward vocab² and at 100 TB does NOT fit an executor —
+    * it stays a distributed table, and scoring joins doc-transition
+    * counts against it with a hash shuffle co-partitioned on the
+    * bigram key (both sides just aggregated on that very key, so the
+    * planner reuses the partitioning; no broadcast of an unbounded
+    * model). λ defaults to 0.5, exactly representable in binary so
+    * `1−λ` is ulp-identical across engines. Per-doc sums fold in
+    * (p,w) order — the family's FP-determinism discipline. Returns
+    * (id, n_bi, nll); documents with fewer than 2 tokens drop (no
+    * transitions to score).
+    */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val pairs = toks.select(col("id"), explode(zip_with(
+      slice(col("arr"), lit(1), size(col("arr")) - 1),
+      slice(col("arr"), lit(2), size(col("arr")) - 1),
+      (p, w) => struct(p.as("p"), w.as("w")))).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.w").as("w"))
+    val dbf = pairs.groupBy("id", "p", "w")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val bc = dbf.groupBy("p", "w").agg(sum("cnt").as("bcnt"))
+    val pc = bc.groupBy("p").agg(sum("bcnt").as("pcnt"))
+    // unigram model over ALL tokens (not just bigram participants):
+    // last tokens count too, mirroring a separately-trained unigram LM
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("ucnt"))
+    val ut = uni.agg(sum("ucnt").as("ut"))
+    val per = dbf
+      .join(bc, Seq("p", "w"))
+      .join(pc, Seq("p"))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(ut))
+      .withColumn("s", col("cnt") * -log(
+        lit(lambda) * (col("bcnt") / col("pcnt")) +
+          lit(1 - lambda) * (col("ucnt") / col("ut"))))
+    per.groupBy("id").agg(
+      sum(col("cnt")).cast("long").as("n_bi"),
+      (aggregate(
+        array_sort(collect_list(struct(col("p"), col("w"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
+  }
+
   /** Duplicate-passage REMOVAL (the C4/CCNet cleanup step itself, not
     * just [[chunkDupStats]]'s measurement): the text splits into
     * non-overlapping k-token chunks (tail partial chunk included —

@@ -314,6 +314,16 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("n_tok"), r4(col("nll")).as("nll"))
         .orderBy("doc_id")),
 
+    // Interpolated bigram LM (λ=0.5 bigram + unigram backstop) trained
+    // on the corpus, every doc scored by mean transition −ln P — the
+    // KenLM-shaped filter one order up from unigram_nll; the bigram
+    // model is a JOINED table, not a broadcast (it doesn't fit one at
+    // scale), which is what this gate exercises.
+    "bigram_nll" -> ((s, dir) =>
+      TextOps.bigramNll(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bi"), r4(col("nll")).as("nll"))
+        .orderBy("doc_id")),
+
     // URL-level dedup: extract → canonicalize (drop query/fragment,
     // lowercase scheme+host) → group by canonical URL with a min-id
     // survivor — the first (cheapest) dedup stage of a crawl pipeline.
@@ -1282,6 +1292,32 @@ object LlmQueries {
          |      / sum(cnt) AS nll
          |  FROM per GROUP BY 1)
          |SELECT doc_id, n_tok, round(nll, 4) AS nll FROM agg ORDER BY doc_id"""),
+
+    // bigram_nll: both LMs rebuilt from the same token stream; the
+    // interpolation literal pair (0.5, 1 − 0.5) written exactly as the
+    // engine computes it, fold ordered by (p, w)
+    "bigram_nll" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i
+         |  FROM toks WHERE len(arr) >= 2),
+         |pairs AS (SELECT doc_id, arr[i] AS p, arr[i+1] AS w FROM idx),
+         |dbf AS (SELECT doc_id, p, w, CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |bc AS (SELECT p, w, sum(cnt) AS bcnt FROM dbf GROUP BY 1, 2),
+         |pc AS (SELECT p, sum(bcnt) AS pcnt FROM bc GROUP BY 1),
+         |uni AS (SELECT w, CAST(count(*) AS DOUBLE) AS ucnt FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+         |ut AS (SELECT sum(ucnt) AS ut FROM uni),
+         |per AS (SELECT d.doc_id, d.p, d.w, d.cnt,
+         |    d.cnt * -ln(0.5 * (bc.bcnt / pc.pcnt)
+         |      + (1 - 0.5) * (uni.ucnt / ut.ut)) AS s
+         |  FROM dbf d JOIN bc ON bc.p = d.p AND bc.w = d.w
+         |  JOIN pc ON pc.p = d.p JOIN uni ON uni.w = d.w CROSS JOIN ut),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bi,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY p, w)), (a, b) -> a + b)
+         |      / sum(cnt) AS nll
+         |  FROM per GROUP BY 1)
+         |SELECT doc_id, n_bi, round(nll, 4) AS nll FROM agg ORDER BY doc_id"""),
 
     // url_dedup: same synthesized URLs, same extract/canonicalize
     // regex trees; sums cast out of DuckDB's HUGEINT.

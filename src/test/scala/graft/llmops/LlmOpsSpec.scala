@@ -272,6 +272,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - -math.log(7.0 / 12.0)) < 1e-12)
   }
 
+  test("bigram NLL: closed-form value and in-context ranking") {
+    // corpus transitions: (a,a)×4, (a,b)×2, (b,a)×2  — context a:6, b:2
+    val corpus = Seq(
+      (0L, "a a a"), (1L, "a a a"), (2L, "a b a b a")).toDF("doc_id", "text")
+    val out = TextOps.bigramNll(corpus, "doc_id", "text")
+      .orderBy("id").select("id", "n_bi", "nll")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 4L))
+    // unigrams: a×9, b×2 of 11; doc 0 = two (a,a) transitions:
+    // −ln(0.5·(4/6) + 0.5·(9/11))
+    val exp0 = -math.log(0.5 * (4.0 / 6.0) + 0.5 * (9.0 / 11.0))
+    assert(math.abs(out(0)._3 - exp0) < 1e-12)
+    // (a,a) is the likelier transition, so doc 0 scores below doc 2
+    assert(out(0)._3 < out(2)._3)
+    // single-token docs have no transitions and drop
+    val one = TextOps.bigramNll(Seq((0L, "solo"), (1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(one.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("urls: extraction order, host lowercasing, query/fragment drop") {
     val df = Seq(
       "read HTTPS nope, see https://Ex.COM:8080/A/b?q=1#f then http://ex.com/A/b and https://ex.com/a/B",
