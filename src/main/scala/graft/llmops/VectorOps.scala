@@ -475,6 +475,33 @@ object VectorOps {
     }
   }
 
+  /** Signed random projection (Achlioptas 2001's ±1 database-friendly
+    * JL family — public literature): project `dim`-dim vectors onto
+    * `outDim` md5-derived ±1 directions (the SAME `hp_j_i` family the
+    * LSH buckets use, so the oracle replays the matrix exactly).
+    * Training-free dimensionality reduction: relative angles survive
+    * within the JL distortion bound, so the 4–8× shorter vectors feed
+    * the ANN family (cluster, bucket, shortlist) at a fraction of the
+    * memory/IO — the cheap step BEFORE k-means/PQ when raw dims are
+    * wide.
+    *
+    * Scale shape: the matrix is outDim·dim literal doubles baked into
+    * the plan (KBs — no broadcast, no join); the projection is one
+    * codegen'd HOF per row in the scan stage, no shuffle anywhere.
+    * Each output coordinate folds i ascending (fixed FP order,
+    * engine-replicable). Returns (id, v, p).
+    */
+  def randomProject(vs: DataFrame, dim: Int, outDim: Int): DataFrame = {
+    val signs = lshSigns(outDim, dim)
+    vs.select(col("id"), col("v"))
+      .withColumn("S", typedLit(signs.map(_.toSeq).toSeq))
+      .withColumn("p", expr(
+        s"transform(sequence(0, $outDim - 1), j -> " +
+          s"aggregate(sequence(0, $dim - 1), 0D, (acc, i) -> " +
+          "acc + element_at(v, i + 1) * element_at(element_at(S, j + 1), i + 1)))"))
+      .drop("S")
+  }
+
   /** ANN via random-hyperplane LSH buckets + Hamming-1 multiprobe — the
     * second bucketed scale path next to IVF. Every vector hashes to a
     * `nBits` signature (sign of the dot with each hyperplane); a query

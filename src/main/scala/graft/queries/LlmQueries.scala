@@ -463,6 +463,17 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Signed random projection (JL): 64 → 16 dims through the
+    // md5-derived ±1 matrix — training-free reduction feeding the ANN
+    // family; scan-stage HOFs only, no shuffle. Oracle rebuilds the
+    // matrix and folds each coordinate in the same i order.
+    "rp_project" -> ((s, dir) =>
+      VectorOps.randomProject(
+        VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding"), 64, 16)
+        .select(col("id").as("vec_id"), posexplode(col("p")).as(Seq("j", "pv")))
+        .select(col("vec_id"), col("j"), r4(col("pv")).as("pv"))
+        .orderBy("vec_id", "j")),
+
     // LSH-bucketed ANN (4 random hyperplanes, Hamming-1 multiprobe) —
     // oracle replicates the md5-derived hyperplane family bit-for-bit.
     "ann_lsh" -> ((s, dir) => {
@@ -1803,6 +1814,25 @@ object LlmQueries {
          |    nbr) AS rank
          |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // rp_project: the same hp_j_i sign family as ann_lsh, each output
+    // coordinate folded i-ascending with a 0.0 init
+    "rp_project" -> w(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |signs AS (
+         |  SELECT j, list_transform(range(0, 64), i ->
+         |    CASE WHEN (strpos('0123456789abcdef',
+         |        substring(md5('hp_' || j || '_' || i), 1, 1)) - 1) % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END) AS s
+         |  FROM (SELECT unnest(range(0, 16)) AS j)
+         |), p AS (
+         |  SELECT e.vec_id, s.j,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(0, 64), i -> e.v[i+1] * s.s[i+1])),
+         |      (a, b) -> a + b) AS pv
+         |  FROM e CROSS JOIN signs s)
+         |SELECT vec_id, CAST(j AS INTEGER) AS j, round(pv, 4) AS pv
+         |FROM p ORDER BY vec_id, j"""),
+
     "ann_lsh" -> w(
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |signs AS (

@@ -564,6 +564,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == brute && lsh.size == 6)
   }
 
+  test("random projection: linear, deterministic, JL-preserves gross angles") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val vs = Seq(
+      (0L, base), (1L, base.map(_ * 2.0)), (2L, base.map(-_)),
+      (3L, Array.fill(64)(rnd.nextGaussian())))
+      .toDF("id", "v")
+    val p = VectorOps.randomProject(vs, 64, 16)
+      .select("id", "p").as[(Long, Seq[Double])].collect().toMap
+    assert(p(0).size == 16)
+    // linearity: scaling and negation pass through exactly
+    (0 until 16).foreach { j =>
+      assert(math.abs(p(1)(j) - 2.0 * p(0)(j)) < 1e-9)
+      assert(math.abs(p(2)(j) + p(0)(j)) < 1e-9)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // identical direction stays cos=1; opposite stays −1; an unrelated
+    // vector stays far from ±1 (JL distortion, loose bound)
+    assert(math.abs(cos(p(0), p(1)) - 1.0) < 1e-9)
+    assert(math.abs(cos(p(0), p(2)) + 1.0) < 1e-9)
+    assert(math.abs(cos(p(0), p(3))) < 0.8)
+    // determinism: a second run projects identically
+    val p2 = VectorOps.randomProject(vs, 64, 16)
+      .select("id", "p").as[(Long, Seq[Double])].collect().toMap
+    assert(p2(3) == p(3))
+  }
+
   test("ivf probes only nearest centroid lists but finds in-list neighbors") {
     val vs = Seq(
       (0L, Array(1.0, 0.05)), (1L, Array(1.0, -0.05)), (2L, Array(0.9, 0.1)),
