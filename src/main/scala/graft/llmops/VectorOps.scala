@@ -714,4 +714,96 @@ object VectorOps {
         coalesce(col("rep0"), col("id")).as("rep"),
         (coalesce(col("rep0"), col("id")) === col("id")).as("keep"))
   }
+
+  /** PCA top components by covariance aggregation + driver-side power
+    * iteration (the classical method; see e.g. Golub & Van Loan,
+    * "Matrix Computations") — the DATA-AWARE dimensionality reduction
+    * next to [[randomProject]]'s oblivious one: components follow the
+    * corpus's actual variance directions, so the same target dim
+    * preserves more structure (at the cost of a training pass).
+    *
+    * Scale shape: the corpus is touched by exactly two aggregations —
+    * per-coordinate means (dim cells) and the covariance's
+    * (i, j)-cell sums (dim² cells, map-side partially aggregated; the
+    * n·dim² product rows exist only inside the scan stage, never in a
+    * shuffle). Only those aggregated dim²+dim cells reach the driver
+    * (audited collects) — the eigen-iteration then runs on a dim×dim
+    * matrix, which is driver-trivial at any corpus size. Both
+    * aggregates ROUND to 6dp before iteration (the [[graft.operators
+    * .AnomalyOps.cusum]] trick): the long deterministic eigen-chain
+    * starts from inputs any engine reproduces exactly. Deterministic
+    * throughout: e₀ start vector, fixed iteration count, ascending-
+    * index folds, Hotelling deflation between components.
+    *
+    * Returns (mean, components, eigenvalues): components are unit
+    * vectors, eigenvalues their variances.
+    */
+  def pcaTrain(vs: DataFrame, dim: Int, nComp: Int = 2, iters: Int = 8)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val n = vs.count().toDouble
+    val pe = vs.select(posexplode(col("v")).as(Seq("i", "xi")))
+    val mean = new Array[Double](dim)
+    // dim aggregated cells — coordinate means, never corpus rows
+    pe.groupBy("i").agg(round(avg("xi"), 6).as("m")).collect()
+      .foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    val mLit = typedLit(mean.toSeq)
+    val cov = Array.ofDim[Double](dim, dim)
+    // dim² aggregated cells — the covariance matrix, never corpus rows
+    vs.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .withColumn("p",
+        (col("xi") - element_at(mLit, col("i") + 1)) *
+          (col("xj") - element_at(mLit, col("j") + 1)))
+      .groupBy("i", "j").agg(round(sum("p") / lit(n), 6).as("c"))
+      .collect()
+      .foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+
+    def matVec(c: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += c(i)(j) * v(j); j += 1 }; s
+      }
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i) * v(i); i += 1 }; math.sqrt(s)
+    }
+    var c = cov
+    val comps = Array.ofDim[Double](nComp, dim)
+    val eig = new Array[Double](nComp)
+    for (k <- 0 until nComp) {
+      var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 0 until iters) {
+        val w = matVec(c, v)
+        val nm = norm(w)
+        v = w.map(_ / nm)
+      }
+      val w = matVec(c, v)
+      var lam = 0.0
+      var li = 0
+      while (li < dim) { lam += v(li) * w(li); li += 1 }
+      comps(k) = v; eig(k) = lam
+      // Hotelling deflation: remove the found direction, iterate again
+      c = Array.tabulate(dim, dim)((i, j) => c(i)(j) - lam * v(i) * v(j))
+    }
+    (mean, comps, eig)
+  }
+
+  /** Project vectors onto trained PCA components: scores[k] =
+    * Σ_i (v_i − mean_i)·comp_k[i], folded i-ascending. Mean and
+    * components ride the plan as literals (KBs) — scan-stage HOFs,
+    * no shuffle, no broadcast table. Returns (id, v, p).
+    */
+  def pcaProject(vs: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]]): DataFrame = {
+    val dim = mean.length
+    vs.select(col("id"), col("v"))
+      .withColumn("M", typedLit(mean.toSeq))
+      .withColumn("C", typedLit(comps.map(_.toSeq).toSeq))
+      .withColumn("p", expr(
+        s"transform(sequence(0, ${comps.length - 1}), k -> " +
+          s"aggregate(sequence(0, $dim - 1), 0D, (acc, i) -> " +
+          "acc + (element_at(v, i + 1) - element_at(M, i + 1)) * " +
+          "element_at(element_at(C, k + 1), i + 1)))"))
+      .drop("M", "C")
+  }
 }

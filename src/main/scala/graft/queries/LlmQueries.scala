@@ -463,6 +463,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // PCA projection: covariance pass + 8 deterministic power
+    // iterations × 2 Hotelling-deflated components, then per-vector
+    // scores — the data-aware reduction next to rp_project. The
+    // oracle regenerates means/covariance (rounded 6dp, the moment-
+    // rounding trick) and unrolls every iteration in SQL.
+    "pca_project" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val (mean, comps, _) = VectorOps.pcaTrain(e, 64, 2, 8)
+      VectorOps.pcaProject(e, mean, comps)
+        .select(col("id").as("vec_id"), posexplode(col("p")).as(Seq("k", "s")))
+        .select(col("vec_id"), col("k"), r4(col("s")).as("s"))
+        .orderBy("vec_id", "k")
+    }),
+
     // Signed random projection (JL): 64 → 16 dims through the
     // md5-derived ±1 matrix — training-free reduction feeding the ANN
     // family; scan-stage HOFs only, no shuffle. Oracle rebuilds the
@@ -736,6 +750,56 @@ object LlmQueries {
   )
 
   private def w(s: String) = s.stripMargin
+
+  /** The pca_project oracle, generated: 2 components × 8 power
+    * iterations unrolled as (matvec, norm, normalize) CTE triples over
+    * the 6dp-rounded moment tables, Hotelling deflation between the
+    * components, ascending-index list_reduce folds throughout —
+    * mirroring VectorOps.pcaTrain's driver arithmetic step for step.
+    */
+  private def pcaOracleSql: String = {
+    val iters = 8
+    val fold = "(a, b) -> a + b"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    sb ++= "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),\n"
+    sb ++= "m AS MATERIALIZED (SELECT idx.i, round(avg(e.v[idx.i + 1]), 6) AS m\n" +
+      "  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx GROUP BY idx.i),\n"
+    sb ++= "c0 AS MATERIALIZED (SELECT mi.i AS i, mj.i AS j,\n" +
+      "    round(sum((e.v[mi.i + 1] - mi.m) * (e.v[mj.i + 1] - mj.m))\n" +
+      "      / (SELECT n FROM nn), 6) AS c\n" +
+      "  FROM e CROSS JOIN m mi CROSS JOIN m mj GROUP BY mi.i, mj.i)"
+    for (k <- 0 until 2) {
+      sb ++= s",\nv${k}_0 AS MATERIALIZED (SELECT i, CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END AS x" +
+        " FROM (SELECT unnest(range(0, 64)) AS i))"
+      for (t <- 1 to iters) {
+        sb ++= s",\nw${k}_$t AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(0.0," +
+          s" list(c.c * v.x ORDER BY c.j)), $fold) AS w" +
+          s" FROM c$k c JOIN v${k}_${t - 1} v ON v.i = c.j GROUP BY c.i)"
+        sb ++= s",\nnm${k}_$t AS MATERIALIZED (SELECT sqrt(list_reduce(list_prepend(0.0," +
+          s" list(w * w ORDER BY i)), $fold)) AS nm FROM w${k}_$t)"
+        sb ++= s",\nv${k}_$t AS MATERIALIZED (SELECT i, w / (SELECT nm FROM nm${k}_$t) AS x" +
+          s" FROM w${k}_$t)"
+      }
+      sb ++= s",\nwf$k AS MATERIALIZED (SELECT c.i, list_reduce(list_prepend(0.0," +
+        s" list(c.c * v.x ORDER BY c.j)), $fold) AS w" +
+        s" FROM c$k c JOIN v${k}_$iters v ON v.i = c.j GROUP BY c.i)"
+      sb ++= s",\nlam$k AS MATERIALIZED (SELECT list_reduce(list_prepend(0.0," +
+        s" list(v.x * w.w ORDER BY v.i)), $fold) AS lam" +
+        s" FROM v${k}_$iters v JOIN wf$k w ON w.i = v.i)"
+      if (k == 0)
+        sb ++= s",\nc1 AS MATERIALIZED (SELECT c.i, c.j, c.c - (SELECT lam FROM lam0) * a.x * b.x AS c" +
+          s" FROM c0 c JOIN v0_$iters a ON a.i = c.i JOIN v0_$iters b ON b.i = c.j)"
+    }
+    sb ++= ",\nproj AS (\n"
+    sb ++= (0 until 2).map { k =>
+      s"  SELECT e.vec_id, $k AS k, list_reduce(list_prepend(0.0," +
+        s" list((e.v[v.i + 1] - m.m) * v.x ORDER BY v.i)), $fold) AS s\n" +
+        s"  FROM e CROSS JOIN v${k}_$iters v JOIN m ON m.i = v.i GROUP BY e.vec_id"
+    }.mkString("\n  UNION ALL\n")
+    sb ++= ")\nSELECT vec_id, k, round(s, 4) AS s FROM proj ORDER BY vec_id, k"
+    sb.toString
+  }
 
   /** Winnowing CTE chain replicating [[TextOps.winnowFingerprints]]
     * (k=8, w=4) exactly: Horner k-gram hash mod 2^64 (HUGEINT, mapped
@@ -1814,6 +1878,11 @@ object LlmQueries {
          |    nbr) AS rank
          |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // pca_project: every step of the training replayed — rounded
+    // moments, each power iteration a (matvec, norm, divide) CTE
+    // triple with ascending-index folds, deflation between components
+    "pca_project" -> pcaOracleSql,
+
     // rp_project: the same hp_j_i sign family as ann_lsh, each output
     // coordinate folded i-ascending with a 0.0 init
     "rp_project" -> w(

@@ -594,6 +594,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(p2(3) == p(3))
   }
 
+  test("pca recovers the dominant variance direction; projections center") {
+    val rnd = new scala.util.Random(3)
+    // variance 100× larger along axis 0 than anywhere else, offset mean
+    val vs = (0L until 60L).map { i =>
+      val v = Array.fill(8)(rnd.nextGaussian() * 0.1)
+      v(0) += rnd.nextGaussian() * 10.0 + 5.0
+      (i, v)
+    }.toDF("id", "v")
+    val (mean, comps, eig) = VectorOps.pcaTrain(vs, 8, 2, 8)
+    // component 0 is ±e0 up to noise; eigenvalue ordering strict
+    assert(math.abs(math.abs(comps(0)(0)) - 1.0) < 0.01)
+    assert(eig(0) > 50.0 && eig(1) < 1.0 && eig(0) > eig(1))
+    assert(math.abs(mean(0) - 5.0) < 3.0)
+    // unit components
+    assert(math.abs(comps(0).map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(comps(1).map(x => x * x).sum - 1e-9) < 1.1)
+    // projections are mean-centered: component scores sum to ~0
+    val p = VectorOps.pcaProject(vs, mean, comps)
+      .select("p").as[Seq[Double]].collect()
+    val s0 = p.map(_.head).sum / p.length
+    assert(math.abs(s0) < 0.5)
+    // orthogonality of the two components after deflation
+    val dot = comps(0).zip(comps(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6)
+  }
+
   test("ivf probes only nearest centroid lists but finds in-list neighbors") {
     val vs = Seq(
       (0L, Array(1.0, 0.05)), (1L, Array(1.0, -0.05)), (2L, Array(0.9, 0.1)),
