@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llmops.{BpeOps, DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, VectorOps}
+import graft.llmops.{BpeOps, ClassifierOps, DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -463,6 +463,25 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Logistic-regression quality classifier: md5-hashed bag-of-words
+    // (32 buckets + intercept), 3 full-batch GD iterations at lr=0.1
+    // against the lang='en' label, every doc scored with the trained
+    // weights — the fastText-filter shape with exact arithmetic. The
+    // oracle unrolls all three iterations (margin fold, sigmoid
+    // residual, 6dp-rounded gradient, weight update) in SQL.
+    "lr_quality" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val feat = ClassifierOps.hashFeatures(docs, "doc_id", "text", 32)
+        .localCheckpoint()
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val wv = ClassifierOps.lrTrain(feat, labels, 32, 3, 0.1)
+      ClassifierOps.lrScore(feat, wv)
+        .select(col("id").as("doc_id"), r4(col("p")).as("p"),
+          (col("p") > 0.5).as("pred"))
+        .orderBy("doc_id")
+    }),
+
     // PCA projection: covariance pass + 8 deterministic power
     // iterations × 2 Hotelling-deflated components, then per-vector
     // scores — the data-aware reduction next to rp_project. The
@@ -750,6 +769,47 @@ object LlmQueries {
   )
 
   private def w(s: String) = s.stripMargin
+
+  /** The lr_quality oracle, generated: md5-bucketed count features
+    * (+ intercept row f=32), then 3 gradient-descent iterations
+    * unrolled as (margin, residual, gradient, weight) CTE quadruples —
+    * gradients rounded 6dp exactly like ClassifierOps.lrTrain.
+    */
+  private def lrOracleSql: String = {
+    val iters = 3
+    val fold = "(a, b) -> a + b"
+    val hx = "strpos('0123456789abcdef', substring(md5(term), %d, 1)) - 1"
+    val sb = new StringBuilder
+    sb ++= "WITH lab AS MATERIALIZED (SELECT doc_id AS id, " +
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),\n"
+    sb ++= "feat AS MATERIALIZED (\n" +
+      "  SELECT id, f, CAST(count(*) AS DOUBLE) AS x FROM (\n" +
+      s"    SELECT doc_id AS id, CAST(((${hx.format(1)}) * 16 + (${hx.format(2)})) AS INTEGER) % 32 AS f\n" +
+      s"    FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents))\n" +
+      "  GROUP BY 1, 2\n" +
+      "  UNION ALL SELECT doc_id AS id, 32 AS f, 1.0 AS x FROM documents),\n"
+    sb ++= "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),\n"
+    sb ++= "wr0 AS (SELECT unnest(range(0, 33)) AS f, 0.0 AS w)"
+    for (t <- 1 to iters) {
+      sb ++= s",\nz$t AS MATERIALIZED (SELECT d.id, list_reduce(list_prepend(0.0," +
+        s" list(d.x * w.w ORDER BY d.f)), $fold) AS z" +
+        s" FROM feat d JOIN wr${t - 1} w ON w.f = d.f GROUP BY d.id)"
+      sb ++= s",\nr$t AS MATERIALIZED (SELECT z.id," +
+        s" 1.0 / (1.0 + exp(-z.z)) - y.y AS r" +
+        s" FROM z$t z JOIN lab y ON y.id = z.id)"
+      sb ++= s",\ng$t AS MATERIALIZED (SELECT d.f," +
+        s" round(sum(r.r * d.x) / (SELECT n FROM nn), 6) AS g" +
+        s" FROM feat d JOIN r$t r ON r.id = d.id GROUP BY d.f)"
+      sb ++= s",\nwr$t AS MATERIALIZED (SELECT w.f, w.w - 0.1 * coalesce(g.g, 0.0) AS w" +
+        s" FROM wr${t - 1} w LEFT JOIN g$t g ON g.f = w.f)"
+    }
+    sb ++= s",\nzf AS (SELECT d.id, list_reduce(list_prepend(0.0," +
+      s" list(d.x * w.w ORDER BY d.f)), $fold) AS z" +
+      s" FROM feat d JOIN wr$iters w ON w.f = d.f GROUP BY d.id)"
+    sb ++= "\nSELECT id AS doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p," +
+      " 1.0 / (1.0 + exp(-z)) > 0.5 AS pred FROM zf ORDER BY doc_id"
+    sb.toString
+  }
 
   /** The pca_project oracle, generated: 2 components × 8 power
     * iterations unrolled as (matvec, norm, normalize) CTE triples over
@@ -1878,6 +1938,10 @@ object LlmQueries {
          |    nbr) AS rank
          |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // lr_quality: hashed features + all three GD iterations replayed;
+    // 6dp-rounded gradients pin the weight chain across engines
+    "lr_quality" -> lrOracleSql,
+
     // pca_project: every step of the training replayed — rounded
     // moments, each power iteration a (matvec, norm, divide) CTE
     // triple with ascending-index folds, deflation between components

@@ -54,6 +54,9 @@ object PlanGate {
     // chosen merge pair) per iteration; iterations loop over the same
     // audited site. Never corpus- or vocab-scale.
     "llmops/BpeOps.scala" -> 1,
+    // logistic-regression trainer: one (dim+1)-cell gradient vector
+    // per iteration — model-sized, never corpus rows
+    "llmops/ClassifierOps.scala" -> 1,
     "store/BucketStore.scala" -> 2 // mutation-versioned key + field-type caches (field-count-scale)
   )
 

@@ -594,6 +594,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(p2(3) == p(3))
   }
 
+  test("logistic regression separates hash-distinct vocab; training is deterministic") {
+    def bucket(t: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (((h(0) >> 4) & 0xf) * 16 + (h(0) & 0xf)) % 32
+    }
+    // two marker words guaranteed to land in different feature buckets
+    val words = Seq("alpha", "bravo", "carbon", "delta", "ember", "flint")
+    val w1 = words.head
+    val w2 = words.find(bucket(_) != bucket(w1)).get
+    val docs = ((0L until 10L).map(i => (i, s"$w1 $w1 filler", 1.0)) ++
+      (10L until 20L).map(i => (i, s"$w2 $w2 filler", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val feat = ClassifierOps.hashFeatures(docs, "doc_id", "text", 32)
+    val labels = docs.select(col("doc_id").as("id"), col("y"))
+    val wv = ClassifierOps.lrTrain(feat, labels, 32, 30, 1.0)
+    val scored = ClassifierOps.lrScore(feat, wv)
+      .join(labels, "id")
+      .withColumn("ok", (col("p") > 0.5) === (col("y") === 1.0))
+    assert(scored.filter(!col("ok")).count() == 0, "separable corpus must classify cleanly")
+    // positive-class marker weight above the negative-class marker's
+    assert(wv(bucket(w1)) > 0 && wv(bucket(w2)) < 0)
+    // bit-exact determinism across training runs
+    val wv2 = ClassifierOps.lrTrain(feat, labels, 32, 30, 1.0)
+    assert(wv.toSeq == wv2.toSeq)
+    // intercept feature present exactly once per doc
+    val icpt = feat.filter(col("f") === 32)
+    assert(icpt.count() == 20 && icpt.select("x").distinct().count() == 1)
+  }
+
   test("pca recovers the dominant variance direction; projections center") {
     val rnd = new scala.util.Random(3)
     // variance 100× larger along axis 0 than anywhere else, offset mean
