@@ -42,7 +42,20 @@ object FluxEval {
         * it's a REPL/CLI affordance). Paths resolve strictly INSIDE
         * this directory: absolute paths and `..` segments are refused.
         */
-      csvDir: Option[java.nio.file.Path] = None)
+      csvDir: Option[java.nio.file.Path] = None,
+      /** Field-type lookup (bucket, measurement?, field) → LP kind
+        * ("float"/"integer"/"unsigned"/"string"/"boolean") from the
+        * store's schema cache. When a filter pins `r._field` (and
+        * optionally `r._measurement`), the evaluator uses this to give
+        * `_value` the field's REAL type — string/bool/int fields read
+        * back typed through the text path instead of as the float
+        * column's nulls. Default None → `_value` stays the numeric
+        * column, the pre-existing behavior (and the only choice for
+        * un-pinned multi-field frames, where Flux itself errors on
+        * mixed-type columns).
+        */
+      fieldType: (String, Option[String], String) => Option[String] =
+        (_, _, _) => None)
 
   final case class EvalException(msg: String) extends Exception(msg)
 
@@ -163,11 +176,28 @@ object FluxEval {
         }
       case _ => throw EvalException("pipeline must start with from(bucket: ...) or a table variable")
     }
-    pipe.calls.tail.foldLeft(frame0)((f, c) => apply(f, c, source, env))
+    val bucket0 = pipe.calls.headOption match {
+      case Some(Call("from", args)) =>
+        args.get("bucket").collect { case VStr(b) => b }
+      case _ => None
+    }
+    pipe.calls.tail.foldLeft(frame0)((f, c) => apply(f, c, source, env, bucket0))
+  }
+
+  /** The single string literal a predicate pins `r.<name>` to with
+    * top-level `==` conjuncts (e.g. `r._field == "status" and ...`),
+    * if any — OR branches don't pin (either side may hold).
+    */
+  private def pinnedEq(e: FluxParser.Expr, name: String): Option[String] = e match {
+    case FluxParser.Cmp("==", FluxParser.ColRef(`name`), FluxParser.Lit(VStr(s))) => Some(s)
+    case FluxParser.Cmp("==", FluxParser.Lit(VStr(s)), FluxParser.ColRef(`name`)) => Some(s)
+    case FluxParser.And(l, r) => pinnedEq(l, name).orElse(pinnedEq(r, name))
+    case _ => None
   }
 
   private def apply(f: FluxFrame, call: Call, source: Source,
-      env: Map[String, FluxFrame]): FluxFrame = call.verb match {
+      env: Map[String, FluxFrame], bucket: Option[String] = None): FluxFrame =
+    call.verb match {
     case "range" =>
       // start/stop accept RFC3339 instants OR now-relative durations
       // (`range(start: -1h)`, the Flux default idiom); stop defaults
@@ -176,7 +206,31 @@ object FluxEval {
         call.args.get("stop").map(timeOrRelative(_, source))
           .getOrElse(nsToTimeStr(source.nowNs())))
     case "filter" =>
-      f.where(predicate(lambda(call.args, "fn").body, f, source))
+      val body = lambda(call.args, "fn").body
+      val filtered = f.where(predicate(body, f, source))
+      // typed `_value`: a filter that pins `r._field == "x"` names ONE
+      // field, so `_value` can take that field's real type from the
+      // store's schema cache (string/bool/int fields become readable
+      // through the text path; Flux itself types columns per-field the
+      // same way). Without a pin the frame may span mixed-type fields
+      // and `_value` stays the numeric column as before.
+      (for {
+        b <- bucket
+        fld <- pinnedEq(body, "_field")
+        kind <- source.fieldType(b, pinnedEq(body, "_measurement"), fld)
+        typedCol <- kind match {
+          case "string" => Some("value_s")
+          case "boolean" => Some("value_b")
+          case "integer" => Some("value_i")
+          case "unsigned" => Some("value_u")
+          case _ => None // float/mixed: keep the numeric column
+        }
+        if filtered.df.columns.contains(typedCol) &&
+          filtered.df.columns.contains(filtered.valueCol)
+      } yield filtered.copy(df = filtered.df
+        .drop(filtered.valueCol)
+        .withColumnRenamed(typedCol, filtered.valueCol)))
+        .getOrElse(filtered)
     case "group" =>
       val cols = strArr(call.args, "columns")
       call.args.get("mode") match {

@@ -291,7 +291,10 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       if (tsdb.catalog.bucket(b).isEmpty)
         throw FluxEval.EvalException(s"to(): bucket '$b' not found")
       tsdb.to(b, d)
-    }))
+    }),
+    fieldType = (b, m, fld) =>
+      if (tsdb.catalog.bucket(b).isEmpty) None
+      else tsdb.store.fieldTypes(b, m).get(fld))
 
   // tasks persist in the catalog: a new HttpApi over the same
   // warehouse reschedules them (FluxTasks reload path)
@@ -550,6 +553,9 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             rename = Map("_time" -> "time", "_value" -> "value_f",
               "_measurement" -> "measurement", "_field" -> "field"),
             write = Some(sink),
+            fieldType = (b, m, fld) =>
+              if (tsdb.catalog.bucket(b).isEmpty) None
+              else tsdb.store.fieldTypes(b, m).get(fld),
             buckets = { () =>
               import tsdb.spark.implicits._
               tsdb.catalog.listBuckets.map(b =>

@@ -324,6 +324,49 @@ class FluxSpec extends SparkSpec {
       src.copy(write = None)))
   }
 
+  test("field-pinned filter types _value from the store schema (string/bool/int)") {
+    val tsdb = graft.dsl.Tsdb(spark,
+      java.nio.file.Files.createTempDirectory("graft-typedval-spec").toString)
+    tsdb.catalog.createBucket("telemetry", "o")
+    val t0 = 1704672000L * 1000000000L
+    tsdb.writeLp("telemetry", Seq(
+      s"""svc,host=h1 status="ok",up=true,conns=7i,usage=1.5 $t0""",
+      s"""svc,host=h1 status="degraded",up=false,conns=9i,usage=2.5 ${t0 + 1000000000L}"""))
+    val src = FluxEval.Source(
+      resolve = b => tsdb.from(b),
+      rename = Map("_time" -> "time", "_value" -> "value_f",
+        "_measurement" -> "measurement", "_field" -> "field"),
+      fieldType = (b, m, fld) => tsdb.store.fieldTypes(b, m).get(fld))
+    def q(field: String) = FluxEval.run(
+      s"""from(bucket: "telemetry")
+         ||> filter(fn: (r) => r._measurement == "svc" and r._field == "$field")
+         ||> sort(columns: ["_time"])""".stripMargin, src)
+    val st = q("status")
+    assert(st.schema("_value").dataType == org.apache.spark.sql.types.StringType)
+    assert(st.select("_value").as[String].collect().toSeq == Seq("ok", "degraded"))
+    val up = q("up")
+    assert(up.schema("_value").dataType == org.apache.spark.sql.types.BooleanType)
+    assert(up.select("_value").as[Boolean].collect().toSeq == Seq(true, false))
+    val conns = q("conns")
+    assert(conns.schema("_value").dataType == org.apache.spark.sql.types.LongType)
+    assert(conns.select("_value").as[Long].collect().toSeq == Seq(7L, 9L))
+    // float fields keep the numeric column; no fieldType hook → old path
+    val usage = q("usage")
+    assert(usage.schema("_value").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(usage.select("_value").as[Double].collect().toSeq == Seq(1.5, 2.5))
+    val legacy = FluxEval.run(
+      """from(bucket: "telemetry")
+        ||> filter(fn: (r) => r._field == "status")""".stripMargin,
+      src.copy(fieldType = (_, _, _) => None))
+    assert(legacy.schema("_value").dataType == org.apache.spark.sql.types.DoubleType)
+    // string _value flows through selectors and distinct
+    val lastStatus = FluxEval.run(
+      s"""from(bucket: "telemetry")
+         ||> filter(fn: (r) => r._field == "status")
+         ||> last()""".stripMargin, src)
+    assert(lastStatus.select("_value").as[String].collect().toSeq == Seq("degraded"))
+  }
+
   test("exists parses and filters nulls; not exists inverts it") {
     val p = FluxParser.parse(
       """from(bucket: "b") |> filter(fn: (r) => exists r.error and not exists r.skip)""")
