@@ -200,6 +200,35 @@ object SampleOps {
       .drop("_wkey", "_rank")
   }
 
+  /** Deterministic global shuffle into `n` shards — the pretraining
+    * data-prep step after dedup/filter/mix: every document gets a
+    * pseudo-random shard (`floor(u·n)` on the md5-uniform) and a
+    * pseudo-random position within it (rank of `u`), so a trainer
+    * streaming shard files in pos order sees an order-decorrelated
+    * corpus. RNG-free like the whole sampling family: re-runs,
+    * repartitionings and retries produce the SAME shuffle, and an
+    * appended document displaces nothing (it lands at its hash
+    * position).
+    *
+    * Scale shape: shard assignment is a scan predicate; the position
+    * rank is one shuffle on `shard` + an in-shard sort — each shard
+    * sorts independently in parallel, which is exactly why the corpus
+    * is sharded before ordering (a single global sort would funnel
+    * through one range partitioner). At write time the same plan is
+    * `repartition(shard).sortWithinPartitions(u)` → one file per
+    * shard.
+    */
+  def shardShuffle(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1 shards, got $n")
+    val u = hashU(col(keyCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("_u"), col(keyCol))
+    df.withColumn("_u", u)
+      .withColumn("shard", least(floor(col("_u") * lit(n)), lit(n - 1)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("_u")
+  }
+
   def lengthBuckets(df: DataFrame, textCol: String, width: Int): DataFrame = {
     val n = TextOps.tokenCount(col(textCol)).cast("long")
     df.select((n - (n % width)).as("bucket_lo"), n.as("n_tok"))

@@ -406,6 +406,27 @@ object TextOps {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\+\\d{10,15}"
 
+  /** HTML → text extraction, the first step of every crawl pipeline
+    * (the regex approximation of trafilatura/jusText's DOM walk —
+    * honest about what it is: tag/script/style removal + the six
+    * core entities + whitespace collapse, not content-vs-boilerplate
+    * scoring, which [[removeDuplicateChunks]] handles corpus-wide
+    * instead). Patterns live in the Java∩RE2 subset (no backrefs, no
+    * lookaround) like the PII family, so the oracle replays them
+    * verbatim; replace order is part of the contract (`&amp;` LAST —
+    * double-escaped entities resolve one level, like real parsers).
+    * Pure scan projection: codegen'd regexp_replace chain, no shuffle.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => regexp_replace(c, k, v) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Occurrences of one PII pattern. */
   def piiCount(text: Column, pattern: String): Column =
     size(call_function("regexp_extract_all", text, lit(pattern), lit(0)))

@@ -715,6 +715,34 @@ object VectorOps {
         (coalesce(col("rep0"), col("id")) === col("id")).as("keep"))
   }
 
+  /** Per-dimension z-standardization — the feature-scaling step before
+    * distance-based ops when raw dimensions have wildly different
+    * scales (whitening-lite; full whitening = this + [[pcaTrain]]'s
+    * rotation). One aggregation computes the 6dp-rounded per-dimension
+    * moments (dim cells, audited collect); the normalization itself is
+    * a scan-stage HOF with the moments as plan literals — no shuffle,
+    * no broadcast table. Zero-variance dimensions map to 0 (no
+    * information, no NaN). Returns (id, v, z).
+    */
+  def standardize(vs: DataFrame, dim: Int): DataFrame = {
+    val m = new Array[Double](dim)
+    val sd = new Array[Double](dim)
+    // dim aggregated moment cells, never corpus rows
+    vs.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(round(avg("x"), 6).as("m"),
+        round(stddev_pop(col("x")), 6).as("s"))
+      .collect()
+      .foreach { r => m(r.getInt(0)) = r.getDouble(1); sd(r.getInt(0)) = r.getDouble(2) }
+    vs.select(col("id"), col("v"))
+      .withColumn("M", typedLit(m.toSeq))
+      .withColumn("S", typedLit(sd.toSeq))
+      .withColumn("z", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+          "IF(element_at(S, i + 1) = 0D, 0D, " +
+          "(element_at(v, i + 1) - element_at(M, i + 1)) / element_at(S, i + 1)))"))
+      .drop("M", "S")
+  }
+
   /** PCA top components by covariance aggregation + driver-side power
     * iteration (the classical method; see e.g. Golub & Van Loan,
     * "Matrix Computations") — the DATA-AWARE dimensionality reduction

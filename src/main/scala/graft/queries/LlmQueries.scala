@@ -463,6 +463,57 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Deterministic global shuffle into 8 shards: md5-uniform shard +
+    // within-shard rank — the trainer-facing corpus ordering step.
+    // Full (doc, shard, pos) listing keeps the gate order-exact.
+    "shard_shuffle" -> ((s, dir) =>
+      SampleOps.shardShuffle(documents(s, dir), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
+    // HTML boilerplate strip: synthesized page chrome (script/style/
+    // tags/entities) around each doc must come back out byte-exact.
+    "html_strip" -> ((s, dir) => {
+      val page = concat(
+        lit("<HTML><head><title>T</title><style type=\"text/css\">p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script>var x = 1 < 2 && doc;</script><p>&amp; more &lt;tags&gt;&nbsp;end</p></body></html>"))
+      documents(s, dir)
+        .select(col("doc_id"), TextOps.stripHtml(page).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("h"),
+          length(col("clean")).cast("long").as("len"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-dimension embedding standardization (6dp-rounded moments as
+    // plan literals; zero-variance dims → 0) — whitening-lite.
+    "embed_standardize" -> ((s, dir) =>
+      VectorOps.standardize(
+        VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding"), 64)
+        .select(col("id").as("vec_id"), posexplode(col("z")).as(Seq("i", "z")))
+        // + 0.0 collapses −0.0 (a rounded tiny negative) to +0.0 —
+        // the family's signed-zero normalization, both sides
+        .select(col("vec_id"), col("i"), (r4(col("z")) + lit(0.0)).as("z"))
+        .orderBy("vec_id", "i")),
+
+    // Composed curation pipeline: unigram-LM scores → corpus 0.9
+    // quantile threshold → keep the fluent 90%, rolled up per source —
+    // the score-then-threshold filter shape end to end.
+    "quality_filter" -> ((s, dir) => {
+      val nll = TextOps.unigramNll(documents(s, dir), "doc_id", "text")
+      val thr = nll.agg(percentile(col("nll"), lit(0.9)).as("thr"))
+      val kept = nll.crossJoin(broadcast(thr)).filter(col("nll") < col("thr"))
+      kept.join(documents(s, dir).select(col("doc_id").as("id"), col("source")), "id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          r4(aggregate(
+            array_sort(collect_list(struct(col("id"), col("nll")))),
+            lit(0.0), (a, x) => a + x.getField("nll")) / count(lit(1)))
+            .as("avg_nll"))
+        .orderBy("source")
+    }),
+
     // Logistic-regression quality classifier: md5-hashed bag-of-words
     // (32 buckets + intercept), 3 full-batch GD iterations at lr=0.1
     // against the lang='en' label, every doc scored with the trained
@@ -1938,6 +1989,83 @@ object LlmQueries {
          |    nbr) AS rank
          |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // shard_shuffle: the hashU digit fold, floor(u·8) clamped, rank
+    // by (u, doc_id) within the shard
+    "shard_shuffle" -> (hashUCte + w(
+      """SELECT doc_id,
+        |  CAST(least(floor(u * 8), 7) AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY CAST(least(floor(u * 8), 7) AS INTEGER)
+        |    ORDER BY u, doc_id) AS INTEGER) AS pos
+        |FROM hu ORDER BY shard, pos""")),
+
+    // html_strip: identical regex chain in the same order (script,
+    // style, tags, five entities, &amp; last, whitespace collapse);
+    // nesting generated so the paren depth can't drift from the list
+    "html_strip" -> {
+      val chain = Seq(
+        ("""(?is)<script\b[^>]*>.*?</script>""", "' '"),
+        ("""(?is)<style\b[^>]*>.*?</style>""", "' '"),
+        ("""<[^>]*>""", "' '"),
+        ("""&nbsp;""", "' '"),
+        ("""&lt;""", "'<'"),
+        ("""&gt;""", "'>'"),
+        ("""&quot;""", "'\"'"),
+        ("""&#39;""", "CHR(39)"),
+        ("""&amp;""", "'&'"),
+        ("""\s+""", "' '"))
+        .foldLeft("h") { case (acc, (pat, rep)) =>
+          s"regexp_replace($acc, '$pat', $rep, 'g')"
+        }
+      w(s"""WITH page AS (
+         |  SELECT doc_id,
+         |    '<HTML><head><title>T</title><style type="text/css">p { color: red; }</style></head><body><h1>Doc '
+         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+         |    '</p><script>var x = 1 < 2 && doc;</script><p>&amp; more &lt;tags&gt;&nbsp;end</p></body></html>'
+         |      AS h
+         |  FROM documents),
+         |c AS (SELECT doc_id, trim($chain) AS clean FROM page)
+         |SELECT doc_id, md5(clean) AS h, CAST(len(clean) AS BIGINT) AS len
+         |FROM c ORDER BY doc_id""")
+    },
+
+    // embed_standardize: 6dp moments, zero-variance guard, same
+    // (x − m)/s tree
+    "embed_standardize" -> w(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |st AS (
+        |  SELECT idx.i, round(avg(e.v[idx.i + 1]), 6) AS m,
+        |    round(stddev_pop(e.v[idx.i + 1]), 6) AS s
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS i) idx
+        |  GROUP BY idx.i)
+        |SELECT e.vec_id, CAST(st.i AS INTEGER) AS i,
+        |  round(CASE WHEN st.s = 0 THEN 0.0
+        |             ELSE (e.v[st.i + 1] - st.m) / st.s END, 4) + 0.0 AS z
+        |FROM e CROSS JOIN st ORDER BY vec_id, i"""),
+
+    // quality_filter: the unigram chain unrounded feeds quantile_cont
+    // (same interpolation as percentile) and a strict < keep
+    "quality_filter" -> w(
+      s"""WITH tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS cnt FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) GROUP BY 1, 2),
+         |ctf AS (SELECT term, sum(cnt) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(ctf) AS t FROM ctf),
+         |per AS (SELECT tf.doc_id, tf.term, tf.cnt,
+         |    tf.cnt * -ln(c.ctf / tot.t) AS s
+         |  FROM tf JOIN ctf c USING (term) CROSS JOIN tot),
+         |agg AS (SELECT doc_id,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, b) -> a + b)
+         |      / sum(cnt) AS nll
+         |  FROM per GROUP BY 1),
+         |thr AS (SELECT quantile_cont(nll, 0.9) AS thr FROM agg),
+         |kept AS (SELECT a.doc_id, a.nll FROM agg a CROSS JOIN thr
+         |  WHERE a.nll < thr.thr)
+         |SELECT d.source, count(*) AS n_kept,
+         |  round(list_reduce(list_prepend(0.0, list(k.nll ORDER BY k.doc_id)),
+         |    (a, b) -> a + b) / count(*), 4) AS avg_nll
+         |FROM kept k JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1"""),
+
     // lr_quality: hashed features + all three GD iterations replayed;
     // 6dp-rounded gradients pin the weight chain across engines
     "lr_quality" -> lrOracleSql,

@@ -46,10 +46,11 @@ object PlanGate {
     "dsl/SeriesScan.scala" -> 4, // boundary carries: lag, prefix-sum, moving-avg, EMA
     "influxql/InfluxQLEval.scala" -> 2, // mutation-versioned plan-time metadata caches
     // k-means (IVF: seeds + k×dim cells), the fused PQ trainer
-    // (seeds + m×k×(dim/m) cells), and PCA training (dim mean cells +
-    // dim² covariance cells) — all six collect only aggregated
-    // codebook/matrix-sized metadata, never corpus rows
-    "llmops/VectorOps.scala" -> 6,
+    // (seeds + m×k×(dim/m) cells), PCA training (dim mean cells +
+    // dim² covariance cells), and standardize (dim moment cells) —
+    // all seven collect only aggregated codebook/matrix-sized
+    // metadata, never corpus rows
+    "llmops/VectorOps.scala" -> 7,
     // BPE trainer argmax: limit(1).collect() — exactly one row (the
     // chosen merge pair) per iteration; iterations loop over the same
     // audited site. Never corpus- or vocab-scale.

@@ -594,6 +594,63 @@ class LlmOpsSpec extends SparkSpec {
     assert(p2(3) == p(3))
   }
 
+  test("stripHtml removes chrome, resolves entities once, survives inline '<'") {
+    val df = Seq(
+      "<html><head><style>p{a:b}</style><script>if (1<2) { x(); }</script></head>" +
+        "<body> <p>Hello &amp;amp; <b>world</b>&nbsp;&lt;ok&gt;</p> </body></html>",
+      "no markup at all",
+      "<SCRIPT src=\"x.js\">var y = \"</p>\";</SCRIPT>tail").toDF("h")
+    val out = df.select(TextOps.stripHtml(col("h")).as("c")).as[String].collect()
+    // one entity level resolves: &amp;amp; -> &amp;
+    assert(out(0) == "Hello &amp; world <ok>")
+    assert(out(1) == "no markup at all")
+    // script bodies go even when they contain quotes and tags
+    assert(out(2) == "tail")
+  }
+
+  test("shardShuffle: exact cover, stable under re-runs and partitioning") {
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val a = SampleOps.shardShuffle(df, "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // every doc exactly once, shards in range, positions dense 1..n
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // deterministic: same assignment from a differently-partitioned input
+    val b = SampleOps.shardShuffle(df.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // the shuffle decorrelates: consecutive ids don't stay adjacent
+    val posOfId = a.map(r => r._1 -> (r._2, r._3)).toMap
+    val adjacent = (0L until 199L).count(i =>
+      posOfId(i)._1 == posOfId(i + 1)._1 &&
+        math.abs(posOfId(i)._2 - posOfId(i + 1)._2) == 1)
+    assert(adjacent < 20)
+  }
+
+  test("standardize: zero mean, unit variance per dim, zero-variance guard") {
+    val rnd = new scala.util.Random(5)
+    val vs = (0L until 50L).map { i =>
+      // dim 0: scale 100, dim 1: scale 0.01, dim 2: constant
+      (i, Array(rnd.nextGaussian() * 100, rnd.nextGaussian() * 0.01, 7.0, rnd.nextGaussian()))
+    }.toDF("id", "v")
+    val z = VectorOps.standardize(vs, 4).select("z").as[Seq[Double]].collect()
+    (0 until 4).foreach { d =>
+      val col = z.map(_(d))
+      if (d == 2) assert(col.forall(_ == 0.0)) // constant dim → 0, not NaN
+      else {
+        val m = col.sum / col.length
+        val v = col.map(x => (x - m) * (x - m)).sum / col.length
+        // moments round to 6dp before the transform, so a dim at scale
+        // 0.01 re-centers only to ~0.5e-6/σ ≈ 5e-5 — bound accordingly
+        assert(math.abs(m) < 1e-3 && math.abs(v - 1.0) < 1e-3,
+          s"dim $d mean=$m var=$v")
+      }
+    }
+  }
+
   test("logistic regression separates hash-distinct vocab; training is deterministic") {
     def bucket(t: String): Int = {
       val h = java.security.MessageDigest.getInstance("MD5")
