@@ -254,6 +254,38 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING CUSUM: the live drift detector with batch-trained
+    // moments — one double of state per series across micro-batches.
+    // The oracle is the SAME recursive-CTE replay as cusum_drift:
+    // batch/stream equivalence for the sequential recurrence itself.
+    "stream_cusum" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-scusum-src").toString
+      val ev0 = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_type", "ts_us", "value")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val params = ev0.groupBy("event_type").agg(
+        round(avg(col("value")), 4).as("mu"),
+        round(stddev_pop(col("value")), 4).as("sg"))
+
+      val qn = "graft_scusum_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamAnomaly.cusumStream(
+        s.readStream.schema(ev0.schema).parquet(srcDir), params,
+        "event_type", "ts_us", "value")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-scusum-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          r4(max(col("cusum"))).as("max_s"))
+        .orderBy("event_type")
+    }),
+
     "stream_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{call_function, posexplode, window}
       val srcDir = Files.createTempDirectory("graft-stopk-src").toString
@@ -291,6 +323,9 @@ object StreamingQueries {
   private def w(s: String) = s.stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the streaming recurrence must land exactly where the batch one
+    // does — same recursive-CTE replay as cusum_drift
+    "stream_cusum" -> WindowQueries.oracle("cusum_drift"),
     // the downsampled bucket must equal the batch hourly aggregate:
     // one row per (series, window), time = window END like aggregateWindow
     "stream_downsample" -> w(

@@ -168,6 +168,35 @@ class StreamingSpec extends SparkSpec {
     assert(vals.toSeq == Seq(2.0)) // refined mean replaced the first emission
   }
 
+  test("streaming cusum: state carries across micro-batches, equals batch detector") {
+    implicit val sqlCtx = spark.sqlContext
+    // stable prefix then a sustained +1.5σ shift, split mid-drift so
+    // the recurrence MUST survive a batch boundary to alarm
+    val all = (1 to 200).map(i => ("a", i.toLong, 10.0 + (i % 5 - 2) * 0.1)) ++
+      (201 to 300).map(i => ("a", i.toLong, 10.6 + (i % 5 - 2) * 0.1))
+    val batchOut = graft.operators.AnomalyOps
+      .cusum(all.toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .select("t", "cusum", "alarm").as[(Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    val params = all.toDF("k", "t", "v").groupBy("k").agg(
+      round(avg(col("v")), 4).as("mu"), round(stddev_pop(col("v")), 4).as("sg"))
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = graft.streaming.StreamAnomaly.cusumStream(
+      mem.toDS().toDF("k", "t", "v"), params, "k", "t", "v")
+      .writeStream.format("memory").queryName("scusum_spec")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cp-scusum").toString)
+      .start()
+    all.grouped(120).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamOut = spark.table("scusum_spec")
+      .select("t", "cusum", "alarm").as[(Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(streamOut.toSeq == batchOut.toSeq) // bit-identical recurrence
+    assert(streamOut.exists(_._3) && streamOut.filter(_._3).map(_._1).min > 200)
+  }
+
   test("stream-stream attribution join: bounded-delay matches only") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new java.sql.Timestamp(1705276800000L + s * 1000)
