@@ -715,6 +715,36 @@ object VectorOps {
         (coalesce(col("rep0"), col("id")) === col("id")).as("keep"))
   }
 
+  /** Matryoshka prefix ANN (Kusupati et al. 2022's MRL serving trick —
+    * public literature): embeddings trained with matryoshka losses
+    * concentrate signal in their leading coordinates, so the first
+    * `prefixDim` dims alone rank candidates well. The serving split
+    * mirrors [[binaryProbe]]: the SCAN touches only the prefix index
+    * (prefixDim/dim of the vector bytes — 4× smaller at 64→16, no
+    * training, no codebooks), and full vectors are fetched by id-join
+    * for the `shortlist` rows only, then exact-cosine rescored.
+    * Deterministic ties (pcos/cos DESC, nbr) keep it oracle-exact.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, prefixDim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val index = corpus.select(col("id"), slice(col("v"), 1, prefixDim).as("pv"))
+    val qp = queries.select(col("id").as("qid"), col("v").as("qv"),
+      slice(col("v"), 1, prefixDim).as("qpv"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("pcos").desc, col("nbr"))
+    val short = index.crossJoin(broadcast(qp))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("id").as("nbr"),
+        cosine(col("qpv"), col("pv")).as("pcos"))
+      .withColumn("r", row_number().over(wS)).filter(col("r") <= shortlist)
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    short.join(corpus.select(col("id").as("nbr"), col("v")), "nbr")
+      .select(col("qid"), col("nbr"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wF)).filter(col("rank") <= k)
+  }
+
   /** Per-dimension z-standardization — the feature-scaling step before
     * distance-based ops when raw dimensions have wildly different
     * scales (whitening-lite; full whitening = this + [[pcaTrain]]'s

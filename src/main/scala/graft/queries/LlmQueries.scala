@@ -558,6 +558,16 @@ object LlmQueries {
         .select(col("vec_id"), col("j"), r4(col("pv")).as("pv"))
         .orderBy("vec_id", "j")),
 
+    // Matryoshka prefix ANN: 16-dim prefix index ranks a shortlist of
+    // 30, full vectors fetched by id-join and exact-rescored — the
+    // training-free 4× scan cut for MRL-style embeddings.
+    "ann_matryoshka" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      VectorOps.matryoshkaTopK(e, e.filter(col("id") < 5), 3, 30, 16)
+        .select(col("qid"), col("rank"), col("nbr"), r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (4 random hyperplanes, Hamming-1 multiprobe) —
     // oracle replicates the md5-derived hyperplane family bit-for-bit.
     "ann_lsh" -> ((s, dir) => {
@@ -2074,6 +2084,26 @@ object LlmQueries {
     // moments, each power iteration a (matvec, norm, divide) CTE
     // triple with ascending-index folds, deflation between components
     "pca_project" -> pcaOracleSql,
+
+    // ann_matryoshka: prefix slice v[1:16] shortlists, full-vector
+    // rescore — both cosine chains and both tie-breaks replayed
+    "ann_matryoshka" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT id AS qid, v AS qv, v[1:16] AS qpv FROM e WHERE id < 5),
+         |idx AS (SELECT id, v[1:16] AS pv FROM e),
+         |short AS (
+         |  SELECT q.qid, q.qv, i.id AS nbr,
+         |    ${cos("q.qpv", "i.pv")} AS pcos,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      ${cos("q.qpv", "i.pv")} DESC, i.id) AS r
+         |  FROM idx i CROSS JOIN q WHERE i.id <> q.qid),
+         |resc AS (
+         |  SELECT s.qid, s.nbr, ${cos("s.qv", "c.v")} AS cos,
+         |    row_number() OVER (PARTITION BY s.qid ORDER BY
+         |      ${cos("s.qv", "c.v")} DESC, s.nbr) AS rank
+         |  FROM short s JOIN e c ON c.id = s.nbr WHERE s.r <= 30)
+         |SELECT qid, rank, nbr, round(cos, 4) AS cos
+         |FROM resc WHERE rank <= 3 ORDER BY qid, rank"""),
 
     // rp_project: the same hp_j_i sign family as ann_lsh, each output
     // coordinate folded i-ascending with a 0.0 init

@@ -707,6 +707,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(dot) < 1e-6)
   }
 
+  test("matryoshka prefix shortlist + full rescore equals brute force when wide") {
+    val rnd = new scala.util.Random(17)
+    val vs = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextGaussian()))).toDF("id", "v")
+    // shortlist covering the whole corpus → exact-rescore == brute force
+    val m = VectorOps.matryoshkaTopK(vs, vs.filter(col("id") < 3), 3, 20, 4)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    val brute = VectorOps.bruteForceTopK(vs, vs.filter(col("id") < 3), 3)
+      .select("qid", "rank", "nbr").as[(Long, Int, Long)].collect().toSet
+    assert(m == brute && m.size == 9)
+    // narrow shortlist returns k rows per query, ranked by FULL cosine
+    val narrow = VectorOps.matryoshkaTopK(vs, vs.filter(col("id") < 3), 3, 5, 4)
+      .groupBy("qid").count().select("count").as[Long].collect()
+    assert(narrow.toSeq == Seq(3L, 3L, 3L))
+  }
+
   test("ivf probes only nearest centroid lists but finds in-list neighbors") {
     val vs = Seq(
       (0L, Array(1.0, 0.05)), (1L, Array(1.0, -0.05)), (2L, Array(0.9, 0.1)),
