@@ -485,21 +485,34 @@ object VectorOps {
     * memory/IO — the cheap step BEFORE k-means/PQ when raw dims are
     * wide.
     *
-    * Scale shape: the matrix is outDim·dim literal doubles baked into
-    * the plan (KBs — no broadcast, no join); the projection is one
-    * codegen'd HOF per row in the scan stage, no shuffle anywhere.
-    * Each output coordinate folds i ascending (fixed FP order,
-    * engine-replicable). Returns (id, v, p).
+    * Scale shape: the matrix is outDim·dim doubles captured in the
+    * task closure (KBs — no broadcast table, no join); the projection
+    * is one COMPILED Dataset.map pass in the scan stage, no shuffle
+    * anywhere. (A first cut as nested transform/aggregate HOFs was
+    * 10× slower — higher-order functions are CodegenFallback, so the
+    * 16×64 lambda tower ran interpreted per row; same lesson as the
+    * trigram pass.) Each output coordinate folds i ascending from a
+    * 0.0 init — the same FP order the HOF fold had, so the SQL oracle
+    * is unchanged. Returns (id, v, p).
     */
   def randomProject(vs: DataFrame, dim: Int, outDim: Int): DataFrame = {
     val signs = lshSigns(outDim, dim)
-    vs.select(col("id"), col("v"))
-      .withColumn("S", typedLit(signs.map(_.toSeq).toSeq))
-      .withColumn("p", expr(
-        s"transform(sequence(0, $outDim - 1), j -> " +
-          s"aggregate(sequence(0, $dim - 1), 0D, (acc, i) -> " +
-          "acc + element_at(v, i + 1) * element_at(element_at(S, j + 1), i + 1)))"))
-      .drop("S")
+    val spark = vs.sparkSession
+    import spark.implicits._
+    vs.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val p = new Array[Double](outDim)
+        var j = 0
+        while (j < outDim) {
+          val row = signs(j)
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i) * row(i); i += 1 }
+          p(j) = s; j += 1
+        }
+        (id, v, p.toSeq)
+      }.toDF("id", "v", "p")
   }
 
   /** ANN via random-hyperplane LSH buckets + Hamming-1 multiprobe — the
@@ -750,9 +763,9 @@ object VectorOps {
     * scales (whitening-lite; full whitening = this + [[pcaTrain]]'s
     * rotation). One aggregation computes the 6dp-rounded per-dimension
     * moments (dim cells, audited collect); the normalization itself is
-    * a scan-stage HOF with the moments as plan literals — no shuffle,
-    * no broadcast table. Zero-variance dimensions map to 0 (no
-    * information, no NaN). Returns (id, v, z).
+    * a compiled scan-stage map pass with the moments in the task
+    * closure — no shuffle, no broadcast table. Zero-variance
+    * dimensions map to 0 (no information, no NaN). Returns (id, v, z).
     */
   def standardize(vs: DataFrame, dim: Int): DataFrame = {
     val m = new Array[Double](dim)
@@ -763,14 +776,20 @@ object VectorOps {
         round(stddev_pop(col("x")), 6).as("s"))
       .collect()
       .foreach { r => m(r.getInt(0)) = r.getDouble(1); sd(r.getInt(0)) = r.getDouble(2) }
-    vs.select(col("id"), col("v"))
-      .withColumn("M", typedLit(m.toSeq))
-      .withColumn("S", typedLit(sd.toSeq))
-      .withColumn("z", expr(
-        s"transform(sequence(0, ${dim - 1}), i -> " +
-          "IF(element_at(S, i + 1) = 0D, 0D, " +
-          "(element_at(v, i + 1) - element_at(M, i + 1)) / element_at(S, i + 1)))"))
-      .drop("M", "S")
+    val spark = vs.sparkSession
+    import spark.implicits._
+    // compiled map pass (HOFs are CodegenFallback — see randomProject)
+    vs.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val z = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          z(i) = if (sd(i) == 0) 0.0 else (v(i) - m(i)) / sd(i)
+          i += 1
+        }
+        (id, v, z.toSeq)
+      }.toDF("id", "v", "z")
   }
 
   /** PCA top components by covariance aggregation + driver-side power
@@ -847,21 +866,31 @@ object VectorOps {
   }
 
   /** Project vectors onto trained PCA components: scores[k] =
-    * Σ_i (v_i − mean_i)·comp_k[i], folded i-ascending. Mean and
-    * components ride the plan as literals (KBs) — scan-stage HOFs,
-    * no shuffle, no broadcast table. Returns (id, v, p).
+    * Σ_i (v_i − mean_i)·comp_k[i], folded i-ascending from a 0.0 init.
+    * Mean and components ride in the task closure (KBs) — a compiled
+    * scan-stage map pass (HOFs are CodegenFallback — see
+    * [[randomProject]]), no shuffle, no broadcast table. Returns
+    * (id, v, p).
     */
   def pcaProject(vs: DataFrame, mean: Array[Double],
       comps: Array[Array[Double]]): DataFrame = {
     val dim = mean.length
-    vs.select(col("id"), col("v"))
-      .withColumn("M", typedLit(mean.toSeq))
-      .withColumn("C", typedLit(comps.map(_.toSeq).toSeq))
-      .withColumn("p", expr(
-        s"transform(sequence(0, ${comps.length - 1}), k -> " +
-          s"aggregate(sequence(0, $dim - 1), 0D, (acc, i) -> " +
-          "acc + (element_at(v, i + 1) - element_at(M, i + 1)) * " +
-          "element_at(element_at(C, k + 1), i + 1)))"))
-      .drop("M", "C")
+    val nComp = comps.length
+    val spark = vs.sparkSession
+    import spark.implicits._
+    vs.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val p = new Array[Double](nComp)
+        var k = 0
+        while (k < nComp) {
+          val c = comps(k)
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += (v(i) - mean(i)) * c(i); i += 1 }
+          p(k) = s; k += 1
+        }
+        (id, v, p.toSeq)
+      }.toDF("id", "v", "p")
   }
 }
