@@ -270,7 +270,26 @@ object WindowQueries {
         .agg(count(lit(1)).as("n"),
           sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
           r4(max(col("cusum"))).as("max_s"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Ordered funnel view → click → purchase on the ns axis: per-user
+    // strictly-increasing step times, rolled to per-step reach counts
+    // and total ns-to-convert — integer-exact end to end.
+    "funnel_steps" -> ((s, dir) =>
+      graft.operators.FunnelOps
+        .funnel(events(s, dir), "user_id", "event_type", "ts_ns",
+          Seq("view", "click", "purchase"))
+        .agg(count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_purchase"),
+          sum(col("t3") - col("t1")).as("conv_ns"))),
+
+    // Cohort retention matrix: first-active ISO week × week offset →
+    // distinct returning users.
+    "cohort_retention" -> ((s, dir) =>
+      graft.operators.FunnelOps
+        .cohortRetention(events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "offset"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -554,6 +573,36 @@ object WindowQueries {
         |    AS n_alarms,
         |  round(max(c.s), 4) AS max_s
         |FROM c JOIN st ON st.event_type = c.event_type
-        |GROUP BY 1 ORDER BY 1""")
+        |GROUP BY 1 ORDER BY 1"""),
+    // funnel: each step's min strictly after the previous step's time
+    "funnel_steps" -> w(
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t1,
+        |    min(CASE WHEN epoch_ns(e.ts) > s1.t1 THEN epoch_ns(e.ts) END) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2,
+        |    min(CASE WHEN epoch_ns(e.ts) > s2.t2 THEN epoch_ns(e.ts) END) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT count(t1) AS n_view, count(t2) AS n_click,
+        |  count(t3) AS n_purchase, CAST(sum(t3 - t1) AS BIGINT) AS conv_ns
+        |FROM s3"""),
+    // cohort: ISO-week truncation and integer epoch-week offsets
+    "cohort_retention" -> w(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+        |SELECT c.cw AS cohort_week,
+        |  CAST((epoch(uw.wk) - epoch(c.cw)) / 604800 AS BIGINT) AS offset,
+        |  count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }
