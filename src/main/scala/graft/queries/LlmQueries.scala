@@ -700,7 +700,8 @@ object LlmQueries {
         "pq" -> VectorOps.pqTopK(codes, cb, q, 30, 4, 64),
         "pq32" -> VectorOps.pqTopK(codes32, cb32, q, 30, 4, 64),
         "int8" -> VectorOps.int8TopK(e, q, 30),
-        "binary" -> VectorOps.binaryTopK(e, q, 30, 30, 64))
+        "binary" -> VectorOps.binaryTopK(e, q, 30, 30, 64),
+        "matryoshka" -> VectorOps.matryoshkaTopK(e, q, 30, 30, 16))
         .map { case (n, df) => n -> df.select("qid", "nbr", "rank").localCheckpoint() }
       (for ((name, df) <- methods; k <- Seq(3, 30)) yield {
         df.filter(col("rank") <= k).select("qid", "nbr")
@@ -2357,12 +2358,13 @@ object LlmQueries {
          |  SELECT 'pq', qid, nbr, rank FROM ${widen("ann_pq")} UNION ALL
          |  SELECT 'pq32', qid, nbr, rank FROM $widePq32 UNION ALL
          |  SELECT 'int8', qid, nbr, rank FROM ${widen("ann_int8")} UNION ALL
-         |  SELECT 'binary', qid, nbr, rank FROM ${widen("ann_binary")})
+         |  SELECT 'binary', qid, nbr, rank FROM ${widen("ann_binary")} UNION ALL
+         |  SELECT 'matryoshka', qid, nbr, rank FROM ${widen("ann_matryoshka")})
          |SELECT m.method, CAST(ks.k AS BIGINT) AS k,
          |  CAST(count(b.qid) AS BIGINT) AS hits,
          |  CAST(15 AS BIGINT) AS total,
          |  round(count(b.qid) / 15.0, 4) AS recall
-         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32'), ('int8'), ('binary')) m(method)
+         |FROM (VALUES ('ivf'), ('ivf_pq'), ('lsh'), ('pq'), ('pq32'), ('int8'), ('binary'), ('matryoshka')) m(method)
          |CROSS JOIN (VALUES (3), (30)) ks(k)
          |LEFT JOIN sel s ON s.method = m.method AND s.rank <= ks.k
          |LEFT JOIN brute b ON b.qid = s.qid AND b.nbr = s.nbr
