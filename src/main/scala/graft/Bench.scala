@@ -102,7 +102,13 @@ object Bench {
     // stdout line ("parsed": null), losing most per-query numbers from
     // the artifact of record. Persist the whole JSON to a file too, so
     // PERF.md can quote every query from the shipped artifact.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A filtered A/B run must never clobber the full artifact of
+    // record (a round-9 isolated run left BENCH_FULL.json with ONE
+    // query): default the output elsewhere when BENCH_ONLY is set.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
+      else "BENCH_FULL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()

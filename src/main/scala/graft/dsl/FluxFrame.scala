@@ -623,6 +623,21 @@ final case class FluxFrame(
     * maxGap is in the time column's own unit (seconds for timestamps,
     * ns/µs for long axes — same convention as the delta verbs).
     */
+  /** Engine extension: per-series MAD outlier flags (adds `med`,
+    * `abs_dev`, `mad`, `is_anom`) — [[graft.operators.AnomalyOps
+    * .madFlags]] on this frame's group key and value column.
+    */
+  def anomalies(k: Double = 3.0): FluxFrame =
+    copy(df = graft.operators.AnomalyOps.madFlags(df, groupKey, valueCol, k))
+
+  /** Engine extension: per-series one-sided CUSUM drift detection
+    * (adds `mu`, `sg`, `cusum`, `alarm`) — [[graft.operators
+    * .AnomalyOps.cusum]] ordered on this frame's time column.
+    */
+  def cusum(slackSigmas: Double = 0.5, threshSigmas: Double = 4.0): FluxFrame =
+    copy(df = graft.operators.AnomalyOps.cusum(df, groupKey, timeCol,
+      valueCol, slackSigmas, threshSigmas))
+
   def sessionize(maxGap: Double, as: String = "session"): FluxFrame = {
     val dt = col(timeCol).cast("double") - lag(col(timeCol).cast("double"), 1).over(w)
     val isNew = when(dt.isNull || dt > lit(maxGap), 1).otherwise(0)

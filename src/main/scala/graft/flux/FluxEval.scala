@@ -307,6 +307,12 @@ object FluxEval {
     // engine extension (not InfluxDB core): gap-based session index
     case "sessionize" =>
       f.sessionize(durSeconds(call.args.getOrElse("maxGap", VDur(30, "m"))))
+    // engine extensions: anomaly detection on the series frame
+    case "anomalies" =>
+      f.anomalies(call.args.get("k").map(num0).getOrElse(3.0))
+    case "cusum" =>
+      f.cusum(call.args.get("slack").map(num0).getOrElse(0.5),
+        call.args.get("threshold").map(num0).getOrElse(4.0))
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

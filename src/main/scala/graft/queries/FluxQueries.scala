@@ -18,6 +18,25 @@ object FluxQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // anomaly verbs through the text surface: the evaluator routes to
+    // AnomalyOps, so the same recursive-CTE / percentile oracles gate
+    // the parse+eval path too
+    "flux_cusum" -> ((s, dir) =>
+      FluxEval.run("""from(bucket: "events") |> cusum()""", source(s, dir))
+        .groupBy(col("_measurement").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          r4(max(col("cusum"))).as("max_s"))
+        .orderBy("event_type")),
+
+    "flux_anomalies" -> ((s, dir) =>
+      FluxEval.run("""from(bucket: "events") |> anomalies(k: 3.0)""", source(s, dir))
+        .groupBy(col("_measurement").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anom"),
+          r4(min(col("med"))).as("med"), r4(min(col("mad"))).as("mad"))
+        .orderBy("event_type")),
+
     "flux_downsample" -> ((s, dir) =>
       FluxEval.run(
         """from(bucket: "events")
@@ -247,6 +266,8 @@ object FluxQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
+    "flux_anomalies" -> WindowQueries.oracle("anomaly_mad"),
     "flux_exists" ->
       """SELECT user_id,
         |  round(max(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
