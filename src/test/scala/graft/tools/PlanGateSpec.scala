@@ -162,6 +162,25 @@ class PlanGateSpec extends SparkSpec {
     }
   }
 
+  test("round-12 op plans: shard shuffle is one exchange; bigram LM joins, unigram broadcasts") {
+    import graft.queries.QueryUtil.documents
+    val sh = graft.llmops.SampleOps
+      .shardShuffle(documents(spark, sfDir), "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    // assignment is a scan predicate; the ONLY exchange is the
+    // per-shard ordering shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(sh).size == 1, sh.take(800))
+    assert(!sh.contains("Exchange SinglePartition"), "no global funnel")
+
+    val bi = graft.llmops.TextOps
+      .bigramNll(documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the vocabulary-sized unigram model broadcasts; the plan must
+    // carry at least that one broadcast exchange and no cartesian
+    assert(bi.contains("BroadcastExchange"), bi.take(800))
+    assert(graft.tools.PlanGate.cartesianProducts(bi) == 0)
+  }
+
   test("every gate query plans without global windows or cartesian products") {
     // construction alone runs the two-pass transforms' first passes and
     // k-means training; sf0.001 keeps that cheap. Plan inspection only —
