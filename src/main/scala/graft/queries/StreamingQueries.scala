@@ -286,6 +286,36 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING ordered funnel: set-once per-user step state — the
+    // live funnel must agree exactly with the batch recompute, so the
+    // oracle IS funnel_steps' oracle. Snapshots fold with max()
+    // (set-once ⇒ max over snapshots = final value).
+    "stream_funnel" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sfunnel-src").toString
+      val ev0 = events(s, dir).select("user_id", "event_type", "ts_ns")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val qn = "graft_sfunnel_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamFunnel.funnelStream(
+        s.readStream.schema(ev0.schema).parquet(srcDir),
+        "user_id", "event_type", "ts_ns", Seq("view", "click", "purchase"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sfunnel-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn)
+        .select(col("user_id"),
+          element_at(col("ts_steps"), 1).as("t1"),
+          element_at(col("ts_steps"), 2).as("t2"),
+          element_at(col("ts_steps"), 3).as("t3"))
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .agg(count(col("t1")).as("n_view"), count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_purchase"),
+          sum(col("t3") - col("t1")).as("conv_ns"))
+    }),
+
     "stream_topk" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{call_function, posexplode, window}
       val srcDir = Files.createTempDirectory("graft-stopk-src").toString
@@ -326,6 +356,8 @@ object StreamingQueries {
     // the streaming recurrence must land exactly where the batch one
     // does — same recursive-CTE replay as cusum_drift
     "stream_cusum" -> WindowQueries.oracle("cusum_drift"),
+    // the live funnel must land exactly on the batch answer
+    "stream_funnel" -> WindowQueries.oracle("funnel_steps"),
     // the downsampled bucket must equal the batch hourly aggregate:
     // one row per (series, window), time = window END like aggregateWindow
     "stream_downsample" -> w(

@@ -197,6 +197,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamOut.exists(_._3) && streamOut.filter(_._3).map(_._1).min > 200)
   }
 
+  test("streaming funnel: set-once state across batches equals the batch verb") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      ("A", "view", 10L), ("A", "click", 20L), ("A", "purchase", 30L),
+      ("B", "click", 5L), ("B", "view", 10L), ("B", "click", 50L),
+      ("C", "purchase", 1L), ("C", "view", 2L),
+      ("D", "click", 1L))
+    val batch = graft.operators.FunnelOps
+      .funnel(ev.toDF("u", "t", "ts"), "u", "t", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2), r.get(3))).toSet
+
+    val mem = MemoryStream[(String, String, Long)]
+    val q = graft.streaming.StreamFunnel.funnelStream(
+      mem.toDS().toDF("u", "t", "ts"), "u", "t", "ts", Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("sfunnel_spec")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cp-sfunnel").toString)
+      .start()
+    // split mid-funnel: A's purchase and B's qualifying click arrive in
+    // a LATER batch than the steps they depend on
+    ev.grouped(4).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("sfunnel_spec")
+      .groupBy("u")
+      .agg(max(element_at(col("ts_steps"), 1)).as("t1"),
+        max(element_at(col("ts_steps"), 2)).as("t2"),
+        max(element_at(col("ts_steps"), 3)).as("t3"))
+      .filter(col("t1").isNotNull)
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream attribution join: bounded-delay matches only") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: Long) = new java.sql.Timestamp(1705276800000L + s * 1000)
