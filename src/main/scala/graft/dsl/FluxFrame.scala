@@ -623,6 +623,36 @@ final case class FluxFrame(
     * maxGap is in the time column's own unit (seconds for timestamps,
     * ns/µs for long axes — same convention as the delta verbs).
     */
+  /** Engine extension: classical additive seasonal decomposition
+    * (Kendall & Stuart's moving-average method — the textbook
+    * predecessor of STL): `trend` = centered `period`-wide moving
+    * average (null at the edges where the window is partial),
+    * `seasonal` = per-phase mean of the detrended series (phase =
+    * per-series row index mod period), `resid` = value − trend −
+    * seasonal. Requires an odd period (7 for day-of-week on daily
+    * data) so the centered window is symmetric.
+    *
+    * Scale shape: one shuffle to co-locate each series (the trend
+    * window + row-index share it), then one more keyed on
+    * (series, phase) for the seasonal means — both partitioned, no
+    * global window. Adds `phase`, `trend`, `seasonal`, `resid`.
+    */
+  def decompose(period: Int): FluxFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"decompose needs an odd period >= 3, got $period")
+    val h = period / 2
+    val trend = when(count(lit(1)).over(rows(-h, h)) === period,
+      avg(col(valueCol)).over(rows(-h, h)))
+    val phase = (row_number().over(w) - 1) % period
+    val t = df.withColumn("trend", trend).withColumn("phase", phase)
+      .withColumn("_detrend", col(valueCol) - col("trend"))
+    val ws = Window.partitionBy((groupKey :+ "phase").map(col): _*)
+    val out = t.withColumn("seasonal", avg(col("_detrend")).over(ws))
+      .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
+      .drop("_detrend")
+    copy(df = out)
+  }
+
   /** Engine extension: per-series MAD outlier flags (adds `med`,
     * `abs_dev`, `mad`, `is_anom`) — [[graft.operators.AnomalyOps
     * .madFlags]] on this frame's group key and value column.

@@ -313,6 +313,8 @@ object FluxEval {
     case "cusum" =>
       f.cusum(call.args.get("slack").map(num0).getOrElse(0.5),
         call.args.get("threshold").map(num0).getOrElse(4.0))
+    case "decompose" =>
+      f.decompose(num(call.args, "period").toInt)
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

@@ -289,7 +289,24 @@ object WindowQueries {
     "cohort_retention" -> ((s, dir) =>
       graft.operators.FunnelOps
         .cohortRetention(events(s, dir), "user_id", "ts")
-        .orderBy("cohort_week", "offset"))
+        .orderBy("cohort_week", "offset")),
+
+    // Seasonal decomposition of per-type daily sums (period 7 =
+    // day-of-week): centered moving-average trend, per-phase seasonal
+    // means, residual. Daily sums round to 4dp before the chain (the
+    // moment-rounding trick) so both engines decompose identical
+    // inputs.
+    "decompose_stl" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(round(sum(col("value")), 4).as("v"))
+      graft.dsl.FluxFrame.of(daily, "d", "v", "event_type")
+        .decompose(7).toDF
+        .select(col("event_type"), col("d"),
+          r4(col("trend")).as("trend"), r4(col("seasonal")).as("seasonal"),
+          r4(col("resid")).as("resid"))
+        .orderBy("event_type", "d")
+    })
   )
 
   private def w(s: String) = s.stripMargin
@@ -594,6 +611,26 @@ object WindowQueries {
         |SELECT count(t1) AS n_view, count(t2) AS n_click,
         |  count(t3) AS n_purchase, CAST(sum(t3 - t1) AS BIGINT) AS conv_ns
         |FROM s3"""),
+    // decompose: same rounded daily inputs, same centered-window /
+    // phase-mean / residual trees
+    "decompose_stl" -> w(
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |    round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, d, v,
+        |    CASE WHEN count(*) OVER wc = 7 THEN avg(v) OVER wc END AS trend,
+        |    (row_number() OVER (PARTITION BY event_type ORDER BY d) - 1) % 7
+        |      AS phase
+        |  FROM daily WINDOW wc AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |s AS (SELECT *, avg(v - trend)
+        |    OVER (PARTITION BY event_type, phase) AS seasonal FROM t)
+        |SELECT event_type, d, round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal,
+        |  round(v - trend - seasonal, 4) AS resid
+        |FROM s ORDER BY event_type, d"""),
     // cohort: ISO-week truncation and integer epoch-week offsets
     "cohort_retention" -> w(
       """WITH uw AS (

@@ -132,4 +132,30 @@ class FluxFrameSpec extends SparkSpec {
       .findAllIn(agg.queryExecution.executedPlan.toString).size
     assert(exchanges == 1, agg.queryExecution.executedPlan.toString)
   }
+
+  test("decompose recovers exact trend/seasonal/residual on planted seasonality") {
+    // x_t = 10 + effect[t mod 7], effects sum to zero → a full-period
+    // centered MA is EXACTLY 10, seasonal means are EXACTLY the
+    // effects, residuals are EXACTLY zero
+    val eff = Array(3.0, -1.0, 0.5, -2.0, 1.5, -1.5, -0.5)
+    assert(math.abs(eff.sum) == 0.0)
+    val rows = (0 until 28).map(t => ("a", t.toLong, 10.0 + eff(t % 7)))
+    val out = FluxFrame.of(rows.toDF("k", "t", "v"), "t", "v", "k")
+      .decompose(7).toDF
+      .orderBy("t")
+      .select("t", "trend", "seasonal", "resid")
+      .collect()
+    // edges (first/last 3 rows) have no full window → null trend/resid
+    assert((0 until 3).forall(i => out(i).isNullAt(1)))
+    assert((25 until 28).forall(i => out(i).isNullAt(1)))
+    (3 until 25).foreach { i =>
+      assert(out(i).getDouble(1) == 10.0, s"trend at $i")
+      assert(math.abs(out(i).getDouble(3)) < 1e-9, s"resid at $i")
+    }
+    out.foreach(r =>
+      assert(math.abs(r.getDouble(2) - eff((r.getLong(0) % 7).toInt)) < 1e-9))
+    // period must be odd
+    assertThrows[IllegalArgumentException](
+      FluxFrame.of(rows.toDF("k", "t", "v"), "t", "v", "k").decompose(6))
+  }
 }

@@ -367,6 +367,21 @@ class FluxSpec extends SparkSpec {
     assert(lastStatus.select("_value").as[String].collect().toSeq == Seq("degraded"))
   }
 
+  test("decompose/cusum/anomalies parse and evaluate through the text surface") {
+    val eff = Array(3.0, -1.0, 0.5, -2.0, 1.5, -1.5, -0.5)
+    val rows = (0 until 28).map(t => ("a", t.toLong, 10.0 + eff(t % 7)))
+    val src = FluxEval.Source(
+      resolve = _ => FluxFrame.of(rows.toDF("k", "t", "v"), "t", "v", "k"),
+      rename = Map("_time" -> "t", "_value" -> "v", "_measurement" -> "k"))
+    val d = FluxEval.run("""from(bucket: "b") |> decompose(period: 7)""", src)
+    assert(d.columns.contains("trend") && d.columns.contains("seasonal"))
+    assert(d.filter(col("resid").isNotNull).count() == 22)
+    val c = FluxEval.run("""from(bucket: "b") |> cusum(threshold: 2.0)""", src)
+    assert(c.columns.contains("alarm"))
+    val a = FluxEval.run("""from(bucket: "b") |> anomalies(k: 2.5)""", src)
+    assert(a.columns.contains("is_anom"))
+  }
+
   test("exists parses and filters nulls; not exists inverts it") {
     val p = FluxParser.parse(
       """from(bucket: "b") |> filter(fn: (r) => exists r.error and not exists r.skip)""")
