@@ -40,16 +40,29 @@ object Verify {
     // mid-queries, every already-dumped query still gates (the checker
     // walks output dirs against this file)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.queries
+    // Queries dump CONCURRENTLY (distinct output dirs, shared
+    // thread-safe SparkSession): the gate is driver-run under a time
+    // budget, and 200+ sequential ~1 s queries are launch-latency
+    // bound, not compute bound — 4 in flight keeps the 32 cores busy
+    // and roughly halves the wall. Failures stay per-query (caught and
+    // logged inside the task; the other dumps proceed).
+    val entries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futs = entries.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    futs.foreach(_.get)
+    pool.shutdown()
     spark.stop()
   }
 }
