@@ -291,6 +291,28 @@ object WindowQueries {
         .cohortRetention(events(s, dir), "user_id", "ts")
         .orderBy("cohort_week", "offset")),
 
+    // Data-gap detection: per series, inter-arrival deltas vs 3× the
+    // series' own median delta — the missing-telemetry monitor, pure
+    // composition of existing pieces (lag scan + exact percentile +
+    // same-key join), integer-exact on the µs axis.
+    "gap_detect" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us")
+      val d = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("delta", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("delta").isNotNull)
+      val med = d.groupBy("event_type")
+        .agg(percentile(col("delta"), lit(0.5)).as("med"))
+      d.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_deltas"),
+          sum(when(col("delta") > lit(3.0) * col("med"), 1L).otherwise(0L))
+            .as("n_gaps"),
+          max(col("delta")).as("max_gap_us"), r4(min(col("med"))).as("med_us"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal decomposition of per-type daily sums (period 7 =
     // day-of-week): centered moving-average trend, per-phase seasonal
     // means, residual. Daily sums round to 4dp before the chain (the
@@ -611,6 +633,21 @@ object WindowQueries {
         |SELECT count(t1) AS n_view, count(t2) AS n_click,
         |  count(t3) AS n_purchase, CAST(sum(t3 - t1) AS BIGINT) AS conv_ns
         |FROM s3"""),
+    // gap_detect: same lag/median/3× trees on the µs axis
+    "gap_detect" -> w(
+      """WITH d AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY event_type ORDER BY epoch_us(ts)) AS delta
+        |  FROM events),
+        |dd AS (SELECT * FROM d WHERE delta IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(delta, 0.5) AS med
+        |  FROM dd GROUP BY 1)
+        |SELECT dd.event_type, count(*) AS n_deltas,
+        |  CAST(sum(CASE WHEN dd.delta > 3.0 * m.med THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gaps,
+        |  max(dd.delta) AS max_gap_us, round(min(m.med), 4) AS med_us
+        |FROM dd JOIN m USING (event_type) GROUP BY 1 ORDER BY 1"""),
     // decompose: same rounded daily inputs, same centered-window /
     // phase-mean / residual trees
     "decompose_stl" -> w(

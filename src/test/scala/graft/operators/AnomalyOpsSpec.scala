@@ -24,6 +24,16 @@ class AnomalyOpsSpec extends SparkSpec {
     assert(med >= 10.0 && med <= 10.5)
   }
 
+  test("madFlags sketch mode (exact=false) finds the same planted outliers") {
+    // 4096-capacity KLL over <4096 values runs in its EXACT mode, so
+    // the bounded-state path reproduces the exact answer here; at
+    // scale it degrades gracefully to ~1.7% rank error instead of
+    // buffering the series
+    val out = AnomalyOps.madFlags(spiky, Seq("k"), "v", 3.0, exact = false)
+    val flagged = out.filter(col("is_anom")).select("v").as[Double].collect().sorted
+    assert(flagged.toSeq == Seq(-500.0, 500.0))
+  }
+
   test("madFlags flags nothing on a clean series") {
     val clean = (1 to 50).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)).toDF("k", "t", "v")
     assert(AnomalyOps.madFlags(clean, Seq("k"), "v", 3.0)
