@@ -745,6 +745,42 @@ final case class FluxFrame(
       groupKey, timeCol, as)
   }
 
+  /** Flux `tripleExponentialDerivative(n:)` (TRIX): the 1-back percent
+    * rate of change of the triple-SMOOTHED EMA (ema∘ema∘ema — not
+    * [[tripleEma]]'s 3e1−3e2+e3 combination) — the oscillator that
+    * filters noise below three smoothing passes.
+    */
+  def trix(n: Int, as: String = "_value"): FluxFrame = {
+    val e1 = SeriesScan.ema(df, groupKey, timeCol, valueCol, n, "_e1").filter(col("_e1").isNotNull)
+    val e2 = SeriesScan.ema(e1, groupKey, timeCol, "_e1", n, "_e2").filter(col("_e2").isNotNull)
+    val e3 = SeriesScan.ema(e2, groupKey, timeCol, "_e2", n, "_e3").filter(col("_e3").isNotNull)
+    val out = e3.withColumn("_p", lag(col("_e3"), 1).over(w))
+      .filter(col("_p").isNotNull)
+      .withColumn(as, (col("_e3") - col("_p")) / col("_p") * lit(100.0))
+      .drop("_e1", "_e2", "_e3", "_p")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
+  /** Flux `kaufmansER(n:)`: Kaufman's efficiency ratio —
+    * |v_t − v_{t−n}| over the window's total absolute movement
+    * (Σ|v_i − v_{i−1}|), 0 when the series didn't move (the
+    * [[kaufmansAma]] convention). Pure window algebra: one series
+    * shuffle, O(n)-frame sliding sums.
+    */
+  def kaufmansER(n: Int, as: String = "_value"): FluxFrame = {
+    val base = df.withColumn("_d1",
+      abs(col(valueCol) - lag(col(valueCol), 1).over(w)))
+    val out = base
+      .withColumn("_chg", abs(col(valueCol) - lag(col(valueCol), n).over(w)))
+      .withColumn("_vol", sum(col("_d1")).over(rows(-(n - 1), 0)))
+      .withColumn("_cnt", count(col("_d1")).over(rows(-(n - 1), 0)))
+      .filter(col("_chg").isNotNull && col("_cnt") === n)
+      .withColumn(as,
+        when(col("_vol") === 0.0, 0.0).otherwise(col("_chg") / col("_vol")))
+      .drop("_d1", "_chg", "_vol", "_cnt")
+    FluxFrame(out, groupKey, timeCol, as)
+  }
+
   /** Flux `relativeStrengthIndex(n:)` (Wilder smoothing). */
   def rsi(n: Int, as: String = "_value"): FluxFrame = {
     val out = SeriesScan.rsi(df, groupKey, timeCol, valueCol, n, "_rsi")

@@ -330,6 +330,8 @@ object FluxEval {
     case "doubleEMA" => f.doubleEma(num(call.args, "n").toInt)
     case "tripleEMA" => f.tripleEma(num(call.args, "n").toInt)
     case "relativeStrengthIndex" => f.rsi(num(call.args, "n").toInt)
+    case "tripleExponentialDerivative" => f.trix(num(call.args, "n").toInt)
+    case "kaufmansER" => f.kaufmansER(num(call.args, "n").toInt)
     case "chandeMomentumOscillator" => f.chandeMomentum(num(call.args, "n").toInt)
     case "kaufmansAMA" => f.kaufmansAma(num(call.args, "n").toInt)
     case "timeShift" => f.timeShift(interval(call.args("duration")))

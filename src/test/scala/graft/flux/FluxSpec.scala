@@ -380,6 +380,19 @@ class FluxSpec extends SparkSpec {
     assert(c.columns.contains("alarm"))
     val a = FluxEval.run("""from(bucket: "b") |> anomalies(k: 2.5)""", src)
     assert(a.columns.contains("is_anom"))
+    // TRIX on a constant series is exactly 0; ER on a monotone ramp is 1
+    val const = (0 until 40).map(t => ("a", t.toLong, 5.0))
+    val csrc = src.copy(resolve =
+      _ => FluxFrame.of(const.toDF("k", "t", "v"), "t", "v", "k"))
+    val tx = FluxEval.run("""from(bucket: "b") |> tripleExponentialDerivative(n: 5)""", csrc)
+    assert(tx.count() > 0 &&
+      tx.select("_value").as[Double].collect().forall(_ == 0.0))
+    val ramp = (0 until 40).map(t => ("a", t.toLong, t.toDouble))
+    val rsrc = src.copy(resolve =
+      _ => FluxFrame.of(ramp.toDF("k", "t", "v"), "t", "v", "k"))
+    val er = FluxEval.run("""from(bucket: "b") |> kaufmansER(n: 10)""", rsrc)
+    assert(er.count() == 30 &&
+      er.select("_value").as[Double].collect().forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
   test("exists parses and filters nulls; not exists inverts it") {
