@@ -256,6 +256,34 @@ object FluxParser {
           ws(); expect(":"); ws()
           val zone = stringLit(); ws(); expect(")")
           VStr(zone)
+        } else if ((id == "linearBins" || id == "logarithmicBins") && peekStr("(")) {
+          // stdlib bin generators, reduced to their literal arrays at
+          // parse time (Flux evaluates them eagerly too): linearBins =
+          // start, start+width, …, count edges; logarithmicBins =
+          // start·factor^i. `infinity: true` appends +Inf as the
+          // catch-all upper edge, exactly like the stdlib.
+          expect("("); ws()
+          val args = scala.collection.mutable.Map.empty[String, Value]
+          if (!peekStr(")")) {
+            def arg(): Unit = { val k = ident(); ws(); expect(":"); ws(); args(k) = value(); ws() }
+            arg(); while (peekStr(",")) { expect(","); ws(); arg() }
+          }
+          expect(")")
+          def numArg(k: String): Double = args.get(k) match {
+            case Some(VNum(d)) => d
+            case other => fail(s"$id needs numeric $k:, got $other")
+          }
+          val count = numArg("count").toInt
+          val start = numArg("start")
+          val base = (0 until count).map { i =>
+            if (id == "linearBins") start + numArg("width") * i
+            else start * math.pow(numArg("factor"), i)
+          }
+          val inf = args.get("infinity") match {
+            case Some(VBool(false)) => Nil
+            case _ => Seq(Double.PositiveInfinity) // stdlib default: true
+          }
+          VArr((base ++ inf).map(VNum))
         } else VIdent(id)
       }
     }

@@ -205,6 +205,18 @@ object FluxQueries {
         .select(col("_measurement"), r4(col("_value")).as("q50"))
         .orderBy("_measurement")),
 
+    // stdlib bin generator: linearBins reduces at parse time to the
+    // SAME literal edges as flux_histogram's explicit list, so the
+    // generator path reuses that gate's oracle verbatim.
+    "flux_linear_bins" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> histogram(bins: linearBins(start: 20.0, width: 20.0, count: 5, infinity: false))
+          ||> histogramQuantile(quantile: 0.5)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), r4(col("_value")).as("q50"))
+        .orderBy("_measurement")),
+
     // join(): two table variables joined on a key — the multi-statement
     // program form (assignments + standalone join head).
     "flux_join" -> ((s, dir) =>
@@ -264,6 +276,22 @@ object FluxQueries {
         .orderBy("_measurement", "wend")
     })
   )
+
+  private val histogramOracle: String =
+    """WITH hist AS (
+        |  SELECT event_type, le, count(*) AS hn
+        |  FROM events CROSS JOIN (VALUES (20.0), (40.0), (60.0), (80.0), (100.0)) b(le)
+        |  WHERE value <= le GROUP BY 1, 2
+        |), staged AS (
+        |  SELECT event_type, le, hn,
+        |    max(hn) OVER (PARTITION BY event_type) AS tot,
+        |    coalesce(lag(hn) OVER w, 0) AS pc,
+        |    coalesce(lag(le) OVER w, 0) AS ple
+        |  FROM hist WINDOW w AS (PARTITION BY event_type ORDER BY le)
+        |)
+        |SELECT event_type AS _measurement,
+        |  round(ple + (le - ple) * (tot * 0.5 - pc) / (hn - pc), 4) AS q50
+        |FROM staged WHERE hn >= tot * 0.5 AND pc < tot * 0.5 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
@@ -368,21 +396,7 @@ object FluxQueries {
         |  CAST(count(*) AS DOUBLE) AS n,
         |  round(sum((value - 50.0) * 2.0), 4) AS adj
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "flux_histogram" ->
-      """WITH hist AS (
-        |  SELECT event_type, le, count(*) AS hn
-        |  FROM events CROSS JOIN (VALUES (20.0), (40.0), (60.0), (80.0), (100.0)) b(le)
-        |  WHERE value <= le GROUP BY 1, 2
-        |), staged AS (
-        |  SELECT event_type, le, hn,
-        |    max(hn) OVER (PARTITION BY event_type) AS tot,
-        |    coalesce(lag(hn) OVER w, 0) AS pc,
-        |    coalesce(lag(le) OVER w, 0) AS ple
-        |  FROM hist WINDOW w AS (PARTITION BY event_type ORDER BY le)
-        |)
-        |SELECT event_type AS _measurement,
-        |  round(ple + (le - ple) * (tot * 0.5 - pc) / (hn - pc), 4) AS q50
-        |FROM staged WHERE hn >= tot * 0.5 AND pc < tot * 0.5 ORDER BY 1""".stripMargin,
+    "flux_histogram" -> histogramOracle,
     "flux_join" ->
       """WITH c AS (
         |  SELECT user_id, max(value) AS click_max FROM events
@@ -393,6 +407,9 @@ object FluxQueries {
         |)
         |SELECT user_id, round(click_max, 4) AS click_max,
         |  round(purchase_max, 4) AS purchase_max
-        |FROM c JOIN p USING (user_id) ORDER BY 1""".stripMargin
+        |FROM c JOIN p USING (user_id) ORDER BY 1""".stripMargin,
+    // the bin GENERATOR reduces at parse time to the identical literal
+    // edges, so the generator path answers the same oracle
+    "flux_linear_bins" -> histogramOracle
   )
 }

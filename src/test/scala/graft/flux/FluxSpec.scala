@@ -395,6 +395,17 @@ class FluxSpec extends SparkSpec {
       er.select("_value").as[Double].collect().forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("linearBins/logarithmicBins reduce to literal edges at parse time") {
+    val p = FluxParser.parse(
+      """from(bucket: "b") |> histogram(bins: linearBins(start: 0.0, width: 10.0, count: 3))""")
+    val VArr(lin) = p.calls(1).args("bins"): @unchecked
+    assert(lin == Seq(VNum(0.0), VNum(10.0), VNum(20.0), VNum(Double.PositiveInfinity)))
+    val q = FluxParser.parse(
+      """from(bucket: "b") |> histogram(bins: logarithmicBins(start: 1.0, factor: 2.0, count: 4, infinity: false))""")
+    val VArr(log) = q.calls(1).args("bins"): @unchecked
+    assert(log == Seq(VNum(1.0), VNum(2.0), VNum(4.0), VNum(8.0)))
+  }
+
   test("exists parses and filters nulls; not exists inverts it") {
     val p = FluxParser.parse(
       """from(bucket: "b") |> filter(fn: (r) => exists r.error and not exists r.skip)""")
