@@ -37,6 +37,22 @@ object FluxQueries {
           r4(min(col("med"))).as("med"), r4(min(col("mad"))).as("mad"))
         .orderBy("event_type")),
 
+    // decompose through the text surface over the same rounded daily
+    // inputs as decompose_stl — reuses that gate's oracle
+    "flux_decompose" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("d"))
+        .agg(round(sum(col("value")), 4).as("v"))
+      FluxEval.run("""from(bucket: "daily") |> decompose(period: 7)""",
+        FluxEval.Source(
+          resolve = _ => graft.dsl.FluxFrame.of(daily, "d", "v", "event_type"),
+          rename = Map("_time" -> "d", "_value" -> "v", "_measurement" -> "event_type")))
+        .select(col("_measurement").as("event_type"), col("_time").as("d"),
+          r4(col("trend")).as("trend"), r4(col("seasonal")).as("seasonal"),
+          r4(col("resid")).as("resid"))
+        .orderBy("event_type", "d")
+    }),
+
     "flux_downsample" -> ((s, dir) =>
       FluxEval.run(
         """from(bucket: "events")
@@ -295,6 +311,7 @@ object FluxQueries {
 
   val oracle: Map[String, String] = Map(
     "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
+    "flux_decompose" -> WindowQueries.oracle("decompose_stl"),
     "flux_anomalies" -> WindowQueries.oracle("anomaly_mad"),
     "flux_exists" ->
       """SELECT user_id,

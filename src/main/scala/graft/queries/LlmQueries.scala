@@ -463,6 +463,33 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Dataset card: the one-row corpus summary a curation pipeline
+    // publishes with a release — size, token mass, near-dup rate via
+    // canonical fingerprints, language-distribution entropy (nats,
+    // lang-ordered fold), mean heuristic quality. Pure composition of
+    // gated pieces; every number exact or 4dp-pinned.
+    "dataset_card" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.tokenSetFingerprint(col("text")).as("fp"),
+        TextOps.qualityScore(col("text")).as("qs"))
+      val lc = d.groupBy("lang").agg(count(lit(1)).cast("double").as("n"))
+      val tot = lc.agg(sum("n").as("nn"))
+      val ent = lc.crossJoin(broadcast(tot))
+        .withColumn("t", -(col("n") / col("nn")) * log(col("n") / col("nn")))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("lang"), col("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("lang_entropy"))
+      d.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        count_distinct(col("fp")).as("n_unique"),
+        r4(avg(col("qs"))).as("avg_quality"))
+        .crossJoin(ent)
+        .select(col("n_docs"), col("n_tokens"), col("n_unique"),
+          r4(lit(1.0) - col("n_unique") / col("n_docs")).as("dup_rate"),
+          col("avg_quality"), r4(col("lang_entropy")).as("lang_entropy"))
+    }),
+
     // Deterministic global shuffle into 8 shards: md5-uniform shard +
     // within-shard rank — the trainer-facing corpus ordering step.
     // Full (doc, shard, pos) listing keeps the gate order-exact.
@@ -2000,6 +2027,30 @@ object LlmQueries {
          |    nbr) AS rank
          |  FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // dataset_card: the same fingerprint/quality/entropy trees; the
+    // entropy fold orders by lang like the engine's struct sort
+    "dataset_card" -> w(
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len(arr) AS BIGINT) AS n_tok,
+         |    md5(array_to_string(list_sort(list_distinct(arr)), ' ')) AS fp,
+         |    0.4 * least(CAST(len(arr) AS DOUBLE) / 50, 1.0) +
+         |    0.3 * least(CAST($enS AS DOUBLE) / CAST(len(arr) AS DOUBLE) * 5, 1.0) +
+         |    0.3 * (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE) * 10, 1.0)) AS qs
+         |  FROM (SELECT doc_id, lang, text, $toksSql AS arr FROM documents)),
+         |lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nn FROM lc),
+         |ent AS (SELECT list_reduce(list_prepend(0.0,
+         |    list(-(n / nn) * ln(n / nn) ORDER BY lang)), (a, b) -> a + b) AS e
+         |  FROM lc CROSS JOIN tot)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT fp) AS n_unique,
+         |  round(1.0 - count(DISTINCT fp) / count(*), 4) AS dup_rate,
+         |  round(avg(qs), 4) AS avg_quality,
+         |  round((SELECT e FROM ent), 4) AS lang_entropy
+         |FROM d"""),
+
     // shard_shuffle: the hashU digit fold, floor(u·8) clamped, rank
     // by (u, doc_id) within the shard
     "shard_shuffle" -> (hashUCte + w(
