@@ -55,6 +55,27 @@ object AnomalyOps {
       .withColumn("is_anom", col("abs_dev") > lit(k) * col("mad"))
   }
 
+  /** Winsorization: clamp each series to its own [lo, hi] percentile
+    * band — the outlier TREATMENT next to [[madFlags]]'s detection
+    * (dashboards winsorize before averaging so one 500× spike doesn't
+    * own the y-axis). One grouped two-percentile aggregate + a
+    * same-key join + a clamp projection; exact interpolated
+    * percentiles like the quantile verb. Adds `p_lo`, `p_hi`,
+    * `clamped`.
+    */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(keyCols.nonEmpty, "winsorize needs a series key")
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val keys = keyCols.map(col)
+    val bounds = df.groupBy(keys: _*).agg(
+      percentile(col(valueCol), lit(lo)).as("p_lo"),
+      percentile(col(valueCol), lit(hi)).as("p_hi"))
+    df.join(bounds, keyCols)
+      .withColumn("clamped",
+        least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+  }
+
   /** One-sided CUSUM drift alarms (Page 1954): per series,
     * S_t = max(0, S_{t-1} + (x_t − μ − slack·σ)), alarm while
     * S_t > thresh·σ — the classic sequential detector for a sustained

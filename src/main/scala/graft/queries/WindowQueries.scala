@@ -291,6 +291,24 @@ object WindowQueries {
         .cohortRetention(events(s, dir), "user_id", "ts")
         .orderBy("cohort_week", "offset")),
 
+    // Winsorize to the per-type [p05, p95] band; the roll-up compares
+    // raw vs clamped sums and counts the clamped rows — outlier
+    // TREATMENT next to anomaly_mad's detection.
+    "winsorize" -> ((s, dir) =>
+      graft.operators.AnomalyOps
+        .winsorize(events(s, dir).select("event_type", "value"),
+          Seq("event_type"), "value", 0.05, 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") =!= col("clamped"), 1L).otherwise(0L))
+            .as("n_clamped"),
+          r4(min(col("p_lo"))).as("p_lo"), r4(min(col("p_hi"))).as("p_hi"),
+          // sum the per-row shift (mostly zeros), NOT the difference
+          // of two large sums — the latter amplifies cross-engine
+          // summation-order drift past 4dp
+          r4(sum(col("clamped") - col("value"))).as("mass_shift"))
+        .orderBy("event_type")),
+
     // Data-gap detection: per series, inter-arrival deltas vs 3× the
     // series' own median delta — the missing-telemetry monitor, pure
     // composition of existing pieces (lag scan + exact percentile +
@@ -633,6 +651,23 @@ object WindowQueries {
         |SELECT count(t1) AS n_view, count(t2) AS n_click,
         |  count(t3) AS n_purchase, CAST(sum(t3 - t1) AS BIGINT) AS conv_ns
         |FROM s3"""),
+    // winsorize: same interpolated percentiles, same clamp tree,
+    // per-row shift summed
+    "winsorize" -> w(
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS p_lo,
+        |    quantile_cont(value, 0.95) AS p_hi
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.value, b.p_lo, b.p_hi,
+        |    least(greatest(e.value, b.p_lo), b.p_hi) AS clamped
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value <> clamped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped,
+        |  round(min(p_lo), 4) AS p_lo, round(min(p_hi), 4) AS p_hi,
+        |  round(sum(clamped - value), 4) AS mass_shift
+        |FROM c GROUP BY 1 ORDER BY 1"""),
     // gap_detect: same lag/median/3× trees on the µs axis
     "gap_detect" -> w(
       """WITH d AS (

@@ -58,6 +58,22 @@ class AnomalyOpsSpec extends SparkSpec {
       .filter(col("alarm")).count() == 0)
   }
 
+  test("winsorize clamps exactly the tail rows, interior untouched") {
+    val rows = ((1 to 98).map(i => ("a", 10.0 + (i % 7) * 0.1)) ++
+      Seq(("a", 1000.0), ("a", -1000.0))).toDF("k", "v")
+    val out = AnomalyOps.winsorize(rows, Seq("k"), "v", 0.05, 0.95)
+    // the planted extremes clamp to the band edges
+    val ext = out.filter(abs(col("v")) === 1000.0)
+      .select("v", "clamped").as[(Double, Double)].collect().toMap
+    assert(ext(1000.0) < 11.0 && ext(-1000.0) > 9.0)
+    // interior values pass through identical
+    val interior = out.filter(col("v") > 10.05 && col("v") < 10.55)
+    assert(interior.filter(col("v") =!= col("clamped")).count() == 0)
+    // bad band rejected
+    assertThrows[IllegalArgumentException](
+      AnomalyOps.winsorize(rows, Seq("k"), "v", 0.9, 0.1))
+  }
+
   test("both detectors keep series independent") {
     val rows = (1 to 100).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) ++
       (1 to 100).map(i => ("b", i.toLong, 1000.0 + (i % 5) * 10.0))
