@@ -475,7 +475,31 @@ object FluxEval {
       val bucket = str(call.args, "bucket")
       val sink = source.write.getOrElse(throw EvalException(
         "to(bucket:) is not available on this query surface (no write sink)"))
-      val back = source.rename.foldLeft(f.toDF) {
+      // typed `_value`: the field-pinned filter (see the filter case)
+      // can hand this frame a string/bool/int `_value`; the generic
+      // reverse rename would drop it into the FLOAT store column,
+      // where the write casts it to null. Route it by dataType to the
+      // matching typed store column instead — ints land in value_i
+      // (Flux to() writes integers as integer fields; unsigned needs
+      // an explicit uint cast there too).
+      val df0: DataFrame =
+        if (source.rename.get("_value").contains("value_f") &&
+            f.toDF.columns.contains("_value")) {
+          import org.apache.spark.sql.types._
+          val d = f.toDF
+          d.schema("_value").dataType match {
+            case StringType => d.withColumnRenamed("_value", "value_s")
+            case BooleanType => d.withColumnRenamed("_value", "value_b")
+            case IntegerType | LongType =>
+              d.withColumn("_value", col("_value").cast("long"))
+                .withColumnRenamed("_value", "value_i")
+            case DoubleType => d
+            case FloatType => d.withColumn("_value", col("_value").cast("double"))
+            case other => throw EvalException(
+              s"to(): cannot write _value of type ${other.simpleString}")
+          }
+        } else f.toDF
+      val back = source.rename.foldLeft(df0) {
         case (d, (flux, actual)) if d.columns.contains(flux) && !d.columns.contains(actual) =>
           d.withColumnRenamed(flux, actual)
         case (d, _) => d

@@ -30,18 +30,22 @@ import org.apache.spark.sql.functions._
 object ClassifierOps {
 
   /** Hashed bag-of-words features: (id, f, x) with
-    * f = (first two md5 hex digits of the token) mod `dim` and x the
-    * token count in that bucket, plus the intercept row (f = dim,
-    * x = 1) every document carries. Pure scan + one (id, f) count
-    * aggregation.
+    * f = (first FOUR md5 hex digits of the token, a 0..65535 hash)
+    * mod `dim` and x the token count in that bucket, plus the
+    * intercept row (f = dim, x = 1) every document carries. Pure scan
+    * + one (id, f) count aggregation. 16-bit pre-hash keeps every
+    * bucket reachable up to dim = 65536 (a 2-digit hash left buckets
+    * 256.. permanently empty for larger dims); occupancy is uniform
+    * whenever dim divides 65536, mildly biased otherwise.
     */
   def hashFeatures(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
     val toks = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
     val feat = toks
       .withColumn("f",
-        (conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int") % dim)
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int") % dim)
           .cast("int"))
       .groupBy("id", "f").agg(count(lit(1)).cast("double").as("x"))
     feat.unionByName(

@@ -55,9 +55,13 @@ object FunnelOps {
       date_trunc("week", col(tsCol)).as("wk")).distinct()
     val cohort = uw.groupBy(col(userCol)).agg(min(col("wk")).as("cw"))
     uw.join(cohort, userCol)
+      // calendar arithmetic, not epoch-seconds: date_trunc('week')
+      // boundaries are session-tz midnights, so across a DST shift the
+      // epoch delta is 604800±3600 s and a truncating divide lands on
+      // the wrong offset. The day difference between two week-start
+      // midnights is ALWAYS an exact multiple of 7 in any timezone.
       .withColumn("offset",
-        ((unix_timestamp(col("wk")) - unix_timestamp(col("cw"))) / 604800L)
-          .cast("long"))
+        floor(datediff(col("wk"), col("cw")) / lit(7)).cast("long"))
       .groupBy(col("cw").as("cohort_week"), col("offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }

@@ -873,7 +873,7 @@ object LlmQueries {
       "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),\n"
     sb ++= "feat AS MATERIALIZED (\n" +
       "  SELECT id, f, CAST(count(*) AS DOUBLE) AS x FROM (\n" +
-      s"    SELECT doc_id AS id, CAST(((${hx.format(1)}) * 16 + (${hx.format(2)})) AS INTEGER) % 32 AS f\n" +
+      s"    SELECT doc_id AS id, CAST(((((${hx.format(1)}) * 16 + (${hx.format(2)})) * 16 + (${hx.format(3)})) * 16 + (${hx.format(4)})) AS INTEGER) % 32 AS f\n" +
       s"    FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents))\n" +
       "  GROUP BY 1, 2\n" +
       "  UNION ALL SELECT doc_id AS id, 32 AS f, 1.0 AS x FROM documents),\n"

@@ -97,11 +97,18 @@ object RelQueries {
       val dayUs = 86400L * 1000000L
       val li = lineitem(s, dir)
         .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"))
+      // The interval predicate only sees o_orderdate, and urgent orders
+      // share ~2.4k DISTINCT dates — so collapse the interval side to
+      // (date, multiplicity) BEFORE binning. The exploded bin table is
+      // then broadcast-sized (~7k rows): the join broadcasts instead of
+      // shuffling every lineitem through a low-cardinality bin key, and
+      // candidate rows drop ~12× (one per distinct date, not per order).
+      // Weighting n and qty by m is algebraically the expanded join.
       val ord = orders(s, dir)
         .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderdate"))
+        .groupBy(col("o_orderdate")).agg(count(lit(1)).as("m"))
       graft.operators.RangeJoin.binnedRangeJoin(
-        li, ord,
+        li, broadcast(ord),
         unix_micros(col("l_shipdate").cast("timestamp")),
         unix_micros(col("o_orderdate").cast("timestamp")),
         unix_micros(col("o_orderdate").cast("timestamp")) + lit(3L * dayUs),
@@ -110,7 +117,7 @@ object RelQueries {
         // quantity, not extendedprice: at this join's fan-out a 3.8e9
         // price sum accumulates order-dependent noise past the 4th
         // decimal; quantity sums stay ~1e6 where round(,4) is stable
-        .agg(count(lit(1)).as("n"), r4(sum(col("l_quantity"))).as("qty"))
+        .agg(sum(col("m")).as("n"), r4(sum(col("l_quantity") * col("m"))).as("qty"))
         .orderBy("l_returnflag")
     }),
 

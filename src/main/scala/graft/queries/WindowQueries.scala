@@ -709,7 +709,7 @@ object WindowQueries {
         |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
         |SELECT c.cw AS cohort_week,
-        |  CAST((epoch(uw.wk) - epoch(c.cw)) / 604800 AS BIGINT) AS offset,
+        |  CAST(datediff('day', c.cw, uw.wk) // 7 AS BIGINT) AS offset,
         |  count(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""")

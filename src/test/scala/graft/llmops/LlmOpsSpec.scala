@@ -655,7 +655,8 @@ class LlmOpsSpec extends SparkSpec {
     def bucket(t: String): Int = {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8"))
-      (((h(0) >> 4) & 0xf) * 16 + (h(0) & 0xf)) % 32
+      ((((h(0) >> 4) & 0xf) * 16 + (h(0) & 0xf)) * 256 +
+        ((h(1) >> 4) & 0xf) * 16 + (h(1) & 0xf)) % 32
     }
     // two marker words guaranteed to land in different feature buckets
     val words = Seq("alpha", "bravo", "carbon", "delta", "ember", "flint")
@@ -696,7 +697,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(mean(0) - 5.0) < 3.0)
     // unit components
     assert(math.abs(comps(0).map(x => x * x).sum - 1.0) < 1e-9)
-    assert(math.abs(comps(1).map(x => x * x).sum - 1e-9) < 1.1)
+    assert(math.abs(comps(1).map(x => x * x).sum - 1.0) < 1e-9)
     // projections are mean-centered: component scores sum to ~0
     val p = VectorOps.pcaProject(vs, mean, comps)
       .select("p").as[Seq[Double]].collect()
