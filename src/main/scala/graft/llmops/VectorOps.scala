@@ -54,6 +54,46 @@ object VectorOps {
   def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
 
+  /** Nearest codebook entry — max cosine, ties → smaller cid — for one
+    * vector slice against a metadata-sized codebook, computed INSIDE a
+    * compiled map pass. This replaces the assignment idiom the
+    * IVF/PQ verbs first shipped with (explode the n·k candidate rows
+    * through a broadcast join, then `row_number` over a per-id window):
+    * the window was a full SORT SHUFFLE of rows that exist only to be
+    * argmax'd away, and measured as the pqTrain/pqEncode hotspot
+    * (PERF.md round 12). Arithmetic is the same fused left-to-right
+    * dab/daa/dbb loop as [[graft.functions.CosineSimilarity]], and the
+    * comparator is exactly the window's ordering — descending
+    * `java.lang.Double.compare` (NaN greatest, -0.0 < 0.0), tie →
+    * smaller cid — so every assignment, and every oracle hash
+    * downstream, is bit-identical to the join+window form.
+    */
+  private def nearestCid(cent: Array[(Long, Array[Double])],
+      v: Array[Double], from: Int, len: Int): Long = {
+    var bestCid = 0L
+    var bestCos = 0.0
+    var first = true
+    var c = 0
+    while (c < cent.length) {
+      val cid = cent(c)._1
+      val cv = cent(c)._2
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < len) {
+        val xi = v(from + i); val yi = cv(i)
+        dab += xi * yi; daa += xi * xi; dbb += yi * yi
+        i += 1
+      }
+      val cos = dab / (math.sqrt(daa) * math.sqrt(dbb))
+      val cmp = if (first) 1 else java.lang.Double.compare(cos, bestCos)
+      if (cmp > 0 || (cmp == 0 && cid < bestCid)) {
+        bestCos = cos; bestCid = cid; first = false
+      }
+      c += 1
+    }
+    bestCid
+  }
+
   /** Brute-force cosine top-k: every query row is scored against the
     * whole corpus (broadcast queries × corpus scan — one pass, no
     * shuffle of the corpus), then per-query top-k. Exact; the baseline
@@ -209,14 +249,21 @@ object VectorOps {
     * build-once/probe-many shape as the winnow fingerprint index).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("cos").desc, col("cid"))
-    corpus.as("c")
-      .crossJoin(broadcast(centroids.select(col("id").as("cid"), col("v").as("cv"))))
-      .select(col("c.id").as("id"), col("c.v").as("v"), col("cid"),
-        cosine(col("c.v"), col("cv")).as("cos"))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col("id"), col("v"), col("cid"))
+    // k×dim codebook cells to the driver (allowlisted metadata-scale
+    // collect, like the trainer's), then ONE compiled map pass assigns
+    // every corpus row — no n·k candidate rows, no window sort shuffle
+    // (see [[nearestCid]] for the bit-identity argument)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent: Array[(Long, Array[Double])] = centroids
+      .select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (c, v) => (c, v.toArray) }
+    corpus.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val a = v.toArray
+        (id, v, nearestCid(cent, a, 0, a.length))
+      }.toDF("id", "v", "cid")
   }
 
   /** Probe an inverted-file index (`(id, v, cid)` — fresh from
@@ -265,13 +312,16 @@ object VectorOps {
       s.orderBy("id").limit(k).as[(Long, Seq[Double])].collect()
         .zipWithIndex.map { case ((_, v), i) => (i.toLong, v.toArray) }
     for (_ <- 0 until iters) {
-      val cdf = broadcast(
-        cent.toSeq.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cv"))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(col("cos").desc, col("cid"))
-      val assign = s.crossJoin(cdf)
-        .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("cos"))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      // assignment as one compiled map pass with the k×dim codebook in
+      // the task closure (bit-identical to the broadcast-join + window
+      // argmax it replaces — see [[nearestCid]]); only the update's
+      // k×dim aggregated cells ever shuffle
+      val centNow = cent
+      val assign = s.as[(Long, Seq[Double])]
+        .map { case (_, v) =>
+          val a = v.toArray
+          (nearestCid(centNow, a, 0, a.length), v)
+        }.toDF("cid", "v")
       val cells = assign
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -307,15 +357,11 @@ object VectorOps {
     val spark = sample.sparkSession
     import spark.implicits._
     val s = sample.select(col("id").cast("long"), col("v").cast("array<double>"))
-    // all m subspaces train in the SAME jobs: one exploded (id, sub, sv)
-    // view, one assignment pass and one cell aggregation per iteration —
-    // 2 jobs/iter instead of 2·m (the math per (sub, cid) is identical
-    // to running trainIvfCentroids on each slice, which is what the
-    // gate oracle replays)
-    val ssub = s
-      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
-      .select(col("id"), col("sub"),
-        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("sv"))
+    // all m subspaces train in the SAME jobs: one fused assignment pass
+    // over the raw vectors (each row emits its m per-subspace codes)
+    // and one cell aggregation per iteration — the math per (sub, cid)
+    // is identical to running trainIvfCentroids on each slice, which is
+    // what the gate oracle replays
     // seeds: the k smallest-id sample vectors, sliced per subspace
     var cent: Array[(Int, Long, Array[Double])] =
       s.orderBy("id").limit(k).as[(Long, Seq[Double])].collect()
@@ -323,14 +369,19 @@ object VectorOps {
           (0 until m).map(sub => (sub, i.toLong, v.slice(sub * d, sub * d + d).toArray))
         }
     for (_ <- 0 until iters) {
-      val cdf = broadcast(cent.toSeq
-        .map { case (sub, cid, cv) => (sub, cid, cv.toSeq) }.toDF("sub", "cid", "cv"))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("id", "sub").orderBy(col("cos").desc, col("cid"))
-      val assign = ssub.join(cdf, "sub")
-        .select(col("id"), col("sub"), col("sv"), col("cid"),
-          cosine(col("sv"), col("cv")).as("cos"))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      // per-sub codebooks in the task closure; assignment never
+      // materializes the n·m·k candidate rows or their window sort
+      // (see [[nearestCid]])
+      val bySub: Array[Array[(Long, Array[Double])]] =
+        Array.tabulate(m)(sub => cent.collect { case (`sub`, cid, cv) => (cid, cv) })
+      val assign = s.as[(Long, Seq[Double])]
+        .flatMap { case (_, v) =>
+          val a = v.toArray
+          (0 until m).map { sub =>
+            (sub, nearestCid(bySub(sub), a, sub * d, d),
+              v.slice(sub * d, sub * d + d))
+          }
+        }.toDF("sub", "cid", "sv")
       val cells = assign
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("sub", "cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -354,16 +405,26 @@ object VectorOps {
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
     val d = dim / m
-    val expl = corpus
-      .select(col("id"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("id"), col("sub"),
-        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("sv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id", "sub").orderBy(col("cos").desc, col("cid"))
-    expl.join(broadcast(codebooks), "sub")
-      .select(col("id"), col("sub"), col("cid"), cosine(col("sv"), col("cv")).as("cos"))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("id"), col("sub"), col("cid"))
+    // m·k codebook cells to the driver (allowlisted metadata-scale
+    // collect), then one compiled flatMap emits each vector's m codes —
+    // the n·m·k candidate rows and their (id, sub) window sort never
+    // exist (see [[nearestCid]] for the bit-identity argument)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb: Array[Array[(Long, Array[Double])]] = {
+      val rows = codebooks
+        .select(col("sub").cast("int"), col("cid").cast("long"),
+          col("cv").cast("array<double>"))
+        .as[(Int, Long, Seq[Double])].collect()
+      Array.tabulate(m)(sub =>
+        rows.collect { case (`sub`, cid, cv) => (cid, cv.toArray) })
+    }
+    corpus.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val a = v.toArray
+        (0 until m).map(sub => (id, sub, nearestCid(cb(sub), a, sub * d, d)))
+      }.toDF("id", "sub", "cid")
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds a
@@ -380,32 +441,91 @@ object VectorOps {
     */
   def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
       k: Int, m: Int, dim: Int): DataFrame = {
-    val d = dim / m
-    val qsub = queries
-      .select(col("id").as("qid"), col("v").as("qv"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("qid"), col("sub"),
-        slice(col("qv"), col("sub") * lit(d) + lit(1), lit(d)).as("qs"))
-    val lut = qsub.join(broadcast(codebooks), "sub")
-      .select(col("qid"), col("sub"), col("cid"),
-        dot(col("qs"), col("cv")).as("pd"),
-        dot(col("cv"), col("cv")).as("pc"),
-        dot(col("qs"), col("qs")).as("pq"))
-    val joined = codes.join(broadcast(lut), Seq("sub", "cid"))
-    def part(c: String) = (0 until m).map(s =>
-      max(when(col("sub") === s, col(c))).as(s"${c}$s"))
-    val aggs = part("pd") ++ part("pc") ++ part("pq")
-    def total(c: String) =
-      (0 until m).map(s => col(s"${c}$s")).reduceLeft(_ + _) // fixed association
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
-    joined.groupBy(col("qid"), col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id").as("nbr"),
-        (total("pd") / (sqrt(total("pq")) * sqrt(total("pc")))).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val lut = adcLut(queries, codebooks, m, dim / m)
+    // one hash agg packs each vector's m codes into a map, then a
+    // compiled flatMap scores every (query, vector) pair from the
+    // driver-built LUT — the n·m LUT-join rows, the 3m-column pivot
+    // aggregate and the per-qid window sort of the first formulation
+    // never exist. The bounded-heap TopKPerGroup replaces the
+    // row_number window (spec-pinned equal, including ties).
+    val scored = packedCodes(codes).as[(Long, Map[Int, Long])]
+      .flatMap { case (id, cm) =>
+        lut.qids.indices.iterator.filter(qi => lut.qids(qi) != id)
+          .map(qi => (lut.qids(qi), id, lut.cos(qi, cm, m)))
+      }.toDF("qid", "nbr", "cos")
+    graft.plans.TopKPerGroup(scored, Seq("qid"), "cos", "nbr", k)
   }
+
+  /** Driver-built ADC lookup table: for each (query, sub, cid) the
+    * partial dot `pd`, plus the centroid and query self-dots —
+    * |Q|·m·k cells (two allowlisted metadata-scale collects: the query
+    * batch and the codebooks; a "query batch" is the small side by
+    * construction, like every ANN API here). [[cos]] assembles the m
+    * partials sub-ascending and divides by the two square roots —
+    * the identical IEEE operation sequence as the fixed-association
+    * `reduceLeft` column totals the join formulation used, so scores
+    * are bit-equal.
+    */
+  private final case class AdcLut(qids: Array[Long], qIdx: Map[Long, Int],
+      pd: Array[Array[Array[Double]]], pc: Array[Array[Double]],
+      pq: Array[Array[Double]]) {
+    def cos(qi: Int, cm: Map[Int, Long], m: Int): Double = {
+      var spd = 0.0; var spc = 0.0; var spq = 0.0
+      var sub = 0
+      while (sub < m) {
+        val cid = cm(sub).toInt
+        spd += pd(qi)(sub)(cid); spc += pc(sub)(cid); spq += pq(qi)(sub)
+        sub += 1
+      }
+      spd / (math.sqrt(spq) * math.sqrt(spc))
+    }
+  }
+
+  private def adcLut(queries: DataFrame, codebooks: DataFrame,
+      m: Int, d: Int): AdcLut = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("id").cast("long"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }
+    val cb = codebooks
+      .select(col("sub").cast("int"), col("cid").cast("long"),
+        col("cv").cast("array<double>"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c, v.toArray) }
+    val kMax = cb.map(_._2).max.toInt + 1
+    // sequential left-to-right fold from 0.0 — the dot() column form
+    def dotA(a: Array[Double], aFrom: Int, b: Array[Double], len: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < len) { s += a(aFrom + i) * b(i); i += 1 }
+      s
+    }
+    val pd = Array.ofDim[Double](qs.length, m, kMax)
+    val pc = Array.ofDim[Double](m, kMax)
+    val pq = Array.ofDim[Double](qs.length, m)
+    for (((sub, cid, cv), _) <- cb.zipWithIndex) {
+      pc(sub)(cid.toInt) = dotA(cv, 0, cv, d)
+      for (qi <- qs.indices) pd(qi)(sub)(cid.toInt) = dotA(qs(qi)._2, sub * d, cv, d)
+    }
+    for (qi <- qs.indices; sub <- 0 until m) {
+      val q = qs(qi)._2
+      var s = 0.0; var i = 0
+      while (i < d) { val x = q(sub * d + i); s += x * x; i += 1 }
+      pq(qi)(sub) = s
+    }
+    AdcLut(qs.map(_._1), qs.map(_._1).zipWithIndex.toMap, pd, pc, pq)
+  }
+
+  /** (id, sub, cid) exploded codes → (id, cm: map<sub, cid>) — one
+    * hash aggregation; map entries are keyed, so collect_list's
+    * shuffle order can't leak into anything.
+    */
+  private def packedCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("id").cast("long").as("id"))
+      .agg(map_from_entries(collect_list(struct(
+        col("sub").cast("int").as("sub"),
+        col("cid").cast("long").as("cid")))).as("cm"))
 
   /** IVFADC — the composed production shape for trillion-vector
     * search: the coarse inverted file ([[ivfAssign]]) prunes the
@@ -437,29 +557,18 @@ object VectorOps {
       .join(coarseIndex.withColumnRenamed("cid", "ccid"), "ccid")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val qsub = queries
-      .select(col("id").as("qid"), col("v").as("qv"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("qid"), col("sub"),
-        slice(col("qv"), col("sub") * lit(d) + lit(1), lit(d)).as("qs"))
-    val lut = qsub.join(broadcast(codebooks), "sub")
-      .select(col("qid"), col("sub"), col("cid"),
-        dot(col("qs"), col("cv")).as("pd"),
-        dot(col("cv"), col("cv")).as("pc"),
-        dot(col("qs"), col("qs")).as("pq"))
-    val joined = cands.join(codes, "id").join(broadcast(lut), Seq("qid", "sub", "cid"))
-    def part(c: String) = (0 until m).map(s =>
-      max(when(col("sub") === s, col(c))).as(s"${c}$s"))
-    val aggs = part("pd") ++ part("pc") ++ part("pq")
-    def total(c: String) =
-      (0 until m).map(s => col(s"${c}$s")).reduceLeft(_ + _) // fixed association
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
-    joined.groupBy(col("qid"), col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("qid"), col("id").as("nbr"),
-        (total("pd") / (sqrt(total("pq")) * sqrt(total("pc")))).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // pruned candidates join their packed codes, then a compiled map
+    // scores each (qid, id) from the driver-built LUT — same ADC
+    // arithmetic and top-k mechanics as [[pqTopK]] (see [[AdcLut]]).
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val lut = adcLut(queries, codebooks, m, d)
+    val scored = cands.join(packedCodes(codes), "id")
+      .select(col("qid").cast("long"), col("id").cast("long"), col("cm"))
+      .as[(Long, Long, Map[Int, Long])]
+      .map { case (qid, id, cm) => (qid, id, lut.cos(lut.qIdx(qid), cm, m)) }
+      .toDF("qid", "nbr", "cos")
+    graft.plans.TopKPerGroup(scored, Seq("qid"), "cos", "nbr", k)
   }
 
   /** Deterministic random-hyperplane signs for LSH: sign(j, i) derived

@@ -706,21 +706,40 @@ object LlmQueries {
     // the 100 TB serving paths don't just "work", they are exactly
     // this good on the gate corpus.
     "ann_recall" -> ((s, dir) => {
-      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      // the corpus and training sample are read by EVERY method chain
+      // (8 index builds + 3 trainings + the brute truth): persist both
+      // so the 11 consumers scan memory instead of re-reading parquet
+      // and re-casting to array<double> each time (A/B at sf0.1:
+      // 15.6 s → 6.0 s min-rep). Spark's cache manager dedupes by
+      // plan, so bench reps don't re-cache.
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding").persist()
       val q = e.filter(col("id") < 5)
-      val sample = e.filter(col("id") % 5 === 0)
+      val sample = e.filter(col("id") % 5 === 0).persist()
       val brute = VectorOps.bruteForceTopK(e, q, 3).select("qid", "nbr")
         .localCheckpoint() // 15 rows; consumed by all 10 aggregations
-      val coarse = VectorOps.trainIvfCentroids(sample, 8, 2)
-      val cb = VectorOps.pqTrain(sample, 4, 64, 8, 2)
+      // the three trainings, then the eight method chains, are fully
+      // independent driver-side job sequences — run each on its own
+      // thread so the wall is the slowest CHAIN, not the sum of ~11
+      // sequential small jobs (the post-kernel profile was pure
+      // job-launch latency; results are unchanged — every chain is
+      // deterministic on its own)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      e.count() // materialize the shared cache once, before the fan-out
+      val fCoarse = Future(VectorOps.trainIvfCentroids(sample, 8, 2))
+      val fCb = Future(VectorOps.pqTrain(sample, 4, 64, 8, 2))
+      val fCb32 = Future(VectorOps.pqTrain(sample, 4, 64, 32, 2))
+      val coarse = Await.result(fCoarse, Duration.Inf)
+      val cb = Await.result(fCb, Duration.Inf)
+      val cb32 = Await.result(fCb32, Duration.Inf)
       val codes = VectorOps.pqEncode(e, cb, 4, 64)
-      val cb32 = VectorOps.pqTrain(sample, 4, 64, 32, 2)
       val codes32 = VectorOps.pqEncode(e, cb32, 4, 64)
       val index = VectorOps.ivfAssign(e, coarse).select("id", "cid")
       // one top-30 per method (ranking is deterministic, so top-3 is
       // its prefix); checkpointed — ≤150 rows — so the two k-consumers
       // don't re-run the training chains
-      val methods = Seq(
+      val methods = Await.result(Future.sequence(Seq(
         "ivf" -> VectorOps.ivfTopK(e, e.filter(col("id") < 8), q, 30, 2),
         "ivf_pq" -> VectorOps.ivfPqTopK(index, coarse, codes, cb, q, 30, 2, 4, 64),
         "lsh" -> VectorOps.lshTopK(e, q, 30, 4, 64),
@@ -729,7 +748,9 @@ object LlmQueries {
         "int8" -> VectorOps.int8TopK(e, q, 30),
         "binary" -> VectorOps.binaryTopK(e, q, 30, 30, 64),
         "matryoshka" -> VectorOps.matryoshkaTopK(e, q, 30, 30, 16))
-        .map { case (n, df) => n -> df.select("qid", "nbr", "rank").localCheckpoint() }
+        .map { case (n, df) => Future(
+          n -> df.select("qid", "nbr", "rank").localCheckpoint()) }),
+        Duration.Inf)
       (for ((name, df) <- methods; k <- Seq(3, 30)) yield {
         df.filter(col("rank") <= k).select("qid", "nbr")
           .join(brute, Seq("qid", "nbr"))

@@ -47,10 +47,14 @@ object PlanGate {
     "influxql/InfluxQLEval.scala" -> 2, // mutation-versioned plan-time metadata caches
     // k-means (IVF: seeds + k×dim cells), the fused PQ trainer
     // (seeds + m×k×(dim/m) cells), PCA training (dim mean cells +
-    // dim² covariance cells), and standardize (dim moment cells) —
-    // all seven collect only aggregated codebook/matrix-sized
-    // metadata, never corpus rows
-    "llmops/VectorOps.scala" -> 7,
+    // dim² covariance cells), standardize (dim moment cells), the
+    // two compiled-assignment codebook reads (ivfAssign k×dim,
+    // pqEncode m×k×(dim/m) — the codebook rides each map task's
+    // closure instead of a join), and the ADC LUT build (the query
+    // batch + the codebooks, |Q|·m·k cells) — all eleven collect only
+    // aggregated codebook/matrix/query-batch-sized metadata, never
+    // corpus rows
+    "llmops/VectorOps.scala" -> 11,
     // BPE trainer argmax: limit(1).collect() — exactly one row (the
     // chosen merge pair) per iteration; iterations loop over the same
     // audited site. Never corpus- or vocab-scale.
