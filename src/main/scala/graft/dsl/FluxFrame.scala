@@ -668,6 +668,14 @@ final case class FluxFrame(
     copy(df = graft.operators.AnomalyOps.cusum(df, groupKey, timeCol,
       valueCol, slackSigmas, threshSigmas))
 
+  /** Engine extension: per-series winsorization to the [lo, hi]
+    * quantile band (adds `p_lo`, `p_hi`, `clamped`) — [[graft
+    * .operators.AnomalyOps.winsorize]] on this frame's group key and
+    * value column; outlier TREATMENT next to [[anomalies]]' detection.
+    */
+  def winsorize(lo: Double = 0.01, hi: Double = 0.99): FluxFrame =
+    copy(df = graft.operators.AnomalyOps.winsorize(df, groupKey, valueCol, lo, hi))
+
   def sessionize(maxGap: Double, as: String = "session"): FluxFrame = {
     val dt = col(timeCol).cast("double") - lag(col(timeCol).cast("double"), 1).over(w)
     val isNew = when(dt.isNull || dt > lit(maxGap), 1).otherwise(0)

@@ -315,6 +315,9 @@ object FluxEval {
         call.args.get("threshold").map(num0).getOrElse(4.0))
     case "decompose" =>
       f.decompose(num(call.args, "period").toInt)
+    case "winsorize" =>
+      f.winsorize(call.args.get("lo").map(num0).getOrElse(0.01),
+        call.args.get("hi").map(num0).getOrElse(0.99))
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

@@ -267,7 +267,7 @@ case class KllQuantiles(
   * is the 100 TB monitoring loop: profile each ingest shard once,
   * merge profiles forever.
   */
-private object KllWire {
+private[graft] object KllWire {
   def write(st: KllState): Array[Byte] =
     KllQuantiles(Literal0, Literal0, Literal0).serialize(st)
   def read(bytes: Array[Byte]): KllState =

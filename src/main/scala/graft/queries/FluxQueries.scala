@@ -29,6 +29,19 @@ object FluxQueries {
           r4(max(col("cusum"))).as("max_s"))
         .orderBy("event_type")),
 
+    // winsorize through the text surface — same clamp-band roll-up
+    // (and oracle) as the DSL `winsorize` gate
+    "flux_winsorize" -> ((s, dir) =>
+      FluxEval.run("""from(bucket: "events") |> winsorize(lo: 0.05, hi: 0.95)""",
+        source(s, dir))
+        .groupBy(col("_measurement").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_value") =!= col("clamped"), 1L).otherwise(0L))
+            .as("n_clamped"),
+          r4(min(col("p_lo"))).as("p_lo"), r4(min(col("p_hi"))).as("p_hi"),
+          r4(sum(col("clamped") - col("_value"))).as("mass_shift"))
+        .orderBy("event_type")),
+
     "flux_anomalies" -> ((s, dir) =>
       FluxEval.run("""from(bucket: "events") |> anomalies(k: 3.0)""", source(s, dir))
         .groupBy(col("_measurement").as("event_type"))
@@ -311,6 +324,7 @@ object FluxQueries {
 
   val oracle: Map[String, String] = Map(
     "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
+    "flux_winsorize" -> WindowQueries.oracle("winsorize"),
     "flux_decompose" -> WindowQueries.oracle("decompose_stl"),
     "flux_anomalies" -> WindowQueries.oracle("anomaly_mad"),
     "flux_exists" ->

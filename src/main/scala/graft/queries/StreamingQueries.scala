@@ -286,6 +286,49 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING MAD: batch-trained reference medians, per-series KLL
+    // sketch of absolute deviations in flatMapGroupsWithState state
+    // (O(k·log n) per series). maxFilesPerTrigger=1 forces four
+    // micro-batches; the final emitted (n_seen, mad) row per series
+    // must equal the one-shot computation because the exact-regime
+    // sketch state is a batch-boundary-invariant multiset. Flags are
+    // recomputed over the static rows against that final mad; the
+    // oracle replays med (interpolated, like anomaly_mad) and mad
+    // (disc rank — the KLL ceil(q·n) arithmetic) in SQL.
+    "stream_mad" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-smad-src").toString
+      val ev0 = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_type", "ts_us", "value")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val med = ev0.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+
+      val qn = "graft_smad_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamAnomaly.madStream(
+        s.readStream.schema(ev0.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        med, "event_type", "ts_us", "value")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-smad-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the row with the largest n_seen per series = the full-data
+      // sketch snapshot (ties are identical rows, so max_by is stable)
+      val madF = s.table(qn).groupBy("event_type")
+        .agg(max_by(col("mad"), col("n_seen")).as("mad_kll"))
+      ev0.join(med, "event_type").join(madF, "event_type")
+        .withColumn("abs_dev", abs(col("value") - col("med")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("abs_dev") > lit(3.0) * col("mad_kll"), 1L)
+            .otherwise(0L)).as("n_anom"),
+          r4(min(col("med"))).as("med"), r4(min(col("mad_kll"))).as("mad"))
+        .orderBy("event_type")
+    }),
+
     // STREAMING ordered funnel: set-once per-user step state — the
     // live funnel must agree exactly with the batch recompute, so the
     // oracle IS funnel_steps' oracle. Snapshots fold with max()
@@ -358,6 +401,29 @@ object StreamingQueries {
     "stream_cusum" -> WindowQueries.oracle("cusum_drift"),
     // the live funnel must land exactly on the batch answer
     "stream_funnel" -> WindowQueries.oracle("funnel_steps"),
+    // streaming MAD: med interpolated (as anomaly_mad), mad replayed
+    // with the KLL exact-mode rank arithmetic (ceil(q·n)-th smallest)
+    "stream_mad" -> w(
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS abs_dev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |r AS (
+        |  SELECT event_type, abs_dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY abs_dev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, abs_dev AS mad FROM r
+        |  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.abs_dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anom,
+        |  round(min(d.med), 4) AS med, round(min(mad.mad), 4) AS mad
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1"""),
     // the downsampled bucket must equal the batch hourly aggregate:
     // one row per (series, window), time = window END like aggregateWindow
     "stream_downsample" -> w(

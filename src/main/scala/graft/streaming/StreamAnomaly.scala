@@ -53,4 +53,44 @@ object StreamAnomaly {
       }
       .toDF(keyCol, tsCol, valueCol, "cusum", "alarm")
   }
+
+  /** Streaming MAD — the bounded-state live counterpart of
+    * [[graft.operators.AnomalyOps.madFlags]]'s KLL mode. Deployment
+    * shape mirrors [[cusumStream]]: the reference median per series
+    * comes from HISTORY (`medians`: keyCol, med), the stream's
+    * absolute deviations accumulate in a PER-SERIES KLL sketch held in
+    * flatMapGroupsWithState state — O(k·log n) doubles per series,
+    * never raw rows — and each micro-batch emits the series'
+    * (n_seen, mad) as of that batch.
+    *
+    * Batch equivalence: the sketch state is a weighted multiset, and
+    * in its exact regime (n ≤ k) it is literally the multiset of
+    * deviations — independent of micro-batch boundaries — so the final
+    * emitted row per series (largest n_seen) carries the identical mad
+    * a one-shot batch computation produces; the `stream_mad` gate pins
+    * that against a disc-quantile SQL replay. In the compacting regime
+    * the ts-sorted update order (same arrival contract as
+    * [[cusumStream]]) keeps results reproducible run-to-run.
+    */
+  def madStream(stream: DataFrame, medians: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, kllK: Int = 32768): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed: Dataset[(String, Long, Double)] = stream
+      .join(medians, keyCol)
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        abs(col(valueCol).cast("double") - col("med").cast("double")))
+      .as[(String, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[Array[Byte]]) =>
+          val st = state.getOption.map(graft.functions.KllWire.read)
+            .getOrElse(new graft.functions.KllState(kllK))
+          rows.toVector.sortBy(_._2).foreach { case (_, _, d) => st.update(d) }
+          state.update(graft.functions.KllWire.write(st))
+          Iterator.single((key, st.totalN, st.quantiles(Array(0.5))(0)))
+      }
+      .toDF(keyCol, "n_seen", "mad")
+  }
 }

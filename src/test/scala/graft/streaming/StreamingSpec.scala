@@ -197,6 +197,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamOut.exists(_._3) && streamOut.filter(_._3).map(_._1).min > 200)
   }
 
+  test("streaming mad: sketch state across micro-batches equals the one-shot sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // two series with different spreads; batch boundaries fall mid-series
+    val all = (1 to 101).map(i => ("a", i.toLong, 10.0 + (i % 7 - 3) * 0.5)) ++
+      (1 to 80).map(i => ("b", i.toLong, 50.0 + (i % 11 - 5) * 2.0))
+    val med = all.toDF("k", "t", "v").groupBy("k")
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    // one-shot reference: the same sketch fed all deviations at once
+    val medMap = med.as[(String, Double)].collect().toMap
+    val expect = all.groupBy(_._1).map { case (k, rows) =>
+      val st = new graft.functions.KllState(32768)
+      rows.sortBy(_._2).foreach { case (_, _, v) => st.update(math.abs(v - medMap(k))) }
+      k -> (st.totalN, st.quantiles(Array(0.5))(0))
+    }
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = graft.streaming.StreamAnomaly.madStream(
+      mem.toDS().toDF("k", "t", "v"), med, "k", "t", "v")
+      .writeStream.format("memory").queryName("smad_spec")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("cp-smad").toString)
+      .start()
+    all.grouped(60).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("smad_spec")
+      .groupBy("k").agg(max("n_seen").as("n"), max_by(col("mad"), col("n_seen")).as("mad"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect) // exact-regime multiset: boundary-invariant
+  }
+
   test("streaming funnel: set-once state across batches equals the batch verb") {
     implicit val sqlCtx = spark.sqlContext
     val ev = Seq(
