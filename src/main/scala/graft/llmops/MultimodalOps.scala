@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * JRE-builtin `javax.sound.sampled` (WAV/PCM). VIDEO container
   * HEADERS parse for real ([[VideoContainer]]: MP4 `moov`/`mvhd`/
   * `tkhd` atoms and AVI RIFF `avih` — duration, track count,
-  * resolution from genuine container bytes); only frame DECODE remains
-  * STUBBED with a deterministic fake (this container ships no video
+  * resolution from genuine container bytes); AVI frames decode for
+  * REAL for uncompressed BI_RGB DIBs and for MJPEG (JRE ImageIO per
+  * `00dc` chunk). Only MODERN-codec frame decode (H.264 etc.) remains
+  * STUBBED with a deterministic fake (this container ships no such
   * codecs), with everything Spark-side real and tested: the schema,
   * the binary payload flow, the batch iterator shape, the
   * partitioning, and the frame-explosion plumbing. Swapping
@@ -462,10 +464,11 @@ object MultimodalOps {
       }
       require(moviOff >= 0, "avi: no movi LIST (header-only payload has no frames)")
       require(width > 0 && height > 0, "avi: no avih extent")
-      require(compression == 0 && bitCount == 24,
-        s"avi: only uncompressed BI_RGB 24bpp frames decode natively " +
-        s"(strf biCompression=$compression biBitCount=$bitCount); " +
-        "compressed codecs stay on the StubCodec path")
+      val mjpeg = compression == MjpgFourcc
+      require(mjpeg || (compression == 0 && bitCount == 24),
+        s"avi: only uncompressed BI_RGB 24bpp and MJPG frames decode " +
+        s"natively (strf biCompression=$compression biBitCount=$bitCount); " +
+        "other codecs stay on the StubCodec path")
       val rowBytes = ((width * 3 + 3) / 4) * 4 // DIB rows pad to 4 bytes
       val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
       var o = moviOff
@@ -473,8 +476,34 @@ object MultimodalOps {
       while (o + 8 <= moviEnd) {
         val cid = fourcc(o)
         val csz = bb.getInt(o + 4)
-        if (cid == "00dc") throw new IllegalArgumentException(
-          "avi: compressed frame chunk 00dc — StubCodec path only")
+        if (cid == "00dc" && !mjpeg) throw new IllegalArgumentException(
+          "avi: compressed frame chunk 00dc with a non-MJPG codec — " +
+          "StubCodec path only")
+        if (cid == "00dc") {
+          // REAL MJPEG decode: each chunk is a complete JPEG; the JRE's
+          // ImageIO decoder turns it back into pixels executor-side
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, o + 8, csz))
+          require(img != null, s"avi: frame $frame 00dc chunk is not decodable JPEG")
+          require(img.getWidth == width && img.getHeight == height,
+            s"avi: frame $frame is ${img.getWidth}x${img.getHeight}, " +
+            s"header says ${width}x$height")
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xFF; g += (rgb >> 8) & 0xFF; b += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = width.toLong * height
+          out += FrameStats(frame, width, height,
+            r.toDouble / n, g.toDouble / n, b.toDouble / n)
+          frame += 1
+        }
         if (cid == "00db") {
           require(csz == rowBytes * height, s"avi: frame $frame size $csz != ${rowBytes * height}")
           var r = 0L; var g = 0L; var b = 0L
@@ -512,6 +541,65 @@ object MultimodalOps {
       */
     def encodeAvi(usPerFrame: Int, width: Int, height: Int, frames: Int)
         (pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val rowBytes = ((width * 3 + 3) / 4) * 4
+      val payloads = (0 until frames).map { f =>
+        val dib = new Array[Byte](rowBytes * height)
+        var y = 0
+        while (y < height) {
+          val base = (height - 1 - y) * rowBytes
+          var x = 0
+          while (x < width) {
+            val rgb = pixel(x, y, f)
+            dib(base + x * 3) = (rgb & 0xFF).toByte          // B
+            dib(base + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
+            dib(base + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        dib
+      }
+      buildAvi(usPerFrame, width, height, "DIB ", 0, "00db", payloads)
+    }
+
+    /** MJPEG AVI: the same RIFF skeleton as [[encodeAvi]], but every
+      * frame is a REAL JPEG (the JRE's ImageIO encoder) inside a
+      * `00dc` chunk, with handler/biCompression 'MJPG' — the most
+      * common legacy-AVI codec. JPEG is lossy, so frame statistics
+      * are NOT formula-replayable like the DIB path; the spec pins
+      * decode determinism and closeness to the source pixels instead,
+      * and the gate is rows-plus-structure like the other non-SQL
+      * media surfaces.
+      */
+    def encodeAviMjpeg(usPerFrame: Int, width: Int, height: Int, frames: Int)
+        (pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val payloads = (0 until frames).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, pixel(x, y, f)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", bos),
+          "no JRE JPEG writer available")
+        bos.toByteArray
+      }
+      buildAvi(usPerFrame, width, height, "MJPG", MjpgFourcc, "00dc", payloads)
+    }
+
+    /** 'MJPG' as the little-endian biCompression int. */
+    val MjpgFourcc: Int = 'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
+    /** Shared RIFF assembly: RIFF('AVI ' LIST('hdrl' avih LIST('strl'
+      * strh strf)) LIST('movi' frame…)) — the codec only decides the
+      * handler/biCompression fields and the per-frame chunk id+bytes.
+      */
+    private def buildAvi(usPerFrame: Int, width: Int, height: Int,
+        handler: String, biCompression: Int, frameChunkId: String,
+        framePayloads: Seq[Array[Byte]]): Array[Byte] = {
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
       def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
         val bb = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
@@ -521,8 +609,8 @@ object MultimodalOps {
       }
       def list(tpe: String, body: Array[Byte]): Array[Byte] =
         chunk("LIST", tpe.getBytes(ascii) ++ body)
-      val rowBytes = ((width * 3 + 3) / 4) * 4
-      val frameBytes = rowBytes * height
+      val frames = framePayloads.length
+      val frameBytes = framePayloads.map(_.length).max
       val avih = {
         val p = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         p.putInt(usPerFrame)
@@ -538,7 +626,7 @@ object MultimodalOps {
       }
       val strh = {
         val p = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        p.put("vids".getBytes(ascii)).put("DIB ".getBytes(ascii))
+        p.put("vids".getBytes(ascii)).put(handler.getBytes(ascii))
         p.putInt(0).putInt(0).putInt(0)       // flags, prio+lang, initialFrames
         p.putInt(usPerFrame).putInt(1000000)  // scale/rate = fps
         p.putInt(0).putInt(frames)            // start, length
@@ -551,30 +639,15 @@ object MultimodalOps {
         val p = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         p.putInt(40)                          // biSize
         p.putInt(width).putInt(height)        // positive biHeight = bottom-up
-        p.putShort(1).putShort(24)            // planes, BI_RGB 24bpp
-        p.putInt(0)                           // biCompression = BI_RGB
+        p.putShort(1).putShort(24)            // planes, 24bpp
+        p.putInt(biCompression)               // BI_RGB 0 or a codec fourcc
         p.putInt(frameBytes)
         p.putInt(0).putInt(0).putInt(0).putInt(0) // ppm, clrUsed, clrImportant
         chunk("strf", p.array())
       }
       val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-      val movi = list("movi", (0 until frames).toArray.flatMap { f =>
-        val dib = new Array[Byte](frameBytes)
-        var y = 0
-        while (y < height) {
-          val base = (height - 1 - y) * rowBytes
-          var x = 0
-          while (x < width) {
-            val rgb = pixel(x, y, f)
-            dib(base + x * 3) = (rgb & 0xFF).toByte          // B
-            dib(base + x * 3 + 1) = ((rgb >> 8) & 0xFF).toByte
-            dib(base + x * 3 + 2) = ((rgb >> 16) & 0xFF).toByte
-            x += 1
-          }
-          y += 1
-        }
-        chunk("00db", dib)
-      })
+      val movi = list("movi",
+        framePayloads.toArray.flatMap(p => chunk(frameChunkId, p)))
       val body = "AVI ".getBytes(ascii) ++ hdrl ++ movi
       val riff = java.nio.ByteBuffer.allocate(8 + body.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -688,6 +761,31 @@ object MultimodalOps {
         val g = (x * 3 + y * 5 + f * 7 + i * 17) % 256
         val b = (x * 11 + y * 2 + f * 3 + i * 23) % 256
         (r << 16) | (g << 8) | b
+      }
+      Row(i.toLong, "video", bytes,
+        Row("video/x-msvideo", width, height, null, frames * 40L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
+  }
+
+  /** Deterministic REAL-MJPEG media table: payloads are complete AVI
+    * containers whose `00dc` frames are genuine JPEGs (JRE ImageIO
+    * encoder) of flat per-frame colors. JPEG is lossy, so no SQL
+    * oracle replays the means — the gate is rows-plus-structure and
+    * the spec pins decode determinism and closeness to the source
+    * colors (flat frames survive JPEG nearly exactly).
+    */
+  def syntheticMjpegVideos(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val width = 32 + (i % 3) * 16
+      val height = 16 + (i % 2) * 16
+      val frames = 2 + i % 3
+      val bytes = VideoContainer.encodeAviMjpeg(40000, width, height, frames) {
+        (_, _, f) =>
+          val r = (40 * (i % 5) + 20 * f) % 256
+          val g = (30 * (i % 7) + 10 * f) % 256
+          val b = (60 * (i % 4) + 15 * f) % 256
+          (r << 16) | (g << 8) | b
       }
       Row(i.toLong, "video", bytes,
         Row("video/x-msvideo", width, height, null, frames * 40L))

@@ -857,6 +857,21 @@ object LlmQueries {
           r4(col("b_mean")).as("b_mean"))
         .orderBy("media_id", "frame_idx")),
 
+    // REAL MJPEG frame decode: `00dc` chunks carry genuine JPEGs
+    // (JRE ImageIO both ways) inside the same RIFF walker — the most
+    // common legacy-AVI codec, previously the stub's biggest slice.
+    // JPEG is lossy, so there is no formula-replay SQL oracle: this
+    // gate is rows-plus-structure (frame counts and extents are
+    // container facts), and MultimodalSpec pins decode determinism
+    // and closeness to the flat source colors.
+    "media_mjpeg_frames" -> ((s, _) =>
+      MultimodalOps.decodeVideoFrames(MultimodalOps.syntheticMjpegVideos(s, 12))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          max(col("width").cast("long")).as("width"),
+          max(col("height").cast("long")).as("height"))
+        .orderBy("media_id")),
+
     // Perceptual image fingerprints: REAL PNG decode → integer 8×8
     // block-luma aHash (no floats anywhere), pinned bit-for-bit — the
     // oracle recomputes every block sum from the generator's pixel
@@ -2367,6 +2382,15 @@ object LlmQueries {
         |  round(CAST(sum((x * 11 + y * 2 + f * 3 + i * 23) % 256) AS DOUBLE)
         |    / (any_value(w) * any_value(h)), 4) AS b_mean
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // media_mjpeg_frames: frame COUNTS and EXTENTS are container facts
+    // the generator fixes per id — the oracle replays them without
+    // touching a JPEG byte; the means themselves are lossy (no SQL
+    // replay) and spec-pinned for determinism + closeness instead.
+    "media_mjpeg_frames" -> w(
+      """SELECT i AS media_id, CAST(2 + i % 3 AS BIGINT) AS n_frames,
+        |  CAST(32 + (i % 3) * 16 AS BIGINT) AS width,
+        |  CAST(16 + (i % 2) * 16 AS BIGINT) AS height
+        |FROM (SELECT unnest(range(0, 12)) AS i) ORDER BY 1"""),
     // image_phash: the oracle never decodes a PNG — it recomputes the
     // integer milli-luma of every pixel from the generator formula,
     // sums the 8×8 block grid, applies the identical cross-multiplied
