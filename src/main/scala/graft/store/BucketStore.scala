@@ -299,13 +299,27 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 
   /** Compaction: rewrite each partition dedup-applied and coalesced.
     * Replaces the pinned engine's TSM compaction cycle.
+    *
+    * `zorder = true` (with `targetFiles > 1`) lays each day partition
+    * out on a Morton curve of (series rank, time-of-day) via
+    * [[graft.llmops.LayoutOps.zorderBy]] instead of one concatenated
+    * series sort: every output file then covers a small RECTANGLE of
+    * (series, time) space, so parquet min/max stats prune files for a
+    * selective series predicate AND for an intra-day time range — the
+    * two filters every Flux query leads with. (A plain series sort
+    * clusters series but scatters each series' day across all files; a
+    * time sort does the reverse.) Series rank — not hash — keeps each
+    * file's measurement/field string min/max tight, which is what the
+    * footer-stats pruning actually compares. The rank table is
+    * series-count-scale metadata, same class as the field-key caches.
     */
-  def compact(bucket: String, targetFiles: Int = 1): Unit =
+  def compact(bucket: String, targetFiles: Int = 1, zorder: Boolean = false): Unit =
     writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
-      compactLocked(bucket, targetFiles)
+      compactLocked(bucket, targetFiles, zorder)
     }
 
-  private def compactLocked(bucket: String, targetFiles: Int): Unit = {
+  private def compactLocked(bucket: String, targetFiles: Int,
+      zorder: Boolean = false): Unit = {
     val path = catalog.bucketPath(bucket)
     // a previous sweep may have crashed mid-replace: restore/promote
     // first so partitions() sees every day, then rewrite them all —
@@ -319,9 +333,33 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
         .partitionBy(col("measurement"), to_json(map_entries(col("tags"))), col("field"), col("time_ns"))
         .orderBy(col(SeqCol).desc)
       val deduped = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-        .sortWithinPartitions("measurement", "field", "time_ns") // cluster for scan locality
+      val laid =
+        if (zorder && targetFiles > 1) {
+          // series ranks: distinct (measurement, field) pairs, ordered —
+          // series-count-scale metadata to the driver (the fieldKeys/
+          // fieldTypes collect class), broadcast back as a rank table
+          val series = deduped.select(col("measurement"), col("field"))
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).sorted
+          val ranks = broadcast(spark.createDataFrame(
+            series.zipWithIndex.map { case ((m, f), i) => (m, f, i.toLong) }.toSeq)
+            .toDF("measurement", "field", "_srank"))
+          val dayNs = 86400L * 1000000000L
+          val dayStart = day.toEpochDay * dayNs
+          graft.llmops.LayoutOps.zorderBy(
+            deduped.join(ranks, Seq("measurement", "field")),
+            graft.llmops.LayoutOps.quantizeMinMax(col("_srank"),
+              0.0, math.max(series.length - 1, 1).toDouble),
+            graft.llmops.LayoutOps.quantizeMinMax(col("time_ns"),
+              dayStart.toDouble, (dayStart + dayNs).toDouble),
+            targetFiles)
+            .drop("_srank", "_zvalue")
+            .select(df.columns.map(col): _*) // original column order
+        } else deduped
+          .sortWithinPartitions("measurement", "field", "time_ns") // cluster for scan locality
+          .coalesce(targetFiles)
       val tmp = path.resolve(s".tmp-compact-dt=$day")
-      deduped.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       replaceDir(dir, tmp)
     }
     // every key now has exactly one row → reads can skip the dedup window

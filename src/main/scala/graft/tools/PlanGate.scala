@@ -62,7 +62,9 @@ object PlanGate {
     // logistic-regression trainer: one (dim+1)-cell gradient vector
     // per iteration — model-sized, never corpus rows
     "llmops/ClassifierOps.scala" -> 1,
-    "store/BucketStore.scala" -> 2 // mutation-versioned key + field-type caches (field-count-scale)
+    // mutation-versioned key + field-type caches, plus the z-order
+    // compaction's series-rank table — all field/series-count-scale
+    "store/BucketStore.scala" -> 3
   )
 
   /** `toLocalIterator` is legitimate ONLY at the HTTP response

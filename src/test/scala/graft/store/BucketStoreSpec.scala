@@ -60,6 +60,50 @@ class BucketStoreSpec extends SparkSpec {
       .filter(col("field") === "usage").select("value_f").collect().head.getDouble(0) == 0.7)
   }
 
+  test("z-order compaction: files cover (series, time) rectangles, so selective scans skip files") {
+    val tsdb = freshTsdb()
+    // 16 series × 64 points spread across one day — enough rows that a
+    // 4-file layout must choose what to co-locate
+    val dayNs = 86400L * 1000000000L
+    val day0 = (t0 / dayNs) * dayNs
+    val lines = for (m <- 0 until 16; i <- 0 until 64) yield
+      f"m$m%02d,host=h${m % 4} v=${m * 100 + i}.0 ${day0 + i * (dayNs / 64) + m}"
+    tsdb.writeLp("telemetry", lines)
+    val before = tsdb.from("telemetry").toDF
+      .select("measurement", "field", "time_ns", "value_f")
+      .collect().map(_.toString).sorted
+
+    tsdb.store.compact("telemetry", targetFiles = 4, zorder = true)
+
+    // rows and values are untouched by the layout
+    val after = tsdb.from("telemetry").toDF
+      .select("measurement", "field", "time_ns", "value_f")
+      .collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    assert(tsdb.store.isClean("telemetry"))
+
+    // per-file footer truth: read each parquet file alone and take the
+    // min/max the scanner's stats pruning compares
+    val dir = tsdb.catalog.bucketPath("telemetry").resolve(
+      "dt=" + java.time.LocalDate.ofEpochDay(day0 / dayNs))
+    val files = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 4, files.mkString(", "))
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("measurement"), max("measurement"), min("time_ns"), max("time_ns"))
+        .head()
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    }
+    // a selective series predicate overlaps a MINORITY of files …
+    val mHits = stats.count { case (lo, hi, _, _) => lo <= "m03" && "m03" <= hi }
+    assert(mHits < files.length, stats.mkString("; "))
+    // … and so does a quarter-day time slice: the same layout prunes
+    // BOTH dimensions, which neither single-column sort achieves
+    val (qLo, qHi) = (day0, day0 + dayNs / 4)
+    val tHits = stats.count { case (_, _, lo, hi) => lo <= qHi && qLo <= hi }
+    assert(tHits < files.length, stats.mkString("; "))
+  }
+
   test("compaction crash between retire and promote: reads stay correct, next sweep completes") {
     val tsdb = freshTsdb()
     // duplicate keys on BOTH days so dedup has real work everywhere
