@@ -46,7 +46,8 @@ object ScaleProbe {
       val p = java.nio.file.Paths.get(outDir, name)
       if (java.nio.file.Files.isSymbolicLink(p)) java.nio.file.Files.delete(p)
     }
-    Seq("documents.parquet", "embeddings.parquet", "events.parquet").foreach(unlink)
+    Seq("documents.parquet", "embeddings.parquet", "events.parquet",
+      "lineitem.parquet", "orders.parquet").foreach(unlink)
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -90,6 +91,25 @@ object ScaleProbe {
       .drop("k")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // lineitem/orders: replica k offsets the ORDER KEYS (so joins match
+    // only within a replica — per-key fan-out is preserved, total join
+    // work scales linearly) while dates stay put: more orders per date
+    // is exactly how TPC-H itself scales (date range fixed), so the
+    // range_join/bloom_join/salted_join interval and key shapes carry.
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val nOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    orders.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * nOrd)
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    lineitem.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * nOrd)
+      .drop("k")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // the untouched tables ride along so any query can run against outDir
     val out = java.nio.file.Paths.get(outDir)
