@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact (hash-groupBy), exact n-gram Jaccard
@@ -491,5 +491,138 @@ object DedupOps {
       .select(col("id").as("_doomed_id"))
     val survivors = df.join(doomed, df(idCol) === col("_doomed_id"), "left_anti")
     DedupPipeline(idx, pairs, clusters, survivors)
+  }
+
+  // -------------------------------------------------------------------
+  // Exact substring (span) deduplication with KEEP-FIRST survivors.
+  //
+  // [[graft.llmops.TextOps.removeDuplicateSpans]] is the C4-style
+  // cleanup: every occurrence of a duplicated window is cut, so
+  // boilerplate vanishes from ALL documents at once. The pair below
+  // implements the other published semantics — Lee et al., ACL 2022
+  // ("Deduplicating Training Data Makes Language Models Better"),
+  // where exactly ONE copy of each duplicated passage survives (their
+  // ExactSubstr keeps one occurrence so the information itself is not
+  // lost, only its repetition) — and additionally emits the span
+  // inventory (which token ranges of which doc are removable) as an
+  // auditable table rather than only the rewritten text. That work
+  // builds a corpus-wide suffix array; the distributed equivalent is
+  // the rolling window-hash form: a duplicated run of >= w tokens
+  // contains a duplicated w-token window, and a maximal duplicated run
+  // is a maximal chain of overlapping/adjacent duplicated windows —
+  // which the interval merge reconstructs. Granularity is w tokens
+  // (runs shorter than w are not seen; boundaries are w-quantized),
+  // the price of ONE hash shuffle instead of a global suffix sort.
+
+  /** Position of the encoded (doc, position) key-space split: occurrence
+    * order is min over `doc_id * SpanPosCap + i`, so any document with
+    * more than this many tokens would alias into the next doc_id. 1e12
+    * positions ≫ any real document; guarded with a raise_error below.
+    */
+  val SpanPosCap = 1000000000000L
+
+  /** Every w-token window of the normalized text as (doc_id, i, h):
+    * 1-based start position and window hash. Documents shorter than w
+    * tokens emit nothing. One scan-stage projection + explode — rows
+    * out ≈ corpus token count, same cost class as [[shingles]].
+    *
+    * `hashFn` defaults to xxhash64 (8-byte shuffle keys); the DuckDB
+    * gates pass md5 for cross-engine hash parity.
+    */
+  def substringWindows(df: DataFrame, idCol: String, textCol: String,
+      w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(w >= 2, s"substring window must be >= 2 tokens, got $w")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("arr"))
+      .filter(size(col("arr")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("arr")) - w + 1),
+          i => hashFn(concat_ws(" ", slice(col("arr"), i, lit(w)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+  }
+
+  /** Maximal duplicated-token spans to REMOVE under keep-first
+    * semantics: a window hash occurring in >= 2 distinct documents is
+    * duplicated; its globally first occurrence (minimum (doc_id, i))
+    * survives and every other occurrence becomes a removable span
+    * [i, i+w-1], then overlapping/adjacent spans merge per document.
+    * Returns one row per maximal span: (doc_id, ms, me), token
+    * positions inclusive.
+    *
+    * Scale shape: ONE shuffle on the window hash for the dup/keeper
+    * aggregate (map-side combinable min; the countDistinct rides the
+    * same exchange via Spark's distinct-aggregate Expand), one
+    * hash-join back, and a per-document window for the merge — no
+    * pairwise joins anywhere, so cost is linear in corpus tokens
+    * regardless of how viral a passage is.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val win = substringWindows(df, idCol, textCol, w, hashFn)
+    // encoded global occurrence order; a doc with >= SpanPosCap tokens
+    // would alias into the next doc_id — fail loudly, not wrongly
+    val enc = when(col("i") >= SpanPosCap,
+        raise_error(concat(lit("document "), col("doc_id"),
+          lit(s" exceeds $SpanPosCap tokens"))))
+      .otherwise(col("doc_id") * SpanPosCap + col("i"))
+    val dup = win.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(enc).as("keep"))
+      .filter(col("nd") >= 2)
+      .select("h", "keep")
+    val spans = win.join(dup, "h")
+      .filter(col("doc_id") * SpanPosCap + col("i") =!= col("keep"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + w - 1).as("e"))
+    mergeSpans(spans)
+  }
+
+  /** Merge overlapping or adjacent [s, e] integer intervals per
+    * doc_id → one row per maximal interval (doc_id, ms, me). Classic
+    * sweep: an interval starts a new group iff its start clears the
+    * running max end so far + 1. Per-document window — partitions by
+    * the document key, never a global sort.
+    */
+  def mergeSpans(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .select("doc_id", "ms", "me")
+  }
+
+  /** Rewrite affected documents with their duplicated spans removed:
+    * (doc_id, trimmed, kept_tokens) for every document that had at
+    * least one removable span AND at least one surviving token
+    * (fully-duplicated documents vanish — delete them outright).
+    * Untouched documents are not re-emitted; at scale the trim is an
+    * anti-join patch applied to the affected slice only, never a
+    * rewrite of the whole corpus.
+    */
+  def substringTrim(df: DataFrame, idCol: String, textCol: String,
+      w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, w, hashFn)
+      .localCheckpoint() // reused twice below; spans are the small side
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("arr"))
+      .join(spans.select("doc_id").distinct(), Seq("doc_id")) // affected docs only
+      .select(col("doc_id"), posexplode(col("arr")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("p") >= col("ms") && col("p") <= col("me"),
+      "left_anti")
+    kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("trimmed"),
+        count(lit(1)).as("kept_tokens"))
   }
 }

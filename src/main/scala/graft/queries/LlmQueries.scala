@@ -258,6 +258,28 @@ object LlmQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // Exact substring dedup (Lee et al. 2022 shape): OVERLAPPING
+    // 12-token rolling windows (vs chunk_clean's aligned 8-token
+    // chunks), keep-first across the corpus, overlapping hits merged
+    // into maximal spans. Per affected doc: span count + tokens to cut.
+    "substr_spans" -> ((s, dir) =>
+      DedupOps.substringSpans(documents(s, dir), "doc_id", "text",
+          SubstrW, c => md5(c))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("me") - col("ms") + 1).as("dup_tokens"))
+        .orderBy("doc_id")),
+
+    // The rewrite side of substr_spans: affected documents with their
+    // duplicated spans cut out, pinned byte-for-byte by md5. Documents
+    // whose every token sat in a span vanish (delete, don't rewrite).
+    "substr_trim" -> ((s, dir) =>
+      DedupOps.substringTrim(documents(s, dir), "doc_id", "text",
+          SubstrW, c => md5(c))
+        .select(col("doc_id"), md5(col("trimmed")).as("trimmed_md5"),
+          col("kept_tokens"))
+        .orderBy("doc_id")),
+
     // Sliding-window duplicate-SPAN removal (the Lee et al. substring
     // modality): a duplicated 20-token run is caught at ANY alignment,
     // not just on chunk boundaries; covered tokens drop, md5 pins the
@@ -1019,6 +1041,27 @@ object LlmQueries {
   // Shared SQL fragments (DuckDB): normalized tokens and 3-gram shingles.
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($norm, ' ')"
+
+  // Exact substring dedup: window length and the (doc, pos) encoding
+  // cap — both must match DedupOps.{substringSpans,SpanPosCap}.
+  private val SubstrW = 12
+  private val substrCte = w(
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+       |win AS (SELECT doc_id, i, md5(array_to_string(arr[i:i+$SubstrW-1], ' ')) AS h
+       |        FROM (SELECT doc_id, arr, unnest(range(1, len(arr)-$SubstrW+2)) AS i FROM toks)),
+       |dup AS (SELECT h, min(doc_id * 1000000000000 + i) AS keep
+       |        FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |spans AS (SELECT win.doc_id, win.i AS s, win.i + $SubstrW - 1 AS e
+       |          FROM win JOIN dup ON win.h = dup.h
+       |          WHERE win.doc_id * 1000000000000 + win.i <> dup.keep),
+       |m AS (SELECT doc_id, s, e,
+       |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |        THEN 1 ELSE 0 END AS brk
+       |      FROM spans),
+       |g AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e) AS gid FROM m),
+       |merged AS (SELECT doc_id, gid, min(s) AS ms, max(e) AS me FROM g GROUP BY 1, 2)
+       |""")
   private val shinglesCte = w(
     s"""toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
        |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i FROM toks),
@@ -1408,6 +1451,19 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    "substr_spans" -> (substrCte + w(
+      """SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(me - ms + 1) AS BIGINT) AS dup_tokens
+        |FROM merged GROUP BY 1 ORDER BY 1""")),
+    "substr_trim" -> (substrCte + w(
+      """, pos AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS p FROM toks
+        |          WHERE doc_id IN (SELECT DISTINCT doc_id FROM merged)),
+        |kept AS (SELECT pos.doc_id, p, arr[p] AS tok FROM pos
+        |         WHERE NOT EXISTS (SELECT 1 FROM merged mm
+        |                           WHERE mm.doc_id = pos.doc_id AND p BETWEEN mm.ms AND mm.me))
+        |SELECT doc_id, md5(array_to_string(list(tok ORDER BY p), ' ')) AS trimmed_md5,
+        |  count(*) AS kept_tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""")),
     // chunk_clean: same chunking (tail partial included), df-filter,
     // and ordered reassembly.
     // windows compared as strings (engine's xxhash64 is an 8-byte

@@ -170,6 +170,69 @@ class LlmOpsSpec extends SparkSpec {
     assert(cleaned.toSeq == Seq((0L, ""), (0L, "")))
   }
 
+  test("substring spans: keep-first survives, later copies merge into maximal spans") {
+    // run of 8 tokens duplicated across three docs at different offsets;
+    // doc 0 holds the globally-first occurrence and must be untouched
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val corpus = Seq(
+      (0L, s"$run t0 t1 t2"),        // first occurrence (doc 0, pos 1) — keeper
+      (1L, s"l0 $run t3"),           // copy at offset 2 — removable
+      (2L, s"l1 l2 $run"),           // copy at offset 3 — removable
+      (3L, "totally unrelated words flow here beyond reproach always")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.substringSpans(corpus, "doc_id", "text", w = 4)
+      .orderBy("doc_id", "ms").as[(Long, Int, Int)].collect().toSeq
+    // w=4 windows chain across the 8-token run -> ONE merged span per copy
+    assert(spans == Seq((1L, 2, 9), (2L, 3, 10)))
+
+    val trimmed = DedupOps.substringTrim(corpus, "doc_id", "text", w = 4)
+      .orderBy("doc_id").select("doc_id", "trimmed", "kept_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    // doc 0 is the keeper: not in the affected set at all
+    assert(trimmed == Seq((1L, "l0 t3", 2L), (2L, "l1 l2", 2L)))
+  }
+
+  test("substring spans: within-doc-only repeats are not spans; full coverage deletes the doc") {
+    // the repeated run lives in ONE doc only -> countDistinct(doc)=1, no span
+    val selfOnly = Seq(
+      (0L, "x1 x2 x3 x4 gap x1 x2 x3 x4"),
+      (1L, "other words entirely here")).toDF("doc_id", "text")
+    assert(DedupOps.substringSpans(selfOnly, "doc_id", "text", w = 4).isEmpty)
+
+    // identical docs: doc 0 keeps everything, doc 1 is fully covered ->
+    // it disappears from the trim output (delete, don't rewrite)
+    val dup = Seq(
+      (0L, "b1 b2 b3 b4 b5"),
+      (1L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val spans = DedupOps.substringSpans(dup, "doc_id", "text", w = 5)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(spans == Seq((1L, 1, 5)))
+    assert(DedupOps.substringTrim(dup, "doc_id", "text", w = 5).isEmpty)
+
+    // cross-doc dup hash ALSO repeated inside the keeper doc: the
+    // keeper's second occurrence is removable too (only the globally
+    // first survives)
+    val mixed = Seq(
+      (0L, "c1 c2 c3 c4 mid c1 c2 c3 c4"),
+      (1L, "pad c1 c2 c3 c4 tail")).toDF("doc_id", "text")
+    val sp = DedupOps.substringSpans(mixed, "doc_id", "text", w = 4)
+      .orderBy("doc_id", "ms").as[(Long, Int, Int)].collect().toSeq
+    assert(sp == Seq((0L, 6, 9), (1L, 2, 5)))
+  }
+
+  test("substring spans: disjoint spans in one doc stay separate, adjacent ones merge") {
+    val r1 = "d1 d2 d3 d4"
+    val r2 = "e1 e2 e3 e4"
+    val corpus = Seq(
+      (0L, s"$r1 spacer word $r2"), // keepers
+      (1L, s"$r1 unrelated middle section goes on $r2"), // two DISJOINT spans
+      (2L, s"$r1 $r2 x")            // spans [1,4] and [5,8]: ADJACENT -> merge
+    ).toDF("doc_id", "text")
+    val sp = DedupOps.substringSpans(corpus, "doc_id", "text", w = 4)
+      .orderBy("doc_id", "ms").as[(Long, Int, Int)].collect().toSeq
+    assert(sp == Seq((1L, 1, 4), (1L, 10, 13), (2L, 1, 8)))
+  }
+
   test("duplicate-span removal catches runs at ANY alignment") {
     // a 6-token run duplicated at DIFFERENT offsets (1 vs 3) — the
     // non-overlapping chunk pass can miss this; sliding windows can't
