@@ -45,6 +45,51 @@ class CurationPropertiesSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("substring spans + trim match a sequential reference on random corpora") {
+    // tiny vocab + short docs ⇒ dense natural window collisions: the
+    // reference recomputes keep-first / merge / trim single-threaded
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val w = 3
+    val docs = (0L until 40L).map { i =>
+      (i, (1 to 3 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks: Map[Long, Vector[String]] =
+      docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val wins = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.size < w) Nil
+      else (0 to tk.size - w).map(i => (id, i + 1, tk.slice(i, i + w).mkString(" ")))
+    }
+    val keepers = wins.groupBy(_._3)
+      .filter { case (_, occ) => occ.map(_._1).distinct.size >= 2 }
+      .map { case (h, occ) => h -> occ.map(o => (o._1, o._2)).min }
+    def merge(sp: Seq[(Int, Int)]): Seq[(Int, Int)] =
+      sp.sortBy(identity).foldLeft(List.empty[(Int, Int)]) {
+        case ((ms, me) :: rest, (s, e)) if s <= me + 1 => (ms, math.max(me, e)) :: rest
+        case (acc, (s, e)) => (s, e) :: acc
+      }.reverse
+    val refSpans = wins
+      .filter { case (id, i, h) => keepers.get(h).exists(_ != ((id, i))) }
+      .groupBy(_._1)
+      .flatMap { case (id, sp) =>
+        merge(sp.map(x => (x._2, x._2 + w - 1))).map { case (s, e) => (id, s, e) }
+      }.toSet
+    val covered: Map[Long, Set[Int]] = refSpans.groupBy(_._1)
+      .view.mapValues(_.flatMap { case (_, s, e) => s to e }.toSet).toMap
+    val refTrim = covered.flatMap { case (id, cov) =>
+      val kept = (1 to toks(id).size).filterNot(cov).map(p => toks(id)(p - 1))
+      if (kept.isEmpty) None else Some((id, kept.mkString(" "), kept.size.toLong))
+    }.toSet
+
+    val df = docs.toDF("doc_id", "text")
+    val gotSpans = DedupOps.substringSpans(df, "doc_id", "text", w)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(gotSpans == refSpans)
+    val gotTrim = DedupOps.substringTrim(df, "doc_id", "text", w)
+      .select("doc_id", "trimmed", "kept_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotTrim == refTrim)
+  }
+
   test("bigramNll matches a local reference LM on random corpora") {
     val vocab = Vector("red", "blue", "green", "gold")
     val docs = (0L until 30L).map { i =>
