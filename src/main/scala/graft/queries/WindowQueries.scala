@@ -241,6 +241,35 @@ object WindowQueries {
         .orderBy("user_id", "session")
     }),
 
+    // Session path analysis: the routes sessions actually take. Same
+    // 6h gap split as `sessionize`, sequences tie-broken by event_id
+    // (deterministic on both engines), truncated to 8 steps BEFORE
+    // they become shuffle rows. Top-25 by (count, path) — a total
+    // order, so the cut is exact.
+    "event_paths" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      graft.operators.PathOps.pathCounts(
+        graft.operators.PathOps.sessionPaths(
+          ev, "user_id", "event_type", "tus", "event_id",
+          21600000000L, 8))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(25)
+    }),
+
+    // First-order Markov chain over session-internal transitions:
+    // P(next event type | current) — the "what do users do next"
+    // matrix. Counts explode per consecutive pair (k−1 rows per
+    // k-event session); normalization is a window over the tiny
+    // from-type domain.
+    "markov_transitions" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      graft.operators.PathOps.transitions(
+        ev, "user_id", "event_type", "tus", "event_id", 21600000000L)
+        .select(col("from_type"), col("to_type"), col("n"),
+          r4(col("prob")).as("prob"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
     // outlier rule (the median pair the outliers can't drag, unlike
     // z-scores). Two exact grouped percentiles + joins all hashed on
@@ -588,6 +617,48 @@ object WindowQueries {
         |SELECT user_id, session, count(*) AS n,
         |  max(tus) - min(tus) AS dur_us, round(sum(value), 4) AS sum_v
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // paths/transitions: the sessionize CTE with the event_id
+    // tie-break added to every ordering (sequence order must be total)
+    "event_paths" -> w(
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+        |  FROM g
+        |), p AS (
+        |  SELECT user_id, session, (list(event_type ORDER BY tus, event_id))[1:8] AS seq
+        |  FROM s GROUP BY 1, 2)
+        |SELECT array_to_string(seq, '>') AS path,
+        |  CAST(len(seq) AS BIGINT) AS path_len, count(*) AS n_sessions
+        |FROM p GROUP BY 1, 2 ORDER BY n_sessions DESC, path LIMIT 25"""),
+    "markov_transitions" -> w(
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, tus,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+        |  FROM g
+        |), tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session ORDER BY tus, event_id) AS to_type
+        |  FROM s
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS prob
+        |FROM c ORDER BY 1, 2"""),
     // anomaly_mad: the same interpolated percentiles as `quantiles`,
     // the same |x − med| expression tree, strict > on the 3·MAD bound
     "anomaly_mad" -> w(

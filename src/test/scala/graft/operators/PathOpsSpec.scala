@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Path verbs (operators/PathOps.scala): gap-split sessions, total
+  * (ts, id) ordering, maxLen truncation before the count shuffle,
+  * transition probabilities normalized per from-type.
+  */
+class PathOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, event_id, type, ts): user A has two sessions split by a
+  // > 100-unit gap; the ts tie at 20 orders by event_id (3 before 4)
+  private val ev = Seq(
+    ("A", 1L, "view", 10L), ("A", 3L, "click", 20L), ("A", 4L, "view", 20L),
+    ("A", 5L, "buy", 30L),
+    ("A", 6L, "view", 500L), ("A", 7L, "buy", 510L), // session 2
+    ("B", 8L, "view", 10L), ("B", 9L, "click", 15L), ("B", 10L, "buy", 25L)
+  ).toDF("u", "id", "t", "ts")
+
+  test("sessionPaths: gap split, tie-break by id, truncation") {
+    val paths = PathOps.sessionPaths(ev, "u", "t", "ts", "id", maxGap = 100L, maxLen = 8)
+      .orderBy("u", "session")
+      .select("u", "session", "path", "path_len")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(paths == Seq(
+      ("A", 1L, "view>click>view>buy", 4L),
+      ("A", 2L, "view>buy", 2L),
+      ("B", 1L, "view>click>buy", 3L)))
+    // truncation: maxLen=2 keeps the session PREFIX
+    val cut = PathOps.sessionPaths(ev, "u", "t", "ts", "id", maxGap = 100L, maxLen = 2)
+      .filter(col("u") === "A" && col("session") === 1)
+      .select("path", "path_len").as[(String, Long)].head()
+    assert(cut == (("view>click", 2L)))
+  }
+
+  test("pathCounts groups identical routes across users") {
+    val paths = PathOps.sessionPaths(ev, "u", "t", "ts", "id", maxGap = 100L, maxLen = 8)
+    val counts = PathOps.pathCounts(paths)
+      .orderBy(col("n_sessions").desc, col("path"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(counts == Seq(
+      ("view>buy", 2L, 1L),
+      ("view>click>buy", 3L, 1L),
+      ("view>click>view>buy", 4L, 1L)))
+  }
+
+  test("transitions: session-bounded pairs, per-from normalization") {
+    val tr = PathOps.transitions(ev, "u", "t", "ts", "id", maxGap = 100L)
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n", "prob")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // pairs: A s1 view>click, click>view, view>buy; A s2 view>buy
+    // (the 30 -> 500 gap is NOT a transition); B view>click, click>buy
+    assert(tr == Seq(
+      ("click", "buy", 1L, 0.5),
+      ("click", "view", 1L, 0.5),
+      ("view", "buy", 2L, 0.5),
+      ("view", "click", 2L, 0.5)))
+  }
+}
