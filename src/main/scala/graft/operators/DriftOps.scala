@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between two corpus snapshots — the
+  * monitoring loop of a production data pipeline: is today's intake
+  * distributed like the reference the filters/classifiers were tuned
+  * on? Implements the population stability index (PSI), the standard
+  * industry drift score (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25
+  * drifted), for numeric columns over FIXED bins and for categorical
+  * columns over their value domain.
+  *
+  * Scale shape: each side collapses to its bucket histogram first —
+  * one map-side-combinable aggregate per snapshot, output rows =
+  * bucket count, NOT corpus rows — and the PSI join runs on those
+  * histogram tables (broadcast-sized by construction). Nothing
+  * downstream of the two scans touches per-row data, so the op costs
+  * two scans regardless of snapshot size. Bins are fixed (caller
+  * lo/width/n) rather than data-derived quantiles so the score is
+  * comparable across runs — the property a drift MONITOR needs (a
+  * quantile-binned PSI re-anchors itself to the drifted data and
+  * under-reports exactly when it matters).
+  */
+object DriftOps {
+
+  /** Zero-proportion clamp: PSI's log ratio is undefined on empty
+    * buckets; the standard practice is flooring proportions at a small
+    * epsilon, which bounds a born-or-died bucket's contribution
+    * instead of producing ±Inf.
+    */
+  val Eps = 1e-6
+
+  private def contribution(pRef: Column, pCur: Column): Column =
+    (pCur - pRef) * log(greatest(pCur, lit(Eps)) / greatest(pRef, lit(Eps)))
+
+  /** Per-bucket PSI decomposition for a numeric column over fixed-width
+    * bins: bucket b covers [lo + b·width, lo + (b+1)·width), with
+    * bucket −1 catching underflow and bucket `nBins` overflow. Returns
+    * (bucket, n_ref, n_cur, p_ref, p_cur, contrib) — one row per
+    * bucket observed in EITHER snapshot; Σ contrib is the PSI.
+    */
+  def numericDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins >= 1, s"need width>0, nBins>=1; got $width, $nBins")
+    def bucket(df: DataFrame): DataFrame =
+      df.select(least(greatest(
+        floor((col(valueCol) - lo) / width).cast("long"), lit(-1L)),
+        lit(nBins.toLong)).as("bucket"))
+    psiJoin(bucket(ref), bucket(cur), "bucket")
+  }
+
+  /** Per-category PSI decomposition for a categorical column: same
+    * output contract keyed by the category value. Born/died categories
+    * appear with a zero side and an Eps-bounded contribution.
+    */
+  def categoricalDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame =
+    psiJoin(ref.select(col(catCol).as("bucket")),
+      cur.select(col(catCol).as("bucket")), "bucket")
+
+  private def psiJoin(ref: DataFrame, cur: DataFrame, key: String): DataFrame = {
+    // histograms pinned with localCheckpoint: the snapshot totals then
+    // derive from the bucket rows (no second corpus scan, no driver
+    // count() action) and ride along as broadcast 1-row frames
+    val r = ref.groupBy(key).agg(count(lit(1)).as("n_ref")).localCheckpoint()
+    val c = cur.groupBy(key).agg(count(lit(1)).as("n_cur")).localCheckpoint()
+    val rTot = r.agg(sum(col("n_ref")).cast("double").as("t_ref"))
+    val cTot = c.agg(sum(col("n_cur")).cast("double").as("t_cur"))
+    r.join(c, Seq(key), "full_outer")
+      .select(col(key),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(rTot))
+      .crossJoin(broadcast(cTot))
+      .withColumn("p_ref", col("n_ref") / col("t_ref"))
+      .withColumn("p_cur", col("n_cur") / col("t_cur"))
+      .withColumn("contrib", contribution(col("p_ref"), col("p_cur")))
+      .drop("t_ref", "t_cur")
+  }
+}

@@ -270,6 +270,39 @@ object WindowQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // PSI drift between the first and second half of the time range:
+    // fixed 25-wide value bins, per-bucket decomposition (Σ contrib =
+    // the PSI score). The midpoint cutoff is integer-exact on both
+    // engines; the bucket histograms — not corpus rows — carry the
+    // normalization.
+    "psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+      val e2 = ev.crossJoin(broadcast(mid))
+      graft.operators.DriftOps.numericDrift(
+        e2.filter(col("tus") < col("mid")),
+        e2.filter(col("tus") >= col("mid")),
+        "value", 0.0, 25.0, 20)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          r4(col("p_ref")).as("p_ref"), r4(col("p_cur")).as("p_cur"),
+          r4(col("contrib")).as("contrib"))
+        .orderBy("bucket")
+    }),
+
+    // Categorical PSI over the language mix of two document snapshots
+    // (parity split stands in for ref-vs-intake): born/died categories
+    // surface with a zero side and an Eps-bounded contribution.
+    "cat_drift" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.DriftOps.categoricalDrift(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "lang")
+        .select(col("bucket").as("lang"), col("n_ref"), col("n_cur"),
+          r4(col("p_ref")).as("p_ref"), r4(col("p_cur")).as("p_cur"),
+          r4(col("contrib")).as("contrib"))
+        .orderBy("lang")
+    }),
+
     // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
     // outlier rule (the median pair the outliers can't drag, unlike
     // z-scores). Two exact grouped percentiles + joins all hashed on
@@ -659,6 +692,37 @@ object WindowQueries {
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS prob
         |FROM c ORDER BY 1, 2"""),
+    // PSI: proportions divide BIGINT counts by DOUBLE totals (same
+    // IEEE ops as the engine); contrib uses the unrounded proportions
+    "psi_drift" -> w(
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), -1), 20) AS bucket
+        |      FROM events, m WHERE epoch_us(ts) < mid),
+        |c AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), -1), 20) AS bucket
+        |      FROM events, m WHERE epoch_us(ts) >= mid),
+        |rh AS (SELECT bucket, count(*) AS n_ref FROM r GROUP BY 1),
+        |ch AS (SELECT bucket, count(*) AS n_cur FROM c GROUP BY 1),
+        |j AS (SELECT COALESCE(rh.bucket, ch.bucket) AS bucket,
+        |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |      FROM rh FULL OUTER JOIN ch ON rh.bucket = ch.bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+        |SELECT bucket, n_ref, n_cur,
+        |  round(n_ref / tr, 4) AS p_ref, round(n_cur / tc, 4) AS p_cur,
+        |  round((n_cur / tc - n_ref / tr) *
+        |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
+        |FROM j, t ORDER BY bucket"""),
+    "cat_drift" -> w(
+      """WITH rh AS (SELECT lang, count(*) AS n_ref FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ch AS (SELECT lang, count(*) AS n_cur FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT COALESCE(rh.lang, ch.lang) AS lang,
+        |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |      FROM rh FULL OUTER JOIN ch ON rh.lang = ch.lang),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+        |SELECT lang, n_ref, n_cur,
+        |  round(n_ref / tr, 4) AS p_ref, round(n_cur / tc, 4) AS p_cur,
+        |  round((n_cur / tc - n_ref / tr) *
+        |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
+        |FROM j, t ORDER BY lang"""),
     // anomaly_mad: the same interpolated percentiles as `quantiles`,
     // the same |x − med| expression tree, strict > on the 3·MAD bound
     "anomaly_mad" -> w(
