@@ -34,19 +34,25 @@ object DriftOps {
   private def contribution(pRef: Column, pCur: Column): Column =
     (pCur - pRef) * log(greatest(pCur, lit(Eps)) / greatest(pRef, lit(Eps)))
 
+  /** Fixed-width bin assignment: bucket b covers
+    * [lo + b·width, lo + (b+1)·width), with bucket −1 catching
+    * underflow and `nBins` overflow. Usable on batch AND streaming
+    * frames (pure column arithmetic).
+    */
+  def bucketOf(value: Column, lo: Double, width: Double, nBins: Int): Column = {
+    require(width > 0 && nBins >= 1, s"need width>0, nBins>=1; got $width, $nBins")
+    least(greatest(floor((value - lo) / width).cast("long"), lit(-1L)),
+      lit(nBins.toLong))
+  }
+
   /** Per-bucket PSI decomposition for a numeric column over fixed-width
-    * bins: bucket b covers [lo + b·width, lo + (b+1)·width), with
-    * bucket −1 catching underflow and bucket `nBins` overflow. Returns
-    * (bucket, n_ref, n_cur, p_ref, p_cur, contrib) — one row per
-    * bucket observed in EITHER snapshot; Σ contrib is the PSI.
+    * bins. Returns (bucket, n_ref, n_cur, p_ref, p_cur, contrib) — one
+    * row per bucket observed in EITHER snapshot; Σ contrib is the PSI.
     */
   def numericDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       lo: Double, width: Double, nBins: Int): DataFrame = {
-    require(width > 0 && nBins >= 1, s"need width>0, nBins>=1; got $width, $nBins")
     def bucket(df: DataFrame): DataFrame =
-      df.select(least(greatest(
-        floor((col(valueCol) - lo) / width).cast("long"), lit(-1L)),
-        lit(nBins.toLong)).as("bucket"))
+      df.select(bucketOf(col(valueCol), lo, width, nBins).as("bucket"))
     psiJoin(bucket(ref), bucket(cur), "bucket")
   }
 
@@ -58,12 +64,24 @@ object DriftOps {
     psiJoin(ref.select(col(catCol).as("bucket")),
       cur.select(col(catCol).as("bucket")), "bucket")
 
-  private def psiJoin(ref: DataFrame, cur: DataFrame, key: String): DataFrame = {
+  private def psiJoin(ref: DataFrame, cur: DataFrame, key: String): DataFrame =
+    psiOfHistograms(
+      ref.groupBy(key).agg(count(lit(1)).as("n_ref")),
+      cur.groupBy(key).agg(count(lit(1)).as("n_cur")), key)
+
+  /** PSI from pre-built histograms — the entry a STREAMING monitor
+    * uses: maintain the current-side (bucket, n_cur) histogram as
+    * streaming aggregation state, then score any snapshot of it
+    * against the static reference histogram. Expects (key, n_ref) and
+    * (key, n_cur).
+    */
+  def psiOfHistograms(refHist: DataFrame, curHist: DataFrame,
+      key: String = "bucket"): DataFrame = {
     // histograms pinned with localCheckpoint: the snapshot totals then
     // derive from the bucket rows (no second corpus scan, no driver
     // count() action) and ride along as broadcast 1-row frames
-    val r = ref.groupBy(key).agg(count(lit(1)).as("n_ref")).localCheckpoint()
-    val c = cur.groupBy(key).agg(count(lit(1)).as("n_cur")).localCheckpoint()
+    val r = refHist.localCheckpoint()
+    val c = curHist.localCheckpoint()
     val rTot = r.agg(sum(col("n_ref")).cast("double").as("t_ref"))
     val cTot = c.agg(sum(col("n_cur")).cast("double").as("t_cur"))
     r.join(c, Seq(key), "full_outer")

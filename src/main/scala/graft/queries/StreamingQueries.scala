@@ -329,6 +329,47 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING PSI drift monitor: the second half of the time range
+    // streams in (maxFilesPerTrigger=1 forces multiple micro-batches);
+    // the current-side bucket histogram is STREAMING AGGREGATION STATE
+    // (complete-mode groupBy — Spark keeps one counter per bucket, the
+    // monitor's whole state is histogram-sized regardless of stream
+    // length). The final snapshot scored against the static first-half
+    // reference must equal the one-shot batch computation, so the
+    // oracle IS psi_drift's oracle.
+    "stream_psi" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-spsi-src").toString
+      val ev0 = events(s, dir)
+        .withColumn("tus", expr("ts_ns div 1000")).select("tus", "value")
+      val mid = ev0.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+      val e2 = ev0.crossJoin(broadcast(mid))
+      val cur = e2.filter(col("tus") >= col("mid")).select("tus", "value")
+      cur.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      val qn = "graft_spsi_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .select(graft.operators.DriftOps
+          .bucketOf(col("value"), 0.0, 25.0, 20).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-spsi-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+
+      val refHist = e2.filter(col("tus") < col("mid"))
+        .select(graft.operators.DriftOps
+          .bucketOf(col("value"), 0.0, 25.0, 20).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+      graft.operators.DriftOps.psiOfHistograms(refHist, s.table(qn))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          r4(col("p_ref")).as("p_ref"), r4(col("p_cur")).as("p_cur"),
+          r4(col("contrib")).as("contrib"))
+        .orderBy("bucket")
+    }),
+
     // STREAMING ordered funnel: set-once per-user step state — the
     // live funnel must agree exactly with the batch recompute, so the
     // oracle IS funnel_steps' oracle. Snapshots fold with max()
@@ -399,6 +440,7 @@ object StreamingQueries {
     // the streaming recurrence must land exactly where the batch one
     // does — same recursive-CTE replay as cusum_drift
     "stream_cusum" -> WindowQueries.oracle("cusum_drift"),
+    "stream_psi" -> WindowQueries.oracle("psi_drift"),
     // the live funnel must land exactly on the batch answer
     "stream_funnel" -> WindowQueries.oracle("funnel_steps"),
     // streaming MAD: med interpolated (as anomaly_mad), mad replayed
