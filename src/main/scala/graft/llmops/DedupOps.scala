@@ -550,11 +550,12 @@ object DedupOps {
     * positions inclusive.
     *
     * Scale shape: ONE shuffle on the window hash for the dup/keeper
-    * aggregate (map-side combinable min; the countDistinct rides the
-    * same exchange via Spark's distinct-aggregate Expand), one
-    * hash-join back, and a per-document window for the merge — no
-    * pairwise joins anywhere, so cost is linear in corpus tokens
-    * regardless of how viral a passage is.
+    * aggregate — "occurs in >= 2 distinct documents" is decided by
+    * min(doc) != max(doc), so all three aggregates are plain
+    * map-side-combinable min/max (no distinct-aggregate Expand pass
+    * doubling the exchange), one hash-join back, and a per-document
+    * window for the merge — no pairwise joins anywhere, so cost is
+    * linear in corpus tokens regardless of how viral a passage is.
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
@@ -566,8 +567,9 @@ object DedupOps {
           lit(s" exceeds $SpanPosCap tokens"))))
       .otherwise(col("doc_id") * SpanPosCap + col("i"))
     val dup = win.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"), min(enc).as("keep"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+        min(enc).as("keep"))
+      .filter(col("d0") =!= col("d1"))
       .select("h", "keep")
     val spans = win.join(dup, "h")
       .filter(col("doc_id") * SpanPosCap + col("i") =!= col("keep"))
