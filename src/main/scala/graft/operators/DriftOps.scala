@@ -34,6 +34,18 @@ object DriftOps {
   private def contribution(pRef: Column, pCur: Column): Column =
     (pCur - pRef) * log(greatest(pCur, lit(Eps)) / greatest(pRef, lit(Eps)))
 
+  /** Per-bucket Jensen–Shannon divergence term:
+    * ½·(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2 and the 0·ln0 = 0
+    * convention — no epsilon needed, and the total is bounded by ln 2
+    * (PSI is unbounded, which is why monitors report both: JSD for a
+    * comparable saturating score, PSI for the familiar thresholds).
+    */
+  private def jsContribution(pRef: Column, pCur: Column): Column = {
+    val m = (pRef + pCur) / 2
+    (when(pRef > 0, pRef * log(pRef / m)).otherwise(lit(0.0)) +
+      when(pCur > 0, pCur * log(pCur / m)).otherwise(lit(0.0))) / 2
+  }
+
   /** Fixed-width bin assignment: bucket b covers
     * [lo + b·width, lo + (b+1)·width), with bucket −1 catching
     * underflow and `nBins` overflow. Usable on batch AND streaming
@@ -93,6 +105,7 @@ object DriftOps {
       .withColumn("p_ref", col("n_ref") / col("t_ref"))
       .withColumn("p_cur", col("n_cur") / col("t_cur"))
       .withColumn("contrib", contribution(col("p_ref"), col("p_cur")))
+      .withColumn("contrib_js", jsContribution(col("p_ref"), col("p_cur")))
       .drop("t_ref", "t_cur")
   }
 }

@@ -303,6 +303,23 @@ object WindowQueries {
         .orderBy("lang")
     }),
 
+    // The same drift decomposition's bounded score: per-bucket
+    // Jensen–Shannon terms (0·ln0 = 0, total ≤ ln 2) over the same
+    // half-split histograms — monitors report JSD beside PSI because
+    // PSI is unbounded.
+    "js_drift" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+      val e2 = ev.crossJoin(broadcast(mid))
+      graft.operators.DriftOps.numericDrift(
+        e2.filter(col("tus") < col("mid")),
+        e2.filter(col("tus") >= col("mid")),
+        "value", 0.0, 25.0, 20)
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          r4(col("contrib_js")).as("contrib_js"))
+        .orderBy("bucket")
+    }),
+
     // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
     // outlier rule (the median pair the outliers can't drag, unlike
     // z-scores). Two exact grouped percentiles + joins all hashed on
@@ -711,6 +728,23 @@ object WindowQueries {
         |  round((n_cur / tc - n_ref / tr) *
         |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
         |FROM j, t ORDER BY bucket"""),
+    "js_drift" -> w(
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), -1), 20) AS bucket
+        |      FROM events, m WHERE epoch_us(ts) < mid),
+        |c AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), -1), 20) AS bucket
+        |      FROM events, m WHERE epoch_us(ts) >= mid),
+        |rh AS (SELECT bucket, count(*) AS n_ref FROM r GROUP BY 1),
+        |ch AS (SELECT bucket, count(*) AS n_cur FROM c GROUP BY 1),
+        |j AS (SELECT COALESCE(rh.bucket, ch.bucket) AS bucket,
+        |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |      FROM rh FULL OUTER JOIN ch ON rh.bucket = ch.bucket),
+        |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j),
+        |p AS (SELECT bucket, n_ref, n_cur, n_ref / tr AS pr, n_cur / tc AS pc FROM j, t)
+        |SELECT bucket, n_ref, n_cur,
+        |  round((CASE WHEN pr > 0 THEN pr * ln(pr / ((pr + pc) / 2)) ELSE 0.0 END +
+        |         CASE WHEN pc > 0 THEN pc * ln(pc / ((pr + pc) / 2)) ELSE 0.0 END) / 2, 4) AS contrib_js
+        |FROM p ORDER BY bucket"""),
     "cat_drift" -> w(
       """WITH rh AS (SELECT lang, count(*) AS n_ref FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
         |ch AS (SELECT lang, count(*) AS n_cur FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),

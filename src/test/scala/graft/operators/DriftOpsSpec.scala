@@ -51,4 +51,20 @@ class DriftOpsSpec extends SparkSpec {
     val psi = rows.map(_._4).sum
     assert(psi > 0.25)
   }
+
+  test("jsDivergence: symmetric, ln2-bounded, zero on identical") {
+    val a = Seq("x", "x", "x", "y").toDF("k")
+    val b = Seq("y", "y", "y", "z").toDF("k")
+    def jsd(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      DriftOps.categoricalDrift(r, c, "k")
+        .agg(sum(col("contrib_js"))).as[Double].head()
+    val ab = jsd(a, b)
+    assert(math.abs(ab - jsd(b, a)) < 1e-12)        // symmetric (PSI is too, but JSD by term)
+    assert(ab > 0.0 && ab <= math.log(2.0) + 1e-12) // bounded
+    assert(jsd(a, a) == 0.0)
+    // disjoint supports saturate at exactly ln 2
+    val d1 = Seq("x").toDF("k")
+    val d2 = Seq("y").toDF("k")
+    assert(math.abs(jsd(d1, d2) - math.log(2.0)) < 1e-12)
+  }
 }
