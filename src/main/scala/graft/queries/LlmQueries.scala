@@ -704,6 +704,25 @@ object LlmQueries {
       VectorOps.semDedup(e, cent, 0.4).orderBy("id")
     }),
 
+    // SEMANTIC drift: the PSI monitor lifted to embedding space —
+    // train centroids on the reference half, assign BOTH halves with
+    // the compiled kernel, score the cluster-occupancy shift as a
+    // categorical PSI. Catches topic drift that no per-column
+    // histogram sees; the monitor state is k cluster counters.
+    "embed_drift" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val ref = e.filter(col("id") % 2 === 0)
+      val cur = e.filter(col("id") % 2 === 1)
+      val cent = VectorOps.trainIvfCentroids(e.filter(col("id") % 10 === 0), 8, 2)
+      graft.operators.DriftOps.categoricalDrift(
+        VectorOps.ivfAssign(ref, cent).select("cid"),
+        VectorOps.ivfAssign(cur, cent).select("cid"), "cid")
+        .select(col("bucket").as("cid"), col("n_ref"), col("n_cur"),
+          r4(col("p_ref")).as("p_ref"), r4(col("p_cur")).as("p_cur"),
+          r4(col("contrib")).as("contrib"))
+        .orderBy("cid")
+    }),
+
     // Embedding-space pruning extremes: per trained cluster, the 3
     // farthest-from-centroid members (outlier/noise screen) and the 3
     // closest (SSL-prototype redundancy screen) — rank-based, so
@@ -1897,6 +1916,30 @@ object LlmQueries {
     // embed_extremes: the trained-assignment chain scored against the
     // final centroids, double-ranked per cluster (+0.0 folds DuckDB's
     // possible signed zero on a ccos that rounds to 0).
+    "embed_drift" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 10 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 8)),
+         |${kmeansIterSql(1)}
+         |${kmeansIterSql(2)}
+         |assign AS (
+         |  SELECT id, cid FROM (
+         |    SELECT c.id, cent.cid,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e c CROSS JOIN c2 cent) WHERE r = 1),
+         |rh AS (SELECT cid, count(*) AS n_ref FROM assign WHERE id % 2 = 0 GROUP BY 1),
+         |ch AS (SELECT cid, count(*) AS n_cur FROM assign WHERE id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT COALESCE(rh.cid, ch.cid) AS cid,
+         |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |      FROM rh FULL OUTER JOIN ch ON rh.cid = ch.cid),
+         |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr, CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+         |SELECT cid, n_ref, n_cur,
+         |  round(n_ref / tr, 4) AS p_ref, round(n_cur / tc, 4) AS p_cur,
+         |  round((n_cur / tc - n_ref / tr) *
+         |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
+         |FROM j, t ORDER BY cid"""),
     "embed_extremes" -> w(
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |samp AS (SELECT id, v FROM e WHERE id % 5 = 0),
