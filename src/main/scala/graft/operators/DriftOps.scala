@@ -108,4 +108,25 @@ object DriftOps {
       .withColumn("contrib_js", jsContribution(col("p_ref"), col("p_cur")))
       .drop("t_ref", "t_cur")
   }
+
+  /** Inventory-level companion to the distribution monitors: which
+    * rows appeared, vanished, or changed between two snapshots of a
+    * keyed corpus. Expects each side as (id, fp) — id the stable key,
+    * fp a content fingerprint (hash the text, not the text) — and
+    * returns (id, status) with status ∈ added | removed | changed |
+    * unchanged. One full-outer hash join on the id; the fingerprint
+    * columns are bytes-bounded, so the shuffle carries two hashes per
+    * row no matter how wide the rows were.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame,
+      idCol: String = "id", fpCol: String = "fp"): DataFrame = {
+    val o = old.select(col(idCol).as("id"), col(fpCol).as("_fp_old"))
+    val c = cur.select(col(idCol).as("id"), col(fpCol).as("_fp_cur"))
+    o.join(c, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_cur").isNull, "removed")
+          .when(col("_fp_old") =!= col("_fp_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -320,6 +320,22 @@ object WindowQueries {
         .orderBy("bucket")
     }),
 
+    // Snapshot inventory diff: a simulated pipeline re-run (some docs
+    // deleted, some edited, some new) classified by one full-outer
+    // join on the id carrying only md5 fingerprints.
+    "corpus_diff" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val old = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id").as("id"), md5(col("text")).as("fp"))
+      val cur = d.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edit")))
+            .otherwise(col("text"))).as("fp"))
+      graft.operators.DriftOps.snapshotDiff(old, cur)
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
     // outlier rule (the median pair the outliers can't drag, unlike
     // z-scores). Two exact grouped percentiles + joins all hashed on
@@ -728,6 +744,18 @@ object WindowQueries {
         |  round((n_cur / tc - n_ref / tr) *
         |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
         |FROM j, t ORDER BY bucket"""),
+    "corpus_diff" -> w(
+      """WITH old AS (SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 13 <> 0),
+        |cur AS (SELECT doc_id AS id,
+        |          md5(CASE WHEN doc_id % 7 = 0 THEN text || ' edit' ELSE text END) AS fp
+        |        FROM documents WHERE doc_id % 11 <> 0),
+        |d AS (SELECT COALESCE(old.id, cur.id) AS id,
+        |        CASE WHEN old.fp IS NULL THEN 'added'
+        |             WHEN cur.fp IS NULL THEN 'removed'
+        |             WHEN old.fp <> cur.fp THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM old FULL OUTER JOIN cur ON old.id = cur.id)
+        |SELECT status, count(*) AS n FROM d GROUP BY 1 ORDER BY 1"""),
     "js_drift" -> w(
       """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
         |r AS (SELECT least(greatest(CAST(floor((value - 0.0) / 25.0) AS BIGINT), -1), 20) AS bucket
