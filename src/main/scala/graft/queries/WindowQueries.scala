@@ -336,6 +336,20 @@ object WindowQueries {
         .orderBy("status")
     }),
 
+    // LTTB plot downsampling: each event_type series reduced to 20
+    // visually-representative points. Selection is sequential per
+    // series (each pick anchors the next triangle), so the oracle
+    // unrolls the 18 selection steps as generated SQL — the
+    // kmeansIterSql precedent. Values pass through untouched: no
+    // rounding needed for the hash.
+    "lttb_downsample" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      graft.operators.Lttb.lttb(
+        ev.select("event_type", "tus", "event_id", "value"),
+        Seq("event_type"), "tus", "event_id", "value", 20)
+        .orderBy("event_type", "tus", "event_id")
+    }),
+
     // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
     // outlier rule (the median pair the outliers can't drag, unlike
     // z-scores). Two exact grouped percentiles + joins all hashed on
@@ -445,6 +459,61 @@ object WindowQueries {
   )
 
   private def w(s: String) = s.stripMargin
+
+  /** Generated LTTB oracle: the sequential per-bucket selection can't
+    * be one SQL expression, so the k−2 steps unroll as chained CTEs
+    * (sel_i picks bucket i's point by lexicographic struct max on
+    * (area, −x, −id); a_i is the next step's anchor) — mirrors
+    * [[graft.operators.Lttb.select]] term for term: exact integer
+    * bucket assignment, integer-sum centroid x, (ts, id)-ordered
+    * double fold for centroid y, identical area expression.
+    */
+  private def lttbOracleSql(k: Int): String = {
+    val nb = k - 2
+    val steps = (0 until nb).map { i =>
+      w(s"""sel${i + 1} AS (
+           |  SELECT p.series,
+           |    max(struct_pack(
+           |      a := abs((s.ax - c.cx) * (p.y - s.ay) - (s.ax - p.x) * (c.cy - s.ay)),
+           |      nx := -p.x, nid := -CAST(p.id AS DOUBLE),
+           |      x := p.x, id := p.id, y := p.y)) AS m
+           |  FROM pts p
+           |  JOIN a$i s ON p.series = s.series AND p.b = $i
+           |  JOIN tgt c ON c.series = p.series AND c.i = $i
+           |  GROUP BY p.series),
+           |a${i + 1} AS (SELECT series, m.x AS ax, m.y AS ay FROM sel${i + 1})""")
+    }.mkString(",\n")
+    val picks = (1 to nb)
+      .map(i => s"SELECT series, m.x, m.id, m.y FROM sel$i")
+      .mkString("\nUNION ALL\n")
+    w(s"""WITH base AS (
+         |  SELECT event_type AS series, epoch_us(ts) AS x, event_id AS id, value AS y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) - 1 AS j,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |pts AS (
+         |  SELECT series, x, id, y, ((j - 1) * $nb) // (n - 2) AS b
+         |  FROM base WHERE j >= 1 AND j <= n - 2),
+         |firstpt AS (SELECT series, x, id, y FROM base WHERE j = 0),
+         |lastpt AS (SELECT series, x, id, y FROM base WHERE j = n - 1),
+         |cent AS (
+         |  SELECT series, b,
+         |    CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+         |    list_sum(list(y ORDER BY x, id)) / count(*) AS cy
+         |  FROM pts GROUP BY 1, 2),
+         |tgt AS (
+         |  SELECT series, b - 1 AS i, cx, cy FROM cent WHERE b >= 1
+         |  UNION ALL
+         |  SELECT series, ${nb - 1} AS i, CAST(x AS DOUBLE) AS cx, y AS cy FROM lastpt),
+         |a0 AS (SELECT series, x AS ax, y AS ay FROM firstpt),
+         |$steps
+         |SELECT series AS event_type, x AS tus, id AS event_id, y AS value FROM firstpt
+         |UNION ALL
+         |$picks
+         |UNION ALL
+         |SELECT series, x, id, y FROM lastpt
+         |ORDER BY 1, 2, 3""")
+  }
 
   val oracle: Map[String, String] = Map(
     "window_count" -> w(
@@ -744,6 +813,7 @@ object WindowQueries {
         |  round((n_cur / tc - n_ref / tr) *
         |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
         |FROM j, t ORDER BY bucket"""),
+    "lttb_downsample" -> lttbOracleSql(20),
     "corpus_diff" -> w(
       """WITH old AS (SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 13 <> 0),
         |cur AS (SELECT doc_id AS id,
