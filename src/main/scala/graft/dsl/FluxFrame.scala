@@ -676,6 +676,25 @@ final case class FluxFrame(
   def winsorize(lo: Double = 0.01, hi: Double = 0.99): FluxFrame =
     copy(df = graft.operators.AnomalyOps.winsorize(df, groupKey, valueCol, lo, hi))
 
+  /** LTTB plot downsampling to n points per series (extension verb —
+    * the dashboard downsampler; see [[graft.operators.Lttb]] for the
+    * determinism contract). Keeps the frame's key/time/value triple;
+    * other columns don't survive the reduction, like an aggregate.
+    * Time itself is the tie-break (a (series, time) duplicate would
+    * collapse arbitrarily — the store's LWW upsert already forbids it).
+    */
+  def lttb(n: Int): FluxFrame = {
+    val keyed = if (groupKey.nonEmpty) df else df.withColumn("_lttb_k", lit(1))
+    val keys = if (groupKey.nonEmpty) groupKey else Seq("_lttb_k")
+    val picked = graft.operators.Lttb.lttb(
+      keyed.withColumn("_x_us", unix_micros(col(timeCol)))
+        .withColumn("_tie", unix_micros(col(timeCol))),
+      keys, "_x_us", "_tie", valueCol, n)
+    copy(df = picked
+      .withColumn(timeCol, timestamp_micros(col("_x_us")))
+      .drop("_x_us", "_tie", "_lttb_k"))
+  }
+
   def sessionize(maxGap: Double, as: String = "session"): FluxFrame = {
     val dt = col(timeCol).cast("double") - lag(col(timeCol).cast("double"), 1).over(w)
     val isNew = when(dt.isNull || dt > lit(maxGap), 1).otherwise(0)

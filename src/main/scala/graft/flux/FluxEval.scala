@@ -318,6 +318,7 @@ object FluxEval {
     case "winsorize" =>
       f.winsorize(call.args.get("lo").map(num0).getOrElse(0.01),
         call.args.get("hi").map(num0).getOrElse(0.99))
+    case "lttb" => f.lttb(num(call.args, "n").toInt)
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

@@ -42,6 +42,15 @@ object FluxQueries {
           r4(sum(col("clamped") - col("_value"))).as("mass_shift"))
         .orderBy("event_type")),
 
+    // lttb through the text surface: same 18-step selection as the DSL
+    // gate; _measurement is the series, time its own tie-break (the
+    // corpus has no (series, ts) duplicates — store LWW forbids them)
+    "flux_lttb" -> ((s, dir) =>
+      FluxEval.run("""from(bucket: "events") |> lttb(n: 20)""", source(s, dir))
+        .select(col("_measurement").as("event_type"),
+          unix_micros(col("_time")).as("tus"), col("_value").as("value"))
+        .orderBy("event_type", "tus")),
+
     "flux_anomalies" -> ((s, dir) =>
       FluxEval.run("""from(bucket: "events") |> anomalies(k: 3.0)""", source(s, dir))
         .groupBy(col("_measurement").as("event_type"))
@@ -325,6 +334,8 @@ object FluxQueries {
   val oracle: Map[String, String] = Map(
     "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
     "flux_winsorize" -> WindowQueries.oracle("winsorize"),
+    "flux_lttb" -> (s"SELECT event_type, tus, value FROM (\n" +
+      s"${WindowQueries.oracle("lttb_downsample")}\n) sub ORDER BY event_type, tus"),
     "flux_decompose" -> WindowQueries.oracle("decompose_stl"),
     "flux_anomalies" -> WindowQueries.oracle("anomaly_mad"),
     "flux_exists" ->
