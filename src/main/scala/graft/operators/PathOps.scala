@@ -62,6 +62,68 @@ object PathOps {
     paths.groupBy("path", "path_len")
       .agg(count(lit(1)).as("n_sessions"))
 
+  /** Touch attribution: for every conversion event, the FIRST and
+    * LAST non-conversion ("touch") event of the same entity within the
+    * `lookback` time units preceding it — first-touch and last-touch
+    * credit, the two standard attribution models. Returns the
+    * conversion rows with (first_touch, first_ts, last_touch, last_ts)
+    * columns, nulls when no touch falls in the window.
+    *
+    * ONE per-entity range window does both models: the frame
+    * rangeBetween(−lookback, −1) over the numeric time axis IS the
+    * attribution window, min/max of a conditional (ts, type) struct
+    * pick the endpoints (lexicographic — ties on an exact-equal ts
+    * break by type, deterministically). Everything hashes on the
+    * entity key; no self-join.
+    */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, conversions: Set[String],
+      lookback: Long): DataFrame = {
+    require(conversions.nonEmpty, "attribution needs conversion types")
+    require(lookback > 0, s"lookback must be positive, got $lookback")
+    val isConv = col(typeCol).isInCollection(conversions)
+    val rangeW = Window.partitionBy(userCol).orderBy(col(tsCol))
+      .rangeBetween(-lookback, -1)
+    val touch = when(!isConv, struct(col(tsCol).as("ts"), col(typeCol).as("t")))
+    df.withColumn("_first", min(touch).over(rangeW))
+      .withColumn("_last", max(touch).over(rangeW))
+      .filter(isConv)
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol),
+        col("_first").getField("t").as("first_touch"),
+        col("_first").getField("ts").as("first_ts"),
+        col("_last").getField("t").as("last_touch"),
+        col("_last").getField("ts").as("last_ts"))
+  }
+
+  /** Multi-touch credit summary per conversion over the same
+    * rangeBetween(−lookback, −1) frame as [[attribution]]: how many
+    * touches share the credit (linear model divides evenly among
+    * them) and the total exponential time-decay weight
+    * Σ exp(−(conv_ts − touch_ts)/tau) (time-decay model normalizes by
+    * it). Returns conversions with (n_touches, decay_sum).
+    */
+  def attributionCredit(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, conversions: Set[String],
+      lookback: Long, tau: Double): DataFrame = {
+    require(conversions.nonEmpty, "attribution needs conversion types")
+    require(lookback > 0 && tau > 0, "lookback and tau must be positive")
+    val isConv = col(typeCol).isInCollection(conversions)
+    val rangeW = Window.partitionBy(userCol).orderBy(col(tsCol))
+      .rangeBetween(-lookback, -1)
+    // the decay term needs the conversion's own ts, which a window
+    // frame expression can't see — so the frame collects the touch
+    // timestamps (bounded by touches-per-lookback, the model's natural
+    // state) and the fold runs at row level where the anchor is in
+    // scope. array_sort pins the FP summation order against ts ties.
+    val tl = collect_list(when(!isConv, col(tsCol))).over(rangeW)
+    df.withColumn("_tl", tl)
+      .filter(isConv)
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol),
+        size(col("_tl")).cast("long").as("n_touches"),
+        aggregate(array_sort(col("_tl")), lit(0.0),
+          (acc, x) => acc + exp((x - col(tsCol)) / tau)).as("decay_sum"))
+  }
+
   /** First-order Markov transitions within sessions: for every
     * consecutive (from → to) event pair, the count and the row
     * probability P(to | from) over all transitions leaving `from`.

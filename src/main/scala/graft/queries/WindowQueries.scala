@@ -350,6 +350,30 @@ object WindowQueries {
         .orderBy("event_type", "tus", "event_id")
     }),
 
+    // First/last-touch attribution: per conversion, the touch
+    // endpoints inside a 6h lookback — ONE range-frame window, no
+    // self-join (the oracle replays it as the equivalent interval
+    // join + struct min/max).
+    "attribution" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      graft.operators.PathOps.attribution(
+        ev, "user_id", "event_type", "tus", "event_id",
+        Set("purchase", "signup"), 21600000000L)
+        .orderBy("user_id", "tus", "event_id")
+    }),
+
+    // Multi-touch credit: linear (count) + exponential time-decay
+    // (tau = 2h) weight per conversion, same range frame.
+    "attribution_credit" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      graft.operators.PathOps.attributionCredit(
+        ev, "user_id", "event_type", "tus", "event_id",
+        Set("purchase", "signup"), 21600000000L, 7.2e9)
+        .select(col("user_id"), col("event_type"), col("tus"), col("event_id"),
+          col("n_touches"), r4(col("decay_sum")).as("decay_sum"))
+        .orderBy("user_id", "tus", "event_id")
+    }),
+
     // MAD outlier flags: per series, |x − median| > 3·MAD — the robust
     // outlier rule (the median pair the outliers can't drag, unlike
     // z-scores). Two exact grouped percentiles + joins all hashed on
@@ -814,6 +838,39 @@ object WindowQueries {
         |    ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 4) AS contrib
         |FROM j, t ORDER BY bucket"""),
     "lttb_downsample" -> lttbOracleSql(20),
+    "attribution" -> w(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |conv AS (SELECT * FROM e WHERE event_type IN ('purchase', 'signup')),
+        |touch AS (SELECT * FROM e WHERE event_type NOT IN ('purchase', 'signup')),
+        |j AS (
+        |  SELECT c.user_id, c.event_type, c.tus, c.event_id,
+        |    min(CASE WHEN t.user_id IS NOT NULL
+        |             THEN struct_pack(ts := t.tus, t := t.event_type) END) AS f,
+        |    max(CASE WHEN t.user_id IS NOT NULL
+        |             THEN struct_pack(ts := t.tus, t := t.event_type) END) AS l
+        |  FROM conv c LEFT JOIN touch t
+        |    ON t.user_id = c.user_id
+        |    AND t.tus >= c.tus - 21600000000 AND t.tus <= c.tus - 1
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, event_type, tus, event_id,
+        |  f.t AS first_touch, f.ts AS first_ts, l.t AS last_touch, l.ts AS last_ts
+        |FROM j ORDER BY user_id, tus, event_id"""),
+    "attribution_credit" -> w(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |conv AS (SELECT * FROM e WHERE event_type IN ('purchase', 'signup')),
+        |touch AS (SELECT * FROM e WHERE event_type NOT IN ('purchase', 'signup')),
+        |j AS (
+        |  SELECT c.user_id, c.event_type, c.tus, c.event_id,
+        |    count(t.tus) AS n_touches,
+        |    list(t.tus ORDER BY t.tus) FILTER (WHERE t.tus IS NOT NULL) AS tl
+        |  FROM conv c LEFT JOIN touch t
+        |    ON t.user_id = c.user_id
+        |    AND t.tus >= c.tus - 21600000000 AND t.tus <= c.tus - 1
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, event_type, tus, event_id, n_touches,
+        |  round(COALESCE(list_sum(list_transform(tl, x -> exp((x - tus) / 7200000000.0))), 0.0), 4)
+        |    AS decay_sum
+        |FROM j ORDER BY user_id, tus, event_id"""),
     "corpus_diff" -> w(
       """WITH old AS (SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 13 <> 0),
         |cur AS (SELECT doc_id AS id,

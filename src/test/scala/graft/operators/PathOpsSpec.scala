@@ -46,6 +46,29 @@ class PathOpsSpec extends SparkSpec {
       ("view>click>view>buy", 4L, 1L)))
   }
 
+  test("attribution: range-window endpoints, lookback cut, null when no touch") {
+    val ev2 = Seq(
+      // A: ad(10) email(20) buy(30) — both touches in a 15-unit lookback? cut = 30-15=15: email only for first AND last
+      ("A", 1L, "ad", 10L), ("A", 2L, "email", 20L), ("A", 3L, "buy", 30L),
+      // B: touch outside lookback -> nulls
+      ("B", 4L, "ad", 1L), ("B", 5L, "buy", 100L),
+      // C: two touches inside; first=ad(90), last=email(95);
+      // an EARLIER buy is not a touch
+      ("C", 6L, "buy", 80L), ("C", 7L, "ad", 90L), ("C", 8L, "email", 95L),
+      ("C", 9L, "buy", 100L)
+    ).toDF("u", "id", "t", "ts")
+    val out = PathOps.attribution(ev2, "u", "t", "ts", "id", Set("buy"), 15L)
+      .orderBy("u", "ts")
+      .select("u", "ts", "first_touch", "first_ts", "last_touch", "last_ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.get(2), r.get(3), r.get(4), r.get(5)))
+    assert(out.toSeq == Seq(
+      ("A", 30L, "email", 20L, "email", 20L), // ad(10) is outside [15, 29]
+      ("B", 100L, null, null, null, null),
+      ("C", 80L, null, null, null, null),
+      ("C", 100L, "ad", 90L, "email", 95L)))
+  }
+
   test("transitions: session-bounded pairs, per-from normalization") {
     val tr = PathOps.transitions(ev, "u", "t", "ts", "id", maxGap = 100L)
       .orderBy("from_type", "to_type")
