@@ -444,6 +444,38 @@ object TextOps {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Leet-speak fold for blocklist matching: the obfuscation
+    * substitutions a first-pass safety filter must see through
+    * (0→o, 1→i, 3→e, 4→a, 5→s, 7→t, $→s, @→a) applied to lowercased
+    * text — a char-for-char translate, so it stays a scan projection.
+    */
+  def leetFold(text: Column): Column =
+    translate(lower(text), "013457$@", "oieastsa")
+
+  /** Blocklisted-term hits in the leet-folded text: the standard
+    * wordlist screen (NSFW / toxicity / spam lists) every curation
+    * pipeline runs before the learned classifiers. Terms are folded
+    * the same way as the text (so "b1g" and "big" are one term),
+    * deduplicated and sorted into a single word-boundary alternation —
+    * one compiled regex pass per row in the Java∩RE2 subset, no
+    * shuffle, list size bounded by the wordlist (not the corpus).
+    * Returns the matched-occurrence array; `size(...)` is the hit
+    * count, emptiness the keep verdict.
+    */
+  def blocklistHits(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
+    val folded = terms.map(t =>
+        t.toLowerCase(java.util.Locale.ROOT).map {
+          case '0' => 'o'; case '1' => 'i'; case '3' => 'e'; case '4' => 'a'
+          case '5' => 's'; case '7' => 't'; case '$' => 's'; case '@' => 'a'
+          case c => c
+        }).distinct.sorted
+    require(folded.forall(_.matches("[a-z]+")),
+      s"blocklist terms must fold to plain words, got: ${folded.mkString(",")}")
+    val pat = "\\b(" + folded.mkString("|") + ")\\b"
+    call_function("regexp_extract_all", leetFold(text), lit(pat), lit(1))
+  }
+
   /** URL pattern in the same Java∩RE2 subset as the PII family:
     * scheme, host (with optional port), then path / query / fragment
     * runs bounded by whitespace-and-delimiter classes.

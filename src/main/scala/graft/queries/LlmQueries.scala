@@ -258,6 +258,18 @@ object LlmQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // Wordlist safety screen with leet folding ("b1g" ≡ "big"): the
+    // cheap first-pass filter before the learned classifiers. Flagged
+    // docs only, with their sorted distinct hit terms.
+    "blocklist_filter" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("hits",
+          TextOps.blocklistHits(col("text"), Seq("slow", "b1g", "vector")))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"), size(col("hits")).cast("long").as("n_hits"),
+          array_join(array_sort(array_distinct(col("hits"))), ",").as("terms"))
+        .orderBy("doc_id")),
+
     // Exact substring dedup (Lee et al. 2022 shape): OVERLAPPING
     // 12-token rolling windows (vs chunk_clean's aligned 8-token
     // chunks), keep-first across the corpus, overlapping hits merged
@@ -1470,6 +1482,14 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    "blocklist_filter" -> w(
+      """SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+        |  array_to_string(list_sort(list_distinct(hits)), ',') AS terms
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(translate(lower(text), '013457$@', 'oieastsa'),
+        |          '\b(big|slow|vector)\b', 1) AS hits
+        |      FROM documents)
+        |WHERE len(hits) > 0 ORDER BY doc_id"""),
     "substr_spans" -> (substrCte + w(
       """SELECT doc_id, count(*) AS n_spans,
         |  CAST(sum(me - ms + 1) AS BIGINT) AS dup_tokens

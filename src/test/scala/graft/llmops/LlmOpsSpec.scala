@@ -170,6 +170,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(cleaned.toSeq == Seq((0L, ""), (0L, "")))
   }
 
+  test("blocklist: leet folding on both sides, word boundaries, clean docs empty") {
+    val d = Seq(
+      (0L, "the b1g bad w0lf was very BIG"),   // b1g + BIG both fold to big
+      (1L, "bigger things are not matches"),   // boundary: 'bigger' must not hit
+      (2L, "a perfectly clean document")
+    ).toDF("doc_id", "text")
+    val hits = d.select(col("doc_id"),
+        TextOps.blocklistHits(col("text"), Seq("BIG", "b1g", "wolf")).as("h"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(hits(0)._2 == Seq("big", "wolf", "big")) // w0lf folds too; occurrence order
+    assert(hits(1)._2.isEmpty && hits(2)._2.isEmpty)
+    intercept[IllegalArgumentException] {
+      d.select(TextOps.blocklistHits(col("text"), Seq("two words")))
+    }
+  }
+
   test("substring spans: keep-first survives, later copies merge into maximal spans") {
     // run of 8 tokens duplicated across three docs at different offsets;
     // doc 0 holds the globally-first occurrence and must be untouched
