@@ -606,9 +606,19 @@ object DedupOps {
     * rewrite of the whole corpus.
     */
   def substringTrim(df: DataFrame, idCol: String, textCol: String,
-      w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
-    val spans = substringSpans(df, idCol, textCol, w, hashFn)
-      .localCheckpoint() // reused twice below; spans are the small side
+      w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame =
+    trimToSpans(df, idCol, textCol,
+      substringSpans(df, idCol, textCol, w, hashFn)
+        .localCheckpoint()) // reused twice below; spans are the small side
+
+  /** Apply a removable-span table (doc_id, ms, me — from
+    * [[substringSpans]] or a streaming probe) to its documents:
+    * affected docs come back trimmed, fully-covered docs vanish,
+    * untouched docs are not re-emitted. `spans` is read twice —
+    * callers persist/checkpoint it.
+    */
+  def trimToSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
     val toks = df
       .select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("arr"))

@@ -67,4 +67,37 @@ object StreamDedup {
       .select(col("new_id").as("_nd_id")).distinct()
     batch.join(doomed, batch(idCol) === col("_nd_id"), "left_anti")
   }
+
+  /** Exact-substring SCREEN for one micro-batch — the ingest-time form
+    * of [[graft.llmops.DedupOps.substringSpans]]: the persisted corpus
+    * is the keeper by definition (it was there first), so every
+    * incoming w-token window that collides with the corpus window
+    * index marks a removable span, spans merge per doc, and the batch
+    * comes back PATCHED — (doc_id, trimmed, kept_tokens) for touched
+    * docs, fully-covered docs dropped, novel docs passed through with
+    * their token count. `foreachBatch` appends the survivors' windows
+    * to the index, so a passage ingested in micro-batch N is screened
+    * from batch N+1 on — same index-grows-per-batch shape as
+    * [[nearDedupBatch]]. The batch side is micro-batch-bounded; the
+    * corpus index joins on 8-byte hash keys and is never reshuffled
+    * more than the equi-join requires.
+    */
+  def substrScreenBatch(batch: DataFrame, corpusWindows: DataFrame,
+      idCol: String, textCol: String, w: Int,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    import graft.llmops.DedupOps
+    val win = DedupOps.substringWindows(batch, idCol, textCol, w, hashFn)
+    val spans = win
+      .join(corpusWindows.select(col("h")).distinct(), Seq("h"))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + w - 1).as("e"))
+    val merged = DedupOps.mergeSpans(spans).localCheckpoint()
+    val trimmed = DedupOps.trimToSpans(batch, idCol, textCol, merged)
+    val untouched = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.normalize(col(textCol)).as("trimmed"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("kept_tokens"))
+      .join(merged.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    untouched.unionByName(trimmed)
+  }
 }

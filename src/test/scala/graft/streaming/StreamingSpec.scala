@@ -94,6 +94,59 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(2L)) // near-dup dropped, novel doc kept
   }
 
+  test("streaming substring screen: corpus passages cut at ingest, index grows per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llmops.DedupOps
+    val run = (1 to 10).map(i => s"c$i").mkString(" ")     // corpus passage
+    val fresh = (1 to 8).map(i => s"n$i").mkString(" ")    // novel passage
+    var idx = DedupOps.substringWindows(
+      Seq((1000L, s"$run old tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 4).select("h").localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    // batch 1: doc 1 embeds the corpus run (cut), doc 2 is novel (kept
+    // whole, and its windows join the index)
+    // batch 2: doc 3 repeats doc 2's passage -> screened by the GROWN index
+    mem.addData((1L, s"lead $run trail words"), (2L, s"$fresh alone"))
+    val out = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cp-substr").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val screened = StreamDedup.substrScreenBatch(batch, idx, "doc_id", "text", 4)
+          .localCheckpoint()
+        screened.select("doc_id", "trimmed", "kept_tokens")
+          .as[(Long, String, Long)].collect()
+          .foreach { case (id, t, n) => out(id) = (t, n) }
+        // the pipeline stage: survivors' windows append to the index
+        idx = idx.union(DedupOps.substringWindows(
+          screened.select(col("doc_id"), col("trimmed").as("text")),
+          "doc_id", "text", 4).select("h")).distinct().localCheckpoint()
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(out(1L) == (("lead trail words", 3L)))  // corpus run cut
+    assert(out(2L) == ((s"$fresh alone", 9L)))     // novel: untouched
+    // second pass with a fresh checkpoint replays docs 1-2 (idempotent
+    // against the grown index: doc 2 is now fully covered and drops,
+    // so its batch-1 value stands) and screens the new doc 3 — a dup
+    // of a passage ingested in the FIRST pass, cut by the grown index
+    mem.addData((3L, s"$fresh alone again"))
+    val q2 = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cp-substr2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamDedup.substrScreenBatch(batch, idx, "doc_id", "text", 4)
+          .select("doc_id", "trimmed", "kept_tokens")
+          .as[(Long, String, Long)].collect()
+          .foreach { case (id, t, n) => out(id) = (t, n) }
+        ()
+      }.start()
+    q2.awaitTermination(60000)
+    // doc 3's 4-token windows over the 9-token "fresh… alone" prefix
+    // are all indexed -> span [1, 9]; only "again" survives
+    assert(out(3L) == (("again", 1L)))
+  }
+
   test("curation ops run unchanged under structured streaming (stateless projections)") {
     // redactPii / qualityScore / langId / urlDomain are pure scan-stage
     // Column expressions — the same columns drive a readStream with no
