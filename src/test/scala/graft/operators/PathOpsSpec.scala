@@ -69,6 +69,31 @@ class PathOpsSpec extends SparkSpec {
       ("C", 100L, "ad", 90L, "email", 95L)))
   }
 
+  test("attribution endpoints match a brute-force reference on random streams") {
+    val rnd = new scala.util.Random(11)
+    val types = Vector("ad", "email", "push", "buy")
+    val ev2 = (1 to 400).map { i =>
+      (s"u${rnd.nextInt(12)}", i.toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(500).toLong)
+    }
+    val lb = 60L
+    val ref = ev2.filter(_._3 == "buy").map { case (u, id, _, ts) =>
+      val win = ev2.filter(e => e._1 == u && e._3 != "buy" &&
+        e._4 >= ts - lb && e._4 <= ts - 1)
+      val keys = win.map(e => (e._4, e._3)).sorted
+      (u, ts, id,
+        keys.headOption.map(_._2).orNull, keys.headOption.map(_._1),
+        keys.lastOption.map(_._2).orNull, keys.lastOption.map(_._1))
+    }.toSet
+    val got = PathOps.attribution(ev2.toDF("u", "id", "t", "ts"),
+        "u", "t", "ts", "id", Set("buy"), lb)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.get(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.get(6), Option(r.get(7)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got == ref)
+  }
+
   test("transitions: session-bounded pairs, per-from normalization") {
     val tr = PathOps.transitions(ev, "u", "t", "ts", "id", maxGap = 100L)
       .orderBy("from_type", "to_type")

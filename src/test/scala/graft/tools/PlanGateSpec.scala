@@ -181,6 +181,38 @@ class PlanGateSpec extends SparkSpec {
     assert(graft.tools.PlanGate.cartesianProducts(bi) == 0)
   }
 
+  test("round-13 op plans: LTTB one exchange, attribution no self-join, PSI broadcasts totals") {
+    import graft.queries.QueryUtil.events
+    import org.apache.spark.sql.functions._
+    val ev = events(spark, sfDir).withColumn("tus", expr("ts_ns div 1000"))
+
+    // LTTB: the series repartition is the ONLY exchange — selection is
+    // the mapPartitions walk, never a window sort or a second shuffle
+    val lt = graft.operators.Lttb.lttb(
+      ev.select("event_type", "tus", "event_id", "value"),
+      Seq("event_type"), "tus", "event_id", "value", 20)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(lt).size == 1, lt.take(800))
+    assert(!lt.contains("Window"), "LTTB must not plan a window sort")
+
+    // attribution: ONE window over the entity, zero joins of any kind
+    val at = graft.operators.PathOps.attribution(
+      ev, "user_id", "event_type", "tus", "event_id", Set("purchase"), 1000L)
+      .queryExecution.executedPlan.toString
+    assert(at.contains("Window"), at.take(800))
+    assert(!at.contains("Join"), "attribution must not self-join")
+
+    // PSI: snapshot totals ride as broadcast 1-row frames (planned as
+    // broadcast nested loops, never CartesianProduct — the all-gates
+    // sweep below pins that half), and the bucket join is a real join
+    val ps = graft.operators.DriftOps.categoricalDrift(
+      ev.filter(col("event_id") % 2 === 0).select("event_type"),
+      ev.filter(col("event_id") % 2 === 1).select("event_type"), "event_type")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ps).size == 2, ps.take(800))
+    assert(graft.tools.PlanGate.cartesianProducts(ps) == 0)
+  }
+
   test("every gate query plans without global windows or cartesian products") {
     // construction alone runs the two-pass transforms' first passes and
     // k-means training; sf0.001 keeps that cheap. Plan inspection only —
