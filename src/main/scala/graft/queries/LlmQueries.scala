@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llmops.{BpeOps, ClassifierOps, DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, VectorOps}
+import graft.llmops.{BpeOps, ClassifierOps, DedupOps, MultimodalOps, SampleOps, SimHashOps, TextOps, UnigramLm, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -257,6 +257,29 @@ object LlmQueries {
           length(col("clean_text")).cast("long").as("len_clean"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
+
+    // Unigram-LM subword tokenizer (SentencePiece family, Kudo 2018)
+    // trained by hard EM — candidate substrings, 2 Viterbi-E /
+    // add-one-M iterations, then every distinct word segmented under
+    // the final model. The oracle unrolls all THREE Viterbi passes as
+    // generated per-position DP CTEs.
+    "unigram_segment" -> ((s, dir) => {
+      val words = UnigramLm.wordCounts(documents(s, dir), "text").localCheckpoint()
+      val model = UnigramLm.train(words, topMulti = 30, iters = 2)
+      UnigramLm.segmentWords(words, model)
+        .select(col("w"), col("n"), col("pieces"),
+          col("n_pieces").cast("long").as("n_pieces"))
+        .orderBy("w")
+    }),
+
+    // The trained model itself: final token log-probs.
+    "unigram_vocab" -> ((s, dir) => {
+      val words = UnigramLm.wordCounts(documents(s, dir), "text").localCheckpoint()
+      val model = UnigramLm.train(words, topMulti = 30, iters = 2)
+      import s.implicits._
+      model.toDF("tok", "lp")
+        .select(col("tok"), r4(col("lp")).as("lp")).orderBy("tok")
+    }),
 
     // Wordlist safety screen with leet folding ("b1g" ≡ "big"): the
     // cheap first-pass filter before the learned classifiers. Flagged
@@ -1073,6 +1096,69 @@ object LlmQueries {
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($norm, ' ')"
 
+  /** Generated Viterbi DP for the unigram tokenizer oracle: pass `k`
+    * segments every distinct word under vocab CTE `vcte`, unrolled per
+    * character position (maxLen bounds the corpus's longest word; the
+    * WHERE len(w) >= i guard makes extra steps harmless). Best state
+    * per position = lexicographic struct max on (score, −j) — equal
+    * scores break toward the smaller predecessor (longer last token),
+    * exactly [[graft.llmops.UnigramLm.viterbi]]'s rule — with the
+    * piece path riding in the struct (no backtracking pass).
+    */
+  private def unigramViterbiSql(k: Int, vcte: String, maxLen: Int): String = {
+    val steps = (1 to maxLen).map { i =>
+      val js = (math.max(0, i - graft.llmops.UnigramLm.MaxTok) until i)
+        .map(j => s"SELECT * FROM p${k}_$j").mkString(" UNION ALL ")
+      w(s"""p${k}_$i AS (
+           |  SELECT q.w, q.n, $i AS i, q.m.s AS s, q.m.path AS path FROM (
+           |    SELECT pj.w, max(pj.n) AS n,
+           |      max(struct_pack(
+           |        s := pj.s + v.lp, negj := -pj.i,
+           |        path := CASE WHEN pj.path = '' THEN substring(pj.w, pj.i + 1, $i - pj.i)
+           |                     ELSE pj.path || ',' || substring(pj.w, pj.i + 1, $i - pj.i) END)) AS m
+           |    FROM ($js) pj
+           |    JOIN $vcte v ON v.tok = substring(pj.w, pj.i + 1, $i - pj.i)
+           |    WHERE len(pj.w) >= $i
+           |    GROUP BY pj.w) q)""")
+    }
+    val segsrc = (1 to maxLen).map(i => s"SELECT * FROM p${k}_$i").mkString(" UNION ALL ")
+    s"p${k}_0 AS (SELECT w, n, 0 AS i, 0.0 AS s, '' AS path FROM wrd),\n" +
+      steps.mkString(",\n") +
+      s",\nseg$k AS (SELECT w, n, path FROM ($segsrc) WHERE i = len(w))"
+  }
+
+  /** Shared prefix of the unigram oracle: word counts, weighted
+    * candidate substrings, the alphabet ∪ top-30 vocab, v0 init, and
+    * the 2 hard-EM iterations (Viterbi pass k → counts → v_k), ending
+    * with the final model v2 and the final segmentation seg3.
+    * MATERIALIZED keeps DuckDB from re-opening the parquet once per DP
+    * step. maxLen 8 covers the corpus (longest normalized word).
+    */
+  private def unigramCte: String = {
+    def m(k: Int): String = w(
+      s"""cnt$k AS (SELECT t AS tok, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT n, unnest(string_split(path, ',')) AS t FROM seg$k) GROUP BY 1),
+         |v$k AS MATERIALIZED (SELECT v.tok,
+         |    ln((COALESCE(c.c, 0) + 1) / ((SELECT CAST(sum(c) AS DOUBLE) FROM cnt$k) + (SELECT count(*) FROM vocab0))) AS lp
+         |  FROM v0 v LEFT JOIN cnt$k c ON v.tok = c.tok)""")
+    w(s"""WITH wrd AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents) GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT substring(w, i, l) AS tok, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT w, n, l, unnest(range(1, len(w) - l + 2)) AS i FROM (
+         |      SELECT w, n, unnest(range(1, least(${graft.llmops.UnigramLm.MaxTok}, len(w)) + 1)) AS l FROM wrd))
+         |  GROUP BY 1),
+         |vocab0 AS MATERIALIZED (
+         |  SELECT tok, c FROM cand WHERE len(tok) = 1
+         |  UNION ALL
+         |  SELECT tok, c FROM (SELECT tok, c FROM cand WHERE len(tok) > 1 ORDER BY c DESC, tok LIMIT 30)),
+         |v0 AS MATERIALIZED (SELECT tok, ln(c / (SELECT CAST(sum(c) AS DOUBLE) FROM vocab0)) AS lp FROM vocab0),""") +
+      "\n" + unigramViterbiSql(1, "v0", 8) + ",\n" + m(1) + ",\n" +
+      unigramViterbiSql(2, "v1", 8) + ",\n" + m(2) + ",\n" +
+      unigramViterbiSql(3, "v2", 8) + "\n"
+  }
+
   // Exact substring dedup: window length and the (doc, pos) encoding
   // cap — both must match DedupOps.{substringSpans,SpanPosCap}.
   private val SubstrW = 12
@@ -1482,6 +1568,12 @@ object LlmQueries {
          |bg AS (SELECT arr[i] || ' ' || arr[i+1] AS ngram
          |  FROM (SELECT arr, unnest(range(1, len(arr))) AS i FROM toks))
          |SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"""),
+    "unigram_segment" -> (unigramCte + w(
+      """SELECT w, n, path AS pieces,
+        |  CAST(len(string_split(path, ',')) AS BIGINT) AS n_pieces
+        |FROM seg3 ORDER BY w""")),
+    "unigram_vocab" -> (unigramCte +
+      "SELECT tok, round(lp, 4) AS lp FROM v2 ORDER BY tok"),
     "blocklist_filter" -> w(
       """SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
         |  array_to_string(list_sort(list_distinct(hits)), ',') AS terms

@@ -62,6 +62,10 @@ object PlanGate {
     // logistic-regression trainer: one (dim+1)-cell gradient vector
     // per iteration — model-sized, never corpus rows
     "llmops/ClassifierOps.scala" -> 1,
+    // unigram-LM tokenizer trainer: the (alphabet + topMulti)-cell
+    // vocab at init and the V-cell token-count vector per EM
+    // iteration — model-sized, like the LR gradient
+    "llmops/UnigramLm.scala" -> 2,
     // mutation-versioned key + field-type caches, plus the z-order
     // compaction's series-rank table — all field/series-count-scale
     "store/BucketStore.scala" -> 3
