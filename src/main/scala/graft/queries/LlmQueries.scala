@@ -272,6 +272,24 @@ object LlmQueries {
         .orderBy("w")
     }),
 
+    // The trained tokenizer APPLIED corpus-wide: per-source fertility
+    // (subword pieces per word — the metric tokenizers are judged by).
+    // Doc tokens join the distinct-word segmentation table: the corpus
+    // never re-runs Viterbi, it joins the 31-row model output.
+    "unigram_fertility" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val words = UnigramLm.wordCounts(d, "text").localCheckpoint()
+      val model = UnigramLm.train(words, topMulti = 30, iters = 2)
+      val seg = UnigramLm.segmentWords(words, model)
+        .select(col("w"), col("n_pieces").cast("long").as("np"))
+      d.select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .join(seg, Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          r4(sum(col("np")) / count(lit(1))).as("fertility"))
+        .orderBy("source")
+    }),
+
     // The trained model itself: final token log-probs.
     "unigram_vocab" -> ((s, dir) => {
       val words = UnigramLm.wordCounts(documents(s, dir), "text").localCheckpoint()
@@ -1574,6 +1592,13 @@ object LlmQueries {
         |FROM seg3 ORDER BY w""")),
     "unigram_vocab" -> (unigramCte +
       "SELECT tok, round(lp, 4) AS lp FROM v2 ORDER BY tok"),
+    "unigram_fertility" -> (unigramCte + w(
+      s""", segn AS (SELECT w, CAST(len(string_split(path, ',')) AS BIGINT) AS np FROM seg3),
+         |tok AS (SELECT source, unnest($toksSql) AS w FROM documents)
+         |SELECT source, count(*) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(np) AS DOUBLE) / count(*), 4) AS fertility
+         |FROM tok JOIN segn USING (w)
+         |GROUP BY 1 ORDER BY 1""")),
     "blocklist_filter" -> w(
       """SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
         |  array_to_string(list_sort(list_distinct(hits)), ',') AS terms
