@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.FluxQueries.queries ++
       graft.queries.InfluxQlQueries.queries ++
       graft.queries.SetOpQueries.queries ++
+      graft.queries.MiningQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   /** Entries that exercise the streaming machinery end-to-end: part of
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.FluxQueries.oracle ++
       graft.queries.InfluxQlQueries.oracle ++
       graft.queries.SetOpQueries.oracle ++
+      graft.queries.MiningQueries.oracle ++
       graft.queries.StreamingQueries.oracle
 }

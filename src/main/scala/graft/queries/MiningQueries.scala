@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SeriesMiningOps
+
+/** Series-mining gates: ACF, lagged cross-correlation, SAX words,
+  * least-squares forecast, binary-segmentation changepoints, Tukey
+  * outliers, and the 2-D dashboard heatmap — the
+  * monitoring/forecasting layer over the events table.
+  *
+  * Oracle discipline (see SeriesMiningOps): every statistic is built
+  * from grid-exact or integer-exact sums, and each FP division /
+  * sqrt is written with the SAME expression shape on both sides, so
+  * the round(4) hash compare is deterministic. The changepoint gate
+  * additionally quantizes the hourly series to integer cents
+  * (round(sum·100)) — the FP sum sits ~1e-10 from the true integer,
+  * never near the rounding cliff, so both engines quantize to the
+  * same exact longs and the per-series argmin is bit-deterministic.
+  */
+object MiningQueries {
+  import QueryUtil._
+
+  /** Hourly rollup per event_type: integer hour index (µs div 3600e6)
+    * + grid-exact hourly sum — the shared input of the mining gates.
+    */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("h", expr("(ts_ns div 1000) div 3600000000"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(sum(col("value")).as("hv"))
+
+  /** hourly + 0-based per-series position (rank of hour). */
+  private def hourlyPos(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+    hourly(s, dir).withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Autocorrelation at lags 1..10 per event_type on the raw series
+    // (total (ts_us, event_id) order).
+    "acf_lags" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      SeriesMiningOps.acf(e, Seq("event_type"), Seq("ts_us", "event_id"),
+          "value", maxLag = 10)
+        .select(col("event_type"), col("lag").cast("long").as("lag"),
+          r4(col("acf")).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Cross-correlation of hourly click vs purchase volume at lags
+    // −6..+6 h: does click activity lead purchases?
+    "ccf_lag" -> ((s, dir) => {
+      val hv = hourly(s, dir)
+      val x = hv.where(col("event_type") === "click").select(col("h"), col("hv"))
+      val y = hv.where(col("event_type") === "purchase").select(col("h"), col("hv"))
+      SeriesMiningOps.crossCorrelation(x, y, "h", "hv", (-6 to 6).toSeq)
+        .select(col("lag"), col("m"), r4(col("ccf")).as("ccf"))
+        .orderBy("lag")
+    }),
+
+    // SAX word: 16-segment PAA over the z-normalized hourly series,
+    // 4-letter alphabet at the N(0,1) equiprobable breakpoints.
+    "sax_symbols" -> ((s, dir) =>
+      SeriesMiningOps.sax(hourlyPos(s, dir), Seq("event_type"), "pos", "hv",
+          segments = 16)
+        .select(col("event_type"), col("segment"), r4(col("paa")).as("paa"),
+          col("symbol"))
+        .orderBy("event_type", "segment")),
+
+    // Least-squares hourly trend + 6-hour-ahead forecast per type.
+    "forecast_linear" -> ((s, dir) =>
+      SeriesMiningOps.linearForecast(hourly(s, dir), Seq("event_type"), "h",
+          "hv", horizon = 6)
+        .select(col("event_type"), col("step"), r4(col("slope")).as("slope"),
+          r4(col("intercept")).as("intercept"), r4(col("yhat")).as("yhat"))
+        .orderBy("event_type", "step")),
+
+    // Depth-2 binary-segmentation changepoints over the integer-cent
+    // hourly series: the best global split, then the best split in
+    // each half. Costs reported in value² units (cents²/10⁸).
+    "changepoints" -> ((s, dir) => {
+      val q = hourlyPos(s, dir)
+        .withColumn("yc", round(col("hv") * 100).cast("long"))
+      SeriesMiningOps.changepoints(q, Seq("event_type"), "pos", "yc")
+        .select(col("event_type"), col("depth"), col("t"),
+          r4(col("cost") / 1.0e8).as("cost"))
+        .orderBy("event_type", "depth", "t")
+    }),
+
+    // Tukey-fence outlier summary per event_type.
+    "outlier_iqr" -> ((s, dir) =>
+      SeriesMiningOps.iqrOutliers(events(s, dir), Seq("event_type"), "value")
+        .select(col("event_type"), col("n"), col("n_low"), col("n_high"),
+          r4(col("lo")).as("lo"), r4(col("hi")).as("hi"))
+        .orderBy("event_type")),
+
+    // Dashboard heatmap: hour-of-day × value-bin occupancy counts.
+    "heatmap_2d" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hr"),
+          floor(col("value") / 25.0).cast("long").as("vbin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hr", "vbin"))
+  )
+
+  private def w(s: String) = s.stripMargin
+
+  // Shared oracle CTE: hourly sums per type (grid-exact doubles).
+  private val hourlySql =
+    """hv AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      |         sum(value) AS v FROM events GROUP BY 1, 2)"""
+
+  val oracle: Map[String, String] = Map(
+
+    "acf_lags" -> w(
+      """WITH ord AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), lags AS (SELECT CAST(k AS BIGINT) AS lag FROM generate_series(1, 10) t(k)),
+        |pairs AS (
+        |  SELECT o.event_type, l.lag, o.value AS v, p.value AS pv
+        |  FROM ord o JOIN lags l ON true
+        |  JOIN ord p ON p.event_type = o.event_type AND p.rn = o.rn - l.lag
+        |), cr AS (
+        |  SELECT event_type, lag, sum(v * pv) AS sxy, sum(v) AS sv,
+        |    sum(pv) AS spv, count(*) AS m
+        |  FROM pairs GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS s1,
+        |    sum(value * value) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT c.event_type, c.lag,
+        |  round((sxy - (s1 / n) * (sv + spv) + m * (s1 / n) * (s1 / n))
+        |    / (s2 - s1 * s1 / n), 4) AS acf
+        |FROM cr c JOIN st s ON c.event_type = s.event_type
+        |ORDER BY 1, 2"""),
+
+    "ccf_lag" -> w(
+      """WITH x AS (SELECT epoch_us(ts) // 3600000000 AS i, sum(value) AS xv
+        |           FROM events WHERE event_type = 'click' GROUP BY 1),
+        |y AS (SELECT epoch_us(ts) // 3600000000 AS j, sum(value) AS yv
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |lags AS (SELECT CAST(k AS BIGINT) AS lag FROM generate_series(-6, 6) t(k)),
+        |p AS (SELECT lag, xv, yv FROM x JOIN lags ON true
+        |      JOIN y ON j = i + lag),
+        |a AS (SELECT lag, count(*) AS m, sum(xv) AS sx, sum(yv) AS sy,
+        |        sum(xv * yv) AS sxy, sum(xv * xv) AS sxx, sum(yv * yv) AS syy
+        |      FROM p GROUP BY 1)
+        |SELECT lag, m,
+        |  round((m * sxy - sx * sy)
+        |    / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS ccf
+        |FROM a ORDER BY lag"""),
+
+    "sax_symbols" -> w(
+      s"""WITH $hourlySql,
+        |pos AS (SELECT event_type, v,
+        |          row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS p
+        |        FROM hv),
+        |st AS (SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+        |       FROM hv GROUP BY 1),
+        |seg AS (
+        |  SELECT p.event_type, CAST(floor(p.p * 16 / s.n) AS BIGINT) AS segment,
+        |    sum(p.v) AS ss, count(*) AS len,
+        |    any_value(s.s1) AS s1, any_value(s.s2) AS s2, any_value(s.n) AS n
+        |  FROM pos p JOIN st s ON p.event_type = s.event_type
+        |  GROUP BY 1, 2
+        |), paa AS (
+        |  SELECT event_type, segment,
+        |    (ss / len - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) AS paa
+        |  FROM seg)
+        |SELECT event_type, segment, round(paa, 4) AS paa,
+        |  CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+        |       WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM paa ORDER BY 1, 2"""),
+
+    "forecast_linear" -> w(
+      s"""WITH $hourlySql,
+        |mins AS (SELECT event_type, min(h) AS minx FROM hv GROUP BY 1),
+        |based AS (SELECT hv.event_type, CAST(h - minx AS BIGINT) AS x, v
+        |          FROM hv JOIN mins ON hv.event_type = mins.event_type),
+        |fit AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(v) AS sy, sum(x * v) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, max(x) AS maxx
+        |  FROM based GROUP BY 1
+        |), co AS (
+        |  SELECT event_type, n, sx, sy, maxx,
+        |    (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM fit
+        |), li AS (
+        |  SELECT event_type, maxx, slope, (sy - slope * sx) / n AS intercept
+        |  FROM co)
+        |SELECT event_type, CAST(step AS BIGINT) AS step, round(slope, 4) AS slope,
+        |  round(intercept, 4) AS intercept,
+        |  round(intercept + slope * (maxx + step), 4) AS yhat
+        |FROM li JOIN generate_series(1, 6) g(step) ON true
+        |ORDER BY 1, 2"""),
+
+    "changepoints" -> w(
+      """WITH hq AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(round(sum(value) * 100) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT event_type, y, row_number() OVER w - 1 AS p,
+        |    CAST(sum(y) OVER w AS BIGINT) AS c1,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS c2
+        |  FROM hq WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING)
+        |), tot AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s1,
+        |    CAST(sum(y * y) AS BIGINT) AS s2
+        |  FROM hq GROUP BY 1
+        |), cost1 AS (
+        |  SELECT p.event_type, p.p + 1 AS t, c1, c2, n, s1, s2,
+        |    (c2 - (c1 * c1) / CAST(p.p + 1 AS DOUBLE))
+        |      + ((s2 - c2) - ((s1 - c1) * (s1 - c1)) / CAST(n - (p.p + 1) AS DOUBLE)) AS cost
+        |  FROM pre p JOIN tot USING (event_type) WHERE p.p + 1 < n
+        |), sp1 AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER
+        |      (PARTITION BY event_type ORDER BY cost, t) AS rk FROM cost1)
+        |  WHERE rk = 1
+        |), segs AS (
+        |  SELECT event_type, CAST(0 AS BIGINT) AS a, t AS b,
+        |    CAST(0 AS BIGINT) AS c1a, CAST(0 AS BIGINT) AS c2a,
+        |    c1 AS c1b, c2 AS c2b
+        |  FROM sp1
+        |  UNION ALL
+        |  SELECT event_type, t AS a, n AS b, c1 AS c1a, c2 AS c2a,
+        |    s1 AS c1b, s2 AS c2b
+        |  FROM sp1
+        |), cost2 AS (
+        |  SELECT p.event_type, g.a, p.p + 1 AS t,
+        |    ((p.c2 - g.c2a) - ((p.c1 - g.c1a) * (p.c1 - g.c1a)) / CAST(p.p + 1 - g.a AS DOUBLE))
+        |      + ((g.c2b - p.c2) - ((g.c1b - p.c1) * (g.c1b - p.c1)) / CAST(g.b - (p.p + 1) AS DOUBLE)) AS cost
+        |  FROM pre p JOIN segs g ON p.event_type = g.event_type
+        |  WHERE p.p + 1 > g.a AND p.p + 1 < g.b
+        |), sp2 AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER
+        |      (PARTITION BY event_type, a ORDER BY cost, t) AS rk FROM cost2)
+        |  WHERE rk = 1)
+        |SELECT event_type, CAST(1 AS BIGINT) AS depth, t, round(cost / 1e8, 4) AS cost
+        |FROM sp1
+        |UNION ALL
+        |SELECT event_type, CAST(2 AS BIGINT) AS depth, t, round(cost / 1e8, 4) AS cost
+        |FROM sp2
+        |ORDER BY 1, 2, 3"""),
+
+    "outlier_iqr" -> w(
+      """WITH q AS (
+        |  SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM q)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(any_value(lo), 4) AS lo, round(any_value(hi), 4) AS hi
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY 1 ORDER BY 1"""),
+
+    "heatmap_2d" -> w(
+      """SELECT CAST(date_part('hour', ts) AS BIGINT) AS hr,
+        |  CAST(floor(value / 25.0) AS BIGINT) AS vbin, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic checks for SeriesMiningOps against hand-computable
+  * fixtures (the DuckDB hash gates cover the events-table scale; here
+  * we pin the math on series small enough to verify by hand).
+  */
+class SeriesMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("acf of a constant-increment ramp matches the closed form") {
+    // v = 0..9: acf(k) = sum((v_t-mu)(v_{t-k}-mu)) / sum((v-mu)^2),
+    // computable directly; cross-check the operator's exact-sum form.
+    val n = 10
+    val vs = (0 until n).map(_.toDouble)
+    val df = vs.zipWithIndex.map { case (v, i) => ("s", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val got = SeriesMiningOps.acf(df, Seq("k"), Seq("t"), "v", maxLag = 3)
+      .orderBy("lag").select("lag", "acf").as[(Int, Double)].collect()
+    val mu = vs.sum / n
+    val denom = vs.map(v => (v - mu) * (v - mu)).sum
+    for (k <- 1 to 3) {
+      val numer = (k until n).map(t => (vs(t) - mu) * (vs(t - k) - mu)).sum
+      assert(math.abs(got(k - 1)._2 - numer / denom) < 1e-9,
+        s"acf($k): got ${got(k - 1)._2}, want ${numer / denom}")
+    }
+    // Ramp autocorrelation decays with lag but stays positive.
+    assert(got.map(_._2).sliding(2).forall(p => p(0) > p(1)) && got.last._2 > 0)
+  }
+
+  test("crossCorrelation finds the planted lag") {
+    // y is x shifted by +2 steps: ccf peaks (exactly 1.0) at lag 2.
+    val xs = (0 until 50).map(i => (i.toLong, math.sin(i * 0.7) * 10))
+    val x = xs.toDF("i", "v")
+    val y = xs.map { case (i, v) => (i + 2, v) }.toDF("i", "v")
+    val got = SeriesMiningOps.crossCorrelation(x, y, "i", "v", Seq(-2, 0, 2, 4))
+      .select("lag", "ccf").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(2L) - 1.0) < 1e-9, s"planted lag: ${got(2L)}")
+    // A sinusoid's ccf is itself sinusoidal (≈cos(0.7·(L−2))): other
+    // lags stay strictly below the perfect-alignment peak.
+    assert(got.filterNot(_._1 == 2L).values.forall(_ < 1.0 - 1e-6))
+  }
+
+  test("sax maps a two-level series to the extreme symbols") {
+    // First half at -1, second half at +1 (after z-norm): segments of
+    // the low half are all 'a'..'b' region, high half 'c'..'d'.
+    val df = (0 until 64).map(i => ("s", i.toLong, if (i < 32) 0.0 else 10.0))
+      .toDF("k", "p", "v")
+    val rows = SeriesMiningOps.sax(df, Seq("k"), "p", "v", segments = 8)
+      .orderBy("segment").select("symbol", "paa").as[(String, Double)].collect()
+    assert(rows.length == 8)
+    assert(rows.take(4).forall(_._1 == "a"), rows.mkString(","))
+    assert(rows.drop(4).forall(_._1 == "d"), rows.mkString(","))
+    // z-scores of a ±1 two-level series are exactly ∓1.
+    rows.foreach { case (_, paa) => assert(math.abs(math.abs(paa) - 1.0) < 1e-9) }
+  }
+
+  test("linearForecast recovers an exact linear trend") {
+    val df = (0 until 20).map(i => ("s", (100 + i).toLong, 3.0 * i + 7.0))
+      .toDF("k", "h", "v")
+    val rows = SeriesMiningOps.linearForecast(df, Seq("k"), "h", "v", horizon = 3)
+      .orderBy("step").select("step", "slope", "intercept", "yhat")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (s, slope, icept, yhat) =>
+      assert(math.abs(slope - 3.0) < 1e-9)
+      assert(math.abs(icept - 7.0) < 1e-9)
+      assert(math.abs(yhat - (3.0 * (19 + s) + 7.0)) < 1e-9)
+    }
+  }
+
+  test("changepoints finds planted level shifts at depth 1 and 2") {
+    // 0..29 at level 0, 30..59 at 100, 60..89 at 200: the global best
+    // split is one of the two shift points, and depth 2 finds the other.
+    val df = (0 until 90).map { i =>
+      ("s", i.toLong, if (i < 30) 0L else if (i < 60) 100L else 200L)
+    }.toDF("k", "p", "v")
+    val rows = SeriesMiningOps.changepoints(df, Seq("k"), "p", "v")
+      .select("depth", "t", "cost").as[(Long, Long, Double)].collect()
+    val ts = rows.map(_._2).toSet
+    assert(ts.contains(30L) && ts.contains(60L), s"splits: ${rows.mkString(",")}")
+    // Depth-1 split on piecewise-constant data has zero within-segment
+    // variance on one side; total cost strictly decreases with depth.
+    val d1 = rows.find(_._1 == 1L).get
+    assert(rows.filter(_._1 == 2L).forall(_._3 <= d1._3 + 1e-9))
+  }
+
+  test("changepoints argmin tie-break is the smallest t") {
+    // A flat series: every split has identical (zero) cost; the
+    // deterministic contract picks t = 1 everywhere.
+    val df = (0 until 10).map(i => ("s", i.toLong, 5L)).toDF("k", "p", "v")
+    val d1 = SeriesMiningOps.changepoints(df, Seq("k"), "p", "v")
+      .where(col("depth") === 1).select("t").as[Long].head()
+    assert(d1 == 1L)
+  }
+
+  test("iqrOutliers flags exactly the planted extremes") {
+    val base = (1 to 100).map(_.toDouble) // q1=25.75, q3=75.25, iqr=49.5
+    val data = base ++ Seq(-100.0, 500.0, 501.0)
+    val df = data.map(("s", _)).toDF("k", "v")
+    val r = SeriesMiningOps.iqrOutliers(df, Seq("k"), "v")
+      .select("n", "n_low", "n_high", "lo", "hi")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 103 && r._2 >= 1 && r._3 >= 2)
+    assert(r._4 < 1.0 && r._5 > 100.0 && r._5 < 500.0)
+  }
+}
