@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.SeriesMiningOps
+import graft.operators.{GraphOps, PathOps, SeriesMiningOps}
 
 /** Series-mining gates: ACF, lagged cross-correlation, SAX words,
   * least-squares forecast, binary-segmentation changepoints, Tukey
@@ -104,7 +104,18 @@ object MiningQueries {
         .groupBy(hour(col("ts")).cast("long").as("hr"),
           floor(col("value") / 25.0).cast("long").as("vbin"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("hr", "vbin"))
+        .orderBy("hr", "vbin")),
+
+    // PageRank over the session-transition graph: which event type
+    // accumulates visit mass under the 6h-gap session Markov chain.
+    "pagerank_types" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      val tr = PathOps.transitions(e, "user_id", "event_type", "ts_us",
+        "event_id", maxGap = 21600000000L)
+      GraphOps.pagerank(tr, "from_type", "to_type", "n", d = 0.85, iters = 5)
+        .select(col("node"), r4(col("r")).as("rank"))
+        .orderBy("node")
+    })
   )
 
   private def w(s: String) = s.stripMargin
@@ -270,6 +281,53 @@ object MiningQueries {
     "heatmap_2d" -> w(
       """SELECT CAST(date_part('hour', ts) AS BIGINT) AS hr,
         |  CAST(floor(value / 25.0) AS BIGINT) AS vbin, count(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "pagerank_types" -> pagerankOracleSql(5)
   )
+
+  /** Unrolled power-iteration oracle: the session-transition edge
+    * build (the markov_transitions CTE chain) followed by `iters`
+    * chained (dangling, incoming, rank) CTE triples. Constants are
+    * spelled `(1.0 - 0.85)` / `0.85` so both engines run the same
+    * IEEE ops (see GraphOps).
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r${k - 1}
+        |  WHERE node NOT IN (SELECT src FROM ow)),
+        |i$k AS (SELECT e.dst AS node, sum(r.r * e.w / ow.wout) AS s
+        |  FROM e JOIN r${k - 1} r ON e.src = r.node
+        |  JOIN ow ON e.src = ow.src GROUP BY 1),
+        |r$k AS (SELECT n.node,
+        |  (1.0 - 0.85) / nn.n + 0.85 * (coalesce(i.s, 0.0) + dd.dm / nn.n) AS r
+        |  FROM nodes n CROSS JOIN nn CROSS JOIN d$k dd
+        |  LEFT JOIN i$k i ON n.node = i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), s AS (
+      |  SELECT user_id, event_id, event_type, tus,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+      |  FROM g
+      |), tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id, session ORDER BY tus, event_id) AS to_type
+      |  FROM s
+      |), e AS MATERIALIZED (
+      |  SELECT from_type AS src, to_type AS dst, CAST(count(*) AS DOUBLE) AS w
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |), nodes AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+      |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS MATERIALIZED (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+      |$steps
+      |SELECT node, round(r, 4) AS rank FROM r$iters ORDER BY node""".stripMargin
+  }
 }
