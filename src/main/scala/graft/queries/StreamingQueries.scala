@@ -431,6 +431,51 @@ object StreamingQueries {
         .select(col("wstart"), col("pos"),
           col("e.item").as("item"), col("e.cnt").as("cnt"))
         .orderBy("wstart", "pos")
+    }),
+
+    // STREAM-STREAM interval join: purchases arriving on one stream
+    // joined to the same user's clicks on another within a 1-hour
+    // lookback — Spark's watermarked symmetric-hash join, the shape
+    // behind "what did the user click just before buying" attribution
+    // at ingest time. Both sides keep bounded state (watermark +
+    // range condition bound how long a click must be retained); an
+    // INNER join emits each pair exactly once as it matches, so after
+    // processAllAvailable the memory sink holds exactly the batch
+    // join's rows and the oracle is the plain DuckDB interval join.
+    "stream_join" -> ((s, dir) => {
+      val ev0 = events(s, dir).select("event_id", "user_id", "event_type", "ts")
+      val pDir = Files.createTempDirectory("graft-sjoin-p").toString
+      val cDir = Files.createTempDirectory("graft-sjoin-c").toString
+      ev0.filter(col("event_type") === "purchase")
+        .repartition(4).write.mode("overwrite").parquet(pDir)
+      ev0.filter(col("event_type") === "click")
+        .repartition(4).write.mode("overwrite").parquet(cDir)
+      val schema = ev0.schema
+
+      val p = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+        .parquet(pDir)
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "90 days")
+      val c = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+        .parquet(cDir)
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "90 days")
+
+      val qn = "graft_sjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = p.join(c, expr(
+          "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sjoin-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn)
+        .select(col("p_id"), col("c_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
+        .orderBy("p_id", "c_id")
     })
   )
 
@@ -443,6 +488,17 @@ object StreamingQueries {
     "stream_psi" -> WindowQueries.oracle("psi_drift"),
     // the live funnel must land exactly on the batch answer
     "stream_funnel" -> WindowQueries.oracle("funnel_steps"),
+    // the stream-stream join must emit exactly the batch interval
+    // join's pairs (inner join emits each match once; nothing is
+    // watermark-dropped at 90-day lateness)
+    "stream_join" -> w(
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS dt_us
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY 1, 2"""),
     // streaming MAD: med interpolated (as anomaly_mad), mad replayed
     // with the KLL exact-mode rank arithmetic (ceil(q·n)-th smallest)
     "stream_mad" -> w(
