@@ -854,6 +854,37 @@ object LlmQueries {
       }).reduce(_ unionAll _).orderBy("method", "k")
     }),
 
+    // Rank-quality metrics beyond recall: MRR and NDCG@10 against the
+    // brute-force truth (binary relevance = membership in the true
+    // top-3) for the three training-free compressed serving paths.
+    // NDCG uses the natural-log discount — the DCG/IDCG ratio is
+    // log-base-invariant, and ln avoids pairing two engines' log2
+    // implementations. Truth is 15 rows, localCheckpointed once.
+    "retrieval_metrics" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding").persist()
+      val q = e.filter(col("id") < 5)
+      val brute = VectorOps.bruteForceTopK(e, q, 3).select("qid", "nbr")
+        .withColumn("rel", lit(1.0)).localCheckpoint()
+      val idcg = lit(1.0) / log(lit(2.0)) + lit(1.0) / log(lit(3.0)) +
+        lit(1.0) / log(lit(4.0))
+      Seq(
+        "binary" -> VectorOps.binaryTopK(e, q, 10, 30, 64),
+        "int8" -> VectorOps.int8TopK(e, q, 10),
+        "lsh" -> VectorOps.lshTopK(e, q, 10, 4, 64))
+        .map { case (name, df) =>
+          df.filter(col("rank") <= 10)
+            .join(brute, Seq("qid", "nbr"), "left")
+            .na.fill(0.0, Seq("rel"))
+            .groupBy("qid")
+            .agg(sum(col("rel") / log(col("rank") + lit(1.0))).as("dcg"),
+              max(when(col("rel") === 1.0, lit(1.0) / col("rank"))
+                .otherwise(lit(0.0))).as("rr"))
+            .agg(avg(col("rr")).as("a_rr"), avg(col("dcg") / idcg).as("a_ndcg"))
+            .select(lit(name).as("method"), r4(col("a_rr")).as("mrr"),
+              r4(col("a_ndcg")).as("ndcg"))
+        }.reduce(_ unionAll _).orderBy("method")
+    }),
+
     // Embedding near-dup: all pairs with cosine >= 0.45.
     "cos_threshold" -> ((s, dir) => {
       val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
@@ -2743,6 +2774,36 @@ object LlmQueries {
        |top AS (SELECT * FROM fus ORDER BY score DESC, id LIMIT 10)
        |SELECT id, round(score, 4) AS score FROM top ORDER BY id""")
 
+  /** retrieval_metrics oracle: same nesting trick as [[annRecallSql]]
+    * (each method chain reused verbatim, cap widened 3→10), binary
+    * relevance from the brute top-3, MRR = mean reciprocal first-hit
+    * rank, NDCG@10 with the ln discount (base-invariant in the
+    * DCG/IDCG ratio, so both engines run plain `ln`).
+    */
+  private val retrievalMetricsSql: String = {
+    val cap = "WHERE rank <= 3 ORDER BY qid, rank"
+    def widen10(name: String): String = {
+      val sql = oracleCore(name)
+      require(sql.trim.endsWith(cap), s"$name oracle no longer ends with '$cap'")
+      s"(SELECT qid, nbr, rank FROM (${sql.replace(cap, "WHERE rank <= 10 ORDER BY qid, rank")}))"
+    }
+    w(s"""WITH brute AS (SELECT qid, nbr FROM (${oracleCore("ann_brute")})),
+         |sel AS (
+         |  SELECT 'binary' AS method, qid, nbr, rank FROM ${widen10("ann_binary")} UNION ALL
+         |  SELECT 'int8', qid, nbr, rank FROM ${widen10("ann_int8")} UNION ALL
+         |  SELECT 'lsh', qid, nbr, rank FROM ${widen10("ann_lsh")}),
+         |j AS (SELECT s.method, s.qid, s.rank,
+         |    CASE WHEN b.nbr IS NULL THEN 0.0 ELSE 1.0 END AS rel
+         |  FROM sel s LEFT JOIN brute b ON b.qid = s.qid AND b.nbr = s.nbr),
+         |per AS (SELECT method, qid, sum(rel / ln(rank + 1.0)) AS dcg,
+         |    max(CASE WHEN rel = 1.0 THEN 1.0 / rank ELSE 0.0 END) AS rr
+         |  FROM j GROUP BY 1, 2)
+         |SELECT method, round(avg(rr), 4) AS mrr,
+         |  round(avg(dcg / (1.0 / ln(2.0) + 1.0 / ln(3.0) + 1.0 / ln(4.0))), 4) AS ndcg
+         |FROM per GROUP BY 1 ORDER BY 1""")
+  }
+
   val oracle: Map[String, String] =
-    oracleCore + ("ann_recall" -> annRecallSql, "hybrid_rrf" -> hybridRrfSql)
+    oracleCore + ("ann_recall" -> annRecallSql, "hybrid_rrf" -> hybridRrfSql,
+      "retrieval_metrics" -> retrievalMetricsSql)
 }
