@@ -635,6 +635,59 @@ object TextOps {
         lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    * smoothing KenLM defaults to) — the step up from [[bigramNll]]'s
+    * λ-interpolation: absolute discounting of the bigram estimate,
+    * with the freed mass backed off to the CONTINUATION probability
+    * (in how many distinct contexts does w appear) rather than raw
+    * unigram frequency:
+    *
+    *   P(w|p) = max(c(p,w) − D, 0)/c(p·)
+    *          + D·N₁₊(p·)/c(p·) · N₁₊(·w)/|bigram types|
+    *
+    * Train = score corpus (as bigramNll), so every scored bigram has
+    * c(p,w) ≥ 1 and the probability is always positive. Scale shape is
+    * identical to bigramNll: the bigram/context model tables stay
+    * JOINED on their own aggregation keys (vocabulary²-sized — never a
+    * broadcast), only the continuation-type table (vocabulary-sized)
+    * and the scalar type count broadcast. Per-document folds are
+    * (p, w)-ordered for cross-engine FP determinism.
+    * Returns (id, n_bi, nll).
+    */
+  def kneserNeyNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val pairs = toks.select(col("id"), explode(zip_with(
+      slice(col("arr"), lit(1), size(col("arr")) - 1),
+      slice(col("arr"), lit(2), size(col("arr")) - 1),
+      (p, w) => struct(p.as("p"), w.as("w")))).as("b"))
+      .select(col("id"), col("b.p").as("p"), col("b.w").as("w"))
+    val dbf = pairs.groupBy("id", "p", "w")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val bc = dbf.groupBy("p", "w").agg(sum("cnt").as("bcnt"))
+    // context totals AND N₁₊(p·) = distinct continuations of p
+    val pc = bc.groupBy("p").agg(sum("bcnt").as("pcnt"),
+      count(lit(1)).cast("double").as("ntypes"))
+    // continuation counts N₁₊(·w) = distinct predecessors of w
+    val cont = bc.groupBy("w").agg(count(lit(1)).cast("double").as("nprec"))
+    val tt = bc.agg(count(lit(1)).cast("double").as("tb"))
+    val per = dbf
+      .join(bc, Seq("p", "w"))
+      .join(pc, Seq("p"))
+      .join(broadcast(cont), Seq("w"))
+      .crossJoin(broadcast(tt))
+      .withColumn("s", col("cnt") * -log(
+        greatest(col("bcnt") - lit(discount), lit(0.0)) / col("pcnt") +
+          lit(discount) * col("ntypes") / col("pcnt") * (col("nprec") / col("tb"))))
+    per.groupBy("id").agg(
+      sum(col("cnt")).cast("long").as("n_bi"),
+      (aggregate(
+        array_sort(collect_list(struct(col("p"), col("w"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
+  }
+
   /** Duplicate-passage REMOVAL (the C4/CCNet cleanup step itself, not
     * just [[chunkDupStats]]'s measurement): the text splits into
     * non-overlapping k-token chunks (tail partial chunk included —

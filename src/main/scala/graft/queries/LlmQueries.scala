@@ -399,6 +399,14 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("n_bi"), r4(col("nll")).as("nll"))
         .orderBy("doc_id")),
 
+    // Kneser–Ney smoothed bigram LM (D=0.75 absolute discount +
+    // continuation-probability backoff) — the KenLM-default smoothing;
+    // same joined-model scale shape as bigram_nll.
+    "kneser_ney_nll" -> ((s, dir) =>
+      TextOps.kneserNeyNll(documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bi"), r4(col("nll")).as("nll"))
+        .orderBy("doc_id")),
+
     // URL-level dedup: extract → canonicalize (drop query/fragment,
     // lowercase scheme+host) → group by canonical URL with a min-id
     // survivor — the first (cheapest) dedup stage of a crawl pipeline.
@@ -1816,6 +1824,29 @@ object LlmQueries {
          |      + (1 - 0.5) * (uni.ucnt / ut.ut)) AS s
          |  FROM dbf d JOIN bc ON bc.p = d.p AND bc.w = d.w
          |  JOIN pc ON pc.p = d.p JOIN uni ON uni.w = d.w CROSS JOIN ut),
+         |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bi,
+         |    list_reduce(list_prepend(0.0, list(s ORDER BY p, w)), (a, b) -> a + b)
+         |      / sum(cnt) AS nll
+         |  FROM per GROUP BY 1)
+         |SELECT doc_id, n_bi, round(nll, 4) AS nll FROM agg ORDER BY doc_id"""),
+
+    "kneser_ney_nll" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i
+         |  FROM toks WHERE len(arr) >= 2),
+         |pairs AS (SELECT doc_id, arr[i] AS p, arr[i+1] AS w FROM idx),
+         |dbf AS (SELECT doc_id, p, w, CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |bc AS MATERIALIZED (SELECT p, w, sum(cnt) AS bcnt FROM dbf GROUP BY 1, 2),
+         |pc AS (SELECT p, sum(bcnt) AS pcnt, CAST(count(*) AS DOUBLE) AS ntypes
+         |  FROM bc GROUP BY 1),
+         |co AS (SELECT w, CAST(count(*) AS DOUBLE) AS nprec FROM bc GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS tb FROM bc),
+         |per AS (SELECT d.doc_id, d.p, d.w, d.cnt,
+         |    d.cnt * -ln(greatest(bc.bcnt - 0.75, 0.0) / pc.pcnt
+         |      + 0.75 * pc.ntypes / pc.pcnt * (co.nprec / tt.tb)) AS s
+         |  FROM dbf d JOIN bc ON bc.p = d.p AND bc.w = d.w
+         |  JOIN pc ON pc.p = d.p JOIN co ON co.w = d.w CROSS JOIN tt),
          |agg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bi,
          |    list_reduce(list_prepend(0.0, list(s ORDER BY p, w)), (a, b) -> a + b)
          |      / sum(cnt) AS nll

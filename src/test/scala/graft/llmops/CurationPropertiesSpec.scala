@@ -116,6 +116,42 @@ class CurationPropertiesSpec extends SparkSpec {
     got.foreach { case (id, v) => assert(math.abs(v - ref(id)) < 1e-12, s"doc $id") }
   }
 
+  test("kneserNeyNll matches a local reference KN-LM on random corpora") {
+    val vocab = Vector("red", "blue", "green", "gold")
+    val docs = (0L until 30L).map { i =>
+      (i, (1 to 2 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val bi = toks.flatMap { case (_, ws) => ws.zip(ws.tail) }
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val pc = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ntypes = bi.groupBy(_._1._1).view.mapValues(_.size.toDouble).toMap
+    val nprec = bi.groupBy(_._1._2).view.mapValues(_.size.toDouble).toMap
+    val tb = bi.size.toDouble
+    val D = 0.75
+    def pkn(p: String, w: String): Double =
+      math.max(bi((p, w)) - D, 0.0) / pc(p) +
+        D * ntypes(p) / pc(p) * (nprec(w) / tb)
+    val ref = toks.collect { case (id, ws) if ws.size >= 2 =>
+      val cnt = ws.zip(ws.tail).groupBy(identity).view.mapValues(_.size.toDouble)
+      val n = cnt.values.sum
+      val s = cnt.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, ((p, w), c)) =>
+        acc + c * -math.log(pkn(p, w))
+      }
+      id -> s / n
+    }.toMap
+    val got = TextOps.kneserNeyNll(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "nll").as[(Long, Double)].collect().toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, v) => assert(math.abs(v - ref(id)) < 1e-12, s"doc $id") }
+    // KN distributions are proper: for every context p, Σ_w P(w|p) over
+    // the OBSERVED continuations plus backoff mass stays ≤ 1 + ε.
+    pc.keys.foreach { p =>
+      val seen = bi.keys.filter(_._1 == p).map { case (_, w) => pkn(p, w) }.sum
+      assert(seen <= 1.0 + 1e-9, s"context $p mass $seen")
+    }
+  }
+
   test("lrTrain matches a local full-batch GD reference with rounded gradients") {
     val dim = 8
     val docs = (0L until 40L).map { i =>
