@@ -676,6 +676,44 @@ final case class FluxFrame(
   def winsorize(lo: Double = 0.01, hi: Double = 0.99): FluxFrame =
     copy(df = graft.operators.AnomalyOps.winsorize(df, groupKey, valueCol, lo, hi))
 
+  /** Engine extension: autocorrelation of the series at lags
+    * 1..maxLag — [[graft.operators.SeriesMiningOps.acf]] on this
+    * frame's group key, ordered by the time column (the store's LWW
+    * upsert guarantees (series, time) uniqueness, so the order is
+    * total). Aggregate-shaped result: (key…, lag, acf).
+    */
+  def acf(maxLag: Int): DataFrame =
+    graft.operators.SeriesMiningOps.acf(df, groupKey, Seq(timeCol),
+      valueCol, maxLag)
+
+  /** Engine extension: least-squares trend + h-step forecast over a
+    * time-bucketed frame (compose after aggregateWindow); `everySeconds`
+    * converts the time axis to the integer step index the exact-sum
+    * fit needs. Result: (key…, step, slope, intercept, yhat).
+    */
+  def forecastLinear(h: Int, everySeconds: Double): DataFrame = {
+    val us = (everySeconds * 1e6).toLong
+    require(us > 0, s"every must be positive, got $everySeconds s")
+    val stepped = df.withColumn("_step",
+      expr(s"unix_micros(`$timeCol`) div ${us}L"))
+    graft.operators.SeriesMiningOps.linearForecast(
+      stepped, groupKey, "_step", valueCol, h)
+  }
+
+  /** Engine extension: depth-2 binary-segmentation changepoints over
+    * the per-series value sequence, centi-quantized for the integer-
+    * exact cost prefix sums ([[graft.operators.SeriesMiningOps
+    * .changepoints]]). Result: (key…, depth, t, cost) with costs in
+    * value² units.
+    */
+  def changepoints(): DataFrame = {
+    val q = df
+      .withColumn("_pos", (row_number().over(w) - 1).cast("long"))
+      .withColumn("_vq", round(col(valueCol) * 100).cast("long"))
+    graft.operators.SeriesMiningOps.changepoints(q, groupKey, "_pos", "_vq")
+      .withColumn("cost", col("cost") / 1.0e4)
+  }
+
   /** LTTB plot downsampling to n points per series (extension verb —
     * the dashboard downsampler; see [[graft.operators.Lttb]] for the
     * determinism contract). Keeps the frame's key/time/value triple;

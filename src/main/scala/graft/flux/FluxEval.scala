@@ -319,6 +319,16 @@ object FluxEval {
       f.winsorize(call.args.get("lo").map(num0).getOrElse(0.01),
         call.args.get("hi").map(num0).getOrElse(0.99))
     case "lttb" => f.lttb(num(call.args, "n").toInt)
+    // engine extensions: series mining on the grouped frame
+    case "acf" =>
+      FluxFrame(f.acf(call.args.get("lags").map(num0).getOrElse(10.0).toInt),
+        f.groupKey, "lag", "acf")
+    case "forecastLinear" =>
+      FluxFrame(f.forecastLinear(num(call.args, "h").toInt,
+        durSeconds(call.args.getOrElse("every", VDur(1, "h")))),
+        f.groupKey, "step", "yhat")
+    case "changepoints" =>
+      FluxFrame(f.changepoints(), f.groupKey, "t", "cost")
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

@@ -42,6 +42,40 @@ object FluxQueries {
           r4(sum(col("clamped") - col("_value"))).as("mass_shift"))
         .orderBy("event_type")),
 
+    // acf through the text surface — the evaluator routes to
+    // SeriesMiningOps on the frame's group key; (series, time) is
+    // unique so time-only ordering equals the DSL gate's total order
+    "flux_acf" -> ((s, dir) =>
+      FluxEval.run("""from(bucket: "events") |> acf(lags: 10)""",
+        source(s, dir))
+        .select(col("_measurement").as("event_type"), col("lag").cast("long").as("lag"),
+          r4(col("acf")).as("acf"))
+        .orderBy("event_type", "lag")),
+
+    // hourly downsample |> trend forecast — the dashboard "where is
+    // this metric heading" pipeline, entirely through text
+    "flux_forecast" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          |  |> aggregateWindow(every: 1h, fn: sum)
+          |  |> forecastLinear(h: 6, every: 1h)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement").as("event_type"), col("step"), r4(col("slope")).as("slope"),
+          r4(col("intercept")).as("intercept"), r4(col("yhat")).as("yhat"))
+        .orderBy("event_type", "step")),
+
+    // hourly downsample |> changepoints: same centi-quantized series
+    // as the DSL gate (costs rescaled to its 10⁸ cents² convention)
+    "flux_changepoints" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          |  |> aggregateWindow(every: 1h, fn: sum)
+          |  |> changepoints()""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement").as("event_type"), col("depth"), col("t"),
+          r4(col("cost") / 1.0e4).as("cost"))
+        .orderBy("event_type", "depth", "t")),
+
     // lttb through the text surface: same 18-step selection as the DSL
     // gate; _measurement is the series, time its own tie-break (the
     // corpus has no (series, ts) duplicates — store LWW forbids them)
@@ -332,6 +366,9 @@ object FluxQueries {
         |FROM staged WHERE hn >= tot * 0.5 AND pc < tot * 0.5 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "flux_acf" -> MiningQueries.oracle("acf_lags"),
+    "flux_forecast" -> MiningQueries.oracle("forecast_linear"),
+    "flux_changepoints" -> MiningQueries.oracle("changepoints"),
     "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
     "flux_winsorize" -> WindowQueries.oracle("winsorize"),
     "flux_lttb" -> (s"SELECT event_type, tus, value FROM (\n" +
