@@ -232,7 +232,18 @@ object RelQueries {
         .cube(col("event_type"), col("vb"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("long")).as("sum_vi"))
-        .orderBy("event_type", "vb"))
+        .orderBy("event_type", "vb")),
+
+    // Explicit GROUPING SETS — a non-hierarchical pair of levels
+    // ((source, lang), (lang)) that neither ROLLUP nor CUBE expresses:
+    // the per-source×lang detail plus a per-lang total, still one scan
+    // and one Expand-tagged aggregate.
+    "grouping_sets" -> ((s, dir) =>
+      documents(s, dir)
+        .groupingSets(Seq(Seq(col("source"), col("lang")), Seq(col("lang"))),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source", "lang"))
   )
 
   private def w(s: String) = s.stripMargin
@@ -351,6 +362,11 @@ object RelQueries {
       """SELECT event_type, CAST(trunc(value) AS BIGINT) // 10 AS vb,
         |  count(*) AS n,
         |  CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_vi
-        |FROM events GROUP BY CUBE (event_type, vb) ORDER BY 1, 2""")
+        |FROM events GROUP BY CUBE (event_type, vb) ORDER BY 1, 2"""),
+    "grouping_sets" -> w(
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY GROUPING SETS ((source, lang), (lang))
+        |ORDER BY 1, 2""")
   )
 }

@@ -476,6 +476,40 @@ object StreamingQueries {
         .select(col("p_id"), col("c_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("dt_us"))
         .orderBy("p_id", "c_id")
+    }),
+
+    // STREAMING trend forecast: the stream maintains the forecast's
+    // sufficient statistics — per-(series, hour) sums as complete-mode
+    // aggregation state (bounded: one counter per series-hour) — and
+    // the OLS fit + 6-step extrapolation runs on the final snapshot.
+    // Hourly sums are grid-exact, so the incremental state equals the
+    // batch aggregate bit-for-bit and the oracle IS forecast_linear's.
+    "stream_forecast" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sfc-src").toString
+      val ev0 = events(s, dir)
+        .withColumn("h", expr("(ts_ns div 1000) div 3600000000"))
+        .select("event_type", "h", "value")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val qn = "graft_sfc_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy("event_type", "h")
+        .agg(sum("value").as("hv"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sfc-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // snapshot the sink before the fit: linearForecast self-joins its
+      // input (per-series min), and the memory-table View resolves to
+      // the SAME attribute ids on both sides of that join
+      val snap = s.table(qn).localCheckpoint()
+      graft.operators.SeriesMiningOps.linearForecast(
+          snap, Seq("event_type"), "h", "hv", horizon = 6)
+        .select(col("event_type"), col("step"), r4(col("slope")).as("slope"),
+          r4(col("intercept")).as("intercept"), r4(col("yhat")).as("yhat"))
+        .orderBy("event_type", "step")
     })
   )
 
@@ -488,6 +522,9 @@ object StreamingQueries {
     "stream_psi" -> WindowQueries.oracle("psi_drift"),
     // the live funnel must land exactly on the batch answer
     "stream_funnel" -> WindowQueries.oracle("funnel_steps"),
+    // streaming-state hourly sums are grid-exact ⇒ the snapshot fit
+    // must land exactly on the batch fit
+    "stream_forecast" -> MiningQueries.oracle("forecast_linear"),
     // the stream-stream join must emit exactly the batch interval
     // join's pairs (inner join emits each match once; nothing is
     // watermark-dropped at 90-day lateness)
