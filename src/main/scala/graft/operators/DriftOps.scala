@@ -109,6 +109,28 @@ object DriftOps {
       .drop("t_ref", "t_cur")
   }
 
+  /** Quantile-shift drift: exact interpolated quantiles of both
+    * snapshots at the given probabilities, reported side by side with
+    * the shift — the monitor that localizes WHERE in the distribution
+    * the movement happened (a tail shift PSI's fixed bins can smear).
+    * Each side collapses to one quantile-array row (a single
+    * aggregate), so the comparison costs two scans and a 1×1 join
+    * regardless of snapshot size. For bounded-state streaming use,
+    * substitute the KLL sketch aggregate — this exact form is the
+    * batch truth the sketch is spec-bounded against.
+    */
+  def quantileDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), s"bad qs: $qs")
+    val arr = s"array(${qs.mkString(", ")})"
+    def side(df: DataFrame, as: String) =
+      df.agg(expr(s"percentile($valueCol, $arr)").as("qv"))
+        .select(posexplode(col("qv")).as(Seq("i", as)))
+    side(ref, "ref").join(side(cur, "cur"), "i")
+      .select(element_at(array(qs.map(lit): _*), col("i") + 1).as("q"),
+        col("ref"), col("cur"), (col("cur") - col("ref")).as("shift"))
+  }
+
   /** Inventory-level companion to the distribution monitors: which
     * rows appeared, vanished, or changed between two snapshots of a
     * keyed corpus. Expects each side as (id, fp) — id the stable key,

@@ -289,6 +289,22 @@ object WindowQueries {
         .orderBy("bucket")
     }),
 
+    // Decile-shift drift between the same two snapshots psi_drift
+    // compares: exact quantiles side-by-side localize WHERE the
+    // distribution moved (tail vs body), complementing binned PSI.
+    "quantile_drift" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+      val e2 = ev.crossJoin(broadcast(mid))
+      graft.operators.DriftOps.quantileDrift(
+        e2.filter(col("tus") < col("mid")),
+        e2.filter(col("tus") >= col("mid")),
+        "value", (1 to 9).map(_ / 10.0))
+        .select(r4(col("q")).as("q"), r4(col("ref")).as("ref"),
+          r4(col("cur")).as("cur"), r4(col("shift")).as("shift"))
+        .orderBy("q")
+    }),
+
     // Categorical PSI over the language mix of two document snapshots
     // (parity split stands in for ref-vs-intake): born/died categories
     // surface with a zero side and an Eps-bounded contribution.
@@ -818,6 +834,18 @@ object WindowQueries {
         |SELECT from_type, to_type, n,
         |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS prob
         |FROM c ORDER BY 1, 2"""),
+    // decile arrays indexed 1-based; q label = i/10.0 (the same double
+    // the engine's literal list carries)
+    "quantile_drift" -> w(
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |r AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qv
+        |      FROM events, m WHERE epoch_us(ts) < mid),
+        |c AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qv
+        |      FROM events, m WHERE epoch_us(ts) >= mid),
+        |g AS (SELECT CAST(i AS INTEGER) AS i FROM generate_series(1, 9) t(i))
+        |SELECT round(i / 10.0, 4) AS q, round(r.qv[i], 4) AS ref,
+        |  round(c.qv[i], 4) AS cur, round(c.qv[i] - r.qv[i], 4) AS shift
+        |FROM r, c, g ORDER BY q"""),
     // PSI: proportions divide BIGINT counts by DOUBLE totals (same
     // IEEE ops as the engine); contrib uses the unrounded proportions
     "psi_drift" -> w(
