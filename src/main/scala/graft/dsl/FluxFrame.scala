@@ -676,6 +676,14 @@ final case class FluxFrame(
   def winsorize(lo: Double = 0.01, hi: Double = 0.99): FluxFrame =
     copy(df = graft.operators.AnomalyOps.winsorize(df, groupKey, valueCol, lo, hi))
 
+  /** Engine extension: hysteresis burst flags (enter above μ+hi·σ,
+    * hold above μ+lo·σ) — [[graft.operators.AnomalyOps.burstFlags]]
+    * ordered on this frame's time column. Adds `mu`, `sg`, `in_burst`.
+    */
+  def bursts(hiSigmas: Double = 2.0, loSigmas: Double = 0.5): FluxFrame =
+    copy(df = graft.operators.AnomalyOps.burstFlags(df, groupKey, timeCol,
+      valueCol, hiSigmas, loSigmas))
+
   /** Engine extension: autocorrelation of the series at lags
     * 1..maxLag — [[graft.operators.SeriesMiningOps.acf]] on this
     * frame's group key, ordered by the time column (the store's LWW

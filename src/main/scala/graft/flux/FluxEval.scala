@@ -319,6 +319,9 @@ object FluxEval {
       f.winsorize(call.args.get("lo").map(num0).getOrElse(0.01),
         call.args.get("hi").map(num0).getOrElse(0.99))
     case "lttb" => f.lttb(num(call.args, "n").toInt)
+    case "bursts" =>
+      f.bursts(call.args.get("hi").map(num0).getOrElse(2.0),
+        call.args.get("lo").map(num0).getOrElse(0.5))
     // engine extensions: series mining on the grouped frame
     case "acf" =>
       FluxFrame(f.acf(call.args.get("lags").map(num0).getOrElse(10.0).toInt),

@@ -105,4 +105,39 @@ object AnomalyOps {
       .withColumn("alarm", col("cusum") > lit(threshSigmas) * col("sg"))
       .drop("xdev")
   }
+
+  /** Hysteresis burst detection (the two-threshold Schmitt-trigger
+    * reading of Kleinberg 2002's two-state burst automaton): a series
+    * ENTERS a burst when the value exceeds μ + hi·σ and STAYS in it
+    * while the value holds above μ + lo·σ — the hysteresis band keeps
+    * one noisy dip from splitting a real burst into fragments, which a
+    * single-threshold flag does constantly. μ/σ are rounded to 4
+    * decimals exactly as [[cusum]]'s (pinning the sequential state
+    * machine to engine-reproducible inputs); hi/lo default to
+    * power-of-two sigma multiples so the threshold arithmetic is
+    * FP-exact. The per-row signal (above-hi / above-lo / below)
+    * computes relationally; only the 1-bit automaton runs in the
+    * ordered scan (one shuffle, O(1) state). Adds `in_burst` (0/1).
+    */
+  def burstFlags(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, hiSigmas: Double = 2.0,
+      loSigmas: Double = 0.5): DataFrame = {
+    require(keyCols.nonEmpty, "burstFlags needs a series key")
+    require(hiSigmas > loSigmas, s"need hi > lo, got $hiSigmas <= $loSigmas")
+    val keys = keyCols.map(col)
+    val stats = df.groupBy(keys: _*).agg(
+      round(avg(col(valueCol)), 4).as("mu"),
+      round(stddev_pop(col(valueCol)), 4).as("sg"))
+    val j = df.join(stats, keyCols)
+      .withColumn("_sig",
+        when(col(valueCol) > col("mu") + lit(hiSigmas) * col("sg"), 2.0)
+          .when(col(valueCol) > col("mu") + lit(loSigmas) * col("sg"), 1.0)
+          .otherwise(0.0))
+    graft.dsl.SeriesScan.scanDouble(j, keyCols, orderCol, "_sig",
+      "in_burst")(0.0) { (s, x) =>
+      val b = if (s == 0.0) { if (x == 2.0) 1.0 else 0.0 }
+              else { if (x >= 1.0) 1.0 else 0.0 }
+      (b, b)
+    }.drop("_sig")
+  }
 }

@@ -42,6 +42,25 @@ object FluxQueries {
           r4(sum(col("clamped") - col("_value"))).as("mass_shift"))
         .orderBy("event_type")),
 
+    // bursts through the text surface — same automaton + roll-up (and
+    // oracle) as the DSL burst_detect gate
+    "flux_bursts" -> ((s, dir) => {
+      val b = FluxEval.run(
+        """from(bucket: "events") |> bursts(hi: 2.0, lo: 0.5)""",
+        source(s, dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_measurement").orderBy("_time")
+      b.withColumn("enter",
+          when(col("in_burst") === 1.0 &&
+            coalesce(lag(col("in_burst"), 1).over(w), lit(0.0)) === 0.0, 1L)
+            .otherwise(0L))
+        .groupBy(col("_measurement").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_burst").cast("long")).as("n_burst"),
+          sum(col("enter")).as("n_episodes"))
+        .orderBy("event_type")
+    }),
+
     // acf through the text surface — the evaluator routes to
     // SeriesMiningOps on the frame's group key; (series, time) is
     // unique so time-only ordering equals the DSL gate's total order
@@ -366,6 +385,7 @@ object FluxQueries {
         |FROM staged WHERE hn >= tot * 0.5 AND pc < tot * 0.5 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "flux_bursts" -> WindowQueries.oracle("burst_detect"),
     "flux_acf" -> MiningQueries.oracle("acf_lags"),
     "flux_forecast" -> MiningQueries.oracle("forecast_linear"),
     "flux_changepoints" -> MiningQueries.oracle("changepoints"),

@@ -421,6 +421,27 @@ object WindowQueries {
           r4(max(col("cusum"))).as("max_s"))
         .orderBy("event_type")),
 
+    // Hysteresis burst detection: enter above μ+2σ, hold above μ+½σ —
+    // episode count + in-burst row count per series.
+    "burst_detect" -> ((s, dir) => {
+      val b = graft.operators.AnomalyOps.burstFlags(
+        events(s, dir)
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .select("event_type", "ts_us", "value"),
+        Seq("event_type"), "ts_us", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us")
+      b.withColumn("enter",
+          when(col("in_burst") === 1.0 &&
+            coalesce(lag(col("in_burst"), 1).over(w), lit(0.0)) === 0.0, 1L)
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_burst").cast("long")).as("n_burst"),
+          sum(col("enter")).as("n_episodes"))
+        .orderBy("event_type")
+    }),
+
     // Ordered funnel view → click → purchase on the ns axis: per-user
     // strictly-increasing step times, rolled to per-step reach counts
     // and total ns-to-convert — integer-exact end to end.
@@ -983,6 +1004,38 @@ object WindowQueries {
         |  round(max(c.s), 4) AS max_s
         |FROM c JOIN st ON st.event_type = c.event_type
         |GROUP BY 1 ORDER BY 1"""),
+    // burst automaton replayed by the same recursive-CTE scheme as
+    // cusum_drift: per-row tier signal, then the 1-bit hysteresis state
+    "burst_detect" -> w(
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+        |      AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, round(avg(value), 4) AS mu,
+        |    round(stddev_pop(value), 4) AS sg
+        |  FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT e.event_type, e.rn,
+        |    CASE WHEN e.value > st.mu + 2.0 * st.sg THEN 2
+        |         WHEN e.value > st.mu + 0.5 * st.sg THEN 1 ELSE 0 END AS x
+        |  FROM ev e JOIN st USING (event_type)),
+        |c AS (
+        |  SELECT event_type, rn, CASE WHEN x = 2 THEN 1 ELSE 0 END AS b
+        |  FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn,
+        |    CASE WHEN c.b = 0 THEN (CASE WHEN e.x = 2 THEN 1 ELSE 0 END)
+        |         ELSE (CASE WHEN e.x >= 1 THEN 1 ELSE 0 END) END
+        |  FROM c JOIN x e ON e.event_type = c.event_type AND e.rn = c.rn + 1),
+        |t AS (SELECT event_type, rn, b,
+        |        lag(b) OVER (PARTITION BY event_type ORDER BY rn) AS pb
+        |      FROM c)
+        |SELECT event_type, count(*) AS n, CAST(sum(b) AS BIGINT) AS n_burst,
+        |  CAST(sum(CASE WHEN b = 1 AND coalesce(pb, 0) = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_episodes
+        |FROM t GROUP BY 1 ORDER BY 1"""),
     // funnel: each step's min strictly after the previous step's time
     "funnel_steps" -> w(
       """WITH s1 AS (

@@ -74,6 +74,26 @@ class AnomalyOpsSpec extends SparkSpec {
       AnomalyOps.winsorize(rows, Seq("k"), "v", 0.9, 0.1))
   }
 
+  test("burstFlags hysteresis bridges a dip a single threshold splits") {
+    // Flat base at 10, one burst 50..54 with a mid-burst dip that stays
+    // above the low threshold: hysteresis keeps it ONE episode.
+    val vals = (1 to 100).map {
+      case i if i >= 50 && i <= 54 => if (i == 52) 14.0 else 30.0
+      case _ => 10.0
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val out = AnomalyOps.burstFlags(df, Seq("k"), "t", "v", 2.0, 0.5)
+      .orderBy("t").select("in_burst").as[Double].collect()
+    val burstIdx = out.zipWithIndex.filter(_._1 == 1.0).map(_._2)
+    assert(burstIdx.toSeq == (49 to 53).toSeq, burstIdx.mkString(","))
+    // exactly one rising edge = one episode
+    val rises = out.indices.count(i => out(i) == 1.0 && (i == 0 || out(i - 1) == 0.0))
+    assert(rises == 1)
+    // below-lo value never sustains a burst: values at base are flat 0
+    assert(out.take(49).forall(_ == 0.0) && out.drop(54).forall(_ == 0.0))
+  }
+
   test("both detectors keep series independent") {
     val rows = (1 to 100).map(i => ("a", i.toLong, 10.0 + (i % 5) * 0.1)) ++
       (1 to 100).map(i => ("b", i.toLong, 1000.0 + (i % 5) * 10.0))
