@@ -399,6 +399,49 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("n_bi"), r4(col("nll")).as("nll"))
         .orderBy("doc_id")),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank on
+    // the undirected word co-occurrence graph (adjacent content words,
+    // length ≥ 4), top-20 by rounded rank. Same GraphOps.pagerank the
+    // session graph uses — the edge aggregation is the only corpus
+    // pass; iteration runs on the vocabulary-sized edge table.
+    "textrank_keywords" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(TextOps.tokens(col("text")).as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val pairs = toks.select(explode(zip_with(
+        slice(col("arr"), lit(1), size(col("arr")) - 1),
+        slice(col("arr"), lit(2), size(col("arr")) - 1),
+        (p, w) => struct(p.as("p"), w.as("w")))).as("b"))
+        .select(col("b.p").as("p"), col("b.w").as("w"))
+        .filter(length(col("p")) >= 4 && length(col("w")) >= 4 &&
+          col("p") =!= col("w"))
+      val und = pairs.select(col("p").as("src"), col("w").as("dst"))
+        .unionAll(pairs.select(col("w").as("src"), col("p").as("dst")))
+      val e = und.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      graft.operators.GraphOps.pagerank(e, "src", "dst", "n", d = 0.85, iters = 5)
+        .select(col("node"), r4(col("r")).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+        .orderBy("node")
+    }),
+
+    // k-NN classification over the embedding space: majority label of
+    // the brute-force top-3 (ties to the smaller label) — retrieval
+    // reused as a classifier, the standard weak-labeler baseline.
+    "knn_classify" -> ((s, dir) => {
+      val raw = embeddings(s, dir)
+      val e = VectorOps.vecs(raw, "vec_id", "embedding")
+      val nn = VectorOps.bruteForceTopK(e, e.filter(col("id") < 5), 3)
+        .select("qid", "nbr")
+      val votes = nn
+        .join(raw.select(col("vec_id").as("nbr"), col("label")), "nbr")
+        .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("qid"), col("label").cast("long").as("pred"), col("votes"))
+        .orderBy("qid")
+    }),
+
     // Kneser–Ney smoothed bigram LM (D=0.75 absolute discount +
     // continuation-probability backoff) — the KenLM-default smoothing;
     // same joined-model scale shape as bigram_nll.
@@ -1829,6 +1872,39 @@ object LlmQueries {
          |      / sum(cnt) AS nll
          |  FROM per GROUP BY 1)
          |SELECT doc_id, n_bi, round(nll, 4) AS nll FROM agg ORDER BY doc_id"""),
+
+    "textrank_keywords" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |idx AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i
+         |  FROM toks WHERE len(arr) >= 2),
+         |prs AS (SELECT arr[i] AS p, arr[i+1] AS w FROM idx
+         |  WHERE len(arr[i]) >= 4 AND len(arr[i+1]) >= 4 AND arr[i] <> arr[i+1]),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+         |    SELECT p AS src, w AS dst FROM prs
+         |    UNION ALL SELECT w AS src, p AS dst FROM prs)
+         |  GROUP BY 1, 2
+         |), ${MiningQueries.pagerankIterCtes(5)},
+         |top AS (SELECT node, round(r, 4) AS rank FROM r5
+         |  ORDER BY round(r, 4) DESC, node LIMIT 20)
+         |SELECT node, rank FROM top ORDER BY node"""),
+
+    "knn_classify" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE id < 5),
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nbr, ${cos("q.v", "c.v")} AS cos
+         |  FROM q JOIN e c ON c.id <> q.id),
+         |r AS (SELECT qid, nbr,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank
+         |  FROM scored),
+         |nn AS (SELECT qid, nbr FROM r WHERE rank <= 3),
+         |v AS (SELECT nn.qid, emb.label, count(*) AS votes
+         |  FROM nn JOIN embeddings emb ON emb.vec_id = nn.nbr GROUP BY 1, 2),
+         |p AS (SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY votes DESC, label) AS rk FROM v)
+         |SELECT qid, CAST(label AS BIGINT) AS pred, votes
+         |FROM p WHERE rk = 1 ORDER BY qid"""),
 
     "kneser_ney_nll" -> w(
       s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),

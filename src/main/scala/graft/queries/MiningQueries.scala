@@ -286,13 +286,14 @@ object MiningQueries {
     "pagerank_types" -> pagerankOracleSql(5)
   )
 
-  /** Unrolled power-iteration oracle: the session-transition edge
-    * build (the markov_transitions CTE chain) followed by `iters`
-    * chained (dangling, incoming, rank) CTE triples. Constants are
-    * spelled `(1.0 - 0.85)` / `0.85` so both engines run the same
-    * IEEE ops (see GraphOps).
+  /** Shared unrolled power-iteration CTE block: given an `e(src, dst,
+    * w)` edge CTE already in scope, appends nodes/nn/ow/r0 and `iters`
+    * chained (dangling, incoming, rank) CTE triples ending at
+    * `r$iters`. Constants are spelled `(1.0 - 0.85)` / `0.85` so both
+    * engines run the same IEEE ops (see GraphOps). Reused by every
+    * PageRank-family oracle (session graph, TextRank).
     */
-  private def pagerankOracleSql(iters: Int): String = {
+  private[queries] def pagerankIterCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""d$k AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r${k - 1}
         |  WHERE node NOT IN (SELECT src FROM ow)),
@@ -304,6 +305,18 @@ object MiningQueries {
         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$k dd
         |  LEFT JOIN i$k i ON n.node = i.node)""".stripMargin
     }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+      |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS MATERIALIZED (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+      |$steps""".stripMargin
+  }
+
+  /** pagerank_types oracle: the session-transition edge build (the
+    * markov_transitions CTE chain) + the shared iteration block.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
     s"""WITH g AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -322,12 +335,7 @@ object MiningQueries {
       |), e AS MATERIALIZED (
       |  SELECT from_type AS src, to_type AS dst, CAST(count(*) AS DOUBLE) AS w
       |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
-      |), nodes AS MATERIALIZED (
-      |  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
-      |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-      |ow AS MATERIALIZED (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
-      |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
-      |$steps
+      |), ${pagerankIterCtes(iters)}
       |SELECT node, round(r, 4) AS rank FROM r$iters ORDER BY node""".stripMargin
   }
 }
