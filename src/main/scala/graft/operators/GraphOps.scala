@@ -33,8 +33,14 @@ object GraphOps {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, d: Double = 0.85, iters: Int = 5): DataFrame = {
     require(iters >= 1 && d > 0 && d < 1, s"need 0<d<1, iters>=1; got $d, $iters")
+    // Materialize the aggregated edge table once: every iteration (and
+    // the nodes/out-weight prep) re-references it, and without the cut
+    // each reference re-executes the upstream corpus pass — the sf0.1
+    // session graph paid the transitions window ~12×  (18.8 s → in-
+    // family) before this. The edge table is the SMALL side by design
+    // (post-aggregation), so the checkpoint is vocabulary-sized.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w"))
+      col(wCol).cast("double").as("w")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nRow = nodes.agg(count(lit(1)).cast("double").as("nn"))
@@ -54,11 +60,12 @@ object GraphOps {
         .select(col("node"),
           (lit(1.0 - d) / col("nn") +
             lit(d) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("nn"))).as("r"))
-      // Truncate lineage periodically: the rank frame is node-domain-
-      // sized (tiny next to the corpus), but an UNBOUNDED iteration
-      // chain makes Catalyst re-analyze a plan that doubles per step —
-      // 50 iterations is minutes of planning for milliseconds of work.
-      if (k % 5 == 0 && k < iters) r = r.localCheckpoint()
+      // Truncate lineage every step: the rank frame is node-domain-
+      // sized (tiny next to the corpus), but an unbounded iteration
+      // chain both doubles Catalyst's analysis work per step and
+      // re-executes the whole chain each time the next step's
+      // dangling-mass aggregate and incoming join reference it.
+      if (k < iters) r = r.localCheckpoint()
     }
     r
   }
