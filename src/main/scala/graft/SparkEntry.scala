@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.InfluxQlQueries.queries ++
       graft.queries.SetOpQueries.queries ++
       graft.queries.MiningQueries.queries ++
+      graft.queries.AnalyticsQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   /** Entries that exercise the streaming machinery end-to-end: part of
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.InfluxQlQueries.oracle ++
       graft.queries.SetOpQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle ++
       graft.queries.StreamingQueries.oracle
 }

@@ -75,6 +75,23 @@ object TextOps {
       lit(0.3) * (lit(1.0) - least(digitRatio * 10.0, lit(1.0)))
   }
 
+  /** Flesch reading-ease score from three compiled regex counts:
+    * words = whitespace tokens, sentences = terminator runs `[.!?]+`
+    * (floored at 1), syllables ≈ vowel-group runs `[aeiouy]+` of the
+    * lowercased text (the classic heuristic — vowel runs never span a
+    * space, so the whole-text count equals the per-word sum). All three
+    * are integer-exact; the only FP is the final linear formula, which
+    * the oracle writes with the identical shape.
+    */
+  def fleschScore(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences =
+      greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val syllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("double")
+    lit(206.835) - lit(1.015) * (words / sentences) -
+      lit(84.6) * (syllables / words)
+  }
+
   /** Total word-trigram occurrences (with repetition) of a document. */
   def trigramTotal(text: Column): Column =
     greatest(tokenCount(text) - 2, lit(0)).cast("long")

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llmops.TextOps
+import graft.operators.{DataQualityOps, SegmentOps}
+
+/** Segmentation / experimentation / data-quality gates: RFM scoring,
+  * market-basket association rules, the Welch two-sample t-test, the
+  * Deequ-style column profiler + constraint suite, Flesch readability,
+  * and the unpivot (melt) reshape.
+  *
+  * Oracle discipline: every ranking key is integer-exact (days, counts,
+  * cents), every FP division/sqrt is written with the same expression
+  * shape on both sides, and squares are multiplications (pow() may
+  * differ in the last bit between engines).
+  */
+object AnalyticsQueries {
+  import QueryUtil._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RFM segmentation of the order file: quintile scores per dimension
+    // on integer-exact sort keys, 1 = best.
+    "rfm_segments" -> ((s, dir) =>
+      SegmentOps.rfm(orders(s, dir), "o_orderdate", "o_custkey",
+          "o_totalprice", tiles = 5)
+        .select(col("custkey"), col("recency_days"), col("frequency"),
+          (col("monetary_cents").cast("double") / 100.0).as("monetary"),
+          col("r_score").cast("long").as("r_score"),
+          col("f_score").cast("long").as("f_score"),
+          col("m_score").cast("long").as("m_score"),
+          col("segment"))
+        .orderBy("custkey")),
+
+    // Association rules over (user, day) event-type baskets:
+    // support / confidence both ways / lift, at >= 20 co-occurrences.
+    "basket_rules" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        to_date(col("ts")).as("day"), col("event_type"))
+      SegmentOps.basketRules(e, Seq("user_id", "day"), "event_type",
+          minPairSupport = 20L)
+        .select(col("item_a"), col("item_b"), col("supp_ab"),
+          col("supp_a"), col("supp_b"),
+          r4(col("conf_a_b")).as("conf_a_b"),
+          r4(col("conf_b_a")).as("conf_b_a"),
+          r4(col("lift")).as("lift"))
+        .orderBy("item_a", "item_b")
+    }),
+
+    // A/B experiment readout: purchase value by user-id parity arms,
+    // Welch t statistic + Satterthwaite df from sufficient statistics.
+    "ab_welch" -> ((s, dir) => {
+      val e = events(s, dir).where(col("event_type") === "purchase")
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      SegmentOps.welchT(e, col("arm"), col("value"))
+        .select(col("n_a"), r4(col("mean_a")).as("mean_a"),
+          r4(col("var_a")).as("var_a"),
+          col("n_b"), r4(col("mean_b")).as("mean_b"),
+          r4(col("var_b")).as("var_b"),
+          r4(col("t_stat")).as("t_stat"),
+          r4(col("welch_df")).as("welch_df"))
+    }),
+
+    // Single-pass column profiler over orders: completeness +
+    // distinctness per column, min/max/mean for the numeric.
+    "dq_profile" -> ((s, dir) =>
+      DataQualityOps.profile(orders(s, dir), Seq("o_totalprice"))
+        .orderBy("col_name", "metric")),
+
+    // Constraint suite: key uniqueness, non-negativity, referential
+    // containment, value-set membership, stream non-null.
+    "dq_checks" -> ((s, dir) => {
+      val o = orders(s, dir)
+      DataQualityOps.runChecks(Seq(
+          DataQualityOps.uniqueCheck(o, "o_orderkey"),
+          DataQualityOps.satisfiesCheck(o, "nonneg_totalprice",
+            col("o_totalprice") >= 0),
+          DataQualityOps.containedInCheck(o, "o_custkey",
+            customer(s, dir), "c_custkey"),
+          DataQualityOps.inSetCheck(o, "o_orderstatus", Seq("O", "F", "P")),
+          DataQualityOps.satisfiesCheck(events(s, dir), "value_not_null",
+            col("value").isNotNull)))
+        .orderBy("check_name")
+    }),
+
+    // Flesch reading ease per document from three compiled regex counts.
+    "readability" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("syllables"),
+          r4(TextOps.fleschScore(col("text"))).as("flesch"))
+        .orderBy("doc_id")),
+
+    // Unpivot (melt): the four lineitem measures to long format for an
+    // early-1995 slice — the inverse of the pivot_wide gate.
+    "unpivot_long" -> ((s, dir) =>
+      lineitem(s, dir)
+        .where(col("l_shipdate") < lit("1995-03-01").cast("timestamp"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric"))
+  )
+
+  private def w(s: String) = s.stripMargin
+
+  /** Generated dq_profile oracle: one UNION ALL arm per (column, metric)
+    * over the same single-pass aggregates.
+    */
+  private val dqCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private def dqProfileSql: String = {
+    val arms = dqCols.flatMap { c =>
+      Seq(
+        s"SELECT '$c' AS col_name, 'completeness' AS metric, " +
+          s"round(CAST(count($c) AS DOUBLE) / count(*), 4) AS value FROM orders",
+        s"SELECT '$c', 'distinctness', " +
+          s"round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*), 4) FROM orders")
+    } ++ Seq(
+      "SELECT 'o_totalprice', 'min', CAST(min(o_totalprice) AS DOUBLE) FROM orders",
+      "SELECT 'o_totalprice', 'max', CAST(max(o_totalprice) AS DOUBLE) FROM orders",
+      "SELECT 'o_totalprice', 'mean', round(sum(o_totalprice) / count(o_totalprice), 4) FROM orders")
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, metric")
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    "rfm_segments" -> w(
+      """WITH pc AS (
+        |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_order) AS maxd FROM pc),
+        |r AS (
+        |  SELECT custkey,
+        |    CAST(date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) AS BIGINT) AS recency_days,
+        |    frequency, cents
+        |  FROM pc, mx),
+        |sc AS (
+        |  SELECT *,
+        |    NTILE(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+        |    NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+        |    NTILE(5) OVER (ORDER BY cents DESC, custkey) AS m_score
+        |  FROM r)
+        |SELECT custkey, recency_days, frequency,
+        |  CAST(cents AS DOUBLE) / 100.0 AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY custkey"""),
+
+    "basket_rules" -> w(
+      """WITH it AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type AS item
+        |  FROM events),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n
+        |  FROM (SELECT DISTINCT user_id, day FROM it)),
+        |supp AS (SELECT item, count(*) AS s FROM it GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS supp_ab
+        |  FROM it a JOIN it b ON a.user_id = b.user_id AND a.day = b.day
+        |  WHERE a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT item_a, item_b, supp_ab, sa.s AS supp_a, sb.s AS supp_b,
+        |  round(CAST(supp_ab AS DOUBLE) / sa.s, 4) AS conf_a_b,
+        |  round(CAST(supp_ab AS DOUBLE) / sb.s, 4) AS conf_b_a,
+        |  round(CAST(supp_ab AS DOUBLE) * nb.n / (sa.s * sb.s), 4) AS lift
+        |FROM pairs
+        |JOIN supp sa ON sa.item = pairs.item_a
+        |JOIN supp sb ON sb.item = pairs.item_b, nb
+        |ORDER BY item_a, item_b"""),
+
+    "ab_welch" -> w(
+      """WITH st AS (
+        |  SELECT user_id % 2 AS arm, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(value) AS s1, sum(value * value) AS s2
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT arm, n, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS variance FROM st),
+        |a AS (SELECT n AS n_a, mean AS mean_a, variance AS var_a FROM m WHERE arm = 0),
+        |b AS (SELECT n AS n_b, mean AS mean_b, variance AS var_b FROM m WHERE arm = 1)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, round(mean_a, 4) AS mean_a,
+        |  round(var_a, 4) AS var_a,
+        |  CAST(n_b AS BIGINT) AS n_b, round(mean_b, 4) AS mean_b,
+        |  round(var_b, 4) AS var_b,
+        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+        |  round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+        |    ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+        |     (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_df
+        |FROM a, b"""),
+
+    "dq_profile" -> dqProfileSql,
+
+    "dq_checks" -> w(
+      """WITH v AS (
+        |  SELECT 'unique:o_orderkey' AS check_name,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'satisfies:nonneg_totalprice',
+        |    sum(CASE WHEN o_totalprice >= 0 THEN 0 ELSE 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'contained:o_custkey',
+        |    (SELECT count(*) FROM orders o
+        |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |       ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'satisfies:in_set:o_orderstatus',
+        |    sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'satisfies:value_not_null',
+        |    sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END)
+        |  FROM events)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
+        |FROM v ORDER BY check_name"""),
+
+    "readability" -> w(
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE)
+        |               / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |              / CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE))
+        |  , 4) AS flesch
+        |FROM documents ORDER BY doc_id"""),
+
+    "unpivot_long" -> w(
+      """WITH src AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount, l_tax
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-03-01')
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        |ORDER BY l_orderkey, l_linenumber, metric""")
+  )
+}

@@ -58,6 +58,52 @@ object LlmQueries {
         .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred")),
 
+    // Per-class precision/recall/F1 of the language-ID heuristic vs the
+    // labeled lang column — the classification companion of the
+    // retrieval_metrics gate. Classes with zero predictions get NULL
+    // precision (undefined) and F1 = 0.
+    "classifier_prf" -> ((s, dir) => {
+      val pl = documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("pred"))
+      val cls = pl.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("support"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+      val pc = pl.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("predicted"))
+      val j = cls.join(pc, Seq("cls"), "left")
+        .withColumn("predicted", coalesce(col("predicted"), lit(0L)))
+      val p = when(col("predicted") > 0,
+        col("tp").cast("double") / col("predicted"))
+      val r = col("tp").cast("double") / col("support")
+      j.select(col("cls"), col("support"), col("predicted"), col("tp"),
+          r4(p).as("precision"), r4(r).as("recall"),
+          r4(when(col("predicted") > 0 && (p + r) > 0,
+              lit(2.0) * p * r / (p + r))
+            .otherwise(lit(0.0))).as("f1"))
+        .orderBy("cls")
+    }),
+
+    // Cohen's kappa of the same prediction vs label: chance-corrected
+    // agreement from the confusion-matrix margins — one row of longs +
+    // three rounded ratios.
+    "cohen_kappa" -> ((s, dir) => {
+      val pl = documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("pred"))
+      val cls = pl.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("support"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+      val pc = pl.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("predicted"))
+      val j = cls.join(pc, Seq("cls"), "left")
+        .withColumn("predicted", coalesce(col("predicted"), lit(0L)))
+      val t = j.agg(sum(col("support")).as("n"), sum(col("tp")).as("diag"),
+        sum(col("support") * col("predicted")).as("xsum"))
+      val po = col("diag").cast("double") / col("n")
+      val pe = col("xsum").cast("double") / (col("n") * col("n"))
+      t.select(col("n"), r4(po).as("po"), r4(pe).as("pe"),
+        r4((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    }),
+
     // Quality scoring rolled up per source.
     "quality_score" -> ((s, dir) =>
       documents(s, dir)
@@ -1305,6 +1351,24 @@ object LlmQueries {
   private val esS = hits(TextOps.EsStop)
   private val zhS = "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
 
+  /** Shared scored+argmax prediction CTE pair for the lang-classifier
+    * evaluation oracles (classifier_prf, cohen_kappa) — identical
+    * tie-break order to TextOps.langId and the lang_id oracle.
+    */
+  private lazy val langPredCte =
+    s"""scored AS (
+       |  SELECT lang, $enS AS en, $deS AS de, $frS AS fr, $esS AS es, $zhS AS zh
+       |  FROM (SELECT lang, text, $toksSql AS arr FROM documents)
+       |),
+       |pl AS (
+       |  SELECT lang,
+       |    CASE WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+       |         WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+       |         WHEN fr >= es AND fr >= zh THEN 'fr'
+       |         WHEN es >= zh THEN 'es'
+       |         ELSE 'zh' END AS pred
+       |  FROM scored)""".stripMargin
+
   /** Recursive-CTE transitive closure over the winnowing near-dup pairs:
     * min reachable id per node = the component representative (DuckDB's
     * UNION-dedup recursion terminates on the finite reach set). Ends
@@ -1631,6 +1695,43 @@ object LlmQueries {
          |       ELSE 'zh' END AS pred,
          |  count(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""),
+    "classifier_prf" -> w(
+      s"""WITH $langPredCte,
+         |cls AS (SELECT lang AS cls, count(*) AS support,
+         |    sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS tp
+         |  FROM pl GROUP BY 1),
+         |pc AS (SELECT pred AS cls, count(*) AS predicted FROM pl GROUP BY 1),
+         |j AS (SELECT cls.cls, CAST(support AS BIGINT) AS support,
+         |    CAST(coalesce(predicted, 0) AS BIGINT) AS predicted,
+         |    CAST(tp AS BIGINT) AS tp
+         |  FROM cls LEFT JOIN pc ON pc.cls = cls.cls)
+         |SELECT cls, support, predicted, tp,
+         |  CASE WHEN predicted > 0
+         |    THEN round(CAST(tp AS DOUBLE) / predicted, 4) END AS precision,
+         |  round(CAST(tp AS DOUBLE) / support, 4) AS recall,
+         |  CASE WHEN predicted > 0 AND
+         |      (CAST(tp AS DOUBLE) / predicted + CAST(tp AS DOUBLE) / support) > 0
+         |    THEN round(2.0 * (CAST(tp AS DOUBLE) / predicted)
+         |      * (CAST(tp AS DOUBLE) / support)
+         |      / (CAST(tp AS DOUBLE) / predicted + CAST(tp AS DOUBLE) / support), 4)
+         |    ELSE 0.0 END AS f1
+         |FROM j ORDER BY cls"""),
+    "cohen_kappa" -> w(
+      s"""WITH $langPredCte,
+         |cls AS (SELECT lang AS cls, count(*) AS support,
+         |    sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS tp
+         |  FROM pl GROUP BY 1),
+         |pc AS (SELECT pred AS cls, count(*) AS predicted FROM pl GROUP BY 1),
+         |j AS (SELECT cls.cls, support, tp, coalesce(predicted, 0) AS predicted
+         |  FROM cls LEFT JOIN pc ON pc.cls = cls.cls),
+         |t AS (SELECT CAST(sum(support) AS BIGINT) AS n,
+         |    CAST(sum(tp) AS BIGINT) AS diag,
+         |    CAST(sum(support * predicted) AS BIGINT) AS xsum FROM j)
+         |SELECT n, round(CAST(diag AS DOUBLE) / n, 4) AS po,
+         |  round(CAST(xsum AS DOUBLE) / (n * n), 4) AS pe,
+         |  round((CAST(diag AS DOUBLE) / n - CAST(xsum AS DOUBLE) / (n * n))
+         |    / (1.0 - CAST(xsum AS DOUBLE) / (n * n)), 4) AS kappa
+         |FROM t"""),
     "quality_score" -> w(
       s"""WITH q AS (
          |  SELECT source,

@@ -73,6 +73,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
   }
 
+  test("fleschScore: counts words / sentence runs / vowel groups") {
+    // "See the dog. It runs!" → 5 words, 2 sentences ([.] and [!] runs),
+    // syllables = vowel groups: see(1) the(1) dog(1) it(1) runs(1) = 5
+    val df = Seq((1L, "See the dog. It runs!")).toDF("doc_id", "text")
+    val got = df.select(TextOps.fleschScore(col("text"))).as[Double].head()
+    val exp = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(math.abs(got - exp) < 1e-9)
+    // no terminator → sentence count floors at 1
+    val one = Seq((1L, "no end here")).toDF("doc_id", "text")
+      .select(TextOps.fleschScore(col("text"))).as[Double].head()
+    val expOne = 206.835 - 1.015 * 3.0 - 84.6 * (4.0 / 3.0) // o,e,ee,e... vowel runs = 4
+    assert(math.abs(one - expOne) < 1e-9)
+  }
+
   test("native graft_cosine expression is bit-identical to the HOF folds and codegens") {
     val rnd = new scala.util.Random(11)
     val vs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian()))).toDF("id", "v")
