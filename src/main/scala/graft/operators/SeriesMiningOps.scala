@@ -237,6 +237,74 @@ object SeriesMiningOps {
     * 1.5·IQR, and counts either side. Two passes: a quartile
     * aggregate (series-count-sized, broadcast back) and a count pass.
     */
+  /** Banded dynamic-time-warping distance on integer (cents-quantized)
+    * series: classic O(n·band) DP with the Sakoe–Chiba band
+    * |i − j| ≤ band. Integer arithmetic end to end, so the distance is
+    * EXACT — no FP accumulation anywhere (the changepoint
+    * quantization discipline applied to an alignment DP).
+    * Returns -1 when the band disconnects the endpoints
+    * (|len(a) − len(b)| > band).
+    */
+  def dtwBanded(a: Array[Long], b: Array[Long], band: Int): Long = {
+    val (la, lb) = (a.length, b.length)
+    if (la == 0 || lb == 0 || math.abs(la - lb) > band) return -1L
+    val INF = Long.MaxValue / 4
+    var prev = Array.fill(lb)(INF)
+    var cur = Array.fill(lb)(INF)
+    var i = 0
+    while (i < la) {
+      java.util.Arrays.fill(cur, INF)
+      val jLo = math.max(0, i - band)
+      val jHi = math.min(lb - 1, i + band)
+      var j = jLo
+      while (j <= jHi) {
+        val cost = math.abs(a(i) - b(j))
+        val best =
+          if (i == 0 && j == 0) 0L
+          else {
+            val up = if (i > 0) prev(j) else INF
+            val left = if (j > 0) cur(j - 1) else INF
+            val diag = if (i > 0 && j > 0) prev(j - 1) else INF
+            math.min(up, math.min(left, diag))
+          }
+        cur(j) = best + cost
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lb - 1)
+  }
+
+  /** All-pairs banded DTW between the keyed series of a long frame
+    * whose values are ALREADY integer-quantized (`centsCol` long).
+    *
+    * Scale shape: one groupBy(key) collapses the long table to one
+    * array row per series (the caller bounds series length by its
+    * position filter — per-row state is O(len)); the pair frame is
+    * |keys|²/2 rows, each carrying two bounded arrays, and the DP maps
+    * over those rows in executors — nothing touches the driver. The
+    * key domain is the caller's contract (event types here, not users).
+    */
+  def dtwPairs(df: DataFrame, keyCol: String, posCol: String,
+      centsCol: String, band: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val arrs = df.groupBy(col(keyCol).as("k"))
+      .agg(array_sort(collect_list(struct(col(posCol).cast("long").as("p"),
+        col(centsCol).cast("long").as("v")))).as("pv"))
+      .select(col("k").cast("string").as("k"),
+        expr("transform(pv, x -> x.v)").as("vs"))
+    val a = arrs.select(col("k").as("ka"), col("vs").as("va"))
+    val b = arrs.select(col("k").as("kb"), col("vs").as("vb"))
+    a.crossJoin(b).where(col("ka") < col("kb"))
+      .as[(String, Seq[Long], String, Seq[Long])]
+      .map { case (ka, va, kb, vb) =>
+        (ka, kb, dtwBanded(va.toArray, vb.toArray, band))
+      }
+      .toDF("key_a", "key_b", "dtw_cents")
+  }
+
   def iqrOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
     val v = col(valueCol)
     val q = df.groupBy(keyCols.map(col): _*)

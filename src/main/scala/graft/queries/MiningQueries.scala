@@ -115,6 +115,21 @@ object MiningQueries {
       GraphOps.pagerank(tr, "from_type", "to_type", "n", d = 0.85, iters = 5)
         .select(col("node"), r4(col("r")).as("rank"))
         .orderBy("node")
+    }),
+
+    // Banded DTW between every event-type pair's first-96-hour
+    // integer-cent series: alignment-based similarity beside ccf_lag's
+    // fixed-lag correlation. Integer DP → the distance is exact; the
+    // oracle replays the DP as an anti-diagonal recursive CTE.
+    "dtw_distance" -> ((s, dir) => {
+      val ser = hourlyPos(s, dir)
+        .where(col("pos") < 96)
+        .withColumn("cents", round(col("hv") * 100).cast("long"))
+      SeriesMiningOps.dtwPairs(ser, "event_type", "pos", "cents", band = 8)
+        .select(col("key_a").as("type_a"), col("key_b").as("type_b"),
+          col("dtw_cents"),
+          (col("dtw_cents").cast("double") / 100.0).as("dtw"))
+        .orderBy("type_a", "type_b")
     })
   )
 
@@ -282,6 +297,68 @@ object MiningQueries {
       """SELECT CAST(date_part('hour', ts) AS BIGINT) AS hr,
         |  CAST(floor(value / 25.0) AS BIGINT) AS vbin, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Anti-diagonal recursive DP: the working set holds diagonals d and
+    // d−1 (rows flagged n=1 / n=0); each step fans every cell to its
+    // successors (right/down from the new diagonal, diagonal-move from
+    // the old), groups by target cell with min(acc), and adds the
+    // target's cost — the inner join against the banded cost table
+    // prunes out-of-range and out-of-band targets, and carries stop at
+    // the last diagonal, terminating the recursion. Integer cents
+    // throughout: the min/+ algebra is exact on both engines.
+    "dtw_distance" -> w(
+      """WITH RECURSIVE hv AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(round(sum(value) * 100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, c,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS p
+        |    FROM hv) WHERE p < 96),
+        |len AS (SELECT event_type, count(*) AS n FROM ser GROUP BY 1),
+        |pr AS (
+        |  SELECT la.event_type AS ta, lb.event_type AS tb, la.n AS na, lb.n AS nb
+        |  FROM len la, len lb WHERE la.event_type < lb.event_type),
+        |cost AS MATERIALIZED (
+        |  SELECT pr.ta, pr.tb, pr.na, pr.nb, sa.p AS i, sb.p AS j,
+        |    abs(sa.c - sb.c) AS c
+        |  FROM pr
+        |  JOIN ser sa ON sa.event_type = pr.ta
+        |  JOIN ser sb ON sb.event_type = pr.tb
+        |  WHERE abs(sa.p - sb.p) <= 8),
+        |dp AS (
+        |  SELECT ta, tb, na, nb, 0 AS i, 0 AS j, 0 AS d, 1 AS n, c AS acc
+        |  FROM cost WHERE i = 0 AND j = 0
+        |  UNION ALL
+        |  SELECT g.ta, g.tb, g.na, g.nb, g.ti, g.tj, g.td, g.nn,
+        |    CASE WHEN g.nn = 1 THEN g.macc + cost.c ELSE g.macc END AS acc
+        |  FROM (
+        |    SELECT mv.ta, mv.tb, mv.na, mv.nb, mv.ti, mv.tj, mv.td,
+        |      max(mv.isnew) AS nn, min(mv.acc) AS macc
+        |    FROM (
+        |      SELECT unnest(CASE WHEN p.n = 1 THEN
+        |        list_concat(
+        |          [{'ta': p.ta, 'tb': p.tb, 'na': p.na, 'nb': p.nb,
+        |            'ti': p.i + 1, 'tj': p.j, 'td': p.d + 1, 'isnew': 1, 'acc': p.acc},
+        |           {'ta': p.ta, 'tb': p.tb, 'na': p.na, 'nb': p.nb,
+        |            'ti': p.i, 'tj': p.j + 1, 'td': p.d + 1, 'isnew': 1, 'acc': p.acc}],
+        |          CASE WHEN p.d < p.na + p.nb - 2 THEN
+        |            [{'ta': p.ta, 'tb': p.tb, 'na': p.na, 'nb': p.nb,
+        |              'ti': p.i, 'tj': p.j, 'td': p.d, 'isnew': 0, 'acc': p.acc}]
+        |          ELSE [] END)
+        |      ELSE
+        |        [{'ta': p.ta, 'tb': p.tb, 'na': p.na, 'nb': p.nb,
+        |          'ti': p.i + 1, 'tj': p.j + 1, 'td': p.d + 2, 'isnew': 1, 'acc': p.acc}]
+        |      END) AS mv
+        |      FROM dp p) u
+        |    GROUP BY 1, 2, 3, 4, 5, 6, 7) g
+        |  JOIN cost ON cost.ta = g.ta AND cost.tb = g.tb
+        |    AND cost.i = g.ti AND cost.j = g.tj)
+        |SELECT ta AS type_a, tb AS type_b, min(acc) AS dtw_cents,
+        |  CAST(min(acc) AS DOUBLE) / 100.0 AS dtw
+        |FROM dp WHERE i = na - 1 AND j = nb - 1 AND n = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "pagerank_types" -> pagerankOracleSql(5)
   )

@@ -106,4 +106,33 @@ class SeriesMiningSpec extends SparkSpec {
     assert(r._1 == 103 && r._2 >= 1 && r._3 >= 2)
     assert(r._4 < 1.0 && r._5 > 100.0 && r._5 < 500.0)
   }
+
+  test("dtwBanded: known alignments, band cutoff, disconnection") {
+    // identical series → 0
+    assert(SeriesMiningOps.dtwBanded(Array(1L, 2L, 3L), Array(1L, 2L, 3L), 2) == 0L)
+    // A=[1,2,3] vs B=[1,3]: optimal warp cost 1 (classic toy)
+    assert(SeriesMiningOps.dtwBanded(Array(1L, 2L, 3L), Array(1L, 3L), 2) == 1L)
+    // time-shifted copy aligns at cost of the two edge cells only:
+    // A=[0,0,5,5], B=[0,5,5,5] → dtw 0? path exists matching all equal
+    assert(SeriesMiningOps.dtwBanded(Array(0L, 0L, 5L, 5L), Array(0L, 5L, 5L, 5L), 3) == 0L)
+    // band too narrow for the length gap → disconnected
+    assert(SeriesMiningOps.dtwBanded(Array(1L, 2L, 3L, 4L, 5L), Array(1L), 2) == -1L)
+    // band 0 = lockstep (L1 distance)
+    assert(SeriesMiningOps.dtwBanded(Array(1L, 5L), Array(2L, 3L), 0) == 3L)
+  }
+
+  test("dtwPairs: frame surface matches the scalar DP") {
+    val rows = Seq(
+      ("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L),
+      ("b", 0L, 1L), ("b", 1L, 3L), ("b", 2L, 3L),
+      ("c", 0L, 9L), ("c", 1L, 9L), ("c", 2L, 9L))
+      .toDF("k", "pos", "cents")
+    val out = SeriesMiningOps.dtwPairs(rows, "k", "pos", "cents", band = 2)
+      .orderBy("key_a", "key_b")
+      .as[(String, String, Long)].collect().toSeq
+    val ab = SeriesMiningOps.dtwBanded(Array(1L, 2L, 3L), Array(1L, 3L, 3L), 2)
+    val ac = SeriesMiningOps.dtwBanded(Array(1L, 2L, 3L), Array(9L, 9L, 9L), 2)
+    val bc = SeriesMiningOps.dtwBanded(Array(1L, 3L, 3L), Array(9L, 9L, 9L), 2)
+    assert(out == Seq(("a", "b", ab), ("a", "c", ac), ("b", "c", bc)))
+  }
 }
