@@ -237,6 +237,31 @@ object SeriesMiningOps {
     * 1.5·IQR, and counts either side. Two passes: a quartile
     * aggregate (series-count-sized, broadcast back) and a count pass.
     */
+  /** Theil–Sen robust trend estimator: the median of all pairwise
+    * slopes (y_b − y_a)/(x_b − x_a) per series — the outlier-immune
+    * companion of [[linearForecast]]'s OLS slope (breakdown point
+    * ~29% vs OLS's 0).
+    *
+    * O(n²/2) pairs per series, generated INSIDE a per-key equi-join so
+    * the shuffle moves series rows, not pairs; the caller bounds n by
+    * its series granularity (daily rollups here). Integer-quantized y
+    * keeps each slope a single exact division; the only estimator FP
+    * is the median interpolation.
+    */
+  def theilSen(df: DataFrame, keyCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val kc = keyCols.map(col)
+    val a = df.select(kc :+ col(xCol).as("xa") :+ col(yCol).as("ya"): _*)
+    val b = df.select(kc :+ col(xCol).as("xb") :+ col(yCol).as("yb"): _*)
+    a.join(b, keyCols)
+      .where(col("xa") < col("xb"))
+      .select(kc :+ ((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa"))).as("slope"): _*)
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(col("slope"), lit(0.5)).as("med_slope"))
+  }
+
   /** Banded dynamic-time-warping distance on integer (cents-quantized)
     * series: classic O(n·band) DP with the Sakoe–Chiba band
     * |i − j| ≤ band. Integer arithmetic end to end, so the distance is

@@ -97,6 +97,47 @@ object AnalyticsQueries {
           r4(TextOps.fleschScore(col("text"))).as("flesch"))
         .orderBy("doc_id")),
 
+    // CDC changeset apply (MERGE semantics): updates bump acctbal,
+    // deletes drop rows (keys disjoint from updates), inserts add
+    // shifted keys — the snapshot-maintenance op behind every
+    // incremental dimension load.
+    "cdc_merge" -> ((s, dir) => {
+      val base = customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      val upd = base.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .withColumn("op", lit("U"))
+      val del = base
+        .where(col("c_custkey") % 17 === 0 && col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .withColumn("op", lit("D"))
+      val ins = base.where(col("c_custkey") % 23 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal"))
+        .withColumn("op", lit("I"))
+      val changes = upd.unionByName(del).unionByName(ins)
+      graft.operators.CdcOps
+        .applyChanges(base, changes, Seq("c_custkey"), "op")
+        .orderBy("c_custkey")
+    }),
+
+    // SCD type-2 intervals: each user's daily activity-level runs
+    // (count div 5) as [valid_from, valid_to) versions, NULL = current.
+    "scd2_intervals" -> ((s, dir) => {
+      val d = events(s, dir).where(col("user_id") < 500)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("day"), expr("n div 5").as("attr"))
+      graft.operators.CdcOps.scd2(d, Seq("user_id"), "day", "attr")
+        .select(col("user_id"), col("version"), col("attr"),
+          // timestamps, not dates: parquet DATE lands as python objects
+          // in the driver compare while DuckDB dates land as datetime64
+          col("valid_from").cast("timestamp").as("valid_from"),
+          col("valid_to").cast("timestamp").as("valid_to"))
+        .orderBy("user_id", "version")
+    }),
+
     // Unpivot (melt): the four lineitem measures to long format for an
     // early-1995 slice — the inverse of the pivot_wide gate.
     "unpivot_long" -> ((s, dir) =>
@@ -239,6 +280,48 @@ object AnalyticsQueries {
         |              / CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE))
         |  , 4) AS flesch
         |FROM documents ORDER BY doc_id"""),
+
+    "cdc_merge" -> w(
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |upd AS (SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+        |    'U' AS op FROM base WHERE c_custkey % 10 = 0),
+        |del AS (SELECT c_custkey, c_name, c_acctbal, 'D' AS op
+        |  FROM base WHERE c_custkey % 17 = 0 AND c_custkey % 10 <> 0),
+        |ins AS (SELECT c_custkey + 1000000 AS c_custkey,
+        |    'NEW ' || c_name AS c_name, 0.0 AS c_acctbal, 'I' AS op
+        |  FROM base WHERE c_custkey % 23 = 0),
+        |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM ins),
+        |kept AS (SELECT b.* FROM base b
+        |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changes))
+        |SELECT * FROM kept
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM changes WHERE op <> 'D'
+        |ORDER BY c_custkey"""),
+
+    "scd2_intervals" -> w(
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) // 5 AS attr
+        |  FROM events WHERE user_id < 500 GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, day, attr,
+        |    CASE WHEN lag(attr) OVER
+        |        (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM attr
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM d),
+        |v AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, CAST(version AS BIGINT) AS version,
+        |    min(attr) AS attr, min(day) AS valid_from
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, attr,
+        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS TIMESTAMP) AS valid_to
+        |FROM g ORDER BY user_id, version"""),
 
     "unpivot_long" -> w(
       """WITH src AS (

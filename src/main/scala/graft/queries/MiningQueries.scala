@@ -130,6 +130,20 @@ object MiningQueries {
           col("dtw_cents"),
           (col("dtw_cents").cast("double") / 100.0).as("dtw"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // Theil–Sen robust slope of each type's daily-cents series: median
+    // of pairwise slopes, the outlier-immune beside forecast_linear's
+    // OLS fit. Slope reported back in value units per day.
+    "theil_sen" -> ((s, dir) => {
+      val d = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")) * 100).cast("long").as("c"))
+        .withColumn("x", unix_date(col("day")).cast("long"))
+      SeriesMiningOps.theilSen(d, Seq("event_type"), "x", "c")
+        .select(col("event_type"), col("n_pairs"),
+          r4(col("med_slope") / 100.0).as("slope"))
+        .orderBy("event_type")
     })
   )
 
@@ -360,7 +374,21 @@ object MiningQueries {
         |FROM dp WHERE i = na - 1 AND j = nb - 1 AND n = 1
         |GROUP BY 1, 2 ORDER BY 1, 2"""),
 
-    "pagerank_types" -> pagerankOracleSql(5)
+    "pagerank_types" -> pagerankOracleSql(5),
+
+    "theil_sen" -> w(
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(sum(value) * 100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x, c FROM d),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS slope
+        |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5) / 100.0, 4) AS slope
+        |FROM p GROUP BY 1 ORDER BY 1""")
   )
 
   /** Shared unrolled power-iteration CTE block: given an `e(src, dst,

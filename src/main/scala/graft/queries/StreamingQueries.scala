@@ -510,6 +510,33 @@ object StreamingQueries {
         .select(col("event_type"), col("step"), r4(col("slope")).as("slope"),
           r4(col("intercept")).as("intercept"), r4(col("yhat")).as("yhat"))
         .orderBy("event_type", "step")
+    }),
+
+    // Streaming data-quality monitor: per-type row counts + violation
+    // counters (null value, value > 90) as complete-mode aggregation
+    // state — the DataQualityOps constraint suite ON the stream; the
+    // final snapshot must equal the one-shot batch counts. Violation
+    // counters are O(types) state regardless of stream length.
+    "stream_dq" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sdq-src").toString
+      val ev0 = events(s, dir).select("event_type", "value")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val qn = "graft_sdq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("value") > 90.0, 1L).otherwise(0L)).as("n_over_90"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sdq-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn)
+        .select(col("event_type"), col("n"), col("n_null"), col("n_over_90"))
+        .orderBy("event_type")
     })
   )
 
@@ -525,6 +552,14 @@ object StreamingQueries {
     // streaming-state hourly sums are grid-exact ⇒ the snapshot fit
     // must land exactly on the batch fit
     "stream_forecast" -> MiningQueries.oracle("forecast_linear"),
+    // the stream's violation counters must equal the batch scan's
+    "stream_dq" -> w(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  CAST(sum(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_over_90
+        |FROM events GROUP BY 1 ORDER BY 1"""),
     // the stream-stream join must emit exactly the batch interval
     // join's pairs (inner join emits each match once; nothing is
     // watermark-dropped at 90-day lateness)
