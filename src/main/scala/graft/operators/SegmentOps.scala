@@ -22,22 +22,67 @@ import org.apache.spark.sql.functions._
   */
 object SegmentOps {
 
+  /** Exact global ascending rank of (`v`, `tieCol`) WITHOUT a global
+    * window — the distributed form of `row_number() OVER (ORDER BY …)`:
+    *  1. range-bucket the (integer) sort value via a broadcast
+    *     min/max frame — order-aligned buckets, so bucket order =
+    *     value order;
+    *  2. count rows per bucket and turn the bounded bucket frame into
+    *     prefix offsets with a tiny non-equi self-join (no window);
+    *  3. rank inside each bucket with a PARTITIONED window and add the
+    *     broadcast offset.
+    * Exactly the rank a single-task global sort would produce, with
+    * parallelism = nBuckets instead of 1.
+    */
+  def globalRank(df: DataFrame, v: Column, tieCol: String, nBuckets: Int,
+                 as: String): DataFrame = {
+    val withV = df.withColumn("_grv", v.cast("long"))
+    val mm = withV.agg(min(col("_grv")).as("_mn"), max(col("_grv")).as("_mx"))
+    val bucketed = withV.crossJoin(broadcast(mm))
+      // integer div, not `/`: Column./ widens to double, which loses
+      // exactness past 2^53 — `div` keeps the bucket id exact longs
+      .withColumn("_grb",
+        expr(s"((_grv - _mn) * $nBuckets) div (_mx - _mn + 1)"))
+      .drop("_mn", "_mx")
+    val counts = bucketed.groupBy(col("_grb")).agg(count(lit(1)).as("_c"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._grb") < col("a._grb"), "left")
+      .groupBy(col("a._grb").as("_grb"))
+      .agg(coalesce(sum(col("b._c")), lit(0L)).as("_off"))
+    val w = Window.partitionBy(col("_grb"))
+      .orderBy(col("_grv").asc, col(tieCol).asc)
+    bucketed.join(broadcast(offsets), "_grb")
+      .withColumn(as, row_number().over(w).cast("long") + col("_off"))
+      .drop("_grb", "_grv", "_off")
+  }
+
+  /** NTILE(k) of a global rank: q = n div k rows per tile with the
+    * first n mod k tiles one longer — the exact SQL NTILE distribution,
+    * as a pure integer function of (rank, n).
+    */
+  private def ntileOfRank(rank: String, n: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN $rank <= ($n % $k) * (($n div $k) + 1)
+         |  THEN ($rank + ($n div $k)) div (($n div $k) + 1)
+         |  ELSE ($n % $k) +
+         |    (($rank - ($n % $k) * (($n div $k) + 1)) + ($n div $k) - 1)
+         |      div ($n div $k)
+         |END""".stripMargin)
+
   /** RFM segmentation over an order history.
     *
     * Per customer: recency = whole days between the customer's last
     * order and the corpus max date, frequency = order count, monetary =
     * lifetime spend. Each dimension is scored into `tiles` quantile
-    * tiles with NTILE (1 = best: most recent / most frequent / highest
-    * spend), ordered on integer-exact keys (days, counts, cents) with
-    * the customer id as the final tie-break.
+    * tiles with exact NTILE semantics (1 = best: most recent / most
+    * frequent / highest spend), ordered on integer-exact keys (days,
+    * counts, cents) with the customer id as the final tie-break.
     *
-    * One groupBy(custkey) shuffle at customer cardinality + three
-    * window passes over the aggregated (one-row-per-customer) frame.
-    * At 100 TB the windows are global NTILEs — a single-partition sort
-    * of ONE ROW PER CUSTOMER (the aggregate, never the order stream);
-    * beyond ~100M customers swap NTILE for a percentile-bucket join
-    * (percent_rank is the same sort) — the aggregate-first shape is the
-    * part that matters.
+    * One groupBy(custkey) shuffle at customer cardinality, then each
+    * dimension is ranked via [[globalRank]] — range-bucketed
+    * partitioned windows with broadcast prefix offsets, never a
+    * single-task global sort — and scored with the closed-form NTILE
+    * distribution. Descending dimensions rank on the negated key.
     */
   def rfm(orders: DataFrame, dateCol: String, custCol: String,
           amountCol: String, tiles: Int = 5): DataFrame = {
@@ -56,15 +101,21 @@ object SegmentOps {
       .withColumn("recency_days",
         datediff(col("max_date"), col("last_order")).cast("long"))
       .drop("max_date", "last_order")
-    val rW = Window.orderBy(col("recency_days").asc, col("custkey").asc)
-    val fW = Window.orderBy(col("frequency").desc, col("custkey").asc)
-    val mW = Window.orderBy(col("monetary_cents").desc, col("custkey").asc)
-    perCust
-      .withColumn("r_score", ntile(tiles).over(rW))
-      .withColumn("f_score", ntile(tiles).over(fW))
-      .withColumn("m_score", ntile(tiles).over(mW))
+    val total = perCust.agg(count(lit(1)).as("_n"))
+    val ranked = Seq(
+      (col("recency_days"), "_rrk"),       // ascending: recent = small
+      (negate(col("frequency")), "_frk"),  // descending via negation
+      (negate(col("monetary_cents")), "_mrk")
+    ).foldLeft(perCust) { case (df, (v, as)) =>
+      globalRank(df, v, "custkey", nBuckets = 1024, as = as)
+    }
+    ranked.crossJoin(broadcast(total))
+      .withColumn("r_score", ntileOfRank("_rrk", "_n", tiles).cast("int"))
+      .withColumn("f_score", ntileOfRank("_frk", "_n", tiles).cast("int"))
+      .withColumn("m_score", ntileOfRank("_mrk", "_n", tiles).cast("int"))
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
+      .drop("_rrk", "_frk", "_mrk", "_n")
   }
 
   /** Market-basket association rules over a (basket, item) relation.

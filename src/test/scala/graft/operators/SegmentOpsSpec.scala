@@ -62,6 +62,18 @@ class SegmentOpsSpec extends SparkSpec {
     assert(math.abs(lift - 8.0 / 9) < 1e-12)
   }
 
+  test("globalRank equals a single-sort row_number, including ties") {
+    // deterministic pseudo-random longs with repeats; few buckets so
+    // several values share a bucket and offsets matter
+    val rows = (1L to 200L).map(i => (i, (i * 37) % 23)).toDF("id", "v")
+    val got = SegmentOps.globalRank(rows, col("v"), "id", nBuckets = 7, as = "rk")
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    val expected = (1L to 200L).map(i => (i, (i * 37) % 23))
+      .sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == expected)
+  }
+
   test("welchT matches hand-computed t and df") {
     // arm 0: (1,2,3)  mean 2, var 1; arm 1: (2,4,6,8) mean 5, var 20/3
     val df = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0),
