@@ -97,6 +97,31 @@ object AnalyticsQueries {
           r4(TextOps.fleschScore(col("text"))).as("flesch"))
         .orderBy("doc_id")),
 
+    // k-anonymity / l-diversity profile of the customer table under
+    // (nation, segment) quasi-identifiers with a generalized acctbal
+    // bucket as the sensitive attribute — the re-identification screen
+    // before a person-adjacent table ships.
+    "k_anonymity" -> ((s, dir) => {
+      val c = customer(s, dir).withColumn("ab_bucket",
+        graft.operators.PrivacyOps.generalizeNum(col("c_acctbal"), 1000L))
+      graft.operators.PrivacyOps
+        .kAnonymity(c, Seq("c_nationkey", "c_mktsegment"), "ab_bucket", 5L)
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          col("k"), col("l"), col("suppress"))
+        .orderBy("nation", "segment")
+    }),
+
+    // Release-level anonymity summary: worst-case k and l plus the row
+    // cost of suppressing sub-threshold groups.
+    "anon_summary" -> ((s, dir) => {
+      val c = customer(s, dir).withColumn("ab_bucket",
+        graft.operators.PrivacyOps.generalizeNum(col("c_acctbal"), 1000L))
+      graft.operators.PrivacyOps.anonymitySummary(
+        graft.operators.PrivacyOps
+          .kAnonymity(c, Seq("c_nationkey", "c_mktsegment"), "ab_bucket", 5L))
+    }),
+
     // CDC changeset apply (MERGE semantics): updates bump acctbal,
     // deletes drop rows (keys disjoint from updates), inserts add
     // shifted keys — the snapshot-maintenance op behind every
@@ -280,6 +305,26 @@ object AnalyticsQueries {
         |              / CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE))
         |  , 4) AS flesch
         |FROM documents ORDER BY doc_id"""),
+
+    "k_anonymity" -> w(
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment, count(*) AS k,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000)
+        |    AS l,
+        |  count(*) < 5 AS suppress
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "anon_summary" -> w(
+      """WITH p AS (
+        |  SELECT count(*) AS k,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000)
+        |      AS l
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT count(*) AS n_groups, min(k) AS min_k, min(l) AS min_l,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_suppressed,
+        |  CAST(sum(k) AS BIGINT) AS rows_total
+        |FROM p"""),
 
     "cdc_merge" -> w(
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -104,6 +104,27 @@ object LlmQueries {
         r4((po - pe) / (lit(1.0) - pe)).as("kappa"))
     }),
 
+    // Sliding-window retrieval chunking: 64-token windows at stride 32
+    // per document (trailing partials kept), fingerprinted — the
+    // passage-builder stage ahead of embedding; chunk_dedup's fixed
+    // blocks measure repetition, these overlapping windows feed a
+    // retrieval index. Pure per-row array ops: no shuffle at all.
+    "chunk_windows" -> ((s, dir) => {
+      val chunkTok = 64; val strideTok = 32
+      documents(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, n - 1, $strideTok)")).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          expr(s"slice(toks, start + 1, $chunkTok)").as("chunk"))
+        .select(col("doc_id"), col("start"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("fp"))
+        .orderBy("doc_id", "start")
+    }),
+
     // Quality scoring rolled up per source.
     "quality_score" -> ((s, dir) =>
       documents(s, dir)
@@ -1732,6 +1753,16 @@ object LlmQueries {
          |  round((CAST(diag AS DOUBLE) / n - CAST(xsum AS DOUBLE) / (n * n))
          |    / (1.0 - CAST(xsum AS DOUBLE) / (n * n)), 4) AS kappa
          |FROM t"""),
+    "chunk_windows" -> w(
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS arr FROM documents),
+         |st AS (SELECT doc_id, arr, unnest(range(0, len(arr), 32)) AS start
+         |  FROM toks WHERE len(arr) >= 1),
+         |ch AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+         |    arr[start + 1 : start + 64] AS chunk
+         |  FROM st)
+         |SELECT doc_id, start, CAST(len(chunk) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(chunk, ' ')) AS fp
+         |FROM ch ORDER BY doc_id, start"""),
     "quality_score" -> w(
       s"""WITH q AS (
          |  SELECT source,
