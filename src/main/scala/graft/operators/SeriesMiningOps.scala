@@ -237,6 +237,58 @@ object SeriesMiningOps {
     * 1.5·IQR, and counts either side. Two passes: a quartile
     * aggregate (series-count-sized, broadcast back) and a count pass.
     */
+  /** Walk-forward backtest of the OLS trend fit: fit on positions
+    * [0, trainN), predict [trainN, trainN + evalN), and score with the
+    * standard point-forecast metrics — MAE, sMAPE, and MASE (MAE scaled
+    * by the IN-SAMPLE one-step naive MAE, Hyndman & Koehler 2006), so a
+    * model is judged against "predict yesterday's value" on the data it
+    * trained on. Callers pass an INTEGER value column (quantize first):
+    * every fit sum and every naive-walk delta is then exact, and the
+    * only FP is the fit division, the per-point error arithmetic, and
+    * the final averages (identical shapes in the oracle).
+    *
+    * Shape: one aggregate per series for the fit (exact long sums), one
+    * partitioned window pass for the naive deltas, one broadcast join
+    * of the series-count-sized model onto the eval slice. No global
+    * anything.
+    */
+  def olsBacktest(df: DataFrame, keyCols: Seq[String], posCol: String,
+      valueCol: String, trainN: Int, evalN: Int): DataFrame = {
+    val kc = keyCols.map(col)
+    val train = df.where(col(posCol) < trainN)
+    val fit = train.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n"), sum(col(posCol)).as("sx"),
+        sum(col(valueCol)).as("sy"),
+        sum(col(posCol) * col(valueCol)).as("sxy"),
+        sum(col(posCol) * col(posCol)).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .select(kc :+ col("slope") :+ col("intercept"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col(posCol))
+    val naive = train
+      .withColumn("_pv", lag(col(valueCol), 1).over(w))
+      .where(col("_pv").isNotNull)
+      .groupBy(kc: _*)
+      .agg((sum(abs(col(valueCol) - col("_pv"))).cast("double") /
+        count(lit(1))).as("naive_mae"))
+    val ev = df
+      .where(col(posCol) >= trainN && col(posCol) < trainN + evalN)
+      .join(broadcast(fit), keyCols)
+      .withColumn("yhat", col("intercept") + col("slope") * col(posCol))
+      .withColumn("err", col(valueCol) - col("yhat"))
+    ev.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_eval"),
+        (sum(abs(col("err"))) / count(lit(1))).as("mae"),
+        (sum(lit(2.0) * abs(col("err")) /
+          (abs(col(valueCol)) + abs(col("yhat")))) / count(lit(1)))
+          .as("smape"))
+      .join(broadcast(naive), keyCols)
+      .withColumn("mase", col("mae") / col("naive_mae"))
+  }
+
   /** Theil–Sen robust trend estimator: the median of all pairwise
     * slopes (y_b − y_a)/(x_b − x_a) per series — the outlier-immune
     * companion of [[linearForecast]]'s OLS slope (breakdown point

@@ -104,6 +104,26 @@ object LlmQueries {
         r4((po - pe) / (lit(1.0) - pe)).as("kappa"))
     }),
 
+    // Reliability diagram of the LR quality classifier: decile buckets
+    // of predicted probability vs empirical positive rate — is 0.8
+    // really 80%? The calibration check beside classifier_prf's
+    // discrimination metrics.
+    "lr_calibration" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val feat = ClassifierOps.hashFeatures(docs, "doc_id", "text", 32)
+        .localCheckpoint()
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val wv = ClassifierOps.lrTrain(feat, labels, 32, 3, 0.1)
+      ClassifierOps.lrScore(feat, wv)
+        .join(labels, "id")
+        .withColumn("b", least(floor(col("p") * 10), lit(9)).cast("long"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), r4(avg(col("p"))).as("mean_p"),
+          r4(avg(col("y"))).as("pos_rate"))
+        .orderBy("b")
+    }),
+
     // Sliding-window retrieval chunking: 64-token windows at stride 32
     // per document (trailing partials kept), fingerprinted — the
     // passage-builder stage ahead of embedding; chunk_dedup's fixed
@@ -1177,6 +1197,25 @@ object LlmQueries {
     sb ++= "\nSELECT id AS doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p," +
       " 1.0 / (1.0 + exp(-z)) > 0.5 AS pred FROM zf ORDER BY doc_id"
     sb.toString
+  }
+
+  /** lr_calibration oracle: the same generated training replay, with a
+    * reliability-diagram tail — decile buckets of the predicted
+    * probability vs the empirical positive rate.
+    */
+  private def lrCalibrationSql: String = {
+    val core = lrOracleSql
+    val cut = core.lastIndexOf("\nSELECT id AS doc_id")
+    core.substring(0, cut) +
+      """
+        |SELECT b, count(*) AS n, round(avg(p), 4) AS mean_p,
+        |  round(avg(y), 4) AS pos_rate
+        |FROM (
+        |  SELECT z.id, 1.0 / (1.0 + exp(-z.z)) AS p, y.y,
+        |    CAST(least(floor((1.0 / (1.0 + exp(-z.z))) * 10), 9) AS BIGINT)
+        |      AS b
+        |  FROM zf z JOIN lab y ON y.id = z.id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The pca_project oracle, generated: 2 components × 8 power
@@ -2673,6 +2712,10 @@ object LlmQueries {
     // lr_quality: hashed features + all three GD iterations replayed;
     // 6dp-rounded gradients pin the weight chain across engines
     "lr_quality" -> lrOracleSql,
+
+    // lr_calibration: the same generated replay with a decile-bucket
+    // reliability tail
+    "lr_calibration" -> lrCalibrationSql,
 
     // pca_project: every step of the training replayed — rounded
     // moments, each power iteration a (matvec, norm, divide) CTE

@@ -132,6 +132,21 @@ object MiningQueries {
         .orderBy("type_a", "type_b")
     }),
 
+    // Walk-forward forecast evaluation: OLS fit on the first 120 hourly
+    // positions, scored on the next 24 with MAE / sMAPE / MASE (scaled
+    // by in-sample one-step naive MAE) — the honest companion of
+    // forecast_linear: not just a fit, but how good the fit is.
+    "forecast_eval" -> ((s, dir) => {
+      val ser = hourlyPos(s, dir)
+        .withColumn("cents", round(col("hv") * 100).cast("long"))
+      SeriesMiningOps.olsBacktest(ser, Seq("event_type"), "pos", "cents",
+          trainN = 120, evalN = 24)
+        .select(col("event_type"), col("n_eval"),
+          r4(col("mae") / 100.0).as("mae"),
+          r4(col("smape")).as("smape"), r4(col("mase")).as("mase"))
+        .orderBy("event_type")
+    }),
+
     // Theil–Sen robust slope of each type's daily-cents series: median
     // of pairwise slopes, the outlier-immune beside forecast_linear's
     // OLS fit. Slope reported back in value units per day.
@@ -375,6 +390,47 @@ object MiningQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "pagerank_types" -> pagerankOracleSql(5),
+
+    "forecast_eval" -> w(
+      """WITH hv AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(round(sum(value) * 100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS p
+        |  FROM hv),
+        |tr AS (SELECT * FROM ser WHERE p < 120),
+        |fit AS (
+        |  SELECT event_type, count(*) AS n, sum(p) AS sx, sum(c) AS sy,
+        |    sum(p * c) AS sxy, sum(p * p) AS sxx
+        |  FROM tr GROUP BY 1),
+        |f2 AS (
+        |  SELECT event_type, n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM fit),
+        |f3 AS (SELECT event_type, slope,
+        |    (sy - slope * sx) / n AS intercept FROM f2),
+        |naive AS (
+        |  SELECT event_type,
+        |    CAST(sum(abs(c - pc)) AS DOUBLE) / count(*) AS naive_mae
+        |  FROM (SELECT event_type, c,
+        |      lag(c) OVER (PARTITION BY event_type ORDER BY p) AS pc
+        |    FROM tr)
+        |  WHERE pc IS NOT NULL GROUP BY 1),
+        |ev AS (
+        |  SELECT s.event_type, s.c, f.intercept + f.slope * s.p AS yhat
+        |  FROM ser s JOIN f3 f USING (event_type)
+        |  WHERE s.p >= 120 AND s.p < 144),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_eval,
+        |    sum(abs(c - yhat)) / count(*) AS mae,
+        |    sum(2.0 * abs(c - yhat) / (abs(c) + abs(yhat))) / count(*)
+        |      AS smape
+        |  FROM ev GROUP BY 1)
+        |SELECT m.event_type, n_eval, round(mae / 100.0, 4) AS mae,
+        |  round(smape, 4) AS smape, round(mae / naive_mae, 4) AS mase
+        |FROM m JOIN naive USING (event_type) ORDER BY 1"""),
 
     "theil_sen" -> w(
       """WITH d AS (

@@ -107,6 +107,36 @@ class SeriesMiningSpec extends SparkSpec {
     assert(r._4 < 1.0 && r._5 > 100.0 && r._5 < 500.0)
   }
 
+  test("olsBacktest: perfect linear series scores zero error, MASE = 0") {
+    // y = 10x on positions 0..11, train 8, eval 4 → exact fit
+    val pts = (0L until 12L).map(i => ("s", i, 10L * i)).toDF("k", "p", "v")
+    val r = SeriesMiningOps.olsBacktest(pts, Seq("k"), "p", "v", 8, 4)
+      .select("n_eval", "mae", "smape", "mase")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 4L)
+    assert(math.abs(r._2) < 1e-9 && math.abs(r._3) < 1e-9 && math.abs(r._4) < 1e-9)
+  }
+
+  test("olsBacktest: constant-with-jump eval gives the jump as MAE") {
+    // train flat 100 (naive MAE 0? no — deltas all 0 → naive_mae 0 →
+    // MASE div0; use a train with one step so naive_mae = 2)
+    val train = Seq(0L, 1L, 2L, 3L).map(i => ("s", i, 100L + (i % 2) * 4L))
+    // train values 100,104,100,104: OLS slope ~0.8 — compute expected
+    // directly from the closed form instead of hand-waving
+    val ev = Seq(4L, 5L).map(i => ("s", i, 200L))
+    val df = (train ++ ev).toDF("k", "p", "v")
+    val out = SeriesMiningOps.olsBacktest(df, Seq("k"), "p", "v", 4, 2)
+      .select("n_eval", "mae", "mase").as[(Long, Double, Double)].head()
+    // closed form on train: n=4, sx=6, sy=408, sxy=616, sxx=14
+    val slope = (4.0 * 616 - 6 * 408) / (4.0 * 14 - 36)
+    val icept = (408 - slope * 6) / 4
+    val mae = (math.abs(200 - (icept + slope * 4)) + math.abs(200 - (icept + slope * 5))) / 2
+    val naive = (4.0 + 4.0 + 4.0) / 3
+    assert(out._1 == 2L)
+    assert(math.abs(out._2 - mae) < 1e-9)
+    assert(math.abs(out._3 - mae / naive) < 1e-9)
+  }
+
   test("dtwBanded: known alignments, band cutoff, disconnection") {
     // identical series → 0
     assert(SeriesMiningOps.dtwBanded(Array(1L, 2L, 3L), Array(1L, 2L, 3L), 2) == 0L)
