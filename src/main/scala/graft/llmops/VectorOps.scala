@@ -266,6 +266,39 @@ object VectorOps {
       }.toDF("id", "v", "cid")
   }
 
+  /** Mean-silhouette clustering quality on a bounded probe subset:
+    * for each probe point, a = mean cosine distance (1 − cos) to the
+    * other members of its own cluster, b = the smallest mean distance
+    * to any other cluster, s = (b − a) / max(a, b) — the standard
+    * internal validation of a clustering (Rousseeuw 1987), here
+    * scoring the trained IVF/SemDeDup centroids.
+    *
+    * Scale: exact silhouette is O(n²); this is the standard sampled
+    * estimator — probe × corpus pairs with the PROBE side broadcast
+    * (m·n work, m caller-bounded), collapsed per (probe, cluster)
+    * before the min/ratio. Probe points whose cluster has no other
+    * member drop out (a undefined), matching the reference estimator.
+    */
+  def silhouette(assigned: DataFrame, probe: DataFrame): DataFrame = {
+    val pairs = assigned.as("c")
+      .crossJoin(broadcast(probe.as("p")))
+      .filter(col("p.id") =!= col("c.id"))
+      .select(col("p.id").as("pid"), col("p.cid").as("pcid"),
+        col("c.cid").as("ccid"),
+        (lit(1.0) - cosine(col("p.v"), col("c.v"))).as("d"))
+    val byCluster = pairs.groupBy("pid", "pcid", "ccid")
+      .agg((sum(col("d")) / count(lit(1))).as("md"))
+    val a = byCluster.where(col("ccid") === col("pcid"))
+      .select(col("pid"), col("md").as("a"))
+    val b = byCluster.where(col("ccid") =!= col("pcid"))
+      .groupBy("pid").agg(min(col("md")).as("b"))
+    a.join(b, "pid")
+      .select(col("pid"), col("a"), col("b"),
+        // + 0.0 folds a signed −0.0 ratio (b ≈ a rounding negative)
+        ((col("b") - col("a")) / greatest(col("a"), col("b")) + lit(0.0))
+          .as("s"))
+  }
+
   /** Probe an inverted-file index (`(id, v, cid)` — fresh from
     * [[ivfAssign]] or read back from its parquet form): each query
     * scans only its `nprobe` closest centroids' lists.

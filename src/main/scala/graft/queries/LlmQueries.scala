@@ -895,6 +895,24 @@ object LlmQueries {
       VectorOps.semDedup(e, cent, 0.4).orderBy("id")
     }),
 
+    // Sampled mean-silhouette of the trained IVF clustering: per probe
+    // point, own-cluster cohesion a vs nearest-other-cluster
+    // separation b — the internal clustering validation beside
+    // ann_recall's retrieval truth (same centroid training as
+    // embed_drift: id%10 sample, k=8, 2 Lloyd iterations).
+    "silhouette" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+      val cent = VectorOps.trainIvfCentroids(e.filter(col("id") % 10 === 0), 8, 2)
+      val assigned = VectorOps.ivfAssign(e, cent)
+      val probe = assigned.where(col("id") < 100)
+      VectorOps.silhouette(assigned, probe)
+        // + 0.0 AFTER rounding: a ratio in (−5e-5, 0) rounds to −0.0,
+        // and the two engines can land on opposite zero signs
+        .select(col("pid").as("id"), r4(col("a")).as("a"),
+          r4(col("b")).as("b"), (r4(col("s")) + lit(0.0)).as("s"))
+        .orderBy("id")
+    }),
+
     // SEMANTIC drift: the PSI monitor lifted to embedding space —
     // train centroids on the reference half, assign BOTH halves with
     // the compiled kernel, score the cluster-occupancy shift as a
@@ -2359,6 +2377,35 @@ object LlmQueries {
          |  round(COALESCE(b.logp, po.logp0), 4) AS logp
          |FROM va v LEFT JOIN best b ON v.doc_id = b.doc_id
          |CROSS JOIN po ORDER BY v.doc_id""")),
+    // silhouette: same trained-assignment chain as embed_drift, then
+    // probe×corpus mean distances per cluster and the (b−a)/max ratio
+    "silhouette" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |samp AS (SELECT id, v FROM e WHERE id % 10 = 0),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+         |  FROM (SELECT id, v FROM samp ORDER BY id LIMIT 8)),
+         |${kmeansIterSql(1)}
+         |${kmeansIterSql(2)}
+         |assign AS (
+         |  SELECT id, cid FROM (
+         |    SELECT c.id, cent.cid,
+         |      row_number() OVER (PARTITION BY c.id
+         |        ORDER BY ${cos("c.v", "cent.cv")} DESC, cent.cid) AS r
+         |    FROM e c CROSS JOIN c2 cent) WHERE r = 1),
+         |al AS (SELECT a.id, a.cid, e.v FROM assign a JOIN e USING (id)),
+         |pr AS (SELECT * FROM al WHERE id < 100),
+         |pd AS (
+         |  SELECT p.id AS pid, p.cid AS pcid, c.cid AS ccid,
+         |    1.0 - ${cos("p.v", "c.v")} AS d
+         |  FROM pr p JOIN al c ON c.id <> p.id),
+         |bc AS (SELECT pid, pcid, ccid, sum(d) / count(*) AS md
+         |  FROM pd GROUP BY 1, 2, 3),
+         |aa AS (SELECT pid, md AS a FROM bc WHERE ccid = pcid),
+         |bb AS (SELECT pid, min(md) AS b FROM bc WHERE ccid <> pcid GROUP BY 1)
+         |SELECT aa.pid AS id, round(a, 4) AS a, round(b, 4) AS b,
+         |  round((b - a) / greatest(a, b), 4) + 0.0 AS s
+         |FROM aa JOIN bb USING (pid) ORDER BY 1"""),
+
     // embed_extremes: the trained-assignment chain scored against the
     // final centroids, double-ranked per cluster (+0.0 folds DuckDB's
     // possible signed zero on a ccos that rounds to 0).
