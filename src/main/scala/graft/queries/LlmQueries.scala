@@ -50,6 +50,26 @@ object LlmQueries {
         SimHashOps.simHashChunks(documents(s, dir), "doc_id", "text"), 3)
         .orderBy("id_a", "id_b")),
 
+    // Dedup-method evaluation: SimHash(≤3) pairs scored against the
+    // exact Jaccard ≥ 0.5 truth — measured precision/recall for the
+    // approximate near-dup path, the dedup analogue of ann_recall.
+    "dedup_eval" -> ((s, dir) => {
+      val exact = DedupOps.exactJaccardPairs(
+          DedupOps.shingles(documents(s, dir), "doc_id", "text", 3), 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      val pred = SimHashOps.simHashPairs(
+          SimHashOps.simHashChunks(documents(s, dir), "doc_id", "text"), 3)
+        .select(col("id_a"), col("id_b"), lit(1L).as("p"))
+      exact.join(pred, Seq("id_a", "id_b"), "full")
+        .agg(sum(coalesce(col("t"), lit(0L))).as("n_true"),
+          sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+          sum(when(col("t").isNotNull && col("p").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_true"), col("n_pred"), col("tp"),
+          r4(col("tp").cast("double") / col("n_pred")).as("precision"),
+          r4(col("tp").cast("double") / col("n_true")).as("recall"))
+    }),
+
     // Language-ID heuristic vs the labeled lang column (confusion
     // counts; the synthetic text is English-vocab for every label).
     "lang_id" -> ((s, dir) =>
@@ -1416,6 +1436,33 @@ object LlmQueries {
        |    CAST(i AS DOUBLE) / CAST(s1.n + s2.n - i AS DOUBLE) AS j
        |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)""")
 
+  private lazy val simhashSql = w(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
+         |), bits AS (
+         |  SELECT doc_id, i,
+         |    CAST(floor((strpos('0123456789abcdef', substring(h, CAST(i // 4 AS INT) + 1, 1)) - 1)
+         |      / pow(2, i % 4)) AS BIGINT) % 2 AS bit
+         |  FROM (SELECT doc_id, md5(tok) AS h, unnest(range(0, 60)) AS i FROM toks)
+         |), signs AS (
+         |  SELECT doc_id, i, CASE WHEN sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+         |  FROM bits GROUP BY 1, 2
+         |), chunks AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN i // 15 = 0 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c0,
+         |    sum(CASE WHEN i // 15 = 1 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c1,
+         |    sum(CASE WHEN i // 15 = 2 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c2,
+         |    sum(CASE WHEN i // 15 = 3 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c3
+         |  FROM signs GROUP BY 1
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hd
+         |FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         |  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+         |ORDER BY 1, 2""")
+
   private val jaccardSql = w(
     s"""WITH $shinglesCte
        |SELECT id_a, id_b, round(j, 4) AS j FROM jac WHERE j >= 0.5 ORDER BY 1, 2""")
@@ -1734,32 +1781,18 @@ object LlmQueries {
       """SELECT source, count(*) AS n_kept FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid)
         |GROUP BY 1 ORDER BY 1""")),
-    "simhash" -> w(
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents
-         |), bits AS (
-         |  SELECT doc_id, i,
-         |    CAST(floor((strpos('0123456789abcdef', substring(h, CAST(i // 4 AS INT) + 1, 1)) - 1)
-         |      / pow(2, i % 4)) AS BIGINT) % 2 AS bit
-         |  FROM (SELECT doc_id, md5(tok) AS h, unnest(range(0, 60)) AS i FROM toks)
-         |), signs AS (
-         |  SELECT doc_id, i, CASE WHEN sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
-         |  FROM bits GROUP BY 1, 2
-         |), chunks AS (
-         |  SELECT doc_id,
-         |    sum(CASE WHEN i // 15 = 0 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c0,
-         |    sum(CASE WHEN i // 15 = 1 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c1,
-         |    sum(CASE WHEN i // 15 = 2 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c2,
-         |    sum(CASE WHEN i // 15 = 3 THEN b * CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS c3
-         |  FROM signs GROUP BY 1
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
-         |  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hd
-         |FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
-         |  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
-         |ORDER BY 1, 2"""),
+    "simhash" -> simhashSql,
+    "dedup_eval" -> w(
+      s"""WITH ex AS (SELECT id_a, id_b FROM ($jaccardSql)),
+         |sp AS (SELECT id_a, id_b FROM ($simhashSql))
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  round(CAST(tp AS DOUBLE) / n_pred, 4) AS precision,
+         |  round(CAST(tp AS DOUBLE) / n_true, 4) AS recall
+         |FROM (SELECT (SELECT count(*) FROM ex) AS n_true,
+         |  (SELECT count(*) FROM sp) AS n_pred,
+         |  (SELECT count(*) FROM ex JOIN sp USING (id_a, id_b)) AS tp)"""),
+
     "lang_id" -> w(
       s"""WITH scored AS (
          |  SELECT lang, $enS AS en, $deS AS de, $frS AS fr, $esS AS es, $zhS AS zh
