@@ -694,6 +694,23 @@ final case class FluxFrame(
     graft.operators.SeriesMiningOps.acf(df, groupKey, Seq(timeCol),
       valueCol, maxLag)
 
+  /** Engine extension: Theil–Sen robust slope per series over a
+    * time-bucketed frame (compose after aggregateWindow — the pair
+    * count is bucket-bounded); `everySeconds` converts the time axis
+    * to the integer step index, and the median pairwise slope is
+    * reported in value units per step. Slope is invariant to the
+    * constant window-start/stop offset. Result: (key…, n_pairs,
+    * med_slope).
+    */
+  def theilSen(everySeconds: Double): DataFrame = {
+    val us = (everySeconds * 1e6).toLong
+    require(us > 0, s"every must be positive, got $everySeconds s")
+    val stepped = df.withColumn("_step",
+      expr(s"unix_micros(`$timeCol`) div ${us}L"))
+    graft.operators.SeriesMiningOps.theilSen(
+      stepped, groupKey, "_step", valueCol)
+  }
+
   /** Engine extension: least-squares trend + h-step forecast over a
     * time-bucketed frame (compose after aggregateWindow); `everySeconds`
     * converts the time axis to the integer step index the exact-sum

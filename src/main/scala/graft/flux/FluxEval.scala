@@ -332,6 +332,10 @@ object FluxEval {
         f.groupKey, "step", "yhat")
     case "changepoints" =>
       FluxFrame(f.changepoints(), f.groupKey, "t", "cost")
+    case "theilSen" =>
+      FluxFrame(f.theilSen(
+          durSeconds(call.args.getOrElse("every", VDur(1, "d")))),
+        f.groupKey, "n_pairs", "med_slope")
     // per-series transforms
     case "derivative" =>
       f.derivative(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))),

@@ -104,6 +104,19 @@ object FluxQueries {
           unix_micros(col("_time")).as("tus"), col("_value").as("value"))
         .orderBy("event_type", "tus")),
 
+    // daily downsample |> robust slope — Theil–Sen through the text
+    // surface; window sums are bit-stable cross-engine (grid-exact)
+    // and the slope is invariant to the window-stop offset
+    "flux_theil_sen" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          |  |> aggregateWindow(every: 1d, fn: sum)
+          |  |> theilSen(every: 1d)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement").as("event_type"), col("n_pairs"),
+          r4(col("med_slope")).as("med_slope"))
+        .orderBy("event_type")),
+
     "flux_anomalies" -> ((s, dir) =>
       FluxEval.run("""from(bucket: "events") |> anomalies(k: 3.0)""", source(s, dir))
         .groupBy(col("_measurement").as("event_type"))
@@ -388,6 +401,19 @@ object FluxQueries {
     "flux_bursts" -> WindowQueries.oracle("burst_detect"),
     "flux_acf" -> MiningQueries.oracle("acf_lags"),
     "flux_forecast" -> MiningQueries.oracle("forecast_linear"),
+    // raw daily double sums (not the batch gate's cents): pairwise
+    // slope + exact median replayed on the same values
+    "flux_theil_sen" -> (
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(value) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT event_type,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x, sv FROM d),
+        |p AS (SELECT a.event_type, (b.sv - a.sv) / (b.x - a.x) AS slope
+        |  FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 4) AS med_slope
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
     "flux_changepoints" -> MiningQueries.oracle("changepoints"),
     "flux_cusum" -> WindowQueries.oracle("cusum_drift"),
     "flux_winsorize" -> WindowQueries.oracle("winsorize"),

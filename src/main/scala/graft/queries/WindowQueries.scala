@@ -305,6 +305,27 @@ object WindowQueries {
         .orderBy("q")
     }),
 
+    // Decile drift from mergeable KLL sketch state: the sketch-backed
+    // form of quantile_drift — at 100 TB each snapshot's deciles come
+    // from KBs of mergeable sketch state instead of a sort; exact
+    // below capacity, so the gate hash-matches the disc-rank oracle.
+    "kll_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{array, call_function, posexplode}
+      val ev = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+      val e2 = ev.crossJoin(broadcast(mid))
+      val qs = array((1 to 9).map(i => lit(i / 10.0)): _*)
+      def dec(df: DataFrame, as: String) =
+        df.agg(call_function("graft_kll_quantiles", col("value"), qs,
+            lit(65536)).as("qv"))
+          .select(posexplode(col("qv")).as(Seq("qi", as)))
+      dec(e2.filter(col("tus") < col("mid")), "ref")
+        .join(dec(e2.filter(col("tus") >= col("mid")), "cur"), "qi")
+        .select(col("qi").cast("long").as("qi"), r4(col("ref")).as("ref"),
+          r4(col("cur")).as("cur"), r4(col("cur") - col("ref")).as("shift"))
+        .orderBy("qi")
+    }),
+
     // Categorical PSI over the language mix of two document snapshots
     // (parity split stands in for ref-vs-intake): born/died categories
     // surface with a zero side and an Eps-bounded contribution.
@@ -867,6 +888,25 @@ object WindowQueries {
         |SELECT round(i / 10.0, 4) AS q, round(r.qv[i], 4) AS ref,
         |  round(c.qv[i], 4) AS cur, round(c.qv[i] - r.qv[i], 4) AS shift
         |FROM r, c, g ORDER BY q"""),
+    // kll_drift: disc-rank deciles (the KLL exact-mode semantics —
+    // ceil(q·n)-th smallest, the kll_quantiles rank rule) per half
+    "kll_drift" -> w(
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |ra AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events, m WHERE epoch_us(ts) < mid),
+        |rb AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM events, m WHERE epoch_us(ts) >= mid),
+        |qs AS (SELECT * FROM (VALUES (0, 0.1), (1, 0.2), (2, 0.3), (3, 0.4),
+        |  (4, 0.5), (5, 0.6), (6, 0.7), (7, 0.8), (8, 0.9)) AS t(qi, q)),
+        |a AS (SELECT qi, v AS ref FROM ra
+        |  JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))),
+        |b AS (SELECT qi, v AS cur FROM rb
+        |  JOIN qs ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT)))
+        |SELECT CAST(a.qi AS BIGINT) AS qi, round(ref, 4) AS ref,
+        |  round(cur, 4) AS cur, round(cur - ref, 4) AS shift
+        |FROM a JOIN b ON a.qi = b.qi ORDER BY qi"""),
     // PSI: proportions divide BIGINT counts by DOUBLE totals (same
     // IEEE ops as the engine); contrib uses the unrounded proportions
     "psi_drift" -> w(
