@@ -101,13 +101,17 @@ object SegmentOps {
       .withColumn("recency_days",
         datediff(col("max_date"), col("last_order")).cast("long"))
       .drop("max_date", "last_order")
+    // checkpoint between rank passes: each globalRank reads its input
+    // THREE ways (min/max agg, bucket counts, the ranked main) and the
+    // fold stacks three of them — without truncation the customer
+    // aggregate re-executes ~9×(the PageRank lineage lesson)
     val total = perCust.agg(count(lit(1)).as("_n"))
     val ranked = Seq(
       (col("recency_days"), "_rrk"),       // ascending: recent = small
       (negate(col("frequency")), "_frk"),  // descending via negation
       (negate(col("monetary_cents")), "_mrk")
-    ).foldLeft(perCust) { case (df, (v, as)) =>
-      globalRank(df, v, "custkey", nBuckets = 1024, as = as)
+    ).foldLeft(perCust.localCheckpoint()) { case (df, (v, as)) =>
+      globalRank(df, v, "custkey", nBuckets = 1024, as = as).localCheckpoint()
     }
     ranked.crossJoin(broadcast(total))
       .withColumn("r_score", ntileOfRank("_rrk", "_n", tiles).cast("int"))
