@@ -97,6 +97,30 @@ object DataQualityOps {
   def inSetCheck(df: DataFrame, c: String, allowed: Seq[String]): Check =
     satisfiesCheck(df, s"in_set:$c", col(c).isin(allowed: _*))
 
+  /** Benford first-digit profile of a positive numeric column: observed
+    * first-significant-digit counts vs the Benford expectation
+    * n·log10(1 + 1/d), with per-digit chi-square contributions —
+    * the classic fabricated-amounts screen. The digit comes from the
+    * INTEGER cents string (exact on both engines; a log10/floor digit
+    * extraction can off-by-one at powers of ten).
+    */
+  def benfordProfile(df: DataFrame, c: Column): DataFrame = {
+    val cents = round(c * 100).cast("long")
+    val digits = df.where(c > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).cast("double").as("_n"))
+    digits.crossJoin(broadcast(total))
+      // ln-ratio, not a log10 builtin: the two engines' log10 can
+      // differ in the last bit; ln(x)/ln(10) is the same ops both sides
+      .withColumn("expected", col("_n") *
+        (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))))
+      .withColumn("contrib",
+        (col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected"))
+      .drop("_n")
+  }
+
   /** Run a suite: one row per check with its violation count and
     * verdict. The per-check aggregates are tiny one-row frames; the
     * union is check-count-sized.

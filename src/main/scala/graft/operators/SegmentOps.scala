@@ -122,6 +122,22 @@ object SegmentOps {
       .drop("_rrk", "_frk", "_mrk", "_n")
   }
 
+  /** Gini concentration index of a per-entity integer amount: the
+    * rank-sum form G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n on the exact
+    * distributed rank from [[globalRank]] (no single-task sort).
+    * rank·cents sums stay integer-exact; FP enters only in the final
+    * two ratios, mirrored in the oracle.
+    */
+  def gini(df: DataFrame, amountCents: Column, tieCol: String): DataFrame = {
+    val base = df.select(col(tieCol), amountCents.as("_gx"))
+    val ranked = globalRank(base, col("_gx"), tieCol, 1024, "_grank")
+    ranked.agg(count(lit(1)).as("n"), sum(col("_gx")).as("sx"),
+        sum(col("_grank") * col("_gx")).as("srx"))
+      .select(col("n"),
+        (lit(2.0) * col("srx") / (col("n") * col("sx")) -
+          (col("n") + lit(1.0)) / col("n")).as("gini"))
+  }
+
   /** Market-basket association rules over a (basket, item) relation.
     *
     * Input is ANY frame; `basketCols` name the basket key and `itemCol`

@@ -97,6 +97,54 @@ object AnalyticsQueries {
           r4(TextOps.fleschScore(col("text"))).as("flesch"))
         .orderBy("doc_id")),
 
+    // Kaplan–Meier survival of SESSION durations (minutes) with
+    // right-censoring: a session whose 6h inactivity gap hasn't
+    // elapsed at the corpus end may still be running — it leaves the
+    // risk set without counting as a death. (User lifetimes don't
+    // churn in this corpus — every user stays active to the end — so
+    // the session axis is where the censoring machinery is real.)
+    // Risk sets and the product-limit curve run as triangular
+    // self-joins on the duration domain, no global windows.
+    "km_survival" -> ((s, dir) => {
+      val gapUs = 21600000000L // 6h
+      val e = events(s, dir).withColumn("tus", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tus", "event_id")
+      val flagged = e
+        .withColumn("ns",
+          when(col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val sess = flagged.groupBy("user_id", "sid")
+        .agg(expr("(max(tus) - min(tus)) div 60000000").as("t"),
+          max(col("tus")).as("en"))
+      val mx = sess.agg(max(col("en")).as("mx"))
+      val lt = sess.crossJoin(broadcast(mx))
+        .select(col("t"), ((col("mx") - col("en")) >= gapUs).as("death"))
+      graft.operators.SurvivalOps.kaplanMeier(lt, "t", "death")
+        .select(col("t"), col("n_risk"), col("d"), r4(col("s")).as("s"))
+        .orderBy("t")
+    }),
+
+    // Benford first-digit screen on order amounts: observed counts vs
+    // n·log10(1+1/d) with per-digit chi-square contributions.
+    "benford_check" -> ((s, dir) =>
+      graft.operators.DataQualityOps
+        .benfordProfile(orders(s, dir), col("o_totalprice"))
+        .select(col("digit"), col("n_obs"),
+          r4(col("expected")).as("expected"), r4(col("contrib")).as("contrib"))
+        .orderBy("digit")),
+
+    // Gini concentration of lifetime spend across customers, on the
+    // distributed exact rank (the globalRank primitive reused).
+    "gini_spend" -> ((s, dir) => {
+      val pc = orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(round(sum(col("o_totalprice")) * 100).cast("long").as("cents"))
+      graft.operators.SegmentOps.gini(pc, col("cents"), "k")
+        .select(col("n"), r4(col("gini")).as("gini"))
+    }),
+
     // k-anonymity / l-diversity profile of the customer table under
     // (nation, segment) quasi-identifiers with a generalized acctbal
     // bucket as the sensitive attribute — the re-identification screen
@@ -305,6 +353,64 @@ object AnalyticsQueries {
         |              / CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE))
         |  , 4) AS flesch
         |FROM documents ORDER BY doc_id"""),
+
+    "km_survival" -> w(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |l AS (SELECT user_id, tus, event_id,
+        |    CASE WHEN tus - lag(tus) OVER
+        |        (PARTITION BY user_id ORDER BY tus, event_id) > 21600000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |sw AS (SELECT user_id, tus,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l),
+        |g AS (SELECT user_id, sid, (max(tus) - min(tus)) // 60000000 AS t,
+        |    max(tus) AS en
+        |  FROM sw GROUP BY 1, 2),
+        |mx AS (SELECT max(en) AS mx FROM g),
+        |u AS (SELECT CAST(t AS BIGINT) AS t,
+        |    (mx - en) >= 21600000000 AS death
+        |  FROM g, mx),
+        |dt AS (SELECT t, count(*) AS d FROM u WHERE death GROUP BY 1),
+        |at AS (SELECT t, count(*) AS n_at FROM u GROUP BY 1),
+        |nr AS (SELECT a.t, CAST(sum(b.n_at) AS BIGINT) AS n_risk
+        |  FROM dt a JOIN at b ON b.t >= a.t GROUP BY 1),
+        |j AS (SELECT dt.t, CAST(dt.d AS BIGINT) AS d, nr.n_risk
+        |  FROM dt JOIN nr ON nr.t = dt.t),
+        |km AS (SELECT a.t,
+        |    CASE WHEN max(CASE WHEN b.d = b.n_risk THEN 1 ELSE 0 END) = 1
+        |      THEN 0.0
+        |      ELSE exp(sum(CASE WHEN b.d < b.n_risk
+        |        THEN ln(1.0 - CAST(b.d AS DOUBLE) / b.n_risk) END)) END AS s
+        |  FROM j a JOIN j b ON b.t <= a.t GROUP BY a.t)
+        |SELECT j.t, j.n_risk, j.d, round(km.s, 4) AS s
+        |FROM j JOIN km ON km.t = j.t ORDER BY j.t"""),
+
+    "benford_check" -> w(
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM o)
+        |SELECT digit, n_obs,
+        |  round(n * (ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS expected,
+        |  round((n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+        |    * (n_obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+        |    / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))), 4) AS contrib
+        |FROM o, t ORDER BY digit"""),
+
+    "gini_spend" -> w(
+      """WITH pc AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT k, x, row_number() OVER (ORDER BY x, k) AS rank FROM pc),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(rank * x) AS BIGINT) AS srx FROM r)
+        |SELECT n, round(2.0 * srx / (n * sx) - (n + 1.0) / n, 4) AS gini
+        |FROM t"""),
 
     "k_anonymity" -> w(
       """SELECT CAST(c_nationkey AS BIGINT) AS nation,
