@@ -180,6 +180,34 @@ object SegmentOps {
           (col("supp_a") * col("supp_b"))).as("lift"))
   }
 
+  /** Two-proportion z-test between the arms of an A/B split: per arm,
+    * n = distinct entities, conv = distinct converting entities; the
+    * pooled-variance z statistic. One aggregation pass; the conversion
+    * predicate is evaluated per row before the distinct.
+    */
+  def proportionZ(df: DataFrame, armCol: Column, entityCol: Column,
+                  convPred: Column): DataFrame = {
+    val perArm = df.groupBy(armCol.as("arm"))
+      .agg(countDistinct(entityCol).as("n"),
+        countDistinct(when(convPred, entityCol)).as("conv"))
+    val a = perArm.where(col("arm") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = perArm.where(col("arm") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a")
+    val p2 = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    // degenerate pools (p = 0 or 1) have zero pooled variance: z is
+    // undefined → NULL, not an ANSI divide-by-zero
+    a.crossJoin(b).select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      p1.as("p_a"), p2.as("p_b"),
+      when(p > 0 && p < 1,
+        (p1 - p2) / sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z"))
+  }
+
   /** Welch's unequal-variance two-sample t-test between the arms of an
     * A/B split. One aggregation pass per arm (n, Σx, Σx²), then the
     * t statistic and Welch–Satterthwaite df from the sufficient

@@ -77,4 +77,28 @@ object SkewOps {
       .filter(call_function("graft_bloom_contains", lit(bloomBytes), probeKey))
       .join(build, probeKey === buildKey)
   }
+
+  /** Shuffle-planning diagnostic: per-key frequency skew of a join/agg
+    * key — row count, key cardinality, heaviest-key share, and Shannon
+    * entropy of the key distribution (vs ln(n_keys) for uniform). The
+    * measurement that decides whether a key needs [[saltedJoin]]
+    * before it hits a 1000-executor shuffle. One groupBy at key
+    * cardinality + one aggregate over the count frame — no windows.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+        sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).cast("long").as("max_key_rows"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("_sclogc"))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        (col("max_key_rows").cast("double") / col("n_rows")).as("max_share"),
+        // H = ln(n) − Σ c·ln(c) / n  (exact counts; one FP fold)
+        (log(col("n_rows").cast("double")) - col("_sclogc") / col("n_rows"))
+          .as("entropy"),
+        log(col("n_keys").cast("double")).as("max_entropy"))
+  }
 }

@@ -63,6 +63,31 @@ object AnalyticsQueries {
           r4(col("welch_df")).as("welch_df"))
     }),
 
+    // Conversion-rate A/B readout: two-proportion pooled z-test on
+    // user-parity arms (converted = a purchase above 90 — a plain
+    // purchase is universal in this corpus, p = 1 both arms).
+    "ab_proportion" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("arm", pmod(col("user_id"), lit(2L)))
+      graft.operators.SegmentOps.proportionZ(e, col("arm"), col("user_id"),
+          col("event_type") === "purchase" && col("value") > 90)
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          r4(col("p_a")).as("p_a"), r4(col("p_b")).as("p_b"),
+          r4(col("z")).as("z"))
+    }),
+
+    // Shuffle-planning skew diagnostics for the two natural event
+    // keys: does user_id (high-card) or event_type (5 values) need
+    // salting before a 1000-executor shuffle.
+    "key_skew" -> ((s, dir) =>
+      graft.operators.SkewOps.keySkewProfile(events(s, dir), "user_id")
+        .unionByName(
+          graft.operators.SkewOps.keySkewProfile(events(s, dir), "event_type"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), r4(col("max_share")).as("max_share"),
+          r4(col("entropy")).as("entropy"),
+          r4(col("max_entropy")).as("max_entropy"))
+        .orderBy("key_col")),
+
     // Single-pass column profiler over orders: completeness +
     // distinctness per column, min/max/mean for the numeric.
     "dq_profile" -> ((s, dir) =>
@@ -311,6 +336,41 @@ object AnalyticsQueries {
         |    ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
         |     (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 4) AS welch_df
         |FROM a, b"""),
+
+    "ab_proportion" -> w(
+      """WITH st AS (
+        |  SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n,
+        |    count(DISTINCT CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN user_id END) AS conv
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM st WHERE arm = 0),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM st WHERE arm = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / n_a, 4) AS p_a,
+        |  round(CAST(conv_b AS DOUBLE) / n_b, 4) AS p_b,
+        |  round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |FROM a, b"""),
+
+    "key_skew" -> w(
+      """WITH c1 AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |c2 AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
+        |p1 AS (SELECT 'user_id' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclogc
+        |  FROM c1),
+        |p2 AS (SELECT 'event_type', CAST(sum(c) AS BIGINT), count(*),
+        |    CAST(max(c) AS BIGINT),
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |  FROM c2)
+        |SELECT key_col, n_rows, n_keys, max_key_rows,
+        |  round(CAST(max_key_rows AS DOUBLE) / n_rows, 4) AS max_share,
+        |  round(ln(CAST(n_rows AS DOUBLE)) - sclogc / n_rows, 4) AS entropy,
+        |  round(ln(CAST(n_keys AS DOUBLE)), 4) AS max_entropy
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |ORDER BY key_col"""),
 
     "dq_profile" -> dqProfileSql,
 

@@ -17,6 +17,8 @@ object RelQueries {
   import QueryUtil._
 
   def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/supplier.parquet")
+  def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/region.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -238,6 +240,52 @@ object RelQueries {
     // ((source, lang), (lang)) that neither ROLLUP nor CUBE expresses:
     // the per-source×lang detail plus a per-lang total, still one scan
     // and one Expand-tagged aggregate.
+    // TPC-H Q3 shape: top-10 unshipped BUILDING orders by revenue —
+    // two selective fact filters meet in one shuffle join, the
+    // filtered customer dim broadcasts, and the top-10 ranks on the
+    // integer-cents surrogate (an FP revenue sort could flip order
+    // across engines in the last bit).
+    "q3_shipping" -> ((s, dir) => {
+      val c = customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir)
+        .where(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+      val l = lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          * 100).cast("long").as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 shape: ASIA local-supplier revenue — the 6-way join
+    // with the c_nationkey = s_nationkey correlation; small dims
+    // broadcast, facts meet in two shuffle joins.
+    "q5_region" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     "grouping_sets" -> ((s, dir) =>
       documents(s, dir)
         .groupingSets(Seq(Seq(col("source"), col("lang")), Seq(col("lang"))),
@@ -363,6 +411,34 @@ object RelQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_vi
         |FROM events GROUP BY CUBE (event_type, vb) ORDER BY 1, 2"""),
+    "q3_shipping" -> w(
+      """WITH g AS (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |    CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+        |      AS BIGINT) AS rev_cents
+        |  FROM customer, orders, lineitem
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |    AND l_orderkey = o_orderkey
+        |    AND o_orderdate < TIMESTAMP '1996-03-15'
+        |    AND l_shipdate > TIMESTAMP '1996-03-15'
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_orderkey, CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM g ORDER BY rev_cents DESC, o_orderdate, l_orderkey LIMIT 10"""),
+
+    "q5_region" -> w(
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1"""),
+
     "grouping_sets" -> w(
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
