@@ -220,6 +220,33 @@ object AnalyticsQueries {
         .orderBy("c_custkey")
     }),
 
+    // Incremental view maintenance: the per-priority (count, cents)
+    // revenue view patched with the cdc_merge changeset as DELTAS
+    // (before-images negative, after-images positive, changeset-sized
+    // aggregation + one view-sized patch join) — and the gate proves
+    // the maintained view equals a full recompute over the merged
+    // table, bit-exact on the integer measures.
+    "view_maintain" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val baseView = o.groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      val before = o.where(col("k") % 10 === 0 ||
+        (col("k") % 17 === 0 && col("k") % 10 =!= 0))
+      val afterU = orders(s, dir).where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority").as("prio"),
+          round((col("o_totalprice") + 100.0) * 100).cast("long").as("cents"))
+      val ins = orders(s, dir).where(col("o_orderkey") % 23 === 0)
+        .select(col("o_orderpriority").as("prio"), lit(0L).as("cents"))
+      val after = afterU.unionByName(ins)
+      graft.operators.CdcOps.incrementalAgg(baseView,
+          before.select("prio", "cents"), after, Seq("prio"), "n", Seq("cents"))
+        .select(col("prio"), col("n"), col("cents"),
+          (col("cents").cast("double") / 100.0).as("revenue"))
+        .orderBy("prio")
+    }),
+
     // SCD type-2 intervals: each user's daily activity-level runs
     // (count div 5) as [valid_from, valid_to) versions, NULL = current.
     "scd2_intervals" -> ((s, dir) => {
@@ -509,6 +536,29 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal FROM changes WHERE op <> 'D'
         |ORDER BY c_custkey"""),
+
+    // full recompute over the merged table — the maintained view must
+    // land on these exact integers
+    "view_maintain" -> w(
+      """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_totalprice FROM orders),
+        |kept AS (SELECT prio, cents FROM base
+        |  WHERE NOT (k % 10 = 0 OR (k % 17 = 0 AND k % 10 <> 0)
+        |    OR k % 23 = 0)
+        |  UNION ALL
+        |  SELECT prio, cents FROM base
+        |  WHERE k % 23 = 0 AND NOT (k % 10 = 0 OR (k % 17 = 0 AND k % 10 <> 0))),
+        |upd AS (SELECT prio,
+        |    CAST(round((o_totalprice + 100.0) * 100) AS BIGINT) AS cents
+        |  FROM base WHERE k % 10 = 0),
+        |ins AS (SELECT prio, CAST(0 AS BIGINT) AS cents
+        |  FROM base WHERE k % 23 = 0),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+        |FROM merged GROUP BY 1 ORDER BY 1"""),
 
     "scd2_intervals" -> w(
       """WITH d AS (

@@ -46,6 +46,21 @@ class CdcOpsSpec extends SparkSpec {
       ("B", 1L, "z", 1L, None)))
   }
 
+  test("incrementalAgg: deltas land on the recompute, groups can die") {
+    // base view over {A:(1,10),(2,20)}, {B:(3,30)}
+    val baseRows = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("B", 3L, 30L))
+      .toDF("g", "k", "v")
+    val base = baseRows.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").cast("long").as("v"))
+    // change: update A/1 to 15, delete B/3 entirely, insert C/4 = 5
+    val before = Seq(("A", 10L), ("B", 30L)).toDF("g", "v")
+    val after = Seq(("A", 15L), ("C", 5L)).toDF("g", "v")
+    val out = CdcOps.incrementalAgg(base, before, after, Seq("g"), "n", Seq("v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    // recompute over merged rows {A:(15,20)},{C:(5)} — B died
+    assert(out == Seq(("A", 2L, 35L), ("C", 1L, 5L)))
+  }
+
   test("theilSen: median slope ignores a single outlier") {
     // y = 2x exactly except one wild point; median pairwise slope = 2
     val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 100L))
