@@ -637,4 +637,60 @@ object DedupOps {
           " ").as("trimmed"),
         count(lit(1)).as("kept_tokens"))
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995): sort
+    * the corpus on a blocking key (here: the first 8 characters of the
+    * normalized text, encoded order-preservingly as Σ ascii·128^(8−i)
+    * with space padding, doc id as tie-break), then compare each
+    * record only against its `w` successors in that order, verifying
+    * candidates with exact token-set Jaccard. The third blocking
+    * modality beside MinHash-LSH (hash bands) and SimHash (bit
+    * pigeonholes) — cheapest when duplicates share prefixes.
+    *
+    * Scale: the global sort order comes from the distributed
+    * range-bucket rank (SegmentOps.globalRank — no single-task sort),
+    * and the w-neighborhood join is a BINNED adjacency join on the
+    * rank (bins of width w, each right row exploded to its own and the
+    * previous bin — the RangeJoin pattern), so candidates ≈ n·w flow
+    * through one hash join, never a rank-range cartesian.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+      w: Int, threshold: Double): DataFrame = {
+    val norm = graft.llmops.TextOps.normalize(col(textCol))
+    val toks = graft.llmops.TextOps.tokens(col(textCol))
+    // candidate verification set = distinct word-3-gram shingles (the
+    // ngram_jaccard semantics — a token-set Jaccard would score shared
+    // VOCABULARY, not near-duplication)
+    val shingleSet = when(size(toks) >= 3,
+      array_sort(array_distinct(expr(
+        "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', slice(_toks, i, 3)))"))))
+      .otherwise(array())
+    val keyed = df.withColumn("_toks", toks).select(col(idCol).as("doc_id"),
+      shingleSet.as("sa"),
+      (0 until 8).map { i =>
+        // clamp at 127: a non-ASCII codepoint would overflow the
+        // 128-ary key (such chars all collapse to the top slot —
+        // order within them falls back to the id tie-break)
+        (least(ascii(substring(rpad(norm, 8, " "), i + 1, 1)), lit(127))
+          .cast("long") * lit(math.pow(128, 7 - i).toLong))
+      }.reduce(_ + _).as("pk"))
+    val ranked = graft.operators.SegmentOps
+      .globalRank(keyed, col("pk"), "doc_id", nBuckets = 256, as = "rn")
+      .withColumn("bin", expr(s"(rn - 1) div $w"))
+    val a = ranked.select(col("doc_id").as("id_a"), col("sa").as("saa"),
+      col("rn").as("ra"), col("bin"))
+    val b = ranked.select(col("doc_id").as("id_b"), col("sa").as("sab"),
+      col("rn").as("rb"),
+      explode(array(col("bin"), col("bin") - 1)).as("bin"))
+    val inter = size(array_intersect(col("saa"), col("sab")))
+    a.join(b, "bin")
+      .where(col("rb") > col("ra") && col("rb") <= col("ra") + w)
+      // empty∩empty pairs (sub-3-token docs) have no defined Jaccard —
+      // dropped before the division (ANSI would raise on 0/0)
+      .where(size(col("saa")) + size(col("sab")) - inter > 0)
+      .withColumn("j", inter.cast("double") /
+        (size(col("saa")) + size(col("sab")) - inter))
+      .where(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), col("j"))
+  }
 }

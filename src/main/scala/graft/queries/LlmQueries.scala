@@ -50,6 +50,18 @@ object LlmQueries {
         SimHashOps.simHashChunks(documents(s, dir), "doc_id", "text"), 3)
         .orderBy("id_a", "id_b")),
 
+    // Sorted-neighborhood near-dup pairs: the third blocking modality
+    // (prefix-sort order + w-window compare, exact token-set Jaccard
+    // verification) beside LSH's hash bands and SimHash's pigeonholes.
+    // Distributed rank + binned adjacency join — no global sort.
+    "sorted_neighbor" -> ((s, dir) =>
+      DedupOps.sortedNeighborPairs(documents(s, dir), "doc_id", "text",
+          w = 8, threshold = 0.5)
+        .select(least(col("id_a"), col("id_b")).as("ia"),
+          greatest(col("id_a"), col("id_b")).as("ib"), r4(col("j")).as("j"))
+        .withColumnsRenamed(Map("ia" -> "id_a", "ib" -> "id_b"))
+        .orderBy("id_a", "id_b")),
+
     // Dedup-method evaluation: SimHash(≤3) pairs scored against the
     // exact Jaccard ≥ 0.5 truth — measured precision/recall for the
     // approximate near-dup path, the dedup analogue of ann_recall.
@@ -1782,6 +1794,34 @@ object LlmQueries {
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid)
         |GROUP BY 1 ORDER BY 1""")),
     "simhash" -> simhashSql,
+    "sorted_neighbor" -> w(
+      s"""WITH t0 AS (SELECT doc_id, $norm AS nt, $toksSql AS arr FROM documents),
+         |t AS (SELECT doc_id, nt,
+         |    CASE WHEN len(arr) >= 3 THEN list_sort(list_distinct(
+         |      [array_to_string(arr[i : i + 2], ' ')
+         |       FOR i IN range(1, len(arr) - 1)]))
+         |    ELSE [] END AS sa
+         |  FROM t0),
+         |k AS (SELECT doc_id, sa,
+         |    ${(0 until 8).map(i =>
+               s"least(ascii(substring(rpad(nt, 8, ' '), ${i + 1}, 1)), 127)" +
+                 s" * ${math.pow(128, 7 - i).toLong}").mkString(" + ")} AS pk
+         |  FROM t),
+         |r AS (SELECT doc_id, sa,
+         |    row_number() OVER (ORDER BY pk, doc_id) AS rn FROM k),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sa AS saa, b.sa AS sab
+         |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 8),
+         |jj AS (SELECT ia, ib,
+         |    CAST(len(list_filter(saa, x -> list_contains(sab, x))) AS DOUBLE)
+         |      / (len(saa) + len(sab)
+         |         - len(list_filter(saa, x -> list_contains(sab, x)))) AS j
+         |  FROM p
+         |  WHERE len(saa) + len(sab)
+         |    - len(list_filter(saa, x -> list_contains(sab, x))) > 0)
+         |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         |  round(j, 4) AS j
+         |FROM jj WHERE j >= 0.5 ORDER BY 1, 2"""),
+
     "dedup_eval" -> w(
       s"""WITH ex AS (SELECT id_a, id_b FROM ($jaccardSql)),
          |sp AS (SELECT id_a, id_b FROM ($simhashSql))
