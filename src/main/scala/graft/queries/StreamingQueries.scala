@@ -512,6 +512,54 @@ object StreamingQueries {
         .orderBy("event_type", "step")
     }),
 
+    // Streaming incremental view maintenance: the cdc changeset
+    // arrives as a STREAM of (kind B/A, group, measure) rows; each
+    // micro-batch folds into the maintained view via
+    // CdcOps.incrementalAgg (deltas commute, so the batch split is
+    // irrelevant) and the final view must equal the batch recompute
+    // over the merged table — the same oracle as view_maintain.
+    "stream_view_maintain" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val baseView = o.groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+      val before = o.where(col("k") % 10 === 0 ||
+          (col("k") % 17 === 0 && col("k") % 10 =!= 0))
+        .select(col("prio"), col("cents"), lit("B").as("kind"))
+      val afterU = orders(s, dir).where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority").as("prio"),
+          round((col("o_totalprice") + 100.0) * 100).cast("long").as("cents"),
+          lit("A").as("kind"))
+      val ins = orders(s, dir).where(col("o_orderkey") % 23 === 0)
+        .select(col("o_orderpriority").as("prio"), lit(0L).as("cents"),
+          lit("A").as("kind"))
+      val srcDir = Files.createTempDirectory("graft-svm-src").toString
+      before.unionByName(afterU).unionByName(ins)
+        .repartition(4).write.mode("overwrite").parquet(srcDir)
+
+      var view = baseView.localCheckpoint()
+      val q = s.readStream.schema(before.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-svm-cp").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val bb = b.where(col("kind") === "B").select("prio", "cents")
+          val aa = b.where(col("kind") === "A").select("prio", "cents")
+          view = graft.operators.CdcOps
+            .incrementalAgg(view, bb, aa, Seq("prio"), "n", Seq("cents"))
+            .localCheckpoint()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      view
+        .select(col("prio"), col("n"), col("cents"),
+          (col("cents").cast("double") / 100.0).as("revenue"))
+        .orderBy("prio")
+    }),
+
     // Streaming data-quality monitor: per-type row counts + violation
     // counters (null value, value > 90) as complete-mode aggregation
     // state — the DataQualityOps constraint suite ON the stream; the
@@ -552,6 +600,8 @@ object StreamingQueries {
     // streaming-state hourly sums are grid-exact ⇒ the snapshot fit
     // must land exactly on the batch fit
     "stream_forecast" -> MiningQueries.oracle("forecast_linear"),
+    // the streamed delta folds must land exactly on the batch recompute
+    "stream_view_maintain" -> AnalyticsQueries.oracle("view_maintain"),
     // the stream's violation counters must equal the batch scan's
     "stream_dq" -> w(
       """SELECT event_type, count(*) AS n,
