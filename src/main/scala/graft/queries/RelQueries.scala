@@ -263,6 +263,27 @@ object RelQueries {
           col("o_orderdate"), col("o_orderpriority"))
     }),
 
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    // quarter — fact⋈fact shuffle join under two selective filters,
+    // customer + nation dims broadcast, integer-cents top-N.
+    "q10_returns" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = lineitem(s, dir).where(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          * 100).cast("long").as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"),
+          (col("rev_cents").cast("double") / 100.0).as("revenue"),
+          col("c_name"), col("c_acctbal"), col("n_name"))
+    }),
+
     // TPC-H Q5 shape: ASIA local-supplier revenue — the 6-way join
     // with the c_nationkey = s_nationkey correlation; small dims
     // broadcast, facts meet in two shuffle joins.
@@ -425,6 +446,21 @@ object RelQueries {
         |SELECT l_orderkey, CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM g ORDER BY rev_cents DESC, o_orderdate, l_orderkey LIMIT 10"""),
+
+    "q10_returns" -> w(
+      """WITH g AS (
+        |  SELECT c_custkey, c_name, c_acctbal, n_name,
+        |    CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+        |      AS BIGINT) AS rev_cents
+        |  FROM customer, orders, lineitem, nation
+        |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |    AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_custkey, CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |  c_name, c_acctbal, n_name
+        |FROM g ORDER BY rev_cents DESC, c_custkey LIMIT 20"""),
 
     "q5_region" -> w(
       """SELECT n_name,
