@@ -30,8 +30,11 @@ object SurvivalOps {
       .agg(count(lit(1)).as("n_at"))
     // risk set: everyone (death or censored) whose observed time >= t —
     // a suffix sum over the tiny lifetime domain, via self-join
+    // broadcast the domain-sized sides explicitly: a non-equi inner
+    // join without a broadcastable side plans as CartesianProduct
     val risk = deaths.select(col("t"))
-      .join(atT.select(col("t").as("t2"), col("n_at")), col("t2") >= col("t"))
+      .join(broadcast(atT.select(col("t").as("t2"), col("n_at"))),
+        col("t2") >= col("t"))
       .groupBy("t").agg(sum(col("n_at")).cast("long").as("n_risk"))
     val j = deaths.join(risk, "t")
     // cumulative product over death times <= t: triangular self-join.
@@ -41,7 +44,7 @@ object SurvivalOps {
       when(col("d") < col("n_risk"),
         log(lit(1.0) - col("d").cast("double") / col("n_risk"))).as("lnterm"),
       when(col("d") === col("n_risk"), 1L).otherwise(0L).as("zero"))
-    j.join(terms, col("t2") <= col("t"))
+    j.join(broadcast(terms), col("t2") <= col("t"))
       .groupBy("t", "n_risk", "d")
       .agg(when(max(col("zero")) === 1, lit(0.0))
         .otherwise(exp(sum(col("lnterm")))).as("s"))
