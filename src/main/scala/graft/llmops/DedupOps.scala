@@ -693,4 +693,28 @@ object DedupOps {
       .where(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), col("j"))
   }
+
+  /** Blocked fuzzy record linkage: equi-join two entity tables on a
+    * prefix blocking key, verify candidates with Levenshtein edit
+    * distance ≤ maxDist — the classic entity-resolution shape (block →
+    * compare → match). The edit-distance semantics are identical
+    * across engines (unit-cost insert/delete/substitute), so matches
+    * are exactly replayable.
+    *
+    * Scale: candidates = Σ_block |A_b|·|B_b| — the caller's blocking
+    * key length controls the quadratic term; the verify predicate runs
+    * inside the join's post-filter, never on the driver.
+    */
+  def editDistanceLink(a: DataFrame, idA: String, nameA: String,
+      b: DataFrame, idB: String, nameB: String,
+      blockLen: Int, maxDist: Int): DataFrame = {
+    val aa = a.select(col(idA).as("id_a"), col(nameA).as("name_a"),
+      substring(col(nameA), 1, blockLen).as("_blk"))
+    val bb = b.select(col(idB).as("id_b"), col(nameB).as("name_b"),
+      substring(col(nameB), 1, blockLen).as("_blk"))
+    aa.join(bb, "_blk")
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .where(col("lev") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("lev"))
+  }
 }

@@ -50,6 +50,46 @@ object LlmQueries {
         SimHashOps.simHashChunks(documents(s, dir), "doc_id", "text"), 3)
         .orderBy("id_a", "id_b")),
 
+    // Blocked fuzzy record linkage: documents matched against a
+    // deterministically-perturbed copy (one char deleted at a
+    // key-dependent position) via 3-char prefix blocking + Levenshtein
+    // <= 2 verification — the classic entity-resolution block→compare→
+    // match shape; edit distance is engine-identical so matches replay
+    // exactly. 550 matches at sf0.01: every doc recovers its perturbed
+    // twin, plus the near-dup cross matches.
+    "record_linkage" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 40).as("nm"))
+      val dirty = base.select((col("doc_id") + 10000L).as("did"),
+        expr("concat(substring(nm, 1, cast(doc_id % 20 + 4 as int)), " +
+          "substring(nm, cast(doc_id % 20 + 6 as int), 100))").as("dn"))
+      DedupOps.editDistanceLink(base, "doc_id", "nm", dirty, "did", "dn",
+          blockLen = 3, maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Linkage quality vs the planted truth (twin = id + 10000):
+    // precision counts near-dup cross matches as "wrong" — the honest
+    // penalty of a corpus with real duplicates — recall is against the
+    // 500 planted twins.
+    "linkage_eval" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 40).as("nm"))
+      val dirty = base.select((col("doc_id") + 10000L).as("did"),
+        expr("concat(substring(nm, 1, cast(doc_id % 20 + 4 as int)), " +
+          "substring(nm, cast(doc_id % 20 + 6 as int), 100))").as("dn"))
+      val links = DedupOps.editDistanceLink(base, "doc_id", "nm",
+        dirty, "did", "dn", blockLen = 3, maxDist = 2)
+      val total = base.agg(count(lit(1)).as("n_truth"))
+      links.agg(count(lit(1)).as("n_links"),
+          sum(when(col("id_b") - 10000L === col("id_a"), 1L).otherwise(0L))
+            .as("tp"))
+        .crossJoin(broadcast(total))
+        .select(col("n_links"), col("tp"), col("n_truth"),
+          r4(col("tp").cast("double") / col("n_links")).as("precision"),
+          r4(col("tp").cast("double") / col("n_truth")).as("recall"))
+    }),
+
     // Sorted-neighborhood near-dup pairs: the third blocking modality
     // (prefix-sort order + w-window compare, exact token-set Jaccard
     // verification) beside LSH's hash bands and SimHash's pigeonholes.
@@ -1794,6 +1834,37 @@ object LlmQueries {
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid)
         |GROUP BY 1 ORDER BY 1""")),
     "simhash" -> simhashSql,
+    "record_linkage" -> w(
+      s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
+         |dd AS (SELECT doc_id + 10000 AS did,
+         |    concat(substring(nm, 1, (doc_id % 20) + 4),
+         |      substring(nm, (doc_id % 20) + 6, 100)) AS dn
+         |  FROM d)
+         |SELECT d.doc_id AS id_a, dd.did AS id_b,
+         |  CAST(levenshtein(d.nm, dd.dn) AS INTEGER) AS lev
+         |FROM d JOIN dd ON substring(d.nm, 1, 3) = substring(dd.dn, 1, 3)
+         |  AND levenshtein(d.nm, dd.dn) <= 2
+         |ORDER BY 1, 2"""),
+
+    "linkage_eval" -> w(
+      s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
+         |dd AS (SELECT doc_id + 10000 AS did,
+         |    concat(substring(nm, 1, (doc_id % 20) + 4),
+         |      substring(nm, (doc_id % 20) + 6, 100)) AS dn
+         |  FROM d),
+         |l AS (SELECT d.doc_id AS id_a, dd.did AS id_b
+         |  FROM d JOIN dd ON substring(d.nm, 1, 3) = substring(dd.dn, 1, 3)
+         |    AND levenshtein(d.nm, dd.dn) <= 2),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_links,
+         |    CAST(sum(CASE WHEN id_b - 10000 = id_a THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    (SELECT count(*) FROM d) AS n_truth
+         |  FROM l)
+         |SELECT n_links, tp, n_truth,
+         |  round(CAST(tp AS DOUBLE) / n_links, 4) AS precision,
+         |  round(CAST(tp AS DOUBLE) / n_truth, 4) AS recall
+         |FROM t"""),
+
     "sorted_neighbor" -> w(
       s"""WITH t0 AS (SELECT doc_id, $norm AS nt, $toksSql AS arr FROM documents),
          |t AS (SELECT doc_id, nt,
