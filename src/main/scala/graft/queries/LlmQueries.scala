@@ -52,7 +52,7 @@ object LlmQueries {
 
     // Blocked fuzzy record linkage: documents matched against a
     // deterministically-perturbed copy (one char deleted at a
-    // key-dependent position) via 3-char prefix blocking + Levenshtein
+    // key-dependent position >= 10) via 8-char prefix blocking + Levenshtein
     // <= 2 verification — the classic entity-resolution block→compare→
     // match shape; edit distance is engine-identical so matches replay
     // exactly. 550 matches at sf0.01: every doc recovers its perturbed
@@ -61,10 +61,10 @@ object LlmQueries {
       val base = documents(s, dir).select(col("doc_id"),
         substring(TextOps.normalize(col("text")), 1, 40).as("nm"))
       val dirty = base.select((col("doc_id") + 10000L).as("did"),
-        expr("concat(substring(nm, 1, cast(doc_id % 20 + 4 as int)), " +
-          "substring(nm, cast(doc_id % 20 + 6 as int), 100))").as("dn"))
+        expr("concat(substring(nm, 1, cast(doc_id % 20 + 10 as int)), " +
+          "substring(nm, cast(doc_id % 20 + 12 as int), 100))").as("dn"))
       DedupOps.editDistanceLink(base, "doc_id", "nm", dirty, "did", "dn",
-          blockLen = 3, maxDist = 2)
+          blockLen = 8, maxDist = 2)
         .orderBy("id_a", "id_b")
     }),
 
@@ -76,10 +76,10 @@ object LlmQueries {
       val base = documents(s, dir).select(col("doc_id"),
         substring(TextOps.normalize(col("text")), 1, 40).as("nm"))
       val dirty = base.select((col("doc_id") + 10000L).as("did"),
-        expr("concat(substring(nm, 1, cast(doc_id % 20 + 4 as int)), " +
-          "substring(nm, cast(doc_id % 20 + 6 as int), 100))").as("dn"))
+        expr("concat(substring(nm, 1, cast(doc_id % 20 + 10 as int)), " +
+          "substring(nm, cast(doc_id % 20 + 12 as int), 100))").as("dn"))
       val links = DedupOps.editDistanceLink(base, "doc_id", "nm",
-        dirty, "did", "dn", blockLen = 3, maxDist = 2)
+        dirty, "did", "dn", blockLen = 8, maxDist = 2)
       val total = base.agg(count(lit(1)).as("n_truth"))
       links.agg(count(lit(1)).as("n_links"),
           sum(when(col("id_b") - 10000L === col("id_a"), 1L).otherwise(0L))
@@ -1837,23 +1837,23 @@ object LlmQueries {
     "record_linkage" -> w(
       s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
          |dd AS (SELECT doc_id + 10000 AS did,
-         |    concat(substring(nm, 1, (doc_id % 20) + 4),
-         |      substring(nm, (doc_id % 20) + 6, 100)) AS dn
+         |    concat(substring(nm, 1, (doc_id % 20) + 10),
+         |      substring(nm, (doc_id % 20) + 12, 100)) AS dn
          |  FROM d)
          |SELECT d.doc_id AS id_a, dd.did AS id_b,
          |  CAST(levenshtein(d.nm, dd.dn) AS INTEGER) AS lev
-         |FROM d JOIN dd ON substring(d.nm, 1, 3) = substring(dd.dn, 1, 3)
+         |FROM d JOIN dd ON substring(d.nm, 1, 8) = substring(dd.dn, 1, 8)
          |  AND levenshtein(d.nm, dd.dn) <= 2
          |ORDER BY 1, 2"""),
 
     "linkage_eval" -> w(
       s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
          |dd AS (SELECT doc_id + 10000 AS did,
-         |    concat(substring(nm, 1, (doc_id % 20) + 4),
-         |      substring(nm, (doc_id % 20) + 6, 100)) AS dn
+         |    concat(substring(nm, 1, (doc_id % 20) + 10),
+         |      substring(nm, (doc_id % 20) + 12, 100)) AS dn
          |  FROM d),
          |l AS (SELECT d.doc_id AS id_a, dd.did AS id_b
-         |  FROM d JOIN dd ON substring(d.nm, 1, 3) = substring(dd.dn, 1, 3)
+         |  FROM d JOIN dd ON substring(d.nm, 1, 8) = substring(dd.dn, 1, 8)
          |    AND levenshtein(d.nm, dd.dn) <= 2),
          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_links,
          |    CAST(sum(CASE WHEN id_b - 10000 = id_a THEN 1 ELSE 0 END)
