@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.llmops.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Specs for the diagnostic/linkage verbs that previously had only
+  * hash gates: key-skew profiling, Benford screening, fuzzy record
+  * linkage.
+  */
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keySkewProfile: uniform keys reach max entropy, a hot key shows") {
+    val uniform = (1L to 100L).map(i => (i % 10, i)).toDF("k", "x")
+    val u = SkewOps.keySkewProfile(uniform, "k")
+      .select("n_rows", "n_keys", "max_key_rows", "max_share", "entropy", "max_entropy")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(u._1 == 100L && u._2 == 10L && u._3 == 10L)
+    assert(math.abs(u._4 - 0.1) < 1e-12)
+    assert(math.abs(u._5 - u._6) < 1e-9) // uniform: H = ln(n_keys)
+
+    val hot = ((1L to 91L).map(_ => 0L) ++ (1L to 9L)).map((_, 1)).toDF("k", "x")
+    val h = SkewOps.keySkewProfile(hot, "k")
+      .select("max_share", "entropy", "max_entropy")
+      .as[(Double, Double, Double)].head()
+    assert(h._1 == 0.91)
+    assert(h._2 < 0.5 * h._3) // far below uniform entropy
+  }
+
+  test("benfordProfile: a perfect Benford sample has near-zero chi-square") {
+    // counts proportional to log10(1+1/d) over 1000 rows, synthesized
+    // as d.0 values repeated round(1000·p_d) times
+    val rows = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * math.log10(1 + 1.0 / d)).toInt
+      Seq.fill(n)(d.toDouble)
+    }.toDF("v")
+    val prof = DataQualityOps.benfordProfile(rows, col("v"))
+      .select("digit", "n_obs", "contrib")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(prof.map(_._1) == (1L to 9L))
+    assert(prof.map(_._3).sum < 0.1) // rounding residue only
+    // digit comes from cents: 0.05 → 5, 123.45 → 1
+    val dg = DataQualityOps.benfordProfile(Seq(0.05, 123.45).toDF("v"), col("v"))
+      .select("digit").as[Long].collect().toSet
+    assert(dg == Set(5L, 1L))
+  }
+
+  test("editDistanceLink: matches within the block at maxDist, not beyond") {
+    val a = Seq((1L, "alphabet soup"), (2L, "zebra crossing")).toDF("id", "nm")
+    val b = Seq(
+      (10L, "alphabet soupx"),  // dist 1, same 8-prefix → match
+      (11L, "alphabet puos"),   // dist > 2 → no
+      (12L, "zebra crossing"),  // dist 0 → match
+      (13L, "aelphabet soup")   // dist 1 but different 8-prefix → blocked out
+    ).toDF("id", "nm")
+    val out = DedupOps.editDistanceLink(a, "id", "nm", b, "id", "nm",
+        blockLen = 8, maxDist = 2)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 10L, 1), (2L, 12L, 0)))
+  }
+}
