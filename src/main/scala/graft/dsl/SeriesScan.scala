@@ -28,13 +28,15 @@ object SeriesScan {
     * The guard logs loudly instead of silently serializing 100 TB.
     */
   private def sortedBySeries(df: DataFrame, keyCols: Seq[String],
-      orderCol: String): DataFrame =
+      orderCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (orderCol +: tieCols).map(col)
     if (keyCols.isEmpty) {
       log.warn("SeriesScan with an empty series key: the whole frame moves " +
         "through ONE task. Group by a series key for parallel scans.")
-      df.repartition(1).sortWithinPartitions(col(orderCol))
+      df.repartition(1).sortWithinPartitions(ord: _*)
     } else df.repartition(keyCols.map(col): _*)
-      .sortWithinPartitions((keyCols :+ orderCol).map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ ord: _*)
+  }
 
   /** Group a sorted partition's rows into consecutive runs of one
     * series, materializing each run as (key, Vector[(order, value)]).
@@ -390,13 +392,18 @@ object SeriesScan {
     *
     * @param keyCols  series identity columns (scan state resets on change)
     * @param orderCol column to order by within a series
+    * @param tieCols  extra ordering columns breaking orderCol ties —
+    *                 without one, duplicate (key, orderCol) rows make
+    *                 any order-dependent state machine's output
+    *                 nondeterministic
     */
   def scanDouble[S](
       df: DataFrame,
       keyCols: Seq[String],
       orderCol: String,
       valueCol: String,
-      outCol: String
+      outCol: String,
+      tieCols: Seq[String] = Nil
   )(init: => S)(step: (S, Double) => (S, java.lang.Double)): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields :+ StructField(outCol, DoubleType, nullable = true))
@@ -404,7 +411,7 @@ object SeriesScan {
     val valIdx = inSchema.fieldIndex(valueCol)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
 
-    val sorted = sortedBySeries(df, keyCols, orderCol)
+    val sorted = sortedBySeries(df, keyCols, orderCol, tieCols)
 
     sorted.mapPartitions { it =>
       var curKey: Seq[Any] = null

@@ -561,10 +561,19 @@ object DedupOps {
       w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val win = substringWindows(df, idCol, textCol, w, hashFn)
     // encoded global occurrence order; a doc with >= SpanPosCap tokens
-    // would alias into the next doc_id — fail loudly, not wrongly
+    // would alias into the next doc_id, and a doc_id above
+    // Long.MaxValue/SpanPosCap (~9.22e6 — plausible at corpus scale)
+    // would wrap the product negative and corrupt the keep-first min —
+    // both fail loudly, not wrongly (the DuckDB oracle replica's
+    // `doc_id * 1e12 + i` carries the same bound; its BIGINT overflow
+    // also errors rather than wrapping)
+    val docCap = Long.MaxValue / SpanPosCap
     val enc = when(col("i") >= SpanPosCap,
         raise_error(concat(lit("document "), col("doc_id"),
           lit(s" exceeds $SpanPosCap tokens"))))
+      .when(col("doc_id") < 0 || col("doc_id") >= docCap,
+        raise_error(concat(lit("doc_id "), col("doc_id"),
+          lit(s" outside [0, $docCap) — span encoding would overflow"))))
       .otherwise(col("doc_id") * SpanPosCap + col("i"))
     val dup = win.groupBy("h")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),

@@ -84,11 +84,13 @@ object AnomalyOps {
     * recurrence: the rounding pins the sequential arithmetic to
     * inputs any engine reproduces exactly, so a ulp of distributed-
     * sum jitter in μ cannot cascade through ten thousand max(0,·)
-    * steps. Adds `mu`, `sg`, `cusum`, `alarm`.
+    * steps. Adds `mu`, `sg`, `cusum`, `alarm`. `tieCols` pins the
+    * recurrence order under duplicate (key, orderCol) rows — same
+    * contract as [[burstFlags]].
     */
   def cusum(df: DataFrame, keyCols: Seq[String], orderCol: String,
       valueCol: String, slackSigmas: Double = 0.5,
-      threshSigmas: Double = 4.0): DataFrame = {
+      threshSigmas: Double = 4.0, tieCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "cusum needs a series key")
     val keys = keyCols.map(col)
     val stats = df.groupBy(keys: _*).agg(
@@ -98,7 +100,7 @@ object AnomalyOps {
       .withColumn("xdev",
         col(valueCol) - col("mu") - lit(slackSigmas) * col("sg"))
     val scanned = SeriesScan.scanDouble(j, keyCols, orderCol, "xdev",
-      "cusum")(0.0) { (s, x) =>
+      "cusum", tieCols)(0.0) { (s, x) =>
       val n = math.max(0.0, s + x); (n, n)
     }
     scanned
@@ -118,10 +120,16 @@ object AnomalyOps {
     * FP-exact. The per-row signal (above-hi / above-lo / below)
     * computes relationally; only the 1-bit automaton runs in the
     * ordered scan (one shuffle, O(1) state). Adds `in_burst` (0/1).
+    *
+    * `tieCols` breaks duplicate-(key, orderCol) ordering ties: the
+    * automaton's state after a tied (hi, below) pair differs by
+    * processing order, so callers whose order column is not unique per
+    * key MUST pass a tie-break id (the Flux surface omits it because
+    * the store's LWW upsert guarantees (series, time) uniqueness).
     */
   def burstFlags(df: DataFrame, keyCols: Seq[String], orderCol: String,
       valueCol: String, hiSigmas: Double = 2.0,
-      loSigmas: Double = 0.5): DataFrame = {
+      loSigmas: Double = 0.5, tieCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "burstFlags needs a series key")
     require(hiSigmas > loSigmas, s"need hi > lo, got $hiSigmas <= $loSigmas")
     val keys = keyCols.map(col)
@@ -134,7 +142,7 @@ object AnomalyOps {
           .when(col(valueCol) > col("mu") + lit(loSigmas) * col("sg"), 1.0)
           .otherwise(0.0))
     graft.dsl.SeriesScan.scanDouble(j, keyCols, orderCol, "_sig",
-      "in_burst")(0.0) { (s, x) =>
+      "in_burst", tieCols)(0.0) { (s, x) =>
       val b = if (s == 0.0) { if (x == 2.0) 1.0 else 0.0 }
               else { if (x >= 1.0) 1.0 else 0.0 }
       (b, b)

@@ -106,7 +106,11 @@ object DataQualityOps {
     */
   def benfordProfile(df: DataFrame, c: Column): DataFrame = {
     val cents = round(c * 100).cast("long")
-    val digits = df.where(c > 0)
+    // filter on cents >= 1, not c > 0: a value in (0, 0.005) rounds to
+    // cents 0, whose "digit 0" row would make expected = n·log(1+1/0)
+    // infinite and contrib NaN — sub-cent values are out of the
+    // profile's domain, so exclude them at the source
+    val digits = df.where(cents >= 1)
       .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val total = digits.agg(sum(col("n_obs")).cast("double").as("_n"))

@@ -40,9 +40,17 @@ object SegmentOps {
     val mm = withV.agg(min(col("_grv")).as("_mn"), max(col("_grv")).as("_mx"))
     val bucketed = withV.crossJoin(broadcast(mm))
       // integer div, not `/`: Column./ widens to double, which loses
-      // exactness past 2^53 — `div` keeps the bucket id exact longs
+      // exactness past 2^53 — `div` keeps the bucket id exact longs.
+      // Bucket by a ceil-width divisor, NOT ((v-mn)*k) div range: the
+      // multiplication form overflows Long whenever the key domain
+      // spans > Long.MaxValue/k (reachable from 8-char 128-ary prefix
+      // keys, ~5.4e16 × 256), silently wrapping to negative buckets.
+      // width = ((mx-mn) div k) + 1 = ceil(range/k) exactly, so bucket
+      // ids stay in [0, k-1], order-aligned, with no full-range product
+      // (a mx-mn span that itself exceeds Long.MaxValue fails loudly
+      // under ANSI arithmetic rather than wrapping).
       .withColumn("_grb",
-        expr(s"((_grv - _mn) * $nBuckets) div (_mx - _mn + 1)"))
+        expr(s"(_grv - _mn) div (((_mx - _mn) div $nBuckets) + 1)"))
       .drop("_mn", "_mx")
     val counts = bucketed.groupBy(col("_grb")).agg(count(lit(1)).as("_c"))
     val offsets = counts.as("a")

@@ -478,7 +478,7 @@ object AnalyticsQueries {
       """WITH d AS (
         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
-        |  FROM orders WHERE o_totalprice > 0),
+        |  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
         |o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
         |t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM o)
         |SELECT digit, n_obs,

@@ -434,8 +434,8 @@ object WindowQueries {
       graft.operators.AnomalyOps
         .cusum(events(s, dir)
             .withColumn("ts_us", expr("ts_ns div 1000"))
-            .select("event_type", "ts_us", "value"),
-          Seq("event_type"), "ts_us", "value")
+            .select("event_type", "ts_us", "event_id", "value"),
+          Seq("event_type"), "ts_us", "value", tieCols = Seq("event_id"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
@@ -445,13 +445,17 @@ object WindowQueries {
     // Hysteresis burst detection: enter above μ+2σ, hold above μ+½σ —
     // episode count + in-burst row count per series.
     "burst_detect" -> ((s, dir) => {
+      // event_id tie-break: the raw events axis carries no uniqueness
+      // guarantee (unlike the store's LWW series axis), so the
+      // automaton's order — and the episode-entry lag below — must be
+      // pinned on (ts, id)
       val b = graft.operators.AnomalyOps.burstFlags(
         events(s, dir)
           .withColumn("ts_us", expr("ts_ns div 1000"))
-          .select("event_type", "ts_us", "value"),
-        Seq("event_type"), "ts_us", "value")
+          .select("event_type", "ts_us", "event_id", "value"),
+        Seq("event_type"), "ts_us", "value", tieCols = Seq("event_id"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("ts_us")
+        .partitionBy("event_type").orderBy("ts_us", "event_id")
       b.withColumn("enter",
           when(col("in_burst") === 1.0 &&
             coalesce(lag(col("in_burst"), 1).over(w), lit(0.0)) === 0.0, 1L)
@@ -1022,7 +1026,8 @@ object WindowQueries {
     "cusum_drift" -> w(
       """WITH RECURSIVE ev AS (
         |  SELECT event_type, epoch_us(ts) AS tus, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY epoch_us(ts), event_id)
         |      AS rn
         |  FROM events),
         |st AS (
@@ -1049,7 +1054,8 @@ object WindowQueries {
     "burst_detect" -> w(
       """WITH RECURSIVE ev AS (
         |  SELECT event_type, epoch_us(ts) AS tus, value,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY epoch_us(ts), event_id)
         |      AS rn
         |  FROM events),
         |st AS (
