@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.SetOpQueries.queries ++
       graft.queries.MiningQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
+      graft.queries.TpchQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   /** Entries that exercise the streaming machinery end-to-end: part of
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.SetOpQueries.oracle ++
       graft.queries.MiningQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.TpchQueries.oracle ++
       graft.queries.StreamingQueries.oracle
 }
