@@ -1405,7 +1405,7 @@ object LlmQueries {
     val steps = (1 to maxLen).map { i =>
       val js = (math.max(0, i - graft.llmops.UnigramLm.MaxTok) until i)
         .map(j => s"SELECT * FROM p${k}_$j").mkString(" UNION ALL ")
-      w(s"""p${k}_$i AS (
+      w(s"""p${k}_$i AS MATERIALIZED (
            |  SELECT q.w, q.n, $i AS i, q.m.s AS s, q.m.path AS path FROM (
            |    SELECT pj.w, max(pj.n) AS n,
            |      max(struct_pack(
@@ -1418,9 +1418,9 @@ object LlmQueries {
            |    GROUP BY pj.w) q)""")
     }
     val segsrc = (1 to maxLen).map(i => s"SELECT * FROM p${k}_$i").mkString(" UNION ALL ")
-    s"p${k}_0 AS (SELECT w, n, 0 AS i, 0.0 AS s, '' AS path FROM wrd),\n" +
+    s"p${k}_0 AS MATERIALIZED (SELECT w, n, 0 AS i, 0.0 AS s, '' AS path FROM wrd),\n" +
       steps.mkString(",\n") +
-      s",\nseg$k AS (SELECT w, n, path FROM ($segsrc) WHERE i = len(w))"
+      s",\nseg$k AS MATERIALIZED (SELECT w, n, path FROM ($segsrc) WHERE i = len(w))"
   }
 
   /** Shared prefix of the unigram oracle: word counts, weighted
@@ -1432,7 +1432,7 @@ object LlmQueries {
     */
   private def unigramCte: String = {
     def m(k: Int): String = w(
-      s"""cnt$k AS (SELECT t AS tok, CAST(sum(n) AS BIGINT) AS c
+      s"""cnt$k AS MATERIALIZED (SELECT t AS tok, CAST(sum(n) AS BIGINT) AS c
          |  FROM (SELECT n, unnest(string_split(path, ',')) AS t FROM seg$k) GROUP BY 1),
          |v$k AS MATERIALIZED (SELECT v.tok,
          |    ln((COALESCE(c.c, 0) + 1) / ((SELECT CAST(sum(c) AS DOUBLE) FROM cnt$k) + (SELECT count(*) FROM vocab0))) AS lp

@@ -553,11 +553,16 @@ object WindowQueries {
     * [[graft.operators.Lttb.select]] term for term: exact integer
     * bucket assignment, integer-sum centroid x, (ts, id)-ordered
     * double fold for centroid y, identical area expression.
+    *
+    * Every CTE is MATERIALIZED: without the hint DuckDB re-inlines
+    * the 18-deep sel→a chain into each successor and the oracle goes
+    * combinatorial — 217 s vs 0.2 s at sf0.01, identical rows (the
+    * EmaFamilyQueries holtOracle hit the same wall).
     */
   private def lttbOracleSql(k: Int): String = {
     val nb = k - 2
     val steps = (0 until nb).map { i =>
-      w(s"""sel${i + 1} AS (
+      w(s"""sel${i + 1} AS MATERIALIZED (
            |  SELECT p.series,
            |    max(struct_pack(
            |      a := abs((s.ax - c.cx) * (p.y - s.ay) - (s.ax - p.x) * (c.cy - s.ay)),
@@ -567,31 +572,31 @@ object WindowQueries {
            |  JOIN a$i s ON p.series = s.series AND p.b = $i
            |  JOIN tgt c ON c.series = p.series AND c.i = $i
            |  GROUP BY p.series),
-           |a${i + 1} AS (SELECT series, m.x AS ax, m.y AS ay FROM sel${i + 1})""")
+           |a${i + 1} AS MATERIALIZED (SELECT series, m.x AS ax, m.y AS ay FROM sel${i + 1})""")
     }.mkString(",\n")
     val picks = (1 to nb)
       .map(i => s"SELECT series, m.x, m.id, m.y FROM sel$i")
       .mkString("\nUNION ALL\n")
-    w(s"""WITH base AS (
+    w(s"""WITH base AS MATERIALIZED (
          |  SELECT event_type AS series, epoch_us(ts) AS x, event_id AS id, value AS y,
          |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) - 1 AS j,
          |    count(*) OVER (PARTITION BY event_type) AS n
          |  FROM events),
-         |pts AS (
+         |pts AS MATERIALIZED (
          |  SELECT series, x, id, y, ((j - 1) * $nb) // (n - 2) AS b
          |  FROM base WHERE j >= 1 AND j <= n - 2),
-         |firstpt AS (SELECT series, x, id, y FROM base WHERE j = 0),
-         |lastpt AS (SELECT series, x, id, y FROM base WHERE j = n - 1),
-         |cent AS (
+         |firstpt AS MATERIALIZED (SELECT series, x, id, y FROM base WHERE j = 0),
+         |lastpt AS MATERIALIZED (SELECT series, x, id, y FROM base WHERE j = n - 1),
+         |cent AS MATERIALIZED (
          |  SELECT series, b,
          |    CAST(sum(x) AS DOUBLE) / count(*) AS cx,
          |    list_sum(list(y ORDER BY x, id)) / count(*) AS cy
          |  FROM pts GROUP BY 1, 2),
-         |tgt AS (
+         |tgt AS MATERIALIZED (
          |  SELECT series, b - 1 AS i, cx, cy FROM cent WHERE b >= 1
          |  UNION ALL
          |  SELECT series, ${nb - 1} AS i, CAST(x AS DOUBLE) AS cx, y AS cy FROM lastpt),
-         |a0 AS (SELECT series, x AS ax, y AS ay FROM firstpt),
+         |a0 AS MATERIALIZED (SELECT series, x AS ax, y AS ay FROM firstpt),
          |$steps
          |SELECT series AS event_type, x AS tus, id AS event_id, y AS value FROM firstpt
          |UNION ALL
@@ -1023,14 +1028,16 @@ object WindowQueries {
     // cusum_drift: the recurrence replayed as a recursive CTE in the
     // same µs row order; μ/σ round to 4dp on both sides, each step's
     // increment parenthesized to mirror the engine's precomputed xdev
+    // ev/st MATERIALIZED: the recursion references both every
+    // iteration; un-hinted DuckDB re-inlines them (22 s → 4 s)
     "cusum_drift" -> w(
-      """WITH RECURSIVE ev AS (
+      """WITH RECURSIVE ev AS MATERIALIZED (
         |  SELECT event_type, epoch_us(ts) AS tus, value,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY epoch_us(ts), event_id)
         |      AS rn
         |  FROM events),
-        |st AS (
+        |st AS MATERIALIZED (
         |  SELECT event_type, round(avg(value), 4) AS mu,
         |    round(stddev_pop(value), 4) AS sg
         |  FROM events GROUP BY 1),
@@ -1049,11 +1056,17 @@ object WindowQueries {
         |  round(max(c.s), 4) AS max_s
         |FROM c JOIN st ON st.event_type = c.event_type
         |GROUP BY 1 ORDER BY 1"""),
-    // burst automaton replayed by the same recursive-CTE scheme as
-    // cusum_drift: per-row tier signal, then the 1-bit hysteresis state
+    // burst automaton replayed in CLOSED FORM (no recursive CTE —
+    // the row-at-a-time recursion cost ~25 s/surface in the oracle
+    // engine): the hysteresis state is a pure integer function of the
+    // tier signal's run structure — a row is in-burst iff its tier is
+    // ≥1 and the head of its segment (rows since the last non-1 tier,
+    // inclusive) is tier 2; leading-1 segments have a tier-1 head and
+    // stay out. Integer-exact, so it replays the engine's sequential
+    // automaton bit-for-bit with two window passes.
     "burst_detect" -> w(
-      """WITH RECURSIVE ev AS (
-        |  SELECT event_type, epoch_us(ts) AS tus, value,
+      """WITH ev AS (
+        |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY epoch_us(ts), event_id)
         |      AS rn
@@ -1067,14 +1080,19 @@ object WindowQueries {
         |    CASE WHEN e.value > st.mu + 2.0 * st.sg THEN 2
         |         WHEN e.value > st.mu + 0.5 * st.sg THEN 1 ELSE 0 END AS x
         |  FROM ev e JOIN st USING (event_type)),
+        |seg AS (
+        |  SELECT event_type, rn, x,
+        |    sum(CASE WHEN x <> 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY rn) AS sid
+        |  FROM x),
         |c AS (
-        |  SELECT event_type, rn, CASE WHEN x = 2 THEN 1 ELSE 0 END AS b
-        |  FROM x WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.event_type, e.rn,
-        |    CASE WHEN c.b = 0 THEN (CASE WHEN e.x = 2 THEN 1 ELSE 0 END)
-        |         ELSE (CASE WHEN e.x >= 1 THEN 1 ELSE 0 END) END
-        |  FROM c JOIN x e ON e.event_type = c.event_type AND e.rn = c.rn + 1),
+        |  SELECT event_type, rn,
+        |    CASE WHEN x = 0 THEN 0
+        |         WHEN x = 2 THEN 1
+        |         WHEN first_value(x) OVER
+        |             (PARTITION BY event_type, sid ORDER BY rn) = 2
+        |           THEN 1 ELSE 0 END AS b
+        |  FROM seg),
         |t AS (SELECT event_type, rn, b,
         |        lag(b) OVER (PARTITION BY event_type ORDER BY rn) AS pb
         |      FROM c)
