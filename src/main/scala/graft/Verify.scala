@@ -49,7 +49,11 @@ object Verify {
     val entries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    // default 6 concurrent dumps (driver doesn't set the env): at 300+
+    // gates the wall is launch-latency-bound and the driver runs this
+    // under a time budget — 6 on 32 cores keeps them busy without
+    // starving any one query
+    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val futs = entries.map { case (name, fn) =>
       pool.submit(new Runnable {

@@ -1364,19 +1364,19 @@ object LlmQueries {
     * value, distinct. Ends with the `fp(doc_id, fps)` CTE.
     */
   private val winnowBase = w(
-    """WITH norm AS (
+    """WITH norm AS MATERIALIZED (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
       |  FROM documents
-      |), kg AS (
+      |), kg AS MATERIALIZED (
       |  SELECT doc_id, length(t) - 8 + 1 AS m, t FROM norm
-      |), hs AS (
+      |), hs AS MATERIALIZED (
       |  SELECT doc_id, m, list_transform(range(1, m + 1), i ->
       |    list_reduce(
       |      list_transform(range(0, 8),
       |        j -> CAST(ord(substr(t, CAST(i + j AS INTEGER), 1)) AS HUGEINT)),
       |      (a, b) -> (a * 257 + b) % 18446744073709551616)) AS hl
       |  FROM kg WHERE m >= 1
-      |), fp AS (
+      |), fp AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, greatest(m - 4 + 1, 1) + 1), i ->
       |      list_min(list_transform(
@@ -1555,8 +1555,8 @@ object LlmQueries {
     */
   private val ccBase = "WITH RECURSIVE " +
     winnowBase.stripPrefix("WITH ").stripSuffix("\n") + w(
-    """, ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
-      |capped AS (
+    """, ex AS MATERIALIZED (SELECT doc_id, unnest(fps) AS f FROM fp),
+      |capped AS MATERIALIZED (
       |  SELECT * FROM ex
       |  WHERE f IN (SELECT f FROM ex GROUP BY f HAVING count(*) <= 25)),
       |pairs AS MATERIALIZED (
