@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.MiningQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.TpchQueries.queries ++
+      graft.queries.GraphQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   /** Entries that exercise the streaming machinery end-to-end: part of
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.MiningQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.TpchQueries.oracle ++
+      graft.queries.GraphQueries.oracle ++
       graft.queries.StreamingQueries.oracle
 }

@@ -69,4 +69,131 @@ object GraphOps {
     }
     r
   }
+
+  /** Undirected edge list → canonical symmetric form, self-loops and
+    * duplicates removed. All the verbs below run on this.
+    */
+  private def sym(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")).where(col("u") =!= col("v"))
+    e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+  }
+
+  /** Connected components by iterated min-label propagation: every
+    * node starts labeled with its own id; each round every node takes
+    * the min of its label and its neighbors' labels, until a round
+    * changes nothing. Returns (node, cid) with cid = the component's
+    * minimum node id — a deterministic canonical label.
+    *
+    * Scale shape: one shuffle join + one min-aggregate per round, both
+    * on the (deduplicated, symmetric) EDGE table — never the raw
+    * corpus — and the label frame localCheckpoints each round so the
+    * lineage stays one-round deep. Convergence is detected with a
+    * one-row changed-count aggregate (O(1) driver traffic per round).
+    * Rounds needed = graph diameter; for long-diameter graphs at
+    * 100 TB prefer the large-star/small-star alternation (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond") which
+    * converges in O(log n) rounds — plain propagation is the right
+    * trade below that scale and is what the near-dup cluster verbs
+    * already use on their pair graphs (VectorOps minimum-id CC).
+    * `maxIters` fails loudly rather than looping an adversarial
+    * diameter forever.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val e = sym(edges, srcCol, dstCol).localCheckpoint()
+    var lbl = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("cid"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= maxIters,
+        s"connectedComponents: no fixpoint after $maxIters rounds " +
+          "(diameter too large — use a log-round CC for this graph)")
+      val next = e.join(lbl, e("v") === lbl("node"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("cid")).as("nb"))
+        .join(lbl, "node")
+        .select(col("node"), least(col("cid"), col("nb")).as("cid"),
+          (col("nb") < col("cid")).as("chg"))
+        .localCheckpoint()
+      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
+        .first().getLong(0)
+      lbl = next.drop("chg")
+    }
+    lbl
+  }
+
+  /** Multi-source BFS levels over an undirected graph: every seed is
+    * level 0; each round the frontier's unvisited neighbors get the
+    * next level. Returns (node, level) for REACHED nodes only.
+    *
+    * Scale shape: per round, one join of the frontier against the
+    * edge table plus one anti-join against the visited set — frontier
+    * and visited are node-domain-sized; rounds = eccentricity of the
+    * seed set, each round's frames localCheckpointed. The same
+    * one-row count drives termination.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxIters: Int = 50): DataFrame = {
+    val e = sym(edges, srcCol, dstCol).localCheckpoint()
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().select(col("node"), lit(0).as("level"))
+      .localCheckpoint()
+    var frontier = visited
+    var round = 0
+    while (frontier.limit(1).count() > 0) {
+      round += 1
+      require(round <= maxIters,
+        s"bfsLevels: frontier alive after $maxIters rounds")
+      frontier = e.join(frontier, e("u") === frontier("node"))
+        .select(col("v").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(round).as("level"))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited
+  }
+
+  /** Exact triangle count by degree orientation (Schank & Wagner 2005;
+    * the MapReduce form in Suri & Vassilvitskii 2011): orient every
+    * undirected edge from its lower-degree endpoint to the higher
+    * (ties by id), join oriented wedges u→v, u→w (v<w by the same
+    * order) against the oriented closing edge v→w. The orientation
+    * bounds every node's out-degree by O(√m), so the wedge join emits
+    * O(m^{3/2}) candidates — the quadratic hub fan-out a naive
+    * neighbor self-join pays on skewed degree distributions never
+    * materializes. One row: (n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = sym(edges, srcCol, dstCol).localCheckpoint()
+    val deg = e.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    // orient: keep (u,v) iff (d(u), u) < (d(v), v)
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .where(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select("u", "v")
+      .localCheckpoint()
+    // each triangle's (deg, id)-minimum vertex emits exactly one
+    // wedge (its two out-neighbors, id-ordered); the closing edge is
+    // checked against the id-ordered undirected edge set
+    val wedges = oriented.as("a").join(oriented.as("b"), col("a.u") === col("b.u"))
+      .where(col("a.v") < col("b.v"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    wedges.join(e.where(col("u") < col("v"))
+        .select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Degree histogram of an undirected graph: (degree, n_nodes). */
+  def degreeHistogram(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    sym(edges, srcCol, dstCol)
+      .groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 }
