@@ -71,7 +71,10 @@ object GraphOps {
   }
 
   /** Undirected edge list → canonical symmetric form, self-loops and
-    * duplicates removed. All the verbs below run on this.
+    * duplicates removed. All the verbs below run on this and require
+    * INTEGRAL node ids (the long cast is the canonical label space the
+    * min-propagation orders on; string-keyed graphs should surrogate
+    * first — pagerank above stays type-agnostic).
     */
   private def sym(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"),
