@@ -286,6 +286,54 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING BURST: the 1-bit hysteresis automaton surviving REAL
+    // micro-batch boundaries — the source is four time-quartile files
+    // written sequentially (disjoint ts ranges, distinct mtimes) and
+    // fed one per trigger, so the state genuinely crosses four
+    // batches in (ts, id) order. Roll-up and oracle are the batch
+    // burst_detect's: batch/stream equivalence for the automaton.
+    "stream_burst" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sburst-src").toString
+      val ev0 = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_type", "ts_us", "event_id", "value")
+      val Array(t1, t2, t3) =
+        ev0.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.0)
+      val bounds = Seq((Long.MinValue, t1.toLong), (t1.toLong, t2.toLong),
+        (t2.toLong, t3.toLong), (t3.toLong, Long.MaxValue))
+      bounds.foreach { case (lo, hi) =>
+        ev0.where(col("ts_us") >= lo && col("ts_us") < hi)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val params = ev0.groupBy("event_type").agg(
+        round(avg(col("value")), 4).as("mu"),
+        round(stddev_pop(col("value")), 4).as("sg"))
+
+      val qn = "graft_sburst_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamAnomaly.burstStream(
+        s.readStream.schema(ev0.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        params, "event_type", "ts_us", "event_id", "value")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sburst-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts_us", "event_id")
+      s.table(qn)
+        .withColumn("enter",
+          when(col("in_burst") === 1.0 &&
+            coalesce(lag(col("in_burst"), 1).over(w), lit(0.0)) === 0.0, 1L)
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_burst").cast("long")).as("n_burst"),
+          sum(col("enter")).as("n_episodes"))
+        .orderBy("event_type")
+    }),
+
     // STREAMING MAD: batch-trained reference medians, per-series KLL
     // sketch of absolute deviations in flatMapGroupsWithState state
     // (O(k·log n) per series). maxFilesPerTrigger=1 forces four
@@ -594,6 +642,7 @@ object StreamingQueries {
     // the streaming recurrence must land exactly where the batch one
     // does — same recursive-CTE replay as cusum_drift
     "stream_cusum" -> WindowQueries.oracle("cusum_drift"),
+    "stream_burst" -> WindowQueries.oracle("burst_detect"),
     "stream_psi" -> WindowQueries.oracle("psi_drift"),
     // the live funnel must land exactly on the batch answer
     "stream_funnel" -> WindowQueries.oracle("funnel_steps"),

@@ -54,6 +54,46 @@ object StreamAnomaly {
       .toDF(keyCol, tsCol, valueCol, "cusum", "alarm")
   }
 
+  /** Streaming hysteresis burst flags — the live counterpart of
+    * [[graft.operators.AnomalyOps.burstFlags]]: reference moments from
+    * HISTORY (`params`: keyCol, mu, sg), the two-threshold Schmitt
+    * automaton's 1-BIT state per series surviving micro-batches in
+    * flatMapGroupsWithState. Emits (key, ts, id, value, in_burst).
+    *
+    * The id column is the arrival-order tie-break within a timestamp
+    * (same contract the batch verb's tieCols carries); rows sort by
+    * (ts, id) within each micro-batch, and across batches the source
+    * must deliver (ts, id)-ordered data per series — the gate feeds
+    * time-quartile files one per trigger to exercise exactly that.
+    */
+  def burstStream(stream: DataFrame, params: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      hiSigmas: Double = 2.0, loSigmas: Double = 0.5): DataFrame = {
+    require(hiSigmas > loSigmas, s"need hi > lo, got $hiSigmas <= $loSigmas")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed: Dataset[(String, Long, Long, Double, Double, Double)] = stream
+      .join(params, keyCol)
+      .select(col(keyCol).cast("string"), col(tsCol).cast("long"),
+        col(idCol).cast("long"), col(valueCol).cast("double"),
+        col("mu").cast("double"), col("sg").cast("double"))
+      .as[(String, Long, Long, Double, Double, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Double, Double, Double)],
+         state: GroupState[Boolean]) =>
+          var b = state.getOption.getOrElse(false)
+          val out = rows.toVector.sortBy(r => (r._2, r._3))
+            .map { case (_, ts, id, v, mu, sg) =>
+              b = if (b) v > mu + loSigmas * sg else v > mu + hiSigmas * sg
+              (key, ts, id, v, if (b) 1.0 else 0.0)
+            }
+          state.update(b)
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, idCol, valueCol, "in_burst")
+  }
+
   /** Streaming MAD — the bounded-state live counterpart of
     * [[graft.operators.AnomalyOps.madFlags]]'s KLL mode. Deployment
     * shape mirrors [[cusumStream]]: the reference median per series
