@@ -110,6 +110,33 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary, which is
+    * where contrastive gradients carry signal (Robinson et al. 2021).
+    * `maxCos` optionally fences off the top of the band (near-identical
+    * cross-label pairs are more often label noise than hard negatives).
+    *
+    * Same scale shape as [[bruteForceTopK]]: the query block broadcasts,
+    * the corpus streams through one codegen'd cosine pass, and the
+    * per-query top-k ranks on (cos desc, id) for a deterministic order.
+    * Expects (id, v, label) on both inputs.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxCos: Double = 1.0): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .filter(col("q.id") =!= col("c.id") &&
+        col("q.label") =!= col("c.label"))
+      .select(col("q.id").as("qid"), col("c.id").as("nbr"),
+        col("c.label").as("nbr_label"),
+        cosine(col("q.v"), col("c.v")).as("cos"))
+      .filter(col("cos") < maxCos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nbr"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Symmetric per-vector int8 scalar quantization: `scale =
     * max(|v_i|)/127`, `code_i = round(v_i / scale)` — every code fits a
     * TINYINT, so the stored index is 8× smaller than the double vectors

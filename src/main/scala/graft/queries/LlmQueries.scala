@@ -696,6 +696,37 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Hard-negative mining: per query the 5 most-similar CROSS-label
+    // vectors under a 0.95 ceiling — the contrastive-training
+    // counterpart of ann_filtered's same-label serving shape.
+    "hard_negatives" -> ((s, dir) => {
+      val e = VectorOps.vecs(embeddings(s, dir), "vec_id", "embedding")
+        .join(embeddings(s, dir).select(col("vec_id").as("id"), col("label")),
+          "id")
+      VectorOps.hardNegatives(e, e.filter(col("id") < 5), k = 5,
+          maxCos = 0.95)
+        .select(col("qid"), col("rank"), col("nbr"), col("nbr_label"),
+          r4(col("cos")).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Canonical doc per near-dup cluster: the winnow-CC clusters keep
+    // their LONGEST member (tie: min doc id) instead of dedup_keep's
+    // min-id rule — the curation policy that keeps the most complete
+    // copy of a duplicated page.
+    "cluster_canonical" -> ((s, dir) => {
+      val cl = DedupOps.winnowDedupPipeline(documents(s, dir), "doc_id",
+        "text", k = 8, w = 4, minShared = 15, maxDf = 25).clusters
+      cl.join(documents(s, dir), cl("id") === col("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          max(struct(col("n_chars").as("q"), (-col("doc_id")).as("nid")))
+            .as("m"))
+        .select(col("cluster_id"), (-col("m.nid")).as("kept_doc"),
+          col("m.q").as("kept_chars"), col("size"))
+        .orderBy("cluster_id")
+    }),
+
     // IVF top-3 (8 seed centroids, nprobe 2) — the bucketed scale path;
     // oracle replicates the same assignment + probing.
     "ann_ivf" -> ((s, dir) => {
@@ -1833,6 +1864,13 @@ object LlmQueries {
       """SELECT source, count(*) AS n_kept FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cid)
         |GROUP BY 1 ORDER BY 1""")),
+    "cluster_canonical" -> (ccBase + w(
+      """SELECT cid AS cluster_id,
+        |  -(max(struct_pack(q := n_chars, nid := -doc_id)).nid) AS kept_doc,
+        |  max(struct_pack(q := n_chars, nid := -doc_id)).q AS kept_chars,
+        |  count(*) AS size
+        |FROM comp JOIN documents ON doc_id = id
+        |GROUP BY 1 ORDER BY 1""")),
     "simhash" -> simhashSql,
     "record_linkage" -> w(
       s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
@@ -2363,6 +2401,19 @@ object LlmQueries {
          |r AS (SELECT qid, nbr, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank FROM scored)
          |SELECT qid, rank, nbr, round(cos, 4) AS cos FROM r WHERE rank <= 3 ORDER BY qid, rank"""),
+    // hard negatives: cross-label candidates under the 0.95 ceiling
+    "hard_negatives" -> w(
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |q AS (SELECT * FROM e WHERE id < 5),
+         |scored AS (
+         |  SELECT q.id AS qid, c.id AS nbr, c.label AS nbr_label,
+         |    ${cos("q.v", "c.v")} AS cos
+         |  FROM q JOIN e c ON c.id <> q.id AND c.label <> q.label),
+         |r AS (SELECT qid, nbr, nbr_label, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr) AS rank
+         |  FROM scored WHERE cos < 0.95)
+         |SELECT qid, rank, nbr, nbr_label, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
     // ann_filtered: the label predicate applies to candidates only
     // (queries are unfiltered by construction)
     "ann_filtered" -> w(
