@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns — the codegen'd replacement for the
@@ -310,6 +310,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(
             args.head, org.apache.spark.sql.types.StringType),
           args(1), args(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName,
+        "graft_jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b) takes two arguments")
+        JaroWinklerSimilarity(
+          org.apache.spark.sql.catalyst.expressions.Cast(args.head, StringType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1), StringType))
       }))
   }
 }

@@ -68,6 +68,26 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Jaro-Winkler linkage over the same blocked candidates: the
+    // native codegen'd graft_jaro_winkler expression (byte-level,
+    // 0.7-boost semantics pinned to the oracle engine's builtin)
+    // scores each block pair; ≥0.9 links survive.
+    "jw_linkage" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"),
+        substring(TextOps.normalize(col("text")), 1, 40).as("nm"))
+      val dirty = base.select((col("doc_id") + 10000L).as("did"),
+        expr("concat(substring(nm, 1, cast(doc_id % 20 + 10 as int)), " +
+          "substring(nm, cast(doc_id % 20 + 12 as int), 100))").as("dn"))
+      base.join(dirty,
+          substring(col("nm"), 1, 8) === substring(col("dn"), 1, 8))
+        .withColumn("jw",
+          call_function("graft_jaro_winkler", col("nm"), col("dn")))
+        .where(col("jw") >= 0.9)
+        .select(col("doc_id").as("id_a"), col("did").as("id_b"),
+          r4(col("jw")).as("jw"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Linkage quality vs the planted truth (twin = id + 10000):
     // precision counts near-dup cross matches as "wrong" — the honest
     // penalty of a corpus with real duplicates — recall is against the
@@ -1872,6 +1892,17 @@ object LlmQueries {
         |FROM comp JOIN documents ON doc_id = id
         |GROUP BY 1 ORDER BY 1""")),
     "simhash" -> simhashSql,
+    "jw_linkage" -> w(
+      s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
+         |dd AS (SELECT doc_id + 10000 AS did,
+         |    concat(substring(nm, 1, (doc_id % 20) + 10),
+         |      substring(nm, (doc_id % 20) + 12, 100)) AS dn
+         |  FROM d)
+         |SELECT d.doc_id AS id_a, dd.did AS id_b,
+         |  round(jaro_winkler_similarity(d.nm, dd.dn), 4) AS jw
+         |FROM d JOIN dd ON substring(d.nm, 1, 8) = substring(dd.dn, 1, 8)
+         |WHERE jaro_winkler_similarity(d.nm, dd.dn) >= 0.9
+         |ORDER BY 1, 2"""),
     "record_linkage" -> w(
       s"""WITH d AS (SELECT doc_id, substring($norm, 1, 40) AS nm FROM documents),
          |dd AS (SELECT doc_id + 10000 AS did,
