@@ -684,6 +684,16 @@ final case class FluxFrame(
     copy(df = graft.operators.AnomalyOps.burstFlags(df, groupKey, timeCol,
       valueCol, hiSigmas, loSigmas))
 
+  /** Engine extension: seasonal (hour-of-week) baseline deviation
+    * flags — [[graft.operators.AnomalyOps.seasonalBaseline]] on this
+    * frame's group key, with the µs slot axis derived from the
+    * timestamp time column. Adds `how`, `mu`, `sg`, `flag`.
+    */
+  def seasonalBaseline(sigmas: Double = 3.0): FluxFrame =
+    copy(df = graft.operators.AnomalyOps.seasonalBaseline(
+      df.withColumn("_ts_us", unix_micros(col(timeCol))),
+      groupKey, "_ts_us", valueCol, sigmas).drop("_ts_us"))
+
   /** Engine extension: autocorrelation of the series at lags
     * 1..maxLag — [[graft.operators.SeriesMiningOps.acf]] on this
     * frame's group key, ordered by the time column (the store's LWW

@@ -322,6 +322,8 @@ object FluxEval {
     case "bursts" =>
       f.bursts(call.args.get("hi").map(num0).getOrElse(2.0),
         call.args.get("lo").map(num0).getOrElse(0.5))
+    case "seasonalBaseline" =>
+      f.seasonalBaseline(call.args.get("sigmas").map(num0).getOrElse(3.0))
     // engine extensions: series mining on the grouped frame
     case "acf" =>
       FluxFrame(f.acf(call.args.get("lags").map(num0).getOrElse(10.0).toInt),

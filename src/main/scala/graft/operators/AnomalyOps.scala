@@ -76,6 +76,61 @@ object AnomalyOps {
         least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
   }
 
+  /** Seasonal-baseline deviation flags: each row is compared against
+    * the moments of ITS OWN seasonal slot — (series, hour-of-week) —
+    * so a Monday-9am spike is judged against Monday-9am history, not
+    * the flat series mean that hides diurnal/weekly cycles (the gap a
+    * plain 3σ rule has on periodic telemetry). Slot = epoch-hour mod
+    * 168 from a µs epoch column: pure integer arithmetic, no calendar
+    * semantics to disagree on across engines.
+    *
+    * Moments are computed from EXACT integer sums of the value
+    * quantized to 1e-4 units (sum and sum-of-squares as integers, the
+    * squares in decimal so 100 TB slot counts cannot overflow), so
+    * unlike a rounded float avg() the slot mean/σ cannot land a ulp
+    * across a rounding boundary under a different summation order —
+    * a real failure observed on small slots (n = 16 flipped the 4th
+    * decimal between engines). The only FP ops run on identical
+    * integer inputs, which every engine reproduces bit-for-bit.
+    * Slots with σ = 0 (constant history, or a single point) never
+    * flag. Adds `how`, `mu`, `sg`, `flag`.
+    *
+    * Scale shape: ONE groupBy at (series × 168) cardinality, the
+    * baseline joins back on the same key — map-side-combinable
+    * aggregate, no window, no self-join.
+    */
+  def seasonalBaseline(df: DataFrame, keyCols: Seq[String], tsUsCol: String,
+      valueCol: String, sigmas: Double = 3.0): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalBaseline needs a series key")
+    val withSlot = df
+      .withColumn("how", expr(s"($tsUsCol div 3600000000) % 168"))
+      .withColumn("_u", round(col(valueCol) * 10000).cast("long"))
+    val slotKeys = keyCols :+ "how"
+    val base = withSlot.groupBy(slotKeys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(col("_u")).as("_s"),
+        sum((col("_u").cast("decimal(19,0)") * col("_u").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).as("_q"))
+      // mu rounds IN UNIT SPACE with integer half-up ((2S+n) div 2n):
+      // S/n lands on exact .5-unit midpoints whenever n divides 2S,
+      // and engines disagree there (Spark's round goes through the
+      // shortest-decimal re-read, the oracle rounds the raw binary) —
+      // the integer form has no FP midpoint to disagree on
+      .withColumn("mu",
+        expr("(2 * _s + _n) div (2 * _n)").cast("double") / lit(10000.0))
+      .withColumn("sg",
+        round(sqrt(greatest(
+          (col("_q").cast("double") -
+            col("_s").cast("double") * col("_s").cast("double") / col("_n"))
+            / col("_n"), lit(0.0))) / lit(10000.0), 4))
+      .drop("_n", "_s", "_q")
+    withSlot.join(base, slotKeys)
+      .withColumn("flag",
+        col("sg") > 0 &&
+          abs(col("_u").cast("double") / lit(10000.0) - col("mu")) >
+            lit(sigmas) * col("sg"))
+      .drop("_u")
+  }
+
   /** One-sided CUSUM drift alarms (Page 1954): per series,
     * S_t = max(0, S_{t-1} + (x_t − μ − slack·σ)), alarm while
     * S_t > thresh·σ — the classic sequential detector for a sustained

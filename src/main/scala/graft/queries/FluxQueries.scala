@@ -61,6 +61,19 @@ object FluxQueries {
         .orderBy("event_type")
     }),
 
+    // seasonal baseline through the text surface — same slot moments
+    // + roll-up (and oracle) as the DSL seasonal_baseline gate
+    "flux_seasonal" -> ((s, dir) => {
+      val b = FluxEval.run(
+        """from(bucket: "events") |> seasonalBaseline()""", source(s, dir))
+      b.groupBy(col("_measurement").as("event_type"), col("how"),
+          col("mu"), col("sg"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"))
+        .select("event_type", "how", "n", "mu", "sg", "n_flag")
+        .orderBy("event_type", "how")
+    }),
+
     // acf through the text surface — the evaluator routes to
     // SeriesMiningOps on the frame's group key; (series, time) is
     // unique so time-only ordering equals the DSL gate's total order
@@ -399,6 +412,7 @@ object FluxQueries {
 
   val oracle: Map[String, String] = Map(
     "flux_bursts" -> WindowQueries.oracle("burst_detect"),
+    "flux_seasonal" -> WindowQueries.oracle("seasonal_baseline"),
     "flux_acf" -> MiningQueries.oracle("acf_lags"),
     "flux_forecast" -> MiningQueries.oracle("forecast_linear"),
     // raw daily double sums (not the batch gate's cents): pairwise

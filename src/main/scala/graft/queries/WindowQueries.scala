@@ -442,6 +442,20 @@ object WindowQueries {
           r4(max(col("cusum"))).as("max_s"))
         .orderBy("event_type")),
 
+    // Seasonal hour-of-week baseline: every row judged against its own
+    // slot's moments — per-slot output is already 4dp-rounded, so the
+    // gate carries no FP sums at all.
+    "seasonal_baseline" -> ((s, dir) =>
+      graft.operators.AnomalyOps.seasonalBaseline(
+        events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+          .select("event_type", "ts_us", "value"),
+        Seq("event_type"), "ts_us", "value")
+        .groupBy("event_type", "how", "mu", "sg")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"))
+        .select("event_type", "how", "n", "mu", "sg", "n_flag")
+        .orderBy("event_type", "how")),
+
     // Hysteresis burst detection: enter above μ+2σ, hold above μ+½σ —
     // episode count + in-burst row count per series.
     "burst_detect" -> ((s, dir) => {
@@ -1028,6 +1042,32 @@ object WindowQueries {
     // cusum_drift: the recurrence replayed as a recursive CTE in the
     // same µs row order; μ/σ round to 4dp on both sides, each step's
     // increment parenthesized to mirror the engine's precomputed xdev
+    // slot = epoch-hour mod 168 (integer, calendar-free); moments from
+    // exact integer unit sums, FP only on identical integer inputs —
+    // the op sequence mirrors AnomalyOps.seasonalBaseline term by term
+    "seasonal_baseline" -> w(
+      """WITH sl AS MATERIALIZED (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 168 AS how,
+        |    CAST(round(value * 10000) AS BIGINT) AS u
+        |  FROM events),
+        |b AS MATERIALIZED (
+        |  SELECT event_type, how, count(*) AS n, sum(u) AS s,
+        |    sum(CAST(u AS HUGEINT) * u) AS q
+        |  FROM sl GROUP BY 1, 2),
+        |bm AS MATERIALIZED (
+        |  SELECT event_type, how, n,
+        |    CAST((2 * s + n) // (2 * n) AS DOUBLE) / 10000.0 AS mu,
+        |    round(sqrt(greatest(
+        |      (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |        / n, 0.0)) / 10000.0, 4) AS sg
+        |  FROM b)
+        |SELECT bm.event_type, bm.how, bm.n, bm.mu, bm.sg,
+        |  CAST(sum(CASE WHEN bm.sg > 0
+        |    AND abs(CAST(sl.u AS DOUBLE) / 10000.0 - bm.mu) > 3.0 * bm.sg
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flag
+        |FROM sl JOIN bm USING (event_type, how)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2"""),
+
     // ev/st MATERIALIZED: the recursion references both every
     // iteration; un-hinted DuckDB re-inlines them (22 s → 4 s)
     "cusum_drift" -> w(
