@@ -82,52 +82,25 @@ object GraphOps {
     e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
   }
 
-  /** Connected components by iterated min-label propagation: every
-    * node starts labeled with its own id; each round every node takes
-    * the min of its label and its neighbors' labels, until a round
-    * changes nothing. Returns (node, cid) with cid = the component's
-    * minimum node id — a deterministic canonical label.
-    *
-    * Scale shape: one shuffle join + one min-aggregate per round, both
-    * on the (deduplicated, symmetric) EDGE table — never the raw
-    * corpus — and the label frame localCheckpoints each round so the
-    * lineage stays one-round deep. Convergence is detected with a
-    * one-row changed-count aggregate (O(1) driver traffic per round).
-    * Rounds needed = graph diameter; for long-diameter graphs at
-    * 100 TB prefer the large-star/small-star alternation (Kiveris et
-    * al. 2014, "Connected Components in MapReduce and Beyond") which
-    * converges in O(log n) rounds — plain propagation is the right
-    * trade below that scale and is what the near-dup cluster verbs
-    * already use on their pair graphs (VectorOps minimum-id CC).
-    * `maxIters` fails loudly rather than looping an adversarial
-    * diameter forever.
+  /** Connected components → (node, cid) with cid = the component's
+    * minimum node id, a deterministic canonical label. Delegates to
+    * the engine's proven alternating large-star/small-star CC
+    * ([[graft.llmops.DedupOps.connectedComponents]], Kiveris et al.
+    * SoCC '14), which contracts every component to a star around its
+    * minimum in O(log² n) rounds REGARDLESS of diameter — a
+    * round-per-hop min-propagation loop was tried here first and its
+    * round count scaled with the longest entity chain (10× data →
+    * 10×-longer order chains → 10× rounds on the probe corpus), which
+    * is exactly the failure mode the star algorithm exists to avoid.
+    * One implementation serves both the near-dup cluster verbs and
+    * this graph verb.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 50): DataFrame = {
-    val e = sym(edges, srcCol, dstCol).localCheckpoint()
-    var lbl = e.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("cid"))
-      .localCheckpoint()
-    var round = 0
-    var changed = 1L
-    while (changed > 0) {
-      round += 1
-      require(round <= maxIters,
-        s"connectedComponents: no fixpoint after $maxIters rounds " +
-          "(diameter too large — use a log-round CC for this graph)")
-      val next = e.join(lbl, e("v") === lbl("node"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("cid")).as("nb"))
-        .join(lbl, "node")
-        .select(col("node"), least(col("cid"), col("nb")).as("cid"),
-          (col("nb") < col("cid")).as("chg"))
-        .localCheckpoint()
-      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
-        .first().getLong(0)
-      lbl = next.drop("chg")
-    }
-    lbl
-  }
+      maxIters: Int = 50): DataFrame =
+    graft.llmops.DedupOps.connectedComponents(
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")),
+        "id_a", "id_b", maxIters)
+      .select(col("id").as("node"), col("cluster_id").as("cid"))
 
   /** Multi-source BFS levels over an undirected graph: every seed is
     * level 0; each round the frontier's unvisited neighbors get the
@@ -136,11 +109,13 @@ object GraphOps {
     * Scale shape: per round, one join of the frontier against the
     * edge table plus one anti-join against the visited set — frontier
     * and visited are node-domain-sized; rounds = eccentricity of the
-    * seed set, each round's frames localCheckpointed. The same
-    * one-row count drives termination.
+    * seed set (levels ARE distances — no jumping shortcut exists),
+    * each round's frames localCheckpointed. The same one-row count
+    * drives termination; the loop cannot run forever (visited grows
+    * strictly), so `maxIters` only fences a truly degenerate input.
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxIters: Int = 50): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxIters: Int = 10000): DataFrame = {
     val e = sym(edges, srcCol, dstCol).localCheckpoint()
     var visited = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().select(col("node"), lit(0).as("level"))
