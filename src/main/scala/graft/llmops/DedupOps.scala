@@ -359,6 +359,13 @@ object DedupOps {
       .localCheckpoint()
     var it = 0
     var converged = false
+    // carry the edge count across rounds: this round's small-star count
+    // IS next round's edge count, so the convergence test costs one
+    // count + (only when counts already agree) one except probe,
+    // instead of two counts + except every round — the loop is
+    // scheduling-overhead-bound on node-domain-sized graphs and each
+    // saved action is a saved Spark job per round
+    var edgeCount = edges.count()
     while (!converged && it < maxIter) {
       // large-star: each node links its strictly LARGER neighbours to the
       // minimum of its closed neighbourhood
@@ -378,9 +385,10 @@ object DedupOps {
         .distinct()
         .localCheckpoint()
       // both sides are distinct sets: equal count + empty difference ⇔ equal
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
       edges = small
+      edgeCount = smallCount
       it += 1
     }
     if (!converged)

@@ -122,6 +122,7 @@ object GraphOps {
       .localCheckpoint()
     var frontier = visited
     var round = 0
+    var sinceCp = 0
     while (frontier.limit(1).count() > 0) {
       round += 1
       require(round <= maxIters,
@@ -131,7 +132,14 @@ object GraphOps {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(round).as("level"))
         .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
+      // visited is a union TREE of already-checkpointed frontiers, so
+      // it needs no eager materialization of its own each round (the
+      // loop is round-sequential and scheduling-bound — every saved
+      // job matters); re-checkpoint every 8 rounds only to keep the
+      // anti-join's plan from growing linearly with eccentricity
+      visited = visited.union(frontier)
+      sinceCp += 1
+      if (sinceCp == 8) { visited = visited.localCheckpoint(); sinceCp = 0 }
     }
     visited
   }

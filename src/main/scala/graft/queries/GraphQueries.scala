@@ -36,18 +36,26 @@ object GraphQueries {
       .select(col("prev").as("src"), col("o_orderkey").as("dst"))
   }
 
-  /** Distinct co-ordered part pairs (u < v): per-order part cliques
-    * from one self-join of lineitem on the order key — candidate rows
-    * are bounded by Σ(per-order lines)², i.e. order-local, then
-    * deduplicated to the part-domain-bounded edge set.
+  /** Co-ordered part pairs (u < v) appearing in at least `minCo`
+    * orders: per-order part cliques from one self-join of lineitem on
+    * the order key — candidate rows are bounded by Σ(per-order
+    * lines)², i.e. order-local — then aggregated to the
+    * part-domain-bounded edge set. The part domain is FIXED while
+    * orders scale, so the ≥1 graph saturates toward complete at
+    * higher SF (every pair eventually co-occurs by chance); the
+    * triangle gate uses minCo = 2 (repeat co-occurrence = signal),
+    * which also keeps the wedge join off the dense regime.
     */
-  private def coorderEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coorderEdges(s: SparkSession, dir: String,
+      minCo: Int = 1): DataFrame = {
     val l = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
     l.as("a").join(l.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(countDistinct(col("a.l_orderkey")).as("nco"))
+      .where(col("nco") >= minCo)
+      .select("u", "v")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -63,25 +71,32 @@ object GraphQueries {
         .agg(count(lit(1)).as("size"))
         .orderBy("cid")),
 
-    // Generic multi-source BFS from the %100==0 order nodes → (node,
-    // level) for every reached node; the oracle replays levels as
-    // rank distance within each customer chain.
+    // Generic multi-source BFS from the %100==0 part nodes over the
+    // repeat-co-order graph. The GRAPH CHOICE is the scale decision:
+    // BFS rounds = seed-set eccentricity, and the customer-chain
+    // graph's eccentricity grows linearly with data (10× data made
+    // chains 10× longer → an 18× probe ratio), while the part
+    // co-order graph's diameter is bounded by its fixed node domain —
+    // rounds stay constant and only per-round work grows. The oracle
+    // replays BFS as a level-capped recursive CTE with a min-level
+    // collapse.
     "bfs_levels" -> ((s, dir) => {
-      val e = chainEdges(s, dir)
-      val nodes = e.select(col("src").as("n"))
-        .union(e.select(col("dst").as("n"))).distinct()
+      val e = coorderEdges(s, dir, minCo = 2)
+      val nodes = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n"))).distinct()
       val seeds = nodes.where(col("n") % 100 === 0)
       graft.operators.GraphOps
-        .bfsLevels(e, "src", "dst", seeds, "n")
+        .bfsLevels(e, "u", "v", seeds, "n")
         .select(col("node"), col("level").cast("int").as("level"))
         .orderBy("node")
     }),
 
-    // Degree-oriented exact triangle count on the co-order graph —
-    // the oracle closes wedges with the naive two-join form.
+    // Degree-oriented exact triangle count on the repeat-co-order
+    // graph (pairs co-ordered ≥2 times) — the oracle closes wedges
+    // with the naive two-join form.
     "graph_triangles" -> ((s, dir) =>
       graft.operators.GraphOps
-        .triangleCount(coorderEdges(s, dir), "u", "v")),
+        .triangleCount(coorderEdges(s, dir, minCo = 2), "u", "v")),
 
     // Degree histogram of the co-order graph.
     "graph_degrees" -> ((s, dir) =>
@@ -98,25 +113,32 @@ object GraphQueries {
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 2
         |ORDER BY cid"""),
 
+    // level-capped recursion: UNION dedups exact (node, level) rows,
+    // so cycles keep emitting higher levels until the cap — 30 is far
+    // above this domain-bounded graph's diameter, and if the true
+    // eccentricity ever exceeded it the engine would return MORE rows
+    // than the oracle and the gate would fail loudly
     "bfs_levels" -> w(
-      """WITH ch AS (
-        |  SELECT o_custkey, o_orderkey,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_orderdate, o_orderkey) AS rn,
-        |    count(*) OVER (PARTITION BY o_custkey) AS k
-        |  FROM orders),
-        |c2 AS (SELECT * FROM ch WHERE k >= 2),
-        |sd AS (SELECT o_custkey, rn AS srn FROM c2 WHERE o_orderkey % 100 = 0)
-        |SELECT c.o_orderkey AS node,
-        |  CAST(min(abs(c.rn - s.srn)) AS INT) AS level
-        |FROM c2 c JOIN sd s ON c.o_custkey = s.o_custkey
-        |GROUP BY 1 ORDER BY 1"""),
+      """WITH RECURSIVE pp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |und AS MATERIALIZED (SELECT u, v FROM pp UNION SELECT v, u FROM pp),
+        |walk(node, level) AS (
+        |  SELECT DISTINCT u, 0 FROM und WHERE u % 100 = 0
+        |  UNION
+        |  SELECT und.v, w.level + 1
+        |  FROM walk w JOIN und ON und.u = w.node WHERE w.level < 30)
+        |SELECT node, CAST(min(level) AS INT) AS level
+        |FROM walk GROUP BY 1 ORDER BY 1"""),
 
     "graph_triangles" -> w(
       """WITH pp AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2)
         |SELECT count(*) AS n_triangles
         |FROM pp e1
         |JOIN pp e2 ON e2.u = e1.v

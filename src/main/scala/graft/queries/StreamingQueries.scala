@@ -334,6 +334,38 @@ object StreamingQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING SEASONAL SCORING: stateless stream-static join against
+    // the batch-trained slot baseline, broadcast into each micro-batch
+    // — same roll-up and oracle as the batch seasonal_baseline gate.
+    "stream_seasonal" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sseas-src").toString
+      val ev0 = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_type", "ts_us", "value")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val baseline = graft.operators.AnomalyOps.seasonalBaseline(
+          ev0, Seq("event_type"), "ts_us", "value")
+        .select("event_type", "how", "mu", "sg").distinct()
+
+      val qn = "graft_sseas_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.StreamAnomaly.seasonalStream(
+        s.readStream.schema(ev0.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        baseline, "event_type", "ts_us", "value")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sseas-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn)
+        .groupBy("event_type", "how", "mu", "sg")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"))
+        .select("event_type", "how", "n", "mu", "sg", "n_flag")
+        .orderBy("event_type", "how")
+    }),
+
     // STREAMING MAD: batch-trained reference medians, per-series KLL
     // sketch of absolute deviations in flatMapGroupsWithState state
     // (O(k·log n) per series). maxFilesPerTrigger=1 forces four
@@ -643,6 +675,7 @@ object StreamingQueries {
     // does — same recursive-CTE replay as cusum_drift
     "stream_cusum" -> WindowQueries.oracle("cusum_drift"),
     "stream_burst" -> WindowQueries.oracle("burst_detect"),
+    "stream_seasonal" -> WindowQueries.oracle("seasonal_baseline"),
     "stream_psi" -> WindowQueries.oracle("psi_drift"),
     // the live funnel must land exactly on the batch answer
     "stream_funnel" -> WindowQueries.oracle("funnel_steps"),

@@ -222,16 +222,20 @@ object TpchQueries {
             .as("low_line_count"))
         .orderBy("l_returnflag")),
 
-    // Q13 shape: customer order-count distribution — LEFT join so
-    // zero-order customers keep a 0 bucket, then a second aggregate
-    // over the first's result (the two-level agg shape).
+    // Q13 shape: customer order-count distribution — the order side
+    // aggregates to per-customer counts BEFORE the join (fact rows
+    // collapse to customer cardinality; the textbook LEFT-join-then-
+    // count form tempted Catalyst into broadcasting the FACT side at
+    // 10× scale), then a left join + coalesce keeps zero-order
+    // customers in the 0 bucket, and a second aggregate builds the
+    // distribution.
     "q13_custdist" -> ((s, dir) => {
-      val co = customer(s, dir)
-        .join(orders(s, dir).where(col("o_orderpriority") =!= "1-URGENT"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
-      co.groupBy(col("c_count"))
+      val oc = orders(s, dir).where(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("k"))
+      customer(s, dir).join(oc, Seq("c_custkey"), "left")
+        .select(coalesce(col("k"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),

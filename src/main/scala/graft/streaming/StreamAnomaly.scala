@@ -94,6 +94,26 @@ object StreamAnomaly {
       .toDF(keyCol, tsCol, idCol, valueCol, "in_burst")
   }
 
+  /** Streaming seasonal-baseline scoring — the live counterpart of
+    * [[graft.operators.AnomalyOps.seasonalBaseline]]: the per-(series,
+    * hour-of-week) baseline comes from HISTORY (`baseline`: keyCol,
+    * how, mu, sg — the batch verb's own output shape), and each
+    * arriving row joins its slot and flags. STATELESS by design — the
+    * whole verb is one stream-static join that Spark broadcasts into
+    * every micro-batch, the deployment shape for reference tables that
+    * retrain offline; contrast [[cusumStream]]/[[burstStream]], whose
+    * detectors are inherently sequential and carry state.
+    */
+  def seasonalStream(stream: DataFrame, baseline: DataFrame, keyCol: String,
+      tsUsCol: String, valueCol: String, sigmas: Double = 3.0): DataFrame =
+    stream
+      .withColumn("how", expr(s"($tsUsCol div 3600000000) % 168"))
+      .join(broadcast(baseline), Seq(keyCol, "how"))
+      .withColumn("flag",
+        col("sg") > 0 &&
+          abs(round(col(valueCol) * 10000).cast("long").cast("double")
+            / lit(10000.0) - col("mu")) > lit(sigmas) * col("sg"))
+
   /** Streaming MAD — the bounded-state live counterpart of
     * [[graft.operators.AnomalyOps.madFlags]]'s KLL mode. Deployment
     * shape mirrors [[cusumStream]]: the reference median per series
