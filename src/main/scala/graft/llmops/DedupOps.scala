@@ -372,9 +372,13 @@ object DedupOps {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val lmin = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no distinct here: duplicate (v, m) rows (several neighbours
+      // sharing the same closed-neighbourhood min) are collapsed by
+      // small's distinct below; smin's groupBy-min is dup-insensitive.
+      // Saves one full shuffle per round of a loop whose cost is
+      // stage-count, not data volume.
       val large = sym.join(lmin, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
         .localCheckpoint()
       // small-star: each node links its smaller neighbours (and itself)
       // to the smallest of them
