@@ -152,6 +152,41 @@ object AnalyticsQueries {
         .orderBy("t")
     }),
 
+    // Chi-square independence profile: event type × epoch-day-of-week
+    // contingency cells with expected counts and per-cell (o−e)²/e —
+    // per-cell output, so no cross-cell float sums ride in the gate.
+    "chi_square" -> ((s, dir) =>
+      graft.operators.StatTests.chiSquare(
+        events(s, dir).withColumn("dow",
+          expr("(ts_ns div 86400000000000) % 7")),
+        col("event_type"), col("dow"))
+        .select(col("rowv"), col("colv"), col("n_obs"),
+          r4(col("expected")).as("expected"), r4(col("contrib")).as("contrib"))
+        .orderBy("rowv", "colv")),
+
+    // Mann-Whitney U with exact midranks and tie-corrected z — the
+    // nonparametric location test beside ab_welch; ranks come from the
+    // bucketed globalRank, never a global window.
+    "mwu_values" -> ((s, dir) =>
+      graft.operators.StatTests.mannWhitneyU(
+        events(s, dir)
+          .where(col("event_type").isin("click", "view"))
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        col("event_type") === "click", col("cents"), "event_id")
+        .select(col("n_a"), col("n_b"), r4(col("u_a")).as("u_a"),
+          r4(col("z")).as("z"))),
+
+    // Two-sample KS distance between the same arms: empirical CDFs
+    // from exact cumulative integer counts (bucket offsets +
+    // partitioned running sums — the globalRank prefix machinery).
+    "ks_test" -> ((s, dir) =>
+      graft.operators.StatTests.ksTest(
+        events(s, dir)
+          .where(col("event_type").isin("click", "view"))
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        col("event_type") === "click", col("cents"))
+        .select(col("n_a"), col("n_b"), r4(col("d")).as("d"))),
+
     // Benford first-digit screen on order amounts: observed counts vs
     // n·log10(1+1/d) with per-digit chi-square contributions.
     "benford_check" -> ((s, dir) =>
@@ -473,6 +508,69 @@ object AnalyticsQueries {
         |  FROM j a JOIN j b ON b.t <= a.t GROUP BY a.t)
         |SELECT j.t, j.n_risk, j.d, round(km.s, 4) AS s
         |FROM j JOIN km ON km.t = j.t ORDER BY j.t"""),
+
+    "chi_square" -> w(
+      """WITH obs AS (
+        |  SELECT event_type AS rowv,
+        |    (epoch_ns(ts) // 86400000000000) % 7 AS colv,
+        |    count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT rowv, sum(n_obs) AS rt FROM obs GROUP BY 1),
+        |cm AS (SELECT colv, sum(n_obs) AS ct FROM obs GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS nt FROM obs),
+        |x AS (
+        |  SELECT rm.rowv, cm.colv,
+        |    CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+        |    CAST(rt AS DOUBLE) * ct / nt AS e
+        |  FROM rm CROSS JOIN cm CROSS JOIN t
+        |  LEFT JOIN obs o ON o.rowv = rm.rowv AND o.colv = cm.colv)
+        |SELECT rowv, colv, n_obs, round(e, 4) AS expected,
+        |  round((n_obs - e) * (n_obs - e) / e, 4) AS contrib
+        |FROM x ORDER BY 1, 2"""),
+
+    "mwu_values" -> w(
+      """WITH x AS (
+        |  SELECT event_id, event_type = 'click' AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |r AS (SELECT a, v,
+        |        row_number() OVER (ORDER BY v, event_id) AS rn FROM x),
+        |g AS (SELECT v, count(*) AS t,
+        |        sum(CASE WHEN a THEN 1 ELSE 0 END) AS na_v,
+        |        min(rn) AS mn, max(rn) AS mx
+        |      FROM r GROUP BY 1),
+        |s AS (SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+        |        CAST(sum(t - na_v) AS BIGINT) AS n_b,
+        |        CAST(sum(na_v * (mn + mx)) AS BIGINT) AS r2a,
+        |        CAST(sum(t * t * t - t) AS BIGINT) AS ties3
+        |      FROM g)
+        |SELECT n_a, n_b,
+        |  round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0, 4) AS u_a,
+        |  round((CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+        |      - CAST(n_a AS DOUBLE) * n_b / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |        - CAST(ties3 AS DOUBLE) / ((n_a + n_b) * (n_a + n_b - 1)))),
+        |    4) AS z
+        |FROM s"""),
+
+    "ks_test" -> w(
+      """WITH x AS (
+        |  SELECT event_type = 'click' AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT v,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |      FROM x GROUP BY 1),
+        |c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+        |        sum(nb) OVER (ORDER BY v) AS cb FROM g),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |        CAST(sum(nb) AS BIGINT) AS tb FROM g)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)),
+        |    4) AS d
+        |FROM c, t GROUP BY 1, 2"""),
 
     "benford_check" -> w(
       """WITH d AS (
