@@ -92,6 +92,45 @@ object StatTests {
           (col("u_a") - col("_mu")) / sqrt(col("_s2"))).as("z"))
   }
 
+  /** Spearman rank correlation with exact midranks: both columns rank
+    * through [[SegmentOps.globalRank]], tied values take the exact
+    * (min+max)/2 midrank — carried DOUBLED so every moment sum is an
+    * exact integer (products in decimal so corpus-scale rank sums
+    * cannot overflow) — and ρ assembles from the closed Pearson-on-
+    * ranks form with the only float ops running on identical exact
+    * integers in both engines. Returns (n, rho).
+    */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+      tieCol: String): DataFrame = {
+    val base = df.select(col(tieCol), xCol.as("_x"), yCol.as("_y"))
+    val rx = SegmentOps.globalRank(base, col("_x"), tieCol, 1024, "_rx")
+    val gx = rx.groupBy(col("_x"))
+      .agg((min(col("_rx")) + max(col("_rx"))).as("sx"))
+    // cut the lineage between the two rank passes: the second
+    // globalRank references its input four times (min/max frame,
+    // bucket counts, offsets, ranked join) and would re-execute the
+    // whole first rank chain each time (the rfm chained-fold lesson:
+    // 7.9 → 2.4 s there, 7.5 → ~3 s here)
+    val rx1 = rx.join(gx, "_x").localCheckpoint()
+    val ry = SegmentOps.globalRank(rx1, col("_y"), tieCol, 1024, "_ry")
+    val gy = ry.groupBy(col("_y"))
+      .agg((min(col("_ry")) + max(col("_ry"))).as("sy"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ry.join(gy, "_y")
+      .agg(count(lit(1)).as("n"), sum(col("sx")).as("tx"),
+        sum(col("sy")).as("ty"),
+        sum(dec(col("sx")) * dec(col("sy"))).as("txy"),
+        sum(dec(col("sx")) * dec(col("sx"))).as("txx"),
+        sum(dec(col("sy")) * dec(col("sy"))).as("tyy"))
+      .select(col("n"),
+        ((col("n") * col("txy").cast("double") -
+          col("tx").cast("double") * col("ty")) /
+          sqrt((col("n") * col("txx").cast("double") -
+            col("tx").cast("double") * col("tx")) *
+            (col("n") * col("tyy").cast("double") -
+              col("ty").cast("double") * col("ty")))).as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance: D = max over values of
     * |F_a − F_b| with the empirical CDFs built from exact cumulative
     * integer counts. The cumulation runs on the DISTINCT-VALUE frame

@@ -187,6 +187,19 @@ object AnalyticsQueries {
         col("event_type") === "click", col("cents"))
         .select(col("n_a"), col("n_b"), r4(col("d")).as("d"))),
 
+    // Spearman rank correlation (order value vs order date): exact
+    // globalRank midranks on both axes, Pearson-on-ranks from exact
+    // integer moment sums — the monotonic-association companion of
+    // cov_corr's linear Pearson.
+    "spearman_corr" -> ((s, dir) =>
+      graft.operators.StatTests.spearman(
+        orders(s, dir)
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .withColumn("od",
+            expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
+        col("cents"), col("od"), "o_orderkey")
+        .select(col("n"), r4(col("rho")).as("rho"))),
+
     // Benford first-digit screen on order amounts: observed counts vs
     // n·log10(1+1/d) with per-digit chi-square contributions.
     "benford_check" -> ((s, dir) =>
@@ -571,6 +584,33 @@ object AnalyticsQueries {
         |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)),
         |    4) AS d
         |FROM c, t GROUP BY 1, 2"""),
+
+    "spearman_corr" -> w(
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    epoch_us(o_orderdate) // 86400000000 AS y
+        |  FROM orders),
+        |rx AS (SELECT k, x, y,
+        |         row_number() OVER (ORDER BY x, k) AS r FROM b),
+        |gx AS (SELECT x, min(r) + max(r) AS sx FROM rx GROUP BY 1),
+        |ry AS (SELECT rx.k, rx.y, gx.sx,
+        |         row_number() OVER (ORDER BY rx.y, rx.k) AS r
+        |       FROM rx JOIN gx ON rx.x = gx.x),
+        |gy AS (SELECT y, min(r) + max(r) AS sy FROM ry GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(sx) AS BIGINT) AS tx, CAST(sum(sy) AS BIGINT) AS ty,
+        |    sum(CAST(sx AS HUGEINT) * sy) AS txy,
+        |    sum(CAST(sx AS HUGEINT) * sx) AS txx,
+        |    sum(CAST(sy AS HUGEINT) * sy) AS tyy
+        |  FROM ry JOIN gy ON ry.y = gy.y)
+        |SELECT n,
+        |  round((n * CAST(txy AS DOUBLE) - CAST(tx AS DOUBLE) * ty)
+        |    / sqrt((n * CAST(txx AS DOUBLE) - CAST(tx AS DOUBLE) * tx)
+        |      * (n * CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * ty)),
+        |    4) AS rho
+        |FROM s"""),
 
     "benford_check" -> w(
       """WITH d AS (

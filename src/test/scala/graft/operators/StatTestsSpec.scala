@@ -51,6 +51,18 @@ class StatTestsSpec extends SparkSpec {
     assert(r == ((3L, 2L, 0.5)))
   }
 
+  test("spearman: monotone 1, anti-monotone -1, ties keep exactness") {
+    def rho(pts: Seq[(Long, Long, Long)]): Double =
+      StatTests.spearman(pts.toDF("id", "x", "y"), col("x"), col("y"), "id")
+        .as[(Long, Double)].head()._2
+    assert(math.abs(rho(Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))) - 1.0) < 1e-12)
+    assert(math.abs(rho(Seq((1L, 1L, 30L), (2L, 2L, 20L), (3L, 3L, 10L))) + 1.0) < 1e-12)
+    // x ties at 2 -> midrank 2.5 both; hand Pearson-on-ranks:
+    // cov 4.5 / sqrt(4.5 * 5) = 0.9486832980505138
+    val r = rho(Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 2L, 30L), (4L, 5L, 40L)))
+    assert(math.abs(r - 0.9486832980505138) < 1e-10, r.toString)
+  }
+
   test("ksTest: identical samples give D = 0") {
     val df = (Seq((true, 1L), (true, 7L), (false, 1L), (false, 7L)))
       .toDF("a", "v")
