@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact (hash-groupBy), exact n-gram Jaccard
@@ -359,40 +360,85 @@ object DedupOps {
       .localCheckpoint()
     var it = 0
     var converged = false
-    // carry the edge count across rounds: this round's small-star count
-    // IS next round's edge count, so the convergence test costs one
-    // count + (only when counts already agree) one except probe,
-    // instead of two counts + except every round — the loop is
-    // scheduling-overhead-bound on node-domain-sized graphs and each
-    // saved action is a saved Spark job per round
-    var edgeCount = edges.count()
-    while (!converged && it < maxIter) {
-      // large-star: each node links its strictly LARGER neighbours to the
-      // minimum of its closed neighbourhood
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      val lmin = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // no distinct here: duplicate (v, m) rows (several neighbours
-      // sharing the same closed-neighbourhood min) are collapsed by
-      // small's distinct below; smin's groupBy-min is dup-insensitive.
-      // Saves one full shuffle per round of a loop whose cost is
-      // stage-count, not data volume.
-      val large = sym.join(lmin, "u").filter(col("v") > col("u"))
+    // Convergence is detected by a carried (count, Σ xxhash64(u,v))
+    // signature: both sides are distinct sets, so equal count + equal
+    // 64-bit hash sum is a near-certain (≈2⁻⁶⁴ collision) set-equality
+    // witness, CONFIRMED by one exact `except` probe only when the
+    // signature matches. The earlier count-only shortcut never fired on
+    // path/star graphs (a size-k component keeps k−1 edges in every
+    // round), so the 2-shuffle except probe ran every round; the
+    // signature rides the same one-row aggregate as the count — one
+    // tiny job per round over checkpointed blocks. Hash sum in
+    // decimal(38,0): Long sum would overflow under ANSI mode.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var (edgeCount, edgeSum) = signature(edges)
+    // One large-star + small-star round as a LAZY plan — no action, no
+    // checkpoint. `large` is referenced twice (smin's aggregate and the
+    // join probe) but both references shuffle the identical sub-plan on
+    // the same key, so ReuseExchange collapses them to one physical
+    // exchange; likewise `sym`'s two uses of the round input.
+    def starRound(e: DataFrame): DataFrame = {
+      // Both star passes compute "min over all rows of my node" — an
+      // unbounded window min over partitionBy(node), ONE shuffle each,
+      // instead of the groupBy-min + join-back pair (which cost an
+      // extra exchange plus a per-round broadcast build). The window
+      // sort is spillable, so a giant star center degrades to disk
+      // exactly like the sort-merge join it replaces — same skew
+      // envelope, half the stages.
+      val wU = Window.partitionBy("u")
+      // large-star: each node links its strictly LARGER neighbours to
+      // the minimum of its closed neighbourhood
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val large = sym
+        .withColumn("m", least(col("u"), min(col("v")).over(wU)))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .localCheckpoint()
       // small-star: each node links its smaller neighbours (and itself)
-      // to the smallest of them
-      val smin = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(smin, "u").filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(smin.select(col("u"), col("m").as("v")))
+      // to the smallest of them. Each windowed row (u, v, m) emits its
+      // (v→m) link plus the (u→m) self-link in ONE explode pass — a
+      // filter-branch ∪ select-branch union would compute the window
+      // child twice (ReuseExchange does not collapse across union
+      // branches; measured 2.7× slower on the fused variant) — and the
+      // duplicate self-links collapse in the same distinct the
+      // neighbour links already need.
+      large
+        .withColumn("m", min(col("v")).over(wU))
+        .select(explode(when(col("v") =!= col("m"),
+            array(struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u").as("u"), col("m").as("v"))))
+          .otherwise(array(struct(col("u").as("u"), col("m").as("v")))))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
-        .localCheckpoint()
-      // both sides are distinct sets: equal count + empty difference ⇔ equal
-      val smallCount = small.count()
-      converged = smallCount == edgeCount && small.except(edges).isEmpty
+    }
+    while (!converged && it < maxIter) {
+      // ONE star round per checkpointed job. Fusing two rounds into a
+      // single plan was tried and measured 2.7× SLOWER per pair of
+      // rounds: the second round's symmetrization unions two references
+      // to the first round's un-materialized output, and ReuseExchange
+      // does not collapse exchanges across union branches — the whole
+      // first round recomputed in both. The checkpoint per round is the
+      // cheapest way to make each round's output single-computed.
+      val tck = System.nanoTime()
+      val small = starRound(edges).localCheckpoint()
+      val t0 = System.nanoTime()
+      val (smallCount, smallSum) = signature(small)
+      val t1 = System.nanoTime()
+      converged = smallCount == edgeCount &&
+        smallSum.compareTo(edgeSum) == 0 && small.except(edges).isEmpty
+      val t2 = System.nanoTime()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] round $it: edges $edgeCount -> $smallCount, " +
+          f"ckpt ${(t0 - tck) / 1e9}%.2fs, sig ${(t1 - t0) / 1e9}%.2fs, " +
+          f"conv ${(t2 - t1) / 1e9}%.2fs")
       edges = small
       edgeCount = smallCount
+      edgeSum = smallSum
       it += 1
     }
     if (!converged)

@@ -123,7 +123,7 @@ object VectorOps {
     * Expects (id, v, label) on both inputs.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
-      maxCos: Double = 1.0): DataFrame = {
+      maxCos: Double = Double.PositiveInfinity): DataFrame = {
     val scored = corpus.as("c")
       .crossJoin(broadcast(queries.as("q")))
       .filter(col("q.id") =!= col("c.id") &&

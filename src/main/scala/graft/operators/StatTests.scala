@@ -35,7 +35,11 @@ object StatTests {
     * over the cell cross (|rows|×|cols| — domain-sized by definition).
     */
   def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
-    val obs = df.groupBy(rowCol.as("rowv"), colCol.as("colv"))
+    // Non-null contract: NULL-keyed rows would inflate the margins yet
+    // never match a cell through the equality join back, so they are
+    // excluded up front (the standard complete-case χ² convention).
+    val obs = df.where(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.as("rowv"), colCol.as("colv"))
       .agg(count(lit(1)).as("n_obs"))
     val rowm = obs.groupBy(col("rowv")).agg(sum(col("n_obs")).as("row_tot"))
     val colm = obs.groupBy(col("colv")).agg(sum(col("n_obs")).as("col_tot"))
@@ -75,7 +79,10 @@ object StatTests {
         sum(col("na_v")).as("n_a"),
         sum(col("t") - col("na_v")).as("n_b"),
         sum(col("na_v") * (col("mn") + col("mx"))).as("r2a"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("ties3"))
+        // t³ in decimal: a single tied value on >~2.1M rows overflows
+        // Long under ANSI mode — same discipline as spearman's moments
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("ties3"))
       .select(col("n_a"), col("n_b"),
         // 2U_a = 2R_a − n_a(n_a+1); halve at the end, in double
         ((col("r2a") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0)

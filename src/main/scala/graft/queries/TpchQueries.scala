@@ -312,7 +312,7 @@ object TpchQueries {
     "q18_bigorders" -> ((s, dir) => {
       val big = lineitem(s, dir)
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .agg(round(sum(col("l_quantity"))).cast("long").as("total_qty"))
         .where(col("total_qty") > 300)
       big.join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(customer(s, dir)),
@@ -354,7 +354,7 @@ object TpchQueries {
         .join(broadcast(part(s, dir).where(col("p_name").like("red%"))
           .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity")).cast("long").as("sq"))
+        .agg(round(sum(col("l_quantity"))).cast("long").as("sq"))
       val tot = pq.groupBy(col("p_partkey").as("tk"))
         .agg(sum(col("sq")).as("tq"))
       pq.join(broadcast(tot), col("p_partkey") === col("tk"))
