@@ -39,9 +39,19 @@ object Main {
     val api: Option[HttpApi] =
       if (!config.autoProvision) None
       else {
-        val secret = sys.env.getOrElse("GRAFT_SECRET_JSON",
-          """{"influxdb_username": "admin", "influxdb_password": "ChangeMe123#Secure"}""")
-        val prov = Bootstrap.provision(tsdb.catalog, config, new JsonSecretCredentials(secret))
+        // Credential source selection (C12): a Secrets-Manager-shaped
+        // endpoint when configured (the reference's IPC GetSecretValue
+        // path, src/retrieveInfluxDBSecrets.py), else the inline JSON
+        // document from the environment.
+        val creds: CredentialsProvider = sys.env.get("GRAFT_SECRET_ENDPOINT") match {
+          case Some(endpoint) if config.secretArn != "-" =>
+            new SecretsManagerCredentials(
+              new HttpSecretValueClient(endpoint), config.secretArn)
+          case _ =>
+            new JsonSecretCredentials(sys.env.getOrElse("GRAFT_SECRET_JSON",
+              """{"influxdb_username": "admin", "influxdb_password": "ChangeMe123#Secure"}"""))
+        }
+        val prov = Bootstrap.provision(tsdb.catalog, config, creds)
         println(if (prov.reused) "Reusing existing setup" else s"Provisioned bucket ${prov.bucketId}")
         val bus = new InProcessBus
         new TokenPublisher(tsdb.catalog, config, bus).listen()
