@@ -612,6 +612,54 @@ final case class FluxFrame(
     copy(df = staged.withColumn(as, when(pred, dur).otherwise(lit(-1.0))).drop("_rst"))
   }
 
+  /** InfluxDB 2.x `monitor.check(crit:, warn:, info:, ok:)` [engine
+    * 2.0.9: the stdlib check the reference's telemetry-health use case
+    * runs, README.md:292-297]: each row is classified into the FIRST
+    * matching level — crit, warn, info, then ok — producing v2's status
+    * schema: `_level`, `_check_name`, `_type` = "threshold", the
+    * original measurement preserved as `_source_measurement`, and
+    * `_measurement` rewritten to "statuses" (the monitoring bucket's
+    * measurement name). An explicit `ok` predicate that does NOT match
+    * yields "unknown", like the stdlib. Pure per-row projection — no
+    * shuffle, stays inside whole-stage codegen.
+    */
+  def monitorCheck(crit: Option[Column], warn: Option[Column],
+      info: Option[Column], ok: Option[Column],
+      checkName: String): FluxFrame = {
+    val base: Column = ok match {
+      case Some(c) => when(c, "ok").otherwise("unknown")
+      case None => lit("ok")
+    }
+    val withInfo = info.map(c => when(c, "info").otherwise(base)).getOrElse(base)
+    val withWarn = warn.map(c => when(c, "warn").otherwise(withInfo)).getOrElse(withInfo)
+    val level = crit.map(c => when(c, "crit").otherwise(withWarn)).getOrElse(withWarn)
+    val src = if (df.columns.contains("_measurement")) col("_measurement")
+              else lit(null).cast("string")
+    copy(df = df
+      .withColumn("_level", level)
+      .withColumn("_check_name", lit(checkName))
+      .withColumn("_type", lit("threshold"))
+      .withColumn("_source_measurement", src)
+      .withColumn("_measurement", lit("statuses")))
+  }
+
+  /** `monitor.stateChanges(fromLevel:, toLevel:)` over check output:
+    * keeps the rows whose `_level` DIFFERS from the previous row's in
+    * the same series (groupKey order by time), optionally pinned to a
+    * specific from/to level ("any" matches every level, the stdlib
+    * default for fromLevel). The first row of a series has no previous
+    * status and never fires. One keyed window — same shuffle shape as
+    * stateCount.
+    */
+  def monitorStateChanges(fromLevel: String = "any",
+      toLevel: String = "any"): FluxFrame = {
+    val prev = lag(col("_level"), 1).over(w)
+    val base = prev.isNotNull && col("_level") =!= prev
+    val fromOk = if (fromLevel == "any") base else base && prev === lit(fromLevel)
+    val toOk = if (toLevel == "any") fromOk else fromOk && col("_level") === lit(toLevel)
+    copy(df = df.withColumn("_sc", toOk).filter(col("_sc")).drop("_sc"))
+  }
+
   /** Gap-based sessionization (engine extension; the activity-session
     * op every training-data / analytics pipeline needs). A new session
     * starts when Δt to the previous row of the series EXCEEDS maxGap

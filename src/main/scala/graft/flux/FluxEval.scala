@@ -174,6 +174,9 @@ object FluxEval {
               .reduce(_ union _)
           case other => throw EvalException(s"union(tables: [a, b]) expected, got $other")
         }
+      case Some(Call(v, args)) if v.startsWith("join.") =>
+        // join-package heads name both sides explicitly
+        joinPackage(None, v, args, env)
       case _ => throw EvalException("pipeline must start with from(bucket: ...) or a table variable")
     }
     val bucket0 = pipe.calls.headOption match {
@@ -386,6 +389,33 @@ object FluxEval {
       if (cols.size != 2) throw EvalException("covariance(columns: [x, y]) expects two columns")
       if (call.args.get("pearsonr").contains(VBool(true))) f.pearsonr(cols(0), cols(1))
       else f.covariance(cols(0), cols(1))
+    // influxdata/influxdb/monitor package (SURVEY §2B's last row): row
+    // classification into v2's `_level` status schema + the transition
+    // filter over it. Predicates are plain row lambdas — the same
+    // machinery as filter(fn:).
+    case "monitor.check" =>
+      def levelPred(k: String): Option[Column] = call.args.get(k).map {
+        case VLambda(_, body) => predicate(body, f, source)
+        case other => throw EvalException(s"monitor.check $k expects a predicate lambda, got $other")
+      }
+      val checkName = call.args.get("data") match {
+        case Some(VRec(fields)) =>
+          fields.collectFirst { case ("_check_name", VStr(s)) => s }.getOrElse("check")
+        case _ => "check"
+      }
+      f.monitorCheck(levelPred("crit"), levelPred("warn"), levelPred("info"),
+        levelPred("ok"), checkName)
+    case "monitor.stateChanges" =>
+      f.monitorStateChanges(
+        call.args.get("fromLevel").map(str0).getOrElse("any"),
+        call.args.get("toLevel").map(str0).getOrElse("any"))
+    case "monitor.stateChangesOnly" =>
+      f.monitorStateChanges("any", "any")
+    // join package method variants (`import "join"`, post-2.0.9 Flux —
+    // what current Grafana emits): the piped-in frame is the left side
+    // unless `left:` names a table variable.
+    case v if v.startsWith("join.") =>
+      joinPackage(Some(f), v, call.args, env)
     case "keys" =>
       // group-key column names as a _value listing (Flux's keys())
       val spark = f.df.sparkSession
@@ -522,7 +552,24 @@ object FluxEval {
               s"to(): cannot write _value of type ${other.simpleString}")
           }
         } else f.toDF
-      val back = source.rename.foldLeft(df0) {
+      // monitor.check output → the statuses write shape: the status
+      // dimensions ride as TAGS (v2 stores _level/_check_name/_type/
+      // _source_measurement as tags on the statuses measurement), so
+      // they survive the canonical-schema projection and read back
+      // queryable from the status bucket.
+      val df1 =
+        if (!df0.columns.contains("_level")) df0
+        else {
+          val statusTags = Seq("_level", "_check_name", "_type",
+            "_source_measurement").filter(df0.columns.contains)
+          val tagMap = map(statusTags.flatMap(c =>
+            Seq(lit(c), coalesce(col(c).cast("string"), lit("")))): _*)
+          val merged =
+            if (df0.columns.contains("tags")) map_concat(col("tags"), tagMap)
+            else tagMap
+          df0.withColumn("tags", merged).drop(statusTags: _*)
+        }
+      val back = source.rename.foldLeft(df1) {
         case (d, (flux, actual)) if d.columns.contains(flux) && !d.columns.contains(actual) =>
           d.withColumnRenamed(flux, actual)
         case (d, _) => d
@@ -649,6 +696,50 @@ object FluxEval {
     case VDur(n, "d") => n * 86400.0
     case VDur(n, "w") => n * 604800.0
     case other => throw EvalException(s"expected duration, got $other")
+  }
+
+  /** join-package evaluation (join.inner/left/right/full/time): resolve
+    * both sides, extract equi-keys from the `on` two-param lambda
+    * (conjunctions of `l.k == r.k`; ColRef binds left, AccRef right) or
+    * a plain column array, align unequal right-side key names onto the
+    * left's, and delegate to [[FluxFrame.joinOn]] — one keyed shuffle,
+    * Catalyst free to broadcast the small side. `join.time` adds the
+    * time column to the key set (the stdlib's equality-on-_time join).
+    */
+  private def joinPackage(piped: Option[FluxFrame], verb: String,
+      args: Map[String, Value], env: Map[String, FluxFrame]): FluxFrame = {
+    val method = verb.stripPrefix("join.")
+    val how = method match {
+      case "time" => "inner"
+      case "inner" | "left" | "right" | "full" => method
+      case other => throw EvalException(s"unsupported join method '$other'")
+    }
+    def side(k: String): Option[FluxFrame] = args.get(k).map {
+      case VIdent(x) => ref(x, env)
+      case other => throw EvalException(s"join.$method $k expects a table variable, got $other")
+    }
+    val left = side("left").orElse(piped).getOrElse(
+      throw EvalException(s"join.$method needs a left side (piped in or left:)"))
+    val right = side("right").getOrElse(
+      throw EvalException(s"join.$method requires right: <table>"))
+    def equiPairs(e: Expr): Seq[(String, String)] = e match {
+      case And(a, b) => equiPairs(a) ++ equiPairs(b)
+      case Cmp("==", ColRef(lk), AccRef(rk)) => Seq(lk -> rk)
+      case Cmp("==", AccRef(rk), ColRef(lk)) => Seq(lk -> rk)
+      case other => throw EvalException(
+        s"join.$method on-lambda must be a conjunction of l.k == r.k, got $other")
+    }
+    val pairs: Seq[(String, String)] = args.get("on") match {
+      case Some(VLambda2(_, _, body)) => equiPairs(body)
+      case Some(VArr(items)) => items.map(str0).map(k => k -> k)
+      case None if method == "time" => Nil
+      case _ => throw EvalException(
+        s"join.$method requires on: (l, r) => l.k == r.k … or on: [cols]")
+    }
+    val rightAligned = pairs.filter { case (lk, rk) => lk != rk }
+      .foldLeft(right) { case (r, (lk, rk)) => r.rename(rk -> lk) }
+    val keys = pairs.map(_._1) ++ (if (method == "time") Seq(left.timeCol) else Nil)
+    left.joinOn(rightAligned, keys.distinct, how)
   }
 
   private def lambda(args: Map[String, Value], k: String): VLambda = args(k) match {

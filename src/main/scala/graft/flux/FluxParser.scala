@@ -32,6 +32,13 @@ object FluxParser {
   /** reduce(fn: (r, accumulator) => ({ field: expr, … }), identity: {…}). */
   final case class VReduceLambda(rowParam: String, accParam: String,
       fields: Seq[(String, Expr)]) extends Value
+  /** Two-table predicate lambda — the join package's `on: (l, r) =>
+    * l.k == r.k` form. In the body, [[ColRef]] binds the FIRST (left)
+    * param's members and [[AccRef]] the SECOND (right) param's, reusing
+    * the reduce machinery's two-scope expression plumbing.
+    */
+  final case class VLambda2(leftParam: String, rightParam: String,
+      body: Expr) extends Value
 
   sealed trait Expr
   final case class ColRef(name: String) extends Expr
@@ -199,7 +206,10 @@ object FluxParser {
     }
 
     private def call(): Call = {
-      val name = ident()
+      // dotted package verbs mid-pipe: `|> monitor.check(…)`,
+      // `|> join.left(…)` — same spelling the pipeline head accepts
+      var name = ident()
+      if (peekStr(".")) { expect("."); name = s"$name.${ident()}" }
       ws()
       callAfterName(name)
     }
@@ -299,7 +309,17 @@ object FluxParser {
         expect(","); ws()
         val accParam = ident(); ws()
         expect(")"); ws(); expect("=>"); ws()
-        expect("("); ws(); expect("{"); ws()
+        // two-param PREDICATE body — the join package's
+        // `on: (l, r) => l.k == r.k and …` form; a reduce body always
+        // opens with `({`, so a bare (or parenthesized-non-record)
+        // expression disambiguates to VLambda2
+        if (!peekStr("(")) return VLambda2(param, accParam, orExpr(param, accParam))
+        expect("("); ws()
+        if (!peekStr("{")) {
+          val body = orExpr(param, accParam); ws(); expect(")")
+          return VLambda2(param, accParam, body)
+        }
+        expect("{"); ws()
         val fields = Seq.newBuilder[(String, Expr)]
         fields += reduceField(param, accParam); ws()
         while (peekStr(",")) { expect(","); ws(); fields += reduceField(param, accParam); ws() }

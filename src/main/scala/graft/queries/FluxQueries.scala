@@ -354,6 +354,55 @@ object FluxQueries {
           r4(col("purchase_max")).as("purchase_max"))
         .orderBy("user_id")),
 
+    // join-package method variant through text (`join.left`): the right
+    // side is deliberately sparse (purchase max over a value cut) so
+    // left rows WITHOUT a match survive with a null purchase_max —
+    // the plan evidence that the method reached the executor.
+    "flux_join_left" -> ((s, dir) =>
+      FluxEval.run(
+        """a = from(bucket: "events")
+          |  |> filter(fn: (r) => r._measurement == "click")
+          |  |> group(columns: ["user_id"])
+          |  |> max()
+          |  |> rename(columns: {_value: "click_max"})
+          |b = from(bucket: "events")
+          |  |> filter(fn: (r) => r._measurement == "purchase" and r._value > 95.0)
+          |  |> group(columns: ["user_id"])
+          |  |> max()
+          |  |> rename(columns: {_value: "purchase_max"})
+          |join.left(left: a, right: b, on: (l, r) => l.user_id == r.user_id)""".stripMargin,
+        source(s, dir))
+        .select(col("user_id"), r4(col("click_max")).as("click_max"),
+          r4(col("purchase_max")).as("purchase_max"))
+        .orderBy("user_id")),
+
+    // monitor.check through text: every row classified into v2's
+    // `_level` status schema (crit > warn > info > ok, first match
+    // wins), `_check_name`/`_measurement` pinned to the statuses shape
+    "monitor_check" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> monitor.check(crit: (r) => r._value > 90.0, warn: (r) => r._value > 75.0, info: (r) => r._value > 50.0, data: {_check_name: "value-check"})""".stripMargin,
+        source(s, dir))
+        .groupBy(col("_source_measurement").as("event_type"), col("_level"),
+          col("_check_name"), col("_measurement"))
+        .agg(count(lit(1)).as("n"), r4(avg(col("_value"))).as("mean_v"))
+        .orderBy("event_type", "_level")),
+
+    // monitor.stateChanges over check output: per (measurement, user)
+    // series, the rows whose level ENTERED crit from a different level
+    "monitor_state_changes" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> monitor.check(crit: (r) => r._value > 90.0, warn: (r) => r._value > 75.0, data: {_check_name: "value-check"})
+          ||> group(columns: ["_source_measurement", "user_id"])
+          ||> monitor.stateChanges(toLevel: "crit")""".stripMargin,
+        source(s, dir))
+        .groupBy(col("_source_measurement").as("event_type"))
+        .agg(count(lit(1)).as("n_to_crit"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
     // exists: Flux's member-existence test over pivot output — rows
     // whose `error` cell stayed empty (users with no error event above
     // the value cut) are dropped, the Grafana drop-empty-cells idiom.
@@ -547,6 +596,40 @@ object FluxQueries {
         |SELECT user_id, round(click_max, 4) AS click_max,
         |  round(purchase_max, 4) AS purchase_max
         |FROM c JOIN p USING (user_id) ORDER BY 1""".stripMargin,
+    "flux_join_left" ->
+      """WITH c AS (
+        |  SELECT user_id, max(value) AS click_max FROM events
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT user_id, max(value) AS purchase_max FROM events
+        |  WHERE event_type = 'purchase' AND value > 95 GROUP BY 1
+        |)
+        |SELECT user_id, round(click_max, 4) AS click_max,
+        |  round(purchase_max, 4) AS purchase_max
+        |FROM c LEFT JOIN p USING (user_id) ORDER BY 1""".stripMargin,
+    "monitor_check" ->
+      """SELECT event_type,
+        |  CASE WHEN value > 90 THEN 'crit' WHEN value > 75 THEN 'warn'
+        |       WHEN value > 50 THEN 'info' ELSE 'ok' END AS _level,
+        |  'value-check' AS _check_name, 'statuses' AS _measurement,
+        |  count(*) AS n, round(avg(value), 4) AS mean_v
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    "monitor_state_changes" ->
+      """WITH lv AS (
+        |  SELECT event_type, user_id, ts,
+        |    CASE WHEN value > 90 THEN 'crit' WHEN value > 75 THEN 'warn'
+        |         ELSE 'ok' END AS lvl
+        |  FROM events
+        |), ch AS (
+        |  SELECT event_type, user_id, lvl,
+        |    lag(lvl) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev
+        |  FROM lv
+        |)
+        |SELECT event_type, count(*) AS n_to_crit,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ch
+        |WHERE prev IS NOT NULL AND lvl = 'crit' AND prev <> 'crit'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bin GENERATOR reduces at parse time to the identical literal
     // edges, so the generator path answers the same oracle
     "flux_linear_bins" -> histogramOracle
