@@ -27,7 +27,7 @@ object GraphQueries {
   /** Consecutive-order chain edges per customer: (prev, next) order
     * keys, one partitioned lag window at order cardinality.
     */
-  private def chainEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def chainEdges(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))

@@ -598,6 +598,49 @@ object StreamingQueries {
     // CdcOps.incrementalAgg (deltas commute, so the batch split is
     // irrelevant) and the final view must equal the batch recompute
     // over the merged table — the same oracle as view_maintain.
+    // STREAMING CONNECTED COMPONENTS: the customer-chain edge set
+    // split into four orderkey-quartile files, one per trigger; each
+    // micro-batch CONTRACTS its edges through the persisted assignment
+    // index, runs batch CC on the batch-bounded contracted graph, and
+    // folds the remap back (StreamGraph). Chains span the quartile
+    // boundaries, so components MUST merge across micro-batch
+    // boundaries to land on the batch oracle's histogram.
+    "stream_components" -> ((s, dir) => {
+      val edges = GraphQueries.chainEdges(s, dir)
+      val srcDir = Files.createTempDirectory("graft-scc-src").toString
+      val Array(b1, b2, b3) =
+        edges.stat.approxQuantile("dst", Array(0.25, 0.5, 0.75), 0.0)
+      val bounds = Seq((Double.NegativeInfinity, b1), (b1, b2), (b2, b3),
+        (b3, Double.PositiveInfinity))
+      bounds.foreach { case (lo, hi) =>
+        edges.where(col("dst").cast("double") >= lo &&
+            col("dst").cast("double") < hi)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val idxRoot = Files.createTempDirectory("graft-scc-idx").toString
+      @volatile var current: Option[String] = None
+      val q = s.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-scc-cp").toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val idx = current.map(p => s.read.parquet(p))
+            .getOrElse(graft.streaming.StreamGraph.emptyIndex(s))
+          val next = graft.streaming.StreamGraph
+            .componentsBatch(idx, batch, "src", "dst")
+          val out = s"$idxRoot/v$id"
+          next.write.parquet(out)
+          current = Some(out)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(current.get)
+        .groupBy(col("cid")).agg(count(lit(1)).as("size"))
+        .orderBy("cid")
+    }),
+
     "stream_view_maintain" -> ((s, dir) => {
       val o = orders(s, dir).select(col("o_orderkey").as("k"),
         col("o_orderpriority").as("prio"),
@@ -684,6 +727,9 @@ object StreamingQueries {
     "stream_forecast" -> MiningQueries.oracle("forecast_linear"),
     // the streamed delta folds must land exactly on the batch recompute
     "stream_view_maintain" -> AnalyticsQueries.oracle("view_maintain"),
+    // the incremental index after the last micro-batch must equal
+    // batch CC over the full edge set — same histogram oracle
+    "stream_components" -> GraphQueries.oracle("graph_components"),
     // the stream's violation counters must equal the batch scan's
     "stream_dq" -> w(
       """SELECT event_type, count(*) AS n,

@@ -11,7 +11,9 @@ normalization) and report match/mismatch.
 """
 import json
 import math
+import os
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -54,6 +56,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     results = {}
+    oracle_secs = {}
     for qdir in sorted(out.iterdir()):
         if not qdir.is_dir():
             continue
@@ -67,7 +70,9 @@ def main(sf_dir, out_dir):
             results[name] = f"NO_ORACLE rows={len(mine)}"
             continue
         try:
+            t0 = time.monotonic()
             ref = con.sql(oracle[name]).df()
+            oracle_secs[name] = time.monotonic() - t0
         except Exception as e:
             results[name] = f"ORACLE_FAIL: {e}"
             continue
@@ -95,6 +100,25 @@ def main(sf_dir, out_dir):
     for k in sorted(results):
         print(f"{'PASS' if results[k].startswith('OK') else 'FAIL'} {k}: {results[k]}")
     print(f"\n{n_ok}/{len(results)} queries match")
+
+    # Oracle-suite budget guardrail (the r11 failure mode: the DuckDB
+    # suite silently grew past the driver's budget and the round's
+    # correctness artifact came back EMPTY). Scaled to the fraction of
+    # the suite this run exercised, so targeted runs still guard their
+    # share. Override with GRAFT_ORACLE_BUDGET_SECS; the full-suite
+    # reference point is ~61 s at sf0.01 (r12), budget 90 s.
+    total = sum(oracle_secs.values())
+    full_budget = float(os.environ.get("GRAFT_ORACLE_BUDGET_SECS", "90"))
+    budget = full_budget * max(len(oracle_secs), 1) / max(len(oracle), 1)
+    slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+    print(f"oracle suite: {total:.1f}s over {len(oracle_secs)} queries "
+          f"(budget {budget:.0f}s); slowest: "
+          + ", ".join(f"{k}={v:.1f}s" for k, v in slow))
+    if total > budget:
+        print(f"FAIL oracle-budget: suite took {total:.1f}s > {budget:.0f}s "
+              "— a combinatorial oracle regression (see COVERAGE.md "
+              "'oracle-suite budget'); MATERIALIZE the offending CTE chain")
+        return 1
     return 0 if n_ok == len(results) else 1
 
 
