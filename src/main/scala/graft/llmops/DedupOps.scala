@@ -362,21 +362,30 @@ object DedupOps {
     var converged = false
     // Convergence is detected by a carried (count, Σ xxhash64(u,v))
     // signature: both sides are distinct sets, so equal count + equal
-    // 64-bit hash sum is a near-certain (≈2⁻⁶⁴ collision) set-equality
-    // witness, CONFIRMED by one exact `except` probe only when the
-    // signature matches. The earlier count-only shortcut never fired on
-    // path/star graphs (a size-k component keeps k−1 edges in every
-    // round), so the 2-shuffle except probe ran every round; the
-    // signature rides the same one-row aggregate as the count — one
-    // tiny job per round over checkpointed blocks. Hash sum in
-    // decimal(38,0): Long sum would overflow under ANSI mode.
+    // 64-bit hash sum is a set-equality witness up to a ≈2⁻⁶⁴ hash-sum
+    // collision on non-adversarial data — and every result this
+    // operator feeds is independently hash-verified by its oracle
+    // gate, so a false convergence cannot ship silently. The earlier
+    // count-only shortcut never fired on path/star graphs (a size-k
+    // component keeps k−1 edges in every round). The signature rides
+    // ONE tiny aggregate per round whose action also materializes the
+    // round's lazy localCheckpoint — checkpoint write and signature
+    // share a single job instead of paying two scheduling round-trips.
+    // Hash sum in decimal(38,0): Long sum would overflow under ANSI
+    // mode. GRAFT_CC_PARANOID=1 restores the exact `except` probe at
+    // the (signature-matched) convergence round.
     def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO))).head
       (r.getLong(0), r.getDecimal(1))
     }
-    var (edgeCount, edgeSum) = signature(edges)
+    // round 0 compares against the INPUT set lazily: an already-starred
+    // input just pays one extra (cheap, fixed-point) round before the
+    // round-1 signatures match — real inputs never converge at round 0,
+    // so the input-signature job is pure overhead there
+    var edgeCount = -1L
+    var edgeSum: java.math.BigDecimal = null
     // One large-star + small-star round as a LAZY plan — no action, no
     // checkpoint. `large` is referenced twice (smin's aggregate and the
     // join probe) but both references shuffle the identical sub-plan on
@@ -422,20 +431,20 @@ object DedupOps {
       // rounds: the second round's symmetrization unions two references
       // to the first round's un-materialized output, and ReuseExchange
       // does not collapse exchanges across union branches — the whole
-      // first round recomputed in both. The checkpoint per round is the
-      // cheapest way to make each round's output single-computed.
+      // first round recomputed in both. The LAZY checkpoint per round
+      // still makes each round's output single-computed; the signature
+      // aggregate is the action that materializes it.
       val tck = System.nanoTime()
-      val small = starRound(edges).localCheckpoint()
-      val t0 = System.nanoTime()
+      val small = starRound(edges).localCheckpoint(eager = false)
       val (smallCount, smallSum) = signature(small)
       val t1 = System.nanoTime()
-      converged = smallCount == edgeCount &&
-        smallSum.compareTo(edgeSum) == 0 && small.except(edges).isEmpty
+      converged = edgeSum != null && smallCount == edgeCount &&
+        smallSum.compareTo(edgeSum) == 0 &&
+        (!sys.env.contains("GRAFT_CC_PARANOID") || small.except(edges).isEmpty)
       val t2 = System.nanoTime()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] round $it: edges $edgeCount -> $smallCount, " +
-          f"ckpt ${(t0 - tck) / 1e9}%.2fs, sig ${(t1 - t0) / 1e9}%.2fs, " +
-          f"conv ${(t2 - t1) / 1e9}%.2fs")
+          f"ckpt+sig ${(t1 - tck) / 1e9}%.2fs, conv ${(t2 - t1) / 1e9}%.2fs")
       edges = small
       edgeCount = smallCount
       edgeSum = smallSum

@@ -108,13 +108,16 @@ def main(sf_dir, out_dir):
     # share. Override with GRAFT_ORACLE_BUDGET_SECS; the full-suite
     # reference point is ~61 s at sf0.01 (r12), budget 90 s.
     total = sum(oracle_secs.values())
-    full_budget = float(os.environ.get("GRAFT_ORACLE_BUDGET_SECS", "90"))
-    budget = full_budget * max(len(oracle_secs), 1) / max(len(oracle), 1)
+    budget = float(os.environ.get("GRAFT_ORACLE_BUDGET_SECS", "90"))
     slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+    full_run = len(oracle_secs) >= 0.9 * len(oracle)
     print(f"oracle suite: {total:.1f}s over {len(oracle_secs)} queries "
-          f"(budget {budget:.0f}s); slowest: "
-          + ", ".join(f"{k}={v:.1f}s" for k, v in slow))
-    if total > budget:
+          f"(budget {budget:.0f}s, {'enforced' if full_run else 'full-suite only'}); "
+          "slowest: " + ", ".join(f"{k}={v:.1f}s" for k, v in slow))
+    # Enforced only when (nearly) the whole suite ran: oracle cost is
+    # deliberately non-uniform (the dedup/graph replays carry the
+    # tail), so a targeted run of heavy oracles must not false-fail.
+    if full_run and total > budget:
         print(f"FAIL oracle-budget: suite took {total:.1f}s > {budget:.0f}s "
               "— a combinatorial oracle regression (see COVERAGE.md "
               "'oracle-suite budget'); MATERIALIZE the offending CTE chain")
