@@ -1,0 +1,821 @@
+package graft.llmops
+
+/** Cleanroom H.264/AVC BASELINE I-frame codec (ITU-T H.264 / ISO 14496-10,
+  * public spec) — the real-decode replacement for the modern-codec slice
+  * of [[MultimodalOps.StubCodec]] (reference context: the multimodal
+  * training-data pipeline treats video as opaque binary columns; frame
+  * decode happens executor-side, SURVEY §"multimodal columns").
+  *
+  * Scope (honest subset, explicit errors outside it):
+  *  - Annex B elementary streams (start codes + emulation prevention);
+  *  - SPS/PPS/IDR slice headers for progressive 4:2:0 baseline
+  *    (frame_mbs_only, CAVLC, no FMO/ASO, pic_order_cnt_type 2);
+  *  - I slices with I_PCM and Intra_16x16 macroblocks (DC / vertical /
+  *    horizontal luma prediction; chroma DC), CAVLC residual decode for
+  *    the Intra16x16 luma DC plane, luma AC, and chroma DC blocks;
+  *  - dequantization + inverse transforms exactly per spec 8.5 (4x4
+  *    core, 4x4 luma-DC Hadamard, 2x2 chroma-DC);
+  *  - deblocking honored only as `disable_deblocking_filter_idc == 1`
+  *    (streams that enable the in-loop filter are REFUSED, not decoded
+  *    approximately — exactness over coverage);
+  *  - I_NxN (4x4 prediction), inter slices and CABAC are out of scope
+  *    and fail fast with a pointer here.
+  *
+  * The VLC tables below are transcribed from spec Tables 9-5/9-7/9-9/
+  * 9-10 for the regions this subset can emit; untrusted deep rows
+  * throw rather than guess. The fixture ENCODER ([[H264.Fixtures]])
+  * authors conformant streams by construction (flat frames seeded by
+  * one I_PCM macroblock, neighbors reconstructed through real DC
+  * prediction plus exactly-dequantizable DC residuals), so the decode
+  * gate's oracle can recompute every expected pixel from the spec's
+  * own dequant arithmetic in SQL — no codec in the oracle's loop.
+  */
+object H264 {
+
+  final case class FrameYuv(width: Int, height: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int]) {
+    private def mean(a: Array[Int]): Double = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i); i += 1 }
+      s.toDouble / a.length
+    }
+    def yMean: Double = mean(y)
+    def cbMean: Double = mean(cb)
+    def crMean: Double = mean(cr)
+  }
+
+  // ---------------------------------------------------------------- bits
+
+  /** MSB-first bit reader over an RBSP (emulation prevention already
+    * stripped).
+    */
+  private final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def bitPos: Int = pos
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIdx = pos >> 3
+        require(byteIdx < bytes.length, "h264: bitstream underrun")
+        val bit = (bytes(byteIdx) >> (7 - (pos & 7))) & 1
+        v = (v << 1) | bit
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def flag(): Boolean = u(1) == 1
+    /** ue(v) Exp-Golomb (spec 9.1). */
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) { zeros += 1; require(zeros < 32, "h264: bad ue(v)") }
+      if (zeros == 0) 0 else ((1 << zeros) - 1) + u(zeros)
+    }
+    /** se(v) signed Exp-Golomb (spec 9.1.1). */
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+    def byteAlign(): Unit = while ((pos & 7) != 0) pos += 1
+    def readByte(): Int = { require((pos & 7) == 0); val b = bytes(pos >> 3) & 0xFF; pos += 8; b }
+    def moreRbspData(): Boolean = {
+      // more data iff bits remain before the rbsp_stop_one_bit
+      var last = bytes.length * 8 - 1
+      while (last >= 0 && ((bytes(last >> 3) >> (7 - (last & 7))) & 1) == 0) last -= 1
+      pos < last
+    }
+  }
+
+  /** MSB-first bit writer producing an RBSP; [[toNal]] adds the start
+    * code and emulation prevention.
+    */
+  private final class BitWriter {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def put(bit: Int): Unit = {
+      cur = (cur << 1) | (bit & 1)
+      nbits += 1
+      if (nbits == 8) { out += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def u(v: Int, n: Int): Unit = { var i = n - 1; while (i >= 0) { put((v >> i) & 1); i -= 1 } }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, len - 1); u(k, len)
+    }
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def bits(code: String): Unit = code.foreach(c => put(c - '0'))
+    def byteAlignZero(): Unit = while (nbits != 0) put(0)
+    def trailingBits(): Unit = { put(1); byteAlignZero() }
+    def bytes: Array[Byte] = { require(nbits == 0, "h264: unaligned rbsp"); out.toArray }
+  }
+
+  private def stripEmulation(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length)
+    var i = 0
+    var zeros = 0
+    while (i < nal.length) {
+      val b = nal(i) & 0xFF
+      if (zeros >= 2 && b == 3 && i + 1 < nal.length && (nal(i + 1) & 0xFF) <= 3) {
+        zeros = 0 // emulation_prevention_three_byte: drop
+      } else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private def addEmulation(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    for (b0 <- rbsp) {
+      val b = b0 & 0xFF
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------- parameter sets
+
+  final case class Sps(widthMbs: Int, heightMbs: Int, log2MaxFrameNum: Int)
+  final case class Pps(initQp: Int, deblockControl: Boolean,
+      chromaQpOffset: Int)
+
+  private def parseSps(rbsp: Array[Byte]): Sps = {
+    val br = new BitReader(rbsp)
+    val profile = br.u(8)
+    br.u(8) // constraint flags + reserved
+    br.u(8) // level_idc
+    br.ue() // sps id
+    require(profile == 66, s"h264: only baseline (66) supported, got $profile")
+    val log2MaxFrameNum = br.ue() + 4
+    val pocType = br.ue()
+    require(pocType == 2, s"h264: only pic_order_cnt_type 2 supported, got $pocType")
+    br.ue() // max_num_ref_frames
+    br.flag() // gaps_in_frame_num
+    val wMbs = br.ue() + 1
+    val hMbs = br.ue() + 1
+    val frameMbsOnly = br.flag()
+    require(frameMbsOnly, "h264: interlace unsupported")
+    br.flag() // direct_8x8_inference
+    val crop = br.flag()
+    require(!crop, "h264: frame cropping unsupported")
+    br.flag() // vui
+    Sps(wMbs, hMbs, log2MaxFrameNum)
+  }
+
+  private def parsePps(rbsp: Array[Byte]): Pps = {
+    val br = new BitReader(rbsp)
+    br.ue(); br.ue() // pps id, sps id
+    val cabac = br.flag()
+    require(!cabac, "h264: CABAC unsupported (baseline is CAVLC)")
+    br.flag() // bottom_field_pic_order_in_frame_present
+    val sliceGroups = br.ue()
+    require(sliceGroups == 0, "h264: FMO unsupported")
+    br.ue(); br.ue() // num_ref_idx defaults
+    br.flag() // weighted_pred
+    br.u(2) // weighted_bipred_idc
+    val initQp = br.se() + 26
+    br.se() // pic_init_qs
+    val chromaQpOffset = br.se()
+    val deblockControl = br.flag()
+    br.flag() // constrained_intra_pred
+    br.flag() // redundant_pic_cnt_present
+    Pps(initQp, deblockControl, chromaQpOffset)
+  }
+
+  // ------------------------------------------------------- CAVLC tables
+
+  /** coeff_token VLCs (spec Table 9-5), "(bits)" strings keyed by
+    * (TrailingOnes, TotalCoeff). Only the table regions this codec's
+    * subset can produce are transcribed; a lookup miss throws.
+    */
+  private val CoeffTokenNc0: Map[(Int, Int), String] = Map(
+    (0, 0) -> "1",
+    (0, 1) -> "000101", (1, 1) -> "01",
+    (0, 2) -> "00000111", (1, 2) -> "000100", (2, 2) -> "001",
+    (0, 3) -> "000000111", (1, 3) -> "00000110", (2, 3) -> "0000101", (3, 3) -> "00011",
+    (0, 4) -> "0000000111", (1, 4) -> "000000110", (2, 4) -> "00000101", (3, 4) -> "000011")
+
+  private val CoeffTokenNc2: Map[(Int, Int), String] = Map(
+    (0, 0) -> "11",
+    (0, 1) -> "001011", (1, 1) -> "10",
+    (0, 2) -> "000111", (1, 2) -> "00111", (2, 2) -> "011",
+    (0, 3) -> "0000111", (1, 3) -> "001010", (2, 3) -> "001001", (3, 3) -> "0101",
+    (0, 4) -> "00000111", (1, 4) -> "000110", (2, 4) -> "000101", (3, 4) -> "0100")
+
+  private val CoeffTokenNc4: Map[(Int, Int), String] = Map(
+    (0, 0) -> "1111",
+    (0, 1) -> "001111", (1, 1) -> "1110",
+    (0, 2) -> "001011", (1, 2) -> "01111", (2, 2) -> "1101",
+    (0, 3) -> "001000", (1, 3) -> "01100", (2, 3) -> "01110", (3, 3) -> "1100",
+    (0, 4) -> "0001111", (1, 4) -> "01010", (2, 4) -> "01011", (3, 4) -> "1011")
+
+  /** chroma DC (4:2:0) coeff_token, nC == -1 (Table 9-5 last column). */
+  private val CoeffTokenChromaDc: Map[(Int, Int), String] = Map(
+    (0, 0) -> "01",
+    (0, 1) -> "000111", (1, 1) -> "1",
+    (0, 2) -> "000100", (1, 2) -> "000110", (2, 2) -> "001",
+    (0, 3) -> "000011", (1, 3) -> "0000011", (2, 3) -> "0000010", (3, 3) -> "000101",
+    (0, 4) -> "000010", (1, 4) -> "00000011", (2, 4) -> "00000010", (3, 4) -> "0000000")
+
+  /** total_zeros for 4x4 blocks (Table 9-7), rows TotalCoeff 1..4 —
+    * the subset's maximum; deeper rows throw at the lookup.
+    */
+  private val TotalZeros4x4: Map[Int, Map[Int, String]] = Map(
+    1 -> Map(0 -> "1", 1 -> "011", 2 -> "010", 3 -> "0011", 4 -> "0010",
+      5 -> "00011", 6 -> "00010", 7 -> "000011", 8 -> "000010",
+      9 -> "0000011", 10 -> "0000010", 11 -> "00000011", 12 -> "00000010",
+      13 -> "000000011", 14 -> "000000010", 15 -> "000000001"),
+    2 -> Map(0 -> "111", 1 -> "110", 2 -> "101", 3 -> "100", 4 -> "011",
+      5 -> "0101", 6 -> "0100", 7 -> "0011", 8 -> "0010", 9 -> "00011",
+      10 -> "00010", 11 -> "000011", 12 -> "000010", 13 -> "000001", 14 -> "000000"),
+    3 -> Map(0 -> "0101", 1 -> "111", 2 -> "110", 3 -> "101", 4 -> "0100",
+      5 -> "0011", 6 -> "100", 7 -> "011", 8 -> "0010", 9 -> "00011",
+      10 -> "00010", 11 -> "000001", 12 -> "00001", 13 -> "000000"),
+    4 -> Map(0 -> "00011", 1 -> "111", 2 -> "0101", 3 -> "0100", 4 -> "110",
+      5 -> "101", 6 -> "100", 7 -> "0011", 8 -> "011", 9 -> "0010",
+      10 -> "00010", 11 -> "00001", 12 -> "00000"))
+
+  /** total_zeros for chroma DC 2x2 blocks, 4:2:0 (Table 9-9(a)). */
+  private val TotalZerosChromaDc: Map[Int, Map[Int, String]] = Map(
+    1 -> Map(0 -> "1", 1 -> "01", 2 -> "001", 3 -> "000"),
+    2 -> Map(0 -> "1", 1 -> "01", 2 -> "00"),
+    3 -> Map(0 -> "1", 1 -> "0"))
+
+  /** run_before (Table 9-10), keyed by min(zerosLeft, 7). */
+  private val RunBefore: Map[Int, Map[Int, String]] = Map(
+    1 -> Map(0 -> "1", 1 -> "0"),
+    2 -> Map(0 -> "1", 1 -> "01", 2 -> "00"),
+    3 -> Map(0 -> "11", 1 -> "10", 2 -> "01", 3 -> "00"),
+    4 -> Map(0 -> "11", 1 -> "10", 2 -> "01", 3 -> "001", 4 -> "000"),
+    5 -> Map(0 -> "11", 1 -> "10", 2 -> "011", 3 -> "010", 4 -> "001", 5 -> "000"),
+    6 -> Map(0 -> "11", 1 -> "000", 2 -> "001", 3 -> "011", 4 -> "010",
+      5 -> "101", 6 -> "100"),
+    7 -> Map(0 -> "111", 1 -> "110", 2 -> "101", 3 -> "100", 4 -> "011",
+      5 -> "010", 6 -> "001", 7 -> "0001", 8 -> "00001", 9 -> "000001",
+      10 -> "0000001", 11 -> "00000001", 12 -> "000000001",
+      13 -> "0000000001", 14 -> "00000000001"))
+
+  private def coeffTokenTable(nC: Int): Map[(Int, Int), String] =
+    if (nC == -1) CoeffTokenChromaDc
+    else if (nC < 2) CoeffTokenNc0
+    else if (nC < 4) CoeffTokenNc2
+    else if (nC < 8) CoeffTokenNc4
+    else null // FLC form
+
+  /** Longest-prefix VLC decode against a (key → bits) table. */
+  private def readVlc[K](br: BitReader, table: Map[K, String], what: String): K = {
+    var code = ""
+    var i = 0
+    while (i < 19) {
+      code += (if (br.u(1) == 1) "1" else "0")
+      table.find(_._2 == code) match {
+        case Some((k, _)) => return k
+        case None => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"h264: no $what VLC matches '$code' — outside the transcribed table subset")
+  }
+
+  /** residual_block_cavlc (spec 9.2): returns coefficient array in
+    * scan order, length `maxCoeffs`.
+    */
+  private def residualBlock(br: BitReader, nC: Int, maxCoeffs: Int): Array[Int] = {
+    // table keys are (TrailingOnes, TotalCoeff)
+    val (trailingOnes, totalCoeff) =
+      if (nC >= 8) {
+        val fixed = br.u(6)
+        if (fixed == 3) (0, 0) else (fixed & 3, (fixed >> 2) + 1)
+      } else readVlc(br, coeffTokenTable(nC), s"coeff_token(nC=$nC)")
+    if (sys.env.contains("GRAFT_H264_DEBUG"))
+      println(s"[h264]   residual nC=$nC tc=$totalCoeff t1=$trailingOnes bit=${br.bitPos}")
+    val coeffs = new Array[Int](maxCoeffs)
+    if (totalCoeff == 0) return coeffs
+    require(totalCoeff <= maxCoeffs, "h264: TotalCoeff exceeds block size")
+    val levels = new Array[Int](totalCoeff)
+    var suffixLength = if (totalCoeff > 10 && trailingOnes < 3) 1 else 0
+    var i = 0
+    while (i < totalCoeff) {
+      if (i < trailingOnes) {
+        levels(i) = if (br.u(1) == 1) -1 else 1
+      } else {
+        var prefix = 0
+        while (br.u(1) == 0) { prefix += 1; require(prefix <= 15, "h264: level_prefix > 15 unsupported") }
+        var levelCode =
+          if (prefix == 14 && suffixLength == 0) 14 + br.u(4)
+          else if (prefix == 15) (15 << suffixLength) + br.u(12)
+          else (prefix << suffixLength) + (if (suffixLength > 0) br.u(suffixLength) else 0)
+        if (i == trailingOnes && trailingOnes < 3) levelCode += 2
+        levels(i) = if (levelCode % 2 == 0) (levelCode + 2) >> 1 else -((levelCode + 1) >> 1)
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+          suffixLength += 1
+      }
+      i += 1
+    }
+    val totalZeros =
+      if (totalCoeff == maxCoeffs) 0
+      else if (nC == -1)
+        readVlc(br, TotalZerosChromaDc.getOrElse(totalCoeff,
+          throw new IllegalArgumentException("h264: chroma-dc total_zeros row missing")),
+          "total_zeros(chromaDC)")
+      else
+        readVlc(br, TotalZeros4x4.getOrElse(totalCoeff,
+          throw new IllegalArgumentException(
+            s"h264: total_zeros row TotalCoeff=$totalCoeff outside transcribed subset")),
+          "total_zeros")
+    var zerosLeft = totalZeros
+    var pos = totalCoeff - 1 + totalZeros // scan index of the highest coeff
+    i = 0
+    while (i < totalCoeff) {
+      coeffs(pos) = levels(i)
+      if (i < totalCoeff - 1) {
+        val run =
+          if (zerosLeft == 0) 0
+          else readVlc(br, RunBefore(math.min(zerosLeft, 7)), "run_before")
+        zerosLeft -= run
+        pos -= (1 + run)
+      }
+      i += 1
+    }
+    coeffs
+  }
+
+  // --------------------------------------------- transforms & dequant
+
+  /** normAdjust4x4(m, (0,0)) — spec Table 8-15 first position. */
+  private[llmops] val VDc = Array(10, 11, 13, 14, 16, 18)
+
+  /** Intra16x16 luma DC dequant (spec 8.5.10): `f` is the inverse-
+    * Hadamard-transformed DC value, qp the luma QP; LevelScale(m,0,0)
+    * = 16·normAdjust = 16·VDc(m). SQL-replayable: pure integer ops.
+    */
+  private[llmops] def dequantLumaDc(f: Int, qp: Int): Int = {
+    val ls = 16 * VDc(qp % 6)
+    if (qp >= 36) (f * ls) << (qp / 6 - 6)
+    else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** Chroma DC dequant (spec 8.5.11, 4:2:0). */
+  private[llmops] def dequantChromaDc(f: Int, qpc: Int): Int =
+    ((f * (16 * VDc(qpc % 6))) << (qpc / 6)) >> 5
+
+  /** AC/general 4x4 dequant for scan position > 0 (spec 8.5.12.2,
+    * folded flat-scaling form): d = c · normAdjust(m, pos) · 2^(qp/6).
+    */
+  private val VByPos: Array[Array[Int]] = {
+    // normAdjust4x4 groups: (0,0),(0,2),(2,0),(2,2) → v0; (1,1),(1,3),
+    // (3,1),(3,3) → v1; rest → v2
+    val v0 = Array(10, 11, 13, 14, 16, 18)
+    val v1 = Array(16, 18, 20, 23, 25, 29)
+    val v2 = Array(13, 14, 16, 18, 20, 23)
+    Array.tabulate(16) { raster =>
+      val (r, c) = (raster / 4, raster % 4)
+      if (r % 2 == 0 && c % 2 == 0) v0 else if (r % 2 == 1 && c % 2 == 1) v1 else v2
+    }
+  }
+
+  /** zigzag scan order → raster index (spec 8.5.6). */
+  private[llmops] val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** 4x4 inverse core transform (spec 8.5.12.2) on RASTER-ordered
+    * dequantized coefficients; output residuals include the final
+    * (x + 32) >> 6 rounding.
+    */
+  private[llmops] def idct4x4(d: Array[Int]): Array[Int] = {
+    val e = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // horizontal
+      val p0 = d(i * 4); val p1 = d(i * 4 + 1); val p2 = d(i * 4 + 2); val p3 = d(i * 4 + 3)
+      val a = p0 + p2; val b = p0 - p2; val c = (p1 >> 1) - p3; val t = p1 + (p3 >> 1)
+      e(i * 4) = a + t; e(i * 4 + 1) = b + c; e(i * 4 + 2) = b - c; e(i * 4 + 3) = a - t
+      i += 1
+    }
+    val r = new Array[Int](16)
+    i = 0
+    while (i < 4) { // vertical
+      val p0 = e(i); val p1 = e(4 + i); val p2 = e(8 + i); val p3 = e(12 + i)
+      val a = p0 + p2; val b = p0 - p2; val c = (p1 >> 1) - p3; val t = p1 + (p3 >> 1)
+      r(i) = (a + t + 32) >> 6; r(4 + i) = (b + c + 32) >> 6
+      r(8 + i) = (b - c + 32) >> 6; r(12 + i) = (a - t + 32) >> 6
+      i += 1
+    }
+    r
+  }
+
+  /** 4x4 Hadamard (spec 8.5.10, ±1 butterflies, no scaling) — its own
+    * inverse up to the dequant scaling applied afterwards.
+    */
+  private[llmops] def hadamard4x4(c: Array[Int]): Array[Int] = {
+    val e = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val p0 = c(i * 4); val p1 = c(i * 4 + 1); val p2 = c(i * 4 + 2); val p3 = c(i * 4 + 3)
+      val a = p0 + p2; val b = p0 - p2; val g = p1 - p3; val t = p1 + p3
+      e(i * 4) = a + t; e(i * 4 + 1) = b + g; e(i * 4 + 2) = b - g; e(i * 4 + 3) = a - t
+      i += 1
+    }
+    val r = new Array[Int](16)
+    i = 0
+    while (i < 4) {
+      val p0 = e(i); val p1 = e(4 + i); val p2 = e(8 + i); val p3 = e(12 + i)
+      val a = p0 + p2; val b = p0 - p2; val g = p1 - p3; val t = p1 + p3
+      r(i) = a + t; r(4 + i) = b + g; r(8 + i) = b - g; r(12 + i) = a - t
+      i += 1
+    }
+    r
+  }
+
+  /** chroma QP mapping (spec Table 8-12) for qpi in 30..51; identity
+    * below 30.
+    */
+  private[llmops] def chromaQp(qpY: Int, offset: Int): Int = {
+    val qpi = math.max(0, math.min(51, qpY + offset))
+    if (qpi < 30) qpi
+    else Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+      38, 38, 38, 39, 39, 39, 39)(qpi - 30)
+  }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ------------------------------------------------------------ decoder
+
+  /** Decode every IDR frame of an Annex B elementary stream. */
+  def decodeAnnexB(bytes: Array[Byte]): Seq[FrameYuv] = {
+    // split on 00 00 01 / 00 00 00 01 start codes
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i + 2 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        if (start >= 0) nals += bytes.slice(start, if (i > 0 && bytes(i - 1) == 0) i - 1 else i)
+        start = i + 3
+        i += 3
+      } else i += 1
+    }
+    if (start >= 0) nals += bytes.slice(start, bytes.length)
+    require(nals.nonEmpty, "h264: no NAL units (not an Annex B stream?)")
+
+    var sps: Sps = null
+    var pps: Pps = null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[FrameYuv]
+    for (nal <- nals) {
+      val nalType = nal(0) & 0x1F
+      val rbsp = stripEmulation(nal.drop(1))
+      nalType match {
+        case 7 => sps = parseSps(rbsp)
+        case 8 => pps = parsePps(rbsp)
+        case 5 =>
+          require(sps != null && pps != null, "h264: slice before SPS/PPS")
+          frames += decodeIdrSlice(rbsp, sps, pps)
+        case 1 => throw new IllegalArgumentException(
+          "h264: non-IDR slices unsupported (keyframe decoder)")
+        case 6 | 9 | 10 | 11 | 12 => () // SEI / AUD / end markers: skip
+        case other => throw new IllegalArgumentException(s"h264: NAL type $other unsupported")
+      }
+    }
+    frames.toSeq
+  }
+
+  private def decodeIdrSlice(rbsp: Array[Byte], sps: Sps, pps: Pps): FrameYuv = {
+    val br = new BitReader(rbsp)
+    val firstMb = br.ue()
+    require(firstMb == 0, "h264: multi-slice frames unsupported")
+    val sliceType = br.ue()
+    require(sliceType == 2 || sliceType == 7, s"h264: only I slices supported, got $sliceType")
+    br.ue() // pps id
+    br.u(sps.log2MaxFrameNum) // frame_num
+    br.ue() // idr_pic_id
+    val qpSlice = pps.initQp + br.se()
+    if (pps.deblockControl) {
+      val disableIdc = br.ue()
+      require(disableIdc == 1,
+        "h264: in-loop deblocking enabled — this subset refuses to decode approximately")
+      // no alpha/beta offsets when disabled
+    }
+
+    val w = sps.widthMbs * 16
+    val h = sps.heightMbs * 16
+    val y = new Array[Int](w * h)
+    val cbP = new Array[Int]((w / 2) * (h / 2))
+    val crP = new Array[Int]((w / 2) * (h / 2))
+    // per-MB state for CAVLC contexts: luma 4x4 TotalCoeffs (AC
+    // convention — 0 inside I16x16 with cbpL=0), chroma per-block TCs,
+    // PCM flag (neighbors read as 16)
+    val lumaTc = Array.fill(sps.heightMbs * 4, sps.widthMbs * 4)(-1) // -1 = unavailable
+    val chromaTc = Array.fill(2, sps.heightMbs * 2, sps.widthMbs * 2)(-1)
+    var qp = qpSlice
+
+    def nCfor(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
+      val nA = if (bx > 0) tc(by)(bx - 1) else -1
+      val nB = if (by > 0) tc(by - 1)(bx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+
+    var mb = 0
+    val nMbs = sps.widthMbs * sps.heightMbs
+    while (mb < nMbs) {
+      val mbX = mb % sps.widthMbs
+      val mbY = mb / sps.widthMbs
+      val mbType = br.ue()
+      if (sys.env.contains("GRAFT_H264_DEBUG"))
+        println(s"[h264] mb=$mb ($mbX,$mbY) type=$mbType bit=${br.bitPos}")
+      if (mbType == 25) { // I_PCM
+        br.byteAlign()
+        var i = 0
+        while (i < 256) { y((mbY * 16 + i / 16) * w + mbX * 16 + i % 16) = br.readByte(); i += 1 }
+        i = 0
+        while (i < 64) { cbP((mbY * 8 + i / 8) * (w / 2) + mbX * 8 + i % 8) = br.readByte(); i += 1 }
+        i = 0
+        while (i < 64) { crP((mbY * 8 + i / 8) * (w / 2) + mbX * 8 + i % 8) = br.readByte(); i += 1 }
+        for (by <- 0 until 4; bx <- 0 until 4) lumaTc(mbY * 4 + by)(mbX * 4 + bx) = 16
+        for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2)
+          chromaTc(c)(mbY * 2 + by)(mbX * 2 + bx) = 16
+      } else if (mbType >= 1 && mbType <= 24) { // Intra_16x16
+        val code = mbType - 1
+        val predMode = code % 4 // 0=V 1=H 2=DC 3=Plane
+        val cbpChroma = (code / 4) % 3
+        val cbpLuma = if (code >= 12) 15 else 0
+        require(predMode != 3, "h264: Intra16x16 plane prediction not implemented")
+        br.ue() // intra_chroma_pred_mode (DC assumed; others only differ on non-flat context)
+        qp += br.se() // mb_qp_delta
+        // --- luma prediction
+        val px = mbX * 16; val py = mbY * 16
+        val pred = new Array[Int](256)
+        predMode match {
+          case 0 => // vertical
+            require(mbY > 0, "h264: V prediction without top neighbor")
+            for (c <- 0 until 16; r <- 0 until 16) pred(r * 16 + c) = y((py - 1) * w + px + c)
+          case 1 => // horizontal
+            require(mbX > 0, "h264: H prediction without left neighbor")
+            for (r <- 0 until 16; c <- 0 until 16) pred(r * 16 + c) = y((py + r) * w + px - 1)
+          case 2 => // DC
+            val left = if (mbX > 0) Some((0 until 16).map(r => y((py + r) * w + px - 1)).sum) else None
+            val top = if (mbY > 0) Some((0 until 16).map(c => y((py - 1) * w + px + c)).sum) else None
+            val dc = (left, top) match {
+              case (Some(l), Some(t)) => (l + t + 16) >> 5
+              case (Some(l), None) => (l + 8) >> 4
+              case (None, Some(t)) => (t + 8) >> 4
+              case (None, None) => 128
+            }
+            java.util.Arrays.fill(pred, dc)
+        }
+        // --- luma DC residual (always present for I16x16)
+        val dcNc = nCfor(lumaTc, mbX * 4, mbY * 4)
+        val dcScan = residualBlock(br, dcNc, 16)
+        val dcRaster = new Array[Int](16)
+        for (k <- 0 until 16) dcRaster(Zigzag(k)) = dcScan(k)
+        val f = hadamard4x4(dcRaster)
+        val dcDeq = f.map(dequantLumaDc(_, qp))
+        // --- luma AC residuals
+        val resid = new Array[Int](256)
+        for (blk <- 0 until 16) {
+          val bx = (blk % 2) + ((blk / 4) % 2) * 2  // z-order block coords
+          val by = ((blk / 2) % 2) + (blk / 8) * 2
+          val coeffRaster = new Array[Int](16)
+          var tc = 0
+          if (cbpLuma != 0) {
+            val nc = nCfor(lumaTc, mbX * 4 + bx, mbY * 4 + by)
+            val ac = residualBlock(br, nc, 15)
+            tc = ac.count(_ != 0)
+            for (k <- 0 until 15) coeffRaster(Zigzag(k + 1)) = ac(k)
+          }
+          lumaTc(mbY * 4 + by)(mbX * 4 + bx) = tc
+          // dequant AC, insert DC from the Hadamard plane
+          val d = new Array[Int](16)
+          d(0) = dcDeq(by * 4 + bx)
+          for (k <- 1 until 16)
+            d(k) = (coeffRaster(k) * VByPos(k)(qp % 6)) << (qp / 6)
+          val r = idct4x4(d)
+          for (rr <- 0 until 4; cc <- 0 until 4)
+            resid((by * 4 + rr) * 16 + bx * 4 + cc) = r(rr * 4 + cc)
+        }
+        for (k <- 0 until 256)
+          y((py + k / 16) * w + px + k % 16) = clip255(pred(k) + resid(k))
+        // --- chroma (DC prediction per 4x4 sub-block, spec 8.3.4)
+        val qpc = chromaQp(qp, pps.chromaQpOffset)
+        for ((plane, cIdx) <- Seq((cbP, 0), (crP, 1))) {
+          val cw = w / 2
+          val cpx = mbX * 8; val cpy = mbY * 8
+          val cpred = new Array[Int](64)
+          for (sby <- 0 until 2; sbx <- 0 until 2) {
+            def leftSum = (0 until 4).map(r => plane((cpy + sby * 4 + r) * cw + cpx - 1)).sum
+            def topSum = (0 until 4).map(c => plane((cpy - 1) * cw + cpx + sbx * 4 + c)).sum
+            val hasLeft = mbX > 0
+            val hasTop = mbY > 0
+            val dc =
+              if (sbx == 0 && sby == 0)
+                if (hasLeft && hasTop) (leftSum + topSum + 4) >> 3
+                else if (hasLeft) (leftSum + 2) >> 2
+                else if (hasTop) (topSum + 2) >> 2 else 128
+              else if (sbx == 1 && sby == 0)
+                if (hasTop) (topSum + 2) >> 2
+                else if (hasLeft) (leftSum + 2) >> 2 else 128
+              else if (sbx == 0 && sby == 1)
+                if (hasLeft) (leftSum + 2) >> 2
+                else if (hasTop) (topSum + 2) >> 2 else 128
+              else
+                if (hasLeft && hasTop) (leftSum + topSum + 4) >> 3
+                else if (hasLeft) (leftSum + 2) >> 2
+                else if (hasTop) (topSum + 2) >> 2 else 128
+            for (r <- 0 until 4; c <- 0 until 4) cpred((sby * 4 + r) * 8 + sbx * 4 + c) = dc
+          }
+          val cresid = new Array[Int](64)
+          if (cbpChroma != 0) {
+            val dcC = residualBlock(br, -1, 4)
+            // 2x2 inverse Hadamard (butterflies)
+            val f0 = dcC(0) + dcC(1) + dcC(2) + dcC(3)
+            val f1 = dcC(0) - dcC(1) + dcC(2) - dcC(3)
+            val f2 = dcC(0) + dcC(1) - dcC(2) - dcC(3)
+            val f3 = dcC(0) - dcC(1) - dcC(2) + dcC(3)
+            val dq = Array(f0, f1, f2, f3).map(dequantChromaDc(_, qpc))
+            require(cbpChroma == 1, "h264: chroma AC residuals not implemented")
+            for (sb <- 0 until 4) {
+              val d = new Array[Int](16)
+              d(0) = dq(sb)
+              val r = idct4x4(d)
+              val sbx = sb % 2; val sby = sb / 2
+              for (rr <- 0 until 4; cc <- 0 until 4)
+                cresid((sby * 4 + rr) * 8 + sbx * 4 + cc) = r(rr * 4 + cc)
+              chromaTc(cIdx)(mbY * 2 + sby)(mbX * 2 + sbx) = 0
+            }
+          } else for (sby <- 0 until 2; sbx <- 0 until 2)
+            chromaTc(cIdx)(mbY * 2 + sby)(mbX * 2 + sbx) = 0
+          for (k <- 0 until 64)
+            plane((cpy + k / 8) * cw + cpx + k % 8) = clip255(cpred(k) + cresid(k))
+        }
+      } else throw new IllegalArgumentException(
+        s"h264: mb_type $mbType unsupported (I_NxN/inter need the full codec)")
+      mb += 1
+    }
+    FrameYuv(w, h, y, cbP, crP)
+  }
+
+  // ----------------------------------------------------------- fixtures
+
+  /** Minimal conformant ENCODER for the decode gate's fixtures: flat
+    * frames seeded by one I_PCM macroblock at (0,0), every other MB
+    * Intra_16x16 DC-predicted; the MBs adjacent to the seed carry a
+    * single CAVLC-coded luma-DC coefficient L whose dequantized,
+    * inverse-transformed value lifts them exactly from the seed value
+    * to the frame value — so decoded pixels follow a closed integer
+    * formula the SQL oracle replays from the spec arithmetic.
+    */
+  object Fixtures {
+
+    /** Spatial delta produced by a single Intra16x16 DC-plane
+      * coefficient L (all 16 inverse-Hadamard outputs equal L; each
+      * 4x4 block reconstructs the constant (dequant + 32) >> 6).
+      */
+    def lumaDelta(L: Int, qp: Int): Int = (dequantLumaDc(L, qp) + 32) >> 6
+
+    /** Spatial delta of a single chroma-DC coefficient Lc (all four
+      * 2x2-Hadamard outputs equal Lc).
+      */
+    def chromaDelta(Lc: Int, qpc: Int): Int = (dequantChromaDc(Lc, qpc) + 32) >> 6
+
+    private def nal(nalRefIdc: Int, nalType: Int, rbsp: Array[Byte]): Array[Byte] =
+      Array[Byte](0, 0, 0, 1, ((nalRefIdc << 5) | nalType).toByte) ++ addEmulation(rbsp)
+
+    def sps(widthMbs: Int, heightMbs: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.u(66, 8); w.u(0, 8); w.u(10, 8) // baseline, no constraints, level 1
+      w.ue(0) // sps id
+      w.ue(0) // log2_max_frame_num_minus4
+      w.ue(2) // pic_order_cnt_type
+      w.ue(0) // max_num_ref_frames
+      w.u(0, 1) // gaps_in_frame_num
+      w.ue(widthMbs - 1); w.ue(heightMbs - 1)
+      w.u(1, 1) // frame_mbs_only
+      w.u(0, 1) // direct_8x8_inference
+      w.u(0, 1) // frame_cropping
+      w.u(0, 1) // vui
+      w.trailingBits()
+      nal(3, 7, w.bytes)
+    }
+
+    def pps(qp: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0); w.ue(0) // pps id, sps id
+      w.u(0, 1) // CAVLC
+      w.u(0, 1) // bottom_field_poc
+      w.ue(0) // slice groups − 1
+      w.ue(0); w.ue(0) // ref idx defaults
+      w.u(0, 1); w.u(0, 2) // weighted pred / bipred
+      w.se(qp - 26) // pic_init_qp_minus26
+      w.se(0) // pic_init_qs
+      w.se(0) // chroma_qp_index_offset
+      w.u(1, 1) // deblocking_filter_control_present
+      w.u(0, 1) // constrained_intra_pred
+      w.u(0, 1) // redundant_pic_cnt_present
+      w.trailingBits()
+      nal(3, 8, w.bytes)
+    }
+
+    /** One IDR frame: MB(0,0) I_PCM at (yPcm, cbPcm, crPcm); every
+      * other MB Intra_16x16 DC; MBs with the PCM seed as their DC
+      * source (the rest of row 0's first neighbor and column 0's
+      * first neighbor) code luma coefficient L (and chroma Lc when
+      * nonzero) to land exactly on (yPcm + lumaDelta, …).
+      */
+    def idrFrame(widthMbs: Int, heightMbs: Int, qp: Int,
+        yPcm: Int, cbPcm: Int, crPcm: Int, l: Int, lc: Int): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0) // first_mb_in_slice
+      w.ue(7) // slice_type I (all slices)
+      w.ue(0) // pps id
+      w.u(0, 4) // frame_num (log2 = 4)
+      w.ue(0) // idr_pic_id
+      w.se(0) // slice_qp_delta
+      w.ue(1) // disable_deblocking_filter_idc
+      // --- macroblocks
+      for (mb <- 0 until widthMbs * heightMbs) {
+        val mbX = mb % widthMbs
+        val mbY = mb / widthMbs
+        if (mb == 0) {
+          w.ue(25) // I_PCM
+          w.byteAlignZero()
+          for (_ <- 0 until 256) w.u(yPcm, 8)
+          for (_ <- 0 until 64) w.u(cbPcm, 8)
+          for (_ <- 0 until 64) w.u(crPcm, 8)
+        } else {
+          // seed-adjacent MBs: (1,0) predicts from the PCM MB on its
+          // left, (0,1) from the PCM MB above — they carry residuals;
+          // everything else predicts flat and codes zero
+          val needsResidual = (mbX == 1 && mbY == 0) || (mbX == 0 && mbY == 1)
+          val codeChroma = needsResidual && lc != 0
+          w.ue(if (codeChroma) 7 else 3) // I16x16: DC pred, cbpC∈{1,0}, cbpL 0
+          w.ue(0) // intra_chroma_pred_mode DC
+          w.se(0) // mb_qp_delta
+          // Intra16x16DCLevel — nC from luma blk0 neighbors: AC totals
+          // are 0 everywhere except PCM MBs which read 16
+          val leftPcm = mbX == 1 && mbY == 0
+          val topPcm = mbX == 0 && mbY == 1
+          val nc =
+            if (leftPcm && mbY == 0) 16 // left is PCM, no top (row 0)
+            else if (topPcm && mbX == 0) 16 // top is PCM, no left (col 0)
+            else if (mbX == 0 || mbY == 0) 0 // one zero neighbor only
+            else 0 // (0 + 0 + 1) >> 1
+          if (needsResidual && l != 0) writeSingleDcCoeff(w, nc, l, chromaDc = false)
+          else writeEmptyBlock(w, nc, chromaDc = false)
+          if (codeChroma) { // chroma DC blocks: Cb then Cr, nC = -1
+            writeSingleDcCoeff(w, -1, lc, chromaDc = true)
+            writeSingleDcCoeff(w, -1, lc, chromaDc = true)
+          }
+        }
+      }
+      w.trailingBits()
+      nal(3, 5, w.bytes)
+    }
+
+    /** coeff_token(TotalCoeff=0) for the given context. */
+    private def writeEmptyBlock(w: BitWriter, nc: Int, chromaDc: Boolean): Unit =
+      if (nc >= 8) w.u(3, 6) // FLC: TotalCoeff 0 → 000011
+      else w.bits(coeffTokenTable(if (chromaDc) -1 else nc)((0, 0)))
+
+    /** A block with exactly one coefficient at scan position 0 (the
+      * DC): |L| == 1 codes as a trailing one; |L| >= 2 as coeff_token
+      * (T1s=0, TC=1) + level with the first-level +2 adjustment.
+      */
+    private def writeSingleDcCoeff(w: BitWriter, nc: Int, level: Int,
+        chromaDc: Boolean): Unit = {
+      val one = math.abs(level) == 1
+      val t1s = if (one) 1 else 0
+      if (nc >= 8) w.u(((1 - 1) << 2) | t1s, 6)
+      else w.bits(coeffTokenTable(if (chromaDc) -1 else nc)((t1s, 1)))
+      if (one) w.u(if (level < 0) 1 else 0, 1) // trailing-one sign
+      else {
+        // suffixLength 0; levelCode = 2|L|−2 (positive) − 2 for the
+        // implicit ≥2 of a non-trailing first level
+        val levelCode = (if (level > 0) 2 * level - 2 else -2 * level - 1) - 2
+        require(levelCode >= 0 && levelCode < 14, s"h264 fixtures: level $level out of simple-prefix range")
+        w.u(0, levelCode); w.u(1, 1) // unary level_prefix
+      }
+      // total_zeros (TC=1 < maxCoeffs): 0 zeros before the DC
+      if (chromaDc) w.bits(TotalZerosChromaDc(1)(0))
+      else w.bits(TotalZeros4x4(1)(0))
+      // run_before loop is empty for TC = 1
+    }
+
+    /** A complete Annex B stream: SPS, PPS, then `frames` IDR frames. */
+    def stream(widthMbs: Int, heightMbs: Int, qp: Int,
+        frames: Seq[(Int, Int, Int, Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sps(widthMbs, heightMbs))
+      out.write(pps(qp))
+      for ((yP, cbP, crP, l, lc) <- frames)
+        out.write(idrFrame(widthMbs, heightMbs, qp, yP, cbP, crP, l, lc))
+      out.toByteArray
+    }
+  }
+}

@@ -20,12 +20,15 @@ import org.apache.spark.sql.types._
   * `tkhd` atoms and AVI RIFF `avih` — duration, track count,
   * resolution from genuine container bytes); AVI frames decode for
   * REAL for uncompressed BI_RGB DIBs and for MJPEG (JRE ImageIO per
-  * `00dc` chunk). Only MODERN-codec frame decode (H.264 etc.) remains
-  * STUBBED with a deterministic fake (this container ships no such
-  * codecs), with everything Spark-side real and tested: the schema,
-  * the binary payload flow, the batch iterator shape, the
-  * partitioning, and the frame-explosion plumbing. Swapping
-  * `StubCodec` for a JNI/ONNX decoder changes no plan shape.
+  * `00dc` chunk); H.264 BASELINE KEYFRAMES decode for real through the
+  * cleanroom [[H264]] decoder (Annex B → CAVLC → dequant → IDCT →
+  * intra prediction, within its documented subset). Remaining
+  * modern-codec coverage (H.264 inter/CABAC, H.265, VP9) stays on
+  * STUBBED deterministic fakes (this container ships no such codecs),
+  * with everything Spark-side real and tested: the schema, the binary
+  * payload flow, the batch iterator shape, the partitioning, and the
+  * frame-explosion plumbing. Swapping `StubCodec` for a JNI/ONNX
+  * decoder changes no plan shape.
   */
 object MultimodalOps {
 
@@ -1041,6 +1044,66 @@ object MultimodalOps {
       .withColumn("frame_bytes", // STUB: a real codec seeks+decodes here
         substring(col("bytes"), (col("frame_ms") % 32).cast("int") + 1, lit(16)))
       .select(col("media_id"), col("frame_ms"), col("frame_bytes"))
+
+  /** REAL H.264 keyframe decode over Annex B elementary streams — the
+    * [[H264]] cleanroom baseline decoder (I_PCM + Intra_16x16, CAVLC,
+    * spec 8.5 transforms), same mapPartitions batch shape as
+    * [[decodeVideoFrames]]. Streams outside the implemented subset
+    * (inter slices, CABAC, enabled deblocking) fail fast with a
+    * pointer at the subset doc, not a wrong answer.
+    */
+  def decodeH264Frames(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("y_mean", DoubleType, nullable = false),
+      StructField("cb_mean", DoubleType, nullable = false),
+      StructField("cr_mean", DoubleType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          val id = row.getLong(idIdx)
+          H264.decodeAnnexB(row.getAs[Array[Byte]](bytesIdx)).zipWithIndex.map {
+            case (f, idx) =>
+              Row(id, idx, f.width, f.height, f.yMean, f.cbMean, f.crMean)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic REAL-H.264 media table: each payload is a complete
+    * Annex B stream (SPS + PPS + one IDR per frame) authored by
+    * [[H264.Fixtures]] — flat frames seeded by an I_PCM macroblock,
+    * the rest reconstructed through genuine DC intra prediction and
+    * exactly-dequantizable CAVLC DC residuals, so every decoded pixel
+    * follows a closed integer formula the SQL oracle replays from the
+    * spec's own dequant arithmetic (no codec in the oracle's loop).
+    * Geometry: 48x32 (3x2 macroblocks) per frame.
+    */
+  def syntheticH264Videos(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val qp = 20 + (i % 8)
+      val nf = 2 + (i % 3)
+      val frames = (0 until nf).map { f =>
+        val l = 2 + ((i + f) % 5)
+        val lc = if (f % 2 == 1) 2 + (i % 3) else 0
+        (40 + ((i * 29 + f * 13) % 160), // yPcm
+          50 + ((i * 7 + f * 11) % 140), // cbPcm
+          60 + ((i * 13 + f * 5) % 120), // crPcm
+          l, lc)
+      }
+      val bytes = H264.Fixtures.stream(3, 2, qp, frames)
+      Row(i.toLong, "video", bytes,
+        Row("video/h264", 48, 32, null, 40L * nf))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
+  }
 
   /** Deterministic synthetic media table for tests/bench. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {

@@ -1,0 +1,107 @@
+package graft.llmops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cleanroom H.264 baseline codec: spec-derived golden values for the
+  * arithmetic pieces, then full encode→decode round trips checked
+  * PIXEL-EXACTLY against the closed-form construction the gate oracle
+  * replays.
+  */
+class H264Spec extends AnyFunSuite {
+  import H264._
+
+  test("Intra16x16 luma DC dequant matches hand-computed spec values") {
+    // qp=28: LevelScale = 16·VDc(4)=256; (1·256 + 2^(5−4)) >> (6−4) = 64
+    assert(dequantLumaDc(1, 28) == 64)
+    // the reconstructed spatial constant: (64 + 32) >> 6 = 1
+    assert(Fixtures.lumaDelta(1, 28) == 1)
+    // qp=20: q6=3, v=13 → (1·208 + 4) >> 3 = 26 → (26+32)>>6 = 0
+    assert(dequantLumaDc(1, 20) == 26)
+    assert(Fixtures.lumaDelta(1, 20) == 0)
+    // qp=40 (≥36 branch): (1·16·16) << (6−6) = 256 → delta 4
+    assert(dequantLumaDc(1, 40) == 256)
+    assert(Fixtures.lumaDelta(1, 40) == 4)
+  }
+
+  test("chroma DC dequant and QP mapping match the spec tables") {
+    // qpc=26: ((1·16·13) << 4) >> 5 = 104 → delta (104+32)>>6 = 2
+    assert(dequantChromaDc(1, 26) == 104)
+    assert(Fixtures.chromaDelta(1, 26) == 2)
+    assert(chromaQp(26, 0) == 26) // identity below 30
+    assert(chromaQp(30, 0) == 29) // Table 8-12 start
+    assert(chromaQp(51, 0) == 39) // Table 8-12 end
+  }
+
+  test("4x4 inverse core transform: DC-only input gives a constant block") {
+    val d = new Array[Int](16); d(0) = 64
+    assert(idct4x4(d).forall(_ == 1)) // (64+32)>>6
+    val d2 = new Array[Int](16); d2(0) = 640
+    assert(idct4x4(d2).forall(_ == 10))
+  }
+
+  test("4x4 Hadamard of a DC-only plane is the constant plane") {
+    val c = new Array[Int](16); c(0) = 5
+    assert(hadamard4x4(c).forall(_ == 5))
+  }
+
+  test("an all-PCM stream decodes bit-exactly") {
+    // force the PCM path for every MB by building a frame by hand:
+    // easiest is a 1x1-MB stream where the only MB is the PCM seed
+    val bytes = Fixtures.stream(1, 1, 26, Seq((123, 45, 210, 0, 0)))
+    val frames = decodeAnnexB(bytes)
+    assert(frames.size == 1)
+    val f = frames.head
+    assert(f.width == 16 && f.height == 16)
+    assert(f.y.forall(_ == 123))
+    assert(f.cb.forall(_ == 45))
+    assert(f.cr.forall(_ == 210))
+  }
+
+  test("full fixture round trip: every pixel equals the closed-form construction") {
+    for (i <- 0 until 12) {
+      val qp = 20 + (i % 8)
+      val nf = 2 + (i % 3)
+      val frames = (0 until nf).map { fr =>
+        val l = 2 + ((i + fr) % 5)
+        val lc = if (fr % 2 == 1) 2 + (i % 3) else 0
+        (40 + ((i * 29 + fr * 13) % 160), 50 + ((i * 7 + fr * 11) % 140),
+          60 + ((i * 13 + fr * 5) % 120), l, lc)
+      }
+      val decoded = decodeAnnexB(Fixtures.stream(3, 2, qp, frames))
+      assert(decoded.size == nf, s"media $i frame count")
+      for ((f, fr) <- decoded.zipWithIndex) {
+        val (yP, cbP, crP, l, lc) = frames(fr)
+        val d = Fixtures.lumaDelta(l, qp)
+        val e = if (lc == 0) 0 else Fixtures.chromaDelta(lc, qp)
+        assert(f.width == 48 && f.height == 32)
+        // luma: seed MB (0,0) at yP; every other MB at yP + d
+        for (yy <- 0 until 32; xx <- 0 until 48) {
+          val expected = if (yy < 16 && xx < 16) yP else yP + d
+          assert(f.y(yy * 48 + xx) == expected,
+            s"media $i frame $fr luma ($xx,$yy): got ${f.y(yy * 48 + xx)}, want $expected (qp=$qp L=$l d=$d)")
+        }
+        for (yy <- 0 until 16; xx <- 0 until 24) {
+          val expCb = if (yy < 8 && xx < 8) cbP else cbP + e
+          val expCr = if (yy < 8 && xx < 8) crP else crP + e
+          assert(f.cb(yy * 24 + xx) == expCb, s"media $i frame $fr cb ($xx,$yy)")
+          assert(f.cr(yy * 24 + xx) == expCr, s"media $i frame $fr cr ($xx,$yy)")
+        }
+      }
+    }
+  }
+
+  test("emulation prevention survives payloads full of zero bytes") {
+    // PCM zeros force 00 00 00 sequences in the RBSP; the encoder must
+    // escape them and the decoder unescape identically
+    val bytes = Fixtures.stream(1, 1, 26, Seq((0, 0, 1, 0, 0)))
+    val f = decodeAnnexB(bytes).head
+    assert(f.y.forall(_ == 0) && f.cb.forall(_ == 0) && f.cr.forall(_ == 1))
+  }
+
+  test("subset fences fail fast, not wrong") {
+    val ex = intercept[IllegalArgumentException] {
+      decodeAnnexB(Array[Byte](1, 2, 3, 4))
+    }
+    assert(ex.getMessage.contains("Annex B"))
+  }
+}
