@@ -651,6 +651,19 @@ final case class FluxFrame(
     * status and never fires. One keyed window — same shuffle shape as
     * stateCount.
     */
+  /** `monitor.deadman(t:)` — the series-liveness check: one row per
+    * series (groupKey) carrying its LAST observation time and `dead` =
+    * no point at or after `t`. One keyed aggregate; at corpus scale
+    * this is the same partial-aggregate shuffle shape as any group
+    * count, and the output is series-domain-sized.
+    */
+  def monitorDeadman(t: Column): FluxFrame = {
+    val agged =
+      if (groupKey.isEmpty) df.agg(max(col(timeCol)).as(timeCol))
+      else df.groupBy(keyCols: _*).agg(max(col(timeCol)).as(timeCol))
+    copy(df = agged.withColumn("dead", col(timeCol) < t))
+  }
+
   def monitorStateChanges(fromLevel: String = "any",
       toLevel: String = "any"): FluxFrame = {
     val prev = lag(col("_level"), 1).over(w)

@@ -405,6 +405,10 @@ object FluxEval {
       }
       f.monitorCheck(levelPred("crit"), levelPred("warn"), levelPred("info"),
         levelPred("ok"), checkName)
+    case "monitor.deadman" =>
+      f.monitorDeadman(to_timestamp(lit(
+        timeOrRelative(call.args.getOrElse("t",
+          throw EvalException("monitor.deadman requires t:")), source))))
     case "monitor.stateChanges" =>
       f.monitorStateChanges(
         call.args.get("fromLevel").map(str0).getOrElse("any"),

@@ -389,6 +389,19 @@ object FluxQueries {
         .agg(count(lit(1)).as("n"), r4(avg(col("_value"))).as("mean_v"))
         .orderBy("event_type", "_level")),
 
+    // monitor.deadman: per-series liveness against a cutoff — one
+    // keyed max aggregate, dead ⇔ nothing at or after t
+    "monitor_deadman" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> group(columns: ["_measurement", "user_id"])
+          ||> monitor.deadman(t: 2024-01-12T00:00:00Z)""".stripMargin,
+        source(s, dir))
+        .groupBy(col("_measurement").as("event_type"))
+        .agg(count(lit(1)).as("n_series"),
+          sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead"))
+        .orderBy("event_type")),
+
     // monitor.stateChanges over check output: per (measurement, user)
     // series, the rows whose level ENTERED crit from a different level
     "monitor_state_changes" -> ((s, dir) =>
@@ -614,6 +627,15 @@ object FluxQueries {
         |  'value-check' AS _check_name, 'statuses' AS _measurement,
         |  count(*) AS n, round(avg(value), 4) AS mean_v
         |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    "monitor_deadman" ->
+      """WITH l AS (
+        |  SELECT event_type, user_id, max(ts) AS last_ts
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*) AS n_series,
+        |  CAST(sum(CASE WHEN last_ts < TIMESTAMP '2024-01-12 00:00:00'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "monitor_state_changes" ->
       """WITH lv AS (
         |  SELECT event_type, user_id, ts,

@@ -48,12 +48,17 @@ object GraphQueries {
     */
   private def coorderEdges(s: SparkSession, dir: String,
       minCo: Int = 1): DataFrame = {
-    val l = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    // dedup (order, part) BEFORE the self-join: repeated part lines in
+    // one order would otherwise multiply candidate rows AND force a
+    // countDistinct (an EXPAND + double aggregate); after dedup every
+    // (order, pair) survives exactly once, so a plain count IS the
+    // distinct co-order count — one aggregate, no expand, same edges
+    val l = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
     l.as("a").join(l.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(countDistinct(col("a.l_orderkey")).as("nco"))
+      .agg(count(lit(1)).as("nco"))
       .where(col("nco") >= minCo)
       .select("u", "v")
   }
