@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full 323-query bench on an 8g heap accumulated
+  // enough old-gen that single reps caught 10-18s full-GC stalls
+  // (r13 bench runs 1-2, random queries flagged suspect each time);
+  // headroom removed the GC share of the spikes and cut sum-of-minima
+  // 314 -> 272s. The box has 128 GiB; tests and Verify inherit the
+  // same headroom harmlessly.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -817,5 +817,43 @@ object H264 {
         out.write(idrFrame(widthMbs, heightMbs, qp, yP, cbP, crP, l, lc))
       out.toByteArray
     }
+
+    /** Directional-prediction fixture: a 1x2-MB (vertical=true) or
+      * 2x1-MB frame whose PCM seed carries a column- (resp. row-)
+      * striped luma pattern; the second MB is Intra_16x16 VERTICAL
+      * (resp. HORIZONTAL) with zero residual, so a correct directional
+      * predictor reproduces the stripes EXACTLY and a DC-averaging
+      * bug cannot pass. Chroma stays flat (directional chroma modes
+      * are out of the subset). `lumaPattern(k)` gives the stripe value
+      * for column (resp. row) k, 0..15.
+      */
+    def directionalStream(vertical: Boolean, qp: Int,
+        lumaPattern: Int => Int, cbFlat: Int, crFlat: Int): Array[Byte] = {
+      val (wMbs, hMbs) = if (vertical) (1, 2) else (2, 1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sps(wMbs, hMbs))
+      out.write(pps(qp))
+      val w = new BitWriter
+      w.ue(0); w.ue(7); w.ue(0) // first_mb, I slice, pps id
+      w.u(0, 4) // frame_num
+      w.ue(0) // idr_pic_id
+      w.se(0) // slice_qp_delta
+      w.ue(1) // deblocking disabled
+      // MB0: PCM with the striped luma
+      w.ue(25)
+      w.byteAlignZero()
+      for (i <- 0 until 256)
+        w.u(lumaPattern(if (vertical) i % 16 else i / 16), 8)
+      for (_ <- 0 until 64) w.u(cbFlat, 8)
+      for (_ <- 0 until 64) w.u(crFlat, 8)
+      // MB1: Intra16x16 V (mb_type 1) below, or H (mb_type 2) right
+      w.ue(if (vertical) 1 else 2)
+      w.ue(0) // intra_chroma_pred_mode DC
+      w.se(0) // mb_qp_delta
+      writeEmptyBlock(w, 16, chromaDc = false) // luma DC vs the PCM neighbor
+      w.trailingBits()
+      out.write(nal(3, 5, w.bytes))
+      out.toByteArray
+    }
   }
 }

@@ -90,6 +90,25 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("vertical and horizontal prediction reproduce a striped seed exactly") {
+    val pattern = (k: Int) => 30 + k * 12 // distinct per stripe, ≤ 210
+    val v = decodeAnnexB(Fixtures.directionalStream(
+      vertical = true, qp = 26, pattern, cbFlat = 90, crFlat = 110)).head
+    assert(v.width == 16 && v.height == 32)
+    for (yy <- 0 until 32; xx <- 0 until 16)
+      assert(v.y(yy * 16 + xx) == pattern(xx),
+        s"V-pred luma ($xx,$yy): ${v.y(yy * 16 + xx)} != ${pattern(xx)}")
+    assert(v.cb.forall(_ == 90) && v.cr.forall(_ == 110))
+
+    val h = decodeAnnexB(Fixtures.directionalStream(
+      vertical = false, qp = 26, pattern, cbFlat = 90, crFlat = 110)).head
+    assert(h.width == 32 && h.height == 16)
+    for (yy <- 0 until 16; xx <- 0 until 32)
+      assert(h.y(yy * 32 + xx) == pattern(yy),
+        s"H-pred luma ($xx,$yy): ${h.y(yy * 32 + xx)} != ${pattern(yy)}")
+    assert(h.cb.forall(_ == 90) && h.cr.forall(_ == 110))
+  }
+
   test("emulation prevention survives payloads full of zero bytes") {
     // PCM zeros force 00 00 00 sequences in the RBSP; the encoder must
     // escape them and the decoder unescape identically
