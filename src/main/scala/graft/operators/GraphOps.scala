@@ -117,13 +117,18 @@ object GraphOps {
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxIters: Int = 10000): DataFrame = {
     val e = sym(edges, srcCol, dstCol).localCheckpoint()
+    // LAZY per-round checkpoints materialized by the same count that
+    // drives termination — one job per round instead of a probe job
+    // plus an eager-checkpoint job (the connectedComponents lesson:
+    // these loops are scheduling-bound, not data-bound, at gate scale)
     var visited = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().select(col("node"), lit(0).as("level"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var frontier = visited
+    var frontierCount = frontier.count() // materializes the seed checkpoint
     var round = 0
     var sinceCp = 0
-    while (frontier.limit(1).count() > 0) {
+    while (frontierCount > 0) {
       round += 1
       require(round <= maxIters,
         s"bfsLevels: frontier alive after $maxIters rounds")
@@ -131,7 +136,8 @@ object GraphOps {
         .select(col("v").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(round).as("level"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      frontierCount = frontier.count() // materialize + emptiness in one job
       // visited is a union TREE of already-checkpointed frontiers, so
       // it needs no eager materialization of its own each round (the
       // loop is round-sequential and scheduling-bound — every saved
