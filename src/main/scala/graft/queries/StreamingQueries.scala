@@ -688,6 +688,34 @@ object StreamingQueries {
     // state — the DataQualityOps constraint suite ON the stream; the
     // final snapshot must equal the one-shot batch counts. Violation
     // counters are O(types) state regardless of stream length.
+    // STREAMING DEADMAN: the liveness monitor's production shape —
+    // streaming state is ONE max-timestamp per series (complete-mode
+    // aggregation, series-domain-sized regardless of stream length);
+    // the final snapshot classifies dead series against the same
+    // cutoff, landing on the batch monitor_deadman oracle exactly.
+    "stream_deadman" -> ((s, dir) => {
+      val srcDir = Files.createTempDirectory("graft-sdm-src").toString
+      val ev0 = events(s, dir).select("event_type", "user_id", "ts")
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val qn = "graft_sdm_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(ev0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .groupBy("event_type", "user_id")
+        .agg(max(col("ts")).as("last_ts"))
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sdm-cp").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(qn)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_series"),
+          sum(when(col("last_ts") < to_timestamp(lit("2024-01-12 00:00:00")), 1L)
+            .otherwise(0L)).as("n_dead"))
+        .orderBy("event_type")
+    }),
+
     "stream_dq" -> ((s, dir) => {
       val srcDir = Files.createTempDirectory("graft-sdq-src").toString
       val ev0 = events(s, dir).select("event_type", "value")
@@ -730,6 +758,9 @@ object StreamingQueries {
     // the incremental index after the last micro-batch must equal
     // batch CC over the full edge set — same histogram oracle
     "stream_components" -> GraphQueries.oracle("graph_components"),
+    // the streaming last-seen snapshot must classify the same dead
+    // series as the batch monitor verb
+    "stream_deadman" -> FluxQueries.oracle("monitor_deadman"),
     // the stream's violation counters must equal the batch scan's
     "stream_dq" -> w(
       """SELECT event_type, count(*) AS n,
