@@ -449,9 +449,10 @@ object H264 {
 
   // ------------------------------------------------------------ decoder
 
-  /** Decode every IDR frame of an Annex B elementary stream. */
-  def decodeAnnexB(bytes: Array[Byte]): Seq[FrameYuv] = {
-    // split on 00 00 01 / 00 00 00 01 start codes
+  /** Split an Annex B byte stream on 00 00 01 / 00 00 00 01 start
+    * codes into raw NAL units (header byte included, EP bytes kept).
+    */
+  private def splitAnnexB(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var i = 0
     var start = -1
@@ -463,6 +464,12 @@ object H264 {
       } else i += 1
     }
     if (start >= 0) nals += bytes.slice(start, bytes.length)
+    nals.toSeq
+  }
+
+  /** Decode every IDR frame of an Annex B elementary stream. */
+  def decodeAnnexB(bytes: Array[Byte]): Seq[FrameYuv] = {
+    val nals = splitAnnexB(bytes)
     require(nals.nonEmpty, "h264: no NAL units (not an Annex B stream?)")
 
     var sps: Sps = null
@@ -660,6 +667,175 @@ object H264 {
     }
     FrameYuv(w, h, y, cbP, crP)
   }
+
+  // ---------------------------------------------------------------- mp4
+
+  /** Minimal REAL ISO-BMFF (MP4) carriage of the baseline stream —
+    * the container modern encoders actually ship (ISO 14496-12/-15,
+    * public spec): `avc1`/`avcC` sample description carrying SPS/PPS,
+    * length-prefixed AVCC samples in `mdat`, `stsz`/`stco` indexing.
+    * [[Mp4.mux]] wraps an Annex B stream; [[Mp4.demuxToAnnexB]] walks
+    * the real box tree back to the elementary stream, so
+    * [[decodeMp4]] = demux ∘ [[decodeAnnexB]].
+    */
+  object Mp4 {
+    import java.nio.ByteBuffer
+    import java.nio.charset.StandardCharsets.US_ASCII
+
+    private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(tpe.getBytes(US_ASCII))
+      bb.put(payload)
+      bb.array()
+    }
+    private def full(tpe: String, payload: Array[Byte]): Array[Byte] =
+      box(tpe, Array[Byte](0, 0, 0, 0) ++ payload)
+    private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def be32(v: Int) = ByteBuffer.allocate(4).putInt(v).array()
+
+    /** Annex B → MP4: SPS/PPS land in `avcC`, each remaining NAL is
+      * one 4-byte-length-prefixed sample in one `mdat` chunk.
+      */
+    def mux(annexB: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val nals = splitAnnexB(annexB)
+      require(nals.nonEmpty, "mp4: no NAL units to mux")
+      val sps = nals.find(n => (n(0) & 0x1F) == 7).getOrElse(
+        throw new IllegalArgumentException("mp4: stream has no SPS"))
+      val pps = nals.find(n => (n(0) & 0x1F) == 8).getOrElse(
+        throw new IllegalArgumentException("mp4: stream has no PPS"))
+      val samples = nals.filter(n => { val t = n(0) & 0x1F; t != 7 && t != 8 })
+      val mdatPayload = samples.flatMap(n => be32(n.length) ++ n).toArray
+
+      val ftyp = box("ftyp",
+        "isom".getBytes(US_ASCII) ++ be32(0) ++ "isomavc1".getBytes(US_ASCII))
+      val firstSampleOff = ftyp.length + 8 // into the mdat payload
+      val mdat = box("mdat", mdatPayload)
+
+      val avcC = box("avcC", Array[Byte](1, sps(1), sps(2), sps(3),
+          (0xFC | 3).toByte, // 4-byte NAL lengths
+          (0xE0 | 1).toByte) ++ be16(sps.length) ++ sps ++
+        Array[Byte](1) ++ be16(pps.length) ++ pps)
+      val avc1 = {
+        // VisualSampleEntry: 6 reserved + data_ref_index, then 70
+        // bytes of predefined/extent fields before the avcC sub-box
+        val p = ByteBuffer.allocate(78)
+        p.position(6); p.putShort(1) // data_reference_index
+        p.putShort(0); p.putShort(0) // pre_defined, reserved
+        p.putInt(0); p.putInt(0); p.putInt(0)
+        p.putShort(width.toShort); p.putShort(height.toShort)
+        p.putInt(0x00480000); p.putInt(0x00480000) // 72 dpi
+        p.putInt(0) // reserved
+        p.putShort(1) // frame_count
+        p.position(p.position() + 32) // compressorname
+        p.putShort(24) // depth
+        p.putShort(-1) // pre_defined
+        box("avc1", p.array() ++ avcC)
+      }
+      val stsd = full("stsd", be32(1) ++ avc1)
+      val stts = full("stts", be32(1) ++ be32(samples.length) ++ be32(1000))
+      val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(samples.length) ++ be32(1))
+      val stsz = full("stsz", be32(0) ++ be32(samples.length) ++
+        samples.flatMap(n => be32(n.length + 4)).toArray)
+      val stco = full("stco", be32(1) ++ be32(firstSampleOff))
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val dinf = box("dinf", full("dref", be32(1) ++ full("url ", Array.empty)))
+      val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+      val minf = box("minf", vmhd ++ dinf ++ stbl)
+      val hdlr = full("hdlr", be32(0) ++ "vide".getBytes(US_ASCII) ++
+        new Array[Byte](12) ++ "graft ".getBytes(US_ASCII))
+      val mdhd = full("mdhd", be32(0) ++ be32(0) ++ be32(1000) ++
+        be32(samples.length * 1000) ++ be16(0x55C4) ++ be16(0))
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val tkhd = full("tkhd", be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+        be32(samples.length * 1000) ++ new Array[Byte](16) ++
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .flatMap(be32).toArray ++
+        be32(width << 16) ++ be32(height << 16))
+      val mvhd = full("mvhd", be32(0) ++ be32(0) ++ be32(1000) ++
+        be32(samples.length * 1000) ++ be32(0x00010000) ++ be16(0x0100) ++
+        new Array[Byte](10) ++
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .flatMap(be32).toArray ++ new Array[Byte](24) ++ be32(2))
+      val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+      ftyp ++ mdat ++ moov
+    }
+
+    /** Walk the real box tree back to an Annex B stream: `avcC` gives
+      * SPS/PPS and the NAL length size, `stsz`/`stco` index the
+      * samples inside `mdat`.
+      */
+    def demuxToAnnexB(mp4: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.wrap(mp4)
+      var avcC: Array[Byte] = null
+      var sizes: Array[Int] = null
+      var chunkOff = -1
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val size = bb.getInt(off)
+          require(size >= 8, s"mp4: bad box size $size at $off")
+          val tpe = new String(mp4, off + 4, 4, US_ASCII)
+          tpe match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(off + 8, off + size)
+            case "stsd" =>
+              // entries header (version/flags + count) then the first
+              // sample entry; avc1's sub-boxes start after the 78-byte
+              // VisualSampleEntry body
+              val entry = off + 16
+              val entryType = new String(mp4, entry + 4, 4, US_ASCII)
+              require(entryType == "avc1",
+                s"mp4: only avc1 sample entries decode, got $entryType")
+              walk(entry + 8 + 78, entry + bb.getInt(entry))
+            case "avcC" => avcC = mp4.slice(off + 8, off + size)
+            case "stsz" =>
+              val n = bb.getInt(off + 16)
+              sizes = Array.tabulate(n)(i => bb.getInt(off + 20 + 4 * i))
+            case "stco" => chunkOff = bb.getInt(off + 16)
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      walk(0, mp4.length)
+      require(avcC != null, "mp4: no avcC configuration record")
+      require(sizes != null && chunkOff >= 0, "mp4: no stsz/stco sample index")
+      val lengthSize = (avcC(4) & 3) + 1
+      require(lengthSize == 4, s"mp4: only 4-byte NAL lengths supported")
+      val out = new java.io.ByteArrayOutputStream()
+      val start = Array[Byte](0, 0, 0, 1)
+      // parameter sets from avcC
+      var p = 6
+      val nSps = avcC(5) & 0x1F
+      for (_ <- 0 until nSps) {
+        val len = ((avcC(p) & 0xFF) << 8) | (avcC(p + 1) & 0xFF)
+        out.write(start); out.write(avcC, p + 2, len)
+        p += 2 + len
+      }
+      val nPps = avcC(p) & 0xFF
+      p += 1
+      for (_ <- 0 until nPps) {
+        val len = ((avcC(p) & 0xFF) << 8) | (avcC(p + 1) & 0xFF)
+        out.write(start); out.write(avcC, p + 2, len)
+        p += 2 + len
+      }
+      var off = chunkOff
+      for (sz <- sizes) {
+        val end = off + sz
+        while (off < end) {
+          val len = bb.getInt(off)
+          out.write(start); out.write(mp4, off + 4, len)
+          off += 4 + len
+        }
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Decode every IDR frame of an MP4-carried baseline stream. */
+  def decodeMp4(bytes: Array[Byte]): Seq[FrameYuv] =
+    decodeAnnexB(Mp4.demuxToAnnexB(bytes))
 
   // ----------------------------------------------------------- fixtures
 

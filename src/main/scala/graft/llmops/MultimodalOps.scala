@@ -1068,9 +1068,15 @@ object MultimodalOps {
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { row =>
           val id = row.getLong(idIdx)
-          H264.decodeAnnexB(row.getAs[Array[Byte]](bytesIdx)).zipWithIndex.map {
-            case (f, idx) =>
-              Row(id, idx, f.width, f.height, f.yMean, f.cbMean, f.crMean)
+          val bytes = row.getAs[Array[Byte]](bytesIdx)
+          // container sniff: ISO-BMFF leads with a sized 'ftyp' box;
+          // anything else is treated as an Annex B elementary stream
+          val frames =
+            if (bytes.length > 8 && bytes(4) == 'f' && bytes(5) == 't' &&
+              bytes(6) == 'y' && bytes(7) == 'p') H264.decodeMp4(bytes)
+            else H264.decodeAnnexB(bytes)
+          frames.zipWithIndex.map { case (f, idx) =>
+            Row(id, idx, f.width, f.height, f.yMean, f.cbMean, f.crMean)
           }
         }
       }
@@ -1086,7 +1092,8 @@ object MultimodalOps {
     * spec's own dequant arithmetic (no codec in the oracle's loop).
     * Geometry: 48x32 (3x2 macroblocks) per frame.
     */
-  def syntheticH264Videos(spark: SparkSession, n: Int): DataFrame = {
+  def syntheticH264Videos(spark: SparkSession, n: Int,
+      mp4: Boolean = false): DataFrame = {
     val rows = (0 until n).map { i =>
       val qp = 20 + (i % 8)
       val nf = 2 + (i % 3)
@@ -1098,9 +1105,10 @@ object MultimodalOps {
           60 + ((i * 13 + f * 5) % 120), // crPcm
           l, lc)
       }
-      val bytes = H264.Fixtures.stream(3, 2, qp, frames)
+      val annexB = H264.Fixtures.stream(3, 2, qp, frames)
+      val bytes = if (mp4) H264.Mp4.mux(annexB, 48, 32) else annexB
       Row(i.toLong, "video", bytes,
-        Row("video/h264", 48, 32, null, 40L * nf))
+        Row(if (mp4) "video/mp4" else "video/h264", 48, 32, null, 40L * nf))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }

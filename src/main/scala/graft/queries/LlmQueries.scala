@@ -1283,6 +1283,22 @@ object LlmQueries {
     // prediction) executor-side, and the oracle recomputes every
     // expected mean from the SPEC'S OWN integer dequant arithmetic in
     // SQL — the decoder and the oracle share no code.
+    // the same streams carried in a REAL MP4 (ISO-BMFF) container:
+    // avcC holds SPS/PPS, samples are 4-byte-length-prefixed NALs
+    // indexed by stsz/stco — the demuxer walks genuine box structure
+    // back to the elementary stream; same spec-arithmetic oracle
+    "media_mp4_h264" -> ((s, _) =>
+      MultimodalOps.decodeH264Frames(
+        MultimodalOps.syntheticH264Videos(s, 12, mp4 = true))
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(col("y_mean")).as("y_mean"),
+          r4(col("cb_mean")).as("cb_mean"),
+          r4(col("cr_mean")).as("cr_mean"))
+        .orderBy("media_id", "frame_idx")),
+
     "media_h264_frames" -> ((s, _) =>
       MultimodalOps.decodeH264Frames(MultimodalOps.syntheticH264Videos(s, 12))
         .select(col("media_id"),
@@ -3237,6 +3253,36 @@ object LlmQueries {
     // code in the loop. Frames are 48x32 = 6 MBs; the PCM seed MB holds
     // the base value, the other five sit at base + delta, so the frame
     // mean is an exact integer ratio.
+    // identical expected pixels for the MP4 carriage — the container
+    // is lossless transport of the same NALs
+    "media_mp4_h264" -> w(
+      """WITH m AS (SELECT unnest(range(0, 12)) AS i),
+        |fr AS (SELECT i, unnest(range(0, 2 + i % 3)) AS f FROM m),
+        |p AS (
+        |  SELECT i, f, 20 + (i % 8) AS qp,
+        |    2 + ((i + f) % 5) AS L,
+        |    CASE WHEN f % 2 = 1 THEN 2 + (i % 3) ELSE 0 END AS Lc,
+        |    40 + ((i * 29 + f * 13) % 160) AS ypcm,
+        |    50 + ((i * 7 + f * 11) % 140) AS cbpcm,
+        |    60 + ((i * 13 + f * 5) % 120) AS crpcm
+        |  FROM fr),
+        |q AS (
+        |  SELECT *, qp // 6 AS q6,
+        |    CASE qp % 6 WHEN 0 THEN 10 WHEN 1 THEN 11 WHEN 2 THEN 13
+        |      WHEN 3 THEN 14 WHEN 4 THEN 16 ELSE 18 END AS v
+        |  FROM p),
+        |dd AS (
+        |  SELECT *,
+        |    ((((L * 16 * v + (1 << (5 - q6))) >> (6 - q6)) + 32) >> 6) AS d,
+        |    CASE WHEN Lc = 0 THEN 0
+        |      ELSE ((((Lc * 16 * v) << q6) >> 5) + 32) >> 6 END AS e
+        |  FROM q)
+        |SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+        |  round(CAST(256 * ypcm + 1280 * (ypcm + d) AS DOUBLE) / 1536, 4) AS y_mean,
+        |  round(CAST(64 * cbpcm + 320 * (cbpcm + e) AS DOUBLE) / 384, 4) AS cb_mean,
+        |  round(CAST(64 * crpcm + 320 * (crpcm + e) AS DOUBLE) / 384, 4) AS cr_mean
+        |FROM dd ORDER BY 1, 2"""),
     "media_h264_frames" -> w(
       """WITH m AS (SELECT unnest(range(0, 12)) AS i),
         |fr AS (SELECT i, unnest(range(0, 2 + i % 3)) AS f FROM m),

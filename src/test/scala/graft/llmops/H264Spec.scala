@@ -117,6 +117,23 @@ class H264Spec extends AnyFunSuite {
     assert(f.y.forall(_ == 0) && f.cb.forall(_ == 0) && f.cr.forall(_ == 1))
   }
 
+  test("MP4 carriage round-trips: mux then demux reproduces the elementary stream") {
+    val annexB = Fixtures.stream(3, 2, 24,
+      Seq((100, 60, 70, 3, 0), (110, 65, 75, 4, 2)))
+    val mp4 = Mp4.mux(annexB, 48, 32)
+    // genuine box leader
+    assert(new String(mp4.slice(4, 8)) == "ftyp")
+    val back = Mp4.demuxToAnnexB(mp4)
+    // same NAL payloads in the same order (start-code spelling may
+    // normalize), so the decode is bit-identical
+    val a = decodeAnnexB(annexB); val b = decodeAnnexB(back)
+    assert(a.size == b.size)
+    for ((x, y) <- a.zip(b)) {
+      assert(x.y.sameElements(y.y) && x.cb.sameElements(y.cb) &&
+        x.cr.sameElements(y.cr))
+    }
+  }
+
   test("subset fences fail fast, not wrong") {
     val ex = intercept[IllegalArgumentException] {
       decodeAnnexB(Array[Byte](1, 2, 3, 4))
