@@ -65,6 +65,15 @@ object FluxParser {
   final case class Cond(pred: Expr, a: Expr, b: Expr) extends Expr
   final case class Regex(pattern: String) extends Expr
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr // + - * / %
+  /** A stdlib scalar call inside a lambda body — `math.sqrt(x: r._value)`,
+    * `strings.toUpper(v: r.host)`, `date.hour(t: r._time)`, or a bare
+    * type conversion `int(v: r._value)`. Arguments are named, like every
+    * Flux call; each value is a full expression in the lambda's scope.
+    * The EVALUATOR owns the dispatch table (unknown names must fail at
+    * eval with the query surface's error, not at parse) — the parser
+    * only shapes the node.
+    */
+  final case class FnCall(name: String, args: Seq[(String, Expr)]) extends Expr
 
   final case class Call(verb: String, args: Map[String, Value])
   /** A verb chain. The head is either a call (`from(...)`) or, in a
@@ -146,6 +155,7 @@ object FluxParser {
       case Not(x) => Not(subst(x, bind))
       case Exists(x) => Exists(subst(x, bind))
       case Cond(c, a, b) => Cond(subst(c, bind), subst(a, bind), subst(b, bind))
+      case FnCall(n, args) => FnCall(n, args.map { case (k, e) => k -> subst(e, bind) })
       case other => other // ColRef / AccRef / Lit / Regex: no params inside
     }
 
@@ -344,14 +354,17 @@ object FluxParser {
       VLambda(param, orExpr(param))
     }
 
+    // record fields take the FULL expression grammar: arithmetic,
+    // conditionals, stdlib calls, and bare predicates
+    // (`hot: r._value > 50.0`) are all legal Flux record values
     private def withField(p: String): (String, Expr) = {
       val k = identDots(); ws(); expect(":"); ws()
-      (k, addSub(p))
+      (k, orExpr(p))
     }
 
     private def reduceField(p: String, acc: String): (String, Expr) = {
       val k = identDots(); ws(); expect(":"); ws()
-      (k, addSub(p, acc))
+      (k, orExpr(p, acc))
     }
 
     // arithmetic for map()/reduce(): + - over * / %
@@ -381,7 +394,10 @@ object FluxParser {
         val b = addSub(p, acc); ws()
         Cond(c, a, b)
       }
-      else if (peekStr("(")) { expect("("); ws(); val e = addSub(p, acc); ws(); expect(")"); e }
+      // parens parse the FULL expression grammar (orExpr subsumes
+      // arithmetic): `(x + y) * 2`, `(r.a or r.b) and r.c`, and
+      // `(r._value > 1) == r.flag` all flow through this one branch
+      else if (peekStr("(")) { expect("("); ws(); val e = orExpr(p, acc); ws(); expect(")"); e }
       else primary(p, acc)
     }
 
@@ -401,11 +417,14 @@ object FluxParser {
     private def cmpExpr(p: String, acc: String = null): Expr = {
       if (peekWord("not")) { expectWord("not"); ws(); return Not(cmpExpr(p, acc)) }
       if (peekWord("exists")) { expectWord("exists"); ws(); return Exists(primary(p, acc)) }
-      if (peekStr("(")) { expect("("); ws(); val e = orExpr(p, acc); ws(); expect(")"); return e }
-      val lhs = primary(p, acc); ws()
+      // comparison operands are full arithmetic expressions (addSub),
+      // so `r._value * 2.0 > 100.0 - r.base` parses; parenthesized
+      // groups (boolean or arithmetic) flow through arithPrimary's
+      // unified paren branch
+      val lhs = addSub(p, acc); ws()
       val op = Seq("==", "!=", ">=", "<=", "=~", "!~", ">", "<").find(peekStr)
       op match {
-        case Some(o) => expect(o); ws(); Cmp(o, lhs, primary(p, acc))
+        case Some(o) => expect(o); ws(); Cmp(o, lhs, addSub(p, acc))
         case None => lhs
       }
     }
@@ -434,7 +453,7 @@ object FluxParser {
           expect("("); ws()
           val binds = Map.newBuilder[String, Expr]
           def one(): Unit = {
-            val k = ident(); ws(); expect(":"); ws(); binds += k -> addSub(p, acc); ws()
+            val k = ident(); ws(); expect(":"); ws(); binds += k -> orExpr(p, acc); ws()
           }
           if (!peekStr(")")) { one(); while (peekStr(",")) { expect(","); ws(); one() } }
           expect(")")
@@ -444,7 +463,28 @@ object FluxParser {
             fail(s"call to '$name' is missing argument(s): ${missing.mkString(", ")}")
           subst(body, bound)
         }
-        else fail(s"unknown identifier '$name' (expected $p.<column> or a literal)")
+        else {
+          // stdlib scalar call: a dotted package path (`math.sqrt`,
+          // `strings.toUpper`, `date.hour`) or a bare conversion
+          // (`int(v:)`, `float(v:)`, …). Parsed into [[FnCall]] with
+          // full-expression named args; the evaluator owns the name →
+          // Spark-function dispatch (and the unsupported-name error).
+          var full = name
+          while (peekStr(".")) { expect("."); full = s"$full.${ident()}" }
+          ws()
+          if (peekStr("(")) {
+            expect("("); ws()
+            val fargs = Seq.newBuilder[(String, Expr)]
+            // full-grammar args: `string(v: r._value > 50.0)` passes a
+            // predicate, `math.pow(x: r._value / 10.0, y: 2.0)` arithmetic
+            def one(): Unit = {
+              val k = ident(); ws(); expect(":"); ws(); fargs += k -> orExpr(p, acc); ws()
+            }
+            if (!peekStr(")")) { one(); while (peekStr(",")) { expect(","); ws(); one() } }
+            expect(")")
+            FnCall(full, fargs.result())
+          } else fail(s"unknown identifier '$name' (expected $p.<column>, a literal, or a call)")
+        }
       }
     }
 

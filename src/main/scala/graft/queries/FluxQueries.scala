@@ -254,6 +254,45 @@ object FluxQueries {
         .select(col("_measurement"), r4(col("_value")).as("sum_v"))
         .orderBy("_measurement")),
 
+    // stdlib math calls inside a map() lambda — the everyday Grafana
+    // unit-conversion shape (r13 verdict #1). Each per-row value is
+    // floor-quantized to an integer (sqrt is IEEE-correctly-rounded and
+    // ×100/floor/round agree bit-for-bit cross-engine), so the sum is
+    // integer-exact — no float-summation-order risk.
+    "flux_map_math" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> map(fn: (r) => ({ r with _value: math.floor(x: math.sqrt(x: r._value) * 100.0) + math.floor(x: math.pow(x: math.abs(x: r._value), y: 1.5)) + math.round(x: r._value) }))
+          ||> sum()""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_value").cast("long").as("sum_v"))
+        .orderBy("_measurement")),
+
+    // stdlib strings calls in filter AND map — predicate pushdown plus
+    // per-row string rewrite, all codegen'd Spark built-ins
+    "flux_map_strings" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> filter(fn: (r) => strings.hasPrefix(v: r._measurement, prefix: "c") or strings.containsStr(v: r._measurement, substr: "w"))
+          ||> map(fn: (r) => ({ r with tag: strings.toUpper(v: r._measurement), pre: strings.substring(v: r._measurement, start: 0, end: 2), rep: strings.replaceAll(v: r._measurement, t: "i", u: "y"), len: strings.strlen(v: r._measurement) }))""".stripMargin,
+        source(s, dir))
+        .groupBy(col("tag"), col("pre"), col("rep"), col("len"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tag")),
+
+    // type conversions + date package in map(): int(v: float) truncates,
+    // int(v: time) is ns-since-epoch, time(v: int) round-trips it,
+    // string(v: bool) prints true/false, date.hour/weekDay extract
+    "flux_map_conv" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> map(fn: (r) => ({ r with vi: int(v: r._value), hh: date.hour(t: r._time), wd: date.weekDay(t: r._time), tns: int(v: r._time), t2: time(v: int(v: r._time)), lv: string(v: r._value > 50.0) }))""".stripMargin,
+        source(s, dir))
+        .groupBy(col("_measurement"), col("hh"), col("wd"))
+        .agg(sum(col("vi")).as("sum_vi"), max(col("tns")).as("max_tns"),
+          max(col("t2")).as("max_t2"), count(when(col("lv") === "true", 1)).as("n_hi"))
+        .orderBy("_measurement", "hh", "wd")),
+
     // named user functions: the stdlib's user-extension idiom — define
     // once at program level, apply via named args inside a map body
     // (calls inline at parse time, so the evaluated plan is identical
@@ -280,6 +319,29 @@ object FluxQueries {
           ||> aggregateWindow(every: 1h30m, fn: mean)""".stripMargin,
         source(s, dir))
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
+        .orderBy("_measurement", "wend")),
+
+    // aggregateWindow(fn: last) — the most common dashboard downsample
+    // (r13 verdict #2: the text-surface selector asymmetry). (event_type,
+    // ts) is unique in the corpus, so max_by/arg_max are deterministic.
+    "flux_agg_last" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> aggregateWindow(every: 6h, fn: last)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("last_v"))
+        .orderBy("_measurement", "wend")),
+
+    // aggregateWindow(fn: quantile, q:) — per-window exact interpolated
+    // percentile through text (same definition as DuckDB quantile_cont)
+    "flux_agg_quantile" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> aggregateWindow(every: 1d, fn: quantile, q: 0.9)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("q90"))
         .orderBy("_measurement", "wend")),
 
     // pivot(): long→wide in text form (pre-aggregated to one row per
@@ -597,6 +659,39 @@ object FluxQueries {
         |  CAST(count(*) AS DOUBLE) AS n,
         |  round(sum((value - 50.0) * 2.0), 4) AS adj
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_map_math" ->
+      """SELECT event_type AS _measurement,
+        |  CAST(sum(floor(sqrt(value) * 100.0) + floor(pow(abs(value), 1.5))
+        |    + round(value, 0)) AS BIGINT) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_map_strings" ->
+      """SELECT upper(event_type) AS tag, substr(event_type, 1, 2) AS pre,
+        |  replace(event_type, 'i', 'y') AS rep, length(event_type) AS len,
+        |  count(*) AS n
+        |FROM events
+        |WHERE event_type LIKE 'c%' OR contains(event_type, 'w')
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "flux_map_conv" ->
+      """SELECT event_type AS _measurement, hour(ts) AS hh,
+        |  dayofweek(ts) AS wd,
+        |  CAST(sum(CAST(trunc(value) AS BIGINT)) AS BIGINT) AS sum_vi,
+        |  max(epoch_ns(ts)) AS max_tns, max(ts) AS max_t2,
+        |  count(CASE WHEN value > 50.0 THEN 1 END) AS n_hi
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "flux_agg_last" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
+        |  round(arg_max(value, ts), 4) AS last_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_agg_quantile" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS wend,
+        |  round(quantile_cont(value, 0.9), 4) AS q90
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "flux_histogram" -> histogramOracle,
     "flux_join" ->
       """WITH c AS (

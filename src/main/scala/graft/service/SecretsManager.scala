@@ -84,6 +84,12 @@ object SecretsManager {
           case u: UnauthorizedError =>
             log.severe(s"Unauthorized error while getting secret: $secretArn")
             throw u
+          // a TimeoutException thrown INSIDE the worker (the HTTP
+          // client's socket-timeout mapping) is the same failure mode
+          // as the bounded-wait timeout — log it as one (r13 ADVICE)
+          case t: TimeoutException =>
+            log.severe(s"Timeout occurred while getting secret: $secretArn")
+            throw t
           case other =>
             log.severe(s"Exception while getting secret: $secretArn")
             throw other
@@ -136,7 +142,13 @@ final class HttpSecretValueClient(endpoint: String,
       conn.setDoOutput(true)
       val body = Json.obj(Seq("SecretId" -> secretId))
         .getBytes(StandardCharsets.UTF_8)
-      conn.getOutputStream.write(body)
+      // connect-phase timeouts surface from getOutputStream/write, not
+      // only from the response read — map them to the SAME timeout
+      // failure mode so the three-way taxonomy holds (r13 ADVICE)
+      try conn.getOutputStream.write(body)
+      catch { case e: SocketTimeoutException =>
+        throw new TimeoutException(e.getMessage)
+      }
       val code =
         try conn.getResponseCode
         catch { case e: SocketTimeoutException =>

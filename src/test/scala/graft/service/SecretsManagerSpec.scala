@@ -91,6 +91,16 @@ class SecretsManagerSpec extends AnyFunSuite {
       SecretsManager.getSecretOverIpc(failing, "arn:test:object")
     }
     assert(e.getMessage == "test")
+
+    // a TimeoutException raised INSIDE the worker (the HTTP client's
+    // connect-phase socket-timeout mapping) classifies as the TIMEOUT
+    // failure mode, not the generic one (r13 ADVICE)
+    val innerTimeout: SecretValueClient =
+      _ => throw new TimeoutException("connect timed out")
+    val t = intercept[TimeoutException] {
+      SecretsManager.getSecretOverIpc(innerTimeout, "arn:test:object")
+    }
+    assert(t.getMessage == "connect timed out")
   }
 
   test("SecretsManagerCredentials plugs the fetch into the provider trait") {

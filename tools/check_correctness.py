@@ -110,18 +110,26 @@ def main(sf_dir, out_dir):
     total = sum(oracle_secs.values())
     budget = float(os.environ.get("GRAFT_ORACLE_BUDGET_SECS", "90"))
     slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
-    full_run = len(oracle_secs) >= 0.9 * len(oracle)
+    # full_run counts ATTEMPTED oracles (results carries ORACLE_FAILs
+    # too), so a run with many oracle errors can't silently disable the
+    # guardrail (r13 ADVICE).
+    attempted = sum(1 for v in results.values() if not v.startswith("NO_ORACLE")
+                    and not v.startswith("READ_FAIL"))
+    full_run = attempted >= 0.9 * len(oracle)
     print(f"oracle suite: {total:.1f}s over {len(oracle_secs)} queries "
-          f"(budget {budget:.0f}s, {'enforced' if full_run else 'full-suite only'}); "
+          f"(budget {budget:.0f}s, {'watched' if full_run else 'full-suite only'}); "
           "slowest: " + ", ".join(f"{k}={v:.1f}s" for k, v in slow))
-    # Enforced only when (nearly) the whole suite ran: oracle cost is
-    # deliberately non-uniform (the dedup/graph replays carry the
-    # tail), so a targeted run of heavy oracles must not false-fail.
+    # WARN, do not fail: this runs on a shared VM where PERF.md documents
+    # ~1,000 s CPU-steal bursts — a steal burst during the DuckDB pass
+    # must not flip an all-green correctness run to exit 1 (r13 ADVICE).
+    # The budget is a regression tripwire for combinatorial oracle SQL,
+    # and a genuine regression shows up round over round in this line.
     if full_run and total > budget:
-        print(f"FAIL oracle-budget: suite took {total:.1f}s > {budget:.0f}s "
-              "— a combinatorial oracle regression (see COVERAGE.md "
-              "'oracle-suite budget'); MATERIALIZE the offending CTE chain")
-        return 1
+        print(f"WARN oracle-budget: suite took {total:.1f}s > {budget:.0f}s "
+              "— either host CPU steal (ignore) or a combinatorial oracle "
+              "regression (see COVERAGE.md 'oracle-suite budget'; "
+              "MATERIALIZE the offending CTE chain). Correctness verdict "
+              "is unaffected by this warning.")
     return 0 if n_ok == len(results) else 1
 
 
