@@ -617,26 +617,39 @@ object StreamingQueries {
             col("dst").cast("double") < hi)
           .coalesce(1).write.mode("append").parquet(srcDir)
       }
+      // merge-on-read delta log (r13 verdict #4): each trigger APPENDS
+      // only (changed ∪ fresh) rows tagged with the batch version —
+      // O(batch + touched components) written per trigger, never the
+      // O(corpus) index rewrite. The read side reconstructs the index
+      // as latest-version-per-id, exactly a Delta/Iceberg MOR scan.
       val idxRoot = Files.createTempDirectory("graft-scc-idx").toString
-      @volatile var current: Option[String] = None
+      def view(): DataFrame = {
+        val files = new java.io.File(idxRoot).listFiles()
+        if (files == null || files.isEmpty)
+          graft.streaming.StreamGraph.emptyIndex(s)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(col("v").desc)
+          s.read.parquet(idxRoot)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).select("id", "cid")
+        }
+      }
       val q = s.readStream.schema(edges.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir)
         .writeStream
         .option("checkpointLocation",
           Files.createTempDirectory("graft-scc-cp").toString)
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          val idx = current.map(p => s.read.parquet(p))
-            .getOrElse(graft.streaming.StreamGraph.emptyIndex(s))
-          val next = graft.streaming.StreamGraph
-            .componentsBatch(idx, batch, "src", "dst")
-          val out = s"$idxRoot/v$id"
-          next.write.parquet(out)
-          current = Some(out)
+          val d = graft.streaming.StreamGraph
+            .componentsDelta(view(), batch, "src", "dst")
+          d.changed.unionByName(d.fresh).withColumn("v", lit(id))
+            .write.mode("append").parquet(idxRoot)
         }
         .start()
       q.processAllAvailable()
       q.stop()
-      s.read.parquet(current.get)
+      view()
         .groupBy(col("cid")).agg(count(lit(1)).as("size"))
         .orderBy("cid")
     }),
