@@ -520,6 +520,10 @@ object H264 {
     // PCM flag (neighbors read as 16)
     val lumaTc = Array.fill(sps.heightMbs * 4, sps.widthMbs * 4)(-1) // -1 = unavailable
     val chromaTc = Array.fill(2, sps.heightMbs * 2, sps.widthMbs * 2)(-1)
+    // Intra4x4PredMode per 4x4 block; -1 = the block's MB is not
+    // I_NxN (PCM / I16x16) — the spec substitutes DC (2) for such
+    // neighbours in the most-probable-mode derivation (8.3.1.1)
+    val i4mode = Array.fill(sps.heightMbs * 4, sps.widthMbs * 4)(-1)
     var qp = qpSlice
 
     def nCfor(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
@@ -527,6 +531,20 @@ object H264 {
       val nB = if (by > 0) tc(by - 1)(bx) else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
       else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+
+    /** Most-probable Intra4x4 mode (spec 8.3.1.1): DC when either
+      * neighbour BLOCK's macroblock is unavailable (frame edge);
+      * otherwise min over the two neighbour modes, each defaulting to
+      * DC when its macroblock is not I_NxN.
+      */
+    def predIntra4x4Mode(gbx: Int, gby: Int): Int = {
+      if (gbx == 0 || gby == 0) 2
+      else {
+        val a = i4mode(gby)(gbx - 1)
+        val b = i4mode(gby - 1)(gbx)
+        math.min(if (a < 0) 2 else a, if (b < 0) 2 else b)
+      }
     }
 
     var mb = 0

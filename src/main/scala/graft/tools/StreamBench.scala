@@ -1,0 +1,270 @@
+package graft.tools
+
+import graft.dsl.Tsdb
+import graft.queries.QueryUtil
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.nio.file.Files
+
+/** Streaming-path throughput bench (r13 verdict #7): rows/sec and
+  * end-to-end wall per streaming twin, file sources, AvailableNow —
+  * the only execution surface the batch bench doesn't cover. One JSON
+  * line per twin: input rows, wall seconds (query start →
+  * processAllAvailable return, so trigger scheduling and sink writes
+  * are inside the measurement), micro-batch count, mean batch ms, and
+  * the state footprint (Spark state-store rows where the twin uses
+  * operator state; persisted-index row counts for the merge-on-read
+  * twins, whose "state" deliberately lives in parquet, not the state
+  * store).
+  *
+  * Env: SPARK_GRAFT_SF_DIR (corpus), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_STREAMBENCH_ONLY (comma filter).
+  */
+object StreamBench {
+  final case class R(name: String, rows: Long, wallS: Double,
+      batches: Int, meanBatchMs: Double, state: String) {
+    def json: String =
+      f"""{"twin":"$name","rows":$rows,"wall_s":$wallS%.2f,""" +
+        f""""rows_per_s":${rows / wallS}%.0f,"batches":$batches,""" +
+        f""""mean_batch_ms":$meanBatchMs%.0f,"state":"$state"}"""
+  }
+
+  private def progressStats(q: StreamingQuery): (Int, Double, Long) = {
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    val batches = ps.length
+    val meanMs =
+      if (ps.isEmpty) 0.0
+      else ps.map(_.durationMs.values().toArray.map(_.asInstanceOf[Long]).sum
+        .toDouble).sum / ps.length
+    val stateRows = ps.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    (batches, meanMs, stateRows)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").foreach(_ => ())
+
+    val only = sys.env.get("SPARK_GRAFT_STREAMBENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(n: String) = only.forall(_.contains(n))
+    val out = scala.collection.mutable.ArrayBuffer.empty[R]
+
+    // ---- lp_ingest + downsample: the /api/v2/write → continuous-task
+    // pipeline (stream_downsample's production shape). LP text split
+    // into 8 files, 2 files per trigger → 4 ingest batches.
+    if (want("lp_ingest") || want("downsample")) {
+      val wh = Files.createTempDirectory("sb-wh").toString
+      val tsdb = Tsdb(spark, wh)
+      tsdb.catalog.createOrg("o"); tsdb.catalog.createBucket("raw", "o")
+      tsdb.catalog.createBucket("hourly", "o")
+      val ev = QueryUtil.events(spark, sfDir)
+      val nRows = ev.count()
+      val lpDir = Files.createTempDirectory("sb-lp").toString
+      ev.select(concat(
+          lit("events,event_type="), col("event_type"),
+          lit(",user_id="), col("user_id").cast("string"),
+          lit(" value="), col("value").cast("string"),
+          lit(" "), col("ts_ns").cast("string")).as("line"))
+        .repartition(8).write.mode("overwrite").text(lpDir)
+      if (want("lp_ingest")) {
+        val lines = spark.readStream.option("maxFilesPerTrigger", "2").textFile(lpDir)
+        val (q, _) = timed(new graft.streaming.StreamIngest(tsdb)
+          .start("raw", lines, Files.createTempDirectory("sb-cp1").toString))
+        val (_, wall) = timed { q.processAllAvailable(); q.stop() }
+        val (b, ms, _) = progressStats(q)
+        out += R("lp_ingest", nRows, wall, b, ms,
+          "none (append-only bucket writes; LWW is read-time)")
+      } else {
+        // downsample-only run still needs the raw bucket populated
+        val q0 = new graft.streaming.StreamIngest(tsdb).startFromDir(
+          "raw", lpDir, Files.createTempDirectory("sb-cp1").toString)
+        q0.processAllAvailable(); q0.stop()
+      }
+      if (want("downsample")) {
+        val (q2, _) = timed(new graft.streaming.DownsampleTask(tsdb).start(
+          source = "raw", target = "hourly", every = "1 hour", fn = sum,
+          lateness = "60 days",
+          checkpoint = Files.createTempDirectory("sb-cp2").toString))
+        val (_, wall2) = timed { q2.processAllAvailable(); q2.stop() }
+        val (b2, ms2, st2) = progressStats(q2)
+        out += R("downsample", nRows, wall2, b2, ms2,
+          s"$st2 window-agg state rows (keys x open windows, watermark-bounded)")
+      }
+    }
+
+    // ---- cusum: keyed flatMapGroupsWithState anomaly scan over events
+    if (want("cusum")) {
+      val ev0 = QueryUtil.events(spark, sfDir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("event_type", "ts_us", "value")
+      val nRows = ev0.count()
+      val srcDir = Files.createTempDirectory("sb-cusum").toString
+      ev0.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val params = ev0.groupBy("event_type").agg(
+        round(avg(col("value")), 4).as("mu"),
+        round(stddev_pop(col("value")), 4).as("sg"))
+      val (q, _) = timed(graft.streaming.StreamAnomaly.cusumStream(
+          spark.readStream.schema(ev0.schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          params, "event_type", "ts_us", "value")
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb-cusum-cp").toString)
+        .start())
+      val (_, wall) = timed { q.processAllAvailable(); q.stop() }
+      val (b, ms, st) = progressStats(q)
+      out += R("cusum", nRows, wall, b, ms,
+        s"$st state rows (one (S+,S-) cell per series key)")
+    }
+
+    // ---- dedup_exact: watermarked in-stream fingerprint dedup + corpus
+    // anti-join (StreamDedup.exactDedupStream); docs split 4 files.
+    val docs = QueryUtil.documents(spark, sfDir)
+      .withColumn("event_ts", timestamp_micros(col("doc_id") * 1000L))
+    lazy val nDocs = docs.count()
+    if (want("dedup_exact")) {
+      val srcDir = Files.createTempDirectory("sb-de").toString
+      docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val corpusFps = docs.limit((nDocs / 5).toInt)
+        .select(graft.llmops.TextOps.fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
+      val (q, _) = timed(graft.streaming.StreamDedup.exactDedupStream(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          corpusFps, "text", "event_ts", "10 minutes")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb-de-cp").toString)
+        .start())
+      val (_, wall) = timed { q.processAllAvailable(); q.stop() }
+      val (b, ms, st) = progressStats(q)
+      out += R("dedup_exact", nDocs, wall, b, ms,
+        s"$st dedup-state rows (fp keys inside watermark) + static corpus fp index")
+    }
+
+    // ---- dedup_near: foreachBatch winnow-fingerprint probe against a
+    // persisted, per-batch-growing corpus index (the MOR shape).
+    if (want("dedup_near")) {
+      val srcDir = Files.createTempDirectory("sb-dn").toString
+      docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+      // index seed: every-5th-doc modulo sample, NOT limit() — limit
+      // takes whole leading ScaleProbe replicas, making batch 1 the
+      // SAME documents as the index and driving the probe join fully
+      // dense (294M pair-rows, ~100 s/batch at 10x; see PERF.md r14
+      // streaming table note on Σ df_idx x df_batch cost)
+      var idx = graft.llmops.TextOps.winnowFingerprints(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text").localCheckpoint()
+      var indexRows = idx.count()
+      val (q, _) = timed(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb-dn-cp").toString)
+        .foreachBatch { (batch0: DataFrame, _: Long) =>
+          val t0 = System.nanoTime()
+          // detach the micro-batch from the streaming plan FIRST: a
+          // foreachBatch frame plans under IncrementalExecution where
+          // AQE is off, and the probe's join+aggregate is 10-15x
+          // slower without AQE's coalescing/skew handling at 10x scale
+          val batch = batch0.localCheckpoint()
+          // checkpoint the survivors BEFORE re-deriving fingerprints:
+          // without it the index-append lineage re-executes the whole
+          // probe a second time
+          val kept = graft.streaming.StreamDedup.nearDedupBatch(
+            batch, idx, "doc_id", "text").localCheckpoint()
+          val t1 = System.nanoTime()
+          idx = idx.unionByName(graft.llmops.TextOps.winnowFingerprints(
+            kept, "doc_id", "text")).localCheckpoint()
+          indexRows = idx.count()
+          if (sys.env.contains("GRAFT_STREAMBENCH_DEBUG"))
+            println(f"[sb] near batch: probe ${(t1 - t0) / 1e9}%.1fs " +
+              f"append ${(System.nanoTime() - t1) / 1e9}%.1fs idx=$indexRows")
+          ()
+        }
+        .start())
+      val (_, wall) = timed { q.processAllAvailable(); q.stop() }
+      val (b, ms, _) = progressStats(q)
+      out += R("dedup_near", nDocs, wall, b, ms,
+        s"$indexRows persisted winnow-fingerprint index rows (no Spark state)")
+    }
+
+    // ---- components: incremental CC delta folds over the customer-
+    // chain edges, 4 quartile files, merge-on-read index.
+    if (want("components")) {
+      val edges = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        QueryUtil.orders(spark, sfDir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("prev").as("src"), col("o_orderkey").as("dst"))
+      }
+      val nEdges = edges.count()
+      val srcDir = Files.createTempDirectory("sb-cc").toString
+      val Array(b1, b2, b3) =
+        edges.stat.approxQuantile("dst", Array(0.25, 0.5, 0.75), 0.0)
+      Seq((Double.NegativeInfinity, b1), (b1, b2), (b2, b3),
+          (b3, Double.PositiveInfinity))
+        .foreach { case (lo, hi) =>
+          edges.where(col("dst").cast("double") >= lo &&
+              col("dst").cast("double") < hi)
+            .coalesce(1).write.mode("append").parquet(srcDir)
+        }
+      val idxRoot = Files.createTempDirectory("sb-cc-idx").toString
+      var appended = 0L
+      def view(): DataFrame = {
+        val files = new java.io.File(idxRoot).listFiles()
+        if (files == null || files.isEmpty)
+          graft.streaming.StreamGraph.emptyIndex(spark)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(col("v").desc)
+          spark.read.parquet(idxRoot)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).select("id", "cid")
+        }
+      }
+      val (q, _) = timed(spark.readStream.schema(edges.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb-cc-cp").toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val d = graft.streaming.StreamGraph
+            .componentsDelta(view(), batch, "src", "dst")
+          val delta = d.changed.unionByName(d.fresh).withColumn("v", lit(id))
+            .localCheckpoint()
+          appended += delta.count()
+          delta.write.mode("append").parquet(idxRoot)
+          ()
+        }
+        .start())
+      val (_, wall) = timed { q.processAllAvailable(); q.stop() }
+      val (b, ms, _) = progressStats(q)
+      out += R("components", nEdges, wall, b, ms,
+        s"$appended delta rows appended across batches (MOR index; no Spark state)")
+    }
+
+    out.foreach(r => println(r.json))
+    println(s"""{"stream_bench_total_s":${out.map(_.wallS).sum.round},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
