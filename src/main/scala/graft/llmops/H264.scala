@@ -447,6 +447,99 @@ object H264 {
 
   private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
+  /** coded_block_pattern me(v) mapping for Intra_4x4 macroblocks
+    * (spec Table 9-4, ChromaArrayType = 1, Intra column): codeNum →
+    * cbp. The fixture encoder inverts it for the cbps it writes.
+    */
+  private[llmops] val CbpIntraByCodeNum: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** Intra_4x4 luma prediction (spec 8.3.1.2, all nine modes) over a
+    * neighbour-sample accessor pair: `pT(x)` = p[x, -1] for x in
+    * -1..7 (x = -1 the corner sample p[-1,-1], 4..7 the top-right
+    * extension — the CALLER substitutes p[3,-1] when top-right is not
+    * decoded), `pL(y)` = p[-1, y] for y in -1..3 (y = -1 the corner).
+    * Pure integer arithmetic on the accessors; returns the 16
+    * predicted samples raster-ordered. Exposed package-private so the
+    * spec pins every mode against hand-computed grids on a linear
+    * boundary (where each mode has a distinct closed form).
+    */
+  private[llmops] def intra4x4Predict(mode: Int, hasLeft: Boolean,
+      hasTop: Boolean, pT: Int => Int, pL: Int => Int): Array[Int] = {
+    val pred = new Array[Int](16)
+    def fill(f: (Int, Int) => Int): Unit =
+      for (yy <- 0 until 4; xx <- 0 until 4) pred(yy * 4 + xx) = f(xx, yy)
+    mode match {
+      case 0 => // Vertical
+        require(hasTop, "h264: Intra4x4 V without top samples")
+        fill((x, _) => pT(x))
+      case 1 => // Horizontal
+        require(hasLeft, "h264: Intra4x4 H without left samples")
+        fill((_, yy) => pL(yy))
+      case 2 => // DC (partial availability per 8.3.1.2.3)
+        val dc =
+          if (hasLeft && hasTop)
+            ((0 until 4).map(pT).sum + (0 until 4).map(pL).sum + 4) >> 3
+          else if (hasLeft) ((0 until 4).map(pL).sum + 2) >> 2
+          else if (hasTop) ((0 until 4).map(pT).sum + 2) >> 2
+          else 128
+        java.util.Arrays.fill(pred, dc)
+      case 3 => // Diagonal-Down-Left (8.3.1.2.4)
+        require(hasTop, "h264: Intra4x4 DDL without top samples")
+        fill((x, yy) =>
+          if (x == 3 && yy == 3) (pT(6) + 3 * pT(7) + 2) >> 2
+          else (pT(x + yy) + 2 * pT(x + yy + 1) + pT(x + yy + 2) + 2) >> 2)
+      case 4 => // Diagonal-Down-Right (8.3.1.2.5)
+        require(hasLeft && hasTop, "h264: Intra4x4 DDR without left+top samples")
+        fill((x, yy) =>
+          if (x > yy) (pT(x - yy - 2) + 2 * pT(x - yy - 1) + pT(x - yy) + 2) >> 2
+          else if (x < yy) (pL(yy - x - 2) + 2 * pL(yy - x - 1) + pL(yy - x) + 2) >> 2
+          else (pT(0) + 2 * pT(-1) + pL(0) + 2) >> 2)
+      case 5 => // Vertical-Right (8.3.1.2.6)
+        require(hasLeft && hasTop, "h264: Intra4x4 VR without left+top samples")
+        fill { (x, yy) =>
+          val zVR = 2 * x - yy
+          val i = x - (yy >> 1)
+          if (zVR >= 0 && zVR % 2 == 0) (pT(i - 1) + pT(i) + 1) >> 1
+          else if (zVR >= 0) (pT(i - 2) + 2 * pT(i - 1) + pT(i) + 2) >> 2
+          else if (zVR == -1) (pL(0) + 2 * pT(-1) + pT(0) + 2) >> 2
+          else (pL(yy - 2 * x - 1) + 2 * pL(yy - 2 * x - 2) +
+            pL(yy - 2 * x - 3) + 2) >> 2
+        }
+      case 6 => // Horizontal-Down (8.3.1.2.7)
+        require(hasLeft && hasTop, "h264: Intra4x4 HD without left+top samples")
+        fill { (x, yy) =>
+          val zHD = 2 * yy - x
+          val i = yy - (x >> 1)
+          if (zHD >= 0 && zHD % 2 == 0) (pL(i - 1) + pL(i) + 1) >> 1
+          else if (zHD >= 0) (pL(i - 2) + 2 * pL(i - 1) + pL(i) + 2) >> 2
+          else if (zHD == -1) (pL(0) + 2 * pT(-1) + pT(0) + 2) >> 2
+          else (pT(x - 2 * yy - 1) + 2 * pT(x - 2 * yy - 2) +
+            pT(x - 2 * yy - 3) + 2) >> 2
+        }
+      case 7 => // Vertical-Left (8.3.1.2.8)
+        require(hasTop, "h264: Intra4x4 VL without top samples")
+        fill((x, yy) =>
+          if (yy % 2 == 0) (pT(x + (yy >> 1)) + pT(x + (yy >> 1) + 1) + 1) >> 1
+          else (pT(x + (yy >> 1)) + 2 * pT(x + (yy >> 1) + 1) +
+            pT(x + (yy >> 1) + 2) + 2) >> 2)
+      case 8 => // Horizontal-Up (8.3.1.2.9)
+        require(hasLeft, "h264: Intra4x4 HU without left samples")
+        fill { (x, yy) =>
+          val zHU = x + 2 * yy
+          if (zHU > 5) pL(3)
+          else if (zHU == 5) (pL(2) + 3 * pL(3) + 2) >> 2
+          else if (zHU % 2 == 0) (pL(yy + (x >> 1)) + pL(yy + (x >> 1) + 1) + 1) >> 1
+          else (pL(yy + (x >> 1)) + 2 * pL(yy + (x >> 1) + 1) +
+            pL(yy + (x >> 1) + 2) + 2) >> 2
+        }
+      case m => throw new IllegalArgumentException(s"h264: Intra4x4 mode $m out of range")
+    }
+    pred
+  }
+
   // ------------------------------------------------------------ decoder
 
   /** Split an Annex B byte stream on 00 00 01 / 00 00 00 01 start
@@ -547,6 +640,143 @@ object H264 {
       }
     }
 
+    /** Chroma decode shared by the I16x16 and I_4x4 branches: DC
+      * prediction per 4x4 sub-block (spec 8.3.4) + optional chroma DC
+      * residual (2x2 Hadamard plane; AC stays outside the subset).
+      */
+    def decodeChroma(mbX: Int, mbY: Int, cbpChroma: Int, qpNow: Int): Unit = {
+      val qpc = chromaQp(qpNow, pps.chromaQpOffset)
+      for ((plane, cIdx) <- Seq((cbP, 0), (crP, 1))) {
+        val cw = w / 2
+        val cpx = mbX * 8; val cpy = mbY * 8
+        val cpred = new Array[Int](64)
+        for (sby <- 0 until 2; sbx <- 0 until 2) {
+          def leftSum = (0 until 4).map(r => plane((cpy + sby * 4 + r) * cw + cpx - 1)).sum
+          def topSum = (0 until 4).map(c => plane((cpy - 1) * cw + cpx + sbx * 4 + c)).sum
+          val hasLeft = mbX > 0
+          val hasTop = mbY > 0
+          val dc =
+            if (sbx == 0 && sby == 0)
+              if (hasLeft && hasTop) (leftSum + topSum + 4) >> 3
+              else if (hasLeft) (leftSum + 2) >> 2
+              else if (hasTop) (topSum + 2) >> 2 else 128
+            else if (sbx == 1 && sby == 0)
+              if (hasTop) (topSum + 2) >> 2
+              else if (hasLeft) (leftSum + 2) >> 2 else 128
+            else if (sbx == 0 && sby == 1)
+              if (hasLeft) (leftSum + 2) >> 2
+              else if (hasTop) (topSum + 2) >> 2 else 128
+            else
+              if (hasLeft && hasTop) (leftSum + topSum + 4) >> 3
+              else if (hasLeft) (leftSum + 2) >> 2
+              else if (hasTop) (topSum + 2) >> 2 else 128
+          for (r <- 0 until 4; c <- 0 until 4) cpred((sby * 4 + r) * 8 + sbx * 4 + c) = dc
+        }
+        val cresid = new Array[Int](64)
+        if (cbpChroma != 0) {
+          val dcC = residualBlock(br, -1, 4)
+          // 2x2 inverse Hadamard (butterflies)
+          val f0 = dcC(0) + dcC(1) + dcC(2) + dcC(3)
+          val f1 = dcC(0) - dcC(1) + dcC(2) - dcC(3)
+          val f2 = dcC(0) + dcC(1) - dcC(2) - dcC(3)
+          val f3 = dcC(0) - dcC(1) - dcC(2) + dcC(3)
+          val dq = Array(f0, f1, f2, f3).map(dequantChromaDc(_, qpc))
+          require(cbpChroma == 1, "h264: chroma AC residuals not implemented")
+          for (sb <- 0 until 4) {
+            val d = new Array[Int](16)
+            d(0) = dq(sb)
+            val r = idct4x4(d)
+            val sbx = sb % 2; val sby = sb / 2
+            for (rr <- 0 until 4; cc <- 0 until 4)
+              cresid((sby * 4 + rr) * 8 + sbx * 4 + cc) = r(rr * 4 + cc)
+            chromaTc(cIdx)(mbY * 2 + sby)(mbX * 2 + sbx) = 0
+          }
+        } else for (sby <- 0 until 2; sbx <- 0 until 2)
+          chromaTc(cIdx)(mbY * 2 + sby)(mbX * 2 + sbx) = 0
+        for (k <- 0 until 64)
+          plane((cpy + k / 8) * cw + cpx + k % 8) = clip255(cpred(k) + cresid(k))
+      }
+    }
+
+    // z-scan index of a 4x4 block from its in-MB (bx, by) coords
+    def zIndex(bx: Int, by: Int): Int =
+      (by >> 1) * 8 + (bx >> 1) * 4 + (by & 1) * 2 + (bx & 1)
+
+    /** Intra_4x4 macroblock (spec 7.3.5.1 syntax, 8.3.1 prediction):
+      * 16 pred-mode entries, chroma mode, me()-mapped CBP, then per
+      * 4x4 block in z-scan order — predict from RECONSTRUCTED
+      * neighbour samples (earlier blocks of the same MB included),
+      * decode the full 16-coefficient residual, reconstruct before
+      * the next block. All nine 8.3.1.2 prediction modes implemented;
+      * missing-sample cases the spec marks unavailable refuse loudly.
+      */
+    def decodeI4x4(mbX: Int, mbY: Int, mbIdx: Int): Unit = {
+      val modes = new Array[Int](16)
+      for (blk <- 0 until 16) {
+        val bx = (blk % 2) + ((blk / 4) % 2) * 2
+        val by = ((blk / 2) % 2) + (blk / 8) * 2
+        val gbx = mbX * 4 + bx; val gby = mbY * 4 + by
+        val mpm = predIntra4x4Mode(gbx, gby)
+        val mode =
+          if (br.flag()) mpm
+          else { val rem = br.u(3); if (rem < mpm) rem else rem + 1 }
+        modes(blk) = mode
+        i4mode(gby)(gbx) = mode
+      }
+      val chromaMode = br.ue()
+      require(chromaMode == 0, "h264: only DC intra_chroma_pred_mode supported")
+      val cbpCode = br.ue()
+      require(cbpCode < 48, s"h264: coded_block_pattern codeNum $cbpCode out of range")
+      val cbp = CbpIntraByCodeNum(cbpCode)
+      val cbpLuma = cbp & 15
+      val cbpChroma = cbp >> 4
+      if (cbp != 0) qp += br.se() // mb_qp_delta
+      for (blk <- 0 until 16) {
+        val bx = (blk % 2) + ((blk / 4) % 2) * 2
+        val by = ((blk / 2) % 2) + (blk / 8) * 2
+        val gbx = mbX * 4 + bx; val gby = mbY * 4 + by
+        val px = mbX * 16 + bx * 4; val py = mbY * 16 + by * 4
+        val hasLeft = px > 0
+        val hasTop = py > 0
+        // top-right samples p[4..7,-1]: inside the frame AND decoded
+        // before this block (earlier MB, or earlier z-index here)
+        val hasTopRight = hasTop && px + 4 < w && {
+          val nMbIdx = ((py - 1) / 16) * sps.widthMbs + (px + 4) / 16
+          if (nMbIdx < mbIdx) true
+          else if (nMbIdx > mbIdx) false
+          else zIndex(((px + 4) % 16) / 4, ((py - 1) % 16) / 4) < blk
+        }
+        def Y(r: Int, c: Int): Int = y(r * w + c)
+        // spec sample naming: pT(x) = p[x,-1] for x in -1..7 (x = -1 is
+        // the corner p[-1,-1]; top-right x in 4..7 substituted by
+        // p[3,-1] when not yet decoded), pL(y) = p[-1,y], y = -1 corner
+        def pT(x: Int): Int =
+          if (x <= 3) Y(py - 1, px + x)
+          else if (hasTopRight) Y(py - 1, px + x)
+          else Y(py - 1, px + 3)
+        def pL(yy: Int): Int = Y(py + yy, px - 1)
+        val pred = intra4x4Predict(modes(blk), hasLeft, hasTop, pT, pL)
+        // residual: full 16-coefficient 4x4 block, gated by the 8x8
+        // group's cbp bit (z-scan groups four blocks per 8x8)
+        val coeffRaster = new Array[Int](16)
+        var tc = 0
+        if (((cbpLuma >> (blk / 4)) & 1) != 0) {
+          val nc = nCfor(lumaTc, gbx, gby)
+          val ac = residualBlock(br, nc, 16)
+          tc = ac.count(_ != 0)
+          for (k <- 0 until 16) coeffRaster(Zigzag(k)) = ac(k)
+        }
+        lumaTc(gby)(gbx) = tc
+        val d = new Array[Int](16)
+        for (k <- 0 until 16)
+          d(k) = (coeffRaster(k) * VByPos(k)(qp % 6)) << (qp / 6)
+        val r = idct4x4(d)
+        for (rr <- 0 until 4; cc <- 0 until 4)
+          y((py + rr) * w + px + cc) = clip255(pred(rr * 4 + cc) + r(rr * 4 + cc))
+      }
+      decodeChroma(mbX, mbY, cbpChroma, qp)
+    }
+
     var mb = 0
     val nMbs = sps.widthMbs * sps.heightMbs
     while (mb < nMbs) {
@@ -627,60 +857,11 @@ object H264 {
         }
         for (k <- 0 until 256)
           y((py + k / 16) * w + px + k % 16) = clip255(pred(k) + resid(k))
-        // --- chroma (DC prediction per 4x4 sub-block, spec 8.3.4)
-        val qpc = chromaQp(qp, pps.chromaQpOffset)
-        for ((plane, cIdx) <- Seq((cbP, 0), (crP, 1))) {
-          val cw = w / 2
-          val cpx = mbX * 8; val cpy = mbY * 8
-          val cpred = new Array[Int](64)
-          for (sby <- 0 until 2; sbx <- 0 until 2) {
-            def leftSum = (0 until 4).map(r => plane((cpy + sby * 4 + r) * cw + cpx - 1)).sum
-            def topSum = (0 until 4).map(c => plane((cpy - 1) * cw + cpx + sbx * 4 + c)).sum
-            val hasLeft = mbX > 0
-            val hasTop = mbY > 0
-            val dc =
-              if (sbx == 0 && sby == 0)
-                if (hasLeft && hasTop) (leftSum + topSum + 4) >> 3
-                else if (hasLeft) (leftSum + 2) >> 2
-                else if (hasTop) (topSum + 2) >> 2 else 128
-              else if (sbx == 1 && sby == 0)
-                if (hasTop) (topSum + 2) >> 2
-                else if (hasLeft) (leftSum + 2) >> 2 else 128
-              else if (sbx == 0 && sby == 1)
-                if (hasLeft) (leftSum + 2) >> 2
-                else if (hasTop) (topSum + 2) >> 2 else 128
-              else
-                if (hasLeft && hasTop) (leftSum + topSum + 4) >> 3
-                else if (hasLeft) (leftSum + 2) >> 2
-                else if (hasTop) (topSum + 2) >> 2 else 128
-            for (r <- 0 until 4; c <- 0 until 4) cpred((sby * 4 + r) * 8 + sbx * 4 + c) = dc
-          }
-          val cresid = new Array[Int](64)
-          if (cbpChroma != 0) {
-            val dcC = residualBlock(br, -1, 4)
-            // 2x2 inverse Hadamard (butterflies)
-            val f0 = dcC(0) + dcC(1) + dcC(2) + dcC(3)
-            val f1 = dcC(0) - dcC(1) + dcC(2) - dcC(3)
-            val f2 = dcC(0) + dcC(1) - dcC(2) - dcC(3)
-            val f3 = dcC(0) - dcC(1) - dcC(2) + dcC(3)
-            val dq = Array(f0, f1, f2, f3).map(dequantChromaDc(_, qpc))
-            require(cbpChroma == 1, "h264: chroma AC residuals not implemented")
-            for (sb <- 0 until 4) {
-              val d = new Array[Int](16)
-              d(0) = dq(sb)
-              val r = idct4x4(d)
-              val sbx = sb % 2; val sby = sb / 2
-              for (rr <- 0 until 4; cc <- 0 until 4)
-                cresid((sby * 4 + rr) * 8 + sbx * 4 + cc) = r(rr * 4 + cc)
-              chromaTc(cIdx)(mbY * 2 + sby)(mbX * 2 + sbx) = 0
-            }
-          } else for (sby <- 0 until 2; sbx <- 0 until 2)
-            chromaTc(cIdx)(mbY * 2 + sby)(mbX * 2 + sbx) = 0
-          for (k <- 0 until 64)
-            plane((cpy + k / 8) * cw + cpx + k % 8) = clip255(cpred(k) + cresid(k))
-        }
+        decodeChroma(mbX, mbY, cbpChroma, qp)
+      } else if (mbType == 0) { // Intra_4x4 (I_NxN; baseline has no 8x8 transform)
+        decodeI4x4(mbX, mbY, mb)
       } else throw new IllegalArgumentException(
-        s"h264: mb_type $mbType unsupported (I_NxN/inter need the full codec)")
+        s"h264: mb_type $mbType unsupported (inter needs the full codec)")
       mb += 1
     }
     FrameYuv(w, h, y, cbP, crP)
@@ -999,6 +1180,88 @@ object H264 {
       if (chromaDc) w.bits(TotalZerosChromaDc(1)(0))
       else w.bits(TotalZeros4x4(1)(0))
       // run_before loop is empty for TC = 1
+    }
+
+    /** Spatial delta of one Intra_4x4 residual coefficient at scan
+      * position 0: plain 4x4 dequant (no Hadamard plane) + flat IDCT.
+      */
+    def luma4x4Delta(c: Int, qp: Int): Int =
+      (((c * VDc(qp % 6)) << (qp / 6)) + 32) >> 6 // normAdjust(qp%6, pos 0)
+
+    /** One IDR frame on a 2x1-MB canvas: MB0 = I_PCM flat planes,
+      * MB1 = Intra_4x4 with per-block modes H (block row 0, chaining
+      * left from the PCM seed), V (block column 0 below row 0) and DC
+      * (interior), cbp 15 (every 4x4 carries ONE coefficient at scan
+      * position 0, level = `level(bx, by)`), no chroma residual. Each
+      * block reconstructs FLAT at pred + luma4x4Delta, so the frame
+      * mean follows the closed recurrence the SQL oracle replays:
+      * v(bx,0) = v(bx-1,0) + d; v(0,by) = v(0,by-1) + d;
+      * v(bx,by) = ((v(bx-1,by) + v(bx,by-1) + 1) >> 1) + d.
+      * The mode spread exercises the most-probable-mode derivation
+      * (prev flag hits and misses), the 3-bit rem path, the me()-coded
+      * CBP, and FLC coeff_token contexts against the PCM neighbour.
+      */
+    def i4x4Frame(qp: Int, yPcm: Int, cbPcm: Int, crPcm: Int,
+        level: (Int, Int) => Int): Array[Byte] = {
+      val w = new BitWriter
+      w.ue(0) // first_mb_in_slice
+      w.ue(7) // slice_type I
+      w.ue(0) // pps id
+      w.u(0, 4) // frame_num
+      w.ue(0) // idr_pic_id
+      w.se(0) // slice_qp_delta
+      w.ue(1) // disable_deblocking_filter_idc
+      // MB0: PCM flat
+      w.ue(25); w.byteAlignZero()
+      for (_ <- 0 until 256) w.u(yPcm, 8)
+      for (_ <- 0 until 64) w.u(cbPcm, 8)
+      for (_ <- 0 until 64) w.u(crPcm, 8)
+      // MB1: I_NxN
+      w.ue(0) // mb_type Intra_4x4
+      def want(bx: Int, by: Int): Int = if (by == 0) 1 else if (bx == 0) 0 else 2
+      // most-probable-mode per 8.3.1.1: top row has no mbAddrB (frame
+      // edge) → DC; left column's A neighbour is the PCM MB → DC
+      val stored = Array.fill(4, 4)(-1)
+      for (blk <- 0 until 16) {
+        val bx = (blk % 2) + ((blk / 4) % 2) * 2
+        val by = ((blk / 2) % 2) + (blk / 8) * 2
+        val mpm =
+          if (by == 0) 2
+          else math.min(if (bx == 0) 2 else stored(by)(bx - 1), stored(by - 1)(bx))
+        val m = want(bx, by)
+        stored(by)(bx) = m
+        if (m == mpm) w.u(1, 1)
+        else { w.u(0, 1); w.u(if (m < mpm) m else m - 1, 3) }
+      }
+      w.ue(0) // intra_chroma_pred_mode DC
+      w.ue(2) // coded_block_pattern me(): codeNum 2 → cbp 15 (Table 9-4 intra)
+      w.se(0) // mb_qp_delta
+      // residuals in z-scan; nC from the running TotalCoeff grid
+      // (left column reads the PCM MB's 16, top row has no top)
+      val tc = Array.fill(4, 4)(-1)
+      for (blk <- 0 until 16) {
+        val bx = (blk % 2) + ((blk / 4) % 2) * 2
+        val by = ((blk / 2) % 2) + (blk / 8) * 2
+        val nA = if (bx == 0) 16 else tc(by)(bx - 1)
+        val nB = if (by == 0) -1 else tc(by - 1)(bx)
+        val nc =
+          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+          else if (nA >= 0) nA else if (nB >= 0) nB else 0
+        writeSingleDcCoeff(w, nc, level(bx, by), chromaDc = false)
+        tc(by)(bx) = 1
+      }
+      w.trailingBits()
+      nal(3, 5, w.bytes)
+    }
+
+    /** A complete Annex B stream of Intra_4x4 frames on the 2x1 canvas. */
+    def i4x4Stream(qp: Int, frames: Seq[(Int, Int, Int)],
+        level: (Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sps(2, 1))
+      out.write(pps(qp))
+      for ((yP, cbP, crP) <- frames) out.write(i4x4Frame(qp, yP, cbP, crP, level))
+      out.toByteArray
     }
 
     /** A complete Annex B stream: SPS, PPS, then `frames` IDR frames. */

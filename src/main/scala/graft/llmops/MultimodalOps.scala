@@ -1113,6 +1113,31 @@ object MultimodalOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }
 
+  /** Deterministic Intra_4x4 H.264 media table (r14): each payload is
+    * a 2x1-MB Annex B stream whose second macroblock decodes through
+    * GENUINE Intra_4x4 prediction — per-block H/V/DC modes with the
+    * most-probable-mode syntax, me()-coded CBP, full 16-coefficient
+    * CAVLC residual blocks — so every pixel follows the closed
+    * per-block recurrence the SQL oracle replays with a recursive CTE
+    * (see [[H264.Fixtures.i4x4Frame]]).
+    */
+  def syntheticH264I4x4Videos(spark: SparkSession, n: Int,
+      mp4: Boolean = false): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val qp = 20 + (i % 8)
+      val nf = 1 + (i % 2)
+      val level = (bx: Int, by: Int) => 1 + ((i + bx + 2 * by) % 3)
+      val frames = (0 until nf).map { f =>
+        (30 + ((i * 23 + f * 17) % 120), 50 + (i % 100), 60 + (i % 90))
+      }
+      val annexB = H264.Fixtures.i4x4Stream(qp, frames, level)
+      val bytes = if (mp4) H264.Mp4.mux(annexB, 32, 16) else annexB
+      Row(i.toLong, "video", bytes,
+        Row(if (mp4) "video/mp4" else "video/h264", 32, 16, null, 40L * nf))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
+  }
+
   /** Deterministic synthetic media table for tests/bench. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>

@@ -1299,6 +1299,24 @@ object LlmQueries {
           r4(col("cr_mean")).as("cr_mean"))
         .orderBy("media_id", "frame_idx")),
 
+    // Intra_4x4 prediction (r14, the r13 verdict's codec-boundary
+    // expansion): MB1 decodes block-by-block through the I_NxN path —
+    // most-probable-mode syntax, H/V/DC per-block prediction from
+    // RECONSTRUCTED neighbours, me()-coded CBP, full 16-coeff CAVLC
+    // residuals. The oracle replays the per-block value recurrence
+    // v = pred + ((c·normAdjust) << (qp/6) + 32) >> 6 with a recursive
+    // CTE — zero decoder code in the loop.
+    "media_h264_i4x4" -> ((s, _) =>
+      MultimodalOps.decodeH264Frames(MultimodalOps.syntheticH264I4x4Videos(s, 12))
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(col("y_mean")).as("y_mean"),
+          r4(col("cb_mean")).as("cb_mean"),
+          r4(col("cr_mean")).as("cr_mean"))
+        .orderBy("media_id", "frame_idx")),
+
     "media_h264_frames" -> ((s, _) =>
       MultimodalOps.decodeH264Frames(MultimodalOps.syntheticH264Videos(s, 12))
         .select(col("media_id"),
@@ -3283,6 +3301,41 @@ object LlmQueries {
         |  round(CAST(64 * cbpcm + 320 * (cbpcm + e) AS DOUBLE) / 384, 4) AS cb_mean,
         |  round(CAST(64 * crpcm + 320 * (crpcm + e) AS DOUBLE) / 384, 4) AS cr_mean
         |FROM dd ORDER BY 1, 2"""),
+    // media_h264_i4x4: the oracle walks the 16 blocks in raster order
+    // with a RECURSIVE CTE carrying the reconstructed block values —
+    // H chains left, V chains up, DC averages ((a+b+1)>>1 = //2), and
+    // the per-block delta replays the spec's plain 4x4 dequant at scan
+    // position 0 ((c·normAdjust << qp/6) + 32) >> 6. No decoder code.
+    "media_h264_i4x4" -> w(
+      """WITH RECURSIVE m AS (SELECT unnest(range(0, 12)) AS i),
+        |fr AS (SELECT i, unnest(range(0, 1 + i % 2)) AS f FROM m),
+        |p AS (SELECT i, f, 20 + (i % 8) AS qp,
+        |    30 + ((i * 23 + f * 17) % 120) AS ypcm,
+        |    50 + (i % 100) AS cbpcm, 60 + (i % 90) AS crpcm FROM fr),
+        |q AS (SELECT *, qp // 6 AS q6,
+        |    CASE qp % 6 WHEN 0 THEN 10 WHEN 1 THEN 11 WHEN 2 THEN 13
+        |      WHEN 3 THEN 14 WHEN 4 THEN 16 ELSE 18 END AS v FROM p),
+        |step AS (
+        |  SELECT i, f, 0 AS n, CAST([] AS BIGINT[]) AS vs FROM q
+        |  UNION ALL
+        |  SELECT s.i, s.f, s.n + 1,
+        |    list_append(s.vs,
+        |      CASE
+        |        WHEN s.n // 4 = 0 THEN (CASE WHEN s.n % 4 = 0 THEN q.ypcm ELSE s.vs[s.n] END)
+        |        WHEN s.n % 4 = 0 THEN s.vs[s.n - 3]
+        |        ELSE (s.vs[s.n] + s.vs[s.n - 3] + 1) // 2
+        |      END
+        |      + ((((1 + (q.i + (s.n % 4) + 2 * (s.n // 4)) % 3) * q.v) << q.q6) + 32) // 64)
+        |  FROM step s JOIN q ON q.i = s.i AND q.f = s.f
+        |  WHERE s.n < 16
+        |)
+        |SELECT q.i AS media_id, CAST(q.f AS BIGINT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  round(CAST(256 * q.ypcm + 16 * list_aggregate(s.vs, 'sum') AS DOUBLE) / 512, 4) AS y_mean,
+        |  round(CAST(q.cbpcm AS DOUBLE), 4) AS cb_mean,
+        |  round(CAST(q.crpcm AS DOUBLE), 4) AS cr_mean
+        |FROM step s JOIN q ON q.i = s.i AND q.f = s.f
+        |WHERE s.n = 16 ORDER BY 1, 2"""),
     "media_h264_frames" -> w(
       """WITH m AS (SELECT unnest(range(0, 12)) AS i),
         |fr AS (SELECT i, unnest(range(0, 2 + i % 3)) AS f FROM m),

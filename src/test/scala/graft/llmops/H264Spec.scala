@@ -90,6 +90,75 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("Intra4x4 prediction: all nine modes match hand-computed grids on a linear boundary") {
+    // boundary: one linear sequence through the corner — pL(3..0) =
+    // 0,2,4,6; corner 8; pT(0..7) = 10..24 step 2. Every mode has a
+    // distinct closed form here (derived by hand from 8.3.1.2's
+    // direction + weights, independently of the implementation), so a
+    // transcription slip in any index or weight shifts some cell.
+    val pT: Int => Int = x => 10 + 2 * x // pT(-1) = 8 = corner
+    val pL: Int => Int = y => 6 - 2 * y  // pL(-1) = 8 = corner
+    def grid(mode: Int): Seq[Int] =
+      H264.intra4x4Predict(mode, hasLeft = true, hasTop = true, pT, pL).toSeq
+    assert(grid(0) == Seq(10, 12, 14, 16, 10, 12, 14, 16, 10, 12, 14, 16, 10, 12, 14, 16), "V")
+    assert(grid(1) == Seq(6, 6, 6, 6, 4, 4, 4, 4, 2, 2, 2, 2, 0, 0, 0, 0), "H")
+    assert(grid(2) == Seq.fill(16)(8), "DC")
+    assert(grid(3) == Seq(12, 14, 16, 18, 14, 16, 18, 20, 16, 18, 20, 22, 18, 20, 22, 24), "DDL")
+    assert(grid(4) == Seq(8, 10, 12, 14, 6, 8, 10, 12, 4, 6, 8, 10, 2, 4, 6, 8), "DDR")
+    assert(grid(5) == Seq(9, 11, 13, 15, 8, 10, 12, 14, 6, 9, 11, 13, 4, 8, 10, 12), "VR")
+    assert(grid(6) == Seq(7, 8, 10, 12, 5, 6, 7, 8, 3, 4, 5, 6, 1, 2, 3, 4), "HD")
+    assert(grid(7) == Seq(11, 13, 15, 17, 12, 14, 16, 18, 13, 15, 17, 19, 14, 16, 18, 20), "VL")
+    assert(grid(8) == Seq(5, 4, 3, 2, 3, 2, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0), "HU")
+    // partial-availability DC forms
+    assert(H264.intra4x4Predict(2, hasLeft = true, hasTop = false, pT, pL)
+      .forall(_ == ((6 + 4 + 2 + 0 + 2) >> 2)), "DC left-only")
+    assert(H264.intra4x4Predict(2, hasLeft = false, hasTop = true, pT, pL)
+      .forall(_ == ((10 + 12 + 14 + 16 + 2) >> 2)), "DC top-only")
+    assert(H264.intra4x4Predict(2, hasLeft = false, hasTop = false, pT, pL)
+      .forall(_ == 128), "DC none")
+    // unavailable-sample fences refuse loudly
+    intercept[IllegalArgumentException](
+      H264.intra4x4Predict(4, hasLeft = false, hasTop = true, pT, pL))
+    intercept[IllegalArgumentException](
+      H264.intra4x4Predict(0, hasLeft = true, hasTop = false, pT, pL))
+  }
+
+  test("Intra_4x4 fixture round trip: every pixel equals the closed-form recurrence") {
+    for (i <- 0 until 12) {
+      val qp = 20 + (i % 8)
+      val level = (bx: Int, by: Int) => 1 + ((i + bx + 2 * by) % 3)
+      val nf = 1 + (i % 2)
+      val frames = (0 until nf).map { fr =>
+        (30 + ((i * 23 + fr * 17) % 120), 50 + (i % 100), 60 + (i % 90))
+      }
+      val decoded = decodeAnnexB(Fixtures.i4x4Stream(qp, frames, level))
+      assert(decoded.size == nf)
+      for ((f, fr) <- decoded.zipWithIndex) {
+        val (yP, cbP, crP) = frames(fr)
+        assert(f.width == 32 && f.height == 16)
+        // block values per the H/V/DC recurrence
+        val v = Array.ofDim[Int](4, 4)
+        for (by <- 0 until 4; bx <- 0 until 4) {
+          val d = Fixtures.luma4x4Delta(level(bx, by), qp)
+          v(by)(bx) =
+            if (by == 0) (if (bx == 0) yP else v(0)(bx - 1)) + d
+            else if (bx == 0) v(by - 1)(0) + d
+            else ((v(by)(bx - 1) + v(by - 1)(bx) + 1) >> 1) + d
+        }
+        for (yy <- 0 until 16; xx <- 0 until 32) {
+          val expected = if (xx < 16) yP else v(yy / 4)((xx - 16) / 4)
+          assert(f.y(yy * 32 + xx) == expected,
+            s"media $i frame $fr luma ($xx,$yy): got ${f.y(yy * 32 + xx)}, want $expected (qp=$qp)")
+        }
+        // chroma: MB1 DC-predicts flat from the PCM seed, no residual
+        for (yy <- 0 until 8; xx <- 0 until 16) {
+          assert(f.cb(yy * 16 + xx) == cbP, s"cb ($xx,$yy)")
+          assert(f.cr(yy * 16 + xx) == crP, s"cr ($xx,$yy)")
+        }
+      }
+    }
+  }
+
   test("vertical and horizontal prediction reproduce a striped seed exactly") {
     val pattern = (k: Int) => 30 + k * 12 // distinct per stripe, ≤ 210
     val v = decodeAnnexB(Fixtures.directionalStream(
