@@ -640,17 +640,38 @@ object H264 {
       }
     }
 
-    /** Chroma decode shared by the I16x16 and I_4x4 branches: DC
-      * prediction per 4x4 sub-block (spec 8.3.4) + optional chroma DC
-      * residual (2x2 Hadamard plane; AC stays outside the subset).
+    /** Chroma decode shared by the I16x16 and I_4x4 branches: intra
+      * prediction per 8.3.4 — `mode` 0 = DC per 4x4 sub-block, 1 =
+      * Horizontal, 2 = Vertical, 3 = Plane — plus the optional chroma
+      * DC residual (2x2 Hadamard plane; AC stays outside the subset).
       */
-    def decodeChroma(mbX: Int, mbY: Int, cbpChroma: Int, qpNow: Int): Unit = {
+    def decodeChroma(mbX: Int, mbY: Int, cbpChroma: Int, qpNow: Int,
+        mode: Int = 0): Unit = {
       val qpc = chromaQp(qpNow, pps.chromaQpOffset)
       for ((plane, cIdx) <- Seq((cbP, 0), (crP, 1))) {
         val cw = w / 2
         val cpx = mbX * 8; val cpy = mbY * 8
         val cpred = new Array[Int](64)
-        for (sby <- 0 until 2; sbx <- 0 until 2) {
+        def cpt(x: Int): Int = plane((cpy - 1) * cw + cpx + x) // p[x,-1]
+        def cpl(yy: Int): Int = plane((cpy + yy) * cw + cpx - 1) // p[-1,y]
+        if (mode == 1) { // Horizontal (8.3.4.2)
+          require(mbX > 0, "h264: chroma H prediction needs a left neighbor")
+          for (yy <- 0 until 8; xx <- 0 until 8) cpred(yy * 8 + xx) = cpl(yy)
+        } else if (mode == 2) { // Vertical (8.3.4.3)
+          require(mbY > 0, "h264: chroma V prediction needs a top neighbor")
+          for (yy <- 0 until 8; xx <- 0 until 8) cpred(yy * 8 + xx) = cpt(xx)
+        } else if (mode == 3) { // Plane (8.3.4.4, 4:2:0 constants)
+          require(mbX > 0 && mbY > 0, "h264: chroma plane prediction needs left+top neighbors")
+          val hG = (0 until 4).map(x => (x + 1) * (cpt(4 + x) - cpt(2 - x))).sum
+          val vG = (0 until 4).map(yy => (yy + 1) * (cpl(4 + yy) - cpl(2 - yy))).sum
+          val a = 16 * (cpl(7) + cpt(7))
+          val b = (17 * hG + 16) >> 5
+          val cGrad = (17 * vG + 16) >> 5
+          for (yy <- 0 until 8; xx <- 0 until 8)
+            cpred(yy * 8 + xx) = clip255((a + b * (xx - 3) + cGrad * (yy - 3) + 16) >> 5)
+        } else require(mode == 0,
+          s"h264: intra_chroma_pred_mode $mode out of range")
+        if (mode == 0) for (sby <- 0 until 2; sbx <- 0 until 2) {
           def leftSum = (0 until 4).map(r => plane((cpy + sby * 4 + r) * cw + cpx - 1)).sum
           def topSum = (0 until 4).map(c => plane((cpy - 1) * cw + cpx + sbx * 4 + c)).sum
           val hasLeft = mbX > 0
@@ -723,8 +744,7 @@ object H264 {
         modes(blk) = mode
         i4mode(gby)(gbx) = mode
       }
-      val chromaMode = br.ue()
-      require(chromaMode == 0, "h264: only DC intra_chroma_pred_mode supported")
+      val chromaMode = br.ue() // 0=DC 1=H 2=V 3=Plane
       val cbpCode = br.ue()
       require(cbpCode < 48, s"h264: coded_block_pattern codeNum $cbpCode out of range")
       val cbp = CbpIntraByCodeNum(cbpCode)
@@ -774,7 +794,7 @@ object H264 {
         for (rr <- 0 until 4; cc <- 0 until 4)
           y((py + rr) * w + px + cc) = clip255(pred(rr * 4 + cc) + r(rr * 4 + cc))
       }
-      decodeChroma(mbX, mbY, cbpChroma, qp)
+      decodeChroma(mbX, mbY, cbpChroma, qp, chromaMode)
     }
 
     var mb = 0
@@ -801,8 +821,7 @@ object H264 {
         val predMode = code % 4 // 0=V 1=H 2=DC 3=Plane
         val cbpChroma = (code / 4) % 3
         val cbpLuma = if (code >= 12) 15 else 0
-        require(predMode != 3, "h264: Intra16x16 plane prediction not implemented")
-        br.ue() // intra_chroma_pred_mode (DC assumed; others only differ on non-flat context)
+        val chromaMode = br.ue() // 0=DC 1=H 2=V 3=Plane (8.3.4)
         qp += br.se() // mb_qp_delta
         // --- luma prediction
         val px = mbX * 16; val py = mbY * 16
@@ -824,6 +843,20 @@ object H264 {
               case (None, None) => 128
             }
             java.util.Arrays.fill(pred, dc)
+          case 3 => // Plane (spec 8.3.3.4): least-squares-flavoured
+            // gradient fit over the boundary samples; on a linear
+            // context it continues the plane EXACTLY (the fixture gate
+            // pins that closed form)
+            require(mbX > 0 && mbY > 0, "h264: plane prediction needs left+top neighbors")
+            def pt(x: Int): Int = y((py - 1) * w + px + x) // p[x,-1], x in -1..15
+            def pl(yy: Int): Int = y((py + yy) * w + px - 1) // p[-1,y]
+            val hG = (0 until 8).map(x => (x + 1) * (pt(8 + x) - pt(6 - x))).sum
+            val vG = (0 until 8).map(yy => (yy + 1) * (pl(8 + yy) - pl(6 - yy))).sum
+            val a = 16 * (pl(15) + pt(15))
+            val b = (5 * hG + 32) >> 6
+            val cc = (5 * vG + 32) >> 6
+            for (yy <- 0 until 16; xx <- 0 until 16)
+              pred(yy * 16 + xx) = clip255((a + b * (xx - 7) + cc * (yy - 7) + 16) >> 5)
         }
         // --- luma DC residual (always present for I16x16)
         val dcNc = nCfor(lumaTc, mbX * 4, mbY * 4)
@@ -857,7 +890,7 @@ object H264 {
         }
         for (k <- 0 until 256)
           y((py + k / 16) * w + px + k % 16) = clip255(pred(k) + resid(k))
-        decodeChroma(mbX, mbY, cbpChroma, qp)
+        decodeChroma(mbX, mbY, cbpChroma, qp, chromaMode)
       } else if (mbType == 0) { // Intra_4x4 (I_NxN; baseline has no 8x8 transform)
         decodeI4x4(mbX, mbY, mb)
       } else throw new IllegalArgumentException(
@@ -1261,6 +1294,101 @@ object H264 {
       out.write(sps(2, 1))
       out.write(pps(qp))
       for ((yP, cbP, crP) <- frames) out.write(i4x4Frame(qp, yP, cbP, crP, level))
+      out.toByteArray
+    }
+
+    /** Diagonal-mode exercise stream: a 2x2-MB frame whose first three
+      * macroblocks are I_PCM seeds carrying a per-pixel luma formula
+      * (so every neighbour sample is distinct) and MB(1,1) is
+      * Intra_4x4 with `mode(bx, by)` per block and ZERO residual
+      * (cbp 0) — the decoded MB(1,1) pixels are pure prediction, which
+      * the spec compares block-by-block against [[intra4x4Predict]]
+      * run on the reconstructed context. Drives the mode syntax
+      * (prev/rem for all nine modes), z-scan reconstruction order,
+      * and the frame-edge top-right substitution (bx = 3, by = 0)
+      * through a REAL bitstream.
+      */
+    def i4x4DiagStream(seed: (Int, Int) => Int,
+        mode: (Int, Int) => Int): Array[Byte] = {
+      val qp = 26
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sps(2, 2))
+      out.write(pps(qp))
+      val w = new BitWriter
+      w.ue(0); w.ue(7); w.ue(0) // first_mb, I slice, pps id
+      w.u(0, 4) // frame_num
+      w.ue(0) // idr_pic_id
+      w.se(0) // slice_qp_delta
+      w.ue(1) // deblocking disabled
+      // MBs 0,1,2: PCM with the seed formula at GLOBAL pixel coords
+      for (mb <- 0 until 3) {
+        val ox = (mb % 2) * 16; val oy = (mb / 2) * 16
+        w.ue(25); w.byteAlignZero()
+        for (i <- 0 until 256) w.u(seed(ox + i % 16, oy + i / 16) & 0xFF, 8)
+        for (_ <- 0 until 64) w.u(90, 8)
+        for (_ <- 0 until 64) w.u(110, 8)
+      }
+      // MB(1,1): I_NxN, zero residual
+      w.ue(0) // mb_type
+      val stored = Array.fill(4, 4)(-1)
+      for (blk <- 0 until 16) {
+        val bx = (blk % 2) + ((blk / 4) % 2) * 2
+        val by = ((blk / 2) % 2) + (blk / 8) * 2
+        // neighbours: left column's A = MB(0,1) (PCM → 2), row 0's B =
+        // MB(1,0) (PCM → 2); both MBs exist, so no unavailability DC
+        val mpm = math.min(
+          if (bx == 0) 2 else stored(by)(bx - 1),
+          if (by == 0) 2 else stored(by - 1)(bx))
+        val m = mode(bx, by)
+        stored(by)(bx) = m
+        if (m == mpm) w.u(1, 1)
+        else { w.u(0, 1); w.u(if (m < mpm) m else m - 1, 3) }
+      }
+      w.ue(0) // intra_chroma_pred_mode DC
+      w.ue(3) // coded_block_pattern me(): codeNum 3 → cbp 0 (Table 9-4 intra)
+      // cbp == 0 → no mb_qp_delta, no residual blocks
+      w.trailingBits()
+      out.write(nal(3, 5, w.bytes))
+      out.toByteArray
+    }
+
+    /** Plane-prediction stream: a 2x2-MB frame whose first three
+      * macroblocks are I_PCM carrying LINEAR planes — luma
+      * `ybase + sx·x + sy·y`, chroma `cbase + cx·x + cy·y` at global
+      * coords — and MB(1,1) is Intra_16x16 PLANE (mb_type 4, cbp 0)
+      * with `chromaMode` (3 = plane by default). On a linear context
+      * the spec's gradient fit reproduces the plane EXACTLY for slopes
+      * ≤ 4 (b = (5·408·s + 32) >> 6 = 32s ⇔ s ≤ 4), so the decoded
+      * frame IS the global plane and every mean is closed-form — the
+      * gate oracle replays `base + 15.5(sx+sy)` with zero codec code.
+      */
+    def planeStream(ybase: Int, sx: Int, sy: Int,
+        cbBase: Int, crBase: Int, cx: Int, cy: Int,
+        chromaMode: Int = 3): Array[Byte] = {
+      require(sx.abs <= 4 && sy.abs <= 4 && cx.abs <= 4 && cy.abs <= 4,
+        "plane fixture: slopes beyond 4 break the exact-continuation argument")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(sps(2, 2))
+      out.write(pps(26))
+      val w = new BitWriter
+      w.ue(0); w.ue(7); w.ue(0) // first_mb, I slice, pps id
+      w.u(0, 4); w.ue(0); w.se(0) // frame_num, idr_pic_id, slice_qp_delta
+      w.ue(1) // deblocking disabled
+      for (mb <- 0 until 3) {
+        val ox = (mb % 2) * 16; val oy = (mb / 2) * 16
+        val cox = (mb % 2) * 8; val coy = (mb / 2) * 8
+        w.ue(25); w.byteAlignZero()
+        for (i <- 0 until 256) w.u(ybase + sx * (ox + i % 16) + sy * (oy + i / 16), 8)
+        for (i <- 0 until 64) w.u(cbBase + cx * (cox + i % 8) + cy * (coy + i / 8), 8)
+        for (i <- 0 until 64) w.u(crBase + cx * (cox + i % 8) + cy * (coy + i / 8), 8)
+      }
+      // MB(1,1): Intra_16x16 PLANE, cbpLuma 0, cbpChroma 0 → mb_type 4
+      w.ue(4)
+      w.ue(chromaMode)
+      w.se(0) // mb_qp_delta (always present for I16x16)
+      writeEmptyBlock(w, 16, chromaDc = false) // luma DC block vs PCM neighbors
+      w.trailingBits()
+      out.write(nal(3, 5, w.bytes))
       out.toByteArray
     }
 

@@ -1138,6 +1138,25 @@ object MultimodalOps {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
   }
 
+  /** Deterministic PLANE-prediction H.264 media table (r14): 2x2-MB
+    * frames whose PCM seeds carry linear planes and whose last MB is
+    * Intra_16x16 PLANE with chroma PLANE — on a linear context the
+    * spec's gradient fit continues the plane exactly, so every decoded
+    * mean is `base + 15.5·(sx+sy)` (7.5 for chroma), which the oracle
+    * states directly (see [[H264.Fixtures.planeStream]]).
+    */
+  def syntheticH264PlaneVideos(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val sx = 1 + (i % 3); val sy = 1 + ((i + 1) % 2)
+      val cx = 1 + (i % 2); val cy = 1
+      val ybase = 20 + (i % 40)
+      val cbBase = 30 + (i % 30); val crBase = 40 + (i % 20)
+      val bytes = H264.Fixtures.planeStream(ybase, sx, sy, cbBase, crBase, cx, cy)
+      Row(i.toLong, "video", bytes, Row("video/h264", 32, 32, null, 40L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), mediaSchema)
+  }
+
   /** Deterministic synthetic media table for tests/bench. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0 until n).map { i =>

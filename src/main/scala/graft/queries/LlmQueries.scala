@@ -1317,6 +1317,21 @@ object LlmQueries {
           r4(col("cr_mean")).as("cr_mean"))
         .orderBy("media_id", "frame_idx")),
 
+    // Intra16x16 PLANE + chroma PLANE prediction (r14): the gradient
+    // fit over linear PCM seeds continues the plane exactly, so the
+    // oracle is the plane's own mean — base + 15.5(sx+sy) — with zero
+    // codec arithmetic at all.
+    "media_h264_plane" -> ((s, _) =>
+      MultimodalOps.decodeH264Frames(MultimodalOps.syntheticH264PlaneVideos(s, 12))
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(col("y_mean")).as("y_mean"),
+          r4(col("cb_mean")).as("cb_mean"),
+          r4(col("cr_mean")).as("cr_mean"))
+        .orderBy("media_id", "frame_idx")),
+
     "media_h264_frames" -> ((s, _) =>
       MultimodalOps.decodeH264Frames(MultimodalOps.syntheticH264Videos(s, 12))
         .select(col("media_id"),
@@ -3301,6 +3316,17 @@ object LlmQueries {
         |  round(CAST(64 * cbpcm + 320 * (cbpcm + e) AS DOUBLE) / 384, 4) AS cb_mean,
         |  round(CAST(64 * crpcm + 320 * (crpcm + e) AS DOUBLE) / 384, 4) AS cr_mean
         |FROM dd ORDER BY 1, 2"""),
+    // media_h264_plane: the decoded frame IS the seeded linear plane
+    // (exact continuation for slopes <= 4), so the oracle is the
+    // plane's mean — no codec arithmetic at all
+    "media_h264_plane" -> w(
+      """WITH m AS (SELECT unnest(range(0, 12)) AS i)
+        |SELECT i AS media_id, CAST(0 AS BIGINT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+        |  round(20 + (i % 40) + 15.5 * ((1 + i % 3) + (1 + (i + 1) % 2)), 4) AS y_mean,
+        |  round(30 + (i % 30) + 7.5 * ((1 + i % 2) + 1), 4) AS cb_mean,
+        |  round(40 + (i % 20) + 7.5 * ((1 + i % 2) + 1), 4) AS cr_mean
+        |FROM m ORDER BY 1, 2"""),
     // media_h264_i4x4: the oracle walks the 16 blocks in raster order
     // with a RECURSIVE CTE carrying the reconstructed block values —
     // H chains left, V chains up, DC averages ((a+b+1)>>1 = //2), and

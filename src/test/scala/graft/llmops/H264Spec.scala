@@ -159,6 +159,74 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("Intra_4x4 diagonal modes through a REAL bitstream match the predictor") {
+    // distinct value at every pixel so any index slip in mode syntax,
+    // z-order, or neighbour access shifts some sample
+    val seed = (x: Int, y: Int) => 16 + ((x * 7 + y * 13) % 200)
+    // per-block mode assignment covering all nine modes, diagonals on
+    // blocks whose neighbours exist; (3,0) exercises the frame-edge
+    // top-right substitution under VL
+    val modeOf = Array(
+      Array(3, 4, 5, 7), // by=0: DDL, DDR, VR, VL (VL at bx=3: TR substituted)
+      Array(6, 8, 3, 4), // by=1: HD, HU, DDL, DDR
+      Array(5, 6, 7, 8), // by=2: VR, HD, VL, HU
+      Array(0, 1, 2, 3)) // by=3: V, H, DC, DDL
+    val f = decodeAnnexB(Fixtures.i4x4DiagStream(
+      (x, y) => seed(x, y), (bx, by) => modeOf(by)(bx))).head
+    assert(f.width == 32 && f.height == 32)
+    // the three PCM seeds decode bit-exactly
+    for (y <- 0 until 32; x <- 0 until 32; if !(x >= 16 && y >= 16))
+      assert(f.y(y * 32 + x) == seed(x, y), s"seed ($x,$y)")
+    // MB(1,1): each block equals intra4x4Predict over the RECONSTRUCTED
+    // context, replaying the decoder's availability/substitution rules
+    // on the final frame (valid because residuals are zero, so the
+    // frame IS the prediction)
+    def zIdx(bx: Int, by: Int) = (by >> 1) * 8 + (bx >> 1) * 4 + (by & 1) * 2 + (bx & 1)
+    for (blk <- 0 until 16) {
+      val bx = (blk % 2) + ((blk / 4) % 2) * 2
+      val by = ((blk / 2) % 2) + (blk / 8) * 2
+      val px = 16 + bx * 4; val py = 16 + by * 4
+      val hasTR = px + 4 < 32 && (py - 1 < 16 || zIdx((px + 4 - 16) / 4, (py - 1 - 16) / 4) < blk)
+      def pT(x: Int): Int =
+        if (x <= 3 || hasTR) f.y((py - 1) * 32 + px + x)
+        else f.y((py - 1) * 32 + px + 3)
+      def pL(yy: Int): Int = f.y((py + yy) * 32 + px - 1)
+      val pred = H264.intra4x4Predict(modeOf(by)(bx), hasLeft = true,
+        hasTop = true, pT, pL)
+      for (r <- 0 until 4; c <- 0 until 4)
+        assert(f.y((py + r) * 32 + px + c) == math.max(0, math.min(255, pred(r * 4 + c))),
+          s"block ($bx,$by) mode ${modeOf(by)(bx)} pixel ($c,$r)")
+    }
+  }
+
+  test("Intra16x16 PLANE and chroma H/V/plane continue a linear seed exactly") {
+    // exact-continuation argument (planeStream scaladoc): on a linear
+    // boundary with |slope| <= 4 the spec's gradient fit lands on
+    // b = 32·slope exactly, so the predicted MB IS the global plane —
+    // a closed form derived from the formula, not from the decoder
+    for ((sx, sy, cx, cy) <- Seq((3, 2, 2, 1), (1, 4, 1, 1), (4, 1, 2, 2))) {
+      val (ybase, cbB, crB) = (20, 30, 40)
+      val f = decodeAnnexB(Fixtures.planeStream(ybase, sx, sy, cbB, crB, cx, cy)).head
+      for (y <- 0 until 32; x <- 0 until 32)
+        assert(f.y(y * 32 + x) == ybase + sx * x + sy * y,
+          s"luma ($x,$y) slopes ($sx,$sy)")
+      for (y <- 0 until 16; x <- 0 until 16) {
+        assert(f.cb(y * 16 + x) == cbB + cx * x + cy * y, s"cb ($x,$y)")
+        assert(f.cr(y * 16 + x) == crB + cx * x + cy * y, s"cr ($x,$y)")
+      }
+    }
+    // chroma H: every row of the predicted 8x8 equals p[-1,y]
+    val h = decodeAnnexB(Fixtures.planeStream(20, 2, 2, 30, 40, 2, 1,
+      chromaMode = 1)).head
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(h.cb((8 + y) * 16 + 8 + x) == 30 + 2 * 7 + 1 * (8 + y), s"chroma-H ($x,$y)")
+    // chroma V: every column equals p[x,-1]
+    val v = decodeAnnexB(Fixtures.planeStream(20, 2, 2, 30, 40, 2, 1,
+      chromaMode = 2)).head
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(v.cb((8 + y) * 16 + 8 + x) == 30 + 2 * (8 + x) + 1 * 7, s"chroma-V ($x,$y)")
+  }
+
   test("vertical and horizontal prediction reproduce a striped seed exactly") {
     val pattern = (k: Int) => 30 + k * 12 // distinct per stripe, ≤ 210
     val v = decodeAnnexB(Fixtures.directionalStream(
