@@ -241,11 +241,18 @@ object FluxEval {
         case _ => f.group(cols: _*)
       }
     case "aggregateWindow" =>
-      val fn = aggFn(call.args.getOrElse("fn", VIdent("mean")), f.timeCol, call.args)
+      val fnV = call.args.getOrElse("fn", VIdent("mean"))
+      val fn = aggFn(fnV, f.timeCol, call.args)
       val createEmpty = call.args.get("createEmpty").contains(VBool(true))
-      f.aggregateWindow(interval(call.args("every")), fn, createEmpty,
+      val out = f.aggregateWindow(interval(call.args("every")), fn, createEmpty,
         offset = call.args.get("offset").map(interval).getOrElse("0 seconds"),
         location = call.args.get("location").map(str0).orNull)
+      // Flux: COUNT of an empty window is 0 (the one aggregate defined
+      // on empty tables); every other fn leaves the spine row null
+      if (createEmpty && fnV == VIdent("count"))
+        out.copy(df = out.df.withColumn(out.valueCol,
+          coalesce(col(out.valueCol), lit(0L))))
+      else out
     case "window" =>
       f.window(interval(call.args("every")),
         period = call.args.get("period").map(interval).orNull,
@@ -283,18 +290,22 @@ object FluxEval {
     case "distinct" =>
       val c = call.args.get("column").map(str0).getOrElse("")
       FluxFrame(f.distinctV(c), f.groupKey, f.timeCol, if (c.isEmpty) f.valueCol else c)
-    // aggregate verbs (per current group key)
-    case "count" => f.countRows()
-    case "sum" => f.sumV()
-    case "mean" => f.meanV()
-    case "min" => f.minV()
-    case "max" => f.maxV()
-    case "median" => f.medianV()
-    case "mode" => f.modeV()
-    case "stddev" => f.stddevV()
-    case "spread" => f.spread()
-    case "first" => f.firstV()
-    case "last" => f.lastV()
+    // aggregate verbs (per current group key). Every Flux aggregate
+    // takes `column:` (default "_value") — honoring it here re-points
+    // the frame's value column BEFORE aggregating, so `sum(column:
+    // "other")` aggregates the named column instead of silently
+    // summing _value
+    case "count" => targeted(f, call.args, (fr, as) => fr.countRows(as))
+    case "sum" => targeted(f, call.args, (fr, as) => fr.sumV(as))
+    case "mean" => targeted(f, call.args, (fr, as) => fr.meanV(as))
+    case "min" => targeted(f, call.args, (fr, as) => fr.minV(as))
+    case "max" => targeted(f, call.args, (fr, as) => fr.maxV(as))
+    case "median" => targeted(f, call.args, (fr, as) => fr.medianV(as))
+    case "mode" => targeted(f, call.args, (fr, as) => fr.modeV(as))
+    case "stddev" => targeted(f, call.args, (fr, as) => fr.stddevV(as))
+    case "spread" => targeted(f, call.args, (fr, as) => fr.spread(as))
+    case "first" => targeted(f, call.args, (fr, as) => fr.firstV(as))
+    case "last" => targeted(f, call.args, (fr, as) => fr.lastV(as))
     case "quantile" =>
       // method: "exact_mean" (default here — interpolated percentile)
       // or "estimate_tdigest" → the mergeable sketch path
@@ -303,7 +314,8 @@ object FluxEval {
         case Some(VStr("estimate_tdigest")) => false
         case _ => true
       }
-      f.quantile(num(call.args, "q"), exact = exact)
+      targeted(f, call.args,
+        (fr, as) => fr.quantile(num(call.args, "q"), exact = exact, as = as))
     case "integral" => f.integral(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
     case "timeWeightedAvg" =>
       f.timeWeightedAvg(durSeconds(call.args.getOrElse("unit", VDur(1, "s"))))
@@ -593,6 +605,21 @@ object FluxEval {
   private def ref(name: String, env: Map[String, FluxFrame]): FluxFrame =
     env.getOrElse(name, throw EvalException(s"undefined table variable '$name'"))
 
+  /** Honors an aggregate verb's `column:` argument (Flux default
+    * "_value"): re-points the frame's value column and, like Flux,
+    * keeps the OUTPUT under the same name; an unknown name fails the
+    * verb loudly rather than silently aggregating _value.
+    */
+  private def targeted(f: FluxFrame, args: Map[String, Value],
+      g: (FluxFrame, String) => FluxFrame): FluxFrame =
+    args.get("column").map(str0) match {
+      case None => g(f, "_value")
+      case Some(c) =>
+        if (!f.df.columns.contains(c))
+          throw EvalException(s"aggregate column '$c' does not exist")
+        g(f.copy(valueCol = c), c)
+    }
+
   // --- predicate translation: Flux lambda AST → Catalyst Column
 
   private def predicate(e: Expr, f: FluxFrame, source: Source): Column = e match {
@@ -810,6 +837,23 @@ object FluxEval {
       }
       // durations are ns counts on this surface (SURVEY §2B conv table)
       case "duration" => a("v").cast("long")
+      // universe-package membership test — the Grafana multi-select
+      // template shape `filter(fn: (r) => contains(value: r.x, set:
+      // ${var:json}))`; translates to isin, which Catalyst pushes to
+      // the scan as an IN filter
+      case "contains" => e("set") match {
+        case Lit(VArr(items)) =>
+          val vals: Seq[Any] = items.map {
+            case VStr(s) => s
+            case VNum(d) => d
+            case VBool(b) => b
+            case other => throw EvalException(
+              s"contains: set elements must be literals, got $other")
+          }
+          a("value").isin(vals: _*)
+        case other => throw EvalException(
+          s"contains: 'set:' must be an array literal, got $other")
+      }
       case other => throw EvalException(
         s"unsupported function '$other(…)' in expression (supported: math.*, " +
           "strings.*, regexp.*, date.*, float/int/uint/string/bool/time/duration)")

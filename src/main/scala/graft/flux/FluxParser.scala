@@ -429,7 +429,11 @@ object FluxParser {
       }
     }
     private def primary(p: String, acc: String = null): Expr = {
-      if (peekStr("\"")) Lit(VStr(stringLit()))
+      // array literal in EXPRESSION context — the `set:` argument of
+      // `contains(value:, set: ["a", "b"])` (Grafana's multi-select
+      // template idiom); elements are literals via value()
+      if (peekStr("[")) Lit(value())
+      else if (peekStr("\"")) Lit(VStr(stringLit()))
       else if (peekStr("/")) { // /regex/
         expect("/")
         val sb = new StringBuilder

@@ -293,6 +293,17 @@ object FluxQueries {
           max(col("t2")).as("max_t2"), count(when(col("lv") === "true", 1)).as("n_hi"))
         .orderBy("_measurement", "hh", "wd")),
 
+    // contains(value:, set:) — Grafana's multi-select template filter
+    // (`set: ${var:json}`); must push down as an IN filter to the scan
+    "flux_contains" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> filter(fn: (r) => contains(value: r._measurement, set: ["click", "purchase", "signup"]) and not contains(value: r.user_id, set: [1.0, 2.0, 3.0]))
+          ||> count()""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_value").as("n"))
+        .orderBy("_measurement")),
+
     // named user functions: the stdlib's user-extension idiom — define
     // once at program level, apply via named args inside a map body
     // (calls inline at parse time, so the evaluated plan is identical
@@ -332,6 +343,18 @@ object FluxQueries {
         source(s, dir))
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("last_v"))
         .orderBy("_measurement", "wend")),
+
+    // aggregateWindow(fn: count, createEmpty: true) — COUNT is the one
+    // Flux aggregate defined on empty tables: spine windows with no
+    // rows emit 0, not null (every other fn leaves the null)
+    "flux_count_empty" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> filter(fn: (r) => r._measurement == "purchase" and r._value > 97.0)
+          ||> aggregateWindow(every: 1h, fn: count, createEmpty: true)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), col("_value").as("n"))
+        .orderBy("wend")),
 
     // aggregateWindow(fn: quantile, q:) — per-window exact interpolated
     // percentile through text (same definition as DuckDB quantile_cont)
@@ -659,6 +682,12 @@ object FluxQueries {
         |  CAST(count(*) AS DOUBLE) AS n,
         |  round(sum((value - 50.0) * 2.0), 4) AS adj
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flux_contains" ->
+      """SELECT event_type AS _measurement, count(value) AS n
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase', 'signup')
+        |  AND user_id NOT IN (1, 2, 3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "flux_map_math" ->
       """SELECT event_type AS _measurement,
         |  CAST(sum(floor(sqrt(value) * 100.0) + floor(pow(abs(value), 1.5))
@@ -685,6 +714,22 @@ object FluxQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_count_empty" ->
+      """WITH f AS (
+        |  SELECT * FROM events WHERE event_type = 'purchase' AND value > 97
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS wend,
+        |    count(value) AS n
+        |  FROM f GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(generate_series(
+        |    time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL '1 hour',
+        |    time_bucket(INTERVAL '1 hour', max(ts)) + INTERVAL '1 hour',
+        |    INTERVAL '1 hour')) AS wend
+        |  FROM f
+        |)
+        |SELECT 'purchase' AS _measurement, s.wend, coalesce(a.n, 0) AS n
+        |FROM spine s LEFT JOIN agg a USING (wend) ORDER BY s.wend""".stripMargin,
     "flux_agg_quantile" ->
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS wend,

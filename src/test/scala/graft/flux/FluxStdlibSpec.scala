@@ -90,6 +90,29 @@ class FluxStdlibSpec extends SparkSpec {
     assert(out.getTimestamp(7) == java.sql.Timestamp.valueOf("2024-01-09 00:00:00"))
   }
 
+  test("contains(value:, set:) filters by membership; non-literal set refuses") {
+    val out = run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => contains(value: r._measurement, set: ["cpu"]))
+        ||> count()""".stripMargin).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("cpu", 4L)))
+    val ex = intercept[FluxEval.EvalException](run(
+      """from(bucket: "b") |> filter(fn: (r) => contains(value: r.host, set: r._value))""".stripMargin))
+    assert(ex.getMessage.contains("'set:' must be an array literal"))
+  }
+
+  test("aggregate column: argument re-points the value column, unknown names refuse") {
+    val out = run(
+      """from(bucket: "b")
+        ||> map(fn: (r) => ({ r with doubled: r._value * 2.0 }))
+        ||> sum(column: "doubled")""".stripMargin)
+      .where(col("_measurement") === "cpu").collect()
+    assert(out.head.getAs[Double]("doubled") == 2 * (4.0 + 9.0 + 16.0 - 2.5))
+    val ex = intercept[FluxEval.EvalException](run(
+      """from(bucket: "b") |> mean(column: "nope")""").collect())
+    assert(ex.getMessage.contains("'nope' does not exist"))
+  }
+
   test("unknown stdlib function fails loudly at eval, not silently") {
     val ex = intercept[FluxEval.EvalException](run(
       """from(bucket: "b")
