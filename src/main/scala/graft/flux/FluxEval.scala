@@ -830,7 +830,12 @@ object FluxEval {
         // numeric input is ns since epoch; the µs axis floors it.
         // Integral `div`, NOT Column./ — epoch-ns (~1.7e18) exceeds
         // double's exact-integer range, so float division would land
-        // on the wrong microsecond.
+        // on the wrong microsecond. (Caveat on the TEXT surface:
+        // numeric literals are doubles, so ns ARITHMETIC like
+        // `int(v: r._time) + 3600000000000.0` coerces through double —
+        // exact only while the operands stay on a ≥512 ns grid, which
+        // whole-second timestamps and whole-second shifts do. Sub-µs
+        // text arithmetic should go through timeShift/duration verbs.)
         case LongType | IntegerType | DoubleType =>
           timestamp_micros(call_function("div", a("v").cast("long"), lit(1000L)))
         case _ => a("v").cast("timestamp")

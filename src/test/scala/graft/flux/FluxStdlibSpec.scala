@@ -113,6 +113,35 @@ class FluxStdlibSpec extends SparkSpec {
     assert(ex.getMessage.contains("'nope' does not exist"))
   }
 
+  test("contains() pushes down to the parquet scan as an IN filter") {
+    val dir = java.nio.file.Files.createTempDirectory("flux-pd").toString
+    frame.df.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val src = FluxEval.Source(
+      resolve = _ => graft.dsl.FluxFrame(pq, Seq("measurement"), "ts", "value"),
+      rename = Map("_time" -> "ts", "_value" -> "value", "_measurement" -> "measurement"))
+    val out = FluxEval.run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => contains(value: r._measurement, set: ["cpu", "disk"]) and r._value > 2.0)""".stripMargin,
+      src)
+    val plan = out.queryExecution.executedPlan.toString
+    // (a single-element set folds to EqualTo before pushdown — also
+    // pushed; two elements keep the genuine In)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("In(measurement") && plan.contains("GreaterThan(value"),
+      s"IN + > must reach the scan:\n$plan")
+  }
+
+  test("time arithmetic via conversions: shift _time by a duration in map()") {
+    // the dashboard idiom: int(v: r._time) + ns, back through time()
+    val out = run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => r._measurement == "mem")
+        ||> map(fn: (r) => ({ r with _time: time(v: int(v: r._time) + 3600000000000.0) }))""".stripMargin)
+      .select("_time").collect().head.getTimestamp(0)
+    assert(out == java.sql.Timestamp.valueOf("2024-01-09 01:05:00"))
+  }
+
   test("unknown stdlib function fails loudly at eval, not silently") {
     val ex = intercept[FluxEval.EvalException](run(
       """from(bucket: "b")
