@@ -179,10 +179,13 @@ object StreamBench {
           Files.createTempDirectory("sb-dn-cp").toString)
         .foreachBatch { (batch0: DataFrame, _: Long) =>
           val t0 = System.nanoTime()
-          // detach the micro-batch from the streaming plan FIRST: a
-          // foreachBatch frame plans under IncrementalExecution where
-          // AQE is off, and the probe's join+aggregate is 10-15x
-          // slower without AQE's coalescing/skew handling at 10x scale
+          // detach the micro-batch once: the probe references the
+          // batch frame in two subtrees (fingerprint explode + the
+          // anti-join), and a checkpoint makes the streaming source
+          // read single-executed instead of once per action. (The r14
+          // 10x slowdown investigated here was NOT execution-mode
+          // overhead — it was pair density from a replica-overlap
+          // index seed; see ProfileStreamDedup and PERF.md.)
           val batch = batch0.localCheckpoint()
           // checkpoint the survivors BEFORE re-deriving fingerprints:
           // without it the index-append lineage re-executes the whole
