@@ -68,6 +68,67 @@ object StreamDedup {
     batch.join(doomed, batch(idCol) === col("_nd_id"), "left_anti")
   }
 
+  /** Near-dup streaming state with MAINTAINED document frequencies:
+    * the fingerprint index `(id, fps)` plus a `(shingle, df)` count
+    * table. [[nearDedupBatch]] recomputes the df-cap aggregate over
+    * the WHOLE corpus index every micro-batch — an O(corpus) shuffle
+    * per trigger, quadratic over a stream's lifetime. Maintaining df
+    * incrementally turns the per-batch corpus-side work into a pure
+    * scan (the probe join), with the cap's hot-shingle set read from
+    * state and updated by an O(batch) delta.
+    */
+  final case class NearDupIndex(fps: DataFrame, df: DataFrame)
+
+  /** Build the initial state from a seed corpus. */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String): NearDupIndex = {
+    val fps = TextOps.winnowFingerprints(docs, idCol, textCol)
+    NearDupIndex(fps,
+      fps.select(explode(col("fps")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df")))
+  }
+
+  /** One micro-batch through the maintained-df index: returns the
+    * surviving batch rows and the UPDATED state. Semantics match
+    * [[nearDedupBatch]] with the df cap measured over the corpus index
+    * (the same corpus-side-only capping as
+    * [[TextOps.incrementalDedupPairs]]); the spec pins equivalence.
+    * Per-batch costs: corpus-index SCAN for the probe join (batch side
+    * broadcasts), O(batch) fingerprint work, O(batch) df delta merged
+    * into state — no corpus-wide aggregate anywhere. The returned
+    * frames are localCheckpointed so a foreachBatch driver can fold
+    * them without lineage growth; a production sink appends `fps` rows
+    * and merges `df` deltas in its table format instead.
+    */
+  def nearDedupBatchIncremental(batch: DataFrame, idx: NearDupIndex,
+      idCol: String, textCol: String, minShared: Int = 15,
+      maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf): (DataFrame, NearDupIndex) = {
+    val newFps = TextOps.winnowFingerprints(batch, idCol, textCol).localCheckpoint()
+    val newEx = newFps.select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
+    // the df cap's hot set comes from STATE, not a per-batch aggregate;
+    // it is tiny by construction (shingles with df > maxDf), so it
+    // broadcasts onto the corpus scan
+    val hot = idx.df.filter(col("df") > maxDf).select("shingle")
+    val doomed = idx.fps
+      .select(col("id").as("corpus_id"), explode(col("fps")).as("shingle"))
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .join(broadcast(newEx), "shingle")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("new_id").as("_nd_id")).distinct()
+    val kept = batch.join(doomed, batch(idCol) === col("_nd_id"), "left_anti")
+      .localCheckpoint()
+    val keptFps = newFps
+      .join(kept.select(col(idCol).cast("long").as("id")), Seq("id"))
+      .localCheckpoint()
+    val dfDelta = keptFps.select(explode(col("fps")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("d"))
+    val mergedDf = idx.df.join(dfDelta, Seq("shingle"), "full")
+      .select(col("shingle"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("d"), lit(0L))).as("df"))
+      .localCheckpoint()
+    (kept, NearDupIndex(idx.fps.unionByName(keptFps).localCheckpoint(), mergedDf))
+  }
+
   /** Exact-substring SCREEN for one micro-batch — the ingest-time form
     * of [[graft.llmops.DedupOps.substringSpans]]: the persisted corpus
     * is the keeper by definition (it was there first), so every

@@ -168,10 +168,15 @@ object StreamBench {
       // takes whole leading ScaleProbe replicas, making batch 1 the
       // SAME documents as the index and driving the probe join fully
       // dense (294M pair-rows, ~100 s/batch at 10x; see PERF.md r14
-      // streaming table note on Σ df_idx x df_batch cost)
-      var idx = graft.llmops.TextOps.winnowFingerprints(
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text").localCheckpoint()
-      var indexRows = idx.count()
+      // streaming table note on Σ df_idx x df_batch cost).
+      // Maintained-df state (r14): the df cap reads the persisted
+      // (shingle, df) table instead of re-aggregating the corpus index
+      // every trigger — per-batch corpus-side work is the probe SCAN
+      // only.
+      var idx = graft.streaming.StreamDedup.nearDupIndex(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      idx = idx.copy(fps = idx.fps.localCheckpoint(), df = idx.df.localCheckpoint())
+      var indexRows = idx.fps.count()
       val (q, _) = timed(spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .writeStream
@@ -179,33 +184,21 @@ object StreamBench {
           Files.createTempDirectory("sb-dn-cp").toString)
         .foreachBatch { (batch0: DataFrame, _: Long) =>
           val t0 = System.nanoTime()
-          // detach the micro-batch once: the probe references the
-          // batch frame in two subtrees (fingerprint explode + the
-          // anti-join), and a checkpoint makes the streaming source
-          // read single-executed instead of once per action. (The r14
-          // 10x slowdown investigated here was NOT execution-mode
-          // overhead — it was pair density from a replica-overlap
-          // index seed; see ProfileStreamDedup and PERF.md.)
           val batch = batch0.localCheckpoint()
-          // checkpoint the survivors BEFORE re-deriving fingerprints:
-          // without it the index-append lineage re-executes the whole
-          // probe a second time
-          val kept = graft.streaming.StreamDedup.nearDedupBatch(
-            batch, idx, "doc_id", "text").localCheckpoint()
-          val t1 = System.nanoTime()
-          idx = idx.unionByName(graft.llmops.TextOps.winnowFingerprints(
-            kept, "doc_id", "text")).localCheckpoint()
-          indexRows = idx.count()
+          val (kept, next) = graft.streaming.StreamDedup
+            .nearDedupBatchIncremental(batch, idx, "doc_id", "text")
+          idx = next
+          indexRows = idx.fps.count()
           if (sys.env.contains("GRAFT_STREAMBENCH_DEBUG"))
-            println(f"[sb] near batch: probe ${(t1 - t0) / 1e9}%.1fs " +
-              f"append ${(System.nanoTime() - t1) / 1e9}%.1fs idx=$indexRows")
+            println(f"[sb] near batch ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+              f"kept=${kept.count()} idx=$indexRows")
           ()
         }
         .start())
       val (_, wall) = timed { q.processAllAvailable(); q.stop() }
       val (b, ms, _) = progressStats(q)
       out += R("dedup_near", nDocs, wall, b, ms,
-        s"$indexRows persisted winnow-fingerprint index rows (no Spark state)")
+        s"$indexRows fingerprint index rows + maintained df table (no Spark state)")
     }
 
     // ---- components: incremental CC delta folds over the customer-

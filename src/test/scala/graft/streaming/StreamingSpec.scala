@@ -94,6 +94,48 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(2L)) // near-dup dropped, novel doc kept
   }
 
+  test("maintained-df near-dedup folds batches identically to the per-batch aggregate") {
+    import graft.llmops.TextOps
+    // corpus: two near-dup families + the batches replay one family
+    // member, one novel doc, and a doc that near-dups a BATCH-ADDED
+    // survivor (so the growing-index semantics are exercised)
+    def run(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, run(1, 40, "a") + " corpus one"),
+      (2L, run(50, 90, "b") + " corpus two")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, run(1, 40, "a") + " replay tail"),       // dup of corpus 1
+          (11L, run(200, 240, "c") + " novel one")),     // novel → joins index
+      Seq((12L, run(200, 240, "c") + " other ending"),   // dup of the r10-added 11
+          (13L, run(300, 340, "d") + " novel two")))
+      .map(_.toDF("doc_id", "text"))
+
+    // fold through BOTH paths
+    var inc = StreamDedup.nearDupIndex(corpus, "doc_id", "text")
+    inc = inc.copy(fps = inc.fps.localCheckpoint(), df = inc.df.localCheckpoint())
+    var keptInc = Vector.empty[Long]
+    var fpsBase = TextOps.winnowFingerprints(corpus, "doc_id", "text").localCheckpoint()
+    var keptBase = Vector.empty[Long]
+    for (b <- batches) {
+      val (k, next) = StreamDedup.nearDedupBatchIncremental(b, inc, "doc_id", "text")
+      keptInc ++= k.select("doc_id").as[Long].collect().sorted
+      inc = next
+      val kb = StreamDedup.nearDedupBatch(b, fpsBase, "doc_id", "text").localCheckpoint()
+      keptBase ++= kb.select("doc_id").as[Long].collect().sorted
+      fpsBase = fpsBase.unionByName(
+        TextOps.winnowFingerprints(kb, "doc_id", "text")).localCheckpoint()
+    }
+    assert(keptInc == keptBase && keptInc == Vector(11L, 13L))
+    // the maintained df table equals a from-scratch recompute over the
+    // final index
+    val recomputed = inc.fps.select(explode(col("fps")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    assert(inc.df.join(recomputed, Seq("shingle"), "full")
+      .where(inc.df("df") =!= recomputed("df") ||
+        inc.df("df").isNull || recomputed("df").isNull)
+      .count() == 0)
+  }
+
   test("streaming substring screen: corpus passages cut at ingest, index grows per batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llmops.DedupOps
