@@ -142,6 +142,26 @@ class FluxStdlibSpec extends SparkSpec {
     assert(out == java.sql.Timestamp.valueOf("2024-01-09 01:05:00"))
   }
 
+  test("grammar corners: nested calls across comparisons, division after a call") {
+    // nested calls on BOTH comparison sides, arithmetic over call
+    // results, and a '/' that must parse as division (not a regex)
+    val out = run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => math.pow(x: math.abs(x: r._value), y: 2.0) / 2.0 > strings.strlen(v: strings.trimSpace(v: r.host)) * 10.0)
+        ||> count()""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // |v|^2/2 > 10*len(trim(host)): cpu hosts len 2 → cut 20: 4²/2=8 no,
+    // 9²/2=40.5 yes, 16²/2=128 yes, 2.5²/2=3.1 no; mem len 6 → cut 60:
+    // 25.5²/2=325 yes
+    assert(out == Map("cpu" -> 2L, "mem" -> 1L))
+    // regex literal still parses where an expression starts
+    val rx = run(
+      """from(bucket: "b")
+        ||> filter(fn: (r) => strings.trimSpace(v: r.host) =~ /^h[0-9]$/ and math.sqrt(x: r._value) / 2.0 < 2.0)
+        ||> count()""".stripMargin).collect()
+    assert(rx.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("cpu", 2L)))
+  }
+
   test("unknown stdlib function fails loudly at eval, not silently") {
     val ex = intercept[FluxEval.EvalException](run(
       """from(bucket: "b")
