@@ -1332,6 +1332,20 @@ object LlmQueries {
           r4(col("cr_mean")).as("cr_mean"))
         .orderBy("media_id", "frame_idx")),
 
+    // the same I_4x4 streams carried in real MP4 boxes — demux x I_NxN
+    // composition; identical oracle (the container is lossless)
+    "media_mp4_i4x4" -> ((s, _) =>
+      MultimodalOps.decodeH264Frames(
+        MultimodalOps.syntheticH264I4x4Videos(s, 12, mp4 = true))
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          r4(col("y_mean")).as("y_mean"),
+          r4(col("cb_mean")).as("cb_mean"),
+          r4(col("cr_mean")).as("cr_mean"))
+        .orderBy("media_id", "frame_idx")),
+
     "media_h264_frames" -> ((s, _) =>
       MultimodalOps.decodeH264Frames(MultimodalOps.syntheticH264Videos(s, 12))
         .select(col("media_id"),
@@ -3362,6 +3376,8 @@ object LlmQueries {
         |  round(CAST(q.crpcm AS DOUBLE), 4) AS cr_mean
         |FROM step s JOIN q ON q.i = s.i AND q.f = s.f
         |WHERE s.n = 16 ORDER BY 1, 2"""),
+    // MP4 carriage of the SAME I_4x4 streams: lossless transport, so
+    // the oracle is identical (looked up post-hoc below)
     "media_h264_frames" -> w(
       """WITH m AS (SELECT unnest(range(0, 12)) AS i),
         |fr AS (SELECT i, unnest(range(0, 2 + i % 3)) AS f FROM m),
@@ -3535,7 +3551,11 @@ object LlmQueries {
          |FROM per GROUP BY 1 ORDER BY 1""")
   }
 
-  val oracle: Map[String, String] =
-    oracleCore + ("ann_recall" -> annRecallSql, "hybrid_rrf" -> hybridRrfSql,
+  val oracle: Map[String, String] = {
+    val base = oracleCore + ("ann_recall" -> annRecallSql,
+      "hybrid_rrf" -> hybridRrfSql,
       "retrieval_metrics" -> retrievalMetricsSql)
+    // MP4 carriage is lossless transport of the same I_4x4 NALs
+    base + ("media_mp4_i4x4" -> base("media_h264_i4x4"))
+  }
 }
