@@ -171,10 +171,16 @@ final case class FluxFrame(
 
   /** Flux `first()` / `last()` — selectors: earliest/latest value by time
     * per group. min_by/max_by are single-pass partial aggregates (no
-    * window, no second shuffle).
+    * window, no second shuffle). The ordering key is struct(time,
+    * value) so duplicate timestamps resolve to the smallest/largest
+    * VALUE deterministically under any partitioning (Flux resolves by
+    * table order — unreproducible after a shuffle; documented
+    * divergence, r14 ADVICE).
     */
-  def firstV(as: String = "_value"): FluxFrame = agg1(min_by(col(valueCol), col(timeCol)), as)
-  def lastV(as: String = "_value"): FluxFrame = agg1(max_by(col(valueCol), col(timeCol)), as)
+  def firstV(as: String = "_value"): FluxFrame =
+    agg1(min_by(col(valueCol), struct(col(timeCol), col(valueCol))), as)
+  def lastV(as: String = "_value"): FluxFrame =
+    agg1(max_by(col(valueCol), struct(col(timeCol), col(valueCol))), as)
 
   /** Flux `distinct(column:)`. */
   def distinctV(column: String = ""): DataFrame = {
@@ -425,9 +431,10 @@ final case class FluxFrame(
   def highestAverage(n: Int): FluxFrame = highest(n, avg)
   def lowestMin(n: Int): FluxFrame = highest(n, min, lowest = true)
   def lowestAverage(n: Int): FluxFrame = highest(n, avg, lowest = true)
-  def highestCurrent(n: Int): FluxFrame = highest(n, v => max_by(v, col(timeCol)))
+  def highestCurrent(n: Int): FluxFrame =
+    highest(n, v => max_by(v, struct(col(timeCol), v)))
   def lowestCurrent(n: Int): FluxFrame =
-    highest(n, v => max_by(v, col(timeCol)), lowest = true)
+    highest(n, v => max_by(v, struct(col(timeCol), v)), lowest = true)
 
   // ---------------- joins / set ops / pivot ----------------
 

@@ -699,7 +699,12 @@ object FluxEval {
     * `strings.strlen` counts like Spark `length` (code points; equal on
     * BMP text), `string(v: time)` formats whole-second RFC3339 (the
     * engine's µs axis zero-pads sub-second as Flux does only when
-    * non-zero), and `strings.title` is not offered (Go's rune-title
+    * non-zero), `strings.index` returns a CHARACTER index (Spark
+    * `instr`) where Go `strings.Index` returns a BYTE offset — equal
+    * on ASCII, smaller on multi-byte UTF-8 — and `strings.substring`
+    * slices by code point where Flux slices by rune (equal; both
+    * diverge from byte slicing on non-ASCII), and `strings.title` is
+    * not offered (Go's rune-title
     * rules have no codegen'd Spark analogue — initcap lowercases the
     * tail, a silent wrong answer; users get the loud error instead).
     */
@@ -836,8 +841,13 @@ object FluxEval {
         // exact only while the operands stay on a ≥512 ns grid, which
         // whole-second timestamps and whole-second shifts do. Sub-µs
         // text arithmetic should go through timeShift/duration verbs.)
+        // `div` truncates toward zero, which for pre-1970 (negative)
+        // ns would round UP; subtracting pmod (always in [0,1000))
+        // first makes it a true floor on both sides of the epoch.
         case LongType | IntegerType | DoubleType =>
-          timestamp_micros(call_function("div", a("v").cast("long"), lit(1000L)))
+          val ns = a("v").cast("long")
+          timestamp_micros(call_function("div",
+            ns - pmod(ns, lit(1000L)), lit(1000L)))
         case _ => a("v").cast("timestamp")
       }
       // durations are ns counts on this surface (SURVEY §2B conv table)
@@ -871,7 +881,13 @@ object FluxEval {
     * cover (VERDICT r13 #2 closed the text/DSL asymmetry): selectors
     * `first`/`last` aggregate as min_by/max_by over the frame's raw
     * time column (visible inside the window groupBy — single-pass
-    * partial aggregates, no second shuffle), `mode`/`spread` mirror
+    * partial aggregates, no second shuffle). Duplicate-timestamp
+    * tie-break: the ordering key is struct(time, value), so ties on
+    * time resolve to the smallest (`first`) / largest (`last`) VALUE —
+    * deterministic under any partitioning, where Flux resolves by
+    * table order (a property a shuffled engine cannot reproduce
+    * without materializing an ingest-order column; documented
+    * divergence, r14 ADVICE). `mode`/`spread` mirror
     * [[FluxFrame.modeV]]/[[FluxFrame.spread]], and `quantile` reads its
     * `q:`/`method:` from the aggregateWindow call itself (Flux passes
     * them by currying `quantile`; named args on the window call are
@@ -887,8 +903,8 @@ object FluxEval {
     case VIdent("max") => max
     case VIdent("median") => c => percentile(c, lit(0.5))
     case VIdent("stddev") => stddev_samp
-    case VIdent("first") => c => min_by(c, col(timeCol))
-    case VIdent("last") => c => max_by(c, col(timeCol))
+    case VIdent("first") => c => min_by(c, struct(col(timeCol), c))
+    case VIdent("last") => c => max_by(c, struct(col(timeCol), c))
     case VIdent("mode") => c => mode(c)
     case VIdent("spread") => c => max(c) - min(c)
     case VIdent("quantile") =>

@@ -975,7 +975,7 @@ object H264 {
       val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
       val minf = box("minf", vmhd ++ dinf ++ stbl)
       val hdlr = full("hdlr", be32(0) ++ "vide".getBytes(US_ASCII) ++
-        new Array[Byte](12) ++ "graft ".getBytes(US_ASCII))
+        new Array[Byte](12) ++ "graft".getBytes(US_ASCII) ++ Array[Byte](0))
       val mdhd = full("mdhd", be32(0) ++ be32(0) ++ be32(1000) ++
         be32(samples.length * 1000) ++ be16(0x55C4) ++ be16(0))
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)

@@ -258,11 +258,15 @@ object FluxQueries {
     // unit-conversion shape (r13 verdict #1). Each per-row value is
     // floor-quantized to an integer (sqrt is IEEE-correctly-rounded and
     // ×100/floor/round agree bit-for-bit cross-engine), so the sum is
-    // integer-exact — no float-summation-order risk.
+    // integer-exact — no float-summation-order risk. pow is only
+    // ≤1-ulp-accurate (JVM) vs correctly-rounded (DuckDB libm), so its
+    // floor gets a 1e-6 guard band — 7 orders above the ulp gap at
+    // these magnitudes — making the quantization engine-independent
+    // even when pow(x, 1.5) lands exactly on an integer (r14 ADVICE).
     "flux_map_math" -> ((s, dir) =>
       FluxEval.run(
         """from(bucket: "events")
-          ||> map(fn: (r) => ({ r with _value: math.floor(x: math.sqrt(x: r._value) * 100.0) + math.floor(x: math.pow(x: math.abs(x: r._value), y: 1.5)) + math.round(x: r._value) }))
+          ||> map(fn: (r) => ({ r with _value: math.floor(x: math.sqrt(x: r._value) * 100.0) + math.floor(x: math.pow(x: math.abs(x: r._value), y: 1.5) + 0.000001) + math.round(x: r._value) }))
           ||> sum()""".stripMargin,
         source(s, dir))
         .select(col("_measurement"), col("_value").cast("long").as("sum_v"))
@@ -690,7 +694,7 @@ object FluxQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "flux_map_math" ->
       """SELECT event_type AS _measurement,
-        |  CAST(sum(floor(sqrt(value) * 100.0) + floor(pow(abs(value), 1.5))
+        |  CAST(sum(floor(sqrt(value) * 100.0) + floor(pow(abs(value), 1.5) + 0.000001)
         |    + round(value, 0)) AS BIGINT) AS sum_v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "flux_map_strings" ->

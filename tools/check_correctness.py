@@ -57,6 +57,7 @@ def main(sf_dir, out_dir):
 
     results = {}
     oracle_secs = {}
+    oracle_cpu = {}
     for qdir in sorted(out.iterdir()):
         if not qdir.is_dir():
             continue
@@ -71,8 +72,10 @@ def main(sf_dir, out_dir):
             continue
         try:
             t0 = time.monotonic()
+            c0 = time.process_time()
             ref = con.sql(oracle[name]).df()
             oracle_secs[name] = time.monotonic() - t0
+            oracle_cpu[name] = time.process_time() - c0
         except Exception as e:
             results[name] = f"ORACLE_FAIL: {e}"
             continue
@@ -130,7 +133,24 @@ def main(sf_dir, out_dir):
               "regression (see COVERAGE.md 'oracle-suite budget'; "
               "MATERIALIZE the offending CTE chain). Correctness verdict "
               "is unaffected by this warning.")
-    return 0 if n_ok == len(results) else 1
+    # Steal-insensitive HARD gate (r14 ADVICE): process_time() counts
+    # only CPU this process burned (summed across DuckDB's threads), so
+    # a host steal burst cannot trip it, while a combinatorial oracle
+    # regression (accidental cross join, un-materialized CTE chain)
+    # burns real CPU and does. Default 900 s ≈ 10× the wall budget —
+    # far above the multithreaded-DuckDB CPU of a healthy suite run,
+    # far below a genuinely quadratic one.
+    total_cpu = sum(oracle_cpu.values())
+    cpu_budget = float(os.environ.get("GRAFT_ORACLE_CPU_BUDGET_SECS", "900"))
+    slow_cpu = sorted(oracle_cpu.items(), key=lambda kv: -kv[1])[:5]
+    print(f"oracle suite CPU: {total_cpu:.1f}s (hard budget {cpu_budget:.0f}s); "
+          "top: " + ", ".join(f"{k}={v:.1f}s" for k, v in slow_cpu))
+    cpu_blown = full_run and total_cpu > cpu_budget
+    if cpu_blown:
+        print(f"FAIL oracle-cpu-budget: suite burned {total_cpu:.1f}s CPU > "
+              f"{cpu_budget:.0f}s — steal-insensitive, so this IS a "
+              "combinatorial oracle regression. Fix the offending SQL.")
+    return 0 if (n_ok == len(results) and not cpu_blown) else 1
 
 
 if __name__ == "__main__":
