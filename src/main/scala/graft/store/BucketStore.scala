@@ -149,6 +149,39 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       writeLocked(bucket, points)
     }
 
+  /** Append with size-targeted file count — the ingest half of the
+    * small-file story (the pinned engine's WAL→TSM write path never
+    * emits a file per shuffle partition; neither should a micro-batch).
+    *
+    * A streaming foreachBatch frame arrives with however many
+    * partitions its source/shuffle produced (often
+    * `spark.sql.shuffle.partitions` of them), and `partitionBy("dt")`
+    * then writes ONE FILE PER TASK PER DAY — a 1k-row micro-batch
+    * landing as 32 files. This persists the batch once, counts it, and
+    * coalesces to `ceil(n / rowsPerFile)` write tasks so a small batch
+    * lands as one file per day and a large backfill batch keeps its
+    * write parallelism proportional to its size. Returns the row count
+    * (the caller's batch metric). Batch-path callers that already
+    * control partitioning keep calling [[write]].
+    *
+    * [[compactFragmented]] is the read-side half: writeSized bounds
+    * files-per-batch, the cadence sweep bounds files-per-partition
+    * across batches.
+    */
+  def writeSized(bucket: String, points: DataFrame,
+      rowsPerFile: Long = 1000000L): Long = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      if (n > 0) {
+        val parts = ((n + rowsPerFile - 1) / rowsPerFile).toInt
+        write(bucket, cached.coalesce(parts))
+      }
+      n
+    } finally { cached.unpersist(); () }
+  }
+
   private def writeLocked(bucket: String, points: DataFrame): Unit = {
     val meta = catalog.bucket(bucket).getOrElse(
       throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
@@ -318,14 +351,68 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       compactLocked(bucket, targetFiles, zorder)
     }
 
+  /** Parquet part-file count of one day partition — the fragmentation
+    * signal [[compactFragmented]] sweeps on (driver-side listing, no
+    * Spark job).
+    */
+  def partFiles(bucket: String, day: java.time.LocalDate): Int = {
+    val dir = catalog.bucketPath(bucket).resolve(s"dt=$day").toFile
+    Option(dir.listFiles()).map(_.count { f =>
+      f.isFile && f.getName.startsWith("part-") && !f.getName.endsWith(".crc")
+    }).getOrElse(0)
+  }
+
+  /** Cadence contract — the TSM-compaction analogue for streaming
+    * ingest (SURVEY §4 "WAL + cache merge"): compact ONLY the day
+    * partitions whose part-file count exceeds `maxFiles`, returning
+    * the partition names rewritten. Designed to run off the hot write
+    * path — every K micro-batches ([[graft.streaming.StreamIngest]]'s
+    * `compactEvery`) or from a maintenance timer; it shares the
+    * per-bucket write lock, so either scheduling is race-free against
+    * appends/deletes.
+    *
+    * Together with [[writeSized]] this bounds steady-state files per
+    * partition at `maxFiles + K` (each batch adds one file per day it
+    * touches; a sweep resets fragmented partitions to `targetFiles`),
+    * independent of stream lifetime — the property the spec pins.
+    *
+    * Clean-marker semantics: per-partition dedup IS complete dedup for
+    * the rewritten partitions (the LWW key includes `time_ns`, and
+    * `dt` is derived from it at write, so all copies of a key live in
+    * one day directory) — but untouched partitions may still hold
+    * shadowed rows, so the global marker is set only when the sweep
+    * happened to rewrite every partition. A conservative miss costs
+    * one dedup window at read, never correctness.
+    *
+    * NOT safe while a FileStreamSource tails this bucket's directory
+    * (e.g. a live [[graft.streaming.DownsampleTask]] on the SAME
+    * bucket): Structured Streaming's file source tracks seen file
+    * PATHS, so a rewrite re-surfaces already-processed rows as new
+    * files (double count) and retires files a pending batch may still
+    * reference. Compact tailed buckets at task pause points — the same
+    * hot/cold shard discipline the pinned engine's TSM compactor
+    * applies.
+    */
+  def compactFragmented(bucket: String, maxFiles: Int = 16,
+      targetFiles: Int = 1, zorder: Boolean = false): Seq[String] =
+    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+      recoverLocked(bucket)
+      val fragmented = partitions(bucket).filter(partFiles(bucket, _) > maxFiles)
+      if (fragmented.nonEmpty)
+        compactLocked(bucket, targetFiles, zorder, only = Some(fragmented.toSet))
+      fragmented.map(d => s"dt=$d")
+    }
+
   private def compactLocked(bucket: String, targetFiles: Int,
-      zorder: Boolean = false): Unit = {
+      zorder: Boolean = false,
+      only: Option[Set[java.time.LocalDate]] = None): Unit = {
     val path = catalog.bucketPath(bucket)
     // a previous sweep may have crashed mid-replace: restore/promote
     // first so partitions() sees every day, then rewrite them all —
     // "the next sweep completes compaction"
     recoverLocked(bucket)
-    partitions(bucket).foreach { day =>
+    val all = partitions(bucket)
+    all.filter(d => only.forall(_.contains(d))).foreach { day =>
       val dir = path.resolve(s"dt=$day")
       val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)
         .drop("dt_ignored")
@@ -362,9 +449,13 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       replaceDir(dir, tmp)
     }
-    // every key now has exactly one row → reads can skip the dedup window
-    java.nio.file.Files.createDirectories(path)
-    java.nio.file.Files.write(cleanMarker(bucket), Array.emptyByteArray)
+    // every key now has exactly one row → reads can skip the dedup
+    // window. A SCOPED sweep only earns the marker when it happened to
+    // cover every partition (see compactFragmented's scaladoc).
+    if (only.forall(o => all.forall(o.contains))) {
+      java.nio.file.Files.createDirectories(path)
+      java.nio.file.Files.write(cleanMarker(bucket), Array.emptyByteArray)
+    }
     // LWW compaction cannot change the distinct key set, but bump
     // defensively so the cache invariant ("every mutation bumps") holds
     // without a carve-out.

@@ -103,7 +103,11 @@ final class DownsampleTask(tsdb: Tsdb) {
             intoMeasurement.map(lit).getOrElse(col("measurement")))
           .withColumn("field", intoField.map(lit).getOrElse(col("field")))
           .select(Point.columns.map(col): _*)
-        tsdb.store.write(target, canon)
+        // size-targeted write: an update-mode window batch is usually
+        // tiny (refined windows only) — one file, not one per shuffle
+        // partition; a backfill batch scales its file count with rows
+        tsdb.store.writeSized(target, canon)
+        ()
       }
       .start()
   }

@@ -19,6 +19,23 @@ final class StreamIngest(tsdb: Tsdb) {
 
   /** Start ingesting a streaming Dataset of raw LP lines into `bucket`.
     *
+    * Small-file discipline (the TSM-compaction analogue): each batch
+    * lands via [[graft.store.BucketStore.writeSized]] — one file per
+    * `rowsPerFile` rows instead of one per shuffle partition — and
+    * every `compactEvery` micro-batches a
+    * [[graft.store.BucketStore.compactFragmented]] sweep rewrites any
+    * day partition that crossed `maxFilesPerPartition`. Steady-state
+    * files per partition are therefore bounded at `maxFilesPerPartition
+    * + compactEvery` for the stream's whole lifetime; without the
+    * cadence a long-running ingest accumulates files without bound and
+    * the downstream file-stream reader drains them 64 at a time
+    * (the 99-batch floor PERF.md documents). The sweep keys off the
+    * deterministic micro-batch id, so a checkpoint restart keeps the
+    * cadence aligned. `compactEvery = 0` disables the sweep — REQUIRED
+    * while a FileStreamSource tails this same bucket live (see
+    * compactFragmented's scaladoc for why a rewrite breaks a tailing
+    * file source).
+    *
     * @param defaultTimeNs server-assigned time for lines without a
     *   timestamp; resolved once per micro-batch for determinism.
     */
@@ -27,16 +44,22 @@ final class StreamIngest(tsdb: Tsdb) {
       lines: Dataset[String],
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      defaultTimeNs: () => Long = () => System.currentTimeMillis() * 1000000L
+      defaultTimeNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+      rowsPerFile: Long = 1000000L,
+      compactEvery: Int = 8,
+      maxFilesPerPartition: Int = 16
   ): StreamingQuery = {
     require(lines.isStreaming, "use Tsdb.writeLp for batch input")
     lines.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[String], _: Long) =>
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
         val parsed: DataFrame = LpIngest.parse(batch, defaultTimeNs())
-        tsdb.store.write(bucket, parsed)
+        tsdb.store.writeSized(bucket, parsed, rowsPerFile)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          tsdb.store.compactFragmented(bucket, maxFilesPerPartition)
+        ()
       }
       .start()
   }
@@ -50,9 +73,12 @@ final class StreamIngest(tsdb: Tsdb) {
       bucket: String,
       dir: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 8,
+      maxFilesPerPartition: Int = 16
   ): StreamingQuery = {
     val lines = tsdb.spark.readStream.textFile(dir)
-    start(bucket, lines, checkpoint, trigger)
+    start(bucket, lines, checkpoint, trigger,
+      compactEvery = compactEvery, maxFilesPerPartition = maxFilesPerPartition)
   }
 }
