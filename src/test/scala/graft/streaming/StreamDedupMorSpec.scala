@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llmops.TextOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Merge-on-read near-dup index + candidate-pair budget (VERDICT r14
+  * #2/#4): the MOR path folds batches identically to the in-memory
+  * maintained-df path, the df delta log compacts without changing the
+  * view, and a corpus-replay batch gets its probe join bounded by the
+  * pair budget instead of going dense.
+  */
+class StreamDedupMorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(a: Int, b: Int, p: String) = (a to b).map(i => s"$p$i").mkString(" ")
+
+  test("MOR index folds batches identically to the in-memory incremental path") {
+    val corpus = Seq(
+      (1L, run(1, 40, "a") + " corpus one"),
+      (2L, run(50, 90, "b") + " corpus two")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, run(1, 40, "a") + " replay tail"),     // dup of corpus 1
+          (11L, run(200, 240, "c") + " novel one")),   // novel → joins index
+      Seq((12L, run(200, 240, "c") + " other ending"), // dup of batch-added 11
+          (13L, run(300, 340, "d") + " novel two")))
+      .map(_.toDF("doc_id", "text"))
+
+    val mor = new StreamDedup.NearDupMorIndex(spark,
+      Files.createTempDirectory("graft-mor-idx").toString)
+    mor.seed(corpus, "doc_id", "text")
+    var keptMor = Vector.empty[Long]
+
+    var inc = StreamDedup.nearDupIndex(corpus, "doc_id", "text")
+    inc = inc.copy(fps = inc.fps.localCheckpoint(), df = inc.df.localCheckpoint())
+    var keptInc = Vector.empty[Long]
+
+    for (b <- batches) {
+      keptMor ++= StreamDedup.nearDedupBatchMor(b, mor, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted
+      val (k, next) = StreamDedup.nearDedupBatchIncremental(b, inc, "doc_id", "text")
+      keptInc ++= k.select("doc_id").as[Long].collect().sorted
+      inc = next
+    }
+    assert(keptMor == keptInc && keptMor == Vector(11L, 13L))
+    // the MOR df view equals the in-memory maintained table
+    assert(mor.dfView().join(inc.df.withColumnRenamed("df", "df2"),
+        Seq("shingle"), "full")
+      .where(col("df") =!= col("df2") || col("df").isNull || col("df2").isNull)
+      .isEmpty)
+    // and the fps index holds seed + survivors
+    assert(mor.fps.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 11L, 13L))
+  }
+
+  test("df-log compaction folds deltas without changing the merge-on-read view") {
+    val corpus = Seq((1L, run(1, 40, "a")), (2L, run(50, 90, "b")))
+      .toDF("doc_id", "text")
+    val mor = new StreamDedup.NearDupMorIndex(spark,
+      Files.createTempDirectory("graft-mor-compact").toString)
+    mor.seed(corpus, "doc_id", "text")
+    // two appends pile delta rows onto the log
+    Seq(Seq((11L, run(200, 240, "c"))), Seq((12L, run(300, 340, "d"))))
+      .foreach { b =>
+        StreamDedup.nearDedupBatchMor(b.toDF("doc_id", "text"), mor,
+          "doc_id", "text")
+      }
+    val before = mor.dfView().orderBy("shingle").collect().toSeq
+    mor.compact()
+    val after = mor.dfView().orderBy("shingle").collect().toSeq
+    assert(after == before)
+    // folded: the raw log now has one row per shingle
+    assert(mor.dfView().count() == before.size)
+    assert(mor.fps.count() == 4)
+  }
+
+  test("corpus-replay batch: pair budget bounds the probe join and stays off for healthy batches") {
+    // replica-overlap seed shape (the 294M-pair incident): the batch
+    // replays the indexed documents verbatim, so every shingle's
+    // df_idx x df_batch product is dense; two novel docs ride along
+    val replayed = (0L until 30L)
+      .map(i => (i, run(1, 60, s"w${i % 3}_"))) // 3 families x 10 replicas
+    val novel = Seq((100L, run(500, 560, "x")), (101L, run(600, 660, "y")))
+    val docs = (replayed ++ novel).toDF("doc_id", "text")
+    val idx = TextOps.winnowFingerprints(replayed.toDF("doc_id", "text"),
+      "doc_id", "text").localCheckpoint()
+    val idxDf = idx.select(explode(col("fps")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
+    val newEx = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
+      .localCheckpoint()
+
+    // the replay shape predicts a dense join …
+    val total = StreamDedup.pairCost(newEx, idxDf, maxDf = 1000)
+      .agg(coalesce(sum("_cost"), lit(0L))).head.getLong(0)
+    assert(total > 1000L, s"replay shape should be dense, predicted only $total")
+
+    // … and the budgeted probe degrades only in the documented
+    // direction: novel docs (zero shared shingles, zero cost) always
+    // survive; replayed docs can only be doomed or SURVIVE EXTRA under
+    // a tight budget, never the reverse
+    val budget = total / 3
+    val keptB = StreamDedup.nearDedupBatch(docs, idx, "doc_id", "text",
+      minShared = 15, pairBudget = budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(100L, 101L).subsetOf(keptB))
+
+    // default budget: not engaged — every replayed doc is a corpus dup,
+    // only the novels survive
+    assert(StreamDedup.nearDedupBatch(docs, idx, "doc_id", "text",
+      minShared = 15).select("doc_id").as[Long].collect().toSet ==
+      Set(100L, 101L))
+
+    // bound holds structurally: any kept-shingle subset the budget
+    // selects has total cost <= budget
+    val cost = StreamDedup.pairCost(newEx, idxDf, maxDf = 1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_cost").asc, col("shingle").asc)
+    val keptCost = cost.withColumn("_cum", sum(col("_cost")).over(w))
+      .filter(col("_cum") <= budget)
+      .agg(coalesce(sum("_cost"), lit(0L))).head.getLong(0)
+    assert(keptCost <= budget && keptCost > 0)
+  }
+}
