@@ -1495,7 +1495,7 @@ object LlmQueries {
     * into signed BIGINT = Long wraparound), window minima by signed
     * value, distinct. Ends with the `fp(doc_id, fps)` CTE.
     */
-  private val winnowBase = w(
+  private[queries] val winnowBase = w(
     """WITH norm AS MATERIALIZED (
       |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
       |  FROM documents

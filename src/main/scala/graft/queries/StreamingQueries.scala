@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dsl.Tsdb
-import graft.streaming.{DownsampleTask, StreamIngest}
+import graft.streaming.{DownsampleTask, StreamDedup, StreamIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -59,6 +59,28 @@ object StreamingQueries {
           col("tags.user_id").cast("long").as("user_id"),
           r4(col("value_f")).as("sum_v"))
         .orderBy("event_type", "user_id", "wend")
+    }),
+
+    // Merge-on-read streaming near-dedup (r15): the corpus seed is 60%
+    // of the documents, four 10% "micro-batches" fold sequentially
+    // through nearDedupBatchMor — each batch probes the parquet-backed
+    // index (fps + df delta log), survivors are appended before the
+    // next batch probes. The kept set is hash-compared to a DuckDB
+    // fold that replays the same four stages (df cap re-measured over
+    // the grown index at every stage), so the growing-index semantics
+    // — not just one probe — are oracle-pinned.
+    "stream_mor_dedup" -> ((s, dir) => {
+      val docs = QueryUtil.documents(s, dir)
+      val mor = new StreamDedup.NearDupMorIndex(s,
+        Files.createTempDirectory("graft-mor-gate").toString)
+      mor.seed(docs.filter(col("doc_id") % 10 < 6), "doc_id", "text")
+      (6 to 9).map { b =>
+        StreamDedup.nearDedupBatchMor(
+          docs.filter(col("doc_id") % 10 === b), mor, "doc_id", "text",
+          minShared = 15, maxDf = 25)
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .localCheckpoint()
+      }.reduce(_ unionByName _).orderBy("doc_id")
     }),
 
     // Flux TEXT task body `from |> range |> aggregateWindow |> to` —
@@ -816,6 +838,34 @@ object StreamingQueries {
         |  round(min(d.med), 4) AS med, round(min(mad.mad), 4) AS mad
         |FROM d JOIN mad USING (event_type)
         |GROUP BY 1 ORDER BY 1"""),
+    // four-stage sequential fold mirroring nearDedupBatchMor: stage i
+    // probes idx(i-1) with its df cap measured over THAT index state,
+    // survivors join idx(i). Docs too short to fingerprint never join
+    // the fp CTE and are kept by construction (no shingles, no pairs).
+    "stream_mor_dedup" -> {
+      val stages = (1 to 4).map { i =>
+        val b = 5 + i
+        s"""cex$i AS MATERIALIZED (SELECT doc_id, unnest(fps) AS f FROM idx${i - 1}),
+           |ccap$i AS (SELECT * FROM cex$i WHERE f IN (
+           |  SELECT f FROM cex$i GROUP BY f HAVING count(*) <= 25)),
+           |nex$i AS (SELECT doc_id, unnest(fps) AS f FROM fp WHERE doc_id % 10 = $b),
+           |doomed$i AS (SELECT DISTINCT doc_id FROM (
+           |  SELECT n.doc_id AS doc_id FROM ccap$i c JOIN nex$i n ON c.f = n.f
+           |  GROUP BY n.doc_id, c.doc_id HAVING count(*) >= 15)),
+           |idx$i AS MATERIALIZED (SELECT * FROM idx${i - 1} UNION ALL
+           |  SELECT doc_id, fps FROM fp WHERE doc_id % 10 = $b
+           |    AND doc_id NOT IN (SELECT doc_id FROM doomed$i))""".stripMargin
+      }.mkString(",\n")
+      LlmQueries.winnowBase.stripSuffix("\n") +
+        s""", idx0 AS MATERIALIZED (SELECT doc_id, fps FROM fp WHERE doc_id % 10 < 6),
+           |$stages
+           |SELECT doc_id FROM documents WHERE doc_id % 10 >= 6
+           |  AND doc_id NOT IN (
+           |    SELECT doc_id FROM doomed1 UNION SELECT doc_id FROM doomed2
+           |    UNION SELECT doc_id FROM doomed3 UNION SELECT doc_id FROM doomed4)
+           |ORDER BY doc_id""".stripMargin
+    },
+
     // the downsampled bucket must equal the batch hourly aggregate:
     // one row per (series, window), time = window END like aggregateWindow
     "stream_downsample" -> w(
