@@ -77,7 +77,7 @@ object StreamingQueries {
       (6 to 9).map { b =>
         StreamDedup.nearDedupBatchMor(
           docs.filter(col("doc_id") % 10 === b), mor, "doc_id", "text",
-          minShared = 15, maxDf = 25)
+          batchId = b - 6, minShared = 15, maxDf = 25)
           .select(col("doc_id").cast("long").as("doc_id"))
           .localCheckpoint()
       }.reduce(_ unionByName _).orderBy("doc_id")

@@ -238,30 +238,70 @@ object StreamDedup {
     * the log at O(domain + K·batch) for a sweep every K batches. Run
     * it off the hot path; single-writer per index directory, like any
     * foreachBatch sink.
+    *
+    * Exactly-once + crash-safety (the two failure modes a naive
+    * append-only sink gets wrong):
+    *
+    *  - Appends are keyed by MICRO-BATCH GENERATION (`b=<batchId>`
+    *    hive subdirs, seed = `b=-1`) and written with overwrite, so a
+    *    Structured Streaming REPLAY of a crashed batch lands on the
+    *    same generation instead of double-appending — without this, a
+    *    replay double-counts df and can push shingles over the hot
+    *    cap, silently UNDER-dooming later batches. A torn append (fps
+    *    written, df not) is healed by the same replay; outside a
+    *    replaying harness the caller must re-run the failed batchId.
+    *  - [[compact]] never rewrites in place: it folds into a `.tmp-`
+    *    sibling, stamps `_SWAP_READY`, and publishes with the same
+    *    two-rename retire/promote protocol as
+    *    [[graft.store.BucketStore]]'s replaceDir — every crash point
+    *    leaves either the old or the folded generation recoverable,
+    *    and reads heal the transition ([[recover]], one listing).
     */
   final class NearDupMorIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String) {
-    private val fpsDir = s"$dir/fps"
-    private val dfDir = s"$dir/df"
+    private val root = java.nio.file.Paths.get(dir)
+    private val fpsDir = root.resolve("fps")
+    private val dfDir = root.resolve("df")
 
-    /** Initialize from a seed corpus (overwrites both directories). */
-    def seed(docs: DataFrame, idCol: String, textCol: String): Unit = {
-      TextOps.winnowFingerprints(docs, idCol, textCol)
-        .write.mode("overwrite").parquet(fpsDir)
-      fps.select(explode(col("fps")).as("shingle"))
+    private def dfDeltaOf(fpsRows: DataFrame): DataFrame =
+      fpsRows.select(explode(col("fps")).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).cast("long").as("d"))
-        .write.mode("overwrite").parquet(dfDir)
+
+    /** Initialize from a seed corpus — generation `b=-1` of both logs. */
+    def seed(docs: DataFrame, idCol: String, textCol: String): Unit = {
+      val gen = fpsDir.resolve("b=-1")
+      TextOps.winnowFingerprints(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(gen.toString)
+      dfDeltaOf(spark.read.parquet(gen.toString))
+        .write.mode("overwrite").parquet(dfDir.resolve("b=-1").toString)
     }
 
-    /** The fingerprint index — one scan per probe, never reshuffled. */
-    def fps: DataFrame = spark.read.parquet(fpsDir)
+    /** The fingerprint index — one scan per probe, never reshuffled.
+      *
+      * `excludeBatch`: drop that generation from the view (partition-
+      * pruned, no data read). [[nearDedupBatchMor]] passes its own
+      * batchId so a REPLAYED batch probes the exact pre-batch state —
+      * without the exclusion, a replay finds its own crashed append,
+      * self-matches every survivor, and overwrites the generation with
+      * an empty kept set (the failure the replay spec pins).
+      */
+    def fps(excludeBatch: Option[Long] = None): DataFrame = {
+      recover(fpsDir)
+      val raw = spark.read.parquet(fpsDir.toString)
+      excludeBatch.map(b => raw.filter(col("b") =!= b)).getOrElse(raw).drop("b")
+    }
 
     /** Merge-on-read df view, scoped to `shingles` (broadcast
       * semi-filter pushed onto the log scan; O(batch) output). Pass
-      * no filter for the full domain view (compaction, diagnostics).
+      * no shingle filter for the full domain view (compaction,
+      * diagnostics); `excludeBatch` as in [[fps]].
       */
-    def dfView(shingles: Option[DataFrame] = None): DataFrame = {
-      val log = spark.read.parquet(dfDir)
+    def dfView(shingles: Option[DataFrame] = None,
+        excludeBatch: Option[Long] = None): DataFrame = {
+      recover(dfDir)
+      val raw = spark.read.parquet(dfDir.toString)
+      val log = excludeBatch.map(b => raw.filter(col("b") =!= b))
+        .getOrElse(raw).drop("b")
       val scoped = shingles match {
         case Some(s) => log.join(broadcast(s.select("shingle").distinct()),
           Seq("shingle"), "left_semi")
@@ -270,26 +310,81 @@ object StreamDedup {
       scoped.groupBy("shingle").agg(sum("d").as("df"))
     }
 
-    /** Append one batch's surviving fingerprints: O(batch) rows into
-      * each directory, nothing rewritten.
+    /** Append one batch's surviving fingerprints as generation
+      * `b=batchId`: O(batch) rows into each log, nothing rewritten,
+      * and a REPLAY of the same batchId overwrites its own generation
+      * (idempotent, see class scaladoc).
       */
-    def append(keptFps: DataFrame): Unit = {
-      keptFps.write.mode("append").parquet(fpsDir)
-      keptFps.select(explode(col("fps")).as("shingle"))
-        .groupBy("shingle").agg(count(lit(1)).cast("long").as("d"))
-        .write.mode("append").parquet(dfDir)
+    def append(keptFps: DataFrame, batchId: Long): Unit = {
+      require(batchId >= 0, s"batch ids are non-negative (seed is b=-1), got $batchId")
+      keptFps.write.mode("overwrite")
+        .parquet(fpsDir.resolve(s"b=$batchId").toString)
+      dfDeltaOf(keptFps).write.mode("overwrite")
+        .parquet(dfDir.resolve(s"b=$batchId").toString)
     }
 
     /** Cadence sweep: fold the df delta log to one row per shingle and
-      * compact the fps appends to `targetFiles`. Off the hot path —
-      * every K batches, or nightly.
+      * compact the fps generations to `targetFiles`, each published
+      * via the crash-safe two-rename swap. Off the hot path — every K
+      * batches, or nightly. Folding df first is safe at every crash
+      * point: the df view is a sum, invariant under folding, and the
+      * two logs carry no cross-directory invariant beyond it.
+      *
+      * CADENCE CONSTRAINT: run only at a point where the PREVIOUS
+      * batch's checkpoint has committed (start of a trigger, or
+      * between triggers) — folding erases generation identity, so a
+      * replay of a batch whose append was folded would self-match (the
+      * [[fps]] exclusion can no longer carve it out).
       */
     def compact(targetFiles: Int = 1): Unit = {
-      val foldedDf = dfView().select(col("shingle"), col("df").as("d"))
-        .coalesce(targetFiles).localCheckpoint()
-      foldedDf.write.mode("overwrite").parquet(dfDir)
-      val foldedFps = fps.coalesce(targetFiles).localCheckpoint()
-      foldedFps.write.mode("overwrite").parquet(fpsDir)
+      swapWith(dfDir, dfView().select(col("shingle"), col("df").as("d"))
+        .coalesce(targetFiles))
+      swapWith(fpsDir, fps().coalesce(targetFiles))
+    }
+
+    /** Write `folded` as the new single `b=-1` generation of `target`
+      * via tmp + two renames (BucketStore.replaceDir's protocol).
+      */
+    private def swapWith(target: java.nio.file.Path, folded: DataFrame): Unit = {
+      val name = target.getFileName.toString
+      val tmp = target.resolveSibling(s".tmp-$name")
+      val old = target.resolveSibling(s".old-$name")
+      deleteRecursively(tmp.toFile)
+      folded.write.mode("overwrite").parquet(tmp.resolve("b=-1").toString)
+      java.nio.file.Files.write(tmp.resolve("_SWAP_READY"), Array.emptyByteArray)
+      deleteRecursively(old.toFile)
+      java.nio.file.Files.move(target, old)
+      java.nio.file.Files.move(tmp, target)
+      deleteRecursively(old.toFile)
+    }
+
+    /** Heal an interrupted [[swapWith]] (one directory listing; no-op
+      * in steady state). Single-writer contract: reads never race a
+      * live compact of the same index, so leftover `.tmp-`/`.old-`
+      * debris always belongs to a completed or crashed swap.
+      */
+    private def recover(target: java.nio.file.Path): Unit = {
+      val name = target.getFileName.toString
+      val tmp = target.resolveSibling(s".tmp-$name")
+      val old = target.resolveSibling(s".old-$name")
+      if (java.nio.file.Files.exists(target)) {
+        // target canonical — drop debris from a completed/abandoned swap
+        deleteRecursively(old.toFile)
+        deleteRecursively(tmp.toFile)
+      } else if (java.nio.file.Files.exists(tmp.resolve("_SWAP_READY"))) {
+        // crashed between retire and promote with a whole rewrite
+        java.nio.file.Files.move(tmp, target)
+        deleteRecursively(old.toFile)
+      } else if (java.nio.file.Files.exists(old)) {
+        // torn rewrite: roll back to the retired generation
+        java.nio.file.Files.move(old, target)
+        deleteRecursively(tmp.toFile)
+      }
+    }
+
+    private def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(); ()
     }
   }
 
@@ -306,19 +401,25 @@ object StreamDedup {
     * when the index is 100×+ the batch (StreamBench's dedup_near_mor
     * row measures exactly that shape against the per-batch-aggregate
     * path). Returns the surviving batch rows; appends survivors'
-    * fingerprints to the index as a side effect.
+    * fingerprints to the index as generation `b=batchId` — pass the
+    * foreachBatch batch id verbatim so a replayed batch overwrites its
+    * own generation instead of double-appending (see
+    * [[NearDupMorIndex]]'s exactly-once contract).
     */
   def nearDedupBatchMor(batch: DataFrame, idx: NearDupMorIndex,
-      idCol: String, textCol: String, minShared: Int = 15,
+      idCol: String, textCol: String, batchId: Long, minShared: Int = 15,
       maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
       pairBudget: Long = DefaultPairBudget): DataFrame = {
     val newFps = TextOps.winnowFingerprints(batch, idCol, textCol).localCheckpoint()
     val newEx0 = newFps.select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
-    // batch-scoped df: one filtered log scan, O(batch) rows out
-    val idxDf = idx.dfView(Some(newEx0)).localCheckpoint()
+    // batch-scoped df: one filtered log scan, O(batch) rows out; the
+    // batch's OWN generation is excluded so a replay probes the exact
+    // pre-batch state (idempotency — see NearDupMorIndex scaladoc)
+    val idxDf = idx.dfView(Some(newEx0), excludeBatch = Some(batchId))
+      .localCheckpoint()
     val newEx = budgetNewEx(newEx0, idxDf, maxDf, pairBudget, "nearDedupBatchMor")
     val hot = idxDf.filter(col("df") > maxDf).select("shingle")
-    val doomed = idx.fps
+    val doomed = idx.fps(excludeBatch = Some(batchId))
       .select(col("id").as("corpus_id"), explode(col("fps")).as("shingle"))
       .join(broadcast(hot), Seq("shingle"), "left_anti")
       .join(broadcast(newEx), "shingle")
@@ -328,7 +429,7 @@ object StreamDedup {
     val kept = batch.join(doomed, batch(idCol) === col("_nd_id"), "left_anti")
       .localCheckpoint()
     idx.append(newFps.join(
-      kept.select(col(idCol).cast("long").as("id")), Seq("id")))
+      kept.select(col(idCol).cast("long").as("id")), Seq("id")), batchId)
     kept
   }
 

@@ -218,14 +218,14 @@ object StreamBench {
       val nSample = sample.count()
       val srcDir = Files.createTempDirectory("sb-dnm").toString
       sample.repartition(4).write.mode("overwrite").parquet(srcDir)
-      def drive(tag: String)(body: DataFrame => Unit): Unit = {
+      def drive(tag: String)(body: (DataFrame, Long) => Unit): Unit = {
         val (q, _) = timed(spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1").parquet(srcDir)
           .writeStream
           .option("checkpointLocation",
             Files.createTempDirectory(s"sb-dnm-cp-$tag").toString)
-          .foreachBatch { (batch0: DataFrame, _: Long) =>
-            body(batch0.localCheckpoint()); ()
+          .foreachBatch { (batch0: DataFrame, bid: Long) =>
+            body(batch0.localCheckpoint(), bid); ()
           }
           .start())
         val (_, wall) = timed { q.processAllAvailable(); q.stop() }
@@ -242,7 +242,7 @@ object StreamBench {
         val idxDir = Files.createTempDirectory("sb-dnm-aggidx").toString
         graft.llmops.TextOps.winnowFingerprints(docs, "doc_id", "text")
           .write.mode("overwrite").parquet(idxDir)
-        drive("agg") { batch =>
+        drive("agg") { (batch, _) =>
           val kept = graft.streaming.StreamDedup.nearDedupBatch(
             batch, spark.read.parquet(idxDir), "doc_id", "text")
             .localCheckpoint()
@@ -254,9 +254,9 @@ object StreamBench {
         val mor = new graft.streaming.StreamDedup.NearDupMorIndex(spark,
           Files.createTempDirectory("sb-dnm-idx").toString)
         mor.seed(docs, "doc_id", "text")
-        drive("mor") { batch =>
+        drive("mor") { (batch, bid) =>
           graft.streaming.StreamDedup
-            .nearDedupBatchMor(batch, mor, "doc_id", "text")
+            .nearDedupBatchMor(batch, mor, "doc_id", "text", batchId = bid)
           ()
         }
       }

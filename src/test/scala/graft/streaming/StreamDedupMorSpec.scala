@@ -36,8 +36,9 @@ class StreamDedupMorSpec extends SparkSpec {
     inc = inc.copy(fps = inc.fps.localCheckpoint(), df = inc.df.localCheckpoint())
     var keptInc = Vector.empty[Long]
 
-    for (b <- batches) {
-      keptMor ++= StreamDedup.nearDedupBatchMor(b, mor, "doc_id", "text")
+    for ((b, i) <- batches.zipWithIndex) {
+      keptMor ++= StreamDedup.nearDedupBatchMor(b, mor, "doc_id", "text",
+        batchId = i.toLong)
         .select("doc_id").as[Long].collect().sorted
       val (k, next) = StreamDedup.nearDedupBatchIncremental(b, inc, "doc_id", "text")
       keptInc ++= k.select("doc_id").as[Long].collect().sorted
@@ -50,7 +51,7 @@ class StreamDedupMorSpec extends SparkSpec {
       .where(col("df") =!= col("df2") || col("df").isNull || col("df2").isNull)
       .isEmpty)
     // and the fps index holds seed + survivors
-    assert(mor.fps.select("id").as[Long].collect().sorted.toSeq ==
+    assert(mor.fps().select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 11L, 13L))
   }
 
@@ -62,9 +63,9 @@ class StreamDedupMorSpec extends SparkSpec {
     mor.seed(corpus, "doc_id", "text")
     // two appends pile delta rows onto the log
     Seq(Seq((11L, run(200, 240, "c"))), Seq((12L, run(300, 340, "d"))))
-      .foreach { b =>
+      .zipWithIndex.foreach { case (b, i) =>
         StreamDedup.nearDedupBatchMor(b.toDF("doc_id", "text"), mor,
-          "doc_id", "text")
+          "doc_id", "text", batchId = i.toLong)
       }
     val before = mor.dfView().orderBy("shingle").collect().toSeq
     mor.compact()
@@ -72,7 +73,7 @@ class StreamDedupMorSpec extends SparkSpec {
     assert(after == before)
     // folded: the raw log now has one row per shingle
     assert(mor.dfView().count() == before.size)
-    assert(mor.fps.count() == 4)
+    assert(mor.fps().count() == 4)
   }
 
   test("corpus-replay batch: pair budget bounds the probe join and stays off for healthy batches") {
@@ -121,5 +122,50 @@ class StreamDedupMorSpec extends SparkSpec {
       .filter(col("_cum") <= budget)
       .agg(coalesce(sum("_cost"), lit(0L))).head.getLong(0)
     assert(keptCost <= budget && keptCost > 0)
+  }
+
+  test("replaying a micro-batch overwrites its own generation — no double-count") {
+    val corpus = Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text")
+    val mor = new StreamDedup.NearDupMorIndex(spark,
+      Files.createTempDirectory("graft-mor-replay").toString)
+    mor.seed(corpus, "doc_id", "text")
+    val batch = Seq((11L, run(200, 240, "c"))).toDF("doc_id", "text")
+    StreamDedup.nearDedupBatchMor(batch, mor, "doc_id", "text", batchId = 0L)
+    val fpsAfter1 = mor.fps().orderBy("id").collect().toSeq
+    val dfAfter1 = mor.dfView().orderBy("shingle").collect().toSeq
+    // the foreachBatch crash-replay shape: same batchId delivered again
+    StreamDedup.nearDedupBatchMor(batch, mor, "doc_id", "text", batchId = 0L)
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsAfter1)
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAfter1)
+  }
+
+  test("compaction crash points recover: torn rewrite rolls back, ready rewrite promotes") {
+    import java.nio.file.{Files => JF, Paths}
+    val dir = Files.createTempDirectory("graft-mor-crash").toString
+    val mor = new StreamDedup.NearDupMorIndex(spark, dir)
+    mor.seed(Seq((1L, run(1, 40, "a")), (2L, run(50, 90, "b")))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    StreamDedup.nearDedupBatchMor(Seq((11L, run(200, 240, "c")))
+      .toDF("doc_id", "text"), mor, "doc_id", "text", batchId = 0L)
+    val fpsBefore = mor.fps().orderBy("id").collect().toSeq
+    val dfBefore = mor.dfView().orderBy("shingle").collect().toSeq
+
+    // crash between retire and promote, rewrite NOT ready (no
+    // _SWAP_READY): the retired generation must roll back
+    val fpsPath = Paths.get(dir, "fps")
+    JF.move(fpsPath, Paths.get(dir, ".old-fps"))
+    JF.createDirectories(Paths.get(dir, ".tmp-fps")) // torn, no marker
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsBefore)
+
+    // crash between retire and promote with a READY rewrite: the
+    // folded generation must promote (simulate with a real compact
+    // output: run compact, then re-stage its result as a ready tmp)
+    mor.compact()
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsBefore)
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfBefore)
+    JF.move(fpsPath, Paths.get(dir, ".tmp-fps"))
+    JF.write(Paths.get(dir, ".tmp-fps", "_SWAP_READY"), Array.emptyByteArray)
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsBefore)
+    assert(JF.exists(fpsPath) && !JF.exists(Paths.get(dir, ".tmp-fps")))
   }
 }
