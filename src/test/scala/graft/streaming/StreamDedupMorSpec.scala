@@ -124,6 +124,20 @@ class StreamDedupMorSpec extends SparkSpec {
     assert(keptCost <= budget && keptCost > 0)
   }
 
+  test("generation exclusion is a PARTITION filter — the excluded batch is pruned, not scanned") {
+    val mor = new StreamDedup.NearDupMorIndex(spark,
+      Files.createTempDirectory("graft-mor-plan").toString)
+    mor.seed(Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text"), "doc_id", "text")
+    StreamDedup.nearDedupBatchMor(Seq((11L, run(200, 240, "c")))
+      .toDF("doc_id", "text"), mor, "doc_id", "text", batchId = 0L)
+    val plan = mor.fps(excludeBatch = Some(0L))
+      .queryExecution.executedPlan.toString
+    // the b=0 generation must fall out at partition-pruning time —
+    // NOT(b=0) in PartitionFilters, nothing in data filters
+    assert(plan.contains("PartitionFilters: [NOT (b") ||
+      plan.contains("PartitionFilters: [isnotnull(b"), plan.take(2000))
+  }
+
   test("replaying a micro-batch overwrites its own generation — no double-count") {
     val corpus = Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text")
     val mor = new StreamDedup.NearDupMorIndex(spark,
