@@ -15,11 +15,12 @@ import graft.store.BucketStore
   *    day-partitions: O(metadata), never a data rewrite, so the sweep
   *    cost is independent of bucket size;
   *  - [[BucketStore.compact]] runs only when the bucket is dirty (has
-  *    been written since its last compaction): it rewrites partitions
-  *    dedup-applied and coalesced, then re-arms the clean marker so
-  *    steady-state reads skip the LWW shuffle. A bucket under
-  *    continuous ingest therefore pays at most one compaction per
-  *    sweep period — tune the period to the ingest rate at scale.
+  *    been written since its last compaction), and is INCREMENTAL
+  *    inside the bucket: partition-level compaction stamps let it skip
+  *    every day whose file set is untouched since its own dedup
+  *    rewrite, so a continuously-ingesting bucket pays O(appended
+  *    data) per sweep — the hot day, not the archive — then re-arms
+  *    the clean marker so steady-state reads skip the LWW shuffle.
   *
   * Both operations take the per-bucket write lock, so sweeps serialize
   * with appends/deletes and can never race a commit; readers are

@@ -333,6 +333,15 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   /** Compaction: rewrite each partition dedup-applied and coalesced.
     * Replaces the pinned engine's TSM compaction cycle.
     *
+    * INCREMENTAL across sweeps: partitions whose compaction stamp is
+    * still valid for this layout signature (same targetFiles/zorder,
+    * file set untouched since their rewrite — see [[stampPath]]) are
+    * skipped, so a repeat sweep over a bucket with one hot day
+    * rewrites that day only. At 100 TB this is the difference between
+    * a sweep that costs O(appended data) and one that rewrites the
+    * bucket; [[graft.service.Maintenance]]'s fixed-delay cycle relies
+    * on it.
+    *
     * `zorder = true` (with `targetFiles > 1`) lays each day partition
     * out on a Morton curve of (series rank, time-of-day) via
     * [[graft.llmops.LayoutOps.zorderBy]] instead of one concatenated
@@ -379,10 +388,13 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * Clean-marker semantics: per-partition dedup IS complete dedup for
     * the rewritten partitions (the LWW key includes `time_ns`, and
     * `dt` is derived from it at write, so all copies of a key live in
-    * one day directory) — but untouched partitions may still hold
-    * shadowed rows, so the global marker is set only when the sweep
-    * happened to rewrite every partition. A conservative miss costs
-    * one dedup window at read, never correctness.
+    * one day directory). The global marker is re-armed whenever, after
+    * the sweep, EVERY partition carries a valid compaction stamp —
+    * rewritten now, or provably untouched since its own dedup rewrite
+    * (see [[stampPath]]) — so the common streaming shape (one hot day,
+    * cold stamped history) gets shuffle-free reads back after each
+    * sweep. A conservative miss costs one dedup window at read, never
+    * correctness.
     *
     * NOT safe while a FileStreamSource tails this bucket's directory
     * (e.g. a live [[graft.streaming.DownsampleTask]] on the SAME
@@ -403,6 +415,46 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       fragmented.map(d => s"dt=$d")
     }
 
+  /** Per-partition compaction stamp — the mechanism that makes repeated
+    * [[compact]] sweeps INCREMENTAL (O(changed partitions), not
+    * O(bucket)): after rewriting a day, the stamp records the layout
+    * signature plus the exact part-file set the rewrite produced. A
+    * partition whose current file set still matches its stamp has
+    * provably not been appended to (appends create new part files),
+    * deleted from (delete replaces the directory, dropping the stamp),
+    * or crash-recovered (recovery promotes stamp-less tmp dirs) since
+    * its dedup rewrite — so a sweep skips it, and at 100 TB a bucket
+    * with one hot day compacts that day only. Underscore-prefixed, so
+    * Spark's readers ignore it. Content equality is exact file names,
+    * not mtimes — no clock-granularity edge.
+    */
+  private def stampPath(dir: java.nio.file.Path) = dir.resolve("_COMPACTED")
+
+  private def layoutSig(targetFiles: Int, zorder: Boolean) =
+    s"v1 files=$targetFiles zorder=$zorder"
+
+  private def partState(dir: java.nio.file.Path): String =
+    Option(dir.toFile.listFiles())
+      .map(_.filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).sorted.mkString("\n"))
+      .getOrElse("")
+
+  /** Stamp is valid = file set unchanged since the dedup rewrite. With
+    * `sig` also requires the same layout signature (skip check); without,
+    * any layout counts (clean-marker check — LWW-cleanliness does not
+    * depend on file count or z-ordering).
+    */
+  private def stampValid(dir: java.nio.file.Path, sig: Option[String]): Boolean = {
+    val p = stampPath(dir)
+    java.nio.file.Files.exists(p) && {
+      val content = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val lines = content.split("\n", 2)
+      sig.forall(_ == lines.head) &&
+        (if (lines.length > 1) lines(1) else "") == partState(dir)
+    }
+  }
+
   private def compactLocked(bucket: String, targetFiles: Int,
       zorder: Boolean = false,
       only: Option[Set[java.time.LocalDate]] = None): Unit = {
@@ -411,8 +463,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     // first so partitions() sees every day, then rewrite them all —
     // "the next sweep completes compaction"
     recoverLocked(bucket)
+    val sig = layoutSig(targetFiles, zorder)
     val all = partitions(bucket)
-    all.filter(d => only.forall(_.contains(d))).foreach { day =>
+    all.filter(d => only.forall(_.contains(d)))
+      .filterNot(d => stampValid(path.resolve(s"dt=$d"), Some(sig)))
+      .foreach { day =>
       val dir = path.resolve(s"dt=$day")
       val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)
         .drop("dt_ignored")
@@ -448,11 +503,19 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       val tmp = path.resolve(s".tmp-compact-dt=$day")
       laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       replaceDir(dir, tmp)
+      // stamp AFTER promote: a crash in between leaves the partition
+      // unstamped → treated dirty → re-rewritten by the next sweep
+      java.nio.file.Files.write(stampPath(dir),
+        (sig + "\n" + partState(dir)).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
     }
-    // every key now has exactly one row → reads can skip the dedup
-    // window. A SCOPED sweep only earns the marker when it happened to
-    // cover every partition (see compactFragmented's scaladoc).
-    if (only.forall(o => all.forall(o.contains))) {
+    // every key now has exactly one row in every partition whose stamp
+    // is valid (rewritten this sweep, or untouched since ITS dedup
+    // rewrite — LWW keys never span dt dirs, so per-partition
+    // cleanliness composes) → reads can skip the dedup window. This
+    // lets a SCOPED fragmented sweep re-arm the marker too, whenever
+    // the partitions it skipped were already stamped-clean.
+    if (partitions(bucket).forall(d => stampValid(path.resolve(s"dt=$d"), None))) {
       java.nio.file.Files.createDirectories(path)
       java.nio.file.Files.write(cleanMarker(bucket), Array.emptyByteArray)
     }

@@ -108,6 +108,55 @@ class IngestCompactionSpec extends SparkSpec {
     assert(tsdb.from("raw").toDF.select("value_f").head.getDouble(0) == 5.0)
   }
 
+  test("compaction is incremental: a repeat sweep skips stamped partitions, rewrites only appended days") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("raw", Seq(
+      s"cpu,host=h1 usage=1 $t0",
+      s"cpu,host=h2 usage=2 ${t0 + 86400L * 1000000000L}"))
+    tsdb.store.compact("raw")
+    assert(tsdb.store.isClean("raw"))
+    def files(day: java.time.LocalDate): Set[String] = {
+      val d = new java.io.File(
+        tsdb.catalog.bucketPath("raw").resolve(s"dt=$day").toString)
+      Option(d.listFiles()).map(_.map(_.getName)
+        .filter(_.startsWith("part-")).toSet).getOrElse(Set.empty)
+    }
+    val d1 = files(day1); val d2 = files(day2)
+    // append to day2 only, then re-sweep: day1's part files must be
+    // byte-identical (a rewrite generates fresh random names), day2's
+    // must change
+    tsdb.writeLp("raw", Seq(s"cpu,host=h3 usage=3 ${t0 + 86400L * 1000000000L + 1}"))
+    assert(!tsdb.store.isClean("raw"))
+    tsdb.store.compact("raw")
+    assert(files(day1) == d1, "untouched day was rewritten")
+    assert(files(day2) != d2, "appended day was not rewritten")
+    assert(tsdb.store.isClean("raw"))
+    assert(tsdb.from("raw").toDF.count() == 3)
+    // a changed layout signature invalidates the skip: zorder sweep
+    // rewrites the stamped day too
+    tsdb.store.compact("raw", targetFiles = 2, zorder = true)
+    assert(files(day1) != d1, "layout change must force a rewrite")
+  }
+
+  test("a scoped fragmented sweep re-arms the clean marker when skipped partitions are stamped-clean") {
+    val tsdb = freshTsdb()
+    tsdb.writeLp("raw", Seq(s"cpu,host=h1 usage=1 $t0",
+      s"cpu,host=hx usage=9 ${t0 + 86400L * 1000000000L}"))
+    tsdb.store.compact("raw") // both days stamped
+    // fragment day1 with 5 more appends (same key → LWW shadowing too)
+    (0 until 5).foreach { i =>
+      tsdb.writeLp("raw", Seq(s"cpu,host=h1 usage=${i + 2} $t0"))
+    }
+    assert(!tsdb.store.isClean("raw"))
+    val swept = tsdb.store.compactFragmented("raw", maxFiles = 4)
+    assert(swept == Seq(s"dt=$day1"))
+    // day2 was skipped but is stamped-clean → the marker comes back
+    assert(tsdb.store.isClean("raw"))
+    assert(tsdb.fromRaw("raw").toDF.count() == 2) // LWW physically applied
+    assert(tsdb.from("raw").toDF
+      .filter(col("tags.host") === "h1").select("value_f").head.getDouble(0) == 6.0)
+  }
+
   test("writeSized scales file count with batch size") {
     val tsdb = freshTsdb()
     import spark.implicits._
