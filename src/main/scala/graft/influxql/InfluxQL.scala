@@ -638,6 +638,14 @@ object InfluxQL {
             ws(); expect(")")
             PAgg(AggProj(name.toLowerCase, f, param, None, dur, tagKey))
           }
+        } else if (peekStr("(")) {
+          // ident directly followed by '(' that is no known math fn or
+          // aggregate: name the offending spelling instead of failing
+          // later with a positional "expected FROM" (fuzz-found; the
+          // error-UX bar the Flux surface already meets)
+          if (Transforms.contains(name.toLowerCase))
+            fail(s"transform ${name.toLowerCase}() cannot appear inside an arithmetic expression")
+          else fail(s"unknown function '${name.toLowerCase}'")
         } else PField(name)
       }
     }

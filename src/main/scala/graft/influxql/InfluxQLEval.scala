@@ -506,8 +506,11 @@ object InfluxQLEval {
       case "mode" => mode(c)
       case "stddev" => stddev_samp(c)
       case "spread" => max(c) - min(c)
-      case "first" => min_by(c, col(timeCol))
-      case "last" => max_by(c, col(timeCol))
+      // struct(time, value) key: duplicate timestamps resolve to the
+      // smallest/largest VALUE deterministically under any partitioning
+      // (same documented divergence from table order as the Flux side)
+      case "first" => min_by(c, struct(col(timeCol), c))
+      case "last" => max_by(c, struct(col(timeCol), c))
       case "percentile" =>
         // only reachable INSIDE arithmetic expressions (the plain
         // projection path stages v1's nearest-rank selection); an
