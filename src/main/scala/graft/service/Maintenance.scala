@@ -61,7 +61,9 @@ final class Maintenance(store: BucketStore, periodSeconds: Long) {
     val dropped = store.enforceRetention(bucket)
     if (dropped.nonEmpty)
       log.info(s"retention: bucket '$bucket' dropped ${dropped.mkString(", ")}")
-    if (!store.isClean(bucket)) store.compact(bucket)
+    // keepExistingLayout: the sweep restores dedup-cleanliness without
+    // grinding deliberately Z-ordered/multi-file days back to defaults
+    if (!store.isClean(bucket)) store.compact(bucket, keepExistingLayout = true)
   }
 
   def stop(): Unit = exec.shutdownNow()

@@ -355,9 +355,16 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * footer-stats pruning actually compares. The rank table is
     * series-count-scale metadata, same class as the field-key caches.
     */
-  def compact(bucket: String, targetFiles: Int = 1, zorder: Boolean = false): Unit =
+  /** `keepExistingLayout = true` (the [[graft.service.Maintenance]]
+    * mode) skips any partition with a valid stamp in ANY layout — the
+    * sweep wants dedup-cleanliness, and must not grind a deliberately
+    * Z-ordered or multi-file day back to the default layout each cycle.
+    */
+  def compact(bucket: String, targetFiles: Int = 1, zorder: Boolean = false,
+      keepExistingLayout: Boolean = false): Unit =
     writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
-      compactLocked(bucket, targetFiles, zorder)
+      compactLocked(bucket, targetFiles, zorder,
+        keepExistingLayout = keepExistingLayout)
     }
 
   /** Parquet part-file count of one day partition — the fragmentation
@@ -457,16 +464,18 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 
   private def compactLocked(bucket: String, targetFiles: Int,
       zorder: Boolean = false,
-      only: Option[Set[java.time.LocalDate]] = None): Unit = {
+      only: Option[Set[java.time.LocalDate]] = None,
+      keepExistingLayout: Boolean = false): Unit = {
     val path = catalog.bucketPath(bucket)
     // a previous sweep may have crashed mid-replace: restore/promote
     // first so partitions() sees every day, then rewrite them all —
     // "the next sweep completes compaction"
     recoverLocked(bucket)
     val sig = layoutSig(targetFiles, zorder)
+    val skipSig = if (keepExistingLayout) None else Some(sig)
     val all = partitions(bucket)
     all.filter(d => only.forall(_.contains(d)))
-      .filterNot(d => stampValid(path.resolve(s"dt=$d"), Some(sig)))
+      .filterNot(d => stampValid(path.resolve(s"dt=$d"), skipSig))
       .foreach { day =>
       val dir = path.resolve(s"dt=$day")
       val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)

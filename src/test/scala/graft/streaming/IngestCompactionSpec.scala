@@ -136,6 +136,14 @@ class IngestCompactionSpec extends SparkSpec {
     // rewrites the stamped day too
     tsdb.store.compact("raw", targetFiles = 2, zorder = true)
     assert(files(day1) != d1, "layout change must force a rewrite")
+    // … but the Maintenance mode (keepExistingLayout) respects a
+    // stamped layout of ANY signature: after a fresh write elsewhere,
+    // the sweep cleans the dirty day without undoing the z-order
+    val z1 = files(day1)
+    tsdb.writeLp("raw", Seq(s"cpu,host=h9 usage=9 ${t0 + 2 * 86400L * 1000000000L}"))
+    tsdb.store.compact("raw", keepExistingLayout = true)
+    assert(files(day1) == z1, "maintenance sweep must not grind the z-order layout")
+    assert(tsdb.store.isClean("raw"))
   }
 
   test("a scoped fragmented sweep re-arms the clean marker when skipped partitions are stamped-clean") {
