@@ -90,7 +90,12 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
       .getOrElse(throw graft.lineprotocol.LineProtocol.ParseError(
         precision, "invalid precision (want s|ms|us|ns)"))
     val df = graft.lineprotocol.LpIngest.parseStrict(lines, defaultTimeNs, spark, scale)
-    store.write(bucket, df)
+    // request-bounded and driver-local, so the size is known for free:
+    // land one file per ~1M points per day instead of one per default-
+    // parallelism slice (32 near-empty files per small HTTP write —
+    // the same small-file discipline as the streaming writeSized path)
+    val parts = math.max(1, (lines.size / 1000000) + 1)
+    store.write(bucket, df.coalesce(parts))
   }
 }
 
