@@ -171,6 +171,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def writeSized(bucket: String, points: DataFrame,
       rowsPerFile: Long = 1000000L): Long = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive, got $rowsPerFile")
+    // validate BEFORE the empty-batch early-out: a misconfigured sink
+    // must fail on its first (possibly empty) micro-batch, not after
+    // silently "succeeding" until data happens to arrive
+    if (catalog.bucket(bucket).isEmpty)
+      throw new IllegalArgumentException(s"unknown bucket '$bucket'")
     val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cached.count()
@@ -440,6 +445,23 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private def layoutSig(targetFiles: Int, zorder: Boolean) =
     s"v1 files=$targetFiles zorder=$zorder"
 
+  private val SigRe = """v1 files=(\d+) zorder=(true|false)""".r
+
+  /** The layout a partition's stamp records — readable even when the
+    * stamp's FILE SET is stale (the day was appended to): that is
+    * exactly the maintenance case, where the dirty day should be
+    * re-compacted in its OWN deliberate layout, not the sweep default.
+    */
+  private def stampedLayout(dir: java.nio.file.Path): Option[(Int, Boolean)] = {
+    val p = stampPath(dir)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n", 2).head match {
+      case SigRe(f, z) => Some((f.toInt, z.toBoolean))
+      case _ => None
+    }
+  }
+
   private def partState(dir: java.nio.file.Path): String =
     Option(dir.toFile.listFiles())
       .map(_.filter(f => f.isFile && f.getName.startsWith("part-"))
@@ -478,6 +500,14 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       .filterNot(d => stampValid(path.resolve(s"dt=$d"), skipSig))
       .foreach { day =>
       val dir = path.resolve(s"dt=$day")
+      // maintenance mode re-applies the day's own stamped layout, so
+      // an APPENDED z-ordered day is re-z-ordered, not ground back to
+      // the sweep default (the layout signature is readable even when
+      // the stamp's file set went stale)
+      val (dayFiles, dayZorder) =
+        if (keepExistingLayout) stampedLayout(dir).getOrElse((targetFiles, zorder))
+        else (targetFiles, zorder)
+      val daySig = layoutSig(dayFiles, dayZorder)
       val df = spark.read.schema(rawSchema.add("dt_ignored", "date")).parquet(dir.toString)
         .drop("dt_ignored")
       val w = Window
@@ -485,7 +515,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
         .orderBy(col(SeqCol).desc)
       val deduped = df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       val laid =
-        if (zorder && targetFiles > 1) {
+        if (dayZorder && dayFiles > 1) {
           // series ranks: distinct (measurement, field) pairs, ordered —
           // series-count-scale metadata to the driver (the fieldKeys/
           // fieldTypes collect class), broadcast back as a rank table
@@ -503,19 +533,19 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
               0.0, math.max(series.length - 1, 1).toDouble),
             graft.llmops.LayoutOps.quantizeMinMax(col("time_ns"),
               dayStart.toDouble, (dayStart + dayNs).toDouble),
-            targetFiles)
+            dayFiles)
             .drop("_srank", "_zvalue")
             .select(df.columns.map(col): _*) // original column order
         } else deduped
           .sortWithinPartitions("measurement", "field", "time_ns") // cluster for scan locality
-          .coalesce(targetFiles)
+          .coalesce(dayFiles)
       val tmp = path.resolve(s".tmp-compact-dt=$day")
       laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       replaceDir(dir, tmp)
       // stamp AFTER promote: a crash in between leaves the partition
       // unstamped → treated dirty → re-rewritten by the next sweep
       java.nio.file.Files.write(stampPath(dir),
-        (sig + "\n" + partState(dir)).getBytes(
+        (daySig + "\n" + partState(dir)).getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
     }
     // every key now has exactly one row in every partition whose stamp

@@ -14,7 +14,17 @@ import org.apache.spark.sql.types.{DateType, LongType, StructType}
   *
   * Semantics & scale:
   *  - the source is the bucket's parquet directory as a file stream —
-  *    ingest appends become micro-batches, no second queue needed;
+  *    ingest appends become micro-batches, no second queue needed.
+  *    COMPACTION CONSTRAINT: a FileStreamSource tracks seen file
+  *    PATHS, so the source bucket must not be compacted while this
+  *    task runs (rewritten files re-surface as new → double counts;
+  *    retired files break pending batches). Run the ingest into a
+  *    tailed bucket with `compactEvery = 0` and exclude the bucket
+  *    from the Maintenance cycle, compacting at task pause points —
+  *    the hot/cold shard discipline of the pinned engine's TSM
+  *    compactor. (The assembled engine's scheduled Flux tasks re-run
+  *    as BATCH queries per schedule and are compaction-safe; this
+  *    constraint applies only to the file-tail twin.)
   *  - watermark bounds state: windows older than `lateness` are evicted.
   *    InfluxDB tasks simply re-run over a `range()` — unbounded
   *    lateness — so we run in update mode and version each window

@@ -73,7 +73,11 @@ object StreamDedup {
     */
   private[graft] def pairCost(newEx: DataFrame, idxDf: DataFrame,
       maxDf: Int): DataFrame =
-    newEx.groupBy("shingle").agg(count(lit(1)).as("_db"))
+    // the batch-side aggregate is O(batch-shingles) and broadcasts, so
+    // `idxDf` — which may be the FULL domain-sized state table on the
+    // in-memory incremental path — streams through a broadcast-hash
+    // join instead of being shuffled per trigger
+    broadcast(newEx.groupBy("shingle").agg(count(lit(1)).as("_db")))
       .join(idxDf.filter(col("df") <= maxDf)
         .select(col("shingle"), col("df").as("_di")), "shingle")
       .select(col("shingle"), (col("_db") * col("_di")).as("_cost"))
@@ -85,10 +89,14 @@ object StreamDedup {
     */
   private def budgetNewEx(newEx: DataFrame, idxDf: DataFrame, maxDf: Int,
       pairBudget: Long, path: String): DataFrame = {
-    val cost = pairCost(newEx, idxDf, maxDf).localCheckpoint()
-    val total = cost.agg(coalesce(sum("_cost"), lit(0L))).head.getLong(0)
+    // healthy path = ONE job (the metadata-scale sum); the cost table
+    // is only materialized on the rare over-budget path, where its
+    // O(batch-shingles) recompute feeds the cumulative trim
+    val total = pairCost(newEx, idxDf, maxDf)
+      .agg(coalesce(sum("_cost"), lit(0L))).head.getLong(0)
     if (total <= pairBudget) newEx
     else {
+      val cost = pairCost(newEx, idxDf, maxDf).localCheckpoint()
       // single-task cumulative sum over O(batch-shingles) rows —
       // micro-batch-bounded, and only paid on the already-degraded path
       val w = org.apache.spark.sql.expressions.Window

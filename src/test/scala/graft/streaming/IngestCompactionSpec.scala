@@ -144,6 +144,19 @@ class IngestCompactionSpec extends SparkSpec {
     tsdb.store.compact("raw", keepExistingLayout = true)
     assert(files(day1) == z1, "maintenance sweep must not grind the z-order layout")
     assert(tsdb.store.isClean("raw"))
+    // and when the z-ordered day ITSELF is appended to, the sweep
+    // re-compacts it in its OWN stamped layout, not the sweep default
+    def stampSig(day: java.time.LocalDate): String = {
+      val p = tsdb.catalog.bucketPath("raw").resolve(s"dt=$day").resolve("_COMPACTED")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").split("\n", 2).head
+    }
+    assert(stampSig(day1) == "v1 files=2 zorder=true")
+    tsdb.writeLp("raw", Seq(s"cpu,host=hz usage=7 ${t0 + 123}"))
+    tsdb.store.compact("raw", keepExistingLayout = true)
+    assert(stampSig(day1) == "v1 files=2 zorder=true",
+      "appended z-ordered day must be re-compacted in its stamped layout")
+    assert(tsdb.store.isClean("raw"))
+    assert(tsdb.from("raw").toDF.count() == 5)
   }
 
   test("a scoped fragmented sweep re-arms the clean marker when skipped partitions are stamped-clean") {

@@ -137,11 +137,15 @@ def main(sf_dir, out_dir):
     # only CPU this process burned (summed across DuckDB's threads), so
     # a host steal burst cannot trip it, while a combinatorial oracle
     # regression (accidental cross join, un-materialized CTE chain)
-    # burns real CPU and does. Default 900 s ≈ 10× the wall budget —
-    # far above the multithreaded-DuckDB CPU of a healthy suite run,
-    # far below a genuinely quadratic one.
+    # burns real CPU and does. Summed thread-CPU scales with core count
+    # (DuckDB parallelizes per query), so the default budget scales
+    # with it too: 900 s on the 32-core reference host (~6x headroom
+    # over the ~140 s a healthy full suite burns there), pro-rated for
+    # other hosts so a wider box cannot false-fail a green run.
     total_cpu = sum(oracle_cpu.values())
-    cpu_budget = float(os.environ.get("GRAFT_ORACLE_CPU_BUDGET_SECS", "900"))
+    cores = os.cpu_count() or 32
+    cpu_budget = float(os.environ.get(
+        "GRAFT_ORACLE_CPU_BUDGET_SECS", str(900 * max(1.0, cores / 32.0))))
     slow_cpu = sorted(oracle_cpu.items(), key=lambda kv: -kv[1])[:5]
     print(f"oracle suite CPU: {total_cpu:.1f}s (hard budget {cpu_budget:.0f}s); "
           "top: " + ", ".join(f"{k}={v:.1f}s" for k, v in slow_cpu))
