@@ -82,10 +82,16 @@ object Main {
 
     ingestDir match {
       case Some(dir) =>
+        // small-file cadence knobs (see StreamIngest.start): 0 disables
+        // the sweep — REQUIRED if a file-stream consumer tails the
+        // ingest bucket live (DownsampleTask scaladoc)
         val q = new StreamIngest(tsdb).start(
           config.bucket, spark.readStream.textFile(dir),
           s"$warehouse/_checkpoints/ingest",
-          Trigger.ProcessingTime("10 seconds"))
+          Trigger.ProcessingTime("10 seconds"),
+          compactEvery = sys.env.getOrElse("GRAFT_INGEST_COMPACT_EVERY", "8").toInt,
+          maxFilesPerPartition =
+            sys.env.getOrElse("GRAFT_INGEST_MAX_FILES", "16").toInt)
         q.awaitTermination() // Spark stays up for the API while ingesting
       case None if api.nonEmpty =>
         // keep-alive: serve /api/v2 until killed (the reference blocks on
