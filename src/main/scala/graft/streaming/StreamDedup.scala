@@ -338,32 +338,69 @@ object StreamDedup {
       * point: the df view is a sum, invariant under folding, and the
       * two logs carry no cross-directory invariant beyond it.
       *
-      * CADENCE CONSTRAINT: run only at a point where the PREVIOUS
-      * batch's checkpoint has committed (start of a trigger, or
-      * between triggers) — folding erases generation identity, so a
-      * replay of a batch whose append was folded would self-match (the
-      * [[fps]] exclusion can no longer carve it out).
+      * REPLAY CONSTRAINT: folding erases generation identity, so a
+      * generation that might still be REPLAYED (a crashed append of
+      * the in-flight batch) must not fold — the [[fps]] exclusion
+      * could no longer carve it out and the replay would self-match.
+      * `keepFrom = Some(B)` folds only generations with id < B and
+      * carries any `b >= B` dirs through the swap untouched: at the
+      * start of processing batch B every generation < B has a
+      * committed checkpoint behind it, so [[sink]] compacts with
+      * `keepFrom = batchId` and is replay-safe with no external
+      * coordination. A bare `compact()` keeps the old contract (fold
+      * everything; caller guarantees no replay is possible).
       */
-    def compact(targetFiles: Int = 1): Unit = {
-      swapWith(dfDir, dfView().select(col("shingle"), col("df").as("d"))
-        .coalesce(targetFiles))
-      swapWith(fpsDir, fps().coalesce(targetFiles))
+    def compact(targetFiles: Int = 1, keepFrom: Option[Long] = None): Unit = {
+      val keep = (raw: DataFrame) =>
+        keepFrom.map(b => raw.filter(col("b") < b)).getOrElse(raw).drop("b")
+      val dfFolded = {
+        recover(dfDir)
+        keep(spark.read.parquet(dfDir.toString))
+          .groupBy("shingle").agg(sum("d").as("d"))
+          .coalesce(targetFiles)
+      }
+      swapWith(dfDir, dfFolded, keepFrom)
+      val fpsFolded = {
+        recover(fpsDir)
+        keep(spark.read.parquet(fpsDir.toString)).coalesce(targetFiles)
+      }
+      swapWith(fpsDir, fpsFolded, keepFrom)
     }
 
-    /** Write `folded` as the new single `b=-1` generation of `target`
-      * via tmp + two renames (BucketStore.replaceDir's protocol).
+    /** Write `folded` as the new `b=-1` generation of `target` via tmp
+      * + two renames (BucketStore.replaceDir's protocol); generations
+      * `b >= keepFrom` are copied into the tmp before the swap so they
+      * survive with their identity (O(one batch) of small files).
       */
-    private def swapWith(target: java.nio.file.Path, folded: DataFrame): Unit = {
+    private def swapWith(target: java.nio.file.Path, folded: DataFrame,
+        keepFrom: Option[Long] = None): Unit = {
       val name = target.getFileName.toString
       val tmp = target.resolveSibling(s".tmp-$name")
       val old = target.resolveSibling(s".old-$name")
       deleteRecursively(tmp.toFile)
       folded.write.mode("overwrite").parquet(tmp.resolve("b=-1").toString)
+      for (b <- keepFrom; f <- Option(target.toFile.listFiles()).toSeq.flatten) {
+        val n = f.getName
+        if (n.startsWith("b=") && n.stripPrefix("b=").toLongOption.exists(_ >= b))
+          copyRecursively(f, tmp.resolve(n).toFile)
+      }
       java.nio.file.Files.write(tmp.resolve("_SWAP_READY"), Array.emptyByteArray)
       deleteRecursively(old.toFile)
       java.nio.file.Files.move(target, old)
       java.nio.file.Files.move(tmp, target)
       deleteRecursively(old.toFile)
+    }
+
+    private def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(c =>
+          copyRecursively(c, new java.io.File(dst, c.getName))))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
     }
 
     /** Heal an interrupted [[swapWith]] (one directory listing; no-op
@@ -440,6 +477,31 @@ object StreamDedup {
       kept.select(col(idCol).cast("long").as("id")), Seq("id")), batchId)
     kept
   }
+
+  /** Complete foreachBatch sink for MOR near-dedup: probe + append +
+    * the generation-compaction CADENCE, analogous to
+    * [[StreamIngest]]'s small-file sweep. Every `compactEvery`
+    * batches the index folds its committed generations (`keepFrom =
+    * batchId` — the in-flight batch's own possibly-replayed
+    * generation is carried through untouched, see
+    * [[NearDupMorIndex.compact]]), so a long-running stream holds
+    * O(compactEvery) generations instead of one per lifetime batch.
+    * The sweep runs at the START of a trigger, before the batch's own
+    * probe — the point where every earlier generation has a committed
+    * checkpoint behind it. `onKept` receives the surviving rows (the
+    * documents a pipeline would append to its corpus sink).
+    */
+  def nearDedupMorSink(idx: NearDupMorIndex, idCol: String, textCol: String,
+      onKept: DataFrame => Unit = _ => (),
+      compactEvery: Int = 16, targetFiles: Int = 1, minShared: Int = 15,
+      maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
+      pairBudget: Long = DefaultPairBudget): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        idx.compact(targetFiles, keepFrom = Some(batchId))
+      onKept(nearDedupBatchMor(batch.localCheckpoint(), idx, idCol, textCol,
+        batchId, minShared, maxDf, pairBudget))
+    }
 
   /** Exact-substring SCREEN for one micro-batch — the ingest-time form
     * of [[graft.llmops.DedupOps.substringSpans]]: the persisted corpus

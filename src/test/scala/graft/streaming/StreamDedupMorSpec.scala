@@ -153,6 +153,66 @@ class StreamDedupMorSpec extends SparkSpec {
     assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAfter1)
   }
 
+  test("keepFrom compaction folds committed generations, carries the in-flight one, and survives its replay") {
+    val dir = Files.createTempDirectory("graft-mor-keep").toString
+    val mor = new StreamDedup.NearDupMorIndex(spark, dir)
+    mor.seed(Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text"), "doc_id", "text")
+    (0L to 2L).foreach { b =>
+      StreamDedup.nearDedupBatchMor(
+        Seq((10L + b, run(200 + 100 * b.toInt, 240 + 100 * b.toInt, "c")))
+          .toDF("doc_id", "text"), mor, "doc_id", "text", batchId = b)
+    }
+    // batch 3's append lands (the crashed-after-append shape) …
+    val b3 = Seq((13L, run(600, 640, "d"))).toDF("doc_id", "text")
+    StreamDedup.nearDedupBatchMor(b3, mor, "doc_id", "text", batchId = 3L)
+    val fpsAll = mor.fps().orderBy("id").collect().toSeq
+    val dfAll = mor.dfView().orderBy("shingle").collect().toSeq
+    // … then the restart replays batch 3, whose sink cadence compacts
+    // with keepFrom = 3 FIRST: generations < 3 fold, b=3 survives
+    mor.compact(keepFrom = Some(3L))
+    def gens: Set[String] = new java.io.File(dir, "fps").listFiles()
+      .map(_.getName).filter(_.startsWith("b=")).toSet
+    assert(gens == Set("b=-1", "b=3"), gens.toString)
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsAll)
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAll)
+    // the replayed batch now probes the pre-batch state (b=3 excluded)
+    // and overwrites its own generation: state identical to no-crash
+    StreamDedup.nearDedupBatchMor(b3, mor, "doc_id", "text", batchId = 3L)
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsAll)
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAll)
+  }
+
+  test("sink cadence bounds the generation count across a 12-batch stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-mor-sink").toString
+    val mor = new StreamDedup.NearDupMorIndex(spark, dir)
+    mor.seed(Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text"), "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val keptIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cp-mor-sink").toString)
+      .foreachBatch(StreamDedup.nearDedupMorSink(mor, "doc_id", "text",
+        onKept = k => { keptIds ++= k.select("doc_id").as[Long].collect(); () },
+        compactEvery = 4))
+      .start()
+    (0 until 12).foreach { i =>
+      // one novel doc per batch, plus a replay of corpus doc 1 that
+      // must keep being doomed across compactions
+      mem.addData((100L + i, run(1000 + 10 * i, 1040 + 10 * i, s"n$i")),
+        (1L, run(1, 40, "a") + " replay"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(keptIds.toSet == (0 until 12).map(100L + _).toSet)
+    val gens = new java.io.File(dir, "fps").listFiles()
+      .map(_.getName).count(_.startsWith("b="))
+    // cadence bound: base + at most compactEvery un-folded generations
+    assert(gens <= 1 + 4, s"$gens generations survived a compactEvery=4 stream")
+    assert(mor.fps().select("id").as[Long].collect().sorted.toSeq ==
+      (1L +: (0 until 12).map(100L + _)).sorted)
+  }
+
   test("compaction crash points recover: torn rewrite rolls back, ready rewrite promotes") {
     import java.nio.file.{Files => JF, Paths}
     val dir = Files.createTempDirectory("graft-mor-crash").toString
