@@ -17,6 +17,13 @@ import org.apache.spark.sql.streaming.Trigger
   * Secrets Manager over IPC, src/retrieveInfluxDBSecrets.py).
   */
 object Main {
+  /** Env-var integer with a loud, NAMED failure — a malformed value
+    * must not kill startup with a bare NumberFormatException.
+    */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).map(v => v.trim.toIntOption.getOrElse(
+      sys.error(s"$name must be an integer, got '$v'"))).getOrElse(default)
+
   def main(args: Array[String]): Unit = {
     val warehouse = args.headOption.getOrElse("/tmp/graft-warehouse")
     val ingestDir = args.lift(1)
@@ -89,9 +96,8 @@ object Main {
           config.bucket, spark.readStream.textFile(dir),
           s"$warehouse/_checkpoints/ingest",
           Trigger.ProcessingTime("10 seconds"),
-          compactEvery = sys.env.getOrElse("GRAFT_INGEST_COMPACT_EVERY", "8").toInt,
-          maxFilesPerPartition =
-            sys.env.getOrElse("GRAFT_INGEST_MAX_FILES", "16").toInt)
+          compactEvery = envInt("GRAFT_INGEST_COMPACT_EVERY", 8),
+          maxFilesPerPartition = envInt("GRAFT_INGEST_MAX_FILES", 16))
         q.awaitTermination() // Spark stays up for the API while ingesting
       case None if api.nonEmpty =>
         // keep-alive: serve /api/v2 until killed (the reference blocks on

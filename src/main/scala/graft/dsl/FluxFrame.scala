@@ -263,7 +263,8 @@ final case class FluxFrame(
     */
   def window(every: String, period: String = null, offset: String = "0 seconds"): FluxFrame = {
     val p = if (period == null) every else period
-    val win = org.apache.spark.sql.functions.window(col(timeCol), p, every, offset)
+    val win = org.apache.spark.sql.functions.window(col(timeCol), p, every,
+      FluxFrame.normalizeOffset(offset, every))
     copy(
       df = df.withColumn("_w", win)
         .withColumn("_start", col("_w.start")).withColumn("_stop", col("_w.end")).drop("_w"),
@@ -327,10 +328,15 @@ final case class FluxFrame(
       fn: Column => Column,
       createEmpty: Boolean,
       as: String,
-      offset: String,
+      offset0: String,
       toLocal: Column => Column,
       toUtc: Column => Column
   ): FluxFrame = {
+    // Flux windows TILE, so any offset is equivalent to offset mod
+    // every (and Spark's window() hard-requires |start| < slide —
+    // `every: 1h, offset: 1h` threw instead of being the identity
+    // grid; metamorphic P2 caught it)
+    val offset = FluxFrame.normalizeOffset(offset0, every)
     val win = org.apache.spark.sql.functions.window(
       toLocal(col(timeCol)), every, every, offset)
     val aggCols = (keyCols :+ win.as("_w"))
@@ -1048,6 +1054,39 @@ object FluxFrame {
     */
   def of(df: DataFrame, time: String, value: String, series: String*): FluxFrame =
     FluxFrame(df, series, time, value)
+
+  private val IntervalRe = """\s*(-?\d+)\s+(\w+?)s?\s*""".r
+
+  /** Fixed-width interval string → microseconds (the unit vocabulary
+    * [[graft.flux.FluxEval]]'s `interval()` emits; weeks are fixed
+    * 7-day spans on this axis).
+    */
+  private def intervalUs(s: String): Long = s match {
+    case IntervalRe(n, unit) =>
+      val us = unit match {
+        case "microsecond" => 1L
+        case "millisecond" => 1000L
+        case "second" => 1000000L
+        case "minute" => 60L * 1000000
+        case "hour" => 3600L * 1000000
+        case "day" => 86400L * 1000000
+        case "week" => 7L * 86400 * 1000000
+        case other => throw new IllegalArgumentException(
+          s"unsupported interval unit '$other' in '$s'")
+      }
+      n.toLong * us
+    case other => throw new IllegalArgumentException(s"cannot parse interval '$other'")
+  }
+
+  /** Flux windows TILE, so any offset is congruent to offset mod every
+    * — normalize into [0, every) (floorMod handles negative offsets)
+    * because Spark's `window()` hard-requires |startTime| < slide.
+    */
+  private[dsl] def normalizeOffset(offset: String, every: String): String = {
+    val off = intervalUs(offset)
+    if (off == 0L) offset
+    else s"${java.lang.Math.floorMod(off, intervalUs(every))} microseconds"
+  }
 
   /** Calendar `every` spelling ("3 months") from the Flux front-end's
     * `1mo`/`1y` durations — fixed-width intervals never match.

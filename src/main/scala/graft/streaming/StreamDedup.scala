@@ -293,10 +293,20 @@ object StreamDedup {
       * self-matches every survivor, and overwrites the generation with
       * an empty kept set (the failure the replay spec pins).
       */
-    def fps(excludeBatch: Option[Long] = None): DataFrame = {
-      recover(fpsDir)
-      val raw = spark.read.parquet(fpsDir.toString)
-      excludeBatch.map(b => raw.filter(col("b") =!= b)).getOrElse(raw).drop("b")
+    def fps(excludeBatch: Option[Long] = None): DataFrame =
+      logView(fpsDir, excludeBatch, None)
+
+    /** The single heal-then-read path every consumer goes through:
+      * recovery, generation filters (partition-pruned), and the
+      * partition-column drop live HERE only.
+      */
+    private def logView(dir: java.nio.file.Path, excludeBatch: Option[Long],
+        keepBelow: Option[Long]): DataFrame = {
+      recover(dir)
+      var raw = spark.read.parquet(dir.toString)
+      excludeBatch.foreach(b => raw = raw.filter(col("b") =!= b))
+      keepBelow.foreach(b => raw = raw.filter(col("b") < b))
+      raw.drop("b")
     }
 
     /** Merge-on-read df view, scoped to `shingles` (broadcast
@@ -306,10 +316,7 @@ object StreamDedup {
       */
     def dfView(shingles: Option[DataFrame] = None,
         excludeBatch: Option[Long] = None): DataFrame = {
-      recover(dfDir)
-      val raw = spark.read.parquet(dfDir.toString)
-      val log = excludeBatch.map(b => raw.filter(col("b") =!= b))
-        .getOrElse(raw).drop("b")
+      val log = logView(dfDir, excludeBatch, None)
       val scoped = shingles match {
         case Some(s) => log.join(broadcast(s.select("shingle").distinct()),
           Seq("shingle"), "left_semi")
@@ -333,10 +340,12 @@ object StreamDedup {
 
     /** Cadence sweep: fold the df delta log to one row per shingle and
       * compact the fps generations to `targetFiles`, each published
-      * via the crash-safe two-rename swap. Off the hot path — every K
-      * batches, or nightly. Folding df first is safe at every crash
-      * point: the df view is a sum, invariant under folding, and the
-      * two logs carry no cross-directory invariant beyond it.
+      * via the crash-safe two-rename swap. Run every K batches
+      * ([[nearDedupMorSink]] does, inline at trigger start — see its
+      * cost note) or nightly from a maintenance timer. Folding df
+      * first is safe at every crash point: the df view is a sum,
+      * invariant under folding, and the two logs carry no
+      * cross-directory invariant beyond it.
       *
       * REPLAY CONSTRAINT: folding erases generation identity, so a
       * generation that might still be REPLAYED (a crashed append of
@@ -351,20 +360,13 @@ object StreamDedup {
       * everything; caller guarantees no replay is possible).
       */
     def compact(targetFiles: Int = 1, keepFrom: Option[Long] = None): Unit = {
-      val keep = (raw: DataFrame) =>
-        keepFrom.map(b => raw.filter(col("b") < b)).getOrElse(raw).drop("b")
-      val dfFolded = {
-        recover(dfDir)
-        keep(spark.read.parquet(dfDir.toString))
-          .groupBy("shingle").agg(sum("d").as("d"))
-          .coalesce(targetFiles)
-      }
-      swapWith(dfDir, dfFolded, keepFrom)
-      val fpsFolded = {
-        recover(fpsDir)
-        keep(spark.read.parquet(fpsDir.toString)).coalesce(targetFiles)
-      }
-      swapWith(fpsDir, fpsFolded, keepFrom)
+      swapWith(dfDir,
+        logView(dfDir, None, keepBelow = keepFrom)
+          .groupBy("shingle").agg(sum("d").as("d")).coalesce(targetFiles),
+        keepFrom)
+      swapWith(fpsDir,
+        logView(fpsDir, None, keepBelow = keepFrom).coalesce(targetFiles),
+        keepFrom)
     }
 
     /** Write `folded` as the new `b=-1` generation of `target` via tmp
@@ -490,10 +492,18 @@ object StreamDedup {
     * probe — the point where every earlier generation has a committed
     * checkpoint behind it. `onKept` receives the surviving rows (the
     * documents a pipeline would append to its corpus sink).
+    *
+    * Cost honesty: the sweep rewrites the whole index inline, so the
+    * amortized per-batch cost is O(index / compactEvery) — the same
+    * rewrite-per-K shape as [[StreamIngest]]'s bucket sweep, paid for
+    * bounded generation counts and a fast probe scan. At a large
+    * index, raise `compactEvery` (the cost scales down linearly) and
+    * keep `targetFiles` at a parallel default — a single-file fold
+    * would funnel the whole index through one task.
     */
   def nearDedupMorSink(idx: NearDupMorIndex, idCol: String, textCol: String,
       onKept: DataFrame => Unit = _ => (),
-      compactEvery: Int = 16, targetFiles: Int = 1, minShared: Int = 15,
+      compactEvery: Int = 16, targetFiles: Int = 8, minShared: Int = 15,
       maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
       pairBudget: Long = DefaultPairBudget): (DataFrame, Long) => Unit =
     (batch, batchId) => {

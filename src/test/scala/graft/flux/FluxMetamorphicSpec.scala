@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * so every sum is exact — no FP-order tolerance anywhere.
   *
   *  P1 filter partition:   sum(p) + sum(!p) = sum()           (40 random predicates)
-  *  P2 window partition:   Σ window sums = series total       (40 random widths/offsets)
+  *  P2 window partition:   Σ window sums = series total       (40 random widths AND offsets)
   *  P3 count preservation: map/timeShift/sort keep the count  (40 random chains)
   *  P4 limit contract:     |sort |> limit(n)| = min(n, rows)  (40 random n)
   *  P5 group conservation: Σ per-tag sums = global sum        (40 random tag splits)
@@ -76,16 +76,20 @@ class FluxMetamorphicSpec extends SparkSpec {
     }
   }
 
-  test("P2: window sums re-aggregate to the series total (40 random widths)") {
+  test("P2: window sums re-aggregate to the series total (40 random widths AND offsets)") {
     (0 until 40).foreach { i =>
-      val every = pick(Seq("1h", "2h", "3h", "6h", "12h", "1d"))
+      val every = pick(Seq("1h", "2h", "3h", "4h", "5h", "6h", "7h", "8h", "12h", "1d"))
+      // non-zero offsets shift every window boundary — the classic
+      // boundary-drift bug class this property exists to catch
+      val off = pick(Seq("", s", offset: ${next(Gen.chooseNum(1, 5))}h",
+        ", offset: 30m"))
       val agged = run(
         s"""from(bucket: "b")
            ||> range(start: 2024-01-07T00:00:00Z, stop: 2024-01-12T00:00:00Z)
-           ||> aggregateWindow(every: $every, fn: sum, createEmpty: false)""".stripMargin)
+           ||> aggregateWindow(every: $every$off, fn: sum, createEmpty: false)""".stripMargin)
       Seq("cpu", "mem").foreach { m =>
         assert(sums(agged)(m) == total(m),
-          s"P2[$i] every=$every: window sums diverge for $m")
+          s"P2[$i] every=$every$off: window sums diverge for $m")
       }
     }
   }

@@ -63,15 +63,22 @@ class StoreChaosSpec extends SparkSpec {
           case 7 => // clean compaction (random flavor)
             if (next(Gen.chooseNum(0, 1)) == 0) tsdb.store.compact("b")
             else tsdb.store.compactFragmented("b", maxFiles = 1)
-          case _ => // compaction killed at a random replaceDir window
-            tsdb.store.replaceCrashHook =
-              p => throw new RuntimeException(s"chaos kill at $p")
+          case _ => // compaction killed at a RANDOM replaceDir window:
+            // the k-th partition's retire/promote gap, so multi-day
+            // sweeps crash after a partial rewrite too, not only at
+            // their first partition
+            val killAt = next(Gen.chooseNum(0, 2))
+            var calls = 0
+            tsdb.store.replaceCrashHook = p => {
+              if (calls == killAt) throw new RuntimeException(s"chaos kill at $p")
+              calls += 1
+            }
             try intercept[RuntimeException] { tsdb.store.compact("b"); () }
             catch { case _: org.scalatest.exceptions.TestFailedException =>
-              () // nothing dirty to rewrite -> no crash window reached
+              () // fewer than killAt+1 dirty partitions -> no crash fired
             }
             finally tsdb.store.replaceCrashHook = _ => ()
-            check(s"op $op (crashed compact)")
+            check(s"op $op (compact crashed at window $killAt)")
         }
       }
       check("final op")
