@@ -348,6 +348,20 @@ object FluxQueries {
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("last_v"))
         .orderBy("_measurement", "wend")),
 
+    // offset-shifted window grid (r15): `offset: 5h` on 4h windows is
+    // congruent to 1h — the query deliberately exercises the
+    // mod-every normalization (Spark's window() rejects |start| >=
+    // slide, so an unnormalized 5h offset THREW; metamorphic P2
+    // found it). Oracle shifts DuckDB's bucket origin by the same 1h.
+    "flux_window_offset" -> ((s, dir) =>
+      FluxEval.run(
+        """from(bucket: "events")
+          ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          ||> aggregateWindow(every: 4h, offset: 5h, fn: sum)""".stripMargin,
+        source(s, dir))
+        .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("sum_v"))
+        .orderBy("_measurement", "wend")),
+
     // aggregateWindow(fn: count, createEmpty: true) — COUNT is the one
     // Flux aggregate defined on empty tables: spine windows with no
     // rows emit 0, not null (every other fn leaves the null)
@@ -715,6 +729,14 @@ object FluxQueries {
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
         |  round(arg_max(value, ts), 4) AS last_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "flux_window_offset" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '4 hours', ts, TIMESTAMP '1970-01-01 01:00:00')
+        |    + INTERVAL '4 hours' AS wend,
+        |  round(sum(value), 4) AS sum_v
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
