@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *  P3 count preservation: map/timeShift/sort keep the count  (40 random chains)
   *  P4 limit contract:     |sort |> limit(n)| = min(n, rows)  (40 random n)
   *  P5 group conservation: Σ per-tag sums = global sum        (40 random tag splits)
+  *  P6 transform inverse:  difference ∘ cumulativeSum = tail   (20 random scales)
+  *  P7 shift round-trip:   timeShift(d) ∘ timeShift(-d) = id   (20 random durations)
+  *  P8 derived aggregate:  spread = max − min                  (20 random pre-filters)
   */
 class FluxMetamorphicSpec extends SparkSpec {
   import spark.implicits._
@@ -115,6 +118,63 @@ class FluxMetamorphicSpec extends SparkSpec {
       val got = run(
         s"""from(bucket: "b") |> filter(fn: (r) => r._measurement == "cpu") |> $verb(n: $n)""").count()
       assert(got == math.min(n.toLong, n0), s"P4[$i] $verb(n: $n): got $got of $n0")
+    }
+  }
+
+  test("P6: difference() inverts cumulativeSum() — the transform pair round-trips (20 random scales)") {
+    // per series: cumulativeSum then difference reproduces every value
+    // after the first (difference drops the head row of each table)
+    val original = run("""from(bucket: "b") |> sort(columns: ["_time"])""")
+      .select("_measurement", "_time", "_value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    (0 until 20).foreach { i =>
+      val k = next(Gen.chooseNum(2, 9))
+      val round = run(
+        s"""from(bucket: "b")
+           ||> map(fn: (r) => ({ r with _value: r._value * $k.0 }))
+           ||> cumulativeSum() |> difference()""".stripMargin)
+        .select(col("_measurement"), col("_time"), col("_value").cast("long").as("v"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val direct = run(
+        s"""from(bucket: "b")
+           ||> map(fn: (r) => ({ r with _value: r._value * $k.0 }))""".stripMargin)
+        .select(col("_measurement"), col("_time"), col("_value").cast("long").as("v"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      // drop each series' first row (by time) from the direct side
+      val heads = direct.groupBy(_._1).view
+        .mapValues(_.minBy(_._2.getTime)).values.toSet
+      assert(round == direct.toSet -- heads, s"P6[$i] k=$k diverged")
+      // and row counts: one fewer per series
+      assert(round.size == direct.length - original.size)
+    }
+  }
+
+  test("P7: timeShift(d) then timeShift(-d) is the identity (20 random durations)") {
+    val base = run("""from(bucket: "b")""")
+      .select("_measurement", "_time", "_value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    (0 until 20).foreach { i =>
+      val d = next(Gen.chooseNum(1, 72))
+      val got = run(
+        s"""from(bucket: "b") |> timeShift(duration: ${d}h) |> timeShift(duration: -${d}h)""")
+        .select("_measurement", "_time", "_value").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+      assert(got == base, s"P7[$i] d=${d}h not an identity")
+    }
+  }
+
+  test("P8: spread() equals max() minus min() computed independently (20 random pre-filters)") {
+    (0 until 20).foreach { i =>
+      val th = next(Gen.chooseNum(0, 80))
+      val base = s"""from(bucket: "b") |> filter(fn: (r) => r._value >= $th.0)"""
+      def one(verb: String): Map[String, Double] =
+        run(s"$base |> $verb").collect()
+          .map(r => r.getAs[String]("_measurement") -> r.getAs[Double]("_value")).toMap
+      val (sp, mx, mn) = (one("spread()"), one("max()"), one("min()"))
+      mx.keys.foreach { m =>
+        assert(sp(m) == mx(m) - mn(m), s"P8[$i] th=$th: spread != max-min for $m")
+      }
     }
   }
 
