@@ -90,8 +90,16 @@ object AnnotatedCsv {
     ()
   }
 
+  /** The empty STRING is written as a quoted empty (`""`) so it stays
+    * distinguishable from a null's bare empty cell — the one place
+    * this dialect diverges from Go's encoding/csv (which writes both
+    * bare, making "" and null collapse on read); [[parse]] accepts
+    * either spelling, treating a bare empty cell as default/null and a
+    * quoted empty as the empty string.
+    */
   private def escape(s: String): String =
-    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+    if (s.isEmpty) "\"\""
+    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 
@@ -123,21 +131,22 @@ object AnnotatedCsv {
         s"csv.from: payload is ${text.length} bytes, over the " +
           s"spark.graft.csvFrom.maxBytes limit of $maxBytes — " +
           "load file-scale CSV with spark.read.csv and an explicit schema instead")
-    val recs = records(text).filterNot(r => r.length == 1 && r.head.isEmpty)
+    val recs = records(text)
+      .filterNot(r => r.length == 1 && r.head.v.isEmpty && !r.head.quoted)
     if (recs.isEmpty)
       throw new IllegalArgumentException("csv.from: empty annotated CSV")
-    val datatype = recs.find(_.head == "#datatype").getOrElse(
+    val datatype = recs.find(_.head.v == "#datatype").getOrElse(
       throw new IllegalArgumentException("csv.from: missing #datatype annotation"))
-    val header = recs.find(r => !r.head.startsWith("#")).getOrElse(
+    val header = recs.find(r => !r.head.v.startsWith("#")).getOrElse(
       throw new IllegalArgumentException("csv.from: missing header row"))
     // bookkeeping prefix: "",result,table — tolerate its absence so a
     // hand-written annotated CSV without the transport columns loads too
-    val dataStart = header.indexOf("table") match {
+    val dataStart = header.indexWhere(_.v == "table") match {
       case -1 => 0
       case i => i + 1
     }
-    val names = header.drop(dataStart)
-    val types = datatype.drop(dataStart).map {
+    val names = header.drop(dataStart).map(_.v)
+    val types = datatype.drop(dataStart).map(_.v).map {
       case "long" | "unsignedLong" => LongType
       case "double" => DoubleType
       case "boolean" => BooleanType
@@ -150,10 +159,13 @@ object AnnotatedCsv {
     // #default row: the dialect's per-column fill for EMPTY cells —
     // an empty cell takes the default (itself parsed by the column
     // type); only an empty default yields null
-    val defaults: Seq[String] = recs.find(_.head == "#default")
-      .map(_.drop(dataStart)).getOrElse(Nil)
-    def cell(raw0: String, t: DataType, j: Int): Any = {
-      val raw = if (raw0.nonEmpty) raw0 else defaults.lift(j).getOrElse("")
+    val defaults: Seq[String] = recs.find(_.head.v == "#default")
+      .map(_.drop(dataStart).map(_.v)).getOrElse(Nil)
+    def cell(c: Cell, t: DataType, j: Int): Any = {
+      // quoted empty = the empty STRING (never the default); a bare
+      // empty cell takes the column default, empty default -> null
+      if (c.v.isEmpty && c.quoted) return if (t == StringType) "" else null
+      val raw = if (c.v.nonEmpty) c.v else defaults.lift(j).getOrElse("")
       if (raw.isEmpty) null
       else t match {
         case LongType => raw.toLong
@@ -170,7 +182,7 @@ object AnnotatedCsv {
     // later tables have their own schema — silently coercing their
     // rows through the first table's schema surfaces as a baffling
     // NumberFormatException, so reject explicitly instead
-    if (body.exists(_.head.startsWith("#")))
+    if (body.exists(_.head.v.startsWith("#")))
       throw new IllegalArgumentException(
         "csv.from: payload contains a second annotated table (multi-table " +
           "responses are not supported here) — split the payload and load " +
@@ -178,7 +190,7 @@ object AnnotatedCsv {
     val rows = body
       .map { r =>
         org.apache.spark.sql.Row.fromSeq(names.indices.map { j =>
-          cell(if (dataStart + j < r.length) r(dataStart + j) else "", types(j), j)
+          cell(if (dataStart + j < r.length) r(dataStart + j) else Cell("", quoted = false), types(j), j)
         })
       }
     val schema = StructType(names.zip(types).map {
@@ -188,22 +200,29 @@ object AnnotatedCsv {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** One parsed field: the text plus whether it was quoted — a quoted
+    * empty (`""`) must stay distinguishable from an absent cell (see
+    * [[escape]]'s empty-string note).
+    */
+  private final case class Cell(v: String, quoted: Boolean)
+
   /** Char-level CSV record reader: quoted fields may contain commas,
     * doubled quotes, and raw CR/LF — exactly what [[escape]] produces.
     */
-  private def records(s: String): Seq[Seq[String]] = {
-    val out = Seq.newBuilder[Seq[String]]
+  private def records(s: String): Seq[Seq[Cell]] = {
+    val out = Seq.newBuilder[Seq[Cell]]
     val field = new StringBuilder
-    var fields = Seq.newBuilder[String]
+    var fields = Seq.newBuilder[Cell]
     var nFields = 0
     var inQ = false
     var quoted = false // current field was quoted (keeps "" as empty-but-present)
     var i = 0
     def endField(): Unit = {
-      fields += field.toString; nFields += 1; field.setLength(0); quoted = false
+      fields += Cell(field.toString, quoted); nFields += 1
+      field.setLength(0); quoted = false
     }
     def endRec(): Unit = {
-      endField(); out += fields.result(); fields = Seq.newBuilder[String]; nFields = 0
+      endField(); out += fields.result(); fields = Seq.newBuilder[Cell]; nFields = 0
     }
     while (i < s.length) {
       val c = s.charAt(i)
