@@ -131,8 +131,11 @@ object AnnotatedCsv {
         s"csv.from: payload is ${text.length} bytes, over the " +
           s"spark.graft.csvFrom.maxBytes limit of $maxBytes — " +
           "load file-scale CSV with spark.read.csv and an explicit schema instead")
+    // a single-cell empty record is a blank separator line (the table
+    // terminator) whether the producer quoted it or not — a lone `""`
+    // line must not be mistaken for a header or a phantom data row
     val recs = records(text)
-      .filterNot(r => r.length == 1 && r.head.v.isEmpty && !r.head.quoted)
+      .filterNot(r => r.length == 1 && r.head.v.isEmpty)
     if (recs.isEmpty)
       throw new IllegalArgumentException("csv.from: empty annotated CSV")
     val datatype = recs.find(_.head.v == "#datatype").getOrElse(
@@ -146,7 +149,10 @@ object AnnotatedCsv {
       case i => i + 1
     }
     val names = header.drop(dataStart).map(_.v)
-    val types = datatype.drop(dataStart).map(_.v).map {
+    // the #datatype row leads with its marker cell; when the payload
+    // has no transport columns (dataStart = 0) the marker must still
+    // be dropped or names/types misalign by one
+    val types = datatype.drop(math.max(dataStart, 1)).map(_.v).map {
       case "long" | "unsignedLong" => LongType
       case "double" => DoubleType
       case "boolean" => BooleanType
@@ -162,9 +168,16 @@ object AnnotatedCsv {
     val defaults: Seq[String] = recs.find(_.head.v == "#default")
       .map(_.drop(dataStart).map(_.v)).getOrElse(Nil)
     def cell(c: Cell, t: DataType, j: Int): Any = {
-      // quoted empty = the empty STRING (never the default); a bare
-      // empty cell takes the column default, empty default -> null
-      if (c.v.isEmpty && c.quoted) return if (t == StringType) "" else null
+      // A quoted empty on a STRING column is the empty string — that
+      // keeps [[write]]'s "" distinguishable from null on the round
+      // trip. On NON-string columns a quoted empty cannot mean a
+      // value, so it takes the column default like a bare cell does —
+      // otherwise a quote-everything producer (Python QUOTE_ALL; the
+      // Go dialect erases quotedness entirely) would silently turn
+      // every defaulted numeric cell into null. Residual ambiguity,
+      // documented: a QUOTE_ALL producer's defaulted STRING cells
+      // decode as "" rather than the default.
+      if (c.v.isEmpty && c.quoted && t == StringType) return ""
       val raw = if (c.v.nonEmpty) c.v else defaults.lift(j).getOrElse("")
       if (raw.isEmpty) null
       else t match {

@@ -44,6 +44,36 @@ class AnnotatedCsvFuzzSpec extends SparkSpec {
       case other => sys.error(other.toString)
     }
 
+  test("quote-everything producers: non-string quoted empties take the column default") {
+    // the Go dialect erases quotedness, so a QUOTE_ALL payload spells
+    // every defaulted cell "" — numeric columns must still default
+    val wire = "#datatype,string,long,double,string\r\n" +
+      "#group,false,false,false,false\r\n" +
+      "#default,_result,,\"9.5\",\"fallback\"\r\n" +
+      ",result,table,\"v\",\"s\"\r\n" +
+      "\"\",\"r\",\"0\",\"\",\"\"\r\n"
+    val row = AnnotatedCsv.parse(wire, spark).head
+    assert(row.getDouble(0) == 9.5, "numeric quoted empty must take the default")
+    assert(row.getString(1) == "", // documented residual ambiguity: string "" wins
+      "string quoted empty decodes as the empty string")
+  }
+
+  test("payloads without transport columns parse (the #datatype marker cell is dropped)") {
+    val wire = "#datatype,long,string\r\nn,s\r\n1,x\r\n"
+    val rows = AnnotatedCsv.parse(wire, spark).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L && rows.head.getString(1) == "x")
+  }
+
+  test("a lone quoted-empty line is a blank separator, not a header or phantom row") {
+    val wire = "#datatype,string,long,long\r\n" +
+      "\"\"\r\n" + // stray quoted-blank line between annotations and header
+      ",result,table,n\r\n" +
+      ",,0,7\r\n" +
+      "\"\"\r\n" // and as a trailing terminator
+    val rows = AnnotatedCsv.parse(wire, spark).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L)
+  }
+
   test("60 random frames round-trip write -> parse exactly") {
     (0 until 60).foreach { trial =>
       val types = Seq(StringType, LongType, DoubleType, BooleanType, TimestampType)
