@@ -139,9 +139,23 @@ object FluxEval {
           .getOrElse(throw EvalException(
             "csv.from(csv: \"…\") or csv.from(file: \"…\") expected"))
         val spark = org.apache.spark.sql.SparkSession.active
+        // optional result selection for multi-yield payloads: pick one
+        // entry of the decoded result-set map by name (same-schema
+        // blocks under that name union — a result is a stream of
+        // tables, not a single block)
         val df =
-          try graft.service.AnnotatedCsv.parse(text, spark)
-          catch { case e: IllegalArgumentException => throw EvalException(e.getMessage) }
+          try args.get("result").map(str0) match {
+            case None => graft.service.AnnotatedCsv.parse(text, spark)
+            case Some(rn) =>
+              val hits = graft.service.AnnotatedCsv.parseResults(text, spark)
+                .collect { case (n, d) if n == rn => d }
+              if (hits.isEmpty) throw EvalException(
+                s"csv.from: no result named '$rn' in the payload")
+              else if (hits.map(_.schema).distinct.lengthCompare(1) > 0)
+                throw EvalException(
+                  s"csv.from: result '$rn' spans blocks with different schemas")
+              else hits.reduce(_ unionAll _)
+          } catch { case e: IllegalArgumentException => throw EvalException(e.getMessage) }
         val timeCol = if (df.columns.contains("_time")) "_time" else df.columns.head
         val valueCol = if (df.columns.contains("_value")) "_value" else df.columns.last
         FluxFrame(df, Nil, timeCol, valueCol)

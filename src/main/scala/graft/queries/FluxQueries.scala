@@ -556,6 +556,34 @@ object FluxQueries {
         source(s, dir))
         .select(col("_measurement"), col("_time").as("wend"), r4(col("_value")).as("mean_v"))
         .orderBy("_measurement", "wend")
+    }),
+
+    // multi-table csv.from: a real 2.0.9 multi-yield response is two
+    // annotation sections with their OWN #datatype blocks (here mean →
+    // double, count → long, so the schemas genuinely differ); decode
+    // must expose the result-set map and let the script select each
+    // result by name — the r16 close of the last decode-fidelity corner
+    "flux_csv_multi" -> ((s, dir) => {
+      def run(fn: String) = FluxEval.run(
+        s"""from(bucket: "events")
+           ||> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+           ||> filter(fn: (r) => r._measurement == "click" or r._measurement == "view")
+           ||> aggregateWindow(every: 6h, fn: $fn)""".stripMargin,
+        source(s, dir))
+      val csv = graft.service.AnnotatedCsv.format(run("mean").toDF(), resultName = "means") +
+        graft.service.AnnotatedCsv.format(run("count").toDF(), resultName = "counts")
+      val embedded = "\"" + csv.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def pick(rn: String) = FluxEval.run(
+        s"""import "csv"
+           |csv.from(csv: $embedded, result: "$rn")""".stripMargin,
+        source(s, dir)).toDF()
+      val m = pick("means").select(col("_measurement"), col("_time").as("wend"),
+        r4(col("_value")).as("mean_v"))
+      val c = pick("counts").select(col("_measurement").as("cm"), col("_time").as("cw"),
+        col("_value").as("cnt_v"))
+      m.join(c, m("_measurement") === c("cm") && m("wend") === c("cw"))
+        .select(col("_measurement"), col("wend"), col("mean_v"), col("cnt_v"))
+        .orderBy("_measurement", "wend")
     })
   )
 
@@ -617,6 +645,17 @@ object FluxQueries {
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
         |  round(avg(value), 4) AS mean_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type IN ('click', 'view')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // both yields round-trip the direct queries exactly, so the oracle
+    // is the joined pair of direct aggregates
+    "flux_csv_multi" ->
+      """SELECT event_type AS _measurement,
+        |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
+        |  round(avg(value), 4) AS mean_v,
+        |  count(*) AS cnt_v
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND event_type IN ('click', 'view')

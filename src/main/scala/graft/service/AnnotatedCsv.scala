@@ -113,12 +113,43 @@ object AnnotatedCsv {
     * the pipeline operates on the data columns and the frame
     * re-synthesizes bookkeeping on output.
     *
+    * Multi-table payloads (a real 2.0.9 multi-`yield` response is
+    * several annotation sections, each with its own `#datatype`) are
+    * decoded per block: same-schema blocks union into one frame; a
+    * payload whose blocks carry DIFFERENT schemas is genuinely
+    * ambiguous as a single frame and rejects loudly, pointing at
+    * [[parseResults]] / `csv.from(result:)` to select one.
+    *
     * Decodes on the driver BY DESIGN: `csv.from(csv:)` payloads are
     * script-embedded strings (KBs — a script body), never corpus data;
     * file-scale CSV belongs to `spark.read.csv` with an explicit
     * schema.
     */
   def parse(text: String, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val rs = parseResults(text, spark)
+    if (rs.lengthCompare(1) == 0) rs.head._2
+    else if (rs.map(_._2.schema).distinct.lengthCompare(1) == 0)
+      rs.map(_._2).reduce(_ unionAll _)
+    else
+      throw new IllegalArgumentException(
+        "csv.from: payload contains multiple annotated tables with different " +
+          s"schemas (results: ${rs.map(_._1).mkString(", ")}) — select one with " +
+          "csv.from(csv: …, result: \"name\") or decode the result-set map " +
+          "with AnnotatedCsv.parseResults")
+  }
+
+  /** Decode a (possibly multi-table) annotated-CSV payload into Flux's
+    * result-set map: one `(resultName, frame)` entry per annotation
+    * block, in payload order. The result name comes from the block's
+    * `#default` row (the dialect's result default) or, when body rows
+    * carry an explicit `result` cell, the first such value; blocks
+    * without either decode as `_result`. Names are NOT deduplicated —
+    * a multi-yield script can emit two blocks under one name (same
+    * result, new schema); callers selecting by name union same-schema
+    * matches.
+    */
+  def parseResults(text: String,
+      spark: org.apache.spark.sql.SparkSession): Seq[(String, DataFrame)] = {
     // Driver-side decode needs a byte bound (mirrors the cosPairs
     // guard pattern): the payload is parsed single-threaded on the
     // driver inside the query path, so a pathological multi-MB body
@@ -131,16 +162,47 @@ object AnnotatedCsv {
         s"csv.from: payload is ${text.length} bytes, over the " +
           s"spark.graft.csvFrom.maxBytes limit of $maxBytes — " +
           "load file-scale CSV with spark.read.csv and an explicit schema instead")
-    // a single-cell empty record is a blank separator line (the table
-    // terminator) whether the producer quoted it or not — a lone `""`
-    // line must not be mistaken for a header or a phantom data row
+    // a one-cell UNQUOTED empty record is a blank separator line (the
+    // table terminator). A QUOTED one (`""`) is kept here: in a
+    // single-column string table it is a data row holding the empty
+    // string (the write→parse lossless claim extends to that shape);
+    // decodeBlock drops it as a stray separator only once the block's
+    // width proves it cannot be data.
     val recs = records(text)
-      .filterNot(r => r.length == 1 && r.head.v.isEmpty)
+      .filterNot(r => r.length == 1 && r.head.v.isEmpty && !r.head.quoted)
     if (recs.isEmpty)
       throw new IllegalArgumentException("csv.from: empty annotated CSV")
+    // block split: a new annotation row AFTER the current block's
+    // header/body opens the next table's section (new #datatype ⇒ new
+    // schema — the multi-yield wire shape)
+    val blocks = Seq.newBuilder[Seq[Seq[Cell]]]
+    var cur = Seq.newBuilder[Seq[Cell]]
+    var curN = 0
+    var seenBody = false
+    recs.foreach { r =>
+      val isAnn = r.head.v.startsWith("#")
+      if (isAnn && seenBody) {
+        blocks += cur.result(); cur = Seq.newBuilder; curN = 0; seenBody = false
+      }
+      if (!isAnn && !(r.length == 1 && r.head.v.isEmpty)) seenBody = true
+      cur += r; curN += 1
+    }
+    if (curN > 0) blocks += cur.result()
+    blocks.result().map(b => decodeBlock(b, spark))
+  }
+
+  /** Decode one annotation block (annotations + header + body rows)
+    * into its result name and frame.
+    */
+  private def decodeBlock(recs: Seq[Seq[Cell]],
+      spark: org.apache.spark.sql.SparkSession): (String, DataFrame) = {
     val datatype = recs.find(_.head.v == "#datatype").getOrElse(
       throw new IllegalArgumentException("csv.from: missing #datatype annotation"))
-    val header = recs.find(r => !r.head.v.startsWith("#")).getOrElse(
+    // the header is the first non-annotation record; a lone quoted
+    // empty cannot be a header (a single unnamed column is not a
+    // schema), so skip those while searching
+    val header = recs.find(r => !r.head.v.startsWith("#") &&
+        !(r.length == 1 && r.head.v.isEmpty)).getOrElse(
       throw new IllegalArgumentException("csv.from: missing header row"))
     // bookkeeping prefix: "",result,table — tolerate its absence so a
     // hand-written annotated CSV without the transport columns loads too
@@ -190,16 +252,12 @@ object AnnotatedCsv {
       }
     }
     val headerIdx = recs.indexOf(header)
+    // body rows; a lone `""` record is a data row ONLY when the table
+    // is genuinely one column wide (no transport prefix, single data
+    // column) — in any wider table it can only be a stray separator
+    val width = dataStart + names.length
     val body = recs.drop(headerIdx + 1)
-    // a SECOND annotation section signals a multi-table response whose
-    // later tables have their own schema — silently coercing their
-    // rows through the first table's schema surfaces as a baffling
-    // NumberFormatException, so reject explicitly instead
-    if (body.exists(_.head.v.startsWith("#")))
-      throw new IllegalArgumentException(
-        "csv.from: payload contains a second annotated table (multi-table " +
-          "responses are not supported here) — split the payload and load " +
-          "each table separately")
+      .filterNot(r => r.length == 1 && r.head.v.isEmpty && width > 1)
     val rows = body
       .map { r =>
         org.apache.spark.sql.Row.fromSeq(names.indices.map { j =>
@@ -210,7 +268,21 @@ object AnnotatedCsv {
       case (n, t) => StructField(n, t, nullable = true)
     })
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.asJava, schema)
+    val df = spark.createDataFrame(rows.asJava, schema)
+    // result name: the transport `result` column sits just before
+    // `table` (cell index dataStart - 2 when the prefix exists — the
+    // same index in body rows and in the #default row, whose marker
+    // occupies the header's unnamed leading cell); an explicit body
+    // value wins, else the #default entry, else `_result`
+    val resultName = {
+      val rIdx = dataStart - 2
+      def at(r: Seq[Cell]): Option[String] =
+        if (rIdx >= 0 && rIdx < r.length && r(rIdx).v.nonEmpty) Some(r(rIdx).v) else None
+      body.iterator.flatMap(at).nextOption()
+        .orElse(recs.find(_.head.v == "#default").flatMap(at))
+        .getOrElse("_result")
+    }
+    (resultName, df)
   }
 
   /** One parsed field: the text plus whether it was quoted — a quoted

@@ -74,6 +74,78 @@ class AnnotatedCsvFuzzSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 7L)
   }
 
+  test("single-column string table: a quoted-empty row survives the round trip") {
+    // the one-cell `""` record is data in a width-1 table (the r15
+    // carve-out, now fixed) — and still a separator in wider tables
+    val wire = "#datatype,string\r\ns\r\n\"\"\r\nx\r\n\r\n"
+    val rows = AnnotatedCsv.parse(wire, spark).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("", "x"),
+      "quoted-empty row must decode as the empty string in a 1-column table")
+    // unquoted blank line stays a separator even at width 1
+    val wire2 = "#datatype,string\r\ns\r\n\r\nx\r\n"
+    assert(AnnotatedCsv.parse(wire2, spark).collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("multi-table payload: parseResults exposes the result-set map; parse unions same-schema") {
+    import org.apache.spark.sql.DataFrame
+    def frame(rows: Seq[(String, Long)]): DataFrame = {
+      val schema = StructType(Seq(StructField("k", StringType), StructField("n", LongType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1), schema)
+    }
+    val a = frame(Seq(("x", 1L), ("y", 2L)))
+    val b = frame(Seq(("z", 3L)))
+    val two = AnnotatedCsv.format(a, resultName = "alpha") +
+      AnnotatedCsv.format(b, resultName = "beta")
+    val rs = AnnotatedCsv.parseResults(two, spark)
+    assert(rs.map(_._1) == Seq("alpha", "beta"))
+    assert(rs.head._2.collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+    assert(rs(1)._2.collect().map(_.getLong(1)).toSeq == Seq(3L))
+    // same schema across blocks → parse unions
+    assert(AnnotatedCsv.parse(two, spark).count() == 3)
+    // different schemas → loud ambiguity error naming the results
+    val c = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1.5)), 1),
+      StructType(Seq(StructField("v", DoubleType))))
+    val mixed = two + AnnotatedCsv.format(c, resultName = "gamma")
+    val e = intercept[IllegalArgumentException](AnnotatedCsv.parse(mixed, spark))
+    assert(e.getMessage.contains("alpha") && e.getMessage.contains("gamma"))
+  }
+
+  test("20 random multi-table payloads round-trip through parseResults") {
+    (0 until 20).foreach { trial =>
+      val types = Seq(StringType, LongType, DoubleType, BooleanType, TimestampType)
+      def randomFrame(): org.apache.spark.sql.DataFrame = {
+        val nCols = next(Gen.chooseNum(1, 6))
+        val fields = (0 until nCols).map { i =>
+          val name = if (next(Gen.chooseNum(0, 4)) == 0) s"c$i,odd\"name" else s"c$i"
+          StructField(name, types(next(Gen.chooseNum(0, types.size - 1))))
+        }
+        val rows = (0 until next(Gen.chooseNum(0, 8))).map { _ =>
+          Row.fromSeq(fields.map(f => randomValue(f.dataType)))
+        }
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), StructType(fields))
+      }
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        d.collect().map(_.toSeq.map {
+          case t: java.sql.Timestamp => t.toInstant
+          case x => x
+        }).toSeq.sortBy(_.mkString(""))
+      val frames = (0 until next(Gen.chooseNum(2, 4))).map(i => (s"r$i", randomFrame()))
+      val wire = frames.map { case (rn, df) =>
+        AnnotatedCsv.format(df, resultName = rn)
+      }.mkString
+      val rs = AnnotatedCsv.parseResults(wire, spark)
+      assert(rs.map(_._1) == frames.map(_._1), s"trial $trial: result names diverged")
+      frames.zip(rs).foreach { case ((rn, df), (_, back)) =>
+        assert(back.schema.fields.map(_.name).toSeq == df.schema.fields.map(_.name).toSeq,
+          s"trial $trial/$rn: column names diverged")
+        assert(canon(back) == canon(df),
+          s"trial $trial/$rn diverged; wire:\n${wire.take(1500)}")
+      }
+    }
+  }
+
   test("60 random frames round-trip write -> parse exactly") {
     (0 until 60).foreach { trial =>
       val types = Seq(StringType, LongType, DoubleType, BooleanType, TimestampType)
