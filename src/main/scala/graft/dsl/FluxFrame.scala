@@ -1055,27 +1055,35 @@ object FluxFrame {
   def of(df: DataFrame, time: String, value: String, series: String*): FluxFrame =
     FluxFrame(df, series, time, value)
 
-  private val IntervalRe = """\s*(-?\d+)\s+(\w+?)s?\s*""".r
+  private val IntervalTokenRe = """(-?\d+)\s*([A-Za-zµ]+)""".r
 
-  /** Fixed-width interval string → microseconds (the unit vocabulary
-    * [[graft.flux.FluxEval]]'s `interval()` emits; weeks are fixed
-    * 7-day spans on this axis).
+  /** Fixed-width interval string → microseconds. Accepts everything
+    * Spark's own `window()` interval grammar does for fixed units —
+    * compound spellings ("1 hour 30 minutes") sum, and the common
+    * abbreviations ("90 min", "2h", "500ms") resolve — because
+    * [[normalizeOffset]] sits IN FRONT of Spark's parser and must not
+    * reject offsets window() previously accepted. Weeks are fixed
+    * 7-day spans on this axis; calendar units (months/years) never
+    * reach here.
     */
-  private def intervalUs(s: String): Long = s match {
-    case IntervalRe(n, unit) =>
-      val us = unit match {
-        case "microsecond" => 1L
-        case "millisecond" => 1000L
-        case "second" => 1000000L
-        case "minute" => 60L * 1000000
-        case "hour" => 3600L * 1000000
-        case "day" => 86400L * 1000000
-        case "week" => 7L * 86400 * 1000000
+  private def intervalUs(s: String): Long = {
+    val toks = IntervalTokenRe.findAllMatchIn(s).toSeq
+    if (toks.isEmpty || IntervalTokenRe.replaceAllIn(s, "").exists(!_.isWhitespace))
+      throw new IllegalArgumentException(s"cannot parse interval '$s'")
+    toks.map { m =>
+      val us = m.group(2).toLowerCase match {
+        case "microsecond" | "microseconds" | "us" | "µs" => 1L
+        case "millisecond" | "milliseconds" | "ms" => 1000L
+        case "second" | "seconds" | "sec" | "secs" | "s" => 1000000L
+        case "minute" | "minutes" | "min" | "mins" | "m" => 60L * 1000000
+        case "hour" | "hours" | "hr" | "hrs" | "h" => 3600L * 1000000
+        case "day" | "days" | "d" => 86400L * 1000000
+        case "week" | "weeks" | "w" => 7L * 86400 * 1000000
         case other => throw new IllegalArgumentException(
           s"unsupported interval unit '$other' in '$s'")
       }
-      n.toLong * us
-    case other => throw new IllegalArgumentException(s"cannot parse interval '$other'")
+      m.group(1).toLong * us
+    }.sum
   }
 
   /** Flux windows TILE, so any offset is congruent to offset mod every

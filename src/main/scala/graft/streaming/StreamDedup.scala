@@ -63,6 +63,33 @@ object StreamDedup {
     */
   val DefaultPairBudget: Long = 64000000L
 
+  /** Exploded batch-side rows above which the probe STOPS broadcasting
+    * the batch (`newEx`) and lets the candidate join shuffle. A healthy
+    * micro-batch explodes to well under a million (shingle, id) rows
+    * and the broadcast keeps the corpus side un-shuffled; but a
+    * catch-up trigger (a file source without maxFilesPerTrigger, or an
+    * AvailableNow restart over a deep queue) can deliver a
+    * multi-million-row "micro"-batch, and an UNCONDITIONAL broadcast of
+    * it OOMs the driver. Past this bound the join degrades to a
+    * shuffle — same rows out, the corpus scan pays one exchange — and
+    * a loud stderr line names the batch size. 4M rows ≈ low hundreds of
+    * MB broadcast; the predicted size comes from one metadata-scale
+    * scan of the batch's (already checkpointed) fingerprint frame.
+    */
+  val DefaultBroadcastRows: Long = 4000000L
+
+  /** Broadcast `df` only when the measured batch side is under
+    * [[DefaultBroadcastRows]] — the guard every probe-side batch
+    * broadcast goes through.
+    */
+  private[graft] def hintIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
+  private def warnLargeBatch(path: String, rows: Long, bound: Long): Unit =
+    System.err.println(s"[graft] $path: batch explodes to $rows shingle rows " +
+      s"> broadcast bound $bound — probing with a shuffle join instead of a " +
+      "batch-side broadcast (results identical; see StreamDedup.DefaultBroadcastRows)")
+
   /** Predicted probe-join size per shingle — (shingle, _cost) with
     * _cost = df_idx·df_batch, restricted to the batch's non-hot
     * shingles (hot shingles are dropped by the probe's df cap and cost
@@ -72,12 +99,13 @@ object StreamDedup {
     * budget spec and the profiler.
     */
   private[graft] def pairCost(newEx: DataFrame, idxDf: DataFrame,
-      maxDf: Int): DataFrame =
+      maxDf: Int, batchSmall: Boolean = true): DataFrame =
     // the batch-side aggregate is O(batch-shingles) and broadcasts, so
     // `idxDf` — which may be the FULL domain-sized state table on the
     // in-memory incremental path — streams through a broadcast-hash
-    // join instead of being shuffled per trigger
-    broadcast(newEx.groupBy("shingle").agg(count(lit(1)).as("_db")))
+    // join instead of being shuffled per trigger; an oversized batch
+    // (see DefaultBroadcastRows) shuffles instead
+    hintIf(newEx.groupBy("shingle").agg(count(lit(1)).as("_db")), batchSmall)
       .join(idxDf.filter(col("df") <= maxDf)
         .select(col("shingle"), col("df").as("_di")), "shingle")
       .select(col("shingle"), (col("_db") * col("_di")).as("_cost"))
@@ -88,15 +116,15 @@ object StreamDedup {
     * metadata-scale sum — when the batch is healthy.
     */
   private def budgetNewEx(newEx: DataFrame, idxDf: DataFrame, maxDf: Int,
-      pairBudget: Long, path: String): DataFrame = {
+      pairBudget: Long, path: String, batchSmall: Boolean = true): DataFrame = {
     // healthy path = ONE job (the metadata-scale sum); the cost table
     // is only materialized on the rare over-budget path, where its
     // O(batch-shingles) recompute feeds the cumulative trim
-    val total = pairCost(newEx, idxDf, maxDf)
+    val total = pairCost(newEx, idxDf, maxDf, batchSmall)
       .agg(coalesce(sum("_cost"), lit(0L))).head.getLong(0)
     if (total <= pairBudget) newEx
     else {
-      val cost = pairCost(newEx, idxDf, maxDf).localCheckpoint()
+      val cost = pairCost(newEx, idxDf, maxDf, batchSmall).localCheckpoint()
       // single-task cumulative sum over O(batch-shingles) rows —
       // micro-batch-bounded, and only paid on the already-degraded path
       val w = org.apache.spark.sql.expressions.Window
@@ -107,7 +135,7 @@ object StreamDedup {
         s"predicted $total pair rows > budget $pairBudget; dropping the " +
         "densest shingles (shared counts can only shrink; see " +
         "StreamDedup.DefaultPairBudget)")
-      newEx.join(broadcast(kept), Seq("shingle"))
+      newEx.join(hintIf(kept, batchSmall), Seq("shingle"))
     }
   }
 
@@ -133,21 +161,27 @@ object StreamDedup {
   def nearDedupBatch(batch: DataFrame, corpusFps: DataFrame, idCol: String,
       textCol: String, minShared: Int = 15,
       maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
-      pairBudget: Long = DefaultPairBudget): DataFrame = {
+      pairBudget: Long = DefaultPairBudget,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     val newEx0 = TextOps.winnowFingerprints(batch, idCol, textCol)
       .select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
       .localCheckpoint()
+    // one count over the checkpointed explode decides every batch-side
+    // broadcast below (the backlog-catch-up OOM guard)
+    val exRows = newEx0.count()
+    val small = exRows <= broadcastRows
+    if (!small) warnLargeBatch("nearDedupBatch", exRows, broadcastRows)
     val corpEx = corpusFps
       .select(col("id").as("corpus_id"), explode(col("fps")).as("shingle"))
     val idxDf = corpEx
-      .join(broadcast(newEx0.select("shingle").distinct()), Seq("shingle"))
+      .join(hintIf(newEx0.select("shingle").distinct(), small), Seq("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .localCheckpoint()
-    val newEx = budgetNewEx(newEx0, idxDf, maxDf, pairBudget, "nearDedupBatch")
+    val newEx = budgetNewEx(newEx0, idxDf, maxDf, pairBudget, "nearDedupBatch", small)
     val hot = idxDf.filter(col("df") > maxDf).select("shingle")
     val doomed = corpEx
       .join(broadcast(hot), Seq("shingle"), "left_anti")
-      .join(broadcast(newEx), "shingle")
+      .join(hintIf(newEx, small), "shingle")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("new_id").as("_nd_id")).distinct()
@@ -188,13 +222,21 @@ object StreamDedup {
   def nearDedupBatchIncremental(batch: DataFrame, idx: NearDupIndex,
       idCol: String, textCol: String, minShared: Int = 15,
       maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
-      pairBudget: Long = DefaultPairBudget): (DataFrame, NearDupIndex) = {
+      pairBudget: Long = DefaultPairBudget,
+      broadcastRows: Long = DefaultBroadcastRows): (DataFrame, NearDupIndex) = {
     val newFps = TextOps.winnowFingerprints(batch, idCol, textCol).localCheckpoint()
     val newEx0 = newFps.select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
+    // predicted exploded size — one metadata-scale scan of the
+    // checkpointed fingerprint frame, no explode or shuffle — gates
+    // every batch-side broadcast (the backlog-catch-up OOM guard)
+    val exRows = newFps.agg(coalesce(sum(size(col("fps"))).cast("long"), lit(0L)))
+      .head.getLong(0)
+    val small = exRows <= broadcastRows
+    if (!small) warnLargeBatch("nearDedupBatchIncremental", exRows, broadcastRows)
     // pair budget reads the STATE df table — an O(batch-shingles) join,
     // no corpus work (see DefaultPairBudget)
     val newEx = budgetNewEx(newEx0, idx.df, maxDf, pairBudget,
-      "nearDedupBatchIncremental")
+      "nearDedupBatchIncremental", small)
     // the df cap's hot set comes from STATE, not a per-batch aggregate;
     // it is tiny by construction (shingles with df > maxDf), so it
     // broadcasts onto the corpus scan
@@ -202,7 +244,7 @@ object StreamDedup {
     val doomed = idx.fps
       .select(col("id").as("corpus_id"), explode(col("fps")).as("shingle"))
       .join(broadcast(hot), Seq("shingle"), "left_anti")
-      .join(broadcast(newEx), "shingle")
+      .join(hintIf(newEx, small), "shingle")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("new_id").as("_nd_id")).distinct()
@@ -270,6 +312,26 @@ object StreamDedup {
     private val root = java.nio.file.Paths.get(dir)
     private val fpsDir = root.resolve("fps")
     private val dfDir = root.resolve("df")
+    // per-generation commit markers: a generation is visible to readers
+    // only once BOTH its fps and df appends landed and `commits/b=<id>`
+    // was stamped (the append's last step). A crash between the two log
+    // writes outside a Structured-Streaming replay used to leave df
+    // undercounted for that generation — a silent skew that under-fills
+    // the hot set and can over-doom later batches. With the marker a
+    // torn append is simply INVISIBLE (both views exclude it) until the
+    // caller re-runs the batchId, which overwrites both generations and
+    // stamps the commit.
+    private val commitsDir = root.resolve("commits")
+
+    private def stampCommit(b: Long): Unit = {
+      java.nio.file.Files.createDirectories(commitsDir)
+      java.nio.file.Files.write(commitsDir.resolve(s"b=$b"), Array.emptyByteArray)
+      ()
+    }
+
+    private def committedGens: Set[Long] =
+      Option(commitsDir.toFile.listFiles()).toSeq.flatten
+        .flatMap(f => f.getName.stripPrefix("b=").toLongOption).toSet
 
     private def dfDeltaOf(fpsRows: DataFrame): DataFrame =
       fpsRows.select(explode(col("fps")).as("shingle"))
@@ -282,6 +344,7 @@ object StreamDedup {
         .write.mode("overwrite").parquet(gen.toString)
       dfDeltaOf(spark.read.parquet(gen.toString))
         .write.mode("overwrite").parquet(dfDir.resolve("b=-1").toString)
+      stampCommit(-1L)
     }
 
     /** The fingerprint index — one scan per probe, never reshuffled.
@@ -304,6 +367,24 @@ object StreamDedup {
         keepBelow: Option[Long]): DataFrame = {
       recover(dir)
       var raw = spark.read.parquet(dir.toString)
+      // torn-append shield: generations present on disk but missing
+      // their commit marker are invisible (partition-pruned out). The
+      // list is empty in steady state; a legacy index without a
+      // commits/ dir treats everything as committed.
+      val torn =
+        if (!java.nio.file.Files.exists(commitsDir)) Seq.empty[Long]
+        else {
+          val committed = committedGens
+          Option(dir.toFile.listFiles()).toSeq.flatten
+            .flatMap(f => f.getName.stripPrefix("b=").toLongOption)
+            .filterNot(committed)
+        }
+      if (torn.nonEmpty) {
+        System.err.println(s"[graft] NearDupMorIndex: ignoring uncommitted " +
+          s"generation(s) ${torn.sorted.mkString(", ")} in $dir (torn append — " +
+          "re-run those batchIds to publish them)")
+        raw = raw.filter(!col("b").isInCollection(torn))
+      }
       excludeBatch.foreach(b => raw = raw.filter(col("b") =!= b))
       keepBelow.foreach(b => raw = raw.filter(col("b") < b))
       raw.drop("b")
@@ -315,10 +396,11 @@ object StreamDedup {
       * diagnostics); `excludeBatch` as in [[fps]].
       */
     def dfView(shingles: Option[DataFrame] = None,
-        excludeBatch: Option[Long] = None): DataFrame = {
+        excludeBatch: Option[Long] = None,
+        batchSmall: Boolean = true): DataFrame = {
       val log = logView(dfDir, excludeBatch, None)
       val scoped = shingles match {
-        case Some(s) => log.join(broadcast(s.select("shingle").distinct()),
+        case Some(s) => log.join(hintIf(s.select("shingle").distinct(), batchSmall),
           Seq("shingle"), "left_semi")
         case None => log
       }
@@ -336,6 +418,9 @@ object StreamDedup {
         .parquet(fpsDir.resolve(s"b=$batchId").toString)
       dfDeltaOf(keptFps).write.mode("overwrite")
         .parquet(dfDir.resolve(s"b=$batchId").toString)
+      // commit LAST: a crash anywhere above leaves the generation
+      // unstamped and therefore invisible — never half-counted
+      stampCommit(batchId)
     }
 
     /** Cadence sweep: fold the df delta log to one row per shingle and
@@ -367,6 +452,13 @@ object StreamDedup {
       swapWith(fpsDir,
         logView(fpsDir, None, keepBelow = keepFrom).coalesce(targetFiles),
         keepFrom)
+      // folded generations no longer exist on disk — retire their
+      // markers (b=-1 stays committed; carried b >= keepFrom keep
+      // theirs). A crash before this cleanup leaves stale markers for
+      // absent dirs, which readers never consult — harmless.
+      val bound = keepFrom.getOrElse(Long.MaxValue)
+      committedGens.filter(b => b >= 0 && b < bound).foreach(b =>
+        java.nio.file.Files.deleteIfExists(commitsDir.resolve(s"b=$b")))
     }
 
     /** Write `folded` as the new `b=-1` generation of `target` via tmp
@@ -456,20 +548,28 @@ object StreamDedup {
   def nearDedupBatchMor(batch: DataFrame, idx: NearDupMorIndex,
       idCol: String, textCol: String, batchId: Long, minShared: Int = 15,
       maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
-      pairBudget: Long = DefaultPairBudget): DataFrame = {
+      pairBudget: Long = DefaultPairBudget,
+      broadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     val newFps = TextOps.winnowFingerprints(batch, idCol, textCol).localCheckpoint()
     val newEx0 = newFps.select(col("id").as("new_id"), explode(col("fps")).as("shingle"))
+    // predicted exploded size — one metadata-scale scan of the
+    // checkpointed fingerprint frame — gates every batch-side broadcast
+    // below (the backlog-catch-up OOM guard)
+    val exRows = newFps.agg(coalesce(sum(size(col("fps"))).cast("long"), lit(0L)))
+      .head.getLong(0)
+    val small = exRows <= broadcastRows
+    if (!small) warnLargeBatch("nearDedupBatchMor", exRows, broadcastRows)
     // batch-scoped df: one filtered log scan, O(batch) rows out; the
     // batch's OWN generation is excluded so a replay probes the exact
     // pre-batch state (idempotency — see NearDupMorIndex scaladoc)
-    val idxDf = idx.dfView(Some(newEx0), excludeBatch = Some(batchId))
-      .localCheckpoint()
-    val newEx = budgetNewEx(newEx0, idxDf, maxDf, pairBudget, "nearDedupBatchMor")
+    val idxDf = idx.dfView(Some(newEx0), excludeBatch = Some(batchId),
+      batchSmall = small).localCheckpoint()
+    val newEx = budgetNewEx(newEx0, idxDf, maxDf, pairBudget, "nearDedupBatchMor", small)
     val hot = idxDf.filter(col("df") > maxDf).select("shingle")
     val doomed = idx.fps(excludeBatch = Some(batchId))
       .select(col("id").as("corpus_id"), explode(col("fps")).as("shingle"))
       .join(broadcast(hot), Seq("shingle"), "left_anti")
-      .join(broadcast(newEx), "shingle")
+      .join(hintIf(newEx, small), "shingle")
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("new_id").as("_nd_id")).distinct()
@@ -505,12 +605,13 @@ object StreamDedup {
       onKept: DataFrame => Unit = _ => (),
       compactEvery: Int = 16, targetFiles: Int = 8, minShared: Int = 15,
       maxDf: Int = graft.llmops.DedupOps.DefaultMaxDf,
-      pairBudget: Long = DefaultPairBudget): (DataFrame, Long) => Unit =
+      pairBudget: Long = DefaultPairBudget,
+      broadcastRows: Long = DefaultBroadcastRows): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         idx.compact(targetFiles, keepFrom = Some(batchId))
       onKept(nearDedupBatchMor(batch.localCheckpoint(), idx, idCol, textCol,
-        batchId, minShared, maxDf, pairBudget))
+        batchId, minShared, maxDf, pairBudget, broadcastRows))
     }
 
   /** Exact-substring SCREEN for one micro-batch — the ingest-time form

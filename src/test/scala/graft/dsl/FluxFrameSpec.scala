@@ -93,6 +93,26 @@ class FluxFrameSpec extends SparkSpec {
     intercept[IllegalArgumentException](f.aggregateWindow("1 months", sum, createEmpty = true))
   }
 
+  test("window offset accepts compound and abbreviated interval spellings") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1.0), ("a", ts("2024-01-01 00:40:00"), 2.0),
+      ("a", ts("2024-01-01 01:10:00"), 4.0), ("a", ts("2024-01-01 01:40:00"), 8.0))
+    val f = FluxFrame(rows.toDF("m", "ts", "v"), Seq("m"), "ts", "v")
+    def sums(offset: String): Seq[Double] =
+      f.aggregateWindow("1 hour", sum, as = "s", offset = offset).toDF
+        .orderBy("ts").select("s").as[Double].collect().toSeq
+    val canonical = sums("30 minutes")
+    assert(canonical == Seq(1.0, 6.0, 8.0)) // 30m-shifted hour tiles
+    // offsets congruent mod every, in spellings Spark's window() itself
+    // accepts, must all normalize to the same tiling
+    assert(sums("1 hour 30 minutes") == canonical)
+    assert(sums("90 min") == canonical)
+    assert(sums("30m") == canonical)
+    assert(sums("-30 minutes") == canonical) // floorMod: -30m ≡ 30m (mod 1h)
+    intercept[IllegalArgumentException](f.aggregateWindow("1 hour", sum, offset = "half past"))
+  }
+
   test("interpolateLinear inserts midpoints on the grid") {
     val rows = Seq(
       ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0),

@@ -213,6 +213,86 @@ class StreamDedupMorSpec extends SparkSpec {
       (1L +: (0 until 12).map(100L + _)).sorted)
   }
 
+  test("torn append is invisible, not skewed: unstamped generations are excluded until re-run") {
+    import java.nio.file.{Files => JF, Paths}
+    val dir = Files.createTempDirectory("graft-mor-torn").toString
+    val mor = new StreamDedup.NearDupMorIndex(spark, dir)
+    mor.seed(Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text"), "doc_id", "text")
+    val b0 = Seq((11L, run(200, 240, "c"))).toDF("doc_id", "text")
+    StreamDedup.nearDedupBatchMor(b0, mor, "doc_id", "text", batchId = 0L)
+    val fpsAfter0 = mor.fps().orderBy("id").collect().toSeq
+    val dfAfter0 = mor.dfView().orderBy("shingle").collect().toSeq
+
+    // batch 1 lands fully, then we re-stage its two crash shapes
+    val b1 = Seq((12L, run(300, 340, "d"))).toDF("doc_id", "text")
+    StreamDedup.nearDedupBatchMor(b1, mor, "doc_id", "text", batchId = 1L)
+    val fpsAfter1 = mor.fps().orderBy("id").collect().toSeq
+    val dfAfter1 = mor.dfView().orderBy("shingle").collect().toSeq
+    assert(fpsAfter1 != fpsAfter0) // batch 1 really contributed
+
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+      f.delete(); ()
+    }
+    // crash shape A: fps written, df NOT, no commit marker — the shape
+    // that used to under-count df and silently skew later batches
+    JF.deleteIfExists(Paths.get(dir, "commits", "b=1"))
+    rmRec(Paths.get(dir, "df", "b=1").toFile)
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsAfter0,
+      "an unstamped fps generation must be invisible to the fps view")
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAfter0,
+      "a torn append must not skew the df view")
+
+    // crash shape B: both logs written, marker NOT — still invisible
+    StreamDedup.nearDedupBatchMor(b1, mor, "doc_id", "text", batchId = 1L)
+    JF.deleteIfExists(Paths.get(dir, "commits", "b=1"))
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsAfter0)
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAfter0)
+
+    // re-running the batchId publishes it: state equals the no-crash run
+    StreamDedup.nearDedupBatchMor(b1, mor, "doc_id", "text", batchId = 1L)
+    assert(mor.fps().orderBy("id").collect().toSeq == fpsAfter1)
+    assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAfter1)
+  }
+
+  test("oversized batch takes the shuffle path — results identical, no batch-side broadcast hint") {
+    // the guard is pure routing: hintIf(_, small = false) must be the
+    // identity (no hint node enters the plan), and a probe forced off
+    // the broadcast path must keep/doom exactly the same documents
+    val d = Seq((1L, 2L)).toDF("new_id", "shingle")
+    assert(StreamDedup.hintIf(d, small = false) eq d)
+    assert(StreamDedup.hintIf(d, small = true) ne d)
+
+    val corpus = Seq((1L, run(1, 40, "a")), (2L, run(50, 90, "b")))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, run(1, 40, "a") + " replay tail"), // dup of corpus 1
+      (11L, run(200, 240, "c"))).toDF("doc_id", "text") // novel
+    val idx = graft.llmops.TextOps.winnowFingerprints(corpus, "doc_id", "text")
+      .localCheckpoint()
+    def keptWith(bound: Long) =
+      StreamDedup.nearDedupBatch(docs, idx, "doc_id", "text",
+        broadcastRows = bound).select("doc_id").as[Long].collect().toSet
+    assert(keptWith(0L) == keptWith(StreamDedup.DefaultBroadcastRows))
+    assert(keptWith(0L) == Set(11L))
+
+    // and the MOR sink end-to-end: a zero bound (every batch
+    // "oversized") folds identically to the default
+    def foldMor(bound: Long): (Seq[Long], Seq[org.apache.spark.sql.Row]) = {
+      val mor = new StreamDedup.NearDupMorIndex(spark,
+        Files.createTempDirectory("graft-mor-bcast").toString)
+      mor.seed(corpus, "doc_id", "text")
+      val kept = StreamDedup.nearDedupBatchMor(docs, mor, "doc_id", "text",
+        batchId = 0L, broadcastRows = bound)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      (kept, mor.dfView().orderBy("shingle").collect().toSeq)
+    }
+    val (kDef, dfDef) = foldMor(StreamDedup.DefaultBroadcastRows)
+    val (kShf, dfShf) = foldMor(0L)
+    assert(kDef == kShf && kDef == Seq(11L))
+    assert(dfDef == dfShf)
+  }
+
   test("compaction crash points recover: torn rewrite rolls back, ready rewrite promotes") {
     import java.nio.file.{Files => JF, Paths}
     val dir = Files.createTempDirectory("graft-mor-crash").toString
