@@ -51,6 +51,62 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private val writeLocks =
     new scala.collection.concurrent.TrieMap[String, Object]
 
+  /** Live file-stream CONSUMERS per bucket — the runtime half of the
+    * compaction-vs-tailing constraint [[compactFragmented]]'s scaladoc
+    * documents: a Structured Streaming file source tracks seen file
+    * PATHS, so rewriting a tailed bucket double-counts rewritten rows
+    * and can break pending batches. Consumers (e.g. a live
+    * [[graft.streaming.DownsampleTask]]) register with a LIVENESS
+    * thunk; dead entries self-prune, so a stopped task frees the
+    * bucket for compaction with no unregister call. The dual registry
+    * ([[registerCompactionCadence]]) lets a would-be tail REFUSE to
+    * start while an ingest sweep cadence is active.
+    */
+  private val tailRegistry =
+    new scala.collection.concurrent.TrieMap[String,
+      scala.collection.concurrent.TrieMap[String, () => Boolean]]
+
+  private val cadenceRegistry =
+    new scala.collection.concurrent.TrieMap[String,
+      scala.collection.concurrent.TrieMap[String, () => Boolean]]
+
+  private def liveEntries(
+      reg: scala.collection.concurrent.TrieMap[String,
+        scala.collection.concurrent.TrieMap[String, () => Boolean]],
+      bucket: String): Seq[String] =
+    reg.get(bucket).map { m =>
+      m.foreach { case (n, alive) => if (!alive()) m.remove(n) }
+      m.keys.toSeq.sorted
+    }.getOrElse(Nil)
+
+  /** Register a live file-stream consumer of `bucket`'s directory.
+    * `isActive` is polled at each compaction decision; once false the
+    * entry is pruned.
+    */
+  def registerTail(bucket: String, name: String, isActive: () => Boolean): Unit = {
+    tailRegistry.getOrElseUpdate(bucket,
+      new scala.collection.concurrent.TrieMap).put(name, isActive)
+    ()
+  }
+
+  /** Names of live file-stream consumers of `bucket` (dead pruned). */
+  def liveTails(bucket: String): Seq[String] = liveEntries(tailRegistry, bucket)
+
+  /** Register an active compaction cadence on `bucket` (an ingest
+    * stream whose sweep rewrites files every K batches) so would-be
+    * tails can refuse to start against it.
+    */
+  def registerCompactionCadence(bucket: String, name: String,
+      isActive: () => Boolean): Unit = {
+    cadenceRegistry.getOrElseUpdate(bucket,
+      new scala.collection.concurrent.TrieMap).put(name, isActive)
+    ()
+  }
+
+  /** Names of live compaction cadences on `bucket` (dead pruned). */
+  def liveCompactionCadences(bucket: String): Seq[String] =
+    liveEntries(cadenceRegistry, bucket)
+
   /** Per-bucket mutation counter: bumped by every write/delete/
     * retention/compact so driver-side metadata caches (tag keys) can be
     * validated without a Spark job. Mutations bump TWICE — before the
@@ -367,10 +423,27 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     */
   def compact(bucket: String, targetFiles: Int = 1, zorder: Boolean = false,
       keepExistingLayout: Boolean = false): Unit =
-    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    if (skipIfTailed(bucket, "compact")) ()
+    else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       compactLocked(bucket, targetFiles, zorder,
         keepExistingLayout = keepExistingLayout)
     }
+
+  /** The runtime enforcement of the tailing constraint (see
+    * [[registerTail]]): true — and a loud line naming the consumers —
+    * when `bucket` must not be rewritten because a live file stream is
+    * tailing it. Compaction resumes automatically once the consumer
+    * stops (liveness is polled, entries self-prune).
+    */
+  private def skipIfTailed(bucket: String, op: String): Boolean = {
+    val live = liveTails(bucket)
+    if (live.nonEmpty)
+      System.err.println(s"[graft] $op('$bucket') SKIPPED: live file-stream " +
+        s"consumer(s) ${live.mkString(", ")} tail this bucket — rewriting " +
+        "files under a FileStreamSource double-counts rewritten rows; " +
+        "compaction resumes when the consumer stops (BucketStore.registerTail)")
+    live.nonEmpty
+  }
 
   /** Parquet part-file count of one day partition — the fragmentation
     * signal [[compactFragmented]] sweeps on (driver-side listing, no
@@ -415,11 +488,17 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * files (double count) and retires files a pending batch may still
     * reference. Compact tailed buckets at task pause points — the same
     * hot/cold shard discipline the pinned engine's TSM compactor
-    * applies.
+    * applies. ENFORCED at runtime (r16): consumers register via
+    * [[registerTail]], and this sweep (plus [[compact]]) skips a
+    * tailed bucket with a loud line instead of corrupting the stream;
+    * symmetrically, [[graft.streaming.DownsampleTask]] refuses to
+    * start while an ingest cadence ([[registerCompactionCadence]]) is
+    * live on its source.
     */
   def compactFragmented(bucket: String, maxFiles: Int = 16,
       targetFiles: Int = 1, zorder: Boolean = false): Seq[String] =
-    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    if (skipIfTailed(bucket, "compactFragmented")) Nil
+    else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       recoverLocked(bucket)
       val fragmented = partitions(bucket).filter(partFiles(bucket, _) > maxFiles)
       if (fragmented.nonEmpty)

@@ -73,6 +73,17 @@ final class DownsampleTask(tsdb: Tsdb) {
       intoMeasurement: Option[String] = None,
       intoField: Option[String] = None
   ): StreamingQuery = {
+    // runtime half of the COMPACTION CONSTRAINT above: refuse to tail a
+    // bucket whose ingest stream is actively rewriting it — silently
+    // starting would double-count every rewritten row
+    val cadences = tsdb.store.liveCompactionCadences(source)
+    if (cadences.nonEmpty)
+      throw new IllegalStateException(
+        s"DownsampleTask on '$source' refused: ingest compaction cadence(s) " +
+          s"${cadences.mkString(", ")} actively rewrite this bucket's files, " +
+          "which a FileStreamSource cannot survive. Restart the ingest with " +
+          "compactEvery = 0 (service path: GRAFT_INGEST_COMPACT_EVERY=0) or " +
+          "stop it before starting the task.")
     val srcPath = tsdb.catalog.bucketPath(source).toString
     val stream = tsdb.spark.readStream
       .schema(rawStreamSchema)
@@ -93,7 +104,7 @@ final class DownsampleTask(tsdb: Tsdb) {
         to_json(map_entries(col("tags"))).as("_tags_json"))
       .agg(fn(col("value_f")).as("value_f"), count(lit(1)).as("_n"))
 
-    agged.writeStream
+    val q = agged.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -120,5 +131,11 @@ final class DownsampleTask(tsdb: Tsdb) {
         ()
       }
       .start()
+    // the other half of the enforcement: while this query lives, any
+    // compaction of `source` skips (loudly); liveness is polled, so a
+    // finished AvailableNow run or a stopped task frees the bucket
+    // with no unregister call
+    tsdb.store.registerTail(source, s"downsample:$target:${q.id}", () => q.isActive)
+    q
   }
 }

@@ -50,7 +50,7 @@ final class StreamIngest(tsdb: Tsdb) {
       maxFilesPerPartition: Int = 16
   ): StreamingQuery = {
     require(lines.isStreaming, "use Tsdb.writeLp for batch input")
-    lines.writeStream
+    val q = lines.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -62,6 +62,15 @@ final class StreamIngest(tsdb: Tsdb) {
         ()
       }
       .start()
+    // runtime enforcement of the tailing constraint (r16): while this
+    // ingest's sweep cadence is live, a DownsampleTask/CQ on the same
+    // bucket REFUSES to start (it would double-count rewritten files);
+    // and if a tail was registered first, the sweep itself skips the
+    // bucket loudly inside compactFragmented. Liveness is polled — a
+    // finished AvailableNow ingest frees the bucket automatically.
+    if (compactEvery > 0)
+      tsdb.store.registerCompactionCadence(bucket, s"ingest:${q.id}", () => q.isActive)
+    q
   }
 
   /** File-directory LP source: every new text file dropped into `dir`
