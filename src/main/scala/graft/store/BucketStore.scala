@@ -31,10 +31,58 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 
   private val SeqCol = "_ingest_seq"
 
-  /** Monotonic ingest sequence; per-JVM is enough because ties across
-    * writers are broken deterministically by max aggregation.
+  /** Monotonic ingest sequence for last-write-wins ordering — monotone
+    * ACROSS JVM RESTARTS (r16): a wall-clock seed alone inverts LWW
+    * when a run writes faster than 1/ms (tight batch writeLp loops)
+    * and then restarts, because the new seed lands BELOW the previous
+    * run's max. The store therefore persists a high-water mark at the
+    * warehouse root with write-ahead BLOCK reservation: [[nextSeq]]
+    * bumps the persisted mark to `seq + SeqBlock` before handing out a
+    * seq past the current reservation, so every seq ever used is ≤ the
+    * persisted mark at all times — a restart seeds at
+    * max(now, persisted) and can never re-issue or under-shoot a used
+    * sequence. Steady-state cost: one tiny file write per million
+    * seqs, zero per-write I/O otherwise.
     */
-  private val seqGen = new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private val SeqBlock = 1L << 20
+  private val hwmPath = catalog.root.resolve("_ingest_seq_hwm")
+
+  private def readHwm(): Long =
+    if (java.nio.file.Files.exists(hwmPath))
+      new String(java.nio.file.Files.readAllBytes(hwmPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption.getOrElse(0L)
+    else 0L
+
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(
+    math.max(System.currentTimeMillis(), readHwm()))
+  private val seqReserved = new java.util.concurrent.atomic.AtomicLong(readHwm())
+  private val seqLock = new Object
+
+  private def persistHwm(v: Long): Unit = {
+    val tmp = hwmPath.resolveSibling(s".${hwmPath.getFileName}.tmp")
+    java.nio.file.Files.createDirectories(hwmPath.getParent)
+    java.nio.file.Files.write(tmp,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, hwmPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Next ingest sequence; the reservation is persisted BEFORE the seq
+    * is returned, so a crash at any point keeps used seqs under the
+    * persisted mark. Exposed to the restart-ordering spec.
+    */
+  private[graft] def nextSeq(): Long = {
+    val s = seqGen.incrementAndGet()
+    if (s > seqReserved.get()) seqLock.synchronized {
+      if (s > seqReserved.get()) {
+        persistHwm(s + SeqBlock)
+        seqReserved.set(s + SeqBlock)
+      }
+    }
+    s
+  }
 
   def seriesKey: Column =
     xxhash64(col("measurement"), to_json(map_entries(col("tags"))), col("field"))
@@ -246,7 +294,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private def writeLocked(bucket: String, points: DataFrame): Unit = {
     val meta = catalog.bucket(bucket).getOrElse(
       throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
-    val seq = seqGen.incrementAndGet()
+    val seq = nextSeq()
     // Invalidate the clean marker BEFORE appending: a crash (or a
     // concurrent read) between the append and a later marker delete
     // would see a "clean" bucket containing shadowed duplicate keys and

@@ -36,6 +36,32 @@ class BucketStoreSpec extends SparkSpec {
     assert(cpu.filter(col("tags.host") === "h1").count() == 1)
   }
 
+  test("LWW survives a JVM restart after a faster-than-1/ms write run (persisted seq high-water mark)") {
+    val dir = Files.createTempDirectory("graft-store-hwm")
+    val t1 = Tsdb(spark, dir.toString)
+    t1.catalog.createOrg("greengrass")
+    t1.catalog.createBucket("telemetry", "greengrass")
+    // simulate a run that issued seqs far faster than wall-clock ms
+    // (tight batch writeLp loops): burn 2M sequences driver-side, then
+    // write v=1 with a now-very-high sequence
+    (0 until 2000000).foreach(_ => t1.store.nextSeq())
+    t1.writeLp("telemetry", Seq(s"cpu,host=h1 usage=1.0 $t0"))
+    assert(t1.from("telemetry").toDF
+      .filter(col("field") === "usage").head.getAs[Double]("value_f") == 1.0)
+
+    // "restart": a NEW store instance over the same warehouse must seed
+    // ABOVE every sequence the first run used — its overwrite of the
+    // same (series, time) key has to win regardless of write rate
+    val t2 = Tsdb(spark, dir.toString)
+    t2.writeLp("telemetry", Seq(s"cpu,host=h1 usage=2.0 $t0"))
+    assert(t2.from("telemetry").toDF
+      .filter(col("field") === "usage").head.getAs[Double]("value_f") == 2.0,
+      "the second run's write must win LWW after a restart")
+    // and reads through a third instance agree (pure on-disk state)
+    assert(Tsdb(spark, dir.toString).from("telemetry").toDF
+      .filter(col("field") === "usage").head.getAs[Double]("value_f") == 2.0)
+  }
+
   test("last write wins on same (series, time)") {
     val tsdb = freshTsdb()
     tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=0.5 $t0"))
