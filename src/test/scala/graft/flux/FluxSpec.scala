@@ -527,11 +527,19 @@ class FluxSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 9.5))
   }
 
-  test("csv.from rejects a second annotated table explicitly") {
+  test("csv.from multi-table payloads: same-schema blocks union, mixed schemas reject") {
+    // r16 replaced the blanket second-table rejection with result-set
+    // map decode: same-schema blocks (one yield split across sections)
+    // union into one frame …
     val one = graft.service.AnnotatedCsv.format(Seq(("a", 1.0)).toDF("_measurement", "_value"))
+    assert(graft.service.AnnotatedCsv.parse(one + one, spark).count() == 2)
+    // … and only genuinely ambiguous payloads (different schemas, no
+    // result selection) still reject, pointing at the selection API
+    val other = graft.service.AnnotatedCsv.format(
+      Seq(("a", 7L, "x")).toDF("_measurement", "_value", "note"), resultName = "second")
     val e = intercept[IllegalArgumentException](
-      graft.service.AnnotatedCsv.parse(one + one, spark))
-    assert(e.getMessage.contains("second annotated table"))
+      graft.service.AnnotatedCsv.parse(one + other, spark))
+    assert(e.getMessage.contains("result"))
   }
 
   test("exists on a column the frame never produced is false, not a plan error") {
