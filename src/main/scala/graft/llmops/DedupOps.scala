@@ -784,16 +784,64 @@ object DedupOps {
     * key length controls the quadratic term; the verify predicate runs
     * inside the join's post-filter, never on the driver.
     */
-  def editDistanceLink(a: DataFrame, idA: String, nameA: String,
+  /** Per-block pair budget for [[blockedPairs]] — the record-linkage
+    * analogue of the winnow df cap and [[graft.streaming.StreamDedup
+    * .DefaultPairBudget]]: a prefix block whose pair product exceeds
+    * this is a stopword-grade block (every "the …" document), carrying
+    * no discriminative signal while going quadratic. The r16 100×
+    * probe caught exactly that — one block's cross product pinned a
+    * single task in Levenshtein for 33 minutes. Purged blocks are
+    * dropped LOUDLY; the degrade direction matches the df cap (a true
+    * match inside a mega-block can be missed, never fabricated), and
+    * it is the standard ER practice (block purging).
+    */
+  val DefaultMaxBlockPairs: Long = 16000000L
+
+  /** Blocked candidate enumeration shared by the linkage verbs: equal
+    * `blockLen`-prefix join with BLOCK PURGING. Block sizes are counted
+    * per side first (two metadata-scale aggregates), blocks whose
+    * cnt_a·cnt_b product exceeds `maxBlockPairs` are dropped with a
+    * stderr line naming them, and the join runs only over surviving
+    * blocks — bounding both total pair work and the largest single
+    * task (a block is one hash-join bucket, i.e. one task's worth of
+    * quadratic compare).
+    */
+  def blockedPairs(a: DataFrame, idA: String, nameA: String,
       b: DataFrame, idB: String, nameB: String,
-      blockLen: Int, maxDist: Int): DataFrame = {
+      blockLen: Int,
+      maxBlockPairs: Long = DefaultMaxBlockPairs): DataFrame = {
     val aa = a.select(col(idA).as("id_a"), col(nameA).as("name_a"),
       substring(col(nameA), 1, blockLen).as("_blk"))
     val bb = b.select(col(idB).as("id_b"), col(nameB).as("name_b"),
       substring(col(nameB), 1, blockLen).as("_blk"))
-    aa.join(bb, "_blk")
-      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-      .where(col("lev") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("lev"))
+    val products = aa.groupBy("_blk").agg(count(lit(1)).as("_ca"))
+      .join(bb.groupBy("_blk").agg(count(lit(1)).as("_cb")), "_blk")
+      .select(col("_blk"), (col("_ca") * col("_cb")).as("_pairs"))
+    val purged = products.filter(col("_pairs") > maxBlockPairs)
+      .select("_blk", "_pairs").collect() // block-domain-scale, tiny
+    if (purged.nonEmpty)
+      System.err.println(s"[graft] blockedPairs: purging ${purged.length} " +
+        s"block(s) over $maxBlockPairs pairs (top: " +
+        purged.sortBy(-_.getLong(1)).take(3).map(r =>
+          s"'${r.getString(0)}'=${r.getLong(1)}").mkString(", ") +
+        ") — stopword-grade prefixes carry no linkage signal; " +
+        "true matches inside them are skipped, never fabricated " +
+        "(DedupOps.DefaultMaxBlockPairs)")
+    val keep = products.filter(col("_pairs") <= maxBlockPairs).select("_blk")
+    aa.join(broadcast(keep), Seq("_blk"), "left_semi").join(bb, "_blk")
   }
+
+  def editDistanceLink(a: DataFrame, idA: String, nameA: String,
+      b: DataFrame, idB: String, nameB: String,
+      blockLen: Int, maxDist: Int,
+      maxBlockPairs: Long = DefaultMaxBlockPairs): DataFrame =
+    blockedPairs(a, idA, nameA, b, idB, nameB, blockLen, maxBlockPairs)
+      // lossless pre-filter: lev(a,b) >= |len(a) - len(b)|, so pairs
+      // further apart than maxDist in length never reach the DP …
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // … and the DP itself is BANDED (threshold form, O(n·maxDist)
+      // instead of O(n²); returns -1 above the threshold)
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("lev") >= 0 && col("lev") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("lev"))
 }

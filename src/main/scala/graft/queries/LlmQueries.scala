@@ -78,13 +78,14 @@ object LlmQueries {
       val dirty = base.select((col("doc_id") + 10000L).as("did"),
         expr("concat(substring(nm, 1, cast(doc_id % 20 + 10 as int)), " +
           "substring(nm, cast(doc_id % 20 + 12 as int), 100))").as("dn"))
-      base.join(dirty,
-          substring(col("nm"), 1, 8) === substring(col("dn"), 1, 8))
+      // same bounded block enumeration as editDistanceLink (r16: block
+      // purging — a stopword-grade prefix block is dropped loudly
+      // instead of going quadratic at scale)
+      DedupOps.blockedPairs(base, "doc_id", "nm", dirty, "did", "dn", blockLen = 8)
         .withColumn("jw",
-          call_function("graft_jaro_winkler", col("nm"), col("dn")))
+          call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
         .where(col("jw") >= 0.9)
-        .select(col("doc_id").as("id_a"), col("did").as("id_b"),
-          r4(col("jw")).as("jw"))
+        .select(col("id_a"), col("id_b"), r4(col("jw")).as("jw"))
         .orderBy("id_a", "id_b")
     }),
 

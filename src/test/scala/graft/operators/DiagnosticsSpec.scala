@@ -59,4 +59,26 @@ class DiagnosticsSpec extends SparkSpec {
       .select("id_a", "id_b", "lev").as[(Long, Long, Int)].collect().toSet
     assert(out == Set((1L, 10L, 1), (2L, 12L, 0)))
   }
+
+  test("blocked linkage purges stopword-grade blocks, keeps discriminative ones") {
+    // one mega-block ("the rest…", 40×40 = 1600 pairs) over a tight
+    // budget, one small block under it: the r16 100×-probe failure
+    // shape in miniature — the mega-block must drop LOUDLY, the small
+    // block's matches must be exactly what the un-purged path finds
+    val a = ((1L to 40L).map(i => (i, s"the rest of doc $i")) :+
+      (100L, "unique prefix here")).toDF("id", "nm")
+    val b = ((1L to 40L).map(i => (i + 1000L, s"the rest of doc $i")) :+
+      (1100L, "unique prefix herex")).toDF("id", "nm")
+    val purged = DedupOps.editDistanceLink(a, "id", "nm", b, "id", "nm",
+        blockLen = 8, maxDist = 2, maxBlockPairs = 100L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(purged == Set((100L, 1100L)),
+      "only the discriminative block's match survives a purge")
+    // with the default budget nothing purges and the mega-block links
+    val full = DedupOps.editDistanceLink(a, "id", "nm", b, "id", "nm",
+        blockLen = 8, maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.contains((100L, 1100L)) && full.size > 40,
+      "the default budget keeps the mega-block's matches")
+  }
 }
