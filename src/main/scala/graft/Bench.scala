@@ -19,7 +19,13 @@ object Bench {
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core (right at sf0.1 scale);
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale probes —
+      // at 100x a 32-way shuffle crosses the per-partition spill cliff,
+      // which a real cluster avoids by sizing partitions to data
+      // (AQE coalesces down, never splits an aggregate's width)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
