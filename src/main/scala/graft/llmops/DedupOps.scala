@@ -818,15 +818,18 @@ object DedupOps {
       .join(bb.groupBy("_blk").agg(count(lit(1)).as("_cb")), "_blk")
       .select(col("_blk"), (col("_ca") * col("_cb")).as("_pairs"))
     val purged = products.filter(col("_pairs") > maxBlockPairs)
-      .select("_blk", "_pairs").collect() // block-domain-scale, tiny
-    if (purged.nonEmpty)
-      System.err.println(s"[graft] blockedPairs: purging ${purged.length} " +
+    val nPurged = purged.count()
+    if (nPurged > 0) {
+      // fetch only the 3 worst offenders for the warning — O(3), never
+      // the full purge set
+      val top = purged.orderBy(col("_pairs").desc).limit(3).collect()
+      System.err.println(s"[graft] blockedPairs: purging $nPurged " +
         s"block(s) over $maxBlockPairs pairs (top: " +
-        purged.sortBy(-_.getLong(1)).take(3).map(r =>
-          s"'${r.getString(0)}'=${r.getLong(1)}").mkString(", ") +
+        top.map(r => s"'${r.getString(0)}'=${r.getLong(1)}").mkString(", ") +
         ") — stopword-grade prefixes carry no linkage signal; " +
         "true matches inside them are skipped, never fabricated " +
         "(DedupOps.DefaultMaxBlockPairs)")
+    }
     val keep = products.filter(col("_pairs") <= maxBlockPairs).select("_blk")
     aa.join(broadcast(keep), Seq("_blk"), "left_semi").join(bb, "_blk")
   }

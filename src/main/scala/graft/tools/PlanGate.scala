@@ -68,7 +68,12 @@ object PlanGate {
     "llmops/UnigramLm.scala" -> 2,
     // mutation-versioned key + field-type caches, plus the z-order
     // compaction's series-rank table — all field/series-count-scale
-    "store/BucketStore.scala" -> 3
+    "store/BucketStore.scala" -> 3,
+    // blockedPairs' purge list (r16): blocks whose pair product
+    // exceeds the budget — block-DOMAIN-scale (count of distinct
+    // oversized prefixes, in practice a handful), fetched only to
+    // name them in the warning line
+    "llmops/DedupOps.scala" -> 1
   )
 
   /** `toLocalIterator` is legitimate ONLY at the HTTP response
