@@ -1092,7 +1092,13 @@ object FluxFrame {
     */
   private[dsl] def normalizeOffset(offset: String, every: String): String = {
     val off = intervalUs(offset)
-    if (off == 0L) offset
+    // the zero path must not parse `every` (calendar spellings like
+    // "1 months" reach here with a zero offset and are not fixed-width
+    // intervals) — but it must still emit the CANONICAL spelling: this
+    // grammar accepts abbreviations ("0m") Spark's own interval parser
+    // rejects, so passing the raw input through would throw inside
+    // window() for spellings the non-zero path accepts
+    if (off == 0L) "0 microseconds"
     else s"${java.lang.Math.floorMod(off, intervalUs(every))} microseconds"
   }
 

@@ -814,12 +814,20 @@ object DedupOps {
       substring(col(nameA), 1, blockLen).as("_blk"))
     val bb = b.select(col(idB).as("id_b"), col(nameB).as("name_b"),
       substring(col(nameB), 1, blockLen).as("_blk"))
-    val products = aa.groupBy("_blk").agg(count(lit(1)).as("_ca"))
+    // PURGE set, not keep set, drives the filter: surviving prefixes
+    // are corpus-domain-scale (millions at 100×) while oversized ones
+    // are bounded by maxBlockPairs/rows (each needs ≥√budget members) —
+    // broadcast the small side, anti-join the big one. Checkpointed so
+    // the count, the warning's top-3, and the join all see ONE
+    // evaluation of the two aggregates.
+    val purged = aa.groupBy("_blk").agg(count(lit(1)).as("_ca"))
       .join(bb.groupBy("_blk").agg(count(lit(1)).as("_cb")), "_blk")
       .select(col("_blk"), (col("_ca") * col("_cb")).as("_pairs"))
-    val purged = products.filter(col("_pairs") > maxBlockPairs)
+      .filter(col("_pairs") > maxBlockPairs)
+      .localCheckpoint()
     val nPurged = purged.count()
-    if (nPurged > 0) {
+    if (nPurged == 0) aa.join(bb, "_blk")
+    else {
       // fetch only the 3 worst offenders for the warning — O(3), never
       // the full purge set
       val top = purged.orderBy(col("_pairs").desc).limit(3).collect()
@@ -829,9 +837,9 @@ object DedupOps {
         ") — stopword-grade prefixes carry no linkage signal; " +
         "true matches inside them are skipped, never fabricated " +
         "(DedupOps.DefaultMaxBlockPairs)")
+      aa.join(broadcast(purged.select("_blk")), Seq("_blk"), "left_anti")
+        .join(bb, "_blk")
     }
-    val keep = products.filter(col("_pairs") <= maxBlockPairs).select("_blk")
-    aa.join(broadcast(keep), Seq("_blk"), "left_semi").join(bb, "_blk")
   }
 
   def editDistanceLink(a: DataFrame, idA: String, nameA: String,

@@ -253,11 +253,14 @@ object AnnotatedCsv {
     }
     val headerIdx = recs.indexOf(header)
     // body rows; a lone `""` record is a data row ONLY when the table
-    // is genuinely one column wide (no transport prefix, single data
-    // column) — in any wider table it can only be a stray separator
+    // is genuinely one STRING column wide (no transport prefix, single
+    // data column whose type can hold the empty string) — in any wider
+    // table, or a width-1 table of any other type (where `""` could
+    // only decode to a phantom null row), it is a stray separator
     val width = dataStart + names.length
+    val loneIsData = width == 1 && types.headOption.contains(StringType)
     val body = recs.drop(headerIdx + 1)
-      .filterNot(r => r.length == 1 && r.head.v.isEmpty && width > 1)
+      .filterNot(r => r.length == 1 && r.head.v.isEmpty && !loneIsData)
     val rows = body
       .map { r =>
         org.apache.spark.sql.Row.fromSeq(names.indices.map { j =>

@@ -58,7 +58,14 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private val seqReserved = new java.util.concurrent.atomic.AtomicLong(readHwm())
   private val seqLock = new Object
 
+  /** Monotonic by re-read: a SECOND live store on the same warehouse
+    * (the restart spec itself holds two) may already have pushed the
+    * mark past this instance's reservation — overwriting downward
+    * would re-open the restart inversion, so the write is skipped
+    * unless it raises the mark. Called under seqLock only.
+    */
   private def persistHwm(v: Long): Unit = {
+    if (v <= readHwm()) return
     val tmp = hwmPath.resolveSibling(s".${hwmPath.getFileName}.tmp")
     java.nio.file.Files.createDirectories(hwmPath.getParent)
     java.nio.file.Files.write(tmp,
@@ -374,10 +381,21 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * start/stop + measurement/tag predicate). Rewrites only partitions
     * intersecting [startNs, stopNs).
     */
-  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit =
+  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit = {
+    // same hazard as compaction (delete REWRITES intersecting day
+    // partitions under new paths), but a delete is explicit user
+    // intent — refusing loudly beats silently skipping it
+    val tails = liveTails(bucket)
+    if (tails.nonEmpty)
+      throw new IllegalStateException(
+        s"delete('$bucket') refused: live file-stream consumer(s) " +
+          s"${tails.mkString(", ")} tail this bucket — a partition rewrite " +
+          "double-counts rewritten rows in the stream. Stop the consumer " +
+          "first (BucketStore.registerTail).")
     writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       deleteLocked(bucket, startNs, stopNs, predicate)
     }
+  }
 
   /** The delete body shares the per-bucket write lock: its
     * read-rewrite-replaceDir of a day partition must not race a
@@ -422,7 +440,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * property of the engine; our catalog stores retentionNs).
     */
   def enforceRetention(bucket: String, nowNs: Long = System.currentTimeMillis() * 1000000L): Seq[String] =
-    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    // retention REMOVES whole partitions a tailing source may still
+    // reference — skip like the compaction sweep does (the maintenance
+    // cycle retries once the consumer stops; expiry is not lost)
+    if (skipIfTailed(bucket, "enforceRetention")) Nil
+    else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       val meta = catalog.bucket(bucket).get
       if (meta.retentionNs <= 0) Nil
       else {

@@ -76,14 +76,29 @@ final class DownsampleTask(tsdb: Tsdb) {
     // runtime half of the COMPACTION CONSTRAINT above: refuse to tail a
     // bucket whose ingest stream is actively rewriting it — silently
     // starting would double-count every rewritten row
+    // register the tail BEFORE starting (provisional liveness, bound to
+    // the query once it exists): the FileStreamSource lists files at
+    // start, so a sweep racing the gap between start() and a
+    // post-start registration could rewrite what the source just saw.
+    // The cadence check runs AFTER the provisional registration so the
+    // two guards cannot interleave past each other: whichever side
+    // registers first is visible to the other's check.
+    @volatile var q0: Option[StreamingQuery] = None
+    @volatile var aborted = false
+    val tailName = s"downsample:$target:${java.util.UUID.randomUUID()}"
+    tsdb.store.registerTail(source, tailName,
+      () => !aborted && q0.forall(_.isActive))
     val cadences = tsdb.store.liveCompactionCadences(source)
-    if (cadences.nonEmpty)
+    if (cadences.nonEmpty) {
+      aborted = true
       throw new IllegalStateException(
         s"DownsampleTask on '$source' refused: ingest compaction cadence(s) " +
           s"${cadences.mkString(", ")} actively rewrite this bucket's files, " +
           "which a FileStreamSource cannot survive. Restart the ingest with " +
           "compactEvery = 0 (service path: GRAFT_INGEST_COMPACT_EVERY=0) or " +
           "stop it before starting the task.")
+    }
+    try {
     val srcPath = tsdb.catalog.bucketPath(source).toString
     val stream = tsdb.spark.readStream
       .schema(rawStreamSchema)
@@ -131,11 +146,15 @@ final class DownsampleTask(tsdb: Tsdb) {
         ()
       }
       .start()
-    // the other half of the enforcement: while this query lives, any
-    // compaction of `source` skips (loudly); liveness is polled, so a
-    // finished AvailableNow run or a stopped task frees the bucket
-    // with no unregister call
-    tsdb.store.registerTail(source, s"downsample:$target:${q.id}", () => q.isActive)
+    // bind the provisional registration to the real query: from here
+    // liveness follows q.isActive, so a finished AvailableNow run or a
+    // stopped task frees the bucket with no unregister call
+    q0 = Some(q)
     q
+    } catch {
+      // a failed start must not leave the provisional entry pinning
+      // the bucket against compaction forever
+      case e: Throwable => aborted = true; throw e
+    }
   }
 }

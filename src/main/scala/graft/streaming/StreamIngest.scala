@@ -50,27 +50,36 @@ final class StreamIngest(tsdb: Tsdb) {
       maxFilesPerPartition: Int = 16
   ): StreamingQuery = {
     require(lines.isStreaming, "use Tsdb.writeLp for batch input")
-    val q = lines.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
-        val parsed: DataFrame = LpIngest.parse(batch, defaultTimeNs())
-        tsdb.store.writeSized(bucket, parsed, rowsPerFile)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          tsdb.store.compactFragmented(bucket, maxFilesPerPartition)
-        ()
-      }
-      .start()
     // runtime enforcement of the tailing constraint (r16): while this
     // ingest's sweep cadence is live, a DownsampleTask/CQ on the same
     // bucket REFUSES to start (it would double-count rewritten files);
     // and if a tail was registered first, the sweep itself skips the
-    // bucket loudly inside compactFragmented. Liveness is polled — a
-    // finished AvailableNow ingest frees the bucket automatically.
+    // bucket loudly inside compactFragmented. Registered BEFORE start
+    // (provisional liveness bound to the query once it exists) so a
+    // task starting concurrently cannot slip between our start() and a
+    // later registration; a failed start aborts the entry.
+    @volatile var q0: Option[StreamingQuery] = None
+    @volatile var aborted = false
     if (compactEvery > 0)
-      tsdb.store.registerCompactionCadence(bucket, s"ingest:${q.id}", () => q.isActive)
-    q
+      tsdb.store.registerCompactionCadence(bucket,
+        s"ingest:${java.util.UUID.randomUUID()}",
+        () => !aborted && q0.forall(_.isActive))
+    try {
+      val q = lines.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+          val parsed: DataFrame = LpIngest.parse(batch, defaultTimeNs())
+          tsdb.store.writeSized(bucket, parsed, rowsPerFile)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            tsdb.store.compactFragmented(bucket, maxFilesPerPartition)
+          ()
+        }
+        .start()
+      q0 = Some(q)
+      q
+    } catch { case e: Throwable => aborted = true; throw e }
   }
 
   /** File-directory LP source: every new text file dropped into `dir`
