@@ -227,8 +227,11 @@ object AnnotatedCsv {
     // #default row: the dialect's per-column fill for EMPTY cells —
     // an empty cell takes the default (itself parsed by the column
     // type); only an empty default yields null
+    // like #datatype, the #default row leads with its marker cell —
+    // without transport columns (dataStart = 0) the marker must still
+    // be dropped or every default shifts one column left
     val defaults: Seq[String] = recs.find(_.head.v == "#default")
-      .map(_.drop(dataStart).map(_.v)).getOrElse(Nil)
+      .map(_.drop(math.max(dataStart, 1)).map(_.v)).getOrElse(Nil)
     def cell(c: Cell, t: DataType, j: Int): Any = {
       // A quoted empty on a STRING column is the empty string — that
       // keeps [[write]]'s "" distinguishable from null on the round
@@ -253,12 +256,15 @@ object AnnotatedCsv {
     }
     val headerIdx = recs.indexOf(header)
     // body rows; a lone `""` record is a data row ONLY when the table
-    // is genuinely one STRING column wide (no transport prefix, single
-    // data column whose type can hold the empty string) — in any wider
-    // table, or a width-1 table of any other type (where `""` could
-    // only decode to a phantom null row), it is a stray separator
+    // is one column wide AND the cell can decode to a value: a STRING
+    // column holds the empty string, and any column with a non-empty
+    // #default takes that default (cell()'s QUOTE_ALL rule). A width-1
+    // non-string column WITHOUT a default would only yield a phantom
+    // null row, so there `""` stays a stray separator — as does any
+    // lone empty in a wider table
     val width = dataStart + names.length
-    val loneIsData = width == 1 && types.headOption.contains(StringType)
+    val loneIsData = width == 1 && (types.headOption.contains(StringType) ||
+      defaults.headOption.exists(_.nonEmpty))
     val body = recs.drop(headerIdx + 1)
       .filterNot(r => r.length == 1 && r.head.v.isEmpty && !loneIsData)
     val rows = body

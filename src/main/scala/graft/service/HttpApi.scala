@@ -512,6 +512,10 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       case e: java.time.format.DateTimeParseException =>
         respond(ex, 400, err(s"invalid RFC3339 timestamp: ${e.getMessage}"))
       case e: DeletePredicate.ParseError => respond(ex, 400, err(e.getMessage))
+      // the store's tail-guard refusal (live file-stream consumer on
+      // the bucket) is client-resolvable contention, not a server
+      // fault — 409, so callers retry deliberately instead of paging
+      case e: IllegalStateException => respond(ex, 409, err(e.getMessage))
       case e: Throwable => respond(ex, 500, err(e.getMessage))
     }
   })

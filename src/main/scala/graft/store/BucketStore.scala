@@ -58,23 +58,28 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private val seqReserved = new java.util.concurrent.atomic.AtomicLong(readHwm())
   private val seqLock = new Object
 
-  /** Monotonic by re-read: a SECOND live store on the same warehouse
-    * (the restart spec itself holds two) may already have pushed the
-    * mark past this instance's reservation — overwriting downward
-    * would re-open the restart inversion, so the write is skipped
-    * unless it raises the mark. Called under seqLock only.
+  /** Monotonic by re-read UNDER A JVM-GLOBAL PER-PATH LOCK: a SECOND
+    * live store on the same warehouse (the restart spec itself holds
+    * two) may already have pushed the mark past this instance's
+    * reservation — overwriting downward would re-open the restart
+    * inversion, and the per-instance seqLock cannot order two
+    * INSTANCES' read-then-write sequences, so the check-and-move pair
+    * serializes on a process-wide monitor keyed by the mark's path.
+    * Cross-PROCESS writers remain outside the store's contract ("this
+    * store instance owns its warehouse directory").
     */
-  private def persistHwm(v: Long): Unit = {
-    if (v <= readHwm()) return
-    val tmp = hwmPath.resolveSibling(s".${hwmPath.getFileName}.tmp")
-    java.nio.file.Files.createDirectories(hwmPath.getParent)
-    java.nio.file.Files.write(tmp,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, hwmPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+  private def persistHwm(v: Long): Unit =
+    BucketStore.hwmLocks.getOrElseUpdate(hwmPath.toString, new Object).synchronized {
+      if (v <= readHwm()) return
+      val tmp = hwmPath.resolveSibling(s".${hwmPath.getFileName}.tmp")
+      java.nio.file.Files.createDirectories(hwmPath.getParent)
+      java.nio.file.Files.write(tmp,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, hwmPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
 
   /** Next ingest sequence; the reservation is persisted BEFORE the seq
     * is returned, so a crash at any point keeps used seqs under the
@@ -161,6 +166,20 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   /** Names of live compaction cadences on `bucket` (dead pruned). */
   def liveCompactionCadences(bucket: String): Seq[String] =
     liveEntries(cadenceRegistry, bucket)
+
+  /** Register an IN-PROGRESS partition rewrite (compact / delete /
+    * retention) in the cadence registry for the duration of `body`: a
+    * tail passing its liveTails-was-empty entry check must still see a
+    * rewrite that started moments earlier, or its source's initial file
+    * listing interleaves with replaceDir (the TOCTOU the registries
+    * exist to close — one-shot rewrites need it as much as cadences).
+    */
+  private def withRewriteIntent[A](bucket: String, op: String)(body: => A): A = {
+    @volatile var live = true
+    registerCompactionCadence(bucket,
+      s"$op:${java.util.UUID.randomUUID()}", () => live)
+    try body finally live = false
+  }
 
   /** Per-bucket mutation counter: bumped by every write/delete/
     * retention/compact so driver-side metadata caches (tag keys) can be
@@ -392,8 +411,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
           s"${tails.mkString(", ")} tail this bucket — a partition rewrite " +
           "double-counts rewritten rows in the stream. Stop the consumer " +
           "first (BucketStore.registerTail).")
-    writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
-      deleteLocked(bucket, startNs, stopNs, predicate)
+    withRewriteIntent(bucket, "delete") {
+      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+        deleteLocked(bucket, startNs, stopNs, predicate)
+      }
     }
   }
 
@@ -444,7 +465,8 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     // reference — skip like the compaction sweep does (the maintenance
     // cycle retries once the consumer stops; expiry is not lost)
     if (skipIfTailed(bucket, "enforceRetention")) Nil
-    else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    else withRewriteIntent(bucket, "retention") {
+      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       val meta = catalog.bucket(bucket).get
       if (meta.retentionNs <= 0) Nil
       else {
@@ -459,6 +481,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
         bumpVersion(bucket) // post-commit bump, see writeLocked
         dropped
       }
+    }
     }
 
   /** Compaction: rewrite each partition dedup-applied and coalesced.
@@ -494,9 +517,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def compact(bucket: String, targetFiles: Int = 1, zorder: Boolean = false,
       keepExistingLayout: Boolean = false): Unit =
     if (skipIfTailed(bucket, "compact")) ()
-    else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
-      compactLocked(bucket, targetFiles, zorder,
-        keepExistingLayout = keepExistingLayout)
+    else withRewriteIntent(bucket, "compact") {
+      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+        compactLocked(bucket, targetFiles, zorder,
+          keepExistingLayout = keepExistingLayout)
+      }
     }
 
   /** The runtime enforcement of the tailing constraint (see
@@ -568,12 +593,14 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def compactFragmented(bucket: String, maxFiles: Int = 16,
       targetFiles: Int = 1, zorder: Boolean = false): Seq[String] =
     if (skipIfTailed(bucket, "compactFragmented")) Nil
-    else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    else withRewriteIntent(bucket, "compactFragmented") {
+      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       recoverLocked(bucket)
       val fragmented = partitions(bucket).filter(partFiles(bucket, _) > maxFiles)
       if (fragmented.nonEmpty)
         compactLocked(bucket, targetFiles, zorder, only = Some(fragmented.toSet))
       fragmented.map(d => s"dt=$d")
+    }
     }
 
   /** Per-partition compaction stamp — the mechanism that makes repeated
@@ -842,4 +869,13 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
       fieldKeyCache.filterInPlace { case ((b, _), _) => b != bucket }
       bumpVersion(bucket)
     }
+}
+
+object BucketStore {
+  /** JVM-global per-path monitors for the ingest-seq high-water mark:
+    * two store INSTANCES over one warehouse must serialize their
+    * read-then-raise of the persisted mark (see persistHwm).
+    */
+  private[store] val hwmLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]
 }

@@ -84,11 +84,15 @@ class AnnotatedCsvFuzzSpec extends SparkSpec {
     // unquoted blank line stays a separator even at width 1
     val wire2 = "#datatype,string\r\ns\r\n\r\nx\r\n"
     assert(AnnotatedCsv.parse(wire2, spark).collect().map(_.getString(0)).toSeq == Seq("x"))
-    // … and a quoted empty in a width-1 NON-string table is a stray
-    // separator too — `""` cannot be a long, so keeping it would
-    // fabricate a phantom null row
+    // … and a quoted empty in a width-1 NON-string table without a
+    // default is a stray separator — `""` cannot be a long, so keeping
+    // it would fabricate a phantom null row
     val wire3 = "#datatype,long\r\nn\r\n\"\"\r\n7\r\n"
     assert(AnnotatedCsv.parse(wire3, spark).collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // but WITH a #default it is a defaulted data cell (cell()'s
+    // QUOTE_ALL rule), so the row survives and takes the default
+    val wire4 = "#datatype,long\r\n#default,5\r\nn\r\n\"\"\r\n7\r\n"
+    assert(AnnotatedCsv.parse(wire4, spark).collect().map(_.getLong(0)).toSeq == Seq(5L, 7L))
   }
 
   test("multi-table payload: parseResults exposes the result-set map; parse unions same-schema") {
