@@ -514,8 +514,12 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
       case e: DeletePredicate.ParseError => respond(ex, 400, err(e.getMessage))
       // the store's tail-guard refusal (live file-stream consumer on
       // the bucket) is client-resolvable contention, not a server
-      // fault — 409, so callers retry deliberately instead of paging
-      case e: IllegalStateException => respond(ex, 409, err(e.getMessage))
+      // fault — 409, so callers retry deliberately instead of paging.
+      // Matched by the dedicated type: a blanket IllegalStateException
+      // would also catch genuine server faults (Spark/JDK throw it for
+      // e.g. a shut-down SparkContext) and mislabel them 409.
+      case e: graft.store.BucketStore.TailedBucketException =>
+        respond(ex, 409, err(e.getMessage))
       case e: Throwable => respond(ex, 500, err(e.getMessage))
     }
   })

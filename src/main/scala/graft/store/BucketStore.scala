@@ -56,6 +56,9 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   private val seqGen = new java.util.concurrent.atomic.AtomicLong(
     math.max(System.currentTimeMillis(), readHwm()))
   private val seqReserved = new java.util.concurrent.atomic.AtomicLong(readHwm())
+  // seqs ≤ seqFloor belong to ANOTHER live instance's claimed block
+  // (see nextSeq's leapfrog) and must never be returned by this one
+  private val seqFloor = new java.util.concurrent.atomic.AtomicLong(0L)
   private val seqLock = new Object
 
   /** Monotonic by re-read UNDER A JVM-GLOBAL PER-PATH LOCK: a SECOND
@@ -83,17 +86,46 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 
   /** Next ingest sequence; the reservation is persisted BEFORE the seq
     * is returned, so a crash at any point keeps used seqs under the
-    * persisted mark. Exposed to the restart-ordering spec.
+    * persisted mark. Reservations are EXCLUSIVE blocks claimed under
+    * the JVM-global per-path hwm monitor: if the persisted mark is
+    * found already past the seq about to be issued, a SECOND live
+    * store on this warehouse claimed that range — this instance
+    * leapfrogs (re-seeds its generator from the mark, claims a fresh
+    * block above it, and discards any seq inside the foreign range via
+    * `seqFloor`), so two concurrently-live in-JVM instances never hand
+    * out the same `_ingest_seq`. Discarded seqs are gaps, which LWW
+    * tie-breaking tolerates (uniqueness and restart monotonicity are
+    * the contract, not density). Cross-PROCESS writers remain outside
+    * the store's contract ("this store instance owns its warehouse
+    * directory"). Exposed to the restart-ordering spec.
     */
   private[graft] def nextSeq(): Long = {
-    val s = seqGen.incrementAndGet()
-    if (s > seqReserved.get()) seqLock.synchronized {
-      if (s > seqReserved.get()) {
-        persistHwm(s + SeqBlock)
-        seqReserved.set(s + SeqBlock)
+    while (true) {
+      val s = seqGen.incrementAndGet()
+      if (s > seqReserved.get()) seqLock.synchronized {
+        if (s > seqReserved.get())
+          BucketStore.hwmLocks.getOrElseUpdate(hwmPath.toString, new Object)
+            .synchronized {
+              val persisted = readHwm()
+              // a foreign block's owner may issue any seq ≤ persisted
+              // (its return check is s ≤ its reserved top), so s is
+              // foreign-claimed iff persisted >= s; our new block is
+              // (base, base + SeqBlock]
+              val base = math.max(s, persisted)
+              persistHwm(base + SeqBlock)
+              seqReserved.set(base + SeqBlock)
+              if (persisted >= s) {
+                // foreign block covers s — poison it and every pending
+                // increment at or under the foreign top, then re-issue
+                seqFloor.updateAndGet(f => math.max(f, base))
+                seqGen.updateAndGet(g => math.max(g, base))
+                ()
+              }
+            }
       }
+      if (s > seqFloor.get() && s <= seqReserved.get()) return s
     }
-    s
+    -1L // unreachable
   }
 
   def seriesKey: Column =
@@ -400,23 +432,28 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * start/stop + measurement/tag predicate). Rewrites only partitions
     * intersecting [startNs, stopNs).
     */
-  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit = {
+  def delete(bucket: String, startNs: Long, stopNs: Long, predicate: Column = lit(true)): Unit =
     // same hazard as compaction (delete REWRITES intersecting day
     // partitions under new paths), but a delete is explicit user
-    // intent — refusing loudly beats silently skipping it
-    val tails = liveTails(bucket)
-    if (tails.nonEmpty)
-      throw new IllegalStateException(
-        s"delete('$bucket') refused: live file-stream consumer(s) " +
-          s"${tails.mkString(", ")} tail this bucket — a partition rewrite " +
-          "double-counts rewritten rows in the stream. Stop the consumer " +
-          "first (BucketStore.registerTail).")
+    // intent — refusing loudly beats silently skipping it.
+    // Dekker-style ordering: register the rewrite intent FIRST, check
+    // liveTails inside it. A tail registers before checking cadences
+    // (DownsampleTask), so whichever side registers second must see the
+    // other at its check — check-then-register on this side left a
+    // window where both passed and the rewrite raced the tail's initial
+    // file listing.
     withRewriteIntent(bucket, "delete") {
+      val tails = liveTails(bucket)
+      if (tails.nonEmpty)
+        throw new BucketStore.TailedBucketException(
+          s"delete('$bucket') refused: live file-stream consumer(s) " +
+            s"${tails.mkString(", ")} tail this bucket — a partition rewrite " +
+            "double-counts rewritten rows in the stream. Stop the consumer " +
+            "first (BucketStore.registerTail).")
       writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
         deleteLocked(bucket, startNs, stopNs, predicate)
       }
     }
-  }
 
   /** The delete body shares the per-bucket write lock: its
     * read-rewrite-replaceDir of a day partition must not race a
@@ -464,9 +501,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     // retention REMOVES whole partitions a tailing source may still
     // reference — skip like the compaction sweep does (the maintenance
     // cycle retries once the consumer stops; expiry is not lost)
-    if (skipIfTailed(bucket, "enforceRetention")) Nil
-    else withRewriteIntent(bucket, "retention") {
-      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    // register-then-check (see delete's ordering note): the intent must
+    // be visible BEFORE this side's tail check, or both sides can pass
+    withRewriteIntent(bucket, "retention") {
+      if (skipIfTailed(bucket, "enforceRetention")) Nil
+      else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       val meta = catalog.bucket(bucket).get
       if (meta.retentionNs <= 0) Nil
       else {
@@ -516,9 +555,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     */
   def compact(bucket: String, targetFiles: Int = 1, zorder: Boolean = false,
       keepExistingLayout: Boolean = false): Unit =
-    if (skipIfTailed(bucket, "compact")) ()
-    else withRewriteIntent(bucket, "compact") {
-      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    // register-then-check (see delete's ordering note)
+    withRewriteIntent(bucket, "compact") {
+      if (skipIfTailed(bucket, "compact")) ()
+      else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
         compactLocked(bucket, targetFiles, zorder,
           keepExistingLayout = keepExistingLayout)
       }
@@ -592,9 +632,10 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     */
   def compactFragmented(bucket: String, maxFiles: Int = 16,
       targetFiles: Int = 1, zorder: Boolean = false): Seq[String] =
-    if (skipIfTailed(bucket, "compactFragmented")) Nil
-    else withRewriteIntent(bucket, "compactFragmented") {
-      writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
+    // register-then-check (see delete's ordering note)
+    withRewriteIntent(bucket, "compactFragmented") {
+      if (skipIfTailed(bucket, "compactFragmented")) Nil
+      else writeLocks.getOrElseUpdate(bucket, new Object).synchronized {
       recoverLocked(bucket)
       val fragmented = partitions(bucket).filter(partFiles(bucket, _) > maxFiles)
       if (fragmented.nonEmpty)
@@ -872,6 +913,15 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
 }
 
 object BucketStore {
+  /** Thrown by [[BucketStore.delete]] when a live file-stream consumer
+    * tails the bucket: client-resolvable contention (stop the consumer,
+    * retry), distinct from the blanket IllegalStateExceptions Spark and
+    * the JDK throw for genuine server faults, so HTTP handlers can map
+    * THIS to 409 and everything else to 500.
+    */
+  final class TailedBucketException(msg: String)
+    extends IllegalStateException(msg)
+
   /** JVM-global per-path monitors for the ingest-seq high-water mark:
     * two store INSTANCES over one warehouse must serialize their
     * read-then-raise of the persisted mark (see persistHwm).

@@ -324,7 +324,19 @@ object StreamDedup {
     private val commitsDir = root.resolve("commits")
 
     private def stampCommit(b: Long): Unit = {
-      java.nio.file.Files.createDirectories(commitsDir)
+      // First stamp on a pre-marker index: every generation already on
+      // disk was committed under the old contract (readers treated a
+      // missing commits/ dir as all-committed), so backfill their
+      // markers BEFORE the dir starts existing — otherwise this stamp
+      // would flip them all to torn/invisible in one step.
+      if (!java.nio.file.Files.exists(commitsDir)) {
+        java.nio.file.Files.createDirectories(commitsDir)
+        for (log <- Seq(fpsDir, dfDir);
+             f <- Option(log.toFile.listFiles()).toSeq.flatten;
+             g <- f.getName.stripPrefix("b=").toLongOption if g != b)
+          java.nio.file.Files.write(commitsDir.resolve(s"b=$g"),
+            Array.emptyByteArray)
+      }
       java.nio.file.Files.write(commitsDir.resolve(s"b=$b"), Array.emptyByteArray)
       ()
     }
@@ -445,6 +457,13 @@ object StreamDedup {
       * everything; caller guarantees no replay is possible).
       */
     def compact(targetFiles: Int = 1, keepFrom: Option[Long] = None): Unit = {
+      // The fold lands as generation b=-1, which may not exist yet on an
+      // unseeded (append-only) index — stamp its marker FIRST so the
+      // folded corpus is visible at every crash point. Stamping before
+      // the swap is safe: a marker for an absent dir is never consulted,
+      // and between the two swaps the df-side b=-1 must already be
+      // readable (the fold is sum-invariant, so visibility is correct).
+      stampCommit(-1L)
       swapWith(dfDir,
         logView(dfDir, None, keepBelow = keepFrom)
           .groupBy("shingle").agg(sum("d").as("d")).coalesce(targetFiles),

@@ -62,6 +62,28 @@ class BucketStoreSpec extends SparkSpec {
       .filter(col("field") === "usage").head.getAs[Double]("value_f") == 2.0)
   }
 
+  test("two concurrently-live stores on one warehouse never issue the same ingest seq") {
+    val dir = Files.createTempDirectory("graft-store-dualseq")
+    val t1 = Tsdb(spark, dir.toString)
+    val early = (0 until 10).map(_ => t1.store.nextSeq())
+    // second LIVE instance (not a restart): seeds above t1's persisted
+    // block, but t1's generator will eventually increment through t2's
+    // active range — the leapfrog must route t1 past it instead
+    val t2 = Tsdb(spark, dir.toString)
+    val s1 = collection.mutable.ArrayBuffer.empty[Long]
+    val s2 = collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    val n = (1 << 20) + 2000 // > one SeqBlock: forces t1 across its claim
+    while (i < n) {
+      s1 += t1.store.nextSeq()
+      if (i % 64 == 0) s2 += t2.store.nextSeq()
+      i += 1
+    }
+    val all = early ++ s1 ++ s2
+    assert(all.distinct.size == all.size,
+      "duplicate _ingest_seq issued across two live instances — LWW ties arbitrary")
+  }
+
   test("last write wins on same (series, time)") {
     val tsdb = freshTsdb()
     tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=0.5 $t0"))

@@ -255,6 +255,51 @@ class StreamDedupMorSpec extends SparkSpec {
     assert(mor.dfView().orderBy("shingle").collect().toSeq == dfAfter1)
   }
 
+  test("legacy pre-marker index: first stamp backfills, compact stamps the fold (b=-1)") {
+    import java.nio.file.{Files => JF, Paths}
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+      f.delete(); ()
+    }
+    // (a) an index written under the pre-marker contract (no commits/
+    // dir): the FIRST append must not flip every prior generation to
+    // torn — markers are backfilled when commits/ is created
+    val dirA = Files.createTempDirectory("graft-mor-legacy").toString
+    val morA = new StreamDedup.NearDupMorIndex(spark, dirA)
+    morA.seed(Seq((1L, run(1, 40, "a"))).toDF("doc_id", "text"), "doc_id", "text")
+    StreamDedup.nearDedupBatchMor(Seq((11L, run(200, 240, "c"))).toDF("doc_id", "text"),
+      morA, "doc_id", "text", batchId = 0L)
+    rmRec(Paths.get(dirA, "commits").toFile) // legacy: committed, marker-less
+    assert(morA.fps().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 11L))
+    StreamDedup.nearDedupBatchMor(Seq((12L, run(300, 340, "d"))).toDF("doc_id", "text"),
+      morA, "doc_id", "text", batchId = 1L)
+    assert(JF.exists(Paths.get(dirA, "commits", "b=-1")) &&
+      JF.exists(Paths.get(dirA, "commits", "b=0")),
+      "creating commits/ must backfill markers for pre-marker generations")
+    assert(morA.fps().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 11L, 12L),
+      "pre-marker generations must stay visible after the first stamped append")
+
+    // (b) an UNSEEDED index (appends only, no b=-1 marker): compact()
+    // folds everything into b=-1 and must stamp it, or the whole folded
+    // corpus becomes torn/invisible
+    val dirB = Files.createTempDirectory("graft-mor-unseeded").toString
+    val morB = new StreamDedup.NearDupMorIndex(spark, dirB)
+    Seq(Seq((21L, run(400, 440, "e"))), Seq((22L, run(500, 540, "f"))))
+      .zipWithIndex.foreach { case (b, i) =>
+        morB.append(TextOps.winnowFingerprints(
+          b.toDF("doc_id", "text"), "doc_id", "text"), batchId = i.toLong)
+      }
+    val fpsBefore = morB.fps().orderBy("id").collect().toSeq
+    val dfBefore = morB.dfView().orderBy("shingle").collect().toSeq
+    morB.compact()
+    assert(JF.exists(Paths.get(dirB, "commits", "b=-1")),
+      "compact must stamp the folded generation")
+    assert(morB.fps().orderBy("id").collect().toSeq == fpsBefore,
+      "the folded corpus must stay visible after compacting an unseeded index")
+    assert(morB.dfView().orderBy("shingle").collect().toSeq == dfBefore)
+  }
+
   test("oversized batch takes the shuffle path — results identical, no batch-side broadcast hint") {
     // the guard is pure routing: hintIf(_, small = false) must be the
     // identity (no hint node enters the plan), and a probe forced off

@@ -53,6 +53,24 @@ class TailGuardSpec extends SparkSpec {
     assert(day1Files(tsdb) == 1)
   }
 
+  test("delete on a tailed bucket throws the dedicated TailedBucketException (409-mappable)") {
+    val tsdb = freshTsdb()
+    fragment(tsdb, 2)
+    @volatile var alive = true
+    tsdb.store.registerTail("raw", "spec-tail-del", () => alive)
+    // the DEDICATED type, not a blanket IllegalStateException: HTTP maps
+    // this one to 409 contention; Spark/JDK ISEs stay server faults (500)
+    val e = intercept[graft.store.BucketStore.TailedBucketException] {
+      tsdb.store.delete("raw", t0, t0 + 3600L * 1000000000L)
+    }
+    assert(e.getMessage.contains("spec-tail-del"))
+    // the refusal unwinds its rewrite intent — a fresh tail may register
+    assert(tsdb.store.liveCompactionCadences("raw").isEmpty,
+      "a refused delete must not leave its rewrite intent registered")
+    alive = false
+    tsdb.store.delete("raw", t0, t0 + 3600L * 1000000000L) // now proceeds
+  }
+
   test("DownsampleTask refuses to start while an ingest sweep cadence is live, names the knob") {
     val tsdb = freshTsdb()
     // a live ingest with compactEvery > 0 on 'raw' (ProcessingTime keeps
