@@ -16,16 +16,12 @@ object Bench {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shuffle width is data-sized via AQE narrow-from-above (see
+    // SparkTuning) — the r16 SPARK_GRAFT_SHUFFLE_PARTITIONS dial is now
+    // only an override, not a requirement for the 100× linear numbers
+    val spark = SparkTuning.scaleDefaults(SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .master(s"local[$cpus]")
-      // default: one shuffle partition per core (right at sf0.1 scale);
-      // SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for scale probes —
-      // at 100x a 32-way shuffle crosses the per-partition spill cliff,
-      // which a real cluster avoids by sizing partitions to data
-      // (AQE coalesces down, never splits an aggregate's width)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+      .master(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -31,12 +31,11 @@ object Main {
     val config = EngineConfig(warehousePath = warehouse)
       .validate().fold(msg => throw new IllegalArgumentException(msg), identity)
 
-    val spark = SparkSession.builder()
+    val spark = SparkTuning.scaleDefaults(SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-engine")
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]")),
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

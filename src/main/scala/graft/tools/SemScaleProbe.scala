@@ -20,10 +20,8 @@ object SemScaleProbe {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf10")
     val k = if (args.length > 1) args(1).toInt else 800
     val cpus = if (args.length > 2) args(2) else "32"
-    val spark = SparkSession.builder()
-      .appName("graft-sem-scale").master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    val spark = graft.SparkTuning.scaleDefaults(SparkSession.builder()
+      .appName("graft-sem-scale").master(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
