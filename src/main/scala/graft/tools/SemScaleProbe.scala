@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object SemScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf10")
-    val k = if (args.length > 1) args(1).toInt else 800
+    val k = if (args.length > 1) args(1).toInt else -1 // -1 = derived-k default
     val cpus = if (args.length > 2) args(2) else "32"
     val spark = graft.SparkTuning.scaleDefaults(SparkSession.builder()
       .appName("graft-sem-scale").master(s"local[$cpus]"), cpus.toInt)
@@ -32,11 +32,16 @@ object SemScaleProbe {
       .localCheckpoint()
     val n = e.count()
     val t0 = System.nanoTime()
-    val cent = VectorOps.trainIvfCentroids(e.filter(col("id") % 5 === 0), k, 2)
-    val out = VectorOps.semDedup(e, cent, 0.4)
+    // k <= 0 (or omitted 2nd arg = -1): the DEFAULT derived-k path —
+    // the scale-safe shape a caller gets without naming any parameter
+    val out =
+      if (k <= 0) VectorOps.semDedup(e, 0.4)
+      else VectorOps.semDedup(e,
+        VectorOps.trainIvfCentroids(e.filter(col("id") % 5 === 0), k, 2), 0.4)
     val kept = out.filter(col("keep")).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"probe":"sem_scale","sf_dir":"$sfDir","n":$n,"k":$k,"kept":$kept,"secs":$secs%.2f}""")
+    val kShown = if (k <= 0) "\"auto\"" else k.toString
+    println(f"""{"probe":"sem_scale","sf_dir":"$sfDir","n":$n,"k":$kShown,"kept":$kept,"secs":$secs%.2f}""")
     spark.stop()
   }
 }

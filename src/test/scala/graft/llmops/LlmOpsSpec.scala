@@ -1204,4 +1204,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && pairs.forall { case (cid, a, b) =>
       a < b && byId(a)._1 == cid && byId(b)._1 == cid })
   }
+
+  test("semDedup derived-k default: k tracks n/targetClusterSize, pair work stays ~n·target") {
+    // 2000 deterministic pseudo-random unit-ish vectors: the auto path
+    // must derive k = ceil(n / target) = 40, which bounds the published
+    // algorithm's n²/k pair work to ~n·target — the scale-safe default
+    // a caller gets without naming any parameter (fixed k is quadratic
+    // in the corpus; the paper's shape holds cluster SIZE constant).
+    def vec(id: Long): Array[Double] = {
+      val r = new scala.util.Random(id)
+      Array.fill(8)(r.nextGaussian())
+    }
+    val n = 2000
+    val target = 50
+    val vs = (0 until n).map(i => (i.toLong, vec(i.toLong)))
+      .toDF("id", "v").localCheckpoint()
+    val auto = VectorOps.semDedup(vs, 0.99, targetClusterSize = target)
+      .localCheckpoint()
+    // equivalence: the derived path IS the pinned path at k = ceil(n/t)
+    // with the same sample/schedule — same decision table, row for row
+    val k = (n + target - 1) / target
+    val pinned = VectorOps.semDedup(vs,
+      VectorOps.trainIvfCentroids(vs.filter(col("id") % 5 === 0), k, 2), 0.99)
+    assert(auto.orderBy("id").collect().toSeq ==
+      pinned.orderBy("id").collect().toSeq)
+    assert(auto.select("cid").distinct().count() <= k)
+    // pair-work bound: Σ sᵢ(sᵢ−1)/2 over the derived clustering stays
+    // within a small constant of n·target (perfectly balanced = n·(t−1)/2;
+    // the constant absorbs k-means imbalance, not a different asymptote)
+    val pairWork = auto.groupBy("cid").agg(count(lit(1)).as("s"))
+      .select(sum(col("s") * (col("s") - 1)).cast("long").as("pw"))
+      .head.getLong(0) / 2
+    assert(pairWork <= 4L * n * target,
+      s"derived-k pair work $pairWork exceeds ~n·targetClusterSize (${4L * n * target})")
+    // kMin floor engages on tiny corpora
+    val tiny = (0 until 40).map(i => (i.toLong, vec(i.toLong))).toDF("id", "v")
+    assert(VectorOps.semDedup(tiny, 0.99, targetClusterSize = 1000)
+      .select("cid").distinct().count() <= 8)
+  }
 }
