@@ -28,7 +28,14 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String,
       * callers (specs, batch backfills) pass
       * Some(Trigger.AvailableNow()).
       */
-    defaultTrigger: Option[Trigger] = None) {
+    defaultTrigger: Option[Trigger] = None,
+    /** Seen-files-log bound forwarded to every CQ's underlying
+      * [[DownsampleTask]] (see its `maxFileAge` note: O(window) driver
+      * memory on a months-long tail; size to the longest tolerated
+      * task outage; `cleanSource` is NOT an option here — the tailed
+      * files are the store).
+      */
+    maxFileAge: String = "7d") {
 
   private final case class Entry(text: String,
       query: org.apache.spark.sql.streaming.StreamingQuery)
@@ -92,7 +99,8 @@ final class ContinuousQueries(tsdb: Tsdb, checkpointRoot: String,
       measurement = Some(srcMeasurement), fieldName = Some(agg.field),
       extraFilter = whereFilter,
       intoMeasurement = Some(target),
-      intoField = Some(agg.alias.getOrElse(agg.fn)))
+      intoField = Some(agg.alias.getOrElse(agg.fn)),
+      maxFileAge = maxFileAge)
     registry.put((db, name), Entry(text, q))
   }
 

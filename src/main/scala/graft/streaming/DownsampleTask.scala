@@ -71,7 +71,27 @@ final class DownsampleTask(tsdb: Tsdb) {
         */
       extraFilter: Option[Column] = None,
       intoMeasurement: Option[String] = None,
-      intoField: Option[String] = None
+      intoField: Option[String] = None,
+      /** Bound on the source's SEEN-FILES log (Spark `maxFileAge`).
+        * The FileStreamSource tracks every file path it has processed
+        * and purges entries older than this, so a months-long tail
+        * holds O(window) driver memory instead of O(lifetime files) —
+        * the r16 soak's one non-flat curve (24 KB/batch, Spark's own
+        * log, benign at 500 batches, unbounded without this). Spark's
+        * default is 7d; pass a shorter age for high-file-rate buckets.
+        * TRADE-OFF: a file whose modification time falls more than
+        * maxFileAge behind the newest seen file is IGNORED at
+        * discovery — safe while the task runs (appends carry fresh
+        * mtimes), but a task restarted after an outage longer than
+        * this skips the gap; size it to the longest tolerated outage.
+        * Spark's other remedy, `cleanSource` (delete/archive processed
+        * files), is deliberately NOT exposed: on a graft bucket the
+        * tailed files ARE the LWW store — deleting a processed file
+        * deletes the data it holds, and archiving moves it out of the
+        * batch read path. cleanSource is only sound for ingest STAGING
+        * directories ([[StreamIngest]]'s line-protocol drop dir).
+        */
+      maxFileAge: String = "7d"
   ): StreamingQuery = {
     // runtime half of the COMPACTION CONSTRAINT above: refuse to tail a
     // bucket whose ingest stream is actively rewriting it — silently
@@ -103,6 +123,7 @@ final class DownsampleTask(tsdb: Tsdb) {
     val stream = tsdb.spark.readStream
       .schema(rawStreamSchema)
       .option("maxFilesPerTrigger", "64")
+      .option("maxFileAge", maxFileAge)
       .parquet(srcPath)
 
     val scoped0 = measurement

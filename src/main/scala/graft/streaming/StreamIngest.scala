@@ -93,9 +93,20 @@ final class StreamIngest(tsdb: Tsdb) {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 8,
-      maxFilesPerPartition: Int = 16
+      maxFilesPerPartition: Int = 16,
+      /** Seen-files-log bound (Spark `maxFileAge`) — same driver-memory
+        * rationale as [[DownsampleTask.start]]'s parameter. Unlike a
+        * tailed BUCKET, this staging dir could additionally use Spark's
+        * `cleanSource=delete` (the files are a handoff queue, not the
+        * store) — left off by default because a crash between a batch's
+        * commit and its cleanup re-lists the dir on restart, and
+        * operators often want the drop-dir audit trail; producers that
+        * want cleanup should age files out themselves.
+        */
+      maxFileAge: String = "7d"
   ): StreamingQuery = {
-    val lines = tsdb.spark.readStream.textFile(dir)
+    val lines = tsdb.spark.readStream
+      .option("maxFileAge", maxFileAge).textFile(dir)
     start(bucket, lines, checkpoint, trigger,
       compactEvery = compactEvery, maxFilesPerPartition = maxFilesPerPartition)
   }

@@ -81,7 +81,13 @@ object SoakBench {
       source = "tailed", target = "hourly", every = "10 minutes", fn = sum,
       lateness = "30 minutes",
       checkpoint = Files.createTempDirectory("soak-cp-task").toString,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      // the r16 soak's one non-flat curve was this source's seen-files
+      // log (~24 KB/batch, O(lifetime files) unbounded): a short
+      // maxFileAge lets the purge engage WITHIN the soak window, so the
+      // heap slope claim covers the bounded configuration a months-long
+      // deployment would run (age >> discovery latency, safe while live)
+      maxFileAge = sys.env.getOrElse("SOAK_MAX_FILE_AGE", "120s"))
 
     val morDir = Files.createTempDirectory("graft-soak-mor").toString
     val mor = new StreamDedup.NearDupMorIndex(spark, morDir)
