@@ -59,12 +59,37 @@ object FluxEval {
 
   final case class EvalException(msg: String) extends Exception(msg)
 
-  def run(query: String, source: Source): DataFrame = {
+  def run(query: String, source: Source): DataFrame = runAll(query, source) match {
+    case Seq((_, df)) => df
+    case many => throw EvalException(
+      s"script yields ${many.size} results (${many.map(_._1).mkString(", ")}) " +
+        "on a single-result surface — use runAll / the HTTP query API")
+  }
+
+  /** Evaluate a (possibly multi-`yield`) program into the reference
+    * engine's RESULT-SET shape: one `(resultName, frame)` per
+    * standalone pipeline, in script order. A result's name is its
+    * `yield(name:)` argument; an unnamed result is `_result` (the
+    * dialect default [[graft.service.AnnotatedCsv.parseResults]]
+    * assumes). Duplicate names reject loudly — the engine's response
+    * encoding keys sections by name, and Flux itself errors on a
+    * duplicate yield name.
+    */
+  def runAll(query: String, source: Source): Seq[(String, DataFrame)] = {
     val prog = FluxParser.parseProgram(query)
     val env = prog.assigns.foldLeft(Map.empty[String, FluxFrame]) {
       case (e, (name, pipe)) => e + (name -> evalPipeline(pipe, source, e))
     }
-    evalPipeline(prog.main, source, env).toDF
+    val results = prog.mains.map { p =>
+      val name = p.calls.reverseIterator.collectFirst {
+        case Call("yield", args) if args.contains("name") => str(args, "name")
+      }.getOrElse("_result")
+      name -> evalPipeline(p, source, env).toDF
+    }
+    val dups = results.groupBy(_._1).collect { case (n, xs) if xs.sizeIs > 1 => n }
+    if (dups.nonEmpty)
+      throw EvalException(s"duplicate yield name(s): ${dups.toSeq.sorted.mkString(", ")}")
+    results
   }
 
   private def evalPipeline(pipe: Pipeline, source: Source,

@@ -84,18 +84,27 @@ object FluxParser {
   /** `name = <pipeline>` statements followed by one result pipeline —
     * the Flux program shape `join`/`union` need for their inputs.
     */
-  final case class Program(assigns: Seq[(String, Pipeline)], main: Pipeline,
+  final case class Program(assigns: Seq[(String, Pipeline)],
+      /** The program's RESULT pipelines, in order. The reference
+        * engine's response is a result-set map: one annotated-CSV
+        * section per `yield` — a script with two standalone pipelines
+        * (each usually ending in `yield(name:)`) produces two results.
+        */
+      mains: Seq[Pipeline],
       /** `option <name> = <value>` headers, in order — `option task =
         * {name: "…", every: 1h}` is how a scheduled task carries its
         * run cadence inside the script body; evaluation ignores them.
         */
-      options: Seq[(String, Value)] = Nil)
+      options: Seq[(String, Value)] = Nil) {
+    /** The single-result accessor every pre-multi-yield surface uses. */
+    def main: Pipeline = mains.head
+  }
 
   final case class ParseException(msg: String, pos: Int) extends Exception(s"$msg at offset $pos")
 
   def parse(src: String): Pipeline = {
     val prog = parseProgram(src)
-    if (prog.assigns.nonEmpty)
+    if (prog.assigns.nonEmpty || prog.mains.sizeIs > 1)
       throw ParseException("single-pipeline parse of a multi-statement program", 0)
     prog.main
   }
@@ -179,8 +188,13 @@ object FluxParser {
         } else header = false
       }
       val assigns = Seq.newBuilder[(String, Pipeline)]
-      var main: Pipeline = null
-      while (main == null) {
+      val mains = Seq.newBuilder[Pipeline]
+      var nMains = 0
+      // statements to end of input: assignments, function definitions,
+      // and RESULT pipelines — one result per standalone pipeline, the
+      // multi-`yield` program shape (pre-r17 this stopped at the first
+      // result and rejected the rest as trailing input)
+      while (i < src.length) {
         val save = i
         val name = ident(); ws()
         if (peekStr("=") && !peekStr("==") && !peekStr("=~")) {
@@ -192,12 +206,13 @@ object FluxParser {
           else { assigns += name -> pipeline(); ws() }
         } else {
           i = save
-          main = pipeline()
+          mains += pipeline()
+          nMains += 1
           ws()
         }
       }
-      if (i < src.length) fail(s"unexpected trailing input '${src.substring(i).take(20)}'")
-      Program(assigns.result(), main, options.result())
+      if (nMains == 0) fail("program has no result pipeline")
+      Program(assigns.result(), mains.result(), options.result())
     }
 
     /** A verb chain; the head may be a bare identifier referencing an

@@ -576,12 +576,21 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             // headers so those errors still 400; rows then STREAM
             // through the chunked response — driver memory stays
             // O(partition fetch), never O(result)
-            val df = FluxEval.run(flux, source)
+            // result-SET evaluation: a multi-yield script emits one
+            // annotated-CSV section per result, each #default'ed to its
+            // yield name — the 2.0.9 response shape csv.from /
+            // parseResults decode back into the result map
+            val results = FluxEval.runAll(flux, source)
             ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
             ex.sendResponseHeaders(200, 0)
             headersSent = true
             val w = new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8)
-            try { AnnotatedCsv.write(df, w); w.flush() } finally w.close()
+            try {
+              results.foreach { case (name, df) =>
+                AnnotatedCsv.write(df, w, resultName = name)
+              }
+              w.flush()
+            } finally w.close()
           } catch {
             case e: HttpApi.ScopeDenied if !headersSent =>
               respond(ex, 403, err(e.getMessage))

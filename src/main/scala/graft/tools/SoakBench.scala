@@ -30,6 +30,20 @@ import java.nio.file.Files
   *
   * Env: SOAK_BATCHES (default 500), SOAK_SAMPLE_EVERY (default 50),
   * SPARK_GRAFT_CPUS (default 8 — scheduling floor, not throughput).
+  *
+  * CRASH AXIS (r17): SOAK_CRASH_EVERY=K (default 0 = off) kills and
+  * restarts all three streams every K batches — checkpoint recovery
+  * for both ingests and the tailing task, a FRESH store instance over
+  * the same warehouse (persisted ingest-seq hwm re-read), and a
+  * deterministically injected POST-COMMIT failure on the MOR sink at
+  * each crash point, so the restarted query REPLAYS a batchId whose
+  * generation already landed (the excludeBatch self-match shield and
+  * idempotent overwrite run for real, not just in the unit spec).
+  * The same four curves must stay flat across restarts, the index
+  * count must stay EXACT (1 seed + 3 novel/batch — a replay that
+  * self-matched or double-appended shows up immediately), and
+  * per-crash recovery seconds are printed so recovery-cost growth is
+  * visible.
   */
 object SoakBench {
   private def heapMb(): Long = {
@@ -53,8 +67,10 @@ object SoakBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+    val crashEvery = sys.env.getOrElse("SOAK_CRASH_EVERY", "0").toInt
+
     val wh = Files.createTempDirectory("graft-soak-wh").toString
-    val tsdb = Tsdb(spark, wh)
+    var tsdb = Tsdb(spark, wh)
     tsdb.catalog.createOrg("o")
     tsdb.catalog.createBucket("hot", "o")    // compaction cadence soak
     tsdb.catalog.createBucket("tailed", "o") // downsample/state soak
@@ -63,43 +79,69 @@ object SoakBench {
     val t0 = 1705276800L * 1000000000L // 2024-01-15 00:00:00 UTC ns
     val day1 = java.time.LocalDate.parse("2024-01-15")
 
-    // ---- streams -------------------------------------------------------
+    // ---- streams (vars: the crash axis stops and restarts them from
+    // the same checkpoints, through a FRESH store instance) -------------
+    val hotCp = Files.createTempDirectory("soak-cp-hot").toString
+    val tailCp = Files.createTempDirectory("soak-cp-tail").toString
+    val taskCp = Files.createTempDirectory("soak-cp-task").toString
+    val morCp = Files.createTempDirectory("soak-cp-mor").toString
+    val maxFileAge = sys.env.getOrElse("SOAK_MAX_FILE_AGE", "120s")
+
     val hotMem = MemoryStream[String]
-    val hotQ = new StreamIngest(tsdb).start("hot", hotMem.toDS(),
-      Files.createTempDirectory("soak-cp-hot").toString,
+    val tailMem = MemoryStream[String]
+    val morMem = MemoryStream[(Long, String)]
+
+    val morDir = Files.createTempDirectory("graft-soak-mor").toString
+    val mor = new StreamDedup.NearDupMorIndex(spark, morDir)
+    mor.seed(Seq((0L, (1 to 30).map(i => s"seed$i").mkString(" ")))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val morSink = StreamDedup.nearDedupMorSink(mor, "doc_id", "text",
+      compactEvery = 16, targetFiles = 4, minShared = 10, maxDf = 50)
+    // crash injection: fail the query AFTER the sink fully applied a
+    // batch (generation written, marker stamped, df appended) but
+    // BEFORE Spark records the batch as committed — the restarted query
+    // then replays that batchId over its own landed generation, which
+    // is exactly the state the excludeBatch shield exists for
+    @volatile var injectCrash = false
+    val crashingSink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, id) => {
+        morSink(df, id)
+        if (injectCrash) {
+          injectCrash = false
+          throw new RuntimeException(s"soak-injected post-commit crash at mor batch $id")
+        }
+      }
+
+    def startHot() = new StreamIngest(tsdb).start("hot", hotMem.toDS(),
+      hotCp,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
       compactEvery = 8, maxFilesPerPartition = 16)
-
-    val tailMem = MemoryStream[String]
-    val tailQ = new StreamIngest(tsdb).start("tailed", tailMem.toDS(),
-      Files.createTempDirectory("soak-cp-tail").toString,
+    def startTail() = new StreamIngest(tsdb).start("tailed", tailMem.toDS(),
+      tailCp,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
       compactEvery = 0) // REQUIRED: a live DownsampleTask tails this bucket
-    // prime the bucket directory so the file stream can resolve it
-    tsdb.writeLp("tailed", Seq(s"sensor,dev=d0 temp=0.0 ${t0 - 60L * 1000000000L}"))
-    val task = new DownsampleTask(tsdb).start(
+    def startTask() = new DownsampleTask(tsdb).start(
       source = "tailed", target = "hourly", every = "10 minutes", fn = sum,
       lateness = "30 minutes",
-      checkpoint = Files.createTempDirectory("soak-cp-task").toString,
+      checkpoint = taskCp,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
       // the r16 soak's one non-flat curve was this source's seen-files
       // log (~24 KB/batch, O(lifetime files) unbounded): a short
       // maxFileAge lets the purge engage WITHIN the soak window, so the
       // heap slope claim covers the bounded configuration a months-long
       // deployment would run (age >> discovery latency, safe while live)
-      maxFileAge = sys.env.getOrElse("SOAK_MAX_FILE_AGE", "120s"))
-
-    val morDir = Files.createTempDirectory("graft-soak-mor").toString
-    val mor = new StreamDedup.NearDupMorIndex(spark, morDir)
-    mor.seed(Seq((0L, (1 to 30).map(i => s"seed$i").mkString(" ")))
-      .toDF("doc_id", "text"), "doc_id", "text")
-    val morMem = MemoryStream[(Long, String)]
-    val morSink = StreamDedup.nearDedupMorSink(mor, "doc_id", "text",
-      compactEvery = 16, targetFiles = 4, minShared = 10, maxDf = 50)
-    val morQ = morMem.toDF().toDF("doc_id", "text").writeStream
-      .option("checkpointLocation", Files.createTempDirectory("soak-cp-mor").toString)
-      .foreachBatch(morSink)
+      maxFileAge = maxFileAge)
+    def startMor() = morMem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", morCp)
+      .foreachBatch(crashingSink)
       .start()
+
+    var hotQ = startHot()
+    var tailQ = startTail()
+    // prime the bucket directory so the file stream can resolve it
+    tsdb.writeLp("tailed", Seq(s"sensor,dev=d0 temp=0.0 ${t0 - 60L * 1000000000L}"))
+    var task = startTask()
+    var morQ = startMor()
 
     def morGens(sub: String): Int =
       Option(new java.io.File(morDir, sub).listFiles()).toSeq.flatten
@@ -109,6 +151,7 @@ object SoakBench {
       f"${"mor_fps_gens"}%12s ${"mor_df_gens"}%11s ${"idx_docs"}%9s ${"heap_mb"}%8s ${"elapsed_s"}%9s")
     val tStart = System.nanoTime()
     val samples = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    var lastStateRows = 0L
 
     (1 to nBatches).foreach { b =>
       // hot ingest: 3 points per batch, all on day1 (one hot partition)
@@ -134,15 +177,38 @@ object SoakBench {
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(s"$b/$d/$i".getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
       }
+      val crashNow = crashEvery > 0 && b % crashEvery == 0 && b < nBatches
+      if (crashNow) injectCrash = true
       morMem.addData(
         (Seq.tabulate(3)(d => (b * 10L + d,
           (1 to 25).map(i => word(d, i)).mkString(" "))) :+
           (b * 10L + 9, (1 to 30).map(i => s"seed$i").mkString(" ") + s" tail$b")): _*)
-      morQ.processAllAvailable()
+      if (crashNow) {
+        // the injected failure lands AFTER the sink applied this batch:
+        // Spark never records the commit, so the restarted query must
+        // REPLAY the batchId over its own landed generation
+        try morQ.processAllAvailable()
+        catch { case _: Throwable => () }
+        val tCrash = System.nanoTime()
+        hotQ.stop(); tailQ.stop(); task.stop()
+        try morQ.stop() catch { case _: Throwable => () }
+        // fresh store instance over the same warehouse: persisted
+        // ingest-seq hwm re-read, registries rebuilt from liveness
+        tsdb = Tsdb(spark, wh)
+        hotQ = startHot(); tailQ = startTail(); task = startTask()
+        morQ = startMor()
+        morQ.processAllAvailable() // forces the batchId replay through
+        val recSecs = (System.nanoTime() - tCrash) / 1e9
+        println(f"[crash] batch $b%5d: killed + restarted all streams, recovery ${recSecs}%.1f s")
+      } else morQ.processAllAvailable()
 
+      Option(task.lastProgress)
+        .foreach(p => lastStateRows = p.stateOperators.map(_.numRowsTotal).sum)
       if (b % every == 0 || b == nBatches) {
-        val stateRows = Option(task.lastProgress)
-          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        // a task restarted at this very batch has no progress yet; its
+        // state lives in the checkpoint unchanged — report the last
+        // observed value rather than a spurious 0
+        val stateRows = lastStateRows
         val idxDocs = mor.fps().count()
         val m = Map(
           "batch" -> b.toLong,
@@ -159,6 +225,14 @@ object SoakBench {
           f"${m("heap_mb")}%8d ${m("elapsed_s")}%9d")
       }
     }
+    // EXACT index count: 1 seed + 3 novel per batch — any crash-replay
+    // that self-matched (kept 0) or double-appended (kept 6) breaks this
+    val finalDocs = mor.fps().count()
+    val expectDocs = 1L + 3L * nBatches
+    assert(finalDocs == expectDocs,
+      s"index count $finalDocs != exact $expectDocs — a replay skewed the corpus")
+    println(s"[soak] exact index count OK: $finalDocs docs = 1 seed + 3 x $nBatches batches" +
+      (if (crashEvery > 0) s" across ${(nBatches - 1) / crashEvery} crash/restart cycles" else ""))
     hotQ.stop(); tailQ.stop(); task.stop(); morQ.stop()
 
     val keys = Seq("batch", "hot_files_d1", "state_rows", "mor_fps_gens",

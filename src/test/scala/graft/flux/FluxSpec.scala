@@ -655,4 +655,72 @@ class FluxSpec extends SparkSpec {
       .select("_value").collect().head.getDouble(0)
     assert(exact == 4.0) // interpolated median of {1,3,5,10}
   }
+
+  test("multi-yield: result-set eval, per-result CSV emission, parseResults round-trip") {
+    val script =
+      """a = from(bucket: "b")
+        |  |> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-10T00:00:00Z)
+        |  |> filter(fn: (r) => r._measurement == "cpu")
+        |a |> mean() |> yield(name: "avg")
+        |a |> count() |> yield(name: "n")""".stripMargin
+    val results = FluxEval.runAll(script, source)
+    assert(results.map(_._1) == Seq("avg", "n"))
+    assert(results.head._2.select("_value").as[Double].collect().toSeq ==
+      Seq((1.0 + 3.0 + 10.0 + 5.0) / 4))
+    assert(results(1)._2.select("_value").as[Long].collect().toSeq == Seq(4L))
+
+    // EMISSION parity: the HTTP surface writes one annotated-CSV section
+    // per result, #default'ed to the yield name — parseResults must
+    // decode the exact result-set map back (the 2.0.9 response shape)
+    val sb = new java.lang.StringBuilder
+    results.foreach { case (n, df) =>
+      graft.service.AnnotatedCsv.write(df, sb, resultName = n)
+    }
+    val back = graft.service.AnnotatedCsv.parseResults(sb.toString, spark)
+    assert(back.map(_._1) == Seq("avg", "n"))
+    assert(back.head._2.select("_value").as[Double].collect().toSeq ==
+      results.head._2.select("_value").as[Double].collect().toSeq)
+    assert(back(1)._2.select("_value").as[Long].collect().toSeq == Seq(4L))
+
+    // an unnamed yield is `_result`; duplicate names reject loudly
+    val unnamed = FluxEval.runAll(
+      """from(bucket: "b") |> count()""", source)
+    assert(unnamed.map(_._1) == Seq("_result"))
+    val dup = intercept[FluxEval.EvalException](FluxEval.runAll(
+      """from(bucket: "b") |> count() |> yield(name: "x")
+        |from(bucket: "b") |> mean() |> yield(name: "x")""".stripMargin, source))
+    assert(dup.msg.contains("duplicate yield name"))
+    // the single-result surface refuses a multi-result script
+    val multi = intercept[FluxEval.EvalException](FluxEval.run(script, source))
+    assert(multi.msg.contains("single-result surface"))
+  }
+
+  test("multi-yield fuzz: random script shapes encode∘decode to the same result map") {
+    val aggs = Seq("mean" -> "double", "count" -> "long", "sum" -> "double",
+      "min" -> "double", "max" -> "double")
+    val rng = new scala.util.Random(1712L)
+    (0 until 15).foreach { trial =>
+      val k = 2 + rng.nextInt(3)
+      val picks = Seq.fill(k)(aggs(rng.nextInt(aggs.size)))
+      val names = picks.zipWithIndex.map { case (_, i) => s"r${trial}_$i" }
+      val script = "a = from(bucket: \"b\")\n" +
+        "  |> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-10T00:00:00Z)\n" +
+        picks.zip(names).map { case ((fn, _), nm) =>
+          s"""a |> $fn() |> yield(name: "$nm")"""
+        }.mkString("\n")
+      val results = FluxEval.runAll(script, source)
+      assert(results.map(_._1) == names, s"trial $trial: names/order diverged")
+      val sb = new java.lang.StringBuilder
+      results.foreach { case (n, df) =>
+        graft.service.AnnotatedCsv.write(df, sb, resultName = n)
+      }
+      val back = graft.service.AnnotatedCsv.parseResults(sb.toString, spark)
+      assert(back.map(_._1) == names, s"trial $trial: decoded names diverged")
+      results.zip(back).foreach { case ((nm, df), (_, dec)) =>
+        val want = df.select("_value").collect().map(_.get(0)).toSeq
+        val got = dec.select("_value").collect().map(_.get(0)).toSeq
+        assert(got == want, s"trial $trial/$nm: $got != $want")
+      }
+    }
+  }
 }
