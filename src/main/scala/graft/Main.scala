@@ -31,11 +31,15 @@ object Main {
     val config = EngineConfig(warehousePath = warehouse)
       .validate().fold(msg => throw new IllegalArgumentException(msg), identity)
 
-    val spark = SparkTuning.scaleDefaults(SparkSession.builder()
+    // serviceDefaults: the engine process hosts long-running streams
+    // (ingest, CQs, tasks) — cap the SQL status store's per-execution
+    // retention or the driver heap grows for thousands of micro-batches
+    val spark = SparkTuning.serviceDefaults(SparkTuning.scaleDefaults(
+      SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-engine")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]")),
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

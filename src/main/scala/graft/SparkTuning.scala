@@ -46,6 +46,24 @@ object SparkTuning {
     */
   def initialWidth(cores: Int): Int = math.max(1024, cores * 32)
 
+  /** Status-store retention caps for LONG-RUNNING (streaming-service)
+    * sessions. Spark's SQLAppStatusListener retains the plan graph +
+    * metrics of the last `spark.sql.ui.retainedExecutions` (default
+    * 1000) SQL executions even with the UI disabled; a micro-batch
+    * stream runs several executions per trigger, so the default grows
+    * the driver heap ~25 KB/batch for thousands of batches before
+    * plateauing (the r17 soak's jmap diff: SQLPlanMetric instances
+    * +800/batch — NOT the seen-files map the r16 soak blamed; that one
+    * is real but ~100 KB at soak scale and bounded by maxFileAge).
+    * A service keeps a small diagnostic tail instead.
+    */
+  def serviceDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "16")
+
   def scaleDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder = {
     val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     b.config("spark.sql.shuffle.partitions",

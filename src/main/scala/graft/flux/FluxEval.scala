@@ -59,11 +59,15 @@ object FluxEval {
 
   final case class EvalException(msg: String) extends Exception(msg)
 
-  def run(query: String, source: Source): DataFrame = runAll(query, source) match {
-    case Seq((_, df)) => df
-    case many => throw EvalException(
-      s"script yields ${many.size} results (${many.map(_._1).mkString(", ")}) " +
-        "on a single-result surface — use runAll / the HTTP query API")
+  def run(query: String, source: Source): DataFrame = {
+    val prog = FluxParser.parseProgram(query)
+    // reject BEFORE evaluating: eval is effectful (`to()` writes), so a
+    // refused script must not leave a half-run's writes behind
+    if (prog.mains.sizeIs > 1)
+      throw EvalException(
+        s"script yields ${prog.mains.size} results on a single-result " +
+          "surface — use runAll / the HTTP query API")
+    evalProgram(prog, source).head._2
   }
 
   /** Evaluate a (possibly multi-`yield`) program into the reference
@@ -75,21 +79,34 @@ object FluxEval {
     * encoding keys sections by name, and Flux itself errors on a
     * duplicate yield name.
     */
-  def runAll(query: String, source: Source): Seq[(String, DataFrame)] = {
-    val prog = FluxParser.parseProgram(query)
-    val env = prog.assigns.foldLeft(Map.empty[String, FluxFrame]) {
-      case (e, (name, pipe)) => e + (name -> evalPipeline(pipe, source, e))
-    }
-    val results = prog.mains.map { p =>
-      val name = p.calls.reverseIterator.collectFirst {
-        case Call("yield", args) if args.contains("name") => str(args, "name")
-      }.getOrElse("_result")
-      name -> evalPipeline(p, source, env).toDF
-    }
-    val dups = results.groupBy(_._1).collect { case (n, xs) if xs.sizeIs > 1 => n }
+  def runAll(query: String, source: Source): Seq[(String, DataFrame)] =
+    evalProgram(FluxParser.parseProgram(query), source)
+
+  private def resultName(p: Pipeline): String =
+    p.calls.reverseIterator.collectFirst {
+      case Call("yield", args) if args.contains("name") => str(args, "name")
+    }.getOrElse("_result")
+
+  private def evalProgram(prog: FluxParser.Program,
+      source: Source): Seq[(String, DataFrame)] = {
+    // names are parse-time facts — duplicate-name rejection happens
+    // BEFORE any pipeline evaluates (eval is effectful via `to()`)
+    val names = prog.mains.map(resultName)
+    val dups = names.groupBy(identity).collect { case (n, xs) if xs.sizeIs > 1 => n }
     if (dups.nonEmpty)
       throw EvalException(s"duplicate yield name(s): ${dups.toSeq.sorted.mkString(", ")}")
-    results
+    // statements evaluate IN SCRIPT ORDER: an assignment is visible only
+    // to statements after it — a forward reference fails with the same
+    // undefined-identifier error the reference engine raises
+    var env = Map.empty[String, FluxFrame]
+    val out = Seq.newBuilder[(String, DataFrame)]
+    prog.stmts.foreach {
+      case FluxParser.SAssign(name, pipe) =>
+        env += name -> evalPipeline(pipe, source, env)
+      case FluxParser.SResult(pipe) =>
+        out += resultName(pipe) -> evalPipeline(pipe, source, env).toDF
+    }
+    out.result()
   }
 
   private def evalPipeline(pipe: Pipeline, source: Source,

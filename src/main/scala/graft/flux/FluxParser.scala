@@ -84,18 +84,33 @@ object FluxParser {
   /** `name = <pipeline>` statements followed by one result pipeline —
     * the Flux program shape `join`/`union` need for their inputs.
     */
-  final case class Program(assigns: Seq[(String, Pipeline)],
-      /** The program's RESULT pipelines, in order. The reference
-        * engine's response is a result-set map: one annotated-CSV
-        * section per `yield` — a script with two standalone pipelines
-        * (each usually ending in `yield(name:)`) produces two results.
+  /** A top-level statement, in SCRIPT ORDER — order is semantics: an
+    * assignment is visible only to statements after it (the reference
+    * engine rejects a forward reference with "undefined identifier"),
+    * so evaluation must thread the environment through the statement
+    * sequence rather than hoist all assignments first.
+    */
+  sealed trait Stmt
+  final case class SAssign(name: String, pipe: Pipeline) extends Stmt
+  final case class SResult(pipe: Pipeline) extends Stmt
+
+  final case class Program(
+      /** Top-level statements in script order: table assignments and
+        * RESULT pipelines. The reference engine's response is a
+        * result-set map: one annotated-CSV section per `yield` — a
+        * script with two standalone pipelines (each usually ending in
+        * `yield(name:)`) produces two results.
         */
-      mains: Seq[Pipeline],
+      stmts: Seq[Stmt],
       /** `option <name> = <value>` headers, in order — `option task =
         * {name: "…", every: 1h}` is how a scheduled task carries its
         * run cadence inside the script body; evaluation ignores them.
         */
       options: Seq[(String, Value)] = Nil) {
+    def assigns: Seq[(String, Pipeline)] =
+      stmts.collect { case SAssign(n, p) => (n, p) }
+    /** The result pipelines, in script order. */
+    def mains: Seq[Pipeline] = stmts.collect { case SResult(p) => p }
     /** The single-result accessor every pre-multi-yield surface uses. */
     def main: Pipeline = mains.head
   }
@@ -187,13 +202,12 @@ object FluxParser {
           options += name -> value(); ws()
         } else header = false
       }
-      val assigns = Seq.newBuilder[(String, Pipeline)]
-      val mains = Seq.newBuilder[Pipeline]
+      val stmts = Seq.newBuilder[Stmt]
       var nMains = 0
-      // statements to end of input: assignments, function definitions,
-      // and RESULT pipelines — one result per standalone pipeline, the
-      // multi-`yield` program shape (pre-r17 this stopped at the first
-      // result and rejected the rest as trailing input)
+      // statements to end of input, IN ORDER: assignments, function
+      // definitions, and RESULT pipelines — one result per standalone
+      // pipeline, the multi-`yield` program shape (pre-r17 this stopped
+      // at the first result and rejected the rest as trailing input)
       while (i < src.length) {
         val save = i
         val name = ident(); ws()
@@ -203,16 +217,16 @@ object FluxParser {
           // stdlib's user-extension idiom; a pipeline assignment's RHS
           // always starts with an identifier, so "(" disambiguates
           if (peekStr("(")) { funcs += name -> funcDef(); ws() }
-          else { assigns += name -> pipeline(); ws() }
+          else { stmts += SAssign(name, pipeline()); ws() }
         } else {
           i = save
-          mains += pipeline()
+          stmts += SResult(pipeline())
           nMains += 1
           ws()
         }
       }
       if (nMains == 0) fail("program has no result pipeline")
-      Program(assigns.result(), mains.result(), options.result())
+      Program(stmts.result(), options.result())
     }
 
     /** A verb chain; the head may be a bare identifier referencing an

@@ -199,17 +199,38 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def liveCompactionCadences(bucket: String): Seq[String] =
     liveEntries(cadenceRegistry, bucket)
 
+  /** IN-PROGRESS one-shot partition rewrites (compact / delete /
+    * retention) — separate from the CADENCE registry on purpose: a
+    * cadence is a standing property of a live ingest (a would-be tail
+    * must refuse outright, naming the compactEvery knob), while a
+    * rewrite intent is transient — registered around even a sweep that
+    * will SKIP, gone in milliseconds in that case, or gone when a real
+    * rewrite finishes. A would-be tail WAITS these out briefly instead
+    * of hard-failing with the cadence remedy (which would be the wrong
+    * message, and would make the Dekker mutual-abort permanent on the
+    * task side).
+    */
+  private val rewriteRegistry =
+    new scala.collection.concurrent.TrieMap[String,
+      scala.collection.concurrent.TrieMap[String, () => Boolean]]
+
+  /** Names of in-progress one-shot rewrites on `bucket` (dead pruned). */
+  def liveRewrites(bucket: String): Seq[String] = liveEntries(rewriteRegistry, bucket)
+
   /** Register an IN-PROGRESS partition rewrite (compact / delete /
-    * retention) in the cadence registry for the duration of `body`: a
-    * tail passing its liveTails-was-empty entry check must still see a
-    * rewrite that started moments earlier, or its source's initial file
-    * listing interleaves with replaceDir (the TOCTOU the registries
-    * exist to close — one-shot rewrites need it as much as cadences).
+    * retention) for the duration of `body`: a tail passing its
+    * liveTails-was-empty entry check must still see a rewrite that
+    * started moments earlier, or its source's initial file listing
+    * interleaves with replaceDir (the TOCTOU the registries exist to
+    * close — one-shot rewrites need it as much as cadences). The
+    * intent registers BEFORE the body's own liveTails check
+    * (register-then-check on both sides).
     */
   private def withRewriteIntent[A](bucket: String, op: String)(body: => A): A = {
     @volatile var live = true
-    registerCompactionCadence(bucket,
-      s"$op:${java.util.UUID.randomUUID()}", () => live)
+    rewriteRegistry.getOrElseUpdate(bucket,
+      new scala.collection.concurrent.TrieMap)
+      .put(s"$op:${java.util.UUID.randomUUID()}", () => live)
     try body finally live = false
   }
 

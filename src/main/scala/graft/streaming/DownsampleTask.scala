@@ -118,6 +118,23 @@ final class DownsampleTask(tsdb: Tsdb) {
           "compactEvery = 0 (service path: GRAFT_INGEST_COMPACT_EVERY=0) or " +
           "stop it before starting the task.")
     }
+    // one-shot rewrites (compact/delete/retention sweeps) are transient:
+    // a sweep that will SKIP (it sees our provisional tail) clears its
+    // intent in milliseconds, and a real in-flight rewrite ends — wait
+    // these out instead of prescribing the cadence remedy for them
+    val waitUntil = System.nanoTime() + 30L * 1000000000L
+    var rewrites = tsdb.store.liveRewrites(source)
+    while (rewrites.nonEmpty && System.nanoTime() < waitUntil) {
+      Thread.sleep(50L)
+      rewrites = tsdb.store.liveRewrites(source)
+    }
+    if (rewrites.nonEmpty) {
+      aborted = true
+      throw new IllegalStateException(
+        s"DownsampleTask on '$source' refused: in-progress partition " +
+          s"rewrite(s) ${rewrites.mkString(", ")} did not finish within 30s — " +
+          "retry once the rewrite completes.")
+    }
     try {
     val srcPath = tsdb.catalog.bucketPath(source).toString
     val stream = tsdb.spark.readStream

@@ -328,17 +328,26 @@ object StreamDedup {
       // disk was committed under the old contract (readers treated a
       // missing commits/ dir as all-committed), so backfill their
       // markers BEFORE the dir starts existing — otherwise this stamp
-      // would flip them all to torn/invisible in one step.
+      // would flip them all to torn/invisible in one step. The backfill
+      // is staged in a temp dir and RENAMED into place: readers key the
+      // torn shield off commits/ existing, so the dir must never be
+      // observable half-populated (writes are single-writer; reads are
+      // not).
       if (!java.nio.file.Files.exists(commitsDir)) {
-        java.nio.file.Files.createDirectories(commitsDir)
+        val tmp = root.resolve(".tmp-commits")
+        deleteRecursively(tmp.toFile)
+        java.nio.file.Files.createDirectories(tmp)
         for (log <- Seq(fpsDir, dfDir);
              f <- Option(log.toFile.listFiles()).toSeq.flatten;
              g <- f.getName.stripPrefix("b=").toLongOption if g != b)
-          java.nio.file.Files.write(commitsDir.resolve(s"b=$g"),
-            Array.emptyByteArray)
+          java.nio.file.Files.write(tmp.resolve(s"b=$g"), Array.emptyByteArray)
+        java.nio.file.Files.write(tmp.resolve(s"b=$b"), Array.emptyByteArray)
+        java.nio.file.Files.move(tmp, commitsDir)
+        ()
+      } else {
+        java.nio.file.Files.write(commitsDir.resolve(s"b=$b"), Array.emptyByteArray)
+        ()
       }
-      java.nio.file.Files.write(commitsDir.resolve(s"b=$b"), Array.emptyByteArray)
-      ()
     }
 
     private def committedGens: Set[Long] =

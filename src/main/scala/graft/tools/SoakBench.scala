@@ -56,11 +56,15 @@ object SoakBench {
     val nBatches = sys.env.getOrElse("SOAK_BATCHES", "500").toInt
     val every = sys.env.getOrElse("SOAK_SAMPLE_EVERY", "50").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // serviceDefaults: the soak measures the LONG-RUNNING configuration —
+    // without the status-store caps the SQL listener's retained
+    // executions grow the heap ~25 KB/batch toward its 1000-execution
+    // default (the r17 jmap diff), drowning the curves the soak pins
+    val spark = graft.SparkTuning.serviceDefaults(SparkSession.builder()
       .appName("graft-soak").master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -65,8 +65,11 @@ class TailGuardSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("spec-tail-del"))
     // the refusal unwinds its rewrite intent — a fresh tail may register
-    assert(tsdb.store.liveCompactionCadences("raw").isEmpty,
+    assert(tsdb.store.liveRewrites("raw").isEmpty,
       "a refused delete must not leave its rewrite intent registered")
+    // rewrite intents are NOT cadences: a racing task start waits them
+    // out instead of hard-failing with the compactEvery remedy
+    assert(tsdb.store.liveCompactionCadences("raw").isEmpty)
     alive = false
     tsdb.store.delete("raw", t0, t0 + 3600L * 1000000000L) // now proceeds
   }

@@ -48,7 +48,12 @@ def build_worktree(commit):
 def bench_pass(classes, sf_dir, cpus, reps):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_BENCH_REPS=str(reps))
+               SPARK_GRAFT_BENCH_REPS=str(reps),
+               # each Bench invocation (including the PREVIOUS binary's)
+               # would otherwise write ./BENCH_FULL.json — an interrupted
+               # sealing run must never leave the artifact of record
+               # holding a single-binary pass
+               SPARK_GRAFT_BENCH_OUT=f"/tmp/seal_pass_{os.getpid()}.json")
     cp = f"{classes}:/opt/spark/jars/*"
     r = subprocess.run(["java", f"-cp", cp, "graft.Bench"], env=env,
                        capture_output=True, text=True)
@@ -100,12 +105,30 @@ def main():
                         "loadavg_end": res.get("loadavg_end"),
                         "load_contaminated": res.get("load_contaminated"),
                         "errors": res.get("errors", {})})
+            # a query that ERRORS would silently vanish from the minima
+            # and read as a speedup in the totals — a current-binary
+            # error fails the sealing run outright
+            if res.get("errors"):
+                msg = f"[seal] pass {p} {label} had query errors: {res['errors']}"
+                if label == "cur":
+                    sys.exit(msg + " -- sealing aborted, fix before sealing")
+                print(msg + " (previous binary -- recorded, pairs dropped)",
+                      flush=True)
             fold_minima(acc, res)
             print(f"[seal] pass {p} {label}: total={res.get('value'):.1f}s "
                   f"load_end={res.get('loadavg_end')}", flush=True)
 
     paired = {q: cur_min[q] / prev_min[q]
               for q in cur_min if q in prev_min and prev_min[q] > 0}
+    # set differences are first-class artifact fields: a query present in
+    # the previous binary but absent now is a removal/regression-to-crash
+    # and must not hide inside a smaller total
+    only_prev = sorted(set(prev_min) - set(cur_min))
+    only_cur = sorted(set(cur_min) - set(prev_min))
+    if only_prev:
+        print(f"[seal] WARNING: {len(only_prev)} query(ies) in the previous "
+              f"binary are MISSING from the current one: {only_prev}",
+              flush=True)
     out = {
         "metric": "bench_full_paired",
         "value": round(sum(cur_min.values()), 3),
@@ -119,6 +142,8 @@ def main():
         if paired else None,
         "passes": args.passes, "reps_per_pass": args.reps,
         "load_contaminated": contaminated,
+        "missing_in_current": only_prev,
+        "new_in_current": only_cur,
         "pass_log": raw,
     }
     with open(args.out, "w") as f:
