@@ -206,8 +206,15 @@ object SoakBench {
         println(f"[crash] batch $b%5d: killed + restarted all streams, recovery ${recSecs}%.1f s")
       } else morQ.processAllAvailable()
 
-      Option(task.lastProgress)
-        .foreach(p => lastStateRows = p.stateOperators.map(_.numRowsTotal).sum)
+      Option(task.lastProgress).foreach { p =>
+        val s = p.stateOperators.map(_.numRowsTotal).sum
+        // a restarted query's first trigger can be a NO-DATA batch that
+        // reports numRowsTotal=0 before the state store partitions load
+        // (observed in the crash-soak: the next data batch reports the
+        // true 12 again) — a zero-state report from a zero-input batch
+        // is a non-observation, not an observation of zero
+        if (s > 0 || p.numInputRows > 0) lastStateRows = s
+      }
       if (b % every == 0 || b == nBatches) {
         // a task restarted at this very batch has no progress yet; its
         // state lives in the checkpoint unchanged — report the last
