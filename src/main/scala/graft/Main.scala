@@ -39,7 +39,7 @@ object Main {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-engine")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]")),
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
+        envInt("SPARK_GRAFT_CPUS", 32)))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -228,10 +228,14 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     */
   private def withRewriteIntent[A](bucket: String, op: String)(body: => A): A = {
     @volatile var live = true
-    rewriteRegistry.getOrElseUpdate(bucket,
+    val key = s"$op:${java.util.UUID.randomUUID()}"
+    val entries = rewriteRegistry.getOrElseUpdate(bucket,
       new scala.collection.concurrent.TrieMap)
-      .put(s"$op:${java.util.UUID.randomUUID()}", () => live)
-    try body finally live = false
+    entries.put(key, () => live)
+    // remove deterministically: pruning otherwise happens only when
+    // liveRewrites is POLLED, and a maintenance cycle with no tails on
+    // the bucket would accumulate one dead UUID entry per sweep forever
+    try body finally { live = false; entries.remove(key); () }
   }
 
   /** Per-bucket mutation counter: bumped by every write/delete/

@@ -122,19 +122,22 @@ final class DownsampleTask(tsdb: Tsdb) {
     // a sweep that will SKIP (it sees our provisional tail) clears its
     // intent in milliseconds, and a real in-flight rewrite ends — wait
     // these out instead of prescribing the cadence remedy for them
-    val waitUntil = System.nanoTime() + 30L * 1000000000L
-    var rewrites = tsdb.store.liveRewrites(source)
-    while (rewrites.nonEmpty && System.nanoTime() < waitUntil) {
-      Thread.sleep(50L)
-      rewrites = tsdb.store.liveRewrites(source)
-    }
-    if (rewrites.nonEmpty) {
-      aborted = true
-      throw new IllegalStateException(
-        s"DownsampleTask on '$source' refused: in-progress partition " +
-          s"rewrite(s) ${rewrites.mkString(", ")} did not finish within 30s — " +
-          "retry once the rewrite completes.")
-    }
+    // any throw from here on (incl. InterruptedException out of the
+    // sleep) must set aborted, or the provisional tail registered above
+    // stays live forever and permanently pins the bucket
+    try {
+      val waitUntil = System.nanoTime() + 30L * 1000000000L
+      var rewrites = tsdb.store.liveRewrites(source)
+      while (rewrites.nonEmpty && System.nanoTime() < waitUntil) {
+        Thread.sleep(50L)
+        rewrites = tsdb.store.liveRewrites(source)
+      }
+      if (rewrites.nonEmpty)
+        throw new IllegalStateException(
+          s"DownsampleTask on '$source' refused: in-progress partition " +
+            s"rewrite(s) ${rewrites.mkString(", ")} did not finish within 30s — " +
+            "retry once the rewrite completes.")
+    } catch { case e: Throwable => aborted = true; throw e }
     try {
     val srcPath = tsdb.catalog.bucketPath(source).toString
     val stream = tsdb.spark.readStream

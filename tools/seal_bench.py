@@ -124,10 +124,22 @@ def main():
     # the previous binary but absent now is a removal/regression-to-crash
     # and must not hide inside a smaller total
     only_prev = sorted(set(prev_min) - set(cur_min))
-    only_cur = sorted(set(cur_min) - set(prev_min))
+    # a query absent from prev minima can be error-DROPPED there rather
+    # than genuinely new this round — label the two cases apart
+    prev_errs = set()
+    for entry in raw:
+        if entry["binary"] == "prev":
+            prev_errs |= set(entry.get("errors", {}))
+    only_cur_all = set(cur_min) - set(prev_min)
+    error_dropped = sorted(only_cur_all & prev_errs)
+    only_cur = sorted(only_cur_all - prev_errs)
     if only_prev:
         print(f"[seal] WARNING: {len(only_prev)} query(ies) in the previous "
               f"binary are MISSING from the current one: {only_prev}",
+              flush=True)
+    if error_dropped:
+        print(f"[seal] WARNING: {len(error_dropped)} query(ies) ERRORED in "
+              f"the previous binary (pair dropped, not new): {error_dropped}",
               flush=True)
     out = {
         "metric": "bench_full_paired",
@@ -144,6 +156,7 @@ def main():
         "load_contaminated": contaminated,
         "missing_in_current": only_prev,
         "new_in_current": only_cur,
+        "error_dropped_in_prev": error_dropped,
         "pass_log": raw,
     }
     with open(args.out, "w") as f:
