@@ -81,4 +81,55 @@ class DiagnosticsSpec extends SparkSpec {
     assert(full.contains((100L, 1100L)) && full.size > 40,
       "the default budget keeps the mega-block's matches")
   }
+
+  test("blockedPairs fast path ≡ purge accounting: 10 random corpora, random budgets") {
+    // the r17 fast path skips the full purge accounting on an EXACT
+    // one-job bound — this pins the equivalence the skip relies on:
+    // for random corpora, block lengths, and budgets (some under, some
+    // straddling, some over the max block product) the operator must
+    // equal a driver-side reference that counts blocks, drops the
+    // over-budget ones, and brute-forces Levenshtein in the rest
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val rng = new scala.util.Random(17L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsil", "zetaq")
+    (0 until 10).foreach { trial =>
+      def corpus(base: Long, n: Int) = (0 until n).map { i =>
+        val w = words(rng.nextInt(words.size))
+        val tail = (0 until 2 + rng.nextInt(4))
+          .map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+        (base + i, s"$w $tail")
+      }
+      val aRows = corpus(0L, 20 + rng.nextInt(40))
+      val bRows = corpus(1000L, 20 + rng.nextInt(40))
+      val blockLen = 3 + rng.nextInt(4)
+      val maxDist = 1 + rng.nextInt(2)
+      val budget = Seq(2L, 25L, 100L, 1000000L)(rng.nextInt(4))
+      // driver-side reference
+      val blkA = aRows.groupBy(_._2.take(blockLen))
+      val blkB = bRows.groupBy(_._2.take(blockLen))
+      val keptBlocks = (blkA.keySet & blkB.keySet).filter(k =>
+        blkA(k).size.toLong * blkB(k).size <= budget)
+      val want = (for {
+        k <- keptBlocks.toSeq
+        (ia, na) <- blkA(k); (ib, nb) <- blkB(k)
+        d = lev(na, nb) if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      val got = DedupOps.editDistanceLink(
+        aRows.toDF("id", "nm"), "id", "nm",
+        bRows.toDF("id", "nm"), "id", "nm",
+        blockLen = blockLen, maxDist = maxDist, maxBlockPairs = budget)
+        .select("id_a", "id_b", "lev").as[(Long, Long, Int)].collect().toSet
+      assert(got == want,
+        s"trial $trial (blockLen=$blockLen maxDist=$maxDist budget=$budget): " +
+          s"got ${got.size} pairs, want ${want.size}")
+    }
+  }
 }
