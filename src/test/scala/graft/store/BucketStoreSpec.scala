@@ -84,6 +84,34 @@ class BucketStoreSpec extends SparkSpec {
       "duplicate _ingest_seq issued across two live instances — LWW ties arbitrary")
   }
 
+  test("dual-live stores under THREAD concurrency: seqs stay globally unique") {
+    // the single-threaded test above walks the leapfrog deterministically;
+    // this one races it — 4 threads per instance hammering nextSeq while
+    // both instances repeatedly cross block claims, so the floor/reserved
+    // interplay (a racing thread must discard a seq the other instance's
+    // block covers) is exercised under real interleavings
+    val dir = Files.createTempDirectory("graft-store-dualseq-mt")
+    val t1 = Tsdb(spark, dir.toString)
+    val t2 = Tsdb(spark, dir.toString)
+    val perThread = 300000
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
+    val threads = (0 until 8).map { k =>
+      val store = if (k % 2 == 0) t1.store else t2.store
+      new Thread(() => {
+        val buf = new Array[Long](perThread)
+        var i = 0
+        while (i < perThread) { buf(i) = store.nextSeq(); i += 1 }
+        out.add(buf); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val seen = new java.util.HashSet[java.lang.Long](perThread * 8 * 2)
+    var dups = 0L
+    out.forEach(buf => buf.foreach(s => if (!seen.add(s)) dups += 1))
+    assert(dups == 0L, s"$dups duplicate seqs across 8 threads x 2 live stores")
+    assert(seen.size == perThread * 8)
+  }
+
   test("last write wins on same (series, time)") {
     val tsdb = freshTsdb()
     tsdb.writeLp("telemetry", Seq(s"cpu,host=h1 usage=0.5 $t0"))
