@@ -584,6 +584,31 @@ object FluxQueries {
       m.join(c, m("_measurement") === c("cm") && m("wend") === c("cw"))
         .select(col("_measurement"), col("wend"), col("mean_v"), col("cnt_v"))
         .orderBy("_measurement", "wend")
+    }),
+
+    // multi-yield EMISSION parity as a gate (r17): a two-yield script
+    // evaluates to the result-set map, each result is encoded as its
+    // own annotated-CSV section under its yield name (exactly what the
+    // HTTP query surface streams), the payload decodes back through
+    // parseResults, and the flattened (result, value) rows must equal
+    // the two aggregates computed directly by the oracle — the full
+    // script → result set → wire → decode chain in one hash
+    "flux_multi_yield" -> ((s, dir) => {
+      val script =
+        """a = from(bucket: "events")
+          |  |> range(start: 2024-01-08T00:00:00Z, stop: 2024-01-15T00:00:00Z)
+          |  |> filter(fn: (r) => r._measurement == "click")
+          |a |> count() |> yield(name: "n")
+          |a |> sum() |> yield(name: "total")""".stripMargin
+      val results = FluxEval.runAll(script, source(s, dir))
+      val sb = new java.lang.StringBuilder
+      results.foreach { case (n, df) =>
+        graft.service.AnnotatedCsv.write(df, sb, resultName = n)
+      }
+      graft.service.AnnotatedCsv.parseResults(sb.toString, s).map { case (n, df) =>
+        df.select(lit(n).as("result"),
+          r4(col("_value").cast("double")).as("value"))
+      }.reduce(_ unionByName _).orderBy("result")
     })
   )
 
@@ -660,6 +685,19 @@ object FluxQueries {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND event_type IN ('click', 'view')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the emission gate's oracle replays both yields' aggregates
+    "flux_multi_yield" ->
+      """SELECT * FROM (
+        |  SELECT 'n' AS result, round(CAST(count(*) AS DOUBLE), 4) AS value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |    AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'total' AS result, round(sum(value), 4) AS value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |    AND event_type = 'click'
+        |) ORDER BY result""".stripMargin,
     "flux_downsample" ->
       """SELECT event_type AS _measurement,
         |  time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
