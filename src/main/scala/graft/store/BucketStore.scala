@@ -44,7 +44,13 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * sequence. Steady-state cost: one tiny file write per million
     * seqs, zero per-write I/O otherwise.
     */
-  private val SeqBlock = 1L << 20
+  /** Reservation block size. Mutable ONLY so the dual-writer race spec
+    * can shrink it (thousands of leapfrog crossings per run instead of
+    * ~2 — the claim window is a few instructions wide and a realistic
+    * block size would leave it effectively untested); production code
+    * never writes it.
+    */
+  @volatile private[graft] var seqBlock: Long = 1L << 20
   private val hwmPath = catalog.root.resolve("_ingest_seq_hwm")
 
   private def readHwm(): Long =
@@ -110,10 +116,9 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
               // a foreign block's owner may issue any seq ≤ persisted
               // (its return check is s ≤ its reserved top), so s is
               // foreign-claimed iff persisted >= s; our new block is
-              // (base, base + SeqBlock]
+              // (base, base + seqBlock]
               val base = math.max(s, persisted)
-              persistHwm(base + SeqBlock)
-              seqReserved.set(base + SeqBlock)
+              persistHwm(base + seqBlock)
               if (persisted >= s) {
                 // foreign block covers s — poison it and every pending
                 // increment at or under the foreign top, then re-issue
@@ -121,9 +126,18 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
                 seqGen.updateAndGet(g => math.max(g, base))
                 ()
               }
+              // publish the enlarged reservation LAST: a lock-skipping
+              // racer admits a seq only after re-reading reserved (below,
+              // BEFORE floor) — sequentially consistent atomics then
+              // guarantee that seeing this new reserve implies seeing the
+              // new floor, so a foreign-covered seq can never slip
+              // through the claim window
+              seqReserved.set(base + seqBlock)
             }
       }
-      if (s > seqFloor.get() && s <= seqReserved.get()) return s
+      // order matters: reserved FIRST, floor second (see claim above)
+      val r = seqReserved.get()
+      if (s <= r && s > seqFloor.get()) return s
     }
     -1L // unreachable
   }

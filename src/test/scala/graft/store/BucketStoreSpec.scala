@@ -93,6 +93,12 @@ class BucketStoreSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-store-dualseq-mt")
     val t1 = Tsdb(spark, dir.toString)
     val t2 = Tsdb(spark, dir.toString)
+    // shrink the reservation block so the 2.4M seqs below produce
+    // thousands of leapfrog crossings (at the production 1M block the
+    // few-instruction claim window would be crossed ~2 times per run —
+    // no meaningful race coverage)
+    t1.store.seqBlock = 1000L
+    t2.store.seqBlock = 1000L
     val perThread = 300000
     val out = new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
     val threads = (0 until 8).map { k =>
