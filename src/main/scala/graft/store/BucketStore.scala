@@ -37,18 +37,20 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * and then restarts, because the new seed lands BELOW the previous
     * run's max. The store therefore persists a high-water mark at the
     * warehouse root with write-ahead BLOCK reservation: [[nextSeq]]
-    * bumps the persisted mark to `seq + SeqBlock` before handing out a
+    * bumps the persisted mark to `seq + seqBlock` before handing out a
     * seq past the current reservation, so every seq ever used is ≤ the
     * persisted mark at all times — a restart seeds at
     * max(now, persisted) and can never re-issue or under-shoot a used
     * sequence. Steady-state cost: one tiny file write per million
     * seqs, zero per-write I/O otherwise.
-    */
-  /** Reservation block size. Mutable ONLY so the dual-writer race spec
-    * can shrink it (thousands of leapfrog crossings per run instead of
-    * ~2 — the claim window is a few instructions wide and a realistic
-    * block size would leave it effectively untested); production code
-    * never writes it.
+    *
+    * The block size is mutable ONLY so the dual-writer race specs can
+    * shrink it (thousands of leapfrog crossings per run instead of ~2 —
+    * the claim window is a few instructions wide and a realistic block
+    * size would leave it effectively untested); production code never
+    * writes it, and [[nextSeq]] reads it ONCE per claim so the
+    * persisted mark and the in-memory reservation always agree even if
+    * a test mutates it mid-claim.
     */
   @volatile private[graft] var seqBlock: Long = 1L << 20
   private val hwmPath = catalog.root.resolve("_ingest_seq_hwm")
@@ -116,9 +118,11 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
               // a foreign block's owner may issue any seq ≤ persisted
               // (its return check is s ≤ its reserved top), so s is
               // foreign-claimed iff persisted >= s; our new block is
-              // (base, base + seqBlock]
+              // (base, base + block] — block read ONCE so the persisted
+              // mark and the reservation below can never disagree
+              val block = seqBlock
               val base = math.max(s, persisted)
-              persistHwm(base + seqBlock)
+              persistHwm(base + block)
               if (persisted >= s) {
                 // foreign block covers s — poison it and every pending
                 // increment at or under the foreign top, then re-issue
@@ -132,7 +136,7 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
               // guarantee that seeing this new reserve implies seeing the
               // new floor, so a foreign-covered seq can never slip
               // through the claim window
-              seqReserved.set(base + seqBlock)
+              seqReserved.set(base + block)
             }
       }
       // order matters: reserved FIRST, floor second (see claim above)

@@ -65,15 +65,17 @@ class BucketStoreSpec extends SparkSpec {
   test("two concurrently-live stores on one warehouse never issue the same ingest seq") {
     val dir = Files.createTempDirectory("graft-store-dualseq")
     val t1 = Tsdb(spark, dir.toString)
+    t1.store.seqBlock = 1000L // small blocks: cross claims in thousands
     val early = (0 until 10).map(_ => t1.store.nextSeq())
     // second LIVE instance (not a restart): seeds above t1's persisted
     // block, but t1's generator will eventually increment through t2's
     // active range — the leapfrog must route t1 past it instead
     val t2 = Tsdb(spark, dir.toString)
+    t2.store.seqBlock = 1000L
     val s1 = collection.mutable.ArrayBuffer.empty[Long]
     val s2 = collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
-    val n = (1 << 20) + 2000 // > one SeqBlock: forces t1 across its claim
+    val n = 20000 // many block crossings for both instances
     while (i < n) {
       s1 += t1.store.nextSeq()
       if (i % 64 == 0) s2 += t2.store.nextSeq()
