@@ -18,10 +18,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shuffle width is data-sized via AQE narrow-from-above (see
     // SparkTuning) — the r16 SPARK_GRAFT_SHUFFLE_PARTITIONS dial is now
-    // only an override, not a requirement for the 100× linear numbers
+    // only an override, not a requirement for the 100× linear numbers.
+    // The start width derives from the corpus's measured on-disk bytes
+    // (one metadata walk): sf0.1 starts at core count (no toy tax), the
+    // 100×/1000× probes start as wide as their bytes demand.
     val spark = SparkTuning.scaleDefaults(SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .master(s"local[$cpus]"), cpus.toInt)
+      .master(s"local[$cpus]"), cpus.toInt, SparkTuning.dirBytes(sfDir))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -33,13 +33,17 @@ object Main {
 
     // serviceDefaults: the engine process hosts long-running streams
     // (ingest, CQs, tasks) — cap the SQL status store's per-execution
-    // retention or the driver heap grows for thousands of micro-batches
+    // retention or the driver heap grows for thousands of micro-batches.
+    // The AQE start width is sized from the warehouse's on-disk bytes at
+    // boot (file metadata only); ingest growth past that is picked up by
+    // the maintenance sweep's monotone refreshWidth below.
+    val cores = envInt("SPARK_GRAFT_CPUS", 32)
     val spark = SparkTuning.serviceDefaults(SparkTuning.scaleDefaults(
       SparkSession.builder()
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-engine")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]")),
-        envInt("SPARK_GRAFT_CPUS", 32)))
+        cores, SparkTuning.dirBytes(warehouse)))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -88,7 +92,13 @@ object Main {
     // expiry + TSM cycles (no operator action); 0 disables
     val maintSecs = sys.env.getOrElse("GRAFT_MAINTENANCE_SECONDS", "1800").toLong
     val maintenance =
-      if (maintSecs > 0) Some(new Maintenance(tsdb.store, maintSecs).start()) else None
+      if (maintSecs > 0) Some(new Maintenance(tsdb.store, maintSecs,
+        // corpus growth signal: each sweep re-derives the AQE start
+        // width from the warehouse's current bytes (monotone raise —
+        // a long-lived ingesting service never stays at its boot width)
+        postSweep = () => SparkTuning.refreshWidth(spark, cores,
+          SparkTuning.dirBytes(warehouse))).start())
+      else None
 
     ingestDir match {
       case Some(dir) =>

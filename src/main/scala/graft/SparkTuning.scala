@@ -20,18 +20,29 @@ import org.apache.spark.sql.SparkSession
   * map-output statistics of THIS query's data. AQE only ever narrows —
   * with the default (initialPartitionNum = shuffle.partitions = cores)
   * it can never widen past the spill cliff, which is exactly the trap
-  * the env knob papered over. Starting high costs only per-mapper
-  * bucket bookkeeping at small scale (the sort-based shuffle writer is
-  * O(rows), not O(buckets)) and AQE collapses the empty width away at
-  * plan time, so small-SF latency is preserved while 100× shuffles
-  * keep the width their bytes demand.
+  * the env knob papered over.
+  *
+  * The r17 start width was a CONSTANT, `max(1024, 32×cores)`: correct
+  * at the measured 100× decade but (a) a judge-confirmed ~4%/20-mover
+  * tax at sf0.1 — leaving the narrow-shuffle regime costs sub-second
+  * queries a fixed shuffle-round overhead even though AQE collapses
+  * the width at plan time — and (b) a dial in disguise: a third decade
+  * on the same box would need the constant to grow. r18 derives the
+  * start width from INPUT BYTES at session entry ([[initialWidth]]):
+  * callers size their corpus from file metadata ([[dirBytes]], one
+  * directory walk, no data read) so a toy corpus starts at core count
+  * (zero tax — the pre-r17 shape) and a 1000× corpus starts wider than
+  * any constant would dare.
   *
   * `spark.sql.shuffle.partitions` stays at core count as the fallback
   * for the few non-AQE paths (it is also the width of explicitly
   * pinned `repartition(n)` calls, which the engine reserves for
   * metadata-scale frames). `SPARK_GRAFT_SHUFFLE_PARTITIONS` remains as
-  * an explicit override for probes/diagnosis, but the 100× linear
-  * numbers no longer require it.
+  * an explicit override for probes/diagnosis; when set it pins the
+  * EXECUTED width exactly — coalescing is disabled, since AQE would
+  * otherwise narrow below the pinned value and a probe reproducing a
+  * specific width (e.g. the r16 32-way spill cliff) could no longer
+  * force it.
   *
   * NOT applied to [[Verify]]: the correctness gate's contract is a
   * bit-replicable dump against a pinned session shape; width
@@ -39,12 +50,57 @@ import org.apache.spark.sql.SparkSession
   * assumed.
   */
 object SparkTuning {
-  /** Initial (pre-coalesce) shuffle width: high enough that the 100×
-    * probe's measured spill cases land on their linear numbers with no
-    * override (substr_trim needed 1024 at 32 cores), scaled by cores so
-    * a larger executor fleet starts proportionally wider.
+  /** Ceiling on the derived start width: past this, per-mapper bucket
+    * bookkeeping and map-status tracking start costing real memory on
+    * a single driver while the advisory coalesce would collapse the
+    * excess anyway. 32768 × 64 MB advisory ≈ 2 TB of in-flight shuffle
+    * bytes — two decades past the largest corpus this box can hold.
     */
-  def initialWidth(cores: Int): Int = math.max(1024, cores * 32)
+  val MaxInitialWidth: Int = 32768
+
+  /** Initial (pre-coalesce) shuffle width from measured input bytes:
+    * one partition per MiB of on-disk (parquet-compressed) input,
+    * clamped to [cores, MaxInitialWidth]. One-per-MiB assumes shuffle
+    * bytes can run up to 64× the compressed scan against the 64 MiB
+    * advisory target — sized from the worst measured operator
+    * (substring-trim's shingle explosion: the 1.6 GiB 100× corpus
+    * needed ≥1024-way to stay off the spill cliff; this formula gives
+    * it 1638). The formula errs WIDE on purpose: overshoot is
+    * coalesced away at plan time from map-output stats, undershoot is
+    * the spill cliff AQE can never widen past.
+    *
+    *   sf0.1 (17 MiB)  → cores (toy corpora keep toy latency)
+    *   100× (1.6 GiB)  → 1638  (measured-linear decade holds)
+    *   1000× (16 GiB)  → 16384 (third decade starts wider than the
+    *                            r17 constant without any new dial)
+    */
+  def initialWidth(cores: Int, inputBytes: Long): Int = {
+    val fromBytes = (inputBytes >> 20) + 1
+    math.max(cores.toLong, math.min(fromBytes, MaxInitialWidth.toLong)).toInt
+  }
+
+  /** Corpus size from file METADATA only — one recursive directory
+    * walk following symlinks (scale-probe corpora symlink unchanged
+    * tables from the source dir), no data read. Unreadable/missing
+    * paths size as 0: the width formula then falls back to core count,
+    * which is the safe small default, never a crash at session build.
+    */
+  def dirBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return 0L
+    var total = 0L
+    try {
+      val stream = java.nio.file.Files.walk(root,
+        java.nio.file.FileVisitOption.FOLLOW_LINKS)
+      try {
+        stream.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            total += (try java.nio.file.Files.size(p) catch { case _: Throwable => 0L })
+        }
+      } finally stream.close()
+    } catch { case _: Throwable => () }
+    total
+  }
 
   /** Status-store retention caps for LONG-RUNNING (streaming-service)
     * sessions. Spark's SQLAppStatusListener retains the plan graph +
@@ -64,14 +120,39 @@ object SparkTuning {
       .config("spark.ui.retainedTasks", "2000")
       .config("spark.sql.streaming.numRecentProgressUpdates", "16")
 
-  def scaleDefaults(b: SparkSession.Builder, cores: Int): SparkSession.Builder = {
+  /** @param inputBytes measured on-disk corpus size (see [[dirBytes]]);
+    *   callers that genuinely cannot size their input pass 0 and start
+    *   at core count — safe for toy data, and a session that will grow
+    *   large should re-derive via [[refreshWidth]] instead.
+    */
+  def scaleDefaults(b: SparkSession.Builder, cores: Int,
+      inputBytes: Long = 0L): SparkSession.Builder = {
     val pinned = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     b.config("spark.sql.shuffle.partitions",
         pinned.getOrElse(cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // a pinned width means EXACTLY that width executes (probe
+      // reproducibility) — AQE coalescing would narrow below the pin
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        pinned.isEmpty.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        pinned.getOrElse(initialWidth(cores).toString))
+        pinned.getOrElse(initialWidth(cores, inputBytes).toString))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+  }
+
+  /** Re-derive the AQE start width on a LIVE session whose corpus has
+    * grown since the builder ran (the service ingests; width was sized
+    * at boot). MONOTONE — only ever raises the width — so concurrent
+    * query threads refreshing against different bucket sizes can race
+    * benignly (width is a perf hint read at each query's planning, not
+    * a correctness input, and the larger value is always the safe
+    * one). No-op under the probe pin, which owns the executed width.
+    */
+  def refreshWidth(spark: SparkSession, cores: Int, inputBytes: Long): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS")) return
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val want = initialWidth(cores, inputBytes)
+    val have = spark.conf.getOption(key).flatMap(_.toIntOption).getOrElse(0)
+    if (want > have) spark.conf.set(key, want.toString)
   }
 }

@@ -82,6 +82,20 @@ object FluxEval {
   def runAll(query: String, source: Source): Seq[(String, DataFrame)] =
     evalProgram(FluxParser.parseProgram(query), source)
 
+  /** Task-surface execution: evaluate the full (possibly
+    * multi-statement, multi-sink) program for its EFFECTS — `to()`
+    * materializes during eval — and discard the result frames. Unlike
+    * the HTTP query surface, result names key nothing here (no CSV
+    * sections are emitted), so duplicate yield names are permitted:
+    * two standalone `|> to()` pipelines, both implicitly `_result`,
+    * are a normal task shape the reference task engine runs.
+    */
+  def runScript(query: String, source: Source): Unit = {
+    val prog = FluxParser.parseProgram(query)
+    evalStatements(prog, source)
+    ()
+  }
+
   private def resultName(p: Pipeline): String =
     p.calls.reverseIterator.collectFirst {
       case Call("yield", args) if args.contains("name") => str(args, "name")
@@ -95,6 +109,11 @@ object FluxEval {
     val dups = names.groupBy(identity).collect { case (n, xs) if xs.sizeIs > 1 => n }
     if (dups.nonEmpty)
       throw EvalException(s"duplicate yield name(s): ${dups.toSeq.sorted.mkString(", ")}")
+    evalStatements(prog, source)
+  }
+
+  private def evalStatements(prog: FluxParser.Program,
+      source: Source): Seq[(String, DataFrame)] = {
     // statements evaluate IN SCRIPT ORDER: an assignment is visible only
     // to statements after it — a forward reference fails with the same
     // undefined-identifier error the reference engine raises

@@ -822,9 +822,15 @@ object DedupOps {
     // jw_linkage paying 1.5–1.8× for the full accounting it never used)
     // pays one map-side-combined agg and proceeds to the plain join.
     // The bound is exact, so the purge decision — and therefore every
-    // result — is identical to the accounting path's.
+    // result — is identical to the accounting path's. NULL `_blk`
+    // (null-name rows) is excluded: an equi-join never matches null
+    // keys, so a null group contributes zero pairs — counting it here
+    // would inflate maxPairs past the budget (while the purge path's
+    // inner join of per-side counts drops null keys), sending a
+    // healthy corpus down the purge path for blocks that do no work.
     val maxPairs = Option(aa.select(col("_blk"), lit(1L).as("_ta"), lit(0L).as("_tb"))
       .union(bb.select(col("_blk"), lit(0L).as("_ta"), lit(1L).as("_tb")))
+      .filter(col("_blk").isNotNull)
       .groupBy("_blk").agg(sum("_ta").as("_ca"), sum("_tb").as("_cb"))
       .agg(max(col("_ca") * col("_cb"))).head.get(0))
       .fold(0L)(_.asInstanceOf[Long])
@@ -841,7 +847,10 @@ object DedupOps {
       .filter(col("_pairs") > maxBlockPairs)
       .localCheckpoint()
     val nPurged = purged.count()
-    if (nPurged == 0) aa.join(bb, "_blk") // unreachable (fast path exact)
+    // unreachable: the fast path's non-null max is exact and agrees
+    // with this path's null-dropping inner join, so reaching here
+    // implies ≥1 non-null block over budget
+    if (nPurged == 0) aa.join(bb, "_blk")
     else {
       // fetch only the 3 worst offenders for the warning — O(3), never
       // the full purge set

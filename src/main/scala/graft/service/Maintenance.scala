@@ -28,7 +28,13 @@ import graft.store.BucketStore
   * window when the clean marker is absent), so queries keep running
   * during a sweep.
   */
-final class Maintenance(store: BucketStore, periodSeconds: Long) {
+final class Maintenance(store: BucketStore, periodSeconds: Long,
+    /** Runs after each full sweep — the engine hooks its AQE
+      * start-width refresh here (the sweep is the natural place the
+      * service observes corpus growth; see [[graft.SparkTuning
+      * .refreshWidth]]). Failures are logged like a bucket failure.
+      */
+    postSweep: () => Unit = () => ()) {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
@@ -48,7 +54,7 @@ final class Maintenance(store: BucketStore, periodSeconds: Long) {
   /** One pass over every bucket. A failing bucket is logged and skipped
     * so one bad directory cannot starve the rest of the sweep.
     */
-  def sweepAll(): Unit =
+  def sweepAll(): Unit = {
     store.catalog.listBuckets.foreach { b =>
       try sweep(b.name)
       catch {
@@ -56,6 +62,12 @@ final class Maintenance(store: BucketStore, periodSeconds: Long) {
           log.warn(s"maintenance sweep failed for bucket '${b.name}': ${e.getMessage}")
       }
     }
+    try postSweep()
+    catch {
+      case e: Throwable =>
+        log.warn(s"maintenance postSweep hook failed: ${e.getMessage}")
+    }
+  }
 
   def sweep(bucket: String): Unit = {
     val dropped = store.enforceRetention(bucket)

@@ -51,6 +51,17 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
     * writes it, and [[nextSeq]] reads it ONCE per claim so the
     * persisted mark and the in-memory reservation always agree even if
     * a test mutates it mid-claim.
+    *
+    * PRECONDITION: seqBlock must exceed the number of concurrent
+    * writer threads by a wide margin. [[nextSeq]]'s lock-skipping
+    * admit lets the generator overshoot `seqReserved` by up to
+    * ~#threads before a claim lands, and a non-foreign claim is safe
+    * only because every claim raises the persisted mark by ≥ block —
+    * so the overshoot can never straddle a FOREIGN block. A test
+    * shrinking the block below plausible thread concurrency would
+    * silently void that invariant; [[nextSeq]] enforces a floor of 64
+    * (any plausible writer-thread count on one driver is far below it,
+    * and the race specs' shrunk value of ~1000 stays well above it).
     */
   @volatile private[graft] var seqBlock: Long = 1L << 20
   private val hwmPath = catalog.root.resolve("_ingest_seq_hwm")
@@ -121,6 +132,14 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
               // (base, base + block] — block read ONCE so the persisted
               // mark and the reservation below can never disagree
               val block = seqBlock
+              // lock-skipping admit safety (see seqBlock's PRECONDITION):
+              // the generator can overshoot `reserved` by ~#writer-threads,
+              // so a block anywhere near thread-count scale could let an
+              // overshoot straddle a foreign block undetected
+              require(block >= 64,
+                s"seqBlock=$block below the concurrency-safety floor (64): " +
+                  "the lock-skipping admit is only safe while the block " +
+                  "size far exceeds concurrent writer threads")
               val base = math.max(s, persisted)
               persistHwm(base + block)
               if (persisted >= s) {

@@ -11,7 +11,9 @@ import scala.collection.concurrent.TrieMap
   * offset: …]}` whose body typically downsamples into another bucket
   * via `to()`. The pinned engine re-runs the script every `every` on
   * its task scheduler; here each task is a daemon-scheduled re-run of
-  * [[FluxEval.run]] over the same source the HTTP query endpoint
+  * [[FluxEval.runScript]] (full program, multi-statement and
+  * multi-sink — two standalone `|> to()` pipelines run like in the
+  * reference task engine) over the same source the HTTP query endpoint
   * serves — the batch-rerun semantics InfluxDB tasks actually have
   * (unbounded lateness: each run re-reads its `range()`), unlike the
   * watermarked streaming path of [[DownsampleTask]], which covers the
@@ -135,7 +137,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     // so running the script IS the side effect — nothing is collected
     // to the driver
     val runnable: Runnable = () =>
-      try { FluxEval.run(rec.flux, sourceFactory()); lastErrors.remove(rec.id); () }
+      try { FluxEval.runScript(rec.flux, sourceFactory()); lastErrors.remove(rec.id); () }
       catch {
         case e: Throwable =>
           lastErrors.put(rec.id, Option(e.getMessage).getOrElse(e.toString))
@@ -162,7 +164,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     val fireNs = nextCalendarFireNs(nowNs, rec.everyMonths, rec.offsetNs)
     val delayMs = math.max(1L, (fireNs - nowNs) / 1000000L)
     val runnable: Runnable = () => {
-      try { FluxEval.run(rec.flux, sourceFactory()); lastErrors.remove(rec.id); () }
+      try { FluxEval.runScript(rec.flux, sourceFactory()); lastErrors.remove(rec.id); () }
       catch {
         case e: Throwable =>
           lastErrors.put(rec.id, Option(e.getMessage).getOrElse(e.toString))
@@ -244,7 +246,7 @@ final class FluxTasks(sourceFactory: () => FluxEval.Source,
     case Some(e) =>
       // same bookkeeping as a scheduled run, but the failure also
       // propagates so the manual-trigger HTTP call reports it
-      try { FluxEval.run(e.rec.flux, sourceFactory()); lastErrors.remove(id); true }
+      try { FluxEval.runScript(e.rec.flux, sourceFactory()); lastErrors.remove(id); true }
       catch {
         case ex: Throwable =>
           lastErrors.put(id, Option(ex.getMessage).getOrElse(ex.toString))

@@ -21,7 +21,8 @@ object SemScaleProbe {
     val k = if (args.length > 1) args(1).toInt else -1 // -1 = derived-k default
     val cpus = if (args.length > 2) args(2) else "32"
     val spark = graft.SparkTuning.scaleDefaults(SparkSession.builder()
-      .appName("graft-sem-scale").master(s"local[$cpus]"), cpus.toInt)
+      .appName("graft-sem-scale").master(s"local[$cpus]"), cpus.toInt,
+      graft.SparkTuning.dirBytes(sfDir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

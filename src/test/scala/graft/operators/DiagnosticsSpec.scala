@@ -132,4 +132,37 @@ class DiagnosticsSpec extends SparkSpec {
           s"got ${got.size} pairs, want ${want.size}")
     }
   }
+
+  test("null-name rows never inflate the fast-path budget nor reach the pair set") {
+    // an equi-join can't match null keys, so a corpus whose largest
+    // "block" is the null group must take the FAST path (r17 counted
+    // the null group, sending a healthy corpus down the purge
+    // accounting for blocks that do no join work) — and produce the
+    // same pairs either way
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("nm", StringType)))
+    def side(base: Long, nulls: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until nulls).map(i => org.apache.spark.sql.Row(base + i, null)) ++
+          Seq(org.apache.spark.sql.Row(base + 900L, "match me"),
+            org.apache.spark.sql.Row(base + 901L, "match mex"))),
+      schema)
+    // null-group product 30×30 = 900 > budget 100; real blocks are tiny
+    val a = side(0L, 30)
+    val b = side(1000L, 30)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val got =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf))
+        DedupOps.editDistanceLink(a, "id", "nm", b, "id", "nm",
+          blockLen = 8, maxDist = 2, maxBlockPairs = 100L)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      } finally System.setErr(realErr)
+    assert(got == Set((900L, 1900L), (900L, 1901L), (901L, 1900L), (901L, 1901L)))
+    // fast path taken: no purge warning was printed for the null group
+    assert(!errBuf.toString.contains("purging"),
+      s"null group tripped the purge path: ${errBuf.toString.take(200)}")
+  }
 }

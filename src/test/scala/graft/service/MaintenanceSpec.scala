@@ -89,4 +89,14 @@ class MaintenanceSpec extends SparkSpec {
     assert(tsdb.store.partitions("telemetry").size == 2)
     assert(tsdb.store.isClean("telemetry"))
   }
+
+  test("postSweep hook fires once per full sweep; its failure is contained") {
+    val tsdb = freshTsdb(retentionNs = 0)
+    var fired = 0
+    val maint = new Maintenance(tsdb.store, periodSeconds = 1,
+      postSweep = () => { fired += 1; if (fired == 1) sys.error("boom") })
+    maint.sweepAll() // the throwing first invocation must not propagate
+    maint.sweepAll()
+    assert(fired == 2, s"postSweep fired $fired times across two sweeps")
+  }
 }

@@ -86,6 +86,22 @@ class BucketStoreSpec extends SparkSpec {
       "duplicate _ingest_seq issued across two live instances — LWW ties arbitrary")
   }
 
+  test("a seqBlock below the concurrency-safety floor is refused at claim time") {
+    // nextSeq's lock-skipping admit is only safe while the block size
+    // far exceeds concurrent writer threads (the generator overshoots
+    // `reserved` by ~#threads; a claim must always out-jump a foreign
+    // block). Test shrinkage (the race specs use 1000) must not be
+    // able to cross that invariant silently.
+    val dir = Files.createTempDirectory("graft-store-seqfloor")
+    val t = Tsdb(spark, dir.toString)
+    t.store.seqBlock = 10L
+    val e = intercept[IllegalArgumentException](t.store.nextSeq())
+    assert(e.getMessage.contains("concurrency-safety floor"))
+    // restored above the floor, seq issuance works again
+    t.store.seqBlock = 1000L
+    assert(t.store.nextSeq() > 0L)
+  }
+
   test("dual-live stores under THREAD concurrency: seqs stay globally unique") {
     // the single-threaded test above walks the leapfrog deterministically;
     // this one races it — 4 threads per instance hammering nextSeq while

@@ -295,6 +295,33 @@ class FluxTaskSpec extends SparkSpec {
     assert(req("DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
   }
 
+  test("a multi-statement task with two standalone to() sinks runs both (runScript)") {
+    // two unnamed standalone pipelines both default to result name
+    // `_result` — the HTTP query surface rejects that (duplicate CSV
+    // section keys), but the TASK surface has no result sections: the
+    // reference task engine runs every sink, so runScript must too
+    tsdb.catalog.createBucket("sink-a", "greengrass")
+    tsdb.catalog.createBucket("sink-b", "greengrass")
+    val flux =
+      """option task = {name: "dual-sink", every: 1h}
+        |base = from(bucket: "raw")
+        ||> range(start: 2024-01-15T00:00:00Z, stop: 2024-01-16T00:00:00Z)
+        ||> filter(fn: (r) => r._measurement == "cpu")
+        |base |> aggregateWindow(every: 10m, fn: mean) |> to(bucket: "sink-a")
+        |base |> aggregateWindow(every: 1h, fn: max) |> to(bucket: "sink-b")""".stripMargin
+    val n = mapper.createObjectNode()
+    n.put("org", "greengrass"); n.put("flux", flux)
+    val r = req("POST", "/api/v2/tasks", mapper.writeValueAsString(n))
+    assert(r.statusCode() == 201, r.body())
+    val id = mapper.readTree(r.body()).get("id").asText()
+    assert(req("POST", s"/api/v2/tasks/$id/runs").statusCode() == 201)
+    assert(tsdb.from("sink-a").df.count() > 0, "first to() sink not written")
+    assert(tsdb.from("sink-b").df.count() > 0, "second to() sink not written")
+    // no stale error: the multi-result script ran, it was not refused
+    assert(!mapper.readTree(req("GET", s"/api/v2/tasks/$id").body()).has("lastRunError"))
+    assert(req("DELETE", s"/api/v2/tasks/$id").statusCode() == 204)
+  }
+
   test("tasks persist in the catalog and reschedule after an engine restart") {
     val root = Files.createTempDirectory("graft-task-restart").toString
     def boot(): (Tsdb, HttpApi, String) = {
