@@ -56,7 +56,14 @@ final class Tsdb(val spark: SparkSession, val catalog: Catalog) {
     // (string/bool fields would read back null)
     val fs = if (fields.nonEmpty) fields else store.fieldKeys(bucket, Some(measurement))
     if (fs.isEmpty)
-      return base.select(col("time"), col("time_ns"), col("tags")).distinct()
+      // dedup must not KEY on the raw map (Spark refuses set ops on
+      // MAP columns — the r18 service soak hit this when a measurement
+      // was queried before its field keys were known): key on the
+      // serialized entries, carry the map through as payload
+      return base.select(col("time"), col("time_ns"), col("tags"))
+        .withColumn("_tagkey", to_json(array_sort(map_entries(col("tags")))))
+        .dropDuplicates("time", "time_ns", "_tagkey")
+        .drop("_tagkey")
     val types = store.fieldTypes(bucket, Some(measurement))
     val aggs = fs.map { f =>
       val src = types.getOrElse(f, "float") match {

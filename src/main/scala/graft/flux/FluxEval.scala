@@ -311,9 +311,13 @@ object FluxEval {
         .getOrElse(filtered)
     case "group" =>
       val cols = strArr(call.args, "columns")
+      // store frames keep tags in a map — a tag named as a group column
+      // materializes as a real column first (reference dialect: every
+      // tag IS a column of the table stream)
+      val fm = materializeTagCols(f, cols)
       call.args.get("mode") match {
-        case Some(VStr("except")) => f.groupExcept(cols: _*)
-        case _ => f.group(cols: _*)
+        case Some(VStr("except")) => fm.groupExcept(cols: _*)
+        case _ => fm.group(cols: _*)
       }
     case "aggregateWindow" =>
       val fnV = call.args.getOrElse("fn", VIdent("mean"))
@@ -350,9 +354,10 @@ object FluxEval {
     case "set" => f.set(str(call.args, "key"), str(call.args, "value"))
     case "sort" =>
       val desc = call.args.get("desc").contains(VBool(true))
-      val cols = strArr(call.args, "columns")
-        .map(c => if (desc) col(c).desc else col(c).asc)
-      f.sort(cols: _*)
+      val names = strArr(call.args, "columns")
+      val fm = materializeTagCols(f, names)
+      val cols = names.map(c => if (desc) col(c).desc else col(c).asc)
+      fm.sort(cols: _*)
     case "limit" =>
       f.limitPerGroup(num(call.args, "n").toInt,
         call.args.get("offset").map(v => num0(v).toInt).getOrElse(0))
@@ -364,7 +369,8 @@ object FluxEval {
     case "unique" => f.unique(call.args.get("column").map(str0).getOrElse(""))
     case "distinct" =>
       val c = call.args.get("column").map(str0).getOrElse("")
-      FluxFrame(f.distinctV(c), f.groupKey, f.timeCol, if (c.isEmpty) f.valueCol else c)
+      val fm = if (c.isEmpty) f else materializeTagCols(f, Seq(c))
+      FluxFrame(fm.distinctV(c), fm.groupKey, fm.timeCol, if (c.isEmpty) fm.valueCol else c)
     // aggregate verbs (per current group key). Every Flux aggregate
     // takes `column:` (default "_value") — honoring it here re-points
     // the frame's value column BEFORE aggregating, so `sum(column:
@@ -697,6 +703,33 @@ object FluxEval {
 
   // --- predicate translation: Flux lambda AST → Catalyst Column
 
+  /** Column reference resolution, TAG-AWARE over the store source: the
+    * reference engine's table stream exposes every tag as a string
+    * column (`r.host`), while the store frame keeps tags in a MAP —
+    * a name that is not a flat column resolves through the map. Flat
+    * columns win (a tag shadowed by a real column behaves like the
+    * flattened shape), and dotted paths (`r.tags.host`) keep their
+    * explicit meaning via their head segment. Found by the r18 service
+    * soak: tag filters/grouping over `/api/v2/query` previously raised
+    * UNRESOLVED_COLUMN — a dialect gap, since gates run on flat
+    * parquet frames where tags are already columns.
+    */
+  private def resolveCol(f: FluxFrame, c: String): Column =
+    if (f.df.columns.contains(c.split('.').head)) col(c)
+    else if (f.df.columns.contains("tags")) col("tags").getItem(c)
+    else col(c) // unresolved: let Spark name the missing column
+
+  /** Materialize tag-map members as real columns for verbs that take
+    * COLUMN NAMES (`group`, `sort`, `distinct`): grouping by a map
+    * lookup expression would lose the name the output schema needs.
+    */
+  private def materializeTagCols(f: FluxFrame, names: Seq[String]): FluxFrame =
+    names.foldLeft(f) { (acc, c) =>
+      if (!acc.df.columns.contains(c) && acc.df.columns.contains("tags"))
+        acc.copy(df = acc.df.withColumn(c, col("tags").getItem(c)))
+      else acc
+    }
+
   private def predicate(e: Expr, f: FluxFrame, source: Source): Column = e match {
     case And(l, r) => predicate(l, f, source) && predicate(r, f, source)
     case Or(l, r) => predicate(l, f, source) || predicate(r, f, source)
@@ -705,8 +738,12 @@ object FluxEval {
       // Flux `exists r.col` is false for a MISSING member, not a plan
       // error — a pivot over a range with no rows of some measurement
       // simply never emits that column, and `exists` must then drop
-      // the rows, not fail the query with an AnalysisException
-      case ColRef(c) if !f.df.columns.contains(c.split('.').head) => lit(false)
+      // the rows, not fail the query with an AnalysisException.
+      // Over the store frame a non-column name may still be a TAG:
+      // exists then means "this row carries the tag" (map lookup).
+      case ColRef(c) if !f.df.columns.contains(c.split('.').head) =>
+        if (f.df.columns.contains("tags")) col("tags").getItem(c).isNotNull
+        else lit(false)
       case _ => operand(x, f, source).isNotNull
     }
     case Cmp(op, lhs, rhs) =>
@@ -726,7 +763,7 @@ object FluxEval {
             case o => throw EvalException(s"unsupported comparison '$o'")
           }
       }
-    case ColRef(c) => col(c) // bare boolean column
+    case ColRef(c) => resolveCol(f, c) // bare boolean column
     // boolean-returning stdlib calls used AS the predicate
     // (strings.hasPrefix, regexp.matchRegexpString, math.isNaN, …)
     case fc: FnCall => operand(fc, f, source)
@@ -734,7 +771,7 @@ object FluxEval {
   }
 
   private def operand(e: Expr, f: FluxFrame, source: Source): Column = e match {
-    case ColRef(c) => col(c)
+    case ColRef(c) => resolveCol(f, c)
     case Lit(VStr(s)) => lit(s)
     case Lit(VNum(d)) => lit(d)
     case Lit(VBool(b)) => lit(b)

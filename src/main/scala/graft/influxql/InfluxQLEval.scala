@@ -443,7 +443,7 @@ object InfluxQLEval {
   private def exprCol(e: PExpr, df: DataFrame, timeCol: String,
       aggMode: Boolean): Column = e match {
     case PNum(v) => lit(v)
-    case PAgg(a) if aggMode => aggExpr(a.copy(alias = Some("_")), timeCol)
+    case PAgg(a) if aggMode => aggExpr(a.copy(alias = Some("_")), df, timeCol)
     case PAgg(a) => throw EvalException(
       s"aggregate ${a.fn}() in a raw-field expression")
     case PField(n) if !aggMode => ref(df, n)
@@ -494,8 +494,16 @@ object InfluxQLEval {
     ((raw % stepUs) + stepUs) % stepUs
   }
 
-  private def aggExpr(p: AggProj, timeCol: String): Column = {
-    val c = col(p.field)
+  private def aggExpr(p: AggProj, df: DataFrame, timeCol: String): Column = {
+    // v1 aggregates FIELDS only; a field key the measurement does not
+    // (yet) carry aggregates over nothing → null → an empty series,
+    // exactly the reference's answer — never an UNRESOLVED_COLUMN 500.
+    // The r18 service soak hit this live: `SELECT mean(v) FROM soak`
+    // planned in the window before soak's first point landed, when the
+    // pivot had no `v` column.
+    val c =
+      if (df.columns.contains(p.field)) col(p.field)
+      else lit(null).cast("double")
     val e = p.fn match {
       case "count" => count(c)
       case "sum" => sum(c)
@@ -730,7 +738,7 @@ object InfluxQLEval {
           case (a, i) if a.fn == "percentile" =>
             max(when(col(s"_pct_rk_$i") === pctTarget(i), ref(filtered, a.field)))
               .as(a.alias.getOrElse("percentile"))
-          case (a, _) => aggExpr(a, source.timeCol)
+          case (a, _) => aggExpr(a, filtered, source.timeCol)
         } ++
           aggExprs.map(e => exprCol(e.expr, filtered, source.timeCol, aggMode = true)
             .as(e.alias.getOrElse(exprName(e.expr))))

@@ -579,8 +579,13 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
             // result-SET evaluation: a multi-yield script emits one
             // annotated-CSV section per result, each #default'ed to its
             // yield name — the 2.0.9 response shape csv.from /
-            // parseResults decode back into the result map
-            val results = FluxEval.runAll(flux, source)
+            // parseResults decode back into the result map.
+            // StaleScan: eager eval steps race delete/compaction
+            // rewrites (lock-free readers); a stale listing re-plans
+            // instead of 500ing. Post-header staleness (mid-stream)
+            // remains a truncation — see the handler's headersSent note.
+            val results = graft.store.StaleScan.retry("flux query")(
+              FluxEval.runAll(flux, source))
             ex.getResponseHeaders.set("Content-Type", "text/csv; charset=utf-8")
             ex.sendResponseHeaders(200, 0)
             headersSent = true
@@ -662,7 +667,11 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
                     }
                   } finally out.close()
                 } else {
-                  val body = V1Query.run(tsdb, db, q, Some(cqs), p("epoch"))
+                  // non-chunked v1 fully materializes before the
+                  // headers — a scan that raced a partition rewrite
+                  // re-plans over the fresh listing (StaleScan)
+                  val body = graft.store.StaleScan.retry("v1 query")(
+                    V1Query.run(tsdb, db, q, Some(cqs), p("epoch")))
                   // v1's pretty=true: indented JSON (debug affordance)
                   val rendered =
                     if (p("pretty").contains("true"))
@@ -675,6 +684,13 @@ final class HttpApi(tsdb: Tsdb, port: Int = 0, interface: String = "127.0.0.1",
                 case e @ (_: graft.influxql.InfluxQL.ParseException |
                           _: graft.influxql.InfluxQLEval.EvalException) =>
                   respond(ex, 400, err(e.getMessage))
+                // bucket-contention refusals (CQ DDL starting a tail on
+                // a rewriter-owned bucket, and the dual) are
+                // client-resolvable — 409, same contract as delete's
+                case e @ (_: graft.store.BucketStore.TailedBucketException |
+                          _: graft.store.BucketStore.TailConflictException)
+                    if !headersSent =>
+                  respond(ex, 409, err(e.getMessage))
               }
             case (Some(db), _) if tsdb.catalog.bucket(db).isEmpty =>
               respond(ex, 404, err(s"database '$db' not found"))

@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.model.Point
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -481,7 +481,17 @@ final class BucketStore(val catalog: Catalog, spark: SparkSession) {
   def readRaw(bucket: String): DataFrame = {
     val meta = catalog.bucket(bucket).getOrElse(
       throw new IllegalArgumentException(s"unknown bucket '$bucket'"))
-    spark.read.schema(rawSchema).parquet(catalog.bucketPath(meta.name).toString)
+    val path = catalog.bucketPath(meta.name)
+    // A provisioned bucket's directory is created by its FIRST append —
+    // until then (and that can be minutes into a service's life, the
+    // r18 soak measured ~30 s of failing queries under load) a query
+    // must see an EMPTY bucket, exactly like the reference engine,
+    // not a PATH_NOT_FOUND 500. The exists-check races an in-flight
+    // first append benignly: either side of the race is a valid
+    // snapshot (empty vs first batch).
+    if (!java.nio.file.Files.exists(path))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), rawSchema)
+    else spark.read.schema(rawSchema).parquet(path.toString)
   }
 
   private def rawSchema = {
@@ -982,6 +992,16 @@ object BucketStore {
     * THIS to 409 and everything else to 500.
     */
   final class TailedBucketException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The dual refusal: a TAIL (DownsampleTask/CQ FileStreamSource)
+    * cannot START because rewriters own the bucket — a live ingest
+    * compaction cadence, or an in-flight rewrite that outlived the
+    * start's grace wait. Same contract as [[TailedBucketException]]:
+    * client-resolvable contention (reconfigure the ingest or retry),
+    * so HTTP handlers map it to 409, never 500.
+    */
+  final class TailConflictException(msg: String)
     extends IllegalStateException(msg)
 
   /** JVM-global per-path monitors for the ingest-seq high-water mark:

@@ -111,7 +111,7 @@ final class DownsampleTask(tsdb: Tsdb) {
     val cadences = tsdb.store.liveCompactionCadences(source)
     if (cadences.nonEmpty) {
       aborted = true
-      throw new IllegalStateException(
+      throw new graft.store.BucketStore.TailConflictException(
         s"DownsampleTask on '$source' refused: ingest compaction cadence(s) " +
           s"${cadences.mkString(", ")} actively rewrite this bucket's files, " +
           "which a FileStreamSource cannot survive. Restart the ingest with " +
@@ -133,13 +133,18 @@ final class DownsampleTask(tsdb: Tsdb) {
         rewrites = tsdb.store.liveRewrites(source)
       }
       if (rewrites.nonEmpty)
-        throw new IllegalStateException(
+        throw new graft.store.BucketStore.TailConflictException(
           s"DownsampleTask on '$source' refused: in-progress partition " +
             s"rewrite(s) ${rewrites.mkString(", ")} did not finish within 30s — " +
             "retry once the rewrite completes.")
     } catch { case e: Throwable => aborted = true; throw e }
     try {
     val srcPath = tsdb.catalog.bucketPath(source).toString
+    // a provisioned-but-never-written bucket has no directory yet (the
+    // first append creates it); the FileStreamSource must start on an
+    // empty dir, not die with PATH_NOT_FOUND (r18 service soak: a CQ
+    // created right after provisioning)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcPath))
     val stream = tsdb.spark.readStream
       .schema(rawStreamSchema)
       .option("maxFilesPerTrigger", "64")
