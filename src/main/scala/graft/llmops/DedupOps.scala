@@ -88,6 +88,10 @@ object DedupOps {
     // inverted-index shuffle moves fixed 8-byte keys instead of ~25-byte
     // text, and the groupBy compares longs. Set cardinalities (sizes,
     // intersections) are unchanged barring 2^-64 collisions.
+    // NOT materialized (r18 probe): a localCheckpoint of the hashed
+    // table measured 1.24×/1.35× (ngram_jaccard/incremental_dedup,
+    // paired minima) — the repeated consumers shuffle on the same keys
+    // and AQE exchange reuse already dedupes them at runtime.
     val sh = capShingles(sh0.withColumn("shingle", xxhash64(col("shingle"))), maxDf)
     val spark = sh.sparkSession
     import spark.implicits._
@@ -744,6 +748,12 @@ object DedupOps {
       array_sort(array_distinct(expr(
         "transform(sequence(1, size(_toks) - 2), i -> concat_ws(' ', slice(_toks, i, 3)))"))))
       .otherwise(array())
+    // materialized (r18): globalRank references its input three times
+    // (min/max, bucket counts, ranked join) and the ranked output is
+    // consumed twice (window sides a and b) — without the cuts the
+    // tokenize+shingle projection above ran ~6× per query. Both frames
+    // are doc-cardinality (id, shingle array, key); one materialization
+    // each beats re-tokenizing the corpus at any scale.
     val keyed = df.withColumn("_toks", toks).select(col(idCol).as("doc_id"),
       shingleSet.as("sa"),
       (0 until 8).map { i =>
@@ -753,9 +763,11 @@ object DedupOps {
         (least(ascii(substring(rpad(norm, 8, " "), i + 1, 1)), lit(127))
           .cast("long") * lit(math.pow(128, 7 - i).toLong))
       }.reduce(_ + _).as("pk"))
+      .localCheckpoint()
     val ranked = graft.operators.SegmentOps
       .globalRank(keyed, col("pk"), "doc_id", nBuckets = 256, as = "rn")
       .withColumn("bin", expr(s"(rn - 1) div $w"))
+      .localCheckpoint()
     val a = ranked.select(col("doc_id").as("id_a"), col("sa").as("saa"),
       col("rn").as("ra"), col("bin"))
     val b = ranked.select(col("doc_id").as("id_b"), col("sa").as("sab"),

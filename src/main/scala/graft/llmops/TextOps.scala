@@ -583,8 +583,12 @@ object TextOps {
     */
   def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
+    // materialized (r18): tf feeds both the corpus model (ctf) and the
+    // scoring join — one materialization of the (id, term, cnt) table
+    // replaces a second tokenize pass over the corpus.
     val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
     val ctf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
     val total = ctf.agg(sum("ctf").as("t"))
     val per = tf.join(broadcast(ctf), "term").crossJoin(broadcast(total))
@@ -628,6 +632,11 @@ object TextOps {
       slice(col("arr"), lit(2), size(col("arr")) - 1),
       (p, w) => struct(p.as("p"), w.as("w")))).as("b"))
       .select(col("id"), col("b.p").as("p"), col("b.w").as("w"))
+    // NOT materialized (r18 probe): dbf/bc have multiple consumers, but
+    // their repeated references are identical exchanges that AQE's
+    // runtime exchange reuse already dedupes — adding localCheckpoints
+    // here measured 1.08×/1.16× (paired minima, sf0.1), pure
+    // materialization cost.
     val dbf = pairs.groupBy("id", "p", "w")
       .agg(count(lit(1)).cast("double").as("cnt"))
     val bc = dbf.groupBy("p", "w").agg(sum("cnt").as("bcnt"))
@@ -681,6 +690,9 @@ object TextOps {
       slice(col("arr"), lit(2), size(col("arr")) - 1),
       (p, w) => struct(p.as("p"), w.as("w")))).as("b"))
       .select(col("id"), col("b.p").as("p"), col("b.w").as("w"))
+    // NOT materialized (r18 probe): see [[bigramNll]] — AQE exchange
+    // reuse already dedupes the repeated model references; checkpoints
+    // here measured 1.16× (paired minima, sf0.1).
     val dbf = pairs.groupBy("id", "p", "w")
       .agg(count(lit(1)).cast("double").as("cnt"))
     val bc = dbf.groupBy("p", "w").agg(sum("cnt").as("bcnt"))
@@ -1013,9 +1025,13 @@ object TextOps {
     */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
+    // materialized (r18): tf feeds the corpus model (ctf), the target
+    // model (ttf) and the scoring join — three consumers, each of which
+    // otherwise re-ran the tokenize pass.
     val tf = df.select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "is_t", "term").agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
     val ctf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
     val cstats = ctf.agg(sum("ctf").as("ct"),
       count(lit(1)).cast("double").as("vn"))
@@ -1059,19 +1075,26 @@ object TextOps {
   def nbClassify(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String,
       labelCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    // materialized (r18): the class model ttf is consumed by ctot,
+    // vocab and the scoring join — without the cut the train-corpus
+    // tokenize chain re-ran per consumer (the captured sf0.1 plan held
+    // 32 parquet scans). The model is (class × vocabulary)-sized.
     val ttf = train
       .select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("term"))
       .groupBy("label", "term").agg(count(lit(1)).cast("double").as("ct"))
+      .localCheckpoint()
     val ctot = ttf.groupBy("label").agg(sum("ct").as("tot"))
     val vocab = ttf.select("term").distinct()
     val vocabN = vocab.agg(count(lit(1)).cast("double").as("vn"))
     val ndocs = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).cast("double").as("nd"))
     val ntot = ndocs.agg(sum("nd").as("nn"))
+    // C rows; three consumers (scoring crossJoin, prior join, fallback)
     val classes = ndocs.join(ctot, "label")
       .crossJoin(broadcast(ntot)).crossJoin(broadcast(vocabN))
       .select(col("label"), log(col("nd") / col("nn")).as("prior"),
         col("tot"), col("vn"))
+      .localCheckpoint()
     val stf = score
       .select(col(idCol).as("id"), col(labelCol).as("label_true"),
         explode(tokens(col(textCol))).as("term"))

@@ -41,25 +41,35 @@ object GraphOps {
     // (post-aggregation), so the checkpoint is vocabulary-sized.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("double").as("w")).localCheckpoint()
+    // Loop-invariant frames materialized ONCE (r18): nodes, the
+    // wout-annotated edge table and the src set were previously part of
+    // every iteration's plan — each of the 5 iterations re-ran the
+    // node-domain distinct, the out-weight aggregate and the e⋈ow join.
+    // All three are edge/node-domain-sized (post-aggregation, small by
+    // design — see the header). The node COUNT is collected once and
+    // folded into literals: (1−d)/n and the runtime dm/n use the same
+    // IEEE doubles as the per-row divisions they replace, so ranks are
+    // bit-identical.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("nn"))
+      .localCheckpoint()
+    val nn = nodes.count().toDouble
     val ow = e.groupBy("src").agg(sum("w").as("wout"))
-    var r = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("nn")).as("r"))
+    val enorm = e.join(ow, "src").localCheckpoint()
+    val srcs = ow.select("src").localCheckpoint()
+    var r = nodes.select(col("node"), lit(1.0 / nn).as("r"))
     for (k <- 1 to iters) {
       // Mass sitting on nodes with no outgoing edges teleports uniformly.
-      val dm = r.join(ow, r("node") === ow("src"), "left_anti")
+      val dm = r.join(srcs, r("node") === srcs("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
-      val inc = e.join(r, e("src") === r("node"))
-        .join(ow, "src")
+      val inc = enorm.join(r, enorm("src") === r("node"))
         .groupBy("dst")
         .agg(sum(col("r") * col("w") / col("wout")).as("s"))
-      r = nodes.crossJoin(broadcast(nRow)).crossJoin(broadcast(dm))
+      r = nodes.crossJoin(broadcast(dm))
         .join(inc, col("node") === inc("dst"), "left")
         .select(col("node"),
-          (lit(1.0 - d) / col("nn") +
-            lit(d) * (coalesce(col("s"), lit(0.0)) + col("dm") / col("nn"))).as("r"))
+          (lit((1.0 - d) / nn) +
+            lit(d) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(nn))).as("r"))
       // Truncate lineage every step: the rank frame is node-domain-
       // sized (tiny next to the corpus), but an unbounded iteration
       // chain both doubles Catalyst's analysis work per step and

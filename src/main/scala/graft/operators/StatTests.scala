@@ -110,7 +110,14 @@ object StatTests {
   def spearman(df: DataFrame, xCol: Column, yCol: Column,
       tieCol: String): DataFrame = {
     val base = df.select(col(tieCol), xCol.as("_x"), yCol.as("_y"))
+    // materialize EACH rank pass once (r18): every ranked frame here is
+    // consumed twice — by its per-value midrank-sum aggregate AND by the
+    // join that attaches the sums back — so without the cut each rank
+    // chain (3 shuffles + a window) executes twice per pass. The frames
+    // are row-count-sized with two long columns; one materialization is
+    // strictly cheaper than a second rank chain at any scale.
     val rx = SegmentOps.globalRank(base, col("_x"), tieCol, 1024, "_rx")
+      .localCheckpoint()
     val gx = rx.groupBy(col("_x"))
       .agg((min(col("_rx")) + max(col("_rx"))).as("sx"))
     // cut the lineage between the two rank passes: the second
@@ -120,6 +127,7 @@ object StatTests {
     // 7.9 → 2.4 s there, 7.5 → ~3 s here)
     val rx1 = rx.join(gx, "_x").localCheckpoint()
     val ry = SegmentOps.globalRank(rx1, col("_y"), tieCol, 1024, "_ry")
+      .localCheckpoint()
     val gy = ry.groupBy(col("_y"))
       .agg((min(col("_ry")) + max(col("_ry"))).as("sy"))
     def dec(c: Column) = c.cast("decimal(38,0)")

@@ -141,9 +141,15 @@ object AnalyticsQueries {
             .otherwise(0L))
         .withColumn("sid", sum(col("ns")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // materialized (r18): sess is consumed three times (the max-end
+      // aggregate, then kaplanMeier's deaths and at-risk aggregates
+      // each re-derive lt) — without the cut the two-window
+      // sessionization above ran 3× per query. The frame is
+      // session-cardinality (three longs per session).
       val sess = flagged.groupBy("user_id", "sid")
         .agg(expr("(max(tus) - min(tus)) div 60000000").as("t"),
           max(col("tus")).as("en"))
+        .localCheckpoint()
       val mx = sess.agg(max(col("en")).as("mx"))
       val lt = sess.crossJoin(broadcast(mx))
         .select(col("t"), ((col("mx") - col("en")) >= gapUs).as("death"))

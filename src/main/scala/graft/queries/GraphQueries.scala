@@ -48,16 +48,30 @@ object GraphQueries {
     */
   private def coorderEdges(s: SparkSession, dir: String,
       minCo: Int = 1): DataFrame = {
-    // dedup (order, part) BEFORE the self-join: repeated part lines in
-    // one order would otherwise multiply candidate rows AND force a
-    // countDistinct (an EXPAND + double aggregate); after dedup every
-    // (order, pair) survives exactly once, so a plain count IS the
-    // distinct co-order count — one aggregate, no expand, same edges
-    val l = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-    l.as("a").join(l.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    // Posting-list pair emission (r18; the DedupOps.exactJaccardPairs
+    // shape) instead of distinct + self-join: ONE shuffle collects each
+    // order's distinct part set (collect_set partial-aggregates
+    // map-side, so repeated part lines collapse before the exchange —
+    // the old separate distinct paid a full (order, part) shuffle just
+    // for that), then a compiled flatMap emits each order's C(k,2)
+    // id-ordered pairs and one aggregate counts co-orders. 4 Exchanges
+    // → 2, and the quadratic term is unchanged (Σ per-order k² is the
+    // candidate set either way; TPC-H order cliques are ≤ 7 parts).
+    // Edges are identical: per order each unordered pair appears once,
+    // so count(1) is the distinct co-order count, as before.
+    import s.implicits._
+    val pairs = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
+      .select(col("parts")).as[Seq[Long]]
+      .flatMap { parts =>
+        val a = parts.toArray
+        java.util.Arrays.sort(a)
+        for (i <- a.indices.iterator; j <- (i + 1) until a.length)
+          yield (a(i), a(j))
+      }
+      .toDF("u", "v")
+    pairs.groupBy("u", "v")
       .agg(count(lit(1)).as("nco"))
       .where(col("nco") >= minCo)
       .select("u", "v")
