@@ -138,6 +138,41 @@ object SparkTuning {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         pinned.getOrElse(initialWidth(cores, inputBytes).toString))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // openCostInBytes stays at default (r18 probe): lowering it to
+      // 256 KB did split the small corpus files into more scan tasks,
+      // but every testdata table is ONE parquet row group — splits
+      // below row-group granularity produce empty tasks, so scan
+      // parallelism stays structurally 1 whatever the split size.
+      // Single-core corpus passes are instead spread post-scan where
+      // the compute justifies it ([[spreadSmallScan]], guide §2.5's
+      // unsplittable-file remedy).
+      // minPartitionSize stays at the 1 MB DEFAULT (r18 probe): AQE's
+      // parallelism-first coalescing collapses KB-scale stages to 1–2
+      // tasks (a per-job profile showed graph_components' star rounds
+      // running their window/distinct near-sequentially on 32 cores),
+      // which reads like a parallelism bug — but lowering the floor to
+      // 64 KB made the same rounds 1.9× SLOWER (wall 6.7 → 12.6 s;
+      // 30-task stages at ~600 ms vs 1-task at ~230 ms): per-task
+      // overhead dwarfs 64 KB of compute, so these rounds are
+      // task-overhead-bound, not parallelism-starved.
+  }
+
+  /** Spread a below-core-parallelism scan across the cores before
+    * CPU-heavy per-row work (guide §2.5: the unsplittable-input
+    * remedy). The bench corpus ships every table as a single parquet
+    * row group, so scans — and the tokenize/hash/vector projections
+    * fused into them — run on ONE core regardless of split size; a
+    * real corpus with many files/row-groups splits naturally and this
+    * is a NO-OP (the partition check costs plan construction only, no
+    * jobs). The round-robin repartition moves the column bytes once —
+    * only worth it where the downstream per-row compute dominates a
+    * KB/MB-scale shuffle, i.e. the compiled tokenize passes, never as
+    * a blanket scan wrapper.
+    */
+  def spreadSmallScan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
   /** Re-derive the AQE start width on a LIVE session whose corpus has

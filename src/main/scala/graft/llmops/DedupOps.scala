@@ -39,7 +39,8 @@ object DedupOps {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    graft.SparkTuning.spreadSmallScan(df)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
@@ -606,7 +607,11 @@ object DedupOps {
   def substringWindows(df: DataFrame, idCol: String, textCol: String,
       w: Int, hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(w >= 2, s"substring window must be >= 2 tokens, got $w")
-    df.select(col(idCol).cast("long").as("doc_id"),
+    // tokenize + per-window hashing dominates this pass; spread a
+    // below-core-parallelism input first (guide §2.5 — no-op on a
+    // multi-file corpus)
+    graft.SparkTuning.spreadSmallScan(df)
+      .select(col(idCol).cast("long").as("doc_id"),
         TextOps.tokens(col(textCol)).as("arr"))
       .filter(size(col("arr")) >= w)
       .select(col("doc_id"),
@@ -754,7 +759,8 @@ object DedupOps {
     // tokenize+shingle projection above ran ~6× per query. Both frames
     // are doc-cardinality (id, shingle array, key); one materialization
     // each beats re-tokenizing the corpus at any scale.
-    val keyed = df.withColumn("_toks", toks).select(col(idCol).as("doc_id"),
+    val keyed = graft.SparkTuning.spreadSmallScan(df)
+      .withColumn("_toks", toks).select(col(idCol).as("doc_id"),
       shingleSet.as("sa"),
       (0 until 8).map { i =>
         // clamp at 127: a non-ASCII codepoint would overflow the

@@ -130,7 +130,8 @@ object TextOps {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string"), col(textCol))
+    graft.SparkTuning.spreadSmallScan(df)
+      .select(col(groupCol).cast("string"), col(textCol))
       .as[(String, String)]
       .map { case (g, text) =>
         // Mirrors normalize()/tokens(): lowercase, collapse whitespace,
@@ -625,7 +626,8 @@ object TextOps {
     */
   def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, lambda: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("arr"))
+    val dfS = graft.SparkTuning.spreadSmallScan(df)
+    val toks = dfS.select(col(idCol).as("id"), tokens(col(textCol)).as("arr"))
       .filter(size(col("arr")) >= 2)
     val pairs = toks.select(col("id"), explode(zip_with(
       slice(col("arr"), lit(1), size(col("arr")) - 1),
@@ -643,7 +645,7 @@ object TextOps {
     val pc = bc.groupBy("p").agg(sum("bcnt").as("pcnt"))
     // unigram model over ALL tokens (not just bigram participants):
     // last tokens count too, mirroring a separately-trained unigram LM
-    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+    val uni = dfS.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("double").as("ucnt"))
     val ut = uni.agg(sum("ucnt").as("ut"))
     val per = dbf
@@ -849,7 +851,8 @@ object TextOps {
     val nCh = ceil(size(toks).cast("double") / k).cast("int")
     val chunkArr = transform(sequence(lit(0), greatest(nCh - 1, lit(0))), i =>
       concat_ws(" ", slice(toks, i * k + 1, lit(k))))
-    val ch = df.select(col(idCol).as("id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val ch = graft.SparkTuning.spreadSmallScan(df)
+      .select(col(idCol).as("id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
       .filter(col("chunk") =!= "") // n=0 guard: the empty placeholder chunk
     val freq = ch.groupBy("chunk").agg(count(lit(1)).as("df"))
     val kept = ch.join(freq, "chunk").filter(col("df") <= maxDf)

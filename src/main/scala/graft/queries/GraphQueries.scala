@@ -100,7 +100,10 @@ object GraphQueries {
     // replays BFS as a level-capped recursive CTE with a min-level
     // collapse.
     "bfs_levels" -> ((s, dir) => {
-      val e = coorderEdges(s, dir, minCo = 2)
+      // materialized (r18): consumed by the node/seed derivation AND
+      // bfsLevels' symmetrization — the per-job profile showed the
+      // whole collect_set edge build running twice (~0.9 s of 5.1 s)
+      val e = coorderEdges(s, dir, minCo = 2).localCheckpoint()
       val nodes = e.select(col("u").as("n"))
         .union(e.select(col("v").as("n"))).distinct()
       val seeds = nodes.where(col("n") % 100 === 0)

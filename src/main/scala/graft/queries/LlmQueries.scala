@@ -585,7 +585,7 @@ object LlmQueries {
     // session graph uses — the edge aggregation is the only corpus
     // pass; iteration runs on the vocabulary-sized edge table.
     "textrank_keywords" -> ((s, dir) => {
-      val toks = documents(s, dir)
+      val toks = graft.SparkTuning.spreadSmallScan(documents(s, dir))
         .select(TextOps.tokens(col("text")).as("arr"))
         .filter(size(col("arr")) >= 2)
       val pairs = toks.select(explode(zip_with(
