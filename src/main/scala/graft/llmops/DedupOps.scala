@@ -284,6 +284,11 @@ object DedupOps {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 64, rowsPerBand: Int = 4,
       maxDf: Int = DefaultMaxDf): DataFrame = {
+    // The cold cache is NOT compute-once under AQE's concurrent leaf-
+    // stage submission: the r18 profile showed ~10 racing copies of the
+    // signature pass. Probed and kept AS IS: the copies overlap on idle
+    // cores (wasted CPU, no wall cost), while serializing them behind a
+    // count() + spreading the pass measured 1.9× WORSE wall.
     val sig = minHashDocSignatures(df, idCol, textCol, n, numHashes,
       withShingleHashes = true).cache()
     val numBands = numHashes / rowsPerBand

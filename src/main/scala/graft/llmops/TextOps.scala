@@ -586,7 +586,9 @@ object TextOps {
       textCol: String): org.apache.spark.sql.DataFrame = {
     // materialized (r18): tf feeds both the corpus model (ctf) and the
     // scoring join — one materialization of the (id, term, cnt) table
-    // replaces a second tokenize pass over the corpus.
+    // replaces a second tokenize pass over the corpus. (The checkpoint
+    // truncates the query's visible plan, so PlanGateSpec pins this
+    // op's scan pruning via the 2-column select above, like seq_pack.)
     val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).cast("double").as("cnt"))
       .localCheckpoint()
@@ -1028,13 +1030,9 @@ object TextOps {
     */
   def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, targetPred: Column): org.apache.spark.sql.DataFrame = {
-    // materialized (r18): tf feeds the corpus model (ctf), the target
-    // model (ttf) and the scoring join — three consumers, each of which
-    // otherwise re-ran the tokenize pass.
     val tf = df.select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "is_t", "term").agg(count(lit(1)).cast("double").as("cnt"))
-      .localCheckpoint()
     val ctf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
     val cstats = ctf.agg(sum("ctf").as("ct"),
       count(lit(1)).cast("double").as("vn"))
@@ -1078,26 +1076,19 @@ object TextOps {
   def nbClassify(train: org.apache.spark.sql.DataFrame,
       score: org.apache.spark.sql.DataFrame, idCol: String,
       labelCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    // materialized (r18): the class model ttf is consumed by ctot,
-    // vocab and the scoring join — without the cut the train-corpus
-    // tokenize chain re-ran per consumer (the captured sf0.1 plan held
-    // 32 parquet scans). The model is (class × vocabulary)-sized.
     val ttf = train
       .select(col(labelCol).as("label"), explode(tokens(col(textCol))).as("term"))
       .groupBy("label", "term").agg(count(lit(1)).cast("double").as("ct"))
-      .localCheckpoint()
     val ctot = ttf.groupBy("label").agg(sum("ct").as("tot"))
     val vocab = ttf.select("term").distinct()
     val vocabN = vocab.agg(count(lit(1)).cast("double").as("vn"))
     val ndocs = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).cast("double").as("nd"))
     val ntot = ndocs.agg(sum("nd").as("nn"))
-    // C rows; three consumers (scoring crossJoin, prior join, fallback)
     val classes = ndocs.join(ctot, "label")
       .crossJoin(broadcast(ntot)).crossJoin(broadcast(vocabN))
       .select(col("label"), log(col("nd") / col("nn")).as("prior"),
         col("tot"), col("vn"))
-      .localCheckpoint()
     val stf = score
       .select(col(idCol).as("id"), col(labelCol).as("label_true"),
         explode(tokens(col(textCol))).as("term"))

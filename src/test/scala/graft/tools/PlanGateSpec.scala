@@ -141,11 +141,15 @@ class PlanGateSpec extends SparkSpec {
     // (seq_pack is not listed: its prefix-scan localCheckpoint truncates
     // the visible plan before the file scan; its input projection is the
     // 2-column select in packSequences itself)
+    // (unigram_nll joined seq_pack's exclusion in r18: its term-count
+    // table is localCheckpointed — consumed by both the model and the
+    // scoring join — which truncates the visible plan before the file
+    // scan; the 2-column projection is the select at the top of
+    // TextOps.unigramNll itself)
     val pruneSpec = Map(
       "bm25_topk" -> Set("doc_id", "text"),
       "pii_redact" -> Set("doc_id", "text"),
       "url_dedup" -> Set("doc_id", "text"),
-      "unigram_nll" -> Set("doc_id", "text"),
       // label/slice-driven r10 ops may read their one extra column
       "dsir_weights" -> Set("doc_id", "lang", "text"),
       "nb_classify" -> Set("doc_id", "source", "text"),
