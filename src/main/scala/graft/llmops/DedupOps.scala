@@ -35,11 +35,19 @@ object DedupOps {
     * token array per shingle (O(tokens × n) with lambda overhead) —
     * ~8 s vs ~1 s for 5k documents. Normalization matches
     * [[TextOps.normalize]] exactly (lowercase, whitespace collapse).
+    *
+    * `spread` pre-spreads a below-core-parallelism scan (guide §2.5).
+    * It must stay call-site-gated: the heavy many-consumer pipelines
+    * (exactJaccardPairs, dedup_eval) win from it, but small filtered
+    * inputs (the contamination corpus/eval split) lose — the exchange
+    * costs more than the single-core pass (r19 paired A/B: spread
+    * measured 1.11× on contamination).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+      spread: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.SparkTuning.spreadSmallScan(df)
+    (if (spread) graft.SparkTuning.spreadSmallScan(df) else df)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -485,9 +493,12 @@ object DedupOps {
     */
   def contaminationPairs(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int, minShared: Int): DataFrame = {
-    val cs = shingles(corpus, idCol, textCol, n)
+    // spread=false: both inputs are small filtered frames; paying a
+    // round-robin exchange before the flatMap measured a net loss here
+    // (r19 A/B), unlike the heavy exactJaccard pipelines
+    val cs = shingles(corpus, idCol, textCol, n, spread = false)
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
-    val es = shingles(evalSet, idCol, textCol, n)
+    val es = shingles(evalSet, idCol, textCol, n, spread = false)
       .select(col("id").as("eval_id"), xxhash64(col("shingle")).as("sh"))
     cs.join(broadcast(es), "sh")
       .groupBy("id", "eval_id").agg(count(lit(1)).as("shared"))
@@ -520,11 +531,14 @@ object DedupOps {
     // defensive-copy per row and force byte-compares — see
     // SkewOps.bloomFilteredJoin); payload is mBits/8 bytes, never
     // corpus-scale
-    val bloomBytes = shingles(evalSet, idCol, textCol, n)
+    // spread=false: the protected set is tiny by definition (it is
+    // about to be compressed into a driver-held blob) — a pre-spread
+    // exchange on it is pure cost
+    val bloomBytes = shingles(evalSet, idCol, textCol, n, spread = false)
       .agg(call_function("graft_bloom_bytes",
         col("shingle"), lit(mBits), lit(kHashes)).as("bloom"))
       .head.getAs[Array[Byte]](0)
-    shingles(corpus, idCol, textCol, n)
+    shingles(corpus, idCol, textCol, n, spread = false)
       .filter(call_function("graft_bloom_contains", lit(bloomBytes), col("shingle")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("hits"))

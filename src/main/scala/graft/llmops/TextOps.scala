@@ -124,13 +124,16 @@ object TextOps {
     * `Dataset.map` pass (tokenize once, HashSet of trigram strings) —
     * the same compiled-scan discipline as
     * [[DedupOps.minHashDocSignatures]]. Scan-stage only, no shuffle:
-    * this is the form a 100 TB per-byte quality pass runs.
+    * this is the form a 100 TB per-byte quality pass runs — which is
+    * exactly why it is NOT spread: inserting a repartition would put a
+    * full text-bytes exchange in front of a shuffle-free pass (r19
+    * paired A/B: the r18 spread measured 1.31× on repetition_stats).
     */
   def trigramStats(df: org.apache.spark.sql.DataFrame, groupCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.SparkTuning.spreadSmallScan(df)
+    df
       .select(col(groupCol).cast("string"), col(textCol))
       .as[(String, String)]
       .map { case (g, text) =>
