@@ -401,33 +401,49 @@ object DedupOps {
           lit(java.math.BigDecimal.ZERO))).head
       (r.getLong(0), r.getDecimal(1))
     }
-    // round 0 compares against the INPUT set lazily: an already-starred
-    // input just pays one extra (cheap, fixed-point) round before the
-    // round-1 signatures match — real inputs never converge at round 0,
-    // so the input-signature job is pure overhead there
-    var edgeCount = -1L
-    var edgeSum: java.math.BigDecimal = null
+    // The input signature seeds round-0 comparison (an already-starred
+    // input converges at round 1, as before) AND measures the edge
+    // count that sizes the loop's shuffle width below — one tiny job
+    // over the already-checkpointed input buys both.
+    var (edgeCount, edgeSum) = signature(edges)
+    // Pinned per-round shuffle width, derived from the MEASURED edge
+    // count (scale-adaptive, not a local-mode constant): AQE's
+    // bytes-targeted coalescing collapses these KB/MB-scale iterative
+    // stages to 1–2 tasks, serializing each round's window sorts; at
+    // ~16k edges/task the sort work per task is large enough to beat
+    // task overhead (r18's 64 KB minPartitionSize probe over-split at
+    // 30 tasks and lost — the sweet spot is in between, r19 paired
+    // A/B). Large graphs hit the defaultParallelism cap and behave as
+    // before; the width is re-derived as rounds contract the edge set.
+    def loopWidth(n: Long): Int =
+      math.max(1, math.min(edges.sparkSession.sparkContext.defaultParallelism,
+        ((n + 16383) / 16384).toInt))
     // One large-star + small-star round as a LAZY plan — no action, no
     // checkpoint. `large` is referenced twice (smin's aggregate and the
     // join probe) but both references shuffle the identical sub-plan on
     // the same key, so ReuseExchange collapses them to one physical
     // exchange; likewise `sym`'s two uses of the round input.
-    def starRound(e: DataFrame): DataFrame = {
+    def starRound(e: DataFrame, width: Int): DataFrame = {
       // Both star passes compute "min over all rows of my node" — an
       // unbounded window min over partitionBy(node), ONE shuffle each,
       // instead of the groupBy-min + join-back pair (which cost an
       // extra exchange plus a per-round broadcast build). The window
       // sort is spillable, so a giant star center degrades to disk
       // exactly like the sort-merge join it replaces — same skew
-      // envelope, half the stages.
+      // envelope, half the stages. Each window's exchange is pinned to
+      // the count-derived `width` via an explicit same-key repartition
+      // (satisfies the window's required distribution — no extra
+      // exchange) so the sorts actually parallelize; see [[loopWidth]].
       val wU = Window.partitionBy("u")
       // large-star: each node links its strictly LARGER neighbours to
       // the minimum of its closed neighbourhood
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(width, col("u"))
       val large = sym
         .withColumn("m", least(col("u"), min(col("v")).over(wU)))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        .repartition(width, col("u"))
       // small-star: each node links its smaller neighbours (and itself)
       // to the smallest of them. Each windowed row (u, v, m) emits its
       // (v→m) link plus the (u→m) self-link in ONE explode pass — a

@@ -590,11 +590,9 @@ object TextOps {
     // materialized (r18): tf feeds both the corpus model (ctf) and the
     // scoring join — one materialization of the (id, term, cnt) table
     // replaces a second tokenize pass over the corpus. (The checkpoint
-    // truncates the query's visible plan, so PlanGateSpec pins this
-    // op's scan pruning via the 2-column select above, like seq_pack.)
-    val tf = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("cnt"))
-      .localCheckpoint()
+    // truncates the query's visible plan, so PlanGateSpec asserts scan
+    // pruning on [[unigramTf]] — the real pre-checkpoint frame.)
+    val tf = unigramTf(df, idCol, textCol).localCheckpoint()
     val ctf = tf.groupBy("term").agg(sum("cnt").as("ctf"))
     val total = ctf.agg(sum("ctf").as("t"))
     val per = tf.join(broadcast(ctf), "term").crossJoin(broadcast(total))
@@ -606,6 +604,16 @@ object TextOps {
           array_sort(collect_list(struct(col("term"), col("s")))),
           lit(0.0), (acc, x) => acc + x.getField("s")) / sum(col("cnt"))).as("nll"))
   }
+
+  /** The (id, term, cnt) table [[unigramNll]] trains and scores from,
+    * UN-checkpointed — exposed so the pruning gate (PlanGateSpec) can
+    * assert the 2-column scan on the frame that actually feeds the
+    * checkpoint, which truncates the query's own visible plan.
+    */
+  private[graft] def unigramTf(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("cnt"))
 
   /** Interpolated bigram-LM per-document negative log-likelihood — the
     * next step from [[unigramNll]] toward the 5-gram KenLM filter CCNet
@@ -973,8 +981,7 @@ object TextOps {
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, seqLen: Long,
       numParts: Int = 32): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"),
-      tokenCount(col(textCol)).cast("double").as("tok_d"))
+    val toks = packTokenCounts(df, idCol, textCol)
     graft.dsl.SeriesScan.ungroupedPrefixSum(toks, "id", "tok_d", "cum", numParts)
       .withColumn("n_tok", col("tok_d").cast("long"))
       .withColumn("tok_start", col("cum").cast("long") - col("n_tok"))
@@ -984,6 +991,16 @@ object TextOps {
       .withColumn("straddles", col("seq_first") =!= col("seq_last"))
       .select("id", "n_tok", "tok_start", "seq_first", "seq_last", "straddles")
   }
+
+  /** The (id, tok_d) input [[packSequences]] feeds into the prefix
+    * scan, whose localCheckpoint truncates the query's visible plan —
+    * exposed so the pruning gate can assert the 2-column scan on the
+    * real pre-checkpoint frame (see [[unigramTf]]).
+    */
+  private[graft] def packTokenCounts(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      tokenCount(col(textCol)).cast("double").as("tok_d"))
 
   /** Incremental near-dup probe: match a NEW ingest batch against an
     * EXISTING corpus fingerprint index without touching corpus text.

@@ -137,15 +137,11 @@ class PlanGateSpec extends SparkSpec {
 
   test("curation scans prune to (doc_id, text) — passes never read full rows") {
     // at 100 TB the documents table carries many wide columns; these
-    // ops must reach the parquet scan with a 2-column ReadSchema
-    // (seq_pack is not listed: its prefix-scan localCheckpoint truncates
-    // the visible plan before the file scan; its input projection is the
-    // 2-column select in packSequences itself)
-    // (unigram_nll joined seq_pack's exclusion in r18: its term-count
-    // table is localCheckpointed — consumed by both the model and the
-    // scoring join — which truncates the visible plan before the file
-    // scan; the 2-column projection is the select at the top of
-    // TextOps.unigramNll itself)
+    // ops must reach the parquet scan with a 2-column ReadSchema.
+    // seq_pack and unigram_nll checkpoint mid-query, which truncates
+    // their visible plans before the file scan — their pruning is
+    // asserted on the real pre-checkpoint frames in the test below,
+    // so this exclusion list carries no unchecked entries.
     val pruneSpec = Map(
       "bm25_topk" -> Set("doc_id", "text"),
       "pii_redact" -> Set("doc_id", "text"),
@@ -163,6 +159,29 @@ class PlanGateSpec extends SparkSpec {
       assert(reads.forall(r => r.split(",").map(_.takeWhile(_ != ':')).toSet
         .subsetOf(allowed)),
         s"$name reads more than $allowed: $reads")
+    }
+  }
+
+  test("checkpointed ops prune at the scan BELOW the checkpoint") {
+    // seq_pack and unigram_nll localCheckpoint mid-query, so their
+    // executed plans start at the checkpoint RDD and the file scan is
+    // invisible to the gate above. Assert pruning on the REAL frames
+    // that feed those checkpoints (the ops call these same builders),
+    // not on a convention or a re-typed copy in the test.
+    import graft.queries.QueryUtil.documents
+    val preCheckpoint = Map(
+      "unigram_nll tf" ->
+        graft.llmops.TextOps.unigramTf(documents(spark, sfDir), "doc_id", "text"),
+      "seq_pack token counts" ->
+        graft.llmops.TextOps.packTokenCounts(documents(spark, sfDir), "doc_id", "text"))
+    for ((what, frame) <- preCheckpoint) {
+      val plan = frame.queryExecution.executedPlan.toString
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(reads.nonEmpty, s"$what: no file scan found\n${plan.take(1500)}")
+      assert(reads.forall(r => r.split(",").map(_.takeWhile(_ != ':')).toSet
+        .subsetOf(Set("doc_id", "text"))),
+        s"$what reads more than (doc_id, text): $reads")
     }
   }
 
